@@ -1,0 +1,268 @@
+"""Core batch relational operators: aggregation, joins, sorts, set ops.
+
+Reference parity map (all citations into ``/root/reference/``):
+
+* Grouped aggregation — the reference's ``groupBy(0).sum(1)``
+  (``WordCount.scala:32-33``) generalized to the TPC-H-Q1-style pricing
+  summary over the fixture mirroring the reference's own smoke table
+  (``APP.PARTSUPP``, ``SnappydataConnectorTest.scala:14``).
+* Joins — the reference only has a windowed stream-stream join
+  (``ParquetTableJoin.scala:51-59``); the batch equi/outer/semi/anti and
+  non-equi forms here are the Spark-native completion of that surface
+  (SURVEY.md §2.3).
+* Sorts / limits / set ops / distinct — absent in the reference
+  (SURVEY.md §2.7); exposed as built-ins for inventory coverage.
+
+Scale notes are given per operator; the common rules: dimension tables
+are broadcast (no shuffle of the fact side), aggregations rely on
+Catalyst's partial/final hash aggregation (map-side combine), and no
+operator materializes unbounded state on the driver.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_snappydata_spark.functions.exact import cents
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+def pricing_summary(lineitem: DataFrame, ship_cutoff: str = "1998-12-01") -> DataFrame:
+    """Flagship pricing-summary aggregation (TPC-H Q1 shape).
+
+    groupBy+sum parity with reference ``WordCount.scala:32-33``, scaled to
+    a real analytic query. Exact integer-cents arithmetic keeps the sums
+    associative (bit-identical at any parallelism — see functions/exact).
+
+    Scale: single hash aggregation over 4 grouping values — partial aggs
+    reduce each task's output to ≤4 rows before the shuffle; the filter
+    and the 7-column projection push down to the parquet scan.
+    """
+    price_c = cents("l_extendedprice")
+    disc_c = cents("l_discount")
+    tax_c = cents("l_tax")
+    qty_c = cents("l_quantity")
+    n = F.count(F.lit(1))
+    return (
+        lineitem.filter(F.col("l_shipdate") <= F.lit(ship_cutoff).cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(qty_c) / F.lit(100.0)).alias("sum_qty"),
+            (F.sum(price_c) / F.lit(100.0)).alias("sum_base_price"),
+            (F.sum(price_c * (F.lit(100) - disc_c)) / F.lit(10000.0)).alias("sum_disc_price"),
+            (F.sum(price_c * (F.lit(100) - disc_c) * (F.lit(100) + tax_c)) / F.lit(1000000.0)).alias("sum_charge"),
+            (F.sum(qty_c) / F.lit(100.0) / n).alias("avg_qty"),
+            (F.sum(price_c) / F.lit(100.0) / n).alias("avg_price"),
+            (F.sum(disc_c) / F.lit(100.0) / n).alias("avg_disc"),
+            n.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def agg_distinct(orders: DataFrame) -> DataFrame:
+    """COUNT(DISTINCT) per group (absent in reference, SURVEY.md §2.4).
+
+    Scale: Catalyst expands distinct aggregation into a two-stage
+    shuffle (expand + partial agg); for approximate needs at 100 TB use
+    ``approx_count_distinct`` instead (exposed in the same inventory).
+    """
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.countDistinct("o_custkey").alias("n_customers"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def agg_rollup(lineitem: DataFrame) -> DataFrame:
+    """ROLLUP over (returnflag, linestatus): subtotal + grand-total rows."""
+    return (
+        lineitem.rollup("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(cents("l_quantity")) / F.lit(100.0)).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+        .orderBy(
+            F.col("l_returnflag").asc_nulls_first(),
+            F.col("l_linestatus").asc_nulls_first(),
+        )
+    )
+
+
+def agg_cube(orders: DataFrame) -> DataFrame:
+    """CUBE over (orderstatus, orderpriority) with exact money sums."""
+    return (
+        orders.cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("sum_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+def star_join_revenue(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+) -> DataFrame:
+    """Star join: fact ⋈ 4 dimensions, revenue per region/nation.
+
+    Scale: customer/nation/region are broadcast (``F.broadcast``) so the
+    fact table never shuffles for them; lineitem⋈orders is the only
+    shuffle join (both sides keyed on orderkey), and AQE will convert it
+    to broadcast too at small SFs. Aggregation is partial+final.
+    """
+    revenue_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        lineitem.join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(customer), F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(nation), F.col("c_nationkey") == F.col("n_nationkey"))
+        .join(F.broadcast(region), F.col("n_regionkey") == F.col("r_regionkey"))
+        .groupBy(F.col("r_name").alias("region_name"), F.col("n_name").alias("nation_name"))
+        .agg(
+            (F.sum(revenue_c) / F.lit(10000.0)).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("region_name", "nation_name")
+    )
+
+
+def broadcast_dim_join(lineitem: DataFrame, part: DataFrame) -> DataFrame:
+    """Fact ⋈ broadcast dimension: revenue by part brand.
+
+    Scale: explicit ``F.broadcast(part)`` — at 100 TB the fact side is
+    petabytes and must not shuffle for a dimension lookup.
+    """
+    return (
+        lineitem.join(F.broadcast(part), F.col("l_partkey") == F.col("p_partkey"))
+        .groupBy("p_brand")
+        .agg(
+            (F.sum(cents("l_extendedprice")) / F.lit(100.0)).alias("sum_price"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("p_brand")
+    )
+
+
+def left_outer_join_counts(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT OUTER join keeping customers with zero orders.
+
+    Scale: customer is the smaller side but must be preserved, so Spark
+    broadcasts it and streams orders (AQE picks the side); COUNT(col)
+    semantics (nulls excluded) give the zero counts.
+    """
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left")
+        .groupBy("c_custkey", "c_mktsegment")
+        .agg(F.count("o_orderkey").alias("n_orders"))
+    )
+
+
+def semi_join_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT SEMI: customers that have at least one qualifying order."""
+    big = orders.filter(F.col("o_totalprice") > F.lit(100000.0))
+    return (
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_semi")
+        .select("c_custkey", "c_name", "c_mktsegment")
+    )
+
+
+def anti_join_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
+    """LEFT ANTI: customers with no orders at all."""
+    return (
+        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        .select("c_custkey", "c_name", "c_nationkey")
+    )
+
+
+def band_join(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """Equi + inequality join (nation-mates where customer out-balances
+    supplier).
+
+    Scale: the equi key (nationkey) drives a hash/sort-merge join; the
+    inequality is a post-join residual filter — never a nested-loop over
+    the full cross product.
+    """
+    return (
+        customer.join(
+            F.broadcast(supplier),
+            (F.col("c_nationkey") == F.col("s_nationkey"))
+            & (F.col("c_acctbal") > F.col("s_acctbal")),
+        )
+        .groupBy(F.col("c_nationkey").alias("nationkey"))
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+        .orderBy("nationkey")
+    )
+
+
+def pure_nonequi_join(nation: DataFrame, region: DataFrame) -> DataFrame:
+    """Pure theta join (no equi key) → BroadcastNestedLoopJoin.
+
+    Only safe because both sides are tiny dims; kept in the inventory to
+    cover the operator class (SURVEY.md §2.3 "non-equi via boolean
+    conditions").
+    """
+    return (
+        nation.join(F.broadcast(region), F.col("n_regionkey") < F.col("r_regionkey"))
+        .select("n_name", "r_name")
+        .orderBy("n_name", "r_name")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Sorts / limits / top-k / distinct / set ops (SURVEY.md §2.7)
+# ---------------------------------------------------------------------------
+
+def top_k_orders(orders: DataFrame, k: int = 10) -> DataFrame:
+    """Top-k by price. orderBy+limit compiles to TakeOrderedAndProject:
+    each task keeps a k-row heap, the driver merges k*tasks rows — no
+    global sort, scale-safe. Unique-key tiebreak keeps the answer
+    deterministic under ties.
+    """
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+def distinct_pairs(lineitem: DataFrame) -> DataFrame:
+    """DISTINCT on a projected pair (dropDuplicates ≡ SELECT DISTINCT)."""
+    return (
+        lineitem.select("l_returnflag", "l_linestatus")
+        .dropDuplicates()
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+def set_ops_nations(customer: DataFrame, supplier: DataFrame) -> DataFrame:
+    """UNION / INTERSECT / EXCEPT over the nation keys of two tables.
+
+    Single result frame tagged by set operation, so one query covers the
+    whole family. All three are shuffle-dedup ops on a tiny key domain.
+    """
+    c = customer.select(F.col("c_nationkey").alias("nationkey")).distinct()
+    s = supplier.select(F.col("s_nationkey").alias("nationkey")).distinct()
+    return (
+        c.union(s).distinct().withColumn("set_op", F.lit("union"))
+        .union(c.intersect(s).withColumn("set_op", F.lit("intersect")))
+        .union(c.exceptAll(s).distinct().withColumn("set_op", F.lit("except")))
+        .orderBy("set_op", "nationkey")
+    )

@@ -1,0 +1,32 @@
+"""Every registry query must match its DuckDB oracle at sf0.01 —
+this is a local replica of the driver's correctness gate."""
+
+from __future__ import annotations
+
+import pytest
+
+from flink_snappydata_spark import registry
+from tests.oracle_harness import check_query
+
+
+@pytest.mark.parametrize("name", sorted(registry.QUERIES))
+def test_query_matches_oracle(spark, name):
+    problems = check_query(spark, name)
+    assert not problems, f"{name}: " + "; ".join(problems)
+
+
+def test_entry_smoke(spark):
+    import __spark_entry__ as e
+
+    df = e.entry(spark)
+    rows = df.collect()
+    assert len(rows) > 0
+    assert {"l_returnflag", "sum_qty", "count_order"} <= set(df.columns)
+
+
+def test_registry_contract():
+    import __spark_entry__ as e
+
+    qs, os_ = e.queries(), e.oracle_sql()
+    assert set(os_) <= set(qs)
+    assert len(qs) >= 20 or len(qs) == len(registry.QUERIES)
