@@ -185,9 +185,14 @@ def semi_join_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
 
 
 def anti_join_customers(customer: DataFrame, orders: DataFrame) -> DataFrame:
-    """LEFT ANTI: customers with no orders at all."""
+    """LEFT ANTI: customers with no large order (> 400k).
+
+    The filter keeps the anti-join non-degenerate on the fixtures (every
+    customer has *some* order, so an unfiltered anti-join is empty).
+    """
+    big = orders.filter(F.col("o_totalprice") > F.lit(400000.0))
     return (
-        customer.join(orders, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
+        customer.join(big, F.col("c_custkey") == F.col("o_custkey"), "left_anti")
         .select("c_custkey", "c_name", "c_nationkey")
     )
 

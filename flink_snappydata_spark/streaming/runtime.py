@@ -1,0 +1,148 @@
+"""Streaming sources/sinks and the stream→in-memory-table loop.
+
+Source parity (SURVEY.md §2.1): socket text stream
+(``TimeWindowWordCount.scala:16``), Kafka string stream
+(``KafkaWindowWordCount.scala:18-23``), Kafka JSON table source with
+declared schema (``ParquetTableJoin.scala:32-43``), file/text stream
+(``WindowWordCount.scala:24``). Sink parity: Kafka producer
+(``TimeWindowWordCount.scala:20-22``), text sink, and — the repo's
+raison d'être — the continuous stream→queryable-table loop that
+Flink→SnappyData was built to demonstrate, here as
+``foreachBatch`` → cached catalog table.
+
+Kafka/socket builders construct real plans but need live infra; tests
+exercise the file and memory paths (the fixture parquet as a file
+stream).
+"""
+
+from __future__ import annotations
+
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.streaming import StreamingQuery
+
+
+def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The events fixture as a file-source stream (ns ts → µs, as in
+    catalog.load_table). ``maxFilesPerTrigger``/``availableNow`` control
+    micro-batching in tests."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.LongType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+
+def socket_text_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
+    """Socket line stream (reference ``env.socketTextStream``)."""
+    return (
+        spark.readStream.format("socket")
+        .option("host", host)
+        .option("port", port)
+        .load()
+    )
+
+
+def kafka_string_stream(
+    spark: SparkSession, servers: str, topic: str
+) -> DataFrame:
+    """Kafka topic as a string stream (reference
+    ``FlinkKafkaConsumer010[String]``). Requires the spark-sql-kafka
+    package on the classpath."""
+    raw = (
+        spark.readStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("subscribe", topic)
+        .load()
+    )
+    return raw.select(
+        F.col("value").cast("string").alias("value"), F.col("timestamp")
+    )
+
+
+def kafka_json_table_stream(
+    spark: SparkSession, servers: str, topic: str, schema: T.StructType
+) -> DataFrame:
+    """Kafka JSON table source with a declared schema (reference
+    ``Kafka010JsonTableSource`` + TableSchema, ``ParquetTableJoin.scala:32-43``):
+    JSON payload projected into typed columns."""
+    raw = kafka_string_stream(spark, servers, topic)
+    return raw.select(
+        F.from_json(F.col("value"), schema).alias("data"), F.col("timestamp")
+    ).select("data.*", "timestamp")
+
+
+def kafka_sink(df: DataFrame, servers: str, topic: str,
+               checkpoint: str | None = None):
+    """Kafka producer sink (reference ``FlinkKafkaProducer010`` with
+    ``setWriteTimestampToKafka`` — Kafka stamps ingestion time itself)."""
+    writer = (
+        df.selectExpr("CAST(value AS STRING) AS value")
+        .writeStream.format("kafka")
+        .option("kafka.bootstrap.servers", servers)
+        .option("topic", topic)
+    )
+    if checkpoint:
+        writer = writer.option("checkpointLocation", checkpoint)
+    return writer
+
+
+def run_to_memory_sink(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> StreamingQuery:
+    """Drain all currently-available input into an in-memory table
+    (availableNow trigger), then return the finished query. The test-time
+    analog of the reference's print sink."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            tempfile.mkdtemp(prefix=f"fss-ckpt-{name}-"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def stream_to_table(
+    df: DataFrame, table: str, checkpoint: str | None = None
+) -> StreamingQuery:
+    """The stream→OLAP-table continuous loop (SURVEY.md §2.6 last row):
+    every micro-batch appended to a queryable in-memory catalog table via
+    foreachBatch — the Flink→SnappyData write path the reference's title
+    promises but never implements."""
+
+    def _append(batch_df: DataFrame, batch_id: int) -> None:
+        batch_df.write.mode("append").saveAsTable(table)
+
+    q = (
+        df.writeStream.foreachBatch(_append)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix=f"fss-ckpt-{table}-"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    return q

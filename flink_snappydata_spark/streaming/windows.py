@@ -1,0 +1,111 @@
+"""Event-time window aggregations — tumbling and sliding.
+
+Parity: tumbling time windows (reference ``KafkaWindowWordCount.scala:28``
+5 s processing-time; ``ParquetTableJoin.scala:52`` 1 s event-time under
+IngestionTime). Our windows are event-time on ``events.ts`` — the
+reference's 0-lateness max-timestamp watermark
+(``ParquetTableJoin.scala:132-142``) is exactly Spark's
+``withWatermark(ts, "0 seconds")``.
+
+Window widths default to 1 hour / (1 day, 6 hours) because the fixture's
+events are minutes apart; the operator is identical at any width.
+
+Scale: streaming windowed aggregation keeps one state row per
+(key, window); tumbling windows expire at watermark so state is bounded
+by (keys x windows-in-flight). Sliding windows multiply rows by
+window/slide (4x here) *before* partial aggregation — acceptable because
+the expansion happens map-side and partial aggs collapse it again.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_snappydata_spark.functions.exact import cents
+
+
+def tumbling_window_counts(
+    events: DataFrame,
+    width: str = "1 hour",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Tumbling event-time window: per (window, event_type) count + exact
+    value sum. Works unchanged on batch or streaming input."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", width).alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("window_start", "event_type")
+    )
+
+
+def sliding_window_counts(
+    events: DataFrame,
+    width: str = "1 day",
+    slide: str = "6 hours",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Sliding event-time window (width/slide), Flink
+    ``SlidingEventTimeWindows`` analog. Each row lands in width/slide
+    windows; epoch-aligned starts match the SQL oracle's arithmetic."""
+    df = events
+    if watermark is not None:
+        df = df.withWatermark("ts", watermark)
+    return (
+        df.groupBy(F.window("ts", width, slide).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+        .orderBy("window_start", "event_type")
+    )
+
+
+def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session windows per user (gap-based) — beyond-reference built-in
+    (SURVEY.md §2.6 lists it as free coverage). Batch-checkable: a
+    session closes when consecutive events are further apart than gap.
+    """
+    return (
+        events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+        .orderBy("user_id", "session_start")
+    )
+
+
+def streaming_wordcount(lines: DataFrame, ts_col: str = "timestamp",
+                        width: str = "5 seconds") -> DataFrame:
+    """The reference's Kafka windowed word count
+    (``KafkaWindowWordCount.scala:25-29``): tokenize → filter → window →
+    incremental sum, on any (line, timestamp) stream."""
+    return (
+        lines.select(
+            F.explode(F.split(F.lower(F.col("value")), r"\W+")).alias("word"),
+            F.col(ts_col).alias("ts"),
+        )
+        .filter(F.col("word") != "")
+        .withWatermark("ts", "0 seconds")
+        .groupBy(F.window("ts", width).alias("w"), "word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(F.col("w.start").alias("window_start"), "word", "cnt")
+    )

@@ -1,0 +1,105 @@
+"""True Structured-Streaming execution smoke + streaming-vs-batch
+equivalence for the windowed agg, stream-stream join, count window, and
+the stream→table loop (SURVEY.md §5 test strategy)."""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from flink_snappydata_spark.catalog import load_table
+from flink_snappydata_spark.streaming import runtime
+from flink_snappydata_spark.streaming.count_window import (
+    count_window_sums,
+    streaming_count_window,
+)
+from flink_snappydata_spark.streaming.joins import windowed_stream_join
+from flink_snappydata_spark.streaming.windows import tumbling_window_counts
+
+from tests.conftest import SF_SMOKE
+
+
+def _sorted(pdf: pd.DataFrame) -> pd.DataFrame:
+    pdf = pdf[sorted(pdf.columns)]
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
+
+
+def test_streaming_tumbling_window_matches_batch(spark):
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    # complete mode: all windows re-emitted, comparable to batch result
+    agg = tumbling_window_counts(stream, watermark="0 seconds")
+    runtime.run_to_memory_sink(agg, "tumbling_smoke", output_mode="complete")
+    got = _sorted(spark.table("tumbling_smoke").toPandas())
+    want = _sorted(
+        tumbling_window_counts(load_table(spark, SF_SMOKE, "events")).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_count_window_matches_batch(spark):
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    sized = streaming_count_window(stream, size=100, slide=10)
+    runtime.run_to_memory_sink(sized, "cw_smoke", output_mode="append")
+    got = _sorted(spark.table("cw_smoke").toPandas())
+    want = _sorted(
+        count_window_sums(load_table(spark, SF_SMOKE, "events")).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_stream_stream_join_matches_batch(spark):
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    clicks = stream.filter(stream.event_type == "click")
+    views = stream.filter(stream.event_type == "view")
+    joined = windowed_stream_join(clicks, views, watermark="0 seconds")
+    runtime.run_to_memory_sink(joined, "ssj_smoke", output_mode="append")
+    got = _sorted(spark.table("ssj_smoke").toPandas())
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    want = _sorted(
+        windowed_stream_join(
+            batch.filter(batch.event_type == "click"),
+            batch.filter(batch.event_type == "view"),
+        ).toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_to_table_loop(spark):
+    """foreachBatch → saveAsTable: the stream→queryable-OLAP-table loop."""
+    spark.sql("DROP TABLE IF EXISTS events_live")
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    runtime.stream_to_table(stream, "events_live")
+    n_stream = spark.table("events_live").count()
+    n_batch = load_table(spark, SF_SMOKE, "events").count()
+    assert n_stream == n_batch
+    # and it is queryable SQL like any catalog table
+    agg = spark.sql(
+        "SELECT event_type, COUNT(*) AS n FROM events_live GROUP BY event_type"
+    ).count()
+    assert agg == 5
+    spark.sql("DROP TABLE IF EXISTS events_live")
+
+
+def test_streaming_wordcount_smoke(spark):
+    """KafkaWindowWordCount shape on a text stream built from documents."""
+    import tempfile
+
+    from flink_snappydata_spark.streaming.windows import streaming_wordcount
+
+    tmp = tempfile.mkdtemp(prefix="fss-lines-")
+    docs = load_table(spark, SF_SMOKE, "documents").select("text")
+    docs.limit(50).write.mode("overwrite").text(tmp)
+    lines = (
+        spark.readStream.text(tmp)
+        .withColumnRenamed("value", "value")
+        .withColumn("timestamp", __import__("pyspark.sql.functions", fromlist=["f"]).current_timestamp())
+    )
+    wc = streaming_wordcount(lines)
+    runtime.run_to_memory_sink(wc, "wc_smoke", output_mode="append")
+    # watermark 0 s + single availableNow batch → counts may land in the
+    # sink only after window close; smoke = query ran and schema stable
+    assert list(spark.table("wc_smoke").columns) == ["window_start", "word", "cnt"]
