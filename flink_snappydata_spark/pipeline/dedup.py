@@ -1,0 +1,282 @@
+"""Document deduplication: exact, n-gram Jaccard, MinHash+LSH, SimHash.
+
+All candidate generation is sub-quadratic:
+
+* exact — hash groupBy on the full text (one shuffle on a digest key);
+* n-gram Jaccard — shingle inverted-index join (pairs sharing ≥1
+  shingle), never a cross join;
+* MinHash+LSH — banded signatures; only same-band-bucket pairs are
+  candidates, verified with exact Jaccard;
+* SimHash — 16-bit band blocking over 64-bit fingerprints, verified
+  with Hamming distance.
+
+Everything through MinHash signatures is pure JVM column expressions
+(explode / xxhash64 / modular hashing / min-agg) — no Python in the hot
+path; determinism comes from fixed seeds, so results are identical at
+any parallelism.
+"""
+
+from __future__ import annotations
+
+import random
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+# Word n-gram size shared by Jaccard and MinHash (3-word shingles).
+SHINGLE_N = 3
+# MinHash: 64 hash functions → 16 bands x 4 rows (candidate threshold
+# ~ (1/b)^(1/r) ≈ 0.5 Jaccard).
+MINHASH_K = 64
+LSH_BANDS = 16
+LSH_ROWS = 4
+# 32-bit modular hash family: p > 2^32 prime; a*x fits in int64.
+_P32 = 4294967311
+_MASK32 = 4294967295
+
+_rng = random.Random(42)
+_HASH_A = [_rng.randrange(1, _P32) % (1 << 31) + 1 for _ in range(MINHASH_K)]
+_HASH_B = [_rng.randrange(0, _P32) % (1 << 31) for _ in range(MINHASH_K)]
+
+
+def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh) — distinct word n-gram shingles per document.
+
+    Pure column expressions: split → filter empties → windowed concat via
+    transform(sequence(...)); short documents fall back to one whole-text
+    shingle.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\W+"), lambda w: w != F.lit("")
+    )
+    grams = F.when(
+        F.size(words) >= n,
+        F.transform(
+            F.sequence(F.lit(0), F.size(words) - n),
+            lambda i: F.concat_ws(
+                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
+            ),
+        ),
+    ).otherwise(F.array(F.array_join(words, " ")))
+    return documents.select(
+        "doc_id", F.explode(F.array_distinct(grams)).alias("sh")
+    )
+
+
+def exact_dedup(documents: DataFrame) -> DataFrame:
+    """Exact dedup: one representative (min doc_id) per distinct text.
+
+    Scale: group key is the full text — at 100 TB group instead on
+    ``sha2(text, 256)`` so the shuffle carries 32-byte digests, not
+    documents (same result on collision-free SHA-256).
+    """
+    return (
+        documents.groupBy("text")
+        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        .select("doc_id", "n_copies", "text")
+        .orderBy("doc_id")
+    )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame, threshold: float = 0.8, n: int = SHINGLE_N
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    pairs sharing ≥1 shingle → intersection counts → |A∩B|/(|A|+|B|-|A∩B|).
+    Integer counts + one double division keep values engine-exact.
+
+    Scale: the shingle join explodes on ultra-common shingles (stopword
+    runs); production hardening = drop shingles with document frequency
+    above a cap before the self-join (cheap extra agg, preserves recall
+    for any threshold > cap-frequency pairs).
+    """
+    sh = shingles(documents, n)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+    """(doc_id, h0..h{k-1}) MinHash signatures, all-JVM.
+
+    Each shingle hashes once with xxhash64; the k permutations are
+    (a_i*x32 + b_i) mod p with fixed seeds, folded by MIN aggregation —
+    partial aggs make this one cheap shuffle regardless of corpus size.
+    """
+    sh = shingles(documents).select(
+        "doc_id",
+        (F.xxhash64("sh").bitwiseAND(F.lit(_MASK32))).alias("x32"),
+    )
+    aggs = [
+        F.min((F.lit(_HASH_A[i]) * F.col("x32") + F.lit(_HASH_B[i])) % F.lit(_P32)).alias(f"h{i}")
+        for i in range(k)
+    ]
+    return sh.groupBy("doc_id").agg(*aggs)
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_a, doc_b) candidate pairs from banded MinHash signatures.
+
+    Signature split into ``bands`` bands of ``rows`` hashes; docs
+    colliding in any band pair up. Self-join key is (band_id,
+    band_hash) — candidate volume is data-dependent but never O(n²).
+    """
+    sigs = minhash_signatures(documents, bands * rows)
+    band_structs = F.array(
+        *[
+            F.struct(
+                F.lit(j).alias("band_id"),
+                F.xxhash64(*[f"h{j * rows + r}" for r in range(rows)]).alias("band_hash"),
+            )
+            for j in range(bands)
+        ]
+    )
+    banded = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
+        "doc_id", "b.band_id", "b.band_hash"
+    )
+    l, r = banded.alias("l"), banded.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_hash") == F.col("r.band_hash"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(F.col("l.doc_id").alias("doc_a"), F.col("r.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+
+
+def minhash_dedup_pairs(
+    documents: DataFrame, threshold: float = 0.8
+) -> DataFrame:
+    """MinHash+LSH near-dup pairs, verified with exact Jaccard.
+
+    LSH prunes candidates; each survivor is re-checked against the true
+    shingle sets, so precision is exact and only recall depends on the
+    banding. Output matches :func:`ngram_jaccard_pairs` whenever LSH
+    recall is 1 at the threshold (tested on the fixtures).
+    """
+    cand = minhash_lsh_candidates(documents)
+    sh = shingles(documents)
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    inter = (
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .orderBy("doc_a", "doc_b")
+    )
+
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """64-bit SimHash per document from token hashes, all-JVM.
+
+    Each token's xxhash64 contributes ±1 per bit position (weighted by
+    term frequency); fingerprint bit i is the sign of the sum. 64 small
+    integer aggregations — partial aggs keep the shuffle at one row per
+    doc.
+    """
+    tok = documents.select(
+        "doc_id",
+        F.explode(
+            F.filter(F.split(F.lower("text"), r"\W+"), lambda w: w != F.lit(""))
+        ).alias("word"),
+    ).select("doc_id", F.xxhash64("word").alias("h"))
+    bit_sums = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{i}")
+        for i in range(64)
+    ]
+    per_doc = tok.groupBy("doc_id").agg(*bit_sums)
+    # Assemble the fingerprint; bit 63 via signed overflow is fine (the
+    # fingerprint is an opaque 64-bit value).
+    fp = None
+    for i in range(64):
+        bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
+        term = F.shiftleft(bit, i)
+        fp = term if fp is None else fp + term
+    return per_doc.select("doc_id", fp.alias("simhash"))
+
+
+def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+    """SimHash near-dup pairs: 16-bit band blocking + Hamming verify.
+
+    Any pair within Hamming distance ≤3 of a 64-bit fingerprint shares
+    at least one of the 4 16-bit bands exactly (pigeonhole), so blocking
+    on band equality loses no recall at max_hamming ≤ 3.
+    """
+    fps = simhash_fingerprints(documents)
+    bands = fps.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(j).alias("band_id"),
+                        F.shiftright(F.col("simhash"), j * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_val"),
+                    )
+                    for j in range(4)
+                ]
+            )
+        ).alias("b"),
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    l, r = bands.alias("l"), bands.alias("r")
+    return (
+        l.join(
+            r,
+            (F.col("l.band_id") == F.col("r.band_id"))
+            & (F.col("l.band_val") == F.col("r.band_val"))
+            & (F.col("l.doc_id") < F.col("r.doc_id")),
+        )
+        .select(
+            F.col("l.doc_id").alias("doc_a"),
+            F.col("r.doc_id").alias("doc_b"),
+            F.bit_count(
+                F.col("l.simhash").bitwiseXOR(F.col("r.simhash"))
+            ).cast("long").alias("hamming"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+        .filter(F.col("hamming") <= max_hamming)
+        .orderBy("doc_a", "doc_b")
+    )

@@ -23,6 +23,8 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.functions import scalar
 from flink_snappydata_spark.operators import analytic, relational, wordcount
+from flink_snappydata_spark.pipeline import dedup, multimodal, similarity
+from flink_snappydata_spark.pipeline import text as textops
 from flink_snappydata_spark.streaming import count_window as cw
 from flink_snappydata_spark.streaming import joins as stream_joins
 from flink_snappydata_spark.streaming import windows as stream_windows
@@ -551,6 +553,282 @@ _register(
     """,
     doc="Sliding count window (size 100, slide 10) — WindowWordCount.scala:45 "
         "parity; streaming twin in streaming/count_window.py.",
+)
+
+
+# ---------------------------------------------------------------------------
+# LLM-pipeline operators (north star): dedup, similarity, text analysis,
+# multimodal columns
+# ---------------------------------------------------------------------------
+
+_SHINGLES_SQL = r"""
+    w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ), sh AS (
+        SELECT doc_id, unnest(list_distinct(
+            CASE WHEN len(words) >= 3
+                 THEN list_transform(generate_series(1, len(words)-2),
+                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
+                 ELSE [array_to_string(words, ' ')] END)) AS sh
+        FROM w
+    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
+"""
+
+_register(
+    "dedup_exact",
+    ["documents"],
+    dedup.exact_dedup,
+    """
+    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, text
+    FROM documents GROUP BY text ORDER BY doc_id
+    """,
+    doc="Exact dedup via hash groupBy (digest-keyed at scale).",
+)
+
+_register(
+    "dedup_ngram_jaccard",
+    ["documents"],
+    dedup.ngram_jaccard_pairs,
+    f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Exact word-3-gram Jaccard near-dup pairs via shingle inverted index.",
+)
+
+# MinHash/SimHash outputs depend on Spark's xxhash64 — not reproducible
+# in ANSI SQL; the driver does rows-only checks and tests/ pin recall +
+# golden results.
+_register(
+    "dedup_minhash",
+    ["documents"],
+    dedup.minhash_dedup_pairs,
+    None,
+    doc="MinHash(64)+LSH(16x4) banded candidates, exact-Jaccard verified; "
+        "tests assert equality with dedup_ngram_jaccard on the fixtures.",
+)
+
+_register(
+    "dedup_simhash",
+    ["documents"],
+    dedup.simhash_dedup_pairs,
+    None,
+    doc="64-bit SimHash fingerprints, 16-bit band blocking, Hamming<=3 verify.",
+)
+
+_QCOMP_SQL = """
+    comp AS (
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) s(i)
+    ), norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM comp GROUP BY vec_id)
+"""
+
+
+def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return similarity.brute_force_cosine_topk(load_table(spark, sf_dir, "embeddings"))
+
+
+QUERIES["ann_cosine_topk"] = QuerySpec(
+    fn=_ann_topk,
+    oracle=f"""
+    WITH {_QCOMP_SQL},
+    dots AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS vec_id, SUM(q.q * t.q) AS dot
+        FROM comp q JOIN comp t ON q.i = t.i AND q.vec_id <> t.vec_id
+        WHERE q.vec_id < 5
+        GROUP BY q.vec_id, t.vec_id),
+    scored AS (
+        SELECT query_id, d.vec_id,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(nq.n2 AS DOUBLE)/1e12)
+                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS cosine
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nt ON nt.vec_id = d.vec_id)
+    SELECT query_id, vec_id, cosine, rank FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored) t
+    WHERE rank <= 10 ORDER BY query_id, rank
+    """,
+    doc="Brute-force cosine top-k baseline (quantized-exact scores).",
+)
+
+_register(
+    "embedding_neardup",
+    ["embeddings"],
+    similarity.cosine_neardup_pairs,
+    f"""
+    WITH {_QCOMP_SQL},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q * b.q) AS dot
+        FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(na.n2 AS DOUBLE)/1e12)
+                          * (CAST(nb.n2 AS DOUBLE)/1e12)) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b) t
+    WHERE cosine >= 0.45 ORDER BY vec_a, vec_b
+    """,
+    doc="Exact embedding-cosine near-dup pairs (brute-force baseline; "
+        "LSH variant is ann_lsh_neardup).",
+)
+
+_register(
+    "ann_lsh_neardup",
+    ["embeddings"],
+    similarity.lsh_neardup_pairs,
+    None,
+    doc="Hyperplane-LSH bucketed near-dup candidates + exact verify "
+        "(scale path; recall vs brute force pinned in tests).",
+)
+
+_register(
+    "ann_ivf_topk",
+    ["embeddings"],
+    similarity.ivf_topk,
+    None,
+    doc="IVF-style ANN top-k with deterministic codebook + n_probe lists "
+        "(scale path; recall vs brute force pinned in tests).",
+)
+
+_register(
+    "text_token_count",
+    ["documents"],
+    textops.token_counts,
+    rf"""
+    SELECT doc_id,
+           CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                x -> x <> '')) AS BIGINT) AS n_ws_tokens,
+           CAST(len(regexp_extract_all(lower(text),
+                    '{textops.TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(length(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+    doc="Whitespace + BPE-ish regex token counting.",
+)
+
+_register(
+    "text_quality",
+    ["documents"],
+    textops.quality_scores,
+    r"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS words,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(lower(text), '\W+', '', 'g'))
+                    AS BIGINT) AS word_chars,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                    AS BIGINT) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(words) AS BIGINT) AS n_words,
+           word_chars * 1.0 / len(words) AS mean_word_len,
+           n_punct * 1.0 / n_chars AS punct_ratio,
+           CAST(len(list_filter(words, x -> list_contains(
+                ['the','a','an','and','or','is','are','to','of','in'], x)))
+                AS BIGINT) * 1.0 / len(words) AS stopword_ratio,
+           (len(words) >= 5 AND word_chars * 1.0 / len(words) >= 2.0
+            AND word_chars * 1.0 / len(words) <= 12.0
+            AND n_punct * 1.0 / n_chars <= 0.2) AS keep
+    FROM base
+    """,
+    doc="Pre-training quality filters: word stats, punct/stopword ratios.",
+)
+
+
+def _langid_hits_sql(kw: str) -> str:
+    pad = f" {kw} "
+    return (
+        f"CAST((length(padded) - length(replace(padded, '{pad}', '')))"
+        f" / {len(pad)} AS BIGINT)"
+    )
+
+
+def _langid_oracle() -> str:
+    langs = list(textops.LANG_KEYWORDS)
+    score_exprs = {
+        lang: " + ".join(_langid_hits_sql(k) for k in kws)
+        for lang, kws in textops.LANG_KEYWORDS.items()
+    }
+    cases = []
+    for idx, lang in enumerate(langs):
+        conds = [f"s_{lang} > 0"]
+        for j, other in enumerate(langs):
+            if j < idx:
+                conds.append(f"s_{lang} > s_{other}")
+            elif j > idx:
+                conds.append(f"s_{lang} >= s_{other}")
+        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
+    scores_select = ",\n           ".join(
+        f"({score_exprs[lang]}) AS s_{lang}" for lang in langs
+    )
+    out_cols = ", ".join(f"s_{lang} AS score_{lang}" for lang in langs)
+    return f"""
+    WITH padded_docs AS (
+        SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents
+    ), scored AS (
+        SELECT doc_id, lang,
+           {scores_select}
+        FROM padded_docs
+    )
+    SELECT doc_id, lang, {out_cols},
+           CASE {' '.join(cases)} ELSE 'und' END AS pred_lang
+    FROM scored
+    """
+
+
+_register(
+    "text_langid",
+    ["documents"],
+    textops.language_id,
+    _langid_oracle(),
+    doc="Keyword-hit language ID (en/fr/de/es) with deterministic argmax.",
+)
+
+_register(
+    "doc_fingerprint",
+    ["documents"],
+    textops.doc_fingerprints,
+    None,
+    doc="Min polynomial rolling hash over 8-byte windows (winnowing-style); "
+        "pandas_udf kernel, golden-tested.",
+)
+
+_register(
+    "multimodal_features",
+    ["documents"],
+    multimodal.media_feature_table,
+    """
+    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
+           sha256(text) AS sha_hex
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Binary multimodal column plumbing: attach payload -> Arrow-batched "
+        "feature extraction (digest stand-in for stubbed codecs).",
 )
 
 

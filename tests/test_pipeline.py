@@ -1,0 +1,154 @@
+"""Pipeline-operator tests beyond the oracle gate: LSH recall vs brute
+force, MinHash≡Jaccard on fixtures, SimHash behavior, fingerprint
+goldens, multimodal plumbing."""
+
+from __future__ import annotations
+
+import random
+
+import pandas as pd
+import pytest
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_snappydata_spark.catalog import load_table
+from flink_snappydata_spark.pipeline import dedup, multimodal, similarity
+from flink_snappydata_spark.pipeline import text as textops
+from tests.conftest import SF_CORRECT, SF_SMOKE
+
+
+def test_minhash_matches_exact_jaccard(spark):
+    """On the fixtures, LSH(16x4) recall at threshold 0.8 is total: the
+    verified MinHash pairs equal the exact shingle-join pairs."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    exact = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    lsh = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.minhash_dedup_pairs(docs, threshold=0.8).collect()
+    }
+    assert len(exact) > 0
+    assert set(lsh) == set(exact)
+    for k, v in lsh.items():
+        assert abs(v - exact[k]) < 1e-12
+
+
+def test_simhash_near_dups(spark):
+    texts = [
+        (1, "the quick brown fox jumps over the lazy dog again and again"),
+        (2, "the quick brown fox jumps over the lazy cat again and again"),
+        (3, "completely different content about spark sql window functions"),
+        (4, "the quick brown fox jumps over the lazy dog again and again"),
+    ]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    fps = {r.doc_id: r.simhash for r in dedup.simhash_fingerprints(df).collect()}
+    assert fps[1] == fps[4]  # identical text → identical fingerprint
+    pairs = {
+        (r.doc_a, r.doc_b): r.hamming
+        for r in dedup.simhash_dedup_pairs(df, max_hamming=10).collect()
+    }
+    assert pairs[(1, 4)] == 0
+    assert (1, 2) in pairs and pairs[(1, 2)] <= 10
+    assert (1, 3) not in pairs
+
+
+def _planted_vectors(n_base: int = 60, n_dup: int = 25, dim: int = 64):
+    rng = random.Random(7)
+    rows = []
+    for i in range(n_base):
+        rows.append((i, [rng.gauss(0, 1) for _ in range(dim)]))
+    for j in range(n_dup):
+        base = rows[j][1]
+        rows.append(
+            (n_base + j, [x + rng.gauss(0, 0.03) for x in base])
+        )
+    return rows
+
+
+def test_lsh_neardup_recall_on_planted_dups(spark):
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(_planted_vectors(), schema)
+    truth = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.cosine_neardup_pairs(df, threshold=0.9).collect()
+    }
+    got = {
+        (r.vec_a, r.vec_b)
+        for r in similarity.lsh_neardup_pairs(df, threshold=0.9).collect()
+    }
+    assert len(truth) >= 20
+    assert got <= truth  # exact verify → perfect precision
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"LSH recall {recall} below 0.9"
+
+
+def test_ivf_topk_recall(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    truth = similarity.brute_force_cosine_topk(emb, n_queries=5, k=10).collect()
+    approx = similarity.ivf_topk(emb, n_queries=5, k=10).collect()
+    truth_set = {(r.query_id, r.vec_id) for r in truth}
+    approx_set = {(r.query_id, r.vec_id) for r in approx}
+    recall = len(truth_set & approx_set) / len(truth_set)
+    assert recall >= 0.3, f"IVF recall {recall} below floor"
+    # scores of overlapping results are the same exact quantized cosine
+    tmap = {(r.query_id, r.vec_id): r.cosine for r in truth}
+    for r in approx:
+        if (r.query_id, r.vec_id) in tmap:
+            assert abs(tmap[(r.query_id, r.vec_id)] - r.cosine) < 1e-15
+
+
+def test_fingerprint_golden(spark):
+    """pandas_udf rolling hash vs an independent pure-python loop."""
+
+    def py_fingerprint(text: str) -> int:
+        b = text.encode("utf-8")
+        if len(b) < 8:
+            b = b + bytes(8 - len(b))
+        best = None
+        for i in range(len(b) - 7):
+            h = 0
+            for c in b[i : i + 8]:
+                h = (h * 257 + c) % ((1 << 61) - 1)
+            best = h if best is None else min(best, h)
+        return best
+
+    texts = [(1, "hello world this is a fingerprint test"), (2, "abc")]
+    df = spark.createDataFrame(texts, ["doc_id", "text"])
+    got = {r.doc_id: r.fingerprint for r in textops.doc_fingerprints(df).collect()}
+    assert got == {i: py_fingerprint(t) for i, t in texts}
+
+
+def test_multimodal_plumbing(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(20)
+    media = multimodal.attach_binary(docs)
+    # same names/types (nullability flags may differ)
+    assert media.schema.simpleString() == multimodal.MEDIA_SCHEMA.simpleString()
+    feats = multimodal.extract_features(media).collect()
+    assert len(feats) == 20
+    assert all(len(r.feature) == 8 for r in feats)
+    assert all(0.0 <= x <= 1.0 for r in feats for x in r.feature)
+    frames = multimodal.sample_frames(media, n_frames=4)
+    counts = frames.groupBy("doc_id").count().collect()
+    assert all(r["count"] == 4 for r in counts)
+    # decode stub is explicit, not silent
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_image(b"\x89PNG fake")
+
+
+def test_exact_dedup_with_real_duplicates(spark):
+    """Fixture texts are unique; verify collapse semantics on a corpus
+    with actual duplicates."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(10)
+    dup = docs.union(docs.withColumn("doc_id", F.col("doc_id") + 1000))
+    out = dedup.exact_dedup(dup)
+    rows = out.collect()
+    assert len(rows) == 10
+    assert all(r.n_copies == 2 for r in rows)
+    assert all(r.doc_id < 1000 for r in rows)  # keeps min doc_id
