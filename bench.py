@@ -1,0 +1,85 @@
+#!/usr/bin/env python
+"""Per-round benchmark harness.
+
+Runs the engine's headline queries at ``$SPARK_GRAFT_SF_DIR`` (default
+``/root/testdata/sf0.1``) on ``local[$SPARK_GRAFT_CPUS]`` and prints ONE
+JSON line::
+
+    {"metric": "...", "value": <total sec>, "unit": "sec",
+     "queries": {"q1": sec, ...}, "sf": 0.1}
+
+The headline set maps 1:1 onto BASELINE.md §2's anchor rows: flagship
+pricing summary, star join, event-time windowed agg, stream-stream join
+(batch-equivalent), custom count window, MinHash near-dup dedup,
+brute-force cosine top-k, plus the wordcount-parity and analytic-window
+representatives.  Each query is forced end-to-end with a ``noop`` write
+(full computation, no driver materialization — the 100 TB discipline:
+never ``collect()`` to measure).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+from flink_snappydata_spark import registry
+from flink_snappydata_spark.session import get_spark
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "star_join_revenue",
+    "broadcast_dim_join",
+    "wordcount_batch",
+    "window_rank",
+    "agg_rollup",
+    "events_tumbling_window",
+    "stream_stream_join",
+    "count_window",
+    "dedup_exact",
+    "dedup_minhash",
+    "ann_cosine_topk",
+    "text_quality",
+]
+
+
+def _force(df) -> None:
+    """Execute the full plan without collecting to the driver."""
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    sf = float(os.path.basename(sf_dir.rstrip("/")).removeprefix("sf") or "0.1")
+    spark = get_spark(app_name="fss-bench")
+    spark.sparkContext.setLogLevel("ERROR")
+
+    queries = registry.queries()
+    # Warm the JVM/codegen path once so per-query numbers measure the
+    # engine, not first-touch class loading.
+    _force(queries["q1_pricing_summary"](spark, sf_dir))
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        start = time.perf_counter()
+        _force(queries[name](spark, sf_dir))
+        timings[name] = round(time.perf_counter() - start, 3)
+        print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_suite_total",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": sf,
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()
