@@ -13,6 +13,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_snappydata_spark.util import spread
+
 #: The reference tokenizes with ``line.toLowerCase.split("\\W+")``
 #: (``WordCount.scala:30``).
 TOKEN_SPLIT_PATTERN = r"\W+"
@@ -22,7 +24,7 @@ def tokenize(df: DataFrame, col: str = "text") -> DataFrame:
     """1 row → N token rows (flatMap parity). Empty tokens dropped
     (filter parity, reference ``WindowWordCount.scala:41``)."""
     return (
-        df.select(
+        spread(df).select(
             F.explode(F.split(F.lower(F.col(col)), TOKEN_SPLIT_PATTERN)).alias("word")
         )
         .filter(F.col("word") != "")

@@ -23,6 +23,8 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_snappydata_spark.util import spread
+
 # Word n-gram size shared by Jaccard and MinHash (3-word shingles).
 SHINGLE_N = 3
 # MinHash: 64 hash functions → 16 bands x 4 rows (candidate threshold
@@ -58,7 +60,7 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
             ),
         ),
     ).otherwise(F.array(F.array_join(words, " ")))
-    return documents.select(
+    return spread(documents, "doc_id").select(
         "doc_id", F.explode(F.array_distinct(grams)).alias("sh")
     )
 
@@ -91,7 +93,9 @@ def ngram_jaccard_pairs(
     above a cap before the self-join (cheap extra agg, preserves recall
     for any threshold > cap-frequency pairs).
     """
-    sh = shingles(documents, n)
+    # The shingle index feeds the self-join twice plus the size agg;
+    # materialize it once (spills to disk if it outgrows memory).
+    sh = shingles(documents, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -114,14 +118,17 @@ def ngram_jaccard_pairs(
     )
 
 
-def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
+def minhash_signatures(
+    documents: DataFrame, k: int = MINHASH_K, *, shingle_df: DataFrame | None = None
+) -> DataFrame:
     """(doc_id, h0..h{k-1}) MinHash signatures, all-JVM.
 
     Each shingle hashes once with xxhash64; the k permutations are
     (a_i*x32 + b_i) mod p with fixed seeds, folded by MIN aggregation —
     partial aggs make this one cheap shuffle regardless of corpus size.
+    ``shingle_df`` lets callers reuse an already-materialized index.
     """
-    sh = shingles(documents).select(
+    sh = (shingle_df if shingle_df is not None else shingles(documents)).select(
         "doc_id",
         (F.xxhash64("sh").bitwiseAND(F.lit(_MASK32))).alias("x32"),
     )
@@ -133,7 +140,8 @@ def minhash_signatures(documents: DataFrame, k: int = MINHASH_K) -> DataFrame:
 
 
 def minhash_lsh_candidates(
-    documents: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+    documents: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS,
+    *, shingle_df: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded MinHash signatures.
 
@@ -141,7 +149,7 @@ def minhash_lsh_candidates(
     colliding in any band pair up. Self-join key is (band_id,
     band_hash) — candidate volume is data-dependent but never O(n²).
     """
-    sigs = minhash_signatures(documents, bands * rows)
+    sigs = minhash_signatures(documents, bands * rows, shingle_df=shingle_df)
     band_structs = F.array(
         *[
             F.struct(
@@ -177,8 +185,10 @@ def minhash_dedup_pairs(
     banding. Output matches :func:`ngram_jaccard_pairs` whenever LSH
     recall is 1 at the threshold (tested on the fixtures).
     """
-    cand = minhash_lsh_candidates(documents)
-    sh = shingles(documents)
+    # One materialized shingle index serves signature building, both
+    # sides of the verify join, and the size agg (4 uses, 1 computation).
+    sh = shingles(documents).persist()
+    cand = minhash_lsh_candidates(documents, shingle_df=sh)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -213,7 +223,7 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     integer aggregations — partial aggs keep the shuffle at one row per
     doc.
     """
-    tok = documents.select(
+    tok = spread(documents, "doc_id").select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), r"\W+"), lambda w: w != F.lit(""))
