@@ -1,0 +1,14 @@
+"""Batch sources and sinks (SURVEY.md §2.1)."""
+
+from flink_snappydata_spark.sources.batch import (  # noqa: F401
+    from_collection,
+    read_csv,
+    read_text,
+    scan_table,
+    write_csv,
+    write_text,
+)
+from flink_snappydata_spark.sources.jdbc import (  # noqa: F401
+    JdbcScanOptions,
+    jdbc_reader,
+)

@@ -1,0 +1,78 @@
+"""Partition-parallel JDBC scan options (SURVEY.md §2.1).
+
+The reference's ``JDBCOptions.java:13-27`` declares the Spark-JDBC
+option vocabulary (url/dbtable/user/password, stride partitioning via
+partitionColumn/lowerBound/upperBound/numPartitions, fetchsize, plus
+write-side truncate/createTableOptions/batchsize/isolationLevel) but
+implements only the read path, and its split planning ignores those
+stride options in favor of one-split-per-bucket. Here the same
+vocabulary configures Spark's built-in JDBC source, which implements
+stride partitioning for real: ``numPartitions`` concurrent connections,
+each scanning one ``partitionColumn`` range.
+
+No database ships in this container, so :func:`jdbc_reader` is exercised
+for construction/validation only; against a live URL it is a working
+partition-parallel scan.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql import DataFrameReader, SparkSession
+
+_STRIDE_KEYS = ("partition_column", "lower_bound", "upper_bound", "num_partitions")
+
+
+@dataclass(frozen=True)
+class JdbcScanOptions:
+    """Validated option set (reference ``JDBCOptions.java:42-95`` does the
+    same required/paired checks imperatively)."""
+
+    url: str
+    table: str
+    user: str | None = None
+    password: str | None = None
+    partition_column: str | None = None
+    lower_bound: int | None = None
+    upper_bound: int | None = None
+    num_partitions: int | None = None
+    fetchsize: int | None = None
+
+    def __post_init__(self) -> None:
+        if not self.url:
+            raise ValueError("jdbc url is required")
+        if not self.table:
+            raise ValueError("dbtable is required")
+        stride = [getattr(self, k) for k in _STRIDE_KEYS]
+        if any(v is not None for v in stride) and any(v is None for v in stride):
+            raise ValueError(
+                "partitionColumn, lowerBound, upperBound and numPartitions "
+                "must be specified together"
+            )
+        if self.num_partitions is not None and self.num_partitions < 1:
+            raise ValueError("numPartitions must be >= 1")
+
+
+def jdbc_reader(spark: SparkSession, opts: JdbcScanOptions) -> DataFrameReader:
+    """A configured ``spark.read.format('jdbc')`` reader; ``.load()`` on
+    it runs the stride-partitioned scan."""
+    reader = (
+        spark.read.format("jdbc")
+        .option("url", opts.url)
+        .option("dbtable", opts.table)
+    )
+    if opts.user is not None:
+        reader = reader.option("user", opts.user)
+    if opts.password is not None:
+        reader = reader.option("password", opts.password)
+    if opts.partition_column is not None:
+        reader = (
+            reader.option("partitionColumn", opts.partition_column)
+            .option("lowerBound", opts.lower_bound)
+            .option("upperBound", opts.upper_bound)
+            .option("numPartitions", opts.num_partitions)
+        )
+    if opts.fetchsize is not None:
+        reader = reader.option("fetchsize", opts.fetchsize)
+    return reader

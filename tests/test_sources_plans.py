@@ -1,0 +1,155 @@
+"""Batch sources/sinks (§2.1) and physical-plan scale assertions.
+
+The plan tests are the 100 TB discipline made executable: filters must
+reach the parquet scan, projections must prune the read schema,
+dimension joins must broadcast, and hot paths must stay inside
+whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_snappydata_spark.catalog import load_table
+from flink_snappydata_spark.operators import relational, wordcount
+from flink_snappydata_spark.plans import (
+    broadcast_join_count,
+    codegen_span_count,
+    exchange_count,
+    pushed_filters,
+    read_schema_columns,
+)
+from flink_snappydata_spark.sources import (
+    JdbcScanOptions,
+    from_collection,
+    jdbc_reader,
+    read_csv,
+    read_text,
+    scan_table,
+    write_csv,
+    write_text,
+)
+
+SF = "/root/testdata/sf0.001"
+
+#: Deterministic embedded fixture (reference embeds a static text block
+#: as its only reproducible input, ``WordCountData.java:31-67``; ours is
+#: original text with a known word histogram).
+COLLECTION_LINES = [
+    "spark counts words and words count spark",
+    "every shuffle moves rows between executors",
+    "broadcast the small side and skip the shuffle",
+]
+
+
+# ---------------------------------------------------------------------------
+# Sources / sinks
+# ---------------------------------------------------------------------------
+
+
+def test_text_sink_source_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "txt")
+    df = from_collection(spark, [(line,) for line in COLLECTION_LINES], "value: string")
+    write_text(df, path)
+    back = read_text(spark, path)
+    assert sorted(r.value for r in back.collect()) == sorted(COLLECTION_LINES)
+
+
+def test_csv_sink_source_roundtrip(spark, tmp_path):
+    path = str(tmp_path / "csv")
+    counts = wordcount.word_count(
+        from_collection(spark, [(line,) for line in COLLECTION_LINES], "text: string")
+    )
+    write_csv(counts, path, sep=" ")
+    back = read_csv(spark, path, sep=" ", schema="word string, cnt long")
+    assert {(r.word, r.cnt) for r in back.collect()} == {
+        (r.word, r.cnt) for r in counts.collect()
+    }
+    # ground truth: "words"/"word count" histogram of the fixture
+    got = {r.word: r.cnt for r in back.collect()}
+    assert got["spark"] == 2 and got["words"] == 2 and got["shuffle"] == 2
+
+
+def test_collection_source_wordcount(spark):
+    df = from_collection(spark, [(line,) for line in COLLECTION_LINES], "text: string")
+    got = {r.word: r.cnt for r in wordcount.word_count(df).collect()}
+    assert got["the"] == 2 and got["and"] == 2
+
+
+def test_scan_table_default_is_select_star(spark):
+    df = scan_table(spark, SF, "region")
+    assert df.count() == 5
+    assert df.columns == ["r_regionkey", "r_name"]
+
+
+def test_scan_table_sql_pushdown(spark):
+    df = scan_table(
+        spark, SF, "orders",
+        "select o_orderkey, o_totalprice from orders where o_totalprice > 100000.0",
+    )
+    assert pushed_filters(df), "filter must reach the parquet scan"
+    assert read_schema_columns(df) == [["o_orderkey", "o_totalprice"]]
+    assert df.count() > 0
+
+
+def test_jdbc_options_validation(spark):
+    with pytest.raises(ValueError):
+        JdbcScanOptions(url="", table="t")
+    with pytest.raises(ValueError):
+        JdbcScanOptions(url="jdbc:postgresql://h/db", table="")
+    with pytest.raises(ValueError):
+        JdbcScanOptions(
+            url="jdbc:postgresql://h/db", table="t", partition_column="id"
+        )  # stride opts must travel together
+    opts = JdbcScanOptions(
+        url="jdbc:postgresql://h/db", table="t",
+        partition_column="id", lower_bound=0, upper_bound=1000, num_partitions=8,
+        fetchsize=1024,
+    )
+    # construction only — no database in this container
+    assert jdbc_reader(spark, opts) is not None
+
+
+# ---------------------------------------------------------------------------
+# Plan discipline (the 100 TB checklist, executable)
+# ---------------------------------------------------------------------------
+
+
+def test_q1_scan_pushes_filter_and_prunes_columns(spark):
+    q1 = relational.pricing_summary(load_table(spark, SF, "lineitem"))
+    assert any("l_shipdate" in f for f in pushed_filters(q1))
+    (cols,) = read_schema_columns(q1)
+    assert set(cols) == {
+        "l_quantity", "l_extendedprice", "l_discount", "l_tax",
+        "l_returnflag", "l_linestatus", "l_shipdate",
+    }, "read schema must prune to the 7 referenced columns"
+    assert codegen_span_count(q1) >= 1
+
+
+def test_dim_join_broadcasts(spark):
+    df = relational.broadcast_dim_join(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "part")
+    )
+    assert broadcast_join_count(df) == 1
+    # fact side never shuffles for the join itself; the only exchanges
+    # are the agg partial/final boundary and the final ordering.
+    assert exchange_count(df) <= 2
+
+
+def test_star_join_broadcasts_all_dims(spark):
+    df = relational.star_join_revenue(
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "nation"),
+        load_table(spark, SF, "region"),
+    )
+    assert broadcast_join_count(df) == 4, "all four dim joins broadcast"
+
+
+def test_filter_pushdown_through_projection(spark):
+    li = load_table(spark, SF, "lineitem")
+    df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 30)
+    assert any("l_quantity" in f for f in pushed_filters(df))
+    assert read_schema_columns(df) == [["l_orderkey", "l_quantity"]]
