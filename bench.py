@@ -37,6 +37,7 @@ HEADLINE = [
     "events_tumbling_window",
     "stream_stream_join",
     "count_window",
+    "asof_join",
     "dedup_exact",
     "dedup_minhash",
     "ann_cosine_topk",

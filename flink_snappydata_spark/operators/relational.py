@@ -111,6 +111,27 @@ def agg_cube(orders: DataFrame) -> DataFrame:
     )
 
 
+def agg_grouping_sets(orders: DataFrame) -> DataFrame:
+    """Explicit GROUPING SETS ((status), (priority), ()) — the general
+    form rollup/cube specialize; one shuffle produces all three
+    granularities (Catalyst expands then aggregates once)."""
+    return (
+        orders.groupingSets(
+            [["o_orderstatus"], ["o_orderpriority"], []],
+            "o_orderstatus",
+            "o_orderpriority",
+        )
+        .agg(
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("sum_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy(
+            F.col("o_orderstatus").asc_nulls_first(),
+            F.col("o_orderpriority").asc_nulls_first(),
+        )
+    )
+
+
 # ---------------------------------------------------------------------------
 # Joins
 # ---------------------------------------------------------------------------

@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.functions import scalar
-from flink_snappydata_spark.operators import analytic, relational, wordcount
+from flink_snappydata_spark.operators import analytic, asof, relational, wordcount
 from flink_snappydata_spark.pipeline import dedup, multimodal, similarity
 from flink_snappydata_spark.pipeline import text as textops
 from flink_snappydata_spark.streaming import count_window as cw
@@ -126,6 +126,51 @@ _register(
     ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
     """,
 )
+
+_register(
+    "agg_grouping_sets",
+    ["orders"],
+    relational.agg_grouping_sets,
+    f"""
+    SELECT o_orderstatus, o_orderpriority,
+           SUM({_cents('o_totalprice')}) / 100.0 AS sum_total,
+           COUNT(*) AS n_orders
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
+    """,
+)
+
+
+#: Correlated scalar subqueries, decorrelated by Catalyst into joins.
+#: Threshold test in exact integer cents (cents*n > sum_cents) so both
+#: engines pick identical boundary rows.
+_SUBQUERY_SQL = f"""
+    SELECT c_custkey, c_nationkey, c_acctbal
+    FROM customer c
+    WHERE {_cents('c_acctbal')}
+          * (SELECT COUNT(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT SUM({_cents('c2.c_acctbal')}) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+    ORDER BY c_custkey
+"""
+
+
+def _subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Customers above their nation's average balance — correlated
+    scalar subqueries through Catalyst's decorrelation (the reference
+    delegated all such SQL to its store, SnappyDataInputFormat.java:49)."""
+    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
+    return spark.sql(_SUBQUERY_SQL)
+
+
+QUERIES["subquery_above_nation_avg"] = QuerySpec(
+    fn=_subquery_above_nation_avg,
+    oracle=_SUBQUERY_SQL,
+    doc="Correlated scalar subqueries (exact integer-cents threshold).",
+)
+
 
 # ---------------------------------------------------------------------------
 # Word count family (reference WordCount.scala parity)
@@ -245,6 +290,37 @@ _register(
 # ---------------------------------------------------------------------------
 # Sorts / limits / distinct / set ops (SURVEY.md §2.7)
 # ---------------------------------------------------------------------------
+
+_register(
+    "asof_join",
+    ["events"],
+    asof.asof_join_events,
+    """
+    WITH tagged AS (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_left
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ), carried AS (
+        SELECT user_id, event_id, ts, value, is_left,
+               LAST_VALUE(CASE WHEN is_left = 1 THEN event_id END IGNORE NULLS)
+                   OVER w AS left_event_id,
+               LAST_VALUE(CASE WHEN is_left = 1 THEN ts END IGNORE NULLS)
+                   OVER w AS left_ts,
+               LAST_VALUE(CASE WHEN is_left = 1 THEN value END IGNORE NULLS)
+                   OVER w AS left_value
+        FROM tagged
+        WINDOW w AS (PARTITION BY user_id
+                     ORDER BY ts ASC, is_left DESC, event_id ASC
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT user_id, event_id AS right_event_id, ts AS right_ts,
+           value AS right_value, left_event_id, left_ts, left_value
+    FROM carried WHERE is_left = 0
+    ORDER BY user_id, right_ts, right_event_id
+    """,
+    doc="As-of (point-in-time) join: latest click at-or-before each "
+        "purchase per user; union + keyed window scan, one shuffle.",
+)
 
 _register(
     "topk_orders",
