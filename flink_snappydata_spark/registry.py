@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.functions import scalar
 from flink_snappydata_spark.operators import analytic, asof, relational, wordcount
-from flink_snappydata_spark.pipeline import dedup, multimodal, similarity
+from flink_snappydata_spark.pipeline import dedup, multimodal, sampling, similarity
 from flink_snappydata_spark.pipeline import text as textops
 from flink_snappydata_spark.streaming import count_window as cw
 from flink_snappydata_spark.streaming import joins as stream_joins
@@ -892,6 +892,26 @@ _register(
     None,
     doc="Min polynomial rolling hash over 8-byte windows (winnowing-style); "
         "pandas_udf kernel, golden-tested.",
+)
+
+_register(
+    "train_val_test_split",
+    ["documents"],
+    sampling.split_counts,
+    None,
+    doc="Deterministic hash-bucket train/val/test split (98/1/1) over "
+        "doc_id — stable under corpus growth; xxhash64-based, so "
+        "rows-only checked (proportions pinned in tests).",
+)
+
+_register(
+    "agg_approx_distinct",
+    ["orders"],
+    lambda orders: sampling.approx_distinct_by(orders, "o_orderpriority", "o_custkey"),
+    None,
+    doc="HyperLogLog++ distinct-customer sketch per priority; error "
+        "bound vs exact count pinned in tests (sketch values are "
+        "engine-specific, so rows-only checked).",
 )
 
 _register(

@@ -3,6 +3,7 @@
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:
@@ -23,3 +24,29 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     if df.rdd.getNumPartitions() < target:
         return df.repartition(target, *cols) if cols else df.repartition(target)
     return df
+
+
+def salted_join(
+    fact: DataFrame,
+    dim: DataFrame,
+    on: str,
+    n_salts: int = 8,
+    seed: int = 7,
+) -> DataFrame:
+    """Skew-resistant equi-join: salt the fact side, replicate the dim.
+
+    A hot join key concentrates one reducer at scale; AQE's skew-join
+    split handles it after the fact, this handles it by construction:
+    the fact side gets a uniform salt in [0, n_salts), the dim side is
+    exploded n_salts× (it is the small side — replication is cheap), and
+    the join key becomes (key, salt), spreading each hot key over
+    ``n_salts`` tasks. Result is row-identical to ``fact.join(dim, on)``
+    for any salt assignment; the salt column does not survive the join.
+    """
+    salted_fact = fact.withColumn(
+        "_salt", F.floor(F.rand(seed) * n_salts).cast("int")
+    )
+    salted_dim = dim.withColumn(
+        "_salt", F.explode(F.sequence(F.lit(0), F.lit(n_salts - 1)).cast("array<int>"))
+    )
+    return salted_fact.join(salted_dim, [on, "_salt"]).drop("_salt")

@@ -1,0 +1,89 @@
+"""Sampling/splitting ops and the skew-salted join."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_snappydata_spark.catalog import load_table
+from flink_snappydata_spark.pipeline import sampling
+from flink_snappydata_spark.util import salted_join
+from tests.conftest import SF_CORRECT
+
+
+def test_hash_split_proportions_and_determinism(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    counts = {r.split: r.n_docs for r in sampling.split_counts(docs).collect()}
+    n = sum(counts.values())
+    assert n == docs.count()
+    assert set(counts) <= {"train", "val", "test"}
+    assert counts["train"] / n > 0.9, "train share near 98%"
+    # deterministic: identical assignment on recomputation
+    again = {r.split: r.n_docs for r in sampling.split_counts(docs).collect()}
+    assert counts == again
+
+
+def test_hash_split_stable_under_growth(spark):
+    """A document's split never changes when more rows are added."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    half = docs.filter(F.col("doc_id") < 250)
+    full_map = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(docs, "doc_id").select("doc_id", "split").collect()
+    }
+    half_map = {
+        r.doc_id: r.split
+        for r in sampling.hash_split(half, "doc_id").select("doc_id", "split").collect()
+    }
+    assert all(full_map[k] == v for k, v in half_map.items())
+
+
+def test_hash_split_bad_weights(spark):
+    docs = load_table(spark, SF_CORRECT, "documents")
+    with pytest.raises(ValueError):
+        sampling.hash_split(docs, "doc_id", {"train": 0.5, "val": 0.1})
+
+
+def test_stratified_sample_fractions(spark):
+    events = load_table(spark, SF_CORRECT, "events")
+    sampled = sampling.stratified_sample(
+        events, "event_type", {"click": 0.1, "purchase": 1.0}, seed=42
+    )
+    got = {r.event_type: r.n for r in
+           sampled.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    base = {r.event_type: r.n for r in
+            events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert set(got) == {"click", "purchase"}, "unlisted classes dropped"
+    assert got["purchase"] == base["purchase"]
+    assert 0.05 * base["click"] < got["click"] < 0.15 * base["click"]
+
+
+def test_approx_distinct_error_bound(spark):
+    orders = load_table(spark, SF_CORRECT, "orders")
+    approx = {
+        r.o_orderpriority: r.approx_distinct
+        for r in sampling.approx_distinct_by(orders, "o_orderpriority", "o_custkey").collect()
+    }
+    exact = {
+        r.o_orderpriority: r.n
+        for r in orders.groupBy("o_orderpriority")
+        .agg(F.countDistinct("o_custkey").alias("n"))
+        .collect()
+    }
+    assert set(approx) == set(exact)
+    for k, e in exact.items():
+        assert abs(approx[k] - e) / e < 0.1, f"{k}: {approx[k]} vs exact {e}"
+
+
+def test_salted_join_equals_plain_join(spark):
+    li = load_table(spark, SF_CORRECT, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    part = load_table(spark, SF_CORRECT, "part").select(
+        F.col("p_partkey").alias("l_partkey"), "p_brand"
+    )
+    plain = li.join(part, "l_partkey").groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    )
+    salted = salted_join(li, part, "l_partkey", n_salts=8).groupBy("p_brand").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
