@@ -75,3 +75,43 @@ def register_tables(
             spark.catalog.cacheTable(name)
         out[name] = df
     return out
+
+
+def save_bucketed(
+    df: DataFrame, table: str, key: str, n_buckets: int = 32
+) -> None:
+    """Persist as a hash-bucketed, per-bucket-sorted catalog table.
+
+    This is the Spark analog of the reference's store layout: SnappyData
+    hash-partitions each table into N buckets and the connector scans
+    one split per bucket (reference ``SnappydataJdbcUtil.scala:21-33``,
+    ``SnappyDataConnectorHelper.scala:142-152``). Spark's ``bucketBy``
+    gives the same contract — and the payoff the reference never got:
+    two tables bucketed on the same key by the same count join with NO
+    shuffle on either side (verified by plan test). At 100 TB,
+    pre-bucketing fact tables on their join key removes the dominant
+    exchange from every downstream join.
+    """
+    (
+        df.write.bucketBy(n_buckets, key)
+        .sortBy(key)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )
+
+
+def save_partitioned(df: DataFrame, table: str, partition_col: str) -> None:
+    """Persist hive-style partitioned by a (low-cardinality) column.
+
+    Queries filtering on ``partition_col`` scan only matching
+    directories (partition pruning — the Spark analog of the
+    reference's ``SET_BUCKETS_FOR_LOCAL_EXECUTION`` bucket pruning,
+    ``SnappyDataConnectorHelper.scala:22-27``); verified by plan test.
+    """
+    (
+        df.write.partitionBy(partition_col)
+        .mode("overwrite")
+        .format("parquet")
+        .saveAsTable(table)
+    )

@@ -5,6 +5,7 @@ from flink_snappydata_spark.plans.inspect import (  # noqa: F401
     codegen_span_count,
     exchange_count,
     formatted_plan,
+    partition_filters,
     pushed_filters,
     read_schema_columns,
 )

@@ -58,6 +58,19 @@ def read_schema_columns(df: DataFrame) -> list[list[str]]:
     return out
 
 
+def partition_filters(df: DataFrame) -> list[str]:
+    """Partition-pruning predicates applied at each scan. Non-empty ⇒
+    the scan skips whole partition directories (the analog of the
+    reference's bucket pruning via SET_BUCKETS_FOR_LOCAL_EXECUTION)."""
+    plan = formatted_plan(df)
+    out: list[str] = []
+    for m in re.finditer(r"PartitionFilters: \[([^\]]*)\]", plan):
+        body = m.group(1).strip()
+        if body:
+            out.extend(p.strip() for p in body.split(","))
+    return out
+
+
 def broadcast_join_count(df: DataFrame) -> int:
     """Number of broadcast joins (hash or nested-loop) in the plan.
 
