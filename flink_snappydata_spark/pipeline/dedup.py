@@ -215,6 +215,27 @@ def minhash_dedup_pairs(
     )
 
 
+def streaming_exact_dedup(
+    stream: DataFrame,
+    key_cols: tuple[str, ...] = ("text",),
+    ts_col: str = "ts",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Exact dedup on an unbounded stream: first occurrence of each key
+    within the watermark horizon passes, later copies are dropped.
+
+    ``dropDuplicatesWithinWatermark`` keeps per-key state only until the
+    watermark passes it — bounded state on an unbounded corpus, which is
+    the streaming-ingest half of :func:`exact_dedup` (dedup-at-ingest
+    before documents ever land in the lake). The watermark is the
+    dedup horizon: duplicates arriving farther apart than it may both
+    survive, the price of bounded state.
+    """
+    return stream.withWatermark(ts_col, watermark).dropDuplicatesWithinWatermark(
+        list(key_cols)
+    )
+
+
 def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     """64-bit SimHash per document from token hashes, all-JVM.
 

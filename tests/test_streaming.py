@@ -103,3 +103,24 @@ def test_streaming_wordcount_smoke(spark):
     # watermark 0 s + single availableNow batch → counts may land in the
     # sink only after window close; smoke = query ran and schema stable
     assert list(spark.table("wc_smoke").columns) == ["window_start", "word", "cnt"]
+
+
+def test_streaming_dedup_within_watermark(spark):
+    """Streaming exact dedup: distinct (user_id, event_type) pairs match
+    the batch dropDuplicates result when nothing ages out of state."""
+    from flink_snappydata_spark.pipeline.dedup import streaming_exact_dedup
+
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    deduped = streaming_exact_dedup(
+        stream, key_cols=("user_id", "event_type"), watermark="365 days"
+    ).select("user_id", "event_type")
+    runtime.run_to_memory_sink(deduped, "dedup_smoke", output_mode="append")
+    got = spark.table("dedup_smoke").toPandas()
+    want = (
+        load_table(spark, SF_SMOKE, "events")
+        .select("user_id", "event_type")
+        .dropDuplicates()
+        .toPandas()
+    )
+    assert len(got) == len(want)
+    assert len(got.drop_duplicates()) == len(got), "no duplicate survives"
