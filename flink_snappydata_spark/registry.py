@@ -607,6 +607,25 @@ _register(
 )
 
 _register(
+    "interval_join",
+    ["events"],
+    stream_joins.interval_join_events,
+    """
+    SELECT l.user_id AS user_id,
+           r.event_id AS r_event_id, r.ts AS r_ts,
+           l.event_id AS l_event_id, l.ts AS l_ts,
+           l.value AS l_value, r.value AS r_value
+    FROM events l JOIN events r
+      ON l.user_id = r.user_id
+     AND l.ts <= r.ts AND l.ts >= r.ts - INTERVAL 30 MINUTE
+    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
+    ORDER BY user_id, r_event_id, l_event_id
+    """,
+    doc="Time-bounded interval join (clicks in the 30 min before each "
+        "purchase) — the streaming time-interval join form, batch-checked.",
+)
+
+_register(
     "count_window",
     ["events"],
     cw.count_window_sums,

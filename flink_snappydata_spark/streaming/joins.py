@@ -63,6 +63,68 @@ def windowed_stream_join(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    lookback: str = "30 minutes",
+    watermark: str | None = None,
+) -> DataFrame:
+    """Time-bounded (interval/range) inner join: each right event pairs
+    with every left event of the same key within ``[r.ts - lookback,
+    r.ts]`` — the general form the reference's same-tumbling-window join
+    approximates (a window equi-join misses pairs straddling a window
+    boundary; the interval join does not).
+
+    Streaming: with watermarks set, this is exactly the time-interval
+    condition Structured Streaming supports for stream-stream joins;
+    state on each side is bounded by watermark + lookback.
+
+    Scale: equi-key ⇒ hash shuffle on the key; the range predicate is
+    evaluated within key partitions, so cost is per-key pair volume in
+    the lookback horizon, never a global cross-product.
+    """
+    if watermark is not None:
+        left = left.withWatermark("ts", watermark)
+        right = right.withWatermark("ts", watermark)
+    l = left.select(
+        F.col(key).alias("l_key"),
+        F.col("ts").alias("l_ts"),
+        F.col("event_id").alias("l_event_id"),
+        F.col("value").alias("l_value"),
+    )
+    r = right.select(
+        F.col(key).alias("r_key"),
+        F.col("ts").alias("r_ts"),
+        F.col("event_id").alias("r_event_id"),
+        F.col("value").alias("r_value"),
+    )
+    cond = (
+        (F.col("l_key") == F.col("r_key"))
+        & (F.col("l_ts") <= F.col("r_ts"))
+        & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return l.join(r, cond, "inner").select(
+        F.col("l_key").alias("user_id"),
+        "r_event_id",
+        "r_ts",
+        "l_event_id",
+        "l_ts",
+        "l_value",
+        "r_value",
+    )
+
+
+def interval_join_events(events: DataFrame) -> DataFrame:
+    """Declared-query form of :func:`interval_join`: clicks within the
+    30 minutes before each purchase, per user."""
+    clicks = events.filter(F.col("event_type") == "click")
+    purchases = events.filter(F.col("event_type") == "purchase")
+    return interval_join(clicks, purchases).orderBy(
+        "user_id", "r_event_id", "l_event_id"
+    )
+
+
 def windowed_type_join(events: DataFrame, width: str = "1 hour") -> DataFrame:
     """Aggregation-shaped windowed join: clicks vs purchases per
     (user, window). Both sides pre-aggregate to one row per (key,

@@ -1,0 +1,96 @@
+"""Property-based tests (hypothesis): the distributed one-pass
+operators must agree with naive quadratic reference implementations on
+arbitrary small inputs — beyond what fixture-based oracles can probe
+(tie pileups, all-one-user, empty sides, duplicate timestamps)."""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import given, settings, strategies as st
+
+from flink_snappydata_spark.operators.asof import asof_join_events
+from flink_snappydata_spark.streaming.joins import interval_join_events
+
+_T0 = dt.datetime(2024, 1, 1)
+
+# Events: (event_id unique, user in 0..2, seconds offset 0..120, type)
+_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),  # user_id
+        st.integers(0, 120),  # ts offset seconds
+        st.sampled_from(["click", "purchase", "view"]),
+        st.integers(0, 1000),  # value scaled
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+def _frame(spark, raw):
+    rows = [
+        (i, user, _T0 + dt.timedelta(seconds=sec), etype, val / 10.0)
+        for i, (user, sec, etype, val) in enumerate(raw)
+    ]
+    return spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, ts timestamp, event_type string, value double",
+    )
+
+
+def _naive_asof(rows):
+    """Quadratic reference: latest click at-or-before each purchase,
+    ties broken click-first then highest event_id (the engine's total
+    order (ts, left-first, event_id) keeps the *last* qualifying row)."""
+    out = {}
+    for r in rows:
+        if r.event_type != "purchase":
+            continue
+        best = None
+        for c in rows:
+            if (
+                c.event_type == "click"
+                and c.user_id == r.user_id
+                and c.ts <= r.ts
+                and (best is None or (c.ts, c.event_id) > (best.ts, best.event_id))
+            ):
+                best = c
+        out[r.event_id] = best.event_id if best is not None else None
+    return out
+
+
+def _naive_interval(rows, lookback=dt.timedelta(minutes=30)):
+    out = set()
+    for r in rows:
+        if r.event_type != "purchase":
+            continue
+        for c in rows:
+            if (
+                c.event_type == "click"
+                and c.user_id == r.user_id
+                and r.ts - lookback <= c.ts <= r.ts
+            ):
+                out.add((r.event_id, c.event_id))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_events_strategy)
+def test_asof_join_matches_naive(spark, raw):
+    df = _frame(spark, raw)
+    rows = df.collect()
+    got = {
+        r.right_event_id: r.left_event_id for r in asof_join_events(df).collect()
+    }
+    assert got == _naive_asof(rows)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_events_strategy)
+def test_interval_join_matches_naive(spark, raw):
+    df = _frame(spark, raw)
+    rows = df.collect()
+    got = {
+        (r.r_event_id, r.l_event_id) for r in interval_join_events(df).collect()
+    }
+    assert got == _naive_interval(rows)
