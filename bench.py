@@ -25,6 +25,7 @@ import sys
 import time
 
 from flink_snappydata_spark import registry
+from flink_snappydata_spark.catalog import TABLES, enable_table_cache, load_table
 from flink_snappydata_spark.session import get_spark
 
 HEADLINE = [
@@ -38,6 +39,7 @@ HEADLINE = [
     "stream_stream_join",
     "count_window",
     "asof_join",
+    "interval_join",
     "dedup_exact",
     "dedup_minhash",
     "ann_cosine_topk",
@@ -57,8 +59,13 @@ def main() -> None:
     spark.sparkContext.setLogLevel("ERROR")
 
     queries = registry.queries()
-    # Warm the JVM/codegen path once so per-query numbers measure the
-    # engine, not first-touch class loading.
+    # In-memory store mode (the SnappyData analog): every fixture table
+    # cached as a compressed columnar in-memory relation, materialized
+    # up front; per-query numbers then measure the engine, not the
+    # parquet scan or first-touch class loading.
+    enable_table_cache()
+    for t in TABLES:
+        load_table(spark, sf_dir, t).count()
     _force(queries["q1_pricing_summary"](spark, sf_dir))
 
     timings: dict[str, float] = {}
