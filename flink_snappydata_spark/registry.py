@@ -22,7 +22,7 @@ from pyspark.sql import DataFrame, SparkSession
 
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.functions import scalar
-from flink_snappydata_spark.operators import analytic, asof, relational, wordcount
+from flink_snappydata_spark.operators import analytic, asof, grouped, relational, wordcount
 from flink_snappydata_spark.pipeline import dedup, multimodal, sampling, similarity
 from flink_snappydata_spark.pipeline import text as textops
 from flink_snappydata_spark.streaming import count_window as cw
@@ -188,6 +188,33 @@ _register(
     GROUP BY word ORDER BY word
     """,
     doc="flatMap-tokenize → filter → map → grouped sum (WordCount parity).",
+)
+
+_register(
+    "grouped_zscore",
+    ["events"],
+    grouped.zscore_by_user,
+    f"""
+    WITH c AS (
+        SELECT event_id, user_id, value,
+               {_cents('value')} AS cv
+        FROM events
+    ), agg AS (
+        SELECT event_id, user_id, value,
+               SUM(cv) OVER w AS s,
+               SUM(cv * cv) OVER w AS ss,
+               COUNT(*) OVER w AS n,
+               cv
+        FROM c WINDOW w AS (PARTITION BY user_id)
+    )
+    SELECT event_id, user_id, value,
+           CAST(cv * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))
+               AS zscore
+    FROM agg ORDER BY user_id, event_id
+    """,
+    doc="Grouped-map applyInPandas (full-window apply parity): per-user "
+        "z-score from exact integer aggregates, bit-identical formula "
+        "on both engines.",
 )
 
 _register(
