@@ -77,3 +77,24 @@ def lag_lead_order_prices(orders: DataFrame) -> DataFrame:
         F.lag("o_totalprice", 1).over(w).alias("prev_price"),
         F.lead("o_totalprice", 1).over(w).alias("next_price"),
     )
+
+
+def trailing_revenue_30d(orders: DataFrame) -> DataFrame:
+    """Per-order trailing-30-day customer spend — a RANGE frame over
+    event time (peers included by value, not by row position), the
+    frame spec ROWS cannot express.
+
+    Scale: one shuffle on custkey + per-partition sort by date; the
+    range frame is evaluated with a sliding two-pointer pass, O(rows),
+    not O(rows x frame).
+    """
+    day = F.datediff(
+        F.col("o_orderdate").cast("date"), F.lit("1970-01-01").cast("date")
+    )
+    w = Window.partitionBy("o_custkey").orderBy(day).rangeBetween(-30, 0)
+    return orders.select(
+        "o_custkey",
+        "o_orderkey",
+        "o_orderdate",
+        (F.sum(cents("o_totalprice")).over(w) / F.lit(100.0)).alias("trailing_30d"),
+    )

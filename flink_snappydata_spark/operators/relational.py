@@ -292,3 +292,22 @@ def set_ops_nations(customer: DataFrame, supplier: DataFrame) -> DataFrame:
         .union(c.exceptAll(s).distinct().withColumn("set_op", F.lit("except")))
         .orderBy("set_op", "nationkey")
     )
+
+
+def pivot_revenue(lineitem: DataFrame) -> DataFrame:
+    """groupBy().pivot(): price sums by returnflag, one column per
+    linestatus. Explicit pivot values keep the plan a single pass (no
+    distinct-value pre-query) and the schema deterministic — the form
+    that scales (a pivot on unbounded distinct values would not).
+    """
+    return (
+        lineitem.groupBy("l_returnflag")
+        .pivot("l_linestatus", ["F", "O"])
+        .agg((F.sum(cents("l_extendedprice")) / F.lit(100.0)))
+        .select(
+            "l_returnflag",
+            F.col("F").alias("sum_price_f"),
+            F.col("O").alias("sum_price_o"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -438,6 +438,39 @@ _register(
     """,
 )
 
+_register(
+    "window_range_frame",
+    ["orders"],
+    analytic.trailing_revenue_30d,
+    f"""
+    SELECT o_custkey, o_orderkey, o_orderdate,
+           SUM({_cents('o_totalprice')}) OVER (
+               PARTITION BY o_custkey
+               ORDER BY datediff('day', DATE '1970-01-01',
+                                 CAST(o_orderdate AS DATE))
+               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
+           ) / 100.0 AS trailing_30d
+    FROM orders
+    """,
+    doc="RANGE frame over event time: trailing-30-day spend per order.",
+)
+
+_register(
+    "pivot_revenue",
+    ["lineitem"],
+    relational.pivot_revenue,
+    f"""
+    SELECT l_returnflag,
+           SUM(CASE WHEN l_linestatus = 'F'
+                    THEN {_cents('l_extendedprice')} END) / 100.0 AS sum_price_f,
+           SUM(CASE WHEN l_linestatus = 'O'
+                    THEN {_cents('l_extendedprice')} END) / 100.0 AS sum_price_o
+    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
+    """,
+    doc="groupBy().pivot() with explicit values (single-pass, stable schema).",
+)
+
+
 # ---------------------------------------------------------------------------
 # Scalar function families (SURVEY.md §2.8)
 # ---------------------------------------------------------------------------
