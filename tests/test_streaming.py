@@ -124,3 +124,16 @@ def test_streaming_dedup_within_watermark(spark):
     )
     assert len(got) == len(want)
     assert len(got.drop_duplicates()) == len(got), "no duplicate survives"
+
+
+def test_streaming_sliding_window_matches_batch(spark):
+    from flink_snappydata_spark.streaming.windows import sliding_window_counts
+
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    agg = sliding_window_counts(stream, watermark="0 seconds")
+    runtime.run_to_memory_sink(agg, "sliding_smoke", output_mode="complete")
+    got = _sorted(spark.table("sliding_smoke").toPandas())
+    want = _sorted(
+        sliding_window_counts(load_table(spark, SF_SMOKE, "events")).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
