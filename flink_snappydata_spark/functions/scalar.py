@@ -106,3 +106,20 @@ def array_functions(embeddings: DataFrame) -> DataFrame:
             emb, F.lit(0.0), lambda acc, x: acc + x.cast("double") * x.cast("double")
         ).alias("vec_norm_sq"),
     )
+
+
+def map_functions(events: DataFrame) -> DataFrame:
+    """Map-type family: construct (create_map), inspect (size/map_keys),
+    extract (element_at). The oracle checks against the directly-computed
+    ground truth, proving the map round-trip loses nothing."""
+    m = F.create_map(
+        F.lit("type"), F.col("event_type"),
+        F.lit("uid"), F.col("user_id").cast("string"),
+    )
+    return events.select(
+        "event_id",
+        F.size(m).cast("long").alias("n_entries"),
+        F.element_at(m, F.lit("type")).alias("m_type"),
+        F.element_at(m, F.lit("uid")).alias("m_uid"),
+        F.array_join(F.map_keys(m), ",").alias("keys_csv"),
+    )

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.functions import scalar
 from flink_snappydata_spark.operators import analytic, asof, grouped, relational, wordcount
-from flink_snappydata_spark.pipeline import dedup, multimodal, sampling, similarity
+from flink_snappydata_spark.pipeline import curation, dedup, multimodal, sampling, similarity
 from flink_snappydata_spark.pipeline import text as textops
 from flink_snappydata_spark.streaming import count_window as cw
 from flink_snappydata_spark.streaming import joins as stream_joins
@@ -541,6 +541,22 @@ _register(
 )
 
 _register(
+    "scalar_map",
+    ["events"],
+    scalar.map_functions,
+    """
+    SELECT event_id,
+           CAST(2 AS BIGINT) AS n_entries,
+           event_type AS m_type,
+           CAST(user_id AS VARCHAR) AS m_uid,
+           'type,uid' AS keys_csv
+    FROM events
+    """,
+    doc="Map construct/inspect/extract; oracle is the directly-computed "
+        "ground truth, proving the map round-trip loses nothing.",
+)
+
+_register(
     "scalar_array",
     ["embeddings"],
     scalar.array_functions,
@@ -971,6 +987,51 @@ _register(
     None,
     doc="Min polynomial rolling hash over 8-byte windows (winnowing-style); "
         "pandas_udf kernel, golden-tested.",
+)
+
+def _curation_oracle() -> str:
+    langid = _langid_oracle()
+    return rf"""
+    WITH reps AS (
+        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
+        FROM documents GROUP BY text
+    ), qbase AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS words,
+               CAST(length(text) AS BIGINT) AS n_chars,
+               CAST(length(regexp_replace(lower(text), '\W+', '', 'g'))
+                    AS BIGINT) AS word_chars,
+               CAST(length(text)
+                    - length(regexp_replace(text, '[^\w\s]', '', 'g'))
+                    AS BIGINT) AS n_punct
+        FROM documents
+    ), quality AS (
+        SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+               (len(words) >= 5 AND word_chars * 1.0 / len(words) >= 2.0
+                AND word_chars * 1.0 / len(words) <= 12.0
+                AND n_punct * 1.0 / n_chars <= 0.2) AS keep
+        FROM qbase
+    ), lang AS (
+        SELECT doc_id, pred_lang FROM ({langid}) t
+    )
+    SELECT r.doc_id AS doc_id, n_copies, pred_lang, n_words
+    FROM reps r
+    JOIN quality q ON q.doc_id = r.doc_id
+    JOIN lang l ON l.doc_id = r.doc_id
+    WHERE q.keep
+    ORDER BY doc_id
+    """
+
+
+_register(
+    "curation_pipeline",
+    ["documents"],
+    curation.curation_pipeline,
+    _curation_oracle(),
+    doc="Flagship curation flow: exact dedup -> quality gates -> langid, "
+        "one row per surviving document (composition of the individual "
+        "declared operators).",
 )
 
 _register(

@@ -77,3 +77,17 @@ def scan_table(
     """
     load_table(spark, sf_dir, table).createOrReplaceTempView(table)
     return spark.sql(sql if sql is not None else f"select * from {table}")
+
+
+def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
+    """JSON-lines source; pass a schema at scale (inference reads the
+    data twice)."""
+    reader = spark.read
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def write_json(df: DataFrame, path: str) -> None:
+    """JSON-lines sink, overwrite mode (one part file per partition)."""
+    df.write.mode("overwrite").json(path)

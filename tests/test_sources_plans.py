@@ -153,3 +153,15 @@ def test_filter_pushdown_through_projection(spark):
     df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 30)
     assert any("l_quantity" in f for f in pushed_filters(df))
     assert read_schema_columns(df) == [["l_orderkey", "l_quantity"]]
+
+
+def test_json_sink_source_roundtrip(spark, tmp_path):
+    from flink_snappydata_spark.sources import read_json, write_json
+
+    path = str(tmp_path / "json")
+    df = spark.range(5).selectExpr("id", "id * 2 AS doubled", "CAST(id AS STRING) AS s")
+    write_json(df, path)
+    back = read_json(spark, path, schema="id long, doubled long, s string")
+    assert sorted(map(tuple, back.select("id", "doubled", "s").collect())) == sorted(
+        map(tuple, df.collect())
+    )
