@@ -21,7 +21,8 @@ from __future__ import annotations
 import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
-from pyspark.sql import functions as F
+
+from flink_snappydata_spark.util import spread
 
 _OUT_SCHEMA = "event_id long, user_id long, value double, zscore double"
 
@@ -48,8 +49,11 @@ def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
 def zscore_by_user(events: DataFrame) -> DataFrame:
     """Per-user z-score of event values via grouped-map ``applyInPandas``
     (whole group in, whole group out — the UDTF-like surface)."""
+    # Pre-partition on the group key: the grouped-map shuffle reuses the
+    # partitioning, and the Arrow/Python stage runs on all cores even
+    # when the source is a single local file split.
     return (
-        events.select("event_id", "user_id", "value")
+        spread(events.select("event_id", "user_id", "value"), "user_id")
         .groupBy("user_id")
         .applyInPandas(_zscore_group, schema=_OUT_SCHEMA)
         .orderBy("user_id", "event_id")

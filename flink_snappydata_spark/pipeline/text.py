@@ -14,6 +14,8 @@ import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from flink_snappydata_spark.util import spread
+
 TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
 #: Distinctive stopwords per language for the n-gram/keyword heuristic.
@@ -148,6 +150,6 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     Arrow-batched via pandas_udf — the engine's sanctioned slow path.
     """
     fp_udf = F.pandas_udf(_fingerprint_series, "long")
-    return documents.select(
+    return spread(documents, "doc_id").select(
         "doc_id", fp_udf(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
