@@ -159,9 +159,11 @@ def minhash_lsh_candidates(
             for j in range(bands)
         ]
     )
+    # Persist: both self-join sides read the banded signatures — without
+    # it the whole shingle→signature pipeline runs twice.
     banded = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
         "doc_id", "b.band_id", "b.band_hash"
-    )
+    ).persist()
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -291,7 +293,7 @@ def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.band_id", "b.band_val")
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val").persist()
     l, r = bands.alias("l"), bands.alias("r")
     return (
         l.join(

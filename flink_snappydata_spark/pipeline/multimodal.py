@@ -25,6 +25,8 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from flink_snappydata_spark.util import spread
+
 MEDIA_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),
@@ -66,7 +68,7 @@ def attach_binary(documents: DataFrame) -> DataFrame:
     payload + typed metadata struct (the fixture stand-in for real
     image/audio bytes)."""
     content = F.encode(F.col("text"), "UTF-8")
-    return documents.select(
+    return spread(documents, "doc_id").select(
         "doc_id",
         content.alias("content"),
         F.struct(

@@ -209,7 +209,8 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFram
     """
     sigs = lsh_signatures(embeddings)
     qv = quantized(embeddings)
-    side = sigs.join(qv, "vec_id")
+    # Persist: both self-join sides read it (else signatures run twice).
+    side = sigs.join(qv, "vec_id").persist()
     a = side.select(
         F.col("vec_id").alias("vec_a"), F.col("table_id").alias("ta"),
         F.col("bucket").alias("ba"), F.col("qe").alias("qa"),
