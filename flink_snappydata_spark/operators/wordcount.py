@@ -13,7 +13,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_snappydata_spark.util import spread
+from flink_snappydata_spark.util import small_sorted, spread
 
 #: The reference tokenizes with ``line.toLowerCase.split("\\W+")``
 #: (``WordCount.scala:30``).
@@ -41,7 +41,7 @@ def word_count(df: DataFrame, col: str = "text") -> DataFrame:
         tokenize(df, col)
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("cnt"))
-        .orderBy("word")
+        .transform(lambda d: small_sorted(d, "word"))
     )
 
 

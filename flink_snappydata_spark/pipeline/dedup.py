@@ -23,7 +23,7 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_snappydata_spark.util import spread
+from flink_snappydata_spark.util import small_sorted, spread
 
 # Word n-gram size shared by Jaccard and MinHash (3-word shingles).
 SHINGLE_N = 3
@@ -114,7 +114,7 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .transform(lambda d: small_sorted(d, "doc_a", "doc_b"))
     )
 
 
@@ -213,7 +213,7 @@ def minhash_dedup_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .orderBy("doc_a", "doc_b")
+        .transform(lambda d: small_sorted(d, "doc_a", "doc_b"))
     )
 
 
@@ -311,5 +311,5 @@ def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
-        .orderBy("doc_a", "doc_b")
+        .transform(lambda d: small_sorted(d, "doc_a", "doc_b"))
     )

@@ -27,7 +27,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_snappydata_spark.util import spread
+from flink_snappydata_spark.util import small_sorted, spread
 
 QUANT = 1_000_000.0  # 1e-6 component quantization
 # LSH: OR over N_TABLES tables, AND over PLANES_PER_TABLE hyperplane sign
@@ -136,7 +136,7 @@ def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> Data
             _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .orderBy("vec_a", "vec_b")
+        .transform(lambda d: small_sorted(d, "vec_a", "vec_b"))
     )
 
 
@@ -236,7 +236,7 @@ def lsh_neardup_pairs(embeddings: DataFrame, threshold: float = 0.9) -> DataFram
             _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .orderBy("vec_a", "vec_b")
+        .transform(lambda d: small_sorted(d, "vec_a", "vec_b"))
     )
 
 

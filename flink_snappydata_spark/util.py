@@ -26,6 +26,24 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def small_sorted(df: DataFrame, *cols: str) -> DataFrame:
+    """Globally-ordered presentation sort for SMALL (aggregate- or
+    pair-sized) results.
+
+    ``orderBy`` range-partitions, and computing range bounds runs a
+    sampling job that re-executes the entire child plan — for a query
+    whose child is an expensive join/explode and whose output is a few
+    hundred rows, that doubles the query. A hash shuffle to one
+    partition plus an in-partition sort materializes the child exactly
+    once and still yields a total order.
+
+    Only for outputs bounded by aggregation (vocabulary counts, near-dup
+    pair lists): a single partition is the point, not a limitation. For
+    unbounded results keep ``orderBy`` (or drop the presentation sort).
+    """
+    return df.repartition(1).sortWithinPartitions(*cols)
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,
