@@ -91,3 +91,14 @@ def read_json(spark: SparkSession, path: str, schema=None) -> DataFrame:
 def write_json(df: DataFrame, path: str) -> None:
     """JSON-lines sink, overwrite mode (one part file per partition)."""
     df.write.mode("overwrite").json(path)
+
+
+def read_orc(spark: SparkSession, path: str) -> DataFrame:
+    """ORC source (columnar alternative to parquet; same pushdown and
+    pruning via the vectorized ORC reader)."""
+    return spark.read.orc(path)
+
+
+def write_orc(df: DataFrame, path: str) -> None:
+    """ORC sink, overwrite mode."""
+    df.write.mode("overwrite").orc(path)

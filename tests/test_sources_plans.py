@@ -165,3 +165,13 @@ def test_json_sink_source_roundtrip(spark, tmp_path):
     assert sorted(map(tuple, back.select("id", "doubled", "s").collect())) == sorted(
         map(tuple, df.collect())
     )
+
+
+def test_orc_sink_source_roundtrip(spark, tmp_path):
+    from flink_snappydata_spark.sources import read_orc, write_orc
+
+    path = str(tmp_path / "orc")
+    df = load_table(spark, SF, "nation")
+    write_orc(df, path)
+    back = read_orc(spark, path)
+    assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
