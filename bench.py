@@ -67,6 +67,10 @@ def main() -> None:
     for t in TABLES:
         load_table(spark, sf_dir, t).count()
     _force(queries["q1_pricing_summary"](spark, sf_dir))
+    # Spin up the Python worker pool (one worker per core + Arrow init,
+    # ~4s one-time) so the first pandas-UDF query measures the operator,
+    # not interpreter startup.
+    _force(queries["doc_fingerprint"](spark, sf_dir))
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -44,24 +44,37 @@ _HASH_B = [_rng.randrange(0, _P32) % (1 << 31) for _ in range(MINHASH_K)]
 def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     """(doc_id, sh) — distinct word n-gram shingles per document.
 
-    Pure column expressions: split → filter empties → windowed concat via
-    transform(sequence(...)); short documents fall back to one whole-text
+    Arrow-batched kernel: the column-expression formulation
+    (``transform(sequence(...))`` with per-gram ``concat_ws``) runs as
+    interpreted higher-order functions and dominated the whole dedup
+    pipeline (6.1 s vs <1 s at sf0.1). Tokenization semantics match the
+    JVM/DuckDB oracles exactly: ``re.ASCII`` reproduces Java's and RE2's
+    ASCII ``\\W`` class; short documents fall back to one whole-text
     shingle.
     """
-    words = F.filter(
-        F.split(F.lower(F.col("text")), r"\W+"), lambda w: w != F.lit("")
-    )
-    grams = F.when(
-        F.size(words) >= n,
-        F.transform(
-            F.sequence(F.lit(0), F.size(words) - n),
-            lambda i: F.concat_ws(
-                " ", *[F.element_at(words, (i + j + 1).cast("int")) for j in range(n)]
-            ),
-        ),
-    ).otherwise(F.array(F.array_join(words, " ")))
+    import re
+
+    import pandas as pd
+
+    ascii_nonword = re.compile(r"\W+", re.ASCII)
+
+    # no annotations: PEP-563 lazy hints defeat pandas_udf inference
+    @F.pandas_udf("array<string>")
+    def _doc_shingles(texts):
+        out = []
+        for t in texts:
+            ws = [w for w in ascii_nonword.split(t.lower()) if w]
+            if len(ws) >= n:
+                seen = dict.fromkeys(
+                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                )
+                out.append(list(seen))
+            else:
+                out.append([" ".join(ws)])
+        return pd.Series(out)
+
     return spread(documents, "doc_id").select(
-        "doc_id", F.explode(F.array_distinct(grams)).alias("sh")
+        "doc_id", F.explode(_doc_shingles(F.col("text"))).alias("sh")
     )
 
 
