@@ -145,4 +145,8 @@ def stream_to_table(
         .start()
     )
     q.awaitTermination()
+    # foreachBatch writes through a cloned session whose catalog refresh
+    # does not reach the parent; invalidate the parent's relation cache
+    # so readers of `table` see the new files immediately.
+    df.sparkSession.catalog.refreshTable(table)
     return q

@@ -137,3 +137,63 @@ def test_streaming_sliding_window_matches_batch(spark):
         sliding_window_counts(load_table(spark, SF_SMOKE, "events")).toPandas()
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
+    """Kill a file stream mid-corpus, restart from the same checkpoint:
+    every input row lands exactly once (offset tracking + idempotent
+    batch commits — the recovery contract the reference has no answer
+    to; its jobs restart from scratch)."""
+    import pyspark.sql.functions as F
+
+    import shutil
+
+    src = str(tmp_path / "src")
+    ckpt = str(tmp_path / "ckpt")
+    spark.sql("DROP TABLE IF EXISTS ckpt_sink")
+    # a previously-failed run can leave the managed-table location behind
+    shutil.rmtree(
+        spark.conf.get("spark.sql.warehouse.dir").removeprefix("file:")
+        + "/ckpt_sink",
+        ignore_errors=True,
+    )
+
+    events = load_table(spark, SF_SMOKE, "events").select("event_id", "user_id")
+    # two file batches
+    events.filter(F.col("event_id") % 2 == 0).write.mode("overwrite").parquet(src)
+
+    def run_once():
+        stream = (
+            spark.readStream.schema("event_id long, user_id long")
+            .option("maxFilesPerTrigger", "1")
+            .parquet(src)
+        )
+        q = (
+            stream.writeStream.foreachBatch(
+                lambda b, _id: b.write.mode("append").saveAsTable("ckpt_sink")
+            )
+            .trigger(availableNow=True)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.awaitTermination()
+
+    run_once()  # consumes the first file set
+    spark.catalog.refreshTable("ckpt_sink")
+    n_first = spark.table("ckpt_sink").count()
+    assert n_first == events.filter(F.col("event_id") % 2 == 0).count()
+
+    # second half arrives; restart from the same checkpoint
+    events.filter(F.col("event_id") % 2 == 1).write.mode("append").parquet(src)
+    run_once()
+
+    # foreachBatch writes through a cloned session; refresh the parent
+    # session's relation cache before reading (see stream_to_table)
+    spark.catalog.refreshTable("ckpt_sink")
+    total = spark.table("ckpt_sink").count()
+    assert total == events.count(), "restart must deliver new rows only"
+    dupes = (
+        spark.table("ckpt_sink").groupBy("event_id").count().filter("count > 1").count()
+    )
+    assert dupes == 0, "no row delivered twice across restarts"
+    spark.sql("DROP TABLE IF EXISTS ckpt_sink")
