@@ -72,8 +72,13 @@ def main() -> None:
     # not interpreter startup.
     _force(queries["doc_fingerprint"](spark, sf_dir))
 
+    # SPARK_GRAFT_BENCH_ALL=1 times every declared query, not just the
+    # headline set (the sweep used to catch scale regressions).
+    names = (
+        list(queries) if os.environ.get("SPARK_GRAFT_BENCH_ALL") else HEADLINE
+    )
     timings: dict[str, float] = {}
-    for name in HEADLINE:
+    for name in names:
         start = time.perf_counter()
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
