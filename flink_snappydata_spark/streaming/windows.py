@@ -71,11 +71,16 @@ def sliding_window_counts(
     )
 
 
-def session_window_counts(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_window_counts(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
     """Session windows per user (gap-based) — beyond-reference built-in
     (SURVEY.md §2.6 lists it as free coverage). Batch-checkable: a
     session closes when consecutive events are further apart than gap.
+    Pass ``watermark`` on streaming input (session merging needs one).
     """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     return (
         events.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
         .agg(

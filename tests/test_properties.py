@@ -94,3 +94,33 @@ def test_interval_join_matches_naive(spark, raw):
         (r.r_event_id, r.l_event_id) for r in interval_join_events(df).collect()
     }
     assert got == _naive_interval(rows)
+
+
+def _naive_count_window(rows, size=100, slide=10):
+    """Quadratic reference for the batch count window."""
+    from collections import defaultdict
+
+    per_key = defaultdict(list)
+    for r in sorted(rows, key=lambda r: (r.user_id, r.ts, r.event_id)):
+        per_key[r.user_id].append(int(round(r.value * 100)))
+    out = {}
+    for k, vals in per_key.items():
+        for i in range(len(vals)):
+            seq = i + 1
+            if seq % slide == 0:
+                window = vals[max(0, i - size + 1) : i + 1]
+                out[(k, seq)] = (len(window), sum(window) / 100.0)
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_events_strategy)
+def test_count_window_matches_naive(spark, raw):
+    from flink_snappydata_spark.streaming.count_window import count_window_sums
+
+    df = _frame(spark, raw)
+    got = {
+        (r.user_id, r.fire_seq): (r.n_in_window, r.sum_value)
+        for r in count_window_sums(df, size=7, slide=3).collect()
+    }
+    assert got == _naive_count_window(df.collect(), size=7, slide=3)

@@ -197,3 +197,16 @@ def test_stream_restart_from_checkpoint_exactly_once(spark, tmp_path):
     )
     assert dupes == 0, "no row delivered twice across restarts"
     spark.sql("DROP TABLE IF EXISTS ckpt_sink")
+
+
+def test_streaming_session_window_matches_batch(spark):
+    from flink_snappydata_spark.streaming.windows import session_window_counts
+
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    agg = session_window_counts(stream, watermark="0 seconds")
+    runtime.run_to_memory_sink(agg, "session_smoke", output_mode="complete")
+    got = _sorted(spark.table("session_smoke").toPandas())
+    want = _sorted(
+        session_window_counts(load_table(spark, SF_SMOKE, "events")).toPandas()
+    )
+    pd.testing.assert_frame_equal(got, want)
