@@ -210,3 +210,18 @@ def test_streaming_session_window_matches_batch(spark):
         session_window_counts(load_table(spark, SF_SMOKE, "events")).toPandas()
     )
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_asof_join_matches_batch(spark):
+    from flink_snappydata_spark.operators.asof import (
+        asof_join_events,
+        streaming_asof_join,
+    )
+
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    out = streaming_asof_join(stream)
+    runtime.run_to_memory_sink(out, "asof_smoke", output_mode="append")
+    got = _sorted(spark.table("asof_smoke").toPandas())
+    want = _sorted(asof_join_events(load_table(spark, SF_SMOKE, "events")).toPandas())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
