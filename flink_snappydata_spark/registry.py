@@ -780,16 +780,33 @@ _register(
     doc="Exact word-3-gram Jaccard near-dup pairs via shingle inverted index.",
 )
 
-# MinHash/SimHash outputs depend on Spark's xxhash64 — not reproducible
-# in ANSI SQL; the driver does rows-only checks and tests/ pin recall +
-# golden results.
+# MinHash LSH candidates are exact-Jaccard VERIFIED, so the final output
+# contract is identical to the exact shingle join whenever banding recall
+# is 1 at the threshold (it is on the fixtures — pinned by
+# test_minhash_matches_exact_jaccard). The oracle is therefore the same
+# SQL as dedup_ngram_jaccard: a recall miss would surface as a row-count
+# mismatch.
 _register(
     "dedup_minhash",
     ["documents"],
     dedup.minhash_dedup_pairs,
-    None,
+    f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
+    ORDER BY doc_a, doc_b
+    """,
     doc="MinHash(64)+LSH(16x4) banded candidates, exact-Jaccard verified; "
-        "tests assert equality with dedup_ngram_jaccard on the fixtures.",
+        "oracle = the exact shingle join (LSH recall 1 at the threshold on "
+        "the fixtures, pinned by tests).",
 )
 
 _register(

@@ -1,0 +1,45 @@
+"""Parallelism invariance: the exactness discipline's executable proof.
+
+The engine claims results are bit-identical at any partition count
+(integer-cents sums, quantized dot products, deterministic tie-breaks).
+Run representative queries under different shuffle-partition settings
+and shuffled input partitioning, and require exact equality — the
+property that makes results reproducible when a job moves from 32 cores
+to a 1000-executor cluster.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+import pytest
+
+from flink_snappydata_spark import registry
+from tests.conftest import SF_CORRECT
+
+REPRESENTATIVE = [
+    "q1_pricing_summary",     # money sums
+    "star_join_revenue",      # joins + agg
+    "grouped_zscore",         # pandas grouped-map with exact formula
+    "dedup_minhash",          # hashing + LSH + verify joins
+    "ann_cosine_topk",        # quantized dots + windowed top-k
+    "wordcount_batch",        # explode + agg
+]
+
+
+def _run(spark, name: str) -> pd.DataFrame:
+    return registry.QUERIES[name].fn(spark, SF_CORRECT).toPandas()
+
+
+@pytest.mark.parametrize("name", REPRESENTATIVE)
+def test_result_invariant_under_parallelism(spark, name):
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    try:
+        spark.conf.set("spark.sql.shuffle.partitions", "32")
+        wide = _run(spark, name)
+        spark.conf.set("spark.sql.shuffle.partitions", "3")
+        narrow = _run(spark, name)
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+    pd.testing.assert_frame_equal(
+        wide.reset_index(drop=True), narrow.reset_index(drop=True)
+    )
