@@ -123,3 +123,24 @@ def map_functions(events: DataFrame) -> DataFrame:
         F.element_at(m, F.lit("uid")).alias("m_uid"),
         F.array_join(F.map_keys(m), ",").alias("keys_csv"),
     )
+
+
+def similarity_functions(nation: DataFrame) -> DataFrame:
+    """Edit-distance field matching (levenshtein) — the scalar building
+    block of fuzzy record linkage; exact integer outputs on both engines.
+    All nation-name pairs (25x25 — a dimension-side cross, broadcast)."""
+    a = nation.select(F.col("n_name").alias("name_a"))
+    b = nation.select(F.col("n_name").alias("name_b"))
+    return (
+        a.crossJoin(F.broadcast(b))
+        .select(
+            "name_a",
+            "name_b",
+            F.levenshtein("name_a", "name_b").cast("long").alias("edit_dist"),
+            (F.levenshtein("name_a", "name_b")
+             / F.greatest(F.length("name_a"), F.length("name_b"))
+             ).alias("edit_ratio"),
+        )
+        .filter(F.col("name_a") < F.col("name_b"))
+        .orderBy("name_a", "name_b")
+    )

