@@ -352,3 +352,19 @@ def agg_histogram(orders: DataFrame, n_bins: int = 10) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_orders"))
         .orderBy("bucket")
     )
+
+
+def agg_approx_percentile(orders: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """Approximate percentiles (t-digest-style sketch): no per-group sort
+    of values, mergeable partial state — the 100 TB path for order
+    statistics. Sketch values are engine-specific (rows-only checked);
+    the error bound vs exact percentile is pinned in tests."""
+    cents_col = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(f"approx_percentile({cents_col}, 0.5, {accuracy})").alias("p50_cents"),
+            F.expr(f"approx_percentile({cents_col}, 0.9, {accuracy})").alias("p90_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )

@@ -1037,6 +1037,16 @@ _register(
 )
 
 _register(
+    "agg_approx_percentile",
+    ["orders"],
+    relational.agg_approx_percentile,
+    None,
+    doc="Sketch-based percentiles (no per-group sort; mergeable state — "
+        "the scale path). Sketch values are engine-specific, so "
+        "rows-only checked; <1% error vs exact pinned in tests.",
+)
+
+_register(
     "scalar_similarity",
     ["nation"],
     scalar.similarity_functions,

@@ -58,3 +58,26 @@ def test_partitioned_write_prunes(spark):
         assert q.count() == events.filter(F.col("event_type") == "click").count()
     finally:
         spark.sql("DROP TABLE IF EXISTS events_part")
+
+
+def test_table_cache_toggle(spark):
+    from flink_snappydata_spark import catalog
+
+    try:
+        catalog.enable_table_cache()
+        a = catalog.load_table(spark, SF_SMOKE, "region")
+        b = catalog.load_table(spark, SF_SMOKE, "region")
+        assert a is b, "cache returns the same DataFrame"
+        assert a.storageLevel.useMemory, "cached tables are in-memory"
+    finally:
+        catalog.enable_table_cache(False)
+    c = catalog.load_table(spark, SF_SMOKE, "region")
+    assert c is not a
+    assert not c.storageLevel.useMemory
+
+
+def test_spread_noop_on_wide_input(spark):
+    from flink_snappydata_spark.util import spread
+
+    wide = spark.range(0, 1000, 1, spark.sparkContext.defaultParallelism * 2)
+    assert spread(wide) is wide, "spread must not add a shuffle at scale"

@@ -87,3 +87,20 @@ def test_salted_join_equals_plain_join(spark):
         F.count(F.lit(1)).alias("n"), F.sum("l_quantity").alias("q")
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+def test_approx_percentile_error_bound(spark):
+    from flink_snappydata_spark.operators.relational import (
+        agg_approx_percentile,
+        agg_percentile,
+    )
+
+    orders = load_table(spark, SF_CORRECT, "orders")
+    approx = {r.o_orderpriority: (r.p50_cents, r.p90_cents)
+              for r in agg_approx_percentile(orders).collect()}
+    exact = {r.o_orderpriority: (r.p50_cents, r.p90_cents)
+             for r in agg_percentile(orders).collect()}
+    assert set(approx) == set(exact)
+    for k, (p50, p90) in exact.items():
+        assert abs(approx[k][0] - p50) / p50 < 0.01
+        assert abs(approx[k][1] - p90) / p90 < 0.01
