@@ -14,5 +14,7 @@ from flink_snappydata_spark.sources.batch import (  # noqa: F401
 )
 from flink_snappydata_spark.sources.jdbc import (  # noqa: F401
     JdbcScanOptions,
+    JdbcWriteOptions,
     jdbc_reader,
+    jdbc_writer,
 )

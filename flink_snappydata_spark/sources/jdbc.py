@@ -76,3 +76,56 @@ def jdbc_reader(spark: SparkSession, opts: JdbcScanOptions) -> DataFrameReader:
     if opts.fetchsize is not None:
         reader = reader.option("fetchsize", opts.fetchsize)
     return reader
+
+
+@dataclass(frozen=True)
+class JdbcWriteOptions:
+    """Write-side option set. The reference declares this vocabulary
+    (``JDBCOptions.java:24-27``: truncate, createTableOptions, batchsize,
+    isolationLevel) but ships no OutputFormat; Spark's JDBC writer
+    implements all four for real."""
+
+    url: str
+    table: str
+    user: str | None = None
+    password: str | None = None
+    truncate: bool = False
+    create_table_options: str | None = None
+    batchsize: int | None = None
+    isolation_level: str | None = None
+
+    _LEVELS = ("NONE", "READ_COMMITTED", "READ_UNCOMMITTED",
+               "REPEATABLE_READ", "SERIALIZABLE")
+
+    def __post_init__(self) -> None:
+        if not self.url:
+            raise ValueError("jdbc url is required")
+        if not self.table:
+            raise ValueError("dbtable is required")
+        if self.batchsize is not None and self.batchsize < 1:
+            raise ValueError("batchsize must be >= 1")
+        if (self.isolation_level is not None
+                and self.isolation_level not in self._LEVELS):
+            raise ValueError(f"isolationLevel must be one of {self._LEVELS}")
+
+
+def jdbc_writer(df, opts: JdbcWriteOptions, mode: str = "append"):
+    """A configured JDBC DataFrameWriter; ``.save()`` runs the write
+    (one connection per partition, ``batchsize`` rows per round trip)."""
+    writer = (
+        df.write.format("jdbc").mode(mode)
+        .option("url", opts.url)
+        .option("dbtable", opts.table)
+        .option("truncate", str(opts.truncate).lower())
+    )
+    if opts.user is not None:
+        writer = writer.option("user", opts.user)
+    if opts.password is not None:
+        writer = writer.option("password", opts.password)
+    if opts.create_table_options is not None:
+        writer = writer.option("createTableOptions", opts.create_table_options)
+    if opts.batchsize is not None:
+        writer = writer.option("batchsize", opts.batchsize)
+    if opts.isolation_level is not None:
+        writer = writer.option("isolationLevel", opts.isolation_level)
+    return writer

@@ -175,3 +175,22 @@ def test_orc_sink_source_roundtrip(spark, tmp_path):
     write_orc(df, path)
     back = read_orc(spark, path)
     assert sorted(map(tuple, back.collect())) == sorted(map(tuple, df.collect()))
+
+
+def test_jdbc_write_options_validation(spark):
+    from flink_snappydata_spark.sources import JdbcWriteOptions, jdbc_writer
+
+    with pytest.raises(ValueError):
+        JdbcWriteOptions(url="", table="t")
+    with pytest.raises(ValueError):
+        JdbcWriteOptions(url="jdbc:postgresql://h/db", table="t", batchsize=0)
+    with pytest.raises(ValueError):
+        JdbcWriteOptions(
+            url="jdbc:postgresql://h/db", table="t", isolation_level="BOGUS"
+        )
+    opts = JdbcWriteOptions(
+        url="jdbc:postgresql://h/db", table="t", truncate=True,
+        batchsize=5000, isolation_level="READ_COMMITTED",
+    )
+    df = load_table(spark, SF, "region")
+    assert jdbc_writer(df, opts) is not None  # construction only
