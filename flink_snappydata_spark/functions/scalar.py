@@ -144,3 +144,21 @@ def similarity_functions(nation: DataFrame) -> DataFrame:
         .filter(F.col("name_a") < F.col("name_b"))
         .orderBy("name_a", "name_b")
     )
+
+
+def conditional_functions(customer: DataFrame) -> DataFrame:
+    """Conditional family: CASE/WHEN tiers, coalesce, nullif, if —
+    pure codegen expressions."""
+    bal = F.col("c_acctbal")
+    return customer.select(
+        "c_custkey",
+        F.when(bal < 0, "debt")
+        .when(bal < 5000, "standard")
+        .otherwise("premium")
+        .alias("tier"),
+        F.coalesce(F.nullif(F.col("c_mktsegment"), F.lit("AUTOMOBILE")),
+                   F.lit("DEFAULT")).alias("segment_or_default"),
+        F.expr("IF(c_acctbal >= 0, c_acctbal, 0.0)").alias("bal_floor"),
+        F.nullif(F.col("c_nationkey").cast("long"), F.lit(0).cast("long"))
+        .alias("nation_or_null"),
+    )

@@ -557,6 +557,24 @@ _register(
 )
 
 _register(
+    "scalar_conditional",
+    ["customer"],
+    scalar.conditional_functions,
+    """
+    SELECT c_custkey,
+           CASE WHEN c_acctbal < 0 THEN 'debt'
+                WHEN c_acctbal < 5000 THEN 'standard'
+                ELSE 'premium' END AS tier,
+           COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'DEFAULT')
+               AS segment_or_default,
+           CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE 0.0 END AS bal_floor,
+           NULLIF(CAST(c_nationkey AS BIGINT), 0) AS nation_or_null
+    FROM customer
+    """,
+    doc="Conditional family: CASE tiers, coalesce/nullif, IF.",
+)
+
+_register(
     "scalar_array",
     ["embeddings"],
     scalar.array_functions,
@@ -640,6 +658,41 @@ _register(
     ORDER BY user_id, session_start
     """,
     doc="Session windows (30 min gap) — gaps-and-islands oracle.",
+)
+
+_register(
+    "session_funnel",
+    ["events"],
+    stream_windows.session_funnel,
+    f"""
+    WITH seq AS (
+        SELECT user_id, ts, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events WHERE event_type IN ('click', 'purchase')
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_type)
+    ), sess AS (
+        SELECT user_id, ts, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_type
+                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS sid
+        FROM seq
+    )
+    SELECT MIN(ts) AS session_start, user_id,
+           SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS n_clicks,
+           SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+               AS n_purchases,
+           (MIN(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
+            AND MAX(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
+            AND MAX(CASE WHEN event_type = 'purchase' THEN ts END)
+                >= MIN(CASE WHEN event_type = 'click' THEN ts END))
+               AS converted
+    FROM sess GROUP BY user_id, sid
+    ORDER BY user_id, session_start
+    """,
+    doc="Sessionized click->purchase funnel: session windows composed "
+        "with conversion logic (gaps-and-islands oracle).",
 )
 
 _register(

@@ -114,3 +114,35 @@ def streaming_wordcount(lines: DataFrame, ts_col: str = "timestamp",
         .agg(F.count(F.lit(1)).alias("cnt"))
         .select(F.col("w.start").alias("window_start"), "word", "cnt")
     )
+
+
+def session_funnel(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Sessionized click→purchase funnel: per (user, session window),
+    counts of clicks and purchases plus whether a purchase happened
+    at-or-after the first click — the composition of session windows
+    with conversion logic (one shuffle on the session grouping).
+    """
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        events.filter(is_click | is_purchase)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.sum(is_click.cast("long")).alias("n_clicks"),
+            F.sum(is_purchase.cast("long")).alias("n_purchases"),
+            F.min(F.when(is_click, F.col("ts"))).alias("first_click_ts"),
+            F.max(F.when(is_purchase, F.col("ts"))).alias("last_purchase_ts"),
+        )
+        .select(
+            F.col("w.start").alias("session_start"),
+            "user_id",
+            "n_clicks",
+            "n_purchases",
+            (
+                F.col("first_click_ts").isNotNull()
+                & F.col("last_purchase_ts").isNotNull()
+                & (F.col("last_purchase_ts") >= F.col("first_click_ts"))
+            ).alias("converted"),
+        )
+        .orderBy("user_id", "session_start")
+    )
