@@ -30,6 +30,8 @@ from flink_snappydata_spark.session import get_spark
 
 HEADLINE = [
     "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q6_forecast_revenue",
     "star_join_revenue",
     "broadcast_dim_join",
     "wordcount_batch",

@@ -368,3 +368,60 @@ def agg_approx_percentile(orders: DataFrame, accuracy: int = 10000) -> DataFrame
         )
         .orderBy("o_orderpriority")
     )
+
+
+def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q6-style forecast revenue: pure filter + global agg.
+
+    The pushdown showcase — all three predicates (date range, discount
+    band, quantity cap) reach the parquet scan; integer-cents predicates
+    make the discount band exact (BETWEEN 0.05 AND 0.07 on binary
+    doubles is a classic float trap).
+    """
+    disc_c = cents("l_discount")
+    return (
+        lineitem.filter(
+            (F.col("l_shipdate") >= F.lit("1994-01-01").cast("timestamp"))
+            & (F.col("l_shipdate") < F.lit("1995-01-01").cast("timestamp"))
+            & (disc_c >= 5) & (disc_c <= 7)
+            & (F.col("l_quantity") < 24)
+        )
+        .agg(
+            (F.sum(cents("l_extendedprice") * disc_c) / F.lit(10000.0))
+            .alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+    )
+
+
+def q3_shipping_priority(
+    lineitem: DataFrame, orders: DataFrame, customer: DataFrame, k: int = 10
+) -> DataFrame:
+    """TPC-H-Q3-style shipping priority: segment filter -> two joins ->
+    grouped revenue -> top-k. (The fixture has no o_shippriority column;
+    grouping is (l_orderkey, o_orderdate).)
+
+    Scale: customer filter first (selective dim, broadcast), lineitem
+    date filter pushed to scan, top-k via TakeOrderedAndProject — no
+    global sort materialization.
+    """
+    revenue_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    return (
+        lineitem.filter(F.col("l_shipdate") > F.lit("1995-03-15").cast("timestamp"))
+        .join(
+            orders.filter(
+                F.col("o_orderdate") < F.lit("1995-03-15").cast("timestamp")
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(
+            F.broadcast(
+                customer.filter(F.col("c_mktsegment") == "BUILDING")
+            ),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg((F.sum(revenue_c) / F.lit(10000.0)).alias("revenue"))
+        .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
+        .limit(k)
+    )

@@ -90,6 +90,45 @@ _register(
 )
 
 _register(
+    "q6_forecast_revenue",
+    ["lineitem"],
+    relational.q6_forecast_revenue,
+    f"""
+    SELECT SUM({_cents('l_extendedprice')} * {_cents('l_discount')}) / 10000.0
+               AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
+      AND {_cents('l_discount')} BETWEEN 5 AND 7
+      AND l_quantity < 24
+    """,
+    doc="TPC-H-Q6-style filter+agg (full predicate pushdown; exact "
+        "integer discount band).",
+)
+
+_register(
+    "q3_shipping_priority",
+    ["lineitem", "orders", "customer"],
+    relational.q3_shipping_priority,
+    f"""
+    SELECT l_orderkey, o_orderdate,
+           SUM({_REVENUE_CENTS}) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
+      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, l_orderkey ASC
+    LIMIT 10
+    """,
+    doc="TPC-H-Q3-style shipping priority: selective joins -> grouped "
+        "revenue -> top-k.",
+)
+
+_register(
     "agg_distinct",
     ["orders"],
     relational.agg_distinct,
