@@ -98,3 +98,20 @@ def trailing_revenue_30d(orders: DataFrame) -> DataFrame:
         "o_orderdate",
         (F.sum(cents("o_totalprice")).over(w) / F.lit(100.0)).alias("trailing_30d"),
     )
+
+
+def distribution_functions(customer: DataFrame) -> DataFrame:
+    """Distribution window family: ntile quartiles, percent_rank,
+    cume_dist per nation by balance (deterministic tie-break on custkey
+    keeps every rank engine-exact)."""
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").asc(), F.col("c_custkey").asc()
+    )
+    return customer.select(
+        "c_nationkey",
+        "c_custkey",
+        "c_acctbal",
+        F.ntile(4).over(w).cast("long").alias("quartile"),
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+    )

@@ -425,3 +425,18 @@ def q3_shipping_priority(
         .orderBy(F.col("revenue").desc(), F.col("l_orderkey").asc())
         .limit(k)
     )
+
+
+def agg_having(orders: DataFrame, min_orders: int = 15) -> DataFrame:
+    """Grouped agg + HAVING (post-aggregation filter): high-volume
+    customers. Catalyst evaluates the filter on aggregated rows — no
+    second scan."""
+    return (
+        orders.groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.sum(cents("o_totalprice")) / F.lit(100.0)).alias("sum_total"),
+        )
+        .filter(F.col("n_orders") >= min_orders)
+        .orderBy("o_custkey")
+    )

@@ -167,6 +167,20 @@ _register(
 )
 
 _register(
+    "agg_having",
+    ["orders"],
+    relational.agg_having,
+    f"""
+    SELECT o_custkey, COUNT(*) AS n_orders,
+           SUM({_cents('o_totalprice')}) / 100.0 AS sum_total
+    FROM orders GROUP BY o_custkey
+    HAVING COUNT(*) >= 15
+    ORDER BY o_custkey
+    """,
+    doc="Grouped agg + HAVING post-aggregation filter.",
+)
+
+_register(
     "agg_grouping_sets",
     ["orders"],
     relational.agg_grouping_sets,
@@ -459,6 +473,22 @@ _register(
                AS order_seq
     FROM orders
     """,
+)
+
+_register(
+    "window_distribution",
+    ["customer"],
+    analytic.distribution_functions,
+    """
+    SELECT c_nationkey, c_custkey, c_acctbal,
+           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
+           PERCENT_RANK() OVER w AS pct_rank,
+           CUME_DIST() OVER w AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey
+                 ORDER BY c_acctbal ASC, c_custkey ASC)
+    """,
+    doc="Distribution windows: ntile / percent_rank / cume_dist.",
 )
 
 _register(
