@@ -427,6 +427,66 @@ def q3_shipping_priority(
     )
 
 
+def q4_order_priority(orders: DataFrame, lineitem: DataFrame) -> DataFrame:
+    """TPC-H-Q4-style priority count: EXISTS correlated subquery over
+    lineitem, decorrelated to a left-semi join. (The fixture has no
+    l_commitdate/l_receiptdate; the EXISTS predicate is "order has at
+    least one returned line item", same shape.)
+
+    Scale: the semi join shuffles only lineitem's filtered key column
+    (projection pruned to l_orderkey at the scan); orders' date filter
+    pushes down; output is 5 rows via partial-then-final agg.
+    """
+    returned = lineitem.filter(F.col("l_returnflag") == "R").select("l_orderkey")
+    return (
+        orders.filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp"))
+            & (F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"))
+        )
+        .join(returned, F.col("o_orderkey") == F.col("l_orderkey"), "left_semi")
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("order_count"))
+        .orderBy("o_orderpriority")
+    )
+
+
+def q18_large_volume_customer(
+    customer: DataFrame,
+    orders: DataFrame,
+    lineitem: DataFrame,
+    min_qty_cents: int = 15_000,
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H-Q18-style large-volume customers: IN subquery over a grouped
+    HAVING (orders whose total quantity exceeds a threshold), then a
+    second aggregation over the 3-way join — the double-aggregation
+    idiom.
+
+    Scale: the inner aggregation reduces lineitem to one row per order
+    before the HAVING filter; the qualifying-key set is small and joins
+    back as a semi join on the already-shuffled l_orderkey (AQE can pick
+    broadcast at runtime); top-k via TakeOrderedAndProject, no global
+    sort. Exact integer-cents threshold keeps the boundary identical to
+    the SQL oracle.
+    """
+    qty_c = cents("l_quantity")
+    big_orders = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum(qty_c).alias("qty_c"))
+        .filter(F.col("qty_c") > min_qty_cents)
+        .select("l_orderkey")
+    )
+    return (
+        lineitem.join(big_orders, "l_orderkey", "left_semi")
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+        .agg((F.sum(qty_c) / F.lit(100.0)).alias("sum_qty"))
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(k)
+    )
+
+
 def agg_having(orders: DataFrame, min_orders: int = 15) -> DataFrame:
     """Grouped agg + HAVING (post-aggregation filter): high-volume
     customers. Catalyst evaluates the filter on aggregated rows — no

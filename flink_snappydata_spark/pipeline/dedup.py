@@ -81,39 +81,45 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
 def exact_dedup(documents: DataFrame) -> DataFrame:
     """Exact dedup: one representative (min doc_id) per distinct text.
 
-    Scale: group key is the full text — at 100 TB group instead on
-    ``sha2(text, 256)`` so the shuffle carries 32-byte digests, not
-    documents (same result on collision-free SHA-256).
+    Scale: the shuffle key is ``sha2(text, 256)`` — fixed-width 32-byte
+    digests hash, compare, and spill-sort for cents compared to
+    arbitrary-length document bodies as grouping keys. The representative
+    text rides along as a ``min_by(text, doc_id)`` aggregation payload;
+    map-side partial aggregation collapses within-partition duplicates
+    before anything moves, so each distinct text crosses the wire at most
+    once per input partition. Same result as grouping on the text itself
+    on collision-free SHA-256.
     """
     return (
-        documents.groupBy("text")
-        .agg(F.min("doc_id").alias("doc_id"), F.count(F.lit(1)).alias("n_copies"))
+        documents.groupBy(F.sha2(F.col("text").cast("binary"), 256).alias("digest"))
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
         .select("doc_id", "n_copies", "text")
         .orderBy("doc_id")
     )
 
 
-def ngram_jaccard_pairs(
-    documents: DataFrame, threshold: float = 0.8, n: int = SHINGLE_N
+def _verified_jaccard(
+    sh: DataFrame, cand: DataFrame, threshold: float
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
-
-    pairs sharing ≥1 shingle → intersection counts → |A∩B|/(|A|+|B|-|A∩B|).
-    Integer counts + one double division keep values engine-exact.
-
-    Scale: the shingle join explodes on ultra-common shingles (stopword
-    runs); production hardening = drop shingles with document frequency
-    above a cap before the self-join (cheap extra agg, preserves recall
-    for any threshold > cap-frequency pairs).
+    """Exact Jaccard over (doc_a, doc_b) candidate pairs against the
+    full (uncapped) shingle index ``sh``: intersection counts via a
+    candidate-gated join, |A∩B|/(|A|+|B|-|A∩B|) with integer counts and
+    one double division — engine-exact values, exact precision
+    regardless of how the candidates were generated.
     """
-    # The shingle index feeds the self-join twice plus the size agg;
-    # materialize it once (spills to disk if it outgrows memory).
-    sh = shingles(documents, n).persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
+        .join(
+            b,
+            (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
     sa, sb = sizes.alias("sa"), sizes.alias("sb")
@@ -129,6 +135,48 @@ def ngram_jaccard_pairs(
         .select("doc_a", "doc_b", "jaccard")
         .transform(lambda d: small_sorted(d, "doc_a", "doc_b"))
     )
+
+
+def ngram_jaccard_pairs(
+    documents: DataFrame,
+    threshold: float = 0.8,
+    n: int = SHINGLE_N,
+    max_shingle_df: int = 10_000,
+) -> DataFrame:
+    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+
+    Candidates = pairs sharing ≥1 below-cap shingle; each candidate is
+    then verified with the exact Jaccard over the *full* shingle sets.
+
+    Scale: the inverted-index self-join explodes on ultra-common
+    shingles — a stopword-run shingle shared by 1 M docs would emit
+    ~10¹² candidate pairs from a single key. Shingles with document
+    frequency above ``max_shingle_df`` are therefore dropped *before*
+    the self-join (one cheap pre-aggregation). The cap gates candidate
+    generation only: precision stays exact (the verify join uses the
+    uncapped index), and recall is unaffected unless a qualifying pair
+    shares *only* above-cap shingles — vanishingly unlikely at high
+    thresholds and pinned by a fixture test with the cap forced low.
+    """
+    # The shingle index feeds the candidate join, the verify join (both
+    # sides), and the size agg; materialize it once (spills to disk if
+    # it outgrows memory). Callers own cache cleanup for repeated runs
+    # (bench clears between queries).
+    sh = shingles(documents, n).persist()
+    hot = (
+        sh.groupBy("sh")
+        .agg(F.count(F.lit(1)).alias("df_sh"))
+        .filter(F.col("df_sh") > max_shingle_df)
+        .select("sh")
+    )
+    idx = sh.join(hot, "sh", "left_anti")
+    a, b = idx.alias("a"), idx.alias("b")
+    cand = (
+        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates()
+    )
+    return _verified_jaccard(sh, cand, threshold)
 
 
 def minhash_signatures(
@@ -204,30 +252,7 @@ def minhash_dedup_pairs(
     # sides of the verify join, and the size agg (4 uses, 1 computation).
     sh = shingles(documents).persist()
     cand = minhash_lsh_candidates(documents, shingle_df=sh)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
-    )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
-        )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .transform(lambda d: small_sorted(d, "doc_a", "doc_b"))
-    )
+    return _verified_jaccard(sh, cand, threshold)
 
 
 def streaming_exact_dedup(

@@ -154,6 +154,58 @@ def test_exact_dedup_with_real_duplicates(spark):
     assert all(r.doc_id < 1000 for r in rows)  # keeps min doc_id
 
 
+def test_exact_dedup_shuffles_digest_not_text(spark):
+    """The 100 TB rule pinned to the plan: the dedup aggregation's
+    exchange must hash-partition on the sha2 digest, never on the raw
+    text column."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = formatted_plan(dedup.exact_dedup(docs))
+    # The agg exchange partitions on the sha2 grouping expression
+    # (Catalyst names it _groupingexpression); the text column must not
+    # appear in any partitioning key.
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "hashpartitioning" in ln
+    ]
+    assert exchange_lines, plan
+    assert any(
+        "digest" in ln or "_groupingexpression" in ln for ln in exchange_lines
+    ), plan
+    assert not any("text#" in ln for ln in exchange_lines), (
+        "shuffle key must be the 32-byte digest, not the document body"
+    )
+
+
+def test_ngram_jaccard_df_cap_preserves_pairs(spark):
+    """A stopword-run shingle shared by every document is dropped by the
+    DF cap before the self-join, yet the near-dup pairs (and their exact
+    Jaccard values) are identical — candidates still surface through
+    below-cap shingles and the verify join uses the uncapped sets."""
+    common = "alpha beta gamma delta"  # hot 3-grams in every doc
+    rows = []
+    for i in range(30):
+        rows.append((i, common + " " + " ".join(f"w{i}x{j}" for j in range(12))))
+    for i in range(10):  # near-dups of the first ten, one word changed
+        words = rows[i][1].split()
+        words[-1] = "changed"
+        rows.append((100 + i, " ".join(words)))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+
+    def pairs(cap):
+        return {
+            (r.doc_a, r.doc_b): r.jaccard
+            for r in dedup.ngram_jaccard_pairs(
+                df, threshold=0.7, max_shingle_df=cap
+            ).collect()
+        }
+
+    uncapped = pairs(10**9)
+    capped = pairs(5)  # every common-prefix shingle has DF 40 > 5
+    assert len(uncapped) == 10
+    assert capped == uncapped
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     """Noisier planted dups (cosine ~0.9 boundary): Hamming-1 multiprobe
     must recover at least the single-bucket candidates and more of the
