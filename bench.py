@@ -31,7 +31,9 @@ from flink_snappydata_spark.session import get_spark
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
+    "q4_order_priority",
     "q6_forecast_revenue",
+    "q18_large_volume_customer",
     "star_join_revenue",
     "broadcast_dim_join",
     "wordcount_batch",
@@ -76,15 +78,25 @@ def main() -> None:
 
     # SPARK_GRAFT_BENCH_ALL=1 times every declared query, not just the
     # headline set (the sweep used to catch scale regressions).
-    names = (
-        list(queries) if os.environ.get("SPARK_GRAFT_BENCH_ALL") else HEADLINE
-    )
+    bench_all = bool(os.environ.get("SPARK_GRAFT_BENCH_ALL"))
+    names = list(queries) if bench_all else HEADLINE
     timings: dict[str, float] = {}
     for name in names:
         start = time.perf_counter()
         _force(queries[name](spark, sf_dir))
         timings[name] = round(time.perf_counter() - start, 3)
         print(f"  {name}: {timings[name]:.3f}s", file=sys.stderr)
+        if bench_all:
+            # Dedup/ANN queries persist intermediates that only their
+            # lazy results consume, so they cannot unpersist them
+            # themselves; across a 60+-query sweep those blocks pile up
+            # until eviction. Drop everything and rebuild the table
+            # cache between queries, outside the timer.
+            spark.catalog.clearCache()
+            enable_table_cache(False)
+            enable_table_cache(True)
+            for t in TABLES:
+                load_table(spark, sf_dir, t).count()
 
     total = round(sum(timings.values()), 3)
     print(

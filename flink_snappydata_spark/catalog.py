@@ -39,7 +39,9 @@ DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 #: Opt-in in-memory columnar table cache — the "SnappyData store" mode.
 #: Off by default (one-shot correctness runs should pay one scan, not a
 #: cache materialization); bench and long-lived sessions turn it on.
-_CACHE: dict[tuple[str, str], DataFrame] = {}
+#: Keyed by (application id, sf_dir, table) so a stop/start cycle never
+#: hands out DataFrames bound to a dead session.
+_CACHE: dict[tuple[str, str, str], DataFrame] = {}
 _CACHE_ENABLED = False
 
 
@@ -51,9 +53,19 @@ def enable_table_cache(enabled: bool = True) -> None:
     global _CACHE_ENABLED
     _CACHE_ENABLED = enabled
     if not enabled:
-        for df in _CACHE.values():
+        clear_table_cache()
+
+
+def clear_table_cache() -> None:
+    """Drop every cached table, tolerating already-stopped sessions
+    (``stop_spark`` calls this so stale entries never outlive their
+    session)."""
+    for df in _CACHE.values():
+        try:
             df.unpersist()
-        _CACHE.clear()
+        except Exception:
+            pass  # session already stopped; nothing to free
+    _CACHE.clear()
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -66,8 +78,9 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     stays in int64 the whole way (a double division would lose precision
     above 2^53), matching DuckDB's own ns→µs truncation bit-for-bit.
     """
-    if _CACHE_ENABLED and (sf_dir, name) in _CACHE:
-        return _CACHE[(sf_dir, name)]
+    key = (spark.sparkContext.applicationId, sf_dir, name)
+    if _CACHE_ENABLED and key in _CACHE:
+        return _CACHE[key]
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
@@ -75,7 +88,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     if _CACHE_ENABLED:
         df = df.cache()
-        _CACHE[(sf_dir, name)] = df
+        _CACHE[key] = df
     return df
 
 

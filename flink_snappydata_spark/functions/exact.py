@@ -32,6 +32,21 @@ def cents(col: Column | str, scale: int = 100) -> Column:
     return F.round(c * F.lit(scale), 0).cast("long")
 
 
+def cents_np(values, scale: int = 100):
+    """Numpy twin of :func:`cents` for Arrow-batched kernels.
+
+    ``np.round``/pandas ``.round()`` are banker's half-even; Spark's
+    ``F.round`` (and the SQL oracles' ROUND) are HALF_UP away from zero.
+    They disagree on exact .5 products, so Python kernels must use this
+    sign-aware floor(|v|*scale + 0.5) to stay bit-identical to the JVM
+    and SQL paths.
+    """
+    import numpy as np
+
+    v = np.asarray(values, dtype=np.float64)
+    return (np.sign(v) * np.floor(np.abs(v) * scale + 0.5)).astype(np.int64)
+
+
 def sum_money(col: Column | str, alias: str, scale: int = 100) -> Column:
     """Order-independent SUM over a 2-decimal double column, as double."""
     return (F.sum(cents(col, scale)) / F.lit(float(scale))).alias(alias)

@@ -22,13 +22,14 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from flink_snappydata_spark.functions.exact import cents_np
 from flink_snappydata_spark.util import spread
 
 _OUT_SCHEMA = "event_id long, user_id long, value double, zscore double"
 
 
 def _zscore_group(pdf: pd.DataFrame) -> pd.DataFrame:
-    c = np.round(pdf["value"].to_numpy() * 100.0).astype(np.int64)
+    c = cents_np(pdf["value"].to_numpy())
     n = np.int64(len(c))
     s = c.sum()
     ss = (c * c).sum()

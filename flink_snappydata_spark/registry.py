@@ -1045,13 +1045,58 @@ _register(
         "LSH variant is ann_lsh_neardup).",
 )
 
-_register(
-    "ann_lsh_neardup",
-    ["embeddings"],
-    similarity.lsh_neardup_pairs,
-    None,
+#: ann_lsh_neardup verification corpus: the fixture embeddings plus
+#: exact copies of vec_id < 50 under shifted ids. The fixture has no
+#: organic >=0.9-cosine pairs, so the planted duplicates give the LSH
+#: path a non-empty, structurally recall-1 ground truth (identical
+#: vectors collide in every hash table), which makes the query
+#: hash-checkable against the brute-force SQL oracle. Recall under
+#: noise is pinned separately in tests (planted noisy dups).
+_LSH_PLANT_N = 50
+_LSH_PLANT_SHIFT = 1_000_000
+
+
+def _ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    planted = emb.filter(F.col("vec_id") < _LSH_PLANT_N).withColumn(
+        "vec_id", F.col("vec_id") + F.lit(_LSH_PLANT_SHIFT)
+    )
+    return similarity.lsh_neardup_pairs(emb.unionByName(planted), threshold=0.9)
+
+
+QUERIES["ann_lsh_neardup"] = QuerySpec(
+    fn=_ann_lsh_neardup,
+    oracle=f"""
+    WITH allv AS (
+        SELECT vec_id, embedding FROM embeddings
+        UNION ALL
+        SELECT vec_id + {_LSH_PLANT_SHIFT}, embedding FROM embeddings
+        WHERE vec_id < {_LSH_PLANT_N}
+    ),
+    comp AS (
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
+        FROM allv, generate_series(1, 64) s(i)
+    ), norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM comp GROUP BY vec_id),
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q * b.q) AS dot
+        FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+        GROUP BY a.vec_id, b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(na.n2 AS DOUBLE)/1e12)
+                          * (CAST(nb.n2 AS DOUBLE)/1e12)) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b) t
+    WHERE cosine >= 0.9 ORDER BY vec_a, vec_b
+    """,
     doc="Hyperplane-LSH bucketed near-dup candidates + exact verify "
-        "(scale path; recall vs brute force pinned in tests).",
+        "(scale path, Hamming-1 multiprobe on); hash-checked against "
+        "the brute-force oracle on a planted-duplicate corpus.",
 )
 
 _register(

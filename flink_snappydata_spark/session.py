@@ -79,6 +79,9 @@ def get_spark(
 
 
 def stop_spark() -> None:
+    from flink_snappydata_spark.catalog import clear_table_cache
+
+    clear_table_cache()
     active = SparkSession.getActiveSession()
     if active is not None:
         active.stop()

@@ -31,6 +31,8 @@ import pandas as pd
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from flink_snappydata_spark.functions.exact import cents_np
 from pyspark.sql.types import (
     ArrayType,
     DoubleType,
@@ -101,8 +103,10 @@ def streaming_count_window(
         fires: list[tuple[int, int, int, float]] = []
         for pdf in pdfs:
             pdf = pdf.sort_values(["ts", "event_id"])
-            # exact integer cents, same discipline as the batch path
-            cents_vals = (pdf["value"] * 100).round().astype("int64")
+            # exact integer cents; cents_np is HALF_UP like the batch
+            # path's F.round (pandas .round is banker's half-even and
+            # diverges on exact .5 products)
+            cents_vals = cents_np(pdf["value"].to_numpy())
             for v in cents_vals:
                 buffer.append(int(v))
                 if len(buffer) > size:

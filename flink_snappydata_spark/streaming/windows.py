@@ -116,12 +116,19 @@ def streaming_wordcount(lines: DataFrame, ts_col: str = "timestamp",
     )
 
 
-def session_funnel(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+def session_funnel(
+    events: DataFrame, gap: str = "30 minutes", watermark: str | None = None
+) -> DataFrame:
     """Sessionized click→purchase funnel: per (user, session window),
     counts of clicks and purchases plus whether a purchase happened
     at-or-after the first click — the composition of session windows
     with conversion logic (one shuffle on the session grouping).
+    Pass ``watermark`` on streaming input (session merging needs one);
+    out-of-order arrival within the watermark merges identically to
+    batch (session state is order-independent, pinned by test).
     """
+    if watermark is not None:
+        events = events.withWatermark("ts", watermark)
     is_click = F.col("event_type") == "click"
     is_purchase = F.col("event_type") == "purchase"
     return (

@@ -76,7 +76,9 @@ def check_query(spark, name: str, sf_dir: str = SF_CORRECT, con=None) -> list[st
     spec = registry.QUERIES[name]
     spark_pdf = spec.fn(spark, sf_dir).toPandas()
     if spec.oracle is None:
-        return [] if len(spark_pdf) >= 0 else ["spark query failed"]
+        # Rows-only check must still be falsifiable: an oracle-less query
+        # that returns nothing is a silently-degenerated pipeline.
+        return [] if len(spark_pdf) > 0 else [f"oracle-less query {name} returned 0 rows"]
     own_con = con is None
     if own_con:
         con = duck_connection(sf_dir)

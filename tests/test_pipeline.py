@@ -229,7 +229,9 @@ def test_lsh_multiprobe_improves_recall(spark):
     }
     plain = {
         (r.vec_a, r.vec_b)
-        for r in similarity.lsh_neardup_pairs(df, threshold=0.75).collect()
+        for r in similarity.lsh_neardup_pairs(
+            df, threshold=0.75, multiprobe_bits=0
+        ).collect()
     }
     multi = {
         (r.vec_a, r.vec_b)

@@ -212,6 +212,60 @@ def test_streaming_session_window_matches_batch(spark):
     pd.testing.assert_frame_equal(got, want)
 
 
+def _shuffled_events_stream(spark, tmp_path, n_files: int = 8):
+    """Events rewritten into n hash-shuffled files and streamed one file
+    per micro-batch: arrival order is decorrelated from event time, so
+    every micro-batch delivers rows 'late' relative to earlier batches —
+    the disorder case the in-order file stream never exercises."""
+    import pyspark.sql.functions as F
+
+    src = str(tmp_path / "shuffled_events")
+    ev = load_table(spark, SF_SMOKE, "events")
+    ev.repartition(n_files, F.xxhash64("event_id")).write.mode(
+        "overwrite"
+    ).parquet(src)
+    return (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+
+
+def test_streaming_session_funnel_matches_batch_shuffled_arrival(
+    spark, tmp_path
+):
+    """Session-funnel equivalence under shuffled arrival: rows arrive in
+    hash order across 8 micro-batches, watermark wide enough that none
+    are dropped — merged session state must equal the batch result."""
+    from flink_snappydata_spark.streaming.windows import session_funnel
+
+    stream = _shuffled_events_stream(spark, tmp_path)
+    out = session_funnel(stream, watermark="3650 days")
+    runtime.run_to_memory_sink(out, "funnel_shuffled", output_mode="complete")
+    got = _sorted(spark.table("funnel_shuffled").toPandas())
+    want = _sorted(
+        session_funnel(load_table(spark, SF_SMOKE, "events")).toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_sliding_window_matches_batch_shuffled_arrival(
+    spark, tmp_path
+):
+    from flink_snappydata_spark.streaming.windows import sliding_window_counts
+
+    stream = _shuffled_events_stream(spark, tmp_path)
+    agg = sliding_window_counts(stream, watermark="3650 days")
+    runtime.run_to_memory_sink(agg, "sliding_shuffled", output_mode="complete")
+    got = _sorted(spark.table("sliding_shuffled").toPandas())
+    want = _sorted(
+        sliding_window_counts(load_table(spark, SF_SMOKE, "events")).toPandas()
+    )
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+
 def test_streaming_asof_join_matches_batch(spark):
     from flink_snappydata_spark.operators.asof import (
         asof_join_events,
