@@ -286,6 +286,89 @@ def minhash_dedup_pairs(
     return _verified_jaccard(sh, cand, threshold)
 
 
+def decontaminate(
+    documents: DataFrame, benchmark: DataFrame, n: int = SHINGLE_N
+) -> DataFrame:
+    """Benchmark decontamination: per training document, how many
+    distinct word n-grams it shares with an evaluation/benchmark corpus
+    — the standard leak check a training-data pipeline runs before any
+    eval set is trusted (any hit means benchmark text is inside the
+    training corpus).
+
+    Returns (doc_id, n_hits) for contaminated documents only.
+
+    Scale: inverted-index join on the shingle, never a doc-level cross
+    join. The benchmark side collapses to its distinct shingle set
+    first — benchmarks are tiny next to a training corpus, so AQE
+    broadcasts that side and the corpus's shingle index never shuffles;
+    the grouped count then reduces map-side to one row per contaminated
+    doc.
+    """
+    sh_t = shingles(documents, n)
+    sh_b = shingles(benchmark, n).select("sh").distinct()
+    return (
+        sh_t.join(sh_b, "sh")
+        # shingles() emits distinct shingles per doc, so the plain count
+        # is the distinct-overlap count.
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+        .orderBy("doc_id")
+    )
+
+
+def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+    """Connected components over near-dup pairs: every document that
+    appears in a pair gets a ``cluster_id`` = the smallest doc_id
+    reachable through the pair graph — the "keep one canonical document
+    per duplicate cluster" step that follows any pairwise dedup.
+
+    Min-label propagation to fixpoint: each iteration every vertex takes
+    the min of its own label and its neighbors' labels, converging in
+    O(component diameter) rounds — near-dup clusters are shallow (a hub
+    document links its variants), so few iterations suffice; the loop
+    stops as soon as an iteration changes nothing. Each iteration is one
+    distributed join + aggregation; the driver sees only the converged
+    flag, never the data.
+    """
+    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
+    sym = sym.union(
+        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).persist()
+    labels = (
+        sym.select(F.col("src").alias("doc_id"))
+        .distinct()
+        .withColumn("cluster_id", F.col("doc_id"))
+        .persist()
+    )
+    for _ in range(max_iter):
+        nbr_min = sym.join(
+            labels, sym["dst"] == labels["doc_id"]
+        ).groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
+        new_labels = (
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .select(
+                "doc_id",
+                F.least(
+                    F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                ).alias("cluster_id"),
+            )
+            .persist()
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
+            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
+            .count()
+        )
+        labels.unpersist()
+        labels = new_labels
+        if changed == 0:
+            break
+    sym.unpersist()
+    return labels.orderBy("doc_id")
+
+
 def streaming_exact_dedup(
     stream: DataFrame,
     key_cols: tuple[str, ...] = ("text",),

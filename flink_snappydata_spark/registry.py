@@ -944,6 +944,73 @@ _register(
     doc="Exact word-3-gram Jaccard near-dup pairs via shingle inverted index.",
 )
 
+
+def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import functions as F
+
+    docs = load_table(spark, sf_dir, "documents")
+    # Deterministic benchmark stand-in: every 20th document is "the eval
+    # set"; the rest is the training corpus being screened.
+    bench = docs.filter(F.col("doc_id") % 20 == 0)
+    train = docs.filter(F.col("doc_id") % 20 != 0)
+    return dedup.decontaminate(train, bench)
+
+
+QUERIES["decontamination"] = QuerySpec(
+    fn=_decontaminate,
+    oracle=f"""
+    WITH {_SHINGLES_SQL},
+    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0)
+    SELECT s.doc_id, COUNT(*) AS n_hits
+    FROM sh s JOIN bench b ON s.sh = b.sh
+    WHERE s.doc_id % 20 <> 0
+    GROUP BY s.doc_id
+    ORDER BY doc_id
+    """,
+    doc="Benchmark decontamination: training docs sharing >=1 word-3-gram "
+        "with the eval corpus, with distinct-overlap counts (shingle "
+        "inverted-index join; eval side broadcast).",
+)
+
+
+def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = load_table(spark, sf_dir, "documents")
+    return dedup.neardup_clusters(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
+
+
+QUERIES["dedup_clusters"] = QuerySpec(
+    fn=_neardup_clusters,
+    oracle=f"""
+    WITH RECURSIVE
+    {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id),
+    pairs AS (
+        SELECT doc_a, doc_b
+        FROM inter
+        JOIN sizes sa ON sa.doc_id = doc_a
+        JOIN sizes sb ON sb.doc_id = doc_b
+        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
+    edges AS (
+        SELECT doc_a AS s, doc_b AS d FROM pairs
+        UNION ALL
+        SELECT doc_b, doc_a FROM pairs),
+    reach(s, d) AS (
+        SELECT s, d FROM edges
+        UNION
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
+    SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+    FROM reach GROUP BY s ORDER BY doc_id
+    """,
+    doc="Near-dup cluster assignment: connected components over the "
+        "exact-Jaccard pair graph via min-label propagation to fixpoint "
+        "(cluster_id = smallest reachable doc_id; oracle = recursive "
+        "reachability).",
+)
+
+
 # MinHash LSH candidates are exact-Jaccard VERIFIED, so the final output
 # contract is identical to the exact shingle join whenever banding recall
 # is 1 at the threshold (it is on the fixtures — pinned by
@@ -1390,6 +1457,8 @@ _HEAD = [
 ]
 
 _TAIL = [
+    "agg_cube",
+    "agg_grouping_sets",
     "scalar_string",
     "scalar_date",
     "scalar_math",

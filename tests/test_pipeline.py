@@ -206,6 +206,38 @@ def test_ngram_jaccard_df_cap_preserves_pairs(spark):
     assert capped == uncapped
 
 
+def test_neardup_clusters_chain_and_components(spark):
+    """A 4-doc chain (a-b, b-c, c-d) must collapse to one cluster rooted
+    at the smallest id even though a and d share no pair (transitivity
+    needs >1 propagation round); a disjoint pair stays its own cluster."""
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.neardup_clusters(pairs).collect()
+    }
+    assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
+
+
+def test_decontaminate_flags_shared_ngrams(spark):
+    """A training doc embedding a benchmark sentence is flagged with the
+    distinct-overlap count; clean docs are absent from the output."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the lazy dog")],
+        ["doc_id", "text"],
+    )
+    train = spark.createDataFrame(
+        [
+            (1, "prefix words then the quick brown fox appears here"),
+            (2, "completely unrelated content with no overlap at all"),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r.n_hits for r in dedup.decontaminate(train, bench).collect()}
+    # "the quick brown" and "quick brown fox" are the two shared 3-grams
+    assert got == {1: 2}
+
+
 def test_lsh_multiprobe_improves_recall(spark):
     """Noisier planted dups (cosine ~0.9 boundary): Hamming-1 multiprobe
     must recover at least the single-bucket candidates and more of the
