@@ -112,7 +112,15 @@ def _verified_jaccard(
     candidate-gated join, |A∩B|/(|A|+|B|-|A∩B|) with integer counts and
     one double division — engine-exact values, exact precision
     regardless of how the candidates were generated.
+
+    Scale: the gated joins shuffle the index once by doc id — a single
+    linear pass regardless of candidate count (a semi-join restriction
+    to candidate docs was measured slower: it adds three stages to save
+    a pass that partitions fine anyway).
     """
+    # cand feeds both gated joins; persist so candidate generation
+    # (LSH bands / shingle self-join) runs once.
+    cand = cand.persist()
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -153,16 +161,24 @@ def ngram_jaccard_pairs(
     Scale: the inverted-index self-join explodes on ultra-common
     shingles — a stopword-run shingle shared by 1 M docs would emit
     ~10¹² candidate pairs from a single key. Shingles with document
-    frequency above ``max_shingle_df`` are therefore dropped *before*
-    the self-join (one cheap pre-aggregation). The cap gates candidate
-    generation only: precision stays exact (the verify join uses the
-    uncapped index), and recall is unaffected unless a qualifying pair
+    frequency above ``max_shingle_df`` are therefore split out *before*
+    the self-join (one cheap pre-aggregation):
+
+    * below-cap rows self-join and count shared shingles directly — one
+      pass, exactly the uncapped algorithm restricted to safe keys;
+    * above-cap ("hot") rows never self-join; their contribution to each
+      intersection is recovered candidate-gated — join the (already
+      known, few) candidate pairs against only the hot rows of the two
+      docs involved, bounded by |candidates| x hot-shingles-per-doc.
+
+    The total intersection (below + hot) and the uncapped sizes make
+    precision exact; recall is unaffected unless a qualifying pair
     shares *only* above-cap shingles — vanishingly unlikely at high
     thresholds and pinned by a fixture test with the cap forced low.
     """
-    # The shingle index feeds the candidate join, the verify join (both
-    # sides), and the size agg; materialize it once (spills to disk if
-    # it outgrows memory). Callers own cache cleanup for repeated runs
+    # The shingle index feeds the DF agg, the self-join, the hot-rows
+    # joins, and the size agg; materialize it once (spills to disk if it
+    # outgrows memory). Callers own cache cleanup for repeated runs
     # (bench clears between queries).
     sh = shingles(documents, n).persist()
     hot = (
@@ -173,12 +189,44 @@ def ngram_jaccard_pairs(
     )
     idx = sh.join(hot, "sh", "left_anti")
     a, b = idx.alias("a"), idx.alias("b")
-    cand = (
+    # Feeds both the hot-rows gate and the final join; persist so the
+    # below-cap self-join runs once.
+    inter_below = (
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .dropDuplicates()
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count(F.lit(1)).alias("n_below"))
+        .persist()
     )
-    return _verified_jaccard(sh, cand, threshold)
+    sh_hot = sh.join(hot, "sh", "left_semi")
+    ha, hb = sh_hot.alias("ha"), sh_hot.alias("hb")
+    inter_hot = (
+        inter_below.select("doc_a", "doc_b")
+        .join(ha, F.col("doc_a") == F.col("ha.doc_id"))
+        .join(
+            hb,
+            (F.col("doc_b") == F.col("hb.doc_id")) & (F.col("ha.sh") == F.col("hb.sh")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_hot"))
+    )
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    inter = (
+        inter_below.join(inter_hot, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.col("n_below") + F.coalesce(F.col("n_hot"), F.lit(0)))
+    )
+    return (
+        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
+        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+        .transform(lambda d: small_sorted(d, "doc_a", "doc_b"))
+    )
 
 
 def minhash_signatures(

@@ -148,6 +148,37 @@ def test_star_join_broadcasts_all_dims(spark):
     assert broadcast_join_count(df) == 4, "all four dim joins broadcast"
 
 
+def test_q4_exists_decorrelates_to_pruned_semi_join(spark):
+    """The EXISTS subquery must become a semi join whose probe side
+    reads only (l_orderkey, l_returnflag), with both date and returnflag
+    filters pushed to the scans."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    q4 = relational.q4_order_priority(
+        load_table(spark, SF, "orders"), load_table(spark, SF, "lineitem")
+    )
+    assert "LeftSemi" in formatted_plan(q4)
+    assert any("o_orderdate" in f for f in pushed_filters(q4))
+    assert any("l_returnflag" in f for f in pushed_filters(q4))
+    assert ["l_orderkey", "l_returnflag"] in read_schema_columns(q4)
+
+
+def test_q18_semi_join_and_broadcasts(spark):
+    """Q18's IN subquery runs as a semi join against the pre-aggregated
+    qualifying keys; the dim joins broadcast."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    q18 = relational.q18_large_volume_customer(
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "lineitem"),
+    )
+    plan = formatted_plan(q18)
+    assert "LeftSemi" in plan
+    assert broadcast_join_count(q18) >= 1
+    assert "TakeOrderedAndProject" in plan, "top-k must not global-sort"
+
+
 def test_filter_pushdown_through_projection(spark):
     li = load_table(spark, SF, "lineitem")
     df = li.select("l_orderkey", "l_quantity").filter(F.col("l_quantity") > 30)
