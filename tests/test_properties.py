@@ -124,3 +124,41 @@ def test_count_window_matches_naive(spark, raw):
         for r in count_window_sums(df, size=7, slide=3).collect()
     }
     assert got == _naive_count_window(df.collect(), size=7, slide=3)
+
+
+# Edges: arbitrary small undirected pair graphs (self-loop-free, a<b).
+_edges_strategy = st.lists(
+    st.tuples(st.integers(0, 15), st.integers(0, 15)).filter(lambda e: e[0] != e[1]),
+    min_size=1,
+    max_size=30,
+)
+
+
+def _naive_components(edges):
+    """Union-find reference: every vertex labeled with the min id of its
+    connected component."""
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    return {v: find(v) for v in parent}
+
+
+@settings(max_examples=10, deadline=None)
+@given(_edges_strategy)
+def test_neardup_clusters_match_union_find(spark, raw):
+    from flink_snappydata_spark.pipeline.dedup import neardup_clusters
+
+    edges = [(min(a, b), max(a, b)) for a, b in raw]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.doc_id: r.cluster_id for r in neardup_clusters(df).collect()}
+    assert got == _naive_components(edges)
