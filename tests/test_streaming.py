@@ -279,3 +279,76 @@ def test_streaming_asof_join_matches_batch(spark):
     want = _sorted(asof_join_events(load_table(spark, SF_SMOKE, "events")).toPandas())
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_socket_text_source_live(spark):
+    """Drive the socket source against a real localhost TCP server
+    (reference ``SocketWindowWordCount.scala`` — ``env.socketTextStream``
+    feeding the tokenize→count chain). No external infra: the test owns
+    the server socket and keeps the connection open until the query has
+    drained both lines."""
+    import socket
+    import threading
+    import time
+
+    from pyspark.sql import functions as F
+
+    from flink_snappydata_spark.operators.wordcount import TOKEN_SPLIT_PATTERN
+
+    srv = socket.socket(socket.AF_INET, socket.SOCK_STREAM)
+    srv.setsockopt(socket.SOL_SOCKET, socket.SO_REUSEADDR, 1)
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+    lines = ["to be or not to be", "that is the question"]
+    done = threading.Event()
+
+    def serve() -> None:
+        conn, _ = srv.accept()
+        try:
+            conn.sendall(("\n".join(lines) + "\n").encode())
+            done.wait(timeout=60)  # hold the connection open until drained
+        finally:
+            conn.close()
+
+    thread = threading.Thread(target=serve, daemon=True)
+    thread.start()
+    try:
+        raw = runtime.socket_text_stream(spark, "127.0.0.1", port)
+        # flatMap-tokenize parity (WordCount.scala:30); spread() is a
+        # batch-only guard, so explode directly on the stream.
+        words = raw.select(
+            F.explode(
+                F.split(F.lower(F.col("value")), TOKEN_SPLIT_PATTERN)
+            ).alias("word")
+        ).filter(F.col("word") != "")
+        q = (
+            words.writeStream.format("memory")
+            .queryName("socket_words")
+            .outputMode("append")
+            .trigger(processingTime="250 milliseconds")
+            .start()
+        )
+        try:
+            expected = sum(len(ln.split()) for ln in lines)
+            deadline = time.time() + 60
+            while time.time() < deadline:
+                if spark.table("socket_words").count() >= expected:
+                    break
+                time.sleep(0.3)
+        finally:
+            done.set()
+            q.stop()
+    finally:
+        done.set()
+        srv.close()
+    got = (
+        spark.table("socket_words")
+        .groupBy("word")
+        .count()
+        .toPandas()
+        .set_index("word")["count"]
+        .to_dict()
+    )
+    assert got["to"] == 2 and got["be"] == 2
+    assert got["question"] == 1 and got["that"] == 1
