@@ -170,6 +170,221 @@ _register(
 )
 
 _register(
+    "q5_local_supplier_volume",
+    ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    relational.q5_local_supplier_volume,
+    f"""
+    SELECT n_name, SUM({_REVENUE_CENTS}) / 10000.0 AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY n_name
+    ORDER BY revenue DESC, n_name ASC
+    """,
+    doc="TPC-H-Q5-style local supplier volume: 6-way join with the "
+        "customer-nation = supplier-nation colocation clause.",
+)
+
+_register(
+    "q7_volume_shipping",
+    ["lineitem", "supplier", "orders", "customer", "nation"],
+    relational.q7_volume_shipping,
+    f"""
+    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+           EXTRACT(year FROM l_shipdate) AS l_year,
+           SUM({_REVENUE_CENTS}) / 10000.0 AS revenue
+    FROM lineitem
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON s_nationkey = n1.n_nationkey
+    JOIN nation n2 ON c_nationkey = n2.n_nationkey
+    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
+      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+    """,
+    doc="TPC-H-Q7-style volume shipping between two nations "
+        "(disjunctive nation-pair filter, per-year grouping).",
+)
+
+_register(
+    "q10_returned_items",
+    ["customer", "orders", "lineitem", "nation"],
+    relational.q10_returned_items,
+    f"""
+    SELECT c_custkey, c_name, c_acctbal, n_name,
+           SUM({_REVENUE_CENTS}) / 10000.0 AS revenue
+    FROM orders
+    JOIN lineitem ON o_orderkey = l_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
+      AND l_returnflag = 'R'
+    GROUP BY c_custkey, c_name, c_acctbal, n_name
+    ORDER BY revenue DESC, c_custkey ASC
+    LIMIT 20
+    """,
+    doc="TPC-H-Q10-style returned-item reporting: quarterly return "
+        "revenue per customer, deterministic top-20.",
+)
+
+_register(
+    "q12_priority_shipping",
+    ["orders", "lineitem"],
+    relational.q12_priority_shipping,
+    """
+    SELECT l_linestatus,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
+    FROM lineitem
+    JOIN orders ON l_orderkey = o_orderkey
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
+    GROUP BY l_linestatus
+    ORDER BY l_linestatus
+    """,
+    doc="TPC-H-Q12-style two-bucket CASE aggregation over a fact-fact "
+        "join (l_linestatus stands in for the absent l_shipmode).",
+)
+
+_register(
+    "q14_promo_revenue",
+    ["lineitem", "part"],
+    relational.q14_promo_revenue,
+    f"""
+    SELECT 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
+                            THEN {_REVENUE_CENTS} ELSE 0 END)
+               / SUM({_REVENUE_CENTS}) AS promo_revenue
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
+    """,
+    doc="TPC-H-Q14-style promotion revenue share (exact integer-cent "
+        "sums; single-row ratio).",
+)
+
+_register(
+    "q15_top_supplier",
+    ["lineitem", "supplier"],
+    relational.q15_top_supplier,
+    f"""
+    WITH rev AS (
+        SELECT l_suppkey, SUM({_REVENUE_CENTS}) AS total_c
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
+        GROUP BY l_suppkey
+    )
+    SELECT s_suppkey, s_name, total_c / 10000.0 AS total_revenue
+    FROM rev JOIN supplier ON l_suppkey = s_suppkey
+    WHERE total_c = (SELECT MAX(total_c) FROM rev)
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H-Q15-style top supplier: revenue view + scalar MAX "
+        "subquery, exact-cents equality.",
+)
+
+_register(
+    "q16_supplier_part_count",
+    ["part", "lineitem", "supplier"],
+    relational.q16_supplier_part_count,
+    """
+    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
+      AND l_suppkey NOT IN
+          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
+    GROUP BY p_brand, p_size
+    ORDER BY supplier_cnt DESC, p_brand, p_size
+    """,
+    doc="TPC-H-Q16-style supplier count by part attributes with NOT IN "
+        "exclusion (lineitem routes stand in for partsupp).",
+)
+
+_register(
+    "q19_discounted_revenue",
+    ["lineitem", "part"],
+    relational.q19_discounted_revenue,
+    f"""
+    SELECT SUM({_REVENUE_CENTS}) / 10000.0 AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem
+    JOIN part ON l_partkey = p_partkey
+    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+           AND l_quantity BETWEEN 1 AND 11)
+       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+           AND l_quantity BETWEEN 10 AND 20)
+       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+           AND l_quantity BETWEEN 20 AND 30)
+    """,
+    doc="TPC-H-Q19-style disjunctive-predicate revenue (OR of three "
+        "brand/size/quantity conjunctions over the part join).",
+)
+
+_register(
+    "q21_waiting_supplier",
+    ["supplier", "lineitem", "orders"],
+    relational.q21_waiting_supplier,
+    """
+    SELECT s_name, COUNT(*) AS numwait
+    FROM supplier
+    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
+    JOIN orders ON o_orderkey = l1.l_orderkey
+    WHERE o_orderstatus = 'F'
+      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s_name
+    ORDER BY numwait DESC, s_name ASC
+    LIMIT 100
+    """,
+    doc="TPC-H-Q21-style waiting supplier: EXISTS + NOT EXISTS pair, "
+        "decorrelated Spark-side into one per-order aggregation.",
+)
+
+_register(
+    "q22_global_sales_opportunity",
+    ["customer", "orders"],
+    relational.q22_global_sales_opportunity,
+    f"""
+    SELECT c_nationkey, COUNT(*) AS numcust,
+           SUM({_cents('c_acctbal')}) / 100.0 AS totacctbal
+    FROM customer
+    WHERE {_cents('c_acctbal')}
+              * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
+          > (SELECT SUM({_cents('c_acctbal')}) FROM customer
+             WHERE c_acctbal > 0)
+      AND NOT EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey
+                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
+    GROUP BY c_nationkey
+    ORDER BY c_nationkey
+    """,
+    doc="TPC-H-Q22-style global sales opportunity: above-average "
+        "balance via exact cross-multiplied cents, anti join on recent "
+        "orders, per-nation rollup.",
+)
+
+_register(
     "agg_distinct",
     ["orders"],
     relational.agg_distinct,
@@ -1440,6 +1655,16 @@ _HEAD = [
     "q3_shipping_priority",
     "q4_order_priority",
     "q18_large_volume_customer",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
     "ann_lsh_neardup",
     "ann_ivf_topk",
     "text_token_count",
