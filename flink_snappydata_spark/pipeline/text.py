@@ -153,3 +153,128 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     return spread(documents, "doc_id").select(
         "doc_id", fp_udf(F.col("text")).alias("fingerprint")
     ).orderBy("doc_id")
+
+
+# --- repetition / PII / corpus composition ------------------------------
+
+#: PII patterns chosen for identical semantics in Java regex (Spark) and
+#: RE2 (DuckDB): no backreferences, no lookaround.
+EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+IPV4_RE = r"\b[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\.[0-9]{1,3}\b"
+PHONE_RE = r"\+[0-9]{1,3}[ -][0-9]{2,4}[ -][0-9]{3,4}[ -][0-9]{3,4}"
+
+
+def repetition_scores(documents: DataFrame) -> DataFrame:
+    """Intra-document repetition features — the standard boilerplate /
+    degenerate-text filters: distinct-word ratio and the share of the
+    single most frequent word.
+
+    Scale: the distinct ratio is a pure projection (array ops on the
+    tokenized text, zero shuffle). The top-word share explodes to
+    (doc_id, word) and aggregates twice — both shuffles carry counts,
+    not text, and combine map-side. All ratios are exact-int divisions
+    (deterministic IEEE doubles, hash-stable across engines).
+    """
+    words = _words(F.col("text"))
+    base = documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
+        F.explode(words).alias("word"),
+    )
+    per_word = base.groupBy("doc_id", "n_words", "n_distinct_words", "word").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return (
+        per_word.groupBy("doc_id", "n_words", "n_distinct_words")
+        .agg(F.max("cnt").alias("top_word_cnt"))
+        .select(
+            "doc_id",
+            "n_words",
+            "n_distinct_words",
+            (F.col("n_distinct_words").cast("double") / F.col("n_words")).alias(
+                "distinct_ratio"
+            ),
+            (F.col("top_word_cnt").cast("double") / F.col("n_words")).alias(
+                "top_word_share"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def _with_synthetic_pii(documents: DataFrame) -> DataFrame:
+    """Append deterministic doc_id-derived PII to each document.
+
+    The fixture corpus contains no PII at all, which would make a
+    redaction oracle check vacuous; both engines append the same
+    synthetic contact line (a pure function of doc_id) so the regex
+    parity below is exercised on every row.
+    """
+    return documents.withColumn(
+        "text",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@example.com ip 10.0."),
+            F.pmod(F.col("doc_id"), F.lit(256)).cast("string"),
+            F.lit(".7 tel +1 555 01"),
+            F.pmod(F.col("doc_id"), F.lit(90)).cast("string"),
+            F.lit(" 4242"),
+        ),
+    )
+
+
+def pii_redaction(documents: DataFrame, synthesize: bool = True) -> DataFrame:
+    """Scrub emails / IPv4s / phone numbers, keeping match counts —
+    the pre-training privacy pass.
+
+    Scale: three JVM regexp passes per row, zero shuffle, fully
+    pipelined in whole-stage codegen. Patterns avoid constructs whose
+    semantics differ between Java regex and RE2 so the same result is
+    reproducible in any engine.
+    """
+    if synthesize:
+        documents = _with_synthetic_pii(documents)
+    text = F.col("text")
+    n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long")
+    n_ips = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).cast("long")
+    n_phones = F.size(F.regexp_extract_all(text, F.lit(PHONE_RE), 0)).cast("long")
+    clean = F.regexp_replace(
+        F.regexp_replace(
+            F.regexp_replace(text, EMAIL_RE, "<EMAIL>"), IPV4_RE, "<IP>"
+        ),
+        PHONE_RE,
+        "<PHONE>",
+    )
+    return documents.select(
+        "doc_id",
+        n_emails.alias("n_emails"),
+        n_ips.alias("n_ips"),
+        n_phones.alias("n_phones"),
+        clean.alias("clean_text"),
+    ).orderBy("doc_id")
+
+
+def source_stats(documents: DataFrame) -> DataFrame:
+    """Corpus composition by (source, lang): doc counts, exact char
+    volume, mean and exact median document length — the report every
+    curation run starts from.
+
+    Scale: single hash agg; the exact median sorts within groups (fine
+    at report cardinality ~sources×langs); swap to approx_percentile at
+    extreme group sizes.
+    """
+    return (
+        documents.groupBy("source", "lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(F.length("text")).cast("long").alias("n_chars"),
+            (
+                F.sum(F.length("text")).cast("double") / F.count(F.lit(1))
+            ).alias("mean_chars"),
+            F.expr("percentile(length(text), 0.5)").alias("median_chars"),
+        )
+        .orderBy("source", "lang")
+    )

@@ -23,7 +23,14 @@ from pyspark.sql import DataFrame, SparkSession
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.functions import scalar
 from flink_snappydata_spark.operators import analytic, asof, grouped, relational, wordcount
-from flink_snappydata_spark.pipeline import curation, dedup, multimodal, sampling, similarity
+from flink_snappydata_spark.pipeline import (
+    curation,
+    dedup,
+    multimodal,
+    packing,
+    sampling,
+    similarity,
+)
 from flink_snappydata_spark.pipeline import text as textops
 from flink_snappydata_spark.streaming import count_window as cw
 from flink_snappydata_spark.streaming import joins as stream_joins
@@ -1632,6 +1639,138 @@ _register(
         "feature extraction (digest stand-in for stubbed codecs).",
 )
 
+# ---------------------------------------------------------------------------
+# Training-shard assembly + text hygiene (pipeline/packing.py, text.py)
+# ---------------------------------------------------------------------------
+
+_register(
+    "seq_packing",
+    ["documents"],
+    packing.pack_stats,
+    r"""
+    WITH toks AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(text, '\s+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens
+        FROM documents
+    ), packed AS (
+        SELECT source, n_tokens,
+               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                        AND CURRENT ROW) - n_tokens AS off
+        FROM toks
+    )
+    SELECT source, CAST(off // 256 AS BIGINT) AS pack_id,
+           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
+    FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
+    """,
+    doc="Sequence packing: greedy contiguous fill of 256-token training "
+        "sequences per source shard (window cumsum, integer-DIV pack id).",
+)
+
+_register(
+    "global_index",
+    ["documents"],
+    lambda documents: packing.global_index(documents).orderBy("doc_id"),
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
+    FROM documents ORDER BY doc_id
+    """,
+    doc="Distributed zipWithIndex: bucketed two-phase global rank (no "
+        "global sort, driver sees only the bucket histogram).",
+)
+
+_register(
+    "shard_stats",
+    ["documents"],
+    packing.shard_stats,
+    """
+    SELECT CAST((doc_id * 2654435761 % 2147483648) % 16 AS BIGINT) AS shard,
+           COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars
+    FROM documents GROUP BY shard ORDER BY shard
+    """,
+    doc="Deterministic output sharding: portable multiplicative-hash "
+        "shard id (engine-independent BIGINT arithmetic), balance report.",
+)
+
+_register(
+    "text_repetition",
+    ["documents"],
+    textops.repetition_scores,
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS words
+        FROM documents
+    ), base AS (
+        SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
+               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
+               unnest(words) AS word
+        FROM w
+    ), per_word AS (
+        SELECT doc_id, n_words, n_distinct_words, word, COUNT(*) AS cnt
+        FROM base GROUP BY doc_id, n_words, n_distinct_words, word
+    )
+    SELECT doc_id, n_words, n_distinct_words,
+           CAST(n_distinct_words AS DOUBLE) / n_words AS distinct_ratio,
+           CAST(MAX(cnt) AS DOUBLE) / n_words AS top_word_share
+    FROM per_word GROUP BY doc_id, n_words, n_distinct_words
+    ORDER BY doc_id
+    """,
+    doc="Intra-document repetition: distinct-word ratio + top-word share "
+        "(boilerplate/degenerate-text filters).",
+)
+
+_register(
+    "pii_redaction",
+    ["documents"],
+    textops.pii_redaction,
+    rf"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com ip 10.0.'
+                    || CAST(doc_id % 256 AS VARCHAR)
+                    || '.7 tel +1 555 01'
+                    || CAST(doc_id % 90 AS VARCHAR) || ' 4242' AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{textops.EMAIL_RE}'))
+                AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(text, '{textops.IPV4_RE}'))
+                AS BIGINT) AS n_ips,
+           CAST(len(regexp_extract_all(text, '{textops.PHONE_RE}'))
+                AS BIGINT) AS n_phones,
+           regexp_replace(regexp_replace(regexp_replace(
+               text, '{textops.EMAIL_RE}', '<EMAIL>', 'g'),
+               '{textops.IPV4_RE}', '<IP>', 'g'),
+               '{textops.PHONE_RE}', '<PHONE>', 'g') AS clean_text
+    FROM enriched ORDER BY doc_id
+    """,
+    doc="PII scrubbing (emails/IPv4/phones) with match counts; both "
+        "engines enrich with deterministic doc_id-derived PII so the "
+        "regex parity check is non-vacuous on the clean fixture.",
+)
+
+_register(
+    "source_stats",
+    ["documents"],
+    textops.source_stats,
+    """
+    SELECT source, lang, COUNT(*) AS n_docs,
+           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
+           CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS mean_chars,
+           quantile_cont(length(text), 0.5) AS median_chars
+    FROM documents GROUP BY source, lang ORDER BY source, lang
+    """,
+    doc="Corpus composition by (source, lang): counts, exact char "
+        "volume, mean and exact median document length.",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -1679,6 +1818,12 @@ _HEAD = [
     "train_val_test_split",
     "agg_approx_distinct",
     "multimodal_features",
+    "seq_packing",
+    "global_index",
+    "shard_stats",
+    "text_repetition",
+    "pii_redaction",
+    "source_stats",
 ]
 
 _TAIL = [

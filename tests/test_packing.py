@@ -1,0 +1,96 @@
+"""Unit tests for the training-shard assembly operators
+(pipeline/packing.py) and the text hygiene additions beyond what the
+oracle parity sweep already pins."""
+
+from __future__ import annotations
+
+import glob
+
+from pyspark.sql import functions as F
+
+from flink_snappydata_spark.pipeline.packing import (
+    global_index,
+    pack_sequences,
+    shard_assignment,
+    write_sharded,
+)
+from flink_snappydata_spark.pipeline.text import pii_redaction
+
+
+def _docs(spark, rows):
+    return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_pack_sequences_boundary(spark):
+    # capacity 10; token counts 4,4,4 -> offsets 0,4,8: the third doc
+    # starts inside pack 0 (offset 8 < 10) and overflows it.
+    rows = [(i, "s", "w " * 4) for i in range(3)]
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id)
+        for r in pack_sequences(_docs(spark, rows), capacity=10).collect()
+    }
+    assert got == {0: (4, 0), 1: (4, 0), 2: (4, 0)}
+    # capacity 8: offsets 0,4,8 -> third doc opens pack 1 exactly.
+    got = {
+        r.doc_id: r.pack_id
+        for r in pack_sequences(_docs(spark, rows), capacity=8).collect()
+    }
+    assert got == {0: 0, 1: 0, 2: 1}
+
+
+def test_pack_sequences_per_shard_independent(spark):
+    rows = [(1, "a", "x y z"), (2, "b", "x y z"), (3, "a", "x")]
+    got = {
+        (r.source, r.doc_id): r.pack_id
+        for r in pack_sequences(_docs(spark, rows), capacity=4).collect()
+    }
+    # each source packs from offset 0 independently
+    assert got == {("a", 1): 0, ("b", 2): 0, ("a", 3): 0}
+
+
+def test_global_index_skewed_ids(spark):
+    # Heavily clustered ids: most buckets empty, one bucket dense.
+    ids = [0, 1, 2, 3, 4, 10_000_000, 10_000_001, 99_999_999]
+    df = _docs(spark, [(i, "s", "t") for i in ids])
+    got = {r.doc_id: r.idx for r in global_index(df, n_buckets=8).collect()}
+    assert got == {v: i for i, v in enumerate(sorted(ids))}
+
+
+def test_global_index_single_doc(spark):
+    df = _docs(spark, [(42, "s", "t")])
+    assert [(r.doc_id, r.idx) for r in global_index(df).collect()] == [(42, 0)]
+
+
+def test_write_sharded_roundtrip(spark, tmp_path):
+    rows = [(i, "s", f"doc {i}") for i in range(100)]
+    path = str(tmp_path / "shards")
+    write_sharded(_docs(spark, rows), path, n_shards=4, max_records_per_file=10)
+    back = spark.read.parquet(path)
+    assert back.count() == 100
+    # directory partitioning materialized and consistent with the
+    # in-plan assignment
+    want = {
+        (r.doc_id, r.shard)
+        for r in shard_assignment(_docs(spark, rows), 4).collect()
+    }
+    got = {(r.doc_id, int(r.shard)) for r in back.select("doc_id", "shard").collect()}
+    assert got == want
+    # file-size cap respected
+    for f in glob.glob(f"{path}/shard=*/*.parquet"):
+        n = spark.read.parquet(f).count()
+        assert n <= 10
+
+
+def test_pii_redaction_direct(spark):
+    df = _docs(
+        spark,
+        [
+            (1, "s", "mail a.b+c@foo-bar.org then 8.8.8.8 and +44 20 7946 0958 done"),
+            (2, "s", "no pii here"),
+        ],
+    )
+    got = {r.doc_id: r for r in pii_redaction(df, synthesize=False).collect()}
+    assert got[1].n_emails == 1 and got[1].n_ips == 1 and got[1].n_phones == 1
+    assert got[1].clean_text == "mail <EMAIL> then <IP> and <PHONE> done"
+    assert got[2].n_emails == got[2].n_ips == got[2].n_phones == 0
+    assert got[2].clean_text == "no pii here"
