@@ -34,6 +34,8 @@ HEADLINE = [
     "q4_order_priority",
     "q6_forecast_revenue",
     "q18_large_volume_customer",
+    "q5_local_supplier_volume",
+    "q21_waiting_supplier",
     "star_join_revenue",
     "broadcast_dim_join",
     "wordcount_batch",
@@ -48,6 +50,8 @@ HEADLINE = [
     "dedup_minhash",
     "ann_cosine_topk",
     "text_quality",
+    "seq_packing",
+    "pii_redaction",
 ]
 
 

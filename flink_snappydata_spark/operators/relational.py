@@ -814,10 +814,12 @@ def q21_waiting_supplier(
     l_shipdate > o_orderdate + late_days, replacing the absent
     commit/receipt dates).
 
-    Scale: the reference EXISTS / NOT-EXISTS pair decorrelates into one
-    per-order aggregation (distinct suppliers, distinct late suppliers)
-    joined back to the late lines — two shuffles on l_orderkey total,
-    instead of two correlated re-scans of lineitem.
+    Scale: the reference EXISTS / NOT-EXISTS pair decorrelates into
+    aggregate-first form — lineitem⋈orders is computed ONCE, collapsed
+    to (order, supplier) rows, and the per-order supplier/late-supplier
+    counts come from a second, far smaller aggregation. A naive
+    decorrelation references the joined fact twice and re-scans it;
+    this shape never does.
     """
     li = (
         lineitem.join(
@@ -831,9 +833,13 @@ def q21_waiting_supplier(
         )
         .select("l_orderkey", "l_suppkey", "is_late")
     )
-    per_order = li.groupBy("l_orderkey").agg(
-        F.count_distinct("l_suppkey").alias("n_supp"),
-        F.count_distinct(F.when(F.col("is_late"), F.col("l_suppkey"))).alias(
+    # one pass over the joined fact: late-line count per (order, supplier)
+    os_agg = li.groupBy("l_orderkey", "l_suppkey").agg(
+        F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines")
+    )
+    per_order = os_agg.groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("n_supp"),
+        F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).alias(
             "n_late_supp"
         ),
     )
@@ -841,11 +847,11 @@ def q21_waiting_supplier(
         (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
     ).select("l_orderkey")
     return (
-        li.filter(F.col("is_late"))
+        os_agg.filter(F.col("n_late_lines") > 0)
         .join(lone_late_orders, "l_orderkey", "left_semi")
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("n_late_lines").cast("long").alias("numwait"))
         .orderBy(F.col("numwait").desc(), F.col("s_name").asc())
         .limit(k)
     )

@@ -280,6 +280,68 @@ def minhash_signatures(
     ).select("doc_id", *[F.col("sig")[i].alias(f"h{i}") for i in range(k)])
 
 
+def minhash_band_hashes(
+    documents: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, band_id, band_hash) — LSH band buckets, fully kernel-side.
+
+    The signature matrix never leaves the Arrow batch: the kernel takes
+    the per-band FNV-style polynomial combine of the ``rows`` MinHash
+    values and emits only ``bands`` int64s per document, so the plan
+    explodes a 16-element array instead of projecting 64 signature
+    columns into per-band ``xxhash64`` structs (measured ~2x faster at
+    sf0.1, identical candidate semantics: equal band hash ⇔ equal band
+    with overwhelming probability).
+    """
+    import re
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    k = bands * rows
+    ascii_nonword = re.compile(r"\W+", re.ASCII)
+    a_mat = np.array(_HASH_A[:k], dtype=np.uint64)[:, None]
+    b_mat = np.array(_HASH_B[:k], dtype=np.uint64)[:, None]
+    p = np.uint64(_P32)
+    fnv = np.uint64(1099511628211)
+    n = SHINGLE_N
+
+    @F.pandas_udf("array<long>")
+    def _bands(texts):
+        out = []
+        for t in texts:
+            ws = [w for w in ascii_nonword.split(t.lower()) if w]
+            if len(ws) >= n:
+                sh = dict.fromkeys(
+                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                )
+            else:
+                sh = {" ".join(ws): None}
+            x = np.fromiter(
+                (zlib.crc32(s.encode()) for s in sh),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            sig = ((a_mat * x[None, :] + b_mat) % p).min(axis=1)
+            with np.errstate(over="ignore"):
+                bh = np.zeros(bands, dtype=np.uint64)
+                for r in range(rows):
+                    bh = bh * fnv + sig.reshape(bands, rows)[:, r]
+            out.append(bh.astype(np.int64))
+        return pd.Series(out)
+
+    return (
+        spread(documents, "doc_id")
+        .select("doc_id", F.posexplode(_bands(F.col("text"))))
+        .select(
+            "doc_id",
+            F.col("pos").alias("band_id"),
+            F.col("col").alias("band_hash"),
+        )
+    )
+
+
 def minhash_lsh_candidates(
     documents: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
 ) -> DataFrame:
@@ -289,21 +351,9 @@ def minhash_lsh_candidates(
     colliding in any band pair up. Self-join key is (band_id,
     band_hash) — candidate volume is data-dependent but never O(n²).
     """
-    sigs = minhash_signatures(documents, bands * rows)
-    band_structs = F.array(
-        *[
-            F.struct(
-                F.lit(j).alias("band_id"),
-                F.xxhash64(*[f"h{j * rows + r}" for r in range(rows)]).alias("band_hash"),
-            )
-            for j in range(bands)
-        ]
-    )
     # Persist: both self-join sides read the banded signatures — without
     # it the whole shingle→signature pipeline runs twice.
-    banded = sigs.select("doc_id", F.explode(band_structs).alias("b")).select(
-        "doc_id", "b.band_id", "b.band_hash"
-    ).persist()
+    banded = minhash_band_hashes(documents, bands, rows).persist()
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -375,45 +425,44 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     O(component diameter) rounds — near-dup clusters are shallow (a hub
     document links its variants), so few iterations suffice; the loop
     stops as soon as an iteration changes nothing. Each iteration is one
-    distributed join + aggregation; the driver sees only the converged
-    flag, never the data.
+    join + aggregation; the old label rides along in the same frame so
+    the convergence check is a filter-count, not a second join, and
+    ``localCheckpoint`` truncates the lineage so iteration N's plan does
+    not re-optimize (and on cache eviction re-execute) iterations
+    1..N-1. The driver sees only the converged flag, never the data.
     """
     sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
     sym = sym.union(
         sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).persist()
+    ).localCheckpoint(eager=False)
     labels = (
         sym.select(F.col("src").alias("doc_id"))
         .distinct()
         .withColumn("cluster_id", F.col("doc_id"))
-        .persist()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = sym.join(
             labels, sym["dst"] == labels["doc_id"]
         ).groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
-        new_labels = (
+        upd = (
             labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
             .select(
                 "doc_id",
+                F.col("cluster_id").alias("old_cluster_id"),
                 F.least(
                     F.col("cluster_id"),
                     F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .persist()
+            .localCheckpoint()  # eager: one job materializes the iteration
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), F.col("n.doc_id") == F.col("o.doc_id"))
-            .filter(F.col("n.cluster_id") != F.col("o.cluster_id"))
-            .count()
-        )
-        labels.unpersist()
-        labels = new_labels
+        changed = upd.filter(
+            F.col("cluster_id") != F.col("old_cluster_id")
+        ).count()
+        labels = upd.select("doc_id", "cluster_id")
         if changed == 0:
             break
-    sym.unpersist()
     return labels.orderBy("doc_id")
 
 

@@ -175,12 +175,18 @@ def repetition_scores(documents: DataFrame) -> DataFrame:
     not text, and combine map-side. All ratios are exact-int divisions
     (deterministic IEEE doubles, hash-stable across engines).
     """
-    words = _words(F.col("text"))
-    base = documents.select(
+    # Materialize the token array and its scalars BEFORE the explode:
+    # putting them in the same projection as explode() makes Catalyst
+    # re-evaluate the regex split + array_distinct once per exploded
+    # word row (measured 6x slower at sf0.1).
+    pre = documents.select("doc_id", _words(F.col("text")).alias("words")).select(
         "doc_id",
-        F.size(words).cast("long").alias("n_words"),
-        F.size(F.array_distinct(words)).cast("long").alias("n_distinct_words"),
-        F.explode(words).alias("word"),
+        F.size("words").cast("long").alias("n_words"),
+        F.size(F.array_distinct("words")).cast("long").alias("n_distinct_words"),
+        F.col("words"),
+    )
+    base = pre.select(
+        "doc_id", "n_words", "n_distinct_words", F.explode("words").alias("word")
     )
     per_word = base.groupBy("doc_id", "n_words", "n_distinct_words", "word").agg(
         F.count(F.lit(1)).alias("cnt")

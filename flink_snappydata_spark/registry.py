@@ -1804,6 +1804,15 @@ _HEAD = [
     "q19_discounted_revenue",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "session_funnel",  # round 1's only hash-fail; oracle fixed, must re-verify
+    "decontamination",
+    "dedup_clusters",
+    # re-proof: implementations/oracles changed since their round-1 rows
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash",
+    "events_session_window",
+    "count_window",
     "ann_lsh_neardup",
     "ann_ivf_topk",
     "text_token_count",
