@@ -890,3 +890,62 @@ def q22_global_sales_opportunity(
         )
         .orderBy("c_nationkey")
     )
+
+
+def q13_customer_distribution(
+    customer: DataFrame, orders: DataFrame
+) -> DataFrame:
+    """TPC-H-Q13-style customer order-count distribution: LEFT join so
+    zero-order customers count, then the distribution of per-customer
+    order counts (fixture adaptation: the excluded-comment predicate
+    becomes "exclude urgent orders").
+
+    Scale: one outer-join shuffle on the customer key, then a
+    count-of-counts aggregation whose input is one row per customer and
+    whose output is the tiny distribution histogram.
+    """
+    return (
+        customer.join(
+            orders.filter(F.col("o_orderpriority") != "1-URGENT"),
+            F.col("c_custkey") == F.col("o_custkey"),
+            "left",
+        )
+        .groupBy("c_custkey")
+        .agg(F.count("o_orderkey").alias("c_count"))
+        .groupBy("c_count")
+        .agg(F.count(F.lit(1)).alias("custdist"))
+        .orderBy(F.col("custdist").desc(), F.col("c_count").desc())
+    )
+
+
+def q17_small_quantity_revenue(
+    lineitem: DataFrame, part: DataFrame, brand: str = "Brand#12"
+) -> DataFrame:
+    """TPC-H-Q17-style small-quantity-order revenue: lines of one brand
+    whose quantity is below 20% of that part's average quantity.
+
+    Scale: the correlated AVG decorrelates to one per-part aggregation
+    of the brand-filtered lines (tiny, broadcast back); the threshold
+    compare is exact integer cross-multiplication —
+    ``qty < 0.2 * (sum/cnt)``  ⇔  ``qty_c * 5 * cnt < sum_c`` — no float
+    AVG anywhere, so the boundary matches the SQL oracle bit-for-bit.
+    """
+    qty_c = cents("l_quantity")
+    branded = lineitem.join(
+        F.broadcast(part.filter(F.col("p_brand") == brand)),
+        F.col("l_partkey") == F.col("p_partkey"),
+    ).select("l_partkey", qty_c.alias("qty_c"), cents("l_extendedprice").alias("price_c"))
+    per_part = branded.groupBy("l_partkey").agg(
+        F.sum("qty_c").alias("sum_qty_c"), F.count(F.lit(1)).alias("n_lines")
+    ).withColumnRenamed("l_partkey", "agg_partkey")
+    return (
+        branded.join(
+            F.broadcast(per_part),
+            F.col("l_partkey") == F.col("agg_partkey"),
+        )
+        .filter(F.col("qty_c") * 5 * F.col("n_lines") < F.col("sum_qty_c"))
+        .agg(
+            (F.sum("price_c") / F.lit(700.0)).alias("avg_yearly"),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )

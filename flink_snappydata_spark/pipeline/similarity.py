@@ -322,3 +322,30 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .orderBy("query_id", "rank")
     )
+
+
+def label_centroids(embeddings: DataFrame) -> DataFrame:
+    """Per-label mean embedding, one row per (label, pos) component —
+    the class-centroid / codebook-building primitive (an IVF coarse
+    quantizer is exactly k centroids; per-class centroids also drive
+    nearest-class-mean classification and embedding drift reports).
+
+    Scale: posexplode to (label, pos, q) then ONE hash aggregation —
+    partial sums combine map-side, the shuffle carries (label, pos)
+    keyed int64 sums, never vectors. Exact int64 component sums (all
+    |sum| < 2^53, so the final double conversion and the fixed
+    divide-by-count-then-scale order are bit-identical in any engine).
+    """
+    comp = embeddings.select(
+        "label", F.posexplode(_qvec(F.col("embedding"))).alias("pos", "q")
+    )
+    return (
+        comp.groupBy("label", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (
+                F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(QUANT)
+            ).alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )

@@ -284,3 +284,28 @@ def source_stats(documents: DataFrame) -> DataFrame:
         )
         .orderBy("source", "lang")
     )
+
+
+def frequent_tokens(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus-level heavy hitters: the k most frequent tokens with
+    counts and corpus share — vocabulary pruning / stopword discovery /
+    tokenizer QA.
+
+    Scale: explode → hash agg with map-side combine (shuffle carries
+    (token, count), cardinality = vocabulary); global top-k via
+    TakeOrderedAndProject with a token tiebreak — no full sort. The
+    total-token denominator is a 1-row broadcast scalar.
+    """
+    words = documents.select(F.explode(_words(F.col("text"))).alias("word"))
+    counts = words.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    total = counts.agg(F.sum("cnt").alias("total"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "word",
+            "cnt",
+            (F.col("cnt").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy(F.col("cnt").desc(), F.col("word").asc())
+        .limit(k)
+    )

@@ -392,6 +392,51 @@ _register(
 )
 
 _register(
+    "q13_customer_distribution",
+    ["customer", "orders"],
+    relational.q13_customer_distribution,
+    """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c_custkey, COUNT(o_orderkey) AS c_count
+        FROM customer
+        LEFT JOIN orders ON c_custkey = o_custkey
+                        AND o_orderpriority <> '1-URGENT'
+        GROUP BY c_custkey
+    ) t
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+    """,
+    doc="TPC-H-Q13-style order-count distribution: LEFT join preserving "
+        "zero-order customers, count-of-counts histogram.",
+)
+
+_register(
+    "q17_small_quantity_revenue",
+    ["lineitem", "part"],
+    relational.q17_small_quantity_revenue,
+    f"""
+    WITH branded AS (
+        SELECT l_partkey, {_cents('l_quantity')} AS qty_c,
+               {_cents('l_extendedprice')} AS price_c
+        FROM lineitem JOIN part ON l_partkey = p_partkey
+        WHERE p_brand = 'Brand#12'
+    ), per_part AS (
+        SELECT l_partkey AS agg_partkey,
+               CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
+               COUNT(*) AS n_lines
+        FROM branded GROUP BY l_partkey
+    )
+    SELECT SUM(price_c) / 700.0 AS avg_yearly, COUNT(*) AS n_lines
+    FROM branded JOIN per_part ON l_partkey = agg_partkey
+    WHERE qty_c * 5 * n_lines < sum_qty_c
+    """,
+    doc="TPC-H-Q17-style small-quantity revenue: correlated per-part "
+        "AVG decorrelated to one aggregation; threshold via exact "
+        "integer cross-multiplication (no float AVG).",
+)
+
+_register(
     "agg_distinct",
     ["orders"],
     relational.agg_distinct,
@@ -1771,6 +1816,46 @@ _register(
         "volume, mean and exact median document length.",
 )
 
+_register(
+    "frequent_tokens",
+    ["documents"],
+    textops.frequent_tokens,
+    r"""
+    WITH w AS (
+        SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    ), counts AS (
+        SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
+    )
+    SELECT word, CAST(cnt AS BIGINT) AS cnt,
+           CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM counts) AS share
+    FROM counts ORDER BY cnt DESC, word ASC LIMIT 50
+    """,
+    doc="Corpus heavy hitters: top-50 tokens by frequency with corpus "
+        "share (vocabulary pruning / stopword discovery).",
+)
+
+_register(
+    "label_centroids",
+    ["embeddings"],
+    similarity.label_centroids,
+    """
+    WITH comp AS (
+        SELECT label, CAST(i - 1 AS BIGINT) AS pos,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) s(i)
+    )
+    SELECT label, pos,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid,
+           COUNT(*) AS n_vectors
+    FROM comp GROUP BY label, pos ORDER BY label, pos
+    """,
+    doc="Per-label mean embedding (class centroids / coarse-quantizer "
+        "codebook), exact int64 component sums.",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -1804,6 +1889,8 @@ _HEAD = [
     "q19_discounted_revenue",
     "q21_waiting_supplier",
     "q22_global_sales_opportunity",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
     "session_funnel",  # round 1's only hash-fail; oracle fixed, must re-verify
     "decontamination",
     "dedup_clusters",
@@ -1833,6 +1920,8 @@ _HEAD = [
     "text_repetition",
     "pii_redaction",
     "source_stats",
+    "frequent_tokens",
+    "label_centroids",
 ]
 
 _TAIL = [
