@@ -601,7 +601,7 @@ def q7_volume_shipping(
         .groupBy(
             "supp_nation",
             "cust_nation",
-            F.year("l_shipdate").alias("l_year"),
+            F.year("l_shipdate").cast("long").alias("l_year"),
         )
         .agg((F.sum(revenue_c) / F.lit(10000.0)).alias("revenue"))
         .orderBy("supp_nation", "cust_nation", "l_year")
@@ -948,4 +948,136 @@ def q17_small_quantity_revenue(
             (F.sum("price_c") / F.lit(700.0)).alias("avg_yearly"),
             F.count(F.lit(1)).alias("n_lines"),
         )
+    )
+
+
+def q8_market_share(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    orders: DataFrame,
+    customer: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    target_nation: str = "NATION_5",
+    region_name: str = "ASIA",
+    part_type: str = "STANDARD",
+) -> DataFrame:
+    """TPC-H-Q8-style national market share: the target nation's
+    suppliers' share of one region's market for one part type, per
+    order year.
+
+    Scale: part/supplier/nation/region broadcast; the two fact shuffles
+    are lineitem⋈orders and orders⋈customer. The share is a ratio of
+    two exact integer-cent sums per year — the conditional sum folds
+    into the same partial aggregation, so the ratio costs nothing extra.
+    """
+    revenue_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount"))
+    supp_nation = nation.select(
+        F.col("n_nationkey").alias("sn_key"), F.col("n_name").alias("supp_nation")
+    )
+    market_nations = (
+        nation.join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select(F.col("n_nationkey").alias("cn_key"))
+    )
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_type") == part_type)),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(
+            orders.filter(
+                (F.col("o_orderdate") >= _ts("1996-01-01"))
+                & (F.col("o_orderdate") < _ts("1998-01-01"))
+            ),
+            F.col("l_orderkey") == F.col("o_orderkey"),
+        )
+        .join(customer, F.col("o_custkey") == F.col("c_custkey"))
+        .join(F.broadcast(market_nations), F.col("c_nationkey") == F.col("cn_key"))
+        .join(F.broadcast(supp_nation), F.col("s_nationkey") == F.col("sn_key"))
+        .groupBy(F.year("o_orderdate").cast("long").alias("o_year"))
+        .agg(
+            (
+                F.sum(
+                    F.when(F.col("supp_nation") == target_nation, revenue_c)
+                    .otherwise(F.lit(0))
+                ).cast("double")
+                / F.sum(revenue_c)
+            ).alias("mkt_share")
+        )
+        .orderBy("o_year")
+    )
+
+
+def q9_product_profit(
+    lineitem: DataFrame,
+    part: DataFrame,
+    supplier: DataFrame,
+    orders: DataFrame,
+    nation: DataFrame,
+    name_fragment: str = "red",
+) -> DataFrame:
+    """TPC-H-Q9-style product-type profit by (supplier nation, year)
+    (fixture adaptation: cost = p_retailprice * l_quantity stands in for
+    the absent partsupp.ps_supplycost).
+
+    Scale: part (name-filtered) and supplier/nation broadcast; one
+    lineitem⋈orders shuffle; profit computed in exact cents² units so
+    the nation/year sums are order-independent.
+    """
+    amount_c = cents("l_extendedprice") * (F.lit(100) - cents("l_discount")) - cents(
+        "p_retailprice"
+    ) * cents("l_quantity")
+    return (
+        lineitem.join(
+            F.broadcast(part.filter(F.col("p_name").contains(name_fragment))),
+            F.col("l_partkey") == F.col("p_partkey"),
+        )
+        .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
+        .join(orders, F.col("l_orderkey") == F.col("o_orderkey"))
+        .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .groupBy(
+            F.col("n_name").alias("nation"),
+            F.year("o_orderdate").cast("long").alias("o_year"),
+        )
+        .agg((F.sum(amount_c) / F.lit(10000.0)).alias("sum_profit"))
+        .orderBy(F.col("nation").asc(), F.col("o_year").desc())
+    )
+
+
+def q20_excess_suppliers(
+    supplier: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """TPC-H-Q20-style nested-IN supplier selection: suppliers that
+    shipped more than half of some part's total shipped quantity
+    (fixture adaptation of "has excess stock of a needed part"; the
+    correlated half-sum threshold is the Q20 idiom).
+
+    Scale: both aggregations reduce lineitem before any join — the
+    (part, supplier) rollup and the per-part total share the first
+    shuffle's partitioning on l_partkey; the winner set joins back to
+    supplier as a broadcast semi join. The half threshold compares
+    2*ps > total in exact integers.
+    """
+    qty_c = cents("l_quantity")
+    ps = lineitem.groupBy("l_partkey", "l_suppkey").agg(
+        F.sum(qty_c).alias("ps_qty_c")
+    )
+    totals = lineitem.groupBy(F.col("l_partkey").alias("pk")).agg(
+        F.sum(qty_c).alias("total_qty_c")
+    )
+    winners = (
+        ps.join(totals, F.col("l_partkey") == F.col("pk"))
+        .filter(F.col("ps_qty_c") * 2 > F.col("total_qty_c"))
+        .select("l_suppkey")
+        .distinct()
+    )
+    return (
+        supplier.join(winners, F.col("s_suppkey") == F.col("l_suppkey"), "left_semi")
+        .select("s_suppkey", "s_name", "s_acctbal")
+        .orderBy("s_suppkey")
     )

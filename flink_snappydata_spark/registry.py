@@ -392,6 +392,81 @@ _register(
 )
 
 _register(
+    "q8_market_share",
+    ["part", "supplier", "lineitem", "orders", "customer", "nation", "region"],
+    relational.q8_market_share,
+    f"""
+    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
+           CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
+                         THEN {_REVENUE_CENTS} ELSE 0 END) AS DOUBLE)
+               / SUM({_REVENUE_CENTS}) AS mkt_share
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation n1 ON c_nationkey = n1.n_nationkey
+    JOIN region   ON n1.n_regionkey = r_regionkey
+    JOIN nation n2 ON s_nationkey = n2.n_nationkey
+    WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY o_year ORDER BY o_year
+    """,
+    doc="TPC-H-Q8-style national market share: conditional-sum ratio of "
+        "exact cents per year across a 7-table join.",
+)
+
+_register(
+    "q9_product_profit",
+    ["lineitem", "part", "supplier", "orders", "nation"],
+    relational.q9_product_profit,
+    f"""
+    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
+           SUM({_cents('l_extendedprice')} * (100 - {_cents('l_discount')})
+               - {_cents('p_retailprice')} * {_cents('l_quantity')})
+               / 10000.0 AS sum_profit
+    FROM lineitem
+    JOIN part     ON l_partkey = p_partkey
+    JOIN supplier ON l_suppkey = s_suppkey
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    WHERE p_name LIKE '%red%'
+    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
+    ORDER BY nation ASC, o_year DESC
+    """,
+    doc="TPC-H-Q9-style product profit by supplier nation and year "
+        "(retailprice*quantity stands in for absent ps_supplycost).",
+)
+
+_register(
+    "q20_excess_suppliers",
+    ["supplier", "lineitem"],
+    relational.q20_excess_suppliers,
+    f"""
+    SELECT s_suppkey, s_name, s_acctbal
+    FROM supplier
+    WHERE s_suppkey IN (
+        SELECT l_suppkey FROM (
+            SELECT l_partkey, l_suppkey,
+                   CAST(SUM({_cents('l_quantity')}) AS BIGINT) AS ps_qty_c
+            FROM lineitem GROUP BY l_partkey, l_suppkey
+        ) ps
+        JOIN (
+            SELECT l_partkey AS pk,
+                   CAST(SUM({_cents('l_quantity')}) AS BIGINT) AS total_qty_c
+            FROM lineitem GROUP BY l_partkey
+        ) t ON l_partkey = pk
+        WHERE ps_qty_c * 2 > total_qty_c
+    )
+    ORDER BY s_suppkey
+    """,
+    doc="TPC-H-Q20-style nested-IN supplier selection: suppliers "
+        "shipping more than half of some part's volume (exact integer "
+        "half-threshold).",
+)
+
+_register(
     "q13_customer_distribution",
     ["customer", "orders"],
     relational.q13_customer_distribution,
@@ -1891,6 +1966,9 @@ _HEAD = [
     "q22_global_sales_opportunity",
     "q13_customer_distribution",
     "q17_small_quantity_revenue",
+    "q8_market_share",
+    "q9_product_profit",
+    "q20_excess_suppliers",
     "session_funnel",  # round 1's only hash-fail; oracle fixed, must re-verify
     "decontamination",
     "dedup_clusters",
