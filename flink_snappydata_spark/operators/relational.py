@@ -833,22 +833,33 @@ def q21_waiting_supplier(
         )
         .select("l_orderkey", "l_suppkey", "is_late")
     )
-    # one pass over the joined fact: late-line count per (order, supplier)
+    # ONE pass over the joined fact: late-line count per (order,
+    # supplier), then the per-order supplier/late-supplier counts as
+    # window aggregates over the SAME frame — a second groupBy would
+    # duplicate the scan+join subtree in the plan (no auto-reuse for
+    # unpersisted branches).
+    from pyspark.sql import Window
+
     os_agg = li.groupBy("l_orderkey", "l_suppkey").agg(
         F.sum(F.when(F.col("is_late"), 1).otherwise(0)).alias("n_late_lines")
     )
-    per_order = os_agg.groupBy("l_orderkey").agg(
-        F.count(F.lit(1)).alias("n_supp"),
-        F.sum(F.when(F.col("n_late_lines") > 0, 1).otherwise(0)).alias(
-            "n_late_supp"
-        ),
+    per_order = Window.partitionBy("l_orderkey")
+    qualified = (
+        os_agg.withColumn("n_supp", F.count(F.lit(1)).over(per_order))
+        .withColumn(
+            "n_late_supp",
+            F.sum(
+                F.when(F.col("n_late_lines") > 0, 1).otherwise(0)
+            ).over(per_order),
+        )
+        .filter(
+            (F.col("n_late_lines") > 0)
+            & (F.col("n_supp") > 1)
+            & (F.col("n_late_supp") == 1)
+        )
     )
-    lone_late_orders = per_order.filter(
-        (F.col("n_supp") > 1) & (F.col("n_late_supp") == 1)
-    ).select("l_orderkey")
     return (
-        os_agg.filter(F.col("n_late_lines") > 0)
-        .join(lone_late_orders, "l_orderkey", "left_semi")
+        qualified
         .join(F.broadcast(supplier), F.col("l_suppkey") == F.col("s_suppkey"))
         .groupBy("s_name")
         .agg(F.sum("n_late_lines").cast("long").alias("numwait"))

@@ -225,3 +225,58 @@ def test_jdbc_write_options_validation(spark):
     )
     df = load_table(spark, SF, "region")
     assert jdbc_writer(df, opts) is not None  # construction only
+
+
+def test_q5_broadcasts_dims_two_fact_shuffles(spark):
+    """Q5's 6-way join: every dimension lookup broadcasts; only the two
+    fact joins shuffle."""
+    q5 = relational.q5_local_supplier_volume(
+        load_table(spark, SF, "customer"),
+        load_table(spark, SF, "orders"),
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "nation"),
+        load_table(spark, SF, "region"),
+    )
+    assert broadcast_join_count(q5) >= 4
+    assert exchange_count(q5) <= 3, "fact shuffles only (+presentation sort)"
+
+
+def test_q19_disjunctive_predicate_keeps_equi_join(spark):
+    """The OR-of-ANDs must not degrade the part join to a cartesian:
+    Catalyst keeps the p_partkey equi-key and evaluates the branches as
+    a residual filter; the brand/size/quantity legs push to the scans."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    q19 = relational.q19_discounted_revenue(
+        load_table(spark, SF, "lineitem"), load_table(spark, SF, "part")
+    )
+    plan = formatted_plan(q19)
+    assert "CartesianProduct" not in plan and "BroadcastNestedLoopJoin" not in plan
+    assert broadcast_join_count(q19) == 1
+    assert len(pushed_filters(q19)) > 0
+
+
+def test_q21_single_pass_over_joined_fact(spark):
+    """The EXISTS/NOT-EXISTS decorrelation must not re-scan lineitem:
+    exactly one lineitem scan feeds the (order, supplier) rollup, with
+    the per-order counts computed as window aggregates over it."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    q21 = relational.q21_waiting_supplier(
+        load_table(spark, SF, "supplier"),
+        load_table(spark, SF, "lineitem"),
+        load_table(spark, SF, "orders"),
+    )
+    plan = formatted_plan(q21)
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_exact_dedup_shuffle_key_is_digest(spark):
+    """exact_dedup must shuffle 32-byte digests, not document bodies."""
+    from flink_snappydata_spark.pipeline.dedup import exact_dedup
+    from flink_snappydata_spark.plans import formatted_plan
+
+    df = exact_dedup(load_table(spark, SF, "documents"))
+    assert "sha2" in formatted_plan(df)
