@@ -1092,3 +1092,85 @@ def q20_excess_suppliers(
         .select("s_suppkey", "s_name", "s_acctbal")
         .orderBy("s_suppkey")
     )
+
+
+def q11_important_stock(
+    lineitem: DataFrame, fraction_denom: int = 10_000
+) -> DataFrame:
+    """TPC-H-Q11-style important stock: parts whose total shipped value
+    exceeds a fixed fraction of the corpus total (fixture adaptation:
+    lineitem value replaces the absent partsupp stock value; the Q11
+    idiom — grouped HAVING against a global scalar fraction — is
+    preserved).
+
+    Scale: one grouped aggregation plus a 1-row global total broadcast
+    back; the fraction threshold compares value*denom > total in exact
+    integer arithmetic (no float fraction).
+    """
+    val_c = cents("l_extendedprice")
+    per_part = lineitem.groupBy("l_partkey").agg(F.sum(val_c).alias("value_c"))
+    total = lineitem.agg(F.sum(val_c).alias("total_c"))
+    return (
+        per_part.join(F.broadcast(total))
+        .filter(F.col("value_c") * fraction_denom > F.col("total_c"))
+        .select(
+            "l_partkey", (F.col("value_c") / F.lit(100.0)).alias("part_value")
+        )
+        .orderBy(F.col("part_value").desc(), F.col("l_partkey").asc())
+    )
+
+
+def q2_min_cost_supplier(
+    part: DataFrame,
+    supplier: DataFrame,
+    lineitem: DataFrame,
+    nation: DataFrame,
+    region: DataFrame,
+    part_size: int = 15,
+    region_name: str = "EUROPE",
+    k: int = 100,
+) -> DataFrame:
+    """TPC-H-Q2-style minimum-cost supplier: for each qualifying part,
+    the region's supplier(s) with the minimum cost among those who ship
+    it (fixture adaptation: supply routes come from DISTINCT lineitem
+    (part, supplier) pairs and s_acctbal stands in for the absent
+    ps_supplycost — the correlated-MIN-per-part shape is preserved).
+
+    Scale: routes are deduplicated before any join (the shuffle carries
+    key pairs, not shipments); supplier/nation/region broadcast; the
+    correlated MIN decorrelates to one per-part aggregation joined back
+    on equality (ties keep all minimal suppliers, as in Q2).
+    """
+    routes = lineitem.select("l_partkey", "l_suppkey").distinct()
+    euro_suppliers = (
+        supplier.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
+        .join(
+            F.broadcast(region.filter(F.col("r_name") == region_name)),
+            F.col("n_regionkey") == F.col("r_regionkey"),
+        )
+        .select("s_suppkey", "s_name", "s_acctbal", "n_name")
+    )
+    offers = routes.join(
+        F.broadcast(euro_suppliers), F.col("l_suppkey") == F.col("s_suppkey")
+    ).join(
+        F.broadcast(part.filter(F.col("p_size") == part_size)),
+        F.col("l_partkey") == F.col("p_partkey"),
+    )
+    min_cost = offers.groupBy(F.col("p_partkey").alias("mc_partkey")).agg(
+        F.min("s_acctbal").alias("min_bal")
+    )
+    return (
+        offers.join(
+            F.broadcast(min_cost),
+            (F.col("p_partkey") == F.col("mc_partkey"))
+            & (F.col("s_acctbal") == F.col("min_bal")),
+        )
+        .select("s_acctbal", "s_name", "n_name", "p_partkey", "p_type")
+        .orderBy(
+            F.col("s_acctbal").desc(),
+            F.col("n_name").asc(),
+            F.col("s_name").asc(),
+            F.col("p_partkey").asc(),
+        )
+        .limit(k)
+    )

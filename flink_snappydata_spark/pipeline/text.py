@@ -232,7 +232,9 @@ def _with_synthetic_pii(documents: DataFrame) -> DataFrame:
     )
 
 
-def pii_redaction(documents: DataFrame, synthesize: bool = True) -> DataFrame:
+def pii_redaction(
+    documents: DataFrame, synthesize: bool = True, sort: bool = True
+) -> DataFrame:
     """Scrub emails / IPv4s / phone numbers, keeping match counts —
     the pre-training privacy pass.
 
@@ -254,13 +256,15 @@ def pii_redaction(documents: DataFrame, synthesize: bool = True) -> DataFrame:
         PHONE_RE,
         "<PHONE>",
     )
-    return documents.select(
+    out = documents.select(
         "doc_id",
         n_emails.alias("n_emails"),
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
         clean.alias("clean_text"),
-    ).orderBy("doc_id")
+    )
+    # presentation sort is batch-only (streaming frames cannot sort)
+    return out.orderBy("doc_id") if sort else out
 
 
 def source_stats(documents: DataFrame) -> DataFrame:

@@ -467,6 +467,60 @@ _register(
 )
 
 _register(
+    "q11_important_stock",
+    ["lineitem"],
+    relational.q11_important_stock,
+    f"""
+    WITH per_part AS (
+        SELECT l_partkey,
+               CAST(SUM({_cents('l_extendedprice')}) AS BIGINT) AS value_c
+        FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_partkey, value_c / 100.0 AS part_value
+    FROM per_part
+    WHERE value_c * 10000 >
+          (SELECT CAST(SUM({_cents('l_extendedprice')}) AS BIGINT)
+           FROM lineitem)
+    ORDER BY part_value DESC, l_partkey ASC
+    """,
+    doc="TPC-H-Q11-style important stock: grouped HAVING against a "
+        "global scalar fraction, exact integer cross-multiplied "
+        "threshold (lineitem value stands in for partsupp stock).",
+)
+
+_register(
+    "q2_min_cost_supplier",
+    ["part", "supplier", "lineitem", "nation", "region"],
+    relational.q2_min_cost_supplier,
+    """
+    WITH routes AS (
+        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
+    ), euro AS (
+        SELECT s_suppkey, s_name, s_acctbal, n_name
+        FROM supplier
+        JOIN nation ON s_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        WHERE r_name = 'EUROPE'
+    ), offers AS (
+        SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name
+        FROM routes
+        JOIN euro ON l_suppkey = s_suppkey
+        JOIN part ON l_partkey = p_partkey
+        WHERE p_size = 15
+    )
+    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
+    FROM offers o
+    WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM offers i
+                       WHERE i.p_partkey = o.p_partkey)
+    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+    LIMIT 100
+    """,
+    doc="TPC-H-Q2-style minimum-cost supplier: correlated MIN per part "
+        "decorrelated to one aggregation (DISTINCT lineitem routes + "
+        "s_acctbal stand in for partsupp).",
+)
+
+_register(
     "q13_customer_distribution",
     ["customer", "orders"],
     relational.q13_customer_distribution,
@@ -1969,6 +2023,8 @@ _HEAD = [
     "q8_market_share",
     "q9_product_profit",
     "q20_excess_suppliers",
+    "q11_important_stock",
+    "q2_min_cost_supplier",
     "session_funnel",  # round 1's only hash-fail; oracle fixed, must re-verify
     "decontamination",
     "dedup_clusters",

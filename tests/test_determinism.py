@@ -23,6 +23,10 @@ REPRESENTATIVE = [
     "dedup_minhash",          # hashing + LSH + verify joins
     "ann_cosine_topk",        # quantized dots + windowed top-k
     "wordcount_batch",        # explode + agg
+    "seq_packing",            # window cumsum + integer-DIV packing
+    "global_index",           # two-phase distributed rank
+    "q21_waiting_supplier",   # windowed decorrelation + top-k tiebreak
+    "label_centroids",        # exact int64 component sums
 ]
 
 

@@ -352,3 +352,44 @@ def test_socket_text_source_live(spark):
     )
     assert got["to"] == 2 and got["be"] == 2
     assert got["question"] == 1 and got["that"] == 1
+
+
+def test_streaming_stateless_curation_ops(spark):
+    """The stateless pipeline operators (quality scoring, PII
+    redaction) apply unchanged to a streaming documents source —
+    curation-at-ingest: same column expressions, same results as the
+    batch run over the same data."""
+    from pyspark.sql import types as T
+
+    from flink_snappydata_spark.pipeline.text import pii_redaction, quality_scores
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("text", T.StringType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    stream = (
+        spark.readStream.schema(schema)
+        .option("pathGlobFilter", "documents.parquet")
+        .parquet(SF_SMOKE)
+    )
+    batch = load_table(spark, SF_SMOKE, "documents")
+
+    out = quality_scores(stream)
+    runtime.run_to_memory_sink(out, "stream_quality", output_mode="append")
+    got = _sorted(spark.table("stream_quality").toPandas())
+    want = _sorted(quality_scores(batch).toPandas())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+
+    # pii_redaction ends with a presentation orderBy (batch-only); the
+    # streaming form drops it, results compared order-insensitively.
+    red = pii_redaction(stream, synthesize=True, sort=False)
+    runtime.run_to_memory_sink(red, "stream_pii", output_mode="append")
+    got = _sorted(spark.table("stream_pii").toPandas())
+    want = _sorted(pii_redaction(batch, synthesize=True).toPandas())
+    pd.testing.assert_frame_equal(got, want)
