@@ -162,3 +162,57 @@ def test_neardup_clusters_match_union_find(spark, raw):
     df = spark.createDataFrame(edges, "doc_a long, doc_b long")
     got = {r.doc_id: r.cluster_id for r in neardup_clusters(df).collect()}
     assert got == _naive_components(edges)
+
+
+_docs_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 10**9),      # doc_id (unique-ified below)
+        st.sampled_from(["a", "b"]),  # shard
+        st.integers(0, 12),          # token count
+    ),
+    min_size=1,
+    max_size=40,
+)
+
+
+def _naive_pack(rows, capacity):
+    """Reference greedy contiguous packing per shard in doc_id order:
+    a doc belongs to the pack where its first token lands."""
+    out = {}
+    for shard in {s for _, s, _ in rows}:
+        offset = 0
+        for doc_id, _, n in sorted((r for r in rows if r[1] == shard)):
+            out[doc_id] = offset // capacity
+            offset += n
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_docs_strategy)
+def test_pack_sequences_matches_naive(spark, raw):
+    from flink_snappydata_spark.pipeline.packing import pack_sequences
+
+    seen, rows = set(), []
+    for doc_id, shard, n in raw:
+        if doc_id in seen:
+            continue
+        seen.add(doc_id)
+        rows.append((doc_id, shard, n))
+    df = spark.createDataFrame(
+        [(d, s, "w " * n) for d, s, n in rows],
+        "doc_id long, source string, text string",
+    )
+    got = {r.doc_id: r.pack_id for r in pack_sequences(df, capacity=7).collect()}
+    assert got == _naive_pack(rows, capacity=7)
+
+
+@settings(max_examples=10, deadline=None)
+@given(st.sets(st.integers(0, 10**12), min_size=1, max_size=60))
+def test_global_index_matches_sorted_rank(spark, ids):
+    from flink_snappydata_spark.pipeline.packing import global_index
+
+    df = spark.createDataFrame(
+        [(i, "s", "t") for i in ids], "doc_id long, source string, text string"
+    )
+    got = {r.doc_id: r.idx for r in global_index(df, n_buckets=7).collect()}
+    assert got == {v: i for i, v in enumerate(sorted(ids))}
