@@ -313,3 +313,40 @@ def frequent_tokens(documents: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("word").asc())
         .limit(k)
     )
+
+
+def chunk_documents(
+    documents: DataFrame, chunk_chars: int = 512, overlap: int = 64
+) -> DataFrame:
+    """Split documents into fixed-size character chunks with overlap —
+    the precursor to embedding / retrieval indexing (each chunk becomes
+    an embedding row; overlap preserves context at boundaries).
+
+    Scale: pure projection + explode (sequence of chunk starts →
+    substring), zero shuffle, no Python; chunk ids are deterministic
+    (doc_id, chunk_id) so re-runs produce identical rows.
+    """
+    if overlap >= chunk_chars:
+        raise ValueError("overlap must be smaller than chunk_chars")
+    step = chunk_chars - overlap
+    n_chunks = F.greatest(
+        F.lit(1),
+        F.ceil((F.length("text") - F.lit(overlap)) / F.lit(step)).cast("long"),
+    )
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    return (
+        documents.select(
+            "doc_id",
+            F.explode(starts).alias("chunk_id"),
+            F.col("text"),
+        )
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("long").alias("chunk_id"),
+            F.substring(
+                F.col("text"), F.col("chunk_id") * step + 1, chunk_chars
+            ).alias("chunk_text"),
+        )
+        .withColumn("chunk_len", F.length("chunk_text").cast("long"))
+        .orderBy("doc_id", "chunk_id")
+    )

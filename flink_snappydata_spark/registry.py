@@ -1946,6 +1946,31 @@ _register(
 )
 
 _register(
+    "doc_chunking",
+    ["documents"],
+    textops.chunk_documents,
+    """
+    WITH n AS (
+        SELECT doc_id, text,
+               GREATEST(1, CAST(CEIL((length(text) - 64) / 448.0) AS BIGINT))
+                   AS n_chunks
+        FROM documents
+    ), ex AS (
+        SELECT doc_id, text,
+               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
+        FROM n
+    )
+    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+           substr(text, CAST(chunk_id * 448 + 1 AS BIGINT), 512) AS chunk_text,
+           CAST(length(substr(text, CAST(chunk_id * 448 + 1 AS BIGINT), 512))
+                AS BIGINT) AS chunk_len
+    FROM ex ORDER BY doc_id, chunk_id
+    """,
+    doc="Document chunking for embedding/retrieval: 512-char chunks "
+        "with 64-char overlap, pure projection + explode.",
+)
+
+_register(
     "frequent_tokens",
     ["documents"],
     textops.frequent_tokens,
@@ -2054,6 +2079,7 @@ _HEAD = [
     "text_repetition",
     "pii_redaction",
     "source_stats",
+    "doc_chunking",
     "frequent_tokens",
     "label_centroids",
 ]

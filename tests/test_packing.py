@@ -94,3 +94,22 @@ def test_pii_redaction_direct(spark):
     assert got[1].clean_text == "mail <EMAIL> then <IP> and <PHONE> done"
     assert got[2].n_emails == got[2].n_ips == got[2].n_phones == 0
     assert got[2].clean_text == "no pii here"
+
+
+def test_chunking_reconstructs_text(spark):
+    import pytest
+
+    from flink_snappydata_spark.pipeline.text import chunk_documents
+
+    texts = ["x" * 5, "ab" * 300, "q" * 512, "z" * 513, "hello world " * 100]
+    df = _docs(spark, [(i, "s", t) for i, t in enumerate(texts)])
+    rows = chunk_documents(df, chunk_chars=512, overlap=64).collect()
+    by_doc = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append((r.chunk_id, r.chunk_text))
+    for i, t in enumerate(texts):
+        chunks = [c for _, c in sorted(by_doc[i])]
+        rebuilt = chunks[0] + "".join(c[64:] for c in chunks[1:])
+        assert rebuilt == t, f"doc {i} reconstruction"
+    with pytest.raises(ValueError):
+        chunk_documents(df, chunk_chars=64, overlap=64)
