@@ -113,3 +113,23 @@ def test_chunking_reconstructs_text(spark):
         assert rebuilt == t, f"doc {i} reconstruction"
     with pytest.raises(ValueError):
         chunk_documents(df, chunk_chars=64, overlap=64)
+
+
+def test_packing_ops_on_empty_input(spark):
+    from flink_snappydata_spark.pipeline.packing import (
+        pack_sequences,
+        shard_assignment,
+    )
+
+    empty = _docs(spark, []).filter("doc_id IS NOT NULL").limit(0)
+    assert pack_sequences(empty).count() == 0
+    assert global_index(empty).count() == 0
+    assert shard_assignment(empty).count() == 0
+
+
+def test_chunking_empty_text(spark):
+    from flink_snappydata_spark.pipeline.text import chunk_documents
+
+    df = _docs(spark, [(1, "s", "")])
+    rows = chunk_documents(df).collect()
+    assert len(rows) == 1 and rows[0].chunk_text == "" and rows[0].chunk_len == 0

@@ -104,3 +104,20 @@ def test_approx_percentile_error_bound(spark):
     for k, (p50, p90) in exact.items():
         assert abs(approx[k][0] - p50) / p50 < 0.01
         assert abs(approx[k][1] - p90) / p90 < 0.01
+
+def test_salted_join_on_pathological_skew(spark):
+    """90% of fact rows share ONE key — the scenario salting exists
+    for; results must equal the plain join exactly."""
+    fact = spark.range(0, 20_000).selectExpr(
+        "id AS row_id", "CASE WHEN id % 10 < 9 THEN 7 ELSE id % 100 END AS k"
+    )
+    dim = spark.range(0, 100).selectExpr("id AS k", "concat('v', id) AS label")
+    plain = (
+        fact.join(dim, "k").groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    )
+    salted = (
+        salted_join(fact, dim, "k", n_salts=16)
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
