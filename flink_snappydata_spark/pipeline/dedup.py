@@ -420,39 +420,75 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     reachable through the pair graph — the "keep one canonical document
     per duplicate cluster" step that follows any pairwise dedup.
 
-    Min-label propagation to fixpoint: each iteration every vertex takes
-    the min of its own label and its neighbors' labels, converging in
-    O(component diameter) rounds — near-dup clusters are shallow (a hub
-    document links its variants), so few iterations suffice; the loop
-    stops as soon as an iteration changes nothing. Each iteration is one
-    join + aggregation; the old label rides along in the same frame so
-    the convergence check is a filter-count, not a second join, and
-    ``localCheckpoint`` truncates the lineage so iteration N's plan does
-    not re-optimize (and on cache eviction re-execute) iterations
-    1..N-1. The driver sees only the converged flag, never the data.
+    Min-label propagation with pointer jumping: each iteration every
+    vertex first takes the min of its own label and its neighbors'
+    labels (one edge hop), then compresses through the label graph
+    (``label ← label(label)``). The compression step lets the minimum
+    travel through already-labelled vertices, so a chain of length d
+    converges in O(log d) rounds instead of the O(d) of plain
+    propagation — a 1000-document drift chain needs ~10 rounds, not
+    1000. The loop stops as soon as an iteration changes nothing, and
+    **raises** if ``max_iter`` rounds were not enough: a silently
+    non-converged labelling would merge-split clusters wrongly with no
+    signal to the caller. Each iteration is two joins + one aggregation;
+    the old label rides along in the same frame so the convergence check
+    is a filter-count, not a second join, and ``localCheckpoint``
+    truncates the lineage so iteration N's plan does not re-optimize
+    (and on cache eviction re-execute) iterations 1..N-1. The driver
+    sees only the converged flag, never the data.
     """
-    sym = pairs.select(F.col("doc_a").alias("src"), F.col("doc_b").alias("dst"))
-    sym = sym.union(
-        sym.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    # Materialize the (possibly expensive — e.g. a full MinHash or
+    # n-gram verify pipeline) pairs input ONCE; the symmetric union
+    # below reads it twice and every iteration reads it again.
+    p = pairs.select(
+        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+    ).localCheckpoint()
+    sym = p.union(
+        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
     ).localCheckpoint(eager=False)
+    # Seed each vertex with min(own id, direct-neighbor min): identical
+    # to the first edge-hop round (neighbors' initial labels ARE their
+    # ids) for the price of one aggregation instead of a join round.
     labels = (
-        sym.select(F.col("src").alias("doc_id"))
-        .distinct()
-        .withColumn("cluster_id", F.col("doc_id"))
+        sym.groupBy("src")
+        .agg(F.min("dst").alias("nbr0"))
+        .select(
+            F.col("src").alias("doc_id"),
+            F.least(F.col("src"), F.col("nbr0")).alias("cluster_id"),
+        )
         .localCheckpoint(eager=False)
     )
+    changed = -1
     for _ in range(max_iter):
         nbr_min = sym.join(
             labels, sym["dst"] == labels["doc_id"]
         ).groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
+        hop = labels.join(
+            nbr_min, labels["doc_id"] == nbr_min["src"], "left"
+        ).select(
+            "doc_id",
+            F.col("cluster_id").alias("old_cluster_id"),
+            F.least(
+                F.col("cluster_id"),
+                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+            ).alias("cluster_id"),
+        )
+        # Pointer jump: a label is always some vertex's doc_id, so the
+        # label of my label is defined — chase it one level. Combined
+        # with the edge hop above, the distance to the component minimum
+        # roughly halves per round.
+        ref = hop.select(
+            F.col("doc_id").alias("ref_id"),
+            F.col("cluster_id").alias("ref_label"),
+        )
         upd = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            hop.join(ref, hop["cluster_id"] == ref["ref_id"], "left")
             .select(
                 "doc_id",
-                F.col("cluster_id").alias("old_cluster_id"),
+                "old_cluster_id",
                 F.least(
                     F.col("cluster_id"),
-                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
+                    F.coalesce(F.col("ref_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
             .localCheckpoint()  # eager: one job materializes the iteration
@@ -463,6 +499,11 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         labels = upd.select("doc_id", "cluster_id")
         if changed == 0:
             break
+    if changed != 0:
+        raise RuntimeError(
+            f"neardup_clusters did not converge in {max_iter} iterations "
+            f"({changed} labels still changing) — raise max_iter"
+        )
     return labels.orderBy("doc_id")
 
 

@@ -219,6 +219,32 @@ def test_neardup_clusters_chain_and_components(spark):
     assert got == {1: 1, 2: 1, 3: 1, 4: 1, 10: 10, 11: 10}
 
 
+def test_neardup_clusters_long_chain_converges(spark):
+    """A 60-doc drift chain needs 59 plain-propagation hops — far past
+    the default max_iter=20. Pointer jumping (label-through-label) must
+    converge it in O(log d) rounds; silent wrong labels here were the
+    round-2 advisor's top finding."""
+    n = 60
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, n)], ["doc_a", "doc_b"]
+    )
+    got = {
+        r.doc_id: r.cluster_id for r in dedup.neardup_clusters(pairs).collect()
+    }
+    assert got == {i: 1 for i in range(1, n + 1)}
+
+
+def test_neardup_clusters_raises_on_exhaustion(spark):
+    """Non-convergence must raise, never silently return partial labels."""
+    import pytest
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(1, 40)], ["doc_a", "doc_b"]
+    )
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters(pairs, max_iter=2)
+
+
 def test_decontaminate_flags_shared_ngrams(spark):
     """A training doc embedding a benchmark sentence is flagged with the
     distinct-overlap count; clean docs are absent from the output."""
