@@ -7,8 +7,8 @@ All candidate generation is sub-quadratic:
   shingle), never a cross join;
 * MinHash+LSH — banded signatures; only same-band-bucket pairs are
   candidates, verified with exact Jaccard;
-* SimHash — 16-bit band blocking over 64-bit fingerprints, verified
-  with Hamming distance.
+* SimHash — 15-bit band blocking over 60-bit portable (md5-derived)
+  fingerprints, verified with Hamming distance.
 
 Candidate generation and verification are JVM column expressions
 (explode / xxhash64 / joins / aggregation); shingling and MinHash
@@ -528,31 +528,43 @@ def streaming_exact_dedup(
     )
 
 
-def simhash_fingerprints(documents: DataFrame) -> DataFrame:
-    """64-bit SimHash per document from token hashes, all-JVM.
+#: SimHash width: 60 bits — 15 hex chars of md5 cast to BIGINT is the
+#: widest hex→int both Spark (``conv``) and any-SQL (``'0x…'::BIGINT``)
+#: compute without overflowing int64, making fingerprints portable.
+SIMHASH_BITS = 60
+SIMHASH_BANDS = 4
 
-    Each token's xxhash64 contributes ±1 per bit position (weighted by
-    term frequency); fingerprint bit i is the sign of the sum. 64 small
-    integer aggregations — partial aggs keep the shuffle at one row per
-    doc.
+
+def simhash_fingerprints(documents: DataFrame) -> DataFrame:
+    """60-bit SimHash per document from portable token hashes, all-JVM.
+
+    Each token hashes to the low 60 bits of its md5 (`conv(substr(md5))`
+    — portable: the DuckDB oracle computes the identical value with a
+    hex cast, unlike engine-specific xxhash64) and contributes ±1 per
+    bit position (weighted by term frequency); fingerprint bit i is the
+    sign of the sum. 60 small integer aggregations — partial aggs keep
+    the shuffle at one row per doc.
     """
     tok = spread(documents, "doc_id").select(
         "doc_id",
         F.explode(
             F.filter(F.split(F.lower("text"), r"\W+"), lambda w: w != F.lit(""))
         ).alias("word"),
-    ).select("doc_id", F.xxhash64("word").alias("h"))
+    ).select(
+        "doc_id",
+        F.conv(F.substring(F.md5(F.col("word").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
     bit_sums = [
         F.sum(
             F.when(F.shiftright(F.col("h"), i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"b{i}")
-        for i in range(64)
+        for i in range(SIMHASH_BITS)
     ]
     per_doc = tok.groupBy("doc_id").agg(*bit_sums)
-    # Assemble the fingerprint; bit 63 via signed overflow is fine (the
-    # fingerprint is an opaque 64-bit value).
     fp = None
-    for i in range(64):
+    for i in range(SIMHASH_BITS):
         bit = F.when(F.col(f"b{i}") > 0, F.lit(1).cast("long")).otherwise(F.lit(0).cast("long"))
         term = F.shiftleft(bit, i)
         fp = term if fp is None else fp + term
@@ -560,12 +572,13 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
 
 
 def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
-    """SimHash near-dup pairs: 16-bit band blocking + Hamming verify.
+    """SimHash near-dup pairs: 15-bit band blocking + Hamming verify.
 
-    Any pair within Hamming distance ≤3 of a 64-bit fingerprint shares
-    at least one of the 4 16-bit bands exactly (pigeonhole), so blocking
+    Any pair within Hamming distance ≤3 of a 60-bit fingerprint shares
+    at least one of the 4 15-bit bands exactly (pigeonhole), so blocking
     on band equality loses no recall at max_hamming ≤ 3.
     """
+    band_bits = SIMHASH_BITS // SIMHASH_BANDS
     fps = simhash_fingerprints(documents)
     bands = fps.select(
         "doc_id",
@@ -575,11 +588,11 @@ def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame
                 *[
                     F.struct(
                         F.lit(j).alias("band_id"),
-                        F.shiftright(F.col("simhash"), j * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), j * band_bits)
+                        .bitwiseAND(F.lit((1 << band_bits) - 1))
                         .alias("band_val"),
                     )
-                    for j in range(4)
+                    for j in range(SIMHASH_BANDS)
                 ]
             )
         ).alias("b"),

@@ -11,13 +11,43 @@ oracle reproduces results bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 #: Knuth multiplicative-hash constant (2^32 / phi), used for the
 #: portable shard hash (identical BIGINT arithmetic in any engine).
 _HASH_MULT = 2654435761
+#: Second-word mixer (xxhash PRIME32_2) — folds in bits 31..62 of the
+#: key so ids above 2^31 don't collide by their low word alone.
+_HASH_MULT2 = 2246822519
 _HASH_MOD = 2**31
+
+
+def portable_hash(col: Column) -> Column:
+    """[0, 2^31) hash of a non-negative BIGINT column in pure BIGINT
+    arithmetic — every intermediate stays below 2^63 (the naive
+    ``key * mult`` overflows int64 for keys above ~3.4e9, and engines
+    disagree on overflow: Spark wraps, ANSI engines raise). Each 31-bit
+    word of the key is reduced mod 2^31 *before* its multiply, so the
+    worst product is 2^31 * 2654435761 < 2^63. Reproducible in any SQL
+    engine via :func:`portable_hash_sql` (the DuckDB-oracle twin).
+    """
+    lo = F.pmod(col, F.lit(_HASH_MOD))
+    hi = F.pmod(F.shiftright(col, 31), F.lit(_HASH_MOD))
+    return F.pmod(
+        F.pmod(lo * _HASH_MULT, _HASH_MOD) + F.pmod(hi * _HASH_MULT2, _HASH_MOD),
+        F.lit(_HASH_MOD),
+    )
+
+
+def portable_hash_sql(col: str) -> str:
+    """ANSI-SQL twin of :func:`portable_hash` for a non-negative BIGINT
+    column/expression (``%`` equals ``pmod`` on non-negative operands)."""
+    return (
+        f"((({col} % {_HASH_MOD}) * {_HASH_MULT}) % {_HASH_MOD}"
+        f" + ((({col} >> 31) % {_HASH_MOD}) * {_HASH_MULT2}) % {_HASH_MOD})"
+        f" % {_HASH_MOD}"
+    )
 
 
 def pack_sequences(
@@ -126,14 +156,15 @@ def shard_assignment(documents: DataFrame, n_shards: int = 16) -> DataFrame:
     """Deterministic output-shard id per document: multiplicative hash
     of ``doc_id`` — portable BIGINT arithmetic (identical in any SQL
     engine, unlike engine-hash xxhash64), uniform across shards, and a
-    pure function of the key (stable under corpus growth).
+    pure function of the key (stable under corpus growth). The hash
+    reduces each 31-bit word before multiplying (:func:`portable_hash`),
+    so ids beyond 2^31 — guaranteed at 100 TB — can never overflow
+    int64 (where Spark would wrap silently but ANSI engines raise).
 
     Scale: zero shuffle — the shard id is a projection; the write path
     (:func:`write_sharded`) turns it into directory partitioning.
     """
-    shard = F.pmod(
-        F.pmod(F.col("doc_id") * _HASH_MULT, _HASH_MOD), n_shards
-    ).cast("long")
+    shard = F.pmod(portable_hash(F.col("doc_id")), n_shards).cast("long")
     return documents.withColumn("shard", shard)
 
 

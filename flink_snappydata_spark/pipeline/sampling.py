@@ -3,9 +3,11 @@
 Three ops a 100 TB corpus pipeline needs constantly:
 
 * :func:`hash_split` — deterministic train/val/test assignment from a
-  stable key hash. Reproducible across runs, clusters, and engine
-  versions (pure column expression over xxhash64); adding documents
-  never reassigns existing ones, unlike ``randomSplit``.
+  stable key hash. Reproducible across runs, clusters, and *engines*
+  (integral keys use the portable multiplicative hash shared with
+  sharding, so DuckDB/any-SQL reproduces the split bit-for-bit; other
+  key types fall back to xxhash64); adding documents never reassigns
+  existing ones, unlike ``randomSplit``.
 * :func:`stratified_sample` — per-class Bernoulli sampling
   (``sampleBy``) to rebalance over-represented classes; seeded.
 * :func:`approx_distinct_by` — HyperLogLog++ distinct-count sketch per
@@ -15,10 +17,14 @@ Three ops a 100 TB corpus pipeline needs constantly:
 
 from __future__ import annotations
 
+import zlib
 from collections.abc import Mapping, Sequence
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from flink_snappydata_spark.pipeline.packing import portable_hash
 
 SPLIT_BUCKETS = 10_000
 
@@ -32,16 +38,27 @@ def hash_split(
     """Attach a deterministic ``split`` column from a hash of ``key``.
 
     ``weights`` maps split name → fraction (must sum to ~1). The bucket
-    is ``xxhash64(salt, key) mod 10000``; contiguous bucket ranges give
-    each split its fraction. No shuffle, no state, no RNG — a row's
-    split is a pure function of its key, so the assignment is identical
-    on any cluster and stable under corpus growth.
+    is ``(portable_hash(key) + crc32(salt)) mod 10000`` for integral
+    keys — pure BIGINT arithmetic any engine reproduces (the DuckDB
+    oracle checks it bit-for-bit) — falling back to
+    ``xxhash64(salt, key)`` for non-integral keys. Contiguous bucket
+    ranges give each split its fraction. No shuffle, no state, no RNG —
+    a row's split is a pure function of its key, so the assignment is
+    identical on any cluster and stable under corpus growth.
     """
     weights = dict(weights or {"train": 0.98, "val": 0.01, "test": 0.01})
     total = sum(weights.values())
     if not 0.999 <= total <= 1.001:
         raise ValueError(f"split weights must sum to 1, got {total}")
-    bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(key)), F.lit(SPLIT_BUCKETS))
+    if isinstance(df.schema[key].dataType, T.IntegralType):
+        # crc32 of the salt is a driver-side constant — engine-neutral.
+        salt_int = zlib.crc32(salt.encode())
+        bucket = F.pmod(
+            portable_hash(F.col(key).cast("long")) + F.lit(salt_int),
+            F.lit(SPLIT_BUCKETS),
+        )
+    else:
+        bucket = F.pmod(F.xxhash64(F.lit(salt), F.col(key)), F.lit(SPLIT_BUCKETS))
     expr = None
     upper = 0.0
     names = list(weights)
@@ -55,8 +72,8 @@ def hash_split(
 
 def split_counts(documents: DataFrame) -> DataFrame:
     """(split, n_docs) for the default 98/1/1 split over doc_id — the
-    declared-query surface for :func:`hash_split` (deterministic but
-    hash-engine-specific, so rows-only checked)."""
+    declared-query surface for :func:`hash_split`; the portable hash
+    makes the DuckDB oracle reproduce the assignment exactly."""
     return (
         hash_split(documents, "doc_id")
         .groupBy("split")

@@ -1436,12 +1436,53 @@ _register(
         "the fixtures, pinned by tests).",
 )
 
+def _simhash_oracle() -> str:
+    """DuckDB twin of the portable 60-bit SimHash: identical md5-hex→
+    BIGINT token hash, per-bit ±1 sums, sign fingerprint, 4×15-bit band
+    blocking, Hamming<=3 verify."""
+    bit_sums = ",\n               ".join(
+        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+    fp = " + ".join(
+        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
+        for i in range(dedup.SIMHASH_BITS)
+    )
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> x <> '')) AS word
+        FROM documents
+    ), th AS (
+        SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
+        FROM tok
+    ), sums AS (
+        SELECT doc_id,
+               {bit_sums}
+        FROM th GROUP BY doc_id
+    ), fp AS (
+        SELECT doc_id, {fp} AS simhash FROM sums
+    ), bands AS (
+        SELECT doc_id, simhash, j, (simhash >> (j * 15)) & 32767 AS bv
+        FROM fp, generate_series(0, 3) s(j)
+    )
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+    FROM bands a
+    JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+    ORDER BY doc_a, doc_b
+    """
+
+
 _register(
     "dedup_simhash",
     ["documents"],
     dedup.simhash_dedup_pairs,
-    None,
-    doc="64-bit SimHash fingerprints, 16-bit band blocking, Hamming<=3 verify.",
+    _simhash_oracle(),
+    doc="60-bit portable SimHash fingerprints (md5-derived token hash — "
+        "DuckDB-reproducible), 15-bit band blocking, Hamming<=3 verify.",
 )
 
 _QCOMP_SQL = """
@@ -1784,10 +1825,22 @@ _register(
     "train_val_test_split",
     ["documents"],
     sampling.split_counts,
-    None,
+    f"""
+    WITH b AS (
+        SELECT (({packing.portable_hash_sql('doc_id')}) + 1818935405) % 10000
+               AS bucket
+        FROM documents
+    )
+    SELECT CASE WHEN bucket < 9800 THEN 'train'
+                WHEN bucket < 9900 THEN 'val'
+                ELSE 'test' END AS split,
+           COUNT(*) AS n_docs
+    FROM b GROUP BY split ORDER BY split
+    """,
     doc="Deterministic hash-bucket train/val/test split (98/1/1) over "
-        "doc_id — stable under corpus growth; xxhash64-based, so "
-        "rows-only checked (proportions pinned in tests).",
+        "doc_id — stable under corpus growth; portable multiplicative "
+        "hash + crc32 salt, DuckDB-reproducible bit-for-bit "
+        "(1818935405 = crc32('fss-split-v1')).",
 )
 
 _register(
@@ -1859,14 +1912,17 @@ _register(
     "shard_stats",
     ["documents"],
     packing.shard_stats,
-    """
-    SELECT CAST((doc_id * 2654435761 % 2147483648) % 16 AS BIGINT) AS shard,
+    f"""
+    SELECT CAST(({packing.portable_hash_sql('doc_id')}) % 16 AS BIGINT)
+               AS shard,
            COUNT(*) AS n_docs,
            CAST(SUM(length(text)) AS BIGINT) AS n_chars
     FROM documents GROUP BY shard ORDER BY shard
     """,
     doc="Deterministic output sharding: portable multiplicative-hash "
-        "shard id (engine-independent BIGINT arithmetic), balance report.",
+        "shard id — two-word reduce-before-multiply BIGINT arithmetic "
+        "that can never overflow int64 (engine-independent up to 2^63 "
+        "ids), balance report.",
 )
 
 _register(

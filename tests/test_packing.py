@@ -11,6 +11,8 @@ from pyspark.sql import functions as F
 from flink_snappydata_spark.pipeline.packing import (
     global_index,
     pack_sequences,
+    portable_hash,
+    portable_hash_sql,
     shard_assignment,
     write_sharded,
 )
@@ -19,6 +21,31 @@ from flink_snappydata_spark.pipeline.text import pii_redaction
 
 def _docs(spark, rows):
     return spark.createDataFrame(rows, "doc_id long, source string, text string")
+
+
+def test_portable_hash_no_overflow_matches_duckdb(spark):
+    """The naive `id * 2654435761` overflows int64 above ~3.47e9 (Spark
+    wraps, ANSI engines raise) — round-2 advisor finding. The two-word
+    reduce-before-multiply hash must agree bit-for-bit with its SQL twin
+    run in DuckDB across the whole non-negative BIGINT range."""
+    import duckdb
+
+    ids = [0, 1, 3_470_000_000, 2**31, 2**31 + 7, 2**40 + 123, 2**62 + 999]
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {
+        r.doc_id: r.h
+        for r in df.select("doc_id", portable_hash(F.col("doc_id")).alias("h")).collect()
+    }
+    want = dict(
+        duckdb.sql(
+            "SELECT doc_id, " + portable_hash_sql("doc_id") + " AS h "
+            "FROM (SELECT unnest(" + str(ids) + "::BIGINT[]) AS doc_id)"
+        ).fetchall()
+    )
+    assert got == want
+    assert all(0 <= v < 2**31 for v in got.values())
+    # ids differing only above bit 31 must not collide wholesale
+    assert got[2**31] != got[0]
 
 
 def test_pack_sequences_boundary(spark):
