@@ -50,10 +50,16 @@ def portable_hash_sql(col: str) -> str:
     )
 
 
+#: Range buckets per source for the two-phase packing cumsum — the
+#: parallelism available WITHIN one dominant source.
+PACK_BUCKETS = 32
+
+
 def pack_sequences(
     documents: DataFrame,
     capacity: int = 256,
     shard_col: str = "source",
+    n_buckets: int = PACK_BUCKETS,
 ) -> DataFrame:
     """Assign each document to a fixed-capacity training sequence.
 
@@ -65,26 +71,68 @@ def pack_sequences(
     the assignment is a pure function of (order, token counts) and needs
     no sequential state.
 
-    Scale: ONE window partitioned by the shard key — thousands of
-    independent groups at 100 TB, never a global single-partition
-    window. Token counts are whitespace counts computed JVM-side.
+    Scale: the running token sum is TWO-PHASE, never one window per
+    source. A single ``Window.partitionBy(source)`` serializes a
+    dominant source (one crawl dump = 40% of a 100 TB corpus) onto one
+    task; instead doc_ids are cut into ``n_buckets`` arithmetic ranges,
+    per-(source, bucket) token totals are prefix-summed over the tiny
+    (sources x buckets)-row frame, and the within-bucket running sum —
+    a (source, bucket)-partitioned window, ``n_buckets``-way parallel
+    inside every source — adds the bucket's offset back. Identical
+    output to the single-window formulation (pinned by tests); token
+    counts are whitespace counts computed JVM-side.
     """
     tokens = F.size(
         F.filter(F.split(F.col("text"), r"\s+"), lambda w: w != F.lit(""))
     ).cast("long")
-    w = Window.partitionBy(shard_col).orderBy("doc_id")
+    lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return documents.select(
+            "doc_id",
+            F.col(shard_col),
+            F.lit(0).cast("long").alias("n_tokens"),
+            F.lit(0).cast("long").alias("pack_id"),
+        ).limit(0)
+    # Width-division (not multiply-then-divide) can never overflow
+    # int64 however wide the id span; monotone in doc_id, which is all
+    # correctness needs — bucketing only sets parallelism.
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    toks = documents.select(
+        "doc_id",
+        F.col(shard_col),
+        tokens.alias("n_tokens"),
+        F.expr(f"CAST((doc_id - {lo}) DIV {width} AS BIGINT)").alias("_pb"),
+    )
+    bucket_offsets = (
+        toks.groupBy(shard_col, "_pb")
+        .agg(F.sum("n_tokens").alias("_bucket_tokens"))
+        .withColumn(
+            "_bucket_offset",
+            F.coalesce(
+                F.sum("_bucket_tokens").over(
+                    Window.partitionBy(shard_col)
+                    .orderBy("_pb")
+                    .rowsBetween(Window.unboundedPreceding, -1)
+                ),
+                F.lit(0),
+            ).cast("long"),
+        )
+        .select(shard_col, "_pb", "_bucket_offset")
+    )
+    w = Window.partitionBy(shard_col, "_pb").orderBy("doc_id")
     cum = F.sum("n_tokens").over(
         w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     return (
-        documents.select(
-            "doc_id", F.col(shard_col), tokens.alias("n_tokens")
+        toks.join(F.broadcast(bucket_offsets), [shard_col, "_pb"])
+        .withColumn(
+            "offset",
+            (F.col("_bucket_offset") + cum - F.col("n_tokens")).cast("long"),
         )
-        .withColumn("offset", (cum - F.col("n_tokens")).cast("long"))
         # Integer DIV keeps the boundary exact (double division could
         # flip a doc across packs at large offsets).
         .withColumn("pack_id", F.expr(f"CAST(offset DIV {capacity} AS BIGINT)"))
-        .drop("offset")
+        .select("doc_id", shard_col, "n_tokens", "pack_id")
     )
 
 
@@ -102,49 +150,103 @@ def pack_stats(documents: DataFrame, capacity: int = 256) -> DataFrame:
     )
 
 
-def global_index(documents: DataFrame, n_buckets: int = 64) -> DataFrame:
+def _range_buckets(documents: DataFrame, n_buckets: int) -> DataFrame:
+    """(doc_id, bucket) by arithmetic id ranges — width division, which
+    is monotone in doc_id and can never overflow int64 (the old
+    ``(doc_id - lo) * n_buckets`` multiply could, for spans near 2^63).
+    Boundaries derive from min/max, not sampling, so re-execution can
+    never re-draw them."""
+    lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width = max(1, (hi - lo + n_buckets) // n_buckets)
+    return documents.select(
+        "doc_id",
+        F.expr(f"CAST((doc_id - {lo}) DIV {width} AS BIGINT)").alias("bucket"),
+    )
+
+
+def _balanced_buckets(
+    documents: DataFrame, n_buckets: int, skew_factor: float
+) -> tuple[DataFrame, list[tuple[int, int, int]]]:
+    """(doc_id, b0, b1) bucket keys plus the ordered (b0, b1, count)
+    histogram, auto-refined when ids cluster.
+
+    Pass 1 cuts arithmetic ranges and aggregates (count, min, max) per
+    bucket. If the largest bucket exceeds ``skew_factor`` x the mean —
+    clustered ids, e.g. {1..k} ∪ {10^9..} after a dedup pass — every
+    overweight bucket is re-cut by ITS OWN min/max into enough
+    sub-ranges to meet the uniform target. Ids are unique, so a dense
+    cluster's local span ≈ its count and the local re-cut is near
+    uniform; one level of refinement suffices. All boundaries derive
+    from aggregated min/max (deterministic under re-execution), and the
+    driver only ever sees histograms, never rows.
+    """
+    keyed = _range_buckets(documents, n_buckets).persist()
+    hist = (
+        keyed.groupBy("bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("blo"),
+             F.max("doc_id").alias("bhi"))
+        .collect()
+    )
+    total = sum(r["cnt"] for r in hist)
+    target = max(1, -(-total // n_buckets))  # ceil
+    # Mean over ALL n_buckets (clustered ids leave most range buckets
+    # EMPTY — a non-empty-only mean would mask exactly that skew).
+    if max(r["cnt"] for r in hist) <= skew_factor * (total / n_buckets):
+        counts = sorted((r["bucket"], 0, r["cnt"]) for r in hist)
+        return keyed.select("doc_id", F.col("bucket").alias("b0"),
+                            F.lit(0).cast("long").alias("b1")), counts
+    # Per-bucket sub-cut spec: (b0 -> lo, width, n_sub); n_sub = 1 for
+    # balanced buckets keeps the join one-pass for every row.
+    spec = []
+    for r in hist:
+        n_sub = max(1, -(-r["cnt"] // target))
+        width = max(1, (r["bhi"] - r["blo"] + n_sub) // n_sub)
+        spec.append((r["bucket"], r["blo"], width))
+    spark = documents.sparkSession
+    spec_df = spark.createDataFrame(spec, "b0 long, blo long, swidth long")
+    refined = (
+        keyed.withColumnRenamed("bucket", "b0")
+        .join(F.broadcast(spec_df), "b0")
+        .select(
+            "doc_id",
+            "b0",
+            F.expr("CAST((doc_id - blo) DIV swidth AS BIGINT)").alias("b1"),
+        )
+    )
+    counts = sorted(
+        (r["b0"], r["b1"], r["cnt"])
+        for r in refined.groupBy("b0", "b1").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    return refined, counts
+
+
+def global_index(
+    documents: DataFrame, n_buckets: int = 64, skew_factor: float = 2.0
+) -> DataFrame:
     """Stable global position of every document in ``doc_id`` order —
     the distributed ``zipWithIndex``: ``idx = rank of doc_id`` (0-based).
 
-    Two-phase rank, no global sort: (1) bucket by fixed arithmetic
-    ranges of ``doc_id`` (boundaries derived from min/max, not sampling
-    — re-execution can never re-draw them), count per bucket, and
-    prefix-sum the tiny bucket histogram on the driver; (2) row_number
-    within each bucket plus the bucket's offset. The only data shuffles
-    are one count agg and one per-bucket window; the driver handles
-    ``n_buckets`` integers, never rows.
-
-    Skew note: arithmetic ranges assume roughly uniform ids (true for
-    synthetic/monotonic ids). For adversarial id distributions raise
-    ``n_buckets`` or pre-hash into a temporary sort key.
+    Two-phase rank, no global sort: (1) bucket by arithmetic id ranges
+    (auto-refined via :func:`_balanced_buckets` when ids cluster — no
+    manual ``n_buckets`` tuning), prefix-sum the tiny bucket histogram
+    on the driver; (2) row_number within each bucket plus the bucket's
+    offset. The only data shuffles are one count agg and one per-bucket
+    window; the driver handles histograms, never rows.
     """
-    lo, hi, n = documents.agg(
-        F.min("doc_id"), F.max("doc_id"), F.count(F.lit(1))
-    ).first()
-    if n == 0:
+    if documents.limit(1).count() == 0:
         return documents.select(
             "doc_id", F.lit(0).cast("long").alias("idx")
         ).limit(0)
-    span = hi - lo + 1
-    # Integer DIV — double division could mis-bucket near boundaries,
-    # which would corrupt the cross-bucket rank.
-    bucket = F.expr(
-        f"CAST(((doc_id - {lo}) * {n_buckets}) DIV {span} AS BIGINT)"
-    )
-    with_bucket = documents.select("doc_id", bucket.alias("bucket"))
-    hist = {
-        r["bucket"]: r["cnt"]
-        for r in with_bucket.groupBy("bucket").agg(F.count(F.lit(1)).alias("cnt")).collect()
-    }
+    keyed, counts = _balanced_buckets(documents, n_buckets, skew_factor)
     offsets, acc = [], 0
-    for b in range(n_buckets):
-        offsets.append((b, acc))
-        acc += hist.get(b, 0)
+    for b0, b1, cnt in counts:
+        offsets.append((b0, b1, acc))
+        acc += cnt
     spark = documents.sparkSession
-    offset_df = spark.createDataFrame(offsets, "bucket long, offset long")
-    w = Window.partitionBy("bucket").orderBy("doc_id")
+    offset_df = spark.createDataFrame(offsets, "b0 long, b1 long, offset long")
+    w = Window.partitionBy("b0", "b1").orderBy("doc_id")
     return (
-        with_bucket.join(F.broadcast(offset_df), "bucket")
+        keyed.join(F.broadcast(offset_df), ["b0", "b1"])
         .select(
             "doc_id",
             (F.row_number().over(w) - 1 + F.col("offset")).cast("long").alias("idx"),

@@ -108,6 +108,60 @@ def test_write_sharded_roundtrip(spark, tmp_path):
         assert n <= 10
 
 
+def test_pack_sequences_skewed_source_parallel(spark):
+    """One source holding 90% of rows must spread over >1 (source,
+    bucket) group — a per-source window would serialize it onto a
+    single task at 100 TB — while matching the single-window semantics
+    exactly."""
+    rows = [(i, "big", "w " * (i % 5 + 1)) for i in range(90)] + [
+        (100 + i, "small", "w w") for i in range(10)
+    ]
+    df = _docs(spark, rows)
+    got = {
+        r.doc_id: (r.n_tokens, r.pack_id)
+        for r in pack_sequences(df, capacity=16, n_buckets=8).collect()
+    }
+    # naive single-stream reference per source
+    want = {}
+    for src in {"big", "small"}:
+        off = 0
+        for doc_id, _, text in sorted(r for r in rows if r[1] == src):
+            n = len(text.split())
+            want[doc_id] = (n, off // 16)
+            off += n
+    assert got == want
+    # the dominant source really occupies >1 bucket group
+    from flink_snappydata_spark.pipeline import packing as pk
+
+    lo, hi = df.agg(F.min("doc_id"), F.max("doc_id")).first()
+    width = max(1, (hi - lo + 8) // 8)
+    n_groups = (
+        df.filter(F.col("source") == "big")
+        .select(F.expr(f"CAST((doc_id - {lo}) DIV {width} AS BIGINT)").alias("b"))
+        .distinct()
+        .count()
+    )
+    assert n_groups > 1
+
+
+def test_global_index_clustered_ids_rebalanced(spark):
+    """Clustered ids (dense {0..k} plus a dense block at 10^9 — the
+    post-dedup id-gap shape) hotspot arithmetic range buckets; the
+    auto-refinement must split the hot buckets without changing the
+    rank."""
+    from flink_snappydata_spark.pipeline.packing import _balanced_buckets
+
+    ids = list(range(200)) + [10**9 + i for i in range(200)]
+    df = spark.createDataFrame([(i, "s", "t") for i in ids],
+                               "doc_id long, source string, text string")
+    got = {r.doc_id: r.idx for r in global_index(df, n_buckets=8).collect()}
+    assert got == {d: i for i, d in enumerate(sorted(ids))}
+    _, counts = _balanced_buckets(df.select("doc_id"), 8, 2.0)
+    sizes = [c for _, _, c in counts]
+    # unrefined: two buckets of 200 each (mean 50); refined: near target
+    assert max(sizes) <= 2 * -(-len(ids) // 8)
+
+
 def test_pii_redaction_direct(spark):
     df = _docs(
         spark,
