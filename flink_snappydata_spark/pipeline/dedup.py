@@ -26,7 +26,7 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_snappydata_spark.util import small_sorted, spread
+from flink_snappydata_spark.util import small_sorted, spread, tracked_persist
 
 # Word n-gram size shared by Jaccard and MinHash (3-word shingles).
 SHINGLE_N = 3
@@ -120,7 +120,7 @@ def _verified_jaccard(
     """
     # cand feeds both gated joins; persist so candidate generation
     # (LSH bands / shingle self-join) runs once.
-    cand = cand.persist()
+    cand = tracked_persist(cand)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
@@ -180,7 +180,7 @@ def ngram_jaccard_pairs(
     # joins, and the size agg; materialize it once (spills to disk if it
     # outgrows memory). Callers own cache cleanup for repeated runs
     # (bench clears between queries).
-    sh = shingles(documents, n).persist()
+    sh = tracked_persist(shingles(documents, n))
     hot = (
         sh.groupBy("sh")
         .agg(F.count(F.lit(1)).alias("df_sh"))
@@ -195,7 +195,7 @@ def ngram_jaccard_pairs(
         a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
         .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .agg(F.count(F.lit(1)).alias("n_below"))
-        .persist()
+        .transform(tracked_persist)
     )
     sh_hot = sh.join(hot, "sh", "left_semi")
     ha, hb = sh_hot.alias("ha"), sh_hot.alias("hb")
@@ -353,7 +353,7 @@ def minhash_lsh_candidates(
     """
     # Persist: both self-join sides read the banded signatures — without
     # it the whole shingle→signature pipeline runs twice.
-    banded = minhash_band_hashes(documents, bands, rows).persist()
+    banded = tracked_persist(minhash_band_hashes(documents, bands, rows))
     l, r = banded.alias("l"), banded.alias("r")
     return (
         l.join(
@@ -379,7 +379,7 @@ def minhash_dedup_pairs(
     """
     # Signatures are map-side (no shingle index needed); the persisted
     # index serves the verify join (both sides) and the size agg.
-    sh = shingles(documents).persist()
+    sh = tracked_persist(shingles(documents))
     cand = minhash_lsh_candidates(documents)
     return _verified_jaccard(sh, cand, threshold)
 
@@ -596,7 +596,7 @@ def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame
                 ]
             )
         ).alias("b"),
-    ).select("doc_id", "simhash", "b.band_id", "b.band_val").persist()
+    ).select("doc_id", "simhash", "b.band_id", "b.band_val").transform(tracked_persist)
     l, r = bands.alias("l"), bands.alias("r")
     return (
         l.join(

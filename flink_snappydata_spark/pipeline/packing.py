@@ -14,6 +14,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
+from flink_snappydata_spark.util import tracked_persist
+
 #: Knuth multiplicative-hash constant (2^32 / phi), used for the
 #: portable shard hash (identical BIGINT arithmetic in any engine).
 _HASH_MULT = 2654435761
@@ -157,6 +159,8 @@ def _range_buckets(documents: DataFrame, n_buckets: int) -> DataFrame:
     Boundaries derive from min/max, not sampling, so re-execution can
     never re-draw them."""
     lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:  # empty input — caller checks for None
+        return None
     width = max(1, (hi - lo + n_buckets) // n_buckets)
     return documents.select(
         "doc_id",
@@ -166,7 +170,7 @@ def _range_buckets(documents: DataFrame, n_buckets: int) -> DataFrame:
 
 def _balanced_buckets(
     documents: DataFrame, n_buckets: int, skew_factor: float
-) -> tuple[DataFrame, list[tuple[int, int, int]]]:
+) -> tuple[DataFrame | None, list[tuple[int, int, int]]]:
     """(doc_id, b0, b1) bucket keys plus the ordered (b0, b1, count)
     histogram, auto-refined when ids cluster.
 
@@ -180,7 +184,10 @@ def _balanced_buckets(
     from aggregated min/max (deterministic under re-execution), and the
     driver only ever sees histograms, never rows.
     """
-    keyed = _range_buckets(documents, n_buckets).persist()
+    keyed = _range_buckets(documents, n_buckets)
+    if keyed is None:
+        return None, []
+    keyed = tracked_persist(keyed)
     hist = (
         keyed.groupBy("bucket")
         .agg(F.count(F.lit(1)).alias("cnt"), F.min("doc_id").alias("blo"),
@@ -233,11 +240,13 @@ def global_index(
     offset. The only data shuffles are one count agg and one per-bucket
     window; the driver handles histograms, never rows.
     """
-    if documents.limit(1).count() == 0:
+    # Emptiness falls out of the min/max pass inside _balanced_buckets
+    # (min is NULL iff empty) — no separate probe job.
+    keyed, counts = _balanced_buckets(documents, n_buckets, skew_factor)
+    if keyed is None:
         return documents.select(
             "doc_id", F.lit(0).cast("long").alias("idx")
         ).limit(0)
-    keyed, counts = _balanced_buckets(documents, n_buckets, skew_factor)
     offsets, acc = [], 0
     for b0, b1, cnt in counts:
         offsets.append((b0, b1, acc))

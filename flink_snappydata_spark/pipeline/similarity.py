@@ -27,7 +27,7 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_snappydata_spark.util import small_sorted, spread
+from flink_snappydata_spark.util import small_sorted, spread, tracked_persist
 
 QUANT = 1_000_000.0  # 1e-6 component quantization
 # LSH: OR over N_TABLES tables, AND over PLANES_PER_TABLE hyperplane sign
@@ -220,7 +220,7 @@ def lsh_neardup_pairs(
     sigs = lsh_signatures(embeddings)
     qv = quantized(embeddings)
     # Persist: both self-join sides read it (else signatures run twice).
-    side = sigs.join(qv, "vec_id").persist()
+    side = tracked_persist(sigs.join(qv, "vec_id"))
     probe_side = side
     if multiprobe_bits:
         if multiprobe_bits != 1:

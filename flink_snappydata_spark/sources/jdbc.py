@@ -10,9 +10,10 @@ vocabulary configures Spark's built-in JDBC source, which implements
 stride partitioning for real: ``numPartitions`` concurrent connections,
 each scanning one ``partitionColumn`` range.
 
-No database ships in this container, so :func:`jdbc_reader` is exercised
-for construction/validation only; against a live URL it is a working
-partition-parallel scan.
+The JVM's embedded Derby (ships with Spark) exercises the whole path
+live — ``jdbc:derby:memory:`` stride-partitioned reads and
+truncate/batchsize writes in tests — so against any production URL the
+same builders are a working partition-parallel scan.
 """
 
 from __future__ import annotations
@@ -33,6 +34,7 @@ class JdbcScanOptions:
     table: str
     user: str | None = None
     password: str | None = None
+    driver: str | None = None
     partition_column: str | None = None
     lower_bound: int | None = None
     upper_bound: int | None = None
@@ -66,6 +68,8 @@ def jdbc_reader(spark: SparkSession, opts: JdbcScanOptions) -> DataFrameReader:
         reader = reader.option("user", opts.user)
     if opts.password is not None:
         reader = reader.option("password", opts.password)
+    if opts.driver is not None:
+        reader = reader.option("driver", opts.driver)
     if opts.partition_column is not None:
         reader = (
             reader.option("partitionColumn", opts.partition_column)
@@ -89,6 +93,7 @@ class JdbcWriteOptions:
     table: str
     user: str | None = None
     password: str | None = None
+    driver: str | None = None
     truncate: bool = False
     create_table_options: str | None = None
     batchsize: int | None = None
@@ -122,6 +127,8 @@ def jdbc_writer(df, opts: JdbcWriteOptions, mode: str = "append"):
         writer = writer.option("user", opts.user)
     if opts.password is not None:
         writer = writer.option("password", opts.password)
+    if opts.driver is not None:
+        writer = writer.option("driver", opts.driver)
     if opts.create_table_options is not None:
         writer = writer.option("createTableOptions", opts.create_table_options)
     if opts.batchsize is not None:

@@ -19,11 +19,12 @@ from __future__ import annotations
 
 import os
 import tempfile
+from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
-from pyspark.sql.streaming import StreamingQuery
+from pyspark.sql.streaming import DataStreamReader, StreamingQuery
 
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -59,33 +60,85 @@ def socket_text_stream(spark: SparkSession, host: str, port: int) -> DataFrame:
     )
 
 
-def kafka_string_stream(
-    spark: SparkSession, servers: str, topic: str
-) -> DataFrame:
-    """Kafka topic as a string stream (reference
-    ``FlinkKafkaConsumer010[String]``). Requires the spark-sql-kafka
-    package on the classpath."""
-    raw = (
-        spark.readStream.format("kafka")
-        .option("kafka.bootstrap.servers", servers)
-        .option("subscribe", topic)
-        .load()
-    )
+@dataclass(frozen=True)
+class KafkaSourceSpec:
+    """Declarative Kafka source config. ``options()`` is the single
+    source of truth for what reaches Spark — ``reader()`` iterates it
+    verbatim — so tests assert the built reader's options without a
+    broker; ``load()`` is the only line a broker-less environment can't
+    execute."""
+
+    servers: str
+    topic: str
+    starting_offsets: str = "latest"
+    fail_on_data_loss: bool = True
+
+    def options(self) -> dict[str, str]:
+        return {
+            "kafka.bootstrap.servers": self.servers,
+            "subscribe": self.topic,
+            "startingOffsets": self.starting_offsets,
+            "failOnDataLoss": str(self.fail_on_data_loss).lower(),
+        }
+
+    def reader(self, spark: SparkSession) -> DataStreamReader:
+        r = spark.readStream.format("kafka")
+        for k, v in self.options().items():
+            r = r.option(k, v)
+        return r
+
+    def load(self, spark: SparkSession) -> DataFrame:
+        """Requires the spark-sql-kafka package on the classpath."""
+        return self.reader(spark).load()
+
+
+def decode_kafka_string(raw: DataFrame) -> DataFrame:
+    """Post-source transform of the Kafka string path: wire ``value``
+    bytes → string plus the broker timestamp. Pure function of any
+    frame with (value, timestamp) columns — the file/socket twins run
+    it green without a broker."""
     return raw.select(
         F.col("value").cast("string").alias("value"), F.col("timestamp")
     )
 
 
+def decode_kafka_json(raw: DataFrame, schema: T.StructType) -> DataFrame:
+    """Post-source transform of the Kafka JSON table path (reference
+    ``Kafka010JsonTableSource`` + TableSchema,
+    ``ParquetTableJoin.scala:32-43``): JSON payload projected into the
+    declared typed columns. Pure function — tested against a file-stream
+    twin carrying the same (value, timestamp) shape."""
+    return (
+        decode_kafka_string(raw)
+        .select(F.from_json(F.col("value"), schema).alias("data"), F.col("timestamp"))
+        .select("data.*", "timestamp")
+    )
+
+
+def kafka_string_stream(
+    spark: SparkSession, servers: str, topic: str,
+    starting_offsets: str = "latest",
+) -> DataFrame:
+    """Kafka topic as a string stream (reference
+    ``FlinkKafkaConsumer010[String]``, ``KafkaWindowWordCount.scala:18-23``)."""
+    spec = KafkaSourceSpec(servers, topic, starting_offsets)
+    return decode_kafka_string(spec.load(spark))
+
+
 def kafka_json_table_stream(
-    spark: SparkSession, servers: str, topic: str, schema: T.StructType
+    spark: SparkSession, servers: str, topic: str, schema: T.StructType,
+    starting_offsets: str = "latest",
 ) -> DataFrame:
     """Kafka JSON table source with a declared schema (reference
-    ``Kafka010JsonTableSource`` + TableSchema, ``ParquetTableJoin.scala:32-43``):
-    JSON payload projected into typed columns."""
-    raw = kafka_string_stream(spark, servers, topic)
-    return raw.select(
-        F.from_json(F.col("value"), schema).alias("data"), F.col("timestamp")
-    ).select("data.*", "timestamp")
+    ``Kafka010JsonTableSource`` + TableSchema, ``ParquetTableJoin.scala:32-43``)."""
+    spec = KafkaSourceSpec(servers, topic, starting_offsets)
+    return decode_kafka_json(spec.load(spark), schema)
+
+
+def encode_kafka_output(df: DataFrame) -> DataFrame:
+    """Pure pre-sink transform of the Kafka producer path: project the
+    payload to the wire ``value`` string column."""
+    return df.selectExpr("CAST(value AS STRING) AS value")
 
 
 def kafka_sink(df: DataFrame, servers: str, topic: str,
@@ -93,7 +146,7 @@ def kafka_sink(df: DataFrame, servers: str, topic: str,
     """Kafka producer sink (reference ``FlinkKafkaProducer010`` with
     ``setWriteTimestampToKafka`` — Kafka stamps ingestion time itself)."""
     writer = (
-        df.selectExpr("CAST(value AS STRING) AS value")
+        encode_kafka_output(df)
         .writeStream.format("kafka")
         .option("kafka.bootstrap.servers", servers)
         .option("topic", topic)

@@ -2,8 +2,35 @@
 
 from __future__ import annotations
 
+import weakref
+
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+# Library-internal persisted intermediates (dedup candidate sets, LSH
+# band tables, bucket keys...). Their consumers are lazy return values,
+# so the producing function can never unpersist them itself; this
+# registry lets a long-lived session (or the bench harness) drop them
+# without clearing caches the CALLER owns (e.g. the table cache).
+_TRACKED_PERSISTS: weakref.WeakSet = weakref.WeakSet()
+
+
+def tracked_persist(df: DataFrame) -> DataFrame:
+    """``persist()`` plus registration for :func:`release_caches`."""
+    df.persist()
+    _TRACKED_PERSISTS.add(df)
+    return df
+
+
+def release_caches() -> int:
+    """Unpersist every library-internal intermediate persisted via
+    :func:`tracked_persist`; returns how many were released. Call after
+    the results depending on them have been fully consumed."""
+    n = 0
+    for df in list(_TRACKED_PERSISTS):
+        df.unpersist()
+        n += 1
+    return n
 
 
 def spread(df: DataFrame, *cols: str) -> DataFrame:

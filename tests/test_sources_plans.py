@@ -280,3 +280,46 @@ def test_exact_dedup_shuffle_key_is_digest(spark):
 
     df = exact_dedup(load_table(spark, SF, "documents"))
     assert "sha2" in formatted_plan(df)
+
+
+def test_jdbc_live_roundtrip_embedded_derby(spark):
+    """The reference's core path is a live JDBC scan with parallel
+    splits (SnappyDataInputFormat.java:74-114). Embedded Derby (ships in
+    Spark's JVM) exercises the SAME builders end-to-end without external
+    infra: stride-partitioned read (4 concurrent range scans) and a
+    truncate + batchsize write."""
+    from flink_snappydata_spark.sources import (
+        JdbcScanOptions,
+        JdbcWriteOptions,
+        jdbc_reader,
+        jdbc_writer,
+    )
+
+    url = "jdbc:derby:memory:fss_live;create=true"
+    driver = "org.apache.derby.iapi.jdbc.AutoloadedDriver"
+    rows = [(i, f"name-{i}") for i in range(100)]
+    df = spark.createDataFrame(rows, "id int, name string")
+
+    wopts = JdbcWriteOptions(url=url, table="people", driver=driver,
+                             batchsize=25)
+    jdbc_writer(df, wopts, mode="overwrite").save()
+
+    ropts = JdbcScanOptions(
+        url=url, table="people", driver=driver,
+        partition_column="id", lower_bound=0, upper_bound=100,
+        num_partitions=4, fetchsize=50,
+    )
+    back = jdbc_reader(spark, ropts).load()
+    # stride partitioning really produced 4 concurrent range scans
+    assert back.rdd.getNumPartitions() == 4
+    assert sorted((r.id, r.name) for r in back.collect()) == rows
+
+    # truncate write: table replaced in place (no drop/recreate), rows swapped
+    df2 = spark.createDataFrame([(1000, "only")], "id int, name string")
+    w2 = JdbcWriteOptions(url=url, table="people", driver=driver,
+                          truncate=True)
+    jdbc_writer(df2, w2, mode="overwrite").save()
+    again = jdbc_reader(
+        spark, JdbcScanOptions(url=url, table="people", driver=driver)
+    ).load()
+    assert [(r.id, r.name) for r in again.collect()] == [(1000, "only")]

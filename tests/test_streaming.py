@@ -393,3 +393,65 @@ def test_streaming_stateless_curation_ops(spark):
     got = _sorted(spark.table("stream_pii").toPandas())
     want = _sorted(pii_redaction(batch, synthesize=True).toPandas())
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_kafka_source_spec_options(spark):
+    """The options dict IS what reader() feeds Spark — asserting it
+    asserts the built plan's source options; only .load() needs a
+    broker/connector (reference KafkaWindowWordCount.scala:18-23)."""
+    spec = runtime.KafkaSourceSpec(
+        "broker1:9092,broker2:9092", "events-topic", starting_offsets="earliest"
+    )
+    opts = spec.options()
+    assert opts["kafka.bootstrap.servers"] == "broker1:9092,broker2:9092"
+    assert opts["subscribe"] == "events-topic"
+    assert opts["startingOffsets"] == "earliest"
+    assert opts["failOnDataLoss"] == "true"
+    # builds a configured reader without touching any broker
+    assert spec.reader(spark) is not None
+
+
+def test_kafka_json_projection_via_file_twin(spark, tmp_path):
+    """The ParquetTableJoin.scala:32-43 path — JSON payloads projected
+    into declared typed columns — executed end-to-end through a
+    file-stream twin carrying the Kafka wire shape (value, timestamp)."""
+    import json
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    src = tmp_path / "wire"
+    src.mkdir()
+    rows = [
+        {"user_id": 1, "event_type": "click", "value": 2.5},
+        {"user_id": 2, "event_type": "view", "value": 0.5},
+        {"user_id": 1, "event_type": "buy", "value": 9.0},
+    ]
+    (src / "batch0.txt").write_text("\n".join(json.dumps(r) for r in rows))
+    raw = (
+        spark.readStream.format("text")
+        .load(str(src))
+        .withColumn("timestamp", F.current_timestamp())
+    )
+    schema = T.StructType(
+        [
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    typed = runtime.decode_kafka_json(raw, schema)
+    runtime.run_to_memory_sink(typed, "kafka_twin_smoke")
+    got = spark.table("kafka_twin_smoke").toPandas()
+    assert sorted(got.columns) == ["event_type", "timestamp", "user_id", "value"]
+    assert sorted(
+        (int(r.user_id), r.event_type, float(r.value)) for r in got.itertuples()
+    ) == [(1, "buy", 9.0), (1, "click", 2.5), (2, "view", 0.5)]
+
+
+def test_encode_kafka_output_wire_format(spark):
+    df = spark.createDataFrame([(1,), (2,)], "value int")
+    out = runtime.encode_kafka_output(df)
+    assert out.schema.fieldNames() == ["value"]
+    assert out.schema["value"].dataType.simpleString() == "string"
+    assert sorted(r.value for r in out.collect()) == ["1", "2"]
