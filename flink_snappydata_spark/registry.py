@@ -2071,78 +2071,57 @@ _register(
 # Declaration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies registry entries front-to-back with a
-# bounded budget (round 1 recorded exactly the first 50). Order therefore
-# encodes verification priority, not implementation grouping:
+# bounded budget (rounds 1-2 recorded exactly the first 50 each). Order
+# therefore encodes verification priority, not implementation grouping.
+# Round-3 window (_HEAD, 50 names):
 #
-# * _HEAD — flagship queries plus every entry that has not yet received a
-#   driver CORRECTNESS row (round 1's positions 51-64, and queries new
-#   this round), promoted to the front so the scoring oracle sees them.
-# * middle — everything else in file (implementation) order.
-# * _TAIL — trivial scalar-function variants and identity checks that
-#   were driver-green in round 1, plus the deliberately quadratic
-#   all-pairs cosine baseline (`embedding_neardup`, kept as the oracle
-#   twin of `ann_lsh_neardup` — the scale path users should run).
+# * the 3 entries that have never received a driver CORRECTNESS row
+#   (doc_chunking / frequent_tokens / label_centroids, added late in r2);
+# * the 5 round-2-stamped entries whose implementation changed this round
+#   and must re-prove: train_val_test_split + dedup_simhash (portable
+#   hashes, now full-oracle instead of rows-only), seq_packing /
+#   global_index (skew-proof two-phase rewrite), shard_stats
+#   (overflow-safe hash), dedup_clusters (pointer-jumping propagation);
+# * the 41 remaining entries whose latest stamp is round 1 (the driver's
+#   rotation re-confirms every query at least every other round);
+# * q1_pricing_summary as the flagship sentinel.
+#
+# Everything else — round-2-green and unchanged — follows in file order.
 
 _HEAD = [
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q18_large_volume_customer",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "q8_market_share",
-    "q9_product_profit",
-    "q20_excess_suppliers",
-    "q11_important_stock",
-    "q2_min_cost_supplier",
-    "session_funnel",  # round 1's only hash-fail; oracle fixed, must re-verify
-    "decontamination",
-    "dedup_clusters",
-    # re-proof: implementations/oracles changed since their round-1 rows
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "events_session_window",
-    "count_window",
-    "ann_lsh_neardup",
-    "ann_ivf_topk",
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "doc_fingerprint",
-    "agg_percentile",
-    "agg_histogram",
-    "agg_approx_percentile",
-    "scalar_similarity",
-    "curation_pipeline",
-    "train_val_test_split",
-    "agg_approx_distinct",
-    "multimodal_features",
-    "seq_packing",
-    "global_index",
-    "shard_stats",
-    "text_repetition",
-    "pii_redaction",
-    "source_stats",
     "doc_chunking",
     "frequent_tokens",
     "label_centroids",
-]
-
-_TAIL = [
+    "train_val_test_split",
+    "seq_packing",
+    "global_index",
+    "shard_stats",
+    "dedup_clusters",
+    "agg_distinct",
+    "agg_rollup",
     "agg_cube",
+    "agg_having",
     "agg_grouping_sets",
+    "wordcount_batch",
+    "grouped_zscore",
+    "mappartitions_identity",
+    "star_join_revenue",
+    "broadcast_dim_join",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_band",
+    "join_nonequi",
+    "asof_join",
+    "topk_orders",
+    "distinct_pairs",
+    "set_ops_nations",
+    "window_rank",
+    "window_running_sum",
+    "window_distribution",
+    "window_lag_lead",
+    "window_range_frame",
+    "pivot_revenue",
     "scalar_string",
     "scalar_date",
     "scalar_math",
@@ -2150,16 +2129,19 @@ _TAIL = [
     "scalar_map",
     "scalar_conditional",
     "scalar_array",
-    "mappartitions_identity",
-    "distinct_pairs",
-    "set_ops_nations",
-    "window_lag_lead",
-    "window_distribution",
-    "window_range_frame",
-    "join_nonequi",
-    "join_band",
+    "events_tumbling_window",
+    "events_sliding_window",
+    "stream_stream_join",
+    "stream_join_rowlevel",
+    "interval_join",
+    "dedup_simhash",
     "embedding_neardup",
+    "subquery_above_nation_avg",
+    "ann_cosine_topk",
+    "q1_pricing_summary",
 ]
+
+_TAIL: list[str] = []
 
 
 def _reorder() -> None:
