@@ -81,19 +81,19 @@ def main() -> None:
     # not interpreter startup.
     _force(queries["doc_fingerprint"](spark, sf_dir))
 
-    # SPARK_GRAFT_BENCH_ALL=1 times every declared query (n=1, full
-    # cache rebuild between queries — the sweep used to catch scale
-    # regressions); the default headline run times each query
-    # warmup + median-of-3 so sub-second deltas are signal, not
-    # JVM/codegen noise (round-2 deltas at n<=2 were uninterpretable).
+    # SPARK_GRAFT_BENCH_ALL=1 times every declared query (full cache
+    # rebuild between queries — the sweep used to catch scale
+    # regressions); both modes time each query warmup + median-of-N
+    # (default 3) so sub-second deltas are signal, not JVM/codegen
+    # noise (round-2 deltas at n<=2 were uninterpretable).
     bench_all = bool(os.environ.get("SPARK_GRAFT_BENCH_ALL"))
     names = list(queries) if bench_all else HEADLINE
-    reps = 1 if bench_all else int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3"))
+    reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     timings: dict[str, float] = {}
     detail: dict[str, dict[str, float]] = {}
     for name in names:
         runs: list[float] = []
-        for rep in range(reps + (0 if bench_all else 1)):
+        for rep in range(reps + 1):
             # Library-internal persists (dedup candidate sets, LSH band
             # tables) outlive their query — release them OUTSIDE the
             # timer so every rep pays the query's true cost and a long
@@ -103,7 +103,7 @@ def main() -> None:
             start = time.perf_counter()
             _force(queries[name](spark, sf_dir))
             elapsed = time.perf_counter() - start
-            if bench_all or rep > 0:  # rep 0 is the codegen/JIT warm-up
+            if rep > 0:  # rep 0 is the codegen/JIT warm-up
                 runs.append(elapsed)
         runs.sort()
         timings[name] = round(runs[len(runs) // 2], 3)

@@ -95,9 +95,12 @@ def pack_sequences(
             F.lit(0).cast("long").alias("n_tokens"),
             F.lit(0).cast("long").alias("pack_id"),
         ).limit(0)
-    # Width-division (not multiply-then-divide) can never overflow
-    # int64 however wide the id span; monotone in doc_id, which is all
-    # correctness needs — bucketing only sets parallelism.
+    # Width-division (not multiply-then-divide) avoids the
+    # multiply-overflow the old scheme had; monotone in doc_id, which is
+    # all correctness needs — bucketing only sets parallelism.
+    # Precondition: non-negative doc_ids (true for every producer here —
+    # crc32/global_index ids are >= 0). With negative ids the span
+    # (hi - lo) itself could exceed int64 and wrap.
     width = max(1, (hi - lo + n_buckets) // n_buckets)
     toks = documents.select(
         "doc_id",
@@ -154,10 +157,13 @@ def pack_stats(documents: DataFrame, capacity: int = 256) -> DataFrame:
 
 def _range_buckets(documents: DataFrame, n_buckets: int) -> DataFrame:
     """(doc_id, bucket) by arithmetic id ranges — width division, which
-    is monotone in doc_id and can never overflow int64 (the old
-    ``(doc_id - lo) * n_buckets`` multiply could, for spans near 2^63).
-    Boundaries derive from min/max, not sampling, so re-execution can
-    never re-draw them."""
+    is monotone in doc_id and avoids the multiply-overflow of the old
+    ``(doc_id - lo) * n_buckets`` scheme (which wrapped for spans near
+    2^63). Precondition: non-negative doc_ids — with a negative ``lo``
+    and large positive ``hi`` the span ``hi - lo`` itself wraps; every
+    id producer in this package (crc32 content ids, global_index) emits
+    ids >= 0. Boundaries derive from min/max, not sampling, so
+    re-execution can never re-draw them."""
     lo, hi = documents.agg(F.min("doc_id"), F.max("doc_id")).first()
     if lo is None:  # empty input — caller checks for None
         return None

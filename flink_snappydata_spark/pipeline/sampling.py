@@ -45,6 +45,15 @@ def hash_split(
     ranges give each split its fraction. No shuffle, no state, no RNG —
     a row's split is a pure function of its key, so the assignment is
     identical on any cluster and stable under corpus growth.
+
+    Versioning: stability holds WITHIN a hash scheme. Switching integral
+    keys from xxhash64 to portable_hash+crc32 (the v1→v2 change that
+    made the split oracle-checkable) was a one-time reassignment of
+    every integral-keyed split — anyone holding splits materialized by
+    the xxhash64 revision must regenerate train/val/test together, never
+    mix old and new (cross-contamination). The salt doubles as the
+    version tag; bump it (``fss-split-v2`` …) on any future scheme
+    change so old and new assignments can't be confused.
     """
     weights = dict(weights or {"train": 0.98, "val": 0.01, "test": 0.01})
     total = sum(weights.values())

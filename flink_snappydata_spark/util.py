@@ -2,8 +2,6 @@
 
 from __future__ import annotations
 
-import weakref
-
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -12,13 +10,20 @@ from pyspark.sql import functions as F
 # so the producing function can never unpersist them itself; this
 # registry lets a long-lived session (or the bench harness) drop them
 # without clearing caches the CALLER owns (e.g. the table cache).
-_TRACKED_PERSISTS: weakref.WeakSet = weakref.WeakSet()
+#
+# A strong container is required: the JVM CacheManager keeps the cached
+# plan alive regardless of Python references, so a WeakSet would drop
+# the handle as soon as the producer returned and release_caches() would
+# silently release nothing while blocks accumulate until eviction.
+# Entries are held until release_caches() unpersists them and clears the
+# set — bounded by one bench/query cycle, not the session lifetime.
+_TRACKED_PERSISTS: list[DataFrame] = []
 
 
 def tracked_persist(df: DataFrame) -> DataFrame:
     """``persist()`` plus registration for :func:`release_caches`."""
     df.persist()
-    _TRACKED_PERSISTS.add(df)
+    _TRACKED_PERSISTS.append(df)
     return df
 
 
@@ -27,8 +32,12 @@ def release_caches() -> int:
     :func:`tracked_persist`; returns how many were released. Call after
     the results depending on them have been fully consumed."""
     n = 0
-    for df in list(_TRACKED_PERSISTS):
-        df.unpersist()
+    while _TRACKED_PERSISTS:
+        df = _TRACKED_PERSISTS.pop()
+        try:
+            df.unpersist()
+        except Exception:
+            pass  # session already stopped — nothing left to release
         n += 1
     return n
 
