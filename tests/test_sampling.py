@@ -96,14 +96,26 @@ def test_approx_percentile_error_bound(spark):
     )
 
     orders = load_table(spark, SF_CORRECT, "orders")
-    approx = {r.o_orderpriority: (r.p50_cents, r.p90_cents)
-              for r in agg_approx_percentile(orders).collect()}
+    cents = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    approx = {
+        r.o_orderpriority: (r.p50_cents, r.p90_cents)
+        for r in orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(f"approx_percentile({cents}, 0.5, 10000)").alias("p50_cents"),
+            F.expr(f"approx_percentile({cents}, 0.9, 10000)").alias("p90_cents"),
+        )
+        .collect()
+    }
     exact = {r.o_orderpriority: (r.p50_cents, r.p90_cents)
              for r in agg_percentile(orders).collect()}
     assert set(approx) == set(exact)
     for k, (p50, p90) in exact.items():
         assert abs(approx[k][0] - p50) / p50 < 0.01
         assert abs(approx[k][1] - p90) / p90 < 0.01
+    # the registry query's in-query verdict agrees
+    verdicts = agg_approx_percentile(orders).collect()
+    assert len(verdicts) == len(exact)
+    assert all(r.p50_within_bound and r.p90_within_bound for r in verdicts)
 
 def test_salted_join_on_pathological_skew(spark):
     """90% of fact rows share ONE key — the scenario salting exists
@@ -121,3 +133,68 @@ def test_salted_join_on_pathological_skew(spark):
         .agg(F.count(F.lit(1)).alias("n"))
     )
     assert sorted(map(tuple, plain.collect())) == sorted(map(tuple, salted.collect()))
+
+
+@pytest.fixture
+def _skew_confs(spark):
+    """Force shuffled joins + save/restore the AQE skew knobs."""
+    keys = [
+        "spark.sql.autoBroadcastJoinThreshold",
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes",
+        "spark.sql.adaptive.skewJoin.skewedPartitionFactor",
+        "spark.sql.adaptive.advisoryPartitionSizeInBytes",
+        "spark.sql.adaptive.coalescePartitions.enabled",
+    ]
+    saved = {k: spark.conf.get(k) for k in keys}
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set("spark.sql.adaptive.coalescePartitions.enabled", "false")
+    yield spark
+    for k, v in saved.items():
+        spark.conf.set(k, v)
+
+
+def _skew_fixture(spark):
+    """~95% of 400k fact rows share ONE key, with a payload wide enough
+    that the hot reducer partition is MBs, not KBs."""
+    fact = spark.range(0, 400_000).selectExpr(
+        "id AS row_id",
+        "CASE WHEN id % 20 < 19 THEN 7 ELSE id % 100 END AS k",
+        "repeat('x', 100) AS payload",
+    )
+    dim = spark.range(0, 100).selectExpr("id AS k", "concat('v', id) AS label")
+    return fact, dim
+
+
+def _executed_plan(df) -> str:
+    """Run the frame's OWN QueryExecution to completion and return the
+    final adaptive plan (a noop write would execute a fresh QE and
+    leave this one isFinalPlan=false)."""
+    df.collect()
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_aqe_skew_split_fires_when_tuned(spark, _skew_confs):
+    """With thresholds sized to the data, AQE's runtime skew split marks
+    the sort-merge join `skew=true` — the 'AQE suffices' half of the
+    salted_join decision rule (hot key merely oversizes a shuffle
+    partition of an eligible shuffled join)."""
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512KB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+    fact, dim = _skew_fixture(spark)
+    plan = _executed_plan(fact.join(dim, "k"))
+    assert "skew=true" in plan, plan
+
+
+def test_aqe_skew_split_misses_at_default_thresholds(spark, _skew_confs):
+    """The same pathological join at stock thresholds (256 MB): AQE sees
+    nothing to split and the hot key rides one reducer — the 'salting
+    needed' half of the decision rule. salted_join spreads it by
+    construction, no skewed-partition detection involved."""
+    fact, dim = _skew_fixture(spark)
+    plan = _executed_plan(fact.join(dim, "k"))
+    assert "SortMergeJoin" in plan and "skew=true" not in plan, plan
+    salted_plan = _executed_plan(salted_join(fact, dim, "k", n_salts=16))
+    assert "skew=true" not in salted_plan

@@ -224,7 +224,7 @@ def _shuffled_events_stream(spark, tmp_path, n_files: int = 8):
     ev.repartition(n_files, F.xxhash64("event_id")).write.mode(
         "overwrite"
     ).parquet(src)
-    return (
+    return runtime.ensure_event_time(
         spark.readStream.schema(ev.schema)
         .option("maxFilesPerTrigger", "1")
         .parquet(src)
