@@ -78,8 +78,9 @@ def main() -> None:
     _force(queries["q1_pricing_summary"](spark, sf_dir))
     # Spin up the Python worker pool (one worker per core + Arrow init,
     # ~4s one-time) so the first pandas-UDF query measures the operator,
-    # not interpreter startup.
-    _force(queries["doc_fingerprint"](spark, sf_dir))
+    # not interpreter startup. (grouped_zscore: applyInPandas —
+    # doc_fingerprint no longer qualifies since it went all-JVM.)
+    _force(queries["grouped_zscore"](spark, sf_dir))
 
     # SPARK_GRAFT_BENCH_ALL=1 times every declared query (full cache
     # rebuild between queries — the sweep used to catch scale

@@ -3,8 +3,8 @@
 All candidate generation is sub-quadratic:
 
 * exact — hash groupBy on the full text (one shuffle on a digest key);
-* n-gram Jaccard — shingle inverted-index join (pairs sharing ≥1
-  shingle), never a cross join;
+* n-gram Jaccard — prefix-filtered inverted-index join (only each
+  doc's rarest shingles generate candidates), never a cross join;
 * MinHash+LSH — banded signatures; only same-band-bucket pairs are
   candidates, verified with exact Jaccard;
 * SimHash — 15-bit band blocking over 60-bit portable (md5-derived)
@@ -108,38 +108,40 @@ def _verified_jaccard(
     sh: DataFrame, cand: DataFrame, threshold: float
 ) -> DataFrame:
     """Exact Jaccard over (doc_a, doc_b) candidate pairs against the
-    full (uncapped) shingle index ``sh``: intersection counts via a
-    candidate-gated join, |A∩B|/(|A|+|B|-|A∩B|) with integer counts and
-    one double division — engine-exact values, exact precision
-    regardless of how the candidates were generated.
+    full shingle index ``sh``: each doc's distinct shingles are packed
+    into one array row, candidates join the packed sets twice, and
+    |A∩B| = ``size(array_intersect(...))`` — integer counts and one
+    double division, engine-exact values regardless of how the
+    candidates were generated.
 
-    Scale: the gated joins shuffle the index once by doc id — a single
-    linear pass regardless of candidate count (a semi-join restriction
-    to candidate docs was measured slower: it adds three stages to save
-    a pass that partitions fine anyway).
+    Scale: the packed-sets frame is one row per document (the same
+    order of bytes as the corpus text itself, partitioned by doc id);
+    joining candidates against it twice moves each set once per side
+    instead of exploding to (pair x shingle) rows — the previous gated
+    join shuffled |cand|·avg_shingles intermediate rows, ~50x more. At
+    test scale AQE broadcasts the sets frame outright; at 100 TB both
+    joins hash-partition on doc id with no row multiplication. The
+    per-pair intersect is linear in set size, JVM-side.
     """
-    # cand feeds both gated joins; persist so candidate generation
-    # (LSH bands / shingle self-join) runs once.
-    cand = tracked_persist(cand)
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    inter = (
-        cand.join(a, F.col("doc_a") == F.col("a.doc_id"))
-        .join(
-            b,
-            (F.col("doc_b") == F.col("b.doc_id")) & (F.col("a.sh") == F.col("b.sh")),
-        )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_inter"))
+    sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    pa = sets.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("shs").alias("shs_a"),
+        F.size("shs").alias("na"),
     )
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    pb = sets.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("shs").alias("shs_b"),
+        F.size("shs").alias("nb"),
+    )
     return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
+        cand.join(pa, "doc_a")
+        .join(pb, "doc_b")
+        .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
-            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
@@ -151,82 +153,92 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
     n: int = SHINGLE_N,
-    max_shingle_df: int = 10_000,
 ) -> DataFrame:
-    """Exact n-gram Jaccard near-dup pairs via shingle inverted index.
+    """Exact n-gram Jaccard near-dup pairs via prefix filtering
+    (AllPairs/PPJoin-style candidate generation, then exact verify).
 
-    Candidates = pairs sharing ≥1 below-cap shingle; each candidate is
-    then verified with the exact Jaccard over the *full* shingle sets.
+    Only each document's *prefix* — its ``n_sh − ⌈t·n_sh⌉ + 1``
+    globally rarest shingles (global order = ascending document
+    frequency, ties by shingle text) — enters the candidate self-join.
+    Any pair with Jaccard ≥ t overlaps in ≥ ``⌈t·max(|A|,|B|)⌉``
+    shingles (the union contains both sets), so the order-smallest
+    shared shingle provably sits inside BOTH prefixes: prefix ⋈ prefix
+    finds every qualifying pair with zero recall loss. A size-ratio
+    prune (j ≥ t ⟹ t·|B| ≤ |A| ≤ |B|/t) rides the join condition.
+    Candidates are then verified with the exact Jaccard over the
+    *full* shingle sets (:func:`_verified_jaccard`), so precision and
+    values are engine-exact.
 
-    Scale: the inverted-index self-join explodes on ultra-common
-    shingles — a stopword-run shingle shared by 1 M docs would emit
-    ~10¹² candidate pairs from a single key. Shingles with document
-    frequency above ``max_shingle_df`` are therefore split out *before*
-    the self-join (one cheap pre-aggregation):
-
-    * below-cap rows self-join and count shared shingles directly — one
-      pass, exactly the uncapped algorithm restricted to safe keys;
-    * above-cap ("hot") rows never self-join; their contribution to each
-      intersection is recovered candidate-gated — join the (already
-      known, few) candidate pairs against only the hot rows of the two
-      docs involved, bounded by |candidates| x hot-shingles-per-doc.
-
-    The total intersection (below + hot) and the uncapped sizes make
-    precision exact; recall is unaffected unless a qualifying pair
-    shares *only* above-cap shingles — vanishingly unlikely at high
-    thresholds and pinned by a fixture test with the cap forced low.
+    Scale: this kills the inverted-index join's hot-key explosion by
+    construction — a stopword-run shingle shared by 1 M documents is,
+    by definition of the frequency order, in (almost) nobody's prefix,
+    so it never self-joins; no DF cap, no recall caveat. At t=0.8 only
+    ~20% of index rows (the rarest, hence least-skewed, keys) enter the
+    join. Float guards: prefix length and ratio bounds are padded by
+    1e-9 toward MORE candidates, so binary-double threshold arithmetic
+    can only add a candidate (verified away later), never drop one.
     """
-    # The shingle index feeds the DF agg, the self-join, the hot-rows
-    # joins, and the size agg; materialize it once (spills to disk if it
-    # outgrows memory). Callers own cache cleanup for repeated runs
-    # (bench clears between queries).
+    # The shingle index feeds the DF agg, the prefix ranking, and the
+    # verify joins; materialize it once (spills to disk if it outgrows
+    # memory). Callers own cache cleanup for repeated runs (bench
+    # clears between queries).
     sh = tracked_persist(shingles(documents, n))
-    hot = (
-        sh.groupBy("sh")
-        .agg(F.count(F.lit(1)).alias("df_sh"))
-        .filter(F.col("df_sh") > max_shingle_df)
-        .select("sh")
-    )
-    idx = sh.join(hot, "sh", "left_anti")
-    a, b = idx.alias("a"), idx.alias("b")
-    # Feeds both the hot-rows gate and the final join; persist so the
-    # below-cap self-join runs once.
-    inter_below = (
-        a.join(b, (F.col("a.sh") == F.col("b.sh")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count(F.lit(1)).alias("n_below"))
-        .transform(tracked_persist)
-    )
-    sh_hot = sh.join(hot, "sh", "left_semi")
-    ha, hb = sh_hot.alias("ha"), sh_hot.alias("hb")
-    inter_hot = (
-        inter_below.select("doc_a", "doc_b")
-        .join(ha, F.col("doc_a") == F.col("ha.doc_id"))
-        .join(
-            hb,
-            (F.col("doc_b") == F.col("hb.doc_id")) & (F.col("ha.sh") == F.col("hb.sh")),
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+    # Rank each doc's shingles by (df, sh) with ONE aggregation + a
+    # per-doc array_sort/slice instead of two window functions — same
+    # order, one fewer shuffle, and the slice discards the 80%
+    # non-prefix rows before the explode.
+    prefix = (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("df_sh", "sh")).alias("items"))
+        .select(
+            "doc_id",
+            F.size("items").alias("n_sh"),
+            F.posexplode(
+                F.slice(
+                    F.array_sort("items"),
+                    1,
+                    (
+                        F.size("items")
+                        - F.ceil(F.size("items") * threshold - 1e-9)
+                        + 1
+                    ).cast("int"),
+                )
+            ).alias("pos", "e"),
         )
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count(F.lit(1)).alias("n_hot"))
-    )
-    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    sa, sb = sizes.alias("sa"), sizes.alias("sb")
-    inter = (
-        inter_below.join(inter_hot, ["doc_a", "doc_b"], "left")
-        .withColumn("n_inter", F.col("n_below") + F.coalesce(F.col("n_hot"), F.lit(0)))
-    )
-    return (
-        inter.join(sa, F.col("doc_a") == F.col("sa.doc_id"))
-        .join(sb, F.col("doc_b") == F.col("sb.doc_id"))
-        .withColumn(
-            "jaccard",
-            F.col("n_inter").cast("double")
-            / (F.col("sa.n_sh") + F.col("sb.n_sh") - F.col("n_inter")),
+        .select(
+            "doc_id", "n_sh", (F.col("pos") + 1).alias("rnk"),
+            F.col("e.sh").alias("sh"),
         )
-        .filter(F.col("jaccard") >= threshold)
-        .select("doc_a", "doc_b", "jaccard")
-        .transform(lambda d: small_sorted(d, "doc_a", "doc_b"))
     )
+    a, b = prefix.alias("a"), prefix.alias("b")
+    # Positional filter (PPJoin): all shared shingles sort at-or-after
+    # the matched one, so overlap ≤ min(remaining_a, remaining_b) + 1;
+    # a qualifying pair needs overlap ≥ ⌈t·max(na,nb)⌉, and its
+    # order-smallest shared shingle (guaranteed matched by the prefix
+    # join) carries the largest bound — so dropping rows whose bound
+    # falls short never drops a qualifying pair.
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & (F.col("a.doc_id") < F.col("b.doc_id"))
+            & (F.col("a.n_sh") >= F.col("b.n_sh") * threshold - 1e-9)
+            & (F.col("b.n_sh") >= F.col("a.n_sh") * threshold - 1e-9)
+            & (
+                F.least(
+                    F.col("a.n_sh") - F.col("a.rnk"),
+                    F.col("b.n_sh") - F.col("b.rnk"),
+                )
+                + 1
+                >= F.greatest(F.col("a.n_sh"), F.col("b.n_sh")) * threshold - 1e-9
+            ),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    return _verified_jaccard(sh, cand, threshold)
 
 
 def minhash_signatures(
@@ -437,15 +449,26 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
     (and on cache eviction re-execute) iterations 1..N-1. The driver
     sees only the converged flag, never the data.
     """
-    # Materialize the (possibly expensive — e.g. a full MinHash or
-    # n-gram verify pipeline) pairs input ONCE; the symmetric union
-    # below reads it twice and every iteration reads it again.
-    p = pairs.select(
-        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
-    ).localCheckpoint()
-    sym = p.union(
-        p.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
-    ).localCheckpoint(eager=False)
+    # Symmetrize in ONE pass over the (possibly expensive — e.g. a full
+    # MinHash or n-gram verify pipeline) pairs input: explode each edge
+    # into both directions, so the pairs plan is read once, inside the
+    # same job that materializes the checkpoint every iteration reuses.
+    sym = (
+        pairs.select(
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("doc_a").alias("src"), F.col("doc_b").alias("dst")
+                    ),
+                    F.struct(
+                        F.col("doc_b").alias("src"), F.col("doc_a").alias("dst")
+                    ),
+                )
+            ).alias("e")
+        )
+        .select("e.src", "e.dst")
+        .localCheckpoint()
+    )
     # Seed each vertex with min(own id, direct-neighbor min): identical
     # to the first edge-hop round (neighbors' initial labels ARE their
     # ids) for the price of one aggregation instead of a join round.

@@ -1337,7 +1337,8 @@ _register(
     WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
     ORDER BY doc_a, doc_b
     """,
-    doc="Exact word-3-gram Jaccard near-dup pairs via shingle inverted index.",
+    doc="Exact word-3-gram Jaccard near-dup pairs via prefix-filtered "
+        "shingle inverted index (AllPairs-style, recall-exact).",
 )
 
 

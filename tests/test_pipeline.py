@@ -173,11 +173,11 @@ def test_exact_dedup_shuffles_digest_not_text(spark):
     )
 
 
-def test_ngram_jaccard_df_cap_preserves_pairs(spark):
-    """A stopword-run shingle shared by every document is dropped by the
-    DF cap before the self-join, yet the near-dup pairs (and their exact
-    Jaccard values) are identical — candidates still surface through
-    below-cap shingles and the verify join uses the uncapped sets."""
+def test_ngram_jaccard_prefix_filter_exact_under_hot_shingles(spark):
+    """Stopword-run shingles shared by every document never enter the
+    prefix self-join (highest DF = last in the prefix order), yet the
+    near-dup pairs and their exact Jaccard values match a brute-force
+    all-pairs computation — prefix filtering is recall-exact."""
     common = "alpha beta gamma delta"  # hot 3-grams in every doc
     rows = []
     for i in range(30):
@@ -188,18 +188,29 @@ def test_ngram_jaccard_df_cap_preserves_pairs(spark):
         rows.append((100 + i, " ".join(words)))
     df = spark.createDataFrame(rows, ["doc_id", "text"])
 
-    def pairs(cap):
-        return {
-            (r.doc_a, r.doc_b): r.jaccard
-            for r in dedup.ngram_jaccard_pairs(
-                df, threshold=0.7, max_shingle_df=cap
-            ).collect()
-        }
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in dedup.ngram_jaccard_pairs(df, threshold=0.7).collect()
+    }
 
-    uncapped = pairs(10**9)
-    capped = pairs(5)  # every common-prefix shingle has DF 40 > 5
-    assert len(uncapped) == 10
-    assert capped == uncapped
+    # brute force: all doc pairs, python-side shingle sets
+    import itertools
+    import re
+
+    def sh_set(t):
+        ws = [w for w in re.split(r"\W+", t.lower(), flags=re.ASCII) if w]
+        return {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)} or {" ".join(ws)}
+
+    sets = {i: sh_set(t) for i, t in rows}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= 0.7:
+            want[(a, b)] = j
+    assert len(want) == 10
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
 
 
 def test_neardup_clusters_chain_and_components(spark):
