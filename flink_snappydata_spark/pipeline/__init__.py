@@ -8,7 +8,7 @@ columns + typed metadata with stubbed codecs).
 
 Design rule: everything is expressed over DataFrames with JVM built-ins
 where possible; Python appears only as Arrow-batched pandas UDFs for
-genuinely non-relational kernels (rolling hashes, numpy linear algebra),
+genuinely non-relational kernels (shingling, numpy linear algebra),
 and every candidate-generation step is sub-quadratic (LSH banding,
 bucketed blocking) so the operator survives 100 TB.
 """
