@@ -71,12 +71,15 @@ def clear_table_cache() -> None:
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one fixture table. Plain parquet scan: splittable, prunable.
 
-    ``events.ts`` is written as parquet TIMESTAMP(NANOS), which Spark's
-    vectorized reader rejects; we read nanos as long
-    (``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable) and
+    ``events.ts`` has shipped as parquet TIMESTAMP(NANOS) in some
+    fixture generations (which Spark's vectorized reader rejects) and
+    TIMESTAMP(MICROS) in others, so the conversion is footer-guarded:
+    when the column arrives as long (nanos via
+    ``spark.sql.legacy.parquet.nanosAsLong``, runtime-settable), we
     truncate to microseconds with integer division — ``ts div 1000``
-    stays in int64 the whole way (a double division would lose precision
-    above 2^53), matching DuckDB's own ns→µs truncation bit-for-bit.
+    stays in int64 the whole way (a double division would lose
+    precision above 2^53), matching DuckDB's own ns→µs truncation
+    bit-for-bit. Plain timestamp columns pass through untouched.
     """
     key = (spark.sparkContext.applicationId, sf_dir, name)
     if _CACHE_ENABLED and key in _CACHE:

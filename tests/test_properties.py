@@ -216,3 +216,57 @@ def test_global_index_matches_sorted_rank(spark, ids):
     )
     got = {r.doc_id: r.idx for r in global_index(df, n_buckets=7).collect()}
     assert got == {v: i for i, v in enumerate(sorted(ids))}
+
+
+# --- prefix-filtered n-gram Jaccard vs brute force ----------------------
+
+_texts_strategy = st.lists(
+    st.lists(
+        # tiny vocab + short docs → dense overlap, lots of borderline
+        # pairs right at the threshold, heavy shingle sharing
+        st.sampled_from([f"w{i}" for i in range(12)]),
+        min_size=1,
+        max_size=12,
+    ).map(" ".join),
+    min_size=2,
+    max_size=24,
+)
+
+
+def _naive_jaccard_pairs(texts, threshold, n=3):
+    import itertools
+    import re
+
+    def sh_set(t):
+        ws = [w for w in re.split(r"\W+", t.lower(), flags=re.ASCII) if w]
+        if len(ws) >= n:
+            return {" ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)}
+        return {" ".join(ws)}
+
+    sets = {i: sh_set(t) for i, t in enumerate(texts)}
+    out = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        j = len(sets[a] & sets[b]) / len(sets[a] | sets[b])
+        if j >= threshold:
+            out[(a, b)] = j
+    return out
+
+
+@settings(max_examples=10, deadline=None)
+@given(_texts_strategy, st.sampled_from([0.5, 0.7, 0.8, 1.0]))
+def test_ngram_jaccard_prefix_filter_matches_naive(spark, texts, threshold):
+    """Prefix filtering + positional/size bounds are recall-exact for
+    ANY input and threshold: pairs and values equal the all-pairs
+    brute force (the candidate pruning may only cut candidates that
+    verification would reject anyway)."""
+    from flink_snappydata_spark.pipeline.dedup import ngram_jaccard_pairs
+
+    df = spark.createDataFrame(list(enumerate(texts)), "doc_id long, text string")
+    got = {
+        (r.doc_a, r.doc_b): r.jaccard
+        for r in ngram_jaccard_pairs(df, threshold=threshold).collect()
+    }
+    want = _naive_jaccard_pairs(texts, threshold)
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
