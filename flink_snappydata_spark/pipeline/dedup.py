@@ -105,7 +105,8 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 
 
 def _verified_jaccard(
-    sh: DataFrame, cand: DataFrame, threshold: float
+    sh: DataFrame, cand: DataFrame, threshold: float,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Exact Jaccard over (doc_a, doc_b) candidate pairs against the
     full shingle index ``sh``: each doc's distinct shingles are packed
@@ -145,7 +146,9 @@ def _verified_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .transform(lambda d: small_sorted(d, "doc_a", "doc_b"))
+        .transform(
+            lambda d: small_sorted(d, "doc_a", "doc_b") if sorted_output else d
+        )
     )
 
 
@@ -153,6 +156,7 @@ def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
     n: int = SHINGLE_N,
+    sorted_output: bool = True,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via prefix filtering
     (AllPairs/PPJoin-style candidate generation, then exact verify).
@@ -238,7 +242,7 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verified_jaccard(sh, cand, threshold)
+    return _verified_jaccard(sh, cand, threshold, sorted_output)
 
 
 def minhash_signatures(
@@ -527,7 +531,9 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             f"neardup_clusters did not converge in {max_iter} iterations "
             f"({changed} labels still changing) — raise max_iter"
         )
-    return labels.orderBy("doc_id")
+    # Presentation order on the (pair-bounded, small) labels: the
+    # single-partition sort avoids orderBy's range-sampling job.
+    return small_sorted(labels, "doc_id")
 
 
 def streaming_exact_dedup(
