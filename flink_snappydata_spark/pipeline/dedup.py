@@ -152,6 +152,45 @@ def _verified_jaccard(
     )
 
 
+def _prefix_index(sh: DataFrame, threshold: float) -> DataFrame:
+    """(doc_id, n_sh, rnk, sh) for each doc's prefix — its
+    ``n_sh − ⌈t·n_sh⌉ + 1`` globally rarest shingles, ranked by
+    ascending document frequency with ties on shingle text.
+
+    Ranks each doc's shingles by (df, sh) with ONE aggregation + a
+    per-doc ``array_sort``/``slice`` instead of two window functions —
+    same order, one fewer shuffle, and the slice discards the ~80%
+    non-prefix rows before the explode. Exposed separately so tests can
+    assert the scale property directly: hot (high-DF) shingles never
+    enter the candidate join.
+    """
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("df_sh", "sh")).alias("items"))
+        .select(
+            "doc_id",
+            F.size("items").alias("n_sh"),
+            F.posexplode(
+                F.slice(
+                    F.array_sort("items"),
+                    1,
+                    (
+                        F.size("items")
+                        - F.ceil(F.size("items") * threshold - 1e-9)
+                        + 1
+                    ).cast("int"),
+                )
+            ).alias("pos", "e"),
+        )
+        .select(
+            "doc_id", "n_sh", (F.col("pos") + 1).alias("rnk"),
+            F.col("e.sh").alias("sh"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(
     documents: DataFrame,
     threshold: float = 0.8,
@@ -187,35 +226,7 @@ def ngram_jaccard_pairs(
     # memory). Callers own cache cleanup for repeated runs (bench
     # clears between queries).
     sh = tracked_persist(shingles(documents, n))
-    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
-    # Rank each doc's shingles by (df, sh) with ONE aggregation + a
-    # per-doc array_sort/slice instead of two window functions — same
-    # order, one fewer shuffle, and the slice discards the 80%
-    # non-prefix rows before the explode.
-    prefix = (
-        sh.join(dfreq, "sh")
-        .groupBy("doc_id")
-        .agg(F.collect_list(F.struct("df_sh", "sh")).alias("items"))
-        .select(
-            "doc_id",
-            F.size("items").alias("n_sh"),
-            F.posexplode(
-                F.slice(
-                    F.array_sort("items"),
-                    1,
-                    (
-                        F.size("items")
-                        - F.ceil(F.size("items") * threshold - 1e-9)
-                        + 1
-                    ).cast("int"),
-                )
-            ).alias("pos", "e"),
-        )
-        .select(
-            "doc_id", "n_sh", (F.col("pos") + 1).alias("rnk"),
-            F.col("e.sh").alias("sh"),
-        )
-    )
+    prefix = _prefix_index(sh, threshold)
     a, b = prefix.alias("a"), prefix.alias("b")
     # Positional filter (PPJoin): all shared shingles sort at-or-after
     # the matched one, so overlap ≤ min(remaining_a, remaining_b) + 1;

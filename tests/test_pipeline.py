@@ -312,3 +312,35 @@ def test_lsh_multiprobe_improves_recall(spark):
     # seeds); Hamming-1 probing recovers them
     assert r_multi > r_plain
     assert r_multi >= 0.95, f"multiprobe recall {r_multi:.2f} (plain {r_plain:.2f})"
+
+
+def test_prefix_index_excludes_hot_shingles(spark):
+    """The 100 TB scale property of prefix filtering, asserted directly:
+    shingles shared by every document (the hot keys that would explode
+    an inverted-index self-join) never enter the prefix index, and the
+    candidate join's per-key fan-out stays bounded by the rare-shingle
+    document frequencies."""
+    import pyspark.sql.functions as F
+
+    common = "alpha beta gamma delta epsilon zeta"  # hot 3-grams everywhere
+    rows = [
+        (i, common + " " + " ".join(f"w{i}x{j}" for j in range(10)))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    sh = dedup.shingles(df)
+    prefix = dedup._prefix_index(sh, 0.8)
+
+    # per-shingle document frequency inside the prefix index
+    pdf = (
+        prefix.join(sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh")), "sh")
+        .groupBy("sh")
+        .agg(F.max("df_sh").alias("df_sh"), F.count(F.lit(1)).alias("n_prefix"))
+        .collect()
+    )
+    hot_in_prefix = [r.sh for r in pdf if r.df_sh == 40]
+    assert hot_in_prefix == [], (
+        f"hot shingles leaked into the prefix index: {hot_in_prefix}"
+    )
+    # every doc still has a prefix (candidate recall intact)
+    assert prefix.select("doc_id").distinct().count() == 40

@@ -198,3 +198,20 @@ def test_aqe_skew_split_misses_at_default_thresholds(spark, _skew_confs):
     assert "SortMergeJoin" in plan and "skew=true" not in plan, plan
     salted_plan = _executed_plan(salted_join(fact, dim, "k", n_salts=16))
     assert "skew=true" not in salted_plan
+
+
+def test_bound_verdicts_hold_at_smoke_scale(spark):
+    """The three bound-verdict queries must stay all-true at the tiny
+    smoke SF too (the driver only oracle-checks sf0.01; this pins the
+    verdicts against scale-down edge cases like sparse-mode HLL and
+    single-element percentile groups)."""
+    from tests.conftest import SF_SMOKE
+    from flink_snappydata_spark import registry
+
+    qs = registry.queries()
+    ad = qs["agg_approx_distinct"](spark, SF_SMOKE).collect()
+    assert ad and all(r.within_bound for r in ad)
+    ap = qs["agg_approx_percentile"](spark, SF_SMOKE).collect()
+    assert ap and all(r.p50_within_bound and r.p90_within_bound for r in ap)
+    iv = qs["ann_ivf_topk"](spark, SF_SMOKE).collect()
+    assert iv and all(r.recall_ok for r in iv)
