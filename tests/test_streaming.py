@@ -455,3 +455,21 @@ def test_encode_kafka_output_wire_format(spark):
     assert out.schema.fieldNames() == ["value"]
     assert out.schema["value"].dataType.simpleString() == "string"
     assert sorted(r.value for r in out.collect()) == ["1", "2"]
+
+
+def test_ensure_event_time_type_matrix(spark):
+    """ensure_event_time: NTZ → TIMESTAMP (watermarkable), while long
+    and already-TIMESTAMP columns pass through untouched."""
+    from pyspark.sql import types as T
+
+    ntz = spark.sql("SELECT TIMESTAMP_NTZ '2024-01-01 00:00:00' AS ts")
+    out = runtime.ensure_event_time(ntz)
+    assert isinstance(out.schema["ts"].dataType, T.TimestampType)
+    # wall-clock preserved (session tz pinned UTC)
+    assert str(out.collect()[0].ts) == str(ntz.collect()[0].ts)
+
+    ts = spark.sql("SELECT TIMESTAMP '2024-01-01 00:00:00' AS ts")
+    assert runtime.ensure_event_time(ts) is ts
+
+    lng = spark.range(1).selectExpr("id AS ts")
+    assert runtime.ensure_event_time(lng) is lng
