@@ -2100,76 +2100,77 @@ _register(
 # The correctness driver verifies registry entries front-to-back with a
 # bounded budget (rounds 1-4 recorded exactly the first 50 each). Order
 # therefore encodes verification priority, not implementation grouping.
-# Round-5 window (_HEAD, 50 names):
+# Round-6 window (_HEAD, 50 names):
 #
-# * the 4 entries whose implementation changed this round and must
-#   re-prove — the former rows-only (`no_oracle`) queries, all now
-#   full-oracle via the bound-verdict / portable-hash patterns:
-#   agg_approx_distinct, agg_approx_percentile (sketch-vs-exact bound
-#   verdicts), ann_ivf_topk (per-query recall>=floor verdict vs
-#   in-query brute force), doc_fingerprint (portable md5 window hash);
-# * dedup_clusters, whose contraction path pipeline/dedup.py touches
-#   this round;
-# * the 43 remaining entries whose latest stamp is round 2 (the
-#   registry's own policy — re-confirm every query at least every
-#   other round — makes them two rounds overdue);
-# * q1_pricing_summary as the flagship sentinel, plus 3 streaming-twin
-#   batch queries (their shared streaming runtime changed this round)
-#   and wordcount_batch to fill the 50-slot window.
+# * the 44 queries whose latest stamp is round 4 — the round-5 window's
+#   complement — now falling due under the registry's policy (re-confirm
+#   every query at least every other round); they lead the window so all
+#   94 latest stamps become r05/r06;
+# * the entries whose modules round 6 touches and must re-prove:
+#   dedup_clusters (pipeline/dedup.py label-propagation rework),
+#   multimodal_features (pipeline/multimodal.py decode_image
+#   implementation), ann_ivf_topk / ann_lsh_neardup
+#   (pipeline/similarity.py quadratic-baseline guards; ann_cosine_topk
+#   and embedding_neardup are already among the 44), agg_approx_distinct
+#   (judge-bearing bench tagging re-proof);
+# * q1_pricing_summary as the flagship sentinel, filling slot 50.
 #
-# Everything else — round-4-green and unchanged — follows in file order.
+# Everything else — round-5-green and unchanged — follows in file order.
 
 _HEAD = [
-    "agg_approx_distinct",
-    "agg_approx_percentile",
-    "ann_ivf_topk",
-    "doc_fingerprint",
+    # -- the 44 r04-stamped queries (policy rotation) --
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_having",
+    "agg_grouping_sets",
+    "grouped_zscore",
+    "mappartitions_identity",
+    "star_join_revenue",
+    "broadcast_dim_join",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_band",
+    "join_nonequi",
+    "topk_orders",
+    "distinct_pairs",
+    "set_ops_nations",
+    "window_rank",
+    "window_running_sum",
+    "window_distribution",
+    "window_lag_lead",
+    "window_range_frame",
+    "pivot_revenue",
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_json",
+    "scalar_map",
+    "scalar_conditional",
+    "scalar_array",
+    "events_sliding_window",
+    "stream_join_rowlevel",
+    "interval_join",
+    "dedup_simhash",
+    "embedding_neardup",
+    "train_val_test_split",
+    "seq_packing",
+    "global_index",
+    "shard_stats",
+    "doc_chunking",
+    "frequent_tokens",
+    "label_centroids",
+    "subquery_above_nation_avg",
+    "ann_cosine_topk",
+    # -- round-6-touched modules --
     "dedup_clusters",
-    "q6_forecast_revenue",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q18_large_volume_customer",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q8_market_share",
-    "q9_product_profit",
-    "q20_excess_suppliers",
-    "q11_important_stock",
-    "q2_min_cost_supplier",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "events_session_window",
-    "session_funnel",
-    "count_window",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "decontamination",
-    "dedup_minhash",
-    "ann_lsh_neardup",
-    "text_token_count",
-    "text_quality",
-    "text_langid",
-    "agg_percentile",
-    "agg_histogram",
-    "scalar_similarity",
-    "curation_pipeline",
     "multimodal_features",
-    "text_repetition",
-    "pii_redaction",
-    "source_stats",
+    "ann_ivf_topk",
+    "ann_lsh_neardup",
+    "agg_approx_distinct",
+    # -- flagship sentinel --
     "q1_pricing_summary",
-    "events_tumbling_window",
-    "stream_stream_join",
-    "asof_join",
-    "wordcount_batch",
 ]
 
 _TAIL: list[str] = []
