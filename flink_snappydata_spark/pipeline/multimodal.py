@@ -80,20 +80,122 @@ def attach_binary(documents: DataFrame) -> DataFrame:
     )
 
 
-def decode_image(content: bytes):  # pragma: no cover - stub by design
-    """Decode an image payload. STUB: no codec libs in this container."""
+def _decode_ppm(content: bytes) -> dict:
+    """Pure-Python PPM decode: binary ``P6`` and ASCII ``P3``, with
+    ``#`` comments anywhere in the header, maxval ≤ 255."""
+    import re
+
+    magic = content[:2]
+    # Header = magic, width, height, maxval as whitespace-separated
+    # tokens; '#' starts a comment through end-of-line.
+    header_tokens: list[int] = []
+    pos = 2
+    while len(header_tokens) < 3:
+        m = re.match(rb"(?:\s+|#[^\n]*\n)*(\d+)", content[pos:])
+        if not m:
+            raise ValueError("truncated PPM header")
+        header_tokens.append(int(m.group(1)))
+        pos += m.end()
+    width, height, maxval = header_tokens
+    if maxval > 255:
+        raise ValueError(f"PPM maxval {maxval} > 255 not supported")
+    if magic == b"P6":
+        pos += 1  # exactly one whitespace byte after maxval
+        pixels = content[pos : pos + width * height * 3]
+    else:  # P3: ASCII sample values
+        pixels = bytes(
+            int(v) for v in re.split(rb"\s+", content[pos:].strip()) if v
+        )
+    if len(pixels) != width * height * 3:
+        raise ValueError("truncated PPM pixel data")
+    return {"format": "ppm", "width": width, "height": height,
+            "channels": 3, "pixels": pixels, "channel_order": "rgb"}
+
+
+def _decode_bmp(content: bytes) -> dict:
+    """Pure-Python BMP decode: BITMAPINFOHEADER, uncompressed 24/32-bit
+    BGR(A), bottom-up or top-down rows, 4-byte row padding."""
+    import struct
+
+    if len(content) < 54:
+        raise ValueError("truncated BMP header")
+    data_offset = struct.unpack_from("<I", content, 10)[0]
+    width, height_raw = struct.unpack_from("<ii", content, 18)
+    bpp = struct.unpack_from("<H", content, 28)[0]
+    compression = struct.unpack_from("<I", content, 30)[0]
+    if compression != 0:
+        raise ValueError(f"compressed BMP (method {compression}) not supported")
+    if bpp not in (24, 32):
+        raise ValueError(f"{bpp}-bit BMP not supported (24/32 only)")
+    height = abs(height_raw)
+    bottom_up = height_raw > 0
+    n_ch = bpp // 8
+    row_stride = (width * n_ch + 3) & ~3
+    rows = []
+    for r in range(height):
+        src_row = (height - 1 - r) if bottom_up else r
+        start = data_offset + src_row * row_stride
+        row = content[start : start + width * n_ch]
+        if len(row) != width * n_ch:
+            raise ValueError("truncated BMP pixel data")
+        rows.append(row)
+    # normalize BGR(A) → RGB(A) so stats are channel-comparable with PPM
+    raw = b"".join(rows)
+    px = bytearray(raw)
+    px[0::n_ch], px[2::n_ch] = raw[2::n_ch], raw[0::n_ch]
+    return {"format": "bmp", "width": width, "height": height,
+            "channels": n_ch, "pixels": bytes(px), "channel_order": "rgba"[:n_ch]}
+
+
+def decode_image(content: bytes) -> dict:
+    """Decode an image payload without external codec libraries.
+
+    Native pure-Python parsers for PPM (``P6``/``P3``) and uncompressed
+    24/32-bit BMP return ``{format, width, height, channels, pixels
+    (RGB byte-interleaved), channel_order}``. Other formats fall back to
+    PIL when importable, else raise ``ValueError`` naming the format —
+    the decode step is now first-class for the formats a codec-less
+    container can own, and cleanly delegating for the rest.
+    """
+    if content[:2] in (b"P6", b"P3"):
+        return _decode_ppm(content)
+    if content[:2] == b"BM":
+        return _decode_bmp(content)
     try:
-        from PIL import Image  # noqa: F401
-    except ImportError as exc:
-        raise NotImplementedError(
-            "image decoding requires a codec library (PIL) not present in "
-            "this environment; the Spark-side plumbing around it is real"
-        ) from exc
-    import io
+        import io
 
-    from PIL import Image
+        from PIL import Image
 
-    return Image.open(io.BytesIO(content))
+        img = Image.open(io.BytesIO(content))
+        return {"format": (img.format or "unknown").lower(),
+                "width": img.width, "height": img.height,
+                "channels": len(img.getbands()),
+                "pixels": img.tobytes(), "channel_order": "".join(img.getbands()).lower()}
+    except ImportError:
+        raise ValueError(
+            f"unsupported image format (magic {content[:2]!r}); native "
+            "decoders cover PPM (P6/P3) and uncompressed 24/32-bit BMP, "
+            "and no codec library (PIL) is importable for anything else"
+        ) from None
+
+
+def image_stats(content: bytes) -> dict:
+    """Decode + per-channel statistics: width/height/channels plus each
+    channel's min/max/mean over all pixels — the typed-metadata
+    extraction step of the multimodal path, runnable inside the same
+    Arrow batches as :func:`extract_features`."""
+    img = decode_image(content)
+    n_ch = img["channels"]
+    px, n_px = img["pixels"], img["width"] * img["height"]
+    stats = []
+    for c in range(n_ch):
+        ch = px[c::n_ch]
+        stats.append(
+            {"min": min(ch), "max": max(ch), "mean": sum(ch) / n_px}
+        )
+    return {"format": img["format"], "width": img["width"],
+            "height": img["height"], "channels": n_ch,
+            "channel_stats": stats}
 
 
 def extract_features(media: DataFrame) -> DataFrame:
@@ -138,6 +240,45 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "frame_bytes"])
 
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
+
+
+IMAGE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def image_stats_table(media: DataFrame) -> DataFrame:
+    """Arrow-batched image decode over binary payloads: each row's
+    ``content`` runs through :func:`decode_image` (pure-Python PPM/BMP
+    codecs) and yields typed width/height/channel-mean columns — the
+    same mapInPandas batch shape as :func:`extract_features`, with a
+    real decoder in the loop."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                s = image_stats(bytes(content))
+                means = [c["mean"] for c in s["channel_stats"][:3]]
+                means += [float("nan")] * (3 - len(means))
+                rows.append(
+                    (int(doc_id), s["format"], s["width"], s["height"],
+                     s["channels"], *means)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in IMAGE_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
 def media_feature_table(documents: DataFrame) -> DataFrame:

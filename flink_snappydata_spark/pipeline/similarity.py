@@ -116,12 +116,49 @@ def brute_force_cosine_topk(
     )
 
 
-def cosine_neardup_pairs(embeddings: DataFrame, threshold: float = 0.45) -> DataFrame:
+#: Row cap for the deliberately-quadratic oracle baselines. All-pairs
+#: scoring is O(n²) by definition — it exists to judge the ANN paths at
+#: fixture scale, never to run on a production corpus; above the cap the
+#: guard raises instead of launching an n² self-join, so the 100 TB
+#: discipline is enforced by code, not convention.
+ALL_PAIRS_ROW_CAP = 100_000
+
+
+def _guard_all_pairs(
+    df: DataFrame, op: str, alternative: str, cap: int | None
+) -> None:
+    """Raise if ``df`` exceeds ``cap`` rows (``None`` disables).
+
+    The probe is ``limit(cap+1).count()``: LocalLimit short-circuits
+    every scan task at cap+1 rows, so the guard costs a bounded probe
+    job, never a full count of an unbounded input.
+    """
+    if cap is None:
+        return
+    if df.limit(cap + 1).count() > cap:
+        raise ValueError(
+            f"{op} is a deliberately-quadratic oracle baseline "
+            f"(all pairs, O(n²)); its input exceeds the {cap:,}-row cap. "
+            f"Use {alternative} at scale — identical verify semantics, "
+            f"sub-quadratic candidates."
+        )
+
+
+def cosine_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    row_cap: int | None = ALL_PAIRS_ROW_CAP,
+) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all pairs a<b).
 
     The oracle-checkable baseline; quadratic by definition, so at scale
     use :func:`lsh_neardup_pairs` (same verify step, LSH candidates).
+    Guarded: raises above ``row_cap`` input rows (set ``None`` only for
+    a deliberate oracle run on a known-small corpus).
     """
+    _guard_all_pairs(
+        embeddings, "cosine_neardup_pairs", "lsh_neardup_pairs", row_cap
+    )
     a = quantized(embeddings).select(
         F.col("vec_id").alias("vec_a"), F.col("qe").alias("qa"), F.col("norm_sq").alias("na")
     )

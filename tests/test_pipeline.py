@@ -133,9 +133,79 @@ def test_multimodal_plumbing(spark):
     frames = multimodal.sample_frames(media, n_frames=4)
     counts = frames.groupBy("doc_id").count().collect()
     assert all(r["count"] == 4 for r in counts)
-    # decode stub is explicit, not silent
-    with pytest.raises(NotImplementedError):
+    # unsupported formats raise explicitly, not silently
+    with pytest.raises(ValueError, match="unsupported image format"):
         multimodal.decode_image(b"\x89PNG fake")
+
+
+def _golden_ppm_p6() -> bytes:
+    # 4x2 RGB: row0 = R G B W, row1 = black gray(128) white black
+    px = bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255,
+         0, 0, 0,  128, 128, 128,  255, 255, 255,  0, 0, 0]
+    )
+    return b"P6\n# golden fixture\n4 2\n255\n" + px
+
+
+def _golden_bmp_24() -> bytes:
+    import struct
+
+    # 2x2 24-bit bottom-up BMP; rows padded to 4 bytes (stride 8).
+    # Image rows (top to bottom): [red, green], [blue, white]
+    row_top = bytes([0, 0, 255]) + bytes([0, 255, 0]) + b"\x00\x00"  # BGR!
+    row_bot = bytes([255, 0, 0]) + bytes([255, 255, 255]) + b"\x00\x00"
+    pixel_data = row_bot + row_top  # bottom-up storage order
+    info = struct.pack("<IiiHHIIiiII", 40, 2, 2, 1, 24, 0,
+                       len(pixel_data), 2835, 2835, 0, 0)
+    header = struct.pack("<2sIHHI", b"BM", 54 + len(pixel_data), 0, 0, 54)
+    return header + info + pixel_data
+
+
+def test_decode_image_ppm_golden():
+    img = multimodal.decode_image(_golden_ppm_p6())
+    assert (img["format"], img["width"], img["height"], img["channels"]) == (
+        "ppm", 4, 2, 3,
+    )
+    # first pixel pure red, last pixel black
+    assert img["pixels"][:3] == bytes([255, 0, 0])
+    assert img["pixels"][-3:] == bytes([0, 0, 0])
+    stats = multimodal.image_stats(_golden_ppm_p6())
+    assert stats["channel_stats"][0] == {
+        "min": 0, "max": 255, "mean": (255 + 0 + 0 + 255 + 0 + 128 + 255 + 0) / 8,
+    }
+
+
+def test_decode_image_ppm_ascii_equals_binary():
+    img6 = multimodal.decode_image(_golden_ppm_p6())
+    ascii_body = " ".join(str(b) for b in img6["pixels"])
+    p3 = f"P3\n4 2\n255\n{ascii_body}\n".encode()
+    img3 = multimodal.decode_image(p3)
+    assert img3["pixels"] == img6["pixels"]
+    assert (img3["width"], img3["height"]) == (4, 2)
+
+
+def test_decode_image_bmp_golden():
+    img = multimodal.decode_image(_golden_bmp_24())
+    assert (img["format"], img["width"], img["height"], img["channels"]) == (
+        "bmp", 2, 2, 3,
+    )
+    # decoded top-down RGB: red, green / blue, white
+    assert img["pixels"] == bytes(
+        [255, 0, 0,  0, 255, 0,  0, 0, 255,  255, 255, 255]
+    )
+    stats = multimodal.image_stats(_golden_bmp_24())
+    assert stats["channel_stats"] == [
+        {"min": 0, "max": 255, "mean": (255 + 0 + 0 + 255) / 4},
+        {"min": 0, "max": 255, "mean": (0 + 255 + 0 + 255) / 4},
+        {"min": 0, "max": 255, "mean": (0 + 0 + 255 + 255) / 4},
+    ]
+
+
+def test_decode_image_truncated_raises():
+    with pytest.raises(ValueError, match="truncated PPM"):
+        multimodal.decode_image(b"P6\n4 2\n255\n\x00\x01")
+    with pytest.raises(ValueError, match="truncated BMP"):
+        multimodal.decode_image(_golden_bmp_24()[:40])
 
 
 def test_exact_dedup_with_real_duplicates(spark):
@@ -344,3 +414,55 @@ def test_prefix_index_excludes_hot_shingles(spark):
     )
     # every doc still has a prefix (candidate recall intact)
     assert prefix.select("doc_id").distinct().count() == 40
+
+
+def test_all_pairs_guard_trips_above_cap(spark):
+    """The quadratic oracle baselines are guarded by code, not
+    convention: above the row cap they raise (pointing at the ANN scale
+    paths) instead of launching an O(n²) self-join."""
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    df = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(20)], schema
+    )
+    with pytest.raises(ValueError, match="lsh_neardup_pairs"):
+        similarity.cosine_neardup_pairs(df, row_cap=10)
+    # at-or-under the cap: plan builds, no raise
+    similarity.cosine_neardup_pairs(df, row_cap=20)
+    # cap=None disables the guard entirely (deliberate oracle runs)
+    similarity.cosine_neardup_pairs(df, row_cap=None)
+
+
+def test_image_stats_table_distributed_decode(spark):
+    """decode_image runs inside the Spark surface: synthesize one PPM
+    payload per document, decode via mapInPandas, and check the typed
+    stats columns against the local decoder."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(8).collect()
+    rows = []
+    for r in docs:
+        n = 1 + (r.doc_id % 4)  # widths 1..4, height 2
+        px = bytes((r.doc_id * 31 + i) % 256 for i in range(n * 2 * 3))
+        rows.append((r.doc_id, b"P6\n%d 2\n255\n" % n + px))
+    media = spark.createDataFrame(
+        rows,
+        T.StructType(
+            [
+                T.StructField("doc_id", T.LongType()),
+                T.StructField("content", T.BinaryType()),
+            ]
+        ),
+    )
+    got = {r.doc_id: r for r in multimodal.image_stats_table(media).collect()}
+    assert len(got) == 8
+    for doc_id, content in rows:
+        expect = multimodal.image_stats(content)
+        r = got[doc_id]
+        assert (r.format, r.width, r.height, r.channels) == (
+            "ppm", expect["width"], 2, 3,
+        )
+        assert r.mean_r == pytest.approx(expect["channel_stats"][0]["mean"])
+        assert r.mean_b == pytest.approx(expect["channel_stats"][2]["mean"])
