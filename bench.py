@@ -26,6 +26,8 @@ import time
 
 from flink_snappydata_spark import registry
 from flink_snappydata_spark.catalog import TABLES, enable_table_cache, load_table
+from flink_snappydata_spark.operators.relational import agg_approx_percentile_raw
+from flink_snappydata_spark.pipeline import sampling, similarity
 from flink_snappydata_spark.session import get_spark
 from flink_snappydata_spark.util import release_caches
 
@@ -54,6 +56,23 @@ HEADLINE = [
     "seq_packing",
     "pii_redaction",
 ]
+
+#: Raw sketch variants of the judge-bearing registry queries (which
+#: embed an exact judge for oracle-checkability — their sweep timings
+#: measure sketch + judge). These time the judge-free scale path; swept
+#: alongside the registry under SPARK_GRAFT_BENCH_ALL, flagged
+#: ``bench_only`` (no oracle: sketch values are engine-specific).
+RAW_SKETCHES = {
+    "raw_approx_distinct": lambda spark, sf_dir: sampling.approx_distinct_by(
+        load_table(spark, sf_dir, "orders"), "o_orderpriority", "o_custkey"
+    ),
+    "raw_approx_percentile": lambda spark, sf_dir: agg_approx_percentile_raw(
+        load_table(spark, sf_dir, "orders")
+    ),
+    "raw_ivf_topk": lambda spark, sf_dir: similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings")
+    ),
+}
 
 
 def _force(df) -> None:
@@ -88,7 +107,9 @@ def main() -> None:
     # (default 3) so sub-second deltas are signal, not JVM/codegen
     # noise (round-2 deltas at n<=2 were uninterpretable).
     bench_all = bool(os.environ.get("SPARK_GRAFT_BENCH_ALL"))
-    names = list(queries) if bench_all else HEADLINE
+    judge_bearing = registry.judge_bearing_queries()
+    runnable = {**queries, **RAW_SKETCHES}
+    names = list(runnable) if bench_all else HEADLINE
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "9")))
     timings: dict[str, float] = {}
@@ -102,7 +123,7 @@ def main() -> None:
         # bench owns stays).
         release_caches()
         start = time.perf_counter()
-        _force(queries[name](spark, sf_dir))
+        _force(runnable[name](spark, sf_dir))
         return time.perf_counter() - start
 
     for name in names:
@@ -122,10 +143,20 @@ def main() -> None:
         timings[name] = round(runs[n // 2], 3)
         detail[name] = {
             "median": timings[name],
+            # NOTE 'spread' was redefined at r5: central-3-runs range
+            # (was full min-max through r4, now carried as spread_raw);
+            # see BASELINE.md §2. 'spread_central' is the stable alias.
             "spread": round(central[-1] - central[0], 3),
+            "spread_central": round(central[-1] - central[0], 3),
             "spread_raw": round(runs[-1] - runs[0], 3),
             "n_reps": n,
         }
+        if name in judge_bearing:
+            # timing includes the in-query exact judge, not just the
+            # sketch — raw_* entries time the judge-free scale path
+            detail[name]["judge_bearing"] = True
+        if name in RAW_SKETCHES:
+            detail[name]["bench_only"] = True  # no oracle; timing-only
         print(
             f"  {name}: {timings[name]:.3f}s "
             f"(±{detail[name]['spread']:.3f}, raw ±{detail[name]['spread_raw']:.3f}, "
@@ -141,7 +172,11 @@ def main() -> None:
             for t in TABLES:
                 load_table(spark, sf_dir, t).count()
 
-    total = round(sum(timings.values()), 3)
+    # bench_only raw-sketch extras are excluded from the suite total so
+    # cross-round totals keep comparing the same registry query set
+    total = round(
+        sum(v for k, v in timings.items() if k not in RAW_SKETCHES), 3
+    )
     print(
         json.dumps(
             {

@@ -385,6 +385,26 @@ def agg_approx_percentile(orders: DataFrame, accuracy: int = 10000) -> DataFrame
     )
 
 
+def agg_approx_percentile_raw(orders: DataFrame, accuracy: int = 10000) -> DataFrame:
+    """The raw GK-sketch percentiles — what actually runs at 100 TB.
+
+    :func:`agg_approx_percentile` (the registered, oracle-checkable
+    variant) adds an exact ``percentile()`` judge, whose full per-group
+    sort dominates its timing; this judge-free form exists so the bench
+    can report the scale path's true cost. Sketch values are
+    engine-specific, hence no oracle entry.
+    """
+    cents_col = "CAST(ROUND(o_totalprice * 100) AS BIGINT)"
+    return (
+        orders.groupBy("o_orderpriority")
+        .agg(
+            F.expr(f"approx_percentile({cents_col}, 0.5, {accuracy})").alias("p50_cents"),
+            F.expr(f"approx_percentile({cents_col}, 0.9, {accuracy})").alias("p90_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
 def q6_forecast_revenue(lineitem: DataFrame) -> DataFrame:
     """TPC-H-Q6-style forecast revenue: pure filter + global agg.
 

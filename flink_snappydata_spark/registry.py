@@ -44,6 +44,12 @@ class QuerySpec:
     fn: QueryFn
     oracle: str | None
     doc: str = ""
+    #: True when the query embeds its own exact judge (bound-verdict
+    #: pattern: sketch + exact side-by-side). Timings of these measure
+    #: sketch AND judge — the bench surfaces the flag, and raw sketch
+    #: variants are timed separately, so sweep numbers for "the scale
+    #: path" stay honest.
+    judge_bearing: bool = False
 
 
 # SQL fragment: exact integer cents of a 2-decimal double column.
@@ -65,8 +71,10 @@ QUERIES: dict[str, QuerySpec] = {}
 
 
 def _register(name: str, tables: list[str], builder: Callable[..., DataFrame],
-              oracle: str | None, doc: str = "") -> None:
-    QUERIES[name] = QuerySpec(fn=_q(tables, builder), oracle=oracle, doc=doc)
+              oracle: str | None, doc: str = "",
+              judge_bearing: bool = False) -> None:
+    QUERIES[name] = QuerySpec(fn=_q(tables, builder), oracle=oracle, doc=doc,
+                              judge_bearing=judge_bearing)
 
 
 # ---------------------------------------------------------------------------
@@ -1618,6 +1626,7 @@ _register(
     doc="IVF-style ANN top-k with deterministic codebook + n_probe lists "
         "(scale path); emits per-query recall>=0.4 verdict vs in-query "
         "brute force (bound-verdict pattern — full hash-match).",
+    judge_bearing=True,
 )
 
 _register(
@@ -1777,6 +1786,7 @@ _register(
     doc="Sketch-based percentiles (no per-group sort; mergeable state — "
         "the scale path); emits the deterministic sketch-vs-exact bound "
         "verdict per group (full hash-match).",
+    judge_bearing=True,
 )
 
 _register(
@@ -1878,6 +1888,7 @@ _register(
     doc="HyperLogLog++ distinct-customer sketch per priority; emits the "
         "exact count + deterministic |approx-exact|<=3*rsd verdict "
         "(full hash-match).",
+    judge_bearing=True,
 )
 
 _register(
@@ -2196,3 +2207,10 @@ def oracle_sql() -> dict[str, str]:
     return {
         name: spec.oracle for name, spec in QUERIES.items() if spec.oracle is not None
     }
+
+
+def judge_bearing_queries() -> set[str]:
+    """Names of queries that embed their own exact judge (bound-verdict
+    pattern) — their timings measure sketch + judge, not the raw scale
+    path; the bench marks them and times raw variants separately."""
+    return {name for name, spec in QUERIES.items() if spec.judge_bearing}
