@@ -123,6 +123,18 @@ def _verified_jaccard(
     test scale AQE broadcasts the sets frame outright; at 100 TB both
     joins hash-partition on doc id with no row multiplication. The
     per-pair intersect is linear in set size, JVM-side.
+
+    Per-document size bound: packing makes one shuffle RECORD per
+    document (~n_shingles × avg_shingle_len bytes ≈ the document's own
+    size × word-n-gram overlap factor ~n). A pathological single
+    document therefore becomes a single multi-hundred-MB record only if
+    the RAW document is already that large — run :func:`~flink_snappydata_spark.pipeline.text.chunk_documents`
+    (or any upstream length filter, e.g. the curation pipeline's
+    quality gate) first, which bounds documents well under the ~1e6
+    shingles (<~100 MB packed) a JVM array row handles comfortably.
+    Above that bound, fall back to the streamed per-shingle gated join
+    (count matching shingle rows per pair, join sizes separately): it
+    shuffles ~50x more rows but never builds a per-doc array.
     """
     sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
     pa = sets.select(
@@ -441,28 +453,40 @@ def decontaminate(
     )
 
 
-def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
+def neardup_clusters(
+    pairs: DataFrame, max_iter: int = 20, expect_small: bool = True
+) -> DataFrame:
     """Connected components over near-dup pairs: every document that
     appears in a pair gets a ``cluster_id`` = the smallest doc_id
     reachable through the pair graph — the "keep one canonical document
     per duplicate cluster" step that follows any pairwise dedup.
 
     Min-label propagation with pointer jumping: each iteration every
-    vertex first takes the min of its own label and its neighbors'
-    labels (one edge hop), then compresses through the label graph
-    (``label ← label(label)``). The compression step lets the minimum
-    travel through already-labelled vertices, so a chain of length d
-    converges in O(log d) rounds instead of the O(d) of plain
-    propagation — a 1000-document drift chain needs ~10 rounds, not
-    1000. The loop stops as soon as an iteration changes nothing, and
-    **raises** if ``max_iter`` rounds were not enough: a silently
-    non-converged labelling would merge-split clusters wrongly with no
-    signal to the caller. Each iteration is two joins + one aggregation;
-    the old label rides along in the same frame so the convergence check
-    is a filter-count, not a second join, and ``localCheckpoint``
-    truncates the lineage so iteration N's plan does not re-optimize
-    (and on cache eviction re-execute) iterations 1..N-1. The driver
-    sees only the converged flag, never the data.
+    vertex takes the min of (its own label, its neighbors' labels — one
+    edge hop — and its label's label — one pointer jump through the
+    previous round's labels). The jump lets the minimum travel through
+    already-labelled vertices, so a chain of length d converges in
+    O(log d) rounds instead of the O(d) of plain propagation — a
+    1000-document drift chain needs ~10 rounds, not 1000. The loop stops
+    as soon as an iteration changes nothing, and **raises** if
+    ``max_iter`` rounds were not enough: a silently non-converged
+    labelling would merge-split clusters wrongly with no signal to the
+    caller.
+
+    Each iteration is ONE Spark job: the new labels are lazily
+    ``localCheckpoint``-ed and the convergence filter-count is the
+    action that materializes them — no separate checkpoint job (the old
+    hop-then-jump formulation paid two jobs per round and recomputed
+    the hop frame on both sides of its self-join; jumping through the
+    checkpointed previous labels makes every join input a cached scan).
+    The checkpoint truncates lineage so iteration N's plan does not
+    re-optimize (and on cache eviction re-execute) iterations 1..N-1.
+    The driver sees only the converged flag, never the data.
+
+    ``expect_small=True`` (the near-dup case: output bounded by pairs)
+    presents via a single-partition sort; pass ``False`` for a
+    duplicate-heavy corpus where one row per paired document is still
+    big — the output then uses a range-partitioned ``orderBy``.
     """
     # Symmetrize in ONE pass over the (possibly expensive — e.g. a full
     # MinHash or n-gram verify pipeline) pairs input: explode each edge
@@ -501,36 +525,32 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
         nbr_min = sym.join(
             labels, sym["dst"] == labels["doc_id"]
         ).groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
-        hop = labels.join(
-            nbr_min, labels["doc_id"] == nbr_min["src"], "left"
-        ).select(
-            "doc_id",
-            F.col("cluster_id").alias("old_cluster_id"),
-            F.least(
-                F.col("cluster_id"),
-                F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
-            ).alias("cluster_id"),
-        )
         # Pointer jump: a label is always some vertex's doc_id, so the
-        # label of my label is defined — chase it one level. Combined
-        # with the edge hop above, the distance to the component minimum
-        # roughly halves per round.
-        ref = hop.select(
+        # label of my label is defined — chase it one level through the
+        # PREVIOUS round's labels (a checkpointed scan, so this self-
+        # join re-reads a cache instead of recomputing the aggregation).
+        # Combined with the edge hop, the distance to the component
+        # minimum roughly halves per round.
+        ref = labels.select(
             F.col("doc_id").alias("ref_id"),
             F.col("cluster_id").alias("ref_label"),
         )
         upd = (
-            hop.join(ref, hop["cluster_id"] == ref["ref_id"], "left")
+            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
+            .join(ref, labels["cluster_id"] == ref["ref_id"], "left")
             .select(
                 "doc_id",
-                "old_cluster_id",
+                F.col("cluster_id").alias("old_cluster_id"),
                 F.least(
                     F.col("cluster_id"),
+                    F.coalesce(F.col("nbr_min"), F.col("cluster_id")),
                     F.coalesce(F.col("ref_label"), F.col("cluster_id")),
                 ).alias("cluster_id"),
             )
-            .localCheckpoint()  # eager: one job materializes the iteration
+            .localCheckpoint(eager=False)
         )
+        # The convergence count is the action that materializes the
+        # checkpoint — one job per iteration, not checkpoint + count.
         changed = upd.filter(
             F.col("cluster_id") != F.col("old_cluster_id")
         ).count()
@@ -542,9 +562,11 @@ def neardup_clusters(pairs: DataFrame, max_iter: int = 20) -> DataFrame:
             f"neardup_clusters did not converge in {max_iter} iterations "
             f"({changed} labels still changing) — raise max_iter"
         )
-    # Presentation order on the (pair-bounded, small) labels: the
-    # single-partition sort avoids orderBy's range-sampling job.
-    return small_sorted(labels, "doc_id")
+    if expect_small:
+        # Presentation order on the (pair-bounded, small) labels: the
+        # single-partition sort avoids orderBy's range-sampling job.
+        return small_sorted(labels, "doc_id")
+    return labels.orderBy("doc_id")
 
 
 def streaming_exact_dedup(
