@@ -242,6 +242,29 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
+def synthesize_ppm(documents: DataFrame) -> DataFrame:
+    """Deterministic PPM payload per document — the fixture stand-in
+    for real image bytes, built so the decode path has a closed-form
+    oracle: width ``1 + doc_id % 4``, height 2, pixel byte ``i`` =
+    ``(doc_id * 31 + i) % 256``. Running the REAL parser over these
+    payloads and comparing channel means against the arithmetic
+    expectation hash-checks the whole decode pipeline end-to-end."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 1 + d % 4
+                px = bytes((d * 31 + i) % 256 for i in range(n * 2 * 3))
+                rows.append((d, b"P6\n%d 2\n255\n" % n + px))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return spread(documents.select("doc_id"), "doc_id").mapInPandas(
+        _synth, schema="doc_id long, content binary"
+    )
+
+
 IMAGE_STATS_SCHEMA = T.StructType(
     [
         T.StructField("doc_id", T.LongType()),

@@ -1892,6 +1892,34 @@ _register(
 )
 
 _register(
+    "image_decode_stats",
+    ["documents"],
+    lambda documents: multimodal.image_stats_table(
+        multimodal.synthesize_ppm(documents)
+    ).orderBy("doc_id"),
+    """
+    WITH px AS (
+        SELECT d.doc_id, u.i, (d.doc_id * 31 + u.i) % 256 AS v
+        FROM documents d,
+             LATERAL (SELECT UNNEST(range(0, (1 + d.doc_id % 4) * 6)) AS i) u
+    )
+    SELECT doc_id,
+           'ppm' AS format,
+           CAST(1 + doc_id % 4 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           AVG(CASE WHEN i % 3 = 0 THEN v END) AS mean_r,
+           AVG(CASE WHEN i % 3 = 1 THEN v END) AS mean_g,
+           AVG(CASE WHEN i % 3 = 2 THEN v END) AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="End-to-end image decode: deterministic synthesized PPM payload "
+        "per document, decoded by the real pure-Python parser inside "
+        "mapInPandas; channel means hash-checked against the closed-form "
+        "arithmetic oracle.",
+)
+
+_register(
     "multimodal_features",
     ["documents"],
     multimodal.media_feature_table,
@@ -2120,10 +2148,11 @@ _register(
 # * the entries whose modules round 6 touches and must re-prove:
 #   dedup_clusters (pipeline/dedup.py label-propagation rework),
 #   multimodal_features (pipeline/multimodal.py decode_image
-#   implementation), ann_ivf_topk / ann_lsh_neardup
-#   (pipeline/similarity.py quadratic-baseline guards; ann_cosine_topk
-#   and embedding_neardup are already among the 44), agg_approx_distinct
-#   (judge-bearing bench tagging re-proof);
+#   implementation), image_decode_stats (NEW this round — the real
+#   PPM parser over synthesized payloads vs a closed-form oracle),
+#   ann_ivf_topk / ann_lsh_neardup (pipeline/similarity.py
+#   quadratic-baseline guards; ann_cosine_topk and embedding_neardup
+#   are already among the 44);
 # * q1_pricing_summary as the flagship sentinel, filling slot 50.
 #
 # Everything else — round-5-green and unchanged — follows in file order.
@@ -2177,9 +2206,9 @@ _HEAD = [
     # -- round-6-touched modules --
     "dedup_clusters",
     "multimodal_features",
+    "image_decode_stats",
     "ann_ivf_topk",
     "ann_lsh_neardup",
-    "agg_approx_distinct",
     # -- flagship sentinel --
     "q1_pricing_summary",
 ]
