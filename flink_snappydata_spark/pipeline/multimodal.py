@@ -242,6 +242,115 @@ def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
     return media.mapInPandas(_frames, schema=FRAME_SCHEMA)
 
 
+def decode_audio(content: bytes) -> dict:
+    """Pure-Python WAV decode: RIFF/WAVE container, PCM (format 1),
+    8- or 16-bit samples, any channel count.
+
+    Returns ``{format, sample_rate, channels, bits, n_samples,
+    samples}`` where ``samples[c]`` is channel ``c``'s list of signed
+    ints (8-bit WAV stores unsigned bytes, converted to centered
+    ``v-128``) and ``n_samples`` counts frames per channel.
+    """
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"WAVE":
+        raise ValueError(
+            f"unsupported audio format (magic {content[:4]!r}); the "
+            "native decoder covers RIFF/WAVE PCM only"
+        )
+    pos, fmt, data = 12, None, None
+    while pos + 8 <= len(content):
+        cid, size = content[pos : pos + 4], struct.unpack_from("<I", content, pos + 4)[0]
+        body = content[pos + 8 : pos + 8 + size]
+        if cid == b"fmt ":
+            fmt = struct.unpack_from("<HHIIHH", body, 0)
+        elif cid == b"data":
+            data = body
+        pos += 8 + size + (size & 1)  # chunks are word-aligned
+    if fmt is None or data is None:
+        raise ValueError("truncated WAV: missing fmt/data chunk")
+    audio_fmt, n_ch, sample_rate, _byte_rate, _block, bits = fmt
+    if audio_fmt != 1:
+        raise ValueError(f"non-PCM WAV (format {audio_fmt}) not supported")
+    if bits == 16:
+        flat = struct.unpack(f"<{len(data) // 2}h", data[: len(data) // 2 * 2])
+    elif bits == 8:
+        flat = [b - 128 for b in data]
+    else:
+        raise ValueError(f"{bits}-bit WAV not supported (8/16 only)")
+    n_samples = len(flat) // n_ch
+    samples = [list(flat[c::n_ch]) for c in range(n_ch)]
+    return {"format": "wav", "sample_rate": sample_rate, "channels": n_ch,
+            "bits": bits, "n_samples": n_samples, "samples": samples}
+
+
+def synthesize_wav(documents: DataFrame) -> DataFrame:
+    """Deterministic mono 16-bit PCM WAV payload per document — the
+    audio twin of :func:`synthesize_ppm`: ``8 + doc_id % 8`` frames at
+    8 kHz, sample ``i`` = ``((doc_id*17 + i*13) % 65536) - 32768``, so
+    decoding with the REAL parser yields stats with a closed-form
+    arithmetic oracle."""
+    import struct
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 8 + d % 8
+                pcm = struct.pack(
+                    f"<{n}h", *(((d * 17 + i * 13) % 65536) - 32768 for i in range(n))
+                )
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data" + struct.pack("<I", len(pcm))
+                )
+                rows.append((d, hdr + pcm))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return spread(documents.select("doc_id"), "doc_id").mapInPandas(
+        _synth, schema="doc_id long, content binary"
+    )
+
+
+AUDIO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("sample_rate", T.IntegerType()),
+        T.StructField("channels", T.IntegerType()),
+        T.StructField("n_samples", T.LongType()),
+        T.StructField("mean_amp", T.DoubleType()),
+        T.StructField("sum_sq", T.LongType()),
+    ]
+)
+
+
+def audio_stats_table(media: DataFrame) -> DataFrame:
+    """Arrow-batched audio decode: each payload runs through
+    :func:`decode_audio`; emits per-document frame count, mean
+    amplitude (channel 0), and the exact int64 sum of squares — the
+    energy statistic as portable integer arithmetic."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                a = decode_audio(bytes(content))
+                ch0 = a["samples"][0]
+                rows.append(
+                    (int(doc_id), a["format"], a["sample_rate"],
+                     a["channels"], a["n_samples"],
+                     sum(ch0) / len(ch0), sum(v * v for v in ch0))
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in AUDIO_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
+
+
 def synthesize_ppm(documents: DataFrame) -> DataFrame:
     """Deterministic PPM payload per document — the fixture stand-in
     for real image bytes, built so the decode path has a closed-form

@@ -1920,6 +1920,35 @@ _register(
 )
 
 _register(
+    "audio_decode_stats",
+    ["documents"],
+    lambda documents: multimodal.audio_stats_table(
+        multimodal.synthesize_wav(documents)
+    ).orderBy("doc_id"),
+    """
+    WITH s AS (
+        SELECT d.doc_id, u.i,
+               ((d.doc_id * 17 + u.i * 13) % 65536) - 32768 AS v
+        FROM documents d,
+             LATERAL (SELECT UNNEST(range(0, 8 + d.doc_id % 8)) AS i) u
+    )
+    SELECT doc_id,
+           'wav' AS format,
+           CAST(8000 AS INTEGER) AS sample_rate,
+           CAST(1 AS INTEGER) AS channels,
+           COUNT(*) AS n_samples,
+           AVG(v) AS mean_amp,
+           SUM(v * v) AS sum_sq
+    FROM s GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="End-to-end audio decode: deterministic synthesized RIFF/WAVE "
+        "PCM payload per document, decoded by the real pure-Python "
+        "parser inside mapInPandas; frame count, mean amplitude, and "
+        "exact int64 energy hash-checked against the closed-form "
+        "arithmetic oracle.",
+)
+
+_register(
     "multimodal_features",
     ["documents"],
     multimodal.media_feature_table,
@@ -2148,12 +2177,13 @@ _register(
 # * the entries whose modules round 6 touches and must re-prove:
 #   dedup_clusters (pipeline/dedup.py label-propagation rework),
 #   multimodal_features (pipeline/multimodal.py decode_image
-#   implementation), image_decode_stats (NEW this round — the real
-#   PPM parser over synthesized payloads vs a closed-form oracle),
-#   ann_ivf_topk / ann_lsh_neardup (pipeline/similarity.py
-#   quadratic-baseline guards; ann_cosine_topk and embedding_neardup
-#   are already among the 44);
-# * q1_pricing_summary as the flagship sentinel, filling slot 50.
+#   implementation), image_decode_stats / audio_decode_stats (NEW this
+#   round — the real PPM/WAV parsers over synthesized payloads vs
+#   closed-form oracles), ann_ivf_topk / ann_lsh_neardup
+#   (pipeline/similarity.py quadratic-baseline guards; ann_cosine_topk
+#   and embedding_neardup are already among the 44). The flagship
+#   sentinel q1_pricing_summary sits out this window (stamped r05,
+#   untouched) — the two new queries take the last slots.
 #
 # Everything else — round-5-green and unchanged — follows in file order.
 
@@ -2207,10 +2237,9 @@ _HEAD = [
     "dedup_clusters",
     "multimodal_features",
     "image_decode_stats",
+    "audio_decode_stats",
     "ann_ivf_topk",
     "ann_lsh_neardup",
-    # -- flagship sentinel --
-    "q1_pricing_summary",
 ]
 
 _TAIL: list[str] = []

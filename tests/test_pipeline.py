@@ -466,3 +466,66 @@ def test_image_stats_table_distributed_decode(spark):
         )
         assert r.mean_r == pytest.approx(expect["channel_stats"][0]["mean"])
         assert r.mean_b == pytest.approx(expect["channel_stats"][2]["mean"])
+
+
+def _golden_wav_16(samples=(-32768, 0, 12345, 32767), rate=8000, n_ch=1) -> bytes:
+    import struct
+
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    return (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, rate,
+                                rate * n_ch * 2, n_ch * 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+
+
+def test_decode_audio_wav_golden():
+    a = multimodal.decode_audio(_golden_wav_16())
+    assert (a["format"], a["sample_rate"], a["channels"], a["bits"]) == (
+        "wav", 8000, 1, 16,
+    )
+    assert a["n_samples"] == 4
+    assert a["samples"][0] == [-32768, 0, 12345, 32767]
+
+
+def test_decode_audio_stereo_deinterleaves():
+    import struct
+
+    # stereo frames (L,R): (1,-1), (2,-2), (3,-3)
+    pcm = struct.pack("<6h", 1, -1, 2, -2, 3, -3)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 2, 44100, 176400, 4, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    a = multimodal.decode_audio(wav)
+    assert a["channels"] == 2 and a["n_samples"] == 3
+    assert a["samples"] == [[1, 2, 3], [-1, -2, -3]]
+
+
+def test_decode_audio_rejects_non_pcm_and_non_wav():
+    import struct
+
+    with pytest.raises(ValueError, match="unsupported audio format"):
+        multimodal.decode_audio(b"OggS fake vorbis stream")
+    ieee = _golden_wav_16()
+    # flip the fmt audio-format field (offset 20) to 3 (IEEE float)
+    ieee = ieee[:20] + struct.pack("<H", 3) + ieee[22:]
+    with pytest.raises(ValueError, match="non-PCM"):
+        multimodal.decode_audio(ieee)
+
+
+def test_audio_stats_table_matches_decoder(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(6)
+    media = multimodal.synthesize_wav(docs)
+    got = {r.doc_id: r for r in multimodal.audio_stats_table(media).collect()}
+    raw = {r.doc_id: bytes(r.content) for r in media.collect()}
+    assert len(got) == 6
+    for doc_id, content in raw.items():
+        a = multimodal.decode_audio(content)
+        ch0 = a["samples"][0]
+        r = got[doc_id]
+        assert r.n_samples == 8 + doc_id % 8 == len(ch0)
+        assert r.mean_amp == pytest.approx(sum(ch0) / len(ch0))
+        assert r.sum_sq == sum(v * v for v in ch0)
