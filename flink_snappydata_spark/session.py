@@ -62,6 +62,14 @@ def get_spark(
         # Broadcast dims aggressively (all our dim tables are tiny
         # relative to fact tables at every SF).
         .config("spark.sql.autoBroadcastJoinThreshold", "64MB")
+        # Input split size — the spill-aware knob: size splits so a
+        # task's working set fits executor memory. 128m default; shrink
+        # (e.g. 32m) for wide binary/multimodal rows, grow for tiny-row
+        # scans. Env-overridable so cluster deploys tune without code.
+        .config(
+            "spark.sql.files.maxPartitionBytes",
+            os.environ.get("SPARK_GRAFT_MAX_PARTITION_BYTES", "128m"),
+        )
         # Read ns-precision parquet timestamps (events.ts) as long nanos;
         # catalog.load_table converts to micros losslessly.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -270,3 +270,59 @@ def test_ngram_jaccard_prefix_filter_matches_naive(spark, texts, threshold):
     assert got.keys() == want.keys()
     for k, v in want.items():
         assert abs(got[k] - v) < 1e-12
+
+
+@given(
+    st.integers(min_value=1, max_value=8),
+    st.integers(min_value=1, max_value=8),
+    st.binary(min_size=0, max_size=8 * 8 * 3),
+    st.booleans(),
+)
+@settings(max_examples=40, deadline=None)
+def test_ppm_decode_roundtrip(width, height, seed_bytes, ascii_form):
+    """Any RGB pixel buffer written as PPM (binary or ASCII) decodes to
+    the identical buffer with the declared dimensions."""
+    from flink_snappydata_spark.pipeline import multimodal
+
+    n = width * height * 3
+    px = (seed_bytes * (n // max(1, len(seed_bytes)) + 1))[:n] if seed_bytes else bytes(n)
+    if ascii_form:
+        body = " ".join(str(b) for b in px)
+        payload = f"P3\n# c\n{width} {height}\n255\n{body}\n".encode()
+    else:
+        payload = b"P6\n%d %d\n255\n" % (width, height) + px
+    img = multimodal.decode_image(payload)
+    assert (img["width"], img["height"]) == (width, height)
+    assert img["pixels"] == px
+
+
+@given(
+    st.lists(
+        st.integers(min_value=-32768, max_value=32767), min_size=1, max_size=64
+    ),
+    st.integers(min_value=1, max_value=4),
+)
+@settings(max_examples=40, deadline=None)
+def test_wav_decode_roundtrip(samples, n_ch):
+    """Interleaved PCM frames written as WAV decode to the identical
+    per-channel sequences (frame count = len // channels, trailing
+    partial frame bytes ignored by the channel split)."""
+    import struct
+
+    from flink_snappydata_spark.pipeline import multimodal
+
+    n_frames = len(samples) // n_ch
+    if n_frames == 0:
+        return
+    samples = samples[: n_frames * n_ch]
+    pcm = struct.pack(f"<{len(samples)}h", *samples)
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, n_ch, 16000,
+                                16000 * n_ch * 2, n_ch * 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    a = multimodal.decode_audio(wav)
+    assert a["channels"] == n_ch and a["n_samples"] == n_frames
+    for c in range(n_ch):
+        assert a["samples"][c] == list(samples[c::n_ch])
