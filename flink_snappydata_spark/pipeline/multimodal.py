@@ -351,6 +351,139 @@ def audio_stats_table(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
 
 
+def decode_video(content: bytes) -> dict:
+    """Pure-Python AVI decode (uncompressed subset): RIFF/``AVI `` with
+    an ``hdrl`` main header (``avih``: dims + declared frame count) and
+    a ``movi`` list of raw ``00db`` DIB frames.
+
+    Returns ``{format, width, height, n_frames, frames}`` where
+    ``frames`` is the list of raw frame payloads in stream order and
+    ``n_frames`` is the number actually present in ``movi`` (the
+    parser trusts the container's contents over the declared count).
+    Compressed streams (``00dc``) raise — no codec libs here; the
+    uncompressed path is fully owned, everything else is explicit.
+    """
+    import struct
+
+    if content[:4] != b"RIFF" or content[8:12] != b"AVI ":
+        raise ValueError(
+            f"unsupported video format (magic {content[:4]!r}); the "
+            "native decoder covers RIFF/AVI with uncompressed frames only"
+        )
+    width = height = None
+    frames: list[bytes] = []
+
+    def walk(buf: bytes) -> None:
+        nonlocal width, height
+        pos = 0
+        while pos + 8 <= len(buf):
+            cid, size = buf[pos : pos + 4], struct.unpack_from("<I", buf, pos + 4)[0]
+            body = buf[pos + 8 : pos + 8 + size]
+            if cid == b"LIST":
+                walk(body[4:])  # skip the 4-byte list type, recurse
+            elif cid == b"avih":
+                width, height = struct.unpack_from("<II", body, 32)
+            elif cid[2:] == b"db":  # raw DIB frame (e.g. 00db)
+                frames.append(body)
+            elif cid[2:] == b"dc":  # compressed frame
+                raise ValueError(
+                    "compressed AVI frame stream (..dc) not supported; "
+                    "native decoder covers uncompressed (..db) frames"
+                )
+            pos += 8 + size + (size & 1)  # chunks are word-aligned
+
+    walk(content[12:])
+    if width is None:
+        raise ValueError("truncated AVI: missing avih header")
+    return {"format": "avi", "width": int(width), "height": int(height),
+            "n_frames": len(frames), "frames": frames}
+
+
+def synthesize_avi(documents: DataFrame) -> DataFrame:
+    """Deterministic AVI payload per document — the video twin of
+    :func:`synthesize_ppm`: ``2 + doc_id % 3`` uncompressed 4×2 24-bit
+    frames, frame ``f`` byte ``j`` = ``(doc_id*7 + f*11 + j) % 256``
+    (width 4 ⇒ 12-byte rows, already 4-aligned — no stride padding), so
+    decoding with the REAL parser yields stats with a closed-form
+    arithmetic oracle."""
+    import struct
+
+    w, h = 4, 2
+
+    def _chunk(cid: bytes, body: bytes) -> bytes:
+        return cid + struct.pack("<I", len(body)) + body + (b"\x00" if len(body) & 1 else b"")
+
+    def _list(ltype: bytes, body: bytes) -> bytes:
+        return _chunk(b"LIST", ltype + body)
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 2 + d % 3
+                avih = struct.pack("<IIIIIIIIIIIIII", 33333, 0, 0, 0, n, 0,
+                                   1, 0, w, h, 0, 0, 0, 0)
+                strh = struct.pack("<4s4sIHHIIIIIIIIhhhh", b"vids", b"DIB ",
+                                   0, 0, 0, 0, 1, 30, 0, n, 0, 0, 0,
+                                   0, 0, w, h)
+                strf = struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                                   w * h * 3, 0, 0, 0, 0)
+                hdrl = _list(b"hdrl", _chunk(b"avih", avih)
+                             + _list(b"strl", _chunk(b"strh", strh)
+                                     + _chunk(b"strf", strf)))
+                movi = _list(b"movi", b"".join(
+                    _chunk(b"00db", bytes(
+                        (d * 7 + f * 11 + j) % 256 for j in range(w * h * 3)
+                    ))
+                    for f in range(n)
+                ))
+                body = b"AVI " + hdrl + movi
+                rows.append((d, b"RIFF" + struct.pack("<I", len(body)) + body))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return spread(documents.select("doc_id"), "doc_id").mapInPandas(
+        _synth, schema="doc_id long, content binary"
+    )
+
+
+VIDEO_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("format", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("sum_bytes", T.LongType()),
+        T.StructField("mean_byte", T.DoubleType()),
+    ]
+)
+
+
+def video_stats_table(media: DataFrame) -> DataFrame:
+    """Arrow-batched video decode: each payload runs through
+    :func:`decode_video`; emits container dims, frame count, and exact
+    int64 sum + mean over all frame payload bytes — the frame-sampling
+    statistic as portable integer arithmetic."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                v = decode_video(bytes(content))
+                total = sum(len(f) for f in v["frames"])
+                s = sum(b for f in v["frames"] for b in f)
+                rows.append(
+                    (int(doc_id), v["format"], v["width"], v["height"],
+                     v["n_frames"], s, s / total)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in VIDEO_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_stats, schema=VIDEO_STATS_SCHEMA)
+
+
 def synthesize_ppm(documents: DataFrame) -> DataFrame:
     """Deterministic PPM payload per document — the fixture stand-in
     for real image bytes, built so the decode path has a closed-form

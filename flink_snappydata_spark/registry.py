@@ -1949,6 +1949,35 @@ _register(
 )
 
 _register(
+    "video_decode_stats",
+    ["documents"],
+    lambda documents: multimodal.video_stats_table(
+        multimodal.synthesize_avi(documents)
+    ).orderBy("doc_id"),
+    """
+    WITH b AS (
+        SELECT d.doc_id,
+               (d.doc_id * 7 + (u.i // 24) * 11 + (u.i % 24)) % 256 AS v
+        FROM documents d,
+             LATERAL (SELECT UNNEST(range(0, (2 + d.doc_id % 3) * 24)) AS i) u
+    )
+    SELECT doc_id,
+           'avi' AS format,
+           CAST(4 AS INTEGER) AS width,
+           CAST(2 AS INTEGER) AS height,
+           CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
+           SUM(v) AS sum_bytes,
+           AVG(v) AS mean_byte
+    FROM b GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="End-to-end video decode: deterministic synthesized RIFF/AVI "
+        "payload (uncompressed 4x2 24-bit DIB frames) per document, "
+        "decoded by the real pure-Python container parser inside "
+        "mapInPandas; frame count and exact byte-sum/mean hash-checked "
+        "against the closed-form arithmetic oracle.",
+)
+
+_register(
     "multimodal_features",
     ["documents"],
     multimodal.media_feature_table,
@@ -2177,13 +2206,15 @@ _register(
 # * the entries whose modules round 6 touches and must re-prove:
 #   dedup_clusters (pipeline/dedup.py label-propagation rework),
 #   multimodal_features (pipeline/multimodal.py decode_image
-#   implementation), image_decode_stats / audio_decode_stats (NEW this
-#   round — the real PPM/WAV parsers over synthesized payloads vs
-#   closed-form oracles), ann_ivf_topk / ann_lsh_neardup
-#   (pipeline/similarity.py quadratic-baseline guards; ann_cosine_topk
-#   and embedding_neardup are already among the 44). The flagship
-#   sentinel q1_pricing_summary sits out this window (stamped r05,
-#   untouched) — the two new queries take the last slots.
+#   implementation), image_decode_stats / audio_decode_stats /
+#   video_decode_stats (NEW this round — the real PPM/WAV/AVI parsers
+#   over synthesized payloads vs closed-form oracles);
+# * q1_pricing_summary as the flagship sentinel, filling slot 50.
+#
+# ann_ivf_topk / ann_lsh_neardup sit out this window: stamped r05 and
+# their plans are untouched by the round-6 similarity.py change (the
+# all-pairs guard lives in cosine_neardup_pairs, whose registered form
+# embedding_neardup IS among the 44); due again r07 per policy.
 #
 # Everything else — round-5-green and unchanged — follows in file order.
 
@@ -2238,8 +2269,9 @@ _HEAD = [
     "multimodal_features",
     "image_decode_stats",
     "audio_decode_stats",
-    "ann_ivf_topk",
-    "ann_lsh_neardup",
+    "video_decode_stats",
+    # -- flagship sentinel --
+    "q1_pricing_summary",
 ]
 
 _TAIL: list[str] = []

@@ -529,3 +529,46 @@ def test_audio_stats_table_matches_decoder(spark):
         assert r.n_samples == 8 + doc_id % 8 == len(ch0)
         assert r.mean_amp == pytest.approx(sum(ch0) / len(ch0))
         assert r.sum_sq == sum(v * v for v in ch0)
+
+
+def test_decode_video_avi_golden(spark):
+    """The synthesized AVI decodes to its declared shape, frame payloads
+    match the generating arithmetic, and non-AVI / compressed payloads
+    raise explicitly."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(5)
+    media = {r.doc_id: bytes(r.content)
+             for r in multimodal.synthesize_avi(docs).collect()}
+    assert len(media) == 5
+    for doc_id, content in media.items():
+        v = multimodal.decode_video(content)
+        n = 2 + doc_id % 3
+        assert (v["format"], v["width"], v["height"], v["n_frames"]) == (
+            "avi", 4, 2, n,
+        )
+        for f, frame in enumerate(v["frames"]):
+            assert frame == bytes(
+                (doc_id * 7 + f * 11 + j) % 256 for j in range(4 * 2 * 3)
+            )
+    with pytest.raises(ValueError, match="unsupported video format"):
+        multimodal.decode_video(b"\x00\x00\x01\xba mpeg-ps")
+    # compressed frame chunk (00dc) is rejected, not silently skipped
+    compressed = list(media.values())[0].replace(b"00db", b"00dc")
+    with pytest.raises(ValueError, match="compressed AVI"):
+        multimodal.decode_video(compressed)
+
+
+def test_video_stats_table_distributed_decode(spark):
+    docs = load_table(spark, SF_SMOKE, "documents").limit(6)
+    got = {r.doc_id: r for r in multimodal.video_stats_table(
+        multimodal.synthesize_avi(docs)
+    ).collect()}
+    assert len(got) == 6
+    for doc_id, r in got.items():
+        n = 2 + doc_id % 3
+        expect = [
+            (doc_id * 7 + f * 11 + j) % 256
+            for f in range(n) for j in range(24)
+        ]
+        assert (r.width, r.height, r.n_frames) == (4, 2, n)
+        assert r.sum_bytes == sum(expect)
+        assert r.mean_byte == pytest.approx(sum(expect) / len(expect))
