@@ -426,3 +426,106 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+def _assign_nearest(qv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, cent_id): each vector's max-cosine centroid, ties to
+    the lowest cent_id. ``cents`` is (cent_id, ce, cn), tiny relative
+    to the corpus → broadcast; the corpus is scanned once, never
+    shuffled (row_number partitions by vec_id, which is the scan's
+    natural key — AQE sees a single exchange for the window)."""
+    scored = qv.crossJoin(F.broadcast(cents)).select(
+        "vec_id",
+        "cent_id",
+        _cosine(_dot(F.col("qe"), F.col("ce")), F.col("norm_sq"), F.col("cn")).alias("csim"),
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") == 1)
+        .select("vec_id", "cent_id")
+    )
+
+
+def kmeans_train(
+    embeddings: DataFrame, n_clusters: int = 8, n_iters: int = 2
+) -> DataFrame:
+    """Distributed Lloyd's k-means over quantized embeddings — the
+    trained-codebook upgrade to :func:`ivf_topk`'s "first n vectors"
+    coarse quantizer, and the repo's iterative-algorithm showcase
+    (reference parity: the reference has no iterative op; this extends
+    the IVF/codebook family the LLM-pipeline mandate adds).
+
+    Bit-deterministic by construction, so a DuckDB oracle can replay it
+    exactly:
+
+    * components are the standard ``round(x*1e6)`` int64 quantization;
+    * cosine is scale-invariant, so centroids stay INTEGER vectors —
+      the truncated-toward-zero mean ``(s - s % n) / n`` of the
+      members' exact component sums (both engines define ``%`` with
+      the dividend's sign, and the exactly-divisible double division
+      is exact below 2^53);
+    * assignment ties break to the lowest cent_id;
+    * clusters that lose all members carry their previous centroid
+      forward unchanged.
+
+    ``n_iters`` assignment rounds run in total: init codebook = the
+    first ``n_clusters`` vectors, then (assign → integer-mean update)
+    × (n_iters − 1), then one final assignment, whose per-cluster
+    membership stats (all integers) are returned.
+
+    Scale: per round, ONE broadcast-join scan of the corpus for
+    assignment and ONE (cent_id, pos)-keyed hash aggregation for the
+    update — partial sums combine map-side, the shuffle carries
+    int64 sums, never vectors, and the driver never collects anything.
+    Rounds are a fixed small constant (lineage stays shallow, no
+    checkpoint needed).
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    qv = tracked_persist(quantized(embeddings))
+    cents = qv.filter(F.col("vec_id") < n_clusters).select(
+        F.col("vec_id").alias("cent_id"),
+        F.col("qe").alias("ce"),
+        F.col("norm_sq").alias("cn"),
+    )
+    assigned = _assign_nearest(qv, cents)
+    for _ in range(n_iters - 1):
+        sums = (
+            qv.join(assigned, "vec_id")
+            .select("cent_id", F.posexplode("qe").alias("pos", "q"))
+            .groupBy("cent_id", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        )
+        # Truncated integer mean, portable: (s - s % cnt) is exactly
+        # divisible, and |s| < 2^53, so the double division is exact.
+        mean = sums.withColumn(
+            "c",
+            (
+                (F.col("s") - F.col("s") % F.col("cnt")).cast("double")
+                / F.col("cnt")
+            ).cast("long"),
+        )
+        new_ce = mean.groupBy("cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("ce")
+        )
+        carried = cents.join(new_ce, "cent_id", "left_anti").select("cent_id", "ce")
+        cents = new_ce.unionByName(carried).select(
+            "cent_id",
+            "ce",
+            _dot(F.col("ce"), F.col("ce")).alias("cn"),
+        )
+        assigned = _assign_nearest(qv, cents)
+    return (
+        assigned.groupBy(F.col("cent_id").alias("cluster_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+        )
+        .orderBy("cluster_id")
+    )

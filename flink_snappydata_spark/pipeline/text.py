@@ -9,7 +9,7 @@ so the DuckDB oracle reproduces them bit-for-bit.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_snappydata_spark.util import spread
@@ -72,6 +72,82 @@ def quality_scores(documents: DataFrame) -> DataFrame:
         punct_ratio.alias("punct_ratio"),
         stop_ratio.alias("stopword_ratio"),
         keep.alias("keep"),
+    )
+
+
+#: Default keyword query for the registered BM25 retrieval op (terms
+#: present in the fixture corpus vocabulary).
+BM25_TERMS = ["vector", "stream", "window", "hash"]
+
+
+def bm25_topk(
+    documents: DataFrame,
+    terms: list[str] | None = None,
+    k: int = 15,
+    k1: float = 1.2,
+    b: float = 0.75,
+) -> DataFrame:
+    """BM25 keyword retrieval: top-``k`` documents for a fixed term
+    list, rational-idf variant — idf(t) = (N − df + 0.5)/(df + 0.5),
+    i.e. standard BM25+ idf WITHOUT the log. The log is monotone, so
+    each per-term contribution ranks documents identically; dropping it
+    keeps every score inside IEEE +,−,×,/ over integer-valued inputs,
+    which both engines evaluate bit-identically (ln() is libm-dependent
+    and would break the hash oracle). Per-term scores are summed in
+    fixed left-to-right term order — FP addition is not associative,
+    so the order is part of the contract.
+
+    Scale: tf/dl are per-row column expressions on the scan (no
+    explode, no shuffle); the corpus-level (N, avgdl, df_t) statistics
+    are ONE aggregate row broadcast back over the corpus; top-k is a
+    row_number partial top-k. Two scans of the corpus total, no
+    shuffle of document text anywhere.
+    """
+    terms = BM25_TERMS if terms is None else terms
+    words = _words(F.col("text"))
+
+    def term_freq(t: str) -> Column:
+        # NB: the lambda must be unary — F.filter inspects arity, and a
+        # second parameter (even defaulted) is treated as the index arg.
+        return F.size(F.filter(words, lambda w: w == F.lit(t))).cast("long")
+
+    base = documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("dl"),
+        *[term_freq(t).alias(f"tf_{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("dl").alias("sum_dl"),
+        *[
+            F.sum((F.col(f"tf_{i}") > 0).cast("long")).alias(f"df_{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    avgdl = F.col("sum_dl").cast("double") / F.col("n_docs")
+    norm = (F.lit(1.0) - F.lit(b)) + F.lit(b) * (
+        F.col("dl").cast("double") / avgdl
+    )
+    score = None
+    for i in range(len(terms)):
+        tf = F.col(f"tf_{i}").cast("double")
+        df = F.col(f"df_{i}")
+        idf = ((F.col("n_docs") - df).cast("double") + F.lit(0.5)) / (
+            df.cast("double") + F.lit(0.5)
+        )
+        s_i = idf * ((tf * F.lit(k1 + 1.0)) / (tf + F.lit(k1) * norm))
+        score = s_i if score is None else score + s_i
+    # Global top-k via orderBy+limit (TakeOrdered — per-partition heaps,
+    # never a full sort); the rank window then runs over k rows only.
+    top = (
+        scored.select("doc_id", "dl", score.alias("score"))
+        .orderBy(F.col("score").desc(), F.col("doc_id").asc())
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), F.col("doc_id").asc())
+    return top.withColumn("rank", F.row_number().over(w).cast("long")).orderBy(
+        "rank"
     )
 
 

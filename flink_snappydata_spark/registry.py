@@ -2170,6 +2170,68 @@ _register(
         "share (vocabulary pruning / stopword discovery).",
 )
 
+# bm25_topk oracle: the score is pure IEEE +,-,*,/ over integer tf/df/dl
+# (rational idf — no ln(), which is libm-dependent), with per-term
+# contributions summed in fixed left-to-right term order, so both
+# engines produce bit-identical doubles. Constants are interpolated via
+# repr() so the SQL literals parse to the same doubles Spark uses.
+def _bm25_oracle(terms: list[str], k: int, k1: float, b: float) -> str:
+    tf_cols = ",\n               ".join(
+        f"CAST(len(list_filter(words, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
+        for i, t in enumerate(terms)
+    )
+    df_cols = ",\n               ".join(
+        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
+        for i in range(len(terms))
+    )
+    norm = (
+        f"(({1.0 - b!r} + {b!r} * (CAST(dl AS DOUBLE) "
+        f"/ (CAST(sum_dl AS DOUBLE) / n_docs))))"
+    )
+    score = " + ".join(
+        f"(((CAST(n_docs - df_{i} AS DOUBLE) + 0.5)"
+        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
+        f" * ((CAST(tf_{i} AS DOUBLE) * {k1 + 1.0!r})"
+        f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * {norm})))"
+        for i in range(len(terms))
+    )
+    return f"""
+    WITH base AS (
+        SELECT doc_id,
+               CAST(len(words) AS BIGINT) AS dl,
+               {tf_cols}
+        FROM (SELECT doc_id,
+                     list_filter(string_split_regex(lower(text), '\\W+'),
+                                 x -> x <> '') AS words
+              FROM documents)
+    ), stats AS (
+        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
+               {df_cols}
+        FROM base
+    ), scored AS (
+        SELECT doc_id, dl, ({score}) AS score
+        FROM base, stats
+    )
+    SELECT doc_id, dl, score, rank FROM (
+        SELECT doc_id, dl, score,
+               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
+                    AS BIGINT) AS rank
+        FROM scored) t
+    WHERE rank <= {k} ORDER BY rank
+    """
+
+
+_register(
+    "bm25_topk",
+    ["documents"],
+    textops.bm25_topk,
+    _bm25_oracle(textops.BM25_TERMS, 15, 1.2, 0.75),
+    doc="BM25 keyword retrieval (rational-idf variant, log-free for "
+        "cross-engine bit-exactness): per-row tf/dl on the scan, one "
+        "broadcast stats row, TakeOrdered top-k — two corpus scans, no "
+        "text shuffle.",
+)
+
 _register(
     "label_centroids",
     ["embeddings"],
@@ -2188,6 +2250,73 @@ _register(
     """,
     doc="Per-label mean embedding (class centroids / coarse-quantizer "
         "codebook), exact int64 component sums.",
+)
+
+# kmeans_train oracle: Lloyd's iterations unrolled (n_iters=2 → c0,
+# assign, integer-mean update, assign). Every step is either exact
+# int64 arithmetic (dots, sums, truncated means) or the same fixed
+# IEEE double expression both engines evaluate identically (the cosine
+# used only for argmax ordering), so the replay is bit-faithful.
+_KM_ASSIGN = """
+    SELECT vec_id, cent_id FROM (
+        SELECT d.vec_id, d.cent_id,
+               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
+                   (CAST(dot AS DOUBLE)/1e12)
+                       / sqrt((CAST(nv.n2 AS DOUBLE)/1e12)
+                              * (CAST(cn.n2 AS DOUBLE)/1e12)) DESC,
+                   d.cent_id ASC) AS r
+        FROM {dots} d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN {cnorms} cn ON cn.cent_id = d.cent_id) t
+    WHERE r = 1
+"""
+
+_register(
+    "kmeans_train",
+    ["embeddings"],
+    similarity.kmeans_train,
+    f"""
+    WITH comp AS (
+        SELECT vec_id, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) s(i)
+    ), norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM comp GROUP BY vec_id),
+    c0 AS (SELECT vec_id AS cent_id, i, q AS c FROM comp WHERE vec_id < 8),
+    cn0 AS (SELECT cent_id, SUM(c*c) AS n2 FROM c0 GROUP BY cent_id),
+    d1 AS (
+        SELECT t.vec_id, c.cent_id, SUM(t.q * c.c) AS dot
+        FROM comp t JOIN c0 c ON t.i = c.i GROUP BY t.vec_id, c.cent_id),
+    a1 AS ({_KM_ASSIGN.format(dots="d1", cnorms="cn0")}),
+    s1 AS (
+        SELECT a.cent_id, c.i, SUM(c.q) AS s, COUNT(*) AS cnt
+        FROM a1 a JOIN comp c ON c.vec_id = a.vec_id
+        GROUP BY a.cent_id, c.i),
+    m1 AS (
+        SELECT cent_id, i,
+               CAST(CAST(s - s % cnt AS DOUBLE) / cnt AS BIGINT) AS c
+        FROM s1),
+    c1 AS (
+        SELECT cent_id, i, c FROM m1
+        UNION ALL
+        SELECT cent_id, i, c FROM c0
+        WHERE cent_id NOT IN (SELECT DISTINCT cent_id FROM m1)),
+    cn1 AS (SELECT cent_id, SUM(c*c) AS n2 FROM c1 GROUP BY cent_id),
+    d2 AS (
+        SELECT t.vec_id, c.cent_id, SUM(t.q * c.c) AS dot
+        FROM comp t JOIN c1 c ON t.i = c.i GROUP BY t.vec_id, c.cent_id),
+    a2 AS ({_KM_ASSIGN.format(dots="d2", cnorms="cn1")})
+    SELECT cent_id AS cluster_id,
+           COUNT(*) AS n_members,
+           SUM(vec_id) AS sum_vec_id,
+           MIN(vec_id) AS min_vec_id,
+           MAX(vec_id) AS max_vec_id
+    FROM a2 GROUP BY cent_id ORDER BY cluster_id
+    """,
+    doc="Distributed Lloyd's k-means (2 rounds, 8 clusters): integer "
+        "centroid vectors via truncated means (cosine is "
+        "scale-invariant), broadcast assignment, map-side-combined "
+        "component sums — the trained-codebook upgrade to ivf_topk.",
 )
 
 
@@ -2209,7 +2338,12 @@ _register(
 #   implementation), image_decode_stats / audio_decode_stats /
 #   video_decode_stats (NEW this round — the real PPM/WAV/AVI parsers
 #   over synthesized payloads vs closed-form oracles);
-# * q1_pricing_summary as the flagship sentinel, filling slot 50.
+# * kmeans_train (NEW this round — iterative Lloyd's, integer-exact)
+#   fills slot 50; bm25_topk (NEW) leads the middle as slot 51 — it
+#   gets an r06 stamp if the driver's budget exceeds 50, else r07;
+#   both are oracle-parity-tested in tests/test_oracle_parity.py
+#   either way. q1_pricing_summary (r05-stamped, untouched) yields
+#   its sentinel slot and is due r07 per policy.
 #
 # ann_ivf_topk / ann_lsh_neardup sit out this window: stamped r05 and
 # their plans are untouched by the round-6 similarity.py change (the
@@ -2270,8 +2404,9 @@ _HEAD = [
     "image_decode_stats",
     "audio_decode_stats",
     "video_decode_stats",
-    # -- flagship sentinel --
-    "q1_pricing_summary",
+    # -- new this round --
+    "kmeans_train",
+    "bm25_topk",
 ]
 
 _TAIL: list[str] = []

@@ -572,3 +572,188 @@ def test_video_stats_table_distributed_decode(spark):
         assert (r.width, r.height, r.n_frames) == (4, 2, n)
         assert r.sum_bytes == sum(expect)
         assert r.mean_byte == pytest.approx(sum(expect) / len(expect))
+
+
+# ---------------------------------------------------------------------------
+# k-means training (iterative Lloyd's, integer-exact)
+# ---------------------------------------------------------------------------
+
+
+def _inertia_proxy(spark, emb, n_clusters, n_iters):
+    """Sum of each vector's best cosine to its assigned centroid —
+    recomputed from a naive numpy replay so the test judges the Spark
+    result against independent arithmetic."""
+    import numpy as np
+
+    pdf = emb.orderBy("vec_id").toPandas()
+    vecs = {
+        int(r.vec_id): np.round(np.array(r.embedding, dtype=np.float64) * 1e6)
+        for r in pdf.itertuples()
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b)) / (
+            np.sqrt(float(np.dot(a, a)) * float(np.dot(b, b)))
+        )
+
+    cents = {j: vecs[j].copy() for j in range(n_clusters) if j in vecs}
+    assign = {}
+    for it in range(n_iters):
+        assign = {
+            v: max(cents, key=lambda j: (cos(vecs[v], cents[j]), -j))
+            for v in vecs
+        }
+        if it < n_iters - 1:
+            new = {}
+            for j in cents:
+                members = [vecs[v] for v in assign if assign[v] == j]
+                if members:
+                    s = np.sum(members, axis=0)
+                    n = len(members)
+                    new[j] = np.trunc(s / n) if n > 1 else s.copy()
+                    # exact truncated mean to mirror (s - s % n) / n
+                    new[j] = np.array(
+                        [int(c) - int(c) % n if int(c) >= 0
+                         else -((-int(c)) - (-int(c)) % n)
+                         for c in s], dtype=np.float64) / n
+                else:
+                    new[j] = cents[j]
+            cents = new
+    return assign
+
+
+def test_kmeans_matches_naive_replay(spark):
+    """The distributed trainer's final membership equals an independent
+    numpy replay of the same integer-exact Lloyd's recipe."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r.cluster_id: (r.n_members, r.sum_vec_id)
+        for r in similarity.kmeans_train(emb, n_clusters=8, n_iters=2).collect()
+    }
+    assign = _inertia_proxy(spark, emb, 8, 2)
+    want = {}
+    for v, j in assign.items():
+        n, s = want.get(j, (0, 0))
+        want[j] = (n + 1, s + v)
+    assert got == want
+
+
+def test_kmeans_improves_total_cosine(spark):
+    """Training must not make clustering worse: total best-cosine after
+    2 rounds >= after 1 round (Lloyd's monotonicity, up to the integer
+    truncation of centroids — asserted with a small tolerance)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    pdf = emb.orderBy("vec_id").toPandas()
+    vecs = {
+        int(r.vec_id): np.round(np.array(r.embedding, dtype=np.float64) * 1e6)
+        for r in pdf.itertuples()
+    }
+
+    def cos(a, b):
+        return float(np.dot(a, b)) / (
+            np.sqrt(float(np.dot(a, a)) * float(np.dot(b, b)))
+        )
+
+    def total(n_iters):
+        assign = _inertia_proxy(spark, emb, 8, n_iters)
+        # recompute centroids from the assignment and sum best cosines
+        cents = {}
+        for j in set(assign.values()):
+            members = [vecs[v] for v in assign if assign[v] == j]
+            cents[j] = np.sum(members, axis=0)
+        return sum(cos(vecs[v], cents[assign[v]]) for v in assign)
+
+    assert total(2) >= total(1) - 1e-6
+
+
+def test_kmeans_single_iter_is_init_assignment(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    one = similarity.kmeans_train(emb, n_clusters=4, n_iters=1).collect()
+    assert sum(r.n_members for r in one) == emb.count()
+    assert {r.cluster_id for r in one} <= set(range(4))
+
+
+def test_kmeans_empty_cluster_carries_forward(spark):
+    """A centroid that captures no members keeps its old vector instead
+    of vanishing or dividing by zero."""
+    import numpy as np
+
+    rows = []
+    # 6 vectors tightly around +e0 ... and centroid seeds 0,1 where seed 1
+    # is an outlier direction no vector is nearest to after round 1.
+    base = [1.0] + [0.0] * 63
+    outlier = [0.0] * 62 + [1.0, 0.0]
+    for i in range(6):
+        v = list(base)
+        v[1] = 0.01 * i
+        rows.append((i, v))
+    rows[1] = (1, outlier)  # seed centroid 1 starts as the outlier
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    out = similarity.kmeans_train(df, n_clusters=2, n_iters=3).collect()
+    got = {r.cluster_id: r.n_members for r in out}
+    assert sum(got.values()) == 6
+    # the outlier vector keeps its own cluster; everyone else in cluster 0
+    assert got == {0: 5, 1: 1}
+
+
+# ---------------------------------------------------------------------------
+# BM25 retrieval
+# ---------------------------------------------------------------------------
+
+
+def test_bm25_ranks_term_rich_docs_first(spark):
+    rows = [
+        (0, "vector stream window hash vector stream window hash"),
+        (1, "vector stream padding words here and there okay fine"),
+        (2, "no relevant terms at all in this document body text"),
+        (3, "hash hash hash hash hash hash hash hash hash hash"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = textops.bm25_topk(df, k=4)
+    got = [(r.doc_id, r.score) for r in out.collect()]
+    assert got[0][0] == 0          # all four terms, twice each
+    assert [d for d, _ in got].index(2) == 3  # zero-term doc ranks last
+    assert got[-1][1] == 0.0       # and scores exactly 0
+    # scores strictly ordered, ties impossible here
+    scores = [s for _, s in got]
+    assert scores == sorted(scores, reverse=True)
+
+
+def test_bm25_matches_pandas_reference(spark):
+    """Spark BM25 equals a pandas replay of the same rational-idf
+    formula on the fixture corpus (independent arithmetic path)."""
+    import re
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = textops.bm25_topk(docs, k=10).toPandas()
+
+    pdf = docs.select("doc_id", "text").toPandas()
+    terms = textops.BM25_TERMS
+    k1, b = 1.2, 0.75
+    toks = {
+        int(r.doc_id): [w for w in re.split(r"\W+", r.text.lower()) if w]
+        for r in pdf.itertuples()
+    }
+    n_docs = len(toks)
+    avgdl = sum(len(t) for t in toks.values()) / n_docs
+    df_t = {
+        t: sum(1 for w in toks.values() if t in w) for t in terms
+    }
+    rows = []
+    for d, ws in toks.items():
+        dl = len(ws)
+        score = 0.0
+        for t in terms:
+            tf = sum(1 for w in ws if w == t)
+            idf = (n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5)
+            score = score + idf * (tf * (k1 + 1.0)) / (
+                tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+            )
+        rows.append((d, dl, score))
+    rows.sort(key=lambda r: (-r[2], r[0]))
+    want = rows[:10]
+    assert [int(r) for r in got["doc_id"]] == [r[0] for r in want]
+    for g, w in zip(got["score"], want):
+        assert g == pytest.approx(w[2], rel=1e-12)
