@@ -302,23 +302,26 @@ def lsh_neardup_pairs(
 def ivf_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     n_centroids: int = 16, n_probe: int = 4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: deterministic coarse codebook (first
-    ``n_centroids`` vectors), corpus partitioned by nearest centroid,
+    ``n_centroids`` vectors, or a trained :func:`kmeans_centroids`
+    frame via ``centroids=``), corpus partitioned by nearest centroid,
     queries probe their ``n_probe`` nearest lists only.
 
     Scale: assignment is one broadcast pass; the probe join touches
     n_probe/n_centroids of the corpus instead of all of it. Recall vs
-    the brute-force baseline is asserted in tests.
+    the brute-force baseline is asserted in tests (for both the naive
+    and the trained codebook).
     """
     qv = quantized(embeddings)
-    cents = F.broadcast(
-        qv.filter(F.col("vec_id") < n_centroids).select(
+    if centroids is None:
+        centroids = qv.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"),
             F.col("qe").alias("ce"),
             F.col("norm_sq").alias("cn"),
         )
-    )
+    cents = F.broadcast(centroids)
 
     def nearest(df: DataFrame, id_col: str, keep: int) -> DataFrame:
         scored = df.crossJoin(cents).select(
@@ -447,43 +450,15 @@ def _assign_nearest(qv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
-def kmeans_train(
-    embeddings: DataFrame, n_clusters: int = 8, n_iters: int = 2
-) -> DataFrame:
-    """Distributed Lloyd's k-means over quantized embeddings — the
-    trained-codebook upgrade to :func:`ivf_topk`'s "first n vectors"
-    coarse quantizer, and the repo's iterative-algorithm showcase
-    (reference parity: the reference has no iterative op; this extends
-    the IVF/codebook family the LLM-pipeline mandate adds).
-
-    Bit-deterministic by construction, so a DuckDB oracle can replay it
-    exactly:
-
-    * components are the standard ``round(x*1e6)`` int64 quantization;
-    * cosine is scale-invariant, so centroids stay INTEGER vectors —
-      the truncated-toward-zero mean ``(s - s % n) / n`` of the
-      members' exact component sums (both engines define ``%`` with
-      the dividend's sign, and the exactly-divisible double division
-      is exact below 2^53);
-    * assignment ties break to the lowest cent_id;
-    * clusters that lose all members carry their previous centroid
-      forward unchanged.
-
-    ``n_iters`` assignment rounds run in total: init codebook = the
-    first ``n_clusters`` vectors, then (assign → integer-mean update)
-    × (n_iters − 1), then one final assignment, whose per-cluster
-    membership stats (all integers) are returned.
-
-    Scale: per round, ONE broadcast-join scan of the corpus for
-    assignment and ONE (cent_id, pos)-keyed hash aggregation for the
-    update — partial sums combine map-side, the shuffle carries
-    int64 sums, never vectors, and the driver never collects anything.
-    Rounds are a fixed small constant (lineage stays shallow, no
-    checkpoint needed).
-    """
+def _kmeans_fit(
+    qv: DataFrame, n_clusters: int, n_iters: int
+) -> tuple[DataFrame, DataFrame]:
+    """(centroids, assignment) after ``n_iters`` Lloyd's assignment
+    rounds over a :func:`quantized` corpus — the shared core of
+    :func:`kmeans_train` (membership stats) and
+    :func:`kmeans_centroids` (codebook for :func:`ivf_topk`)."""
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
-    qv = tracked_persist(quantized(embeddings))
     cents = qv.filter(F.col("vec_id") < n_clusters).select(
         F.col("vec_id").alias("cent_id"),
         F.col("qe").alias("ce"),
@@ -519,6 +494,57 @@ def kmeans_train(
             _dot(F.col("ce"), F.col("ce")).alias("cn"),
         )
         assigned = _assign_nearest(qv, cents)
+    return cents, assigned
+
+
+def kmeans_centroids(
+    embeddings: DataFrame, n_clusters: int = 8, n_iters: int = 2
+) -> DataFrame:
+    """Trained (cent_id, ce, cn) codebook — pass as ``centroids=`` to
+    :func:`ivf_topk` to replace its naive first-n-vectors quantizer.
+    Training balances the inverted lists around actual data density,
+    which tightens each query's probed fraction of the corpus."""
+    qv = tracked_persist(quantized(embeddings))
+    cents, _ = _kmeans_fit(qv, n_clusters, n_iters)
+    return cents
+
+
+def kmeans_train(
+    embeddings: DataFrame, n_clusters: int = 8, n_iters: int = 2
+) -> DataFrame:
+    """Distributed Lloyd's k-means over quantized embeddings — the
+    trained-codebook upgrade to :func:`ivf_topk`'s "first n vectors"
+    coarse quantizer, and the repo's iterative-algorithm showcase
+    (reference parity: the reference has no iterative op; this extends
+    the IVF/codebook family the LLM-pipeline mandate adds).
+
+    Bit-deterministic by construction, so a DuckDB oracle can replay it
+    exactly:
+
+    * components are the standard ``round(x*1e6)`` int64 quantization;
+    * cosine is scale-invariant, so centroids stay INTEGER vectors —
+      the truncated-toward-zero mean ``(s - s % n) / n`` of the
+      members' exact component sums (both engines define ``%`` with
+      the dividend's sign, and the exactly-divisible double division
+      is exact below 2^53);
+    * assignment ties break to the lowest cent_id;
+    * clusters that lose all members carry their previous centroid
+      forward unchanged.
+
+    ``n_iters`` assignment rounds run in total: init codebook = the
+    first ``n_clusters`` vectors, then (assign → integer-mean update)
+    × (n_iters − 1), then one final assignment, whose per-cluster
+    membership stats (all integers) are returned.
+
+    Scale: per round, ONE broadcast-join scan of the corpus for
+    assignment and ONE (cent_id, pos)-keyed hash aggregation for the
+    update — partial sums combine map-side, the shuffle carries
+    int64 sums, never vectors, and the driver never collects anything.
+    Rounds are a fixed small constant (lineage stays shallow, no
+    checkpoint needed).
+    """
+    qv = tracked_persist(quantized(embeddings))
+    _, assigned = _kmeans_fit(qv, n_clusters, n_iters)
     return (
         assigned.groupBy(F.col("cent_id").alias("cluster_id"))
         .agg(

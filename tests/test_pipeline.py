@@ -757,3 +757,62 @@ def test_bm25_matches_pandas_reference(spark):
     assert [int(r) for r in got["doc_id"]] == [r[0] for r in want]
     for g, w in zip(got["score"], want):
         assert g == pytest.approx(w[2], rel=1e-12)
+
+
+def _clustered_corpus(spark, n=200, n_clusters=8):
+    """n vectors in orthogonal clusters (cluster j direction = e_{8j});
+    ids < n_clusters are noisy boundary members mixing two directions,
+    so they are poor codebook seeds AND poor initial centroids."""
+    rows = []
+    for v in range(n):
+        j = v % n_clusters
+        vec = [0.0] * 64
+        if v < n_clusters:
+            vec[8 * j] = 0.6
+            vec[8 * ((j + 1) % n_clusters)] = 0.5
+        else:
+            vec[8 * j] = 1.0
+            for i in range(64):
+                vec[i] += 0.03 * (((v * 31 + i * 7) % 11) - 5)
+        rows.append((v, vec))
+    return spark.createDataFrame(rows, ["vec_id", "embedding"])
+
+
+def test_kmeans_training_recovers_planted_clusters(spark):
+    """On clustered data (the realistic embedding-corpus shape) Lloyd's
+    rounds repair the impure init assignment: majority-cluster purity
+    goes from <0.9 at init to 1.0 after training."""
+    from collections import Counter
+
+    df = _clustered_corpus(spark)
+    truth = {v: v % 8 for v in range(200)}
+
+    def purity(n_iters):
+        qv = similarity.quantized(df)
+        _, assigned = similarity._kmeans_fit(qv, 8, n_iters)
+        byc = {}
+        for r in assigned.collect():
+            byc.setdefault(r.cent_id, []).append(truth[r.vec_id])
+        good = sum(Counter(ms).most_common(1)[0][1] for ms in byc.values())
+        return good / 200
+
+    p_init, p_trained = purity(1), purity(3)
+    assert p_init < 0.9          # boundary seeds misassign at init
+    assert p_trained == 1.0      # training recovers the structure
+    assert p_trained > p_init
+
+
+def test_ivf_with_trained_codebook(spark):
+    """ivf_topk accepts a kmeans_centroids codebook and stays exact on
+    clustered data even probing a single list per query."""
+    df = _clustered_corpus(spark)
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_cosine_topk(df, 5, 10).collect()
+    }
+    cents = similarity.kmeans_centroids(df, 8, 3)
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_topk(df, 5, 10, 8, 1, centroids=cents).collect()
+    }
+    assert len(truth & approx) / len(truth) == 1.0
