@@ -509,6 +509,60 @@ def kmeans_centroids(
     return cents
 
 
+def semantic_neardup_pairs(
+    embeddings: DataFrame,
+    threshold: float = 0.45,
+    n_clusters: int = 8,
+    n_iters: int = 2,
+) -> DataFrame:
+    """SemDeDup-style semantic near-duplicate pairs: cluster the corpus
+    with :func:`_kmeans_fit`, then score pairs ONLY within each
+    cluster — candidate generation drops from O(n²) to
+    O(Σ cluster_size²), because high-cosine pairs co-locate in the
+    same Voronoi cell (the SemDeDup observation: dedup within
+    k-means clusters loses almost nothing at a k² cost reduction).
+
+    Scale: the pair join shuffles on cent_id, so each cluster's
+    members meet on one partition set; with k clusters sized ~n/k the
+    candidate count is ~n²/k — pick k ∝ √n to bound per-cluster work.
+    A pathologically dominant cluster degrades toward n²; mitigate
+    upstream with more clusters/iterations (the trainer is cheap —
+    two scans per round). Like every near-dup op here, scores are
+    exact quantized-integer cosines, so results are engine-portable.
+
+    Recall caveat vs the exact all-pairs baseline
+    (:func:`cosine_neardup_pairs`): a pair straddling a cluster
+    boundary is missed by construction; the fixture recall floor is
+    pinned in tests.
+    """
+    qv = tracked_persist(quantized(embeddings))
+    _, assigned = _kmeans_fit(qv, n_clusters, n_iters)
+    side = qv.join(assigned, "vec_id")
+    a = side.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("vec_a"),
+        F.col("qe").alias("qa"),
+        F.col("norm_sq").alias("na"),
+    )
+    b = side.select(
+        F.col("cent_id"),
+        F.col("vec_id").alias("vec_b"),
+        F.col("qe").alias("qb"),
+        F.col("norm_sq").alias("nb"),
+    )
+    return (
+        a.join(b, "cent_id")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "vec_a",
+            "vec_b",
+            _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= threshold)
+        .transform(lambda d: small_sorted(d, "vec_a", "vec_b"))
+    )
+
+
 def kmeans_train(
     embeddings: DataFrame, n_clusters: int = 8, n_iters: int = 2
 ) -> DataFrame:

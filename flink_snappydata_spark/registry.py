@@ -2271,12 +2271,11 @@ _KM_ASSIGN = """
     WHERE r = 1
 """
 
-_register(
-    "kmeans_train",
-    ["embeddings"],
-    similarity.kmeans_train,
-    f"""
-    WITH comp AS (
+#: Shared Lloyd's-replay CTE chain (ends at a2 = the final assignment)
+#: — used by both the kmeans_train oracle and the SemDeDup-style
+#: semantic_neardup oracle (which dedups within a2's clusters).
+_KMEANS_CTES = f"""
+    comp AS (
         SELECT vec_id, i,
                CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
                     AS BIGINT) AS q
@@ -2306,6 +2305,14 @@ _register(
         SELECT t.vec_id, c.cent_id, SUM(t.q * c.c) AS dot
         FROM comp t JOIN c1 c ON t.i = c.i GROUP BY t.vec_id, c.cent_id),
     a2 AS ({_KM_ASSIGN.format(dots="d2", cnorms="cn1")})
+"""
+
+_register(
+    "kmeans_train",
+    ["embeddings"],
+    similarity.kmeans_train,
+    f"""
+    WITH {_KMEANS_CTES}
     SELECT cent_id AS cluster_id,
            COUNT(*) AS n_members,
            SUM(vec_id) AS sum_vec_id,
@@ -2317,6 +2324,34 @@ _register(
         "centroid vectors via truncated means (cosine is "
         "scale-invariant), broadcast assignment, map-side-combined "
         "component sums — the trained-codebook upgrade to ivf_topk.",
+)
+
+_register(
+    "semantic_neardup",
+    ["embeddings"],
+    similarity.semantic_neardup_pairs,
+    f"""
+    WITH {_KMEANS_CTES},
+    dots AS (
+        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q * b.q) AS dot
+        FROM comp a
+        JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
+        JOIN a2 xa ON xa.vec_id = a.vec_id
+        JOIN a2 xb ON xb.vec_id = b.vec_id AND xa.cent_id = xb.cent_id
+        GROUP BY a.vec_id, b.vec_id)
+    SELECT vec_a, vec_b, cosine FROM (
+        SELECT vec_a, vec_b,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(na.n2 AS DOUBLE)/1e12)
+                          * (CAST(nb.n2 AS DOUBLE)/1e12)) AS cosine
+        FROM dots
+        JOIN norms na ON na.vec_id = vec_a
+        JOIN norms nb ON nb.vec_id = vec_b) t
+    WHERE cosine >= 0.45 ORDER BY vec_a, vec_b
+    """,
+    doc="SemDeDup-style semantic near-dup: k-means clusters bound the "
+        "candidate pairs (O(n²/k) instead of all pairs); exact "
+        "quantized cosines within each cluster.",
 )
 
 
@@ -2339,11 +2374,11 @@ _register(
 #   video_decode_stats (NEW this round — the real PPM/WAV/AVI parsers
 #   over synthesized payloads vs closed-form oracles);
 # * kmeans_train (NEW this round — iterative Lloyd's, integer-exact)
-#   fills slot 50; bm25_topk (NEW) leads the middle as slot 51 — it
-#   gets an r06 stamp if the driver's budget exceeds 50, else r07;
-#   both are oracle-parity-tested in tests/test_oracle_parity.py
-#   either way. q1_pricing_summary (r05-stamped, untouched) yields
-#   its sentinel slot and is due r07 per policy.
+#   fills slot 50; bm25_topk and semantic_neardup (NEW) follow as
+#   slots 51-52 — they get r06 stamps if the driver's budget exceeds
+#   50, else r07; all three are oracle-parity-tested in
+#   tests/test_oracle_parity.py either way. q1_pricing_summary
+#   (r05-stamped, untouched) yields its sentinel slot, due r07.
 #
 # ann_ivf_topk / ann_lsh_neardup sit out this window: stamped r05 and
 # their plans are untouched by the round-6 similarity.py change (the
@@ -2407,6 +2442,7 @@ _HEAD = [
     # -- new this round --
     "kmeans_train",
     "bm25_topk",
+    "semantic_neardup",
 ]
 
 _TAIL: list[str] = []

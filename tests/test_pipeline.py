@@ -816,3 +816,23 @@ def test_ivf_with_trained_codebook(spark):
         for r in similarity.ivf_topk(df, 5, 10, 8, 1, centroids=cents).collect()
     }
     assert len(truth & approx) / len(truth) == 1.0
+
+
+def test_semantic_neardup_recall_vs_exact(spark):
+    """SemDeDup candidates are same-cluster only; on the fixture the
+    within-cluster restriction keeps most true >=0.45-cosine pairs and
+    every reported pair is a true pair with the exact cosine."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    exact = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.cosine_neardup_pairs(emb).collect()
+    }
+    sem = {
+        (r.vec_a, r.vec_b): r.cosine
+        for r in similarity.semantic_neardup_pairs(emb).collect()
+    }
+    assert len(exact) > 0
+    assert set(sem) <= set(exact)           # no false pairs
+    for p, c in sem.items():
+        assert c == exact[p]                # identical exact scores
+    assert len(sem) / len(exact) >= 0.5     # fixture recall floor
