@@ -509,6 +509,75 @@ def kmeans_centroids(
     return cents
 
 
+def embedding_outliers(
+    embeddings: DataFrame, outlier_frac: float = 0.05
+) -> DataFrame:
+    """Per-label centroid-distance outlier scoring — the CLIP-score /
+    SemDeDup "prune far-from-centroid examples" curation filter: each
+    vector's cosine to its label's mean embedding, with the bottom
+    ``ceil(outlier_frac · n_label)`` of each label flagged.
+
+    Portability: the centroid is the truncated integer mean (the
+    :func:`kmeans_train` recipe — exact in both engines), the cosine
+    the standard quantized-exact expression, and the outlier flag is
+    RANK-based (row_number over cosine asc, vec_id asc), never a
+    float-quantile interpolation — so the whole output hash-matches.
+
+    Scale: one (label, pos)-keyed aggregation for centroids (map-side
+    combined int64 sums), centroids broadcast back, one corpus scan to
+    score, one per-label window for ranks. No vector ever shuffles
+    except inside the tiny centroid frame.
+    """
+    emb = spread(embeddings, "vec_id")
+    qe = _qvec(F.col("embedding"))
+    qv = emb.select(
+        "vec_id", "label", qe.alias("qe"), _dot(qe, qe).alias("norm_sq")
+    )
+    sums = (
+        qv.select("label", F.posexplode("qe").alias("pos", "q"))
+        .groupBy("label", "pos")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
+    )
+    mean = sums.withColumn(
+        "c",
+        (
+            (F.col("s") - F.col("s") % F.col("cnt")).cast("double")
+            / F.col("cnt")
+        ).cast("long"),
+    )
+    cents = F.broadcast(
+        mean.groupBy("label").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("ce"),
+            F.first("cnt").alias("n_label"),
+        ).select("label", "ce", F.col("n_label"), _dot(F.col("ce"), F.col("ce")).alias("cn"))
+    )
+    scored = qv.join(cents, "label").select(
+        "vec_id",
+        "label",
+        "n_label",
+        _cosine(_dot(F.col("qe"), F.col("ce")), F.col("norm_sq"), F.col("cn")).alias("cent_cosine"),
+    )
+    w = Window.partitionBy("label").orderBy(
+        F.col("cent_cosine").asc(), F.col("vec_id").asc()
+    )
+    return (
+        scored.withColumn("r", F.row_number().over(w))
+        .select(
+            "vec_id",
+            "label",
+            "cent_cosine",
+            (
+                F.col("r")
+                <= F.ceil(F.col("n_label") * F.lit(outlier_frac)).cast("int")
+            ).alias("is_outlier"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def semantic_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,

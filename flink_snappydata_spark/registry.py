@@ -2354,6 +2354,51 @@ _register(
         "quantized cosines within each cluster.",
 )
 
+_register(
+    "embedding_outliers",
+    ["embeddings"],
+    similarity.embedding_outliers,
+    """
+    WITH comp AS (
+        SELECT vec_id, label, i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) s(i)
+    ), norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM comp GROUP BY vec_id),
+    sums AS (
+        SELECT label, i, SUM(q) AS s, COUNT(*) AS cnt
+        FROM comp GROUP BY label, i),
+    cents AS (
+        SELECT label, i,
+               CAST(CAST(s - s % cnt AS DOUBLE) / cnt AS BIGINT) AS c,
+               cnt
+        FROM sums),
+    cnorms AS (
+        SELECT label, SUM(c*c) AS n2, MIN(cnt) AS n_label
+        FROM cents GROUP BY label),
+    dots AS (
+        SELECT v.vec_id, v.label, SUM(v.q * c.c) AS dot
+        FROM comp v JOIN cents c ON c.label = v.label AND c.i = v.i
+        GROUP BY v.vec_id, v.label),
+    scored AS (
+        SELECT d.vec_id, d.label, cn.n_label,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(nv.n2 AS DOUBLE)/1e12)
+                          * (CAST(cn.n2 AS DOUBLE)/1e12)) AS cent_cosine
+        FROM dots d
+        JOIN norms nv ON nv.vec_id = d.vec_id
+        JOIN cnorms cn ON cn.label = d.label)
+    SELECT vec_id, label, cent_cosine,
+           (ROW_NUMBER() OVER (PARTITION BY label
+                ORDER BY cent_cosine ASC, vec_id ASC)
+            <= CAST(CEIL(n_label * 0.05) AS INTEGER)) AS is_outlier
+    FROM scored ORDER BY vec_id
+    """,
+    doc="Per-label centroid-distance outlier flags (CLIP-filter-style "
+        "curation): truncated-integer-mean centroids, exact quantized "
+        "cosines, rank-based bottom-5%% flags (no float quantiles).",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -2374,9 +2419,9 @@ _register(
 #   video_decode_stats (NEW this round — the real PPM/WAV/AVI parsers
 #   over synthesized payloads vs closed-form oracles);
 # * kmeans_train (NEW this round — iterative Lloyd's, integer-exact)
-#   fills slot 50; bm25_topk and semantic_neardup (NEW) follow as
-#   slots 51-52 — they get r06 stamps if the driver's budget exceeds
-#   50, else r07; all three are oracle-parity-tested in
+#   fills slot 50; bm25_topk, semantic_neardup, embedding_outliers
+#   (NEW) follow as slots 51-53 — they get r06 stamps if the driver's
+#   budget exceeds 50, else r07; all four are oracle-parity-tested in
 #   tests/test_oracle_parity.py either way. q1_pricing_summary
 #   (r05-stamped, untouched) yields its sentinel slot, due r07.
 #
@@ -2443,6 +2488,7 @@ _HEAD = [
     "kmeans_train",
     "bm25_topk",
     "semantic_neardup",
+    "embedding_outliers",
 ]
 
 _TAIL: list[str] = []

@@ -836,3 +836,36 @@ def test_semantic_neardup_recall_vs_exact(spark):
     for p, c in sem.items():
         assert c == exact[p]                # identical exact scores
     assert len(sem) / len(exact) >= 0.5     # fixture recall floor
+
+
+def test_embedding_outliers_flags_planted_outlier(spark):
+    """A vector pointing away from its label's tight cluster gets the
+    lowest centroid-cosine and the (single) outlier flag."""
+    import math
+
+    rows = []
+    for v in range(20):
+        vec = [0.0] * 64
+        if v == 7:
+            vec[1] = -1.0          # the planted outlier
+        else:
+            vec[0] = 1.0
+            vec[1] = 0.01 * v
+        rows.append((v, 0, vec))
+    df = spark.createDataFrame(rows, ["vec_id", "label", "embedding"])
+    out = {r.vec_id: r for r in similarity.embedding_outliers(df).collect()}
+    assert len(out) == 20
+    flagged = [v for v, r in out.items() if r.is_outlier]
+    assert flagged == [7]          # ceil(0.05*20)=1 flag, on the plant
+    assert out[7].cent_cosine == min(r.cent_cosine for r in out.values())
+
+
+def test_embedding_outliers_flag_budget_per_label(spark):
+    """Each label flags exactly ceil(0.05 * n_label) vectors."""
+    emb = load_table(spark, SF_CORRECT, "embeddings")
+    out = similarity.embedding_outliers(emb).toPandas()
+    sizes = out.groupby("label").size()
+    flags = out.groupby("label")["is_outlier"].sum()
+    import math
+    for label, n in sizes.items():
+        assert flags[label] == math.ceil(n * 0.05)
