@@ -434,19 +434,29 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
 def _assign_nearest(qv: DataFrame, cents: DataFrame) -> DataFrame:
     """(vec_id, cent_id): each vector's max-cosine centroid, ties to
     the lowest cent_id. ``cents`` is (cent_id, ce, cn), tiny relative
-    to the corpus → broadcast; the corpus is scanned once, never
-    shuffled (row_number partitions by vec_id, which is the scan's
-    natural key — AQE sees a single exchange for the window)."""
+    to the corpus → broadcast.
+
+    The argmax is ``max_by`` over a grouped aggregation, NOT a
+    row_number window: the partial aggregate collapses each vector's
+    k candidate rows inside its scan partition BEFORE any exchange,
+    so on an un-partitioned input the shuffle carries one narrow row
+    per vector where the window would shuffle all n·k scored rows.
+    (On the persisted :func:`quantized` frame — already partitioned
+    by vec_id — Catalyst plans partial+final SortAggregate with no
+    exchange at all; the struct ordering key keeps it sort-based
+    rather than hash-based, a per-partition linear-ish sort on the
+    group key only.) Tie-break to the lowest cent_id via the
+    (csim, −cent_id) struct ordering; identical semantics to
+    ORDER BY csim DESC, cent_id ASC."""
     scored = qv.crossJoin(F.broadcast(cents)).select(
         "vec_id",
         "cent_id",
         _cosine(_dot(F.col("qe"), F.col("ce")), F.col("norm_sq"), F.col("cn")).alias("csim"),
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("csim").desc(), F.col("cent_id").asc())
-    return (
-        scored.withColumn("r", F.row_number().over(w))
-        .filter(F.col("r") == 1)
-        .select("vec_id", "cent_id")
+    return scored.groupBy("vec_id").agg(
+        F.max_by(
+            "cent_id", F.struct(F.col("csim"), (-F.col("cent_id")).alias("nc"))
+        ).alias("cent_id")
     )
 
 
