@@ -616,7 +616,10 @@ def semantic_neardup_pairs(
     """
     qv = tracked_persist(quantized(embeddings))
     _, assigned = _kmeans_fit(qv, n_clusters, n_iters)
-    side = qv.join(assigned, "vec_id")
+    # Persist the clustered corpus: the a/b self-join below references
+    # it twice, and without the persist each side replays the full
+    # k-means lineage (2 assignment rounds + the update aggregation).
+    side = tracked_persist(qv.join(assigned, "vec_id"))
     a = side.select(
         F.col("cent_id"),
         F.col("vec_id").alias("vec_a"),

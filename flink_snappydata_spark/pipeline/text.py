@@ -151,6 +151,45 @@ def bm25_topk(
     )
 
 
+def novelty_scores(
+    documents: DataFrame, n: int = 3, boilerplate_df: int = 10
+) -> DataFrame:
+    """Corpus-level novelty / boilerplate scoring per document: the
+    fraction of a doc's word-``n``-gram shingles that are unique to it
+    (``novelty``) vs shared by ≥ ``boilerplate_df`` documents
+    (``boilerplate_frac``) — the standard signals for pruning template
+    text, navigation chrome, and licence blobs from training corpora.
+
+    Scale: ONE shingle-keyed aggregation for document frequencies
+    (map-side combined counts — the shuffle carries (shingle, count),
+    never text), one join back on the shingle key, one doc-keyed
+    aggregation. All counts are integers; the two fractions are single
+    int→double divisions, so the output hash-matches the SQL oracle.
+    """
+    from flink_snappydata_spark.pipeline.dedup import shingles
+
+    sh = shingles(documents, n)
+    dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return (
+        sh.join(dfreq, "sh")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_shingles"),
+            F.sum((F.col("df") == 1).cast("long")).alias("n_unique"),
+            F.sum((F.col("df") >= boilerplate_df).cast("long")).alias("n_common"),
+        )
+        .select(
+            "doc_id",
+            "n_shingles",
+            (F.col("n_unique").cast("double") / F.col("n_shingles")).alias("novelty"),
+            (F.col("n_common").cast("double") / F.col("n_shingles")).alias(
+                "boilerplate_frac"
+            ),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def language_id(documents: DataFrame) -> DataFrame:
     """Keyword-hit language ID over {en, fr, de, es}.
 

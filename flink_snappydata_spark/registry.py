@@ -1328,6 +1328,26 @@ _register(
 )
 
 _register(
+    "novelty_scores",
+    ["documents"],
+    textops.novelty_scores,
+    f"""
+    WITH {_SHINGLES_SQL},
+    dfreq AS (SELECT sh AS g, COUNT(*) AS df FROM sh GROUP BY sh)
+    SELECT s.doc_id,
+           COUNT(*) AS n_shingles,
+           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS novelty,
+           CAST(SUM(CASE WHEN d.df >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS boilerplate_frac
+    FROM sh s JOIN dfreq d ON d.g = s.sh
+    GROUP BY s.doc_id ORDER BY s.doc_id
+    """,
+    doc="Per-doc corpus novelty vs boilerplate fractions over shingle "
+        "document frequencies (template/licence-blob pruning signal).",
+)
+
+_register(
     "dedup_ngram_jaccard",
     ["documents"],
     dedup.ngram_jaccard_pairs,
@@ -2419,11 +2439,12 @@ _register(
 #   video_decode_stats (NEW this round — the real PPM/WAV/AVI parsers
 #   over synthesized payloads vs closed-form oracles);
 # * kmeans_train (NEW this round — iterative Lloyd's, integer-exact)
-#   fills slot 50; bm25_topk, semantic_neardup, embedding_outliers
-#   (NEW) follow as slots 51-53 — they get r06 stamps if the driver's
-#   budget exceeds 50, else r07; all four are oracle-parity-tested in
-#   tests/test_oracle_parity.py either way. q1_pricing_summary
-#   (r05-stamped, untouched) yields its sentinel slot, due r07.
+#   fills slot 50; bm25_topk, semantic_neardup, embedding_outliers,
+#   novelty_scores (NEW) follow as slots 51-54 — they get r06 stamps
+#   if the driver's budget exceeds 50, else r07; all five are
+#   oracle-parity-tested in tests/test_oracle_parity.py either way.
+#   q1_pricing_summary (r05-stamped, untouched) yields its sentinel
+#   slot, due r07.
 #
 # ann_ivf_topk / ann_lsh_neardup sit out this window: stamped r05 and
 # their plans are untouched by the round-6 similarity.py change (the
@@ -2489,6 +2510,7 @@ _HEAD = [
     "bm25_topk",
     "semantic_neardup",
     "embedding_outliers",
+    "novelty_scores",
 ]
 
 _TAIL: list[str] = []

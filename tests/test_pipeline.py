@@ -869,3 +869,18 @@ def test_embedding_outliers_flag_budget_per_label(spark):
     import math
     for label, n in sizes.items():
         assert flags[label] == math.ceil(n * 0.05)
+
+
+def test_novelty_scores_boilerplate_vs_unique(spark):
+    """Docs sharing a template shingle get boilerplate_frac > 0;
+    a fully unique doc scores novelty 1.0."""
+    template = "terms of service apply to this content"
+    rows = [(i, f"{template} item number {i} alpha beta") for i in range(12)]
+    rows.append((99, "entirely unique prose about quantum marmots dancing"))
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in textops.novelty_scores(df, boilerplate_df=10).collect()}
+    assert out[99].novelty == 1.0
+    assert out[99].boilerplate_frac == 0.0
+    for i in range(12):
+        assert out[i].boilerplate_frac > 0   # template shingles shared by 12
+        assert 0.0 < out[i].novelty < 1.0    # "item number i" grams unique
