@@ -748,8 +748,9 @@ def test_bm25_matches_pandas_reference(spark):
         for t in terms:
             tf = sum(1 for w in ws if w == t)
             idf = (n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5)
-            score = score + idf * (tf * (k1 + 1.0)) / (
-                tf + k1 * ((1.0 - b) + b * (dl / avgdl))
+            score = score + idf * (
+                (tf * (k1 + 1.0))
+                / (tf + k1 * ((1.0 - b) + b * (dl / avgdl)))
             )
         rows.append((d, dl, score))
     rows.sort(key=lambda r: (-r[2], r[0]))

@@ -326,3 +326,85 @@ def test_wav_decode_roundtrip(samples, n_ch):
     assert a["channels"] == n_ch and a["n_samples"] == n_frames
     for c in range(n_ch):
         assert a["samples"][c] == list(samples[c::n_ch])
+
+
+# ---------------------------------------------------------------------------
+# Round-6 curation ops vs naive references
+# ---------------------------------------------------------------------------
+
+_WORDS = ["vector", "stream", "window", "hash", "data", "spark", "the", "a"]
+
+_docs_strategy = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=1, max_size=12),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_docs_strategy)
+def test_bm25_matches_naive_on_arbitrary_corpora(spark, raw):
+    """Distributed BM25 equals the quadratic pandas-free reference on
+    arbitrary tiny corpora (tf=0 rows, every-doc-identical, one-word
+    docs)."""
+    from flink_snappydata_spark.pipeline.text import BM25_TERMS, bm25_topk
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(raw)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r.doc_id, r.score) for r in bm25_topk(df, k=len(rows)).collect()
+    ]
+
+    k1, b = 1.2, 0.75
+    n_docs = len(raw)
+    avgdl = sum(len(ws) for ws in raw) / n_docs
+    df_t = {t: sum(1 for ws in raw if t in ws) for t in BM25_TERMS}
+    want = []
+    for i, ws in enumerate(raw):
+        score = 0.0
+        for t in BM25_TERMS:
+            tf = sum(1 for w in ws if w == t)
+            idf = (n_docs - df_t[t] + 0.5) / (df_t[t] + 0.5)
+            # parenthesization must mirror the engine: idf * (num/den),
+            # not (idf*num)/den — FP association differs by an ulp
+            score = score + idf * (
+                (tf * (k1 + 1.0))
+                / (tf + k1 * ((1.0 - b) + b * (len(ws) / avgdl)))
+            )
+        want.append((i, score))
+    want.sort(key=lambda r: (-r[1], r[0]))
+    assert [d for d, _ in got] == [d for d, _ in want]
+    for (_, g), (_, w) in zip(got, want):
+        assert g == w  # same IEEE expression -> bitwise equal
+
+
+@settings(max_examples=15, deadline=None)
+@given(_docs_strategy)
+def test_novelty_matches_naive_on_arbitrary_corpora(spark, raw):
+    """novelty_scores equals a naive shingle-df computation, including
+    the short-document whole-text fallback."""
+    from collections import Counter
+
+    from flink_snappydata_spark.pipeline.text import novelty_scores
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(raw)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r.doc_id: r for r in novelty_scores(df, boilerplate_df=2).collect()}
+
+    def doc_shingles(ws):
+        if len(ws) >= 3:
+            return set(
+                " ".join(ws[i : i + 3]) for i in range(len(ws) - 2)
+            )
+        return {" ".join(ws)}
+
+    sets = {i: doc_shingles(ws) for i, ws in enumerate(raw)}
+    dfreq = Counter(sh for s in sets.values() for sh in s)
+    assert set(got) == set(sets)
+    for i, s in sets.items():
+        n = len(s)
+        uniq = sum(1 for sh in s if dfreq[sh] == 1)
+        common = sum(1 for sh in s if dfreq[sh] >= 2)
+        assert got[i].n_shingles == n
+        assert got[i].novelty == uniq / n
+        assert got[i].boilerplate_frac == common / n
