@@ -885,3 +885,46 @@ def test_novelty_scores_boilerplate_vs_unique(spark):
     for i in range(12):
         assert out[i].boilerplate_frac > 0   # template shingles shared by 12
         assert 0.0 < out[i].novelty < 1.0    # "item number i" grams unique
+
+
+def test_bm25_plan_discipline(spark):
+    """BM25's 100 TB promises pinned to the plan: the corpus stats come
+    back via a broadcast (no shuffle of per-doc rows for the join), and
+    no exchange ever carries the document text column."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = formatted_plan(textops.bm25_topk(docs))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "hashpartitioning" in ln
+    ]
+    assert not any("text#" in ln for ln in exchange_lines), (
+        "no exchange may carry the document body"
+    )
+
+
+def test_novelty_plan_shuffles_shingles_not_text(spark):
+    """novelty_scores' exchanges carry shingle keys and counts, never
+    the raw text column."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = formatted_plan(textops.novelty_scores(docs))
+    exchange_lines = [
+        ln for ln in plan.splitlines() if "hashpartitioning" in ln
+    ]
+    assert exchange_lines, plan
+    assert not any("text#" in ln for ln in exchange_lines), (
+        "shuffle keys must be shingles/doc ids, not the document body"
+    )
+
+
+def test_kmeans_broadcasts_centroids(spark):
+    """Every assignment round broadcasts the centroid frame; the corpus
+    is never on the build side of a join."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    plan = formatted_plan(similarity.kmeans_train(emb))
+    assert plan.count("BroadcastExchange") >= 2  # one per assignment round
