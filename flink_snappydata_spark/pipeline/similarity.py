@@ -364,9 +364,28 @@ def ivf_topk(
     )
 
 
+def ivf_trained_recall_check(
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+    n_centroids: int = 16, n_probe: int = 4, n_iters: int = 2,
+    floor: float = 0.4,
+) -> DataFrame:
+    """:func:`ivf_recall_check` with a TRAINED coarse quantizer: the
+    codebook comes from :func:`kmeans_centroids` (Lloyd's over the
+    corpus) instead of the first ``n_centroids`` vectors, closing the
+    train→index→probe loop as one registered, oracle-checkable op.
+    Deterministic end to end (integer centroids, integer dots), so the
+    same bound-verdict pattern applies."""
+    cents = kmeans_centroids(embeddings, n_centroids, n_iters)
+    return ivf_recall_check(
+        embeddings, n_queries, k, n_centroids, n_probe, floor,
+        centroids=cents,
+    )
+
+
 def ivf_recall_check(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     n_centroids: int = 16, n_probe: int = 4, floor: float = 0.4,
+    centroids: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k with an in-query recall verdict vs brute force: per
     query, ``recall_ok`` = |IVF ∩ exact top-k| / k ≥ floor.
@@ -382,7 +401,9 @@ def ivf_recall_check(
     truth = brute_force_cosine_topk(embeddings, n_queries, k).select(
         "query_id", "vec_id"
     )
-    approx = ivf_topk(embeddings, n_queries, k, n_centroids, n_probe).select(
+    approx = ivf_topk(
+        embeddings, n_queries, k, n_centroids, n_probe, centroids=centroids
+    ).select(
         "query_id", "vec_id"
     )
     per_q = truth.groupBy("query_id").agg(F.count(F.lit(1)).alias("n_truth"))

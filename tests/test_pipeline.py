@@ -928,3 +928,10 @@ def test_kmeans_broadcasts_centroids(spark):
     emb = load_table(spark, SF_SMOKE, "embeddings")
     plan = formatted_plan(similarity.kmeans_train(emb))
     assert plan.count("BroadcastExchange") >= 2  # one per assignment round
+
+
+def test_ivf_trained_recall_check_all_pass(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = similarity.ivf_trained_recall_check(emb).collect()
+    assert len(out) == 5
+    assert all(r.recall_ok for r in out)
