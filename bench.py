@@ -72,6 +72,14 @@ RAW_SKETCHES = {
     "raw_ivf_topk": lambda spark, sf_dir: similarity.ivf_topk(
         load_table(spark, sf_dir, "embeddings")
     ),
+    # train + probe, no brute-force judge — the production trained path
+    # (same 16-centroid / 2-round config as the registered verdict query)
+    "raw_ivf_trained": lambda spark, sf_dir: similarity.ivf_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        centroids=similarity.kmeans_centroids(
+            load_table(spark, sf_dir, "embeddings"), n_clusters=16, n_iters=2
+        ),
+    ),
 }
 
 
