@@ -935,3 +935,19 @@ def test_ivf_trained_recall_check_all_pass(spark):
     out = similarity.ivf_trained_recall_check(emb).collect()
     assert len(out) == 5
     assert all(r.recall_ok for r in out)
+
+
+def test_kmeans_three_iters_matches_naive_replay(spark):
+    """The Lloyd's loop generalizes beyond the oracle's unrolled two
+    rounds: three assignment rounds still match the numpy replay."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    got = {
+        r.cluster_id: (r.n_members, r.sum_vec_id)
+        for r in similarity.kmeans_train(emb, n_clusters=8, n_iters=3).collect()
+    }
+    assign = _inertia_proxy(spark, emb, 8, 3)
+    want = {}
+    for v, j in assign.items():
+        n, s = want.get(j, (0, 0))
+        want[j] = (n + 1, s + v)
+    assert got == want
