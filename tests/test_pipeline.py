@@ -951,3 +951,37 @@ def test_kmeans_three_iters_matches_naive_replay(spark):
         n, s = want.get(j, (0, 0))
         want[j] = (n + 1, s + v)
     assert got == want
+
+
+def test_new_ops_handle_degenerate_inputs(spark):
+    """Empty and smaller-than-config corpora must produce empty/partial
+    results, never crash: the 100 TB pipeline runs unattended."""
+    from pyspark.sql import types as T
+
+    empty_docs = spark.createDataFrame(
+        [], "doc_id long, text string"
+    )
+    assert textops.bm25_topk(empty_docs).collect() == []
+    assert textops.novelty_scores(empty_docs).collect() == []
+
+    empty_emb = spark.createDataFrame(
+        [],
+        T.StructType([
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]),
+    )
+    assert similarity.kmeans_train(empty_emb).collect() == []
+    assert similarity.semantic_neardup_pairs(empty_emb).collect() == []
+
+    # fewer vectors than requested clusters: every vector still lands
+    tiny = spark.createDataFrame(
+        [(i, [float(i == j) for j in range(64)]) for i in range(3)],
+        ["vec_id", "embedding"],
+    )
+    out = similarity.kmeans_train(tiny, n_clusters=8, n_iters=2).collect()
+    assert sum(r.n_members for r in out) == 3
+
+    one_doc = spark.createDataFrame([(0, "vector stream")], ["doc_id", "text"])
+    got = textops.bm25_topk(one_doc, k=5).collect()
+    assert len(got) == 1 and got[0].doc_id == 0
