@@ -81,17 +81,22 @@ def quantized(embeddings: DataFrame) -> DataFrame:
 
 
 def brute_force_cosine_topk(
-    embeddings: DataFrame, n_queries: int = 5, k: int = 10
+    embeddings: DataFrame, n_queries: int = 5, k: int = 10,
+    qv: DataFrame | None = None,
 ) -> DataFrame:
     """Exact cosine top-k of every corpus vector for each query vector
     (queries = vec_id < n_queries, a deterministic stand-in for an
     external query set).
 
     Scale: queries broadcast; corpus scanned once, never shuffled;
-    row_number top-k prunes partially per partition.
+    row_number top-k prunes partially per partition. Pass a persisted
+    :func:`quantized` frame via ``qv`` when composing with other ops
+    (e.g. the trained-IVF verdict) so the corpus is quantized once.
     """
-    q = quantized(embeddings).filter(F.col("vec_id") < n_queries)
-    t = quantized(embeddings)
+    if qv is None:
+        qv = quantized(embeddings)
+    q = qv.filter(F.col("vec_id") < n_queries)
+    t = qv
     queries = F.broadcast(
         q.select(
             F.col("vec_id").alias("query_id"),
@@ -303,6 +308,7 @@ def ivf_topk(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     n_centroids: int = 16, n_probe: int = 4,
     centroids: DataFrame | None = None,
+    qv: DataFrame | None = None,
 ) -> DataFrame:
     """IVF-style ANN top-k: deterministic coarse codebook (first
     ``n_centroids`` vectors, or a trained :func:`kmeans_centroids`
@@ -312,9 +318,12 @@ def ivf_topk(
     Scale: assignment is one broadcast pass; the probe join touches
     n_probe/n_centroids of the corpus instead of all of it. Recall vs
     the brute-force baseline is asserted in tests (for both the naive
-    and the trained codebook).
+    and the trained codebook). ``qv`` as in
+    :func:`brute_force_cosine_topk` — share one persisted quantized
+    frame across composed ops.
     """
-    qv = quantized(embeddings)
+    if qv is None:
+        qv = quantized(embeddings)
     if centroids is None:
         centroids = qv.filter(F.col("vec_id") < n_centroids).select(
             F.col("vec_id").alias("cent_id"),
@@ -374,11 +383,16 @@ def ivf_trained_recall_check(
     corpus) instead of the first ``n_centroids`` vectors, closing the
     train→index→probe loop as one registered, oracle-checkable op.
     Deterministic end to end (integer centroids, integer dots), so the
-    same bound-verdict pattern applies."""
-    cents = kmeans_centroids(embeddings, n_centroids, n_iters)
+    same bound-verdict pattern applies.
+
+    The corpus is quantized and persisted ONCE; training, the probe
+    path, and the brute-force judge all reuse that frame — at scale
+    the composition costs one quantization scan, not four."""
+    qv = tracked_persist(quantized(embeddings))
+    cents = kmeans_centroids(embeddings, n_centroids, n_iters, qv=qv)
     return ivf_recall_check(
         embeddings, n_queries, k, n_centroids, n_probe, floor,
-        centroids=cents,
+        centroids=cents, qv=qv,
     )
 
 
@@ -386,6 +400,7 @@ def ivf_recall_check(
     embeddings: DataFrame, n_queries: int = 5, k: int = 10,
     n_centroids: int = 16, n_probe: int = 4, floor: float = 0.4,
     centroids: DataFrame | None = None,
+    qv: DataFrame | None = None,
 ) -> DataFrame:
     """IVF top-k with an in-query recall verdict vs brute force: per
     query, ``recall_ok`` = |IVF ∩ exact top-k| / k ≥ floor.
@@ -398,11 +413,12 @@ def ivf_recall_check(
     pinned in tests. The brute-force pass exists only to judge the IVF
     path — at scale you run :func:`ivf_topk` alone.
     """
-    truth = brute_force_cosine_topk(embeddings, n_queries, k).select(
+    truth = brute_force_cosine_topk(embeddings, n_queries, k, qv=qv).select(
         "query_id", "vec_id"
     )
     approx = ivf_topk(
-        embeddings, n_queries, k, n_centroids, n_probe, centroids=centroids
+        embeddings, n_queries, k, n_centroids, n_probe,
+        centroids=centroids, qv=qv,
     ).select(
         "query_id", "vec_id"
     )
@@ -529,13 +545,15 @@ def _kmeans_fit(
 
 
 def kmeans_centroids(
-    embeddings: DataFrame, n_clusters: int = 8, n_iters: int = 2
+    embeddings: DataFrame, n_clusters: int = 8, n_iters: int = 2,
+    qv: DataFrame | None = None,
 ) -> DataFrame:
     """Trained (cent_id, ce, cn) codebook — pass as ``centroids=`` to
     :func:`ivf_topk` to replace its naive first-n-vectors quantizer.
     Training balances the inverted lists around actual data density,
     which tightens each query's probed fraction of the corpus."""
-    qv = tracked_persist(quantized(embeddings))
+    if qv is None:
+        qv = tracked_persist(quantized(embeddings))
     cents, _ = _kmeans_fit(qv, n_clusters, n_iters)
     return cents
 
