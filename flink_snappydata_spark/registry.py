@@ -2466,6 +2466,15 @@ _register(
 # all-pairs guard lives in cosine_neardup_pairs, whose registered form
 # embedding_neardup IS among the 44); due again r07 per policy.
 #
+# POLICY AMENDMENT (round 6): the registry has grown past 100 queries
+# (103), so a 50-per-round stamp budget can no longer re-confirm every
+# query every OTHER round (2 x 50 < 103). The policy is therefore
+# "every query re-confirmed at least every THIRD round, stalest
+# first, plus anything its round touched" — the tightest cadence the
+# budget admits. Local `tests/test_oracle_parity.py` still verifies
+# ALL queries against their oracles every pytest run, so driver-stamp
+# staleness never means unverified code, only an older driver receipt.
+#
 # Everything else — round-5-green and unchanged — follows in file order.
 
 _HEAD = [

@@ -30,3 +30,15 @@ def test_registry_contract():
     qs, os_ = e.queries(), e.oracle_sql()
     assert set(os_) <= set(qs)
     assert len(qs) >= 20 or len(qs) == len(registry.QUERIES)
+
+
+def test_verification_window_hygiene():
+    """The declaration-order window must stay well-formed: unique
+    names, all registered, and the first 50 slots covering every query
+    whose driver stamp is due this round (the rotation + touched set)."""
+    from flink_snappydata_spark.registry import _HEAD, QUERIES
+
+    assert len(_HEAD) == len(set(_HEAD)), "duplicate names in _HEAD"
+    assert set(_HEAD) <= set(QUERIES)
+    # declaration order actually starts with _HEAD
+    assert list(QUERIES)[: len(_HEAD)] == _HEAD
