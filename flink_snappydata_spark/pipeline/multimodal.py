@@ -3,11 +3,13 @@
 
 Images/audio/video are ``binary`` columns with a metadata struct; the
 Spark-side plumbing — schemas, Arrow batch shapes, mapInPandas row
-expansion, partition-size control — is real and tested. The actual
-codecs (PIL/ffmpeg) are not in this container, so decode is stubbed:
-``decode_image`` raises ``NotImplementedError`` unless a codec is
-importable, and feature extraction uses a deterministic digest-based
-stand-in with the exact signature a real extractor would have.
+expansion, partition-size control — is real and tested, and so are the
+uncompressed codecs: ``decode_image`` parses PPM (P3/P6) and 24-bit
+BMP in pure Python, ``decode_audio`` RIFF/WAVE PCM, ``decode_video``
+uncompressed RIFF/AVI. Compressed formats (JPEG/PNG/compressed AVI
+streams) delegate to PIL when importable and raise ``ValueError``
+otherwise; digest-based feature extraction keeps the exact signature a
+learned extractor would have.
 
 Scale: binary payloads ride in the same parquet row groups; resize
 ``spark.sql.files.maxPartitionBytes`` down for large blobs so a task's
