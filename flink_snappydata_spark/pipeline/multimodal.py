@@ -227,9 +227,11 @@ def extract_features(media: DataFrame) -> DataFrame:
 
 
 def sample_frames(media: DataFrame, n_frames: int = 4) -> DataFrame:
-    """1→N frame sampling (video analog): split each payload into
-    ``n_frames`` deterministic chunks — the row-expansion shape of a real
-    frame sampler (decode loop stubbed the same way as extract)."""
+    """1→N frame sampling over OPAQUE payloads: split each payload into
+    ``n_frames`` deterministic chunks — the row-expansion shape of a
+    frame sampler for formats the engine cannot parse. For uncompressed
+    AVI the real per-frame decode is :func:`decode_video` /
+    :func:`video_stats_table`."""
 
     def _frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
