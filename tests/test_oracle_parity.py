@@ -42,3 +42,25 @@ def test_verification_window_hygiene():
     assert set(_HEAD) <= set(QUERIES)
     # declaration order actually starts with _HEAD
     assert list(QUERIES)[: len(_HEAD)] == _HEAD
+
+
+#: Round-6 additions, re-checked at the smoke scale as well: oracle
+#: parity at TWO scales catches scale-dependent drift (fixture schema
+#: quirks, empty-group shapes) that a single-scale check can miss.
+_R6_QUERIES = [
+    "image_decode_stats",
+    "audio_decode_stats",
+    "video_decode_stats",
+    "kmeans_train",
+    "bm25_topk",
+    "semantic_neardup",
+    "embedding_outliers",
+    "novelty_scores",
+    "ann_ivf_trained",
+]
+
+
+@pytest.mark.parametrize("name", _R6_QUERIES)
+def test_round6_queries_match_oracle_at_smoke_scale(spark, name):
+    problems = check_query(spark, name, "/root/testdata/sf0.001")
+    assert not problems, f"{name}@sf0.001: " + "; ".join(problems)
