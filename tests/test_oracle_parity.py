@@ -64,3 +64,34 @@ _R6_QUERIES = [
 def test_round6_queries_match_oracle_at_smoke_scale(spark, name):
     problems = check_query(spark, name, "/root/testdata/sf0.001")
     assert not problems, f"{name}@sf0.001: " + "; ".join(problems)
+
+
+def test_oracle_result_types_are_portable():
+    """No oracle may emit a DuckDB result column whose type the driver's
+    value hasher canonicalizes differently from Spark's — round 6 lost
+    three stamps (`audio_decode_stats`, `video_decode_stats`,
+    `kmeans_train`) to DuckDB widening integer SUMs to HUGEINT even
+    though every value matched bit-exactly. `DESCRIBE <query>` binds the
+    oracle against the real table schemas without executing it, so this
+    sweeps all oracles in seconds. If this fires, wrap the offending
+    expression in CAST(... AS BIGINT/DOUBLE) — never weaken the ban."""
+    from tests.oracle_harness import duck_connection
+
+    banned = ("HUGEINT", "DECIMAL", "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT")
+    con = duck_connection("/root/testdata/sf0.001")
+    try:
+        offenders = {}
+        for name, spec in registry.QUERIES.items():
+            if spec.oracle is None:
+                continue
+            desc = con.execute("DESCRIBE " + spec.oracle).df()
+            hits = [
+                (r.column_name, r.column_type)
+                for r in desc.itertuples()
+                if any(b in r.column_type.upper() for b in banned)
+            ]
+            if hits:
+                offenders[name] = hits
+    finally:
+        con.close()
+    assert not offenders, f"non-portable oracle result types: {offenders}"
