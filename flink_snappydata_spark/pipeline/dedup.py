@@ -26,7 +26,11 @@ import random
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_snappydata_spark.util import small_sorted, spread, tracked_persist
+from flink_snappydata_spark.util import (
+    presentation_sorted,
+    spread,
+    tracked_persist,
+)
 
 # Word n-gram size shared by Jaccard and MinHash (3-word shingles).
 SHINGLE_N = 3
@@ -104,9 +108,57 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Per-document shingle-set bound for the packed verify path: above
+#: this, a document's set is not packed into a single array row (at
+#: ~60-100 bytes per word-trigram shingle, 1e6 shingles ≈ a 60-100 MB
+#: record — near the practical ceiling for one shuffle record) and its
+#: pairs take the streamed gated join instead. Results are identical;
+#: only the physical verify strategy changes.
+MAX_PACKED_SHINGLES = 1_000_000
+
+
+def _streamed_jaccard(
+    sh: DataFrame, cand: DataFrame, threshold: float
+) -> DataFrame:
+    """Streamed exact Jaccard for candidate pairs: count matching
+    per-shingle index rows per pair, join set sizes separately — never
+    packs a document's shingles into one record, so a single
+    pathological giant document costs (pair × its shingles) ROWS, not
+    one giant shuffle record. ~|cand|·avg_shingles intermediate rows —
+    use only for the pairs the packed path cannot take.
+    """
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+    shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    inter = (
+        cand.join(sha, "doc_a")
+        .join(shb, ["doc_b", "sh"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    return (
+        # Left join + coalesce: a zero-overlap candidate (possible from
+        # LSH band collisions) must still score jaccard=0, matching the
+        # packed path exactly for ANY threshold including 0.
+        cand.join(inter, ["doc_a", "doc_b"], "left")
+        .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+        .join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_inter").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("n_inter")),
+        )
+        .filter(F.col("jaccard") >= threshold)
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def _verified_jaccard(
     sh: DataFrame, cand: DataFrame, threshold: float,
     sorted_output: bool = True,
+    expect_small: bool = True,
+    max_set_size: int | None = MAX_PACKED_SHINGLES,
 ) -> DataFrame:
     """Exact Jaccard over (doc_a, doc_b) candidate pairs against the
     full shingle index ``sh``: each doc's distinct shingles are packed
@@ -124,19 +176,60 @@ def _verified_jaccard(
     joins hash-partition on doc id with no row multiplication. The
     per-pair intersect is linear in set size, JVM-side.
 
-    Per-document size bound: packing makes one shuffle RECORD per
+    Per-document size bound (``max_set_size``, default
+    :data:`MAX_PACKED_SHINGLES`): packing makes one shuffle RECORD per
     document (~n_shingles × avg_shingle_len bytes ≈ the document's own
-    size × word-n-gram overlap factor ~n). A pathological single
-    document therefore becomes a single multi-hundred-MB record only if
-    the RAW document is already that large — run :func:`~flink_snappydata_spark.pipeline.text.chunk_documents`
-    (or any upstream length filter, e.g. the curation pipeline's
-    quality gate) first, which bounds documents well under the ~1e6
-    shingles (<~100 MB packed) a JVM array row handles comfortably.
-    Above that bound, fall back to the streamed per-shingle gated join
-    (count matching shingle rows per pair, join sizes separately): it
-    shuffles ~50x more rows but never builds a per-doc array.
+    size × word-n-gram overlap factor ~n), so a pathological multi-GB
+    document would become a single multi-hundred-MB record. A bounded
+    probe (one ``limit(1)`` agg over the persisted index — no full
+    count) checks whether any document exceeds the bound; in the
+    common all-small case the plan below is untouched. When oversized
+    documents exist, only sub-bound documents are packed (they are
+    filtered out BEFORE the ``collect_list`` shuffle, so the giant
+    record is never built) and every pair touching an oversized
+    document is verified by :func:`_streamed_jaccard` instead —
+    identical values, ~50x more (small) rows for just those pairs.
+    ``max_set_size=None`` disables the probe and bound.
+
+    ``expect_small`` is the presentation-sort size hint
+    (:func:`~flink_snappydata_spark.util.presentation_sorted`): pass
+    ``False`` on a duplicate-heavy corpus where the PAIR LIST itself
+    is O(corpus) so the final sort stays range-partitioned.
     """
-    sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    big_ids = None
+    if max_set_size is not None:
+        big_ids = (
+            sh.groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_sh"))
+            .filter(F.col("n_sh") > max_set_size)
+            .select("doc_id")
+        )
+        if big_ids.limit(1).count() == 0:
+            big_ids = None
+
+    if big_ids is None:
+        pack_src, pairs = sh, cand
+        streamed = None
+    else:
+        big_ids = tracked_persist(big_ids)
+        pack_src = sh.join(big_ids, "doc_id", "left_anti")
+        # The candidate frame is usually an expensive prefix/band join;
+        # persist it so the small/big split doesn't run it twice.
+        pairs_all = tracked_persist(cand)
+        big_a = big_ids.select(F.col("doc_id").alias("doc_a"))
+        big_b = big_ids.select(F.col("doc_id").alias("doc_b"))
+        touching_big = (
+            pairs_all.join(big_a, "doc_a", "left_semi")
+            .unionByName(pairs_all.join(big_b, "doc_b", "left_semi"))
+            .dropDuplicates(["doc_a", "doc_b"])
+        )
+        pairs = (
+            pairs_all.join(big_a, "doc_a", "left_anti")
+            .join(big_b, "doc_b", "left_anti")
+        )
+        streamed = _streamed_jaccard(sh, touching_big, threshold)
+
+    sets = pack_src.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
     pa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("shs_a"),
@@ -147,8 +240,8 @@ def _verified_jaccard(
         F.col("shs").alias("shs_b"),
         F.size("shs").alias("nb"),
     )
-    return (
-        cand.join(pa, "doc_a")
+    packed = (
+        pairs.join(pa, "doc_a")
         .join(pb, "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
@@ -158,9 +251,14 @@ def _verified_jaccard(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
-        .transform(
-            lambda d: small_sorted(d, "doc_a", "doc_b") if sorted_output else d
+    )
+    out = packed if streamed is None else packed.unionByName(streamed)
+    return out.transform(
+        lambda d: presentation_sorted(
+            d, "doc_a", "doc_b", expect_small=expect_small
         )
+        if sorted_output
+        else d
     )
 
 
@@ -208,6 +306,8 @@ def ngram_jaccard_pairs(
     threshold: float = 0.8,
     n: int = SHINGLE_N,
     sorted_output: bool = True,
+    expect_small: bool = True,
+    max_set_size: int | None = MAX_PACKED_SHINGLES,
 ) -> DataFrame:
     """Exact n-gram Jaccard near-dup pairs via prefix filtering
     (AllPairs/PPJoin-style candidate generation, then exact verify).
@@ -265,7 +365,10 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
-    return _verified_jaccard(sh, cand, threshold, sorted_output)
+    return _verified_jaccard(
+        sh, cand, threshold, sorted_output,
+        expect_small=expect_small, max_set_size=max_set_size,
+    )
 
 
 def minhash_signatures(
@@ -407,7 +510,10 @@ def minhash_lsh_candidates(
 
 
 def minhash_dedup_pairs(
-    documents: DataFrame, threshold: float = 0.8
+    documents: DataFrame,
+    threshold: float = 0.8,
+    expect_small: bool = True,
+    max_set_size: int | None = MAX_PACKED_SHINGLES,
 ) -> DataFrame:
     """MinHash+LSH near-dup pairs, verified with exact Jaccard.
 
@@ -420,7 +526,10 @@ def minhash_dedup_pairs(
     # index serves the verify join (both sides) and the size agg.
     sh = tracked_persist(shingles(documents))
     cand = minhash_lsh_candidates(documents)
-    return _verified_jaccard(sh, cand, threshold)
+    return _verified_jaccard(
+        sh, cand, threshold,
+        expect_small=expect_small, max_set_size=max_set_size,
+    )
 
 
 def decontaminate(
@@ -562,11 +671,11 @@ def neardup_clusters(
             f"neardup_clusters did not converge in {max_iter} iterations "
             f"({changed} labels still changing) — raise max_iter"
         )
-    if expect_small:
-        # Presentation order on the (pair-bounded, small) labels: the
-        # single-partition sort avoids orderBy's range-sampling job.
-        return small_sorted(labels, "doc_id")
-    return labels.orderBy("doc_id")
+    # Presentation order on the labels: pair-bounded and small on a
+    # curated corpus (single-partition sort, no range-sampling job);
+    # range-partitioned orderBy when the caller expects one row per
+    # paired document to still be big.
+    return presentation_sorted(labels, "doc_id", expect_small=expect_small)
 
 
 def streaming_exact_dedup(
@@ -641,12 +750,17 @@ def simhash_fingerprints(documents: DataFrame) -> DataFrame:
     return per_doc.select("doc_id", fp.alias("simhash"))
 
 
-def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame:
+def simhash_dedup_pairs(
+    documents: DataFrame, max_hamming: int = 3, expect_small: bool = True
+) -> DataFrame:
     """SimHash near-dup pairs: 15-bit band blocking + Hamming verify.
 
     Any pair within Hamming distance ≤3 of a 60-bit fingerprint shares
     at least one of the 4 15-bit bands exactly (pigeonhole), so blocking
     on band equality loses no recall at max_hamming ≤ 3.
+
+    ``expect_small=False`` keeps the presentation sort distributed on a
+    duplicate-heavy corpus (pair lists are O(corpus) there).
     """
     band_bits = SIMHASH_BITS // SIMHASH_BANDS
     fps = simhash_fingerprints(documents)
@@ -684,5 +798,9 @@ def simhash_dedup_pairs(documents: DataFrame, max_hamming: int = 3) -> DataFrame
         )
         .dropDuplicates(["doc_a", "doc_b"])
         .filter(F.col("hamming") <= max_hamming)
-        .transform(lambda d: small_sorted(d, "doc_a", "doc_b"))
+        .transform(
+            lambda d: presentation_sorted(
+                d, "doc_a", "doc_b", expect_small=expect_small
+            )
+        )
     )

@@ -27,7 +27,11 @@ import random
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_snappydata_spark.util import small_sorted, spread, tracked_persist
+from flink_snappydata_spark.util import (
+    presentation_sorted,
+    spread,
+    tracked_persist,
+)
 
 QUANT = 1_000_000.0  # 1e-6 component quantization
 # LSH: OR over N_TABLES tables, AND over PLANES_PER_TABLE hyperplane sign
@@ -153,6 +157,7 @@ def cosine_neardup_pairs(
     embeddings: DataFrame,
     threshold: float = 0.45,
     row_cap: int | None = ALL_PAIRS_ROW_CAP,
+    expect_small: bool = True,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs (exact, all pairs a<b).
 
@@ -178,7 +183,11 @@ def cosine_neardup_pairs(
             _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .transform(lambda d: small_sorted(d, "vec_a", "vec_b"))
+        .transform(
+            lambda d: presentation_sorted(
+                d, "vec_a", "vec_b", expect_small=expect_small
+            )
+        )
     )
 
 
@@ -241,7 +250,10 @@ def lsh_signatures(embeddings: DataFrame) -> DataFrame:
 
 
 def lsh_neardup_pairs(
-    embeddings: DataFrame, threshold: float = 0.9, multiprobe_bits: int = 1
+    embeddings: DataFrame,
+    threshold: float = 0.9,
+    multiprobe_bits: int = 1,
+    expect_small: bool = True,
 ) -> DataFrame:
     """ANN near-dup pairs: candidates collide in ≥1 hash table, then
     exact cosine verify — precision exact, recall ~0.93 at cosine 0.9
@@ -257,7 +269,8 @@ def lsh_neardup_pairs(
 
     Scale: the self-join key is (table_id, bucket); candidate volume is
     Σ bucket² per table, never O(n²); the verify step touches candidates
-    only.
+    only. ``expect_small=False`` keeps the presentation sort
+    range-partitioned when the pair list itself is corpus-sized.
     """
     sigs = lsh_signatures(embeddings)
     qv = quantized(embeddings)
@@ -300,7 +313,11 @@ def lsh_neardup_pairs(
             _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .transform(lambda d: small_sorted(d, "vec_a", "vec_b"))
+        .transform(
+            lambda d: presentation_sorted(
+                d, "vec_a", "vec_b", expect_small=expect_small
+            )
+        )
     )
 
 
@@ -632,6 +649,7 @@ def semantic_neardup_pairs(
     threshold: float = 0.45,
     n_clusters: int = 8,
     n_iters: int = 2,
+    expect_small: bool = True,
 ) -> DataFrame:
     """SemDeDup-style semantic near-duplicate pairs: cluster the corpus
     with :func:`_kmeans_fit`, then score pairs ONLY within each
@@ -652,6 +670,10 @@ def semantic_neardup_pairs(
     (:func:`cosine_neardup_pairs`): a pair straddling a cluster
     boundary is missed by construction; the fixture recall floor is
     pinned in tests.
+
+    ``expect_small=False`` keeps the presentation sort
+    range-partitioned when the pair list itself is corpus-sized
+    (duplicate-heavy corpora).
     """
     qv = tracked_persist(quantized(embeddings))
     _, assigned = _kmeans_fit(qv, n_clusters, n_iters)
@@ -680,7 +702,11 @@ def semantic_neardup_pairs(
             _cosine(_dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")).alias("cosine"),
         )
         .filter(F.col("cosine") >= threshold)
-        .transform(lambda d: small_sorted(d, "vec_a", "vec_b"))
+        .transform(
+            lambda d: presentation_sorted(
+                d, "vec_a", "vec_b", expect_small=expect_small
+            )
+        )
     )
 
 

@@ -90,10 +90,19 @@ def bm25_topk(
     """BM25 keyword retrieval: top-``k`` documents for a fixed term
     list, rational-idf variant — idf(t) = (N − df + 0.5)/(df + 0.5),
     i.e. standard BM25+ idf WITHOUT the log. The log is monotone, so
-    each per-term contribution ranks documents identically; dropping it
-    keeps every score inside IEEE +,−,×,/ over integer-valued inputs,
-    which both engines evaluate bit-identically (ln() is libm-dependent
-    and would break the hash oracle). Per-term scores are summed in
+    each SINGLE term's contribution ranks documents identically;
+    dropping it keeps every score inside IEEE +,−,×,/ over
+    integer-valued inputs, which both engines evaluate bit-identically
+    (ln() is libm-dependent and would break the hash oracle).
+
+    Ranking-fidelity caveat (multi-term queries): monotonicity is
+    per-term only — the SUM of rational idfs is not rank-equivalent to
+    the sum of log idfs, so this variant can order documents
+    differently from standard log-idf BM25 when terms differ in rarity
+    (the rational idf up-weights rare terms much more aggressively:
+    df 1-in-a-million contributes ~1e6 here vs ~13.8 under ln). Treat
+    it as a deterministic BM25-family scorer, not a drop-in replica of
+    Robertson–Spärck Jones weights. Per-term scores are summed in
     fixed left-to-right term order — FP addition is not associative,
     so the order is part of the contract.
 

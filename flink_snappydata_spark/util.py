@@ -73,11 +73,35 @@ def small_sorted(df: DataFrame, *cols: str) -> DataFrame:
     partition plus an in-partition sort materializes the child exactly
     once and still yields a total order.
 
-    Only for outputs bounded by aggregation (vocabulary counts, near-dup
-    pair lists): a single partition is the point, not a limitation. For
-    unbounded results keep ``orderBy`` (or drop the presentation sort).
+    Only for outputs bounded by aggregation (vocabulary counts,
+    per-cluster stats): a single partition is the point, not a
+    limitation. For outputs that are small on well-curated corpora but
+    unbounded in the worst case (near-dup PAIR lists on a
+    duplicate-heavy corpus are O(corpus)), never call this directly —
+    go through :func:`presentation_sorted`, whose ``expect_small``
+    hint keeps the ``orderBy`` escape hatch in the signature.
     """
     return df.repartition(1).sortWithinPartitions(*cols)
+
+
+def presentation_sorted(
+    df: DataFrame, *cols: str, expect_small: bool = True
+) -> DataFrame:
+    """Total-order presentation sort gated on a caller size hint.
+
+    ``expect_small=True`` (the curated-corpus default, where near-dup
+    pair/label outputs are a tiny fraction of the input) uses
+    :func:`small_sorted` — one materialization of the (often expensive)
+    child plan, no range-sampling job. ``expect_small=False`` (a
+    duplicate-heavy corpus, where one row per paired document is still
+    big) switches to a range-partitioned ``orderBy`` so the sort itself
+    stays distributed; the price is ``orderBy``'s range-bound sampling
+    pass over the child. Row content and order are identical either
+    way — only the physical sort strategy changes.
+    """
+    if expect_small:
+        return small_sorted(df, *cols)
+    return df.orderBy(*cols)
 
 
 def salted_join(

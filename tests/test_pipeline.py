@@ -641,7 +641,14 @@ def test_kmeans_matches_naive_replay(spark):
 def test_kmeans_improves_total_cosine(spark):
     """Training must not make clustering worse: total best-cosine after
     2 rounds >= after 1 round (Lloyd's monotonicity, up to the integer
-    truncation of centroids — asserted with a small tolerance)."""
+    truncation of centroids — asserted with a small tolerance).
+
+    Both assignments come from the SPARK trainer (``_kmeans_fit``), not
+    the numpy replay — a replay-vs-replay comparison would pass even if
+    the trainer regressed (ADVICE r6). Only the quality metric (sum of
+    member-to-own-centroid cosines over the trainer's assignment) is
+    recomputed in numpy.
+    """
     import numpy as np
 
     emb = load_table(spark, SF_SMOKE, "embeddings")
@@ -657,7 +664,11 @@ def test_kmeans_improves_total_cosine(spark):
         )
 
     def total(n_iters):
-        assign = _inertia_proxy(spark, emb, 8, n_iters)
+        _, assigned = similarity._kmeans_fit(
+            similarity.quantized(emb), 8, n_iters
+        )
+        assign = {r.vec_id: r.cent_id for r in assigned.collect()}
+        assert len(assign) == len(vecs)
         # recompute centroids from the assignment and sum best cosines
         cents = {}
         for j in set(assign.values()):
@@ -985,3 +996,105 @@ def test_new_ops_handle_degenerate_inputs(spark):
     one_doc = spark.createDataFrame([(0, "vector stream")], ["doc_id", "text"])
     got = textops.bm25_topk(one_doc, k=5).collect()
     assert len(got) == 1 and got[0].doc_id == 0
+
+
+def test_verified_jaccard_streamed_fallback_identical(spark):
+    """Forcing EVERY document over the packed bound (max_set_size=1)
+    routes all pairs through the streamed gated join — results must be
+    byte-identical to the packed path, for both candidate generators."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for fn in (dedup.ngram_jaccard_pairs, dedup.minhash_dedup_pairs):
+        packed = fn(docs, threshold=0.8, max_set_size=None).collect()
+        streamed = fn(docs, threshold=0.8, max_set_size=1).collect()
+        assert len(packed) > 0
+        assert [tuple(r) for r in packed] == [tuple(r) for r in streamed]
+
+
+def test_giant_document_never_packed_and_pairs_survive(spark):
+    """A pathological multi-MB document (shingle count over the bound)
+    must not become one giant collect_list record, yet its qualifying
+    near-dup pairs must still be found — via the streamed path — and the
+    mixed small/big output must equal the unbounded packed baseline."""
+    rng = random.Random(99)
+    vocab = [f"tok{i:05d}" for i in range(40_000)]
+    big_words = [vocab[rng.randrange(len(vocab))] for _ in range(30_000)]
+    # 95%-overlapping twin: drop the last 5% and extend with fresh text
+    twin_words = big_words[:-1500] + [
+        vocab[rng.randrange(len(vocab))] for _ in range(1500)
+    ]
+    small = [
+        (10, "the quick brown fox jumps over the lazy dog tonight"),
+        (11, "the quick brown fox jumps over the lazy dog today"),
+        (12, "completely unrelated text about spark physical plans"),
+    ]
+    docs = spark.createDataFrame(
+        [(1, " ".join(big_words)), (2, " ".join(twin_words))] + small,
+        ["doc_id", "text"],
+    )
+    bound = 10_000  # both giants exceed it; the small docs do not
+    got = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_set_size=bound
+    ).collect()
+    want = dedup.ngram_jaccard_pairs(
+        docs, threshold=0.5, max_set_size=None
+    ).collect()
+    assert [tuple(r) for r in got] == [tuple(r) for r in want]
+    pairs = {(r.doc_a, r.doc_b) for r in got}
+    assert (1, 2) in pairs  # giant-giant pair found via streamed verify
+    assert (10, 11) in pairs  # small-small pair still packed
+    # the packed aggregation provably never saw the giants
+    sh = dedup.shingles(docs)
+    packed_side = sh.join(
+        sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+        .filter(F.col("n_sh") > bound).select("doc_id"),
+        "doc_id",
+        "left_anti",
+    ).groupBy("doc_id").agg(F.count(F.lit(1)).alias("n"))
+    assert {r.doc_id for r in packed_side.collect()} == {10, 11, 12}
+
+
+def test_zero_overlap_candidates_score_zero_on_both_paths(spark):
+    """LSH-style candidates can share no shingles; at threshold 0 the
+    packed path keeps them with jaccard=0 and the streamed path must
+    agree (left join + coalesce, not an inner join that drops them)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon"),
+            (2, "zeta eta theta iota kappa"),
+        ],
+        ["doc_id", "text"],
+    )
+    sh = dedup.shingles(docs)
+    cand = spark.createDataFrame([(1, 2)], ["doc_a", "doc_b"])
+    packed = dedup._verified_jaccard(sh, cand, 0.0, max_set_size=None).collect()
+    streamed = dedup._verified_jaccard(sh, cand, 0.0, max_set_size=1).collect()
+    assert [tuple(r) for r in packed] == [tuple(r) for r in streamed]
+    assert len(packed) == 1 and packed[0].jaccard == 0.0
+
+
+def test_pair_sorts_gate_on_expect_small(spark):
+    """expect_small=False must range-partition the presentation sort
+    (no single-partition exchange); True keeps the one-materialization
+    single-partition sort. Pins VERDICT r6 'What's wrong #3'."""
+    from flink_snappydata_spark.plans.inspect import formatted_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    for df_small, df_big in [
+        (
+            dedup.simhash_dedup_pairs(docs),
+            dedup.simhash_dedup_pairs(docs, expect_small=False),
+        ),
+        (
+            similarity.semantic_neardup_pairs(emb),
+            similarity.semantic_neardup_pairs(emb, expect_small=False),
+        ),
+    ]:
+        assert "SinglePartition" in formatted_plan(df_small)
+        big_plan = formatted_plan(df_big)
+        assert "SinglePartition" not in big_plan
+        assert "rangepartitioning" in big_plan.lower()
+        # identical rows and order either way
+        assert [tuple(r) for r in df_small.collect()] == [
+            tuple(r) for r in df_big.collect()
+        ]

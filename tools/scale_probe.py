@@ -54,14 +54,26 @@ def replicated_documents(docs, k):
     return out
 
 
+def _offset_embedding(offset):
+    """Per-replica component shift as a UNARY transform lambda.
+
+    A defaulted second parameter (``lambda x, i=i: ...``) counts toward
+    PySpark's lambda arity, turning the transform into the binary
+    (element, index) form — the "offset" then binds to the array index,
+    identical for every replica, and the replicated vectors come out
+    bit-identical (ADVICE r6). Baking the offset into a closure over a
+    prebuilt Column keeps the lambda single-parameter.
+    """
+    off = F.lit(offset)
+    return F.transform("embedding", lambda x: x + off)
+
+
 def replicated_embeddings(emb, k):
     parts = [
         emb.select(
             (F.col("vec_id") + F.lit(i * 1_000_000)).alias("vec_id"),
             F.col("label"),
-            F.transform("embedding", lambda x, i=i: x + F.lit(i * 1e-3)).alias(
-                "embedding"
-            ),
+            _offset_embedding(i * 1e-3).alias("embedding"),
         )
         for i in range(k)
     ]
