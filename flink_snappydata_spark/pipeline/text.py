@@ -179,6 +179,16 @@ def novelty_scores(
 
     sh = shingles(documents, n)
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df"))
+    return _novelty_from_index(sh, dfreq, boilerplate_df)
+
+
+def _novelty_from_index(
+    sh: DataFrame, dfreq: DataFrame, boilerplate_df: int
+) -> DataFrame:
+    """Score novelty/boilerplate from a (doc_id, sh) index plus a
+    (sh, df) document-frequency frame — shared by the one-shot batch op
+    and the streaming-ingest twin (which accumulates both frames
+    incrementally across micro-batches)."""
     return (
         sh.join(dfreq, "sh")
         .groupBy("doc_id")
@@ -197,6 +207,83 @@ def novelty_scores(
         )
         .orderBy("doc_id")
     )
+
+
+def streaming_novelty_ingest(
+    stream_docs: DataFrame,
+    index_table: str,
+    counts_table: str,
+    n: int = 3,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest twin of :func:`novelty_scores` (the reference's
+    stream→queryable-table loop, ``ParquetTableJoin.scala:32-43`` shape,
+    applied to the LLM-pipeline extension set): each micro-batch of new
+    documents is shingled ONCE at ingest and lands as two append-only
+    catalog tables — the (doc_id, sh) index and per-shingle partial
+    counts (sh, cnt).
+
+    Log-structured counts: the global document frequency is
+    ``SUM(cnt)`` over the appended partials, so every micro-batch write
+    is a blind append — no read-modify-write of a state table, no
+    cross-batch transaction, and the merge cost rides the later scoring
+    aggregation (which map-side-combines the partials). The expensive
+    per-document work (the Arrow shingling kernel) happens exactly once
+    per document, at ingest; re-scoring after new arrivals never
+    re-reads document text. Query the accumulated state at any time
+    with :func:`novelty_from_state` — after the bounded fixture drains,
+    its result is row-identical to the batch op (equivalence-tested).
+    """
+    import tempfile
+
+    from flink_snappydata_spark.pipeline.dedup import shingles
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        sh = shingles(batch_df, n)
+        sh.persist()
+        try:
+            sh.write.mode("append").saveAsTable(index_table)
+            (
+                sh.groupBy("sh")
+                .agg(F.count(F.lit(1)).alias("cnt"))
+                .write.mode("append")
+                .saveAsTable(counts_table)
+            )
+        finally:
+            sh.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix=f"fss-ckpt-{index_table}-"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    # foreachBatch writes through a cloned session whose catalog refresh
+    # does not reach the parent; invalidate so readers see the files.
+    stream_docs.sparkSession.catalog.refreshTable(index_table)
+    stream_docs.sparkSession.catalog.refreshTable(counts_table)
+    return q
+
+
+def novelty_from_state(
+    spark, index_table: str, counts_table: str, boilerplate_df: int = 10
+) -> DataFrame:
+    """Novelty/boilerplate scores over the state accumulated by
+    :func:`streaming_novelty_ingest` — the queryable-table half of the
+    loop. Folds the log-structured count partials into per-shingle
+    document frequencies (one map-side-combined aggregation), then
+    scores with the exact batch recipe."""
+    sh = spark.table(index_table)
+    dfreq = (
+        spark.table(counts_table)
+        .groupBy("sh")
+        .agg(F.sum("cnt").alias("df"))
+    )
+    return _novelty_from_index(sh, dfreq, boilerplate_df)
 
 
 def language_id(documents: DataFrame) -> DataFrame:

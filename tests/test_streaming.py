@@ -473,3 +473,41 @@ def test_ensure_event_time_type_matrix(spark):
 
     lng = spark.range(1).selectExpr("id AS ts")
     assert runtime.ensure_event_time(lng) is lng
+
+
+def test_streaming_novelty_ingest_matches_batch(spark):
+    """Streaming-ingest twin of novelty_scores: documents arrive over
+    multiple micro-batches (maxFilesPerTrigger=1 over a 4-file copy of
+    the fixture), each batch appends its shingle index + partial DF
+    counts, and the queryable state scores row-identically to the
+    one-shot batch op once the bounded stream drains."""
+    import tempfile
+    import uuid
+
+    from flink_snappydata_spark.pipeline import text as textops
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="fss-docs-stream-")
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    # unique names: managed-table locations in the shared warehouse dir
+    # outlive a crashed previous session's catalog
+    tag = uuid.uuid4().hex[:8]
+    idx_t, cnt_t = f"nov_idx_{tag}", f"nov_cnt_{tag}"
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    textops.streaming_novelty_ingest(stream, idx_t, cnt_t)
+
+    # the log-structured merge was actually exercised: at least one
+    # shingle accumulated partial counts from more than one micro-batch
+    cnt = spark.table(cnt_t)
+    assert cnt.count() > cnt.select("sh").distinct().count()
+
+    got = _sorted(textops.novelty_from_state(spark, idx_t, cnt_t).toPandas())
+    want = _sorted(textops.novelty_scores(docs).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+    for t in (idx_t, cnt_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")

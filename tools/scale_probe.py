@@ -10,15 +10,26 @@ pathological workload no organic Nx corpus has (their scale discipline
 is pinned by the prefix-filter / banding / cluster-bounding plan tests
 instead).
 
+The pair-generating dedup ops get their own mode instead
+(``SPARK_GRAFT_PROBE_MODE=synthdocs``): a synthetic corpus of UNIQUE
+pseudo-random documents (deterministic xxhash64 word streams, one
+~5%-near-dup planted per ``DUP_EVERY`` block) measured at 1x vs Nx —
+an organic scale-up, unlike replication, which would put every
+document in an N-copy near-dup group (a pathological workload no real
+Nx corpus has).
+
 Usage::
 
     python tools/scale_probe.py            # factor 10, all ops
     SPARK_GRAFT_PROBE_FACTOR=100 \
     SPARK_GRAFT_PROBE_OPS=bm25_topk,quality_scores,kmeans_train \
         python tools/scale_probe.py
+    SPARK_GRAFT_PROBE_MODE=synthdocs SPARK_GRAFT_PROBE_FACTOR=100 \
+    SPARK_GRAFT_PROBE_REPS=1 python tools/scale_probe.py
 
 Prints one `PROBE | op | base_s | scaled_s | ratio |` row per op
-(median of 3 warm reps, full-plan noop sink).
+(median of ``SPARK_GRAFT_PROBE_REPS`` warm reps — default 3 — with a
+full-plan noop sink).
 """
 
 from __future__ import annotations
@@ -32,6 +43,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from flink_snappydata_spark.catalog import load_table
+from flink_snappydata_spark.pipeline import dedup as D
 from flink_snappydata_spark.pipeline import similarity as S
 from flink_snappydata_spark.pipeline import text as T
 from flink_snappydata_spark.session import get_spark
@@ -93,33 +105,104 @@ OPS = {
     "brute_force_cosine_topk": lambda d, e: S.brute_force_cosine_topk(e),
 }
 
+#: Words per synthetic document (matches the fixture's ~50-word docs)
+#: and the near-dup plant rate: every DUP_EVERY-th document is a copy of
+#: its predecessor with its last 2 words changed (~5% dup mass, the
+#: shape of an organic lightly-duplicated web corpus).
+SYNTH_WORDS = 50
+SYNTH_VOCAB = 30_000
+DUP_EVERY = 20
+
+DEDUP_OPS = {
+    "dedup_ngram_jaccard": lambda d: D.ngram_jaccard_pairs(d, threshold=0.8),
+    "dedup_minhash": lambda d: D.minhash_dedup_pairs(d, threshold=0.8),
+    "dedup_clusters": lambda d: D.neardup_clusters(
+        D.ngram_jaccard_pairs(d, threshold=0.8)
+    ),
+    "dedup_simhash": lambda d: D.simhash_dedup_pairs(d),
+}
+
+
+def synthetic_documents(spark, n_docs):
+    """``n_docs`` deterministic pseudo-random documents, all distinct,
+    with a planted near-dup every :data:`DUP_EVERY` ids.
+
+    Pure JVM expressions (xxhash64 word streams — no Python, no data
+    movement): word j of document i is ``w<pmod(xxhash64(base*C+j),
+    VOCAB)>`` where ``base`` is i's dup-block anchor for the first
+    SYNTH_WORDS-2 words (so anchor and copy share ~96% of shingles)
+    and i itself for the last 2 (so they are NEAR- not exact dups).
+    """
+    base = F.when(
+        (F.col("id") % DUP_EVERY) == DUP_EVERY - 1, F.col("id") - 1
+    ).otherwise(F.col("id"))
+
+    def word(seed_col, j):
+        return F.concat(
+            F.lit("w"),
+            F.pmod(
+                F.xxhash64(seed_col * F.lit(1_000_003) + F.lit(j)),
+                F.lit(SYNTH_VOCAB),
+            ).cast("string"),
+        )
+
+    text = F.concat_ws(
+        " ",
+        *[word(base, j) for j in range(SYNTH_WORDS - 2)],
+        *[word(F.col("id"), 7_000_000 + j) for j in range(2)],
+    )
+    return (
+        spark.range(n_docs)
+        .repartition(spark.sparkContext.defaultParallelism)
+        .select(F.col("id").alias("doc_id"), text.alias("text"))
+    )
+
 
 def main() -> None:
     factor = int(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
+    reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "3"))
+    mode = os.environ.get("SPARK_GRAFT_PROBE_MODE", "replicate")
     wanted = os.environ.get("SPARK_GRAFT_PROBE_OPS")
-    ops = (
-        {n: OPS[n] for n in wanted.split(",")} if wanted else dict(OPS)
-    )
     spark = get_spark(app_name="fss-scale-probe")
     spark.sparkContext.setLogLevel("ERROR")
+
+    def median_time(thunk):
+        runs = []
+        for _ in range(reps):
+            release_caches()
+            t0 = time.perf_counter()
+            thunk().write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        return sorted(runs)[len(runs) // 2]
+
+    if mode == "synthdocs":
+        ops = (
+            {n: DEDUP_OPS[n] for n in wanted.split(",")}
+            if wanted
+            else dict(DEDUP_OPS)
+        )
+        n_base = load_table(spark, SF_DIR, "documents").count()
+        docs1 = synthetic_documents(spark, n_base).localCheckpoint()
+        docs_n = synthetic_documents(spark, n_base * factor).localCheckpoint()
+        print(f"ROWS synth docs base={docs1.count()} scaled={docs_n.count()}")
+        for name, fn in ops.items():
+            base = median_time(lambda: fn(docs1))
+            scaled = median_time(lambda: fn(docs_n))
+            print(
+                f"PROBE | {name} | {base:.3f} | {scaled:.3f} | {scaled / base:.2f} |"
+            )
+        return
+
+    ops = {n: OPS[n] for n in wanted.split(",")} if wanted else dict(OPS)
     docs1 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     emb1 = load_table(spark, SF_DIR, "embeddings")
     docs_n = replicated_documents(docs1, factor)
     emb_n = replicated_embeddings(emb1, factor)
     print(f"ROWS base docs={docs1.count()} emb={emb1.count()} factor={factor}")
 
-    def median_time(fn, d, e):
-        runs = []
-        for _ in range(3):
-            release_caches()
-            t0 = time.perf_counter()
-            fn(d, e).write.format("noop").mode("overwrite").save()
-            runs.append(time.perf_counter() - t0)
-        return sorted(runs)[1]
-
     for name, fn in ops.items():
-        base = median_time(fn, docs1, emb1)
-        scaled = median_time(fn, docs_n, emb_n)
+        base = median_time(lambda: fn(docs1, emb1))
+        scaled = median_time(lambda: fn(docs_n, emb_n))
         print(f"PROBE | {name} | {base:.3f} | {scaled:.3f} | {scaled / base:.2f} |")
 
 
