@@ -99,6 +99,104 @@ def stratified_sample(
     return df.sampleBy(col, dict(fractions), seed=seed)
 
 
+#: Default per-source token budget for the registered mixing query
+#: (non-trivial at every fixture scale: each sf0.01 source holds ~1.3k
+#: tokens → ~40% kept; sf0.1 ~13k → ~4% kept).
+MIX_BUDGET_TOKENS = 500
+MIX_SALT = "fss-mix-v1"
+
+
+def token_budget_assign(
+    documents: DataFrame,
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    salt: str = MIX_SALT,
+) -> DataFrame:
+    """Deterministic source-mixing downsampler: per-doc ``keep`` flags
+    that bring every source down to ~``budget_tokens`` tokens — the
+    pre-training data-mixing step ("N tokens of web, M of code, ...")
+    done as a pure function of the data, no RNG, no state.
+
+    Per source s with T_s total tokens, each document keeps iff its
+    stable hash bucket (the :func:`hash_split` scheme: portable
+    multiplicative hash of doc_id + crc32(salt), mod 10 000) falls
+    below ``threshold_s = min(10000, (budget·10000) DIV T_s)`` — i.e. a
+    keep RATE of ~budget/T_s, so expected kept tokens ≈ budget (exact
+    only in expectation: selection is by whole document). All integer
+    arithmetic (BIGINT DIV), so any engine reproduces the exact same
+    document set; growing a source only re-rates it, never reshuffles
+    which buckets survive relative to each other.
+
+    Scale: one map-side-combined (source, int64) aggregation for the
+    totals, the tiny per-source threshold table broadcast back over the
+    corpus, and a per-row hash comparison — document text never
+    shuffles, and nothing is quadratic or stateful. Returns (doc_id,
+    source, n_tokens, total_tokens, threshold, keep) one row per input
+    document.
+    """
+    n_tok = (
+        F.size(
+            F.filter(
+                F.split(F.lower(F.col("text")), r"\W+"),
+                lambda w: w != F.lit(""),
+            )
+        ).cast("long")
+    )
+    salt_int = zlib.crc32(salt.encode())
+    bucket = F.pmod(
+        portable_hash(F.col("doc_id").cast("long")) + F.lit(salt_int),
+        F.lit(SPLIT_BUCKETS),
+    )
+    docs = documents.select(
+        "doc_id", "source", n_tok.alias("n_tokens"), bucket.alias("bucket")
+    )
+    thresholds = (
+        docs.groupBy("source")
+        .agg(F.sum("n_tokens").alias("total_tokens"))
+        .select(
+            "source",
+            "total_tokens",
+            F.least(
+                F.lit(SPLIT_BUCKETS).cast("long"),
+                F.expr(
+                    f"CAST({budget_tokens * SPLIT_BUCKETS} AS BIGINT)"
+                    " DIV GREATEST(total_tokens, CAST(1 AS BIGINT))"
+                ),
+            ).alias("threshold"),
+        )
+    )
+    return docs.join(F.broadcast(thresholds), "source").select(
+        "doc_id",
+        "source",
+        "n_tokens",
+        "total_tokens",
+        "threshold",
+        (F.col("bucket") < F.col("threshold")).alias("keep"),
+    )
+
+
+def token_budget_mix(
+    documents: DataFrame,
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+    salt: str = MIX_SALT,
+) -> DataFrame:
+    """Per-source mixing summary for :func:`token_budget_assign`:
+    (source, total_tokens, threshold, n_docs_kept, tokens_kept) — the
+    declared-query surface (the full oracle replays the hash, the
+    thresholds, and the kept-token sums bit-for-bit)."""
+    assigned = token_budget_assign(documents, budget_tokens, salt)
+    keep = F.col("keep").cast("long")
+    return (
+        assigned.groupBy("source")
+        .agg(
+            F.first("total_tokens").alias("total_tokens"),
+            F.first("threshold").alias("threshold"),
+            F.sum(keep).alias("n_docs_kept"),
+            F.sum(F.col("n_tokens") * keep).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )
+
+
 def approx_distinct_by(
     df: DataFrame, group_col: str, value_col: str, rsd: float = 0.02
 ) -> DataFrame:

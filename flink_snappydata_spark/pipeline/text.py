@@ -75,6 +75,76 @@ def quality_scores(documents: DataFrame) -> DataFrame:
     )
 
 
+#: Hashed linear quality model: feature space (hashing-trick buckets)
+#: and the LCG that derives a deterministic integer weight per bucket —
+#: the fastText-style "score every document with a linear model over
+#: hashed token features" filter shape, with engine-portable arithmetic
+#: standing in for learned weights (swap `_qm_weight` for a broadcast
+#: weights table when real trained weights exist).
+QM_BUCKETS = 4096
+QM_MULT = 1103515245
+QM_INC = 12345
+_QM_MOD = 1 << 31
+_QM_CENTER = 1 << 30
+
+
+def quality_model_scores(documents: DataFrame, threshold: float = 0.0) -> DataFrame:
+    """Model-based quality scoring: a linear classifier over
+    hashing-trick token features (the fastText-filter shape used to
+    score web documents for pre-training corpora).
+
+    Each token hashes to one of :data:`QM_BUCKETS` feature buckets via
+    the portable md5-prefix hash (same idiom as the SimHash and
+    fingerprint ops — DuckDB computes the identical value with a hex
+    cast); the bucket's weight is a deterministic integer in
+    [−2^30, 2^30) from one LCG step, the margin is the mean weight over
+    the document's tokens, and ``keep`` is a margin threshold. The
+    weight SUM is exact int64 (|w| < 2^30, so ~2^33 tokens per document
+    before overflow — far beyond any real document); the margin is one
+    int→double division. Bit-identical across engines and cluster
+    sizes, so the full hash oracle applies.
+
+    Scale: everything is per-row JVM higher-order expressions on the
+    scan — no explode, no shuffle, no Python. At 100 TB this is a pure
+    map over the corpus; with real learned weights the only change is
+    a broadcast join against a (bucket, weight) table instead of the
+    inline LCG.
+    """
+    words = _words(F.col("text"))
+
+    def w_int(w: Column) -> Column:
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10)
+            .cast("long"),
+            F.lit(QM_BUCKETS),
+        )
+        return F.pmod(
+            bucket * F.lit(QM_MULT) + F.lit(QM_INC), F.lit(_QM_MOD)
+        ) - F.lit(_QM_CENTER)
+
+    score_sum = F.aggregate(
+        F.transform(words, w_int),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_words = F.size(words).cast("long")
+    margin = F.when(
+        n_words > 0,
+        score_sum.cast("double")
+        / (n_words * F.lit(_QM_CENTER)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return (
+        documents.select(
+            "doc_id",
+            n_words.alias("n_words"),
+            score_sum.alias("score_sum"),
+            margin.alias("margin"),
+        )
+        .withColumn("keep", F.col("margin") > F.lit(threshold))
+        .orderBy("doc_id")
+    )
+
+
 #: Default keyword query for the registered BM25 retrieval op (terms
 #: present in the fixture corpus vocabulary).
 BM25_TERMS = ["vector", "stream", "window", "hash"]

@@ -1753,6 +1753,43 @@ _register(
     doc="Pre-training quality filters: word stats, punct/stopword ratios.",
 )
 
+_register(
+    "quality_model_scores",
+    ["documents"],
+    textops.quality_model_scores,
+    rf"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    scored AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(COALESCE(list_aggregate(list_transform(ws,
+                    x -> ((('0x' || substr(md5(x), 1, 15))::BIGINT
+                           % {textops.QM_BUCKETS})
+                          * {textops.QM_MULT} + {textops.QM_INC})
+                         % {textops._QM_MOD} - {textops._QM_CENTER}),
+                    'sum'), 0) AS BIGINT) AS score_sum
+        FROM w)
+    SELECT doc_id, n_words, score_sum,
+           CASE WHEN n_words > 0
+                THEN CAST(score_sum AS DOUBLE)
+                     / (n_words * CAST({textops._QM_CENTER} AS BIGINT))
+                ELSE 0.0 END AS margin,
+           CASE WHEN n_words > 0
+                THEN CAST(score_sum AS DOUBLE)
+                     / (n_words * CAST({textops._QM_CENTER} AS BIGINT)) > 0.0
+                ELSE FALSE END AS keep
+    FROM scored ORDER BY doc_id
+    """,
+    doc="Model-based quality filter (fastText-filter shape): linear "
+        "scorer over hashing-trick token features — portable md5 bucket "
+        "hash, LCG-derived integer weights, exact int64 sum, one "
+        "int->double division; pure per-row JVM expressions, no shuffle.",
+)
+
 
 def _langid_hits_sql(kw: str) -> str:
     pad = f" {kw} "
@@ -1947,6 +1984,46 @@ _register(
         "doc_id — stable under corpus growth; portable multiplicative "
         "hash + crc32 salt, DuckDB-reproducible bit-for-bit "
         "(1818935405 = crc32('fss-split-v1')).",
+)
+
+_MIX_SALT_INT = __import__("zlib").crc32(sampling.MIX_SALT.encode())
+
+_register(
+    "token_budget_mix",
+    ["documents"],
+    sampling.token_budget_mix,
+    f"""
+    WITH d AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                                    x -> x <> '')) AS BIGINT) AS n_tokens,
+               (({packing.portable_hash_sql('doc_id')}) + {_MIX_SALT_INT})
+                   % 10000 AS bucket
+        FROM documents),
+    thr AS (
+        SELECT source,
+               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+               LEAST(CAST(10000 AS BIGINT),
+                     CAST({sampling.MIX_BUDGET_TOKENS * 10000} AS BIGINT)
+                     // GREATEST(CAST(SUM(n_tokens) AS BIGINT),
+                                 CAST(1 AS BIGINT))) AS threshold
+        FROM d GROUP BY source)
+    SELECT d.source,
+           CAST(t.total_tokens AS BIGINT) AS total_tokens,
+           CAST(t.threshold AS BIGINT) AS threshold,
+           CAST(SUM(CASE WHEN d.bucket < t.threshold THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_docs_kept,
+           CAST(SUM(CASE WHEN d.bucket < t.threshold THEN d.n_tokens
+                         ELSE 0 END) AS BIGINT) AS tokens_kept
+    FROM d JOIN thr t ON t.source = d.source
+    GROUP BY d.source, t.total_tokens, t.threshold
+    ORDER BY d.source
+    """,
+    doc="Per-source token-budget mixing (pretraining data-mixing step): "
+        "deterministic hash-rate downsample so each source lands at "
+        "~500 kept tokens; per-source summary with exact thresholds and "
+        "kept-token sums (portable hash + BIGINT DIV, full oracle; "
+        f"{_MIX_SALT_INT} = crc32('{sampling.MIX_SALT}')).",
 )
 
 _register(
@@ -2504,22 +2581,25 @@ _register(
 #   dedup_simhash, dedup_clusters; pipeline/similarity.py
 #   (semantic_neardup_pairs sort gating): ann_cosine_topk,
 #   embedding_neardup, label_centroids;
-# * slot 14: novelty_streamed — NEW in round 7 (the stream→table loop
-#   applied to the LLM-pipeline set: foreachBatch shingle-index +
-#   log-structured DF-count ingest, scored from queryable state); new
-#   queries are never-stamped and rank ahead of re-stamps;
-# * slots 15-50: 36 of the 48 queries whose latest stamp is r05 —
+# * slots 14-16: NEW in round 7, never-stamped so they rank ahead of
+#   re-stamps — novelty_streamed (the stream→table loop applied to the
+#   LLM-pipeline set: foreachBatch shingle-index + log-structured
+#   DF-count ingest, scored from queryable state), token_budget_mix
+#   (per-source token-budget data mixing, portable-hash downsample),
+#   quality_model_scores (hashed-feature linear quality filter);
+# * slots 17-50: 34 of the 48 queries whose latest stamp is r05 —
 #   every r05-stale query in a round-7-touched module is included
 #   (dedup_*, decontamination, ann_lsh/ivf, curation_pipeline, the
-#   whole text.py family), plus the streaming set and 15 TPC-H shapes.
+#   whole text.py family), plus the streaming set and 13 TPC-H shapes.
 #
-# 12 r05-stamped queries spill to r08 (the budget holds 50 of the 57
+# 14 r05-stamped queries spill to r08 (the budget holds 50 of the 59
 # due): agg_percentile, agg_histogram, agg_approx_percentile,
-# agg_approx_distinct, scalar_similarity, q2, q11, q13, q16, q20,
-# q21, q22 — chosen because their modules (operators/relational.py,
-# functions/scalar.py) are untouched since their r05 stamps (and
-# untouched in r06/r07), so the stamp is stale only in age, not in
-# covered code. r05->r08 is exactly the every-third-round cadence.
+# agg_approx_distinct, scalar_similarity, q2, q11, q13, q16, q18,
+# q19, q20, q21, q22 — chosen because their modules
+# (operators/relational.py, functions/scalar.py) are untouched since
+# their r05 stamps (and untouched in r06/r07), so the stamp is stale
+# only in age, not in covered code. r05->r08 is exactly the
+# every-third-round cadence.
 #
 # text.py changes this round: the bm25 ranking-fidelity caveat
 # (comment-only) plus the novelty_scores scoring refactor into
@@ -2549,6 +2629,8 @@ _HEAD = [
     "label_centroids",
     # -- new in round 7, never stamped --
     "novelty_streamed",
+    "token_budget_mix",
+    "quality_model_scores",
     # -- stalest (r05-stamped) rotation: touched modules first --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -2585,8 +2667,6 @@ _HEAD = [
     "q14_promo_revenue",
     "q15_top_supplier",
     "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
 ]
 
 _TAIL: list[str] = []

@@ -1098,3 +1098,41 @@ def test_pair_sorts_gate_on_expect_small(spark):
         assert [tuple(r) for r in df_small.collect()] == [
             tuple(r) for r in df_big.collect()
         ]
+
+
+def test_quality_model_scores_golden(spark):
+    """Independent python replay of the hashed-feature linear scorer:
+    md5-prefix bucket, LCG weight, exact int64 sum, mean margin."""
+    import hashlib
+
+    docs = spark.createDataFrame(
+        [(1, "Alpha beta GAMMA alpha"), (2, "")], ["doc_id", "text"]
+    )
+    rows = {r.doc_id: r for r in textops.quality_model_scores(docs).collect()}
+
+    def w(tok: str) -> int:
+        b = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16) % textops.QM_BUCKETS
+        return (b * textops.QM_MULT + textops.QM_INC) % (1 << 31) - (1 << 30)
+
+    want = sum(w(t) for t in ["alpha", "beta", "gamma", "alpha"])
+    got = rows[1]
+    assert got.n_words == 4 and got.score_sum == want
+    assert abs(got.margin - want / (4 * (1 << 30))) < 1e-15
+    assert got.keep == (got.margin > 0.0)
+
+    empty = rows[2]
+    assert empty.n_words == 0 and empty.score_sum == 0
+    assert empty.margin == 0.0 and empty.keep is False
+
+
+def test_quality_model_is_discriminative_on_fixture(spark):
+    """The pseudo-weights are mean-zero over buckets, so the margin
+    must split the fixture corpus non-trivially (both classes present)
+    and be identical across recomputation (pure function of text)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = textops.quality_model_scores(docs)
+    kept = out.filter(F.col("keep")).count()
+    total = out.count()
+    assert 0 < kept < total
+    first = [tuple(r) for r in out.collect()]
+    assert first == [tuple(r) for r in textops.quality_model_scores(docs).collect()]

@@ -215,3 +215,50 @@ def test_bound_verdicts_hold_at_smoke_scale(spark):
     assert ap and all(r.p50_within_bound and r.p90_within_bound for r in ap)
     iv = qs["ann_ivf_topk"](spark, SF_SMOKE).collect()
     assert iv and all(r.recall_ok for r in iv)
+
+
+def test_token_budget_mix_budget_and_extremes(spark):
+    """Kept tokens land near the budget for every source (whole-document
+    granularity + hash variance bounded loosely); a huge budget keeps
+    everything, a zero budget keeps nothing."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = sampling.token_budget_mix(docs).collect()
+    assert len(out) == 20
+    for r in out:
+        assert 0 < r.tokens_kept <= r.total_tokens
+        assert r.tokens_kept < 3 * sampling.MIX_BUDGET_TOKENS
+    assert sum(r.n_docs_kept for r in out) < docs.count()
+
+    all_kept = sampling.token_budget_mix(docs, budget_tokens=10**9).collect()
+    for r in all_kept:
+        assert r.threshold == 10_000 and r.tokens_kept == r.total_tokens
+
+    none = sampling.token_budget_mix(docs, budget_tokens=0).collect()
+    for r in none:
+        assert r.threshold == 0 and r.n_docs_kept == 0 and r.tokens_kept == 0
+
+
+def test_token_budget_assign_independent_across_sources(spark):
+    """A document's keep decision depends only on its own source's
+    totals: adding documents to OTHER sources never flips it (no
+    cross-source coupling, so sources can be mixed incrementally)."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    one = sampling.token_budget_assign(docs.filter(F.col("source") == "src1"))
+    both = sampling.token_budget_assign(
+        docs.filter(F.col("source").isin("src1", "src2"))
+    )
+    a = {r.doc_id: r.keep for r in one.collect()}
+    b = {
+        r.doc_id: r.keep
+        for r in both.filter(F.col("source") == "src1").collect()
+    }
+    assert a == b and len(a) > 0
+
+
+def test_token_budget_thresholds_broadcast(spark):
+    """The per-source threshold table must come back as a broadcast
+    join — at 100 TB the corpus side never shuffles for the mix."""
+    from flink_snappydata_spark.plans.inspect import broadcast_join_count
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    assert broadcast_join_count(sampling.token_budget_assign(docs)) >= 1
