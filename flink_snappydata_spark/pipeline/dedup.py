@@ -117,6 +117,23 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 MAX_PACKED_SHINGLES = 1_000_000
 
 
+def _shingle_bound_cleared(documents: DataFrame, max_set_size: int | None):
+    """Cheap pre-probe: a document's distinct shingle count is at most
+    its word count, which is at most its character length — so when
+    ``max(length(text)) <= max_set_size``, NO document can exceed the
+    packed bound and :func:`_verified_jaccard` may skip its per-doc
+    shingle-count probe (a groupBy over the whole shingle index). One
+    partial-max column aggregate on the (cached) documents scan, no
+    shuffle of anything wider than a long.
+    """
+    if max_set_size is None:
+        return True
+    row = documents.agg(
+        F.max(F.length("text")).alias("max_len")
+    ).first()
+    return (row["max_len"] or 0) <= max_set_size
+
+
 def _streamed_jaccard(
     sh: DataFrame, cand: DataFrame, threshold: float
 ) -> DataFrame:
@@ -365,6 +382,8 @@ def ngram_jaccard_pairs(
         .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
         .dropDuplicates(["doc_a", "doc_b"])
     )
+    if _shingle_bound_cleared(documents, max_set_size):
+        max_set_size = None  # provably all under bound — skip the probe
     return _verified_jaccard(
         sh, cand, threshold, sorted_output,
         expect_small=expect_small, max_set_size=max_set_size,
@@ -526,6 +545,8 @@ def minhash_dedup_pairs(
     # index serves the verify join (both sides) and the size agg.
     sh = tracked_persist(shingles(documents))
     cand = minhash_lsh_candidates(documents)
+    if _shingle_bound_cleared(documents, max_set_size):
+        max_set_size = None  # provably all under bound — skip the probe
     return _verified_jaccard(
         sh, cand, threshold,
         expect_small=expect_small, max_set_size=max_set_size,
