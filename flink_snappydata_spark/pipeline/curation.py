@@ -24,8 +24,56 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
-from flink_snappydata_spark.pipeline.dedup import exact_dedup
-from flink_snappydata_spark.pipeline.text import language_id, quality_scores
+from flink_snappydata_spark.pipeline.dedup import (
+    exact_dedup,
+    neardup_clusters,
+    ngram_jaccard_pairs,
+)
+from flink_snappydata_spark.pipeline.text import (
+    language_id,
+    quality_model_scores,
+    quality_scores,
+)
+
+
+def canonical_pick(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """Canonical-document selection: after near-dup clustering, keep the
+    highest-quality member of each duplicate cluster — the step that
+    turns pairwise dedup output into an actual keep/drop decision (the
+    "keep one per cluster, prefer the best copy" rule every curation
+    pipeline ends near-dup handling with).
+
+    Quality is the :func:`~flink_snappydata_spark.pipeline.text.
+    quality_model_scores` margin (deterministic double over exact int64
+    sums); ties break to the smallest doc_id. Returns one row per
+    cluster: ``(cluster_id, keep_doc_id, n_members, best_margin)``.
+
+    Scale: clusters come from the prefix-filtered pair graph (bounded
+    by pairs, never O(n²)); margins are a pure per-row scan; the join is
+    on doc_id and the argmax is ``max_by`` over a grouped aggregation —
+    partial aggregates collapse each cluster's members map-side, so the
+    shuffle carries one narrow row per (partition, cluster), never the
+    member lists.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents)
+    labels = neardup_clusters(pairs)
+    margins = quality_model_scores(documents).select("doc_id", "margin")
+    member = labels.join(margins, "doc_id")
+    return (
+        member.groupBy("cluster_id")
+        .agg(
+            F.max_by(
+                "doc_id",
+                F.struct(F.col("margin"), (-F.col("doc_id")).alias("nd")),
+            ).alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_members"),
+            F.max("margin").alias("best_margin"),
+        )
+        .orderBy("cluster_id")
+    )
 
 
 def curation_pipeline(documents: DataFrame) -> DataFrame:

@@ -583,6 +583,77 @@ def decontaminate(
     )
 
 
+def source_contamination(
+    documents: DataFrame, n: int = SHINGLE_N
+) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of document
+    sources, the number of distinct word ``n``-gram shingles they share
+    and the Jaccard overlap of their shingle vocabularies — the
+    source-level generalization of :func:`decontaminate` (which screens
+    one training corpus against one benchmark). A pipeline mixing many
+    crawl/curated sources runs this to find mirror sites, shared
+    boilerplate, and cross-source benchmark leakage before trusting
+    per-source mixing weights.
+
+    Returns ``(src_a, src_b, n_shared, jaccard)`` for source pairs with
+    at least one shared shingle, ``src_a < src_b``.
+
+    Scale: the only wide frame is the distinct ``(shingle, source)``
+    index, reduced map-side before its shuffle. Pair generation then
+    happens WITHIN each shingle's source set — an array bounded by the
+    source catalog size (tens, a constant next to the corpus), expanded
+    with in-kernel higher-order functions — so the worst case is
+    O(#distinct shingles x C(S,2)) with no doc-level or row-level
+    self-join anywhere. The final matrix is C(S,2) rows.
+    """
+    sh = shingles(documents, n)
+    src_sh = (
+        sh.join(documents.select("doc_id", "source"), "doc_id")
+        .select("source", "sh")
+        .distinct()
+    )
+    src_sh = tracked_persist(src_sh)
+    vocab = src_sh.groupBy("source").agg(F.count(F.lit(1)).alias("v"))
+    # Per-shingle sorted source set (bounded by the source catalog), then
+    # all ordered pairs from inside the array — no self-join on the index.
+    sets = src_sh.groupBy("sh").agg(
+        F.array_sort(F.collect_set("source")).alias("srcs")
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("srcs"),
+                lambda a: F.transform(
+                    F.filter(F.col("srcs"), lambda b: b > a),
+                    lambda b: F.struct(a.alias("src_a"), b.alias("src_b")),
+                ),
+            )
+        )
+    )
+    shared = (
+        sets.select(pair.alias("p"))
+        .select("p.src_a", "p.src_b")
+        .groupBy("src_a", "src_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    va = F.broadcast(vocab.select(F.col("source").alias("src_a"), F.col("v").alias("va")))
+    vb = F.broadcast(vocab.select(F.col("source").alias("src_b"), F.col("v").alias("vb")))
+    return (
+        shared.join(va, "src_a")
+        .join(vb, "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("va") + F.col("vb") - F.col("n_shared")).cast("double")
+            ).alias("jaccard"),
+        )
+        .orderBy("src_a", "src_b")
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame, max_iter: int = 20, expect_small: bool = True
 ) -> DataFrame:

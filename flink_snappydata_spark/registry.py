@@ -1438,6 +1438,33 @@ QUERIES["decontamination"] = QuerySpec(
         "inverted-index join; eval side broadcast).",
 )
 
+_register(
+    "source_contamination",
+    ["documents"],
+    dedup.source_contamination,
+    f"""
+    WITH {_SHINGLES_SQL},
+    ss AS (
+        SELECT DISTINCT d.source, s.sh
+        FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
+    vocab AS (SELECT source, COUNT(*) AS v FROM ss GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
+        FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
+        GROUP BY a.source, b.source)
+    SELECT src_a, src_b, n_shared,
+           CAST(n_shared AS DOUBLE)
+               / CAST(va.v + vb.v - n_shared AS DOUBLE) AS jaccard
+    FROM shared
+    JOIN vocab va ON va.source = src_a
+    JOIN vocab vb ON vb.source = src_b
+    ORDER BY src_a, src_b
+    """,
+    doc="Cross-source contamination matrix: shared distinct word-3-gram "
+        "counts + vocabulary Jaccard per source pair (pair expansion "
+        "inside each shingle's bounded source set — no index self-join).",
+)
+
 
 def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -1447,10 +1474,10 @@ def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     return dedup.neardup_clusters(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
 
 
-QUERIES["dedup_clusters"] = QuerySpec(
-    fn=_neardup_clusters,
-    oracle=f"""
-    WITH RECURSIVE
+#: Recursive connected-components CTE chain over the exact-Jaccard pair
+#: graph, ending at ``cc_labels`` (doc_id, cluster_id) — shared by the
+#: dedup_clusters oracle and the canonical-pick oracle built on top.
+_CC_CTES = f"""
     {_SHINGLES_SQL},
     inter AS (
         SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
@@ -1469,15 +1496,25 @@ QUERIES["dedup_clusters"] = QuerySpec(
     reach(s, d) AS (
         SELECT s, d FROM edges
         UNION
-        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s)
-    SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
-    FROM reach GROUP BY s ORDER BY doc_id
+        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
+    cc_labels AS (
+        SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
+        FROM reach GROUP BY s)
+"""
+
+QUERIES["dedup_clusters"] = QuerySpec(
+    fn=_neardup_clusters,
+    oracle=f"""
+    WITH RECURSIVE
+    {_CC_CTES}
+    SELECT doc_id, cluster_id FROM cc_labels ORDER BY doc_id
     """,
     doc="Near-dup cluster assignment: connected components over the "
         "exact-Jaccard pair graph via min-label propagation to fixpoint "
         "(cluster_id = smallest reachable doc_id; oracle = recursive "
         "reachability).",
 )
+
 
 
 # MinHash LSH candidates are exact-Jaccard VERIFIED, so the final output
@@ -1753,12 +1790,12 @@ _register(
     doc="Pre-training quality filters: word stats, punct/stopword ratios.",
 )
 
-_register(
-    "quality_model_scores",
-    ["documents"],
-    textops.quality_model_scores,
-    rf"""
-    WITH w AS (
+#: Hashed-linear-quality-model scoring CTE chain, ending at
+#: ``scored(doc_id, n_words, score_sum)`` — shared by the
+#: quality_model_scores oracle and the canonical-pick oracle (which
+#: picks each near-dup cluster's max-margin member).
+_QM_CTES = rf"""
+    qm_words AS (
         SELECT doc_id,
                list_filter(string_split_regex(lower(text), '\W+'),
                            x -> x <> '') AS ws
@@ -1772,7 +1809,22 @@ _register(
                           * {textops.QM_MULT} + {textops.QM_INC})
                          % {textops._QM_MOD} - {textops._QM_CENTER}),
                     'sum'), 0) AS BIGINT) AS score_sum
-        FROM w)
+        FROM qm_words)
+"""
+
+#: The quality-model margin as a SQL expression over a ``scored`` row.
+_QM_MARGIN = (
+    f"CASE WHEN n_words > 0 THEN CAST(score_sum AS DOUBLE)"
+    f" / (n_words * CAST({textops._QM_CENTER} AS BIGINT))"
+    f" ELSE 0.0 END"
+)
+
+_register(
+    "quality_model_scores",
+    ["documents"],
+    textops.quality_model_scores,
+    rf"""
+    WITH {_QM_CTES}
     SELECT doc_id, n_words, score_sum,
            CASE WHEN n_words > 0
                 THEN CAST(score_sum AS DOUBLE)
@@ -1962,6 +2014,36 @@ _register(
     doc="Flagship curation flow: exact dedup -> quality gates -> langid, "
         "one row per surviving document (composition of the individual "
         "declared operators).",
+)
+
+_register(
+    "canonical_pick",
+    ["documents"],
+    curation.canonical_pick,
+    f"""
+    WITH RECURSIVE
+    {_CC_CTES},
+    {_QM_CTES}
+    SELECT agg.cluster_id, pick.keep_doc_id, agg.n_members,
+           agg.best_margin
+    FROM (
+        SELECT l.cluster_id,
+               COUNT(*) AS n_members,
+               MAX({_QM_MARGIN}) AS best_margin
+        FROM cc_labels l JOIN scored s ON s.doc_id = l.doc_id
+        GROUP BY l.cluster_id) agg
+    JOIN (
+        SELECT cluster_id, doc_id AS keep_doc_id FROM (
+            SELECT l.cluster_id, l.doc_id,
+                   ROW_NUMBER() OVER (PARTITION BY l.cluster_id
+                       ORDER BY {_QM_MARGIN} DESC, l.doc_id ASC) AS r
+            FROM cc_labels l JOIN scored s ON s.doc_id = l.doc_id) t
+        WHERE r = 1) pick ON pick.cluster_id = agg.cluster_id
+    ORDER BY agg.cluster_id
+    """,
+    doc="Canonical-document selection: per near-dup cluster keep the "
+        "max-quality-margin member (tie -> smallest doc_id) — the "
+        "keep/drop decision step after pairwise dedup.",
 )
 
 _register(
@@ -2405,6 +2487,40 @@ _register(
         "codebook), exact int64 component sums.",
 )
 
+_register(
+    "embedding_gram",
+    ["embeddings"],
+    similarity.embedding_gram,
+    """
+    WITH comp AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) s(i)
+    ),
+    g AS (
+        SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+        FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+        GROUP BY a.i, b.i),
+    s AS (
+        SELECT i, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
+        FROM comp GROUP BY i)
+    SELECT g.i, g.j, g.gram,
+           (CAST(g.gram AS DOUBLE)
+            - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)
+              / CAST(sa.n AS DOUBLE)) / CAST(sa.n AS DOUBLE) AS cov
+    FROM g
+    JOIN s sa ON sa.i = g.i
+    JOIN s sb ON sb.i = g.j
+    ORDER BY g.i, g.j
+    """,
+    doc="Exact Gram + covariance matrix over quantized embeddings: "
+        "per-partition int64 numpy partial Gram (D(D+1)/2 rows per "
+        "partition regardless of row count), one (i,j)-keyed sum — the "
+        "PCA/whitening/drift second-moment primitive; no vector ever "
+        "shuffles.",
+)
+
 # kmeans_train oracle: Lloyd's iterations unrolled (n_iters=2 → c0,
 # assign, integer-mean update, assign). Every step is either exact
 # int64 arithmetic (dots, sums, truncated means) or the same fixed
@@ -2581,21 +2697,24 @@ _register(
 #   dedup_simhash, dedup_clusters; pipeline/similarity.py
 #   (semantic_neardup_pairs sort gating): ann_cosine_topk,
 #   embedding_neardup, label_centroids;
-# * slots 14-16: NEW in round 7, never-stamped so they rank ahead of
+# * slots 14-19: NEW in round 7, never-stamped so they rank ahead of
 #   re-stamps — novelty_streamed (the stream→table loop applied to the
 #   LLM-pipeline set: foreachBatch shingle-index + log-structured
 #   DF-count ingest, scored from queryable state), token_budget_mix
 #   (per-source token-budget data mixing, portable-hash downsample),
-#   quality_model_scores (hashed-feature linear quality filter);
-# * slots 17-50: 34 of the 48 queries whose latest stamp is r05 —
+#   quality_model_scores (hashed-feature linear quality filter),
+#   source_contamination (cross-source shared-shingle matrix),
+#   canonical_pick (keep the max-quality member per near-dup cluster),
+#   embedding_gram (partial-Gram covariance via mapInPandas partials);
+# * slots 20-50: 31 of the 48 queries whose latest stamp is r05 —
 #   every r05-stale query in a round-7-touched module is included
 #   (dedup_*, decontamination, ann_lsh/ivf, curation_pipeline, the
 #   whole text.py family), plus the streaming set and 13 TPC-H shapes.
 #
-# 14 r05-stamped queries spill to r08 (the budget holds 50 of the 59
+# 17 r05-stamped queries spill to r08 (the budget holds 50 of the 62
 # due): agg_percentile, agg_histogram, agg_approx_percentile,
-# agg_approx_distinct, scalar_similarity, q2, q11, q13, q16, q18,
-# q19, q20, q21, q22 — chosen because their modules
+# agg_approx_distinct, scalar_similarity, q2, q11, q13, q14, q15,
+# q16, q17, q18, q19, q20, q21, q22 — chosen because their modules
 # (operators/relational.py, functions/scalar.py) are untouched since
 # their r05 stamps (and untouched in r06/r07), so the stamp is stale
 # only in age, not in covered code. r05->r08 is exactly the
@@ -2631,6 +2750,9 @@ _HEAD = [
     "novelty_streamed",
     "token_budget_mix",
     "quality_model_scores",
+    "source_contamination",
+    "canonical_pick",
+    "embedding_gram",
     # -- stalest (r05-stamped) rotation: touched modules first --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -2664,9 +2786,6 @@ _HEAD = [
     "q9_product_profit",
     "q10_returned_items",
     "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q17_small_quantity_revenue",
 ]
 
 _TAIL: list[str] = []

@@ -1136,3 +1136,161 @@ def test_quality_model_is_discriminative_on_fixture(spark):
     assert 0 < kept < total
     first = [tuple(r) for r in out.collect()]
     assert first == [tuple(r) for r in textops.quality_model_scores(docs).collect()]
+
+
+def test_source_contamination_planted_mirror(spark):
+    """Two mirror sources sharing every document plus one unique source:
+    the mirror pair's Jaccard must be 1.0; pairs with the unique source
+    must either be absent or carry the (known) boilerplate-only overlap.
+    Values checked against a pure-python shingle replay."""
+    texts = {
+        1: "alpha beta gamma delta epsilon zeta eta theta",
+        2: "iota kappa lambda mu nu xi omicron pi rho sigma",
+        3: "tau upsilon phi chi psi omega alef bet gimel",
+    }
+    rows = []
+    for did, t in texts.items():
+        rows.append((did, t, "mirror_a"))
+        rows.append((did + 100, t, "mirror_b"))
+    rows.append((201, "completely unrelated corpus text about spark plans", "solo"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {
+        (r.src_a, r.src_b): (r.n_shared, r.jaccard)
+        for r in dedup.source_contamination(docs).collect()
+    }
+
+    def sh_set(ts):
+        out_s = set()
+        for t in ts:
+            ws = t.lower().split()
+            out_s |= {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        return out_s
+
+    a = sh_set(texts.values())
+    solo = sh_set(["completely unrelated corpus text about spark plans"])
+    assert out[("mirror_a", "mirror_b")] == (len(a), 1.0)
+    assert ("mirror_a", "solo") not in out  # no shared shingles
+    assert ("mirror_b", "solo") not in out
+    # ordering contract: src_a < src_b always
+    assert all(sa < sb for sa, sb in out)
+    assert len(solo) > 0  # the replay itself is non-degenerate
+
+
+def test_source_contamination_matches_naive_on_fixture(spark):
+    """Fixture-scale replay: the bounded in-array pair expansion must
+    equal the naive (shingle, source) self-join, pair for pair."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        (r.src_a, r.src_b): (r.n_shared, r.jaccard)
+        for r in dedup.source_contamination(docs).collect()
+    }
+    pdf = docs.select("doc_id", "text", "source").toPandas()
+    vocab: dict[str, set] = {}
+    for r in pdf.itertuples():
+        import re
+
+        ws = [w for w in re.split(r"\W+", r.text.lower()) if w]
+        shs = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        vocab.setdefault(r.source, set()).update(shs)
+    want = {}
+    srcs = sorted(vocab)
+    for i, sa in enumerate(srcs):
+        for sb in srcs[i + 1 :]:
+            inter = len(vocab[sa] & vocab[sb])
+            if inter:
+                un = len(vocab[sa] | vocab[sb])
+                want[(sa, sb)] = (inter, inter / un)
+    assert set(got) == set(want)
+    for k, (n, j) in want.items():
+        assert got[k][0] == n
+        assert abs(got[k][1] - j) < 1e-12
+
+
+def test_canonical_pick_keeps_best_member(spark):
+    """Planted clusters: the keeper is the max-margin member, ties go
+    to the smallest doc_id. Singletons never enter the pair graph so
+    they carry no row — they are implicit keeps."""
+    from flink_snappydata_spark.pipeline import curation
+
+    docs = spark.createDataFrame(
+        [
+            # cluster {1,2,3}: near-identical long docs (shingle overlap)
+            (1, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+            (2, "the quick brown fox jumps over the lazy dog near the old river bank today again"),
+            (3, "the quick brown fox jumps over the lazy dog near the old river bank today"),
+            # singleton
+            (9, "entirely different text about catalyst optimizer internals and shuffles"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.cluster_id: r for r in curation.canonical_pick(docs).collect()}
+    margins = {
+        r.doc_id: r.margin for r in textops.quality_model_scores(docs).collect()
+    }
+    cl = out[1]
+    assert cl.n_members == 3
+    best = max(m for d, m in margins.items() if d in (1, 2, 3))
+    assert cl.best_margin == best
+    # argmax with doc_id tiebreak: docs 1 and 3 share identical text/margin
+    members = [1, 2, 3]
+    expect = min(d for d in members if margins[d] == best)
+    assert cl.keep_doc_id == expect
+    assert 9 not in out  # singleton: no pair, no row, implicit keep
+    assert set(out) == {1}
+
+
+def test_canonical_pick_matches_naive_on_fixture(spark):
+    """Fixture replay: recompute the per-cluster argmax from the
+    collected labels + margins and compare row for row."""
+    from flink_snappydata_spark.pipeline import curation
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    pairs = dedup.ngram_jaccard_pairs(docs)
+    got = {r.cluster_id: r for r in curation.canonical_pick(docs, pairs).collect()}
+    labels = dedup.neardup_clusters(pairs).collect()
+    margins = {
+        r.doc_id: r.margin for r in textops.quality_model_scores(docs).collect()
+    }
+    byc: dict = {}
+    for r in labels:
+        byc.setdefault(r.cluster_id, []).append(r.doc_id)
+    assert len(got) == len(byc) and len(byc) > 0
+    for cid, members in byc.items():
+        best = max(margins[d] for d in members)
+        keep = min(d for d in members if margins[d] == best)
+        row = got[cid]
+        assert (row.keep_doc_id, row.n_members, row.best_margin) == (
+            keep,
+            len(members),
+            best,
+        )
+
+
+def test_embedding_gram_matches_numpy_and_partitioning(spark):
+    """The mapInPandas partial-Gram reduction must equal a single numpy
+    matmul over the quantized matrix — exactly for the int64 gram, to
+    double ulps for cov — and be bit-identical under repartitioning
+    (the exactness claim that justifies the full hash oracle)."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    out = similarity.embedding_gram(emb).collect()
+    pdf = emb.select("vec_id", "embedding").toPandas()
+    q = np.array(
+        [
+            [int(np.floor(float(x) * 1e6 + 0.5)) for x in v]
+            for v in pdf["embedding"]
+        ],
+        dtype=np.int64,
+    )
+    n = len(q)
+    g = q.T @ q
+    s = q.sum(axis=0)
+    assert len(out) == 64 * 65 // 2
+    for r in out:
+        assert r.gram == g[r.i, r.j], (r.i, r.j)
+        want_cov = (float(g[r.i, r.j]) - float(s[r.i]) * float(s[r.j]) / n) / n
+        assert r.cov == pytest.approx(want_cov, rel=1e-12)
+    # partition invariance: exact integers -> identical bits any layout
+    skew = similarity.embedding_gram(emb.repartition(13)).collect()
+    assert sorted(tuple(r) for r in skew) == sorted(tuple(r) for r in out)
