@@ -621,3 +621,131 @@ def chunk_documents(
         .withColumn("chunk_len", F.length("chunk_text").cast("long"))
         .orderBy("doc_id", "chunk_id")
     )
+
+
+def _floor_log2(col: Column) -> Column:
+    """floor(log2(x)) for a positive BIGINT, computed EXACTLY as the
+    length of the binary representation minus one — no floating-point
+    log anywhere, so Spark and any SQL oracle agree bit-for-bit
+    (``bin()`` has identical semantics in Spark and DuckDB)."""
+    return (F.length(F.bin(col)) - F.lit(1)).cast("long")
+
+
+def unigram_surprisal(documents: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality scoring: each document's mean token
+    surprisal under the corpus's own unigram distribution — the
+    KenLM-style "LM filter" step of a pre-training pipeline (documents
+    whose tokens are uniformly common score low = boilerplate; junk
+    with rare garbage tokens scores high), reduced to exact integer
+    arithmetic so the full value-hash oracle applies.
+
+    Surprisal is quantized to BITS: token ``t`` with corpus count
+    ``c_t`` out of ``N`` total tokens contributes
+    ``floor(log2 N) - floor(log2 c_t)`` — an integer within 1 bit of
+    ``-log2 (c_t/N)``. The per-doc sum is exact int64 (order-free, so
+    deterministic at any parallelism, unlike a float log sum whose
+    value depends on reduction order); ``avg_bits`` is one final
+    int/int double division. The bucketing is the documented tradeoff
+    for engine-portable exactness.
+
+    Returns ``(doc_id, n_tokens, bits_sum, avg_bits)``, one row per
+    document (empty docs: zeros).
+
+    Scale: two hash aggregations with map-side combine — (doc_id, word)
+    term frequencies, then vocabulary counts — one join of the tf frame
+    against the vocabulary on ``word`` (AQE handles the hot-stopword
+    skew; no text ever shuffles, only tokens and counts), a 1-row
+    broadcast total, and a final doc_id-keyed sum. At 100 TB every wide
+    frame is token/count pairs, bounded by corpus token count and
+    vocabulary size.
+    """
+    tf = (
+        documents.select(
+            "doc_id", F.explode(_words(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = tf.groupBy("word").agg(F.sum("tf").alias("c"))
+    total = counts.agg(F.sum("c").alias("n"))
+    bits = _floor_log2(F.col("n")) - _floor_log2(F.col("c"))
+    scored = (
+        tf.join(counts, "word")
+        .join(F.broadcast(total))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("tf").alias("n_tokens"),
+            F.sum(F.col("tf") * bits).alias("bits_sum"),
+        )
+    )
+    return (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
+            F.coalesce("bits_sum", F.lit(0)).cast("long").alias("bits_sum"),
+            F.when(
+                F.coalesce("n_tokens", F.lit(0)) > 0,
+                F.col("bits_sum").cast("double")
+                / F.col("n_tokens").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_bits"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+def tfidf_keywords(documents: DataFrame, k: int = 5) -> DataFrame:
+    """Per-document keyword extraction: the top-``k`` terms by a
+    quantized tf-idf — the classic "what is this document about"
+    primitive behind topic tagging, search indexing, and per-domain
+    vocabulary reports over a training corpus.
+
+    The idf is quantized to integer BITS of document rarity
+    (``floor(log2 D) - floor(log2 df_t)`` for ``D`` documents of which
+    ``df_t`` contain ``t``), so ``score = tf * idf_bits`` is exact
+    int64 and the ranking (score desc, then word asc for a total
+    deterministic order) is engine-portable — same tradeoff as
+    :func:`unigram_surprisal`. Terms appearing in every document get
+    idf 0 and can never outrank a discriminative term.
+
+    Returns ``(doc_id, rank, word, tf, idf_bits, score)``.
+
+    Scale: the (doc_id, word) tf aggregation doubles as the document-
+    frequency source (one count per distinct pair), so there are two
+    hash aggs, one word-keyed join, and one doc_id-partitioned window
+    over per-doc vocabularies — never a global sort. Row counts are
+    bounded by distinct (doc, term) pairs; text never shuffles.
+    """
+    tf = (
+        documents.select(
+            "doc_id", F.explode(_words(F.col("text"))).alias("word")
+        )
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_t = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = documents.select(
+        F.count(F.lit(1)).alias("d")
+    )
+    idf_bits = _floor_log2(F.col("d")) - _floor_log2(F.col("df"))
+    w = Window.partitionBy("doc_id").orderBy(
+        F.col("score").desc(), F.col("word").asc()
+    )
+    return (
+        tf.join(df_t, "word")
+        .join(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            "tf",
+            idf_bits.alias("idf_bits"),
+            (F.col("tf") * idf_bits).alias("score"),
+        )
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("doc_id", "rank", "word", "tf", "idf_bits", "score")
+        .orderBy("doc_id", "rank")
+    )

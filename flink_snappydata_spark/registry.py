@@ -2405,6 +2405,81 @@ _register(
         "share (vocabulary pruning / stopword discovery).",
 )
 
+#: Per-document term-frequency CTE chain (DuckDB), ending at
+#: ``tf(doc_id, word, tf)`` — shared by the surprisal and tf-idf
+#: keyword oracles. Tokenization matches ``textops._words``.
+_TF_CTES = r"""
+    w AS (
+        SELECT doc_id,
+               unnest(list_filter(string_split_regex(lower(text), '\W+'),
+                                  x -> x <> '')) AS word
+        FROM documents),
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM w GROUP BY doc_id, word)
+"""
+
+_register(
+    "unigram_surprisal",
+    ["documents"],
+    textops.unigram_surprisal,
+    f"""
+    WITH {_TF_CTES},
+    c AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf.tf * ((length(bin(tot.n)) - 1)
+                                 - (length(bin(c.c)) - 1))) AS BIGINT)
+                   AS bits_sum
+        FROM tf JOIN c USING (word) CROSS JOIN tot
+        GROUP BY tf.doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.n_tokens, 0) AS n_tokens,
+           COALESCE(s.bits_sum, 0) AS bits_sum,
+           CASE WHEN COALESCE(s.n_tokens, 0) > 0
+                THEN CAST(s.bits_sum AS DOUBLE)
+                     / CAST(s.n_tokens AS DOUBLE)
+                ELSE 0.0 END AS avg_bits
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    ORDER BY d.doc_id
+    """,
+    doc="Perplexity-proxy LM filter: mean per-token surprisal under the "
+        "corpus unigram distribution, quantized to exact integer bits "
+        "(floor-log2 via bin() length — no float log, order-free sums).",
+)
+
+_register(
+    "tfidf_keywords",
+    ["documents"],
+    textops.tfidf_keywords,
+    f"""
+    WITH {_TF_CTES},
+    dft AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
+            FROM tf GROUP BY word),
+    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word, tf.tf,
+               CAST((length(bin(nd.d)) - 1)
+                    - (length(bin(dft.df)) - 1) AS BIGINT) AS idf_bits,
+               CAST(tf.tf * ((length(bin(nd.d)) - 1)
+                             - (length(bin(dft.df)) - 1)) AS BIGINT)
+                   AS score
+        FROM tf JOIN dft USING (word) CROSS JOIN nd)
+    SELECT doc_id, rank, word, tf, idf_bits, score FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                    PARTITION BY doc_id
+                    ORDER BY score DESC, word ASC) AS BIGINT) AS rank
+        FROM scored) t
+    WHERE rank <= 5
+    ORDER BY doc_id, rank
+    """,
+    doc="Per-document top-5 keywords by quantized tf-idf (integer-bits "
+        "idf, deterministic word tiebreak) — topic tagging / per-domain "
+        "vocabulary reports.",
+)
+
 # bm25_topk oracle: the score is pure IEEE +,-,*,/ over integer tf/df/dl
 # (rational idf — no ln(), which is libm-dependent), with per-term
 # contributions summed in fixed left-to-right term order, so both
@@ -2697,7 +2772,7 @@ _register(
 #   dedup_simhash, dedup_clusters; pipeline/similarity.py
 #   (semantic_neardup_pairs sort gating): ann_cosine_topk,
 #   embedding_neardup, label_centroids;
-# * slots 14-19: NEW in round 7, never-stamped so they rank ahead of
+# * slots 14-21: NEW in round 7, never-stamped so they rank ahead of
 #   re-stamps — novelty_streamed (the stream→table loop applied to the
 #   LLM-pipeline set: foreachBatch shingle-index + log-structured
 #   DF-count ingest, scored from queryable state), token_budget_mix
@@ -2705,16 +2780,18 @@ _register(
 #   quality_model_scores (hashed-feature linear quality filter),
 #   source_contamination (cross-source shared-shingle matrix),
 #   canonical_pick (keep the max-quality member per near-dup cluster),
-#   embedding_gram (partial-Gram covariance via mapInPandas partials);
-# * slots 20-50: 31 of the 48 queries whose latest stamp is r05 —
+#   embedding_gram (partial-Gram covariance via mapInPandas partials),
+#   unigram_surprisal (integer-bits LM perplexity-proxy filter),
+#   tfidf_keywords (per-doc top-5 terms by quantized tf-idf);
+# * slots 22-50: 29 of the 48 queries whose latest stamp is r05 —
 #   every r05-stale query in a round-7-touched module is included
 #   (dedup_*, decontamination, ann_lsh/ivf, curation_pipeline, the
 #   whole text.py family), plus the streaming set and 13 TPC-H shapes.
 #
-# 17 r05-stamped queries spill to r08 (the budget holds 50 of the 62
+# 19 r05-stamped queries spill to r08 (the budget holds 50 of the 64
 # due): agg_percentile, agg_histogram, agg_approx_percentile,
-# agg_approx_distinct, scalar_similarity, q2, q11, q13, q14, q15,
-# q16, q17, q18, q19, q20, q21, q22 — chosen because their modules
+# agg_approx_distinct, scalar_similarity, q2, q10, q11, q12, q13,
+# q14, q15, q16, q17, q18, q19, q20, q21, q22 — chosen because their modules
 # (operators/relational.py, functions/scalar.py) are untouched since
 # their r05 stamps (and untouched in r06/r07), so the stamp is stale
 # only in age, not in covered code. r05->r08 is exactly the
@@ -2753,6 +2830,8 @@ _HEAD = [
     "source_contamination",
     "canonical_pick",
     "embedding_gram",
+    "unigram_surprisal",
+    "tfidf_keywords",
     # -- stalest (r05-stamped) rotation: touched modules first --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -2784,8 +2863,6 @@ _HEAD = [
     "q7_volume_shipping",
     "q8_market_share",
     "q9_product_profit",
-    "q10_returned_items",
-    "q12_priority_shipping",
 ]
 
 _TAIL: list[str] = []

@@ -1294,3 +1294,82 @@ def test_embedding_gram_matches_numpy_and_partitioning(spark):
     # partition invariance: exact integers -> identical bits any layout
     skew = similarity.embedding_gram(emb.repartition(13)).collect()
     assert sorted(tuple(r) for r in skew) == sorted(tuple(r) for r in out)
+
+
+def test_unigram_surprisal_golden(spark):
+    """Pure-python replay of the integer-bits surprisal on a tiny
+    corpus, including the empty-document zeros contract."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the the the cat"),
+            (2, "the dog"),
+            (3, ""),
+        ],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in textops.unigram_surprisal(docs).collect()}
+    counts = {"the": 4, "cat": 1, "dog": 1}
+    n = 6
+    bits = {w: n.bit_length() - 1 - (c.bit_length() - 1) for w, c in counts.items()}
+    want1 = 3 * bits["the"] + bits["cat"]
+    assert (got[1].n_tokens, got[1].bits_sum) == (4, want1)
+    assert got[1].avg_bits == want1 / 4
+    want2 = bits["the"] + bits["dog"]
+    assert (got[2].n_tokens, got[2].bits_sum) == (2, want2)
+    assert (got[3].n_tokens, got[3].bits_sum, got[3].avg_bits) == (0, 0, 0.0)
+
+
+def test_unigram_surprisal_separates_boilerplate_from_rare(spark):
+    """A document made of the corpus's most common tokens must score
+    strictly below one made of singleton tokens (the filter's point)."""
+    rows = [(i, "common words repeated everywhere always") for i in range(20)]
+    rows.append((100, "zyx qwv unique singular hapax"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r.avg_bits for r in textops.unigram_surprisal(docs).collect()}
+    assert out[100] > out[0]
+    # all the boilerplate copies score identically
+    assert len({out[i] for i in range(20)}) == 1
+
+
+def test_tfidf_keywords_ranks_discriminative_terms(spark):
+    """A term present in every document has idf_bits 0 and can never
+    outrank a document-specific term; ranks are contiguous from 1 with
+    the word-asc tiebreak."""
+    docs = spark.createDataFrame(
+        [
+            (1, "common alpha alpha beta"),
+            (2, "common gamma"),
+            (3, "common delta delta delta"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = textops.tfidf_keywords(docs, k=3).collect()
+    by_doc: dict = {}
+    for r in rows:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, rs in by_doc.items():
+        assert [r.rank for r in rs] == list(range(1, len(rs) + 1))
+    # 'common' appears in all 3 docs: idf_bits = log2(3//1)... floor(log2 3)=1,
+    # floor(log2 3)-floor(log2 3)=0 -> score 0, always last
+    assert by_doc[1][0].word == "alpha" and by_doc[1][0].tf == 2
+    assert by_doc[2][0].word == "gamma"
+    assert by_doc[3][0].word == "delta" and by_doc[3][0].score == 3
+    for rs in by_doc.values():
+        common = [r for r in rs if r.word == "common"]
+        assert common and common[0].idf_bits == 0 and common[0].score == 0
+        assert common[0].rank == len(rs)
+
+
+def test_surprisal_and_tfidf_plans_never_shuffle_text(spark):
+    """Both operators' exchanges carry tokens/counts/doc ids — the raw
+    text column must not appear in any shuffle."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for op in (textops.unigram_surprisal, lambda d: textops.tfidf_keywords(d)):
+        plan = formatted_plan(op(docs))
+        exchange_lines = [
+            ln for ln in plan.splitlines() if "hashpartitioning" in ln
+        ]
+        assert exchange_lines, plan
+        assert not any("text#" in ln for ln in exchange_lines)

@@ -43,6 +43,7 @@ sys.path.insert(0, ".")
 from pyspark.sql import functions as F
 
 from flink_snappydata_spark.catalog import load_table
+from flink_snappydata_spark.pipeline import curation as _curation
 from flink_snappydata_spark.pipeline import dedup as D
 from flink_snappydata_spark.pipeline import similarity as S
 from flink_snappydata_spark.pipeline import text as T
@@ -99,6 +100,9 @@ OPS = {
     "bm25_topk": lambda d, e: T.bm25_topk(d),
     "novelty_scores": lambda d, e: T.novelty_scores(d),
     "quality_scores": lambda d, e: T.quality_scores(d),
+    "unigram_surprisal": lambda d, e: T.unigram_surprisal(d),
+    "tfidf_keywords": lambda d, e: T.tfidf_keywords(d),
+    "embedding_gram": lambda d, e: S.embedding_gram(e),
     "kmeans_train": lambda d, e: S.kmeans_train(e),
     "embedding_outliers": lambda d, e: S.embedding_outliers(e),
     "ivf_topk": lambda d, e: S.ivf_topk(e),
@@ -120,6 +124,12 @@ DEDUP_OPS = {
         D.ngram_jaccard_pairs(d, threshold=0.8)
     ),
     "dedup_simhash": lambda d: D.simhash_dedup_pairs(d),
+    # canonical_pick rides the same pair graph plus a quality-margin
+    # scan + cluster argmax — probed here so the keep/drop step has a
+    # measured decade alongside the clustering it extends.
+    "canonical_pick": lambda d: _curation.canonical_pick(
+        d, D.ngram_jaccard_pairs(d, threshold=0.8)
+    ),
 }
 
 
