@@ -654,6 +654,86 @@ def source_contamination(
     )
 
 
+#: repeated_passages defaults: window length in words and the anchor
+#: density (one expected anchor per PASSAGE_ANCHOR_MOD words).
+PASSAGE_WINDOW = 20
+PASSAGE_ANCHOR_MOD = 8
+
+
+def repeated_passages(
+    documents: DataFrame,
+    window_words: int = PASSAGE_WINDOW,
+    anchor_mod: int = PASSAGE_ANCHOR_MOD,
+    min_docs: int = 2,
+) -> DataFrame:
+    """Exact repeated-passage mining: ``window_words``-word passages
+    that occur verbatim in at least ``min_docs`` distinct documents —
+    the exact-substring flavor of dedup (boilerplate paragraphs, license
+    headers, syndicated passages embedded in otherwise-distinct pages)
+    that set-based shingle Jaccard deliberately ignores. The reference
+    engine has no analog; this extends the dedup family the same way
+    ``decontaminate`` does (cf. suffix-array exact-substring dedup in
+    the training-data literature, recast as a digest aggregation).
+
+    Windows are CONTENT-DEFINED, not stride-aligned: a window starts at
+    every *anchor word* — a word whose portable md5-prefix hash is
+    ``0 mod anchor_mod``. Anchoring is a pure function of the word, so
+    two documents sharing a passage sample the SAME windows regardless
+    of where the passage sits in either document (a fixed-stride grid
+    would miss unaligned copies). Detection contract (deterministic,
+    not probabilistic): any verbatim shared word run containing an
+    anchor word followed by ``window_words - 1`` more shared words is
+    reported; expected window density is one per ``anchor_mod`` words.
+
+    Returns ``(digest, n_docs, n_occ, first_doc)`` per repeated
+    passage, digest-sorted — sha256 of the passage text, so downstream
+    joins (e.g. masking the passage out of each document) key on a
+    fixed-width digest.
+
+    Scale: one projection computes anchors and windows in-kernel
+    (higher-order functions over the word array — no explode of every
+    position); the only shuffle is the digest aggregation with
+    map-side combine, carrying ~n_words/anchor_mod fixed-width rows per
+    document and never the text. The output is bounded by the number of
+    genuinely repeated passages.
+    """
+    ws = F.filter(
+        F.split(F.lower(F.col("text")), r"\W+"), lambda w: w != F.lit("")
+    )
+    docs = documents.select("doc_id", ws.alias("ws")).filter(
+        F.size("ws") >= window_words
+    )
+    word_hash = lambda w: F.conv(  # noqa: E731 — md5-prefix portable hash
+        F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10
+    ).cast("long")
+    anchors = F.filter(
+        F.sequence(F.lit(1), F.size("ws") - F.lit(window_words - 1)),
+        lambda i: F.pmod(word_hash(F.element_at(F.col("ws"), i)), F.lit(anchor_mod))
+        == F.lit(0),
+    )
+    windows = docs.select(
+        "doc_id", F.explode(anchors).alias("p"), F.col("ws")
+    ).select(
+        "doc_id",
+        F.sha2(
+            F.array_join(
+                F.slice(F.col("ws"), F.col("p"), window_words), " "
+            ).cast("binary"),
+            256,
+        ).alias("digest"),
+    )
+    return (
+        windows.groupBy("digest")
+        .agg(
+            F.count_distinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_occ"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy("digest")
+    )
+
+
 def neardup_clusters(
     pairs: DataFrame, max_iter: int = 20, expect_small: bool = True
 ) -> DataFrame:

@@ -1465,6 +1465,43 @@ _register(
         "inside each shingle's bounded source set — no index self-join).",
 )
 
+_register(
+    "repeated_passages",
+    ["documents"],
+    dedup.repeated_passages,
+    rf"""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    anch AS (
+        SELECT doc_id, ws,
+               unnest(list_filter(
+                   generate_series(1, len(ws) - {dedup.PASSAGE_WINDOW - 1}),
+                   i -> ('0x' || substr(md5(ws[i]), 1, 15))::BIGINT
+                        % {dedup.PASSAGE_ANCHOR_MOD} = 0)) AS p
+        FROM d WHERE len(ws) >= {dedup.PASSAGE_WINDOW}),
+    win AS (
+        SELECT doc_id,
+               sha256(array_to_string(
+                   list_slice(ws, p, p + {dedup.PASSAGE_WINDOW - 1}),
+                   ' ')) AS digest
+        FROM anch)
+    SELECT digest,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occ,
+           MIN(doc_id) AS first_doc
+    FROM win GROUP BY digest
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY digest
+    """,
+    doc="Exact repeated-passage mining: 20-word verbatim passages "
+        "shared by >=2 documents, found via content-defined anchor "
+        "words (md5-prefix mod) so unaligned copies sample identical "
+        "windows; only digests shuffle.",
+)
+
 
 def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
@@ -2155,6 +2192,37 @@ _register(
 )
 
 _register(
+    "image_resize_stats",
+    ["documents"],
+    lambda documents: multimodal.image_resize_table(
+        multimodal.synthesize_ppm(documents)
+    ).orderBy("doc_id"),
+    """
+    WITH px AS (
+        SELECT d.doc_id, u.t, ch.ch,
+               (d.doc_id * 31
+                + (((u.t * (1 + d.doc_id % 4)) // 2) * 3 + ch.ch)) % 256
+                   AS v
+        FROM documents d,
+             LATERAL (SELECT UNNEST(range(0, 2)) AS t) u,
+             LATERAL (SELECT UNNEST(range(0, 3)) AS ch) ch
+    )
+    SELECT doc_id,
+           CAST(2 AS INTEGER) AS out_w,
+           CAST(1 AS INTEGER) AS out_h,
+           CAST(SUM(v) AS BIGINT) AS sum_px,
+           AVG(CASE WHEN ch = 0 THEN v END) AS mean_r,
+           AVG(CASE WHEN ch = 1 THEN v END) AS mean_g,
+           AVG(CASE WHEN ch = 2 THEN v END) AS mean_b
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Decode -> nearest-neighbor resize -> stats of the RESIZED "
+        "pixels in one fused mapInPandas pass; the exact byte sum pins "
+        "the resize kernel's output against the closed-form floor-index "
+        "oracle bit-for-bit.",
+)
+
+_register(
     "audio_decode_stats",
     ["documents"],
     lambda documents: multimodal.audio_stats_table(
@@ -2772,7 +2840,7 @@ _register(
 #   dedup_simhash, dedup_clusters; pipeline/similarity.py
 #   (semantic_neardup_pairs sort gating): ann_cosine_topk,
 #   embedding_neardup, label_centroids;
-# * slots 14-21: NEW in round 7, never-stamped so they rank ahead of
+# * slots 14-23: NEW in round 7, never-stamped so they rank ahead of
 #   re-stamps — novelty_streamed (the stream→table loop applied to the
 #   LLM-pipeline set: foreachBatch shingle-index + log-structured
 #   DF-count ingest, scored from queryable state), token_budget_mix
@@ -2782,16 +2850,19 @@ _register(
 #   canonical_pick (keep the max-quality member per near-dup cluster),
 #   embedding_gram (partial-Gram covariance via mapInPandas partials),
 #   unigram_surprisal (integer-bits LM perplexity-proxy filter),
-#   tfidf_keywords (per-doc top-5 terms by quantized tf-idf);
-# * slots 22-50: 29 of the 48 queries whose latest stamp is r05 —
+#   tfidf_keywords (per-doc top-5 terms by quantized tf-idf),
+#   repeated_passages (content-defined exact passage duplication),
+#   image_resize_stats (decode -> resize kernel -> exact byte-sum pin);
+# * slots 24-50: 27 of the 48 queries whose latest stamp is r05 —
 #   every r05-stale query in a round-7-touched module is included
 #   (dedup_*, decontamination, ann_lsh/ivf, curation_pipeline, the
 #   whole text.py family), plus the streaming set and 13 TPC-H shapes.
 #
-# 19 r05-stamped queries spill to r08 (the budget holds 50 of the 64
+# 21 r05-stamped queries spill to r08 (the budget holds 50 of the 66
 # due): agg_percentile, agg_histogram, agg_approx_percentile,
-# agg_approx_distinct, scalar_similarity, q2, q10, q11, q12, q13,
-# q14, q15, q16, q17, q18, q19, q20, q21, q22 — chosen because their modules
+# agg_approx_distinct, scalar_similarity, q2, q8, q9, q10, q11, q12,
+# q13, q14, q15, q16, q17, q18, q19, q20, q21, q22 — chosen because their
+# modules
 # (operators/relational.py, functions/scalar.py) are untouched since
 # their r05 stamps (and untouched in r06/r07), so the stamp is stale
 # only in age, not in covered code. r05->r08 is exactly the
@@ -2832,6 +2903,8 @@ _HEAD = [
     "embedding_gram",
     "unigram_surprisal",
     "tfidf_keywords",
+    "repeated_passages",
+    "image_resize_stats",
     # -- stalest (r05-stamped) rotation: touched modules first --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -2861,8 +2934,6 @@ _HEAD = [
     "q5_local_supplier_volume",
     "q6_forecast_revenue",
     "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
 ]
 
 _TAIL: list[str] = []

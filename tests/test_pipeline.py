@@ -1373,3 +1373,131 @@ def test_surprisal_and_tfidf_plans_never_shuffle_text(spark):
         ]
         assert exchange_lines, plan
         assert not any("text#" in ln for ln in exchange_lines)
+
+
+def _anchor_word(mod: int = 8, want: bool = True, start: int = 0) -> str:
+    """Deterministically find a word whose md5-prefix hash is (or is
+    not) 0 mod ``mod`` — mirrors the engine's anchor predicate."""
+    import hashlib
+
+    i = start
+    while True:
+        w = f"tok{i}"
+        h = int(hashlib.md5(w.encode()).hexdigest()[:15], 16)
+        if (h % mod == 0) == want:
+            return w
+        i += 1
+
+
+def test_repeated_passages_detects_unaligned_copies(spark):
+    """A verbatim 25-word passage embedded at DIFFERENT offsets in two
+    otherwise-distinct documents must be reported: content-defined
+    anchors make window choice alignment-independent."""
+    anchor = _anchor_word(want=True)
+    fillers = [_anchor_word(want=False, start=1000 + 37 * j) for j in range(40)]
+    # passage: anchor first, then 24 non-anchor words -> exactly one
+    # window, identical in both documents
+    passage = [anchor] + fillers[:24]
+    doc_a = " ".join(fillers[24:30] + passage + fillers[30:34])
+    doc_b = " ".join(fillers[34:40] + fillers[24:27] + passage)
+    doc_c = " ".join(fillers[24:40] + fillers[:9])  # no shared passage
+    docs = spark.createDataFrame(
+        [(1, doc_a), (2, doc_b), (3, doc_c)], ["doc_id", "text"]
+    )
+    rows = dedup.repeated_passages(docs).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert (r.n_docs, r.n_occ, r.first_doc) == (2, 2, 1)
+    import hashlib
+
+    want_digest = hashlib.sha256(
+        " ".join(passage[:20]).encode()
+    ).hexdigest()
+    assert r.digest == want_digest
+
+
+def test_repeated_passages_ignores_within_doc_and_unique(spark):
+    """A passage repeated only WITHIN one document stays below the
+    min_docs=2 bar; fully distinct corpora report nothing."""
+    anchor = _anchor_word(want=True)
+    fillers = [_anchor_word(want=False, start=5000 + 13 * j) for j in range(60)]
+    passage = [anchor] + fillers[:19]
+    twice = " ".join(passage + fillers[19:25] + passage)
+    docs = spark.createDataFrame(
+        [(1, twice), (2, " ".join(fillers[25:60]))], ["doc_id", "text"]
+    )
+    assert dedup.repeated_passages(docs).collect() == []
+    # ...but the same repetition across two docs IS reported with
+    # occurrence accounting (3 occurrences, 2 docs)
+    docs2 = spark.createDataFrame(
+        [(1, twice), (2, " ".join(fillers[25:31] + passage))],
+        ["doc_id", "text"],
+    )
+    rows = dedup.repeated_passages(docs2).collect()
+    assert len(rows) == 1
+    assert (rows[0].n_docs, rows[0].n_occ) == (2, 3)
+
+
+def test_repeated_passages_matches_python_replay_on_fixture(spark):
+    """Full python replay of anchoring + windowing + digesting on the
+    fixture corpus (whatever it contains — the replay defines truth)."""
+    import hashlib
+    import re
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    got = {
+        r.digest: (r.n_docs, r.n_occ, r.first_doc)
+        for r in dedup.repeated_passages(docs).collect()
+    }
+    W, M = dedup.PASSAGE_WINDOW, dedup.PASSAGE_ANCHOR_MOD
+    occ: dict = {}
+    for row in docs.select("doc_id", "text").collect():
+        ws = [w for w in re.split(r"\W+", row.text.lower(), flags=re.ASCII) if w]
+        for i in range(len(ws) - W + 1):
+            h = int(hashlib.md5(ws[i].encode()).hexdigest()[:15], 16)
+            if h % M == 0:
+                d = hashlib.sha256(" ".join(ws[i : i + W]).encode()).hexdigest()
+                occ.setdefault(d, []).append(row.doc_id)
+    want = {
+        d: (len(set(ids)), len(ids), min(ids))
+        for d, ids in occ.items()
+        if len(set(ids)) >= 2
+    }
+    assert got == want
+
+
+def test_resize_image_golden():
+    """Nearest-neighbor floor-index mapping on the 4x2 PPM golden:
+    downsample, identity, and upsample cases, plus input validation."""
+    img = multimodal.decode_image(_golden_ppm_p6())
+    # downsample 4x2 -> 2x1: picks src (y=0, x=0) and (y=0, x=2)
+    small = multimodal.resize_image(img, 2, 1)
+    assert (small["width"], small["height"]) == (2, 1)
+    assert small["pixels"] == bytes([255, 0, 0, 0, 0, 255])  # red, blue
+    # identity resize returns the same buffer
+    same = multimodal.resize_image(img, 4, 2)
+    assert same["pixels"] == img["pixels"]
+    # upsample 4x2 -> 8x2 duplicates each column
+    big = multimodal.resize_image(img, 8, 2)
+    assert big["pixels"][0:6] == bytes([255, 0, 0, 255, 0, 0])
+    assert len(big["pixels"]) == 8 * 2 * 3
+    with pytest.raises(ValueError, match="resize target"):
+        multimodal.resize_image(img, 0, 1)
+
+
+def test_image_resize_table_matches_local_kernel(spark):
+    """The distributed fused decode+resize pass must equal running the
+    same two pure functions locally on each payload."""
+    docs = load_table(spark, SF_SMOKE, "documents").limit(8)
+    media = multimodal.synthesize_ppm(docs)
+    got = {r.doc_id: r for r in multimodal.image_resize_table(media).collect()}
+    for row in media.collect():
+        img = multimodal.resize_image(
+            multimodal.decode_image(bytes(row.content)), 2, 1
+        )
+        px = img["pixels"]
+        r = got[row.doc_id]
+        assert r.sum_px == sum(px)
+        assert r.mean_r == (px[0] + px[3]) / 2
+        assert r.mean_g == (px[1] + px[4]) / 2
+        assert r.mean_b == (px[2] + px[5]) / 2

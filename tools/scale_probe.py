@@ -124,6 +124,7 @@ DEDUP_OPS = {
         D.ngram_jaccard_pairs(d, threshold=0.8)
     ),
     "dedup_simhash": lambda d: D.simhash_dedup_pairs(d),
+    "repeated_passages": lambda d: D.repeated_passages(d),
     # canonical_pick rides the same pair graph plus a quality-margin
     # scan + cluster argmax — probed here so the keep/drop step has a
     # measured decade alongside the clustering it extends.
