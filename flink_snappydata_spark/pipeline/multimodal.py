@@ -550,6 +550,76 @@ def image_stats_table(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=IMAGE_STATS_SCHEMA)
 
 
+def resize_image(img: dict, out_w: int, out_h: int) -> dict:
+    """Nearest-neighbor resize of a decoded image dict (as returned by
+    :func:`decode_image`): output pixel ``(y, x)`` copies source pixel
+    ``(y*h // out_h, x*w // out_w)`` — the standard floor-index mapping,
+    integer-exact so any engine reproduces the same bytes. Returns a
+    new image dict with the resized ``pixels`` buffer."""
+    if out_w <= 0 or out_h <= 0:
+        raise ValueError("resize target must be positive")
+    w, h, ch = img["width"], img["height"], img["channels"]
+    src = img["pixels"]
+    out = bytearray(out_w * out_h * ch)
+    pos = 0
+    for y in range(out_h):
+        ys = y * h // out_h
+        row = ys * w * ch
+        for x in range(out_w):
+            xs = x * w // out_w
+            base = row + xs * ch
+            out[pos : pos + ch] = src[base : base + ch]
+            pos += ch
+    return {**img, "width": out_w, "height": out_h, "pixels": bytes(out)}
+
+
+RESIZE_STATS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_w", T.IntegerType()),
+        T.StructField("out_h", T.IntegerType()),
+        T.StructField("sum_px", T.LongType()),
+        T.StructField("mean_r", T.DoubleType()),
+        T.StructField("mean_g", T.DoubleType()),
+        T.StructField("mean_b", T.DoubleType()),
+    ]
+)
+
+
+def image_resize_table(
+    media: DataFrame, out_w: int = 2, out_h: int = 1
+) -> DataFrame:
+    """Distributed decode → :func:`resize_image` → per-channel stats of
+    the RESIZED pixels: the thumbnail/preprocess step of an image
+    pipeline, with the real codec and the real resize kernel inside the
+    same Arrow batch loop (one fused mapInPandas pass — blobs never
+    cross a stage boundary twice). ``sum_px`` is the exact int64 byte
+    sum of the resized buffer, so the oracle pins the resize output
+    bit-for-bit, not just its means."""
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                img = resize_image(decode_image(bytes(content)), out_w, out_h)
+                px = img["pixels"]
+                ch = img["channels"]
+                n = out_w * out_h
+                means = [
+                    sum(px[i] for i in range(c, len(px), ch)) / n
+                    for c in range(min(ch, 3))
+                ]
+                means += [float("nan")] * (3 - len(means))
+                rows.append(
+                    (int(doc_id), out_w, out_h, sum(px), *means)
+                )
+            yield pd.DataFrame(
+                rows, columns=[f.name for f in RESIZE_STATS_SCHEMA.fields]
+            )
+
+    return media.mapInPandas(_stats, schema=RESIZE_STATS_SCHEMA)
+
+
 def media_feature_table(documents: DataFrame) -> DataFrame:
     """Declared-query surface: attach binary → extract features → stable
     scalar columns (oracle-checkable: byte_len vs strlen, sha_hex vs
