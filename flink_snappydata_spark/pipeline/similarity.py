@@ -485,6 +485,61 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def semantic_decontamination(
+    train: DataFrame,
+    eval_set: DataFrame,
+    threshold: float = 0.45,
+    eval_cap: int | None = ALL_PAIRS_ROW_CAP,
+) -> DataFrame:
+    """Embedding-space benchmark decontamination: flag training vectors
+    whose cosine to ANY eval-set vector reaches ``threshold`` — the
+    semantic twin of the n-gram :func:`~flink_snappydata_spark.pipeline.
+    dedup.decontaminate` (which catches verbatim leakage; this catches
+    paraphrases and re-renderings that share an embedding neighborhood).
+
+    Returns one row per contaminated training vector:
+    ``(vec_id, n_matches, best_eval, best_cosine)`` — match count, the
+    highest-cosine eval vector (ties → lowest eval id), and that
+    cosine. Scores are the engine-portable exact-quantized-cosine
+    expression used by every similarity op here.
+
+    Scale: the eval side is a BENCHMARK — thousands of rows by nature,
+    bounded by ``eval_cap`` (same guard as the quadratic baselines) —
+    so it broadcasts and the train side streams through in one scan:
+    per-row work is |eval|·D fused in-kernel multiply-adds, no shuffle
+    until the final per-vector aggregation (map-side combined, one
+    narrow row per flagged vector). If an eval set ever outgrew the
+    broadcast, the cluster-bounded SemDeDup join
+    (:func:`semantic_neardup_pairs`) is the shape to switch to.
+    """
+    _guard_all_pairs(
+        eval_set, "semantic_decontamination's eval side",
+        "semantic_neardup_pairs", eval_cap,
+    )
+    qt = quantized(train)
+    qe = quantized(eval_set).select(
+        F.col("vec_id").alias("eval_id"),
+        F.col("qe").alias("eq"),
+        F.col("norm_sq").alias("en"),
+    )
+    cos = _cosine(_dot(F.col("qe"), F.col("eq")), F.col("norm_sq"), F.col("en"))
+    return (
+        qt.join(F.broadcast(qe))
+        .select("vec_id", "eval_id", cos.alias("cosine"))
+        .filter(F.col("cosine") >= threshold)
+        .groupBy("vec_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_matches"),
+            F.max_by(
+                "eval_id",
+                F.struct(F.col("cosine"), (-F.col("eval_id")).alias("nd")),
+            ).alias("best_eval"),
+            F.max("cosine").alias("best_cosine"),
+        )
+        .orderBy("vec_id")
+    )
+
+
 def embedding_gram(embeddings: DataFrame) -> DataFrame:
     """Exact Gram + covariance matrix of the embedding corpus — the
     second-moment statistics that drive PCA whitening, spectral

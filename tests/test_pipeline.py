@@ -1501,3 +1501,133 @@ def test_image_resize_table_matches_local_kernel(spark):
         assert r.mean_r == (px[0] + px[3]) / 2
         assert r.mean_g == (px[1] + px[4]) / 2
         assert r.mean_b == (px[2] + px[5]) / 2
+
+
+def test_semantic_decontamination_flags_planted_leak(spark):
+    """A training vector that is an exact copy of an eval vector is
+    flagged with cosine exactly 1.0; orthogonal vectors are not."""
+    dim = 64
+    e1 = [1.0] + [0.0] * (dim - 1)
+    e2 = [0.0, 1.0] + [0.0] * (dim - 2)
+    ortho = [0.0, 0.0, 1.0] + [0.0] * (dim - 3)
+    schema = T.StructType(
+        [
+            T.StructField("vec_id", T.LongType()),
+            T.StructField("embedding", T.ArrayType(T.FloatType())),
+        ]
+    )
+    eval_set = spark.createDataFrame([(100, e1), (101, e2)], schema)
+    train = spark.createDataFrame(
+        [(1, e1), (2, ortho), (3, [x * 0.5 for x in e2])], schema
+    )
+    rows = {
+        r.vec_id: r
+        for r in similarity.semantic_decontamination(
+            train, eval_set, threshold=0.9
+        ).collect()
+    }
+    assert set(rows) == {1, 3}  # 3 is a scaled copy: cosine 1.0 too
+    assert rows[1].best_eval == 100 and rows[1].best_cosine == 1.0
+    assert rows[3].best_eval == 101 and rows[3].best_cosine == 1.0
+    assert rows[1].n_matches == 1
+
+
+def test_semantic_decontamination_matches_numpy_replay(spark):
+    """Fixture replay: flags, counts, argmaxes, and cosines must equal
+    a dense numpy recomputation of the same quantized formula."""
+    import numpy as np
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    train = emb.filter(F.pmod("vec_id", F.lit(50)) != 0)
+    ev = emb.filter(F.pmod("vec_id", F.lit(50)) == 0)
+    got = {
+        r.vec_id: (r.n_matches, r.best_eval, r.best_cosine)
+        for r in similarity.semantic_decontamination(
+            train, ev, threshold=0.35
+        ).collect()
+    }
+
+    def mat(df):
+        rows = sorted(
+            (r.vec_id, r.embedding) for r in df.collect()
+        )
+        ids = [i for i, _ in rows]
+        q = np.array(
+            [[int(np.floor(float(x) * 1e6 + 0.5)) for x in v] for _, v in rows],
+            dtype=np.int64,
+        )
+        return ids, q
+
+    tids, tq = mat(train)
+    eids, eq = mat(ev)
+    dots = tq @ eq.T
+    tn = (tq * tq).sum(axis=1)
+    en = (eq * eq).sum(axis=1)
+    cos = (dots / 1e12) / np.sqrt(
+        (tn[:, None] / 1e12) * (en[None, :] / 1e12)
+    )
+    want = {}
+    for i, tid in enumerate(tids):
+        hit = cos[i] >= 0.35
+        if hit.any():
+            best = int(np.argmax(cos[i]))  # eids sorted asc -> lowest tie
+            want[tid] = (int(hit.sum()), eids[best], float(cos[i][best]))
+    assert got == want
+    assert len(got) > 0
+
+
+def test_semantic_decontamination_guards_eval_size(spark):
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(30)
+    with pytest.raises(ValueError, match="eval side"):
+        similarity.semantic_decontamination(
+            emb, emb, eval_cap=10
+        ).collect()
+
+
+def test_dedup_report_planted_corpus(spark):
+    """Three exact copies + one near-dup pair + singletons: every
+    column of the one-row report checked against hand counts."""
+    from flink_snappydata_spark.pipeline import curation
+
+    base = "the quick brown fox jumps over the lazy dog near the old river bank"
+    docs = spark.createDataFrame(
+        [
+            (1, base),
+            (2, base),          # exact copy of 1
+            (3, base),          # exact copy of 1
+            (4, base + " now"),  # near-dup of 1/2/3 (high jaccard)
+            (5, "completely different text about catalyst shuffle planning"),
+        ],
+        ["doc_id", "text"],
+    )
+    row = curation.dedup_report(docs).collect()
+    assert len(row) == 1
+    r = row[0]
+    assert r.n_docs == 5
+    assert r.n_distinct_texts == 3
+    assert r.exact_dup_docs == 2
+    # one cluster {1,2,3,4}; doc 5 has no pair
+    assert r.n_neardup_docs == 4
+    assert r.n_neardup_clusters == 1
+    assert r.max_cluster_size == 4
+
+
+def test_dedup_report_empty_pair_graph(spark):
+    """A corpus with no near-dups reports zero cluster stats (the
+    empty-aggregate coalesces), not nulls."""
+    from flink_snappydata_spark.pipeline import curation
+
+    docs = spark.createDataFrame(
+        [
+            (1, "alpha beta gamma delta epsilon zeta eta theta iota"),
+            (2, "one two three four five six seven eight nine ten"),
+        ],
+        ["doc_id", "text"],
+    )
+    r = curation.dedup_report(docs).collect()[0]
+    assert (r.n_docs, r.n_distinct_texts, r.exact_dup_docs) == (2, 2, 0)
+    assert (r.n_neardup_docs, r.n_neardup_clusters, r.max_cluster_size) == (
+        0,
+        0,
+        0,
+    )

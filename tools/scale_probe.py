@@ -103,6 +103,13 @@ OPS = {
     "unigram_surprisal": lambda d, e: T.unigram_surprisal(d),
     "tfidf_keywords": lambda d, e: T.tfidf_keywords(d),
     "embedding_gram": lambda d, e: S.embedding_gram(e),
+    # eval side = 2% id split of the (replicated) corpus — grows with
+    # the probe factor, so this measures the broadcast-scan product.
+    "semantic_decontamination": lambda d, e: S.semantic_decontamination(
+        e.filter(F.pmod("vec_id", F.lit(50)) != 0),
+        e.filter(F.pmod("vec_id", F.lit(50)) == 0),
+        threshold=0.35,
+    ),
     "kmeans_train": lambda d, e: S.kmeans_train(e),
     "embedding_outliers": lambda d, e: S.embedding_outliers(e),
     "ivf_topk": lambda d, e: S.ivf_topk(e),
@@ -125,6 +132,7 @@ DEDUP_OPS = {
     ),
     "dedup_simhash": lambda d: D.simhash_dedup_pairs(d),
     "repeated_passages": lambda d: D.repeated_passages(d),
+    "dedup_report": lambda d: _curation.dedup_report(d),
     # canonical_pick rides the same pair graph plus a quality-margin
     # scan + cluster argmax — probed here so the keep/drop step has a
     # measured decade alongside the clustering it extends.
