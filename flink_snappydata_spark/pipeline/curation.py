@@ -89,3 +89,49 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
         .select("doc_id", "n_copies", "pred_lang", "n_words")
         .orderBy("doc_id")
     )
+
+
+def dedup_report(
+    documents: DataFrame, pairs: DataFrame | None = None
+) -> DataFrame:
+    """One-row corpus duplication report: the summary a pipeline
+    operator reads BEFORE choosing dedup policy — how much mass exact
+    dedup would remove, how much near-dup clustering would, and whether
+    one giant cluster (a template/mirror blowup) dominates.
+
+    Columns: ``n_docs``, ``n_distinct_texts`` (exact), ``exact_dup_docs``
+    (rows exact dedup would drop), ``n_neardup_docs`` / ``n_neardup_clusters``
+    (documents/components in the near-dup pair graph), ``max_cluster_size``
+    (0 when the graph is empty).
+
+    Scale: the distinct-text count groups on the sha256 digest, never
+    the text; cluster stats are two tiny aggregations over the label
+    frame (itself bounded by the prefix-filtered pair graph); the three
+    one-row frames meet in broadcast cross joins.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents)
+    labels = neardup_clusters(pairs, expect_small=False)
+    base = documents.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count_distinct(F.sha2(F.col("text").cast("binary"), 256)).alias(
+            "n_distinct_texts"
+        ),
+    )
+    cl = (
+        labels.groupBy("cluster_id")
+        .agg(F.count(F.lit(1)).alias("sz"))
+        .agg(
+            F.coalesce(F.sum("sz"), F.lit(0)).cast("long").alias("n_neardup_docs"),
+            F.count(F.lit(1)).alias("n_neardup_clusters"),
+            F.coalesce(F.max("sz"), F.lit(0)).cast("long").alias("max_cluster_size"),
+        )
+    )
+    return base.crossJoin(F.broadcast(cl)).select(
+        "n_docs",
+        "n_distinct_texts",
+        (F.col("n_docs") - F.col("n_distinct_texts")).alias("exact_dup_docs"),
+        "n_neardup_docs",
+        "n_neardup_clusters",
+        "max_cluster_size",
+    )
