@@ -88,7 +88,9 @@ _QM_MOD = 1 << 31
 _QM_CENTER = 1 << 30
 
 
-def quality_model_scores(documents: DataFrame, threshold: float = 0.0) -> DataFrame:
+def quality_model_scores(
+    documents: DataFrame, threshold: float = 0.0, sort: bool = True
+) -> DataFrame:
     """Model-based quality scoring: a linear classifier over
     hashing-trick token features (the fastText-filter shape used to
     score web documents for pre-training corpora).
@@ -133,16 +135,15 @@ def quality_model_scores(documents: DataFrame, threshold: float = 0.0) -> DataFr
         score_sum.cast("double")
         / (n_words * F.lit(_QM_CENTER)).cast("double"),
     ).otherwise(F.lit(0.0))
-    return (
-        documents.select(
-            "doc_id",
-            n_words.alias("n_words"),
-            score_sum.alias("score_sum"),
-            margin.alias("margin"),
-        )
-        .withColumn("keep", F.col("margin") > F.lit(threshold))
-        .orderBy("doc_id")
-    )
+    out = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        score_sum.alias("score_sum"),
+        margin.alias("margin"),
+    ).withColumn("keep", F.col("margin") > F.lit(threshold))
+    # sort=False: streaming-at-ingest form (append sinks reject sorts);
+    # identical rows, presentation order dropped.
+    return out.orderBy("doc_id") if sort else out
 
 
 #: Default keyword query for the registered BM25 retrieval op (terms

@@ -95,3 +95,27 @@ def test_oracle_result_types_are_portable():
     finally:
         con.close()
     assert not offenders, f"non-portable oracle result types: {offenders}"
+
+
+#: Round-7 additions, re-checked at the smoke scale as well (same
+#: rationale as the round-6 list above).
+_R7_QUERIES = [
+    "novelty_streamed",
+    "token_budget_mix",
+    "quality_model_scores",
+    "source_contamination",
+    "canonical_pick",
+    "embedding_gram",
+    "unigram_surprisal",
+    "tfidf_keywords",
+    "repeated_passages",
+    "image_resize_stats",
+    "semantic_decontamination",
+    "dedup_report",
+]
+
+
+@pytest.mark.parametrize("name", _R7_QUERIES)
+def test_round7_queries_match_oracle_at_smoke_scale(spark, name):
+    problems = check_query(spark, name, "/root/testdata/sf0.001")
+    assert not problems, f"{name}@sf0.001: " + "; ".join(problems)

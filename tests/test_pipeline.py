@@ -1631,3 +1631,27 @@ def test_dedup_report_empty_pair_graph(spark):
         0,
         0,
     )
+
+
+def test_round7_graph_ops_never_shuffle_text(spark):
+    """source_contamination, canonical_pick, and dedup_report shuffle
+    shingle/doc/cluster keys and counts — never the document body."""
+    from flink_snappydata_spark.pipeline import curation
+    from flink_snappydata_spark.plans import formatted_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    for df in (
+        dedup.source_contamination(docs),
+        curation.canonical_pick(docs),
+        curation.dedup_report(docs),
+        dedup.repeated_passages(docs),
+    ):
+        plan = formatted_plan(df)
+        exchange_lines = [
+            ln for ln in plan.splitlines() if "hashpartitioning" in ln
+        ]
+        for ln in exchange_lines:
+            # a digest computed FROM text is a fixed-width key, which is
+            # the intended design (exact_dedup idiom); the raw column as
+            # a partitioning key would be the violation
+            assert ln.count("text#") == ln.count("sha2(cast(text#"), ln

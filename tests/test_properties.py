@@ -408,3 +408,165 @@ def test_novelty_matches_naive_on_arbitrary_corpora(spark, raw):
         assert got[i].n_shingles == n
         assert got[i].novelty == uniq / n
         assert got[i].boilerplate_frac == common / n
+
+
+# ---------------------------------------------------------------------------
+# Round-7 corpus-statistics ops vs naive references
+# ---------------------------------------------------------------------------
+
+_docs_maybe_empty = st.lists(
+    st.lists(st.sampled_from(_WORDS), min_size=0, max_size=12),
+    min_size=1,
+    max_size=12,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_docs_maybe_empty)
+def test_unigram_surprisal_matches_naive(spark, raw):
+    """Integer-bits surprisal equals a python bit_length replay on
+    arbitrary corpora, including empty documents and the all-one-word
+    corpus (every token's bits = 0)."""
+    from flink_snappydata_spark.pipeline.text import unigram_surprisal
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(raw)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.doc_id: (r.n_tokens, r.bits_sum, r.avg_bits)
+        for r in unigram_surprisal(df).collect()
+    }
+    counts: dict = {}
+    for ws in raw:
+        for w in ws:
+            counts[w] = counts.get(w, 0) + 1
+    n = sum(counts.values())
+    for i, ws in enumerate(raw):
+        if not ws:
+            assert got[i] == (0, 0, 0.0)
+            continue
+        bits = sum(
+            (n.bit_length() - 1) - (counts[w].bit_length() - 1) for w in ws
+        )
+        assert got[i] == (len(ws), bits, bits / len(ws))
+    assert set(got) == set(range(len(raw)))
+
+
+@settings(max_examples=15, deadline=None)
+@given(_docs_strategy)
+def test_tfidf_keywords_matches_naive(spark, raw):
+    """Quantized tf-idf ranking equals the python replay: same scores,
+    same (score desc, word asc) order, top-k cut included."""
+    from flink_snappydata_spark.pipeline.text import tfidf_keywords
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(raw)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    k = 4
+    got: dict = {}
+    for r in tfidf_keywords(df, k=k).collect():
+        got.setdefault(r.doc_id, []).append(
+            (r.rank, r.word, r.tf, r.idf_bits, r.score)
+        )
+    d = len(raw)
+    df_t: dict = {}
+    for ws in raw:
+        for w in set(ws):
+            df_t[w] = df_t.get(w, 0) + 1
+    for i, ws in enumerate(raw):
+        tf: dict = {}
+        for w in ws:
+            tf[w] = tf.get(w, 0) + 1
+        scored = [
+            (
+                w,
+                tf[w],
+                (d.bit_length() - 1) - (df_t[w].bit_length() - 1),
+                tf[w] * ((d.bit_length() - 1) - (df_t[w].bit_length() - 1)),
+            )
+            for w in tf
+        ]
+        scored.sort(key=lambda t: (-t[3], t[0]))
+        want = [
+            (r + 1, w, f, ib, s)
+            for r, (w, f, ib, s) in enumerate(scored[:k])
+        ]
+        assert got.get(i, []) == want
+
+
+@settings(max_examples=15, deadline=None)
+@given(_docs_maybe_empty, st.integers(2, 4), st.integers(1, 3))
+def test_repeated_passages_matches_naive(spark, raw, window, mod):
+    """Anchored passage mining equals the full python replay for any
+    corpus, window length, and anchor density (mod=1 anchors every
+    eligible position — the stride-1 exhaustive case)."""
+    import hashlib
+
+    from flink_snappydata_spark.pipeline.dedup import repeated_passages
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(raw)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {
+        r.digest: (r.n_docs, r.n_occ, r.first_doc)
+        for r in repeated_passages(
+            df, window_words=window, anchor_mod=mod
+        ).collect()
+    }
+    occ: dict = {}
+    for i, ws in enumerate(raw):
+        for p in range(len(ws) - window + 1):
+            h = int(hashlib.md5(ws[p].encode()).hexdigest()[:15], 16)
+            if h % mod == 0:
+                dg = hashlib.sha256(
+                    " ".join(ws[p : p + window]).encode()
+                ).hexdigest()
+                occ.setdefault(dg, []).append(i)
+    want = {
+        dg: (len(set(ids)), len(ids), min(ids))
+        for dg, ids in occ.items()
+        if len(set(ids)) >= 2
+    }
+    assert got == want
+
+
+@settings(max_examples=10, deadline=None)
+@given(
+    st.lists(
+        st.tuples(
+            st.lists(st.sampled_from(_WORDS), min_size=0, max_size=10),
+            st.sampled_from(["s0", "s1", "s2"]),
+        ),
+        min_size=1,
+        max_size=10,
+    )
+)
+def test_source_contamination_matches_naive(spark, raw):
+    """The in-array pair expansion equals the naive per-source shingle
+    vocabulary intersection for arbitrary corpora and source labels."""
+    from flink_snappydata_spark.pipeline.dedup import source_contamination
+
+    rows = [(i, " ".join(ws), src) for i, (ws, src) in enumerate(raw)]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    got = {
+        (r.src_a, r.src_b): (r.n_shared, r.jaccard)
+        for r in source_contamination(df).collect()
+    }
+    vocab: dict = {}
+    for ws, src in raw:
+        if len(ws) >= 3:
+            shs = {" ".join(ws[i : i + 3]) for i in range(len(ws) - 2)}
+        else:
+            shs = {" ".join(ws)}
+        vocab.setdefault(src, set()).update(shs)
+    want = {}
+    srcs = sorted(vocab)
+    for ai, sa in enumerate(srcs):
+        for sb in srcs[ai + 1 :]:
+            inter = len(vocab[sa] & vocab[sb])
+            if inter:
+                want[(sa, sb)] = (
+                    inter,
+                    inter / len(vocab[sa] | vocab[sb]),
+                )
+    assert got.keys() == want.keys()
+    for key, (ns, j) in want.items():
+        assert got[key][0] == ns
+        assert abs(got[key][1] - j) < 1e-12

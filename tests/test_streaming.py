@@ -394,6 +394,16 @@ def test_streaming_stateless_curation_ops(spark):
     want = _sorted(pii_redaction(batch, synthesize=True).toPandas())
     pd.testing.assert_frame_equal(got, want)
 
+    # the hashed-linear quality model is likewise per-row stateless —
+    # the same expressions score documents at ingest (sort=False form).
+    from flink_snappydata_spark.pipeline.text import quality_model_scores
+
+    qm = quality_model_scores(stream, sort=False)
+    runtime.run_to_memory_sink(qm, "stream_qm", output_mode="append")
+    got = _sorted(spark.table("stream_qm").toPandas())
+    want = _sorted(quality_model_scores(batch).toPandas())
+    pd.testing.assert_frame_equal(got, want)
+
 
 def test_kafka_source_spec_options(spark):
     """The options dict IS what reader() feeds Spark — asserting it
