@@ -133,6 +133,17 @@ def token_budget_assign(
     source, n_tokens, total_tokens, threshold, keep) one row per input
     document.
     """
+    docs = _doc_mix_features(documents, salt)
+    totals = docs.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    return _assign_from_totals(docs, totals, budget_tokens)
+
+
+def _doc_mix_features(documents: DataFrame, salt: str) -> DataFrame:
+    """(doc_id, source, n_tokens, bucket) — the cheap per-row mixing
+    features, factored out so the streaming ingest computes them once
+    per document at arrival (same expressions, same results)."""
     n_tok = (
         F.size(
             F.filter(
@@ -146,23 +157,27 @@ def token_budget_assign(
         portable_hash(F.col("doc_id").cast("long")) + F.lit(salt_int),
         F.lit(SPLIT_BUCKETS),
     )
-    docs = documents.select(
+    return documents.select(
         "doc_id", "source", n_tok.alias("n_tokens"), bucket.alias("bucket")
     )
-    thresholds = (
-        docs.groupBy("source")
-        .agg(F.sum("n_tokens").alias("total_tokens"))
-        .select(
-            "source",
-            "total_tokens",
-            F.least(
-                F.lit(SPLIT_BUCKETS).cast("long"),
-                F.expr(
-                    f"CAST({budget_tokens * SPLIT_BUCKETS} AS BIGINT)"
-                    " DIV GREATEST(total_tokens, CAST(1 AS BIGINT))"
-                ),
-            ).alias("threshold"),
-        )
+
+
+def _assign_from_totals(
+    docs: DataFrame, totals: DataFrame, budget_tokens: int
+) -> DataFrame:
+    """Thresholds from per-source totals, broadcast back over the doc
+    features — shared by the batch op and the streaming state scorer
+    so both produce the identical keep set."""
+    thresholds = totals.select(
+        "source",
+        "total_tokens",
+        F.least(
+            F.lit(SPLIT_BUCKETS).cast("long"),
+            F.expr(
+                f"CAST({budget_tokens * SPLIT_BUCKETS} AS BIGINT)"
+                " DIV GREATEST(total_tokens, CAST(1 AS BIGINT))"
+            ),
+        ).alias("threshold"),
     )
     return docs.join(F.broadcast(thresholds), "source").select(
         "doc_id",
@@ -184,6 +199,10 @@ def token_budget_mix(
     declared-query surface (the full oracle replays the hash, the
     thresholds, and the kept-token sums bit-for-bit)."""
     assigned = token_budget_assign(documents, budget_tokens, salt)
+    return _mix_summary(assigned)
+
+
+def _mix_summary(assigned: DataFrame) -> DataFrame:
     keep = F.col("keep").cast("long")
     return (
         assigned.groupBy("source")
@@ -195,6 +214,79 @@ def token_budget_mix(
         )
         .orderBy("source")
     )
+
+
+def streaming_mix_ingest(
+    stream_docs: DataFrame,
+    docs_table: str,
+    totals_table: str,
+    salt: str = MIX_SALT,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest twin of :func:`token_budget_mix` — the second
+    stream→queryable-table loop over the LLM-pipeline set (same shape
+    as ``text.streaming_novelty_ingest``): each micro-batch computes
+    its per-document mixing features ONCE at arrival and blind-appends
+    two catalog tables — the feature log (doc_id, source, n_tokens,
+    bucket) and per-source token-total partials (source, tok).
+
+    Budgeting is inherently two-phase (a document's keep decision
+    depends on its source's GLOBAL token total), so the keep flags are
+    not emitted at ingest; :func:`mix_from_state` folds the partials
+    into totals and applies the identical threshold arithmetic at query
+    time. Log-structured appends mean no read-modify-write state and
+    no cross-batch transaction; re-rating after new arrivals never
+    re-reads document text.
+    """
+    import tempfile
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        feats = _doc_mix_features(batch_df, salt)
+        feats.persist()
+        try:
+            feats.write.mode("append").saveAsTable(docs_table)
+            (
+                feats.groupBy("source")
+                .agg(F.sum("n_tokens").alias("tok"))
+                .write.mode("append")
+                .saveAsTable(totals_table)
+            )
+        finally:
+            feats.unpersist()
+
+    q = (
+        stream_docs.writeStream.foreachBatch(_ingest)
+        .trigger(availableNow=True)
+        .option(
+            "checkpointLocation",
+            checkpoint or tempfile.mkdtemp(prefix=f"fss-ckpt-{docs_table}-"),
+        )
+        .start()
+    )
+    q.awaitTermination()
+    # foreachBatch writes through a cloned session; refresh so the
+    # parent session's readers see the appended files.
+    stream_docs.sparkSession.catalog.refreshTable(docs_table)
+    stream_docs.sparkSession.catalog.refreshTable(totals_table)
+    return q
+
+
+def mix_from_state(
+    spark,
+    docs_table: str,
+    totals_table: str,
+    budget_tokens: int = MIX_BUDGET_TOKENS,
+) -> DataFrame:
+    """Score the accumulated :func:`streaming_mix_ingest` state: fold
+    the per-source partials into totals (map-side combined), derive
+    thresholds, and join back over the ingested feature log — after a
+    bounded stream drains, row-identical to :func:`token_budget_mix`
+    on the same corpus (the batch oracle applies verbatim)."""
+    docs = spark.table(docs_table)
+    totals = spark.table(totals_table).groupBy("source").agg(
+        F.sum("tok").alias("total_tokens")
+    )
+    return _mix_summary(_assign_from_totals(docs, totals, budget_tokens))
 
 
 def approx_distinct_by(

@@ -2226,6 +2226,43 @@ _register(
         f"{_MIX_SALT_INT} = crc32('{sampling.MIX_SALT}')).",
 )
 
+def _mix_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``token_budget_mix`` under the
+    full correctness gate: the documents fixture arrives as a 4-file
+    stream (maxFilesPerTrigger=1 → 4 micro-batches); each batch appends
+    its per-doc mixing features + per-source token-total partials via
+    foreachBatch (``ParquetTableJoin.scala:32-43`` loop), and the
+    returned frame rates the accumulated state — row-identical to the
+    batch op, so the batch oracle applies verbatim."""
+    import tempfile
+    import uuid
+
+    docs = load_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="fss-mixstream-")
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    # fresh per-invocation table names: see _novelty_streamed.
+    tag = uuid.uuid4().hex[:8]
+    docs_t, tot_t = f"fss_mix_docs_{tag}", f"fss_mix_tot_{tag}"
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    sampling.streaming_mix_ingest(stream, docs_t, tot_t)
+    return sampling.mix_from_state(spark, docs_t, tot_t)
+
+
+QUERIES["mix_streamed"] = QuerySpec(
+    fn=_mix_streamed,
+    oracle=QUERIES["token_budget_mix"].oracle,
+    doc="Streaming-ingest token-budget mixing: per-doc features + "
+        "log-structured per-source total partials into queryable "
+        "catalog tables, rated from state (second stream→table loop "
+        "on the LLM-pipeline set).",
+)
+
 _register(
     "agg_approx_distinct",
     ["orders"],
@@ -2921,7 +2958,7 @@ _register(
 #   dedup_simhash, dedup_clusters; pipeline/similarity.py
 #   (semantic_neardup_pairs sort gating): ann_cosine_topk,
 #   embedding_neardup, label_centroids;
-# * slots 14-25: NEW in round 7, never-stamped so they rank ahead of
+# * slots 14-26: NEW in round 7, never-stamped so they rank ahead of
 #   re-stamps — novelty_streamed (the stream→table loop applied to the
 #   LLM-pipeline set: foreachBatch shingle-index + log-structured
 #   DF-count ingest, scored from queryable state), token_budget_mix
@@ -2935,17 +2972,18 @@ _register(
 #   repeated_passages (content-defined exact passage duplication),
 #   image_resize_stats (decode -> resize kernel -> exact byte-sum pin),
 #   semantic_decontamination (embedding-space train/eval screening),
-#   dedup_report (one-row corpus duplication policy summary);
-# * slots 26-50: 25 of the 48 queries whose latest stamp is r05 —
+#   dedup_report (one-row corpus duplication policy summary),
+#   mix_streamed (stream→table twin of the token-budget mix);
+# * slots 27-50: 24 of the 48 queries whose latest stamp is r05 —
 #   every r05-stale query in a round-7-touched module is included
 #   (dedup_*, decontamination, ann_lsh/ivf, curation_pipeline, the
 #   whole text.py family), plus the streaming set and 13 TPC-H shapes.
 #
-# 23 r05-stamped queries spill to r08 (the budget holds 50 of the 68
+# 24 r05-stamped queries spill to r08 (the budget holds 50 of the 69
 # due): agg_percentile, agg_histogram, agg_approx_percentile,
-# agg_approx_distinct, scalar_similarity, q2, q6, q7, q8, q9, q10,
-# q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22 — chosen
-# because their modules
+# agg_approx_distinct, scalar_similarity, q2, q5, q6, q7, q8, q9,
+# q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22 —
+# chosen because their modules
 # (operators/relational.py, functions/scalar.py) are untouched since
 # their r05 stamps (and untouched in r06/r07), so the stamp is stale
 # only in age, not in covered code. r05->r08 is exactly the
@@ -2990,6 +3028,7 @@ _HEAD = [
     "image_resize_stats",
     "semantic_decontamination",
     "dedup_report",
+    "mix_streamed",
     # -- stalest (r05-stamped) rotation: touched modules first --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -3016,7 +3055,6 @@ _HEAD = [
     "q1_pricing_summary",
     "q3_shipping_priority",
     "q4_order_priority",
-    "q5_local_supplier_volume",
 ]
 
 _TAIL: list[str] = []

@@ -112,6 +112,7 @@ _R7_QUERIES = [
     "image_resize_stats",
     "semantic_decontamination",
     "dedup_report",
+    "mix_streamed",
 ]
 
 

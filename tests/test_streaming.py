@@ -521,3 +521,41 @@ def test_streaming_novelty_ingest_matches_batch(spark):
     pd.testing.assert_frame_equal(got, want)
     for t in (idx_t, cnt_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_mix_ingest_matches_batch(spark):
+    """Streaming-ingest twin of token_budget_mix: documents arrive over
+    4 micro-batches, each appending per-doc mixing features + per-source
+    token-total partials; rating the accumulated state is row-identical
+    to the one-shot batch op once the bounded stream drains."""
+    import tempfile
+    import uuid
+
+    from flink_snappydata_spark.pipeline import sampling
+
+    docs = load_table(spark, SF_SMOKE, "documents").select(
+        "doc_id", "text", "source"
+    )
+    tmp = tempfile.mkdtemp(prefix="fss-mix-stream-")
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    tag = uuid.uuid4().hex[:8]
+    docs_t, tot_t = f"mix_docs_{tag}", f"mix_tot_{tag}"
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    sampling.streaming_mix_ingest(stream, docs_t, tot_t)
+
+    # the cross-batch fold is actually exercised: at least one source
+    # accumulated total partials from more than one micro-batch
+    tot = spark.table(tot_t)
+    assert tot.count() > tot.select("source").distinct().count()
+
+    got = _sorted(sampling.mix_from_state(spark, docs_t, tot_t).toPandas())
+    want = _sorted(sampling.token_budget_mix(docs).toPandas())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+    for t in (docs_t, tot_t):
+        spark.sql(f"DROP TABLE IF EXISTS {t}")
