@@ -750,3 +750,66 @@ def tfidf_keywords(documents: DataFrame, k: int = 5) -> DataFrame:
         .select("doc_id", "rank", "word", "tf", "idf_bits", "score")
         .orderBy("doc_id", "rank")
     )
+
+
+def frequent_bigrams(documents: DataFrame, k: int = 50) -> DataFrame:
+    """Corpus collocations: the ``k`` most frequent adjacent word
+    pairs with a quantized pointwise-mutual-information score — the
+    phrase-mining / tokenizer-merge-candidate primitive (the highest-
+    count adjacent pair IS the next BPE merge; PMI separates true
+    collocations from pairs of independently-common words).
+
+    ``pmi_bits`` quantizes ``log2(p(ab) / (p(a)p(b)))`` to integer bits
+    with the same exact :func:`_floor_log2` device as
+    :func:`unigram_surprisal`: ``(L(c_ab) + 2·L(Nu)) − (L(Nb) + L(u_a)
+    + L(u_b))`` over exact int64 counts (unigram total ``Nu``, bigram
+    total ``Nb``) — order-free, engine-portable, within ~2 bits of the
+    float PMI. Output ``(w1, w2, cnt, pmi_bits)``, ranked by count with
+    a (w1, w2) tiebreak.
+
+    Scale: bigrams are built in-kernel by zipping the word array with
+    its own tail (no per-position explode of anything wider than the
+    pair), then one map-side-combined count per distinct pair; unigram
+    counts and the two totals are the same aggregation shapes as
+    :func:`frequent_tokens`; the global top-k is TakeOrdered, never a
+    full sort. Shuffles carry word pairs and counts only.
+    """
+    ws = _words(F.col("text"))
+    pair = F.explode(
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    pairs = (
+        documents.filter(F.size(ws) >= 2)
+        .select(pair.alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bgc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    uni = (
+        documents.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    tot = uni.agg(
+        F.sum("u").alias("nu")
+    ).crossJoin(bgc.agg(F.sum("cnt").alias("nb")))
+    ua = uni.select(F.col("word").alias("w1"), F.col("u").alias("ua"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("u").alias("ub"))
+    pmi_bits = (
+        _floor_log2(F.col("cnt")) + F.lit(2) * _floor_log2(F.col("nu"))
+    ) - (
+        _floor_log2(F.col("nb"))
+        + _floor_log2(F.col("ua"))
+        + _floor_log2(F.col("ub"))
+    )
+    return (
+        bgc.join(ua, "w1")
+        .join(ub, "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "cnt", pmi_bits.cast("long").alias("pmi_bits"))
+        .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
+        .limit(k)
+    )

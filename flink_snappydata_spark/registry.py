@@ -2591,6 +2591,45 @@ _register(
         "share (vocabulary pruning / stopword discovery).",
 )
 
+_register(
+    "frequent_bigrams",
+    ["documents"],
+    textops.frequent_bigrams,
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    pairs AS (
+        SELECT p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
+            FROM w WHERE len(ws) >= 2) t),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM pairs GROUP BY w1, w2),
+    uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS u FROM (
+            SELECT unnest(ws) AS word FROM w) GROUP BY word),
+    tot AS (SELECT CAST((SELECT SUM(u) FROM uni) AS BIGINT) AS nu,
+                   CAST((SELECT SUM(cnt) FROM bgc) AS BIGINT) AS nb)
+    SELECT b.w1, b.w2, b.cnt,
+           CAST(((length(bin(b.cnt)) - 1) + 2 * (length(bin(t.nu)) - 1))
+                - ((length(bin(t.nb)) - 1) + (length(bin(ua.u)) - 1)
+                   + (length(bin(ub.u)) - 1)) AS BIGINT) AS pmi_bits
+    FROM bgc b
+    JOIN uni ua ON ua.word = b.w1
+    JOIN uni ub ON ub.word = b.w2
+    CROSS JOIN tot t
+    ORDER BY b.cnt DESC, b.w1 ASC, b.w2 ASC
+    LIMIT 50
+    """,
+    doc="Corpus collocations: top-50 adjacent word pairs with "
+        "integer-bits PMI (phrase mining / the BPE merge-candidate "
+        "step; in-kernel tail-zip, pair+count shuffles only).",
+)
+
 #: Per-document term-frequency CTE chain (DuckDB), ending at
 #: ``tf(doc_id, word, tf)`` — shared by the surprisal and tf-idf
 #: keyword oracles. Tokenization matches ``textops._words``.
@@ -2958,7 +2997,7 @@ _register(
 #   dedup_simhash, dedup_clusters; pipeline/similarity.py
 #   (semantic_neardup_pairs sort gating): ann_cosine_topk,
 #   embedding_neardup, label_centroids;
-# * slots 14-26: NEW in round 7, never-stamped so they rank ahead of
+# * slots 14-27: NEW in round 7, never-stamped so they rank ahead of
 #   re-stamps — novelty_streamed (the stream→table loop applied to the
 #   LLM-pipeline set: foreachBatch shingle-index + log-structured
 #   DF-count ingest, scored from queryable state), token_budget_mix
@@ -2973,15 +3012,16 @@ _register(
 #   image_resize_stats (decode -> resize kernel -> exact byte-sum pin),
 #   semantic_decontamination (embedding-space train/eval screening),
 #   dedup_report (one-row corpus duplication policy summary),
-#   mix_streamed (stream→table twin of the token-budget mix);
-# * slots 27-50: 24 of the 48 queries whose latest stamp is r05 —
+#   mix_streamed (stream→table twin of the token-budget mix),
+#   frequent_bigrams (collocation/PMI phrase mining);
+# * slots 28-50: 23 of the 48 queries whose latest stamp is r05 —
 #   every r05-stale query in a round-7-touched module is included
 #   (dedup_*, decontamination, ann_lsh/ivf, curation_pipeline, the
 #   whole text.py family), plus the streaming set and 13 TPC-H shapes.
 #
-# 24 r05-stamped queries spill to r08 (the budget holds 50 of the 69
+# 25 r05-stamped queries spill to r08 (the budget holds 50 of the 70
 # due): agg_percentile, agg_histogram, agg_approx_percentile,
-# agg_approx_distinct, scalar_similarity, q2, q5, q6, q7, q8, q9,
+# agg_approx_distinct, scalar_similarity, q2, q4, q5, q6, q7, q8, q9,
 # q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22 —
 # chosen because their modules
 # (operators/relational.py, functions/scalar.py) are untouched since
@@ -3029,6 +3069,7 @@ _HEAD = [
     "semantic_decontamination",
     "dedup_report",
     "mix_streamed",
+    "frequent_bigrams",
     # -- stalest (r05-stamped) rotation: touched modules first --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -3054,7 +3095,6 @@ _HEAD = [
     "count_window",
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q4_order_priority",
 ]
 
 _TAIL: list[str] = []

@@ -113,6 +113,7 @@ _R7_QUERIES = [
     "semantic_decontamination",
     "dedup_report",
     "mix_streamed",
+    "frequent_bigrams",
 ]
 
 

@@ -1655,3 +1655,42 @@ def test_round7_graph_ops_never_shuffle_text(spark):
             # the intended design (exact_dedup idiom); the raw column as
             # a partitioning key would be the violation
             assert ln.count("text#") == ln.count("sha2(cast(text#"), ln
+
+
+def test_frequent_bigrams_golden(spark):
+    """Hand corpus: counts, ranking with tiebreak, and the integer-bits
+    PMI replayed in python. 'of the' is frequent but low-PMI (both
+    words common); 'spark sql' is a true collocation."""
+    docs = spark.createDataFrame(
+        [
+            (1, "spark sql spark sql of the of the of a"),
+            (2, "spark sql of the to a to b"),
+        ],
+        ["doc_id", "text"],
+    )
+    rows = textops.frequent_bigrams(docs).collect()
+    uni: dict = {}
+    bg: dict = {}
+    seqs = [
+        "spark sql spark sql of the of the of a".split(),
+        "spark sql of the to a to b".split(),
+    ]
+    for ws in seqs:
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(ws, ws[1:]):
+            bg[(x, y)] = bg.get((x, y), 0) + 1
+    nu, nb = sum(uni.values()), sum(bg.values())
+    L = lambda x: x.bit_length() - 1  # noqa: E731
+
+    def pmi(p, c):
+        return (L(c) + 2 * L(nu)) - (L(nb) + L(uni[p[0]]) + L(uni[p[1]]))
+
+    want = sorted(
+        ((w1, w2, c, pmi((w1, w2), c)) for (w1, w2), c in bg.items()),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    assert [(r.w1, r.w2, r.cnt, r.pmi_bits) for r in rows] == want
+    by_pair = {(r.w1, r.w2): r for r in rows}
+    # the collocation outranks the independently-common pair on PMI
+    assert by_pair[("spark", "sql")].pmi_bits > by_pair[("of", "the")].pmi_bits

@@ -570,3 +570,38 @@ def test_source_contamination_matches_naive(spark, raw):
     for key, (ns, j) in want.items():
         assert got[key][0] == ns
         assert abs(got[key][1] - j) < 1e-12
+
+
+@settings(max_examples=15, deadline=None)
+@given(_docs_maybe_empty)
+def test_frequent_bigrams_matches_naive(spark, raw):
+    """Collocation counts + bits-PMI equal the python replay for any
+    corpus (empty and one-word documents contribute no pairs)."""
+    from flink_snappydata_spark.pipeline.text import frequent_bigrams
+
+    rows = [(i, " ".join(ws)) for i, ws in enumerate(raw)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = [
+        (r.w1, r.w2, r.cnt, r.pmi_bits)
+        for r in frequent_bigrams(df, k=1000).collect()
+    ]
+    uni: dict = {}
+    bg: dict = {}
+    for ws in raw:
+        for w in ws:
+            uni[w] = uni.get(w, 0) + 1
+        for x, y in zip(ws, ws[1:]):
+            bg[(x, y)] = bg.get((x, y), 0) + 1
+    if not bg:
+        assert got == []
+        return
+    nu, nb = sum(uni.values()), sum(bg.values())
+    L = lambda x: x.bit_length() - 1  # noqa: E731
+    want = sorted(
+        (
+            (w1, w2, c, (L(c) + 2 * L(nu)) - (L(nb) + L(uni[w1]) + L(uni[w2])))
+            for (w1, w2), c in bg.items()
+        ),
+        key=lambda t: (-t[2], t[0], t[1]),
+    )
+    assert got == want
