@@ -101,6 +101,7 @@ OPS = {
     "novelty_scores": lambda d, e: T.novelty_scores(d),
     "quality_scores": lambda d, e: T.quality_scores(d),
     "unigram_surprisal": lambda d, e: T.unigram_surprisal(d),
+    "frequent_bigrams": lambda d, e: T.frequent_bigrams(d),
     "tfidf_keywords": lambda d, e: T.tfidf_keywords(d),
     "embedding_gram": lambda d, e: S.embedding_gram(e),
     # eval side = 2% id split of the (replicated) corpus — grows with
