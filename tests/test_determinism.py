@@ -27,6 +27,11 @@ REPRESENTATIVE = [
     "global_index",           # two-phase distributed rank
     "q21_waiting_supplier",   # windowed decorrelation + top-k tiebreak
     "label_centroids",        # exact int64 component sums
+    # round-7 exactness claims
+    "embedding_gram",         # mapInPandas partial-Gram reduction
+    "unigram_surprisal",      # order-free integer-bits sums
+    "repeated_passages",      # content-defined anchors + digest agg
+    "canonical_pick",         # cluster argmax with doc_id tiebreak
 ]
 
 
