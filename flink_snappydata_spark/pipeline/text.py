@@ -398,6 +398,39 @@ def language_id(documents: DataFrame) -> DataFrame:
     )
 
 
+def langid_confusion(documents: DataFrame) -> DataFrame:
+    """Language-ID evaluation: the (truth, prediction) confusion matrix
+    of :func:`language_id` against the corpus's labeled ``lang`` column
+    — the QA step that decides whether the cheap classifier is good
+    enough to gate a corpus on (e.g. the fixture's zh documents land in
+    'und' because the keyword families cover en/fr/de/es only; this op
+    makes that visible as numbers instead of silently filtering).
+
+    Returns ``(lang, pred_lang, n, lang_total, share)`` — count per
+    cell, the truth-row total, and the row-normalized share (the
+    diagonal cells' shares are per-language recall).
+
+    Scale: the classifier is a pure per-row scan; the matrix is one
+    map-side-combined count with |langs|² bounded output; totals are a
+    tiny broadcast join.
+    """
+    pred = language_id(documents).select("lang", "pred_lang")
+    cm = pred.groupBy("lang", "pred_lang").agg(F.count(F.lit(1)).alias("n"))
+    totals = pred.groupBy("lang").agg(F.count(F.lit(1)).alias("lang_total"))
+    return (
+        cm.join(F.broadcast(totals), "lang")
+        .select(
+            "lang",
+            "pred_lang",
+            "n",
+            "lang_total",
+            (F.col("n").cast("double") / F.col("lang_total").cast("double"))
+            .alias("share"),
+        )
+        .orderBy("lang", "pred_lang")
+    )
+
+
 # --- portable winnowing fingerprint (all-JVM, oracle-reproducible) -------
 
 FP_WINDOW = 8

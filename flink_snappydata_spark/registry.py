@@ -1982,6 +1982,29 @@ _register(
 )
 
 _register(
+    "langid_confusion",
+    ["documents"],
+    textops.langid_confusion,
+    f"""
+    WITH pred AS ({_langid_oracle()}),
+    cm AS (
+        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY lang, pred_lang),
+    tot AS (
+        SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_total
+        FROM pred GROUP BY lang)
+    SELECT cm.lang, cm.pred_lang, cm.n, tot.lang_total,
+           CAST(cm.n AS DOUBLE) / CAST(tot.lang_total AS DOUBLE) AS share
+    FROM cm JOIN tot ON tot.lang = cm.lang
+    ORDER BY cm.lang, cm.pred_lang
+    """,
+    doc="Language-ID confusion matrix vs the labeled lang column: "
+        "per (truth, prediction) counts + row-normalized shares "
+        "(diagonal = per-language recall) — classifier QA before "
+        "gating a corpus on it.",
+)
+
+_register(
     "doc_fingerprint",
     ["documents"],
     textops.doc_fingerprints,
@@ -2997,7 +3020,7 @@ _register(
 #   dedup_simhash, dedup_clusters; pipeline/similarity.py
 #   (semantic_neardup_pairs sort gating): ann_cosine_topk,
 #   embedding_neardup, label_centroids;
-# * slots 14-27: NEW in round 7, never-stamped so they rank ahead of
+# * slots 14-28: NEW in round 7, never-stamped so they rank ahead of
 #   re-stamps — novelty_streamed (the stream→table loop applied to the
 #   LLM-pipeline set: foreachBatch shingle-index + log-structured
 #   DF-count ingest, scored from queryable state), token_budget_mix
@@ -3013,17 +3036,18 @@ _register(
 #   semantic_decontamination (embedding-space train/eval screening),
 #   dedup_report (one-row corpus duplication policy summary),
 #   mix_streamed (stream→table twin of the token-budget mix),
-#   frequent_bigrams (collocation/PMI phrase mining);
-# * slots 28-50: 23 of the 48 queries whose latest stamp is r05 —
+#   frequent_bigrams (collocation/PMI phrase mining),
+#   langid_confusion (classifier QA vs the labeled lang column);
+# * slots 29-50: 22 of the 48 queries whose latest stamp is r05 —
 #   every r05-stale query in a round-7-touched module is included
 #   (dedup_*, decontamination, ann_lsh/ivf, curation_pipeline, the
 #   whole text.py family), plus the streaming set and 13 TPC-H shapes.
 #
-# 25 r05-stamped queries spill to r08 (the budget holds 50 of the 70
+# 26 r05-stamped queries spill to r08 (the budget holds 50 of the 71
 # due): agg_percentile, agg_histogram, agg_approx_percentile,
-# agg_approx_distinct, scalar_similarity, q2, q4, q5, q6, q7, q8, q9,
-# q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21, q22 —
-# chosen because their modules
+# agg_approx_distinct, scalar_similarity, q2, q3, q4, q5, q6, q7, q8,
+# q9, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
+# q22 — chosen because their modules
 # (operators/relational.py, functions/scalar.py) are untouched since
 # their r05 stamps (and untouched in r06/r07), so the stamp is stale
 # only in age, not in covered code. r05->r08 is exactly the
@@ -3070,6 +3094,7 @@ _HEAD = [
     "dedup_report",
     "mix_streamed",
     "frequent_bigrams",
+    "langid_confusion",
     # -- stalest (r05-stamped) rotation: touched modules first --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -3094,7 +3119,6 @@ _HEAD = [
     "stream_stream_join",
     "count_window",
     "q1_pricing_summary",
-    "q3_shipping_priority",
 ]
 
 _TAIL: list[str] = []

@@ -114,6 +114,7 @@ _R7_QUERIES = [
     "dedup_report",
     "mix_streamed",
     "frequent_bigrams",
+    "langid_confusion",
 ]
 
 

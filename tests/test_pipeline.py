@@ -1694,3 +1694,45 @@ def test_frequent_bigrams_golden(spark):
     by_pair = {(r.w1, r.w2): r for r in rows}
     # the collocation outranks the independently-common pair on PMI
     assert by_pair[("spark", "sql")].pmi_bits > by_pair[("of", "the")].pmi_bits
+
+
+def test_langid_confusion_planted(spark):
+    """Planted truth labels: diagonal and off-diagonal cells, row
+    totals, and shares all checked by hand; 'zh' truth (outside the
+    keyword families) must land in 'und'."""
+    docs = spark.createDataFrame(
+        [
+            (1, "the cat is happy and the dog is sleepy", "en"),
+            (2, "the dog and the bird is here", "en"),
+            (3, "le chat est la et le chien est la", "fr"),
+            (4, "some words with no language keywords whatsoever", "en"),
+            (5, "zhong wen wen ben mei you guan jian ci", "zh"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    rows = {
+        (r.lang, r.pred_lang): (r.n, r.lang_total, r.share)
+        for r in textops.langid_confusion(docs).collect()
+    }
+    assert rows[("en", "en")] == (2, 3, 2 / 3)
+    assert rows[("en", "und")] == (1, 3, 1 / 3)
+    assert rows[("fr", "fr")] == (1, 1, 1.0)
+    assert rows[("zh", "und")] == (1, 1, 1.0)
+    assert sum(n for n, _, _ in rows.values()) == 5
+
+
+def test_langid_confusion_consistent_with_language_id(spark):
+    """Fixture consistency: the matrix is exactly the groupBy of the
+    per-document predictions, and row shares sum to 1 per truth label."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    cm = textops.langid_confusion(docs).collect()
+    pred = textops.language_id(docs).select("lang", "pred_lang").collect()
+    want: dict = {}
+    for r in pred:
+        want[(r.lang, r.pred_lang)] = want.get((r.lang, r.pred_lang), 0) + 1
+    assert {(r.lang, r.pred_lang): r.n for r in cm} == want
+    by_lang: dict = {}
+    for r in cm:
+        by_lang.setdefault(r.lang, []).append(r.share)
+    for shares in by_lang.values():
+        assert abs(sum(shares) - 1.0) < 1e-12
