@@ -269,6 +269,69 @@ def global_index(
     )
 
 
+#: Epoch mixing constant for :func:`epoch_shuffle` (golden-ratio odd
+#: constant; epoch * EPOCH_MIX stays far below 2^63 for any real epoch).
+EPOCH_MIX = 2_654_435_769
+
+
+def epoch_shuffle(
+    documents: DataFrame, epoch: int = 1, n_buckets: int = 64
+) -> DataFrame:
+    """Deterministic per-epoch training-data order: every document gets
+    a ``shuffle_rank`` that is a pseudo-random permutation of
+    ``0..n-1``, a pure function of ``(doc_id, epoch)`` — the
+    "reshuffle the corpus each epoch, reproducibly" step of a training
+    pipeline. Re-running an epoch anywhere yields the identical order;
+    changing ``epoch`` re-permutes; no RNG state, no seed files.
+
+    The sort key is the portable hash of (hash(doc_id) + epoch·MIX) —
+    BIGINT-safe, oracle-reproducible — with a doc_id tiebreak so hash
+    collisions cannot make the rank engine-dependent.
+
+    Scale — same discipline as :func:`global_index`: NO global sort.
+    Hash keys are uniform on [0, 2^31), so fixed equal-width key-range
+    buckets balance automatically; the driver prefix-sums only the
+    bucket histogram, and the rank is one per-bucket window plus the
+    bucket offset. One count aggregation + one bucket-partitioned
+    window are the only shuffles.
+    """
+    key = portable_hash(
+        portable_hash(F.col("doc_id")) + F.lit(int(epoch) * EPOCH_MIX)
+    )
+    width = (_HASH_MOD + n_buckets - 1) // n_buckets
+    keyed = documents.select(
+        "doc_id", key.alias("k")
+    ).withColumn("b", F.expr(f"k DIV {width}"))
+    counts = sorted(
+        (r.b, r.cnt)
+        for r in keyed.groupBy("b").agg(F.count(F.lit(1)).alias("cnt")).collect()
+    )
+    offsets, acc = [], 0
+    for b, cnt in counts:
+        offsets.append((b, acc))
+        acc += cnt
+    spark = documents.sparkSession
+    if not offsets:
+        return documents.select(
+            "doc_id",
+            F.lit(int(epoch)).cast("long").alias("epoch"),
+            F.lit(0).cast("long").alias("shuffle_rank"),
+        ).limit(0)
+    offset_df = spark.createDataFrame(offsets, "b long, offset long")
+    w = Window.partitionBy("b").orderBy("k", "doc_id")
+    return (
+        keyed.join(F.broadcast(offset_df), "b")
+        .select(
+            "doc_id",
+            F.lit(int(epoch)).cast("long").alias("epoch"),
+            (F.row_number().over(w) - 1 + F.col("offset"))
+            .cast("long")
+            .alias("shuffle_rank"),
+        )
+        .orderBy("doc_id")
+    )
+
+
 def shard_assignment(documents: DataFrame, n_shards: int = 16) -> DataFrame:
     """Deterministic output-shard id per document: multiplicative hash
     of ``doc_id`` — portable BIGINT arithmetic (identical in any SQL

@@ -2476,6 +2476,30 @@ _register(
         "global sort, driver sees only the bucket histogram).",
 )
 
+#: epoch_shuffle oracle: the double portable hash with the epoch mixed
+#: in, ranked with a doc_id tiebreak — epoch 1 is the registered query.
+_EPOCH_KEY_SQL = packing.portable_hash_sql(
+    f"(({packing.portable_hash_sql('doc_id')}) + {packing.EPOCH_MIX})"
+)
+
+_register(
+    "epoch_shuffle",
+    ["documents"],
+    packing.epoch_shuffle,
+    f"""
+    WITH k AS (
+        SELECT doc_id, {_EPOCH_KEY_SQL} AS k FROM documents)
+    SELECT doc_id, CAST(1 AS BIGINT) AS epoch,
+           CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS BIGINT)
+               AS shuffle_rank
+    FROM k ORDER BY doc_id
+    """,
+    doc="Deterministic per-epoch corpus reshuffle: portable-hash "
+        "permutation rank of every document (pure function of "
+        "(doc_id, epoch), no RNG), via the bucketed two-phase rank — "
+        "no global sort.",
+)
+
 _register(
     "shard_stats",
     ["documents"],
@@ -3020,7 +3044,7 @@ _register(
 #   dedup_simhash, dedup_clusters; pipeline/similarity.py
 #   (semantic_neardup_pairs sort gating): ann_cosine_topk,
 #   embedding_neardup, label_centroids;
-# * slots 14-28: NEW in round 7, never-stamped so they rank ahead of
+# * slots 14-29: NEW in round 7, never-stamped so they rank ahead of
 #   re-stamps — novelty_streamed (the stream→table loop applied to the
 #   LLM-pipeline set: foreachBatch shingle-index + log-structured
 #   DF-count ingest, scored from queryable state), token_budget_mix
@@ -3037,16 +3061,17 @@ _register(
 #   dedup_report (one-row corpus duplication policy summary),
 #   mix_streamed (stream→table twin of the token-budget mix),
 #   frequent_bigrams (collocation/PMI phrase mining),
-#   langid_confusion (classifier QA vs the labeled lang column);
-# * slots 29-50: 22 of the 48 queries whose latest stamp is r05 —
+#   langid_confusion (classifier QA vs the labeled lang column),
+#   epoch_shuffle (deterministic per-epoch corpus permutation);
+# * slots 30-50: 21 of the 48 queries whose latest stamp is r05 —
 #   every r05-stale query in a round-7-touched module is included
 #   (dedup_*, decontamination, ann_lsh/ivf, curation_pipeline, the
 #   whole text.py family), plus the streaming set and 13 TPC-H shapes.
 #
-# 26 r05-stamped queries spill to r08 (the budget holds 50 of the 71
+# 27 r05-stamped queries spill to r08 (the budget holds 50 of the 72
 # due): agg_percentile, agg_histogram, agg_approx_percentile,
-# agg_approx_distinct, scalar_similarity, q2, q3, q4, q5, q6, q7, q8,
-# q9, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
+# agg_approx_distinct, scalar_similarity, q1, q2, q3, q4, q5, q6, q7,
+# q8, q9, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
 # q22 — chosen because their modules
 # (operators/relational.py, functions/scalar.py) are untouched since
 # their r05 stamps (and untouched in r06/r07), so the stamp is stale
@@ -3095,6 +3120,7 @@ _HEAD = [
     "mix_streamed",
     "frequent_bigrams",
     "langid_confusion",
+    "epoch_shuffle",
     # -- stalest (r05-stamped) rotation: touched modules first --
     "dedup_exact",
     "dedup_ngram_jaccard",
@@ -3118,7 +3144,6 @@ _HEAD = [
     "session_funnel",
     "stream_stream_join",
     "count_window",
-    "q1_pricing_summary",
 ]
 
 _TAIL: list[str] = []

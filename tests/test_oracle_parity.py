@@ -115,6 +115,7 @@ _R7_QUERIES = [
     "mix_streamed",
     "frequent_bigrams",
     "langid_confusion",
+    "epoch_shuffle",
 ]
 
 

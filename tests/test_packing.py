@@ -214,3 +214,52 @@ def test_chunking_empty_text(spark):
     df = _docs(spark, [(1, "s", "")])
     rows = chunk_documents(df).collect()
     assert len(rows) == 1 and rows[0].chunk_text == "" and rows[0].chunk_len == 0
+
+
+def test_epoch_shuffle_is_permutation_and_deterministic(spark):
+    from flink_snappydata_spark.catalog import load_table
+    from flink_snappydata_spark.pipeline import packing
+    from tests.conftest import SF_SMOKE
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    n = docs.count()
+    e1 = {r.doc_id: r.shuffle_rank for r in packing.epoch_shuffle(docs, 1).collect()}
+    assert set(e1.values()) == set(range(n))  # a true permutation
+    again = {
+        r.doc_id: r.shuffle_rank for r in packing.epoch_shuffle(docs, 1).collect()
+    }
+    assert again == e1  # pure function of (doc_id, epoch)
+    e2 = {r.doc_id: r.shuffle_rank for r in packing.epoch_shuffle(docs, 2).collect()}
+    assert set(e2.values()) == set(range(n))
+    assert e2 != e1  # the epoch actually re-permutes
+
+
+def test_epoch_shuffle_matches_hash_replay(spark):
+    """Rank equals the python replay of the double portable hash with a
+    doc_id tiebreak — on skewed ids beyond 2^31 (the overflow zone the
+    31-bit word reduction exists for)."""
+    from flink_snappydata_spark.pipeline import packing
+
+    M, M1, M2 = 2**31, 2654435761, 2246822519
+
+    def ph(x):
+        return ((x % M) * M1 % M + ((x >> 31) % M) * M2 % M) % M
+
+    ids = [0, 1, 7, 2**31 - 1, 2**31, 2**40 + 3, 2**62 - 1]
+    docs = spark.createDataFrame([(i,) for i in ids], ["doc_id"])
+    got = {
+        r.doc_id: (r.epoch, r.shuffle_rank)
+        for r in packing.epoch_shuffle(docs, epoch=3).collect()
+    }
+    keys = sorted(
+        (ph(ph(i) + 3 * packing.EPOCH_MIX), i) for i in ids
+    )
+    want = {i: (3, rank) for rank, (_, i) in enumerate(keys)}
+    assert got == want
+
+
+def test_epoch_shuffle_empty(spark):
+    from flink_snappydata_spark.pipeline import packing
+
+    docs = spark.createDataFrame([], "doc_id long")
+    assert packing.epoch_shuffle(docs).collect() == []
