@@ -45,6 +45,7 @@ from pyspark.sql import functions as F
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.pipeline import curation as _curation
 from flink_snappydata_spark.pipeline import dedup as D
+from flink_snappydata_spark.pipeline import packing as _packing
 from flink_snappydata_spark.pipeline import similarity as S
 from flink_snappydata_spark.pipeline import text as T
 from flink_snappydata_spark.session import get_spark
@@ -102,6 +103,7 @@ OPS = {
     "quality_scores": lambda d, e: T.quality_scores(d),
     "unigram_surprisal": lambda d, e: T.unigram_surprisal(d),
     "frequent_bigrams": lambda d, e: T.frequent_bigrams(d),
+    "epoch_shuffle": lambda d, e: _packing.epoch_shuffle(d),
     "tfidf_keywords": lambda d, e: T.tfidf_keywords(d),
     "embedding_gram": lambda d, e: S.embedding_gram(e),
     # eval side = 2% id split of the (replicated) corpus — grows with
