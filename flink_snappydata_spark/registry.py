@@ -3079,11 +3079,16 @@ _register(
 # every-third-round cadence.
 #
 # text.py changes this round: the bm25 ranking-fidelity caveat
-# (comment-only) plus the novelty_scores scoring refactor into
-# _novelty_from_index shared with the new streaming twin — behavior
-# unchanged (novelty_scores is slot 4 and re-proves it); the other
-# r06-green text queries (frequent_tokens / doc_chunking) keep their
-# stamps.
+# (comment-only), the novelty_scores scoring refactor into
+# _novelty_from_index shared with the new streaming twin (behavior
+# unchanged; novelty_scores is slot 4 and re-proves it), the
+# quality_model_scores sort=False streaming form (default path
+# identical; slot 16 re-proves it), and purely-additive new functions
+# (surprisal/tfidf/bigrams/langid-confusion — all in the NEW block).
+# sampling.py's token_budget_assign refactor into shared helpers is
+# behavior-preserving and re-proven by token_budget_mix (slot 15) +
+# mix_streamed. Other r06-green text queries (frequent_tokens /
+# doc_chunking) keep their stamps.
 #
 # Everything else — r06-green and unchanged — follows in file order.
 
