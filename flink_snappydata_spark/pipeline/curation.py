@@ -34,10 +34,14 @@ from flink_snappydata_spark.pipeline.text import (
     quality_model_scores,
     quality_scores,
 )
+from flink_snappydata_spark.util import presentation_sorted
 
 
 def canonical_pick(
-    documents: DataFrame, pairs: DataFrame | None = None
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    sort: bool = True,
+    expect_small: bool = True,
 ) -> DataFrame:
     """Canonical-document selection: after near-dup clustering, keep the
     highest-quality member of each duplicate cluster — the step that
@@ -55,25 +59,33 @@ def canonical_pick(
     on doc_id and the argmax is ``max_by`` over a grouped aggregation —
     partial aggregates collapse each cluster's members map-side, so the
     shuffle carries one narrow row per (partition, cluster), never the
-    member lists.
+    member lists. The default pair graph is built UNSORTED
+    (``sorted_output=False`` — pair order is irrelevant to the
+    clustering that consumes it, and the O(pairs) list must not funnel
+    through one partition on a duplicate-heavy corpus). The output sort
+    is gated: ``sort=False`` skips it entirely; ``expect_small=False``
+    keeps it range-partitioned (cluster count is O(n/2) when every
+    document is paired), per :func:`~flink_snappydata_spark.util.
+    presentation_sorted`.
     """
     if pairs is None:
-        pairs = ngram_jaccard_pairs(documents)
-    labels = neardup_clusters(pairs)
-    margins = quality_model_scores(documents).select("doc_id", "margin")
-    member = labels.join(margins, "doc_id")
-    return (
-        member.groupBy("cluster_id")
-        .agg(
-            F.max_by(
-                "doc_id",
-                F.struct(F.col("margin"), (-F.col("doc_id")).alias("nd")),
-            ).alias("keep_doc_id"),
-            F.count(F.lit(1)).alias("n_members"),
-            F.max("margin").alias("best_margin"),
-        )
-        .orderBy("cluster_id")
+        pairs = ngram_jaccard_pairs(documents, sorted_output=False)
+    labels = neardup_clusters(pairs, expect_small=expect_small)
+    margins = quality_model_scores(documents, sort=False).select(
+        "doc_id", "margin"
     )
+    member = labels.join(margins, "doc_id")
+    out = member.groupBy("cluster_id").agg(
+        F.max_by(
+            "doc_id",
+            F.struct(F.col("margin"), (-F.col("doc_id")).alias("nd")),
+        ).alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_members"),
+        F.max("margin").alias("best_margin"),
+    )
+    if not sort:
+        return out
+    return presentation_sorted(out, "cluster_id", expect_small=expect_small)
 
 
 def curation_pipeline(documents: DataFrame) -> DataFrame:
@@ -107,10 +119,14 @@ def dedup_report(
     Scale: the distinct-text count groups on the sha256 digest, never
     the text; cluster stats are two tiny aggregations over the label
     frame (itself bounded by the prefix-filtered pair graph); the three
-    one-row frames meet in broadcast cross joins.
+    one-row frames meet in broadcast cross joins. The default pair
+    graph is built unsorted (``sorted_output=False``): the O(pairs)
+    list feeds only order-free aggregations here, and a
+    single-partition presentation sort would defeat the
+    ``expect_small=False`` discipline applied to the label frame below.
     """
     if pairs is None:
-        pairs = ngram_jaccard_pairs(documents)
+        pairs = ngram_jaccard_pairs(documents, sorted_output=False)
     labels = neardup_clusters(pairs, expect_small=False)
     base = documents.agg(
         F.count(F.lit(1)).alias("n_docs"),

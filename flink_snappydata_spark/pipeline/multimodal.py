@@ -22,6 +22,7 @@ from __future__ import annotations
 import hashlib
 from collections.abc import Iterator
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -555,22 +556,26 @@ def resize_image(img: dict, out_w: int, out_h: int) -> dict:
     :func:`decode_image`): output pixel ``(y, x)`` copies source pixel
     ``(y*h // out_h, x*w // out_w)`` — the standard floor-index mapping,
     integer-exact so any engine reproduces the same bytes. Returns a
-    new image dict with the resized ``pixels`` buffer."""
+    new image dict with the resized ``pixels`` buffer.
+
+    The kernel is numpy fancy indexing over an ``(h, w, ch)`` view —
+    one gather per axis, no Python inner loop — so per-image cost is
+    C-speed memory movement; at 100 TB of media the resize is memory-
+    bandwidth-bound, not interpreter-bound. The index arithmetic uses
+    int64 numpy ops, identical to the floor-divide spelling above."""
     if out_w <= 0 or out_h <= 0:
         raise ValueError("resize target must be positive")
     w, h, ch = img["width"], img["height"], img["channels"]
-    src = img["pixels"]
-    out = bytearray(out_w * out_h * ch)
-    pos = 0
-    for y in range(out_h):
-        ys = y * h // out_h
-        row = ys * w * ch
-        for x in range(out_w):
-            xs = x * w // out_w
-            base = row + xs * ch
-            out[pos : pos + ch] = src[base : base + ch]
-            pos += ch
-    return {**img, "width": out_w, "height": out_h, "pixels": bytes(out)}
+    arr = np.frombuffer(img["pixels"], dtype=np.uint8).reshape(h, w, ch)
+    ys = (np.arange(out_h, dtype=np.int64) * h) // out_h
+    xs = (np.arange(out_w, dtype=np.int64) * w) // out_w
+    out = arr[ys[:, None], xs[None, :]]
+    return {
+        **img,
+        "width": out_w,
+        "height": out_h,
+        "pixels": out.tobytes(),
+    }
 
 
 RESIZE_STATS_SCHEMA = T.StructType(

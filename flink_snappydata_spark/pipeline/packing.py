@@ -275,7 +275,10 @@ EPOCH_MIX = 2_654_435_769
 
 
 def epoch_shuffle(
-    documents: DataFrame, epoch: int = 1, n_buckets: int = 64
+    documents: DataFrame,
+    epoch: int = 1,
+    n_buckets: int = 64,
+    sort: bool = True,
 ) -> DataFrame:
     """Deterministic per-epoch training-data order: every document gets
     a ``shuffle_rank`` that is a pseudo-random permutation of
@@ -293,7 +296,11 @@ def epoch_shuffle(
     buckets balance automatically; the driver prefix-sums only the
     bucket histogram, and the rank is one per-bucket window plus the
     bucket offset. One count aggregation + one bucket-partitioned
-    window are the only shuffles.
+    window are the only shuffles. ``sort=False`` skips the final
+    doc_id presentation ``orderBy`` — the output is one row per
+    document (corpus-sized), so downstream consumers that don't need a
+    total display order (a join back onto the corpus, a sharded write)
+    should take the unsorted form and avoid a full-corpus range sort.
     """
     key = portable_hash(
         portable_hash(F.col("doc_id")) + F.lit(int(epoch) * EPOCH_MIX)
@@ -319,17 +326,14 @@ def epoch_shuffle(
         ).limit(0)
     offset_df = spark.createDataFrame(offsets, "b long, offset long")
     w = Window.partitionBy("b").orderBy("k", "doc_id")
-    return (
-        keyed.join(F.broadcast(offset_df), "b")
-        .select(
-            "doc_id",
-            F.lit(int(epoch)).cast("long").alias("epoch"),
-            (F.row_number().over(w) - 1 + F.col("offset"))
-            .cast("long")
-            .alias("shuffle_rank"),
-        )
-        .orderBy("doc_id")
+    out = keyed.join(F.broadcast(offset_df), "b").select(
+        "doc_id",
+        F.lit(int(epoch)).cast("long").alias("epoch"),
+        (F.row_number().over(w) - 1 + F.col("offset"))
+        .cast("long")
+        .alias("shuffle_rank"),
     )
+    return out.orderBy("doc_id") if sort else out
 
 
 def shard_assignment(documents: DataFrame, n_shards: int = 16) -> DataFrame:

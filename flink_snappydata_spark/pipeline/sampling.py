@@ -237,38 +237,29 @@ def streaming_mix_ingest(
     time. Log-structured appends mean no read-modify-write state and
     no cross-batch transaction; re-rating after new arrivals never
     re-reads document text.
+
+    Rides :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition instead of double-appending partials.
     """
-    import tempfile
-
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        feats = _doc_mix_features(batch_df, salt)
-        feats.persist()
-        try:
-            feats.write.mode("append").saveAsTable(docs_table)
-            (
-                feats.groupBy("source")
-                .agg(F.sum("n_tokens").alias("tok"))
-                .write.mode("append")
-                .saveAsTable(totals_table)
-            )
-        finally:
-            feats.unpersist()
-
-    q = (
-        stream_docs.writeStream.foreachBatch(_ingest)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix=f"fss-ckpt-{docs_table}-"),
-        )
-        .start()
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
     )
-    q.awaitTermination()
-    # foreachBatch writes through a cloned session; refresh so the
-    # parent session's readers see the appended files.
-    stream_docs.sparkSession.catalog.refreshTable(docs_table)
-    stream_docs.sparkSession.catalog.refreshTable(totals_table)
-    return q
+
+    return ingest_stream_to_tables(
+        stream_docs,
+        [
+            (docs_table, None),
+            (
+                totals_table,
+                lambda feats: feats.groupBy("source").agg(
+                    F.sum("n_tokens").alias("tok")
+                ),
+            ),
+        ],
+        prepare=lambda batch_df: _doc_mix_features(batch_df, salt),
+        checkpoint=checkpoint,
+    )
 
 
 def mix_from_state(
@@ -282,7 +273,7 @@ def mix_from_state(
     thresholds, and join back over the ingested feature log — after a
     bounded stream drains, row-identical to :func:`token_budget_mix`
     on the same corpus (the batch oracle applies verbatim)."""
-    docs = spark.table(docs_table)
+    docs = spark.table(docs_table).drop("batch_id")
     totals = spark.table(totals_table).groupBy("source").agg(
         F.sum("tok").alias("total_tokens")
     )

@@ -304,40 +304,30 @@ def streaming_novelty_ingest(
     re-reads document text. Query the accumulated state at any time
     with :func:`novelty_from_state` — after the bounded fixture drains,
     its result is row-identical to the batch op (equivalence-tested).
+
+    Rides :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition instead of double-appending partials.
     """
-    import tempfile
-
     from flink_snappydata_spark.pipeline.dedup import shingles
-
-    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        sh = shingles(batch_df, n)
-        sh.persist()
-        try:
-            sh.write.mode("append").saveAsTable(index_table)
-            (
-                sh.groupBy("sh")
-                .agg(F.count(F.lit(1)).alias("cnt"))
-                .write.mode("append")
-                .saveAsTable(counts_table)
-            )
-        finally:
-            sh.unpersist()
-
-    q = (
-        stream_docs.writeStream.foreachBatch(_ingest)
-        .trigger(availableNow=True)
-        .option(
-            "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix=f"fss-ckpt-{index_table}-"),
-        )
-        .start()
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
     )
-    q.awaitTermination()
-    # foreachBatch writes through a cloned session whose catalog refresh
-    # does not reach the parent; invalidate so readers see the files.
-    stream_docs.sparkSession.catalog.refreshTable(index_table)
-    stream_docs.sparkSession.catalog.refreshTable(counts_table)
-    return q
+
+    return ingest_stream_to_tables(
+        stream_docs,
+        [
+            (index_table, None),
+            (
+                counts_table,
+                lambda sh: sh.groupBy("sh").agg(
+                    F.count(F.lit(1)).alias("cnt")
+                ),
+            ),
+        ],
+        prepare=lambda batch_df: shingles(batch_df, n),
+        checkpoint=checkpoint,
+    )
 
 
 def novelty_from_state(
@@ -347,8 +337,9 @@ def novelty_from_state(
     :func:`streaming_novelty_ingest` — the queryable-table half of the
     loop. Folds the log-structured count partials into per-shingle
     document frequencies (one map-side-combined aggregation), then
-    scores with the exact batch recipe."""
-    sh = spark.table(index_table)
+    scores with the exact batch recipe. ``batch_id`` is ingest lineage
+    (the idempotency partition key), not state — dropped here."""
+    sh = spark.table(index_table).drop("batch_id")
     dfreq = (
         spark.table(counts_table)
         .groupBy("sh")
@@ -731,7 +722,9 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
     )
 
 
-def tfidf_keywords(documents: DataFrame, k: int = 5) -> DataFrame:
+def tfidf_keywords(
+    documents: DataFrame, k: int = 5, sort: bool = True
+) -> DataFrame:
     """Per-document keyword extraction: the top-``k`` terms by a
     quantized tf-idf — the classic "what is this document about"
     primitive behind topic tagging, search indexing, and per-domain
@@ -752,6 +745,10 @@ def tfidf_keywords(documents: DataFrame, k: int = 5) -> DataFrame:
     hash aggs, one word-keyed join, and one doc_id-partitioned window
     over per-doc vocabularies — never a global sort. Row counts are
     bounded by distinct (doc, term) pairs; text never shuffles.
+    ``sort=False`` drops the final (doc_id, rank) presentation
+    ``orderBy``: the output is O(k·n_docs) rows, so consumers that
+    re-join keywords onto the corpus should not pay a full range sort
+    for display order.
     """
     tf = (
         documents.select(
@@ -768,7 +765,7 @@ def tfidf_keywords(documents: DataFrame, k: int = 5) -> DataFrame:
     w = Window.partitionBy("doc_id").orderBy(
         F.col("score").desc(), F.col("word").asc()
     )
-    return (
+    out = (
         tf.join(df_t, "word")
         .join(F.broadcast(n_docs))
         .select(
@@ -781,8 +778,8 @@ def tfidf_keywords(documents: DataFrame, k: int = 5) -> DataFrame:
         .withColumn("rank", F.row_number().over(w).cast("long"))
         .filter(F.col("rank") <= k)
         .select("doc_id", "rank", "word", "tf", "idf_bits", "score")
-        .orderBy("doc_id", "rank")
     )
+    return out.orderBy("doc_id", "rank") if sort else out
 
 
 def frequent_bigrams(documents: DataFrame, k: int = 50) -> DataFrame:

@@ -1351,6 +1351,45 @@ _register(
 _NOVELTY_ORACLE = QUERIES["novelty_scores"].oracle
 
 
+def _stream_state_scored(spark, docs, prefix, table_kinds, ingest, score):
+    """Shared harness for the stream→queryable-table correctness
+    queries: land the fixture as a 4-file parquet copy, replay it as a
+    maxFilesPerTrigger=1 stream (4 micro-batches) through ``ingest``,
+    score the accumulated state with ``score``, then clean up EVERY
+    piece of state — the temp parquet copy, the checkpoint dir, and the
+    managed state tables — in a ``finally``, so repeated correctness
+    runs cannot accumulate warehouse garbage. The scored frame is
+    ``localCheckpoint``-ed (eagerly materialized, lineage truncated)
+    first, so dropping the state tables cannot invalidate it.
+
+    Fresh per-invocation table names are kept as defense: managed-table
+    LOCATIONS in the shared warehouse outlive a crashed previous
+    process's catalog, where a fixed name would collide with a leftover
+    directory this session's DROP TABLE cannot see."""
+    import shutil
+    import tempfile
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix=f"fss-{prefix}stream-")
+    ckpt = tempfile.mkdtemp(prefix=f"fss-{prefix}ckpt-")
+    tag = uuid.uuid4().hex[:8]
+    names = [f"fss_{prefix}_{kind}_{tag}" for kind in table_kinds]
+    try:
+        docs.repartition(4).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema(docs.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        ingest(stream, *names, checkpoint=ckpt)
+        return score(spark, *names).localCheckpoint(eager=True)
+    finally:
+        for n in names:
+            spark.sql(f"DROP TABLE IF EXISTS {n}")
+        shutil.rmtree(tmp, ignore_errors=True)
+        shutil.rmtree(ckpt, ignore_errors=True)
+
+
 def _novelty_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Stream→queryable-table twin of ``novelty_scores`` under the full
     correctness gate: the documents fixture arrives as a 4-file stream
@@ -1359,26 +1398,17 @@ def _novelty_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     (the reference's continuous stream→SnappyData-table loop,
     ``ParquetTableJoin.scala:32-43``), and the returned frame scores the
     accumulated state — row-identical to the one-shot batch op, so the
-    batch oracle applies verbatim."""
-    import tempfile
-    import uuid
-
+    batch oracle applies verbatim. State (tables, checkpoint, fixture
+    copy) is torn down after scoring via :func:`_stream_state_scored`."""
     docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    tmp = tempfile.mkdtemp(prefix="fss-novstream-")
-    docs.repartition(4).write.mode("overwrite").parquet(tmp)
-    # Fresh state-table names per invocation: managed-table LOCATIONS in
-    # the shared warehouse dir outlive the per-process catalog, so a
-    # fixed name collides with a previous session's leftover directory
-    # that DROP TABLE (catalog-only in this session) cannot see.
-    tag = uuid.uuid4().hex[:8]
-    idx_t, cnt_t = f"fss_nov_idx_{tag}", f"fss_nov_cnt_{tag}"
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tmp)
+    return _stream_state_scored(
+        spark,
+        docs,
+        "nov",
+        ["idx", "cnt"],
+        textops.streaming_novelty_ingest,
+        textops.novelty_from_state,
     )
-    textops.streaming_novelty_ingest(stream, idx_t, cnt_t)
-    return textops.novelty_from_state(spark, idx_t, cnt_t)
 
 
 QUERIES["novelty_streamed"] = QuerySpec(
@@ -2131,7 +2161,10 @@ _register(
 _register(
     "canonical_pick",
     ["documents"],
-    curation.canonical_pick,
+    # sort=False: the driver's value hash is order-insensitive, so the
+    # registered form skips the presentation sort (the cluster list is
+    # O(n/2) on a duplicate-heavy corpus — no reason to range-sort it).
+    lambda documents: curation.canonical_pick(documents, sort=False),
     f"""
     WITH RECURSIVE
     {_CC_CTES},
@@ -2256,25 +2289,19 @@ def _mix_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     its per-doc mixing features + per-source token-total partials via
     foreachBatch (``ParquetTableJoin.scala:32-43`` loop), and the
     returned frame rates the accumulated state — row-identical to the
-    batch op, so the batch oracle applies verbatim."""
-    import tempfile
-    import uuid
-
+    batch op, so the batch oracle applies verbatim. State is torn down
+    after scoring via :func:`_stream_state_scored`."""
     docs = load_table(spark, sf_dir, "documents").select(
         "doc_id", "text", "source"
     )
-    tmp = tempfile.mkdtemp(prefix="fss-mixstream-")
-    docs.repartition(4).write.mode("overwrite").parquet(tmp)
-    # fresh per-invocation table names: see _novelty_streamed.
-    tag = uuid.uuid4().hex[:8]
-    docs_t, tot_t = f"fss_mix_docs_{tag}", f"fss_mix_tot_{tag}"
-    stream = (
-        spark.readStream.schema(docs.schema)
-        .option("maxFilesPerTrigger", 1)
-        .parquet(tmp)
+    return _stream_state_scored(
+        spark,
+        docs,
+        "mix",
+        ["docs", "tot"],
+        sampling.streaming_mix_ingest,
+        sampling.mix_from_state,
     )
-    sampling.streaming_mix_ingest(stream, docs_t, tot_t)
-    return sampling.mix_from_state(spark, docs_t, tot_t)
 
 
 QUERIES["mix_streamed"] = QuerySpec(
@@ -2485,7 +2512,9 @@ _EPOCH_KEY_SQL = packing.portable_hash_sql(
 _register(
     "epoch_shuffle",
     ["documents"],
-    packing.epoch_shuffle,
+    # sort=False: the rank is the payload; a corpus-sized presentation
+    # orderBy would re-add the very global sort the op exists to avoid.
+    lambda documents: packing.epoch_shuffle(documents, sort=False),
     f"""
     WITH k AS (
         SELECT doc_id, {_EPOCH_KEY_SQL} AS k FROM documents)
@@ -2725,7 +2754,8 @@ _register(
 _register(
     "tfidf_keywords",
     ["documents"],
-    textops.tfidf_keywords,
+    # sort=False: O(5n) keyword rows; hash compare is order-insensitive.
+    lambda documents: textops.tfidf_keywords(documents, sort=False),
     f"""
     WITH {_TF_CTES},
     dft AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df

@@ -190,29 +190,90 @@ def run_to_memory_sink(
     return q
 
 
-def stream_to_table(
-    df: DataFrame, table: str, checkpoint: str | None = None
+def ingest_stream_to_tables(
+    stream_df: DataFrame,
+    outputs,
+    prepare=None,
+    checkpoint: str | None = None,
 ) -> StreamingQuery:
-    """The stream→OLAP-table continuous loop (SURVEY.md §2.6 last row):
-    every micro-batch appended to a queryable in-memory catalog table via
-    foreachBatch — the Flink→SnappyData write path the reference's title
-    promises but never implements."""
+    """The ONE stream→queryable-catalog-table ingest loop every
+    stream-to-table op in the engine rides (:func:`stream_to_table`,
+    ``text.streaming_novelty_ingest``, ``sampling.streaming_mix_ingest``,
+    ``similarity.streaming_centroid_ingest``): per micro-batch, run the
+    expensive shared transform ``prepare`` ONCE (persisted when it fans
+    out to several tables), then land each ``(table, build)`` output.
 
-    def _append(batch_df: DataFrame, batch_id: int) -> None:
-        batch_df.write.mode("append").saveAsTable(table)
+    EXACTLY-ONCE under foreachBatch retries: foreachBatch is
+    at-least-once — a batch retried after a partial failure (crash
+    between two table writes) would blind-append the same rows twice
+    and silently corrupt any accumulated log-structured state. Every
+    output row is therefore stamped with the micro-batch's ``batch_id``
+    and the tables are PARTITIONED by it; writes use dynamic
+    partition-overwrite ``insertInto``, so a retry of batch N rewrites
+    exactly partition ``batch_id=N`` — idempotent, with no fold-time
+    dedup shuffle for readers (they just ``drop("batch_id")``).
 
+    Scale: per batch, one persisted materialization of the shared
+    transform and one partition-overwrite write per table; state tables
+    are append-only logs folded by the reader's aggregation (partials
+    merge map-side), never read-modify-written here.
+
+    outputs: list of ``(table_name, build)`` where ``build`` maps the
+    prepared frame to that table's rows. ``prepare=None`` means the
+    micro-batch lands as-is.
+    """
+
+    def _ingest(batch_df: DataFrame, batch_id: int) -> None:
+        # Cloned session per micro-batch: conf set here cannot leak to
+        # the parent session.
+        spark = batch_df.sparkSession
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+        base = prepare(batch_df) if prepare is not None else batch_df
+        fan_out = len(outputs) > 1
+        if fan_out:
+            base.persist()
+        try:
+            for table, build in outputs:
+                out = (build(base) if build is not None else base).withColumn(
+                    "batch_id", F.lit(batch_id).cast("long")
+                )
+                if spark.catalog.tableExists(table):
+                    out.write.mode("overwrite").insertInto(table)
+                else:
+                    out.write.partitionBy("batch_id").saveAsTable(table)
+        finally:
+            if fan_out:
+                base.unpersist()
+
+    tag = "-".join(t for t, _ in outputs)
     q = (
-        df.writeStream.foreachBatch(_append)
+        stream_df.writeStream.foreachBatch(_ingest)
         .trigger(availableNow=True)
         .option(
             "checkpointLocation",
-            checkpoint or tempfile.mkdtemp(prefix=f"fss-ckpt-{table}-"),
+            checkpoint or tempfile.mkdtemp(prefix=f"fss-ckpt-{tag}-"),
         )
         .start()
     )
     q.awaitTermination()
     # foreachBatch writes through a cloned session whose catalog refresh
     # does not reach the parent; invalidate the parent's relation cache
-    # so readers of `table` see the new files immediately.
-    df.sparkSession.catalog.refreshTable(table)
+    # so readers of the tables see the new files immediately.
+    for table, _ in outputs:
+        stream_df.sparkSession.catalog.refreshTable(table)
     return q
+
+
+def stream_to_table(
+    df: DataFrame, table: str, checkpoint: str | None = None
+) -> StreamingQuery:
+    """The stream→OLAP-table continuous loop (SURVEY.md §2.6 last row):
+    every micro-batch landed in a queryable catalog table via
+    foreachBatch — the Flink→SnappyData write path the reference's title
+    promises but never implements. Rides
+    :func:`ingest_stream_to_tables`, so the landed table carries a
+    ``batch_id`` lineage/partition column and retried micro-batches
+    overwrite (never duplicate) their own partition."""
+    return ingest_stream_to_tables(
+        df, [(table, None)], checkpoint=checkpoint
+    )
