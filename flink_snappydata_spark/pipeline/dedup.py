@@ -197,10 +197,14 @@ def _verified_jaccard(
     :data:`MAX_PACKED_SHINGLES`): packing makes one shuffle RECORD per
     document (~n_shingles × avg_shingle_len bytes ≈ the document's own
     size × word-n-gram overlap factor ~n), so a pathological multi-GB
-    document would become a single multi-hundred-MB record. A bounded
-    probe (one ``limit(1)`` agg over the persisted index — no full
-    count) checks whether any document exceeds the bound; in the
-    common all-small case the plan below is untouched. When oversized
+    document would become a single multi-hundred-MB record. A probe
+    checks whether any document exceeds the bound: one per-doc shingle
+    count aggregation over the persisted index, with a ``limit(1)``
+    that early-exits only when an oversized document EXISTS — proving
+    the common all-small case requires completing the full aggregation
+    pass (map-side-combined counts, one narrow row per document; cheap
+    relative to the candidate join, but a full pass, not a lookup). In
+    that all-small case the plan below is untouched. When oversized
     documents exist, only sub-bound documents are packed (they are
     filtered out BEFORE the ``collect_list`` shuffle, so the giant
     record is never built) and every pair touching an oversized

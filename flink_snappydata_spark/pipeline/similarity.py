@@ -485,6 +485,77 @@ def label_centroids(embeddings: DataFrame) -> DataFrame:
     )
 
 
+def streaming_centroid_ingest(
+    stream_embeddings: DataFrame,
+    partials_table: str,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest twin of :func:`label_centroids` — the
+    stream→queryable-table loop (``ParquetTableJoin.scala:32-43``
+    shape) applied to the EMBEDDING side of the pipeline: each
+    micro-batch of arriving vectors is quantized + component-exploded
+    ONCE and lands as per-(label, pos) int64 partial sums
+    ``(label, pos, s, c)`` — the classic log-structured sufficient
+    statistic for a running mean. The global centroid is
+    ``SUM(s)/SUM(c)`` over the partials, folded at query time by
+    :func:`centroids_from_state`; after a bounded stream drains the
+    result is row-identical to the batch op (the batch oracle applies
+    verbatim), and because int64 sums are order- and
+    batching-insensitive, that equality is exact, not approximate.
+
+    Scale: the per-batch shuffle carries only (label, pos)-keyed int64
+    partials (map-side combined — ≤ labels × D rows per batch
+    partition), never vectors; the state table grows by at most
+    labels × D rows per micro-batch regardless of batch row count.
+    Rides :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition instead of double-counting partials.
+    """
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    def _partials(batch_df: DataFrame) -> DataFrame:
+        comp = batch_df.select(
+            "label",
+            F.posexplode(_qvec(F.col("embedding"))).alias("pos", "q"),
+        )
+        return comp.groupBy(
+            "label", F.col("pos").cast("long").alias("pos")
+        ).agg(
+            F.sum("q").alias("s"),
+            F.count(F.lit(1)).alias("c"),
+        )
+
+    return ingest_stream_to_tables(
+        stream_embeddings,
+        [(partials_table, None)],
+        prepare=_partials,
+        checkpoint=checkpoint,
+    )
+
+
+def centroids_from_state(spark, partials_table: str) -> DataFrame:
+    """Per-label centroids from the partial-sum state accumulated by
+    :func:`streaming_centroid_ingest`: one map-side-combined fold
+    (``SUM(s)/SUM(c)`` per (label, pos)), then the exact batch
+    divide-then-scale arithmetic — row-identical to
+    :func:`label_centroids` over the union of all ingested batches.
+    ``batch_id`` is ingest lineage (the idempotency partition key),
+    not state — dropped here."""
+    p = spark.table(partials_table).drop("batch_id")
+    return (
+        p.groupBy("label", "pos")
+        .agg(
+            (
+                F.sum("s").cast("double") / F.sum("c") / F.lit(QUANT)
+            ).alias("centroid"),
+            F.sum("c").cast("long").alias("n_vectors"),
+        )
+        .orderBy("label", "pos")
+    )
+
+
 def semantic_decontamination(
     train: DataFrame,
     eval_set: DataFrame,

@@ -348,15 +348,41 @@ def novelty_from_state(
     return _novelty_from_index(sh, dfreq, boilerplate_df)
 
 
-def language_id(documents: DataFrame) -> DataFrame:
-    """Keyword-hit language ID over {en, fr, de, es}.
+#: Han-script character class for the zh detector: CJK Unified
+#: Ideographs + Extension A. Literal BMP range chars, so the identical
+#: class string is a valid Java regex (Spark) and RE2 regex (DuckDB
+#: oracle). Kana/Hangul are deliberately excluded — they would identify
+#: ja/ko, which the engine labels 'und' rather than misreporting as zh.
+CJK_CLASS = "[㐀-䶿一-鿿]"
 
-    Hit counts use the replace-trick (non-overlapping occurrences of
-    ``' kw '`` in the space-padded lowered text) — identical semantics in
-    Spark and the SQL oracle. Deterministic argmax with fixed tie order;
-    'und' when nothing hits.
+#: zh fires when at least 1-in-CJK_RATIO of a document's characters are
+#: Han script (and at least one exists): a lone quoted ideograph inside
+#: an English document must not flip the label.
+CJK_RATIO = 10
+
+
+def language_id(documents: DataFrame) -> DataFrame:
+    """Language ID over {en, fr, de, es, zh}: keyword-hit voting for
+    the Latin-script languages, Han-SCRIPT detection for zh.
+
+    Keyword hit counts use the replace-trick (non-overlapping
+    occurrences of ``' kw '`` in the space-padded lowered text) —
+    identical semantics in Spark and the SQL oracle. Deterministic
+    argmax with fixed tie order; 'und' when nothing hits.
+
+    zh is scored by character class, not keywords (Chinese has no
+    spaces to keyword-match on): ``score_zh`` counts characters in
+    :data:`CJK_CLASS`, and zh wins outright when ≥ 1/:data:`CJK_RATIO`
+    of the text is Han script — the script test runs BEFORE the
+    keyword vote, since script identity dominates any Latin keyword
+    coincidentally embedded in CJK text. Everything is per-row JVM
+    string expressions (no shuffle, no UDF).
     """
     padded = F.concat(F.lit(" "), F.lower(F.col("text")), F.lit(" "))
+    n_chars = F.length(F.col("text"))
+    cjk = (
+        n_chars - F.length(F.regexp_replace(F.col("text"), CJK_CLASS, ""))
+    ).cast("long")
 
     def hits(kw: str) -> Column:
         needle = f" {kw} "
@@ -381,10 +407,16 @@ def language_id(documents: DataFrame) -> DataFrame:
             elif other != lang:
                 cond = cond & (scores[lang] >= scores[other])
         pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    # script test first: Han-dominant text is zh regardless of any
+    # Latin keywords embedded in it
+    pred = F.when(
+        (cjk > 0) & (cjk * F.lit(CJK_RATIO) >= n_chars), F.lit("zh")
+    ).otherwise(pred)
     return documents.select(
         "doc_id",
         "lang",
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
+        cjk.alias("score_zh"),
         pred.alias("pred_lang"),
     )
 
@@ -393,9 +425,13 @@ def langid_confusion(documents: DataFrame) -> DataFrame:
     """Language-ID evaluation: the (truth, prediction) confusion matrix
     of :func:`language_id` against the corpus's labeled ``lang`` column
     — the QA step that decides whether the cheap classifier is good
-    enough to gate a corpus on (e.g. the fixture's zh documents land in
-    'und' because the keyword families cover en/fr/de/es only; this op
-    makes that visible as numbers instead of silently filtering).
+    enough to gate a corpus on. On the synthetic fixture it surfaces an
+    honest floor: the fixture's zh/fr/de/es documents are generated
+    from the same Latin tech-word vocabulary as the en ones (no Han
+    script, no French/German/Spanish function words actually present),
+    so no text-derived classifier can beat the label noise there — the
+    zh Han-SCRIPT path is instead proven on genuinely-Chinese text in
+    the unit tests (recall 1.0 when the script signal exists).
 
     Returns ``(lang, pred_lang, n, lang_total, share)`` — count per
     cell, the truth-row total, and the row-normalized share (the
@@ -656,6 +692,56 @@ def _floor_log2(col: Column) -> Column:
     return (F.length(F.bin(col)) - F.lit(1)).cast("long")
 
 
+#: Hot-vocabulary broadcast bound for the skew-safe word joins: a word
+#: is "hot" when it carries ≥ 1/HOT_VOCAB_MAX of the corpus statistic,
+#: so AT MOST HOT_VOCAB_MAX words can qualify (their shares sum to 1) —
+#: the broadcast side is bounded by construction, independent of corpus
+#: size or vocabulary size.
+HOT_VOCAB_MAX = 4096
+
+
+def _join_word_stats_skew_safe(
+    tf: DataFrame,
+    stats: DataFrame,
+    stat_col: str,
+    total: DataFrame,
+    total_col: str,
+    hot_max: int = HOT_VOCAB_MAX,
+) -> DataFrame:
+    """Inner-join the per-(doc, word) ``tf`` frame against a per-word
+    statistics frame, skew-proof by construction.
+
+    A stopword appears in nearly every document, so its key holds
+    O(n_docs) tf rows — and AQE's runtime skew split CANNOT rescue this
+    join: the statistics side is an aggregate output (not a bare
+    shuffle stage under the sort), which makes OptimizeSkewedJoin
+    structurally ineligible (pinned in
+    ``tests/test_sampling.py::test_unigram_surprisal_stopword_skew``).
+    Instead, split the vocabulary at the frequency cutoff
+    ``stat * hot_max ≥ total``: at most ``hot_max`` words can be above
+    it (their corpus shares sum to 1), so the hot slice broadcasts —
+    hot tf rows never shuffle at all — and the shuffled tail join has
+    no key above ``1/hot_max`` of the corpus. Row-identical to the
+    plain inner join (the two slices partition the tf rows; every row
+    matches exactly one stats row either way).
+
+    int64 guard: ``stat * hot_max`` stays below 2^63 for any corpus
+    under ``2^63/hot_max ≈ 2.3e15`` tokens/documents — comfortably
+    beyond 100 TB of text.
+    """
+    hot = (
+        stats.crossJoin(F.broadcast(total))
+        .filter(F.col(stat_col) * F.lit(hot_max) >= F.col(total_col))
+        .drop(total_col)
+    )
+    aug = tf.join(F.broadcast(hot), "word", "left")
+    hot_part = aug.filter(F.col(stat_col).isNotNull())
+    cold_part = (
+        aug.filter(F.col(stat_col).isNull()).drop(stat_col).join(stats, "word")
+    )
+    return hot_part.unionByName(cold_part)
+
+
 def unigram_surprisal(documents: DataFrame) -> DataFrame:
     """Perplexity-proxy quality scoring: each document's mean token
     surprisal under the corpus's own unigram distribution — the
@@ -678,11 +764,18 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
 
     Scale: two hash aggregations with map-side combine — (doc_id, word)
     term frequencies, then vocabulary counts — one join of the tf frame
-    against the vocabulary on ``word`` (AQE handles the hot-stopword
-    skew; no text ever shuffles, only tokens and counts), a 1-row
-    broadcast total, and a final doc_id-keyed sum. At 100 TB every wide
-    frame is token/count pairs, bounded by corpus token count and
-    vocabulary size.
+    against the vocabulary on ``word``, a 1-row broadcast total, and a
+    final doc_id-keyed sum. The word join is made skew-proof BY
+    CONSTRUCTION via :func:`_join_word_stats_skew_safe`: stopwords are
+    exactly the keys AQE's runtime skew split cannot save here (the
+    vocabulary side of the join is an aggregate, not a bare shuffle
+    stage, so OptimizeSkewedJoin is structurally ineligible — verified
+    in tests), so the hot slice of the vocabulary (≤ ``HOT_VOCAB_MAX``
+    words by definition of the frequency cutoff) broadcasts and only
+    the long tail shuffles, where no key exceeds 1/``HOT_VOCAB_MAX`` of
+    the corpus. No text ever shuffles, only tokens and counts; at
+    100 TB every wide frame is token/count pairs, bounded by corpus
+    token count and vocabulary size.
     """
     tf = (
         documents.select(
@@ -695,7 +788,7 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
     total = counts.agg(F.sum("c").alias("n"))
     bits = _floor_log2(F.col("n")) - _floor_log2(F.col("c"))
     scored = (
-        tf.join(counts, "word")
+        _join_word_stats_skew_safe(tf, counts, "c", total, "n")
         .join(F.broadcast(total))
         .groupBy("doc_id")
         .agg(
@@ -742,7 +835,10 @@ def tfidf_keywords(
 
     Scale: the (doc_id, word) tf aggregation doubles as the document-
     frequency source (one count per distinct pair), so there are two
-    hash aggs, one word-keyed join, and one doc_id-partitioned window
+    hash aggs, one word-keyed join — skew-proof via the hot-vocabulary
+    broadcast split (:func:`_join_word_stats_skew_safe`; stopwords
+    appear in every document, so their df-join keys are exactly the
+    AQE-unsplittable hot keys) — and one doc_id-partitioned window
     over per-doc vocabularies — never a global sort. Row counts are
     bounded by distinct (doc, term) pairs; text never shuffles.
     ``sort=False`` drops the final (doc_id, rank) presentation
@@ -766,7 +862,7 @@ def tfidf_keywords(
         F.col("score").desc(), F.col("word").asc()
     )
     out = (
-        tf.join(df_t, "word")
+        _join_word_stats_skew_safe(tf, df_t, "df", n_docs, "d")
         .join(F.broadcast(n_docs))
         .select(
             "doc_id",

@@ -1989,16 +1989,30 @@ def _langid_oracle() -> str:
         f"({score_exprs[lang]}) AS s_{lang}" for lang in langs
     )
     out_cols = ", ".join(f"s_{lang} AS score_{lang}" for lang in langs)
+    # Han-script zh detector, same literal char class + ratio as the
+    # engine (text.CJK_CLASS / text.CJK_RATIO); the script CASE runs
+    # before the keyword vote, mirroring language_id's precedence.
+    zh_score = (
+        "CAST(length(text) - length(regexp_replace(text, "
+        f"'{textops.CJK_CLASS}', '', 'g')) AS BIGINT)"
+    )
+    zh_case = (
+        f"WHEN s_zh > 0 AND s_zh * {textops.CJK_RATIO} >= n_chars "
+        "THEN 'zh'"
+    )
     return f"""
     WITH padded_docs AS (
-        SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded FROM documents
+        SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded,
+               {zh_score} AS s_zh,
+               CAST(length(text) AS BIGINT) AS n_chars
+        FROM documents
     ), scored AS (
-        SELECT doc_id, lang,
+        SELECT doc_id, lang, s_zh, n_chars,
            {scores_select}
         FROM padded_docs
     )
-    SELECT doc_id, lang, {out_cols},
-           CASE {' '.join(cases)} ELSE 'und' END AS pred_lang
+    SELECT doc_id, lang, {out_cols}, s_zh AS score_zh,
+           CASE {zh_case} {' '.join(cases)} ELSE 'und' END AS pred_lang
     FROM scored
     """
 
@@ -2311,6 +2325,39 @@ QUERIES["mix_streamed"] = QuerySpec(
         "log-structured per-source total partials into queryable "
         "catalog tables, rated from state (second stream→table loop "
         "on the LLM-pipeline set).",
+)
+
+
+def _centroids_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``label_centroids`` under the
+    full correctness gate — the third stream→table loop, on the
+    EMBEDDING side: the embeddings fixture arrives as a 4-file stream
+    (maxFilesPerTrigger=1 → 4 micro-batches); each batch lands its
+    per-(label, pos) int64 partial sums via foreachBatch
+    (``ParquetTableJoin.scala:32-43`` loop), and the returned frame
+    folds the accumulated partials — exactly row-identical to the
+    batch op (int64 sums are batching-insensitive), so the batch
+    oracle applies verbatim. State is torn down after scoring via
+    :func:`_stream_state_scored`."""
+    vecs = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    return _stream_state_scored(
+        spark,
+        vecs,
+        "cent",
+        ["part"],
+        similarity.streaming_centroid_ingest,
+        similarity.centroids_from_state,
+    )
+
+
+QUERIES["centroids_streamed"] = QuerySpec(
+    fn=_centroids_streamed,
+    oracle=None,  # set below once label_centroids is registered
+    doc="Streaming-ingest per-label centroids: micro-batched int64 "
+        "component partial sums into a queryable catalog table, folded "
+        "from state (third stream→table loop, embedding side).",
 )
 
 _register(
@@ -2862,6 +2909,15 @@ _register(
     """,
     doc="Per-label mean embedding (class centroids / coarse-quantizer "
         "codebook), exact int64 component sums.",
+)
+
+# centroids_streamed is declared earlier (next to the other streamed
+# twins) but its oracle IS the batch label_centroids oracle, only
+# registered here — patch it in now (QuerySpec is frozen: rebuild).
+QUERIES["centroids_streamed"] = QuerySpec(
+    fn=QUERIES["centroids_streamed"].fn,
+    oracle=QUERIES["label_centroids"].oracle,
+    doc=QUERIES["centroids_streamed"].doc,
 )
 
 _register(

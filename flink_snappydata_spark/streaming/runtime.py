@@ -190,6 +190,25 @@ def run_to_memory_sink(
     return q
 
 
+def land_batch_partition(df: DataFrame, table: str, batch_id: int) -> None:
+    """Idempotently land one micro-batch's rows as partition
+    ``batch_id=N`` of a managed catalog table. First write creates the
+    table partitioned by ``batch_id``; later writes use dynamic
+    partition-overwrite ``insertInto``, which replaces ONLY the
+    partitions present in the frame — so re-landing the same batch_id
+    (a foreachBatch retry) rewrites its own partition instead of
+    appending a duplicate copy. The dynamic-overwrite conf is set on
+    the frame's own session (inside foreachBatch that is the per-batch
+    cloned session, so the setting cannot leak to the parent)."""
+    spark = df.sparkSession
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    out = df.withColumn("batch_id", F.lit(batch_id).cast("long"))
+    if spark.catalog.tableExists(table):
+        out.write.mode("overwrite").insertInto(table)
+    else:
+        out.write.partitionBy("batch_id").saveAsTable(table)
+
+
 def ingest_stream_to_tables(
     stream_df: DataFrame,
     outputs,
@@ -224,23 +243,17 @@ def ingest_stream_to_tables(
     """
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
-        # Cloned session per micro-batch: conf set here cannot leak to
-        # the parent session.
-        spark = batch_df.sparkSession
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
         base = prepare(batch_df) if prepare is not None else batch_df
         fan_out = len(outputs) > 1
         if fan_out:
             base.persist()
         try:
             for table, build in outputs:
-                out = (build(base) if build is not None else base).withColumn(
-                    "batch_id", F.lit(batch_id).cast("long")
+                land_batch_partition(
+                    build(base) if build is not None else base,
+                    table,
+                    batch_id,
                 )
-                if spark.catalog.tableExists(table):
-                    out.write.mode("overwrite").insertInto(table)
-                else:
-                    out.write.partitionBy("batch_id").saveAsTable(table)
         finally:
             if fan_out:
                 base.unpersist()

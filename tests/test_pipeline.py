@@ -1736,3 +1736,34 @@ def test_langid_confusion_consistent_with_language_id(spark):
         by_lang.setdefault(r.lang, []).append(r.share)
     for shares in by_lang.values():
         assert abs(sum(shares) - 1.0) < 1e-12
+
+
+def test_language_id_zh_script_detection(spark):
+    """The Han-script path: genuine Chinese text is identified as zh
+    (recall 1.0 on this planted corpus), romanized pinyin stays und
+    (no script signal), and a lone quoted ideograph inside an English
+    sentence does NOT flip the label (the 1-in-10 ratio guard)."""
+    docs = spark.createDataFrame(
+        [
+            (1, "今天天气很好我们去公园散步吧", "zh"),
+            (2, "数据库的查询引擎按列存储数据", "zh"),
+            (3, "the word 好 means good in chinese and the text is long", "en"),
+            (4, "zhong wen pin yin mei you han zi", "zh"),
+            (5, "the cat is happy and the dog is sleepy", "en"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    out = {r.doc_id: r for r in textops.language_id(docs).collect()}
+    assert out[1].pred_lang == "zh" and out[1].score_zh == 14
+    assert out[2].pred_lang == "zh"
+    assert out[3].pred_lang == "en" and out[3].score_zh == 1
+    assert out[4].pred_lang == "und" and out[4].score_zh == 0
+    assert out[5].pred_lang == "en"
+    # confusion matrix: zh recall is 2/3 here (the pinyin doc has no
+    # script signal by construction), en recall 1.0
+    cm = {
+        (r.lang, r.pred_lang): r.share
+        for r in textops.langid_confusion(docs).collect()
+    }
+    assert cm[("zh", "zh")] == 2 / 3
+    assert cm[("en", "en")] == 1.0

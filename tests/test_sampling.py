@@ -262,3 +262,54 @@ def test_token_budget_thresholds_broadcast(spark):
 
     docs = load_table(spark, SF_CORRECT, "documents")
     assert broadcast_join_count(sampling.token_budget_assign(docs)) >= 1
+
+
+def test_unigram_surprisal_stopword_skew(spark, _skew_confs):
+    """Pin the skew story the unigram_surprisal docstring tells, both
+    halves. (1) Ineligibility: on a corpus where one stopword appears
+    in EVERY document, the NAIVE tf⋈vocabulary join cannot be rescued
+    by AQE even with thresholds tuned way down — the vocabulary side is
+    an aggregate output, not a bare shuffle stage, so
+    OptimizeSkewedJoin never marks it skew=true. (2) The shipped
+    operator therefore splits the join by construction: the hot
+    vocabulary slice rides a BroadcastHashJoin (hot tf rows never
+    shuffle), and the result is row-identical to the naive formula."""
+    from pyspark.sql import functions as F
+
+    from flink_snappydata_spark.pipeline import text as textops
+    from flink_snappydata_spark.pipeline.text import (
+        _floor_log2,
+        _join_word_stats_skew_safe,
+        _words,
+    )
+
+    spark.conf.set(
+        "spark.sql.adaptive.skewJoin.skewedPartitionThresholdInBytes", "512KB"
+    )
+    spark.conf.set("spark.sql.adaptive.skewJoin.skewedPartitionFactor", "2")
+    spark.conf.set("spark.sql.adaptive.advisoryPartitionSizeInBytes", "256KB")
+    docs = spark.range(0, 60_000).selectExpr(
+        "id AS doc_id",
+        "concat('thequickbrownfoxjumpedoverthelazydog u', id) AS text",
+    )
+
+    # (1) the naive join shape: AQE skew split is structurally ineligible
+    tf = (
+        docs.select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    counts = tf.groupBy("word").agg(F.sum("tf").alias("c"))
+    naive_plan = _executed_plan(tf.join(counts, "word"))
+    assert "SortMergeJoin" in naive_plan and "skew=true" not in naive_plan, (
+        naive_plan
+    )
+
+    # (2) the shipped split: hot slice broadcasts, values identical
+    total = counts.agg(F.sum("c").alias("n"))
+    safe = _join_word_stats_skew_safe(tf, counts, "c", total, "n")
+    safe_plan = _executed_plan(safe)
+    assert "BroadcastHashJoin" in safe_plan, safe_plan
+    got = {(r.doc_id, r.word): r.c for r in safe.collect()}
+    want = {(r.doc_id, r.word): r.c for r in tf.join(counts, "word").collect()}
+    assert got == want and len(got) == 120_000

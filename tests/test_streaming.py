@@ -559,3 +559,62 @@ def test_streaming_mix_ingest_matches_batch(spark):
     pd.testing.assert_frame_equal(got, want)
     for t in (docs_t, tot_t):
         spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_centroid_ingest_matches_batch(spark):
+    """Streaming-ingest twin of label_centroids: embeddings arrive over
+    4 micro-batches, each appending per-(label, pos) int64 partial
+    sums; folding the accumulated state is exactly row-identical to
+    the one-shot batch op once the bounded stream drains."""
+    import tempfile
+    import uuid
+
+    from flink_snappydata_spark.pipeline import similarity
+
+    vecs = load_table(spark, SF_SMOKE, "embeddings").select(
+        "vec_id", "embedding", "label"
+    )
+    tmp = tempfile.mkdtemp(prefix="fss-cent-stream-")
+    vecs.repartition(4).write.mode("overwrite").parquet(tmp)
+    tag = uuid.uuid4().hex[:8]
+    part_t = f"cent_part_{tag}"
+
+    stream = (
+        spark.readStream.schema(vecs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    similarity.streaming_centroid_ingest(stream, part_t)
+
+    # the cross-batch fold is actually exercised: at least one
+    # (label, pos) key accumulated partials from >1 micro-batch
+    part = spark.table(part_t)
+    assert part.count() > part.select("label", "pos").distinct().count()
+
+    got = _sorted(similarity.centroids_from_state(spark, part_t).toPandas())
+    want = _sorted(similarity.label_centroids(vecs).toPandas())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+    spark.sql(f"DROP TABLE IF EXISTS {part_t}")
+
+
+def test_land_batch_partition_retry_is_idempotent(spark):
+    """The exactly-once mechanism under foreachBatch's at-least-once
+    contract: re-landing the same batch_id (a retried micro-batch)
+    must REPLACE that batch's partition, not append a second copy."""
+    import uuid
+
+    t = f"land_idem_{uuid.uuid4().hex[:8]}"
+    b0 = spark.range(0, 5).withColumnRenamed("id", "k")
+    b1 = spark.range(100, 103).withColumnRenamed("id", "k")
+    runtime.land_batch_partition(b0, t, 0)
+    runtime.land_batch_partition(b1, t, 1)
+    # retry of batch 0 (e.g. crash after a partial write elsewhere)
+    runtime.land_batch_partition(b0, t, 0)
+    got = sorted(r.k for r in spark.table(t).collect())
+    assert got == [0, 1, 2, 3, 4, 100, 101, 102]
+    # and the batch lineage column partitions the log
+    assert sorted(
+        r.batch_id for r in spark.table(t).select("batch_id").distinct().collect()
+    ) == [0, 1]
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
