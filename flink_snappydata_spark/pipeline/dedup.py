@@ -980,3 +980,94 @@ def simhash_dedup_pairs(
             )
         )
     )
+
+
+#: A line is "boilerplate" when it occurs more than this many times
+#: across the corpus (CCNet/RefinedWeb-style line-level dedup keeps a
+#: line's first few occurrences conceptually; here the whole class is
+#: dropped from every document, the common bulk-curation policy).
+LINE_MAX_OCC = 5
+
+#: Ultra-hot split bound for the boilerplate digest join: digests
+#: carrying ≥ 1/4096 of all corpus lines broadcast (at most 4096 of
+#: them can exist), so the shuffled remainder has no key above
+#: 1/4096 of the line count — the same hot/tail discipline as
+#: text._join_word_stats_skew_safe.
+LINE_HOT_MAX = 4096
+
+
+def line_dedup(
+    documents: DataFrame,
+    max_occurrences: int = LINE_MAX_OCC,
+    sort: bool = True,
+) -> DataFrame:
+    """Boilerplate line removal (CCNet-style line-level dedup): drop
+    from every document each line whose corpus-wide occurrence count
+    exceeds ``max_occurrences`` — the navigation-bar / cookie-banner /
+    footer stripping step that runs before document-level near-dup in
+    a web-scale curation pipeline.
+
+    Lines are ``\\n``-separated; a line's identity is the 60-bit
+    md5-prefix digest of its exact bytes (the engine's portable-hash
+    idiom — DuckDB computes the identical value, and the documented
+    collision tradeoff of the fingerprint ops applies: a 60-bit
+    collision can only over-drop, at ~2^-60 per pair). Blank lines
+    hash together, so repeated blanks count as boilerplate — the
+    standard policy. Returns one row per document:
+    ``(doc_id, n_lines, n_dropped, kept_text)`` with ``kept_text`` the
+    surviving lines re-joined in original order ('' when everything
+    was boilerplate).
+
+    Scale: LINE TEXT NEVER SHUFFLES. The digest is projected in-row on
+    the scan; the occurrence count groups digests only; membership of
+    a line in the drop set is two semi-joins on the digest — the
+    ultra-hot slice (≥ 1/:data:`LINE_HOT_MAX` of all lines, ≤
+    :data:`LINE_HOT_MAX` digests by construction) broadcasts, so the
+    single cookie-banner line shared by 100 M pages never rides one
+    reducer, and the shuffled remainder has no key above
+    1/:data:`LINE_HOT_MAX` of the corpus. Reassembly joins a
+    (doc_id → dropped positions) frame — bounded by dropped lines,
+    narrow ints — back to the original scan and filters the split
+    array in-row; the only corpus-sized shuffle is that doc_id join.
+    """
+    arr = F.split(F.col("text"), "\n")
+    keyed = documents.select(
+        "doc_id", F.posexplode(arr).alias("pos", "line")
+    ).select(
+        "doc_id",
+        "pos",
+        F.conv(F.substring(F.md5(F.col("line").cast("binary")), 1, 15), 16, 10)
+        .cast("long")
+        .alias("h"),
+    )
+    counts = keyed.groupBy("h").agg(F.count(F.lit(1)).alias("occ"))
+    total = counts.agg(F.sum("occ").alias("n_total"))
+    hot = counts.filter(F.col("occ") > max_occurrences).crossJoin(
+        F.broadcast(total)
+    )
+    ultra = hot.filter(
+        F.col("occ") * F.lit(LINE_HOT_MAX) >= F.col("n_total")
+    ).select("h")
+    tail = hot.filter(
+        F.col("occ") * F.lit(LINE_HOT_MAX) < F.col("n_total")
+    ).select("h")
+    dropped = keyed.join(F.broadcast(ultra), "h", "left_semi").unionByName(
+        keyed.join(tail, "h", "left_semi")
+    )
+    drop_pos = dropped.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("pos")).alias("dp"),
+        F.count(F.lit(1)).alias("n_dropped"),
+    )
+    dp = F.coalesce(F.col("dp"), F.array().cast("array<int>"))
+    out = documents.join(drop_pos, "doc_id", "left").select(
+        "doc_id",
+        F.size(arr).cast("long").alias("n_lines"),
+        F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias(
+            "n_dropped"
+        ),
+        F.array_join(
+            F.filter(arr, lambda x, i: ~F.array_contains(dp, i)),
+            "\n",
+        ).alias("kept_text"),
+    )
+    return out.orderBy("doc_id") if sort else out

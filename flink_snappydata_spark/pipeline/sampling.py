@@ -20,7 +20,7 @@ from __future__ import annotations
 import zlib
 from collections.abc import Mapping, Sequence
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
@@ -325,3 +325,81 @@ def approx_distinct_verified(
         )
         .orderBy(group_col)
     )
+
+
+#: Default per-source document cap for :func:`per_source_cap` and the
+#: bucket fan-out that de-skews its rank window (a hot source's rows
+#: split across CAP_BUCKETS window partitions instead of one).
+CAP_DEFAULT_K = 100
+CAP_BUCKETS = 64
+
+
+def per_source_cap(
+    documents: DataFrame,
+    k: int = CAP_DEFAULT_K,
+    n_buckets: int = CAP_BUCKETS,
+    sort: bool = True,
+) -> DataFrame:
+    """Per-source document cap: keep a deterministic pseudo-random
+    sample of at most ``k`` documents per source — the "no domain may
+    dominate the corpus" rule every web-scale curation pipeline
+    applies (a single mirror farm can contribute billions of pages;
+    capping by source bounds its influence before mixing).
+
+    The sample is the ``k`` smallest values of
+    ``portable_hash(doc_id)`` per source (doc_id tiebreak) — a pure
+    function of content ids, so the kept set is stable under corpus
+    growth ordering and reproducible in any engine. Returns one row
+    per document: ``(doc_id, source, cap_rank, kept)``.
+
+    Scale — NO per-source global sort and no hot-source window: a
+    naive ``row_number() OVER (PARTITION BY source ORDER BY hash)``
+    sends every row of a billion-page domain to ONE window partition.
+    Instead the engine's two-phase bucket-histogram rank
+    (:func:`~flink_snappydata_spark.pipeline.packing.global_index`
+    pattern, here keyed per source): hash keys are uniform on
+    [0, 2^31), so fixed key-range buckets split each source ~evenly
+    into ``n_buckets`` slices; per-(source, bucket) counts are
+    prefix-summed DISTRIBUTEDLY (a window over ≤ ``n_buckets`` rows
+    per source — never the documents, never the driver), and the rank
+    is a (source, bucket)-partitioned row_number plus the bucket
+    offset. Worst per-window partition is hot_source/``n_buckets``;
+    the histogram frame is |sources|·``n_buckets`` narrow rows, fine
+    for millions of sources. Identical values to the naive window
+    (bucket id is monotone in the hash).
+    """
+    from flink_snappydata_spark.pipeline.packing import (
+        _HASH_MOD,
+        portable_hash,
+    )
+
+    width = (_HASH_MOD + n_buckets - 1) // n_buckets
+    keyed = documents.select(
+        "doc_id",
+        "source",
+        portable_hash(F.col("doc_id")).alias("hk"),
+    ).withColumn("b", F.expr(f"hk DIV {width}"))
+    hist = keyed.groupBy("source", "b").agg(F.count(F.lit(1)).alias("cnt"))
+    off_w = (
+        Window.partitionBy("source")
+        .orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        "source",
+        "b",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("offset"),
+    )
+    rank_w = Window.partitionBy("source", "b").orderBy("hk", "doc_id")
+    out = (
+        keyed.join(offsets, ["source", "b"])
+        .select(
+            "doc_id",
+            "source",
+            (F.row_number().over(rank_w) - 1 + F.col("offset"))
+            .cast("long")
+            .alias("cap_rank"),
+        )
+        .withColumn("kept", F.col("cap_rank") < F.lit(int(k)))
+    )
+    return out.orderBy("doc_id") if sort else out

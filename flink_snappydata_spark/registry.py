@@ -2235,6 +2235,71 @@ _register(
 )
 
 _register(
+    "line_dedup",
+    ["documents"],
+    # sort=False: one row per document (corpus-sized output); the
+    # driver's value hash is order-insensitive.
+    lambda documents: dedup.line_dedup(documents, sort=False),
+    f"""
+    WITH lines AS (
+        SELECT doc_id, unnest(arr) AS line,
+               generate_subscripts(arr, 1) - 1 AS pos
+        FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
+              FROM documents)
+    ), keyed AS (
+        SELECT doc_id, pos, line,
+               ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
+        FROM lines
+    ), occ AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS occ FROM keyed GROUP BY h
+    ), hot AS (SELECT h FROM occ WHERE occ > {dedup.LINE_MAX_OCC}),
+    dp AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dropped
+        FROM keyed JOIN hot USING (h) GROUP BY doc_id
+    ), kept AS (
+        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text
+        FROM keyed WHERE h NOT IN (SELECT h FROM hot) GROUP BY doc_id
+    )
+    SELECT d.doc_id AS doc_id,
+           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
+           COALESCE(dp.n_dropped, 0) AS n_dropped,
+           COALESCE(k.kept_text, '') AS kept_text
+    FROM documents d LEFT JOIN dp ON dp.doc_id = d.doc_id
+    LEFT JOIN kept k ON k.doc_id = d.doc_id
+    """,
+    doc="Boilerplate line removal (CCNet-style line-level dedup): drop "
+        "every line occurring more than 5 times corpus-wide; line text "
+        "never shuffles (60-bit md5-prefix digests; ultra-hot digests "
+        "broadcast), reassembly is an in-row array filter.",
+)
+
+_register(
+    "source_doc_cap",
+    ["documents"],
+    # sort=False: one row per document; hash compare is order-insensitive.
+    lambda documents: sampling.per_source_cap(documents, sort=False),
+    f"""
+    WITH keyed AS (
+        SELECT doc_id, source,
+               {packing.portable_hash_sql('doc_id')} AS hk
+        FROM documents)
+    SELECT doc_id, source,
+           CAST(ROW_NUMBER() OVER (
+                    PARTITION BY source ORDER BY hk, doc_id) - 1
+                AS BIGINT) AS cap_rank,
+           (ROW_NUMBER() OVER (
+                    PARTITION BY source ORDER BY hk, doc_id) - 1)
+               < {sampling.CAP_DEFAULT_K} AS kept
+    FROM keyed
+    """,
+    doc="Per-source document cap (domain-cap curation rule): keep the "
+        "k hash-smallest documents per source via the two-phase "
+        "bucket-histogram rank — no hot-source window partition, no "
+        "driver histogram; identical to the naive per-source "
+        "row_number.",
+)
+
+_register(
     "train_val_test_split",
     ["documents"],
     sampling.split_counts,
@@ -3106,135 +3171,100 @@ _register(
 # Declaration order
 # ---------------------------------------------------------------------------
 # The correctness driver verifies registry entries front-to-back with a
-# bounded budget (rounds 1-4 recorded exactly the first 50 each). Order
-# therefore encodes verification priority, not implementation grouping.
-# Round-7 window (_HEAD, 50 names), under the round-6 POLICY AMENDMENT
-# (103 queries vs a 50-stamp budget => every query re-confirmed at
-# least every THIRD round, stalest first, plus anything its round
-# touched; local tests/test_oracle_parity.py still verifies ALL 103
-# every pytest run, so driver-stamp staleness never means unverified
-# code, only an older driver receipt):
+# bounded budget (50 stamps per round). Order therefore encodes
+# verification priority, not implementation grouping. Round-8 window
+# (_HEAD, 50 names), under the round-6 POLICY AMENDMENT (122 queries vs
+# a 50-stamp budget => every query re-confirmed at least every THIRD
+# round, stalest first, plus anything the round touched; local
+# tests/test_oracle_parity.py still verifies ALL 122 every pytest run,
+# so driver-stamp staleness never means unverified code, only an older
+# driver receipt):
 #
-# * slots 1-5: the five round-6 additions that sat at slots 51-55 and
-#   missed the round-6 stamp budget entirely (bm25_topk,
-#   semantic_neardup, embedding_outliers, novelty_scores,
-#   ann_ivf_trained) — never driver-stamped, so they lead;
-# * slots 6-8: the three red r06 stamps (audio_decode_stats,
-#   video_decode_stats, kmeans_train) — root-caused to DuckDB HUGEINT
-#   widening in the ORACLE SQL (engine values were bit-exact); the
-#   SUM outputs now carry CAST(... AS BIGINT) and must re-stamp green
-#   (regression guard: test_oracle_result_types_are_portable);
-# * slots 9-13: r06-green queries whose MODULES round 7 touches and
-#   must re-prove — pipeline/dedup.py (_verified_jaccard per-doc
-#   shingle bound; pair-output presentation sorts scale-gated):
-#   dedup_simhash, dedup_clusters; pipeline/similarity.py
-#   (semantic_neardup_pairs sort gating): ann_cosine_topk,
-#   embedding_neardup, label_centroids;
-# * slots 14-29: NEW in round 7, never-stamped so they rank ahead of
-#   re-stamps — novelty_streamed (the stream→table loop applied to the
-#   LLM-pipeline set: foreachBatch shingle-index + log-structured
-#   DF-count ingest, scored from queryable state), token_budget_mix
-#   (per-source token-budget data mixing, portable-hash downsample),
-#   quality_model_scores (hashed-feature linear quality filter),
-#   source_contamination (cross-source shared-shingle matrix),
-#   canonical_pick (keep the max-quality member per near-dup cluster),
-#   embedding_gram (partial-Gram covariance via mapInPandas partials),
-#   unigram_surprisal (integer-bits LM perplexity-proxy filter),
-#   tfidf_keywords (per-doc top-5 terms by quantized tf-idf),
-#   repeated_passages (content-defined exact passage duplication),
-#   image_resize_stats (decode -> resize kernel -> exact byte-sum pin),
-#   semantic_decontamination (embedding-space train/eval screening),
-#   dedup_report (one-row corpus duplication policy summary),
-#   mix_streamed (stream→table twin of the token-budget mix),
-#   frequent_bigrams (collocation/PMI phrase mining),
-#   langid_confusion (classifier QA vs the labeled lang column),
-#   epoch_shuffle (deterministic per-epoch corpus permutation);
-# * slots 30-50: 21 of the 48 queries whose latest stamp is r05 —
-#   every r05-stale query in a round-7-touched module is included
-#   (dedup_*, decontamination, ann_lsh/ivf, curation_pipeline, the
-#   whole text.py family), plus the streaming set and 13 TPC-H shapes.
+# * slots 1-3: NEW in round 8, never stamped — centroids_streamed (the
+#   third stream→table loop, embedding-side int64 partial sums),
+#   line_dedup (CCNet-style boilerplate line removal), source_doc_cap
+#   (per-source document cap via the two-phase bucket-histogram rank);
+# * slots 4-13: green stamps whose BEHAVIOR round 8 changed and must
+#   re-prove — novelty_streamed / mix_streamed (ingest now rides the
+#   shared idempotent batch_id-partition loop), canonical_pick /
+#   epoch_shuffle / tfidf_keywords (presentation sorts gated off in the
+#   registered forms; canonical_pick also builds its default pair graph
+#   unsorted), dedup_report (unsorted default pair graph),
+#   unigram_surprisal + tfidf_keywords (hot-vocabulary broadcast-split
+#   word join), image_resize_stats (numpy-gather resize kernel),
+#   text_langid + langid_confusion (Han-script zh detector);
+# * slots 14-40: ALL 27 queries whose latest stamp is r05 — exactly the
+#   every-third-round cadence (r05→r08): the 22 TPC-H shapes and
+#   agg_percentile/histogram/approx_* + scalar_similarity. Their modules
+#   (operators/relational.py, functions/scalar.py) are untouched since
+#   r05, so these are age-only re-stamps;
+# * slots 41-50: module-touched-but-function-unchanged re-proofs,
+#   r06-stale first — image_decode_stats, multimodal_features
+#   (multimodal.py gained the new resize kernel), seq_packing,
+#   global_index, shard_stats (packing.py), train_val_test_split
+#   (sampling.py), then curation_pipeline, token_budget_mix,
+#   label_centroids, quality_model_scores (r07-stamped, modules touched
+#   by this round's curation/sampling/similarity/text edits).
 #
-# 27 r05-stamped queries spill to r08 (the budget holds 50 of the 72
-# due): agg_percentile, agg_histogram, agg_approx_percentile,
-# agg_approx_distinct, scalar_similarity, q1, q2, q3, q4, q5, q6, q7,
-# q8, q9, q10, q11, q12, q13, q14, q15, q16, q17, q18, q19, q20, q21,
-# q22 — chosen because their modules
-# (operators/relational.py, functions/scalar.py) are untouched since
-# their r05 stamps (and untouched in r06/r07), so the stamp is stale
-# only in age, not in covered code. r05->r08 is exactly the
-# every-third-round cadence.
-#
-# text.py changes this round: the bm25 ranking-fidelity caveat
-# (comment-only), the novelty_scores scoring refactor into
-# _novelty_from_index shared with the new streaming twin (behavior
-# unchanged; novelty_scores is slot 4 and re-proves it), the
-# quality_model_scores sort=False streaming form (default path
-# identical; slot 16 re-proves it), and purely-additive new functions
-# (surprisal/tfidf/bigrams/langid-confusion — all in the NEW block).
-# sampling.py's token_budget_assign refactor into shared helpers is
-# behavior-preserving and re-proven by token_budget_mix (slot 15) +
-# mix_streamed. Other r06-green text queries (frequent_tokens /
-# doc_chunking) keep their stamps.
-#
-# Everything else — r06-green and unchanged — follows in file order.
+# The 36 remaining r06-stamped queries are 2 rounds old after r08 and
+# rotate in r09; every r07 stamp in an untouched module keeps its
+# receipt. Everything else follows in file order.
 
 _HEAD = [
-    # -- never driver-stamped (round-6 slots 51-55) --
-    "bm25_topk",
-    "semantic_neardup",
-    "embedding_outliers",
-    "novelty_scores",
-    "ann_ivf_trained",
-    # -- red r06 stamps, oracle HUGEINT cast fixed this round --
-    "audio_decode_stats",
-    "video_decode_stats",
-    "kmeans_train",
-    # -- r06-green, module touched in round 7 --
-    "dedup_simhash",
-    "dedup_clusters",
-    "ann_cosine_topk",
-    "embedding_neardup",
-    "label_centroids",
-    # -- new in round 7, never stamped --
+    # -- new in round 8, never stamped --
+    "centroids_streamed",
+    "line_dedup",
+    "source_doc_cap",
+    # -- behavior changed in round 8 --
     "novelty_streamed",
-    "token_budget_mix",
-    "quality_model_scores",
-    "source_contamination",
-    "canonical_pick",
-    "embedding_gram",
-    "unigram_surprisal",
-    "tfidf_keywords",
-    "repeated_passages",
-    "image_resize_stats",
-    "semantic_decontamination",
-    "dedup_report",
     "mix_streamed",
-    "frequent_bigrams",
-    "langid_confusion",
+    "canonical_pick",
     "epoch_shuffle",
-    # -- stalest (r05-stamped) rotation: touched modules first --
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_minhash",
-    "decontamination",
-    "ann_lsh_neardup",
-    "ann_ivf_topk",
-    "curation_pipeline",
-    "text_token_count",
-    "text_quality",
+    "tfidf_keywords",
+    "dedup_report",
+    "unigram_surprisal",
+    "image_resize_stats",
     "text_langid",
-    "text_repetition",
-    "doc_fingerprint",
-    "pii_redaction",
-    "source_stats",
-    # -- stalest (r05-stamped) rotation: untouched modules --
-    "wordcount_batch",
-    "asof_join",
-    "events_tumbling_window",
-    "events_session_window",
-    "session_funnel",
-    "stream_stream_join",
-    "count_window",
+    "langid_confusion",
+    # -- stalest (r05-stamped): the full 27-query set --
+    "q1_pricing_summary",
+    "q2_min_cost_supplier",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q5_local_supplier_volume",
+    "q6_forecast_revenue",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q9_product_profit",
+    "q10_returned_items",
+    "q11_important_stock",
+    "q12_priority_shipping",
+    "q13_customer_distribution",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q17_small_quantity_revenue",
+    "q18_large_volume_customer",
+    "q19_discounted_revenue",
+    "q20_excess_suppliers",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "agg_percentile",
+    "agg_histogram",
+    "agg_approx_percentile",
+    "agg_approx_distinct",
+    "scalar_similarity",
+    # -- module touched, function unchanged (r06-stale first) --
+    "image_decode_stats",
+    "multimodal_features",
+    "seq_packing",
+    "global_index",
+    "shard_stats",
+    "train_val_test_split",
+    "curation_pipeline",
+    "token_budget_mix",
+    "label_centroids",
+    "quality_model_scores",
 ]
 
 _TAIL: list[str] = []

@@ -123,3 +123,18 @@ _R7_QUERIES = [
 def test_round7_queries_match_oracle_at_smoke_scale(spark, name):
     problems = check_query(spark, name, "/root/testdata/sf0.001")
     assert not problems, f"{name}@sf0.001: " + "; ".join(problems)
+
+
+#: Round-8 additions, re-checked at the smoke scale as well (same
+#: rationale as the round-6/7 lists above).
+_R8_QUERIES = [
+    "centroids_streamed",
+    "line_dedup",
+    "source_doc_cap",
+]
+
+
+@pytest.mark.parametrize("name", _R8_QUERIES)
+def test_round8_queries_match_oracle_at_smoke_scale(spark, name):
+    problems = check_query(spark, name, "/root/testdata/sf0.001")
+    assert not problems, f"{name}@sf0.001: " + "; ".join(problems)

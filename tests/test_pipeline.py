@@ -1767,3 +1767,38 @@ def test_language_id_zh_script_detection(spark):
     }
     assert cm[("zh", "zh")] == 2 / 3
     assert cm[("en", "en")] == 1.0
+
+
+def test_line_dedup_drops_boilerplate_lines(spark):
+    """Planted corpus: a cookie-banner line shared by 6 documents
+    (occ > 5) is dropped from every document including repeated
+    occurrences within one doc; unique lines survive in original
+    order; a fully-boilerplate document keeps ''."""
+    docs = spark.createDataFrame(
+        [
+            (1, "keep me\ncookie banner\nunique line one"),
+            (2, "cookie banner\nanother doc"),
+            (3, "cookie banner\ncookie banner\nthird"),
+            (4, "cookie banner\nfourth"),
+            (5, "cookie banner\nfifth"),
+            (6, "all alone"),
+            (7, "cookie banner"),
+        ],
+        ["doc_id", "text"],
+    )
+    out = {r.doc_id: r for r in dedup.line_dedup(docs).collect()}
+    assert out[1].kept_text == "keep me\nunique line one"
+    assert (out[1].n_lines, out[1].n_dropped) == (3, 1)
+    assert out[3].kept_text == "third" and out[3].n_dropped == 2
+    assert out[6].kept_text == "all alone" and out[6].n_dropped == 0
+    assert out[7].kept_text == "" and out[7].n_dropped == 1
+
+
+def test_line_dedup_threshold_boundary(spark):
+    """occ == max_occurrences survives; occ == max+1 is dropped."""
+    rows = [(i, "five times\nu%d" % i) for i in range(5)]
+    rows += [(10 + i, "six times\nv%d" % i) for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r.doc_id: r for r in dedup.line_dedup(docs, max_occurrences=5).collect()}
+    assert out[0].kept_text.startswith("five times")
+    assert not out[10].kept_text.startswith("six times")

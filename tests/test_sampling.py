@@ -313,3 +313,39 @@ def test_unigram_surprisal_stopword_skew(spark, _skew_confs):
     got = {(r.doc_id, r.word): r.c for r in safe.collect()}
     want = {(r.doc_id, r.word): r.c for r in tf.join(counts, "word").collect()}
     assert got == want and len(got) == 120_000
+
+
+def test_per_source_cap_matches_naive_window(spark):
+    """The two-phase bucket-histogram rank must equal the naive
+    per-source row_number over the portable hash, and keep exactly
+    min(k, source size) documents per source."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_snappydata_spark.pipeline.packing import portable_hash
+
+    docs = load_table(spark, SF_CORRECT, "documents")
+    out = sampling.per_source_cap(docs, k=7)
+    naive = (
+        docs.select(
+            "doc_id", "source", portable_hash(F.col("doc_id")).alias("hk")
+        )
+        .withColumn(
+            "cap_rank",
+            F.row_number().over(
+                Window.partitionBy("source").orderBy("hk", "doc_id")
+            )
+            - 1,
+        )
+        .withColumn("kept", F.col("cap_rank") < 7)
+        .select("doc_id", "cap_rank", "kept")
+    )
+    a = {r.doc_id: (r.cap_rank, r.kept) for r in out.collect()}
+    b = {r.doc_id: (r.cap_rank, r.kept) for r in naive.collect()}
+    assert a == b
+    kept = (
+        out.filter("kept").groupBy("source").count().collect()
+    )
+    sizes = {r.source: r["count"] for r in docs.groupBy("source").count().collect()}
+    for r in kept:
+        assert r["count"] == min(7, sizes[r.source])

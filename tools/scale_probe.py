@@ -44,6 +44,7 @@ from pyspark.sql import functions as F
 
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.pipeline import curation as _curation
+from flink_snappydata_spark.pipeline import sampling as _sampling
 from flink_snappydata_spark.pipeline import dedup as D
 from flink_snappydata_spark.pipeline import packing as _packing
 from flink_snappydata_spark.pipeline import similarity as S
@@ -105,6 +106,17 @@ OPS = {
     "frequent_bigrams": lambda d, e: T.frequent_bigrams(d),
     "epoch_shuffle": lambda d, e: _packing.epoch_shuffle(d),
     "tfidf_keywords": lambda d, e: T.tfidf_keywords(d),
+    # replication turns every document's lines into N-copy hot lines —
+    # exactly the boilerplate shape line_dedup exists for, so the
+    # replicate harness is the REALISTIC probe here (unlike the
+    # pair-generating dedup ops).
+    "line_dedup": lambda d, e: D.line_dedup(d, sort=False),
+    "source_doc_cap": lambda d, e: _sampling.per_source_cap(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        ),
+        sort=False,
+    ),
     "embedding_gram": lambda d, e: S.embedding_gram(e),
     # eval side = 2% id split of the (replicated) corpus — grows with
     # the probe factor, so this measures the broadcast-scan product.
