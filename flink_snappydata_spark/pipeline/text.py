@@ -12,7 +12,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
-from flink_snappydata_spark.util import spread
+from flink_snappydata_spark.util import spread, tracked_persist
 
 TOKEN_REGEX = r"[a-z]+|[0-9]+|[^a-z0-9\s]"
 
@@ -728,7 +728,17 @@ def _join_word_stats_skew_safe(
     int64 guard: ``stat * hot_max`` stays below 2^63 for any corpus
     under ``2^63/hot_max ≈ 2.3e15`` tokens/documents — comfortably
     beyond 100 TB of text.
+
+    ``tf`` and ``stats`` each feed BOTH branches of the union (and
+    ``stats`` additionally feeds the hot cutoff), so both are persisted
+    (:func:`~flink_snappydata_spark.util.tracked_persist`) — without
+    that, Spark re-executes the corpus-wide tf aggregation once per
+    branch, doubling the dominant scan. The caches are released by the
+    caller's ``release_caches()`` cycle like every other
+    library-internal intermediate.
     """
+    tf = tracked_persist(tf)
+    stats = tracked_persist(stats)
     hot = (
         stats.crossJoin(F.broadcast(total))
         .filter(F.col(stat_col) * F.lit(hot_max) >= F.col(total_col))

@@ -618,3 +618,23 @@ def test_land_batch_partition_retry_is_idempotent(spark):
         r.batch_id for r in spark.table(t).select("batch_id").distinct().collect()
     ) == [0, 1]
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_stream_to_table_checkpoint_resume_appends_nothing(spark):
+    """Exactly-once across RESTARTS, the other half of the idempotency
+    story: re-running a drained availableNow ingest with the SAME
+    checkpoint processes zero new files, so the landed table is
+    unchanged — no duplicate batches on restart."""
+    import tempfile
+    import uuid
+
+    t = f"resume_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="fss-resume-ckpt-")
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    runtime.stream_to_table(stream, t, checkpoint=ckpt)
+    n1 = spark.table(t).count()
+    stream2 = runtime.events_file_stream(spark, SF_SMOKE)
+    runtime.stream_to_table(stream2, t, checkpoint=ckpt)
+    n2 = spark.table(t).count()
+    assert n1 == n2 > 0
+    spark.sql(f"DROP TABLE IF EXISTS {t}")
