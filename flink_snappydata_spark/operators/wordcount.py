@@ -45,6 +45,54 @@ def word_count(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def streaming_wordcount_ingest(
+    stream_docs: DataFrame, counts_table: str, checkpoint: str | None = None
+):
+    """Streaming-ingest twin of :func:`word_count` — the reference's
+    OWN signature dataflow run through the stream→queryable-table loop
+    (``KafkaWindowWordCount.scala:25-29`` tokenize/filter/sum, landed
+    the ``ParquetTableJoin.scala:32-43`` way): each micro-batch of
+    documents is tokenized ONCE at arrival and blind-appends per-word
+    partial counts ``(word, cnt)``; the global count is ``SUM(cnt)``
+    over the partials, folded at query time by
+    :func:`wordcount_from_state` — exactly row-identical to the batch
+    op after a bounded stream drains (int64 count partials are
+    batching-insensitive, so the batch oracle applies verbatim).
+
+    Scale: per batch one map-side-combined vocabulary aggregation —
+    the state table grows by at most |vocabulary| rows per micro-batch
+    regardless of batch size, and document text never shuffles. Rides
+    :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition instead of double-counting.
+    """
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_docs,
+        [(counts_table, None)],
+        prepare=lambda batch_df: tokenize(batch_df)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt")),
+        checkpoint=checkpoint,
+    )
+
+
+def wordcount_from_state(spark, counts_table: str) -> DataFrame:
+    """Fold the :func:`streaming_wordcount_ingest` partials into the
+    global vocabulary counts (one map-side-combined SUM); ``batch_id``
+    is ingest lineage, not state — dropped here."""
+    return (
+        spark.table(counts_table)
+        .drop("batch_id")
+        .groupBy("word")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
+        .transform(lambda d: small_sorted(d, "word"))
+    )
+
+
 def map_partitions_identity(df: DataFrame) -> DataFrame:
     """Per-partition pass-through (reference ``SnappydataConnectorTest.scala:17-21``
     runs an identity ``mapPartition`` over the scan).

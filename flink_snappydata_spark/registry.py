@@ -2425,6 +2425,36 @@ QUERIES["centroids_streamed"] = QuerySpec(
         "from state (third stream→table loop, embedding side).",
 )
 
+
+def _wordcount_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``wordcount_batch`` under the
+    full correctness gate — the reference's SIGNATURE dataflow
+    (``KafkaWindowWordCount.scala:25-29``) through its title loop
+    (``ParquetTableJoin.scala:32-43``): the documents fixture arrives
+    as a 4-file stream; each micro-batch appends its per-word count
+    partials, and the returned frame folds the accumulated state —
+    exactly row-identical to the batch op, so the batch oracle applies
+    verbatim. State is torn down after scoring via
+    :func:`_stream_state_scored`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _stream_state_scored(
+        spark,
+        docs,
+        "wc",
+        ["cnt"],
+        wordcount.streaming_wordcount_ingest,
+        wordcount.wordcount_from_state,
+    )
+
+
+QUERIES["wordcount_streamed"] = QuerySpec(
+    fn=_wordcount_streamed,
+    oracle=QUERIES["wordcount_batch"].oracle,
+    doc="Streaming-ingest word count: micro-batched per-word partials "
+        "into a queryable catalog table, folded from state (the "
+        "reference's signature dataflow through its stream→table loop).",
+)
+
 _register(
     "agg_approx_distinct",
     ["orders"],
@@ -3203,8 +3233,10 @@ _register(
 #   (multimodal.py gained the new resize kernel), seq_packing,
 #   global_index, shard_stats (packing.py), train_val_test_split
 #   (sampling.py), then curation_pipeline, token_budget_mix,
-#   label_centroids, quality_model_scores (r07-stamped, modules touched
-#   by this round's curation/sampling/similarity/text edits).
+#   label_centroids (r07-stamped, modules touched by this round's
+#   curation/sampling/similarity edits). wordcount_streamed (slot 4)
+#   displaced quality_model_scores from the touched-module block: its
+#   text.py surface is unchanged this round and its r07 stamp holds.
 #
 # The 36 remaining r06-stamped queries are 2 rounds old after r08 and
 # rotate in r09; every r07 stamp in an untouched module keeps its
@@ -3215,6 +3247,7 @@ _HEAD = [
     "centroids_streamed",
     "line_dedup",
     "source_doc_cap",
+    "wordcount_streamed",
     # -- behavior changed in round 8 --
     "novelty_streamed",
     "mix_streamed",
@@ -3264,7 +3297,6 @@ _HEAD = [
     "curation_pipeline",
     "token_budget_mix",
     "label_centroids",
-    "quality_model_scores",
 ]
 
 _TAIL: list[str] = []

@@ -131,6 +131,7 @@ _R8_QUERIES = [
     "centroids_streamed",
     "line_dedup",
     "source_doc_cap",
+    "wordcount_streamed",
 ]
 
 
@@ -138,3 +139,29 @@ _R8_QUERIES = [
 def test_round8_queries_match_oracle_at_smoke_scale(spark, name):
     problems = check_query(spark, name, "/root/testdata/sf0.001")
     assert not problems, f"{name}@sf0.001: " + "; ".join(problems)
+
+
+def test_stamp_rotation_covers_stale_and_unstamped():
+    """The every-third-round cadence, pinned as data: assuming the
+    driver stamps the first 50 declared queries this round, (a) every
+    registered query that has NEVER been driver-stamped must be inside
+    the window, and (b) every query whose latest stamp is three or
+    more rounds old must be inside the window — so after this round no
+    stamp anywhere is older than two rounds."""
+    import glob
+    import json
+    import re
+
+    from flink_snappydata_spark.registry import _HEAD, QUERIES
+
+    stamps: dict[str, int] = {}
+    for path in sorted(glob.glob("CORRECTNESS_r*.json")):
+        rnd = int(re.search(r"r(\d+)", path).group(1))
+        for name in json.load(open(path)):
+            stamps[name] = max(stamps.get(name, 0), rnd)
+    this_round = max(stamps.values()) + 1
+    window = set(_HEAD)
+    never = [n for n in QUERIES if n not in stamps]
+    stale = [n for n, r in stamps.items() if n in QUERIES and this_round - r >= 3]
+    assert set(never) <= window, f"never-stamped outside window: {sorted(set(never) - window)}"
+    assert set(stale) <= window, f"3+-round-stale outside window: {sorted(set(stale) - window)}"

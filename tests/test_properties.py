@@ -605,3 +605,79 @@ def test_frequent_bigrams_matches_naive(spark, raw):
         key=lambda t: (-t[2], t[0], t[1]),
     )
     assert got == want
+
+
+# Documents: lines drawn from a tiny alphabet so cross-document line
+# collisions (the thing line_dedup counts) are common; doc text is the
+# newline-join. Empty line lists allowed (empty text => one '' line).
+_lines_strategy = st.lists(
+    st.lists(st.sampled_from(["alpha", "beta", "gamma", "", "x y"]),
+             min_size=0, max_size=5),
+    min_size=1,
+    max_size=12,
+)
+
+
+def _naive_line_dedup(texts, max_occ):
+    """Quadratic/pythonic reference for line_dedup."""
+    from collections import Counter
+
+    occ = Counter(ln for t in texts for ln in t.split("\n"))
+    out = {}
+    for i, t in enumerate(texts):
+        lines = t.split("\n")
+        kept = [ln for ln in lines if occ[ln] <= max_occ]
+        out[i] = (len(lines), len(lines) - len(kept), "\n".join(kept))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_lines_strategy, st.integers(1, 4))
+def test_line_dedup_matches_naive(spark, raw, max_occ):
+    from flink_snappydata_spark.pipeline.dedup import line_dedup
+
+    texts = ["\n".join(lines) for lines in raw]
+    docs = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        r.doc_id: (r.n_lines, r.n_dropped, r.kept_text)
+        for r in line_dedup(docs, max_occurrences=max_occ).collect()
+    }
+    assert got == _naive_line_dedup(texts, max_occ)
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    st.lists(st.tuples(st.integers(0, 5_000_000_000), st.integers(0, 3)),
+             min_size=0, max_size=30, unique_by=lambda t: t[0]),
+    st.integers(1, 5),
+)
+def test_per_source_cap_matches_naive(spark, raw, k):
+    """Arbitrary (possibly >2^31) doc ids across up to 4 sources: the
+    two-phase rank equals the sorted-by-(hash, id) position, and kept
+    is rank < k."""
+    from flink_snappydata_spark.pipeline.packing import (
+        _HASH_MOD, _HASH_MULT, _HASH_MULT2,
+    )
+    from flink_snappydata_spark.pipeline.sampling import per_source_cap
+
+    def phash(x):
+        return ((x % _HASH_MOD) * _HASH_MULT % _HASH_MOD
+                + (x >> 31) % _HASH_MOD * _HASH_MULT2 % _HASH_MOD) % _HASH_MOD
+
+    docs = spark.createDataFrame(
+        [(i, f"s{s}") for i, s in raw], "doc_id long, source string"
+    )
+    got = {
+        r.doc_id: (r.cap_rank, r.kept)
+        for r in per_source_cap(docs, k=k).collect()
+    }
+    want = {}
+    by_src: dict = {}
+    for i, s in raw:
+        by_src.setdefault(s, []).append(i)
+    for s, ids in by_src.items():
+        for rank, i in enumerate(sorted(ids, key=lambda x: (phash(x), x))):
+            want[i] = (rank, rank < k)
+    assert got == want

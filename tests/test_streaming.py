@@ -638,3 +638,37 @@ def test_stream_to_table_checkpoint_resume_appends_nothing(spark):
     n2 = spark.table(t).count()
     assert n1 == n2 > 0
     spark.sql(f"DROP TABLE IF EXISTS {t}")
+
+
+def test_streaming_wordcount_ingest_matches_batch(spark):
+    """Streaming-ingest twin of word_count: documents arrive over 4
+    micro-batches, each appending per-word count partials; folding the
+    accumulated state is exactly row-identical to the one-shot batch
+    op once the bounded stream drains."""
+    import tempfile
+    import uuid
+
+    from flink_snappydata_spark.operators import wordcount
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    tmp = tempfile.mkdtemp(prefix="fss-wc-stream-")
+    docs.repartition(4).write.mode("overwrite").parquet(tmp)
+    tag = uuid.uuid4().hex[:8]
+    cnt_t = f"wc_cnt_{tag}"
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    wordcount.streaming_wordcount_ingest(stream, cnt_t)
+
+    # cross-batch fold exercised: some word got partials from >1 batch
+    cnt = spark.table(cnt_t)
+    assert cnt.count() > cnt.select("word").distinct().count()
+
+    got = _sorted(wordcount.wordcount_from_state(spark, cnt_t).toPandas())
+    want = _sorted(wordcount.word_count(docs).toPandas())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+    spark.sql(f"DROP TABLE IF EXISTS {cnt_t}")
