@@ -875,6 +875,71 @@ def streaming_exact_dedup(
     )
 
 
+def streaming_dedup_ingest(
+    stream_docs: DataFrame,
+    parts_table: str,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest twin of :func:`exact_dedup` through the
+    stream→queryable-table loop (the reference's continuous
+    stream→SnappyData-table pattern, ``ParquetTableJoin.scala:32-43``):
+    each micro-batch groups its documents by SHA-256 text digest ONCE
+    at arrival and blind-appends per-digest partials ``(digest,
+    doc_id=min, n_copies=count, text=min_by)``; the global dedup is the
+    same aggregation over the partials, folded at query time by
+    :func:`dedup_from_state` — row-identical to the batch op after a
+    bounded stream drains (min/count/min_by partials are
+    batching-insensitive, so the batch oracle applies verbatim).
+
+    Scale: per batch one map-side-combined digest aggregation — each
+    distinct text crosses the wire at most once per batch regardless of
+    how many copies arrive, and the shuffle KEY is always the 32-byte
+    digest, never the document body. The state table grows by at most
+    |distinct texts in batch| rows per micro-batch. Rides
+    :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition instead of double-counting copies.
+    """
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_docs,
+        [(parts_table, None)],
+        prepare=lambda batch_df: batch_df.groupBy(
+            F.sha2(F.col("text").cast("binary"), 256).alias("digest")
+        ).agg(
+            F.min("doc_id").alias("doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+            F.min_by("text", "doc_id").alias("text"),
+        ),
+        checkpoint=checkpoint,
+    )
+
+
+def dedup_from_state(spark, parts_table: str) -> DataFrame:
+    """Fold the :func:`streaming_dedup_ingest` partials into the global
+    exact-dedup result: re-group by digest (min of mins, sum of counts,
+    min_by representative — all map-side-combinable), matching
+    :func:`exact_dedup` row-for-row. ``batch_id`` is ingest lineage,
+    not state — dropped here. The output is O(distinct texts) rows, so
+    no presentation sort is bolted on (the driver's hash compare is
+    order-insensitive; batch ``exact_dedup`` sorts only for human
+    eyes)."""
+    return (
+        spark.table(parts_table)
+        .drop("batch_id")
+        .groupBy("digest")
+        .agg(
+            F.min("doc_id").alias("doc_id"),
+            F.sum("n_copies").cast("long").alias("n_copies"),
+            F.min_by("text", "doc_id").alias("text"),
+        )
+        .select("doc_id", "n_copies", "text")
+    )
+
+
 #: SimHash width: 60 bits — 15 hex chars of md5 cast to BIGINT is the
 #: widest hex→int both Spark (``conv``) and any-SQL (``'0x…'::BIGINT``)
 #: compute without overflowing int64, making fingerprints portable.

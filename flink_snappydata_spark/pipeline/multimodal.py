@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from flink_snappydata_spark.util import spread
+from flink_snappydata_spark.util import small_sorted, spread
 
 MEDIA_SCHEMA = T.StructType(
     [
@@ -623,6 +623,114 @@ def image_resize_table(
             )
 
     return media.mapInPandas(_stats, schema=RESIZE_STATS_SCHEMA)
+
+
+def synthesize_ppm_multires(documents: DataFrame) -> DataFrame:
+    """Deterministic multi-resolution PPM payloads with PLANTED
+    near-duplicates — the fixture for perceptual-hash image dedup.
+    Content seed ``s = doc_id % 32`` picks one of 32 base patterns
+    (width ``2 + s % 3``, height 2, pixel byte ``i`` = ``(s*31 + i) %
+    256``); scale ``k = 1 + (doc_id // 32) % 2`` stores the pattern at
+    1× or 2× resolution via pixel duplication. Documents sharing a
+    seed are the SAME picture at different resolutions — byte-level
+    digests differ, a perceptual hash must still collide — and the
+    whole construction is closed-form arithmetic on ``doc_id``, so a
+    SQL oracle reproduces every expected hash exactly."""
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                s = d % 32
+                w0, h0 = 2 + s % 3, 2
+                k = 1 + (d // 32) % 2
+                w, h = k * w0, k * h0
+                px = bytes(
+                    (s * 31 + (((y // k) * w0 + (x // k)) * 3 + ch)) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for ch in range(3)
+                )
+                rows.append((d, b"P6\n%d %d\n255\n" % (w, h) + px))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return spread(documents.select("doc_id"), "doc_id").mapInPandas(
+        _synth, schema="doc_id long, content binary"
+    )
+
+
+#: Perceptual-hash grid: 8×8 grayscale, one gradient bit per adjacent
+#: horizontal pair → 8 rows × 7 bits = 56 bits, comfortably inside a
+#: signed int64 (the same headroom rule as the 60-bit SimHash).
+PHASH_GRID = 8
+
+
+def image_phash_table(media: DataFrame) -> DataFrame:
+    """Fused decode → nearest-neighbor resize to the
+    :data:`PHASH_GRID`² thumbnail → difference-hash, one mapInPandas
+    pass (blobs cross exactly one stage boundary, the standard dHash
+    recipe): grayscale each thumbnail cell as the exact integer channel
+    sum, then emit bit ``r*7+c`` iff ``gray(r, c+1) > gray(r, c)``.
+    Because the resize is the floor-index kernel
+    (:func:`resize_image`), a pixel-duplicated upscale resolves to the
+    IDENTICAL thumbnail — so re-encoded resolutions of one picture
+    hash equal by construction, which is the property that makes dHash
+    a near-dup key. Returns ``(doc_id, width, height, phash)``."""
+
+    def _hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        g = PHASH_GRID
+        shifts = 1 << np.arange(g * (g - 1), dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                img = decode_image(bytes(content))
+                thumb = resize_image(img, g, g)
+                arr = np.frombuffer(thumb["pixels"], dtype=np.uint8)
+                gray = (
+                    arr.reshape(g, g, img["channels"])
+                    .astype(np.int64)
+                    .sum(axis=2)
+                )
+                bits = (gray[:, 1:] > gray[:, :-1]).flatten()
+                phash = int((bits * shifts).sum())
+                rows.append(
+                    (int(doc_id), img["width"], img["height"], phash)
+                )
+            yield pd.DataFrame(
+                rows, columns=["doc_id", "width", "height", "phash"]
+            )
+
+    return media.mapInPandas(
+        _hash, schema="doc_id long, width int, height int, phash long"
+    )
+
+
+def image_phash_dedup(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Perceptual near-dup image groups: synthesize the multi-
+    resolution fixture payloads, hash every image with
+    :func:`image_phash_table`, and group by hash — each output row is
+    one visually-identical cluster with its copy count, the number of
+    DISTINCT resolutions it was found at (> 1 proves the hash grouped
+    across re-encodes a byte digest would miss), and the min-doc_id
+    representative. This is the image-side twin of the text near-dup
+    family: exact dedup catches identical bytes, the perceptual hash
+    catches identical pictures.
+
+    Scale: the binary payloads stay inside one mapInPandas pass and
+    never shuffle — only (doc_id, width, phash) int rows cross the
+    wire into a map-side-combined groupBy on the 56-bit hash. Output
+    is O(distinct pictures); the fixture's 32-seed space keeps it tiny
+    here (``sort=True`` single-partition presentation sort), but on a
+    real corpus pass ``sort=False`` and the plan is shuffle-minimal.
+    """
+    ph = image_phash_table(synthesize_ppm_multires(documents))
+    out = ph.groupBy("phash").agg(
+        F.count(F.lit(1)).alias("n_images"),
+        F.countDistinct("width").alias("n_res"),
+        F.min("doc_id").alias("rep_doc_id"),
+    )
+    return small_sorted(out, "phash") if sort else out
 
 
 def media_feature_table(documents: DataFrame) -> DataFrame:

@@ -752,7 +752,7 @@ def _join_word_stats_skew_safe(
     return hot_part.unionByName(cold_part)
 
 
-def unigram_surprisal(documents: DataFrame) -> DataFrame:
+def unigram_surprisal(documents: DataFrame, sort: bool = True) -> DataFrame:
     """Perplexity-proxy quality scoring: each document's mean token
     surprisal under the corpus's own unigram distribution — the
     KenLM-style "LM filter" step of a pre-training pipeline (documents
@@ -770,7 +770,10 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
     for engine-portable exactness.
 
     Returns ``(doc_id, n_tokens, bits_sum, avg_bits)``, one row per
-    document (empty docs: zeros).
+    document (empty docs: zeros). ``sort=False`` drops the final
+    presentation ``orderBy`` — the output is O(corpus) rows, so at
+    scale consumers take it unsorted (one fewer full-corpus range
+    shuffle); row content is identical either way.
 
     Scale: two hash aggregations with map-side combine — (doc_id, word)
     term frequencies, then vocabulary counts — one join of the tf frame
@@ -806,7 +809,7 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
             F.sum(F.col("tf") * bits).alias("bits_sum"),
         )
     )
-    return (
+    out = (
         documents.select("doc_id")
         .join(scored, "doc_id", "left")
         .select(
@@ -821,8 +824,223 @@ def unigram_surprisal(documents: DataFrame) -> DataFrame:
             .otherwise(F.lit(0.0))
             .alias("avg_bits"),
         )
-        .orderBy("doc_id")
     )
+    return out.orderBy("doc_id") if sort else out
+
+
+def bigram_surprisal(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Bigram-conditional LM filter: each document's mean transition
+    surprisal under the corpus's own bigram model — the next step up
+    from :func:`unigram_surprisal` on the KenLM-filter ladder. A
+    document of individually-common words in an *unusual order*
+    ("the of and a is") scores high here while the unigram filter
+    waves it through; fluent boilerplate scores low in both. Together
+    the two bracket the perplexity-filtering signal an n-gram LM
+    provides a pre-training pipeline.
+
+    Each adjacent pair ``(w1, w2)`` contributes
+    ``floor(log2 c(w1·)) - floor(log2 c(w1,w2))`` bits — the quantized
+    ``-log2 P(w2|w1)`` with ``P(w2|w1) = c(w1,w2) / c(w1·)`` where
+    ``c(w1·)`` is the CONTEXT count (occurrences of ``w1`` followed by
+    anything, i.e. the bigram-count row sum — not the raw unigram
+    count, so probabilities per context sum to exactly 1). The model
+    is trained on the scored corpus itself, so every observed bigram
+    has count ≥ 1 and no backoff/OOV branch is needed; sums are exact
+    int64 (order-free at any parallelism) via the same
+    :func:`_floor_log2` device as the unigram op.
+
+    Returns ``(doc_id, n_bigrams, bits_sum, avg_bits)``, one row per
+    document (docs with < 2 tokens: zeros). ``sort=False`` drops the
+    final presentation ``orderBy`` (O(corpus) output rows).
+
+    Scale: bigrams are built IN-ROW by zipping the word array with its
+    own tail (the :func:`frequent_bigrams` kernel — no per-position
+    self-join, no window over token positions), then one map-side-
+    combined (doc_id, pair) count; pair counts and context counts are
+    two further hash aggregations. Both statistics joins ride
+    :func:`_join_word_stats_skew_safe`: hot keys (stopword contexts
+    like ``the``, hot pairs like ``of the``) broadcast — AQE's runtime
+    skew split cannot save an aggregate-fed join side — and the long
+    tail shuffles with no key above 1/``HOT_VOCAB_MAX`` of the corpus.
+    Only tokens, pairs and counts ever shuffle, never text.
+    """
+    ws = _words(F.col("text"))
+    pair = F.explode(
+        F.zip_with(
+            F.slice(ws, 1, F.size(ws) - 1),
+            F.slice(ws, 2, F.size(ws) - 1),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        )
+    )
+    tf = (
+        documents.filter(F.size(ws) >= 2)
+        .select("doc_id", pair.alias("p"))
+        .select("doc_id", "p.w1", "p.w2")
+        .groupBy("doc_id", "w1", "w2")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    c2 = tracked_persist(
+        tf.groupBy("w1", "w2").agg(F.sum("tf").alias("c2"))
+    )
+    c1 = c2.groupBy("w1").agg(F.sum("c2").alias("c1"))
+    nb = c2.agg(F.sum("c2").alias("nb"))
+    # Words are \W+-split (no spaces inside), so the space-joined pair
+    # key is injective and the single-key skew-safe join applies as-is.
+    bg_key = F.concat_ws(" ", "w1", "w2")
+    j1 = _join_word_stats_skew_safe(
+        tf.withColumn("word", bg_key).drop("w2"),
+        c2.select(bg_key.alias("word"), "c2"),
+        "c2",
+        nb,
+        "nb",
+    )
+    j2 = _join_word_stats_skew_safe(
+        j1.drop("word").withColumnRenamed("w1", "word"),
+        c1.withColumnRenamed("w1", "word"),
+        "c1",
+        nb,
+        "nb",
+    )
+    bits = _floor_log2(F.col("c1")) - _floor_log2(F.col("c2"))
+    scored = j2.groupBy("doc_id").agg(
+        F.sum("tf").alias("n_bigrams"),
+        F.sum(F.col("tf") * bits).alias("bits_sum"),
+    )
+    out = (
+        documents.select("doc_id")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("bits_sum", F.lit(0)).cast("long").alias("bits_sum"),
+            F.when(
+                F.coalesce("n_bigrams", F.lit(0)) > 0,
+                F.col("bits_sum").cast("double")
+                / F.col("n_bigrams").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_bits"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+#: DSIR hashed-feature space size: buckets for the unigram+bigram
+#: hashing trick. 2^10 keeps the per-bucket statistics frame trivially
+#: broadcastable (1024 narrow rows) while leaving hash collisions rare
+#: on fixture-sized vocabularies; production would raise it (the paper
+#: uses 10^4) without changing any shuffle shape.
+DSIR_BUCKETS = 1024
+
+
+def dsir_weights(
+    documents: DataFrame,
+    target_source: str = "src0",
+    n_buckets: int = DSIR_BUCKETS,
+    sort: bool = True,
+) -> DataFrame:
+    """Data selection via importance reweighting (the DSIR recipe —
+    Xie et al., "Data Selection for Language Models via Importance
+    Resampling", NeurIPS 2023): score every document by how much more
+    likely its hashed n-gram features are under a TARGET distribution
+    (documents from ``target_source``, the high-quality exemplar
+    domain) than under the raw corpus distribution. Documents whose
+    feature mix resembles the target get positive log-weights and are
+    kept; generic/off-target documents score negative.
+
+    Features are unigrams plus adjacent bigrams, hashed into
+    ``n_buckets`` buckets with the engine's portable md5-prefix hash
+    (the :func:`quality_model_scores` / SimHash idiom, so any SQL
+    engine reproduces the bucket ids bit-for-bit). Both bag-of-buckets
+    models use add-one smoothing, and the log-likelihood ratio is
+    quantized to exact integer BITS with :func:`_floor_log2`:
+    bucket ``b`` contributes ``(L(ct_b+1) − L(Nt+B)) − (L(cr_b+1) −
+    L(Nr+B))`` per occurrence — order-free int64 sums, deterministic
+    at any parallelism. ``kept`` is the deterministic resampling rule
+    ``logw_bits > 0`` (importance weight > 1 at bit precision).
+
+    Returns ``(doc_id, source, n_feats, logw_bits, avg_bits, kept)``,
+    one row per document (featureless docs: zeros, not kept).
+    ``sort=False`` drops the final presentation ``orderBy`` (O(corpus)
+    output rows).
+
+    Scale: one in-row feature build (tail-zip bigrams concatenated to
+    the unigram array — no per-position self-join), one map-side-
+    combined (doc_id, bucket) count, one ``n_buckets``-row statistics
+    aggregation with a conditional target sum, then a BROADCAST join
+    of the per-doc counts against the 1024-row stats frame — by
+    construction there is no skew axis at all (the hot side of every
+    join is bucket-count-bounded), no text ever shuffles, and the only
+    corpus-sized shuffle carries (doc_id, bucket, count) ints.
+    """
+    ws = _words(F.col("text"))
+    tail = F.greatest(F.size(ws) - 1, F.lit(0))
+    bigrams = F.zip_with(
+        F.slice(ws, 1, tail),
+        F.slice(ws, 2, tail),
+        lambda a, b: F.concat_ws(" ", a, b),
+    )
+    bucket = F.pmod(
+        F.conv(
+            F.substring(F.md5(F.col("feat").cast("binary")), 1, 15), 16, 10
+        ).cast("long"),
+        F.lit(n_buckets),
+    )
+    dn = (
+        documents.select(
+            "doc_id",
+            "source",
+            F.explode(F.concat(ws, bigrams)).alias("feat"),
+        )
+        .select("doc_id", "source", bucket.alias("b"))
+        .groupBy("doc_id", "source", "b")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    dn = tracked_persist(dn)
+    stats = dn.groupBy("b").agg(
+        F.sum(
+            F.when(F.col("source") == target_source, F.col("n")).otherwise(
+                F.lit(0)
+            )
+        ).alias("ct"),
+        F.sum("n").alias("cr"),
+    )
+    tot = stats.agg(F.sum("ct").alias("nt"), F.sum("cr").alias("nr"))
+    w_bits = (
+        _floor_log2(F.col("ct") + F.lit(1))
+        - _floor_log2(F.col("nt") + F.lit(n_buckets))
+    ) - (
+        _floor_log2(F.col("cr") + F.lit(1))
+        - _floor_log2(F.col("nr") + F.lit(n_buckets))
+    )
+    scored = (
+        dn.join(F.broadcast(stats), "b")
+        .join(F.broadcast(tot))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("n").alias("n_feats"),
+            F.sum(F.col("n") * w_bits).alias("logw_bits"),
+        )
+    )
+    out = (
+        documents.select("doc_id", "source")
+        .join(scored, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_feats", F.lit(0)).cast("long").alias("n_feats"),
+            F.coalesce("logw_bits", F.lit(0)).cast("long").alias("logw_bits"),
+            F.when(
+                F.coalesce("n_feats", F.lit(0)) > 0,
+                F.col("logw_bits").cast("double")
+                / F.col("n_feats").cast("double"),
+            )
+            .otherwise(F.lit(0.0))
+            .alias("avg_bits"),
+            (F.coalesce("logw_bits", F.lit(0)) > 0).alias("kept"),
+        )
+    )
+    return out.orderBy("doc_id") if sort else out
 
 
 def tfidf_keywords(

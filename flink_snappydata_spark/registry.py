@@ -2455,6 +2455,36 @@ QUERIES["wordcount_streamed"] = QuerySpec(
         "reference's signature dataflow through its stream→table loop).",
 )
 
+
+def _dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``dedup_exact`` under the full
+    correctness gate — dedup-at-ingest as a CONTINUOUS loop rather
+    than a one-shot batch: the documents fixture arrives as a 4-file
+    stream; each micro-batch appends per-digest (min doc_id, copy
+    count, representative text) partials, and the returned frame folds
+    the accumulated state — row-identical to the batch op, so the
+    batch oracle applies verbatim. State is torn down after scoring
+    via :func:`_stream_state_scored`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _stream_state_scored(
+        spark,
+        docs,
+        "dd",
+        ["parts"],
+        dedup.streaming_dedup_ingest,
+        dedup.dedup_from_state,
+    )
+
+
+QUERIES["dedup_streamed"] = QuerySpec(
+    fn=_dedup_streamed,
+    oracle=QUERIES["dedup_exact"].oracle,
+    doc="Streaming-ingest exact dedup: micro-batched per-digest "
+        "min/count/representative partials into a queryable catalog "
+        "table, folded from state (dedup-at-ingest through the "
+        "stream→table loop; digests shuffle, text never a key).",
+)
+
 _register(
     "agg_approx_distinct",
     ["orders"],
@@ -2530,6 +2560,51 @@ _register(
         "pixels in one fused mapInPandas pass; the exact byte sum pins "
         "the resize kernel's output against the closed-form floor-index "
         "oracle bit-for-bit.",
+)
+
+_register(
+    "image_phash_dedup",
+    ["documents"],
+    multimodal.image_phash_dedup,
+    """
+    WITH img AS (
+        SELECT doc_id,
+               doc_id % 32 AS s,
+               CAST(2 + (doc_id % 32) % 3 AS BIGINT) AS w0
+        FROM documents),
+    cell AS (
+        SELECT i.doc_id, i.s, r.r, c.c,
+               ((r.r // 4) * i.w0 + (c.c * i.w0) // 8) AS i0,
+               ((r.r // 4) * i.w0 + ((c.c + 1) * i.w0) // 8) AS i1
+        FROM img i,
+             LATERAL (SELECT UNNEST(range(0, 8)) AS r) r,
+             LATERAL (SELECT UNNEST(range(0, 7)) AS c) c),
+    ph AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN
+                      (s*31 + i1*3) % 256 + (s*31 + i1*3 + 1) % 256
+                          + (s*31 + i1*3 + 2) % 256
+                    > (s*31 + i0*3) % 256 + (s*31 + i0*3 + 1) % 256
+                          + (s*31 + i0*3 + 2) % 256
+                    THEN CAST(1 AS BIGINT) << (r * 7 + c)
+                    ELSE 0 END) AS BIGINT) AS phash
+        FROM cell GROUP BY doc_id),
+    wd AS (
+        SELECT d.doc_id, p.phash,
+               (1 + (d.doc_id // 32) % 2) * (2 + (d.doc_id % 32) % 3)
+                   AS width
+        FROM documents d JOIN ph p USING (doc_id))
+    SELECT phash,
+           CAST(COUNT(*) AS BIGINT) AS n_images,
+           CAST(COUNT(DISTINCT width) AS BIGINT) AS n_res,
+           MIN(doc_id) AS rep_doc_id
+    FROM wd GROUP BY phash ORDER BY phash
+    """,
+    doc="Perceptual-hash (dHash) image near-dup groups over planted "
+        "multi-resolution payloads: fused decode+resize+hash in one "
+        "mapInPandas pass, 56-bit gradient hash, groups collide across "
+        "resolutions (n_res > 1) where byte digests cannot; "
+        "closed-form arithmetic oracle pins every hash bit.",
 )
 
 _register(
@@ -2865,7 +2940,8 @@ _TF_CTES = r"""
 _register(
     "unigram_surprisal",
     ["documents"],
-    textops.unigram_surprisal,
+    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
+    lambda documents: textops.unigram_surprisal(documents, sort=False),
     f"""
     WITH {_TF_CTES},
     c AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY word),
@@ -2891,6 +2967,112 @@ _register(
     doc="Perplexity-proxy LM filter: mean per-token surprisal under the "
         "corpus unigram distribution, quantized to exact integer bits "
         "(floor-log2 via bin() length — no float log, order-free sums).",
+)
+
+_register(
+    "bigram_surprisal",
+    ["documents"],
+    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
+    lambda documents: textops.bigram_surprisal(documents, sort=False),
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    pairs AS (
+        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
+            SELECT doc_id, unnest(list_transform(
+                       generate_series(1, len(ws) - 1),
+                       i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
+            FROM w WHERE len(ws) >= 2) t),
+    tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
+           FROM pairs GROUP BY doc_id, w1, w2),
+    c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2
+           FROM tf GROUP BY w1, w2),
+    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
+    scored AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
+               CAST(SUM(tf.tf * ((length(bin(c1.c1)) - 1)
+                                 - (length(bin(c2.c2)) - 1))) AS BIGINT)
+                   AS bits_sum
+        FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
+        GROUP BY tf.doc_id)
+    SELECT d.doc_id,
+           COALESCE(s.n_bigrams, 0) AS n_bigrams,
+           COALESCE(s.bits_sum, 0) AS bits_sum,
+           CASE WHEN COALESCE(s.n_bigrams, 0) > 0
+                THEN CAST(s.bits_sum AS DOUBLE)
+                     / CAST(s.n_bigrams AS DOUBLE)
+                ELSE 0.0 END AS avg_bits
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+    doc="Bigram-conditional LM filter: mean transition surprisal "
+        "-log2 P(w2|w1) under the corpus's own bigram model, quantized "
+        "to exact integer bits (context counts from the bigram row "
+        "sums; in-row tail-zip pair build, skew-safe statistics joins).",
+)
+
+_register(
+    "dsir_weights",
+    ["documents"],
+    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
+    lambda documents: textops.dsir_weights(documents, sort=False),
+    rf"""
+    WITH w AS (
+        SELECT doc_id, source,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    f AS (
+        SELECT doc_id, source,
+               ('0x' || substr(md5(feat), 1, 15))::BIGINT
+                   % {textops.DSIR_BUCKETS} AS b
+        FROM (
+            SELECT doc_id, source, unnest(ws) AS feat FROM w
+            UNION ALL
+            SELECT doc_id, source,
+                   unnest(list_transform(generate_series(1, len(ws) - 1),
+                                         i -> ws[i] || ' ' || ws[i+1]))
+                       AS feat
+            FROM w WHERE len(ws) >= 2) t),
+    dn AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS n
+           FROM f GROUP BY doc_id, source, b),
+    stats AS (
+        SELECT b,
+               CAST(COALESCE(SUM(n) FILTER (WHERE source = 'src0'), 0)
+                    AS BIGINT) AS ct,
+               CAST(SUM(n) AS BIGINT) AS cr
+        FROM dn GROUP BY b),
+    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
+                   CAST(SUM(cr) AS BIGINT) AS nr FROM stats),
+    scored AS (
+        SELECT dn.doc_id,
+               CAST(SUM(dn.n) AS BIGINT) AS n_feats,
+               CAST(SUM(dn.n *
+                    (((length(bin(s.ct + 1)) - 1)
+                      - (length(bin(t.nt + {textops.DSIR_BUCKETS})) - 1))
+                     - ((length(bin(s.cr + 1)) - 1)
+                        - (length(bin(t.nr + {textops.DSIR_BUCKETS})) - 1))))
+                    AS BIGINT) AS logw_bits
+        FROM dn JOIN stats s USING (b) CROSS JOIN tot t
+        GROUP BY dn.doc_id)
+    SELECT d.doc_id, d.source,
+           COALESCE(s.n_feats, 0) AS n_feats,
+           COALESCE(s.logw_bits, 0) AS logw_bits,
+           CASE WHEN COALESCE(s.n_feats, 0) > 0
+                THEN CAST(s.logw_bits AS DOUBLE)
+                     / CAST(s.n_feats AS DOUBLE)
+                ELSE 0.0 END AS avg_bits,
+           COALESCE(s.logw_bits, 0) > 0 AS kept
+    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
+    """,
+    doc="DSIR data selection (Xie et al. 2023): per-doc importance "
+        "log-weight of hashed unigram+bigram features under the "
+        "target-source distribution vs the raw corpus, in exact "
+        "integer bits — 1024-row bucket stats broadcast, no skew axis, "
+        "text never shuffles.",
 )
 
 _register(
@@ -3210,37 +3392,43 @@ _register(
 # so driver-stamp staleness never means unverified code, only an older
 # driver receipt):
 #
-# * slots 1-3: NEW in round 8, never stamped — centroids_streamed (the
+# * slots 1-8: NEW in round 8, never stamped — centroids_streamed (the
 #   third stream→table loop, embedding-side int64 partial sums),
 #   line_dedup (CCNet-style boilerplate line removal), source_doc_cap
-#   (per-source document cap via the two-phase bucket-histogram rank);
-# * slots 4-13: green stamps whose BEHAVIOR round 8 changed and must
+#   (per-source document cap via the two-phase bucket-histogram rank),
+#   wordcount_streamed + dedup_streamed (fourth/fifth stream→table
+#   loops: the reference's signature dataflow, then dedup-at-ingest),
+#   bigram_surprisal (bigram-conditional LM filter), dsir_weights
+#   (DSIR importance reweighting), image_phash_dedup (dHash near-dup
+#   groups across planted multi-resolution payloads);
+# * slots 9-18: green stamps whose BEHAVIOR round 8 changed and must
 #   re-prove — novelty_streamed / mix_streamed (ingest now rides the
 #   shared idempotent batch_id-partition loop), canonical_pick /
 #   epoch_shuffle / tfidf_keywords (presentation sorts gated off in the
 #   registered forms; canonical_pick also builds its default pair graph
 #   unsorted), dedup_report (unsorted default pair graph),
-#   unigram_surprisal + tfidf_keywords (hot-vocabulary broadcast-split
-#   word join), image_resize_stats (numpy-gather resize kernel),
-#   text_langid + langid_confusion (Han-script zh detector);
-# * slots 14-40: ALL 27 queries whose latest stamp is r05 — exactly the
+#   unigram_surprisal (hot-vocabulary broadcast-split word join AND the
+#   registered form now unsorted), image_resize_stats (numpy-gather
+#   resize kernel), text_langid + langid_confusion (Han-script zh
+#   detector);
+# * slots 19-45: ALL 27 queries whose latest stamp is r05 — exactly the
 #   every-third-round cadence (r05→r08): the 22 TPC-H shapes and
 #   agg_percentile/histogram/approx_* + scalar_similarity. Their modules
 #   (operators/relational.py, functions/scalar.py) are untouched since
 #   r05, so these are age-only re-stamps;
-# * slots 41-50: module-touched-but-function-unchanged re-proofs,
+# * slots 46-50: module-touched-but-function-unchanged re-proofs,
 #   r06-stale first — image_decode_stats, multimodal_features
-#   (multimodal.py gained the new resize kernel), seq_packing,
-#   global_index, shard_stats (packing.py), train_val_test_split
-#   (sampling.py), then curation_pipeline, token_budget_mix,
-#   label_centroids (r07-stamped, modules touched by this round's
-#   curation/sampling/similarity edits). wordcount_streamed (slot 4)
-#   displaced quality_model_scores from the touched-module block: its
-#   text.py surface is unchanged this round and its r07 stamp holds.
+#   (multimodal.py gained the resize + phash kernels), seq_packing,
+#   shard_stats (packing.py), train_val_test_split (sampling.py).
+#   The four late-round-8 ops displaced global_index (r06 stamp,
+#   function untouched — rotates with the r09 stale set anyway) and
+#   curation_pipeline / token_budget_mix / label_centroids (r07
+#   stamps, functions untouched — due r10); quality_model_scores was
+#   already displaced by wordcount_streamed on the same rule.
 #
-# The 36 remaining r06-stamped queries are 2 rounds old after r08 and
-# rotate in r09; every r07 stamp in an untouched module keeps its
-# receipt. Everything else follows in file order.
+# The 36 remaining r06-stamped queries (+ global_index) are 2 rounds
+# old after r08 and rotate in r09; every r07 stamp in an untouched
+# module keeps its receipt. Everything else follows in file order.
 
 _HEAD = [
     # -- new in round 8, never stamped --
@@ -3248,6 +3436,10 @@ _HEAD = [
     "line_dedup",
     "source_doc_cap",
     "wordcount_streamed",
+    "bigram_surprisal",
+    "dedup_streamed",
+    "dsir_weights",
+    "image_phash_dedup",
     # -- behavior changed in round 8 --
     "novelty_streamed",
     "mix_streamed",
@@ -3291,12 +3483,8 @@ _HEAD = [
     "image_decode_stats",
     "multimodal_features",
     "seq_packing",
-    "global_index",
     "shard_stats",
     "train_val_test_split",
-    "curation_pipeline",
-    "token_budget_mix",
-    "label_centroids",
 ]
 
 _TAIL: list[str] = []

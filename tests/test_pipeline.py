@@ -1802,3 +1802,120 @@ def test_line_dedup_threshold_boundary(spark):
     out = {r.doc_id: r for r in dedup.line_dedup(docs, max_occurrences=5).collect()}
     assert out[0].kept_text.startswith("five times")
     assert not out[10].kept_text.startswith("six times")
+
+
+def test_bigram_surprisal_golden(spark):
+    """Pure-python replay of the integer-bits transition surprisal on
+    a tiny corpus, including the <2-token zeros contract."""
+    docs = spark.createDataFrame(
+        [(1, "a b c"), (2, "a b a c"), (3, "a"), (4, "")],
+        ["doc_id", "text"],
+    )
+    got = {r.doc_id: r for r in textops.bigram_surprisal(docs).collect()}
+    # bigrams: doc1 (a,b),(b,c); doc2 (a,b),(b,a),(a,c)
+    # c2: (a,b)=2 (b,c)=1 (b,a)=1 (a,c)=1; contexts: a.=3, b.=2
+    L = lambda x: x.bit_length() - 1  # noqa: E731
+    bits = {
+        ("a", "b"): L(3) - L(2),
+        ("b", "c"): L(2) - L(1),
+        ("b", "a"): L(2) - L(1),
+        ("a", "c"): L(3) - L(1),
+    }
+    want1 = bits[("a", "b")] + bits[("b", "c")]
+    want2 = bits[("a", "b")] + bits[("b", "a")] + bits[("a", "c")]
+    assert (got[1].n_bigrams, got[1].bits_sum) == (2, want1)
+    assert got[1].avg_bits == want1 / 2
+    assert (got[2].n_bigrams, got[2].bits_sum) == (3, want2)
+    assert (got[3].n_bigrams, got[3].bits_sum, got[3].avg_bits) == (0, 0, 0.0)
+    assert (got[4].n_bigrams, got[4].bits_sum, got[4].avg_bits) == (0, 0, 0.0)
+
+
+def test_bigram_surprisal_flags_scrambled_word_order(spark):
+    """The op's point over the unigram filter: a token-multiset
+    permutation is INVISIBLE to unigram surprisal (identical score)
+    but lights up the bigram score, because scrambled transitions are
+    rare in the corpus bigram model."""
+    rows = [(i, "the cat sat on the mat") for i in range(20)]
+    rows.append((100, "mat the on cat the sat"))
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uni = {r.doc_id: r.avg_bits for r in textops.unigram_surprisal(docs).collect()}
+    assert uni[100] == uni[0]
+    big = {r.doc_id: r.avg_bits for r in textops.bigram_surprisal(docs).collect()}
+    assert big[100] > big[0]
+
+
+def test_dsir_weights_selects_target_like_documents(spark):
+    """Documents whose vocabulary matches the target source score
+    positive log-weights (kept) regardless of their own source;
+    off-target vocabulary scores negative; featureless docs are zeros
+    and not kept."""
+    # The raw corpus must dwarf the smoothing constant (B=1024) and the
+    # target slice for the 1-bit log quantization to see the enrichment
+    # — the regime DSIR actually runs in (small exemplar set, huge web
+    # corpus, target-distinctive features 5-100x enriched).
+    rows = [(i, "alpha beta gamma delta", "src0") for i in range(10)]
+    rows += [(1000 + i, "omega psi chi phi", "srcweb") for i in range(1000)]
+    rows += [
+        (100, "alpha beta gamma", "srcweb"),   # target-like content
+        (101, "omega psi chi", "srcweb"),      # off-target content
+        (102, "", "srcweb"),                   # featureless
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "source"])
+    out = {r.doc_id: r for r in textops.dsir_weights(docs).collect()}
+    assert out[100].kept and out[100].logw_bits > 0
+    assert not out[101].kept and out[101].logw_bits < 0
+    assert (out[102].n_feats, out[102].logw_bits, out[102].kept) == (0, 0, False)
+    # exemplar docs themselves lean target
+    assert out[0].kept
+    # n_feats = unigrams + bigrams
+    assert out[100].n_feats == 3 + 2
+
+
+def test_image_phash_groups_across_resolutions(spark):
+    """Each content seed is planted at 1x and 2x resolution with
+    DIFFERENT bytes; the dHash must collide within a seed (n_res == 2)
+    — grouping a byte digest provably cannot make."""
+    docs = spark.createDataFrame([(i,) for i in range(64)], ["doc_id"])
+    media = multimodal.synthesize_ppm_multires(docs)
+    # byte digests differ between the two resolutions of every seed
+    digests = (
+        media.select(F.sha2(F.col("content"), 256).alias("d"))
+        .distinct()
+        .count()
+    )
+    assert digests == 64
+    ph = multimodal.image_phash_table(media).collect()
+    by_doc = {r.doc_id: r for r in ph}
+    for d in range(32):
+        assert by_doc[d].phash == by_doc[d + 32].phash, d
+        assert by_doc[d + 32].width == 2 * by_doc[d].width
+    groups = multimodal.image_phash_dedup(docs).collect()
+    assert sum(g.n_images for g in groups) == 64
+    assert all(g.n_res == 2 for g in groups)
+    # the 32 seeds don't all collapse into one hash bucket
+    assert len(groups) > 4
+
+
+def test_dsir_plan_broadcasts_stats_and_never_shuffles_text(spark):
+    """The bucket-statistics join must be a broadcast (1024-row stats
+    side) and no exchange may carry the raw text column."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = formatted_plan(textops.dsir_weights(docs))
+    assert "BroadcastHashJoin" in plan
+    exchange_lines = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert exchange_lines, plan
+    assert not any("text#" in ln for ln in exchange_lines)
+
+
+def test_bigram_surprisal_plan_never_shuffles_text(spark):
+    """Bigram statistics joins ride the skew-safe union; exchanges
+    carry pairs/counts/doc ids only."""
+    from flink_snappydata_spark.plans import formatted_plan
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = formatted_plan(textops.bigram_surprisal(docs))
+    exchange_lines = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
+    assert exchange_lines, plan
+    assert not any("text#" in ln for ln in exchange_lines)

@@ -672,3 +672,47 @@ def test_streaming_wordcount_ingest_matches_batch(spark):
     assert len(got) > 0
     pd.testing.assert_frame_equal(got, want)
     spark.sql(f"DROP TABLE IF EXISTS {cnt_t}")
+
+
+def test_streaming_dedup_ingest_matches_batch(spark):
+    """Streaming-ingest twin of exact_dedup: documents arrive over 4
+    micro-batches, each appending per-digest (min doc_id, copy count,
+    representative) partials; folding the accumulated state is exactly
+    row-identical to the one-shot batch op — including copy counts for
+    duplicate texts SPLIT ACROSS different micro-batches."""
+    import tempfile
+    import uuid
+
+    from pyspark.sql import functions as F
+
+    from flink_snappydata_spark.pipeline import dedup
+
+    base = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    # Plant cross-batch duplicates: re-id'd copies land in their own
+    # stream file (separate micro-batch under maxFilesPerTrigger=1).
+    copies = base.limit(20).select(
+        (F.col("doc_id") + 1_000_000).alias("doc_id"), "text"
+    )
+    docs = base.unionByName(copies)
+    tmp = tempfile.mkdtemp(prefix="fss-dd-stream-")
+    base.repartition(3).write.mode("overwrite").parquet(tmp)
+    copies.coalesce(1).write.mode("append").parquet(tmp)
+    tag = uuid.uuid4().hex[:8]
+    parts_t = f"dd_parts_{tag}"
+
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(tmp)
+    )
+    dedup.streaming_dedup_ingest(stream, parts_t)
+
+    # cross-batch fold exercised: some digest got partials from >1 batch
+    parts = spark.table(parts_t)
+    assert parts.count() > parts.select("digest").distinct().count()
+
+    got = _sorted(dedup.dedup_from_state(spark, parts_t).toPandas())
+    want = _sorted(dedup.exact_dedup(docs).toPandas())
+    assert len(got) > 0
+    pd.testing.assert_frame_equal(got, want)
+    spark.sql(f"DROP TABLE IF EXISTS {parts_t}")
