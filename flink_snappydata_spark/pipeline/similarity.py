@@ -952,3 +952,144 @@ def kmeans_train(
         )
         .orderBy("cluster_id")
     )
+
+
+#: Product-quantization defaults: 64-dim embeddings split into
+#: PQ_SUBSPACES contiguous blocks of PQ_SUB_DIM components, each with
+#: its own PQ_CENTROIDS-entry codebook.
+PQ_SUBSPACES = 4
+PQ_SUB_DIM = 16
+PQ_CENTROIDS = 4
+
+
+def _pq_subvectors(qv: DataFrame) -> DataFrame:
+    """(vec_id, m, sq): the quantized corpus cut into PQ_SUBSPACES
+    contiguous 16-component blocks — one row per (vector, subspace)."""
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice(F.col("qe"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias(
+                    "sq"
+                ),
+            )
+            for m in range(PQ_SUBSPACES)
+        ]
+    )
+    return qv.select("vec_id", F.inline(blocks))
+
+
+def _pq_l2(a: Column, b: Column) -> Column:
+    """Exact int64 squared L2 distance between two quantized blocks."""
+    return F.aggregate(
+        F.zip_with(a, b, lambda x, y: (x - y) * (x - y)),
+        F.lit(0).cast("long"),
+        lambda acc, d: acc + d,
+    )
+
+
+def _pq_assign(subv: DataFrame, cents: DataFrame) -> DataFrame:
+    """(vec_id, m, cent_id, dist): each subvector's nearest codebook
+    entry under EXACT integer squared-L2, ties to the lowest cent_id —
+    pure int64 comparisons, no doubles anywhere in the argmin.
+
+    Same shape as :func:`_assign_nearest`: the codebook (m·k rows)
+    broadcasts, and the argmin is a grouped ``min`` over a
+    (dist, cent_id) struct — partial aggregation collapses the k
+    candidate rows per (vector, subspace) before any exchange."""
+    scored = subv.join(F.broadcast(cents), "m").select(
+        "vec_id",
+        "m",
+        F.struct(
+            _pq_l2(F.col("sq"), F.col("ce")).alias("dist"),
+            F.col("cent_id").alias("cent_id"),
+        ).alias("cand"),
+    )
+    return (
+        scored.groupBy("vec_id", "m")
+        .agg(F.min("cand").alias("best"))
+        .select(
+            "vec_id",
+            "m",
+            F.col("best.cent_id").alias("cent_id"),
+            F.col("best.dist").alias("dist"),
+        )
+    )
+
+
+def pq_codebook(
+    embeddings: DataFrame,
+    n_centroids: int = PQ_CENTROIDS,
+    n_iters: int = 2,
+) -> DataFrame:
+    """Product-quantization codebook training (Jégou et al. 2011) —
+    the IVF-PQ compression half of a billion-scale ANN index: each
+    vector splits into :data:`PQ_SUBSPACES` contiguous blocks, and
+    each subspace trains its own ``n_centroids``-entry codebook by
+    Lloyd's iterations under EXACT integer squared-L2 (PQ's native
+    metric), so a vector compresses to PQ_SUBSPACES small codes.
+
+    Bit-deterministic end to end — stricter than :func:`kmeans_train`
+    (whose argmax orders by an IEEE cosine): here init = the first
+    ``n_centroids`` vectors' blocks, assignment ties break to the
+    lowest cent_id, centroid updates are the truncated integer mean,
+    and distances never leave int64, so the DuckDB oracle replays
+    every step with pure integer arithmetic.
+
+    Returns per-(subspace, centroid) membership stats plus the exact
+    int64 residual distortion ``sq_err_sum`` — the number PQ tuning
+    watches (distortion down = recall up at fixed code size).
+
+    Scale: per round, ONE broadcast-join scan of the (vector,
+    subspace) frame for assignment (the codebook is m·k tiny integer
+    blocks) and ONE (m, cent_id, pos)-keyed aggregation for the
+    update — partial sums combine map-side, the shuffle carries int64
+    sums, never vectors. Rounds are a small fixed constant; the
+    driver never collects anything.
+    """
+    if n_iters < 1:
+        raise ValueError("n_iters must be >= 1")
+    qv = tracked_persist(quantized(embeddings))
+    subv = tracked_persist(_pq_subvectors(qv))
+    cents = subv.filter(F.col("vec_id") < n_centroids).select(
+        "m", F.col("vec_id").alias("cent_id"), F.col("sq").alias("ce")
+    )
+    assigned = _pq_assign(subv, cents)
+    for _ in range(n_iters - 1):
+        sums = (
+            subv.join(assigned.select("vec_id", "m", "cent_id"), ["vec_id", "m"])
+            .select("m", "cent_id", F.posexplode("sq").alias("pos", "q"))
+            .groupBy("m", "cent_id", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        )
+        mean = sums.withColumn(
+            "c",
+            (
+                (F.col("s") - F.col("s") % F.col("cnt")).cast("double")
+                / F.col("cnt")
+            ).cast("long"),
+        )
+        new_ce = mean.groupBy("m", "cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("ce")
+        )
+        carried = cents.join(new_ce, ["m", "cent_id"], "left_anti").select(
+            "m", "cent_id", "ce"
+        )
+        cents = new_ce.unionByName(carried)
+        assigned = _pq_assign(subv, cents)
+    return (
+        assigned.groupBy(
+            F.col("m").alias("subspace"), F.col("cent_id").alias("cent_id")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("vec_id").alias("sum_vec_id"),
+            F.min("vec_id").alias("min_vec_id"),
+            F.max("vec_id").alias("max_vec_id"),
+            F.sum("dist").alias("sq_err_sum"),
+        )
+        .orderBy("subspace", "cent_id")
+    )

@@ -88,6 +88,39 @@ _QM_MOD = 1 << 31
 _QM_CENTER = 1 << 30
 
 
+def _qm_weight(w: Column) -> Column:
+    """LCG-derived integer weight of one token's hash bucket (the
+    hashed-linear-model kernel shared by :func:`quality_model_scores`
+    and :func:`quality_auc`)."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10)
+        .cast("long"),
+        F.lit(QM_BUCKETS),
+    )
+    return F.pmod(
+        bucket * F.lit(QM_MULT) + F.lit(QM_INC), F.lit(_QM_MOD)
+    ) - F.lit(_QM_CENTER)
+
+
+def _qm_margin(text: Column) -> tuple[Column, Column, Column]:
+    """(score_sum, n_words, margin) expressions of the hashed linear
+    quality model over a text column — exact int64 sum, one
+    int→double division."""
+    words = _words(text)
+    score_sum = F.aggregate(
+        F.transform(words, _qm_weight),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    n_words = F.size(words).cast("long")
+    margin = F.when(
+        n_words > 0,
+        score_sum.cast("double")
+        / (n_words * F.lit(_QM_CENTER)).cast("double"),
+    ).otherwise(F.lit(0.0))
+    return score_sum, n_words, margin
+
+
 def quality_model_scores(
     documents: DataFrame, threshold: float = 0.0, sort: bool = True
 ) -> DataFrame:
@@ -112,29 +145,7 @@ def quality_model_scores(
     a broadcast join against a (bucket, weight) table instead of the
     inline LCG.
     """
-    words = _words(F.col("text"))
-
-    def w_int(w: Column) -> Column:
-        bucket = F.pmod(
-            F.conv(F.substring(F.md5(w.cast("binary")), 1, 15), 16, 10)
-            .cast("long"),
-            F.lit(QM_BUCKETS),
-        )
-        return F.pmod(
-            bucket * F.lit(QM_MULT) + F.lit(QM_INC), F.lit(_QM_MOD)
-        ) - F.lit(_QM_CENTER)
-
-    score_sum = F.aggregate(
-        F.transform(words, w_int),
-        F.lit(0).cast("long"),
-        lambda acc, x: acc + x,
-    )
-    n_words = F.size(words).cast("long")
-    margin = F.when(
-        n_words > 0,
-        score_sum.cast("double")
-        / (n_words * F.lit(_QM_CENTER)).cast("double"),
-    ).otherwise(F.lit(0.0))
+    score_sum, n_words, margin = _qm_margin(F.col("text"))
     out = documents.select(
         "doc_id",
         n_words.alias("n_words"),
@@ -1167,3 +1178,331 @@ def frequent_bigrams(documents: DataFrame, k: int = 50) -> DataFrame:
         .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
         .limit(k)
     )
+
+
+#: Gopher "required words" set (Rae et al. 2021, A1.1): a document must
+#: contain at least GOPHER_MIN_STOP_HITS distinct members to pass the
+#: stopword rule.
+GOPHER_STOPWORDS = ["the", "be", "to", "of", "and", "that", "have", "with"]
+GOPHER_MIN_STOP_HITS = 2
+
+
+def gopher_rules(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Gopher repetition-free quality rules (Rae et al. 2021, appendix
+    A1.1) — the canonical rule-based pre-training document filter,
+    complementing :func:`quality_scores` (generic ratios) and
+    :func:`quality_model_scores` (learned-model shape):
+
+    * 50 <= word count <= 100,000;
+    * 3 <= mean word length <= 10;
+    * symbol-to-word ratio (``#`` and ``...``) <= 0.1;
+    * < 90% of lines start with a bullet (``-``, ``*``, ``•``);
+    * < 30% of lines end with an ellipsis;
+    * >= 80% of words contain an alphabetic character;
+    * >= 2 distinct "required" stopwords present (the/be/to/of/and/
+      that/have/with).
+
+    Words are whitespace tokens (Gopher's definition), lines are
+    newline splits with blank lines dropped. Every ratio is an exact
+    int64 count divided once into a double, so the DuckDB oracle
+    hash-matches bit-for-bit.
+
+    Scale: pure per-row JVM higher-order expressions on the scan — no
+    explode, no shuffle, no Python; at 100 TB this is a single map
+    over the corpus, exactly like the other per-row filters.
+    ``sort=False`` drops the presentation ``orderBy`` (output is one
+    row per document).
+    """
+    text = F.col("text")
+    ws = F.filter(F.split(text, r"\s+"), lambda w: w != F.lit(""))
+    lines = F.filter(
+        F.transform(F.split(text, r"\n"), lambda x: F.trim(x)),
+        lambda x: x != F.lit(""),
+    )
+    n_words = F.size(ws).cast("long")
+    n_lines = F.size(lines).cast("long")
+    word_chars = F.aggregate(
+        ws, F.lit(0).cast("long"), lambda acc, w: acc + F.length(w)
+    )
+    n_hash = (F.length(text) - F.length(F.regexp_replace(text, r"#", ""))).cast("long")
+    n_ellipsis = (
+        (F.length(text) - F.length(F.regexp_replace(text, r"\.\.\.", ""))) / F.lit(3)
+    ).cast("long")
+    n_bullet_lines = F.size(
+        F.filter(
+            lines,
+            lambda x: F.substring(x, 1, 1).isin("-", "*", "•"),
+        )
+    ).cast("long")
+    n_ellipsis_lines = F.size(
+        F.filter(lines, lambda x: x.endswith(F.lit("...")))
+    ).cast("long")
+    n_alpha_words = F.size(
+        F.filter(ws, lambda w: w.rlike("[A-Za-z]"))
+    ).cast("long")
+    lowered = F.transform(ws, F.lower)
+    stop_arr = F.array(*[F.lit(s) for s in GOPHER_STOPWORDS])
+    stop_hits = F.size(
+        F.filter(stop_arr, lambda s: F.array_contains(lowered, s))
+    ).cast("long")
+
+    def ratio(num: Column, den: Column) -> Column:
+        return F.when(den > 0, num.cast("double") / den.cast("double")).otherwise(
+            F.lit(0.0)
+        )
+
+    mean_wl = ratio(word_chars, n_words)
+    symbol_ratio = ratio(n_hash + n_ellipsis, n_words)
+    bullet_frac = ratio(n_bullet_lines, n_lines)
+    ellipsis_frac = ratio(n_ellipsis_lines, n_lines)
+    alpha_frac = ratio(n_alpha_words, n_words)
+    keep = (
+        (n_words >= 50)
+        & (n_words <= 100_000)
+        & (mean_wl >= 3.0)
+        & (mean_wl <= 10.0)
+        & (symbol_ratio <= 0.1)
+        & (bullet_frac < 0.9)
+        & (ellipsis_frac < 0.3)
+        & (alpha_frac >= 0.8)
+        & (stop_hits >= GOPHER_MIN_STOP_HITS)
+    )
+    out = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        mean_wl.alias("mean_word_len"),
+        symbol_ratio.alias("symbol_ratio"),
+        bullet_frac.alias("bullet_line_frac"),
+        ellipsis_frac.alias("ellipsis_line_frac"),
+        alpha_frac.alias("alpha_word_frac"),
+        stop_hits.alias("stop_hits"),
+        keep.alias("keep"),
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+#: Margin-cell width for the AUC prefix machinery: margins lie in
+#: [-1, 1], so floor(margin * 2^12) yields at most 2^13 + 1 cells —
+#: a histogram the driver-side of the plan never sees and the
+#: single-partition prefix window is provably bounded over.
+AUC_CELLS_SHIFT = 12
+
+
+def quality_auc(documents: DataFrame, pos_lang: str = "en") -> DataFrame:
+    """Exact tie-aware ROC AUC of the hashed linear quality model's
+    margin as a ranker for ``lang == pos_lang`` — the "evaluate the
+    quality classifier against labels" step a curation pipeline runs
+    before trusting a filter at scale (here the deterministic model of
+    :func:`quality_model_scores` against the corpus's language labels;
+    with a trained model and human labels the plan is identical).
+
+    AUC is computed from the Wilcoxon rank-sum with midrank tie
+    handling, kept EXACT in int64: for each distinct margin ``s`` with
+    ``p_s`` positives, ``q_s`` negatives (``t_s = p_s + q_s``) and
+    ``cum_s`` documents strictly below it,
+    ``2·R_pos = Σ p_s (2·cum_s + t_s + 1)`` and
+    ``AUC = (2·R_pos − n_pos(n_pos+1)) / (2·n_pos·n_neg)`` — returned
+    as the exact integer numerator/denominator plus one double
+    division, so the full value-hash oracle applies. Returns ONE row:
+    ``(n_pos, n_neg, auc_num, auc_den, auc)``.
+
+    Scale — a global rank with NO global sort: (1) one corpus scan
+    computes each document's margin (pure per-row expressions); (2) a
+    ``margin``-keyed aggregation collapses the corpus to distinct
+    margins with (p, q) counts (map-side combined — ties are FREE);
+    (3) the global prefix count splits two-phase, the
+    :func:`~flink_snappydata_spark.pipeline.packing.global_index`
+    idiom transposed to value-ranges: margins bucket into ≤ 2^13 + 1
+    fixed cells (floor(margin·2^12) — monotone, so cell order = margin
+    order), the ≤ 8193-row cell histogram takes one bounded
+    single-partition prefix window, and within-cell prefixes are a
+    cell-partitioned window over distinct margins; (4) one single-row
+    final aggregation. Only (margin, count) pairs ever shuffle. The
+    irreducible hot case is a corpus whose distinct margins crowd into
+    one 2^-12-wide cell — real score distributions spread across
+    hundreds of cells, and even then the window holds narrow triples,
+    never documents.
+    """
+    _, _, margin = _qm_margin(F.col("text"))
+    is_pos = F.col("lang") == F.lit(pos_lang)
+    g = (
+        documents.select(margin.alias("margin"), is_pos.alias("is_pos"))
+        .groupBy("margin")
+        .agg(
+            F.sum(F.when(F.col("is_pos"), 1).otherwise(0))
+            .cast("long")
+            .alias("p"),
+            F.sum(F.when(F.col("is_pos"), 0).otherwise(1))
+            .cast("long")
+            .alias("q"),
+        )
+        .withColumn("t", F.col("p") + F.col("q"))
+        .withColumn(
+            "cell",
+            F.floor(F.col("margin") * F.lit(1 << AUC_CELLS_SHIFT)).cast("long"),
+        )
+    )
+    g = tracked_persist(g)
+    # Cell histogram: <= 2^13 + 1 rows by construction — the bounded
+    # single-partition prefix window the docstring pins.
+    cell_w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
+    cell_off = (
+        g.groupBy("cell")
+        .agg(F.sum("t").alias("ct"))
+        .select(
+            "cell",
+            F.coalesce(F.sum("ct").over(cell_w), F.lit(0))
+            .cast("long")
+            .alias("cell_off"),
+        )
+    )
+    in_w = (
+        Window.partitionBy("cell")
+        .orderBy("margin")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    cum = (
+        g.join(F.broadcast(cell_off), "cell")
+        .select(
+            "margin",
+            "p",
+            "q",
+            "t",
+            (
+                F.col("cell_off")
+                + F.coalesce(F.sum("t").over(in_w), F.lit(0))
+            ).alias("cum"),
+        )
+    )
+    agg = cum.agg(
+        F.sum("p").cast("long").alias("n_pos"),
+        F.sum("q").cast("long").alias("n_neg"),
+        F.sum(F.col("p") * (F.lit(2) * F.col("cum") + F.col("t") + F.lit(1)))
+        .cast("long")
+        .alias("r2"),
+    )
+    return agg.select(
+        "n_pos",
+        "n_neg",
+        (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
+        .cast("long")
+        .alias("auc_num"),
+        (F.lit(2) * F.col("n_pos") * F.col("n_neg"))
+        .cast("long")
+        .alias("auc_den"),
+        F.when(
+            (F.col("n_pos") > 0) & (F.col("n_neg") > 0),
+            (F.col("r2") - F.col("n_pos") * (F.col("n_pos") + F.lit(1)))
+            .cast("double")
+            / (F.lit(2) * F.col("n_pos") * F.col("n_neg")).cast("double"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("auc"),
+    )
+
+
+#: Surprisal-cell width for the CCNet-bucket rank machinery: avg_bits
+#: is < 64 by construction (a token's surprisal is at most
+#: floor(log2 N) < 63 bits), so floor(avg_bits * 2^8) yields < 2^14
+#: cells per language.
+CCNET_CELLS_SHIFT = 8
+
+#: Tercile labels in rank order (low surprisal = most in-distribution).
+CCNET_BUCKET_NAMES = ["head", "middle", "tail"]
+
+
+def ccnet_buckets(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """CCNet-style perplexity bucketing (Wenzek et al. 2020): split
+    each language's documents into head / middle / tail terciles by
+    mean LM surprisal — the curation step that keeps "head" (most
+    in-distribution) text, samples "middle", and drops "tail". The LM
+    is the corpus's own unigram model via
+    :func:`unigram_surprisal` (exact integer bits, so the whole chain
+    stays engine-portable); with a real KenLM the plan is identical.
+
+    The tercile is a pure function of the per-language rank: with
+    ``c`` documents in a language, ``q = c div 3``, ``r = c mod 3``,
+    ranks are split NTILE-style (first ``r`` tiles get ``q + 1``).
+    Ranks order by ``(avg_bits, doc_id)`` — the doc_id tiebreak makes
+    every rank, and therefore every bucket label, engine-exact.
+
+    Returns one row per document:
+    ``(doc_id, lang, avg_bits, lang_rank, bucket)``.
+
+    Scale — per-language global rank with NO per-language global sort
+    (a naive ``row_number() OVER (PARTITION BY lang ORDER BY ...)``
+    funnels each language — a third of a 100 TB corpus — through one
+    window partition): the :func:`per_source_cap` two-phase rank
+    transposed to value-ranges. Surprisals bucket into < 2^14 fixed
+    cells (floor(avg_bits·2^8) — monotone in the score); per-(lang,
+    cell) counts prefix-sum DISTRIBUTEDLY (a window over < 2^14
+    narrow rows per language, never documents); the rank is a (lang,
+    cell)-partitioned row_number plus the cell offset. The per-lang
+    totals frame is |langs| rows and broadcasts. Worst window
+    partition = documents within one 1/256-bit surprisal sliver of
+    one language — real corpora spread over hundreds of cells.
+    """
+    scored = unigram_surprisal(documents, sort=False).select(
+        "doc_id", "avg_bits"
+    )
+    keyed = (
+        documents.select("doc_id", "lang")
+        .join(scored, "doc_id")
+        .withColumn(
+            "cell",
+            F.floor(
+                F.col("avg_bits") * F.lit(1 << CCNET_CELLS_SHIFT)
+            ).cast("long"),
+        )
+    )
+    keyed = tracked_persist(keyed)
+    hist = keyed.groupBy("lang", "cell").agg(F.count(F.lit(1)).alias("cnt"))
+    hist = tracked_persist(hist)
+    off_w = (
+        Window.partitionBy("lang")
+        .orderBy("cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offsets = hist.select(
+        "lang",
+        "cell",
+        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
+    )
+    totals = hist.groupBy("lang").agg(F.sum("cnt").cast("long").alias("c"))
+    rank_w = Window.partitionBy("lang", "cell").orderBy("avg_bits", "doc_id")
+    ranked = (
+        keyed.join(F.broadcast(offsets), ["lang", "cell"])
+        .join(F.broadcast(totals), "lang")
+        .select(
+            "doc_id",
+            "lang",
+            "avg_bits",
+            (F.row_number().over(rank_w) + F.col("off"))
+            .cast("long")
+            .alias("lang_rank"),
+            "c",
+        )
+    )
+    # Exact integer division (the (s - s%n)/n idiom used throughout —
+    # the subtraction makes the double division exactly divisible, so
+    # no float-rounding edge can cross an integer boundary).
+    def idiv(a: Column, b: Column) -> Column:
+        return ((a - F.pmod(a, b)).cast("double") / b).cast("long")
+
+    q = idiv(F.col("c").cast("long"), F.lit(3))
+    r = F.pmod(F.col("c"), F.lit(3)).cast("long")
+    rank0 = F.col("lang_rank") - F.lit(1)
+    boundary = r * (q + F.lit(1))
+    tile0 = F.when(
+        rank0 < boundary,
+        idiv(rank0, q + F.lit(1)),
+    ).otherwise(r + idiv(rank0 - boundary, F.greatest(q, F.lit(1))))
+    bucket = (
+        F.when(tile0 == 0, F.lit(CCNET_BUCKET_NAMES[0]))
+        .when(tile0 == 1, F.lit(CCNET_BUCKET_NAMES[1]))
+        .otherwise(F.lit(CCNET_BUCKET_NAMES[2]))
+    )
+    out = ranked.select(
+        "doc_id", "lang", "avg_bits", "lang_rank", bucket.alias("bucket")
+    )
+    return out.orderBy("doc_id") if sort else out

@@ -3378,6 +3378,245 @@ _register(
         "cosines, rank-based bottom-5%% flags (no float quantiles).",
 )
 
+_register(
+    "gopher_rules",
+    ["documents"],
+    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
+    lambda documents: textops.gopher_rules(documents, sort=False),
+    rf"""
+    WITH base AS (
+        SELECT doc_id, text,
+               list_filter(string_split_regex(text, '\s+'),
+                           x -> x <> '') AS ws,
+               list_filter(list_transform(string_split(text, chr(10)),
+                                          x -> trim(x)),
+                           x -> x <> '') AS lines
+        FROM documents
+    ), counted AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               CAST(COALESCE(list_aggregate(
+                    list_transform(ws, x -> length(x)), 'sum'), 0)
+                    AS BIGINT) AS word_chars,
+               CAST(length(text) - length(replace(text, '#', ''))
+                    AS BIGINT)
+               + CAST((length(text)
+                       - length(regexp_replace(text, '\.\.\.', '', 'g')))
+                      // 3 AS BIGINT) AS n_symbols,
+               CAST(len(list_filter(lines,
+                    x -> substr(x, 1, 1) IN ('-', '*', '•')))
+                    AS BIGINT) AS n_bullet,
+               CAST(len(list_filter(lines, x -> x LIKE '%...'))
+                    AS BIGINT) AS n_ell_lines,
+               CAST(len(list_filter(ws,
+                    x -> regexp_matches(x, '[A-Za-z]')))
+                    AS BIGINT) AS n_alpha,
+               CAST(len(list_filter(
+                    ['the','be','to','of','and','that','have','with'],
+                    s -> list_contains(list_transform(ws, x -> lower(x)),
+                                       s))) AS BIGINT) AS stop_hits
+        FROM base
+    )
+    SELECT doc_id, n_words,
+           CASE WHEN n_words > 0
+                THEN CAST(word_chars AS DOUBLE) / n_words
+                ELSE 0.0 END AS mean_word_len,
+           CASE WHEN n_words > 0
+                THEN CAST(n_symbols AS DOUBLE) / n_words
+                ELSE 0.0 END AS symbol_ratio,
+           CASE WHEN n_lines > 0
+                THEN CAST(n_bullet AS DOUBLE) / n_lines
+                ELSE 0.0 END AS bullet_line_frac,
+           CASE WHEN n_lines > 0
+                THEN CAST(n_ell_lines AS DOUBLE) / n_lines
+                ELSE 0.0 END AS ellipsis_line_frac,
+           CASE WHEN n_words > 0
+                THEN CAST(n_alpha AS DOUBLE) / n_words
+                ELSE 0.0 END AS alpha_word_frac,
+           stop_hits,
+           (n_words >= 50 AND n_words <= 100000
+            AND CASE WHEN n_words > 0
+                     THEN CAST(word_chars AS DOUBLE) / n_words
+                     ELSE 0.0 END >= 3.0
+            AND CASE WHEN n_words > 0
+                     THEN CAST(word_chars AS DOUBLE) / n_words
+                     ELSE 0.0 END <= 10.0
+            AND CASE WHEN n_words > 0
+                     THEN CAST(n_symbols AS DOUBLE) / n_words
+                     ELSE 0.0 END <= 0.1
+            AND CASE WHEN n_lines > 0
+                     THEN CAST(n_bullet AS DOUBLE) / n_lines
+                     ELSE 0.0 END < 0.9
+            AND CASE WHEN n_lines > 0
+                     THEN CAST(n_ell_lines AS DOUBLE) / n_lines
+                     ELSE 0.0 END < 0.3
+            AND CASE WHEN n_words > 0
+                     THEN CAST(n_alpha AS DOUBLE) / n_words
+                     ELSE 0.0 END >= 0.8
+            AND stop_hits >= 2) AS keep
+    FROM counted ORDER BY doc_id
+    """,
+    doc="Gopher rule-based document filter (Rae et al. 2021 A1.1): "
+        "word-count/word-length bounds, symbol and bullet/ellipsis "
+        "line ratios, alphabetic-word fraction, required-stopword "
+        "hits — exact int64 counts, one division per ratio, pure "
+        "per-row JVM expressions (no shuffle).",
+)
+
+
+_register(
+    "quality_auc",
+    ["documents"],
+    textops.quality_auc,
+    rf"""
+    WITH {_QM_CTES},
+    m AS (
+        SELECT s.doc_id, d.lang = 'en' AS is_pos,
+               {_QM_MARGIN} AS margin
+        FROM scored s JOIN documents d USING (doc_id)),
+    g AS (
+        SELECT margin,
+               CAST(COUNT(*) FILTER (is_pos) AS BIGINT) AS p,
+               CAST(COUNT(*) FILTER (NOT is_pos) AS BIGINT) AS q
+        FROM m GROUP BY margin),
+    c AS (
+        SELECT margin, p, q, p + q AS t,
+               CAST(COALESCE(SUM(p + q) OVER (ORDER BY margin
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    0) AS BIGINT) AS cum
+        FROM g),
+    a AS (
+        SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
+               CAST(SUM(q) AS BIGINT) AS n_neg,
+               CAST(SUM(p * (2 * cum + t + 1)) AS BIGINT) AS r2
+        FROM c)
+    SELECT n_pos, n_neg,
+           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+           CASE WHEN n_pos > 0 AND n_neg > 0
+                THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
+                     / CAST(2 * n_pos * n_neg AS DOUBLE)
+                ELSE 0.0 END AS auc
+    FROM a
+    """,
+    doc="Exact tie-aware ROC AUC of the quality-model margin vs the "
+        "language label (classifier-evaluation step): Wilcoxon midrank "
+        "formula in int64 via a two-phase value-cell prefix — global "
+        "rank with no global sort; only (margin, count) pairs shuffle.",
+)
+
+
+_register(
+    "ccnet_buckets",
+    ["documents"],
+    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
+    lambda documents: textops.ccnet_buckets(documents, sort=False),
+    f"""
+    WITH {_TF_CTES},
+    c AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY word),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
+    sc AS (
+        SELECT tf.doc_id,
+               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
+               CAST(SUM(tf.tf * ((length(bin(tot.n)) - 1)
+                                 - (length(bin(c.c)) - 1))) AS BIGINT)
+                   AS bits_sum
+        FROM tf JOIN c USING (word) CROSS JOIN tot
+        GROUP BY tf.doc_id),
+    ab AS (
+        SELECT d.doc_id, d.lang,
+               CASE WHEN COALESCE(sc.n_tokens, 0) > 0
+                    THEN CAST(sc.bits_sum AS DOUBLE)
+                         / CAST(sc.n_tokens AS DOUBLE)
+                    ELSE 0.0 END AS avg_bits
+        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
+    r AS (
+        SELECT doc_id, lang, avg_bits,
+               CAST(ROW_NUMBER() OVER (PARTITION BY lang
+                        ORDER BY avg_bits, doc_id) AS BIGINT) AS lang_rank,
+               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS c
+        FROM ab),
+    t AS (
+        SELECT doc_id, lang, avg_bits, lang_rank,
+               CASE WHEN (lang_rank - 1) < (c % 3) * ((c // 3) + 1)
+                    THEN (lang_rank - 1) // ((c // 3) + 1)
+                    ELSE (c % 3) + ((lang_rank - 1) - (c % 3) * ((c // 3) + 1))
+                         // GREATEST(c // 3, 1) END AS tile0
+        FROM r)
+    SELECT doc_id, lang, avg_bits, lang_rank,
+           CASE tile0 WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
+                ELSE 'tail' END AS bucket
+    FROM t ORDER BY doc_id
+    """,
+    doc="CCNet-style head/middle/tail perplexity terciles per language "
+        "(Wenzek et al. 2020): unigram-surprisal ranking with doc_id "
+        "tiebreak, NTILE-exact tercile arithmetic — per-language rank "
+        "via the two-phase value-cell prefix, no per-language global "
+        "sort window.",
+)
+
+
+# pq_codebook oracle: Lloyd's under exact integer squared-L2, unrolled
+# for n_iters=2 per subspace (init c0 = first-4 vectors' blocks, assign,
+# truncated-integer-mean update with carry-forward, final assign). The
+# whole replay is pure int64 arithmetic — no doubles even in the argmin.
+_register(
+    "pq_codebook",
+    ["embeddings"],
+    similarity.pq_codebook,
+    """
+    WITH comp AS (
+        SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS m,
+               (i - 1) % 16 AS j,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) s(i)),
+    c0 AS (SELECT m, vec_id AS cent_id, j, q AS c
+           FROM comp WHERE vec_id < 4),
+    d1 AS (SELECT t.vec_id, t.m, c.cent_id,
+                  CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) AS dist
+           FROM comp t JOIN c0 c ON t.m = c.m AND t.j = c.j
+           GROUP BY t.vec_id, t.m, c.cent_id),
+    a1 AS (SELECT vec_id, m, cent_id FROM (
+             SELECT vec_id, m, cent_id,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                        ORDER BY dist ASC, cent_id ASC) AS r
+             FROM d1) t WHERE r = 1),
+    s1 AS (SELECT a.m, a.cent_id, c.j, SUM(c.q) AS s, COUNT(*) AS cnt
+           FROM a1 a JOIN comp c ON c.vec_id = a.vec_id AND c.m = a.m
+           GROUP BY a.m, a.cent_id, c.j),
+    m1 AS (SELECT m, cent_id, j,
+                  CAST(CAST(s - s % cnt AS DOUBLE) / cnt AS BIGINT) AS c
+           FROM s1),
+    c1 AS (SELECT m, cent_id, j, c FROM m1
+           UNION ALL
+           SELECT x.m, x.cent_id, x.j, x.c FROM c0 x
+           WHERE NOT EXISTS (SELECT 1 FROM m1
+                             WHERE m1.m = x.m AND m1.cent_id = x.cent_id)),
+    d2 AS (SELECT t.vec_id, t.m, c.cent_id,
+                  CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) AS dist
+           FROM comp t JOIN c1 c ON t.m = c.m AND t.j = c.j
+           GROUP BY t.vec_id, t.m, c.cent_id),
+    a2 AS (SELECT vec_id, m, cent_id, dist FROM (
+             SELECT vec_id, m, cent_id, dist,
+                    ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                        ORDER BY dist ASC, cent_id ASC) AS r
+             FROM d2) t WHERE r = 1)
+    SELECT m AS subspace, cent_id,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
+           MIN(vec_id) AS min_vec_id,
+           MAX(vec_id) AS max_vec_id,
+           CAST(SUM(dist) AS BIGINT) AS sq_err_sum
+    FROM a2 GROUP BY m, cent_id ORDER BY subspace, cent_id
+    """,
+    doc="Product-quantization codebook training (IVF-PQ compression "
+        "half): per-subspace Lloyd's under EXACT int64 squared-L2 — "
+        "broadcast codebook assignment, map-side-combined integer "
+        "update sums, exact residual distortion per centroid.",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -3385,10 +3624,10 @@ _register(
 # The correctness driver verifies registry entries front-to-back with a
 # bounded budget (50 stamps per round). Order therefore encodes
 # verification priority, not implementation grouping. Round-8 window
-# (_HEAD, 50 names), under the round-6 POLICY AMENDMENT (122 queries vs
+# (_HEAD, 50 names), under the round-6 POLICY AMENDMENT (131 queries vs
 # a 50-stamp budget => every query re-confirmed at least every THIRD
 # round, stalest first, plus anything the round touched; local
-# tests/test_oracle_parity.py still verifies ALL 122 every pytest run,
+# tests/test_oracle_parity.py still verifies ALL 131 every pytest run,
 # so driver-stamp staleness never means unverified code, only an older
 # driver receipt):
 #
@@ -3416,15 +3655,20 @@ _register(
 #   agg_percentile/histogram/approx_* + scalar_similarity. Their modules
 #   (operators/relational.py, functions/scalar.py) are untouched since
 #   r05, so these are age-only re-stamps;
-# * slots 46-50: module-touched-but-function-unchanged re-proofs,
-#   r06-stale first — image_decode_stats, multimodal_features
-#   (multimodal.py gained the resize + phash kernels), seq_packing,
-#   shard_stats (packing.py), train_val_test_split (sampling.py).
-#   The four late-round-8 ops displaced global_index (r06 stamp,
-#   function untouched — rotates with the r09 stale set anyway) and
-#   curation_pipeline / token_budget_mix / label_centroids (r07
-#   stamps, functions untouched — due r10); quality_model_scores was
-#   already displaced by wordcount_streamed on the same rule.
+# * slots 46-50: the final late-round-8 additions — gopher_rules
+#   (Gopher rule filter), quality_auc (exact tie-aware ROC AUC),
+#   ccnet_buckets (per-language perplexity terciles), pq_codebook
+#   (integer-L2 product-quantization training), all never stamped so
+#   window-mandatory, plus quality_model_scores, whose stamped body
+#   was refactored this round (the scorer now lives in the shared
+#   _qm_margin helper — behavior identical, but the carrier function's
+#   text changed after its r07 stamp, so it re-proves). These five
+#   displaced the module-touched-but-function-unchanged re-proofs
+#   (image_decode_stats, multimodal_features, seq_packing, shard_stats,
+#   train_val_test_split — r06 stamps, 2 rounds old after r08, rotating
+#   with the r09 stale set), the same displacement rule that dropped
+#   global_index and curation_pipeline / token_budget_mix /
+#   label_centroids earlier in the round.
 #
 # The 36 remaining r06-stamped queries (+ global_index) are 2 rounds
 # old after r08 and rotate in r09; every r07 stamp in an untouched
@@ -3479,12 +3723,12 @@ _HEAD = [
     "agg_approx_percentile",
     "agg_approx_distinct",
     "scalar_similarity",
-    # -- module touched, function unchanged (r06-stale first) --
-    "image_decode_stats",
-    "multimodal_features",
-    "seq_packing",
-    "shard_stats",
-    "train_val_test_split",
+    # -- late round-8 additions (never stamped) + the refactor re-proof --
+    "gopher_rules",
+    "quality_auc",
+    "ccnet_buckets",
+    "pq_codebook",
+    "quality_model_scores",
 ]
 
 _TAIL: list[str] = []

@@ -32,11 +32,25 @@ REPRESENTATIVE = [
     "unigram_surprisal",      # order-free integer-bits sums
     "repeated_passages",      # content-defined anchors + digest agg
     "canonical_pick",         # cluster argmax with doc_id tiebreak
+    # round-8 exactness claims
+    "bigram_surprisal",       # order-free integer-bits transition sums
+    "dsir_weights",           # int64 bucket sums + broadcast stats
+    "image_phash_dedup",      # deterministic kernel hash + digest agg
+    "quality_auc",            # int64 midrank AUC via value-cell prefix
+    "ccnet_buckets",          # two-phase keyed rank + NTILE arithmetic
+    "pq_codebook",            # pure-integer Lloyd under squared-L2
 ]
 
 
 def _run(spark, name: str) -> pd.DataFrame:
-    return registry.QUERIES[name].fn(spark, SF_CORRECT).toPandas()
+    # Row ORDER is not part of the invariance claim (several registered
+    # forms are deliberately unsorted — no corpus-sized presentation
+    # sort — and the driver's value hash is order-insensitive); sort by
+    # every column so the comparison pins VALUES bit-for-bit.
+    pdf = registry.QUERIES[name].fn(spark, SF_CORRECT).toPandas()
+    return pdf.sort_values(by=list(pdf.columns), kind="mergesort").reset_index(
+        drop=True
+    )
 
 
 @pytest.mark.parametrize("name", REPRESENTATIVE)

@@ -132,6 +132,14 @@ _R8_QUERIES = [
     "line_dedup",
     "source_doc_cap",
     "wordcount_streamed",
+    "dedup_streamed",
+    "bigram_surprisal",
+    "dsir_weights",
+    "image_phash_dedup",
+    "gopher_rules",
+    "quality_auc",
+    "ccnet_buckets",
+    "pq_codebook",
 ]
 
 

@@ -1919,3 +1919,196 @@ def test_bigram_surprisal_plan_never_shuffles_text(spark):
     exchange_lines = [ln for ln in plan.splitlines() if "hashpartitioning" in ln]
     assert exchange_lines, plan
     assert not any("text#" in ln for ln in exchange_lines)
+
+
+# ---------------------------------------------------------------------------
+# Gopher rules (late round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_gopher_rules_planted_branches(spark):
+    """Every rule branch fires on a purpose-built doc: bullets,
+    ellipsis line ends, symbol spam, non-alpha tokens, stopword
+    poverty, and a clean passing document."""
+    filler = "the quick brown fox jumps over and over with plenty of text "
+    good = (filler * 5).strip()  # 55 words, all rules pass
+    docs = [
+        (1, good),
+        (2, "short doc"),                              # word count < 50
+        (3, ("# " * 30 + filler * 5).strip()),         # symbol ratio > 0.1
+        (4, "\n".join("- bullet line %d" % i for i in range(10))),  # bullets
+        (5, "\n".join("trailing line %d..." % i for i in range(10))),  # ellipsis
+        (6, ("123 456 789 " * 20).strip()),            # alpha fraction 0
+        (7, ("zebra quartz jolt vex " * 15).strip()),  # no required stopwords
+    ]
+    df = spark.createDataFrame(docs, ["doc_id", "text"])
+    rows = {r.doc_id: r for r in textops.gopher_rules(df).collect()}
+    assert rows[1].keep
+    assert not rows[2].keep and rows[2].n_words < 50
+    assert not rows[3].keep and rows[3].symbol_ratio > 0.1
+    assert not rows[4].keep and rows[4].bullet_line_frac >= 0.9
+    assert not rows[5].keep and rows[5].ellipsis_line_frac >= 0.3
+    assert not rows[6].keep and rows[6].alpha_word_frac < 0.8
+    assert not rows[7].keep and rows[7].stop_hits < 2
+
+
+def test_gopher_rules_no_shuffle(spark):
+    """The filter is one map over the scan: no Exchange in the
+    unsorted plan."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    plan = textops.gopher_rules(docs, sort=False)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
+
+
+# ---------------------------------------------------------------------------
+# Quality AUC (late round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_quality_auc_hand_golden(spark):
+    """Midrank AUC on a hand-computed example WITH ties.
+
+    Scores/labels: pos {10, 20, 20}, neg {10, 20, 30}. Midranks:
+    value 10 -> (1+2)/2 = 1.5; value 20 -> (3+4+5)/3 = 4; value 30
+    -> 6. R_pos = 1.5 + 4 + 4 = 9.5; AUC = (9.5 - 6) / 9 = 7/18.
+    """
+    # quality_auc scores with the hashed model, so plant TEXTS whose
+    # margins realize the wanted tie structure: same text = same
+    # margin, and the two tie groups use two distinct texts.
+    t_a, t_b, t_c = "alpha alpha", "beta beta", "gamma gamma"
+    docs = spark.createDataFrame(
+        [
+            (1, t_a, "en"), (2, t_b, "en"), (3, t_b, "en"),
+            (4, t_a, "fr"), (5, t_b, "fr"), (6, t_c, "fr"),
+        ],
+        ["doc_id", "text", "lang"],
+    )
+    row = textops.quality_auc(docs).collect()[0]
+    assert row.n_pos == 3 and row.n_neg == 3
+    # The hashed margins of t_a/t_b/t_c are distinct (checked below),
+    # so the tie structure is exactly the hand example up to relabeling
+    # the three score values by their actual order.
+    margins = {
+        r.margin
+        for r in textops.quality_model_scores(docs.select("doc_id", "text")).collect()
+    }
+    assert len(margins) == 3
+    # pos counts per sorted distinct margin are a permutation of the
+    # example only if t_a < t_b < t_c in margin order; recompute the
+    # expected AUC directly from the definition instead of assuming it:
+    import itertools
+    scored = {
+        r.doc_id: r.margin
+        for r in textops.quality_model_scores(docs.select("doc_id", "text")).collect()
+    }
+    pos = [scored[i] for i in (1, 2, 3)]
+    neg = [scored[i] for i in (4, 5, 6)]
+    wins = sum(
+        1.0 if p > n else 0.5 if p == n else 0.0
+        for p, n in itertools.product(pos, neg)
+    )
+    expected = wins / 9.0
+    assert row.auc == pytest.approx(expected, abs=1e-15)
+    assert row.auc_num / row.auc_den == pytest.approx(expected, abs=1e-15)
+
+
+def test_quality_auc_label_flip_symmetry(spark):
+    """AUC(pos) + AUC(neg-as-pos) == 1 exactly — with midrank ties the
+    integer numerators must sum to the shared denominator."""
+    docs = load_table(spark, SF_SMOKE, "documents")
+    a = textops.quality_auc(docs).collect()[0]
+    flipped = docs.withColumn(
+        "lang",
+        F.when(F.col("lang") == "en", F.lit("xx")).otherwise(F.lit("en")),
+    )
+    b = textops.quality_auc(flipped).collect()[0]
+    assert a.n_pos == b.n_neg and a.n_neg == b.n_pos
+    assert a.auc_den == b.auc_den
+    assert a.auc_num + b.auc_num == a.auc_den
+
+
+# ---------------------------------------------------------------------------
+# CCNet buckets (late round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_ccnet_buckets_tercile_sizes_and_rank(spark):
+    """Bucket sizes are NTILE-exact per language, and the two-phase
+    rank equals the naive per-language window."""
+    from pyspark.sql import Window
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    out = textops.ccnet_buckets(docs, sort=False)
+    sizes = {
+        (r.lang, r.bucket): r.cnt
+        for r in out.groupBy("lang", "bucket").agg(F.count("*").alias("cnt")).collect()
+    }
+    totals = {r.lang: r.cnt for r in docs.groupBy("lang").agg(F.count("*").alias("cnt")).collect()}
+    for lang, c in totals.items():
+        q, r = divmod(c, 3)
+        expected = [q + 1] * r + [q] * (3 - r)
+        got = [sizes.get((lang, b), 0) for b in ("head", "middle", "tail")]
+        assert sorted(got, reverse=True) == sorted(expected, reverse=True), (lang, got, expected)
+        # head gets the extra documents first (NTILE order)
+        assert got == expected, (lang, got, expected)
+    # rank parity vs the naive window
+    naive = textops.unigram_surprisal(docs, sort=False).join(
+        docs.select("doc_id", "lang"), "doc_id"
+    )
+    w = Window.partitionBy("lang").orderBy("avg_bits", "doc_id")
+    naive_ranks = {
+        r.doc_id: r.rk
+        for r in naive.select("doc_id", F.row_number().over(w).alias("rk")).collect()
+    }
+    for r in out.collect():
+        assert naive_ranks[r.doc_id] == r.lang_rank
+
+
+# ---------------------------------------------------------------------------
+# PQ codebook (late round 8)
+# ---------------------------------------------------------------------------
+
+
+def test_pq_codebook_distortion_monotone(spark):
+    """Lloyd's never increases total distortion: the trained (2-iter)
+    codebook's exact residual sum is <= the init (1-iter) codebook's."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    d1 = sum(r.sq_err_sum for r in similarity.pq_codebook(emb, n_iters=1).collect())
+    d2 = sum(r.sq_err_sum for r in similarity.pq_codebook(emb, n_iters=2).collect())
+    assert d2 <= d1
+    assert d1 > 0
+
+
+def test_pq_subvectors_reassemble(spark):
+    """The subspace slices are a partition of the quantized vector:
+    concatenating the 4 blocks in subspace order rebuilds qe exactly."""
+    emb = load_table(spark, SF_SMOKE, "embeddings").limit(10)
+    qv = similarity.quantized(emb)
+    rebuilt = (
+        similarity._pq_subvectors(qv)
+        .groupBy("vec_id")
+        .agg(
+            F.flatten(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("m", "sq"))),
+                    lambda x: x["sq"],
+                )
+            ).alias("re")
+        )
+    )
+    joined = qv.join(rebuilt, "vec_id").select("vec_id", "qe", "re").collect()
+    assert len(joined) == 10
+    for r in joined:
+        assert list(r.qe) == list(r.re)
+
+
+def test_pq_codebook_covers_all_members(spark):
+    """Every (vector, subspace) lands in exactly one centroid: member
+    counts per subspace sum to the corpus size."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    n = emb.count()
+    out = similarity.pq_codebook(emb).collect()
+    per_m = {}
+    for r in out:
+        per_m[r.subspace] = per_m.get(r.subspace, 0) + r.n_members
+    assert per_m == {m: n for m in range(similarity.PQ_SUBSPACES)}

@@ -46,6 +46,7 @@ from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.pipeline import curation as _curation
 from flink_snappydata_spark.pipeline import sampling as _sampling
 from flink_snappydata_spark.pipeline import dedup as D
+from flink_snappydata_spark.pipeline import multimodal as M
 from flink_snappydata_spark.pipeline import packing as _packing
 from flink_snappydata_spark.pipeline import similarity as S
 from flink_snappydata_spark.pipeline import text as T
@@ -102,7 +103,25 @@ OPS = {
     "bm25_topk": lambda d, e: T.bm25_topk(d),
     "novelty_scores": lambda d, e: T.novelty_scores(d),
     "quality_scores": lambda d, e: T.quality_scores(d),
-    "unigram_surprisal": lambda d, e: T.unigram_surprisal(d),
+    "unigram_surprisal": lambda d, e: T.unigram_surprisal(d, sort=False),
+    "bigram_surprisal": lambda d, e: T.bigram_surprisal(d, sort=False),
+    # synthetic 20-way source split (src0 = target): replication makes
+    # every feature bucket hot in BOTH distributions — a fair stress of
+    # the count aggregations, while the 1024-row stats stay broadcast.
+    "dsir_weights": lambda d, e: T.dsir_weights(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        ),
+        sort=False,
+    ),
+    # replication plants N-resolution copies per seed — exactly the
+    # collision shape the perceptual hash groups; payload synthesis +
+    # hash dominate (linear in images), groups stay seed-bounded.
+    "image_phash_dedup": lambda d, e: M.image_phash_dedup(d, sort=False),
+    "gopher_rules": lambda d, e: T.gopher_rules(d, sort=False),
+    "quality_auc": lambda d, e: T.quality_auc(d),
+    "ccnet_buckets": lambda d, e: T.ccnet_buckets(d, sort=False),
+    "pq_codebook": lambda d, e: S.pq_codebook(e),
     "frequent_bigrams": lambda d, e: T.frequent_bigrams(d),
     "epoch_shuffle": lambda d, e: _packing.epoch_shuffle(d),
     "tfidf_keywords": lambda d, e: T.tfidf_keywords(d),
