@@ -99,6 +99,13 @@ def replicated_embeddings(emb, k):
     return out
 
 
+def _with_lang(docs):
+    langs = F.array(*[F.lit(x) for x in ("en", "fr", "de", "es")])
+    return docs.withColumn(
+        "lang", F.element_at(langs, (F.pmod("doc_id", F.lit(4)) + 1).cast("int"))
+    )
+
+
 OPS = {
     "bm25_topk": lambda d, e: T.bm25_topk(d),
     "novelty_scores": lambda d, e: T.novelty_scores(d),
@@ -119,8 +126,12 @@ OPS = {
     # hash dominate (linear in images), groups stay seed-bounded.
     "image_phash_dedup": lambda d, e: M.image_phash_dedup(d, sort=False),
     "gopher_rules": lambda d, e: T.gopher_rules(d, sort=False),
-    "quality_auc": lambda d, e: T.quality_auc(d),
-    "ccnet_buckets": lambda d, e: T.ccnet_buckets(d, sort=False),
+    # synthetic 4-way language split: the probe frame carries only
+    # (doc_id, text); a deterministic doc_id-keyed lang column makes
+    # every language corpus-sized — the hot-partition shape the keyed
+    # two-phase rank exists for.
+    "quality_auc": lambda d, e: T.quality_auc(_with_lang(d)),
+    "ccnet_buckets": lambda d, e: T.ccnet_buckets(_with_lang(d), sort=False),
     "pq_codebook": lambda d, e: S.pq_codebook(e),
     "frequent_bigrams": lambda d, e: T.frequent_bigrams(d),
     "epoch_shuffle": lambda d, e: _packing.epoch_shuffle(d),
