@@ -1017,6 +1017,52 @@ def _pq_assign(subv: DataFrame, cents: DataFrame) -> DataFrame:
     )
 
 
+def _pq_train(
+    embeddings: DataFrame,
+    n_centroids: int = PQ_CENTROIDS,
+    n_iters: int = 1,
+):
+    """Shared PQ trainer: Lloyd's under exact integer squared-L2 per
+    subspace. Returns ``(subv, cents, assigned)`` — the persisted
+    (vector, subspace) frame, the final codebook
+    ``(m, cent_id, ce array<long>)``, and the final assignment
+    ``(vec_id, m, cent_id, dist)`` (the PQ codes). Consumed by
+    :func:`pq_codebook` (training stats) and :func:`pq_adc_topk`
+    (encode + asymmetric-distance search)."""
+    qv = tracked_persist(quantized(embeddings))
+    subv = tracked_persist(_pq_subvectors(qv))
+    cents = subv.filter(F.col("vec_id") < n_centroids).select(
+        "m", F.col("vec_id").alias("cent_id"), F.col("sq").alias("ce")
+    )
+    assigned = _pq_assign(subv, cents)
+    for _ in range(n_iters - 1):
+        sums = (
+            subv.join(assigned.select("vec_id", "m", "cent_id"), ["vec_id", "m"])
+            .select("m", "cent_id", F.posexplode("sq").alias("pos", "q"))
+            .groupBy("m", "cent_id", "pos")
+            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
+        )
+        mean = sums.withColumn(
+            "c",
+            (
+                (F.col("s") - F.col("s") % F.col("cnt")).cast("double")
+                / F.col("cnt")
+            ).cast("long"),
+        )
+        new_ce = mean.groupBy("m", "cent_id").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("pos", "c"))),
+                lambda x: x["c"],
+            ).alias("ce")
+        )
+        carried = cents.join(new_ce, ["m", "cent_id"], "left_anti").select(
+            "m", "cent_id", "ce"
+        )
+        cents = new_ce.unionByName(carried)
+        assigned = _pq_assign(subv, cents)
+    return subv, cents, assigned
+
+
 def pq_codebook(
     embeddings: DataFrame,
     n_centroids: int = PQ_CENTROIDS,
@@ -1049,37 +1095,7 @@ def pq_codebook(
     """
     if n_iters < 1:
         raise ValueError("n_iters must be >= 1")
-    qv = tracked_persist(quantized(embeddings))
-    subv = tracked_persist(_pq_subvectors(qv))
-    cents = subv.filter(F.col("vec_id") < n_centroids).select(
-        "m", F.col("vec_id").alias("cent_id"), F.col("sq").alias("ce")
-    )
-    assigned = _pq_assign(subv, cents)
-    for _ in range(n_iters - 1):
-        sums = (
-            subv.join(assigned.select("vec_id", "m", "cent_id"), ["vec_id", "m"])
-            .select("m", "cent_id", F.posexplode("sq").alias("pos", "q"))
-            .groupBy("m", "cent_id", "pos")
-            .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
-        )
-        mean = sums.withColumn(
-            "c",
-            (
-                (F.col("s") - F.col("s") % F.col("cnt")).cast("double")
-                / F.col("cnt")
-            ).cast("long"),
-        )
-        new_ce = mean.groupBy("m", "cent_id").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("pos", "c"))),
-                lambda x: x["c"],
-            ).alias("ce")
-        )
-        carried = cents.join(new_ce, ["m", "cent_id"], "left_anti").select(
-            "m", "cent_id", "ce"
-        )
-        cents = new_ce.unionByName(carried)
-        assigned = _pq_assign(subv, cents)
+    subv, cents, assigned = _pq_train(embeddings, n_centroids, n_iters)
     return (
         assigned.groupBy(
             F.col("m").alias("subspace"), F.col("cent_id").alias("cent_id")
@@ -1093,3 +1109,219 @@ def pq_codebook(
         )
         .orderBy("subspace", "cent_id")
     )
+
+
+# ---------------------------------------------------------------------------
+# Random projection (Johnson–Lindenstrauss sketch)
+# ---------------------------------------------------------------------------
+
+RP_OUT_DIM = 8
+
+
+def _rp_sign(j: int, d: int) -> int:
+    """±1 sign for output dim ``j``, input dim ``d`` — the Achlioptas
+    (2003) ±1 projection matrix, derived from the md5 of the decimal
+    key ``j*DIM + d`` so the DuckDB oracle regenerates the identical
+    matrix from the same arithmetic (no literal table to keep in sync).
+
+    md5, not :func:`~flink_snappydata_spark.pipeline.packing.
+    portable_hash`: the multiplicative hash is affine in the key mod
+    2^31 (and composes to another affine map under double hashing), so
+    its bits alternate with short periods over consecutive keys — a
+    JL sign matrix built from it is strongly row-correlated. The md5
+    word has no such structure, and both engines spell it identically
+    (the quality-model bucket hash precedent)."""
+    import hashlib
+
+    k = j * DIM + d
+    return 1 - 2 * (int(hashlib.md5(str(k).encode()).hexdigest()[:8], 16) % 2)
+
+
+def random_projection(
+    embeddings: DataFrame, out_dim: int = RP_OUT_DIM, sort: bool = True
+) -> DataFrame:
+    """Johnson–Lindenstrauss dimensionality reduction: every vector is
+    projected from DIM=64 to ``out_dim`` components with a ±1 sign
+    matrix (Achlioptas 2003 — database-friendly projections), the
+    standard cheap first stage before clustering / dedup at 100 TB
+    (distance computations drop 8×, pairwise distances are preserved
+    within JL distortion).
+
+    The sign matrix is a pure function of (j, d) via the portable hash,
+    so projections are exact int64 sums over quantized components —
+    bit-identical in any engine, no stored model artifact. Returns the
+    long form ``(vec_id, j, proj_q)`` (``proj_q`` in quantized units).
+
+    Scale: MAP-ONLY — one scan, per-row ``aggregate`` over the zipped
+    sign row (the 64×8 matrix folds into literal arrays, evaluated
+    JVM-side in whole-stage codegen), then a map-side ``posexplode`` to
+    long form; no shuffle, no UDF, nothing collected. ``sort=False``
+    (the registered form) skips the O(8n) presentation sort.
+    """
+    qv = quantized(embeddings)
+    projections = F.array(
+        *[
+            F.aggregate(
+                F.zip_with(
+                    F.col("qe"),
+                    F.array(
+                        *[F.lit(_rp_sign(j, d)) for d in range(DIM)]
+                    ),
+                    lambda x, s: x * s,
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            )
+            for j in range(out_dim)
+        ]
+    )
+    out = qv.select(
+        "vec_id", F.posexplode(projections).alias("j", "proj_q")
+    ).select("vec_id", F.col("j").cast("long").alias("j"), "proj_q")
+    if not sort:
+        return out
+    return presentation_sorted(out, "vec_id", "j", expect_small=False)
+
+
+# ---------------------------------------------------------------------------
+# Hard-negative mining
+# ---------------------------------------------------------------------------
+
+def hard_negatives(
+    embeddings: DataFrame, n_probes: int = 8, k: int = 4
+) -> DataFrame:
+    """Hard-negative mining for contrastive training (the DPR /
+    Contriever recipe): for each probe vector, the top-``k`` most
+    cosine-similar vectors carrying a DIFFERENT label — maximally
+    confusable negatives, the examples a retrieval model learns most
+    from. Probes are ``vec_id < n_probes`` (deterministic stand-in for
+    an external anchor set).
+
+    Scale: probes broadcast (the anchor set is always small relative
+    to the corpus); the corpus is scanned ONCE and never shuffled on
+    vectors. The per-probe top-k is TWO-PHASE so no probe becomes a hot
+    partition: phase one takes a per-(probe, vec_id mod 64) bucket
+    top-k inside a window over at most 1/64 of the candidates, phase
+    two merges the 64·k survivors per probe — O(k) rows per bucket
+    cross the final exchange, never the O(n) candidate list (the
+    bucket-histogram trick source_doc_cap uses, applied to top-k).
+    Scores are exact int64 dot products over quantized components;
+    the cosine is the deterministic double expression shared with
+    :func:`brute_force_cosine_topk`.
+    """
+    emb = spread(embeddings, "vec_id")
+    qe = _qvec(F.col("embedding"))
+    qv = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        qe.alias("qe"),
+        _dot(qe, qe).alias("norm_sq"),
+    )
+    probes = F.broadcast(
+        qv.filter(F.col("vec_id") < n_probes).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("label").alias("q_label"),
+            F.col("qe").alias("q_qe"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    scored = (
+        qv.crossJoin(probes)
+        .filter(
+            (F.col("label") != F.col("q_label"))
+            & (F.col("vec_id") != F.col("query_id"))
+        )
+        .select(
+            "query_id",
+            "vec_id",
+            "label",
+            _dot(F.col("q_qe"), F.col("qe")).alias("dot_q"),
+            _cosine(
+                _dot(F.col("q_qe"), F.col("qe")),
+                F.col("q_norm"),
+                F.col("norm_sq"),
+            ).alias("cosine"),
+        )
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(64)))
+    )
+    w_bucket = Window.partitionBy("query_id", "b").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("r", F.row_number().over(w_bucket))
+        .filter(F.col("r") <= k)
+        .drop("r", "b")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    out = (
+        survivors.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "label", "dot_q", "cosine")
+    )
+    return presentation_sorted(out, "query_id", "rank")
+
+
+def pq_adc_topk(
+    embeddings: DataFrame, n_queries: int = 3, k: int = 5
+) -> DataFrame:
+    """PQ asymmetric-distance search (the query half of Jégou et al.
+    2011): vectors are ENCODED once into PQ_SUBSPACES small codes by the
+    trained codebook (:func:`_pq_train`, 2 Lloyd's iterations — the same
+    replayed codebook :func:`pq_codebook` reports on), then each query
+    builds a per-subspace lookup table of exact int64 squared-L2
+    distances to every centroid and scores a candidate as the SUM OF
+    TABLE LOOKUPS over its codes — never touching the original vectors
+    at query time.
+
+    Queries are ``vec_id < n_queries`` (self excluded). Returns
+    ``(query_id, rank, vec_id, adc_dist)`` — ``adc_dist`` is the exact
+    integer ADC distance, deterministic in any engine.
+
+    Scale: the index is the code frame — PQ_SUBSPACES ints per vector
+    (16× smaller than the quantized vectors at these params); the LUT is
+    n_queries × PQ_SUBSPACES × n_centroids tiny rows, broadcast; search
+    is one scan of the codes joined against the broadcast LUT with a
+    map-side-combined (query, vec) sum — the shuffle carries int64
+    partials, never vectors or codes. Per-query top-k is the same
+    two-phase bucket merge as :func:`hard_negatives`, so no query is a
+    hot partition.
+    """
+    subv, cents, assigned = _pq_train(embeddings, n_iters=2)
+    codes = assigned.select("vec_id", "m", "cent_id")
+    queries = subv.filter(F.col("vec_id") < n_queries).select(
+        F.col("vec_id").alias("query_id"), "m", F.col("sq").alias("q_sq")
+    )
+    lut = F.broadcast(
+        queries.join(F.broadcast(cents), "m").select(
+            "query_id",
+            "m",
+            "cent_id",
+            _pq_l2(F.col("q_sq"), F.col("ce")).alias("lq"),
+        )
+    )
+    adc = (
+        codes.join(lut, ["m", "cent_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lq").alias("adc_dist"))
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(64)))
+    )
+    w_bucket = Window.partitionBy("query_id", "b").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        adc.withColumn("r", F.row_number().over(w_bucket))
+        .filter(F.col("r") <= k)
+        .drop("r", "b")
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    out = (
+        survivors.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "adc_dist")
+    )
+    return presentation_sorted(out, "query_id", "rank")

@@ -1506,3 +1506,152 @@ def ccnet_buckets(documents: DataFrame, sort: bool = True) -> DataFrame:
         "doc_id", "lang", "avg_bits", "lang_rank", bucket.alias("bucket")
     )
     return out.orderBy("doc_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# Inverted index (sharded posting lists)
+# ---------------------------------------------------------------------------
+
+#: Posting-list shard count. A record is one (word, shard) posting
+#: list, so the max record size is the shard's document count, not the
+#: corpus — a deployment sizes this to corpus_docs / target_list_len
+#: (the fixture default keeps lists readable at sf scales).
+INDEX_SHARDS = 32
+
+
+def inverted_index(
+    documents: DataFrame, n_shards: int = INDEX_SHARDS, sort: bool = True
+) -> DataFrame:
+    """Sharded inverted index: per (word, doc_id-shard), the shard's
+    document frequency, total term frequency, and the posting list
+    ``"doc:tf,doc:tf,..."`` sorted by doc_id — the index layout a
+    distributed retrieval system actually materializes (one monolithic
+    posting list per head term would be an O(corpus) record; sharding
+    by document bucket bounds every record by the shard's occupancy
+    and lets query fan-out merge shard lists in parallel).
+
+    Scale: term frequencies aggregate map-side; the posting
+    ``collect_list`` groups on (word, shard), so a hot head word
+    splits across ``n_shards`` tasks instead of one — record size and
+    reducer skew are both bounded by construction (pick ``n_shards``
+    ≈ corpus_docs / target_list_len at deployment scale). Text never
+    shuffles — only words, ids, and counts. ``sort=False`` (the
+    registered form) skips the O(vocab × shards) presentation sort.
+    """
+    tf = (
+        spread(documents, "doc_id")
+        .select("doc_id", F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))
+    )
+    out = (
+        tf.groupBy("word", "shard")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("tf_sum"),
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("doc_id", "tf"))),
+                    lambda x: F.concat_ws(
+                        ":",
+                        x["doc_id"].cast("string"),
+                        x["tf"].cast("string"),
+                    ),
+                ),
+                ",",
+            ).alias("postings"),
+        )
+        .select("word", "shard", "df", "tf_sum", "postings")
+    )
+    if not sort:
+        return out
+    from flink_snappydata_spark.util import presentation_sorted
+
+    return presentation_sorted(out, "word", "shard", expect_small=False)
+
+
+# ---------------------------------------------------------------------------
+# Count-min sketch heavy hitters
+# ---------------------------------------------------------------------------
+
+CMS_DEPTH = 4
+CMS_WIDTH = 256
+#: Heavy-hitter support: estimated count ≥ total_tokens / CMS_SUPPORT.
+CMS_SUPPORT = 200
+
+
+def _cms_cell(word: Column, row: int) -> Column:
+    """Portable CMS cell for hash row ``row``: md5 of ``"r#word"``
+    (first 8 hex digits) mod the width — the same md5-word derivation
+    as the quality-model bucket hash, identical in any engine."""
+    return F.pmod(
+        F.conv(
+            F.substring(F.md5(F.concat_ws("#", F.lit(str(row)), word)), 1, 8),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(CMS_WIDTH),
+    )
+
+
+def cms_heavy_hitters(documents: DataFrame) -> DataFrame:
+    """Count-min-sketch heavy hitters (Cormode & Muthukrishnan 2005)
+    with an in-query exact judge: tokens whose CMS estimate reaches
+    support ``total/CMS_SUPPORT``, reported with the exact count and
+    the sketch overcount — the bounded-memory frequent-items path a
+    streaming ingest uses, judged against truth the way the HLL
+    distinct and IVF recall queries are.
+
+    The sketch is CMS_DEPTH×CMS_WIDTH int64 cells; each row hashes the
+    token through an independent md5-derived cell, the estimate is the
+    min over rows, and CMS guarantees estimate ≥ exact always (one-
+    sided error ≤ e·total/width w.h.p.) — asserted structurally by the
+    non-negative ``overcount`` column.
+
+    Scale: token counts aggregate map-side once; the sketch itself is
+    a 1024-row aggregate (broadcast back); candidate estimation is a
+    map-side broadcast join per hash row over the DISTINCT vocabulary,
+    never the token stream. At 100 TB the only corpus-sized pass is
+    the initial count aggregation — everything after operates on the
+    vocabulary and the fixed-size sketch.
+    """
+    w = spread(documents, "doc_id").select(
+        F.explode(_words(F.col("text"))).alias("word")
+    )
+    counts = tracked_persist(
+        w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    keyed = counts.select(
+        "word",
+        "cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"), _cms_cell(F.col("word"), r).alias("cell")
+                    )
+                    for r in range(CMS_DEPTH)
+                ]
+            )
+        ).alias("rc"),
+    ).select("word", "cnt", F.col("rc.r").alias("r"), F.col("rc.cell").alias("cell"))
+    keyed = tracked_persist(keyed)
+    cells = keyed.groupBy("r", "cell").agg(F.sum("cnt").alias("csum"))
+    total = counts.agg(F.sum("cnt").alias("t"))
+    est = (
+        keyed.join(F.broadcast(cells), ["r", "cell"])
+        .groupBy("word")
+        .agg(F.min("csum").alias("est_cnt"), F.min("cnt").alias("exact_cnt"))
+    )
+    return (
+        est.crossJoin(F.broadcast(total))
+        .filter(F.col("est_cnt") * CMS_SUPPORT >= F.col("t"))
+        .select(
+            "word",
+            "est_cnt",
+            "exact_cnt",
+            (F.col("est_cnt") - F.col("exact_cnt")).alias("overcount"),
+        )
+        .orderBy("word")
+    )

@@ -32,6 +32,7 @@ from flink_snappydata_spark.pipeline import (
     sampling,
     similarity,
 )
+from flink_snappydata_spark.pipeline import graph as graphops
 from flink_snappydata_spark.pipeline import text as textops
 from flink_snappydata_spark.streaming import count_window as cw
 from flink_snappydata_spark.streaming import joins as stream_joins
@@ -1209,6 +1210,30 @@ _register(
     """,
     doc="Sessionized click->purchase funnel: session windows composed "
         "with conversion logic (gaps-and-islands oracle).",
+)
+
+# rollup_multires oracle: each grain aggregated straight from raw
+# events — the engine folds day/week FROM the hourly rollup instead,
+# and the exact cent sums make the two spellings provably identical.
+_register(
+    "rollup_multires",
+    ["events"],
+    stream_windows.rollup_multires,
+    f"""
+    WITH g AS (
+        SELECT grain FROM (VALUES ('hour'), ('day'), ('week')) t(grain)
+    )
+    SELECT grain, date_trunc(grain, ts) AS bucket_start, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM({_cents('value')}) AS DOUBLE) / 100.0 AS sum_value
+    FROM events, g
+    GROUP BY grain, date_trunc(grain, ts), event_type
+    ORDER BY grain, bucket_start, event_type
+    """,
+    doc="Hypertable-style multi-resolution continuous aggregate: "
+        "hour/day/week (bucket, type) rollups in one frame — raw "
+        "events scanned once, coarser grains fold the persisted "
+        "hourly aggregate (lossless under exact cent sums).",
 )
 
 _register(
@@ -3557,16 +3582,15 @@ _register(
 )
 
 
-# pq_codebook oracle: Lloyd's under exact integer squared-L2, unrolled
+# PQ training replay: Lloyd's under exact integer squared-L2, unrolled
 # for n_iters=2 per subspace (init c0 = first-4 vectors' blocks, assign,
 # truncated-integer-mean update with carry-forward, final assign). The
 # whole replay is pure int64 arithmetic — no doubles even in the argmin.
-_register(
-    "pq_codebook",
-    ["embeddings"],
-    similarity.pq_codebook,
-    """
-    WITH comp AS (
+# Shared by the pq_codebook (training stats) and pq_adc_topk (encode +
+# asymmetric-distance search) oracles: c1 = trained codebook,
+# a2 = final assignment (the PQ codes).
+_PQ_TRAIN_SQL = """
+    comp AS (
         SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS m,
                (i - 1) % 16 AS j,
                CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
@@ -3603,6 +3627,14 @@ _register(
                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
                         ORDER BY dist ASC, cent_id ASC) AS r
              FROM d2) t WHERE r = 1)
+"""
+
+_register(
+    "pq_codebook",
+    ["embeddings"],
+    similarity.pq_codebook,
+    f"""
+    WITH {_PQ_TRAIN_SQL}
     SELECT m AS subspace, cent_id,
            CAST(COUNT(*) AS BIGINT) AS n_members,
            CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
@@ -3615,6 +3647,205 @@ _register(
         "half): per-subspace Lloyd's under EXACT int64 squared-L2 — "
         "broadcast codebook assignment, map-side-combined integer "
         "update sums, exact residual distortion per centroid.",
+)
+
+_register(
+    "pq_adc_topk",
+    ["embeddings"],
+    similarity.pq_adc_topk,
+    f"""
+    WITH {_PQ_TRAIN_SQL},
+    lut AS (SELECT q.vec_id AS query_id, c.m, c.cent_id,
+                   CAST(SUM((q.q - c.c) * (q.q - c.c)) AS BIGINT) AS lq
+            FROM comp q JOIN c1 c ON q.m = c.m AND q.j = c.j
+            WHERE q.vec_id < 3
+            GROUP BY q.vec_id, c.m, c.cent_id),
+    adc AS (SELECT l.query_id, a.vec_id, CAST(SUM(l.lq) AS BIGINT) AS adc_dist
+            FROM a2 a JOIN lut l ON l.m = a.m AND l.cent_id = a.cent_id
+            WHERE a.vec_id <> l.query_id
+            GROUP BY l.query_id, a.vec_id)
+    SELECT query_id, rank, vec_id, adc_dist FROM (
+        SELECT query_id, vec_id, adc_dist,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
+        FROM adc) t
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    doc="PQ asymmetric-distance top-k (the query half of IVF-PQ): "
+        "vectors encoded once into 4 codes by the trained codebook, "
+        "queries search via broadcast per-subspace LUTs summed over "
+        "codes — exact int64 ADC distances, no vectors touched at "
+        "query time, two-phase bucketed top-k.",
+)
+
+
+# random_projection oracle: regenerate the ±1 Achlioptas sign matrix
+# from md5 of the decimal key j*DIM+d — no literal matrix to keep in
+# sync with the engine; both sides derive it from the same md5 word
+# (the multiplicative portable hash is affine mod 2^31 and would give
+# correlated sign rows — see similarity._rp_sign).
+_register(
+    "random_projection",
+    ["embeddings"],
+    lambda embeddings: similarity.random_projection(embeddings, sort=False),
+    """
+    WITH comp AS (
+        SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) s(i)),
+    signs AS (
+        SELECT CAST(j AS BIGINT) AS j, CAST(d AS BIGINT) AS d,
+               1 - 2 * (('0x' || substr(md5(CAST(j * 64 + d AS VARCHAR)),
+                                        1, 8))::BIGINT % 2) AS s
+        FROM generate_series(0, 7) a(j), generate_series(0, 63) b(d))
+    SELECT c.vec_id, s.j, CAST(SUM(c.q * s.s) AS BIGINT) AS proj_q
+    FROM comp c JOIN signs s ON s.d = c.d
+    GROUP BY c.vec_id, s.j
+    ORDER BY vec_id, j
+    """,
+    doc="Johnson-Lindenstrauss reduction (Achlioptas ±1 matrix from "
+        "the portable hash): 64→8 dims as exact int64 sums — map-only, "
+        "whole-stage-codegen literal sign arrays, zero shuffle.",
+)
+
+
+_register(
+    "hard_negatives",
+    ["embeddings"],
+    similarity.hard_negatives,
+    f"""
+    WITH {_QCOMP_SQL},
+    labels AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS query_id, t.vec_id AS vec_id, SUM(q.q * t.q) AS dot
+        FROM comp q JOIN comp t ON q.i = t.i AND q.vec_id <> t.vec_id
+        WHERE q.vec_id < 8
+        GROUP BY q.vec_id, t.vec_id),
+    scored AS (
+        SELECT d.query_id, d.vec_id, lt.label,
+               CAST(dot AS BIGINT) AS dot_q,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(nq.n2 AS DOUBLE)/1e12)
+                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS cosine
+        FROM dots d
+        JOIN labels lq ON lq.vec_id = d.query_id
+        JOIN labels lt ON lt.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nt ON nt.vec_id = d.vec_id
+        WHERE lt.label <> lq.label)
+    SELECT query_id, rank, vec_id, label, dot_q, cosine FROM (
+        SELECT query_id, vec_id, label, dot_q, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM scored) t
+    WHERE rank <= 4 ORDER BY query_id, rank
+    """,
+    doc="Hard-negative mining (DPR/Contriever recipe): per-probe top-k "
+        "most-similar DIFFERENT-label vectors — broadcast probes, one "
+        "corpus scan, two-phase bucketed top-k (no per-probe hot "
+        "partition), exact int64 dot products.",
+)
+
+
+_register(
+    "inverted_index",
+    ["documents"],
+    lambda documents: textops.inverted_index(documents, sort=False),
+    r"""
+    WITH w AS (
+        SELECT doc_id, unnest(list_filter(
+                   string_split_regex(lower(text), '\W+'), x -> x <> ''))
+               AS word
+        FROM documents),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word)
+    SELECT word, CAST(doc_id % 32 AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS df,
+           CAST(SUM(tf) AS BIGINT) AS tf_sum,
+           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
+    FROM tf GROUP BY word, doc_id % 32
+    ORDER BY word, shard
+    """,
+    doc="Sharded inverted index: per-(word, doc-shard) df/tf stats + "
+        "doc:tf posting lists — record size and reducer skew bounded "
+        "by the shard occupancy (hot head words split across 32 "
+        "tasks); text never shuffles.",
+)
+
+_register(
+    "cms_heavy_hitters",
+    ["documents"],
+    textops.cms_heavy_hitters,
+    r"""
+    WITH w AS (
+        SELECT unnest(list_filter(
+                   string_split_regex(lower(text), '\W+'), x -> x <> ''))
+               AS word
+        FROM documents),
+    counts AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
+    rc AS (SELECT word, cnt, r,
+                  ('0x' || substr(md5(r || '#' || word), 1, 8))::BIGINT % 256
+                      AS cell
+           FROM counts, generate_series(0, 3) s(r)),
+    cells AS (SELECT r, cell, SUM(cnt) AS csum FROM rc GROUP BY r, cell),
+    est AS (SELECT rc.word, MIN(c.csum) AS est_cnt, MIN(rc.cnt) AS exact_cnt
+            FROM rc JOIN cells c ON c.r = rc.r AND c.cell = rc.cell
+            GROUP BY rc.word),
+    tot AS (SELECT SUM(cnt) AS t FROM counts)
+    SELECT word, CAST(est_cnt AS BIGINT) AS est_cnt,
+           CAST(exact_cnt AS BIGINT) AS exact_cnt,
+           CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
+    FROM est, tot WHERE est_cnt * 200 >= t ORDER BY word
+    """,
+    doc="Count-min-sketch heavy hitters with in-query exact judge: "
+        "4×256 md5-derived sketch, min-over-rows estimate, support "
+        "total/200 — bounded-memory frequent items; only the initial "
+        "count aggregation touches the corpus.",
+    judge_bearing=True,
+)
+
+
+# pagerank oracle: the synthesized edge ring + 3 unrolled damped power
+# iterations, all integer (DIV truncation) — node count closes the hash
+# ring, so the CTE reads it once.
+_register(
+    "pagerank",
+    ["documents"],
+    lambda documents: graphops.pagerank(documents, sort=False),
+    f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    nodes AS (SELECT doc_id FROM documents),
+    edges AS (
+        SELECT doc_id AS src,
+               ({packing.portable_hash_sql('(doc_id * 3 + i + 1)')})
+                   % (SELECT n FROM nn) AS dst
+        FROM nodes, generate_series(0, 2) s(i)),
+    r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
+    c1 AS (SELECT e.dst AS doc_id, SUM(r.rank // 3) AS s
+           FROM edges e JOIN r0 r ON r.doc_id = e.src GROUP BY e.dst),
+    r1 AS (SELECT nd.doc_id,
+                  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+                      AS rank
+           FROM nodes nd LEFT JOIN c1 c USING (doc_id)),
+    c2 AS (SELECT e.dst AS doc_id, SUM(r.rank // 3) AS s
+           FROM edges e JOIN r1 r ON r.doc_id = e.src GROUP BY e.dst),
+    r2 AS (SELECT nd.doc_id,
+                  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+                      AS rank
+           FROM nodes nd LEFT JOIN c2 c USING (doc_id)),
+    c3 AS (SELECT e.dst AS doc_id, SUM(r.rank // 3) AS s
+           FROM edges e JOIN r2 r ON r.doc_id = e.src GROUP BY e.dst),
+    r3 AS (SELECT nd.doc_id,
+                  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
+                      AS rank
+           FROM nodes nd LEFT JOIN c3 c USING (doc_id))
+    SELECT doc_id, rank FROM r3 ORDER BY doc_id
+    """,
+    doc="Integer-exact PageRank (3 damped power iterations, scaled "
+        "int64, DIV truncation) over the synthesized per-doc link "
+        "graph — one src join + one dst aggregation per iteration, "
+        "id/int64-only shuffles.",
 )
 
 
@@ -3673,6 +3904,16 @@ _register(
 # The 36 remaining r06-stamped queries (+ global_index) are 2 rounds
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
+#
+# SEVEN further round-8 operators landed after the 50-slot window was
+# already full of mandatory entries (rotation invariant: no displacing
+# the r05 re-stamps or the behavior-changed re-proofs):
+# rollup_multires, random_projection, hard_negatives, pq_adc_topk,
+# inverted_index, cms_heavy_hitters, pagerank. They are QUEUED FIRST
+# for the r09 window (never-stamped ⇒ window-mandatory next round) and
+# are fully verified locally every pytest run via test_oracle_parity
+# plus the semantic tests in tests/test_round8_ops.py — driver-stamp
+# pending, not unverified.
 
 _HEAD = [
     # -- new in round 8, never stamped --

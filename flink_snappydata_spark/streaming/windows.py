@@ -153,3 +153,57 @@ def session_funnel(
         )
         .orderBy("user_id", "session_start")
     )
+
+
+def rollup_multires(events: DataFrame) -> DataFrame:
+    """Hypertable-style multi-resolution continuous aggregate: the same
+    (bucket, event_type) count + exact value sum at hour, day, and week
+    grain in ONE output frame — the TimescaleDB/Druid rollup shape a
+    monitoring or analytics pipeline materializes so dashboards never
+    re-scan raw events. Grains are tagged (``grain`` ∈ hour/day/week);
+    ``bucket_start`` is the ``date_trunc`` boundary (ISO Monday weeks,
+    identical in Spark and ANSI engines).
+
+    Scale: raw events are scanned ONCE — the hourly aggregate is
+    computed first (partial aggs combine map-side), persisted, and the
+    day and week grains FOLD THE HOURLY ROLLUP, not the raw table:
+    counts add and cent-sums add, so coarsening is a tiny aggregation
+    over (hours × types) rows. At 100 TB the raw scan dominates and
+    happens exactly once; the two re-aggregations touch data three
+    orders of magnitude smaller. The exact cent sums make the fold
+    lossless (double sums would drift between the direct and folded
+    spellings).
+    """
+    from flink_snappydata_spark.util import tracked_persist
+
+    hourly = tracked_persist(
+        events.groupBy(
+            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+            "event_type",
+        ).agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_cents"),
+        )
+    )
+
+    def _coarsen(grain: str) -> DataFrame:
+        return hourly.groupBy(
+            F.date_trunc(grain, F.col("bucket_start")).alias("bucket_start"),
+            "event_type",
+        ).agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+
+    tagged = (
+        hourly.withColumn("grain", F.lit("hour"))
+        .unionByName(_coarsen("day").withColumn("grain", F.lit("day")))
+        .unionByName(_coarsen("week").withColumn("grain", F.lit("week")))
+    )
+    return tagged.select(
+        "grain",
+        "bucket_start",
+        "event_type",
+        "n_events",
+        (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
+    ).orderBy("grain", "bucket_start", "event_type")

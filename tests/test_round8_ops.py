@@ -1,0 +1,287 @@
+"""Behavior + scale-discipline tests for the round-8 operator additions
+(multi-resolution rollup, JL projection, hard-negative mining, PQ ADC
+search, sharded inverted index, CMS heavy hitters, integer PageRank).
+Oracle parity is covered by test_oracle_parity; these pin the semantic
+claims the docstrings make."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_snappydata_spark.catalog import load_table
+from flink_snappydata_spark.pipeline import graph as graphops
+from flink_snappydata_spark.pipeline import similarity, text as textops
+from flink_snappydata_spark.streaming.windows import rollup_multires
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def documents(spark):
+    return load_table(spark, SF, "documents")
+
+
+@pytest.fixture(scope="module")
+def embeddings(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+@pytest.fixture(scope="module")
+def events(spark):
+    return load_table(spark, SF, "events")
+
+
+# ---------------------------------------------------------------------------
+# rollup_multires
+# ---------------------------------------------------------------------------
+
+def test_rollup_fold_is_lossless(events):
+    """The day grain folded from the hourly rollup must equal the day
+    grain aggregated directly from raw events — the lossless-fold claim
+    (exact cent sums make the two spellings identical)."""
+    from flink_snappydata_spark.functions.exact import cents
+
+    folded = (
+        rollup_multires(events)
+        .filter(F.col("grain") == "day")
+        .select("bucket_start", "event_type", "n_events", "sum_value")
+    )
+    direct = (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("bucket_start"),
+            "event_type",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(cents("value")) / F.lit(100.0)).alias("sum_value"),
+        )
+    )
+    assert folded.exceptAll(direct).count() == 0
+    assert direct.exceptAll(folded).count() == 0
+
+
+def test_rollup_grain_totals_agree(events):
+    """Every grain partitions the same events: the event count summed
+    over any one grain equals the raw row count."""
+    out = rollup_multires(events).groupBy("grain").agg(
+        F.sum("n_events").alias("n")
+    )
+    n_raw = events.count()
+    for row in out.collect():
+        assert row.n == n_raw, row
+
+
+# ---------------------------------------------------------------------------
+# random_projection
+# ---------------------------------------------------------------------------
+
+def test_rp_sign_rows_are_not_degenerate():
+    """Regression for the affine-hash trap: with a multiplicative hash
+    the sign matrix came out rank-degenerate (rows equal or negated).
+    The md5-derived matrix must have all 8 rows pairwise distinct and
+    not pairwise negated."""
+    rows = [
+        tuple(similarity._rp_sign(j, d) for d in range(similarity.DIM))
+        for j in range(similarity.RP_OUT_DIM)
+    ]
+    for a in range(len(rows)):
+        for b in range(a + 1, len(rows)):
+            assert rows[a] != rows[b], (a, b)
+            assert rows[a] != tuple(-x for x in rows[b]), (a, b)
+
+
+def test_rp_projection_is_linear_in_signs(embeddings):
+    """Spot-check the kernel: for one vector, proj_j must equal the
+    driver-side dot of the quantized components with the sign row."""
+    emb = embeddings.filter(F.col("vec_id") == 7).collect()[0]
+    q = [round(float(x) * 1e6) for x in emb.embedding]
+    expected = {
+        j: sum(
+            q[d] * similarity._rp_sign(j, d) for d in range(similarity.DIM)
+        )
+        for j in range(similarity.RP_OUT_DIM)
+    }
+    out = {
+        r.j: r.proj_q
+        for r in similarity.random_projection(embeddings, sort=False)
+        .filter(F.col("vec_id") == 7)
+        .collect()
+    }
+    assert out == expected
+
+
+def test_rp_plan_has_no_shuffle(embeddings):
+    """Map-only claim: no Exchange may appear after the initial spread
+    repartition (the projection itself must not shuffle)."""
+    plan = similarity.random_projection(embeddings, sort=False)._jdf.queryExecution().executedPlan().toString()
+    # the one allowed exchange is spread()'s round-robin repartition
+    assert plan.count("Exchange") <= 1, plan
+
+
+# ---------------------------------------------------------------------------
+# hard_negatives
+# ---------------------------------------------------------------------------
+
+def test_hard_negatives_semantics(embeddings):
+    out = similarity.hard_negatives(embeddings).collect()
+    labels = {
+        r.vec_id: r.label for r in embeddings.select("vec_id", "label").collect()
+    }
+    by_probe = {}
+    for r in out:
+        by_probe.setdefault(r.query_id, []).append(r)
+    assert set(by_probe) == set(range(8))
+    for probe, rows in by_probe.items():
+        assert [r.rank for r in sorted(rows, key=lambda r: r.rank)] == [
+            1, 2, 3, 4,
+        ]
+        for r in rows:
+            assert r.label != labels[probe], r
+            assert r.vec_id != probe
+        cosines = [r.cosine for r in sorted(rows, key=lambda r: r.rank)]
+        assert cosines == sorted(cosines, reverse=True)
+
+
+def test_hard_negatives_matches_bruteforce_filtered(embeddings):
+    """The two-phase bucketed top-k must equal the naive single-window
+    top-k restricted to different-label candidates."""
+    out = {
+        (r.query_id, r.rank): r.vec_id
+        for r in similarity.hard_negatives(embeddings, n_probes=3, k=4).collect()
+    }
+    labels = {
+        r.vec_id: int(r.label)
+        for r in embeddings.select("vec_id", "label").collect()
+    }
+    qs = {
+        r.vec_id: [round(float(x) * 1e6) for x in r.embedding]
+        for r in embeddings.collect()
+    }
+    import math
+
+    for probe in range(3):
+        scored = []
+        for vid, q in qs.items():
+            if vid == probe or labels[vid] == labels[probe]:
+                continue
+            dot = sum(a * b for a, b in zip(qs[probe], q))
+            na = sum(a * a for a in qs[probe])
+            nb = sum(b * b for b in q)
+            cos = (dot / 1e12) / math.sqrt((na / 1e12) * (nb / 1e12))
+            scored.append((-cos, vid))
+        scored.sort()
+        for rank, (_, vid) in enumerate(scored[:4], start=1):
+            assert out[(probe, rank)] == vid, (probe, rank)
+
+
+# ---------------------------------------------------------------------------
+# pq_adc_topk
+# ---------------------------------------------------------------------------
+
+def test_pq_adc_matches_driver_replay(embeddings):
+    """ADC distances must equal the sum of per-subspace LUT entries
+    computed driver-side from the same trained codebook."""
+    subv, cents, assigned = similarity._pq_train(embeddings, n_iters=2)
+    codes = {
+        (r.vec_id, r.m): r.cent_id
+        for r in assigned.select("vec_id", "m", "cent_id").collect()
+    }
+    cb = {(r.m, r.cent_id): list(r.ce) for r in cents.collect()}
+    queries = {
+        (r.vec_id, r.m): list(r.sq)
+        for r in subv.filter(F.col("vec_id") < 3).collect()
+    }
+    out = similarity.pq_adc_topk(embeddings).collect()
+    assert len(out) == 15
+    for r in out:
+        expected = 0
+        for m in range(similarity.PQ_SUBSPACES):
+            qsub = queries[(r.query_id, m)]
+            csub = cb[(m, codes[(r.vec_id, m)])]
+            expected += sum((a - b) * (a - b) for a, b in zip(qsub, csub))
+        assert r.adc_dist == expected, r
+        assert r.vec_id != r.query_id
+
+
+# ---------------------------------------------------------------------------
+# inverted_index
+# ---------------------------------------------------------------------------
+
+def test_inverted_index_postings_consistent(documents):
+    out = textops.inverted_index(documents, sort=False).collect()
+    for r in out:
+        entries = r.postings.split(",")
+        assert len(entries) == r.df, r
+        ids = [int(e.split(":")[0]) for e in entries]
+        tfs = [int(e.split(":")[1]) for e in entries]
+        assert ids == sorted(ids)
+        assert all(i % 32 == r.shard for i in ids), r
+        assert sum(tfs) == r.tf_sum
+
+
+def test_inverted_index_covers_all_occurrences(documents):
+    """Σ tf_sum over the index equals the corpus token count."""
+    total = (
+        textops.inverted_index(documents, sort=False)
+        .agg(F.sum("tf_sum").alias("t"))
+        .collect()[0]
+        .t
+    )
+    n_tokens = (
+        documents.select(
+            F.explode(textops._words(F.col("text"))).alias("w")
+        ).count()
+    )
+    assert total == n_tokens
+
+
+# ---------------------------------------------------------------------------
+# cms_heavy_hitters
+# ---------------------------------------------------------------------------
+
+def test_cms_one_sided_error_and_no_false_negatives(documents):
+    out = textops.cms_heavy_hitters(documents).collect()
+    assert out, "fixture corpus has heavy hitters"
+    for r in out:
+        assert r.overcount >= 0, r
+        assert r.est_cnt >= r.exact_cnt
+    # no false negatives: every exactly-heavy word must be reported
+    # (CMS estimates never undercount)
+    counts = (
+        documents.select(F.explode(textops._words(F.col("text"))).alias("w"))
+        .groupBy("w")
+        .count()
+        .collect()
+    )
+    total = sum(r["count"] for r in counts)
+    exact_heavy = {
+        r.w for r in counts if r["count"] * textops.CMS_SUPPORT >= total
+    }
+    reported = {r.word for r in out}
+    assert exact_heavy <= reported
+
+
+# ---------------------------------------------------------------------------
+# pagerank
+# ---------------------------------------------------------------------------
+
+def test_pagerank_mass_and_positivity(documents):
+    ranks = graphops.pagerank(documents, sort=False).collect()
+    n = len(ranks)
+    total = sum(r.rank for r in ranks)
+    assert all(r.rank > 0 for r in ranks)
+    # damped mass: truncation only ever drops fractions, so total mass
+    # stays within [0.95, 1.0] x n*SCALE for a no-dangling graph
+    assert total <= n * graphops.PR_SCALE
+    assert total >= int(0.95 * n * graphops.PR_SCALE)
+
+
+def test_pagerank_iterates_beyond_uniform(documents):
+    """One iteration must already break uniformity (in-degrees differ),
+    and a further iteration must keep moving ranks — i.e. the loop is
+    actually running, not replaying the init."""
+    r1 = {r.doc_id: r.rank for r in graphops.pagerank(documents, n_iters=1, sort=False).collect()}
+    r3 = {r.doc_id: r.rank for r in graphops.pagerank(documents, n_iters=3, sort=False).collect()}
+    assert len(set(r1.values())) > 1
+    assert r1 != r3
