@@ -115,3 +115,133 @@ def distribution_functions(customer: DataFrame) -> DataFrame:
         F.percent_rank().over(w).alias("pct_rank"),
         F.cume_dist().over(w).alias("cume"),
     )
+
+
+def retention_cohorts(events: DataFrame) -> DataFrame:
+    """Cohort retention matrix — the flagship OLAP product-analytics
+    query: users grouped by first-activity day (their cohort), counted
+    on each later active day as ``(cohort_day, day_offset, n_users)``.
+
+    Scale: one user-keyed aggregation for the cohort day, one
+    map-side-collapsed distinct over (user, day), and one user-keyed
+    join — all three shuffles share the ``user_id`` partitioning, so
+    Catalyst reuses one exchange; the final matrix is O(days²/2) rows,
+    aggregated map-side. No windows, no per-user state.
+    """
+    first = events.groupBy("user_id").agg(
+        F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
+    )
+    active = (
+        events.select("user_id", F.date_trunc("day", F.col("ts")).alias("day"))
+        .distinct()
+    )
+    return (
+        active.join(first, "user_id")
+        .groupBy(
+            "cohort_day",
+            F.datediff(F.col("day"), F.col("cohort_day"))
+            .cast("long")
+            .alias("day_offset"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_users"))
+        .orderBy("cohort_day", "day_offset")
+    )
+
+
+def ordered_funnel(events: DataFrame) -> DataFrame:
+    """Strict ordered funnel view → click → purchase per user: each
+    stage's timestamp is the earliest event of that type STRICTLY AFTER
+    the previous stage fired (the product-analytics "did they do A,
+    then B, then C, in that order" question — an unordered min-per-type
+    would overcount users who purchased before ever viewing).
+
+    Returns per-user ``(user_id, t_view, t_click, t_purchase,
+    reached_stage)`` with nulls where the funnel stalls.
+
+    Scale: three conditional user-keyed min-aggregations, each joined
+    back on ``user_id`` — every shuffle is on the same key (one
+    exchange reused), state per user is three timestamps, and event
+    rows are filtered to the three funnel types before any shuffle.
+    """
+    typed = events.filter(
+        F.col("event_type").isin("view", "click", "purchase")
+    ).select("user_id", "event_type", "ts")
+    t1 = typed.filter(F.col("event_type") == "view").groupBy("user_id").agg(
+        F.min("ts").alias("t_view")
+    )
+    t2 = (
+        typed.filter(F.col("event_type") == "click")
+        .join(t1, "user_id")
+        .filter(F.col("ts") > F.col("t_view"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_click"))
+    )
+    t3 = (
+        typed.filter(F.col("event_type") == "purchase")
+        .join(t2, "user_id")
+        .filter(F.col("ts") > F.col("t_click"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t_purchase"))
+    )
+    return (
+        t1.join(t2, "user_id", "left")
+        .join(t3, "user_id", "left")
+        .select(
+            "user_id",
+            "t_view",
+            "t_click",
+            "t_purchase",
+            F.when(F.col("t_purchase").isNotNull(), F.lit(3))
+            .when(F.col("t_click").isNotNull(), F.lit(2))
+            .otherwise(F.lit(1))
+            .cast("long")
+            .alias("reached_stage"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def mad_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
+    """Robust per-type outlier summary: median / MAD (median absolute
+    deviation) of the event value, and how many events sit more than
+    ``k`` MADs from the median — the monitoring-grade outlier rule
+    that, unlike z-scores, one wild value cannot poison.
+
+    Values are exact integer cents; the two medians are exact
+    interpolated percentiles over those ints (deterministic doubles),
+    so the flag comparison is engine-portable.
+
+    Scale: two aggregation passes over the events (grouped percentile
+    with map-side partial collection per type), each followed by a
+    BROADCAST join of the per-type stats (the type dimension is tiny
+    by definition) — the event rows themselves shuffle only for the
+    percentile groupings, never for the stats joins.
+    """
+    cents_v = cents("value")
+    med = events.groupBy("event_type").agg(
+        F.percentile(cents_v, 0.5).alias("med_c")
+    )
+    dev = events.join(F.broadcast(med), "event_type").select(
+        "event_type",
+        "med_c",
+        F.abs(cents_v - F.col("med_c")).alias("dev"),
+    )
+    mad = dev.groupBy("event_type").agg(
+        F.percentile(F.col("dev"), 0.5).alias("mad_c"),
+        F.first("med_c").alias("med_c"),
+    )
+    return (
+        dev.drop("med_c")
+        .join(F.broadcast(mad), "event_type")
+        .groupBy("event_type")
+        .agg(
+            F.first(F.col("med_c") / 100.0).alias("median_value"),
+            F.first(F.col("mad_c") / 100.0).alias("mad_value"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(
+                (F.col("dev") > F.lit(k) * F.col("mad_c")).cast("long")
+            ).alias("n_outliers"),
+            (F.max("dev") / 100.0).alias("max_abs_dev"),
+        )
+        .orderBy("event_type")
+    )

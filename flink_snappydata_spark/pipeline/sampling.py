@@ -403,3 +403,123 @@ def per_source_cap(
         .withColumn("kept", F.col("cap_rank") < F.lit(int(k)))
     )
     return out.orderBy("doc_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# Bloom-filter membership (sketch family: HLL=cardinality, CMS=counts,
+# Bloom=set membership)
+# ---------------------------------------------------------------------------
+
+BLOOM_BITS = 16384
+BLOOM_HASHES = 4
+
+
+def _bloom_bit(key, row: int):
+    """Portable Bloom bit for hash row ``row``: md5 of ``"r#key"``
+    (first 8 hex digits) mod :data:`BLOOM_BITS` — the same md5-word
+    derivation as the CMS cells, identical in any engine."""
+    return F.pmod(
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws("#", F.lit(str(row)), key.cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long"),
+        F.lit(BLOOM_BITS),
+    )
+
+
+def bloom_membership(
+    customer: DataFrame, orders: DataFrame, threshold: float = 450_000.0
+) -> DataFrame:
+    """Bloom-filter membership with an in-query exact judge: build a
+    16384-bit / 4-hash Bloom filter over the distinct customers holding
+    an order above ``threshold``, probe EVERY customer against it, and
+    report the filter's confusion against exact semi-join truth — the
+    pre-join filter a distributed engine ships to scan sites so
+    non-matching rows die at the source instead of crossing the
+    network (Spark's own runtime bloom-join, reified as a portable
+    queryable op).
+
+    Output is one summary row: probes, Bloom positives, exact members,
+    false positives (Bloom's only error mode — ``n_missed`` is
+    structurally 0 and reported to prove it), and the realized FP rate
+    over the true negatives.
+
+    Scale: the filter side collapses to ≤ BLOOM_BITS set-bit rows
+    (distinct keys → 4 bit positions → distinct bits, all map-side
+    combined); probing is a BROADCAST join of that tiny bitset against
+    the probe keys' bit expansion — the probe table never shuffles, so
+    the op costs one scan of each input regardless of corpus size.
+    """
+    keys = (
+        orders.filter(F.col("o_totalprice") > threshold)
+        .select(F.col("o_custkey").alias("key"))
+        .distinct()
+    )
+    bitset = (
+        keys.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(
+                            F.lit(r).alias("r"),
+                            _bloom_bit(F.col("key"), r).alias("bit"),
+                        )
+                        for r in range(BLOOM_HASHES)
+                    ]
+                )
+            ).alias("rb")
+        )
+        .select(F.col("rb.r").alias("r"), F.col("rb.bit").alias("bit"))
+        .distinct()
+    )
+    probes = customer.select(F.col("c_custkey").alias("key"))
+    probe_bits = probes.select(
+        "key",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(r).alias("r"),
+                        _bloom_bit(F.col("key"), r).alias("bit"),
+                    )
+                    for r in range(BLOOM_HASHES)
+                ]
+            )
+        ).alias("rb"),
+    ).select("key", F.col("rb.r").alias("r"), F.col("rb.bit").alias("bit"))
+    positives = (
+        probe_bits.join(F.broadcast(bitset), ["r", "bit"])
+        .groupBy("key")
+        .agg(F.count(F.lit(1)).alias("n_set"))
+        .filter(F.col("n_set") == BLOOM_HASHES)
+        .select("key", F.lit(True).alias("bloom_pos"))
+    )
+    truth = keys.select("key", F.lit(True).alias("is_member"))
+    judged = (
+        probes.join(positives, "key", "left")
+        .join(truth, "key", "left")
+        .select(
+            F.coalesce(F.col("bloom_pos"), F.lit(False)).alias("pos"),
+            F.coalesce(F.col("is_member"), F.lit(False)).alias("truth"),
+        )
+    )
+    return judged.agg(
+        F.count(F.lit(1)).alias("n_probed"),
+        F.sum(F.col("pos").cast("long")).alias("n_bloom_positive"),
+        F.sum(F.col("truth").cast("long")).alias("n_true_members"),
+        F.sum((F.col("pos") & ~F.col("truth")).cast("long")).alias(
+            "n_false_positives"
+        ),
+        F.sum((~F.col("pos") & F.col("truth")).cast("long")).alias(
+            "n_missed"
+        ),
+        (
+            F.sum((F.col("pos") & ~F.col("truth")).cast("long")).cast("double")
+            / F.sum((~F.col("truth")).cast("long"))
+        ).alias("fp_rate"),
+    )

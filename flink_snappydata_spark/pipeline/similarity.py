@@ -1325,3 +1325,77 @@ def pq_adc_topk(
         .select("query_id", "rank", "vec_id", "adc_dist")
     )
     return presentation_sorted(out, "query_id", "rank")
+
+
+def source_centroids(
+    documents: DataFrame, embeddings: DataFrame
+) -> DataFrame:
+    """Per-source embedding centroids: join the document metadata
+    (``source``) onto the embedding table (``vec_id == doc_id`` in the
+    fixture) and average each source's vectors component-wise — the
+    source-drift monitor a curation pipeline watches (a source whose
+    centroid moves between crawls changed character; distance between
+    source centroids feeds mixing decisions).
+
+    Scale: the metadata join is id-keyed (both sides partitioned on the
+    id — one co-partitioned exchange each, no broadcast needed at any
+    corpus size); the centroid is the same exploded int64 partial-sum
+    aggregation as :func:`label_centroids` — the shuffle carries
+    (source, pos)-keyed int64 sums, never vectors. Output is
+    O(sources × DIM).
+    """
+    meta = documents.select(F.col("doc_id").alias("vec_id"), "source")
+    joined = spread(embeddings, "vec_id").join(meta, "vec_id")
+    comp = joined.select(
+        "source", F.posexplode(_qvec(F.col("embedding"))).alias("pos", "q")
+    )
+    return (
+        comp.groupBy("source", F.col("pos").cast("long").alias("pos"))
+        .agg(
+            (F.sum("q").cast("double") / F.count(F.lit(1)) / F.lit(QUANT))
+            .alias("centroid"),
+            F.count(F.lit(1)).alias("n_vectors"),
+        )
+        .orderBy("source", "pos")
+    )
+
+
+def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
+    """Per-dimension distribution stats of the embedding space —
+    ``(pos, n, sum_q, min_q, max_q, mean, variance)`` — the
+    feature-scaling / whitening-prep pass (a dimension with near-zero
+    variance is dead weight; wildly different scales break L2-based
+    ANN). Sums/extrema are exact int64 over quantized components; mean
+    and variance are deterministic double expressions over those exact
+    sums (variance = E[x²] − E[x]², computed in doubles AFTER the
+    exact aggregation so no int64 overflow at any corpus size).
+
+    Scale: one map-side explode + one (pos)-keyed aggregation with
+    map-side combine — DIM output rows, nothing else shuffles.
+    """
+    comp = spread(embeddings, "vec_id").select(
+        F.posexplode(_qvec(F.col("embedding"))).alias("pos", "q")
+    )
+    n = F.count(F.lit(1))
+    s = F.sum("q")
+    ss = F.sum(F.col("q") * F.col("q"))
+    mean = s.cast("double") / n / F.lit(QUANT)
+    ex2 = ss.cast("double") / n / F.lit(QUANT * QUANT)
+    # variance spelled with an explicit multiply (not pow): POWER(x, 2)
+    # is not guaranteed bit-equal to x*x across engines.
+    return (
+        comp.groupBy(F.col("pos").cast("long").alias("pos"))
+        .agg(
+            n.alias("n"),
+            s.alias("sum_q"),
+            F.min("q").alias("min_q"),
+            F.max("q").alias("max_q"),
+            mean.alias("mean"),
+            (
+                ex2
+                - (s.cast("double") / n / F.lit(QUANT))
+                * (s.cast("double") / n / F.lit(QUANT))
+            ).alias("variance"),
+        )
+        .orderBy("pos")
+    )

@@ -3849,6 +3849,228 @@ _register(
 )
 
 
+_register(
+    "retention_cohorts",
+    ["events"],
+    analytic.retention_cohorts,
+    """
+    WITH f AS (
+        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
+        FROM events GROUP BY user_id),
+    a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
+    SELECT f.cohort_day,
+           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
+               AS day_offset,
+           CAST(COUNT(*) AS BIGINT) AS n_users
+    FROM a JOIN f USING (user_id)
+    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.day)
+    ORDER BY cohort_day, day_offset
+    """,
+    doc="Cohort retention matrix: users bucketed by first-activity day, "
+        "counted per later active day — user-keyed aggs + one join, all "
+        "sharing the user_id partitioning; O(days²) output.",
+)
+
+_register(
+    "ordered_funnel",
+    ["events"],
+    analytic.ordered_funnel,
+    """
+    WITH typed AS (
+        SELECT user_id, event_type, ts FROM events
+        WHERE event_type IN ('view', 'click', 'purchase')),
+    t1 AS (SELECT user_id, MIN(ts) AS t_view FROM typed
+           WHERE event_type = 'view' GROUP BY user_id),
+    t2 AS (SELECT t.user_id, MIN(t.ts) AS t_click
+           FROM typed t JOIN t1 ON t1.user_id = t.user_id
+           WHERE t.event_type = 'click' AND t.ts > t1.t_view
+           GROUP BY t.user_id),
+    t3 AS (SELECT t.user_id, MIN(t.ts) AS t_purchase
+           FROM typed t JOIN t2 ON t2.user_id = t.user_id
+           WHERE t.event_type = 'purchase' AND t.ts > t2.t_click
+           GROUP BY t.user_id)
+    SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
+           CAST(CASE WHEN t3.t_purchase IS NOT NULL THEN 3
+                     WHEN t2.t_click IS NOT NULL THEN 2
+                     ELSE 1 END AS BIGINT) AS reached_stage
+    FROM t1
+    LEFT JOIN t2 ON t2.user_id = t1.user_id
+    LEFT JOIN t3 ON t3.user_id = t1.user_id
+    ORDER BY t1.user_id
+    """,
+    doc="Strict ordered funnel view→click→purchase: each stage's "
+        "timestamp is the earliest event strictly after the previous "
+        "stage — three conditional min-aggs on one reused user_id "
+        "partitioning.",
+)
+
+_register(
+    "events_mad_outliers",
+    ["events"],
+    analytic.mad_outliers,
+    f"""
+    WITH med AS (
+        SELECT event_type,
+               quantile_cont({_cents('value')}, 0.5) AS med_c
+        FROM events GROUP BY event_type),
+    dev AS (
+        SELECT e.event_type, m.med_c,
+               ABS({_cents('value')} - m.med_c) AS dev
+        FROM events e JOIN med m USING (event_type)),
+    mad AS (
+        SELECT event_type, quantile_cont(dev, 0.5) AS mad_c,
+               MIN(med_c) AS med_c
+        FROM dev GROUP BY event_type)
+    SELECT d.event_type,
+           MIN(m.med_c) / 100.0 AS median_value,
+           MIN(m.mad_c) / 100.0 AS mad_value,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad_c THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_outliers,
+           MAX(d.dev) / 100.0 AS max_abs_dev
+    FROM dev d JOIN mad m USING (event_type)
+    GROUP BY d.event_type ORDER BY d.event_type
+    """,
+    doc="Robust per-type outlier summary: median/MAD over exact cents "
+        "(interpolated percentiles, deterministic doubles), |dev| > "
+        "3·MAD counts — two grouped percentile passes + broadcast "
+        "stats joins.",
+)
+
+
+_register(
+    "source_centroids",
+    ["documents", "embeddings"],
+    similarity.source_centroids,
+    """
+    WITH comp AS (
+        SELECT e.vec_id, d.source, CAST(i - 1 AS BIGINT) AS pos,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings e
+        JOIN documents d ON d.doc_id = e.vec_id,
+        generate_series(1, 64) s(i))
+    SELECT source, pos,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors
+    FROM comp GROUP BY source, pos ORDER BY source, pos
+    """,
+    doc="Per-source embedding centroids (source-drift monitor): "
+        "id-keyed metadata join + (source, pos)-keyed int64 partial "
+        "sums — vectors never shuffle; O(sources × DIM) output.",
+)
+
+_register(
+    "embedding_dim_stats",
+    ["embeddings"],
+    similarity.embedding_dim_stats,
+    """
+    WITH comp AS (
+        SELECT CAST(i - 1 AS BIGINT) AS pos,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) s(i))
+    SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(q) AS BIGINT) AS sum_q,
+           MIN(q) AS min_q, MAX(q) AS max_q,
+           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean,
+           CAST(SUM(q * q) AS DOUBLE) / COUNT(*) / 1000000000000.0
+               - (CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0)
+                 * (CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0)
+               AS variance
+    FROM comp GROUP BY pos ORDER BY pos
+    """,
+    doc="Per-dimension embedding stats (whitening/scaling prep): exact "
+        "int64 sums/extrema + deterministic double mean/variance — one "
+        "explode + one pos-keyed map-side-combined aggregation.",
+)
+
+
+_register(
+    "bloom_membership",
+    ["customer", "orders"],
+    sampling.bloom_membership,
+    """
+    WITH keys AS (
+        SELECT DISTINCT o_custkey AS key FROM orders
+        WHERE o_totalprice > 450000.0),
+    bitset AS (
+        SELECT DISTINCT r,
+               ('0x' || substr(md5(r || '#' || key), 1, 8))::BIGINT % 16384
+                   AS bit
+        FROM keys, generate_series(0, 3) s(r)),
+    probes AS (SELECT c_custkey AS key FROM customer),
+    pb AS (SELECT key, r,
+                  ('0x' || substr(md5(r || '#' || key), 1, 8))::BIGINT % 16384
+                      AS bit
+           FROM probes, generate_series(0, 3) s(r)),
+    pos AS (SELECT pb.key FROM pb
+            JOIN bitset b ON b.r = pb.r AND b.bit = pb.bit
+            GROUP BY pb.key HAVING COUNT(*) = 4),
+    judged AS (
+        SELECT p.key,
+               (pos.key IS NOT NULL) AS pos,
+               (k.key IS NOT NULL) AS truth
+        FROM probes p
+        LEFT JOIN pos ON pos.key = p.key
+        LEFT JOIN keys k ON k.key = p.key)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
+           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_bloom_positive,
+           CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_members,
+           CAST(SUM(CASE WHEN pos AND NOT truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_positives,
+           CAST(SUM(CASE WHEN NOT pos AND truth THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_missed,
+           CAST(SUM(CASE WHEN pos AND NOT truth THEN 1 ELSE 0 END)
+                AS DOUBLE)
+               / SUM(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS fp_rate
+    FROM judged
+    """,
+    doc="Bloom-filter membership with in-query exact judge: 16384-bit/"
+        "4-hash md5-derived filter over high-value order customers, "
+        "every customer probed via a broadcast bitset join — false "
+        "positives counted against semi-join truth, n_missed "
+        "structurally 0 (completes the sketch family: HLL, CMS, Bloom).",
+    judge_bearing=True,
+)
+
+
+def _rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``rollup_multires`` — the fourth
+    domain for the loop (documents, mixing, embeddings, now EVENTS,
+    the reference's original subject): the events fixture arrives as a
+    4-file stream (maxFilesPerTrigger=1 → 4 micro-batches); each batch
+    lands its hourly rollup partials via foreachBatch
+    (``ParquetTableJoin.scala:32-43`` loop), and the returned frame
+    folds the accumulated state into the hour/day/week frame —
+    row-identical to the batch op (exact cent sums are
+    batching-insensitive), so the batch oracle applies verbatim.
+    State is torn down after scoring via :func:`_stream_state_scored`."""
+    events = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return _stream_state_scored(
+        spark,
+        events,
+        "roll",
+        ["hourly"],
+        stream_windows.streaming_rollup_ingest,
+        stream_windows.rollup_from_state,
+    )
+
+
+QUERIES["rollup_streamed"] = QuerySpec(
+    fn=_rollup_streamed,
+    oracle=QUERIES["rollup_multires"].oracle,
+    doc="Streaming-ingest multi-resolution rollup: micro-batched "
+        "hourly partials into a queryable catalog table, folded to "
+        "hour/day/week from state (stream→table loop on the events "
+        "side — the reference's own domain).",
+)
+
+
 # ---------------------------------------------------------------------------
 # Declaration order
 # ---------------------------------------------------------------------------

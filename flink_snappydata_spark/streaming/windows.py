@@ -176,15 +176,25 @@ def rollup_multires(events: DataFrame) -> DataFrame:
     """
     from flink_snappydata_spark.util import tracked_persist
 
-    hourly = tracked_persist(
-        events.groupBy(
-            F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
-            "event_type",
-        ).agg(
-            F.count(F.lit(1)).alias("n_events"),
-            F.sum(cents("value")).alias("sum_cents"),
-        )
+    hourly = tracked_persist(_hourly_rollup(events))
+    return _multires_from_hourly(hourly)
+
+
+def _hourly_rollup(events: DataFrame) -> DataFrame:
+    """(bucket_start, event_type, n_events, sum_cents) at hour grain —
+    the finest-grain sufficient statistic every coarser grain folds."""
+    return events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("sum_cents"),
     )
+
+
+def _multires_from_hourly(hourly: DataFrame) -> DataFrame:
+    """Fold an hourly rollup into the tagged hour/day/week frame —
+    shared by the batch op and the streaming state fold."""
 
     def _coarsen(grain: str) -> DataFrame:
         return hourly.groupBy(
@@ -207,3 +217,55 @@ def rollup_multires(events: DataFrame) -> DataFrame:
         "n_events",
         (F.col("sum_cents") / F.lit(100.0)).alias("sum_value"),
     ).orderBy("grain", "bucket_start", "event_type")
+
+
+def streaming_rollup_ingest(
+    stream_events: DataFrame,
+    hourly_table: str,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest twin of :func:`rollup_multires` — the
+    stream→queryable-table loop (``ParquetTableJoin.scala:32-43``
+    shape) on the EVENTS side: each micro-batch lands its hourly
+    rollup partials ``(bucket_start, event_type, n_events,
+    sum_cents)``; the multi-resolution fold happens at query time over
+    the accumulated state (:func:`rollup_from_state`). Exact cent sums
+    make the fold batching-insensitive, so after a bounded stream
+    drains the result is row-identical to the batch op — the batch
+    oracle applies verbatim.
+
+    Scale: the per-batch shuffle carries only (hour, type)-keyed int64
+    partials (map-side combined); state grows by ≤ hours-in-batch ×
+    types rows per micro-batch regardless of event volume. Rides
+    :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition instead of double-counting.
+    """
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(hourly_table, None)],
+        prepare=_hourly_rollup,
+        checkpoint=checkpoint,
+    )
+
+
+def rollup_from_state(spark, hourly_table: str) -> DataFrame:
+    """Multi-resolution rollup from the hourly partials accumulated by
+    :func:`streaming_rollup_ingest`: fold partials per (hour, type)
+    (exact int64 cent sums — batching order irrelevant), then the same
+    coarsening as the batch op. ``batch_id`` is ingest lineage, not
+    state — dropped here."""
+    hourly = (
+        spark.table(hourly_table)
+        .drop("batch_id")
+        .groupBy("bucket_start", "event_type")
+        .agg(
+            F.sum("n_events").alias("n_events"),
+            F.sum("sum_cents").alias("sum_cents"),
+        )
+    )
+    return _multires_from_hourly(hourly)

@@ -285,3 +285,125 @@ def test_pagerank_iterates_beyond_uniform(documents):
     r3 = {r.doc_id: r.rank for r in graphops.pagerank(documents, n_iters=3, sort=False).collect()}
     assert len(set(r1.values())) > 1
     assert r1 != r3
+
+
+# ---------------------------------------------------------------------------
+# batch 2: analytics + sketches + cross-table ops
+# ---------------------------------------------------------------------------
+
+def test_retention_day0_equals_cohort_size(events):
+    from flink_snappydata_spark.operators.analytic import retention_cohorts
+
+    out = retention_cohorts(events).collect()
+    day0 = {r.cohort_day: r.n_users for r in out if r.day_offset == 0}
+    sizes = {
+        r.cohort_day: r.n
+        for r in events.groupBy("user_id")
+        .agg(F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day"))
+        .groupBy("cohort_day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    # every user is active on their first day by definition
+    assert day0 == sizes
+    assert all(r.day_offset >= 0 for r in out)
+
+
+def test_ordered_funnel_is_strictly_ordered(events):
+    from flink_snappydata_spark.operators.analytic import ordered_funnel
+
+    rows = ordered_funnel(events).collect()
+    assert rows
+    for r in rows:
+        if r.reached_stage >= 2:
+            assert r.t_click > r.t_view
+        else:
+            assert r.t_click is None
+        if r.reached_stage == 3:
+            assert r.t_purchase > r.t_click
+        else:
+            assert r.t_purchase is None
+
+
+def test_mad_outliers_sane(events):
+    from flink_snappydata_spark.operators.analytic import mad_outliers
+
+    rows = mad_outliers(events).collect()
+    assert rows
+    for r in rows:
+        assert r.mad_value >= 0
+        assert 0 <= r.n_outliers < r.n_events
+        assert r.max_abs_dev >= r.mad_value
+
+
+def test_source_centroids_counts(documents, embeddings):
+    out = similarity.source_centroids(documents, embeddings).collect()
+    per_source = {}
+    for r in out:
+        per_source.setdefault(r.source, set()).add((r.pos, r.n_vectors))
+    truth = {
+        r.source: r.n
+        for r in embeddings.join(
+            documents.select(F.col("doc_id").alias("vec_id"), "source"),
+            "vec_id",
+        )
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    for src, pairs in per_source.items():
+        assert len(pairs) == similarity.DIM
+        assert all(n == truth[src] for _, n in pairs)
+
+
+def test_embedding_dim_stats_invariants(embeddings):
+    rows = similarity.embedding_dim_stats(embeddings).collect()
+    n_vecs = embeddings.count()
+    assert len(rows) == similarity.DIM
+    for r in rows:
+        assert r.n == n_vecs
+        assert r.variance >= 0
+        assert r.min_q <= r.sum_q / r.n <= r.max_q
+
+
+def test_bloom_membership_guarantees(spark):
+    from flink_snappydata_spark.pipeline.sampling import bloom_membership
+
+    customer = load_table(spark, SF, "customer")
+    orders = load_table(spark, SF, "orders")
+    r = bloom_membership(customer, orders).collect()[0]
+    assert r.n_missed == 0  # Bloom never has false negatives
+    assert r.n_bloom_positive >= r.n_true_members
+    assert r.n_false_positives == r.n_bloom_positive - r.n_true_members
+    assert 0.0 <= r.fp_rate <= 1.0
+
+
+def test_rollup_streaming_is_batching_insensitive(spark, events, tmp_path):
+    """Landing the same events in 2 micro-batches must fold to the
+    exact batch rollup (cent sums are order- and batching-free)."""
+    import uuid
+
+    from flink_snappydata_spark.streaming.windows import (
+        rollup_from_state,
+        rollup_multires,
+        streaming_rollup_ingest,
+    )
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    table = f"fss_test_roll_{uuid.uuid4().hex[:8]}"
+    ev = events.select("event_id", "ts", "event_type", "value")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    try:
+        streaming_rollup_ingest(stream, table, checkpoint=ckpt)
+        got = rollup_from_state(spark, table)
+        want = rollup_multires(ev)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

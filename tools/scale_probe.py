@@ -48,8 +48,10 @@ from flink_snappydata_spark.pipeline import sampling as _sampling
 from flink_snappydata_spark.pipeline import dedup as D
 from flink_snappydata_spark.pipeline import multimodal as M
 from flink_snappydata_spark.pipeline import packing as _packing
+from flink_snappydata_spark.pipeline import graph as GR
 from flink_snappydata_spark.pipeline import similarity as S
 from flink_snappydata_spark.pipeline import text as T
+from flink_snappydata_spark.streaming import windows as W
 from flink_snappydata_spark.session import get_spark
 from flink_snappydata_spark.util import release_caches
 
@@ -159,7 +161,46 @@ OPS = {
     "embedding_outliers": lambda d, e: S.embedding_outliers(e),
     "ivf_topk": lambda d, e: S.ivf_topk(e),
     "brute_force_cosine_topk": lambda d, e: S.brute_force_cosine_topk(e),
+    # round-8 additions
+    "random_projection": lambda d, e: S.random_projection(e, sort=False),
+    "hard_negatives": lambda d, e: S.hard_negatives(e),
+    "pq_adc_topk": lambda d, e: S.pq_adc_topk(e),
+    "inverted_index": lambda d, e: T.inverted_index(d, sort=False),
+    "cms_heavy_hitters": lambda d, e: T.cms_heavy_hitters(d),
+    # pagerank wants the dense id space a real pipeline gets from
+    # global_index; replication shifts ids by 1e6 per replica, so the
+    # probe graph is rebuilt dense at the same row count (the count
+    # runs inside the timed thunk for both sides — symmetric).
+    "pagerank": lambda d, e: GR.pagerank(
+        d.sparkSession.range(d.count()).select(
+            F.col("id").alias("doc_id")
+        ),
+        sort=False,
+    ),
 }
+
+#: Events-input ops (replicated with per-replica day offsets so the
+#: bucket count grows with the data, not just the per-bucket mass).
+EVENT_OPS = {
+    "rollup_multires": lambda v: W.rollup_multires(v),
+}
+
+
+def replicated_events(events, k):
+    parts = [
+        events.select(
+            (F.col("event_id") + F.lit(i * 10_000_000)).alias("event_id"),
+            (F.col("ts") + F.expr(f"INTERVAL {i * 40} DAYS")).alias("ts"),
+            "user_id",
+            "event_type",
+            "value",
+        )
+        for i in range(k)
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 #: Words per synthetic document (matches the fixture's ~50-word docs)
 #: and the near-dup plant rate: every DUP_EVERY-th document is a copy of
@@ -257,7 +298,9 @@ def main() -> None:
             )
         return
 
-    ops = {n: OPS[n] for n in wanted.split(",")} if wanted else dict(OPS)
+    names = wanted.split(",") if wanted else list(OPS) + list(EVENT_OPS)
+    ops = {n: OPS[n] for n in names if n in OPS}
+    event_ops = {n: EVENT_OPS[n] for n in names if n in EVENT_OPS}
     docs1 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     emb1 = load_table(spark, SF_DIR, "embeddings")
     docs_n = replicated_documents(docs1, factor)
@@ -268,6 +311,19 @@ def main() -> None:
         base = median_time(lambda: fn(docs1, emb1))
         scaled = median_time(lambda: fn(docs_n, emb_n))
         print(f"PROBE | {name} | {base:.3f} | {scaled:.3f} | {scaled / base:.2f} |")
+
+    if event_ops:
+        ev1 = load_table(spark, SF_DIR, "events").select(
+            "event_id", "ts", "user_id", "event_type", "value"
+        )
+        ev_n = replicated_events(ev1, factor)
+        print(f"ROWS base events={ev1.count()} factor={factor}")
+        for name, fn in event_ops.items():
+            base = median_time(lambda: fn(ev1))
+            scaled = median_time(lambda: fn(ev_n))
+            print(
+                f"PROBE | {name} | {base:.3f} | {scaled:.3f} | {scaled / base:.2f} |"
+            )
 
 
 if __name__ == "__main__":
