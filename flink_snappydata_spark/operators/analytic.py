@@ -245,3 +245,108 @@ def mad_outliers(events: DataFrame, k: float = 3.0) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+def latest_snapshot(events: DataFrame) -> DataFrame:
+    """Upsert/CDC compaction: the latest event per user (ts, then
+    event_id as the deterministic tiebreak) — the "current state" view
+    every change-log table needs (SCD/materialized-upsert shape).
+
+    Scale: ``max_by`` over a struct ordering, NOT a row_number window —
+    the grouped argmax collapses map-side (each partition forwards one
+    candidate row per user), so the shuffle carries one row per
+    (partition, user) instead of sorting every event inside user
+    partitions. On a change-log where one entity is hot, that is the
+    difference between a bounded reducer and a hot sort partition.
+    """
+    return (
+        events.groupBy("user_id")
+        .agg(
+            F.max_by(
+                F.struct("event_id", "ts", "event_type", "value"),
+                F.struct("ts", "event_id"),
+            ).alias("r")
+        )
+        .select(
+            "user_id",
+            F.col("r.event_id").alias("event_id"),
+            F.col("r.ts").alias("ts"),
+            F.col("r.event_type").alias("event_type"),
+            F.col("r.value").alias("value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+def timeline_gapfill(events: DataFrame) -> DataFrame:
+    """Dense hourly timeline per event type with zero-filled gaps — the
+    dashboard/alerting view where a MISSING bucket must read as 0, not
+    as an absent row (gap-fill is what separates a time-series result
+    from a plain GROUP BY).
+
+    Scale: raw events aggregate once into the hourly rollup; the dense
+    grid is (hours × types) rows built from the 1-row min/max bounds
+    crossed with the distinct type dimension — both tiny and broadcast,
+    so the outer join against the rollup never shuffles the grid. Gaps
+    are synthesized, never scanned.
+    """
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(cents("value")).alias("sum_cents"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("lo"),
+        F.date_trunc("hour", F.max("ts")).alias("hi"),
+    )
+    grid = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 HOUR"))
+        ).alias("bucket_start")
+    ).crossJoin(events.select("event_type").distinct())
+    return (
+        F.broadcast(grid)
+        .join(hourly, ["bucket_start", "event_type"], "left")
+        .select(
+            "bucket_start",
+            "event_type",
+            F.coalesce(F.col("n_events"), F.lit(0)).cast("long").alias(
+                "n_events"
+            ),
+            (F.coalesce(F.col("sum_cents"), F.lit(0)) / 100.0).alias(
+                "sum_value"
+            ),
+            F.col("n_events").isNull().alias("is_gap"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )
+
+
+def percentile_bands(events: DataFrame) -> DataFrame:
+    """Per (day, event_type) p50/p95/p99 value bands — the latency-
+    dashboard aggregation (exact interpolated percentiles over integer
+    cents, deterministic doubles, engine-portable like
+    :func:`mad_outliers`).
+
+    Scale: ONE grouped aggregation; exact grouped percentiles hold the
+    group's values per partition before merging, so the memory bound is
+    the largest (day, type) group — at 100 TB swap in
+    ``approx_percentile`` (same call shape, sketch-bounded memory); the
+    engine keeps both spellings and the agg_approx_percentile query
+    pins the sketch's error against this exact path.
+    """
+    c = cents("value")
+    return (
+        events.groupBy(
+            F.date_trunc("day", F.col("ts")).alias("day"), "event_type"
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.percentile(c, 0.5) / 100.0).alias("p50"),
+            (F.percentile(c, 0.95) / 100.0).alias("p95"),
+            (F.percentile(c, 0.99) / 100.0).alias("p99"),
+        )
+        .orderBy("day", "event_type")
+    )

@@ -1399,3 +1399,191 @@ def embedding_dim_stats(embeddings: DataFrame) -> DataFrame:
         )
         .orderBy("pos")
     )
+
+
+def knn_accuracy(
+    embeddings: DataFrame, n_eval: int = 64, k: int = 5
+) -> DataFrame:
+    """k-NN label-prediction accuracy — the embedding-quality probe a
+    pipeline runs before trusting vectors for curation decisions: each
+    of ``n_eval`` held-out vectors is classified by the majority label
+    of its ``k`` nearest neighbors (cosine, self excluded) and scored
+    against its true label. Returns one row:
+    ``(n_eval, k, n_correct, accuracy)``.
+
+    Majority ties break to the smallest label; neighbor ties to the
+    smallest vec_id — fully deterministic, so the replay is exact.
+
+    Scale: the eval set broadcasts (bounded by ``n_eval`` — the op is
+    LINEAR in the corpus, never all-pairs); one corpus scan scores all
+    candidates; the per-eval top-k is the same two-phase bucket merge
+    as :func:`hard_negatives`; the vote is a (eval, label)-keyed count
+    over n_eval × k rows. Nothing but ids, labels, and int64 dots
+    shuffle.
+    """
+    emb = spread(embeddings, "vec_id")
+    qe = _qvec(F.col("embedding"))
+    qv = emb.select(
+        "vec_id",
+        F.col("label").cast("long").alias("label"),
+        qe.alias("qe"),
+        _dot(qe, qe).alias("norm_sq"),
+    )
+    evals = F.broadcast(
+        qv.filter(F.col("vec_id") < n_eval).select(
+            F.col("vec_id").alias("eval_id"),
+            F.col("label").alias("true_label"),
+            F.col("qe").alias("q_qe"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    scored = (
+        qv.crossJoin(evals)
+        .filter(F.col("vec_id") != F.col("eval_id"))
+        .select(
+            "eval_id",
+            "true_label",
+            "vec_id",
+            "label",
+            _cosine(
+                _dot(F.col("q_qe"), F.col("qe")),
+                F.col("q_norm"),
+                F.col("norm_sq"),
+            ).alias("cosine"),
+        )
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(64)))
+    )
+    w_bucket = Window.partitionBy("eval_id", "b").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    survivors = (
+        scored.withColumn("r", F.row_number().over(w_bucket))
+        .filter(F.col("r") <= k)
+        .drop("r", "b")
+    )
+    w_final = Window.partitionBy("eval_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    neighbors = (
+        survivors.withColumn("rank", F.row_number().over(w_final))
+        .filter(F.col("rank") <= k)
+    )
+    votes = neighbors.groupBy("eval_id", "true_label", "label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    pred = votes.groupBy("eval_id", "true_label").agg(
+        F.max_by(
+            "label", F.struct(F.col("n_votes"), (-F.col("label")).alias("nl"))
+        ).alias("pred_label")
+    )
+    return pred.agg(
+        F.count(F.lit(1)).alias("n_eval"),
+        F.lit(k).cast("long").alias("k"),
+        F.sum(
+            (F.col("pred_label") == F.col("true_label")).cast("long")
+        ).alias("n_correct"),
+        (
+            F.sum((F.col("pred_label") == F.col("true_label")).cast("long"))
+            .cast("double")
+            / F.count(F.lit(1))
+        ).alias("accuracy"),
+    )
+
+
+def mmr_select(
+    embeddings: DataFrame,
+    query_id: int = 0,
+    n_candidates: int = 8,
+    n_select: int = 3,
+    lam: float = 0.5,
+) -> DataFrame:
+    """Maximal-marginal-relevance selection (Carbonell & Goldstein
+    1998): from the query's top-``n_candidates`` cosine neighbors,
+    greedily pick ``n_select`` results that balance relevance against
+    redundancy — ``score = λ·sim(q,c) − (1−λ)·max_{s∈S} sim(c,s)`` —
+    the diversity reranker a retrieval pipeline runs so near-duplicate
+    hits don't fill the result page. Ties break to the lowest vec_id.
+
+    Returns ``(pick_rank, vec_id, mmr_score)`` (the first pick's score
+    is its pure relevance).
+
+    Scale: candidate generation is the broadcast-query corpus scan of
+    :func:`brute_force_cosine_topk` (linear, top-k pruned); everything
+    after operates on the ``n_candidates``-row frame and its
+    n_candidates² pairwise sims — bounded by construction, so the
+    greedy loop's ``n_select`` rounds of argmax+union are fixed-size
+    distributed ops (nothing collected, no O(corpus) step after the
+    scan).
+    """
+    qv = tracked_persist(quantized(embeddings))
+    topk = brute_force_cosine_topk(
+        embeddings, n_queries=query_id + 1, k=n_candidates, qv=qv
+    ).filter(F.col("query_id") == query_id)
+    cand = tracked_persist(
+        topk.select("vec_id", F.col("cosine").alias("rel"))
+        .join(qv, "vec_id")
+        .select("vec_id", "rel", "qe", "norm_sq")
+    )
+    a = cand.select(
+        F.col("vec_id").alias("va"),
+        F.col("qe").alias("qa"),
+        F.col("norm_sq").alias("na"),
+    )
+    b = cand.select(
+        F.col("vec_id").alias("vb"),
+        F.col("qe").alias("qb"),
+        F.col("norm_sq").alias("nb"),
+    )
+    pairs = tracked_persist(
+        a.join(b, F.col("va") != F.col("vb")).select(
+            "va",
+            "vb",
+            _cosine(
+                _dot(F.col("qa"), F.col("qb")), F.col("na"), F.col("nb")
+            ).alias("sim"),
+        )
+    )
+    remaining = cand.select("vec_id", "rel")
+    picks = None
+    for step in range(n_select):
+        if picks is None:
+            scored = remaining.select(
+                "vec_id", "rel", F.col("rel").alias("mmr_score")
+            )
+        else:
+            worst = (
+                pairs.join(
+                    picks.select(F.col("vec_id").alias("vb")), "vb"
+                )
+                .groupBy(F.col("va").alias("vec_id"))
+                .agg(F.max("sim").alias("max_sim"))
+            )
+            scored = remaining.join(worst, "vec_id").select(
+                "vec_id",
+                "rel",
+                (
+                    F.lit(lam) * F.col("rel")
+                    - F.lit(1.0 - lam) * F.col("max_sim")
+                ).alias("mmr_score"),
+            )
+        best = scored.agg(
+            F.max_by(
+                F.struct("vec_id", "rel", "mmr_score"),
+                F.struct(
+                    F.col("mmr_score"), (-F.col("vec_id")).alias("nv")
+                ),
+            ).alias("p")
+        ).select(
+            F.col("p.vec_id").alias("vec_id"),
+            F.col("p.rel").alias("rel"),
+            F.lit(step + 1).cast("long").alias("pick_rank"),
+            F.col("p.mmr_score").alias("mmr_score"),
+        )
+        picks = best if picks is None else picks.unionByName(best)
+        picks = tracked_persist(picks)
+        remaining = remaining.join(
+            picks.select("vec_id"), "vec_id", "left_anti"
+        )
+    return picks.select("pick_rank", "vec_id", "mmr_score").orderBy(
+        "pick_rank"
+    )

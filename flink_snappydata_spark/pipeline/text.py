@@ -1655,3 +1655,58 @@ def cms_heavy_hitters(documents: DataFrame) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary growth (Heaps-law curve)
+# ---------------------------------------------------------------------------
+
+VOCAB_GROWTH_BUCKETS = 8
+
+
+def vocab_growth(
+    documents: DataFrame, n_buckets: int = VOCAB_GROWTH_BUCKETS
+) -> DataFrame:
+    """Heaps-law vocabulary growth curve: the corpus is split into
+    ``n_buckets`` equal doc_id prefixes and each bucket reports how
+    many NEW distinct words it introduces plus the cumulative
+    vocabulary size — the curve a corpus curator reads to judge
+    saturation (a flattening curve means more data adds little lexical
+    novelty; a straight line means the crawl is still discovering).
+
+    Computed in ONE pass, not n_buckets prefix scans: a word's
+    first-occurrence bucket is ``min(bucket(doc_id))`` over its
+    postings — a single word-keyed aggregation — and the cumulative
+    curve is a running sum over the ``n_buckets``-row histogram (a
+    bounded single-partition window, O(n_buckets) rows by
+    construction, never corpus-sized).
+
+    Scale: tokens aggregate to (word, first_bucket) with map-side
+    combine; text never shuffles; the driver sees nothing but the
+    histogram. The doc_id→bucket map uses the corpus row count (one
+    scalar job) over dense ids — a real pipeline substitutes
+    ``global_index`` ranks for sparse ids.
+    """
+    n_docs = documents.count()
+    width = (n_docs + n_buckets - 1) // n_buckets
+    w = spread(documents, "doc_id").select(
+        F.expr(f"doc_id DIV {width}").alias("bucket"),
+        F.explode(_words(F.col("text"))).alias("word"),
+    )
+    first = w.groupBy("word").agg(F.min("bucket").alias("first_bucket"))
+    hist = first.groupBy("first_bucket").agg(
+        F.count(F.lit(1)).alias("new_words")
+    )
+    win = (
+        Window.orderBy("first_bucket")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        hist.withColumn("vocab_size", F.sum("new_words").over(win))
+        .select(
+            F.col("first_bucket").alias("bucket"),
+            "new_words",
+            F.col("vocab_size").cast("long").alias("vocab_size"),
+        )
+        .orderBy("bucket")
+    )

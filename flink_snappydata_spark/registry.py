@@ -4071,6 +4071,243 @@ QUERIES["rollup_streamed"] = QuerySpec(
 )
 
 
+_register(
+    "latest_snapshot",
+    ["events"],
+    analytic.latest_snapshot,
+    """
+    SELECT user_id, event_id, ts, event_type, value FROM (
+        SELECT user_id, event_id, ts, event_type, value,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                   ORDER BY ts DESC, event_id DESC) AS rn
+        FROM events) t
+    WHERE rn = 1 ORDER BY user_id
+    """,
+    doc="Upsert/CDC compaction: latest event per user via map-side "
+        "max_by argmax (no per-user sort window — hot entities stay "
+        "bounded).",
+)
+
+_register(
+    "timeline_gapfill",
+    ["events"],
+    analytic.timeline_gapfill,
+    f"""
+    WITH bounds AS (
+        SELECT date_trunc('hour', MIN(ts)) AS lo,
+               date_trunc('hour', MAX(ts)) AS hi FROM events),
+    grid AS (
+        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
+            AS bucket_start
+        FROM bounds),
+    types AS (SELECT DISTINCT event_type FROM events),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+               COUNT(*) AS n, SUM({_cents('value')}) AS sc
+        FROM events GROUP BY date_trunc('hour', ts), event_type)
+    SELECT g.bucket_start, t.event_type,
+           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
+           CAST(COALESCE(h.sc, 0) AS DOUBLE) / 100.0 AS sum_value,
+           (h.n IS NULL) AS is_gap
+    FROM grid g
+    CROSS JOIN types t
+    LEFT JOIN hourly h ON h.bucket_start = g.bucket_start
+                      AND h.event_type = t.event_type
+    ORDER BY g.bucket_start, t.event_type
+    """,
+    doc="Dense hourly timeline with zero-filled gaps: one rollup scan "
+        "+ a broadcast (hours × types) grid outer-joined against it — "
+        "gaps synthesized, never scanned.",
+)
+
+_register(
+    "percentile_bands",
+    ["events"],
+    analytic.percentile_bands,
+    f"""
+    SELECT date_trunc('day', ts) AS day, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           quantile_cont({_cents('value')}, 0.5) / 100.0 AS p50,
+           quantile_cont({_cents('value')}, 0.95) / 100.0 AS p95,
+           quantile_cont({_cents('value')}, 0.99) / 100.0 AS p99
+    FROM events GROUP BY date_trunc('day', ts), event_type
+    ORDER BY day, event_type
+    """,
+    doc="Latency-dashboard percentile bands per (day, type): exact "
+        "interpolated percentiles over integer cents, one grouped "
+        "aggregation (approx_percentile is the sketch-bounded twin).",
+)
+
+_register(
+    "vocab_growth",
+    ["documents"],
+    textops.vocab_growth,
+    r"""
+    WITH nn AS (SELECT CAST((COUNT(*) + 7) // 8 AS BIGINT) AS width
+                FROM documents),
+    w AS (
+        SELECT doc_id // (SELECT width FROM nn) AS bucket,
+               unnest(list_filter(
+                   string_split_regex(lower(text), '\W+'), x -> x <> ''))
+               AS word
+        FROM documents),
+    first AS (SELECT word, MIN(bucket) AS first_bucket FROM w
+              GROUP BY word),
+    hist AS (SELECT first_bucket, COUNT(*) AS new_words FROM first
+             GROUP BY first_bucket)
+    SELECT first_bucket AS bucket, CAST(new_words AS BIGINT) AS new_words,
+           CAST(SUM(new_words) OVER (ORDER BY first_bucket
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS vocab_size
+    FROM hist ORDER BY bucket
+    """,
+    doc="Heaps-law vocabulary growth curve in ONE pass: a word's "
+        "first-occurrence prefix bucket via min-aggregation (no "
+        "n_buckets prefix scans), cumulative curve over the bounded "
+        "histogram; text never shuffles.",
+)
+
+_register(
+    "knn_accuracy",
+    ["embeddings"],
+    similarity.knn_accuracy,
+    f"""
+    WITH {_QCOMP_SQL},
+    labels AS (
+        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
+    dots AS (
+        SELECT q.vec_id AS eval_id, t.vec_id AS vec_id, SUM(q.q * t.q) AS dot
+        FROM comp q JOIN comp t ON q.i = t.i AND q.vec_id <> t.vec_id
+        WHERE q.vec_id < 64
+        GROUP BY q.vec_id, t.vec_id),
+    scored AS (
+        SELECT d.eval_id, lq.label AS true_label, d.vec_id, lt.label,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(nq.n2 AS DOUBLE)/1e12)
+                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS cosine
+        FROM dots d
+        JOIN labels lq ON lq.vec_id = d.eval_id
+        JOIN labels lt ON lt.vec_id = d.vec_id
+        JOIN norms nq ON nq.vec_id = d.eval_id
+        JOIN norms nt ON nt.vec_id = d.vec_id),
+    nb AS (
+        SELECT eval_id, true_label, label FROM (
+            SELECT eval_id, true_label, label,
+                   ROW_NUMBER() OVER (PARTITION BY eval_id
+                       ORDER BY cosine DESC, vec_id ASC) AS rn
+            FROM scored) t
+        WHERE rn <= 5),
+    votes AS (
+        SELECT eval_id, true_label, label, COUNT(*) AS nv
+        FROM nb GROUP BY eval_id, true_label, label),
+    pred AS (
+        SELECT eval_id, true_label, label AS pred_label FROM (
+            SELECT eval_id, true_label, label,
+                   ROW_NUMBER() OVER (PARTITION BY eval_id
+                       ORDER BY nv DESC, label ASC) AS rn
+            FROM votes) t
+        WHERE rn = 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
+           CAST(5 AS BIGINT) AS k,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_correct,
+           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
+                AS DOUBLE) / COUNT(*) AS accuracy
+    FROM pred
+    """,
+    doc="k-NN label-prediction accuracy (embedding-quality probe): "
+        "bounded broadcast eval set, one corpus scan, two-phase "
+        "bucketed top-k, deterministic majority vote — linear in the "
+        "corpus, judged against true labels in-query.",
+    judge_bearing=True,
+)
+
+_register(
+    "mmr_select",
+    ["embeddings"],
+    similarity.mmr_select,
+    f"""
+    WITH {_QCOMP_SQL},
+    d0 AS (
+        SELECT t.vec_id, SUM(q.q * t.q) AS dot
+        FROM comp q JOIN comp t ON q.i = t.i AND t.vec_id <> 0
+        WHERE q.vec_id = 0 GROUP BY t.vec_id),
+    rel AS (
+        SELECT d.vec_id,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(n0.n2 AS DOUBLE)/1e12)
+                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS rel
+        FROM d0 d
+        JOIN norms n0 ON n0.vec_id = 0
+        JOIN norms nt ON nt.vec_id = d.vec_id),
+    cand AS (
+        SELECT vec_id, rel FROM (
+            SELECT vec_id, rel,
+                   ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+            FROM rel) t
+        WHERE rn <= 8),
+    pd AS (
+        SELECT a.vec_id AS va, b.vec_id AS vb, SUM(ca.q * cb.q) AS dot
+        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
+        JOIN comp ca ON ca.vec_id = a.vec_id
+        JOIN comp cb ON cb.vec_id = b.vec_id AND cb.i = ca.i
+        GROUP BY a.vec_id, b.vec_id),
+    sims AS (
+        SELECT va, vb,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(na.n2 AS DOUBLE)/1e12)
+                          * (CAST(nb.n2 AS DOUBLE)/1e12)) AS sim
+        FROM pd
+        JOIN norms na ON na.vec_id = va
+        JOIN norms nb ON nb.vec_id = vb),
+    p1 AS (
+        SELECT vec_id, rel, rel AS mmr_score FROM (
+            SELECT vec_id, rel,
+                   ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
+            FROM cand) t
+        WHERE rn = 1),
+    sc2 AS (
+        SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * s.sim AS mmr_score
+        FROM cand c
+        JOIN sims s ON s.va = c.vec_id
+        JOIN p1 ON p1.vec_id = s.vb
+        WHERE c.vec_id <> (SELECT vec_id FROM p1)),
+    p2 AS (
+        SELECT vec_id, rel, mmr_score FROM (
+            SELECT vec_id, rel, mmr_score,
+                   ROW_NUMBER() OVER (ORDER BY mmr_score DESC, vec_id ASC)
+                       AS rn
+            FROM sc2) t
+        WHERE rn = 1),
+    sel2 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2),
+    sc3 AS (
+        SELECT c.vec_id, c.rel,
+               0.5 * c.rel - 0.5 * MAX(s.sim) AS mmr_score
+        FROM cand c
+        JOIN sims s ON s.va = c.vec_id AND s.vb IN (SELECT vec_id FROM sel2)
+        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
+        GROUP BY c.vec_id, c.rel),
+    p3 AS (
+        SELECT vec_id, mmr_score FROM (
+            SELECT vec_id, mmr_score,
+                   ROW_NUMBER() OVER (ORDER BY mmr_score DESC, vec_id ASC)
+                       AS rn
+            FROM sc3) t
+        WHERE rn = 1)
+    SELECT CAST(1 AS BIGINT) AS pick_rank, vec_id, mmr_score FROM p1
+    UNION ALL
+    SELECT CAST(2 AS BIGINT), vec_id, mmr_score FROM p2
+    UNION ALL
+    SELECT CAST(3 AS BIGINT), vec_id, mmr_score FROM p3
+    ORDER BY pick_rank
+    """,
+    doc="Maximal-marginal-relevance diversity reranking: broadcast-"
+        "query candidate scan (linear, top-k pruned), then fixed-size "
+        "greedy argmax+union rounds over the bounded candidate frame — "
+        "nothing collected, no O(corpus) step after the scan.",
+)
+
+
 # ---------------------------------------------------------------------------
 # Declaration order
 # ---------------------------------------------------------------------------

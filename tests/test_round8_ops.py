@@ -407,3 +407,116 @@ def test_rollup_streaming_is_batching_insensitive(spark, events, tmp_path):
         assert want.exceptAll(got).count() == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# batch 3: CDC snapshot, gap-fill, bands, vocab growth, kNN, MMR
+# ---------------------------------------------------------------------------
+
+def test_latest_snapshot_matches_window_spelling(events):
+    from pyspark.sql import Window
+
+    from flink_snappydata_spark.operators.analytic import latest_snapshot
+
+    got = latest_snapshot(events)
+    w = Window.partitionBy("user_id").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    want = (
+        events.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("user_id", "event_id", "ts", "event_type", "value")
+    )
+    assert got.count() == events.select("user_id").distinct().count()
+    assert got.exceptAll(want).count() == 0
+    assert want.exceptAll(got).count() == 0
+
+
+def test_timeline_gapfill_is_dense_and_consistent(events):
+    from flink_snappydata_spark.operators.analytic import timeline_gapfill
+
+    out = timeline_gapfill(events)
+    n_types = events.select("event_type").distinct().count()
+    hours = out.select("bucket_start").distinct().count()
+    assert out.count() == hours * n_types  # dense grid
+    # gap rows are exactly the zero rows
+    assert (
+        out.filter(F.col("is_gap") != (F.col("n_events") == 0)).count() == 0
+    )
+    # non-gap totals reproduce the raw event count
+    total = out.agg(F.sum("n_events")).collect()[0][0]
+    assert total == events.count()
+
+
+def test_percentile_bands_ordered(events):
+    from flink_snappydata_spark.operators.analytic import percentile_bands
+
+    rows = percentile_bands(events).collect()
+    assert rows
+    for r in rows:
+        assert r.p50 <= r.p95 <= r.p99
+
+
+def test_vocab_growth_conserves_vocabulary(documents):
+    out = textops.vocab_growth(documents).collect()
+    vocab = (
+        documents.select(F.explode(textops._words(F.col("text"))).alias("w"))
+        .distinct()
+        .count()
+    )
+    assert out[-1].vocab_size == vocab
+    assert sum(r.new_words for r in out) == vocab
+    sizes = [r.vocab_size for r in out]
+    assert sizes == sorted(sizes)
+
+
+def test_knn_accuracy_consistent(embeddings):
+    r = similarity.knn_accuracy(embeddings).collect()[0]
+    assert r.n_eval == 64
+    assert r.k == 5
+    assert 0 <= r.n_correct <= r.n_eval
+    assert abs(r.accuracy - r.n_correct / r.n_eval) < 1e-12
+
+
+def test_mmr_select_matches_python_greedy(embeddings):
+    """The distributed argmax+union loop must replay the greedy MMR
+    definition exactly (λ=0.5, lowest-vec_id ties)."""
+    import math
+
+    out = {
+        r.pick_rank: (r.vec_id, r.mmr_score)
+        for r in similarity.mmr_select(embeddings).collect()
+    }
+    qs = {
+        r.vec_id: [round(float(x) * 1e6) for x in r.embedding]
+        for r in embeddings.collect()
+    }
+
+    def cos(a, b):
+        dot = sum(x * y for x, y in zip(qs[a], qs[b]))
+        na = sum(x * x for x in qs[a])
+        nb = sum(y * y for y in qs[b])
+        return (dot / 1e12) / math.sqrt((na / 1e12) * (nb / 1e12))
+
+    rel = sorted(
+        ((-cos(0, v), v) for v in qs if v != 0)
+    )[:8]
+    cand = [(v, -negc) for negc, v in rel]
+    selected = []
+    for _ in range(3):
+        best = None
+        for v, r in cand:
+            if v in {s for s, _ in selected}:
+                continue
+            if not selected:
+                score = r
+            else:
+                score = 0.5 * r - 0.5 * max(cos(v, s) for s, _ in selected)
+            key = (score, -v)
+            if best is None or key > best[0]:
+                best = (key, v, score)
+        selected.append((best[1], best[2]))
+    for rank, (vid, score) in enumerate(selected, start=1):
+        got_vid, got_score = out[rank]
+        assert got_vid == vid, (rank, got_vid, vid)
+        assert abs(got_score - score) < 1e-12
