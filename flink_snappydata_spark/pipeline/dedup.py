@@ -1136,3 +1136,81 @@ def line_dedup(
         ).alias("kept_text"),
     )
     return out.orderBy("doc_id") if sort else out
+
+
+# ---------------------------------------------------------------------------
+# Fuzzy vocabulary matching (SymSpell deletion-neighborhood join)
+# ---------------------------------------------------------------------------
+
+#: Every TYPO_EVERY-th document contributes a synthesized typo (its
+#: first ≥4-char word with the 2nd character deleted) — the same
+#: deterministic both-engine enrichment device the PII oracle uses,
+#: since the fixture vocabulary contains no organic edit-1 pairs.
+TYPO_EVERY = 7
+
+
+def typo_pairs(documents: DataFrame) -> DataFrame:
+    """Fuzzy token matching — SymSpell-style (Garbe) edit-distance-1
+    correction pairs between a dirty token stream and the corpus
+    vocabulary: the entity-resolution / spelling-normalization step a
+    curation pipeline runs on OCR or user-generated text. Returns
+    ``(typo, word, n_docs)`` — each synthesized typo, every vocabulary
+    word within edit distance 1 of it, and how many documents emitted
+    that typo.
+
+    The fuzzy join is NOT a quadratic cross-product with a Levenshtein
+    filter: both sides expand to their 1-DELETION NEIGHBORHOODS (the
+    word plus every single-character deletion — length+1 keys per
+    token, built by in-kernel higher-order functions) and equi-join on
+    the deletion key; edit-distance-1 pairs of any kind (deletion,
+    insertion, substitution) are guaranteed to share a key, and the
+    exact ``levenshtein() = 1`` check runs only on those candidates.
+    That turns O(|dirty|·|vocab|) into an equi-join with ~len keys per
+    word — the SymSpell trick, and the only fuzzy-join shape that
+    survives a 100 TB vocabulary.
+
+    Scale: both key frames are vocabulary-sized, never corpus-sized
+    (dirty tokens aggregate to distinct typos with doc counts first);
+    document text never shuffles; deletion keys are short strings with
+    bounded fan-out, so no skewed join key.
+    """
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\W+"), lambda w: w != F.lit("")
+    )
+    dirty = (
+        documents.filter(F.pmod(F.col("doc_id"), F.lit(TYPO_EVERY)) == 0)
+        .select(F.element_at(words, 1).alias("w"))
+        .filter(F.length("w") >= 4)
+        .select(
+            F.concat(
+                F.substring(F.col("w"), 1, 1), F.expr("substring(w, 3)")
+            ).alias("typo")
+        )
+        .groupBy("typo")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+    )
+    vocab = (
+        spread(documents, "doc_id")
+        .select(F.explode(words).alias("word"))
+        .filter(F.length("word") >= 3)
+        .distinct()
+    )
+    del_keys = (
+        "array_union(array({w}), transform(sequence(1, length({w})), "
+        "i -> concat(substring({w}, 1, i - 1), substring({w}, i + 1))))"
+    )
+    dirty_keys = dirty.select(
+        "typo",
+        "n_docs",
+        F.explode(F.expr(del_keys.format(w="typo"))).alias("k"),
+    )
+    vocab_keys = vocab.select(
+        "word", F.explode(F.expr(del_keys.format(w="word"))).alias("k")
+    )
+    return (
+        dirty_keys.join(vocab_keys, "k")
+        .filter(F.levenshtein(F.col("typo"), F.col("word")) == 1)
+        .select("typo", "word", "n_docs")
+        .distinct()
+        .orderBy("typo", "word")
+    )

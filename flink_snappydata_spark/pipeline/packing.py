@@ -382,3 +382,65 @@ def write_sharded(
         .partitionBy("shard")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Z-order layout key (multi-dimensional clustering)
+# ---------------------------------------------------------------------------
+
+Z_BITS = 16
+
+
+def zorder_sql(x: str, y: str, div: str = "DIV") -> str:
+    """Morton/Z-order bit interleave of two ``Z_BITS``-bit non-negative
+    ints as portable integer arithmetic (``div`` = the engine's integer
+    division spelling: Spark ``DIV``, DuckDB ``//``). Bit i of x lands
+    at position 2i, bit i of y at 2i+1."""
+    terms = []
+    for i in range(Z_BITS):
+        terms.append(f"((({x}) {div} {2 ** i}) % 2) * {4 ** i}")
+        terms.append(f"((({y}) {div} {2 ** i}) % 2) * {2 * 4 ** i}")
+    return " + ".join(terms)
+
+
+def zorder_key(events: DataFrame, sort: bool = True) -> DataFrame:
+    """Z-order (Morton) layout key over (user_id, value-cents) — the
+    multi-dimensional clustering key a lakehouse computes before
+    range-partitioning its files so that BOTH ``user_id`` predicates
+    AND ``value`` predicates prune file ranges (a single-column sort
+    can only serve one). Returns ``(event_id, user_id, value_cents,
+    zkey)``; the intended consumer is
+    ``repartitionByRange/sortWithinPartitions(zkey)`` at write time.
+
+    Both dimensions are masked to :data:`Z_BITS` bits (the layout key
+    needs locality, not injectivity — masking wraps ids beyond 2^16
+    into the same key space). The interleave is pure integer
+    arithmetic from one shared generator (:func:`zorder_sql`), so the
+    oracle runs the LITERAL same expression.
+
+    Scale: MAP-ONLY — one scan, one codegen'd integer expression per
+    row, no shuffle (the downstream range-partition shuffle belongs to
+    the writer that uses the key). ``sort=False`` (the registered
+    form) skips the O(corpus) presentation sort.
+    """
+    from flink_snappydata_spark.functions.exact import cents
+
+    out = events.select(
+        "event_id",
+        "user_id",
+        cents("value").alias("value_cents"),
+        F.expr(
+            zorder_sql(
+                f"user_id % {2 ** Z_BITS}",
+                f"CAST(ROUND(value * 100, 0) AS BIGINT) % {2 ** Z_BITS}",
+                div="DIV",
+            )
+        )
+        .cast("long")
+        .alias("zkey"),
+    )
+    if not sort:
+        return out
+    from flink_snappydata_spark.util import presentation_sorted
+
+    return presentation_sorted(out, "event_id", expect_small=False)

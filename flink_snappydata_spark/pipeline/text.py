@@ -1619,9 +1619,30 @@ def cms_heavy_hitters(documents: DataFrame) -> DataFrame:
     w = spread(documents, "doc_id").select(
         F.explode(_words(F.col("text"))).alias("word")
     )
-    counts = tracked_persist(
-        w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    counts = w.groupBy("word").agg(F.count(F.lit(1)).alias("cnt"))
+    return _cms_from_counts(counts)
+
+
+def cms_from_state(spark, counts_table: str) -> DataFrame:
+    """Streamed twin fold: apply the CMS heavy-hitter arithmetic to
+    the word-count partials accumulated by :func:`~flink_snappydata_
+    spark.operators.wordcount.streaming_wordcount_ingest` (identical
+    tokenizer) — exact counts fold batching-insensitively, so the
+    sketch built from folded state equals the batch sketch and the
+    batch oracle applies verbatim. ``batch_id`` is ingest lineage,
+    dropped here."""
+    counts = (
+        spark.table(counts_table)
+        .drop("batch_id")
+        .groupBy("word")
+        .agg(F.sum("cnt").cast("long").alias("cnt"))
     )
+    return _cms_from_counts(counts)
+
+
+def _cms_from_counts(counts: DataFrame) -> DataFrame:
+    """Shared CMS fold over a (word, cnt) vocabulary frame."""
+    counts = tracked_persist(counts)
     keyed = counts.select(
         "word",
         "cnt",

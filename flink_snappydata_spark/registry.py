@@ -4308,6 +4308,103 @@ _register(
 )
 
 
+def _cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``cms_heavy_hitters`` — the
+    bounded-memory frequent-items service a streaming ingest actually
+    runs: the documents fixture arrives as a 4-file stream; each
+    micro-batch appends its per-word count partials (the wordcount
+    ingest — identical tokenizer), and the returned frame applies the
+    CMS sketch arithmetic to the folded state — row-identical to the
+    batch op (exact counts fold batching-insensitively), so the batch
+    oracle applies verbatim. State torn down via
+    :func:`_stream_state_scored`."""
+    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    return _stream_state_scored(
+        spark,
+        docs,
+        "cms",
+        ["cnt"],
+        wordcount.streaming_wordcount_ingest,
+        textops.cms_from_state,
+    )
+
+
+QUERIES["cms_streamed"] = QuerySpec(
+    fn=_cms_streamed,
+    oracle=QUERIES["cms_heavy_hitters"].oracle,
+    doc="Streaming-ingest CMS heavy hitters: micro-batched word-count "
+        "partials into a queryable catalog table, sketch applied to "
+        "folded state (seventh stream→table loop — the frequent-items "
+        "service shape).",
+    judge_bearing=True,
+)
+
+
+_register(
+    "typo_pairs",
+    ["documents"],
+    dedup.typo_pairs,
+    r"""
+    WITH dirty AS (
+        SELECT substr(w, 1, 1) || substr(w, 3) AS typo,
+               CAST(COUNT(*) AS BIGINT) AS n_docs
+        FROM (
+            SELECT list_filter(string_split_regex(lower(text), '\W+'),
+                               x -> x <> '')[1] AS w
+            FROM documents WHERE doc_id % 7 = 0) t
+        WHERE length(w) >= 4
+        GROUP BY substr(w, 1, 1) || substr(w, 3)),
+    vocab AS (
+        SELECT DISTINCT unnest(list_filter(
+                   string_split_regex(lower(text), '\W+'), x -> x <> ''))
+               AS word
+        FROM documents),
+    v3 AS (SELECT word FROM vocab WHERE length(word) >= 3),
+    dk AS (
+        SELECT typo, n_docs, unnest(list_append(
+                   list_transform(generate_series(1, length(typo)),
+                       i -> substr(typo, 1, i - 1) || substr(typo, i + 1)),
+                   typo)) AS k
+        FROM dirty),
+    vk AS (
+        SELECT word, unnest(list_append(
+                   list_transform(generate_series(1, length(word)),
+                       i -> substr(word, 1, i - 1) || substr(word, i + 1)),
+                   word)) AS k
+        FROM v3)
+    SELECT DISTINCT d.typo, v.word, d.n_docs
+    FROM dk d JOIN vk v ON v.k = d.k
+    WHERE levenshtein(d.typo, v.word) = 1
+    ORDER BY typo, word
+    """,
+    doc="SymSpell edit-distance-1 fuzzy matching: both sides expand to "
+        "1-deletion neighborhoods and EQUI-join on the deletion key "
+        "(never a quadratic Levenshtein cross-product); exact "
+        "levenshtein verifies candidates only; typos synthesized "
+        "deterministically on both engines (PII-oracle device).",
+)
+
+_register(
+    "zorder_key",
+    ["events"],
+    lambda events: packing.zorder_key(events, sort=False),
+    f"""
+    SELECT event_id, user_id,
+           CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
+           CAST({packing.zorder_sql(
+               'user_id % 65536',
+               'CAST(ROUND(value * 100, 0) AS BIGINT) % 65536',
+               div='//',
+           )} AS BIGINT) AS zkey
+    FROM events ORDER BY event_id
+    """,
+    doc="Z-order (Morton) layout key over (user_id, value-cents): "
+        "pure-integer bit interleave from one shared expression "
+        "generator — map-only, zero shuffle; feeds range-partitioned "
+        "writes so both dimensions prune files.",
+)
+
+
 # ---------------------------------------------------------------------------
 # Declaration order
 # ---------------------------------------------------------------------------
@@ -4364,14 +4461,21 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVEN further round-8 operators landed after the 50-slot window was
-# already full of mandatory entries (rotation invariant: no displacing
-# the r05 re-stamps or the behavior-changed re-proofs):
+# TWENTY-THREE further round-8 operators landed after the 50-slot
+# window was already full of mandatory entries (rotation invariant: no
+# displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
-# inverted_index, cms_heavy_hitters, pagerank. They are QUEUED FIRST
-# for the r09 window (never-stamped ⇒ window-mandatory next round) and
-# are fully verified locally every pytest run via test_oracle_parity
-# plus the semantic tests in tests/test_round8_ops.py — driver-stamp
+# inverted_index, cms_heavy_hitters, pagerank, retention_cohorts,
+# ordered_funnel, events_mad_outliers, source_centroids,
+# embedding_dim_stats, bloom_membership, rollup_streamed,
+# latest_snapshot, timeline_gapfill, percentile_bands, vocab_growth,
+# knn_accuracy, mmr_select, typo_pairs, zorder_key, cms_streamed.
+# They are QUEUED FIRST for the r09 window (never-stamped ⇒
+# window-mandatory; with the 36 stale r06 stamps also due, r09's 50
+# slots take all 23 new + the 27 stalest r06, and the remaining r06
+# set completes in r10 within the every-third-round cadence) and are
+# fully verified locally every pytest run via test_oracle_parity plus
+# the semantic tests in tests/test_round8_ops.py — driver-stamp
 # pending, not unverified.
 
 _HEAD = [

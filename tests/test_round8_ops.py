@@ -520,3 +520,110 @@ def test_mmr_select_matches_python_greedy(embeddings):
         got_vid, got_score = out[rank]
         assert got_vid == vid, (rank, got_vid, vid)
         assert abs(got_score - score) < 1e-12
+
+
+# ---------------------------------------------------------------------------
+# batch 4: fuzzy matching, z-order, streamed CMS
+# ---------------------------------------------------------------------------
+
+def test_typo_pairs_finds_all_planted_typos(documents):
+    """Every synthesized deletion typo must match its source word (it
+    is by construction at edit distance 1), and every reported pair
+    must verify at exactly distance 1."""
+    from flink_snappydata_spark.pipeline.dedup import typo_pairs
+
+    out = typo_pairs(documents).collect()
+    assert out
+    planted = {
+        (r.typo, r.w)
+        for r in documents.filter(F.col("doc_id") % 7 == 0)
+        .select(
+            F.element_at(textops._words(F.col("text")), 1).alias("w")
+        )
+        .filter(F.length("w") >= 4)
+        .select(
+            F.concat(
+                F.substring("w", 1, 1), F.expr("substring(w, 3)")
+            ).alias("typo"),
+            "w",
+        )
+        .collect()
+    }
+    got = {(r.typo, r.word) for r in out}
+    assert planted <= got  # every planted (typo, source) recovered
+
+    def lev(a, b):
+        dp = list(range(len(b) + 1))
+        for i, ca in enumerate(a, 1):
+            prev, dp[0] = dp[0], i
+            for j, cb in enumerate(b, 1):
+                prev, dp[j] = dp[j], min(
+                    dp[j] + 1, dp[j - 1] + 1, prev + (ca != cb)
+                )
+        return dp[-1]
+
+    for r in out:
+        assert lev(r.typo, r.word) == 1, r
+
+
+def test_zorder_key_locality(events):
+    """Sorting by zkey must give better 2-D locality than sorting by
+    event_id: the mean Manhattan step between consecutive rows in
+    (user, cents) space shrinks."""
+    from flink_snappydata_spark.pipeline.packing import zorder_key
+
+    rows = zorder_key(events, sort=False).collect()
+
+    def mean_step(seq):
+        s = 0
+        for a, b in zip(seq, seq[1:]):
+            s += abs(a[0] - b[0]) + abs(a[1] - b[1])
+        return s / (len(seq) - 1)
+
+    by_z = sorted(rows, key=lambda r: (r.zkey, r.event_id))
+    by_id = sorted(rows, key=lambda r: r.event_id)
+    pts_z = [(r.user_id, r.value_cents) for r in by_z]
+    pts_id = [(r.user_id, r.value_cents) for r in by_id]
+    assert mean_step(pts_z) < mean_step(pts_id) / 2
+
+
+def test_zorder_bit_interleave_golden():
+    """Driver-side golden for the interleave: x=0b101, y=0b011 →
+    z = 1·1 + 1·2 + 0·4 + 1·8 + 1·16 + 0·32 = 0b011011."""
+    from flink_snappydata_spark.pipeline.packing import zorder_sql
+
+    import duckdb
+
+    z = duckdb.sql(
+        "SELECT " + zorder_sql("5", "3", div="//") + " AS z"
+    ).fetchone()[0]
+    assert z == 0b011011
+
+
+def test_cms_streamed_equals_batch(spark, documents, tmp_path):
+    """Word-count partials landed in 2 micro-batches must fold to the
+    exact batch CMS output."""
+    import uuid
+
+    from flink_snappydata_spark.operators.wordcount import (
+        streaming_wordcount_ingest,
+    )
+
+    docs = documents.select("doc_id", "text")
+    src = str(tmp_path / "docs")
+    ckpt = str(tmp_path / "ckpt")
+    table = f"fss_test_cms_{uuid.uuid4().hex[:8]}"
+    docs.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    try:
+        streaming_wordcount_ingest(stream, table, checkpoint=ckpt)
+        got = textops.cms_from_state(spark, table)
+        want = textops.cms_heavy_hitters(docs)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")

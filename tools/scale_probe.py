@@ -48,6 +48,7 @@ from flink_snappydata_spark.pipeline import sampling as _sampling
 from flink_snappydata_spark.pipeline import dedup as D
 from flink_snappydata_spark.pipeline import multimodal as M
 from flink_snappydata_spark.pipeline import packing as _packing
+from flink_snappydata_spark.operators import analytic as A
 from flink_snappydata_spark.pipeline import graph as GR
 from flink_snappydata_spark.pipeline import similarity as S
 from flink_snappydata_spark.pipeline import text as T
@@ -177,12 +178,30 @@ OPS = {
         ),
         sort=False,
     ),
+    "knn_accuracy": lambda d, e: S.knn_accuracy(e),
+    "mmr_select": lambda d, e: S.mmr_select(e),
+    "vocab_growth": lambda d, e: T.vocab_growth(d),
+    # replicated embeddings/documents keep aligned ids, so the id join
+    # and the synthesized 20-way source split both scale organically
+    "source_centroids": lambda d, e: S.source_centroids(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        ),
+        e,
+    ),
+    "embedding_dim_stats": lambda d, e: S.embedding_dim_stats(e),
 }
 
 #: Events-input ops (replicated with per-replica day offsets so the
 #: bucket count grows with the data, not just the per-bucket mass).
 EVENT_OPS = {
     "rollup_multires": lambda v: W.rollup_multires(v),
+    "latest_snapshot": lambda v: A.latest_snapshot(v),
+    "timeline_gapfill": lambda v: A.timeline_gapfill(v),
+    "percentile_bands": lambda v: A.percentile_bands(v),
+    "retention_cohorts": lambda v: A.retention_cohorts(v),
+    "ordered_funnel": lambda v: A.ordered_funnel(v),
+    "events_mad_outliers": lambda v: A.mad_outliers(v),
 }
 
 
