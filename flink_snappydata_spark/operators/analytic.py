@@ -350,3 +350,48 @@ def percentile_bands(events: DataFrame) -> DataFrame:
         )
         .orderBy("day", "event_type")
     )
+
+
+def event_rate_spikes(events: DataFrame, factor: float = 3.0) -> DataFrame:
+    """Rate-spike detection: per (hour, event_type), flag buckets whose
+    event count exceeds ``factor``× the trailing-24-hour mean — the
+    alerting rule a monitoring pipeline evaluates continuously. The
+    trailing window is a RANGE frame over epoch seconds (24 h back to
+    1 h back, current bucket excluded), so calendar gaps are handled
+    correctly — a missing hour simply contributes nothing, unlike a
+    rows-frame which would silently stretch the lookback.
+
+    Scale: the window runs over the HOURLY ROLLUP, not raw events —
+    O(hours × types) rows after one map-side-combined aggregation; the
+    per-type window partitions grow with elapsed time, not event
+    volume, which is the correct axis for an alerting view.
+    """
+    hourly = events.groupBy(
+        F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
+        "event_type",
+    ).agg(F.count(F.lit(1)).alias("n_events"))
+    keyed = hourly.withColumn(
+        "epoch", F.unix_timestamp("bucket_start").cast("long")
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("epoch")
+        .rangeBetween(-86400, -3600)
+    )
+    return (
+        keyed.withColumn("trailing_mean", F.avg("n_events").over(w))
+        .select(
+            "bucket_start",
+            "event_type",
+            "n_events",
+            "trailing_mean",
+            (
+                F.col("trailing_mean").isNotNull()
+                & (
+                    F.col("n_events")
+                    > F.lit(factor) * F.col("trailing_mean")
+                )
+            ).alias("is_spike"),
+        )
+        .orderBy("bucket_start", "event_type")
+    )

@@ -1209,3 +1209,43 @@ def q2_min_cost_supplier(
         )
         .limit(k)
     )
+
+
+def equidepth_histogram(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
+    """Equi-depth (equal-count) histogram of order value — the
+    optimizer-statistics / distribution-profiling aggregate (equi-WIDTH
+    histograms hide skew; equi-depth boundaries ARE the skew profile).
+    Bucket k spans (boundary[k-1], boundary[k]] where the boundaries
+    are the exact k/n quantiles of the integer cents.
+
+    Scale: boundaries come from ONE exact-percentile aggregation (a
+    single reduced row, broadcast back); rows bucket themselves with a
+    comparison against that tiny array — no ntile window, which would
+    range-sort the whole table to assign buckets. Bucket counts then
+    aggregate map-side. The fractional-quantile boundaries are
+    interpolated doubles over exact ints — deterministic, and rows
+    compare against them exactly.
+    """
+    c = cents("o_totalprice")
+    fracs = [i / n_buckets for i in range(1, n_buckets + 1)]
+    bounds = orders.agg(
+        F.percentile(c, F.array(*[F.lit(f) for f in fracs])).alias("bs")
+    )
+    bucketed = orders.crossJoin(F.broadcast(bounds)).select(
+        (
+            F.size(F.filter(F.col("bs"), lambda b: b < c.cast("double")))
+            + 1
+        )
+        .cast("long")
+        .alias("bucket"),
+        c.alias("cents"),
+    )
+    return (
+        bucketed.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            (F.min("cents") / 100.0).alias("lo_value"),
+            (F.max("cents") / 100.0).alias("hi_value"),
+        )
+        .orderBy("bucket")
+    )

@@ -1731,3 +1731,64 @@ def vocab_growth(
         )
         .orderBy("bucket")
     )
+
+
+def readability_scores(documents: DataFrame, sort: bool = True) -> DataFrame:
+    """Flesch-style readability scoring — the prose-complexity quality
+    signal (alongside Gopher rules and the LM filters) a curation
+    pipeline uses to separate fluent text from keyword soup. Sentences
+    are ``[.!?]+`` runs (minimum 1); syllables use the standard
+    vowel-group proxy (runs of ``[aeiouy]+`` per word); the score is
+    the deterministic double ``206.835 − 1.015·(words/sentences) −
+    84.6·(syllables/words)`` over those exact int64 counts.
+
+    Scale: PURE per-row JVM expressions — no explode, no shuffle, one
+    map over the corpus (the gopher_rules shape). ``sort=False`` (the
+    registered form) skips the O(corpus) presentation sort.
+    """
+    text = F.lower(F.col("text"))
+    words = F.filter(F.split(text, r"\W+"), lambda w: w != F.lit(""))
+    n_words = F.size(words).cast("long")
+    n_sentences = F.greatest(
+        F.size(
+            F.filter(
+                F.split(F.col("text"), r"[.!?]+"),
+                lambda s: F.trim(s) != F.lit(""),
+            )
+        ).cast("long"),
+        F.lit(1).cast("long"),
+    )
+    n_syllables = F.aggregate(
+        words,
+        F.lit(0).cast("long"),
+        lambda acc, w: acc
+        + F.greatest(
+            F.size(
+                F.filter(
+                    F.split(w, r"[^aeiouy]+"), lambda s: s != F.lit("")
+                )
+            ),
+            F.lit(1),
+        ).cast("long"),
+    )
+    out = documents.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        n_sentences.alias("n_sentences"),
+        n_syllables.alias("n_syllables"),
+        F.when(
+            n_words > 0,
+            F.lit(206.835)
+            - F.lit(1.015)
+            * (n_words.cast("double") / n_sentences.cast("double"))
+            - F.lit(84.6)
+            * (n_syllables.cast("double") / n_words.cast("double")),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("flesch"),
+    )
+    if not sort:
+        return out
+    from flink_snappydata_spark.util import presentation_sorted
+
+    return presentation_sorted(out, "doc_id", expect_small=False)

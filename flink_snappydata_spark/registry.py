@@ -4405,6 +4405,102 @@ _register(
 )
 
 
+_register(
+    "event_rate_spikes",
+    ["events"],
+    analytic.event_rate_spikes,
+    """
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS bucket_start, event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY date_trunc('hour', ts), event_type),
+    keyed AS (
+        SELECT bucket_start, event_type, n_events,
+               CAST(epoch(bucket_start) AS BIGINT) AS ep
+        FROM hourly)
+    SELECT bucket_start, event_type, n_events,
+           AVG(n_events) OVER (PARTITION BY event_type ORDER BY ep
+               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+               AS trailing_mean,
+           (AVG(n_events) OVER (PARTITION BY event_type ORDER BY ep
+                RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
+                IS NOT NULL
+            AND n_events > 3.0 * AVG(n_events) OVER (
+                PARTITION BY event_type ORDER BY ep
+                RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
+               AS is_spike
+    FROM keyed ORDER BY bucket_start, event_type
+    """,
+    doc="Rate-spike alerting: hourly counts vs a trailing-24h RANGE-"
+        "frame mean (calendar-gap correct) — the window runs over the "
+        "rollup, O(hours × types), never raw events.",
+)
+
+_register(
+    "equidepth_histogram",
+    ["orders"],
+    relational.equidepth_histogram,
+    f"""
+    WITH c AS (SELECT {_cents('o_totalprice')} AS cents FROM orders),
+    b AS (SELECT quantile_cont(cents,
+               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS bs
+          FROM c)
+    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
+           MIN(cents) / 100.0 AS lo_value,
+           MAX(cents) / 100.0 AS hi_value
+    FROM (
+        SELECT CAST(len(list_filter(b.bs,
+                   x -> x < CAST(c.cents AS DOUBLE))) + 1 AS BIGINT)
+                   AS bucket,
+               c.cents AS cents
+        FROM c, b) t
+    GROUP BY bucket ORDER BY bucket
+    """,
+    doc="Equi-depth histogram (optimizer-statistics profile): exact "
+        "decile boundaries from ONE percentile aggregation broadcast "
+        "back — no ntile window, no global range sort; rows bucket by "
+        "comparison, counts aggregate map-side.",
+)
+
+_register(
+    "readability_scores",
+    ["documents"],
+    lambda documents: textops.readability_scores(documents, sort=False),
+    r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS ws,
+               list_filter(list_transform(
+                   string_split_regex(text, '[.!?]+'), s -> trim(s)),
+                   s -> s <> '') AS sents
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               CAST(len(ws) AS BIGINT) AS n_words,
+               CAST(GREATEST(len(sents), 1) AS BIGINT) AS n_sentences,
+               CAST(list_sum(list_transform(ws, w -> GREATEST(
+                   len(list_filter(string_split_regex(w, '[^aeiouy]+'),
+                                   x -> x <> '')), 1))) AS BIGINT)
+                   AS n_syllables
+        FROM t)
+    SELECT doc_id, n_words, n_sentences,
+           COALESCE(n_syllables, 0) AS n_syllables,
+           CASE WHEN n_words > 0
+                THEN 206.835
+                     - 1.015 * (CAST(n_words AS DOUBLE)
+                                / CAST(n_sentences AS DOUBLE))
+                     - 84.6 * (CAST(COALESCE(n_syllables, 0) AS DOUBLE)
+                               / CAST(n_words AS DOUBLE))
+                ELSE 0.0 END AS flesch
+    FROM s ORDER BY doc_id
+    """,
+    doc="Flesch-style readability: vowel-group syllable proxy, "
+        "sentence runs, deterministic double score — pure per-row JVM "
+        "expressions, no explode, no shuffle (gopher_rules shape).",
+)
+
+
 # ---------------------------------------------------------------------------
 # Declaration order
 # ---------------------------------------------------------------------------
@@ -4461,7 +4557,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# TWENTY-THREE further round-8 operators landed after the 50-slot
+# TWENTY-SIX further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -4469,10 +4565,11 @@ _register(
 # ordered_funnel, events_mad_outliers, source_centroids,
 # embedding_dim_stats, bloom_membership, rollup_streamed,
 # latest_snapshot, timeline_gapfill, percentile_bands, vocab_growth,
-# knn_accuracy, mmr_select, typo_pairs, zorder_key, cms_streamed.
+# knn_accuracy, mmr_select, typo_pairs, zorder_key, cms_streamed,
+# event_rate_spikes, equidepth_histogram, readability_scores.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
 # window-mandatory; with the 36 stale r06 stamps also due, r09's 50
-# slots take all 23 new + the 27 stalest r06, and the remaining r06
+# slots take the 26 new + the 24 stalest r06, and the remaining r06
 # set completes in r10 within the every-third-round cadence) and are
 # fully verified locally every pytest run via test_oracle_parity plus
 # the semantic tests in tests/test_round8_ops.py — driver-stamp

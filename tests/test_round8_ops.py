@@ -627,3 +627,63 @@ def test_cms_streamed_equals_batch(spark, documents, tmp_path):
         assert want.exceptAll(got).count() == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# batch 5: spikes, equi-depth histogram, readability
+# ---------------------------------------------------------------------------
+
+def test_event_rate_spikes_trailing_window(events):
+    """First bucket per type has no trailing context; one hand-checked
+    trailing mean must match the RANGE-frame computation."""
+    from flink_snappydata_spark.operators.analytic import event_rate_spikes
+
+    rows = event_rate_spikes(events).collect()
+    by_type = {}
+    for r in rows:
+        by_type.setdefault(r.event_type, []).append(r)
+    for t, rs in by_type.items():
+        rs.sort(key=lambda r: r.bucket_start)
+        assert rs[0].trailing_mean is None
+        assert not rs[0].is_spike
+        # hand-check bucket 25 (a full 24h of history behind it)
+        if len(rs) > 25:
+            target = rs[25]
+            lo = target.bucket_start.timestamp() - 86400
+            hi = target.bucket_start.timestamp() - 3600
+            ctx = [
+                r.n_events
+                for r in rs
+                if lo <= r.bucket_start.timestamp() <= hi
+            ]
+            assert ctx
+            assert abs(target.trailing_mean - sum(ctx) / len(ctx)) < 1e-9
+
+
+def test_equidepth_histogram_is_equal_depth(spark):
+    from flink_snappydata_spark.operators.relational import (
+        equidepth_histogram,
+    )
+
+    orders = load_table(spark, SF, "orders")
+    rows = equidepth_histogram(orders).collect()
+    n = orders.count()
+    assert sum(r.n_orders for r in rows) == n
+    # near-continuous values: every decile within 1% of n/10
+    for r in rows:
+        assert abs(r.n_orders - n / 10) <= max(2, 0.01 * n), r
+    # bucket ranges are ordered and non-overlapping
+    for a, b in zip(rows, rows[1:]):
+        assert a.hi_value <= b.lo_value
+
+
+def test_readability_scores_formula(documents):
+    rows = textops.readability_scores(documents, sort=False).collect()
+    for r in rows:
+        assert r.n_syllables >= r.n_words  # every word has ≥1 syllable
+        want = (
+            206.835
+            - 1.015 * (r.n_words / r.n_sentences)
+            - 84.6 * (r.n_syllables / r.n_words)
+        )
+        assert abs(r.flesch - want) < 1e-9

@@ -190,6 +190,8 @@ OPS = {
         e,
     ),
     "embedding_dim_stats": lambda d, e: S.embedding_dim_stats(e),
+    "readability_scores": lambda d, e: T.readability_scores(d, sort=False),
+    "typo_pairs": lambda d, e: D.typo_pairs(d),
 }
 
 #: Events-input ops (replicated with per-replica day offsets so the
@@ -202,6 +204,8 @@ EVENT_OPS = {
     "retention_cohorts": lambda v: A.retention_cohorts(v),
     "ordered_funnel": lambda v: A.ordered_funnel(v),
     "events_mad_outliers": lambda v: A.mad_outliers(v),
+    "event_rate_spikes": lambda v: A.event_rate_spikes(v),
+    "zorder_key": lambda v: _packing.zorder_key(v, sort=False),
 }
 
 
