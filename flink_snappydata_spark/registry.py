@@ -4632,16 +4632,55 @@ _HEAD = [
     "quality_model_scores",
 ]
 
+#: The r09 stamp queue: the round-8 session's 26 new operators, placed
+#: IMMEDIATELY after the 50-slot window in declaration order so the
+#: next round's front-to-back stamping reaches them first. The rotation
+#: test pins this position (never-stamped overflow must head the
+#: post-window order — budget-bounded verification, nothing buried).
+_R9_QUEUE: list[str] = [
+    "rollup_multires",
+    "rollup_streamed",
+    "random_projection",
+    "hard_negatives",
+    "pq_adc_topk",
+    "inverted_index",
+    "cms_heavy_hitters",
+    "cms_streamed",
+    "pagerank",
+    "retention_cohorts",
+    "ordered_funnel",
+    "events_mad_outliers",
+    "source_centroids",
+    "embedding_dim_stats",
+    "bloom_membership",
+    "latest_snapshot",
+    "timeline_gapfill",
+    "percentile_bands",
+    "vocab_growth",
+    "knn_accuracy",
+    "mmr_select",
+    "typo_pairs",
+    "zorder_key",
+    "event_rate_spikes",
+    "equidepth_histogram",
+    "readability_scores",
+]
+
 _TAIL: list[str] = []
 
 
 def _reorder() -> None:
     global QUERIES
-    missing = [n for n in _HEAD + _TAIL if n not in QUERIES]
+    order = _HEAD + _R9_QUEUE + _TAIL
+    missing = [n for n in order if n not in QUERIES]
     if missing:  # pragma: no cover - guards registry edits
         raise KeyError(f"unknown registry entries in order lists: {missing}")
-    middle = [n for n in QUERIES if n not in _HEAD and n not in _TAIL]
-    QUERIES = {n: QUERIES[n] for n in _HEAD + middle + _TAIL}
+    middle = [
+        n for n in QUERIES if n not in _HEAD and n not in _R9_QUEUE and n not in _TAIL
+    ]
+    QUERIES = {
+        n: QUERIES[n] for n in _HEAD + _R9_QUEUE + middle + _TAIL
+    }
 
 
 _reorder()
