@@ -151,3 +151,62 @@ def dedup_report(
         "n_neardup_clusters",
         "max_cluster_size",
     )
+
+
+def snapshot_diff(documents: DataFrame) -> DataFrame:
+    """Table-version reconciliation: diff two snapshots of the corpus
+    by content digest — the data-ops primitive behind incremental
+    re-crawls, replication checks, and "what changed since the last
+    training set" audits. Returns one row per non-identical document:
+    ``(doc_id, status ∈ added | removed | changed)``.
+
+    The "new" snapshot is synthesized deterministically on both
+    engines (the PII-oracle enrichment device): every 17th document is
+    dropped, every 13th surviving document's text is modified, and
+    every 19th document spawns an added derivative at
+    ``doc_id + 1_000_000``.
+
+    Scale: each side reduces to ``(doc_id, sha2(text))`` BEFORE the
+    join — text never shuffles, the full-outer join carries ids and
+    64-hex digests only, and matching-digest rows (the overwhelming
+    majority of a real diff) are filtered without ever moving their
+    payload. The join is id-keyed and co-partitioned; no broadcast
+    needed at any corpus size. The diff output is a corpus-sized
+    fraction of the input, so the presentation sort stays a
+    distributed range sort (``expect_small=False``).
+    """
+    digest = F.sha2(F.col("text"), 256)
+    old = documents.select("doc_id", digest.alias("old_digest"))
+    base = documents.filter(F.pmod(F.col("doc_id"), F.lit(17)) != 0)
+    modified = base.select(
+        "doc_id",
+        F.when(
+            F.pmod(F.col("doc_id"), F.lit(13)) == 0,
+            F.concat(F.col("text"), F.lit(" [rev2]")),
+        )
+        .otherwise(F.col("text"))
+        .alias("text"),
+    )
+    added = documents.filter(F.pmod(F.col("doc_id"), F.lit(19)) == 0).select(
+        (F.col("doc_id") + F.lit(1_000_000)).alias("doc_id"),
+        F.concat(F.lit("addendum: "), F.col("text")).alias("text"),
+    )
+    new = modified.unionByName(added).select(
+        "doc_id", digest.alias("new_digest")
+    )
+    out = (
+        old.join(new, "doc_id", "full_outer")
+        .filter(
+            F.col("old_digest").isNull()
+            | F.col("new_digest").isNull()
+            | (F.col("old_digest") != F.col("new_digest"))
+        )
+        .select(
+            "doc_id",
+            F.when(F.col("old_digest").isNull(), F.lit("added"))
+            .when(F.col("new_digest").isNull(), F.lit("removed"))
+            .otherwise(F.lit("changed"))
+            .alias("status"),
+        )
+    )
+    return presentation_sorted(out, "doc_id", expect_small=False)

@@ -4501,6 +4501,74 @@ _register(
 )
 
 
+_register(
+    "session_paths",
+    ["events"],
+    stream_windows.session_paths,
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM seq
+    ), paths AS (
+        SELECT user_id, sid,
+               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
+        FROM sess GROUP BY user_id, sid
+    )
+    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
+    FROM paths GROUP BY path
+    ORDER BY n_sessions DESC, path ASC LIMIT 20
+    """,
+    doc="Top-k session paths (path mining): per-session ordered "
+        "event-type sequence — session-bounded collect, one "
+        "sessionization shuffle, TakeOrdered top-k over the "
+        "vocabulary-sized path histogram.",
+)
+
+_register(
+    "snapshot_diff",
+    ["documents"],
+    curation.snapshot_diff,
+    """
+    WITH old AS (SELECT doc_id, sha256(text) AS od FROM documents),
+    base AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
+                    ELSE text END AS text
+        FROM documents WHERE doc_id % 17 <> 0),
+    added AS (
+        SELECT doc_id + 1000000 AS doc_id, 'addendum: ' || text AS text
+        FROM documents WHERE doc_id % 19 = 0),
+    newsnap AS (
+        SELECT doc_id, sha256(text) AS nd FROM (
+            SELECT doc_id, text FROM base
+            UNION ALL SELECT doc_id, text FROM added) t),
+    j AS (
+        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.od, n.nd
+        FROM old o FULL OUTER JOIN newsnap n ON n.doc_id = o.doc_id)
+    SELECT doc_id,
+           CASE WHEN od IS NULL THEN 'added'
+                WHEN nd IS NULL THEN 'removed'
+                ELSE 'changed' END AS status
+    FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd
+    ORDER BY doc_id
+    """,
+    doc="Table-version diff by content digest (incremental-recrawl "
+        "audit): both sides reduce to (id, sha256) BEFORE the id-keyed "
+        "full-outer join — text never shuffles; snapshot mutations "
+        "synthesized deterministically on both engines.",
+)
+
+
 # ---------------------------------------------------------------------------
 # Declaration order
 # ---------------------------------------------------------------------------
@@ -4557,7 +4625,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# TWENTY-SIX further round-8 operators landed after the 50-slot
+# TWENTY-EIGHT further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -4566,10 +4634,11 @@ _register(
 # embedding_dim_stats, bloom_membership, rollup_streamed,
 # latest_snapshot, timeline_gapfill, percentile_bands, vocab_growth,
 # knn_accuracy, mmr_select, typo_pairs, zorder_key, cms_streamed,
-# event_rate_spikes, equidepth_histogram, readability_scores.
+# event_rate_spikes, equidepth_histogram, readability_scores,
+# session_paths, snapshot_diff.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
 # window-mandatory; with the 36 stale r06 stamps also due, r09's 50
-# slots take the 26 new + the 24 stalest r06, and the remaining r06
+# slots take the 28 new + the 22 stalest r06, and the remaining r06
 # set completes in r10 within the every-third-round cadence) and are
 # fully verified locally every pytest run via test_oracle_parity plus
 # the semantic tests in tests/test_round8_ops.py — driver-stamp
@@ -4664,6 +4733,8 @@ _R9_QUEUE: list[str] = [
     "event_rate_spikes",
     "equidepth_histogram",
     "readability_scores",
+    "session_paths",
+    "snapshot_diff",
 ]
 
 _TAIL: list[str] = []

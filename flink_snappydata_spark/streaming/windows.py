@@ -269,3 +269,49 @@ def rollup_from_state(spark, hourly_table: str) -> DataFrame:
         )
     )
     return _multires_from_hourly(hourly)
+
+
+def session_paths(
+    events: DataFrame, gap: str = "30 minutes", k: int = 20
+) -> DataFrame:
+    """Top-k session paths: the ordered event-type sequence of each
+    session window (``>``-joined), counted across sessions — the
+    product-analytics "what do users actually do" query (path mining
+    feeds funnel design; the ordered funnel then measures one chosen
+    path).
+
+    Order within a session is (ts, event_id) — fully deterministic.
+    Returns ``(path, n_sessions)``, the ``k`` most common paths with
+    path-string tiebreak.
+
+    Scale: the per-session ``collect_list`` is bounded by the session
+    itself (the gap closes runaway sessions — a session is a burst of
+    human activity, not a corpus-sized group), and sessionization is
+    the same one-shuffle session_window aggregation the funnel uses;
+    the path histogram is vocabulary-sized and the top-k is
+    TakeOrdered (per-partition heaps, no global sort).
+    """
+    sess = (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(
+                        F.collect_list(
+                            F.struct("ts", "event_id", "event_type")
+                        )
+                    ),
+                    lambda x: x["event_type"],
+                ),
+                ">",
+            ).alias("path")
+        )
+    )
+    return (
+        sess.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
+        .limit(k)
+    )

@@ -687,3 +687,55 @@ def test_readability_scores_formula(documents):
             - 84.6 * (r.n_syllables / r.n_words)
         )
         assert abs(r.flesch - want) < 1e-9
+
+
+# ---------------------------------------------------------------------------
+# batch 6: session paths, snapshot diff
+# ---------------------------------------------------------------------------
+
+def test_session_paths_counts_conserve_sessions(events):
+    from flink_snappydata_spark.streaming.windows import (
+        session_paths,
+        session_window_counts,
+    )
+
+    # with k large enough to keep every path, session counts conserve
+    paths = session_paths(events, k=10_000)
+    n_sessions = session_window_counts(events).count()
+    assert paths.agg(F.sum("n_sessions")).collect()[0][0] == n_sessions
+    top = session_paths(events).collect()
+    assert len(top) <= 20
+    counts = [r.n_sessions for r in top]
+    assert counts == sorted(counts, reverse=True)
+    types = {
+        r.event_type for r in events.select("event_type").distinct().collect()
+    }
+    for r in top:
+        assert r.path
+        assert set(r.path.split(">")) <= types
+
+
+def test_snapshot_diff_statuses(documents):
+    from flink_snappydata_spark.pipeline.curation import snapshot_diff
+
+    rows = snapshot_diff(documents).collect()
+    by_status = {}
+    for r in rows:
+        by_status.setdefault(r.status, set()).add(r.doc_id)
+    n = documents.count()
+    removed_truth = {
+        r.doc_id for r in documents.filter(F.col("doc_id") % 17 == 0).collect()
+    }
+    added_truth = {
+        r.doc_id + 1_000_000
+        for r in documents.filter(F.col("doc_id") % 19 == 0).collect()
+    }
+    changed_truth = {
+        r.doc_id
+        for r in documents.filter(
+            (F.col("doc_id") % 13 == 0) & (F.col("doc_id") % 17 != 0)
+        ).collect()
+    }
+    assert by_status.get("removed", set()) == removed_truth
+    assert by_status.get("added", set()) == added_truth
+    assert by_status.get("changed", set()) == changed_truth
