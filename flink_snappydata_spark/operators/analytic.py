@@ -395,3 +395,48 @@ def event_rate_spikes(events: DataFrame, factor: float = 3.0) -> DataFrame:
         )
         .orderBy("bucket_start", "event_type")
     )
+
+
+def event_transitions(events: DataFrame) -> DataFrame:
+    """First-order Markov transition matrix over the event stream: for
+    each ``(prev_type, next_type)`` pair of consecutive events within a
+    user's timeline, the transition count and conditional probability
+    ``P(next | prev)`` — the sequence model behind next-action
+    prediction, anomaly scoring ("this transition never happens"), and
+    the funnel/path analyses (`ordered_funnel`, `session_paths`) that
+    pick which paths to measure.
+
+    Order within a user is (ts, event_id) — fully deterministic.
+    Returns ``(prev_type, next_type, n_transitions, p)`` sorted by the
+    pair; ``p`` is the same int64 count division on both engines.
+
+    Scale: one user-keyed shuffle + per-user sort for the ``lag`` (the
+    sessionization shape — bounded by a user's own history, never the
+    corpus), collapsing immediately to the event-type-vocabulary-sized
+    pair histogram (map-side combined); the row-normalization window
+    runs over that k×k frame, not the events. Output is k², so the
+    presentation sort is free.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    pairs = (
+        events.select(
+            F.lag("event_type").over(w).alias("prev_type"),
+            F.col("event_type").alias("next_type"),
+        )
+        .filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "next_type")
+        .agg(F.count(F.lit(1)).alias("n_transitions"))
+    )
+    row_total = Window.partitionBy("prev_type")
+    return (
+        pairs.select(
+            "prev_type",
+            "next_type",
+            "n_transitions",
+            (
+                F.col("n_transitions").cast("double")
+                / F.sum("n_transitions").over(row_total).cast("double")
+            ).alias("p"),
+        )
+        .orderBy("prev_type", "next_type")
+    )

@@ -210,3 +210,83 @@ def snapshot_diff(documents: DataFrame) -> DataFrame:
         )
     )
     return presentation_sorted(out, "doc_id", expect_small=False)
+
+
+def merge_upsert(documents: DataFrame) -> DataFrame:
+    """MERGE INTO semantics (the lakehouse upsert/delete apply — the
+    write-side twin of :func:`snapshot_diff`): apply a keyed changeset
+    of deletes and upserts to a base table and report the merge
+    summary plus an order-free content checksum of the merged table.
+
+    The changeset is synthesized deterministically on both engines:
+    delete every 23rd document, upsert a revised text for every 11th
+    surviving document, and insert a derivative document at
+    ``doc_id + 2_000_000`` for every 29th — updates and inserts ride
+    the SAME upsert channel (matched → replace, unmatched → insert),
+    which is exactly the MERGE contract.
+
+    Returns one row: ``(n_base, n_deleted, n_updated, n_inserted,
+    n_rows, content_checksum)`` where the checksum is the BIGINT sum of
+    a 32-bit md5 word of ``doc_id#text`` over the merged table — any
+    row lost, duplicated, or mis-texted by the merge moves it.
+
+    Scale: the merge is two id-keyed co-partitioned joins (anti for
+    deletes, full-outer for upserts) whose join payload is ids plus the
+    changeset's new text — base text rides the base partition and never
+    shuffles redundantly; matched/unmatched classification happens in
+    the same pass that produces the merged rows, so there is no second
+    scan; the summary is a map-side-combined single-row aggregate. No
+    broadcast is required at any corpus size, though Catalyst will
+    broadcast the changeset side when it is small.
+    """
+    deletes = documents.filter(
+        F.pmod(F.col("doc_id"), F.lit(23)) == 0
+    ).select("doc_id")
+    upserts = (
+        documents.filter(
+            (F.pmod(F.col("doc_id"), F.lit(11)) == 0)
+            & (F.pmod(F.col("doc_id"), F.lit(23)) != 0)
+        )
+        .select(
+            "doc_id",
+            F.concat(F.col("text"), F.lit(" [v2]")).alias("new_text"),
+        )
+        .unionByName(
+            documents.filter(F.pmod(F.col("doc_id"), F.lit(29)) == 0).select(
+                (F.col("doc_id") + F.lit(2_000_000)).alias("doc_id"),
+                F.concat(F.lit("insert: "), F.col("text")).alias("new_text"),
+            )
+        )
+    )
+    survivors = documents.select("doc_id", "text").join(
+        deletes, "doc_id", "left_anti"
+    )
+    merged = survivors.join(upserts, "doc_id", "full_outer").select(
+        "doc_id",
+        F.coalesce(F.col("new_text"), F.col("text")).alias("text"),
+        (F.col("new_text").isNotNull() & F.col("text").isNotNull()).alias(
+            "was_update"
+        ),
+        (F.col("new_text").isNotNull() & F.col("text").isNull()).alias(
+            "was_insert"
+        ),
+    )
+    word = F.conv(
+        F.substring(
+            F.md5(F.concat_ws("#", F.col("doc_id"), F.col("text"))), 1, 8
+        ),
+        16,
+        10,
+    ).cast("long")
+    n_base = documents.agg(F.count(F.lit(1)).alias("n_base"))
+    n_deleted = deletes.agg(F.count(F.lit(1)).alias("n_deleted"))
+    summary = merged.agg(
+        F.sum(F.col("was_update").cast("long")).alias("n_updated"),
+        F.sum(F.col("was_insert").cast("long")).alias("n_inserted"),
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(word).alias("content_checksum"),
+    )
+    return n_base.crossJoin(n_deleted).crossJoin(summary).select(
+        "n_base", "n_deleted", "n_updated", "n_inserted", "n_rows",
+        "content_checksum",
+    )

@@ -444,3 +444,83 @@ def zorder_key(events: DataFrame, sort: bool = True) -> DataFrame:
     from flink_snappydata_spark.util import presentation_sorted
 
     return presentation_sorted(out, "event_id", expect_small=False)
+
+
+def zonemap_skip_stats(events: DataFrame, block_rows: int = 1024) -> DataFrame:
+    """Zone-map (block min/max) data-skipping audit — the measurement
+    behind every lakehouse "files skipped" statistic and the payoff
+    meter for :func:`zorder_key`: build per-block min/max statistics in
+    ``event_id`` layout order, then report how many blocks (and rows)
+    two canonical predicates could skip without reading.
+
+    Blocks are ``event_id DIV block_rows`` (the write order). The two
+    probes are derived from the data's own bounds so both engines agree
+    bit-for-bit: a *time* predicate ``ts >= tmin + 9·(tmax−tmin)/10``
+    (the "last 10% of time" dashboard query) and a *value* predicate of
+    the same shape. Because ingest time correlates with write order,
+    the ts zone maps prune almost every block, while the uncorrelated
+    ``value`` column prunes none — the measured gap IS the argument for
+    re-clustering (Z-order) the layout. All arithmetic is int64 (epoch
+    micros / value cents, floor division).
+
+    Returns one row: ``(n_blocks, n_rows, ts_blocks_skipped,
+    ts_rows_skipped, val_blocks_skipped, val_rows_skipped)``.
+
+    Scale: one map-side-combined aggregation to the block frame
+    (corpus/block_rows rows — this is the zone-map *index*, the thing
+    small enough to sit on a driver or in a catalog), a 1-row bounds
+    aggregate over that frame cross-joined back, and a single-row
+    summary. The raw events are scanned exactly once; predicates are
+    evaluated against the index only.
+    """
+    from flink_snappydata_spark.functions.exact import cents
+
+    blocks = (
+        events.groupBy(
+            (F.col("event_id") / F.lit(block_rows))
+            .cast("long")
+            .alias("block_id")
+        )
+        .agg(
+            # ts ships as TIMESTAMP or TIMESTAMP_NTZ depending on the
+            # fixture generation; the session pins UTC, so the cast is
+            # wall-clock-identical either way and matches epoch_us.
+            F.min(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+                "min_ts"
+            ),
+            F.max(F.unix_micros(F.col("ts").cast("timestamp"))).alias(
+                "max_ts"
+            ),
+            F.min(cents("value")).alias("min_val"),
+            F.max(cents("value")).alias("max_val"),
+            F.count(F.lit(1)).alias("n_rows"),
+        )
+    )
+    bounds = blocks.agg(
+        F.min("min_ts").alias("tmin"),
+        F.max("max_ts").alias("tmax"),
+        F.min("min_val").alias("vmin"),
+        F.max("max_val").alias("vmax"),
+    )
+    j = blocks.crossJoin(bounds).select(
+        "n_rows",
+        (
+            F.col("max_ts")
+            < F.col("tmin")
+            + F.expr("(tmax - tmin) * 9 DIV 10").cast("long")
+        ).alias("ts_skip"),
+        (
+            F.col("max_val")
+            < F.col("vmin") + F.expr("(vmax - vmin) DIV 2").cast("long")
+        ).alias("val_skip"),
+    )
+    return j.agg(
+        F.count(F.lit(1)).alias("n_blocks"),
+        F.sum("n_rows").alias("n_rows"),
+        F.sum(F.col("ts_skip").cast("long")).alias("ts_blocks_skipped"),
+        F.sum(F.when(F.col("ts_skip"), F.col("n_rows")).otherwise(F.lit(0)))
+        .alias("ts_rows_skipped"),
+        F.sum(F.col("val_skip").cast("long")).alias("val_blocks_skipped"),
+        F.sum(F.when(F.col("val_skip"), F.col("n_rows")).otherwise(F.lit(0)))
+        .alias("val_rows_skipped"),
+    )

@@ -523,3 +523,62 @@ def bloom_membership(
             / F.sum((~F.col("truth")).cast("long"))
         ).alias("fp_rate"),
     )
+
+
+def weighted_sample(
+    documents: DataFrame, k: int = 25, n_buckets: int = 32
+) -> DataFrame:
+    """Deterministic weighted sample: the top-``k`` documents per
+    source under a weight-scaled hash priority — the A-RES
+    (reservoir-with-priorities) shape with the RNG replaced by
+    :func:`~flink_snappydata_spark.pipeline.packing.portable_hash`, so
+    the "random" draw is a pure function of ``doc_id`` that any engine
+    reproduces bit-for-bit. Longer documents (weight ``n_chars``) are
+    proportionally more likely to make the reservoir, which is the
+    standard size-weighted pick for eval panels and human-review
+    batches; determinism means the panel is stable across runs,
+    clusters, and re-partitioning.
+
+    Priority is ``n_chars / (hash(doc_id) + 1)`` — an IEEE-754 double
+    division of the same two int64s on both engines, hence identical
+    bits and identical order (ties broken by ``doc_id``). Returns
+    ``(source, rank, doc_id, n_chars)``.
+
+    Scale: per-source top-k is computed in two exact phases — phase 1
+    takes the top-k inside each of ``n_buckets`` hash sub-groups per
+    source (per-partition sorts bounded by corpus/(sources·buckets)),
+    phase 2 re-ranks the surviving ≤ k·n_buckets candidate rows per
+    source. The global top-k per source is exactly the top-k of the
+    union of bucket top-ks, so no single reducer ever sorts a whole
+    source — the hot-source analog of TakeOrdered. Text is never
+    selected; only ids, weights, and the source key shuffle.
+    """
+    pri = F.col("n_chars").cast("double") / (
+        portable_hash(F.col("doc_id")) + F.lit(1)
+    ).cast("double")
+    cand = documents.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        pri.alias("pri"),
+        F.pmod(F.col("doc_id"), F.lit(n_buckets)).alias("bkt"),
+    )
+    phase1 = Window.partitionBy("source", "bkt").orderBy(
+        F.col("pri").desc(), "doc_id"
+    )
+    survivors = (
+        cand.withColumn("r1", F.row_number().over(phase1))
+        .filter(F.col("r1") <= k)
+        .drop("r1", "bkt")
+    )
+    phase2 = Window.partitionBy("source").orderBy(
+        F.col("pri").desc(), "doc_id"
+    )
+    return (
+        survivors.withColumn(
+            "rank", F.row_number().over(phase2).cast("long")
+        )
+        .filter(F.col("rank") <= k)
+        .select("source", "rank", "doc_id", "n_chars")
+        .orderBy("source", "rank")
+    )

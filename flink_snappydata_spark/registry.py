@@ -4569,6 +4569,136 @@ _register(
 )
 
 
+_register(
+    "merge_upsert",
+    ["documents"],
+    curation.merge_upsert,
+    """
+    WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0),
+    ups AS (
+        SELECT doc_id, text || ' [v2]' AS new_text FROM documents
+        WHERE doc_id % 11 = 0 AND doc_id % 23 <> 0
+        UNION ALL
+        SELECT doc_id + 2000000 AS doc_id, 'insert: ' || text AS new_text
+        FROM documents WHERE doc_id % 29 = 0),
+    surv AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0),
+    merged AS (
+        SELECT COALESCE(u.doc_id, s.doc_id) AS doc_id,
+               COALESCE(u.new_text, s.text) AS text,
+               (u.new_text IS NOT NULL AND s.text IS NOT NULL) AS was_update,
+               (u.new_text IS NOT NULL AND s.text IS NULL) AS was_insert
+        FROM surv s FULL OUTER JOIN ups u ON u.doc_id = s.doc_id)
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_base,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM dels) AS n_deleted,
+           CAST(SUM(CASE WHEN was_update THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_updated,
+           CAST(SUM(CASE WHEN was_insert THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_inserted,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(('0x' || substr(md5(doc_id || '#' || text), 1, 8))::BIGINT)
+                AS BIGINT) AS content_checksum
+    FROM merged
+    """,
+    doc="MERGE INTO apply (upsert + delete changeset) with a merge "
+        "summary and an order-free 32-bit-md5-word content checksum of "
+        "the merged table: two id-keyed co-partitioned joins, "
+        "matched/unmatched classified in the same pass that emits the "
+        "merged rows, single-row map-side-combined summary.",
+)
+
+_register(
+    "event_transitions",
+    ["events"],
+    analytic.event_transitions,
+    """
+    WITH pairs AS (
+        SELECT LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type,
+               event_type AS next_type
+        FROM events),
+    cnt AS (
+        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT)
+                   AS n_transitions
+        FROM pairs WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type)
+    SELECT prev_type, next_type, n_transitions,
+           CAST(n_transitions AS DOUBLE)
+               / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
+                      AS DOUBLE) AS p
+    FROM cnt
+    ORDER BY prev_type, next_type
+    """,
+    doc="First-order Markov transition matrix P(next event | prev "
+        "event) per user timeline: one user-keyed lag shuffle "
+        "collapsing to the k-squared type-pair histogram; the "
+        "normalization window runs over that tiny frame.",
+)
+
+_register(
+    "zonemap_skip_stats",
+    ["events"],
+    packing.zonemap_skip_stats,
+    f"""
+    WITH blocks AS (
+        SELECT event_id // 1024 AS block_id,
+               MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts,
+               MIN({_cents('value')}) AS min_val,
+               MAX({_cents('value')}) AS max_val,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM events GROUP BY 1),
+    bounds AS (SELECT MIN(min_ts) AS tmin, MAX(max_ts) AS tmax,
+                      MIN(min_val) AS vmin, MAX(max_val) AS vmax
+               FROM blocks),
+    j AS (SELECT n_rows,
+                 max_ts < tmin + (tmax - tmin) * 9 // 10 AS ts_skip,
+                 max_val < vmin + (vmax - vmin) // 2 AS val_skip
+          FROM blocks, bounds)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN ts_skip THEN 1 ELSE 0 END) AS BIGINT)
+               AS ts_blocks_skipped,
+           CAST(SUM(CASE WHEN ts_skip THEN n_rows ELSE 0 END) AS BIGINT)
+               AS ts_rows_skipped,
+           CAST(SUM(CASE WHEN val_skip THEN 1 ELSE 0 END) AS BIGINT)
+               AS val_blocks_skipped,
+           CAST(SUM(CASE WHEN val_skip THEN n_rows ELSE 0 END) AS BIGINT)
+               AS val_rows_skipped
+    FROM j
+    """,
+    doc="Zone-map data-skipping audit: per-block min/max index in "
+        "write order, then block-prune fractions for a clustered (ts) "
+        "vs unclustered (value) predicate — the measured gap is the "
+        "re-cluster argument; raw events scanned exactly once.",
+)
+
+_register(
+    "weighted_sample",
+    ["documents"],
+    sampling.weighted_sample,
+    f"""
+    WITH cand AS (
+        SELECT source, doc_id, n_chars,
+               CAST(n_chars AS DOUBLE)
+                   / CAST(({packing.portable_hash_sql('doc_id')}) + 1
+                          AS DOUBLE) AS pri
+        FROM documents),
+    ranked AS (
+        SELECT source, doc_id, n_chars,
+               CAST(ROW_NUMBER() OVER (PARTITION BY source
+                                       ORDER BY pri DESC, doc_id)
+                    AS BIGINT) AS rank
+        FROM cand)
+    SELECT source, rank, doc_id, n_chars
+    FROM ranked WHERE rank <= 25
+    ORDER BY source, rank
+    """,
+    doc="Deterministic weighted per-source sample (A-RES with the RNG "
+        "replaced by the portable hash): exact two-phase per-source "
+        "top-k — bucket-bounded sorts then a candidate re-rank — so no "
+        "reducer ever sorts a whole source; text never shuffles.",
+)
+
+
 # ---------------------------------------------------------------------------
 # Declaration order
 # ---------------------------------------------------------------------------
@@ -4625,7 +4755,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# TWENTY-EIGHT further round-8 operators landed after the 50-slot
+# THIRTY-TWO further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -4635,10 +4765,11 @@ _register(
 # latest_snapshot, timeline_gapfill, percentile_bands, vocab_growth,
 # knn_accuracy, mmr_select, typo_pairs, zorder_key, cms_streamed,
 # event_rate_spikes, equidepth_histogram, readability_scores,
-# session_paths, snapshot_diff.
+# session_paths, snapshot_diff, merge_upsert, event_transitions,
+# zonemap_skip_stats, weighted_sample.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
 # window-mandatory; with the 36 stale r06 stamps also due, r09's 50
-# slots take the 28 new + the 22 stalest r06, and the remaining r06
+# slots take the 32 new + the 18 stalest r06, and the remaining r06
 # set completes in r10 within the every-third-round cadence) and are
 # fully verified locally every pytest run via test_oracle_parity plus
 # the semantic tests in tests/test_round8_ops.py — driver-stamp
@@ -4735,6 +4866,10 @@ _R9_QUEUE: list[str] = [
     "readability_scores",
     "session_paths",
     "snapshot_diff",
+    "merge_upsert",
+    "event_transitions",
+    "zonemap_skip_stats",
+    "weighted_sample",
 ]
 
 _TAIL: list[str] = []

@@ -739,3 +739,103 @@ def test_snapshot_diff_statuses(documents):
     assert by_status.get("removed", set()) == removed_truth
     assert by_status.get("added", set()) == added_truth
     assert by_status.get("changed", set()) == changed_truth
+
+
+# ---------------------------------------------------------------------------
+# batch 7: merge upsert, event transitions, zone maps, weighted sample
+# ---------------------------------------------------------------------------
+
+def test_merge_upsert_summary_arithmetic(documents):
+    from flink_snappydata_spark.pipeline.curation import merge_upsert
+
+    r = merge_upsert(documents).collect()[0]
+    n = documents.count()
+    n_del = documents.filter(F.col("doc_id") % 23 == 0).count()
+    n_upd = documents.filter(
+        (F.col("doc_id") % 11 == 0) & (F.col("doc_id") % 23 != 0)
+    ).count()
+    n_ins = documents.filter(F.col("doc_id") % 29 == 0).count()
+    assert r.n_base == n
+    assert r.n_deleted == n_del
+    assert r.n_updated == n_upd
+    assert r.n_inserted == n_ins
+    # merge row accounting: survivors + inserts, updates replace in place
+    assert r.n_rows == n - n_del + n_ins
+    assert r.content_checksum > 0
+
+
+def test_merge_upsert_checksum_moves_on_any_change(spark):
+    from flink_snappydata_spark.pipeline.curation import merge_upsert
+
+    base = spark.createDataFrame(
+        [(i, f"text {i}", "en", "s", 6) for i in range(1, 60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    tweaked = base.withColumn(
+        "text",
+        F.when(F.col("doc_id") == 3, F.lit("text 3!")).otherwise(
+            F.col("text")
+        ),
+    )
+    a = merge_upsert(base).collect()[0]
+    b = merge_upsert(tweaked).collect()[0]
+    assert a.n_rows == b.n_rows
+    assert a.content_checksum != b.content_checksum
+
+
+def test_event_transitions_is_row_stochastic(events):
+    from flink_snappydata_spark.operators.analytic import event_transitions
+
+    rows = event_transitions(events).collect()
+    by_prev = {}
+    for r in rows:
+        by_prev.setdefault(r.prev_type, []).append(r)
+    for prev, rs in by_prev.items():
+        assert abs(sum(r.p for r in rs) - 1.0) < 1e-9, prev
+    # conservation: total transitions = total events - one per user
+    n_events = events.count()
+    n_users = events.select("user_id").distinct().count()
+    assert sum(r.n_transitions for r in rows) == n_events - n_users
+
+
+def test_zonemap_clustered_prunes_unclustered_does_not(events):
+    from flink_snappydata_spark.pipeline.packing import zonemap_skip_stats
+
+    r = zonemap_skip_stats(events).collect()[0]
+    assert r.n_rows == events.count()
+    # event_id order correlates with ts: the last-10%-of-time predicate
+    # must prune most blocks; the uncorrelated value predicate prunes
+    # (essentially) none.
+    assert r.ts_blocks_skipped >= r.n_blocks * 7 // 10
+    assert r.val_blocks_skipped <= r.n_blocks // 10
+    assert r.ts_rows_skipped <= r.n_rows
+
+
+def test_weighted_sample_matches_naive_and_favors_weight(documents):
+    from flink_snappydata_spark.pipeline.packing import portable_hash
+    from flink_snappydata_spark.pipeline.sampling import weighted_sample
+
+    got = weighted_sample(documents, k=5).collect()
+    # naive single-phase reference: full sort per source
+    pri = F.col("n_chars").cast("double") / (
+        portable_hash(F.col("doc_id")) + F.lit(1)
+    ).cast("double")
+    naive = {}
+    for r in (
+        documents.select("source", "doc_id", "n_chars", pri.alias("p"))
+        .collect()
+    ):
+        naive.setdefault(r.source, []).append(r)
+    for src, rs in naive.items():
+        rs.sort(key=lambda r: (-r.p, r.doc_id))
+    for r in got:
+        want = naive[r.source][r.rank - 1]
+        assert r.doc_id == want.doc_id, (r.source, r.rank)
+    # weight bias: sampled docs are longer than the corpus average
+    import statistics
+
+    corpus_mean = statistics.mean(
+        r.n_chars for rs in naive.values() for r in rs
+    )
+    sample_mean = statistics.mean(r.n_chars for r in got)
+    assert sample_mean > corpus_mean
