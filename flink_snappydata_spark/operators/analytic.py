@@ -440,3 +440,165 @@ def event_transitions(events: DataFrame) -> DataFrame:
         )
         .orderBy("prev_type", "next_type")
     )
+
+
+def ohlc_bars(events: DataFrame) -> DataFrame:
+    """Hourly OHLC (open/high/low/close) candles per event type over the
+    ``value`` stream — the canonical time-series downsample every
+    monitoring/market dashboard draws, and the rollup feeding
+    `rollup_multires`-style multi-resolution storage.
+
+    Open/close are the first/last values in ``(ts, event_id)`` order
+    within the (type, hour) bucket — a fully deterministic order because
+    ``event_id`` is unique. Values are exact integer cents; the bucket
+    ships as epoch seconds so no timestamp formatting crosses engines.
+    Returns ``(event_type, bucket_s, open_cents, high_cents, low_cents,
+    close_cents, n_events, volume_cents)``.
+
+    Scale: one shuffle on the (type, hour) grain for the window pass
+    (partitions bounded by a single bucket's traffic, never the
+    corpus), collapsing immediately to the bucket-count-sized candle
+    frame with map-side-combined min/max/sum; open/close ride along as
+    group constants. The presentation sort runs on the candle frame
+    (hours × types), not the events.
+    """
+    bucket = F.unix_seconds(
+        F.date_trunc("hour", F.col("ts")).cast("timestamp")
+    ).alias("bucket_s")
+    w = Window.partitionBy("event_type", "bucket_s").orderBy(
+        "ts", "event_id"
+    )
+    tagged = events.select(
+        "event_type", bucket, cents("value").alias("v"), "ts", "event_id"
+    ).select(
+        "event_type",
+        "bucket_s",
+        "v",
+        F.first("v").over(w).alias("open_v"),
+        F.last("v").over(
+            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("close_v"),
+    )
+    return (
+        tagged.groupBy("event_type", "bucket_s")
+        .agg(
+            F.min("open_v").alias("open_cents"),
+            F.max("v").alias("high_cents"),
+            F.min("v").alias("low_cents"),
+            F.min("close_v").alias("close_cents"),
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("v").alias("volume_cents"),
+        )
+        .orderBy("event_type", "bucket_s")
+    )
+
+
+def trend_regression(events: DataFrame) -> DataFrame:
+    """Exact distributed least-squares: per event type, the OLS trend
+    line of ``value`` over time (slope per day, intercept at the
+    corpus's first timestamp, and r²) — drift detection for metrics
+    ("is error latency creeping up?") computed from sufficient
+    statistics, the textbook map-side-combinable regression.
+
+    Exactness: x is whole seconds since the global minimum timestamp, y
+    is integer cents; the five sufficient statistics Σx Σy Σxy Σx² Σy²
+    are summed as DECIMAL(38,0) — order-free exact integer arithmetic on
+    both engines — and only the final closed-form divisions run in
+    doubles, with the same expression shape on both engines, hence
+    identical bits. Slope is scaled to cents/day (×86400) to keep the
+    magnitude readable.
+
+    Scale: a 1-row global min-ts aggregate broadcast-joined back, then
+    ONE map-side-combined groupBy over the events producing 5 partials
+    per type — no window, no sort, nothing corpus-sized ever shuffles.
+    The final algebra runs on the k-row type frame.
+    """
+    tmin = events.agg(
+        F.min(F.unix_seconds(F.col("ts").cast("timestamp"))).alias("t0")
+    )
+    xy = events.crossJoin(F.broadcast(tmin)).select(
+        "event_type",
+        (F.unix_seconds(F.col("ts").cast("timestamp")) - F.col("t0")).alias(
+            "x"
+        ),
+        cents("value").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    s = xy.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast(dec).alias("n"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    n, sx, sy = [F.col(c).cast("double") for c in ("n", "sx", "sy")]
+    sxy, sxx, syy = [F.col(c).cast("double") for c in ("sxy", "sxx", "syy")]
+    cov = n * sxy - sx * sy
+    varx = n * sxx - sx * sx
+    vary = n * syy - sy * sy
+    return (
+        s.select(
+            "event_type",
+            F.col("n").cast("long").alias("n_events"),
+            (cov / varx * F.lit(86400.0)).alias("slope_cents_per_day"),
+            ((sy - cov / varx * sx) / n).alias("intercept_cents"),
+            (cov * cov / (varx * vary)).alias("r2"),
+        )
+        .orderBy("event_type")
+    )
+
+
+def conversion_attribution(events: DataFrame) -> DataFrame:
+    """Last-touch conversion attribution: each ``purchase`` event is
+    credited to the most recent non-purchase event type earlier in the
+    same user's timeline (``direct`` when the purchase is the user's
+    first activity), then purchases and revenue roll up per channel —
+    the marketing-attribution query every events warehouse runs.
+
+    The "most recent preceding touch" is ``last(..., ignorenulls)``
+    over ``(ts, event_id)`` order with a frame ending 1 row before
+    current — deterministic because ``event_id`` is unique. Returns
+    ``(channel, n_purchases, revenue_cents, purchase_share)`` with the
+    share an exact-int division.
+
+    Scale: one user-keyed shuffle for the timeline window (bounded by a
+    user's own history), then a map-side-combined rollup to the
+    channel-vocabulary frame; the share window runs over that tiny
+    frame. Purchases are filtered before the rollup so only converting
+    rows reach the aggregate.
+    """
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    touch = F.last(
+        F.when(F.col("event_type") != "purchase", F.col("event_type")),
+        ignorenulls=True,
+    ).over(w)
+    per = (
+        events.select(
+            "user_id", "ts", "event_id", "event_type",
+            cents("value").alias("v"), touch.alias("touch"),
+        )
+        .filter(F.col("event_type") == "purchase")
+        .groupBy(F.coalesce(F.col("touch"), F.lit("direct")).alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_purchases"),
+            F.sum("v").alias("revenue_cents"),
+        )
+    )
+    total = Window.partitionBy()
+    return (
+        per.select(
+            "channel",
+            "n_purchases",
+            "revenue_cents",
+            (
+                F.col("n_purchases").cast("double")
+                / F.sum("n_purchases").over(total).cast("double")
+            ).alias("purchase_share"),
+        )
+        .orderBy("channel")
+    )

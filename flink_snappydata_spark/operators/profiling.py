@@ -1,0 +1,143 @@
+"""Data-profiling operators — per-column statistics and join-key skew.
+
+The engine-side diagnostics a warehouse runs before planning a big job:
+what does each column look like (nulls, cardinality, range), and how
+skewed is the join key I'm about to shuffle on? Absent in the reference
+(its catalog carries only row counts), but part of the operational
+surface any SnappyData-style engine exposes; the skew profile is the
+measurement behind this repo's own salting/AQE decision rules
+(`util.salted_join`).
+
+All statistics are exact and order-free (counts, distincts, min/max,
+exact-integer share divisions), so the DuckDB oracle matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from flink_snappydata_spark.functions.exact import cents
+
+
+def table_profile(orders: DataFrame) -> DataFrame:
+    """One profile row per column of the orders table: null count, exact
+    distinct count, and min/max rendered as strings — the `ANALYZE
+    TABLE` / data-quality summary that feeds optimizer statistics and
+    ingest monitoring.
+
+    Representations are engine-portable by construction: integers print
+    canonically, the money column is profiled in exact cents, and the
+    timestamp column is profiled as epoch microseconds — no
+    locale-dependent formatting ever crosses the engine boundary.
+    Returns ``(column, n_rows, n_nulls, n_distinct, min_repr,
+    max_repr)`` sorted by column name.
+
+    Scale: one pass over the table. Multiple exact COUNT(DISTINCT)s in
+    a single aggregate plan via Catalyst's expand (k× map-side rows,
+    each a narrow (column-id, value) pair) with partial aggregation
+    before the shuffle — the profile never materializes the table
+    anywhere, and the output frame is k rows. At petabyte scale the
+    expand factor is the knob: profile column subsets per pass, or swap
+    the exact distincts for `approx_count_distinct` (the engine's
+    `agg_approx_distinct` path) when ±2% suffices.
+    """
+    cols = {
+        "o_orderkey": F.col("o_orderkey"),
+        "o_custkey": F.col("o_custkey"),
+        "o_orderstatus": F.col("o_orderstatus"),
+        "o_orderpriority": F.col("o_orderpriority"),
+        "o_totalprice_cents": cents("o_totalprice"),
+        "o_orderdate_us": F.unix_micros(F.col("o_orderdate").cast("timestamp")),
+    }
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for name, c in cols.items():
+        aggs += [
+            F.sum(c.isNull().cast("long")).alias(f"{name}__nulls"),
+            F.count_distinct(c).alias(f"{name}__distinct"),
+            F.min(c).cast("string").alias(f"{name}__min"),
+            F.max(c).cast("string").alias(f"{name}__max"),
+        ]
+    one = orders.agg(*aggs)
+    stack_args = []
+    for name in cols:
+        stack_args += [
+            F.lit(name),
+            F.col(f"{name}__nulls"),
+            F.col(f"{name}__distinct"),
+            F.col(f"{name}__min"),
+            F.col(f"{name}__max"),
+        ]
+    return (
+        one.select(
+            "n_rows",
+            F.stack(
+                F.lit(len(cols)), *stack_args
+            ).alias("column", "n_nulls", "n_distinct", "min_repr", "max_repr"),
+        )
+        .select(
+            "column", "n_rows", "n_nulls", "n_distinct", "min_repr",
+            "max_repr",
+        )
+        .orderBy("column")
+    )
+
+
+def key_skew_profile(
+    lineitem: DataFrame, key: str = "l_suppkey", n_buckets: int = 32
+) -> DataFrame:
+    """Join-key skew report for a fact-table key: how concentrated are
+    the rows you are about to shuffle? Returns one row —
+    ``(n_rows, n_keys, max_key_rows, top1_share, top10_share, hhi)`` —
+    where ``hhi`` is the Herfindahl concentration index Σ share² (1/k
+    for uniform keys, →1 for one hot key). This is the measurement that
+    decides between a plain shuffle join, AQE skew splitting, and
+    explicit salting (`util.salted_join`'s decision rule).
+
+    Exactness: shares are double divisions of exact integer sums; the
+    Σcnt² partial is DECIMAL(38,0) so a 10-billion-row hot key cannot
+    overflow int64.
+
+    Scale: the key histogram is one map-side-combined groupBy (output =
+    key cardinality, the profile's working set — always ≪ fact rows).
+    The top-10 is two-phase: top-10 inside each of ``n_buckets`` hash
+    sub-groups of the histogram, then a re-rank of the ≤ 10·n_buckets
+    candidates — no single reducer ever sorts the whole histogram, the
+    same exact-top-k shape as `sampling.weighted_sample`.
+    """
+    cnt = (
+        lineitem.groupBy(F.col(key).alias("k"))
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    base = cnt.agg(
+        F.sum("c").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_keys"),
+        F.max("c").alias("max_key_rows"),
+        F.sum((F.col("c") * F.col("c")).cast("decimal(38,0)")).alias("sc2"),
+    )
+    phase1 = Window.partitionBy("bkt").orderBy(F.col("c").desc(), "k")
+    survivors = (
+        cnt.withColumn("bkt", F.pmod(F.col("k"), F.lit(n_buckets)))
+        .withColumn("r1", F.row_number().over(phase1))
+        .filter(F.col("r1") <= 10)
+    )
+    phase2 = Window.partitionBy().orderBy(F.col("c").desc(), "k")
+    top10 = (
+        survivors.withColumn("r", F.row_number().over(phase2))
+        .filter(F.col("r") <= 10)
+        .agg(
+            F.max(F.when(F.col("r") == 1, F.col("c"))).alias("top1_rows"),
+            F.sum("c").alias("top10_rows"),
+        )
+    )
+    n_rows = F.col("n_rows").cast("double")
+    return base.crossJoin(top10).select(
+        "n_rows",
+        "n_keys",
+        "max_key_rows",
+        (F.col("top1_rows").cast("double") / n_rows).alias("top1_share"),
+        (F.col("top10_rows").cast("double") / n_rows).alias("top10_share"),
+        (
+            F.col("sc2").cast("double") / (n_rows * n_rows)
+        ).alias("hhi"),
+    )

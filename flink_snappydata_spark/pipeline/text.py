@@ -1792,3 +1792,96 @@ def readability_scores(documents: DataFrame, sort: bool = True) -> DataFrame:
     from flink_snappydata_spark.util import presentation_sorted
 
     return presentation_sorted(out, "doc_id", expect_small=False)
+
+
+def bpe_merges(
+    documents: DataFrame, n_merges: int = 8, max_word_len: int = 24
+) -> DataFrame:
+    """Distributed BPE (byte-pair-encoding) vocabulary induction: run
+    ``n_merges`` rounds of the classic merge loop — count adjacent
+    symbol pairs across the corpus, merge the most frequent pair
+    everywhere, repeat — and return the learned merge table
+    ``(step, left_sym, right_sym, merged, pair_count)``. This is the
+    tokenizer-training core (GPT-2/SentencePiece style) restricted to
+    lowercase alphabetic words, the standard first stage of building a
+    tokenizer for a 100-TB corpus.
+
+    Determinism: the winning pair is (max count, then lexicographically
+    smallest (left, right)); the corpus-wide merge is two passes of
+    plain left-to-right non-overlapping ``replace`` of ``" l r "`` with
+    ``" lr "`` over the space-separated symbol string — identical
+    semantics in every engine (the second pass catches occurrences whose
+    shared separator the first pass consumed; any deeper same-letter run
+    is left identically un-merged on both engines and simply re-counts
+    next round).
+
+    Scale: everything iterates over the DISTINCT-WORD frequency table
+    (vocabulary-sized — millions of rows at 100 TB, not trillions): the
+    corpus is tokenized ONCE into (word, count) via a map-side-combined
+    groupBy, and each merge round is a pair-explode + groupBy on that
+    vocab frame (≤ max_word_len symbols per row) followed by a 1-row
+    TakeOrdered for the argmax — the O(corpus) text is never touched
+    again. The winning pair is a driver-side literal folded into the
+    next round's expression (a 2-value broadcast, same shape as
+    `kmeans_train`'s centroid loop); the vocab frame is persisted per
+    round so lineage stays flat.
+    """
+    spark = documents.sparkSession
+    words = (
+        documents.select(
+            F.explode(F.split(F.lower(F.col("text")), r"\W+")).alias("word")
+        )
+        .filter(
+            F.col("word").rlike("^[a-z]+$")
+            & (F.length("word") <= max_word_len)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    wf = tracked_persist(
+        words.select(
+            F.concat(
+                F.lit(" "),
+                F.trim(F.regexp_replace(F.col("word"), "(.)", "$1 ")),
+                F.lit(" "),
+            ).alias("sym"),
+            "cnt",
+        )
+    )
+    out_rows: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        syms = F.split(F.trim(F.col("sym")), " ")
+        pairs = (
+            wf.select(
+                F.explode(
+                    F.arrays_zip(
+                        F.slice(syms, 1, F.size(syms) - 1).alias("l"),
+                        F.slice(syms, 2, F.size(syms) - 1).alias("r"),
+                    )
+                ).alias("p"),
+                "cnt",
+            )
+            .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+            .agg(F.sum("cnt").alias("c"))
+        )
+        best = (
+            pairs.orderBy(F.col("c").desc(), "l", "r").limit(1).collect()
+        )
+        if not best:
+            break
+        b = best[0]
+        out_rows.append((step, b.l, b.r, b.l + b.r, int(b.c)))
+        pat, rep = F.lit(f" {b.l} {b.r} "), F.lit(f" {b.l}{b.r} ")
+        wf = tracked_persist(
+            wf.select(
+                F.replace(F.replace(F.col("sym"), pat, rep), pat, rep).alias(
+                    "sym"
+                ),
+                "cnt",
+            )
+        )
+    return spark.createDataFrame(
+        out_rows,
+        "step long, left_sym string, right_sym string, "
+        "merged string, pair_count long",
+    ).orderBy("step")

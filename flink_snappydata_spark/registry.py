@@ -23,7 +23,14 @@ from pyspark.sql import functions as F
 
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.functions import scalar
-from flink_snappydata_spark.operators import analytic, asof, grouped, relational, wordcount
+from flink_snappydata_spark.operators import (
+    analytic,
+    asof,
+    grouped,
+    profiling,
+    relational,
+    wordcount,
+)
 from flink_snappydata_spark.pipeline import (
     curation,
     dedup,
@@ -4698,6 +4705,218 @@ _register(
         "reducer ever sorts a whole source; text never shuffles.",
 )
 
+_register(
+    "ohlc_bars",
+    ["events"],
+    analytic.ohlc_bars,
+    f"""
+    WITH t AS (
+        SELECT event_type,
+               epoch_us(date_trunc('hour', ts)) // 1000000 AS bucket_s,
+               {_cents('value')} AS v, ts, event_id
+        FROM events),
+    w AS (
+        SELECT event_type, bucket_s, v,
+               FIRST_VALUE(v) OVER (PARTITION BY event_type, bucket_s
+                                    ORDER BY ts, event_id) AS open_v,
+               LAST_VALUE(v) OVER (PARTITION BY event_type, bucket_s
+                                   ORDER BY ts, event_id
+                                   ROWS BETWEEN UNBOUNDED PRECEDING
+                                   AND UNBOUNDED FOLLOWING) AS close_v
+        FROM t)
+    SELECT event_type, bucket_s, MIN(open_v) AS open_cents,
+           MAX(v) AS high_cents, MIN(v) AS low_cents,
+           MIN(close_v) AS close_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(v) AS BIGINT) AS volume_cents
+    FROM w GROUP BY event_type, bucket_s ORDER BY event_type, bucket_s
+    """,
+    doc="Hourly OHLC candles per event type (open/close = first/last "
+        "in deterministic (ts, event_id) order, exact cents): one "
+        "(type, hour)-grain window shuffle collapsing to the "
+        "bucket-count candle frame with map-side min/max/sum.",
+)
+
+_register(
+    "trend_regression",
+    ["events"],
+    analytic.trend_regression,
+    f"""
+    WITH t0 AS (SELECT MIN(epoch_us(ts) // 1000000) AS t0 FROM events),
+    xy AS (SELECT event_type,
+                  epoch_us(ts) // 1000000 - t0 AS x,
+                  {_cents('value')} AS y
+           FROM events, t0),
+    s AS (SELECT event_type,
+                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
+                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
+                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
+                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
+                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
+                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
+          FROM xy GROUP BY event_type),
+    d AS (SELECT event_type, CAST(n AS BIGINT) AS n_events,
+                 CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
+                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
+                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
+          FROM s)
+    SELECT event_type, n_events,
+           (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * 86400.0
+               AS slope_cents_per_day,
+           (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
+               / nd AS intercept_cents,
+           (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
+               / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
+    FROM d ORDER BY event_type
+    """,
+    doc="Exact distributed OLS trend per event type from five "
+        "DECIMAL(38,0) sufficient statistics (order-free integer "
+        "sums; doubles only in the final closed form, same expression "
+        "shape both engines): one map-side-combined groupBy, no "
+        "window, nothing corpus-sized shuffles.",
+)
+
+_register(
+    "conversion_attribution",
+    ["events"],
+    analytic.conversion_attribution,
+    f"""
+    WITH t AS (
+        SELECT event_type, {_cents('value')} AS v,
+               LAST_VALUE(CASE WHEN event_type <> 'purchase'
+                               THEN event_type END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND 1 PRECEDING) AS touch
+        FROM events),
+    per AS (SELECT COALESCE(touch, 'direct') AS channel,
+                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
+                   CAST(SUM(v) AS BIGINT) AS revenue_cents
+            FROM t WHERE event_type = 'purchase' GROUP BY 1)
+    SELECT channel, n_purchases, revenue_cents,
+           CAST(n_purchases AS DOUBLE)
+               / CAST(SUM(n_purchases) OVER () AS DOUBLE) AS purchase_share
+    FROM per ORDER BY channel
+    """,
+    doc="Last-touch conversion attribution: most recent non-purchase "
+        "event before each purchase in the user's deterministic "
+        "timeline ('direct' when none), rolled up to channel counts, "
+        "revenue cents, and exact-int shares — one user-keyed window "
+        "shuffle then a channel-vocabulary aggregate.",
+)
+
+_TBLPROF_COLS = [
+    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
+    "o_totalprice_cents", "o_orderdate_us",
+]
+
+_register(
+    "table_profile",
+    ["orders"],
+    profiling.table_profile,
+    "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
+    "o_orderpriority, " + _cents("o_totalprice") + " AS o_totalprice_cents, "
+    "epoch_us(o_orderdate) AS o_orderdate_us FROM orders) "
+    "SELECT * FROM ("
+    + " UNION ALL ".join(
+        f"SELECT '{c}' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, "
+        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
+        f"AS n_nulls, CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
+        f"CAST(MIN({c}) AS VARCHAR) AS min_repr, "
+        f"CAST(MAX({c}) AS VARCHAR) AS max_repr FROM base"
+        for c in _TBLPROF_COLS
+    )
+    + ') ORDER BY "column"',
+    doc="Per-column table profile (nulls, exact distincts, "
+        "engine-portable min/max representations — ints canonical, "
+        "money in cents, timestamps as epoch micros): one pass via "
+        "Catalyst multi-distinct expand with partial aggregation, "
+        "k-row output.",
+)
+
+_register(
+    "key_skew_profile",
+    ["lineitem"],
+    profiling.key_skew_profile,
+    """
+    WITH cnt AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
+                 FROM lineitem GROUP BY 1),
+    base AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
+                    CAST(COUNT(*) AS BIGINT) AS n_keys,
+                    MAX(c) AS max_key_rows,
+                    SUM(CAST(c * c AS DECIMAL(38,0))) AS sc2
+             FROM cnt),
+    ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS r
+               FROM cnt),
+    top AS (SELECT MAX(CASE WHEN r = 1 THEN c END) AS top1_rows,
+                   CAST(SUM(c) AS BIGINT) AS top10_rows
+            FROM ranked WHERE r <= 10)
+    SELECT n_rows, n_keys, max_key_rows,
+           CAST(top1_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+               AS top1_share,
+           CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
+               AS top10_share,
+           CAST(sc2 AS DOUBLE)
+               / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS hhi
+    FROM base, top
+    """,
+    doc="Join-key skew report (max key, top-1/top-10 shares, "
+        "Herfindahl index with a DECIMAL(38,0) sum-of-squares): the "
+        "salting/AQE decision measurement; histogram via map-side "
+        "groupBy, exact two-phase top-10 so no reducer sorts the "
+        "whole key histogram.",
+)
+
+
+def _bpe_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """Chained-CTE DuckDB twin of the BPE merge loop: each round counts
+    adjacent symbol pairs (parallel UNNESTs zip positionally), picks the
+    (count DESC, pair ASC) argmax, and applies the same two-pass
+    left-to-right ``replace`` merge — the oracle re-derives the winning
+    pairs itself, so the check is fully independent of the Spark run."""
+    parts = [f"""WITH w0 AS (
+        SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
+                   AS sym,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS word
+              FROM documents)
+        WHERE regexp_matches(word, '^[a-z]+$')
+          AND len(word) <= {max_word_len}
+        GROUP BY 1)"""]
+    for i in range(n_merges):
+        parts.append(f""",
+    p{i} AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c
+             FROM (SELECT unnest(syms[1:len(syms)-1]) AS l,
+                          unnest(syms[2:len(syms)]) AS r, cnt
+                   FROM (SELECT string_split(trim(sym), ' ') AS syms, cnt
+                         FROM w{i}))
+             GROUP BY l, r),
+    b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
+    w{i + 1} AS (SELECT replace(replace(sym, ' '||l||' '||r||' ',
+                                        ' '||l||r||' '),
+                                ' '||l||' '||r||' ', ' '||l||r||' ')
+                            AS sym, cnt
+                 FROM w{i}, b{i})""")
+    sels = " UNION ALL ".join(
+        f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, "
+        f"r AS right_sym, l || r AS merged, c AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return "".join(parts) + f" SELECT * FROM ({sels}) ORDER BY step"
+
+
+_register(
+    "bpe_merges",
+    ["documents"],
+    textops.bpe_merges,
+    _bpe_oracle(),
+    doc="Distributed BPE tokenizer-vocabulary induction: 8 merge "
+        "rounds over the DISTINCT-WORD frequency table (corpus "
+        "tokenized exactly once; each round is a vocab-frame pair "
+        "explode + groupBy + 1-row TakeOrdered argmax, winner folded "
+        "back as a literal — the kmeans-style broadcast loop).",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -4755,7 +4974,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# THIRTY-TWO further round-8 operators landed after the 50-slot
+# THIRTY-EIGHT further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -4766,10 +4985,11 @@ _register(
 # knn_accuracy, mmr_select, typo_pairs, zorder_key, cms_streamed,
 # event_rate_spikes, equidepth_histogram, readability_scores,
 # session_paths, snapshot_diff, merge_upsert, event_transitions,
-# zonemap_skip_stats, weighted_sample.
+# zonemap_skip_stats, weighted_sample, ohlc_bars, trend_regression,
+# conversion_attribution, table_profile, key_skew_profile, bpe_merges.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
 # window-mandatory; with the 36 stale r06 stamps also due, r09's 50
-# slots take the 32 new + the 18 stalest r06, and the remaining r06
+# slots take the 38 new + the 12 stalest r06, and the remaining r06
 # set completes in r10 within the every-third-round cadence) and are
 # fully verified locally every pytest run via test_oracle_parity plus
 # the semantic tests in tests/test_round8_ops.py — driver-stamp
@@ -4870,6 +5090,12 @@ _R9_QUEUE: list[str] = [
     "event_transitions",
     "zonemap_skip_stats",
     "weighted_sample",
+    "ohlc_bars",
+    "trend_regression",
+    "conversion_attribution",
+    "table_profile",
+    "key_skew_profile",
+    "bpe_merges",
 ]
 
 _TAIL: list[str] = []

@@ -839,3 +839,160 @@ def test_weighted_sample_matches_naive_and_favors_weight(documents):
     )
     sample_mean = statistics.mean(r.n_chars for r in got)
     assert sample_mean > corpus_mean
+
+
+# ---------------------------------------------------------------------------
+# batch 8: OHLC, regression, attribution, profiling, BPE
+# ---------------------------------------------------------------------------
+
+def test_ohlc_invariants_and_one_bucket(events):
+    from flink_snappydata_spark.operators.analytic import ohlc_bars
+
+    bars = ohlc_bars(events).collect()
+    assert bars
+    for b in bars:
+        assert b.low_cents <= b.open_cents <= b.high_cents
+        assert b.low_cents <= b.close_cents <= b.high_cents
+    assert sum(b.n_events for b in bars) == events.count()
+    # spot-check the first bucket against a naive per-row replay
+    b0 = bars[0]
+    rows = (
+        events.select(
+            "event_type", "ts", "event_id",
+            F.unix_seconds(
+                F.date_trunc("hour", F.col("ts")).cast("timestamp")
+            ).alias("bk"),
+            (F.round(F.col("value") * 100)).cast("long").alias("v"),
+        )
+        .filter(
+            (F.col("event_type") == b0.event_type)
+            & (F.col("bk") == b0.bucket_s)
+        )
+        .collect()
+    )
+    rows.sort(key=lambda r: (r.ts, r.event_id))
+    assert rows[0].v == b0.open_cents
+    assert rows[-1].v == b0.close_cents
+    assert max(r.v for r in rows) == b0.high_cents
+    assert sum(r.v for r in rows) == b0.volume_cents
+
+
+def test_trend_regression_recovers_exact_line(spark):
+    from flink_snappydata_spark.operators.analytic import trend_regression
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        (i, t0 + datetime.timedelta(seconds=i), 1, "a",
+         (500 + 2 * i) / 100.0, "{}")
+        for i in range(200)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    r = trend_regression(ev).collect()[0]
+    # y = 500 + 2x cents over x seconds -> slope 2 cents/s = 172800/day
+    assert abs(r.slope_cents_per_day - 2 * 86400) < 1e-6
+    assert abs(r.intercept_cents - 500.0) < 1e-6
+    assert abs(r.r2 - 1.0) < 1e-12
+
+
+def test_conversion_attribution_known_timeline(spark):
+    from flink_snappydata_spark.operators.analytic import (
+        conversion_attribution,
+    )
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def ev(i, u, t, v=1.0):
+        return (i, t0 + datetime.timedelta(minutes=i), u, t, v, "{}")
+
+    rows = [
+        ev(1, 1, "click"), ev(2, 1, "purchase", 2.0),   # click
+        ev(3, 1, "purchase", 3.0),                       # still click
+        ev(4, 2, "purchase", 4.0),                       # direct
+        ev(5, 2, "view"), ev(6, 2, "purchase", 5.0),     # view
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {r.channel: r for r in conversion_attribution(df).collect()}
+    assert got["click"].n_purchases == 2
+    assert got["click"].revenue_cents == 500
+    assert got["direct"].n_purchases == 1
+    assert got["view"].revenue_cents == 500
+    assert abs(sum(r.purchase_share for r in got.values()) - 1.0) < 1e-12
+
+
+def test_table_profile_counts_nulls_and_distincts(spark):
+    from flink_snappydata_spark.operators.profiling import table_profile
+    import datetime
+
+    rows = [
+        (i, i % 3 if i % 5 else None, "F", "1-URGENT", 10.0 + i,
+         datetime.datetime(2024, 1, 1 + i % 4))
+        for i in range(40)
+    ]
+    od = spark.createDataFrame(
+        rows,
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_orderpriority string, o_totalprice double, o_orderdate timestamp",
+    )
+    prof = {r.column: r for r in table_profile(od).collect()}
+    assert prof["o_custkey"].n_nulls == 8
+    assert prof["o_custkey"].n_distinct == 3
+    assert prof["o_orderkey"].n_distinct == 40
+    assert prof["o_orderkey"].min_repr == "0"
+    assert prof["o_orderkey"].max_repr == "39"
+    assert prof["o_orderdate_us"].n_distinct == 4
+
+
+def test_key_skew_profile_exact_on_hot_key(spark):
+    from flink_snappydata_spark.operators.profiling import key_skew_profile
+
+    # key 0 has 60 rows, keys 1..20 have 2 rows each -> 100 rows total
+    data = [(0,)] * 60 + [(k,) for k in range(1, 21) for _ in range(2)]
+    li = spark.createDataFrame(data, "l_suppkey long")
+    r = key_skew_profile(li).collect()[0]
+    assert r.n_rows == 100 and r.n_keys == 21
+    assert r.max_key_rows == 60
+    assert abs(r.top1_share - 0.60) < 1e-12
+    # top10 = hot key + 9 of the 2-row keys = 60 + 18
+    assert abs(r.top10_share - 0.78) < 1e-12
+    assert abs(r.hhi - (60 * 60 + 20 * 4) / 10000.0) < 1e-12
+
+
+def test_bpe_merges_matches_naive_python(documents):
+    from flink_snappydata_spark.pipeline.text import bpe_merges
+    import re
+    from collections import Counter
+
+    got = bpe_merges(documents, n_merges=5).collect()
+
+    wf = Counter()
+    for r in documents.select("text").collect():
+        for w in re.split(r"\W+", r.text.lower()):
+            if w and len(w) <= 24 and re.fullmatch(r"[a-z]+", w):
+                wf[" " + " ".join(w) + " "] += 1
+    merges = []
+    for _ in range(5):
+        pc = Counter()
+        for sym, c in wf.items():
+            parts = sym.split()
+            for a, b in zip(parts, parts[1:]):
+                pc[(a, b)] += c
+        if not pc:
+            break
+        (l, r), c = min(pc.items(), key=lambda kv: (-kv[1], kv[0]))
+        merges.append((l, r, c))
+        pat, rep = f" {l} {r} ", f" {l}{r} "
+        nwf = Counter()
+        for sym, cnt in wf.items():
+            nwf[sym.replace(pat, rep).replace(pat, rep)] += cnt
+        wf = nwf
+    assert [(g.left_sym, g.right_sym, g.pair_count) for g in got] == merges
