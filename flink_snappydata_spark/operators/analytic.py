@@ -455,39 +455,80 @@ def ohlc_bars(events: DataFrame) -> DataFrame:
     Returns ``(event_type, bucket_s, open_cents, high_cents, low_cents,
     close_cents, n_events, volume_cents)``.
 
-    Scale: one shuffle on the (type, hour) grain for the window pass
-    (partitions bounded by a single bucket's traffic, never the
-    corpus), collapsing immediately to the bucket-count-sized candle
-    frame with map-side-combined min/max/sum; open/close ride along as
-    group constants. The presentation sort runs on the candle frame
-    (hours × types), not the events.
+    Scale: pure hash aggregation, NO window sort — open/close are
+    ``min_by``/``max_by`` on the unique (ts, event_id) order key, so
+    the candle partials combine map-side and a single (type, hour)
+    shuffle carries only the bucket-count-sized partial frame. The
+    partials are MERGEABLE (:func:`_ohlc_finalize` refolds them on the
+    same argmin/argmax keys), which is what lets the streaming twin
+    (`streaming.windows.streaming_ohlc_ingest`) land per-micro-batch
+    candles and fold them at query time with no loss. The presentation
+    sort runs on the candle frame (hours × types), not the events.
     """
+    return _ohlc_finalize(_ohlc_partials(events))
+
+
+def _ohlc_partials(events: DataFrame) -> DataFrame:
+    """Per-(type, hour) OHLC partials of one event frame — the
+    mergeable sufficient statistic: open/close values carry their
+    (ts, event_id) argmin/argmax keys so partials from different
+    batches refold exactly."""
     bucket = F.unix_seconds(
         F.date_trunc("hour", F.col("ts")).cast("timestamp")
     ).alias("bucket_s")
-    w = Window.partitionBy("event_type", "bucket_s").orderBy(
-        "ts", "event_id"
-    )
-    tagged = events.select(
+    t = events.select(
         "event_type", bucket, cents("value").alias("v"), "ts", "event_id"
-    ).select(
-        "event_type",
-        "bucket_s",
-        "v",
-        F.first("v").over(w).alias("open_v"),
-        F.last("v").over(
-            w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("close_v"),
     )
+    ordk = F.struct(F.col("ts"), F.col("event_id"))
+    val3 = F.struct(F.col("v"), F.col("ts"), F.col("event_id"))
     return (
-        tagged.groupBy("event_type", "bucket_s")
+        t.groupBy("event_type", "bucket_s")
         .agg(
-            F.min("open_v").alias("open_cents"),
-            F.max("v").alias("high_cents"),
+            F.min_by(val3, ordk).alias("o"),
+            F.max_by(val3, ordk).alias("c"),
             F.min("v").alias("low_cents"),
-            F.min("close_v").alias("close_cents"),
+            F.max("v").alias("high_cents"),
             F.count(F.lit(1)).alias("n_events"),
             F.sum("v").alias("volume_cents"),
+        )
+        .select(
+            "event_type",
+            "bucket_s",
+            F.col("o.v").alias("open_v"),
+            F.col("o.ts").alias("open_ts"),
+            F.col("o.event_id").alias("open_id"),
+            F.col("c.v").alias("close_v"),
+            F.col("c.ts").alias("close_ts"),
+            F.col("c.event_id").alias("close_id"),
+            "low_cents",
+            "high_cents",
+            "n_events",
+            "volume_cents",
+        )
+    )
+
+
+def _ohlc_finalize(partials: DataFrame) -> DataFrame:
+    """Fold OHLC partials (one or many per (type, hour)) into final
+    candles: argmin/argmax on the carried order keys, min/max/sums on
+    the rest — exact regardless of how events were batched."""
+    return (
+        partials.groupBy("event_type", "bucket_s")
+        .agg(
+            F.min_by(F.col("open_v"), F.struct("open_ts", "open_id")).alias(
+                "open_cents"
+            ),
+            F.max_by(
+                F.col("close_v"), F.struct("close_ts", "close_id")
+            ).alias("close_cents"),
+            F.min("low_cents").alias("low_cents"),
+            F.max("high_cents").alias("high_cents"),
+            F.sum("n_events").alias("n_events"),
+            F.sum("volume_cents").alias("volume_cents"),
+        )
+        .select(
+            "event_type", "bucket_s", "open_cents", "high_cents",
+            "low_cents", "close_cents", "n_events", "volume_cents",
         )
         .orderBy("event_type", "bucket_s")
     )
@@ -601,4 +642,99 @@ def conversion_attribution(events: DataFrame) -> DataFrame:
             ).alias("purchase_share"),
         )
         .orderBy("channel")
+    )
+
+
+def user_growth(events: DataFrame) -> DataFrame:
+    """User-growth curve: per day, how many users were seen for the
+    FIRST time, and the cumulative registered-user count to date — the
+    top-left chart of every product dashboard, and the events-side
+    analog of the corpus `vocab_growth` operator.
+
+    Days ship as epoch seconds of the day boundary (no date formatting
+    crosses engines). Returns ``(day_s, new_users, cum_users)`` in day
+    order.
+
+    Scale: first-seen day is one map-side-combined ``min`` per user
+    (user-cardinality output, never the event log); the daily histogram
+    collapses that to a days-count frame, and the cumulative sum runs
+    as a single-partition window over THAT tiny frame (a few thousand
+    rows for a decade of days) — the one deliberate global window in
+    the op, sized by calendar days, not data.
+    """
+    first_seen = (
+        events.groupBy("user_id")
+        .agg(
+            F.min(
+                F.unix_seconds(
+                    F.date_trunc("day", F.col("ts")).cast("timestamp")
+                )
+            ).alias("day_s")
+        )
+    )
+    daily = first_seen.groupBy("day_s").agg(
+        F.count(F.lit(1)).alias("new_users")
+    )
+    w = Window.partitionBy().orderBy("day_s")
+    return daily.select(
+        "day_s",
+        "new_users",
+        F.sum("new_users").over(w).alias("cum_users"),
+    ).orderBy("day_s")
+
+
+def itemset_pairs(events: DataFrame) -> DataFrame:
+    """Frequent event-type pairs (2-itemsets): for every unordered pair
+    of event types, how many users did BOTH at least once, the support
+    share, and the lift vs independence — the market-basket view of the
+    event log that surfaces behavioral coupling ("users who error also
+    churn").
+
+    Returns ``(item_a, item_b, n_users, support, lift)`` with
+    ``item_a < item_b``, sorted by the pair. Support/lift are double
+    divisions of exact int64 counts (same expression shape both
+    engines).
+
+    Scale: the corpus collapses FIRST to the distinct (user, type)
+    frame (one map-side-combined distinct, ≤ users × type-vocabulary
+    rows); the pair self-join is user-co-partitioned and bounded per
+    user by the type vocabulary (k(k-1)/2 pairs from k ≤ |vocab|
+    types), so its output is at most vocab²/2 per user — never
+    corpus². Per-item user counts reuse the same distinct frame, and
+    the lift join runs on the vocab²-sized pair histogram.
+    """
+    u = events.select("user_id", "event_type").distinct()
+    n_total = u.select("user_id").distinct().count()
+    per_item = u.groupBy(F.col("event_type").alias("item")).agg(
+        F.count(F.lit(1)).alias("n_item")
+    )
+    a = u.select("user_id", F.col("event_type").alias("item_a"))
+    b = u.select("user_id", F.col("event_type").alias("item_b"))
+    pairs = (
+        a.join(b, "user_id")
+        .filter(F.col("item_a") < F.col("item_b"))
+        .groupBy("item_a", "item_b")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )
+    na = per_item.select(
+        F.col("item").alias("item_a"), F.col("n_item").alias("n_a")
+    )
+    nb = per_item.select(
+        F.col("item").alias("item_b"), F.col("n_item").alias("n_b")
+    )
+    nd = F.col("n_users").cast("double")
+    return (
+        pairs.join(F.broadcast(na), "item_a")
+        .join(F.broadcast(nb), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "n_users",
+            (nd / F.lit(float(n_total))).alias("support"),
+            (
+                nd * F.lit(float(n_total))
+                / (F.col("n_a").cast("double") * F.col("n_b").cast("double"))
+            ).alias("lift"),
+        )
+        .orderBy("item_a", "item_b")
     )

@@ -141,3 +141,51 @@ def key_skew_profile(
             F.col("sc2").cast("double") / (n_rows * n_rows)
         ).alias("hhi"),
     )
+
+
+def referential_audit(
+    orders: DataFrame, customer: DataFrame, lineitem: DataFrame
+) -> DataFrame:
+    """Referential-integrity audit across the star schema's two big
+    foreign keys: orders whose ``o_custkey`` has no customer row, and
+    lineitems whose ``l_orderkey`` has no order row — the data-quality
+    gate a warehouse runs after every ingest, reported as one row
+    ``(n_orders, n_order_orphans, n_lineitems, n_lineitem_orphans)``.
+
+    Scale: two LEFT ANTI joins, each followed immediately by a
+    single-row count — the anti join carries ONLY the key column of
+    each side (Catalyst prunes the rest), so the shuffle payload is one
+    int64 per row. The customer key side is dimension-sized and
+    broadcasts under AQE; the orders-into-lineitem check shuffles both
+    sides on the shared ``orderkey`` partitioning. Nothing wider than a
+    key ever moves.
+    """
+    o_orph = (
+        orders.select("o_custkey")
+        .join(
+            customer.select(F.col("c_custkey").alias("o_custkey")),
+            "o_custkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_order_orphans"))
+    )
+    l_orph = (
+        lineitem.select("l_orderkey")
+        .join(
+            orders.select(F.col("o_orderkey").alias("l_orderkey")),
+            "l_orderkey",
+            "left_anti",
+        )
+        .agg(F.count(F.lit(1)).alias("n_lineitem_orphans"))
+    )
+    n_o = orders.agg(F.count(F.lit(1)).alias("n_orders"))
+    n_l = lineitem.agg(F.count(F.lit(1)).alias("n_lineitems"))
+    return (
+        n_o.crossJoin(o_orph)
+        .crossJoin(n_l)
+        .crossJoin(l_orph)
+        .select(
+            "n_orders", "n_order_orphans", "n_lineitems",
+            "n_lineitem_orphans",
+        )
+    )

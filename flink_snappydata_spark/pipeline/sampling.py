@@ -582,3 +582,75 @@ def weighted_sample(
         .select("source", "rank", "doc_id", "n_chars")
         .orderBy("source", "rank")
     )
+
+
+def temperature_mix(
+    documents: DataFrame, scale_tokens: int = 100
+) -> DataFrame:
+    """Temperature-scaled source rebalancing at T = 0.5 (the standard
+    sqrt-temperature mix used to up-weight small sources in
+    multilingual/multi-source training runs): each source keeps
+    ``min(1, scale·√tokens_s / tokens_s) = min(1, scale/√tokens_s)`` of
+    its documents, so kept tokens grow as √size — big sources are
+    down-sampled hard, small sources barely at all. The keep decision
+    is the engine's deterministic portable-hash coin, so any engine
+    reproduces the exact same kept set.
+
+    T is FIXED at 0.5 deliberately: general ``x^T`` goes through libm
+    ``pow`` whose last-ulp behavior varies across platforms/engines,
+    while ``sqrt`` is IEEE-754 correctly-rounded everywhere — the same
+    cross-engine exactness rule as the engine's integer-cents
+    discipline, applied to the one float this op needs. The per-source
+    threshold is ``⌊min(1, scale/√tok)·2³¹⌋`` compared against the
+    31-bit hash — pure int64 compare per document.
+
+    Returns ``(source, total_tokens, keep_prob, n_docs, n_kept,
+    tokens_kept)`` sorted by source.
+
+    Scale: one map-side-combined per-source token total (ints), the
+    threshold arithmetic on the source-count frame, then one
+    broadcast-join of that tiny frame back for the keep flags — text
+    never shuffles, no cross-source float sums (each source's
+    probability depends only on its OWN total, so there is no
+    order-sensitive Σ√tok reduction anywhere).
+    """
+    feats = _doc_mix_features(documents, MIX_SALT).select(
+        "doc_id", "source", "n_tokens"
+    )
+    totals = feats.groupBy("source").agg(
+        F.sum("n_tokens").alias("total_tokens")
+    )
+    prob = F.least(
+        F.lit(1.0),
+        F.lit(float(scale_tokens))
+        / F.sqrt(F.col("total_tokens").cast("double")),
+    )
+    thresholds = totals.select(
+        "source",
+        "total_tokens",
+        prob.alias("keep_prob"),
+        # explicit floor: DuckDB ROUNDS on double→BIGINT casts while
+        # Spark truncates — floor is the one portable spelling.
+        F.floor(prob * F.lit(float(2**31))).cast("long").alias("threshold"),
+    )
+    flagged = feats.join(F.broadcast(thresholds), "source").select(
+        "source",
+        "total_tokens",
+        "keep_prob",
+        "n_tokens",
+        (
+            portable_hash(F.col("doc_id").cast("long"))
+            < F.col("threshold")
+        ).cast("long").alias("keep"),
+    )
+    return (
+        flagged.groupBy("source")
+        .agg(
+            F.first("total_tokens").alias("total_tokens"),
+            F.first("keep_prob").alias("keep_prob"),
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("keep").alias("n_kept"),
+            F.sum(F.col("n_tokens") * F.col("keep")).alias("tokens_kept"),
+        )
+        .orderBy("source")
+    )

@@ -4737,6 +4737,40 @@ _register(
         "bucket-count candle frame with map-side min/max/sum.",
 )
 
+def _ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``ohlc_bars`` under the full
+    correctness gate: the events fixture arrives as a 4-file stream
+    (maxFilesPerTrigger=1 → 4 micro-batches); each batch lands its
+    (type, hour) OHLC partials — open/close values with their
+    (ts, event_id) argmin/argmax keys — via foreachBatch, and the
+    returned frame folds the accumulated state. Hour buckets split
+    across micro-batches refold exactly, so the result is
+    row-identical to the batch op and the batch oracle applies
+    verbatim. State is torn down after scoring via
+    :func:`_stream_state_scored`."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "ohlc",
+        ["partials"],
+        stream_windows.streaming_ohlc_ingest,
+        stream_windows.ohlc_from_state,
+    )
+
+
+QUERIES["ohlc_streamed"] = QuerySpec(
+    fn=_ohlc_streamed,
+    oracle=QUERIES["ohlc_bars"].oracle,
+    doc="Streaming-ingest OHLC candles: per-micro-batch mergeable "
+        "candle partials (argmin/argmax order keys carried) into a "
+        "queryable catalog table, folded at query time — the "
+        "stream→table loop on the time-series side.",
+)
+
+
 _register(
     "trend_regression",
     ["events"],
@@ -4917,6 +4951,118 @@ _register(
         "back as a literal — the kmeans-style broadcast loop).",
 )
 
+_register(
+    "temperature_mix",
+    ["documents"],
+    sampling.temperature_mix,
+    f"""
+    WITH feats AS (
+        SELECT doc_id, source,
+               CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
+                                    w -> w <> '')) AS BIGINT) AS n_tokens
+        FROM documents),
+    tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+            FROM feats GROUP BY 1),
+    th AS (SELECT source, total_tokens,
+                  LEAST(1.0, 100.0 / sqrt(CAST(total_tokens AS DOUBLE)))
+                      AS keep_prob,
+                  CAST(floor(LEAST(1.0, 100.0
+                                   / sqrt(CAST(total_tokens AS DOUBLE)))
+                             * 2147483648.0) AS BIGINT) AS threshold
+           FROM tot),
+    fl AS (SELECT f.source, total_tokens, keep_prob, n_tokens,
+                  CASE WHEN ({packing.portable_hash_sql('doc_id')})
+                           < threshold THEN 1 ELSE 0 END AS keep
+           FROM feats f JOIN th ON f.source = th.source)
+    SELECT source, MIN(total_tokens) AS total_tokens,
+           MIN(keep_prob) AS keep_prob,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(keep) AS BIGINT) AS n_kept,
+           CAST(SUM(n_tokens * keep) AS BIGINT) AS tokens_kept
+    FROM fl GROUP BY source ORDER BY source
+    """,
+    doc="Sqrt-temperature (T=0.5) source rebalancing with the "
+        "deterministic portable-hash coin: per-source keep probability "
+        "scale/√tokens — sqrt because it is IEEE-correctly-rounded on "
+        "every engine where general pow is not; no cross-source float "
+        "sums anywhere; text never shuffles.",
+)
+
+_register(
+    "user_growth",
+    ["events"],
+    analytic.user_growth,
+    """
+    WITH fs AS (SELECT user_id,
+                       MIN(epoch_us(date_trunc('day', ts)) // 1000000)
+                           AS day_s
+                FROM events GROUP BY 1),
+    d AS (SELECT day_s, CAST(COUNT(*) AS BIGINT) AS new_users
+          FROM fs GROUP BY 1)
+    SELECT day_s, new_users,
+           CAST(SUM(new_users) OVER (ORDER BY day_s) AS BIGINT)
+               AS cum_users
+    FROM d ORDER BY day_s
+    """,
+    doc="User-growth curve (first-seen day per user, daily new users, "
+        "cumulative to date): user-keyed min + day histogram, with the "
+        "one global cumulative window running over the days-count "
+        "frame, never the event log.",
+)
+
+_register(
+    "itemset_pairs",
+    ["events"],
+    analytic.itemset_pairs,
+    """
+    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
+    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total
+            FROM u),
+    pi AS (SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n_item
+           FROM u GROUP BY 1),
+    p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_users
+          FROM u a JOIN u b
+            ON a.user_id = b.user_id AND a.event_type < b.event_type
+          GROUP BY 1, 2)
+    SELECT item_a, item_b, n_users,
+           CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE) AS support,
+           CAST(n_users AS DOUBLE) * CAST(n_total AS DOUBLE)
+               / (CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE))
+               AS lift
+    FROM p, tot
+    JOIN pi na ON na.item = p.item_a
+    JOIN pi nb ON nb.item = p.item_b
+    ORDER BY item_a, item_b
+    """,
+    doc="Frequent event-type 2-itemsets with support and lift: corpus "
+        "collapses first to the distinct (user, type) frame; the pair "
+        "self-join is user-co-partitioned and bounded per user by the "
+        "type vocabulary — never corpus-squared.",
+)
+
+_register(
+    "referential_audit",
+    ["orders", "customer", "lineitem"],
+    profiling.referential_audit,
+    """
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
+            WHERE NOT EXISTS (SELECT 1 FROM customer c
+                              WHERE c.c_custkey = o.o_custkey))
+               AS n_order_orphans,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitems,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+            WHERE NOT EXISTS (SELECT 1 FROM orders o
+                              WHERE o.o_orderkey = l.l_orderkey))
+               AS n_lineitem_orphans
+    """,
+    doc="Referential-integrity audit of the star schema's two big "
+        "foreign keys via key-only LEFT ANTI joins (Catalyst prunes "
+        "to one int64 per row; dimension side broadcasts) — the "
+        "post-ingest data-quality gate.",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -4974,7 +5120,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# THIRTY-EIGHT further round-8 operators landed after the 50-slot
+# FORTY-THREE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -4986,10 +5132,12 @@ _register(
 # event_rate_spikes, equidepth_histogram, readability_scores,
 # session_paths, snapshot_diff, merge_upsert, event_transitions,
 # zonemap_skip_stats, weighted_sample, ohlc_bars, trend_regression,
-# conversion_attribution, table_profile, key_skew_profile, bpe_merges.
+# conversion_attribution, table_profile, key_skew_profile, bpe_merges,
+# ohlc_streamed, temperature_mix, user_growth, itemset_pairs,
+# referential_audit.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
 # window-mandatory; with the 36 stale r06 stamps also due, r09's 50
-# slots take the 38 new + the 12 stalest r06, and the remaining r06
+# slots take the 43 new + the 7 stalest r06, and the remaining r06
 # set completes in r10 within the every-third-round cadence) and are
 # fully verified locally every pytest run via test_oracle_parity plus
 # the semantic tests in tests/test_round8_ops.py — driver-stamp
@@ -5096,6 +5244,11 @@ _R9_QUEUE: list[str] = [
     "table_profile",
     "key_skew_profile",
     "bpe_merges",
+    "ohlc_streamed",
+    "temperature_mix",
+    "user_growth",
+    "itemset_pairs",
+    "referential_audit",
 ]
 
 _TAIL: list[str] = []

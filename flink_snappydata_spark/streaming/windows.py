@@ -315,3 +315,50 @@ def session_paths(
         .orderBy(F.col("n_sessions").desc(), F.col("path").asc())
         .limit(k)
     )
+
+
+def streaming_ohlc_ingest(
+    stream_events: DataFrame,
+    partials_table: str,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest twin of :func:`operators.analytic.ohlc_bars` —
+    the stream→queryable-table loop (``ParquetTableJoin.scala:32-43``
+    shape) on the time-series/candle side: each micro-batch lands its
+    (type, hour) OHLC partials — open/close values WITH their
+    (ts, event_id) argmin/argmax keys, plus min/max/count/sum — and the
+    fold happens at query time (:func:`ohlc_from_state`). Because the
+    partials are exact sufficient statistics keyed by a unique order
+    key, the fold is batching-insensitive: after a bounded stream
+    drains, the result is row-identical to the batch op and the batch
+    oracle applies verbatim — even for an hour bucket whose events were
+    split across micro-batches.
+
+    Scale: the per-batch shuffle carries only (hour, type)-keyed int64
+    partials (map-side combined); state grows by ≤ hours-in-batch ×
+    types rows per micro-batch regardless of event volume. Rides
+    :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition instead of double-counting.
+    """
+    from flink_snappydata_spark.operators.analytic import _ohlc_partials
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(partials_table, None)],
+        prepare=_ohlc_partials,
+        checkpoint=checkpoint,
+    )
+
+
+def ohlc_from_state(spark, partials_table: str) -> DataFrame:
+    """Final OHLC candles from the per-batch partials accumulated by
+    :func:`streaming_ohlc_ingest`: one argmin/argmax + min/max/sum fold
+    per (type, hour) — batching order irrelevant. ``batch_id`` is
+    ingest lineage, not state — dropped here."""
+    from flink_snappydata_spark.operators.analytic import _ohlc_finalize
+
+    return _ohlc_finalize(spark.table(partials_table).drop("batch_id"))

@@ -996,3 +996,96 @@ def test_bpe_merges_matches_naive_python(documents):
             nwf[sym.replace(pat, rep).replace(pat, rep)] += cnt
         wf = nwf
     assert [(g.left_sym, g.right_sym, g.pair_count) for g in got] == merges
+
+
+# ---------------------------------------------------------------------------
+# batch 9: OHLC partial refold, temperature mix, growth, itemsets, RI audit
+# ---------------------------------------------------------------------------
+
+def test_ohlc_partials_refold_is_batching_insensitive(events):
+    from flink_snappydata_spark.operators.analytic import (
+        _ohlc_finalize, _ohlc_partials, ohlc_bars,
+    )
+
+    half_a = events.filter(F.col("event_id") % 2 == 0)
+    half_b = events.filter(F.col("event_id") % 2 == 1)
+    refolded = _ohlc_finalize(
+        _ohlc_partials(half_a).unionByName(_ohlc_partials(half_b))
+    ).collect()
+    assert refolded == ohlc_bars(events).collect()
+
+
+def test_temperature_mix_sqrt_law(spark):
+    from flink_snappydata_spark.pipeline.sampling import temperature_mix
+
+    # big source: 3000 docs x 5 tokens; small source: 20 docs x 5 tokens
+    rows = [(i, "a b c d e", "en", "big", 9) for i in range(3000)]
+    rows += [(10_000 + i, "a b c d e", "en", "small", 9) for i in range(20)]
+    docs = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: r for r in temperature_mix(docs, scale_tokens=30).collect()}
+    # small source: 30/sqrt(100) = 3 > 1 -> keeps everything
+    assert got["small"].keep_prob == 1.0
+    assert got["small"].n_kept == 20
+    # big source: 30/sqrt(15000) ~ 0.245 -> strict downsample
+    big = got["big"]
+    assert abs(big.keep_prob - 30.0 / (15000.0 ** 0.5)) < 1e-12
+    assert 0 < big.n_kept < big.n_docs
+    assert big.tokens_kept == 5 * big.n_kept
+
+
+def test_user_growth_conserves_users(events):
+    from flink_snappydata_spark.operators.analytic import user_growth
+
+    rows = user_growth(events).collect()
+    assert [r.day_s for r in rows] == sorted(r.day_s for r in rows)
+    assert rows[-1].cum_users == events.select("user_id").distinct().count()
+    cum = 0
+    for r in rows:
+        cum += r.new_users
+        assert r.cum_users == cum
+
+
+def test_itemset_pairs_known_support(spark):
+    from flink_snappydata_spark.operators.analytic import itemset_pairs
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+    # u1: {a,b}; u2: {a,b}; u3: {a}; u4: {b,c}
+    data = [(1, "a"), (1, "b"), (1, "a"), (2, "a"), (2, "b"), (3, "a"),
+            (4, "b"), (4, "c")]
+    rows = [
+        (i, t0, u, t, 1.0, "{}") for i, (u, t) in enumerate(data)
+    ]
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    got = {(r.item_a, r.item_b): r for r in itemset_pairs(ev).collect()}
+    ab = got[("a", "b")]
+    assert ab.n_users == 2 and abs(ab.support - 0.5) < 1e-12
+    # lift = (2 * 4) / (3 * 3)
+    assert abs(ab.lift - 8.0 / 9.0) < 1e-12
+    assert got[("b", "c")].n_users == 1
+
+
+def test_referential_audit_counts_orphans(spark):
+    from flink_snappydata_spark.operators.profiling import referential_audit
+    import datetime
+
+    d = datetime.datetime(2024, 1, 1)
+    orders = spark.createDataFrame(
+        [(1, 10, "F", 5.0, d, "1-URGENT"), (2, 99, "F", 5.0, d, "1-URGENT")],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, o_orderpriority string",
+    )
+    customer = spark.createDataFrame([(10,)], "c_custkey long")
+    lineitem = spark.createDataFrame(
+        [(1,), (1,), (7,)], "l_orderkey long"
+    )
+    r = referential_audit(orders, customer, lineitem).collect()[0]
+    assert (r.n_orders, r.n_order_orphans) == (2, 1)
+    assert (r.n_lineitems, r.n_lineitem_orphans) == (3, 1)
