@@ -738,3 +738,183 @@ def itemset_pairs(events: DataFrame) -> DataFrame:
         )
         .orderBy("item_a", "item_b")
     )
+
+
+def ks_drift(
+    events: DataFrame, type_a: str = "click", type_b: str = "error"
+) -> DataFrame:
+    """Exact two-sample Kolmogorov–Smirnov distance between the value
+    distributions of two event types — the standard distribution-drift
+    test ("did this metric's shape change?") run between cohorts,
+    deploy windows, or data sources.
+
+    The KS statistic is ``max |F_a(v) − F_b(v)|`` over the union of
+    observed values; with exact-cent values and exact int64 rank
+    counts, both CDFs are rational numbers evaluated identically on
+    both engines, so the statistic is bit-exact. ``at_value`` is the
+    smallest value cents achieving the max (deterministic tie-break).
+    Returns one row ``(n_a, n_b, ks_stat, at_value)``.
+
+    Scale: each side collapses FIRST to its value histogram (map-side
+    combined; the frame is bounded by the value domain's distinct-cent
+    cardinality, not event count), the histograms full-outer-merge on
+    value, and the two cumulative sums run as a single-partition window
+    over THAT bounded frame — the same deliberate tiny-frame global
+    window as `user_growth`. The argmax is a 1-row aggregate, then a
+    filter on the persisted merged frame — no corpus-sized sort
+    anywhere.
+    """
+    from flink_snappydata_spark.util import tracked_persist
+
+    def hist(t: str, name: str) -> DataFrame:
+        return (
+            events.filter(F.col("event_type") == t)
+            .groupBy(cents("value").alias("v"))
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+    merged = hist(type_a, "ca").join(hist(type_b, "cb"), "v", "full_outer")
+    w = Window.partitionBy().orderBy("v")
+    totals_a = F.sum(F.coalesce(F.col("ca"), F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    totals_b = F.sum(F.coalesce(F.col("cb"), F.lit(0))).over(
+        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    cdf = tracked_persist(
+        merged.select(
+            "v",
+            F.sum(F.coalesce(F.col("ca"), F.lit(0))).over(w).alias("cum_a"),
+            F.sum(F.coalesce(F.col("cb"), F.lit(0))).over(w).alias("cum_b"),
+            totals_a.alias("n_a"),
+            totals_b.alias("n_b"),
+        ).select(
+            "v",
+            "n_a",
+            "n_b",
+            F.abs(
+                F.col("cum_a").cast("double") / F.col("n_a").cast("double")
+                - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+            ).alias("diff"),
+        )
+    )
+    ks = cdf.agg(F.max("diff").alias("ks_stat"))
+    return (
+        cdf.crossJoin(F.broadcast(ks))
+        .filter(F.col("diff") == F.col("ks_stat"))
+        .agg(
+            F.min("n_a").alias("n_a"),
+            F.min("n_b").alias("n_b"),
+            F.min("ks_stat").alias("ks_stat"),
+            F.min("v").alias("at_value"),
+        )
+    )
+
+
+def ab_test_report(events: DataFrame) -> DataFrame:
+    """Two-proportion A/B conversion report: users split into arms by
+    ``user_id`` parity (the deterministic stand-in for an assignment
+    column), conversion = "more purchases than errors" (a per-user
+    comparison that stays non-degenerate on purchase-heavy logs where
+    "any purchase" saturates at 100%), reported with per-arm rates,
+    the absolute uplift, and the pooled two-proportion z-score — the
+    experiment-readout query every product warehouse runs. A
+    fully-saturated pool (SE = 0) reports z = 0 rather than dividing
+    by zero, on both engines.
+
+    All counts are exact int64; the rate/z arithmetic is the identical
+    closed-form double expression on both engines (sqrt is IEEE
+    correctly-rounded). Returns one row ``(n_a, conv_a, rate_a, n_b,
+    conv_b, rate_b, uplift, z_score)`` (arm a = even user_id).
+
+    Scale: one user-keyed aggregation (two conditional counts per user
+    — map-side combined), then a 2-row arm rollup and single-row
+    algebra. The event log is scanned once; nothing wider than
+    (user, flag) shuffles.
+    """
+    per_user = events.groupBy("user_id").agg(
+        (
+            F.sum((F.col("event_type") == "purchase").cast("long"))
+            > F.sum((F.col("event_type") == "error").cast("long"))
+        ).cast("long").alias("converted")
+    )
+    arms = (
+        per_user.groupBy(
+            F.pmod(F.col("user_id"), F.lit(2)).alias("arm")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("converted").alias("conv"),
+        )
+    )
+    a = arms.filter(F.col("arm") == 0).select(
+        F.col("n").alias("n_a"), F.col("conv").alias("conv_a")
+    )
+    b = arms.filter(F.col("arm") == 1).select(
+        F.col("n").alias("n_b"), F.col("conv").alias("conv_b")
+    )
+    j = a.crossJoin(b)
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    ca, cb = F.col("conv_a").cast("double"), F.col("conv_b").cast("double")
+    ra, rb = ca / na, cb / nb
+    pool = (ca + cb) / (na + nb)
+    se = F.sqrt(pool * (F.lit(1.0) - pool) * (F.lit(1.0) / na + F.lit(1.0) / nb))
+    return j.select(
+        "n_a", "conv_a", ra.alias("rate_a"),
+        "n_b", "conv_b", rb.alias("rate_b"),
+        (rb - ra).alias("uplift"),
+        F.when(se == F.lit(0.0), F.lit(0.0))
+        .otherwise((rb - ra) / se)
+        .alias("z_score"),
+    )
+
+
+def activity_heatmap(events: DataFrame) -> DataFrame:
+    """Hour-of-day × event-type activity heatmap with χ² independence
+    contributions: each cell carries its observed count, the expected
+    count under independence (row·col/N), and the cell's χ² term
+    ``(o−e)²/e`` — the "is traffic shape type-dependent?" diagnostic,
+    emitted as the per-cell frame (the global χ² total is the reader's
+    one-line fold; summing 120 doubles engine-side would be
+    reduction-order-sensitive, per the repo's exactness rules).
+
+    Hour-of-day is pure epoch arithmetic (``epoch_s DIV 3600 mod 24``)
+    — no calendar/timezone formatting crosses engines. Returns
+    ``(event_type, hour, n_events, expected, chi2_contrib)`` sorted by
+    (type, hour).
+
+    Scale: one map-side-combined groupBy to the k×24 cell frame; row,
+    column, and grand totals are windows OVER that tiny frame. The
+    event log is scanned once.
+    """
+    cells = (
+        events.groupBy(
+            "event_type",
+            F.pmod(
+                F.floor(
+                    F.unix_seconds(F.col("ts").cast("timestamp"))
+                    / F.lit(3600)
+                ),
+                F.lit(24),
+            ).alias("hour"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    row_w = Window.partitionBy("event_type")
+    col_w = Window.partitionBy("hour")
+    all_w = Window.partitionBy()
+    o = F.col("n_events").cast("double")
+    e = (
+        F.sum("n_events").over(row_w).cast("double")
+        * F.sum("n_events").over(col_w).cast("double")
+        / F.sum("n_events").over(all_w).cast("double")
+    )
+    return (
+        cells.select(
+            "event_type",
+            "hour",
+            "n_events",
+            e.alias("expected"),
+            ((o - e) * (o - e) / e).alias("chi2_contrib"),
+        )
+        .orderBy("event_type", "hour")
+    )

@@ -112,3 +112,76 @@ def pagerank(
     from flink_snappydata_spark.util import presentation_sorted
 
     return presentation_sorted(ranks, "doc_id", expect_small=False)
+
+
+def graph_triangles(documents: DataFrame) -> DataFrame:
+    """Triangle census of the document link graph: undirected-edge
+    count, wedge (open-triple) count, triangle count, and the global
+    clustering coefficient ``3·triangles / wedges`` — the standard
+    cohesion measure that separates organic link neighborhoods from
+    spray-everywhere spam in web-graph curation.
+
+    Uses the same deterministic synthesized edge list as
+    :func:`pagerank` (:func:`doc_link_edges`), symmetrized to
+    ``u < v`` undirected edges. Triangles are counted once each via the
+    ordered-wedge join: edges (a,b) ⋈ (b,c) build wedges with
+    a < b < c, then a semi-join against (a,c) closes them.
+
+    Returns one row ``(n_nodes, n_edges, n_wedges, n_triangles,
+    clustering)``; clustering is a double division of exact int64/
+    DECIMAL counts.
+
+    Scale: the classic two-join triangle count — both joins key on a
+    single node id and carry only id pairs; per-join fan-out is
+    bounded by node degree (constant here, power-law capped by a
+    degree-split in a real web graph). Wedge counts are a map-side
+    Σ d(d−1)/2 over the degree frame in DECIMAL(38,0), so a
+    100-million-degree hub cannot overflow.
+    """
+    n_nodes = documents.count()
+    e = doc_link_edges(documents, n_nodes).filter(F.col("src") != F.col("dst"))
+    und = tracked_persist(
+        e.select(
+            F.least("src", "dst").alias("u"),
+            F.greatest("src", "dst").alias("v"),
+        ).distinct()
+    )
+    deg = (
+        und.select(F.col("u").alias("node"))
+        .unionByName(und.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("d"))
+    )
+    wedges = deg.agg(
+        # d(d-1) is even, so the shift is exact integer halving; the
+        # SUM runs in DECIMAL(38,0) so hub-heavy graphs cannot
+        # overflow the total.
+        F.sum(
+            F.shiftright(F.col("d") * (F.col("d") - 1), 1)
+            .cast("decimal(38,0)")
+        ).alias("n_wedges"),
+        F.count(F.lit(1)).alias("n_active"),
+    )
+    ab = und.select(F.col("u").alias("a"), F.col("v").alias("b"))
+    bc = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
+    ac = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
+    tri = (
+        ab.join(bc, "b")
+        .join(ac, ["a", "c"], "left_semi")
+        .agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+    edges_n = und.agg(F.count(F.lit(1)).alias("n_edges"))
+    return (
+        edges_n.crossJoin(wedges)
+        .crossJoin(tri)
+        .select(
+            F.lit(n_nodes).cast("long").alias("n_nodes"),
+            "n_edges",
+            F.col("n_wedges").cast("long").alias("n_wedges"),
+            "n_triangles",
+            (
+                F.lit(3.0) * F.col("n_triangles").cast("double")
+                / F.col("n_wedges").cast("double")
+            ).alias("clustering"),
+        )
+    )

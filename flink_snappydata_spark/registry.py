@@ -5063,6 +5063,167 @@ _register(
         "post-ingest data-quality gate.",
 )
 
+_register(
+    "graph_triangles",
+    ["documents"],
+    graphops.graph_triangles,
+    f"""
+    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
+    edges AS (
+        SELECT doc_id AS src,
+               ({packing.portable_hash_sql('(doc_id * 3 + i + 1)')})
+                   % (SELECT n FROM nn) AS dst
+        FROM documents, generate_series(0, 2) s(i)),
+    und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
+            FROM edges WHERE src <> dst),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM (SELECT u AS node FROM und
+                  UNION ALL SELECT v AS node FROM und)
+            GROUP BY 1),
+    wg AS (SELECT SUM(CAST((d * (d - 1)) // 2 AS DECIMAL(38,0)))
+                      AS n_wedges
+           FROM deg),
+    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
+            FROM und ab
+            JOIN und bc ON bc.u = ab.v
+            WHERE EXISTS (SELECT 1 FROM und ac
+                          WHERE ac.u = ab.u AND ac.v = bc.v))
+    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_nodes,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
+           CAST(n_wedges AS BIGINT) AS n_wedges, n_triangles,
+           3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
+               AS clustering
+    FROM wg, tri
+    """,
+    doc="Triangle census + global clustering coefficient of the "
+        "synthesized link graph via the ordered-wedge two-join "
+        "(id-pair-only shuffles, degree-bounded fan-out, "
+        "DECIMAL(38,0) wedge sum).",
+)
+
+_register(
+    "ks_drift",
+    ["events"],
+    analytic.ks_drift,
+    f"""
+    WITH ha AS (SELECT {_cents('value')} AS v,
+                       CAST(COUNT(*) AS BIGINT) AS ca
+                FROM events WHERE event_type = 'click' GROUP BY 1),
+    hb AS (SELECT {_cents('value')} AS v,
+                  CAST(COUNT(*) AS BIGINT) AS cb
+           FROM events WHERE event_type = 'error' GROUP BY 1),
+    m AS (SELECT COALESCE(ha.v, hb.v) AS v,
+                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
+          FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
+    c AS (SELECT v,
+                 CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
+                 CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
+                 CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
+                 CAST(SUM(cb) OVER () AS BIGINT) AS n_b
+          FROM m),
+    d AS (SELECT v, n_a, n_b,
+                 ABS(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
+                     - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
+                     AS diff
+          FROM c),
+    k AS (SELECT MAX(diff) AS ks_stat FROM d)
+    SELECT MIN(n_a) AS n_a, MIN(n_b) AS n_b,
+           MIN(ks_stat) AS ks_stat, MIN(v) AS at_value
+    FROM d, k WHERE diff = ks_stat
+    """,
+    doc="Exact two-sample Kolmogorov-Smirnov distance between two "
+        "event types' value distributions: per-side value histograms "
+        "(map-side, value-domain-bounded), full-outer CDF merge, "
+        "cumulative window over the bounded frame — rational CDFs, "
+        "bit-exact statistic.",
+)
+
+_register(
+    "ab_test_report",
+    ["events"],
+    analytic.ab_test_report,
+    """
+    WITH pu AS (SELECT user_id,
+                       CASE WHEN SUM(CASE WHEN event_type = 'purchase'
+                                          THEN 1 ELSE 0 END)
+                               > SUM(CASE WHEN event_type = 'error'
+                                          THEN 1 ELSE 0 END)
+                            THEN 1 ELSE 0 END AS converted
+                FROM events GROUP BY user_id),
+    arms AS (SELECT user_id % 2 AS arm,
+                    CAST(COUNT(*) AS BIGINT) AS n,
+                    CAST(SUM(converted) AS BIGINT) AS conv
+             FROM pu GROUP BY 1),
+    a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE arm = 0),
+    b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE arm = 1)
+    SELECT n_a, conv_a,
+           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
+           n_b, conv_b,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
+           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+               - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS uplift,
+           CASE WHEN sqrt((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
+                          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                          * (1.0 - (CAST(conv_a AS DOUBLE)
+                                    + CAST(conv_b AS DOUBLE))
+                                   / (CAST(n_a AS DOUBLE)
+                                      + CAST(n_b AS DOUBLE)))
+                          * (1.0 / CAST(n_a AS DOUBLE)
+                             + 1.0 / CAST(n_b AS DOUBLE))) = 0.0
+                THEN 0.0
+                ELSE (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
+                      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
+                     / sqrt((CAST(conv_a AS DOUBLE)
+                             + CAST(conv_b AS DOUBLE))
+                            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
+                            * (1.0 - (CAST(conv_a AS DOUBLE)
+                                      + CAST(conv_b AS DOUBLE))
+                                     / (CAST(n_a AS DOUBLE)
+                                        + CAST(n_b AS DOUBLE)))
+                            * (1.0 / CAST(n_a AS DOUBLE)
+                               + 1.0 / CAST(n_b AS DOUBLE)))
+           END AS z_score
+    FROM a, b
+    """,
+    doc="Two-proportion A/B conversion report (arms by user parity, "
+        "conversion = any purchase): one user-keyed flag aggregation, "
+        "2-row arm rollup, closed-form pooled z-score in identical "
+        "double expressions.",
+)
+
+_register(
+    "activity_heatmap",
+    ["events"],
+    analytic.activity_heatmap,
+    """
+    WITH cells AS (
+        SELECT event_type,
+               (epoch_us(ts) // 1000000 // 3600) % 24 AS hour,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2)
+    SELECT event_type, hour, n_events,
+           CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+               * CAST(SUM(n_events) OVER (PARTITION BY hour) AS DOUBLE)
+               / CAST(SUM(n_events) OVER () AS DOUBLE) AS expected,
+           (CAST(n_events AS DOUBLE)
+            - CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+              * CAST(SUM(n_events) OVER (PARTITION BY hour) AS DOUBLE)
+              / CAST(SUM(n_events) OVER () AS DOUBLE))
+           * (CAST(n_events AS DOUBLE)
+              - CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+                * CAST(SUM(n_events) OVER (PARTITION BY hour) AS DOUBLE)
+                / CAST(SUM(n_events) OVER () AS DOUBLE))
+           / (CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
+              * CAST(SUM(n_events) OVER (PARTITION BY hour) AS DOUBLE)
+              / CAST(SUM(n_events) OVER () AS DOUBLE)) AS chi2_contrib
+    FROM cells ORDER BY event_type, hour
+    """,
+    doc="Hour-of-day x type heatmap with chi-squared independence "
+        "contributions per cell (epoch-arithmetic hours, totals via "
+        "windows over the kx24 cell frame; the order-sensitive global "
+        "chi-squared fold is deliberately left to the reader).",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -5120,7 +5281,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# FORTY-THREE further round-8 operators landed after the 50-slot
+# FORTY-SEVEN further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5134,10 +5295,11 @@ _register(
 # zonemap_skip_stats, weighted_sample, ohlc_bars, trend_regression,
 # conversion_attribution, table_profile, key_skew_profile, bpe_merges,
 # ohlc_streamed, temperature_mix, user_growth, itemset_pairs,
-# referential_audit.
+# referential_audit, graph_triangles, ks_drift, ab_test_report,
+# activity_heatmap.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
 # window-mandatory; with the 36 stale r06 stamps also due, r09's 50
-# slots take the 43 new + the 7 stalest r06, and the remaining r06
+# slots take the 47 new + the 3 stalest r06, and the remaining r06
 # set completes in r10 within the every-third-round cadence) and are
 # fully verified locally every pytest run via test_oracle_parity plus
 # the semantic tests in tests/test_round8_ops.py — driver-stamp
@@ -5249,6 +5411,10 @@ _R9_QUEUE: list[str] = [
     "user_growth",
     "itemset_pairs",
     "referential_audit",
+    "graph_triangles",
+    "ks_drift",
+    "ab_test_report",
+    "activity_heatmap",
 ]
 
 _TAIL: list[str] = []

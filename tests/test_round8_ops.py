@@ -1089,3 +1089,89 @@ def test_referential_audit_counts_orphans(spark):
     r = referential_audit(orders, customer, lineitem).collect()[0]
     assert (r.n_orders, r.n_order_orphans) == (2, 1)
     assert (r.n_lineitems, r.n_lineitem_orphans) == (3, 1)
+
+
+# ---------------------------------------------------------------------------
+# batch 10: triangles, KS drift, A/B report, heatmap
+# ---------------------------------------------------------------------------
+
+def test_graph_triangles_matches_naive(spark):
+    from flink_snappydata_spark.pipeline.graph import (
+        doc_link_edges, graph_triangles,
+    )
+    from itertools import combinations
+
+    docs = spark.createDataFrame(
+        [(i, "t", "en", "s", 1) for i in range(60)],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    r = graph_triangles(docs).collect()[0]
+    edges = {
+        (min(e.src, e.dst), max(e.src, e.dst))
+        for e in doc_link_edges(docs, 60).collect()
+        if e.src != e.dst
+    }
+    adj = {}
+    for u, v in edges:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    tri = sum(
+        1
+        for u, v in edges
+        for w in adj[u] & adj[v]
+        if u < v < w
+    )
+    wedges = sum(len(s) * (len(s) - 1) // 2 for s in adj.values())
+    assert r.n_edges == len(edges)
+    assert r.n_triangles == tri
+    assert r.n_wedges == wedges
+
+
+def test_ks_drift_identical_and_disjoint(spark):
+    from flink_snappydata_spark.operators.analytic import ks_drift
+    import datetime
+
+    t0 = datetime.datetime(2024, 1, 1)
+
+    def mk(rows):
+        return spark.createDataFrame(
+            [
+                (i, t0, 1, t, v, "{}")
+                for i, (t, v) in enumerate(rows)
+            ],
+            "event_id long, ts timestamp, user_id long, "
+            "event_type string, value double, props string",
+        )
+
+    same = mk([("click", float(v)) for v in range(10)]
+              + [("error", float(v)) for v in range(10)])
+    assert ks_drift(same).collect()[0].ks_stat == 0.0
+    apart = mk([("click", float(v)) for v in range(10)]
+               + [("error", 100.0 + v) for v in range(10)])
+    r = ks_drift(apart).collect()[0]
+    assert r.ks_stat == 1.0
+    assert r.at_value == 900  # largest click value, in cents
+
+
+def test_ab_test_report_shares_and_sign(events):
+    from flink_snappydata_spark.operators.analytic import ab_test_report
+
+    r = ab_test_report(events).collect()[0]
+    assert r.n_a + r.n_b == events.select("user_id").distinct().count()
+    assert 0.0 <= r.rate_a <= 1.0 and 0.0 <= r.rate_b <= 1.0
+    assert abs(r.uplift - (r.rate_b - r.rate_a)) < 1e-12
+    if r.uplift != 0:
+        assert (r.z_score > 0) == (r.uplift > 0)
+
+
+def test_activity_heatmap_chi2_identity(events):
+    from flink_snappydata_spark.operators.analytic import activity_heatmap
+
+    rows = activity_heatmap(events).collect()
+    n = events.count()
+    assert sum(r.n_events for r in rows) == n
+    # expected counts also sum to N (within float tolerance)
+    assert abs(sum(r.expected for r in rows) - n) < 1e-6
+    for r in rows:
+        assert 0 <= r.hour <= 23
+        assert r.chi2_contrib >= 0.0
