@@ -918,3 +918,100 @@ def activity_heatmap(events: DataFrame) -> DataFrame:
         )
         .orderBy("event_type", "hour")
     )
+
+
+def repeat_purchase_stats(events: DataFrame) -> DataFrame:
+    """Repeat-purchase timing summary: the gaps between each user's
+    consecutive purchases, rolled up to one row — ``(n_purchasers,
+    n_repeat_purchasers, n_gaps, mean_gap_s, min_gap_s, max_gap_s)`` —
+    the retention/LTV-adjacent "how often do they come back" metric.
+
+    Gaps are whole seconds between consecutive purchases in the
+    deterministic (ts, event_id) order; the mean is one double division
+    of exact int64 sums. Returns one row.
+
+    Scale: purchases are filtered before any shuffle, then ONE
+    user-keyed window (bounded by a user's own purchase history)
+    produces the gaps, and a map-side-combined single-row aggregate
+    finishes — the event log is scanned once and only purchase rows
+    ever move.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    p = events.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (
+            F.unix_seconds(F.col("ts").cast("timestamp"))
+            - F.unix_seconds(F.lag("ts").over(w).cast("timestamp"))
+        ).alias("gap_s"),
+    )
+    per_user = p.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_purch"),
+        F.sum("gap_s").alias("gap_sum"),
+        F.count("gap_s").alias("n_gaps"),
+        F.min("gap_s").alias("gmin"),
+        F.max("gap_s").alias("gmax"),
+    )
+    return per_user.agg(
+        F.count(F.lit(1)).alias("n_purchasers"),
+        F.sum((F.col("n_purch") >= 2).cast("long")).alias(
+            "n_repeat_purchasers"
+        ),
+        F.sum("n_gaps").alias("n_gaps"),
+        F.when(
+            F.sum("n_gaps") > 0,
+            F.sum("gap_sum").cast("double") / F.sum("n_gaps").cast("double"),
+        ).alias("mean_gap_s"),
+        F.min("gmin").alias("min_gap_s"),
+        F.max("gmax").alias("max_gap_s"),
+    )
+
+
+def session_conversion(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """Session conversion by entry channel: sessionize each user's
+    timeline (30-minute inactivity gap), tag every session with its
+    FIRST event type (the entry channel) and whether a purchase
+    happened inside it, then roll up per channel — ``(channel,
+    n_sessions, n_converted, conv_rate)`` — the "which front door
+    converts" query that sits between `session_funnel` and
+    `conversion_attribution`.
+
+    The entry event is the (ts, event_id) argmin via ``min_by`` —
+    deterministic. Rates are exact-int divisions. Sorted by channel.
+
+    Scale: one session-window aggregation (the same single user-keyed
+    shuffle every session op in the engine uses; per-group state is
+    one struct + one flag, never the member list), collapsing to the
+    channel-vocabulary frame.
+    """
+    sess = (
+        events.groupBy(
+            F.session_window("ts", gap).alias("w"), "user_id"
+        )
+        .agg(
+            F.min_by(
+                F.col("event_type"), F.struct("ts", "event_id")
+            ).alias("entry"),
+            F.max(
+                (F.col("event_type") == "purchase").cast("long")
+            ).alias("conv"),
+        )
+    )
+    return (
+        sess.groupBy(F.col("entry").alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_sessions"),
+            F.sum("conv").alias("n_converted"),
+        )
+        .select(
+            "channel",
+            "n_sessions",
+            "n_converted",
+            (
+                F.col("n_converted").cast("double")
+                / F.col("n_sessions").cast("double")
+            ).alias("conv_rate"),
+        )
+        .orderBy("channel")
+    )

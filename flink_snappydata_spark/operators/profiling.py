@@ -189,3 +189,42 @@ def referential_audit(
             "n_lineitem_orphans",
         )
     )
+
+
+def quantile_transform(events: DataFrame) -> DataFrame:
+    """Per-type quantile (CDF) transform table for the event value —
+    the exact mapping ``value → F(value)`` used for rank-normalizing
+    features before training and for percentile dashboards. Each
+    distinct (type, value-cents) pair gets its occurrence count and its
+    exact right-closed CDF position ``cum/n`` — a rational number
+    evaluated identically on both engines.
+
+    Returns ``(event_type, v, n, q)`` sorted by (type, v); joining a
+    raw event against this table on (type, v) yields its quantile.
+
+    Scale: the corpus collapses FIRST to the per-type value histogram
+    (map-side combined, bounded by the value domain's distinct-cent
+    cardinality per type, not event count); the cumulative window is
+    PARTITIONED BY TYPE over that bounded frame — no global window, no
+    corpus-sized sort.
+    """
+    hist = (
+        events.groupBy(
+            "event_type", cents("value").alias("v")
+        )
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    tot = Window.partitionBy("event_type")
+    return (
+        hist.select(
+            "event_type",
+            "v",
+            "n",
+            (
+                F.sum("n").over(w).cast("double")
+                / F.sum("n").over(tot).cast("double")
+            ).alias("q"),
+        )
+        .orderBy("event_type", "v")
+    )

@@ -1885,3 +1885,81 @@ def bpe_merges(
         "step long, left_sym string, right_sym string, "
         "merged string, pair_count long",
     ).orderBy("step")
+
+
+def token_drift_topk(
+    documents: DataFrame,
+    source_a: str = "src0",
+    source_b: str = "src1",
+    k: int = 20,
+    n_buckets: int = 32,
+) -> DataFrame:
+    """Top-k drifting tokens between two sources by χ² contribution —
+    the corpus-drift detector ("which words distinguish this crawl
+    from that one?") that powers DSIR-style importance weighting and
+    contamination triage. For each token in either source's
+    vocabulary, the 2-cell independence test term
+    ``(o_a−e_a)²/e_a + (o_b−e_b)²/e_b`` is computed from exact int64
+    counts (expected counts and the fixed two-term sum are identical
+    double expressions on both engines), and the ``k`` largest
+    (χ² desc, token asc tie-break) are returned as
+    ``(token, c_a, c_b, chi2)``.
+
+    Scale: each side collapses to its token histogram (map-side
+    combined, vocabulary-sized); the full-outer merge and the χ²
+    arithmetic run on the merged vocabulary frame; the top-k is the
+    engine's exact two-phase shape — top-k inside ``n_buckets`` hash
+    sub-groups, then a re-rank of ≤ k·n_buckets candidates — so no
+    reducer ever sorts the whole vocabulary. Text never shuffles
+    (tokens do, bounded by vocabulary).
+    """
+
+    def hist(src: str, name: str) -> DataFrame:
+        return (
+            documents.filter(F.col("source") == src)
+            .select(F.explode(_words(F.col("text"))).alias("token"))
+            .groupBy("token")
+            .agg(F.count(F.lit(1)).alias(name))
+        )
+
+    m = (
+        hist(source_a, "c_a")
+        .join(hist(source_b, "c_b"), "token", "full_outer")
+        .select(
+            "token",
+            F.coalesce("c_a", F.lit(0)).alias("c_a"),
+            F.coalesce("c_b", F.lit(0)).alias("c_b"),
+        )
+    )
+    tot = m.agg(
+        F.sum("c_a").alias("n_a"), F.sum("c_b").alias("n_b")
+    )
+    oa, ob = F.col("c_a").cast("double"), F.col("c_b").cast("double")
+    na, nb = F.col("n_a").cast("double"), F.col("n_b").cast("double")
+    row = oa + ob
+    ea = row * na / (na + nb)
+    eb = row * nb / (na + nb)
+    scored = m.crossJoin(F.broadcast(tot)).select(
+        "token",
+        "c_a",
+        "c_b",
+        ((oa - ea) * (oa - ea) / ea + (ob - eb) * (ob - eb) / eb).alias(
+            "chi2"
+        ),
+    )
+    phase1 = Window.partitionBy("bkt").orderBy(F.col("chi2").desc(), "token")
+    survivors = (
+        scored.withColumn(
+            "bkt", F.pmod(F.abs(F.hash("token")), F.lit(n_buckets))
+        )
+        .withColumn("r1", F.row_number().over(phase1))
+        .filter(F.col("r1") <= k)
+        .drop("bkt", "r1")
+    )
+    phase2 = Window.partitionBy().orderBy(F.col("chi2").desc(), "token")
+    return (
+        survivors.withColumn("rank", F.row_number().over(phase2))
+        .filter(F.col("rank") <= k)
+        .select("token", "c_a", "c_b", "chi2")
+        .orderBy(F.col("chi2").desc(), "token")
+    )

@@ -5224,6 +5224,159 @@ _register(
         "chi-squared fold is deliberately left to the reader).",
 )
 
+_register(
+    "repeat_purchase_stats",
+    ["events"],
+    analytic.repeat_purchase_stats,
+    """
+    WITH g AS (
+        SELECT user_id,
+               epoch_us(ts) // 1000000
+                   - LAG(epoch_us(ts) // 1000000)
+                         OVER (PARTITION BY user_id
+                               ORDER BY epoch_us(ts), event_id) AS gap_s
+        FROM events WHERE event_type = 'purchase'),
+    pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch,
+                  SUM(gap_s) AS gap_sum,
+                  CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
+                  MIN(gap_s) AS gmin, MAX(gap_s) AS gmax
+           FROM g GROUP BY 1)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchasers,
+           CAST(SUM(CASE WHEN n_purch >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_repeat_purchasers,
+           CAST(SUM(n_gaps) AS BIGINT) AS n_gaps,
+           CASE WHEN SUM(n_gaps) > 0
+                THEN CAST(SUM(gap_sum) AS DOUBLE)
+                     / CAST(SUM(n_gaps) AS DOUBLE) END AS mean_gap_s,
+           MIN(gmin) AS min_gap_s, MAX(gmax) AS max_gap_s
+    FROM pu
+    """,
+    doc="Repeat-purchase timing (gaps between consecutive purchases "
+        "per user in deterministic order): purchases filtered before "
+        "any shuffle, one user-bounded lag window, single-row "
+        "map-side rollup.",
+)
+
+_register(
+    "session_conversion",
+    ["events"],
+    analytic.session_conversion,
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN LAG(ts) OVER w IS NULL
+                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS new_s
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    sess AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_s) OVER (PARTITION BY user_id
+                                ORDER BY ts, event_id
+                                ROWS BETWEEN UNBOUNDED PRECEDING
+                                AND CURRENT ROW) AS sid
+        FROM seq),
+    tagged AS (
+        SELECT user_id, sid, event_type,
+               FIRST_VALUE(event_type)
+                   OVER (PARTITION BY user_id, sid
+                         ORDER BY ts, event_id) AS entry
+        FROM sess),
+    per AS (SELECT user_id, sid, MIN(entry) AS entry,
+                   MAX(CASE WHEN event_type = 'purchase'
+                            THEN 1 ELSE 0 END) AS conv
+            FROM tagged GROUP BY 1, 2)
+    SELECT entry AS channel, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(conv) AS BIGINT) AS n_converted,
+           CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS conv_rate
+    FROM per GROUP BY 1 ORDER BY 1
+    """,
+    doc="Session conversion by entry channel: the engine's standard "
+        "30-minute session windows, entry = (ts, event_id)-argmin via "
+        "min_by, purchase flag per session, channel-vocabulary "
+        "rollup — one user-keyed session shuffle.",
+)
+
+_register(
+    "quantile_transform",
+    ["events"],
+    profiling.quantile_transform,
+    f"""
+    WITH h AS (SELECT event_type, {_cents('value')} AS v,
+                      CAST(COUNT(*) AS BIGINT) AS n
+               FROM events GROUP BY 1, 2)
+    SELECT event_type, v, n,
+           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY v)
+                AS DOUBLE)
+               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
+               AS q
+    FROM h ORDER BY event_type, v
+    """,
+    doc="Exact per-type quantile (CDF) transform table: corpus "
+        "collapses to the per-type value histogram first; the "
+        "cumulative window is partitioned by type over that "
+        "value-domain-bounded frame — rational CDF positions, "
+        "bit-exact.",
+)
+
+_register(
+    "token_drift_topk",
+    ["documents"],
+    textops.token_drift_topk,
+    """
+    WITH ha AS (SELECT word AS token, CAST(COUNT(*) AS BIGINT) AS c_a
+                FROM (SELECT unnest(list_filter(
+                                 string_split_regex(lower(text), '\\W+'),
+                                 w -> w <> '')) AS word
+                      FROM documents WHERE source = 'src0')
+                GROUP BY 1),
+    hb AS (SELECT word AS token, CAST(COUNT(*) AS BIGINT) AS c_b
+           FROM (SELECT unnest(list_filter(
+                            string_split_regex(lower(text), '\\W+'),
+                            w -> w <> '')) AS word
+                 FROM documents WHERE source = 'src1')
+           GROUP BY 1),
+    m AS (SELECT COALESCE(ha.token, hb.token) AS token,
+                 COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
+          FROM ha FULL OUTER JOIN hb ON ha.token = hb.token),
+    tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
+                   CAST(SUM(c_b) AS BIGINT) AS n_b
+            FROM m),
+    s AS (SELECT token, c_a, c_b,
+                 (CAST(c_a AS DOUBLE)
+                  - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+                    * CAST(n_a AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 * (CAST(c_a AS DOUBLE)
+                    - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+                      * CAST(n_a AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 / ((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+                    * CAST(n_a AS DOUBLE)
+                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                 + (CAST(c_b AS DOUBLE)
+                    - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+                      * CAST(n_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                   * (CAST(c_b AS DOUBLE)
+                      - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+                        * CAST(n_b AS DOUBLE)
+                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                   / ((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
+                      * CAST(n_b AS DOUBLE)
+                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
+                     AS chi2
+          FROM m, tot)
+    SELECT token, c_a, c_b, chi2
+    FROM s ORDER BY chi2 DESC, token LIMIT 20
+    """,
+    doc="Top-20 drifting tokens between two sources by chi-squared "
+        "contribution (vocabulary-sized histograms, full-outer merge, "
+        "identical fixed-order double arithmetic; exact two-phase "
+        "top-k so no reducer sorts the whole vocabulary).",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -5281,7 +5434,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# FORTY-SEVEN further round-8 operators landed after the 50-slot
+# FIFTY-ONE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5296,11 +5449,13 @@ _register(
 # conversion_attribution, table_profile, key_skew_profile, bpe_merges,
 # ohlc_streamed, temperature_mix, user_growth, itemset_pairs,
 # referential_audit, graph_triangles, ks_drift, ab_test_report,
-# activity_heatmap.
+# activity_heatmap, repeat_purchase_stats, session_conversion,
+# quantile_transform, token_drift_topk.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; with the 36 stale r06 stamps also due, r09's 50
-# slots take the 47 new + the 3 stalest r06, and the remaining r06
-# set completes in r10 within the every-third-round cadence) and are
+# window-mandatory; 51 now exceed the 50-slot window, so r09 takes the
+# first 50 of this queue in order, and r10's window picks up the
+# remainder plus the stale r06 re-stamps within the every-third-round
+# cadence) and are
 # fully verified locally every pytest run via test_oracle_parity plus
 # the semantic tests in tests/test_round8_ops.py — driver-stamp
 # pending, not unverified.
@@ -5415,6 +5570,10 @@ _R9_QUEUE: list[str] = [
     "ks_drift",
     "ab_test_report",
     "activity_heatmap",
+    "repeat_purchase_stats",
+    "session_conversion",
+    "quantile_transform",
+    "token_drift_topk",
 ]
 
 _TAIL: list[str] = []
