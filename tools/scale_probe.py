@@ -49,6 +49,7 @@ from flink_snappydata_spark.pipeline import dedup as D
 from flink_snappydata_spark.pipeline import multimodal as M
 from flink_snappydata_spark.pipeline import packing as _packing
 from flink_snappydata_spark.operators import analytic as A
+from flink_snappydata_spark.operators import profiling as _profiling
 from flink_snappydata_spark.pipeline import graph as GR
 from flink_snappydata_spark.pipeline import similarity as S
 from flink_snappydata_spark.pipeline import text as T
@@ -192,6 +193,30 @@ OPS = {
     "embedding_dim_stats": lambda d, e: S.embedding_dim_stats(e),
     "readability_scores": lambda d, e: T.readability_scores(d, sort=False),
     "typo_pairs": lambda d, e: D.typo_pairs(d),
+    # round-8 closing batch: BPE iterates over the DISTINCT-WORD frame
+    # (4 merge rounds probed — per-round plan identical to the default
+    # 8); drift/sample/mix ride the synthesized 20-way source split;
+    # triangles rebuild the dense-id graph like pagerank above.
+    "bpe_merges": lambda d, e: T.bpe_merges(d, n_merges=4),
+    "token_drift_topk": lambda d, e: T.token_drift_topk(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        )
+    ),
+    "weighted_sample": lambda d, e: _sampling.weighted_sample(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        ).withColumn("n_chars", F.length("text").cast("long"))
+    ),
+    "temperature_mix": lambda d, e: _sampling.temperature_mix(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        )
+    ),
+    "merge_upsert": lambda d, e: _curation.merge_upsert(d),
+    "graph_triangles": lambda d, e: GR.graph_triangles(
+        d.sparkSession.range(d.count()).select(F.col("id").alias("doc_id"))
+    ),
 }
 
 #: Events-input ops (replicated with per-replica day offsets so the
@@ -206,6 +231,20 @@ EVENT_OPS = {
     "events_mad_outliers": lambda v: A.mad_outliers(v),
     "event_rate_spikes": lambda v: A.event_rate_spikes(v),
     "zorder_key": lambda v: _packing.zorder_key(v, sort=False),
+    # round-8 closing batch (all pure events-frame ops)
+    "ohlc_bars": lambda v: A.ohlc_bars(v),
+    "event_transitions": lambda v: A.event_transitions(v),
+    "trend_regression": lambda v: A.trend_regression(v),
+    "ks_drift": lambda v: A.ks_drift(v),
+    "activity_heatmap": lambda v: A.activity_heatmap(v),
+    "session_conversion": lambda v: A.session_conversion(v),
+    "user_growth": lambda v: A.user_growth(v),
+    "conversion_attribution": lambda v: A.conversion_attribution(v),
+    "repeat_purchase_stats": lambda v: A.repeat_purchase_stats(v),
+    "itemset_pairs": lambda v: A.itemset_pairs(v),
+    "ab_test_report": lambda v: A.ab_test_report(v),
+    "zonemap_skip_stats": lambda v: _packing.zonemap_skip_stats(v),
+    "quantile_transform": lambda v: _profiling.quantile_transform(v),
 }
 
 
