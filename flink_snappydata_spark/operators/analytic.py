@@ -757,14 +757,16 @@ def ks_drift(
 
     Scale: each side collapses FIRST to its value histogram (map-side
     combined; the frame is bounded by the value domain's distinct-cent
-    cardinality, not event count), the histograms full-outer-merge on
-    value, and the two cumulative sums run as a single-partition window
-    over THAT bounded frame — the same deliberate tiny-frame global
-    window as `user_growth`. The argmax is a 1-row aggregate, then a
-    filter on the persisted merged frame — no corpus-sized sort
-    anywhere.
+    cardinality, not event count) and the histograms full-outer-merge
+    on value. The two cumulative sums ride
+    :func:`~flink_snappydata_spark.util.cell_prefix_sums` — the
+    `quality_auc` value-cell two-phase prefix — so even a merged
+    histogram with 10⁸ distinct cents never funnels through one window
+    task; totals are a 1-row aggregate broadcast back. The argmax is a
+    1-row aggregate, then a filter on the persisted merged frame — no
+    corpus-sized (or histogram-sized) single-task sort anywhere.
     """
-    from flink_snappydata_spark.util import tracked_persist
+    from flink_snappydata_spark.util import cell_prefix_sums, tracked_persist
 
     def hist(t: str, name: str) -> DataFrame:
         return (
@@ -772,28 +774,29 @@ def ks_drift(
             .groupBy(cents("value").alias("v"))
             .agg(F.count(F.lit(1)).alias(name))
         )
-    merged = hist(type_a, "ca").join(hist(type_b, "cb"), "v", "full_outer")
-    w = Window.partitionBy().orderBy("v")
-    totals_a = F.sum(F.coalesce(F.col("ca"), F.lit(0))).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    merged = (
+        hist(type_a, "ca")
+        .join(hist(type_b, "cb"), "v", "full_outer")
+        .select(
+            "v",
+            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
+            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+        )
     )
-    totals_b = F.sum(F.coalesce(F.col("cb"), F.lit(0))).over(
-        w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    totals = merged.agg(
+        F.sum("ca").cast("long").alias("n_a"),
+        F.sum("cb").cast("long").alias("n_b"),
     )
     cdf = tracked_persist(
-        merged.select(
-            "v",
-            F.sum(F.coalesce(F.col("ca"), F.lit(0))).over(w).alias("cum_a"),
-            F.sum(F.coalesce(F.col("cb"), F.lit(0))).over(w).alias("cum_b"),
-            totals_a.alias("n_a"),
-            totals_b.alias("n_b"),
-        ).select(
+        cell_prefix_sums(merged, "v", ["ca", "cb"])
+        .crossJoin(F.broadcast(totals))
+        .select(
             "v",
             "n_a",
             "n_b",
             F.abs(
-                F.col("cum_a").cast("double") / F.col("n_a").cast("double")
-                - F.col("cum_b").cast("double") / F.col("n_b").cast("double")
+                F.col("cum_ca").cast("double") / F.col("n_a").cast("double")
+                - F.col("cum_cb").cast("double") / F.col("n_b").cast("double")
             ).alias("diff"),
         )
     )

@@ -18,6 +18,10 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_snappydata_spark.functions.exact import cents
+from flink_snappydata_spark.util import (
+    cell_prefix_sums,
+    presentation_sorted,
+)
 
 
 def table_profile(orders: DataFrame) -> DataFrame:
@@ -191,7 +195,9 @@ def referential_audit(
     )
 
 
-def quantile_transform(events: DataFrame) -> DataFrame:
+def quantile_transform(
+    events: DataFrame, n_cells: int = 4096, sort: bool = True
+) -> DataFrame:
     """Per-type quantile (CDF) transform table for the event value —
     the exact mapping ``value → F(value)`` used for rank-normalizing
     features before training and for percentile dashboards. Each
@@ -199,32 +205,50 @@ def quantile_transform(events: DataFrame) -> DataFrame:
     exact right-closed CDF position ``cum/n`` — a rational number
     evaluated identically on both engines.
 
-    Returns ``(event_type, v, n, q)`` sorted by (type, v); joining a
-    raw event against this table on (type, v) yields its quantile.
+    Returns ``(event_type, v, n, q)`` sorted by (type, v) when
+    ``sort=True``; joining a raw event against this table on (type, v)
+    yields its quantile.
 
     Scale: the corpus collapses FIRST to the per-type value histogram
     (map-side combined, bounded by the value domain's distinct-cent
-    cardinality per type, not event count); the cumulative window is
-    PARTITIONED BY TYPE over that bounded frame — no global window, no
-    corpus-sized sort.
+    cardinality per type, not event count). The cumulative count is
+    then the keyed two-phase prefix (the `quality_auc`/`ccnet_buckets`
+    rank idiom): values bucket into ``n_cells`` fixed bounds-derived
+    cells (a monotone affine map, so cell order = value order), the
+    per-(type, cell) histogram — ≤ types × n_cells narrow rows — takes
+    the strictly-lower-cell prefix on a type-partitioned window, and
+    within-cell prefixes run on (type, cell)-partitioned windows whose
+    partitions hold ~1/n_cells of a type's distinct values each. NO
+    window ever holds a type's whole histogram, so a type with 10⁸
+    distinct cents never funnels through one task (the old shape —
+    ``Window.partitionBy(type)`` over the full histogram — did exactly
+    that). Per-type totals ride a broadcast join; q is one double
+    division of exact int64s, bit-identical to the single-window
+    spelling.
     """
-    hist = (
-        events.groupBy(
-            "event_type", cents("value").alias("v")
-        )
-        .agg(F.count(F.lit(1)).alias("n"))
+    # cell_prefix_sums persists `hist` internally; `totals` reads the
+    # same persisted frame.
+    hist = events.groupBy("event_type", cents("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
     )
-    w = Window.partitionBy("event_type").orderBy("v")
-    tot = Window.partitionBy("event_type")
-    return (
-        hist.select(
+    totals = hist.groupBy("event_type").agg(F.sum("n").alias("n_tot"))
+    out = (
+        cell_prefix_sums(
+            hist, "v", ["n"], ("event_type",), n_cells=n_cells
+        )
+        .join(F.broadcast(totals), "event_type")
+        .select(
             "event_type",
             "v",
             "n",
             (
-                F.sum("n").over(w).cast("double")
-                / F.sum("n").over(tot).cast("double")
+                F.col("cum_n").cast("double")
+                / F.col("n_tot").cast("double")
             ).alias("q"),
         )
-        .orderBy("event_type", "v")
     )
+    if sort:
+        return presentation_sorted(
+            out, "event_type", "v", expect_small=False
+        )
+    return out

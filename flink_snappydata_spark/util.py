@@ -104,6 +104,91 @@ def presentation_sorted(
     return df.orderBy(*cols)
 
 
+def cell_prefix_sums(
+    df: DataFrame,
+    order_col: str,
+    sum_cols: list[str],
+    partition_cols: tuple[str, ...] = (),
+    n_cells: int = 4096,
+) -> DataFrame:
+    """Inclusive (right-closed) running sums of ``sum_cols`` in
+    ``order_col`` order within each ``partition_cols`` group — WITHOUT
+    a window that holds a whole group, the hazard of the naive
+    ``Window.partitionBy(keys).orderBy(v)`` spelling when a group's
+    distinct-value frame is itself large (a cumulative CDF over 10⁸
+    distinct cents would funnel through one task).
+
+    The `quality_auc`/`ccnet_buckets` rank idiom, generalized: values
+    bucket into ``n_cells`` fixed cells derived from the GLOBAL
+    min/max by a monotone affine integer map (cell order = value
+    order), per-(group, cell) subtotals take the strictly-lower-cell
+    prefix on a window whose partitions hold ≤ n_cells narrow rows,
+    and within-cell inclusive prefixes run on (group, cell)-partitioned
+    windows holding ~1/n_cells of a group's values each. The cell
+    offset table (≤ groups × n_cells rows) broadcasts back.
+
+    Sums run in the input columns' own type (callers pass int64;
+    results cast to long), and every per-value result is the SAME
+    integer as the naive window's — callers' downstream divisions are
+    bit-identical. ``sum_cols`` must be null-free (coalesce first).
+    Adds one ``cum_<col>`` column per sum col; consumes the names
+    ``_vmin/_vmax/_cell/_off_*`` internally.
+    """
+    from pyspark.sql import Window
+
+    pc = list(partition_cols)
+    # The input executes once for the bounds and once into the persisted
+    # cell-keyed frame; offsets and the final join both read the persist
+    # (without it, an expensive upstream — a full-outer histogram merge,
+    # say — would re-execute for every consumer of `g`).
+    df = tracked_persist(df)
+    bounds = df.agg(
+        F.min(order_col).alias("_vmin"), F.max(order_col).alias("_vmax")
+    )
+    g = tracked_persist(
+        df.crossJoin(F.broadcast(bounds)).withColumn(
+            "_cell",
+            F.expr(
+                f"CAST((({order_col} - _vmin) * {n_cells})"
+                " DIV (_vmax - _vmin + 1) AS BIGINT)"
+            ),
+        )
+    )
+    cell_w = (
+        Window.partitionBy(*pc)
+        .orderBy("_cell")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    offs = (
+        g.groupBy(*pc, "_cell")
+        .agg(*[F.sum(c).alias(f"_ct_{c}") for c in sum_cols])
+        .select(
+            *pc,
+            "_cell",
+            *[
+                F.coalesce(F.sum(f"_ct_{c}").over(cell_w), F.lit(0))
+                .cast("long")
+                .alias(f"_off_{c}")
+                for c in sum_cols
+            ],
+        )
+    )
+    in_w = (
+        Window.partitionBy(*pc, "_cell")
+        .orderBy(order_col)
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    out = g.join(F.broadcast(offs), pc + ["_cell"])
+    for c in sum_cols:
+        out = out.withColumn(
+            f"cum_{c}",
+            (F.col(f"_off_{c}") + F.sum(c).over(in_w)).cast("long"),
+        )
+    return out.drop(
+        "_cell", "_vmin", "_vmax", *[f"_off_{c}" for c in sum_cols]
+    )
+
+
 def salted_join(
     fact: DataFrame,
     dim: DataFrame,

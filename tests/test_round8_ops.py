@@ -1270,6 +1270,43 @@ def test_quantile_transform_cdf_properties(events):
     assert n_total == events.count()
 
 
+def test_quantile_transform_two_phase_equals_naive_window(events):
+    """The bounds-derived cell prefix must equal the naive
+    single-window-per-type cumulative spelling bit-for-bit (q is the
+    same int64 rational either way), including with a cell count small
+    enough that every cell actually holds multiple distinct values."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from flink_snappydata_spark.functions.exact import cents
+    from flink_snappydata_spark.operators.profiling import (
+        quantile_transform,
+    )
+
+    hist = events.groupBy("event_type", cents("value").alias("v")).agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    w = Window.partitionBy("event_type").orderBy("v")
+    tot = Window.partitionBy("event_type")
+    naive = {
+        (r.event_type, r.v): (r.n, r.q)
+        for r in hist.select(
+            "event_type",
+            "v",
+            "n",
+            (
+                F.sum("n").over(w).cast("double")
+                / F.sum("n").over(tot).cast("double")
+            ).alias("q"),
+        ).collect()
+    }
+    got = {
+        (r.event_type, r.v): (r.n, r.q)
+        for r in quantile_transform(events, n_cells=7).collect()
+    }
+    assert got == naive
+
+
 def test_token_drift_flags_planted_token(spark):
     from flink_snappydata_spark.pipeline.text import token_drift_topk
 
