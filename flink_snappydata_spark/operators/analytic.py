@@ -1018,3 +1018,186 @@ def session_conversion(events: DataFrame, gap: str = "30 minutes") -> DataFrame:
         )
         .orderBy("channel")
     )
+
+
+def rfm_segments(events: DataFrame) -> DataFrame:
+    """RFM customer segmentation rollup: purchasing users score 1–4 on
+    Recency (seconds since their last purchase, measured against the
+    corpus's max timestamp), Frequency (purchase count), and Monetary
+    (revenue cents) by comparing each metric against its exact quartile
+    boundaries, then the 4×4×4 segment grid rolls up — the classic
+    CRM/LTV segmentation every customer warehouse ships.
+
+    Quartile boundaries are exact interpolated percentiles over int64
+    metrics (deterministic doubles, the `percentile_bands` parity);
+    a metric scores ``1 + Σ (value > boundary)``, so ties sit in the
+    lower quartile on both engines. Returns ``(r_q, f_q, m_q, n_users,
+    n_purchases, monetary_cents)`` sorted by the segment triple —
+    higher r_q means STALER (bigger recency gap), higher f_q/m_q mean
+    more purchases/revenue; direction is the reader's relabeling.
+
+    Scale: purchases are filtered before any shuffle; ONE user-keyed
+    aggregation builds the (user, recency, frequency, monetary) frame
+    (user-cardinality, never the event log); the 1-row global max-ts
+    and the 1-row boundary frame broadcast back; the segment rollup is
+    map-side combined into ≤64 rows. The exact percentile aggregation
+    holds the user frame's values per partition — at 100 TB swap in
+    ``approx_percentile`` (same call shape), the documented
+    `percentile_bands` trade.
+    """
+    p = events.filter(F.col("event_type") == "purchase")
+    tmax = p.agg(
+        F.max(F.unix_seconds(F.col("ts").cast("timestamp"))).alias("t1")
+    )
+    per_user = (
+        p.crossJoin(F.broadcast(tmax))
+        .groupBy("user_id")
+        .agg(
+            F.min(
+                F.col("t1")
+                - F.unix_seconds(F.col("ts").cast("timestamp"))
+            ).alias("recency_s"),
+            F.count(F.lit(1)).alias("frequency"),
+            F.sum(cents("value")).alias("monetary_cents"),
+        )
+    )
+    bounds = per_user.agg(
+        *[
+            F.percentile(c, q).alias(f"{c[0]}{int(q * 100)}")
+            for c in ("recency_s", "frequency", "monetary_cents")
+            for q in (0.25, 0.5, 0.75)
+        ]
+    )
+
+    def score(col: str) -> F.Column:
+        v = F.col(col).cast("double")
+        return (
+            F.lit(1)
+            + (v > F.col(f"{col[0]}25")).cast("int")
+            + (v > F.col(f"{col[0]}50")).cast("int")
+            + (v > F.col(f"{col[0]}75")).cast("int")
+        ).cast("long")
+
+    return (
+        per_user.crossJoin(F.broadcast(bounds))
+        .select(
+            score("recency_s").alias("r_q"),
+            score("frequency").alias("f_q"),
+            score("monetary_cents").alias("m_q"),
+            "frequency",
+            "monetary_cents",
+        )
+        .groupBy("r_q", "f_q", "m_q")
+        .agg(
+            F.count(F.lit(1)).alias("n_users"),
+            F.sum("frequency").alias("n_purchases"),
+            F.sum("monetary_cents").alias("monetary_cents"),
+        )
+        .orderBy("r_q", "f_q", "m_q")
+    )
+
+
+def funnel_latency(events: DataFrame) -> DataFrame:
+    """View→purchase conversion-latency distribution: for each user who
+    purchased strictly after their first view, the latency in whole
+    seconds from first view to the first qualifying purchase, rolled up
+    to one row — ``(n_converted, p50_s, p90_s, p99_s, max_s, mean_s)``
+    — the "how long does the funnel take" companion to
+    :func:`ordered_funnel`'s "how many make it".
+
+    Latencies are int64 seconds; percentiles are exact interpolated
+    (the `percentile_bands` parity), mean is one double division of
+    exact sums. Strictly-after matching reuses the `ordered_funnel`
+    contract, so a purchase at the exact first-view timestamp does not
+    count.
+
+    Scale: rows are filtered to the two funnel types before any
+    shuffle; first-view is one map-side-combined min per user; the
+    qualifying-purchase min is ONE user-co-partitioned join + agg (the
+    chained-conditional-min `ordered_funnel` shape). Everything after
+    the user frame is a single-row aggregate.
+    """
+    ts_s = F.unix_seconds(F.col("ts").cast("timestamp"))
+    v0 = (
+        events.filter(F.col("event_type") == "view")
+        .groupBy("user_id")
+        .agg(F.min(ts_s).alias("v0"))
+    )
+    lat = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id", ts_s.alias("pt"))
+        .join(v0, "user_id")
+        .filter(F.col("pt") > F.col("v0"))
+        .groupBy("user_id")
+        .agg((F.min("pt") - F.min("v0")).alias("latency_s"))
+    )
+    return lat.agg(
+        F.count(F.lit(1)).alias("n_converted"),
+        F.percentile("latency_s", 0.5).alias("p50_s"),
+        F.percentile("latency_s", 0.9).alias("p90_s"),
+        F.percentile("latency_s", 0.99).alias("p99_s"),
+        F.max("latency_s").alias("max_s"),
+        (
+            F.sum("latency_s").cast("double")
+            / F.count(F.lit(1)).cast("double")
+        ).alias("mean_s"),
+    )
+
+
+def activity_gini(events: DataFrame) -> DataFrame:
+    """Gini coefficient of per-user event counts — the standard
+    inequality measure of engagement concentration ("do 1% of users
+    generate 99% of traffic?"), the Lorenz-curve companion to
+    `key_skew_profile`'s HHI.
+
+    Exactness: with the user-count histogram (count value ``c``,
+    ``f`` users at it) and ``R`` users at strictly smaller counts, the
+    ascending-rank weighted sum is ``Σ c·(f·R + f(f+1)/2)`` — all
+    DECIMAL(38,0) integer arithmetic (a 10⁹-user corpus squares past
+    int64), and ``gini = (2·W − (n+1)·S) / (n·S)`` is one division of
+    two exactly-computed integers cast to double, identical bits on
+    both engines. Returns one row ``(n_users, n_events, gini)``.
+
+    Scale: the corpus collapses to per-user counts (map-side combined,
+    user-cardinality), then to the count HISTOGRAM (bounded by distinct
+    activity levels — thousands of rows for billions of users); the
+    ascending cumulative rides
+    :func:`~flink_snappydata_spark.util.cell_prefix_sums`, so no
+    window task ever holds the whole histogram; the final fold is a
+    1-row aggregate.
+    """
+    from flink_snappydata_spark.util import cell_prefix_sums
+
+    hist = (
+        events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("c")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    # f(f+1) is even, so the shift is exact integer halving IN INT64
+    # (f ≤ users-at-one-level keeps f(f+1) under 2^63); everything that
+    # can square past int64 — f·R, c·(...) — runs in DECIMAL(38,0).
+    pref = cell_prefix_sums(hist, "c", ["f"]).select(
+        F.col("c").cast("decimal(38,0)").alias("c"),
+        F.col("f").cast("decimal(38,0)").alias("f"),
+        (F.col("cum_f") - F.col("f")).cast("decimal(38,0)").alias("r0"),
+        F.shiftright(F.col("f") * (F.col("f") + 1), 1)
+        .cast("decimal(38,0)")
+        .alias("half"),
+    )
+    agg = pref.agg(
+        F.sum(F.col("f")).alias("n"),
+        F.sum(F.col("c") * F.col("f")).alias("s"),
+        F.sum(
+            F.col("c") * (F.col("f") * F.col("r0") + F.col("half"))
+        ).alias("w"),
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("n_users"),
+        F.col("s").cast("long").alias("n_events"),
+        (
+            (F.lit(2) * F.col("w") - (F.col("n") + 1) * F.col("s"))
+            .cast("double")
+            / (F.col("n") * F.col("s")).cast("double")
+        ).alias("gini"),
+    )

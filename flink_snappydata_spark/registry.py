@@ -5377,6 +5377,112 @@ _register(
         "top-k so no reducer sorts the whole vocabulary).",
 )
 
+_register(
+    "rfm_segments",
+    ["events"],
+    analytic.rfm_segments,
+    f"""
+    WITH p AS (SELECT user_id, epoch_us(ts) // 1000000 AS t,
+                      {_cents('value')} AS v
+               FROM events WHERE event_type = 'purchase'),
+    tm AS (SELECT MAX(t) AS t1 FROM p),
+    u AS (SELECT user_id,
+                 MIN((SELECT t1 FROM tm) - t) AS recency_s,
+                 CAST(COUNT(*) AS BIGINT) AS frequency,
+                 CAST(SUM(v) AS BIGINT) AS monetary_cents
+          FROM p GROUP BY user_id),
+    b AS (SELECT quantile_cont(recency_s, 0.25) AS r25,
+                 quantile_cont(recency_s, 0.50) AS r50,
+                 quantile_cont(recency_s, 0.75) AS r75,
+                 quantile_cont(frequency, 0.25) AS f25,
+                 quantile_cont(frequency, 0.50) AS f50,
+                 quantile_cont(frequency, 0.75) AS f75,
+                 quantile_cont(monetary_cents, 0.25) AS m25,
+                 quantile_cont(monetary_cents, 0.50) AS m50,
+                 quantile_cont(monetary_cents, 0.75) AS m75
+          FROM u),
+    sc AS (SELECT CAST(1 + CAST(recency_s > r25 AS INT)
+                         + CAST(recency_s > r50 AS INT)
+                         + CAST(recency_s > r75 AS INT) AS BIGINT) AS r_q,
+                  CAST(1 + CAST(frequency > f25 AS INT)
+                         + CAST(frequency > f50 AS INT)
+                         + CAST(frequency > f75 AS INT) AS BIGINT) AS f_q,
+                  CAST(1 + CAST(monetary_cents > m25 AS INT)
+                         + CAST(monetary_cents > m50 AS INT)
+                         + CAST(monetary_cents > m75 AS INT) AS BIGINT)
+                      AS m_q,
+                  frequency, monetary_cents
+           FROM u, b)
+    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(frequency) AS BIGINT) AS n_purchases,
+           CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents
+    FROM sc GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
+    """,
+    doc="RFM customer segmentation: purchases filtered before any "
+        "shuffle, one user-keyed aggregation, exact quartile "
+        "boundaries broadcast back, <=64-row segment rollup.",
+)
+
+_register(
+    "funnel_latency",
+    ["events"],
+    analytic.funnel_latency,
+    """
+    WITH v0 AS (SELECT user_id, MIN(epoch_us(ts) // 1000000) AS v0
+                FROM events WHERE event_type = 'view' GROUP BY user_id),
+    lat AS (SELECT e.user_id,
+                   MIN(epoch_us(e.ts) // 1000000) - MIN(v0.v0)
+                       AS latency_s
+            FROM events e JOIN v0 ON e.user_id = v0.user_id
+            WHERE e.event_type = 'purchase'
+              AND epoch_us(e.ts) // 1000000 > v0.v0
+            GROUP BY e.user_id)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           quantile_cont(latency_s, 0.5) AS p50_s,
+           quantile_cont(latency_s, 0.9) AS p90_s,
+           quantile_cont(latency_s, 0.99) AS p99_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s,
+           CAST(SUM(latency_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
+               AS mean_s
+    FROM lat
+    """,
+    doc="View->purchase conversion-latency distribution: strictly-"
+        "after first-view matching (the ordered_funnel contract), "
+        "int64 second latencies, exact interpolated percentiles, "
+        "single-row output.",
+)
+
+_register(
+    "activity_gini",
+    ["events"],
+    analytic.activity_gini,
+    """
+    WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY user_id),
+    h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM pu GROUP BY c),
+    pr AS (SELECT c, f,
+                  CAST(COALESCE(SUM(f) OVER (ORDER BY c
+                           ROWS BETWEEN UNBOUNDED PRECEDING
+                           AND 1 PRECEDING), 0) AS BIGINT) AS r0,
+                  (f * (f + 1)) // 2 AS half
+           FROM h),
+    a AS (SELECT CAST(SUM(f) AS HUGEINT) AS n,
+                 CAST(SUM(c * f) AS HUGEINT) AS s,
+                 SUM(CAST(c AS HUGEINT)
+                     * (CAST(f AS HUGEINT) * CAST(r0 AS HUGEINT)
+                        + CAST(half AS HUGEINT))) AS w
+          FROM pr)
+    SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
+           CAST(2 * w - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)
+               AS gini
+    FROM a
+    """,
+    doc="Gini coefficient of per-user event counts: corpus -> user "
+        "counts -> count histogram; the rank-weighted sum rides the "
+        "two-phase cell prefix (util.cell_prefix_sums) in exact "
+        "DECIMAL(38,0) arithmetic; one double division at the end.",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -5434,7 +5540,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# FIFTY-ONE further round-8 operators landed after the 50-slot
+# FIFTY-FOUR further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5450,9 +5556,10 @@ _register(
 # ohlc_streamed, temperature_mix, user_growth, itemset_pairs,
 # referential_audit, graph_triangles, ks_drift, ab_test_report,
 # activity_heatmap, repeat_purchase_stats, session_conversion,
-# quantile_transform, token_drift_topk.
+# quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
+# activity_gini.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 51 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 54 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -5574,6 +5681,10 @@ _R9_QUEUE: list[str] = [
     "session_conversion",
     "quantile_transform",
     "token_drift_topk",
+    # late-session additions (never stamped; same window-mandatory rule)
+    "rfm_segments",
+    "funnel_latency",
+    "activity_gini",
 ]
 
 _TAIL: list[str] = []

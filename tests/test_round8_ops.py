@@ -1322,3 +1322,114 @@ def test_token_drift_flags_planted_token(spark):
     top2 = {got[0].token, got[1].token}
     assert top2 == {"zebra", "here"}
     assert got[0].chi2 >= got[1].chi2 >= got[2].chi2
+
+
+# ---------------------------------------------------------------------------
+# rfm_segments / funnel_latency / activity_gini
+# ---------------------------------------------------------------------------
+
+def test_rfm_segments_conserves_purchasers_and_scores(events):
+    from flink_snappydata_spark.operators.analytic import rfm_segments
+
+    rows = rfm_segments(events).collect()
+    n_purchasers = (
+        events.filter(F.col("event_type") == "purchase")
+        .select("user_id")
+        .distinct()
+        .count()
+    )
+    assert sum(r.n_users for r in rows) == n_purchasers
+    for r in rows:
+        assert 1 <= r.r_q <= 4 and 1 <= r.f_q <= 4 and 1 <= r.m_q <= 4
+        assert r.n_purchases >= r.n_users  # every purchaser bought >=1
+    n_total_purchases = events.filter(
+        F.col("event_type") == "purchase"
+    ).count()
+    assert sum(r.n_purchases for r in rows) == n_total_purchases
+
+
+def test_rfm_segments_known_quartiles(spark):
+    """8 users with frequencies 1..8: quartile boundaries are exact
+    interpolated percentiles (2.75 / 4.5 / 6.25), so the f_q split of
+    1..8 is exactly 2/2/2/2."""
+    from flink_snappydata_spark.operators.analytic import rfm_segments
+
+    rows = []
+    eid = 0
+    for u in range(8):
+        for k in range(u + 1):
+            rows.append((eid, u, "purchase", float(u + 1), f"2024-01-0{u+1} 00:00:0{k}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_s string"
+    ).select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    got = rfm_segments(ev).collect()
+    from collections import Counter
+    f_hist = Counter()
+    for r in got:
+        f_hist[r.f_q] += r.n_users
+    assert f_hist == {1: 2, 2: 2, 3: 2, 4: 2}
+
+
+def test_funnel_latency_strictly_after_and_exact(spark):
+    from flink_snappydata_spark.operators.analytic import funnel_latency
+
+    rows = [
+        # user 0: view at t=0, purchase at t=100 -> latency 100
+        (0, 0, "view", 1.0, "2024-01-01 00:00:00"),
+        (1, 0, "purchase", 1.0, "2024-01-01 00:01:40"),
+        # user 1: purchase BEFORE view only -> excluded
+        (2, 1, "purchase", 1.0, "2024-01-01 00:00:00"),
+        (3, 1, "view", 1.0, "2024-01-01 00:10:00"),
+        # user 2: purchase AT the first-view second -> excluded (strict)
+        (4, 2, "view", 1.0, "2024-01-01 00:00:00"),
+        (5, 2, "purchase", 1.0, "2024-01-01 00:00:00"),
+        # user 3: view t=0, purchases at 300 and 500 -> latency 300
+        (6, 3, "view", 1.0, "2024-01-01 00:00:00"),
+        (7, 3, "purchase", 1.0, "2024-01-01 00:05:00"),
+        (8, 3, "purchase", 1.0, "2024-01-01 00:08:20"),
+    ]
+    ev = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, value double, ts_s string"
+    ).select(
+        "event_id", "user_id", "event_type", "value",
+        F.col("ts_s").cast("timestamp").alias("ts"),
+    )
+    r = funnel_latency(ev).collect()[0]
+    assert r.n_converted == 2
+    assert r.max_s == 300
+    assert r.mean_s == 200.0
+    assert r.p50_s == 200.0  # interpolated midpoint of {100, 300}
+
+
+def test_activity_gini_matches_python_replay(events):
+    from flink_snappydata_spark.operators.analytic import activity_gini
+
+    counts = sorted(
+        r.c
+        for r in events.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .collect()
+    )
+    n = len(counts)
+    s = sum(counts)
+    w = sum((i + 1) * c for i, c in enumerate(counts))
+    expected = float(2 * w - (n + 1) * s) / float(n * s)
+    r = activity_gini(events).collect()[0]
+    assert r.n_users == n and r.n_events == s
+    assert r.gini == pytest.approx(expected, abs=1e-15)
+
+
+def test_activity_gini_uniform_is_zero(spark):
+    ev = spark.createDataFrame(
+        [(i, i % 5, "click", 1.0) for i in range(25)],
+        "event_id long, user_id long, event_type string, value double",
+    ).withColumn("ts", F.current_timestamp())
+    from flink_snappydata_spark.operators.analytic import activity_gini
+
+    r = activity_gini(ev).collect()[0]
+    assert r.n_users == 5 and r.n_events == 25
+    assert r.gini == 0.0

@@ -245,6 +245,9 @@ EVENT_OPS = {
     "ab_test_report": lambda v: A.ab_test_report(v),
     "zonemap_skip_stats": lambda v: _packing.zonemap_skip_stats(v),
     "quantile_transform": lambda v: _profiling.quantile_transform(v),
+    "rfm_segments": lambda v: A.rfm_segments(v),
+    "funnel_latency": lambda v: A.funnel_latency(v),
+    "activity_gini": lambda v: A.activity_gini(v),
 }
 
 
