@@ -1587,3 +1587,78 @@ def mmr_select(
     return picks.select("pick_rank", "vec_id", "mmr_score").orderBy(
         "pick_rank"
     )
+
+
+#: Power-iteration vector scale: components renormalize to ±2^20 each
+#: round, keeping every product inside 128-bit headroom on both engines.
+PC_SCALE = 1 << 20
+
+
+def embedding_top_pc(embeddings: DataFrame, n_iters: int = 3) -> DataFrame:
+    """Top principal direction of the embedding corpus's (uncentered)
+    second-moment matrix via deterministic integer power iteration —
+    the dominant-direction diagnostic behind PCA whitening, anisotropy
+    checks ("is the embedding space collapsing to one axis?"), and
+    spectral drift monitoring. Uncentered deliberately: mean-centering
+    would make the matrix non-integer; for the near-zero-mean vectors
+    encoders emit the top direction is the same, and the exactness
+    contract (bit-identical on any engine) is worth the documented
+    approximation.
+
+    The iteration is exact and engine-portable: start from the all-ones
+    vector, repeat ``u = G·v`` in unbounded integers followed by a
+    truncating renormalization ``v = sign(u)·(|u|·2^20 div max|u|)``
+    (division only ever sees non-negative operands, so floor and
+    truncate agree everywhere); after ``n_iters`` rounds the sign is
+    canonicalized (first nonzero component positive) and the Rayleigh
+    quotient ``v·Gv / v·v`` — two exactly-computed integers, one double
+    division — reports the dominant eigenvalue. Gram is PSD, so the
+    Rayleigh quotient is non-decreasing over iterations (pinned in
+    tests). Returns 64 rows ``(pos, pc_q, eigenvalue)`` with ``pc_q``
+    the ±2^20-scaled component.
+
+    Convergence caveat: the directional rate is the spectral gap
+    (λ2/λ1)^k, so on a NEAR-ISOTROPIC corpus (the synthetic fixture's
+    gap is ~0.98) a few rounds improve the Rayleigh estimate but not
+    the direction — which is fine, because on such a corpus every
+    near-top direction is equivalent and the useful output is the
+    anisotropy diagnostic ``eigenvalue / (trace/D)``. On a genuinely
+    anisotropic corpus (the planted-direction test) the default three
+    rounds recover the axis exactly. Raise ``n_iters`` for more
+    precision — each round is O(D²) driver arithmetic, free at any
+    corpus size (the registered form pins 3 so the oracle's unrolled
+    CTE replay stays in lockstep).
+
+    Scale: ALL distributed work is :func:`embedding_gram`'s fixed
+    ``partitions × D(D+1)/2`` partial reduction (vectors never
+    shuffle); the iteration itself is O(D²) driver arithmetic on the
+    collected 64×64 matrix — the kmeans-centroid driver-literal
+    pattern, independent of corpus size.
+    """
+    spark = embeddings.sparkSession
+    dim = DIM
+    tri = embedding_gram(embeddings).select("i", "j", "gram").collect()
+    g = [[0] * dim for _ in range(dim)]
+    for r in tri:
+        g[r.i][r.j] = r.gram
+        g[r.j][r.i] = r.gram
+    v = [1] * dim  # python ints: the iteration is arbitrary-precision
+    for _ in range(n_iters):
+        u = [sum(g[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+        m = max(abs(x) for x in u)
+        m = m if m > 0 else 1
+        v = [
+            -((-x) * PC_SCALE // m) if x < 0 else x * PC_SCALE // m
+            for x in u
+        ]
+    first = next((x for x in v if x != 0), 1)
+    if first < 0:
+        v = [-x for x in v]
+    gv = [sum(g[i][j] * v[j] for j in range(dim)) for i in range(dim)]
+    num = sum(v[i] * gv[i] for i in range(dim))
+    den = sum(x * x for x in v)
+    eig = float(num) / float(den)
+    return spark.createDataFrame(
+        [(i, v[i], eig) for i in range(dim)],
+        "pos long, pc_q long, eigenvalue double",
+    )

@@ -5483,6 +5483,68 @@ _register(
         "DECIMAL(38,0) arithmetic; one double division at the end.",
 )
 
+_register(
+    "embedding_top_pc",
+    ["embeddings"],
+    similarity.embedding_top_pc,
+    """
+    WITH comp AS (
+        SELECT vec_id, i - 1 AS i,
+               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
+                    AS BIGINT) AS q
+        FROM embeddings, generate_series(1, 64) s(i)),
+    g AS (SELECT a.i AS i, b.i AS j,
+                 CAST(SUM(a.q * b.q) AS BIGINT) AS gram
+          FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
+          GROUP BY a.i, b.i),
+    mat AS (SELECT i, j, gram FROM g
+            UNION ALL
+            SELECT j, i, gram FROM g WHERE i < j),
+    v0 AS (SELECT i - 1 AS j, CAST(1 AS HUGEINT) AS val
+           FROM generate_series(1, 64) s(i)),
+    u1 AS (SELECT m.i, SUM(CAST(m.gram AS HUGEINT) * v0.val) AS u
+           FROM mat m JOIN v0 ON m.j = v0.j GROUP BY m.i),
+    m1 AS (SELECT GREATEST(MAX(ABS(u)), 1) AS mx FROM u1),
+    v1 AS (SELECT i AS j,
+                  CASE WHEN u < 0 THEN -(((-u) * 1048576) // mx)
+                       ELSE (u * 1048576) // mx END AS val
+           FROM u1, m1),
+    u2 AS (SELECT m.i, SUM(CAST(m.gram AS HUGEINT) * v1.val) AS u
+           FROM mat m JOIN v1 ON m.j = v1.j GROUP BY m.i),
+    m2 AS (SELECT GREATEST(MAX(ABS(u)), 1) AS mx FROM u2),
+    v2 AS (SELECT i AS j,
+                  CASE WHEN u < 0 THEN -(((-u) * 1048576) // mx)
+                       ELSE (u * 1048576) // mx END AS val
+           FROM u2, m2),
+    u3 AS (SELECT m.i, SUM(CAST(m.gram AS HUGEINT) * v2.val) AS u
+           FROM mat m JOIN v2 ON m.j = v2.j GROUP BY m.i),
+    m3 AS (SELECT GREATEST(MAX(ABS(u)), 1) AS mx FROM u3),
+    v3 AS (SELECT i AS j,
+                  CASE WHEN u < 0 THEN -(((-u) * 1048576) // mx)
+                       ELSE (u * 1048576) // mx END AS val
+           FROM u3, m3),
+    sgn AS (SELECT CASE WHEN (SELECT val FROM v3 WHERE val <> 0
+                              ORDER BY j LIMIT 1) < 0
+                        THEN -1 ELSE 1 END AS sg),
+    vc AS (SELECT j, CAST(sg AS HUGEINT) * val AS val FROM v3, sgn),
+    gv AS (SELECT m.i, SUM(CAST(m.gram AS HUGEINT) * vc.val) AS gv
+           FROM mat m JOIN vc ON m.j = vc.j GROUP BY m.i),
+    ray AS (SELECT SUM(vc.val * gv.gv) AS num,
+                   (SELECT SUM(val * val) FROM vc) AS den
+            FROM vc JOIN gv ON vc.j = gv.i)
+    SELECT vc.j AS pos, CAST(vc.val AS BIGINT) AS pc_q,
+           CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
+               AS eigenvalue
+    FROM vc, ray ORDER BY pos
+    """,
+    doc="Top principal direction of the uncentered second-moment "
+        "matrix: distributed work is embedding_gram's fixed 2080-row "
+        "reduction; 3 integer power-iteration rounds (truncating "
+        "2^20 renormalization, sign-canonicalized) replayed as "
+        "unrolled CTEs; Rayleigh-quotient eigenvalue from exact "
+        "integers.",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -5540,7 +5602,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# FIFTY-FOUR further round-8 operators landed after the 50-slot
+# FIFTY-FIVE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5557,9 +5619,9 @@ _register(
 # referential_audit, graph_triangles, ks_drift, ab_test_report,
 # activity_heatmap, repeat_purchase_stats, session_conversion,
 # quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
-# activity_gini.
+# activity_gini, embedding_top_pc.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 54 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 55 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -5685,6 +5747,7 @@ _R9_QUEUE: list[str] = [
     "rfm_segments",
     "funnel_latency",
     "activity_gini",
+    "embedding_top_pc",
 ]
 
 _TAIL: list[str] = []

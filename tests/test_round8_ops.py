@@ -1433,3 +1433,60 @@ def test_activity_gini_uniform_is_zero(spark):
     r = activity_gini(ev).collect()[0]
     assert r.n_users == 5 and r.n_events == 25
     assert r.gini == 0.0
+
+
+# ---------------------------------------------------------------------------
+# embedding_top_pc
+# ---------------------------------------------------------------------------
+
+def test_top_pc_rayleigh_brackets_spectrum(embeddings):
+    """The Rayleigh quotient after 3 rounds must sit strictly between
+    the spectrum's mean (where the all-ones start expects to land on a
+    near-isotropic corpus — the fixture's lambda2/lambda1 is ~0.98, so
+    DIRECTIONAL convergence is deliberately not asserted here; the
+    planted-direction test covers the anisotropic case) and lambda_1,
+    computed with numpy from the SAME integer Gram matrix."""
+    import numpy as np
+
+    rows = similarity.embedding_gram(embeddings).select(
+        "i", "j", "gram"
+    ).collect()
+    g = np.zeros((64, 64))
+    for r in rows:
+        g[r.i][r.j] = r.gram
+        g[r.j][r.i] = r.gram
+    evals = np.linalg.eigvalsh(g)
+    eig = similarity.embedding_top_pc(embeddings).collect()[0].eigenvalue
+    assert evals.mean() < eig <= evals[-1] * (1 + 1e-12), (
+        eig, evals.mean(), evals[-1],
+    )
+
+
+def test_top_pc_rayleigh_is_monotone(embeddings):
+    """Power iteration on a PSD matrix: the Rayleigh quotient must be
+    non-decreasing in the iteration count (the docstring claim)."""
+    eigs = [
+        similarity.embedding_top_pc(embeddings, n_iters=k)
+        .collect()[0]
+        .eigenvalue
+        for k in (1, 2, 3, 4)
+    ]
+    assert all(a <= b * (1 + 1e-12) for a, b in zip(eigs, eigs[1:])), eigs
+
+
+def test_top_pc_recovers_planted_direction(spark):
+    """Vectors concentrated on axis 5 (plus small deterministic noise
+    elsewhere) must yield a PC dominated by component 5, positive after
+    sign canonicalization."""
+    data = []
+    for k in range(50):
+        vec = [0.001 * ((k * 7 + d) % 5 - 2) for d in range(64)]
+        vec[5] = 1.0 if k % 2 == 0 else 0.9
+        data.append((k, vec, 0))
+    emb = spark.createDataFrame(
+        data, "vec_id long, embedding array<double>, label long"
+    )
+    out = {r.pos: r.pc_q for r in similarity.embedding_top_pc(emb).collect()}
+    assert out[5] == max(out.values())
+    assert out[5] > 0
+    assert all(abs(q) < out[5] // 10 for p, q in out.items() if p != 5)
