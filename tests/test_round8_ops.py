@@ -1490,3 +1490,42 @@ def test_top_pc_recovers_planted_direction(spark):
     assert out[5] == max(out.values())
     assert out[5] > 0
     assert all(abs(q) < out[5] // 10 for p, q in out.items() if p != 5)
+
+
+def test_ohlc_streaming_splits_hours_across_batches(spark, events, tmp_path):
+    """Landing the same events in 2 random micro-batches must fold to
+    the exact batch candles, INCLUDING hour buckets whose events were
+    split across batches (the argmin/argmax-keyed partials refold
+    exactly) — asserted by checking at least one (type, hour) key
+    accumulated partials from more than one batch."""
+    import uuid
+
+    from flink_snappydata_spark.operators.analytic import ohlc_bars
+    from flink_snappydata_spark.streaming.windows import (
+        ohlc_from_state,
+        streaming_ohlc_ingest,
+    )
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    table = f"fss_test_ohlc_{uuid.uuid4().hex[:8]}"
+    ev = events.select("event_id", "ts", "event_type", "value")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    try:
+        streaming_ohlc_ingest(stream, table, checkpoint=ckpt)
+        part = spark.table(table)
+        assert (
+            part.count()
+            > part.select("event_type", "bucket_s").distinct().count()
+        ), "no hour bucket was split across micro-batches"
+        got = ohlc_from_state(spark, table)
+        want = ohlc_bars(ev)
+        assert got.exceptAll(want).count() == 0
+        assert want.exceptAll(got).count() == 0
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
