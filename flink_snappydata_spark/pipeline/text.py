@@ -1963,3 +1963,118 @@ def token_drift_topk(
         .select("token", "c_a", "c_b", "chi2")
         .orderBy(F.col("chi2").desc(), "token")
     )
+
+
+def _sum_floor_log2(m: Column, squared: bool = False) -> Column:
+    """``Σ_{i=1..m} floor(log2 i)`` (or its square with
+    ``squared=True``), EXACT and closed-form: ranks are grouped by the
+    62 power-of-two bands ``[2^j, 2^{j+1})``, each contributing
+    ``j · clamp(min(m, 2^{j+1}−1) − 2^j + 1, 0)``. Pure int64 literal
+    arithmetic — no log, no loop over rows — so any SQL engine can
+    replay the identical sum from the identically generated literals.
+    Valid for ``m < 2^62`` (any realizable vocabulary)."""
+    total = F.lit(0).cast("long")
+    for j in range(1, 62):  # the j=0 band contributes 0
+        lo, hi = 1 << j, (1 << (j + 1)) - 1
+        cnt = F.greatest(
+            F.least(m, F.lit(hi).cast("long")) - F.lit(lo) + F.lit(1),
+            F.lit(0).cast("long"),
+        )
+        total = total + cnt * F.lit(j * j if squared else j).cast("long")
+    return total
+
+
+def zipf_fit(documents: DataFrame) -> DataFrame:
+    """Zipf-law fit of the corpus rank–frequency curve — the
+    "does this corpus look like natural language?" diagnostic (organic
+    text fits log f ≈ a − s·log r with s near 1; machine-generated or
+    template-heavy corpora bend the curve). Fits exact-integer OLS on
+    the points ``(floor(log2 rank), floor(log2 freq))`` over the WHOLE
+    vocabulary and returns one row ``(vocab_size, slope, intercept,
+    r2)``.
+
+    Exactness: both coordinates use the engine's bin()-length floor-log2
+    device (`_floor_log2`), so every point is an int64 pair; the five
+    OLS sufficient statistics are exact integer sums, and slope /
+    intercept are single divisions of DECIMAL(38,0) products (r² is the
+    same expression evaluated over the decimal intermediates cast to
+    double — its numerator squared would pass 10^38). Ranks within a
+    tied-frequency group are consecutive, and ``Σ floor(log2 i)`` over
+    a rank RANGE has a closed form over the 62 power-of-two bands
+    (:func:`_sum_floor_log2`), so THE TOKENS NEVER NEED INDIVIDUAL
+    RANKS — ties contribute in O(1) per distinct frequency.
+
+    Scale: corpus → (word, f) vocabulary (one map-side-combined agg,
+    text shuffles only as words) → frequency HISTOGRAM (distinct
+    frequency values — thousands of rows for billions of tokens); the
+    descending-rank offsets ride
+    :func:`~flink_snappydata_spark.util.cell_prefix_sums` over that
+    bounded frame, per-band rank sums are literal arithmetic, and the
+    fit is a 1-row aggregate. No global sort, no per-token rank.
+    """
+    from flink_snappydata_spark.util import cell_prefix_sums
+
+    vocab = (
+        documents.select(F.explode(_words(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("f"))
+    )
+    hist = (
+        vocab.groupBy("f")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .withColumn("neg_f", -F.col("f"))
+    )
+    pref = cell_prefix_sums(hist, "neg_f", ["t"])
+    g = pref.select(
+        "f",
+        "t",
+        (F.col("cum_t") - F.col("t")).alias("m0"),
+        F.col("cum_t").alias("m1"),
+        _floor_log2(F.col("f")).alias("y"),
+    ).select(
+        "t",
+        "y",
+        (
+            _sum_floor_log2(F.col("m1")) - _sum_floor_log2(F.col("m0"))
+        ).alias("sx_g"),
+        (
+            _sum_floor_log2(F.col("m1"), squared=True)
+            - _sum_floor_log2(F.col("m0"), squared=True)
+        ).alias("sxx_g"),
+    )
+    d = "decimal(38,0)"
+    agg = g.agg(
+        F.sum("t").cast(d).alias("n"),
+        F.sum("sx_g").cast(d).alias("sx"),
+        F.sum("sxx_g").cast(d).alias("sxx"),
+        F.sum(F.col("t") * F.col("y")).cast(d).alias("sy"),
+        F.sum(F.col("t") * F.col("y") * F.col("y")).cast(d).alias("syy"),
+        F.sum(F.col("y") * F.col("sx_g")).cast(d).alias("sxy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den_x = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+        "double"
+    )
+    den_y = (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+        "double"
+    )
+    return agg.select(
+        F.col("n").cast("long").alias("vocab_size"),
+        F.when(den_x > 0, num / den_x).otherwise(F.lit(0.0)).alias("slope"),
+        F.when(
+            den_x > 0,
+            (
+                F.col("sy") * F.col("sxx") - F.col("sx") * F.col("sxy")
+            ).cast("double")
+            / den_x,
+        )
+        .otherwise(F.lit(0.0))
+        .alias("intercept"),
+        F.when(
+            (den_x > 0) & (den_y > 0), num * num / (den_x * den_y)
+        )
+        .otherwise(F.lit(0.0))
+        .alias("r2"),
+    )

@@ -5546,6 +5546,64 @@ _register(
 )
 
 
+_register(
+    "zipf_fit",
+    ["documents"],
+    textops.zipf_fit,
+    """
+    WITH v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f
+               FROM (SELECT unnest(list_filter(
+                         string_split_regex(lower(text), '\\W+'),
+                         w -> w <> '')) AS word
+                     FROM documents)
+               GROUP BY word),
+    h AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY f),
+    p AS (SELECT f, t,
+                 CAST(COALESCE(SUM(t) OVER (ORDER BY f DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS BIGINT) AS m0,
+                 CAST(SUM(t) OVER (ORDER BY f DESC
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND CURRENT ROW) AS BIGINT) AS m1,
+                 CAST(LENGTH(bin(f)) - 1 AS BIGINT) AS y
+          FROM h),
+    g AS (SELECT t, y,
+                 (GREATEST(LEAST(m1, 3) - 2 + 1, 0) * 1 + GREATEST(LEAST(m1, 7) - 4 + 1, 0) * 2 + GREATEST(LEAST(m1, 15) - 8 + 1, 0) * 3 + GREATEST(LEAST(m1, 31) - 16 + 1, 0) * 4 + GREATEST(LEAST(m1, 63) - 32 + 1, 0) * 5 + GREATEST(LEAST(m1, 127) - 64 + 1, 0) * 6 + GREATEST(LEAST(m1, 255) - 128 + 1, 0) * 7 + GREATEST(LEAST(m1, 511) - 256 + 1, 0) * 8 + GREATEST(LEAST(m1, 1023) - 512 + 1, 0) * 9 + GREATEST(LEAST(m1, 2047) - 1024 + 1, 0) * 10 + GREATEST(LEAST(m1, 4095) - 2048 + 1, 0) * 11 + GREATEST(LEAST(m1, 8191) - 4096 + 1, 0) * 12 + GREATEST(LEAST(m1, 16383) - 8192 + 1, 0) * 13 + GREATEST(LEAST(m1, 32767) - 16384 + 1, 0) * 14 + GREATEST(LEAST(m1, 65535) - 32768 + 1, 0) * 15 + GREATEST(LEAST(m1, 131071) - 65536 + 1, 0) * 16 + GREATEST(LEAST(m1, 262143) - 131072 + 1, 0) * 17 + GREATEST(LEAST(m1, 524287) - 262144 + 1, 0) * 18 + GREATEST(LEAST(m1, 1048575) - 524288 + 1, 0) * 19 + GREATEST(LEAST(m1, 2097151) - 1048576 + 1, 0) * 20 + GREATEST(LEAST(m1, 4194303) - 2097152 + 1, 0) * 21 + GREATEST(LEAST(m1, 8388607) - 4194304 + 1, 0) * 22 + GREATEST(LEAST(m1, 16777215) - 8388608 + 1, 0) * 23 + GREATEST(LEAST(m1, 33554431) - 16777216 + 1, 0) * 24 + GREATEST(LEAST(m1, 67108863) - 33554432 + 1, 0) * 25 + GREATEST(LEAST(m1, 134217727) - 67108864 + 1, 0) * 26 + GREATEST(LEAST(m1, 268435455) - 134217728 + 1, 0) * 27 + GREATEST(LEAST(m1, 536870911) - 268435456 + 1, 0) * 28 + GREATEST(LEAST(m1, 1073741823) - 536870912 + 1, 0) * 29 + GREATEST(LEAST(m1, 2147483647) - 1073741824 + 1, 0) * 30 + GREATEST(LEAST(m1, 4294967295) - 2147483648 + 1, 0) * 31 + GREATEST(LEAST(m1, 8589934591) - 4294967296 + 1, 0) * 32 + GREATEST(LEAST(m1, 17179869183) - 8589934592 + 1, 0) * 33 + GREATEST(LEAST(m1, 34359738367) - 17179869184 + 1, 0) * 34 + GREATEST(LEAST(m1, 68719476735) - 34359738368 + 1, 0) * 35 + GREATEST(LEAST(m1, 137438953471) - 68719476736 + 1, 0) * 36 + GREATEST(LEAST(m1, 274877906943) - 137438953472 + 1, 0) * 37 + GREATEST(LEAST(m1, 549755813887) - 274877906944 + 1, 0) * 38 + GREATEST(LEAST(m1, 1099511627775) - 549755813888 + 1, 0) * 39 + GREATEST(LEAST(m1, 2199023255551) - 1099511627776 + 1, 0) * 40 + GREATEST(LEAST(m1, 4398046511103) - 2199023255552 + 1, 0) * 41 + GREATEST(LEAST(m1, 8796093022207) - 4398046511104 + 1, 0) * 42 + GREATEST(LEAST(m1, 17592186044415) - 8796093022208 + 1, 0) * 43 + GREATEST(LEAST(m1, 35184372088831) - 17592186044416 + 1, 0) * 44 + GREATEST(LEAST(m1, 70368744177663) - 35184372088832 + 1, 0) * 45 + GREATEST(LEAST(m1, 140737488355327) - 70368744177664 + 1, 0) * 46 + GREATEST(LEAST(m1, 281474976710655) - 140737488355328 + 1, 0) * 47 + GREATEST(LEAST(m1, 562949953421311) - 281474976710656 + 1, 0) * 48 + GREATEST(LEAST(m1, 1125899906842623) - 562949953421312 + 1, 0) * 49 + GREATEST(LEAST(m1, 2251799813685247) - 1125899906842624 + 1, 0) * 50 + GREATEST(LEAST(m1, 4503599627370495) - 2251799813685248 + 1, 0) * 51 + GREATEST(LEAST(m1, 9007199254740991) - 4503599627370496 + 1, 0) * 52 + GREATEST(LEAST(m1, 18014398509481983) - 9007199254740992 + 1, 0) * 53 + GREATEST(LEAST(m1, 36028797018963967) - 18014398509481984 + 1, 0) * 54 + GREATEST(LEAST(m1, 72057594037927935) - 36028797018963968 + 1, 0) * 55 + GREATEST(LEAST(m1, 144115188075855871) - 72057594037927936 + 1, 0) * 56 + GREATEST(LEAST(m1, 288230376151711743) - 144115188075855872 + 1, 0) * 57 + GREATEST(LEAST(m1, 576460752303423487) - 288230376151711744 + 1, 0) * 58 + GREATEST(LEAST(m1, 1152921504606846975) - 576460752303423488 + 1, 0) * 59 + GREATEST(LEAST(m1, 2305843009213693951) - 1152921504606846976 + 1, 0) * 60 + GREATEST(LEAST(m1, 4611686018427387903) - 2305843009213693952 + 1, 0) * 61) - (GREATEST(LEAST(m0, 3) - 2 + 1, 0) * 1 + GREATEST(LEAST(m0, 7) - 4 + 1, 0) * 2 + GREATEST(LEAST(m0, 15) - 8 + 1, 0) * 3 + GREATEST(LEAST(m0, 31) - 16 + 1, 0) * 4 + GREATEST(LEAST(m0, 63) - 32 + 1, 0) * 5 + GREATEST(LEAST(m0, 127) - 64 + 1, 0) * 6 + GREATEST(LEAST(m0, 255) - 128 + 1, 0) * 7 + GREATEST(LEAST(m0, 511) - 256 + 1, 0) * 8 + GREATEST(LEAST(m0, 1023) - 512 + 1, 0) * 9 + GREATEST(LEAST(m0, 2047) - 1024 + 1, 0) * 10 + GREATEST(LEAST(m0, 4095) - 2048 + 1, 0) * 11 + GREATEST(LEAST(m0, 8191) - 4096 + 1, 0) * 12 + GREATEST(LEAST(m0, 16383) - 8192 + 1, 0) * 13 + GREATEST(LEAST(m0, 32767) - 16384 + 1, 0) * 14 + GREATEST(LEAST(m0, 65535) - 32768 + 1, 0) * 15 + GREATEST(LEAST(m0, 131071) - 65536 + 1, 0) * 16 + GREATEST(LEAST(m0, 262143) - 131072 + 1, 0) * 17 + GREATEST(LEAST(m0, 524287) - 262144 + 1, 0) * 18 + GREATEST(LEAST(m0, 1048575) - 524288 + 1, 0) * 19 + GREATEST(LEAST(m0, 2097151) - 1048576 + 1, 0) * 20 + GREATEST(LEAST(m0, 4194303) - 2097152 + 1, 0) * 21 + GREATEST(LEAST(m0, 8388607) - 4194304 + 1, 0) * 22 + GREATEST(LEAST(m0, 16777215) - 8388608 + 1, 0) * 23 + GREATEST(LEAST(m0, 33554431) - 16777216 + 1, 0) * 24 + GREATEST(LEAST(m0, 67108863) - 33554432 + 1, 0) * 25 + GREATEST(LEAST(m0, 134217727) - 67108864 + 1, 0) * 26 + GREATEST(LEAST(m0, 268435455) - 134217728 + 1, 0) * 27 + GREATEST(LEAST(m0, 536870911) - 268435456 + 1, 0) * 28 + GREATEST(LEAST(m0, 1073741823) - 536870912 + 1, 0) * 29 + GREATEST(LEAST(m0, 2147483647) - 1073741824 + 1, 0) * 30 + GREATEST(LEAST(m0, 4294967295) - 2147483648 + 1, 0) * 31 + GREATEST(LEAST(m0, 8589934591) - 4294967296 + 1, 0) * 32 + GREATEST(LEAST(m0, 17179869183) - 8589934592 + 1, 0) * 33 + GREATEST(LEAST(m0, 34359738367) - 17179869184 + 1, 0) * 34 + GREATEST(LEAST(m0, 68719476735) - 34359738368 + 1, 0) * 35 + GREATEST(LEAST(m0, 137438953471) - 68719476736 + 1, 0) * 36 + GREATEST(LEAST(m0, 274877906943) - 137438953472 + 1, 0) * 37 + GREATEST(LEAST(m0, 549755813887) - 274877906944 + 1, 0) * 38 + GREATEST(LEAST(m0, 1099511627775) - 549755813888 + 1, 0) * 39 + GREATEST(LEAST(m0, 2199023255551) - 1099511627776 + 1, 0) * 40 + GREATEST(LEAST(m0, 4398046511103) - 2199023255552 + 1, 0) * 41 + GREATEST(LEAST(m0, 8796093022207) - 4398046511104 + 1, 0) * 42 + GREATEST(LEAST(m0, 17592186044415) - 8796093022208 + 1, 0) * 43 + GREATEST(LEAST(m0, 35184372088831) - 17592186044416 + 1, 0) * 44 + GREATEST(LEAST(m0, 70368744177663) - 35184372088832 + 1, 0) * 45 + GREATEST(LEAST(m0, 140737488355327) - 70368744177664 + 1, 0) * 46 + GREATEST(LEAST(m0, 281474976710655) - 140737488355328 + 1, 0) * 47 + GREATEST(LEAST(m0, 562949953421311) - 281474976710656 + 1, 0) * 48 + GREATEST(LEAST(m0, 1125899906842623) - 562949953421312 + 1, 0) * 49 + GREATEST(LEAST(m0, 2251799813685247) - 1125899906842624 + 1, 0) * 50 + GREATEST(LEAST(m0, 4503599627370495) - 2251799813685248 + 1, 0) * 51 + GREATEST(LEAST(m0, 9007199254740991) - 4503599627370496 + 1, 0) * 52 + GREATEST(LEAST(m0, 18014398509481983) - 9007199254740992 + 1, 0) * 53 + GREATEST(LEAST(m0, 36028797018963967) - 18014398509481984 + 1, 0) * 54 + GREATEST(LEAST(m0, 72057594037927935) - 36028797018963968 + 1, 0) * 55 + GREATEST(LEAST(m0, 144115188075855871) - 72057594037927936 + 1, 0) * 56 + GREATEST(LEAST(m0, 288230376151711743) - 144115188075855872 + 1, 0) * 57 + GREATEST(LEAST(m0, 576460752303423487) - 288230376151711744 + 1, 0) * 58 + GREATEST(LEAST(m0, 1152921504606846975) - 576460752303423488 + 1, 0) * 59 + GREATEST(LEAST(m0, 2305843009213693951) - 1152921504606846976 + 1, 0) * 60 + GREATEST(LEAST(m0, 4611686018427387903) - 2305843009213693952 + 1, 0) * 61) AS sx_g,
+                 (GREATEST(LEAST(m1, 3) - 2 + 1, 0) * 1 + GREATEST(LEAST(m1, 7) - 4 + 1, 0) * 4 + GREATEST(LEAST(m1, 15) - 8 + 1, 0) * 9 + GREATEST(LEAST(m1, 31) - 16 + 1, 0) * 16 + GREATEST(LEAST(m1, 63) - 32 + 1, 0) * 25 + GREATEST(LEAST(m1, 127) - 64 + 1, 0) * 36 + GREATEST(LEAST(m1, 255) - 128 + 1, 0) * 49 + GREATEST(LEAST(m1, 511) - 256 + 1, 0) * 64 + GREATEST(LEAST(m1, 1023) - 512 + 1, 0) * 81 + GREATEST(LEAST(m1, 2047) - 1024 + 1, 0) * 100 + GREATEST(LEAST(m1, 4095) - 2048 + 1, 0) * 121 + GREATEST(LEAST(m1, 8191) - 4096 + 1, 0) * 144 + GREATEST(LEAST(m1, 16383) - 8192 + 1, 0) * 169 + GREATEST(LEAST(m1, 32767) - 16384 + 1, 0) * 196 + GREATEST(LEAST(m1, 65535) - 32768 + 1, 0) * 225 + GREATEST(LEAST(m1, 131071) - 65536 + 1, 0) * 256 + GREATEST(LEAST(m1, 262143) - 131072 + 1, 0) * 289 + GREATEST(LEAST(m1, 524287) - 262144 + 1, 0) * 324 + GREATEST(LEAST(m1, 1048575) - 524288 + 1, 0) * 361 + GREATEST(LEAST(m1, 2097151) - 1048576 + 1, 0) * 400 + GREATEST(LEAST(m1, 4194303) - 2097152 + 1, 0) * 441 + GREATEST(LEAST(m1, 8388607) - 4194304 + 1, 0) * 484 + GREATEST(LEAST(m1, 16777215) - 8388608 + 1, 0) * 529 + GREATEST(LEAST(m1, 33554431) - 16777216 + 1, 0) * 576 + GREATEST(LEAST(m1, 67108863) - 33554432 + 1, 0) * 625 + GREATEST(LEAST(m1, 134217727) - 67108864 + 1, 0) * 676 + GREATEST(LEAST(m1, 268435455) - 134217728 + 1, 0) * 729 + GREATEST(LEAST(m1, 536870911) - 268435456 + 1, 0) * 784 + GREATEST(LEAST(m1, 1073741823) - 536870912 + 1, 0) * 841 + GREATEST(LEAST(m1, 2147483647) - 1073741824 + 1, 0) * 900 + GREATEST(LEAST(m1, 4294967295) - 2147483648 + 1, 0) * 961 + GREATEST(LEAST(m1, 8589934591) - 4294967296 + 1, 0) * 1024 + GREATEST(LEAST(m1, 17179869183) - 8589934592 + 1, 0) * 1089 + GREATEST(LEAST(m1, 34359738367) - 17179869184 + 1, 0) * 1156 + GREATEST(LEAST(m1, 68719476735) - 34359738368 + 1, 0) * 1225 + GREATEST(LEAST(m1, 137438953471) - 68719476736 + 1, 0) * 1296 + GREATEST(LEAST(m1, 274877906943) - 137438953472 + 1, 0) * 1369 + GREATEST(LEAST(m1, 549755813887) - 274877906944 + 1, 0) * 1444 + GREATEST(LEAST(m1, 1099511627775) - 549755813888 + 1, 0) * 1521 + GREATEST(LEAST(m1, 2199023255551) - 1099511627776 + 1, 0) * 1600 + GREATEST(LEAST(m1, 4398046511103) - 2199023255552 + 1, 0) * 1681 + GREATEST(LEAST(m1, 8796093022207) - 4398046511104 + 1, 0) * 1764 + GREATEST(LEAST(m1, 17592186044415) - 8796093022208 + 1, 0) * 1849 + GREATEST(LEAST(m1, 35184372088831) - 17592186044416 + 1, 0) * 1936 + GREATEST(LEAST(m1, 70368744177663) - 35184372088832 + 1, 0) * 2025 + GREATEST(LEAST(m1, 140737488355327) - 70368744177664 + 1, 0) * 2116 + GREATEST(LEAST(m1, 281474976710655) - 140737488355328 + 1, 0) * 2209 + GREATEST(LEAST(m1, 562949953421311) - 281474976710656 + 1, 0) * 2304 + GREATEST(LEAST(m1, 1125899906842623) - 562949953421312 + 1, 0) * 2401 + GREATEST(LEAST(m1, 2251799813685247) - 1125899906842624 + 1, 0) * 2500 + GREATEST(LEAST(m1, 4503599627370495) - 2251799813685248 + 1, 0) * 2601 + GREATEST(LEAST(m1, 9007199254740991) - 4503599627370496 + 1, 0) * 2704 + GREATEST(LEAST(m1, 18014398509481983) - 9007199254740992 + 1, 0) * 2809 + GREATEST(LEAST(m1, 36028797018963967) - 18014398509481984 + 1, 0) * 2916 + GREATEST(LEAST(m1, 72057594037927935) - 36028797018963968 + 1, 0) * 3025 + GREATEST(LEAST(m1, 144115188075855871) - 72057594037927936 + 1, 0) * 3136 + GREATEST(LEAST(m1, 288230376151711743) - 144115188075855872 + 1, 0) * 3249 + GREATEST(LEAST(m1, 576460752303423487) - 288230376151711744 + 1, 0) * 3364 + GREATEST(LEAST(m1, 1152921504606846975) - 576460752303423488 + 1, 0) * 3481 + GREATEST(LEAST(m1, 2305843009213693951) - 1152921504606846976 + 1, 0) * 3600 + GREATEST(LEAST(m1, 4611686018427387903) - 2305843009213693952 + 1, 0) * 3721) - (GREATEST(LEAST(m0, 3) - 2 + 1, 0) * 1 + GREATEST(LEAST(m0, 7) - 4 + 1, 0) * 4 + GREATEST(LEAST(m0, 15) - 8 + 1, 0) * 9 + GREATEST(LEAST(m0, 31) - 16 + 1, 0) * 16 + GREATEST(LEAST(m0, 63) - 32 + 1, 0) * 25 + GREATEST(LEAST(m0, 127) - 64 + 1, 0) * 36 + GREATEST(LEAST(m0, 255) - 128 + 1, 0) * 49 + GREATEST(LEAST(m0, 511) - 256 + 1, 0) * 64 + GREATEST(LEAST(m0, 1023) - 512 + 1, 0) * 81 + GREATEST(LEAST(m0, 2047) - 1024 + 1, 0) * 100 + GREATEST(LEAST(m0, 4095) - 2048 + 1, 0) * 121 + GREATEST(LEAST(m0, 8191) - 4096 + 1, 0) * 144 + GREATEST(LEAST(m0, 16383) - 8192 + 1, 0) * 169 + GREATEST(LEAST(m0, 32767) - 16384 + 1, 0) * 196 + GREATEST(LEAST(m0, 65535) - 32768 + 1, 0) * 225 + GREATEST(LEAST(m0, 131071) - 65536 + 1, 0) * 256 + GREATEST(LEAST(m0, 262143) - 131072 + 1, 0) * 289 + GREATEST(LEAST(m0, 524287) - 262144 + 1, 0) * 324 + GREATEST(LEAST(m0, 1048575) - 524288 + 1, 0) * 361 + GREATEST(LEAST(m0, 2097151) - 1048576 + 1, 0) * 400 + GREATEST(LEAST(m0, 4194303) - 2097152 + 1, 0) * 441 + GREATEST(LEAST(m0, 8388607) - 4194304 + 1, 0) * 484 + GREATEST(LEAST(m0, 16777215) - 8388608 + 1, 0) * 529 + GREATEST(LEAST(m0, 33554431) - 16777216 + 1, 0) * 576 + GREATEST(LEAST(m0, 67108863) - 33554432 + 1, 0) * 625 + GREATEST(LEAST(m0, 134217727) - 67108864 + 1, 0) * 676 + GREATEST(LEAST(m0, 268435455) - 134217728 + 1, 0) * 729 + GREATEST(LEAST(m0, 536870911) - 268435456 + 1, 0) * 784 + GREATEST(LEAST(m0, 1073741823) - 536870912 + 1, 0) * 841 + GREATEST(LEAST(m0, 2147483647) - 1073741824 + 1, 0) * 900 + GREATEST(LEAST(m0, 4294967295) - 2147483648 + 1, 0) * 961 + GREATEST(LEAST(m0, 8589934591) - 4294967296 + 1, 0) * 1024 + GREATEST(LEAST(m0, 17179869183) - 8589934592 + 1, 0) * 1089 + GREATEST(LEAST(m0, 34359738367) - 17179869184 + 1, 0) * 1156 + GREATEST(LEAST(m0, 68719476735) - 34359738368 + 1, 0) * 1225 + GREATEST(LEAST(m0, 137438953471) - 68719476736 + 1, 0) * 1296 + GREATEST(LEAST(m0, 274877906943) - 137438953472 + 1, 0) * 1369 + GREATEST(LEAST(m0, 549755813887) - 274877906944 + 1, 0) * 1444 + GREATEST(LEAST(m0, 1099511627775) - 549755813888 + 1, 0) * 1521 + GREATEST(LEAST(m0, 2199023255551) - 1099511627776 + 1, 0) * 1600 + GREATEST(LEAST(m0, 4398046511103) - 2199023255552 + 1, 0) * 1681 + GREATEST(LEAST(m0, 8796093022207) - 4398046511104 + 1, 0) * 1764 + GREATEST(LEAST(m0, 17592186044415) - 8796093022208 + 1, 0) * 1849 + GREATEST(LEAST(m0, 35184372088831) - 17592186044416 + 1, 0) * 1936 + GREATEST(LEAST(m0, 70368744177663) - 35184372088832 + 1, 0) * 2025 + GREATEST(LEAST(m0, 140737488355327) - 70368744177664 + 1, 0) * 2116 + GREATEST(LEAST(m0, 281474976710655) - 140737488355328 + 1, 0) * 2209 + GREATEST(LEAST(m0, 562949953421311) - 281474976710656 + 1, 0) * 2304 + GREATEST(LEAST(m0, 1125899906842623) - 562949953421312 + 1, 0) * 2401 + GREATEST(LEAST(m0, 2251799813685247) - 1125899906842624 + 1, 0) * 2500 + GREATEST(LEAST(m0, 4503599627370495) - 2251799813685248 + 1, 0) * 2601 + GREATEST(LEAST(m0, 9007199254740991) - 4503599627370496 + 1, 0) * 2704 + GREATEST(LEAST(m0, 18014398509481983) - 9007199254740992 + 1, 0) * 2809 + GREATEST(LEAST(m0, 36028797018963967) - 18014398509481984 + 1, 0) * 2916 + GREATEST(LEAST(m0, 72057594037927935) - 36028797018963968 + 1, 0) * 3025 + GREATEST(LEAST(m0, 144115188075855871) - 72057594037927936 + 1, 0) * 3136 + GREATEST(LEAST(m0, 288230376151711743) - 144115188075855872 + 1, 0) * 3249 + GREATEST(LEAST(m0, 576460752303423487) - 288230376151711744 + 1, 0) * 3364 + GREATEST(LEAST(m0, 1152921504606846975) - 576460752303423488 + 1, 0) * 3481 + GREATEST(LEAST(m0, 2305843009213693951) - 1152921504606846976 + 1, 0) * 3600 + GREATEST(LEAST(m0, 4611686018427387903) - 2305843009213693952 + 1, 0) * 3721) AS sxx_g
+          FROM p),
+    a AS (SELECT CAST(SUM(t) AS HUGEINT) AS n,
+                 CAST(SUM(sx_g) AS HUGEINT) AS sx,
+                 CAST(SUM(sxx_g) AS HUGEINT) AS sxx,
+                 CAST(SUM(t * y) AS HUGEINT) AS sy,
+                 CAST(SUM(t * y * y) AS HUGEINT) AS syy,
+                 CAST(SUM(y * sx_g) AS HUGEINT) AS sxy
+          FROM g)
+    SELECT CAST(n AS BIGINT) AS vocab_size,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                ELSE 0.0 END AS slope,
+           CASE WHEN n * sxx - sx * sx > 0
+                THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
+                     / CAST(n * sxx - sx * sx AS DOUBLE)
+                ELSE 0.0 END AS intercept,
+           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+                THEN CAST(n * sxy - sx * sy AS DOUBLE)
+                     * CAST(n * sxy - sx * sy AS DOUBLE)
+                     / (CAST(n * sxx - sx * sx AS DOUBLE)
+                        * CAST(n * syy - sy * sy AS DOUBLE))
+                ELSE 0.0 END AS r2
+    FROM a
+""",
+    doc="Zipf rank-frequency OLS fit on (floor-log2 rank, floor-log2 "
+        "freq) over the whole vocabulary: corpus -> vocab -> frequency "
+        "histogram; descending-rank offsets via the two-phase cell "
+        "prefix; per-band closed-form rank sums (no per-token rank); "
+        "exact integer sufficient statistics, single-division "
+        "slope/intercept.",
+)
+
+
 # ---------------------------------------------------------------------------
 # Declaration order
 # ---------------------------------------------------------------------------
@@ -5602,7 +5660,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# FIFTY-FIVE further round-8 operators landed after the 50-slot
+# FIFTY-SIX further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5619,9 +5677,9 @@ _register(
 # referential_audit, graph_triangles, ks_drift, ab_test_report,
 # activity_heatmap, repeat_purchase_stats, session_conversion,
 # quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
-# activity_gini, embedding_top_pc.
+# activity_gini, embedding_top_pc, zipf_fit.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 55 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 56 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -5748,6 +5806,7 @@ _R9_QUEUE: list[str] = [
     "funnel_latency",
     "activity_gini",
     "embedding_top_pc",
+    "zipf_fit",
 ]
 
 _TAIL: list[str] = []

@@ -1529,3 +1529,70 @@ def test_ohlc_streaming_splits_hours_across_batches(spark, events, tmp_path):
         assert want.exceptAll(got).count() == 0
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# zipf_fit
+# ---------------------------------------------------------------------------
+
+def test_zipf_fit_matches_per_token_replay(documents):
+    """The band closed form + tie grouping must equal the naive
+    per-token enumeration: assign every token its individual rank,
+    take (floor(log2 rank), floor(log2 freq)) points, run plain OLS."""
+    from flink_snappydata_spark.pipeline.text import zipf_fit
+
+    freqs = sorted(
+        (
+            r.f
+            for r in documents.select(
+                F.explode(
+                    F.filter(
+                        F.split(F.lower("text"), r"\W+"),
+                        lambda w: w != F.lit(""),
+                    )
+                ).alias("w")
+            )
+            .groupBy("w")
+            .agg(F.count(F.lit(1)).alias("f"))
+            .collect()
+        ),
+        reverse=True,
+    )
+    xs = [(rank).bit_length() - 1 for rank in range(1, len(freqs) + 1)]
+    ys = [f.bit_length() - 1 for f in freqs]
+    n = len(freqs)
+    sx, sy = sum(xs), sum(ys)
+    sxx = sum(x * x for x in xs)
+    syy = sum(y * y for y in ys)
+    sxy = sum(x * y for x, y in zip(xs, ys))
+    den = n * sxx - sx * sx
+    slope = float(n * sxy - sx * sy) / float(den)
+    intercept = float(sy * sxx - sx * sxy) / float(den)
+    r2 = (
+        float(n * sxy - sx * sy) ** 2
+        / (float(den) * float(n * syy - sy * sy))
+    )
+    r = zipf_fit(documents).collect()[0]
+    assert r.vocab_size == n
+    assert r.slope == pytest.approx(slope, rel=1e-12)
+    assert r.intercept == pytest.approx(intercept, rel=1e-12)
+    assert r.r2 == pytest.approx(r2, rel=1e-12)
+
+
+def test_zipf_fit_recovers_planted_zipf(spark):
+    """A corpus built with freq(rank r) = 4096 // r — an exact Zipf
+    law, so log2 f = 12 - log2 r — must fit slope near -1 with high
+    r2 despite the integer-bits quantization."""
+    from flink_snappydata_spark.pipeline.text import zipf_fit
+
+    words = []
+    for r in range(1, 65):
+        words.extend([f"w{r:02d}"] * (4096 // r))
+    docs = spark.createDataFrame(
+        [(0, " ".join(words), "src0", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    row = zipf_fit(docs).collect()[0]
+    assert row.vocab_size == 64
+    assert -1.3 < row.slope < -0.7, row.slope
+    assert row.r2 > 0.9, row.r2
