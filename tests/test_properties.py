@@ -681,3 +681,56 @@ def test_per_source_cap_matches_naive(spark, raw, k):
         for rank, i in enumerate(sorted(ids, key=lambda x: (phash(x), x))):
             want[i] = (rank, rank < k)
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# cell_prefix_sums (load-bearing for quantile_transform / ks_drift /
+# activity_gini / zipf_fit): inclusive keyed prefix sums via the
+# two-phase value-cell decomposition must equal the naive running sum
+# for ANY group layout, value distribution (clustered, negative,
+# single-valued), and cell count — including n_cells=1 (everything in
+# one cell, pure within-cell window) and n_cells larger than the
+# distinct-value count (pure cell-offset path).
+# ---------------------------------------------------------------------------
+
+_prefix_strategy = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),       # group
+        st.integers(min_value=-50, max_value=50),    # order value
+        st.integers(min_value=0, max_value=1000),    # summand a
+        st.integers(min_value=0, max_value=1000),    # summand b
+    ),
+    min_size=1,
+    max_size=60,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(raw=_prefix_strategy, n_cells=st.sampled_from([1, 3, 4096]))
+def test_cell_prefix_sums_match_naive(spark, raw, n_cells):
+    from flink_snappydata_spark.util import cell_prefix_sums
+
+    # distinct order values per group (the helper's contract: callers
+    # pass histogram frames, one row per (group, value))
+    dedup = {}
+    for g, v, a, b in raw:
+        if (g, v) not in dedup:
+            dedup[(g, v)] = (a, b)
+    rows = [(g, v, a, b) for (g, v), (a, b) in dedup.items()]
+    df = spark.createDataFrame(rows, "g long, v long, a long, b long")
+    got = {
+        (r.g, r.v): (r.cum_a, r.cum_b)
+        for r in cell_prefix_sums(
+            df, "v", ["a", "b"], ("g",), n_cells=n_cells
+        ).collect()
+    }
+    want = {}
+    for g in {r[0] for r in rows}:
+        run_a = run_b = 0
+        for _, v, a, b in sorted(
+            (r for r in rows if r[0] == g), key=lambda r: r[1]
+        ):
+            run_a += a
+            run_b += b
+            want[(g, v)] = (run_a, run_b)
+    assert got == want
