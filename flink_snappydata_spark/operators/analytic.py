@@ -755,34 +755,46 @@ def ks_drift(
     smallest value cents achieving the max (deterministic tie-break).
     Returns one row ``(n_a, n_b, ks_stat, at_value)``.
 
-    Scale: each side collapses FIRST to its value histogram (map-side
-    combined; the frame is bounded by the value domain's distinct-cent
-    cardinality, not event count) and the histograms full-outer-merge
-    on value. The two cumulative sums ride
+    Scale: the corpus collapses FIRST to the shared two-type value
+    histogram (:func:`_drift_partials` — one map-side-combined
+    aggregation over only the two types' rows; the frame is bounded by
+    the value domain's distinct-cent cardinality, not event count).
+    The two cumulative sums ride
     :func:`~flink_snappydata_spark.util.cell_prefix_sums` — the
     `quality_auc` value-cell two-phase prefix — so even a merged
     histogram with 10⁸ distinct cents never funnels through one window
     task; totals are a 1-row aggregate broadcast back. The argmax is a
     1-row aggregate, then a filter on the persisted merged frame — no
     corpus-sized (or histogram-sized) single-task sort anywhere.
+    The partials are MERGEABLE int64 sums, which is what lets the
+    streaming twin (`streaming.windows.streaming_drift_ingest`) land
+    per-micro-batch histograms and fold them at query time losslessly.
     """
-    from flink_snappydata_spark.util import cell_prefix_sums, tracked_persist
+    return _ks_from_merged(_drift_partials(events, type_a, type_b))
 
-    def hist(t: str, name: str) -> DataFrame:
-        return (
-            events.filter(F.col("event_type") == t)
-            .groupBy(cents("value").alias("v"))
-            .agg(F.count(F.lit(1)).alias(name))
-        )
-    merged = (
-        hist(type_a, "ca")
-        .join(hist(type_b, "cb"), "v", "full_outer")
-        .select(
-            "v",
-            F.coalesce(F.col("ca"), F.lit(0)).alias("ca"),
-            F.coalesce(F.col("cb"), F.lit(0)).alias("cb"),
+
+def _drift_partials(
+    events: DataFrame, type_a: str = "click", type_b: str = "error"
+) -> DataFrame:
+    """Per-value two-type histogram ``(v, ca, cb)`` — KS drift's
+    mergeable sufficient statistic (int64 count sums, so partials from
+    different micro-batches refold exactly)."""
+    return (
+        events.filter(F.col("event_type").isin(type_a, type_b))
+        .groupBy(cents("value").alias("v"))
+        .agg(
+            F.sum((F.col("event_type") == type_a).cast("long")).alias("ca"),
+            F.sum((F.col("event_type") == type_b).cast("long")).alias("cb"),
         )
     )
+
+
+def _ks_from_merged(merged: DataFrame) -> DataFrame:
+    """KS statistic from the (v, ca, cb) histogram: two-phase cell
+    prefix for both CDFs, 1-row argmax fold with the smallest-value
+    tie-break."""
+    from flink_snappydata_spark.util import cell_prefix_sums, tracked_persist
+
     totals = merged.agg(
         F.sum("ca").cast("long").alias("n_a"),
         F.sum("cb").cast("long").alias("n_b"),

@@ -5604,6 +5604,40 @@ _register(
 )
 
 
+def _drift_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``ks_drift`` under the full
+    correctness gate — the continuous drift-monitor service: the
+    events fixture arrives as a 4-file stream (maxFilesPerTrigger=1 →
+    4 micro-batches); each batch lands its two-type value-histogram
+    partials via foreachBatch, and the returned frame folds the
+    accumulated state through the same two-phase-prefix CDF compare as
+    the batch op. Count sums are batching-insensitive, so the result
+    is row-identical to ``ks_drift`` and the batch oracle applies
+    verbatim. State is torn down after scoring via
+    :func:`_stream_state_scored`."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "drift",
+        ["partials"],
+        stream_windows.streaming_drift_ingest,
+        stream_windows.drift_from_state,
+    )
+
+
+QUERIES["drift_streamed"] = QuerySpec(
+    fn=_drift_streamed,
+    oracle=QUERIES["ks_drift"].oracle,
+    doc="Streaming-ingest KS drift monitor: per-micro-batch mergeable "
+        "two-type value-histogram partials into a queryable catalog "
+        "table, CDF-compared at query time — the stream→table loop "
+        "on the drift-monitoring side.",
+)
+
+
 # ---------------------------------------------------------------------------
 # Declaration order
 # ---------------------------------------------------------------------------
@@ -5660,7 +5694,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# FIFTY-SIX further round-8 operators landed after the 50-slot
+# FIFTY-SEVEN further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5677,9 +5711,9 @@ _register(
 # referential_audit, graph_triangles, ks_drift, ab_test_report,
 # activity_heatmap, repeat_purchase_stats, session_conversion,
 # quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
-# activity_gini, embedding_top_pc, zipf_fit.
+# activity_gini, embedding_top_pc, zipf_fit, drift_streamed.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 56 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 57 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -5807,6 +5841,7 @@ _R9_QUEUE: list[str] = [
     "activity_gini",
     "embedding_top_pc",
     "zipf_fit",
+    "drift_streamed",
 ]
 
 _TAIL: list[str] = []

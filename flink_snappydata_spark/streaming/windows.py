@@ -362,3 +362,56 @@ def ohlc_from_state(spark, partials_table: str) -> DataFrame:
     from flink_snappydata_spark.operators.analytic import _ohlc_finalize
 
     return _ohlc_finalize(spark.table(partials_table).drop("batch_id"))
+
+
+def streaming_drift_ingest(
+    stream_events: DataFrame,
+    partials_table: str,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest twin of
+    :func:`operators.analytic.ks_drift` — the stream→queryable-table
+    loop (``ParquetTableJoin.scala:32-43`` shape) as a continuous
+    DRIFT MONITOR: each micro-batch lands its two-type value-histogram
+    partials ``(v, ca, cb)`` (int64 count sums — KS drift's mergeable
+    sufficient statistic), and the CDF compare happens at query time
+    (:func:`drift_from_state`). Count sums are batching-insensitive,
+    so after a bounded stream drains the statistic is row-identical to
+    the batch op and the batch oracle applies verbatim.
+
+    Scale: the per-batch shuffle carries only (value-cent)-keyed int64
+    partials (map-side combined, only the two compared types' rows);
+    state grows by ≤ distinct-cents-in-batch rows per micro-batch
+    regardless of event volume. Rides
+    :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition instead of double-counting.
+    """
+    from flink_snappydata_spark.operators.analytic import _drift_partials
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(partials_table, None)],
+        prepare=_drift_partials,
+        checkpoint=checkpoint,
+    )
+
+
+def drift_from_state(spark, partials_table: str) -> DataFrame:
+    """KS drift statistic from the histogram partials accumulated by
+    :func:`streaming_drift_ingest`: fold per value (exact int64 count
+    sums — batching order irrelevant), then the same two-phase-prefix
+    CDF compare as the batch op. ``batch_id`` is ingest lineage, not
+    state — dropped here."""
+    from flink_snappydata_spark.operators.analytic import _ks_from_merged
+
+    merged = (
+        spark.table(partials_table)
+        .drop("batch_id")
+        .groupBy("v")
+        .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
+    )
+    return _ks_from_merged(merged)

@@ -1596,3 +1596,39 @@ def test_zipf_fit_recovers_planted_zipf(spark):
     assert row.vocab_size == 64
     assert -1.3 < row.slope < -0.7, row.slope
     assert row.r2 > 0.9, row.r2
+
+
+def test_drift_streaming_splits_values_across_batches(spark, events, tmp_path):
+    """Landing the same events in 2 random micro-batches must fold to
+    the exact batch KS statistic, INCLUDING value cells whose counts
+    were split across batches — asserted by checking at least one
+    value accumulated partials from more than one batch."""
+    import uuid
+
+    from flink_snappydata_spark.operators.analytic import ks_drift
+    from flink_snappydata_spark.streaming.windows import (
+        drift_from_state,
+        streaming_drift_ingest,
+    )
+
+    src = str(tmp_path / "ev")
+    ckpt = str(tmp_path / "ckpt")
+    table = f"fss_test_drift_{uuid.uuid4().hex[:8]}"
+    ev = events.select("event_id", "ts", "event_type", "value")
+    ev.repartition(2).write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema(ev.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    try:
+        streaming_drift_ingest(stream, table, checkpoint=ckpt)
+        part = spark.table(table)
+        assert part.count() > part.select("v").distinct().count(), (
+            "no value cell was split across micro-batches"
+        )
+        got = drift_from_state(spark, table)
+        want = ks_drift(ev)
+        assert got.collect() == want.collect()
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
