@@ -39,6 +39,14 @@ REPRESENTATIVE = [
     "quality_auc",            # int64 midrank AUC via value-cell prefix
     "ccnet_buckets",          # two-phase keyed rank + NTILE arithmetic
     "pq_codebook",            # pure-integer Lloyd under squared-L2
+    # late-round-8 exactness claims (cell_prefix_sums consumers + the
+    # driver-literal power iteration)
+    "quantile_transform",     # keyed two-phase CDF prefix
+    "ks_drift",               # two-phase CDF compare, argmax tiebreak
+    "activity_gini",          # DECIMAL rank-weighted sum via cell prefix
+    "zipf_fit",               # closed-form band rank sums + integer OLS
+    "embedding_top_pc",       # gram reduction + integer power iteration
+    "trend_regression",       # DECIMAL OLS sufficient statistics
 ]
 
 
