@@ -1,6 +1,8 @@
 """Behavior + scale-discipline tests for the round-8 operator additions
 (multi-resolution rollup, JL projection, hard-negative mining, PQ ADC
-search, sharded inverted index, CMS heavy hitters, integer PageRank).
+search, sharded inverted index, CMS heavy hitters, integer PageRank,
+and the later batches: analytics/profiling/drift/sampling operators
+through zipf_fit, embedding_top_pc, and the drift/OHLC stream twins).
 Oracle parity is covered by test_oracle_parity; these pin the semantic
 claims the docstrings make."""
 
