@@ -133,6 +133,13 @@ def cell_prefix_sums(
     bit-identical. ``sum_cols`` must be null-free (coalesce first).
     Adds one ``cum_<col>`` column per sum col; consumes the names
     ``_vmin/_vmax/_cell/_off_*`` internally.
+
+    Bound: the broadcast offset table is ``groups × n_cells`` rows, so
+    ``partition_cols`` must be LOW-cardinality (a type/language/source
+    vocabulary — the current consumers use at most the event-type key).
+    A high-cardinality group key (per-user, per-document) needs the
+    `per_source_cap` bucket-histogram rank idiom instead, where offsets
+    stay keyed and co-partitioned rather than broadcast.
     """
     from pyspark.sql import Window
 
