@@ -2078,3 +2078,96 @@ def zipf_fit(documents: DataFrame) -> DataFrame:
         .otherwise(F.lit(0.0))
         .alias("r2"),
     )
+
+
+#: Tag pattern shared by the cleaner and its oracle — deliberately the
+#: simple maximal-munch-free ``<[^>]*>`` (identical semantics in Java
+#: regex and RE2/DuckDB; no backrefs, no lazy quantifiers).
+HTML_TAG_RE = r"<[^>]*>"
+
+#: Whitespace-run class: explicit ``[ \t\n\r]`` instead of ``\s``
+#: (Java's \s includes \x0B, RE2's does not — the one-character
+#: divergence that would break cross-engine parity on pathological
+#: input).
+HTML_WS_RE = r"[ \t\n\r]+"
+
+
+def _with_synthetic_html(documents: DataFrame) -> DataFrame:
+    """Wrap every 3rd document in deterministic boilerplate markup
+    (the `_with_synthetic_pii` device): the fixture corpus contains no
+    HTML, which would make a tag-stripping oracle vacuous; both
+    engines wrap the same docs in the same tags + entities so the
+    cleaning parity is exercised on real rows."""
+    wrapped = F.concat(
+        F.lit('<html><body class="doc"><p id="main">'),
+        F.col("text"),
+        F.lit(
+            '</p><br/><div id="footer">&lt;footer&gt; '
+            "&amp;copy example&nbsp;inc</div></body></html>"
+        ),
+    )
+    return documents.withColumn(
+        "text",
+        F.when(F.pmod(F.col("doc_id"), F.lit(3)) == 0, wrapped).otherwise(
+            F.col("text")
+        ),
+    )
+
+
+def html_clean(
+    documents: DataFrame, synthesize: bool = True, sort: bool = True
+) -> DataFrame:
+    """HTML boilerplate cleaning — the web-crawl-to-training-text step
+    every pretraining pipeline runs before quality filtering: strip
+    tags, unescape the common entities, collapse whitespace runs, and
+    report per-document cleaning stats plus a 60-bit content signature
+    of the cleaned text (any row the cleaner corrupts moves its
+    signature).
+
+    Entity order matters and is fixed: ``&lt;``/``&gt;`` first, then
+    ``&amp;``, then ``&nbsp;`` — the same chain on both engines, so
+    double-escaped input resolves identically. Returns ``(doc_id,
+    was_html, n_tags, clean_chars, clean_sig)``.
+
+    Scale: pure per-row JVM regexp/replace expressions inside
+    whole-stage codegen — NO shuffle, NO explode, one map over the
+    corpus (the `gopher_rules` plan shape); the text column never
+    leaves the scan stage, only ids and int stats come out.
+    """
+    from flink_snappydata_spark.util import presentation_sorted
+
+    if synthesize:
+        documents = _with_synthetic_html(documents)
+    text = F.col("text")
+    n_tags = F.size(
+        F.regexp_extract_all(text, F.lit(HTML_TAG_RE), F.lit(0))
+    ).cast("long")
+    stripped = F.regexp_replace(text, HTML_TAG_RE, " ")
+    unescaped = F.replace(
+        F.replace(
+            F.replace(
+                F.replace(stripped, F.lit("&lt;"), F.lit("<")),
+                F.lit("&gt;"),
+                F.lit(">"),
+            ),
+            F.lit("&amp;"),
+            F.lit("&"),
+        ),
+        F.lit("&nbsp;"),
+        F.lit(" "),
+    )
+    cleaned = F.trim(F.regexp_replace(unescaped, HTML_WS_RE, " "))
+    out = documents.select(
+        "doc_id",
+        (n_tags > 0).cast("long").alias("was_html"),
+        n_tags.alias("n_tags"),
+        F.length(cleaned).cast("long").alias("clean_chars"),
+        F.conv(
+            F.substring(F.md5(cleaned.cast("binary")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("clean_sig"),
+    )
+    if sort:
+        return presentation_sorted(out, "doc_id", expect_small=False)
+    return out

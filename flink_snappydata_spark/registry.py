@@ -5637,6 +5637,45 @@ QUERIES["drift_streamed"] = QuerySpec(
         "on the drift-monitoring side.",
 )
 
+_register(
+    "html_clean",
+    ["documents"],
+    textops.html_clean,
+    """
+    WITH enriched AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 3 = 0
+                    THEN '<html><body class="doc"><p id="main">' || text
+                         || '</p><br/><div id="footer">&lt;footer&gt; '
+                         || '&amp;copy example&nbsp;inc</div></body></html>'
+                    ELSE text END AS text
+        FROM documents),
+    cleaned AS (
+        SELECT doc_id,
+               CAST(len(regexp_extract_all(text, '<[^>]*>'))
+                    AS BIGINT) AS n_tags,
+               trim(regexp_replace(
+                   replace(replace(replace(replace(
+                       regexp_replace(text, '<[^>]*>', ' ', 'g'),
+                       '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
+                       '&nbsp;', ' '),
+                   '[ \t\n\r]+', ' ', 'g')) AS clean
+        FROM enriched)
+    SELECT doc_id,
+           CAST(n_tags > 0 AS BIGINT) AS was_html,
+           n_tags,
+           CAST(length(clean) AS BIGINT) AS clean_chars,
+           CAST(('0x' || substr(md5(clean), 1, 15)) AS BIGINT)
+               AS clean_sig
+    FROM cleaned ORDER BY doc_id
+    """,
+    doc="HTML boilerplate cleaning (tag strip, entity unescape, "
+        "whitespace collapse) with per-doc stats and a 60-bit cleaned-"
+        "content signature: pure per-row JVM expressions, no shuffle — "
+        "the gopher_rules plan shape; deterministic markup enrichment "
+        "on both engines (the PII-oracle device).",
+)
+
 
 # ---------------------------------------------------------------------------
 # Declaration order
@@ -5694,7 +5733,7 @@ QUERIES["drift_streamed"] = QuerySpec(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# FIFTY-SEVEN further round-8 operators landed after the 50-slot
+# FIFTY-EIGHT further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5711,9 +5750,9 @@ QUERIES["drift_streamed"] = QuerySpec(
 # referential_audit, graph_triangles, ks_drift, ab_test_report,
 # activity_heatmap, repeat_purchase_stats, session_conversion,
 # quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
-# activity_gini, embedding_top_pc, zipf_fit, drift_streamed.
+# activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean.
 # They are QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 57 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 58 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -5842,6 +5881,7 @@ _R9_QUEUE: list[str] = [
     "embedding_top_pc",
     "zipf_fit",
     "drift_streamed",
+    "html_clean",
 ]
 
 _TAIL: list[str] = []

@@ -1634,3 +1634,72 @@ def test_drift_streaming_splits_values_across_batches(spark, events, tmp_path):
         assert got.collect() == want.collect()
     finally:
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+
+# ---------------------------------------------------------------------------
+# html_clean
+# ---------------------------------------------------------------------------
+
+def test_html_clean_known_markup(spark):
+    """A crafted document (doc_id=1 so the synthetic wrapper stays
+    off) must strip tags, unescape entities in the fixed order, and
+    collapse whitespace — pinned against a hashlib replay of the
+    expected cleaned text."""
+    import hashlib
+
+    from flink_snappydata_spark.pipeline.text import html_clean
+
+    raw = '<div id="x">Hello &amp; <b>world</b>!\n\n  &lt;tag&gt;&nbsp;end</div>'
+    expected = "Hello & world ! <tag> end"
+    docs = spark.createDataFrame(
+        [(1, raw, "src0", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    r = html_clean(docs).collect()[0]
+    assert r.was_html == 1 and r.n_tags == 4
+    assert r.clean_chars == len(expected)
+    want_sig = int(hashlib.md5(expected.encode()).hexdigest()[:15], 16)
+    assert r.clean_sig == want_sig
+
+
+def test_html_clean_plain_text_is_stable(spark):
+    """A markup-free document (non-multiple-of-3 id) passes through
+    with zero tags and a signature equal to its whitespace-collapsed
+    self."""
+    import hashlib
+
+    from flink_snappydata_spark.pipeline.text import html_clean
+
+    docs = spark.createDataFrame(
+        [(2, "plain  text   here", "src0", "en")],
+        "doc_id long, text string, source string, lang string",
+    )
+    r = html_clean(docs).collect()[0]
+    assert r.was_html == 0 and r.n_tags == 0
+    expected = "plain text here"
+    assert r.clean_chars == len(expected)
+    assert r.clean_sig == int(
+        hashlib.md5(expected.encode()).hexdigest()[:15], 16
+    )
+
+
+def test_html_clean_plan_has_no_exchange(documents):
+    """The no-shuffle claim: the unsorted form must contain zero
+    shuffle exchanges (pure per-row map, the gopher_rules shape)."""
+    import re
+
+    from flink_snappydata_spark.pipeline.text import html_clean
+
+    documents.sparkSession.catalog.clearCache()
+    plan = (
+        html_clean(documents, sort=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = [
+        m
+        for m in re.findall(r"\w*Exchange\w*", plan)
+        if "Reused" not in m and "Broadcast" not in m
+    ]
+    assert not shuffles, plan
