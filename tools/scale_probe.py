@@ -216,6 +216,7 @@ OPS = {
     "merge_upsert": lambda d, e: _curation.merge_upsert(d),
     "embedding_top_pc": lambda d, e: S.embedding_top_pc(e),
     "zipf_fit": lambda d, e: T.zipf_fit(d),
+    "html_clean": lambda d, e: T.html_clean(d, sort=False),
     "graph_triangles": lambda d, e: GR.graph_triangles(
         d.sparkSession.range(d.count()).select(F.col("id").alias("doc_id"))
     ),
