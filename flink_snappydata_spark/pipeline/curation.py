@@ -29,6 +29,7 @@ from flink_snappydata_spark.pipeline.dedup import (
     neardup_clusters,
     ngram_jaccard_pairs,
 )
+from flink_snappydata_spark.pipeline.sampling import hash_split
 from flink_snappydata_spark.pipeline.text import (
     language_id,
     quality_model_scores,
@@ -86,6 +87,50 @@ def canonical_pick(
     if not sort:
         return out
     return presentation_sorted(out, "cluster_id", expect_small=expect_small)
+
+
+def leakage_safe_split(
+    documents: DataFrame,
+    pairs: DataFrame | None = None,
+    weights=None,
+    salt: str = "fss-split-v1",
+    sort: bool = False,
+) -> DataFrame:
+    """Near-dup-leakage-free train/val/test split: the split decision
+    hashes the document's near-dup CLUSTER representative, not the
+    document itself, so every member of a duplicate cluster lands on
+    the same side — the guard against the classic eval-inflation bug
+    where a near-copy of a validation document sits in train. Plain
+    :func:`~flink_snappydata_spark.pipeline.sampling.hash_split` over
+    doc_id puts an expected ``2·p·(1-p)`` fraction of every near-dup
+    pair across the boundary; hashing ``rep_id`` makes that exactly
+    zero while keeping the assignment a pure deterministic function of
+    the data (stable under corpus growth, no RNG, engine-reproducible).
+
+    Returns one row per document: ``(doc_id, rep_id, split)`` with
+    ``rep_id`` = the cluster's smallest reachable doc_id for paired
+    documents (:func:`~flink_snappydata_spark.pipeline.dedup.
+    neardup_clusters`) and the document's own id otherwise.
+
+    Scale: clusters ride the prefix-filtered pair graph (bounded by
+    pairs, never O(n²); built UNSORTED — pair order is irrelevant
+    here); the label join is doc_id-keyed; the split itself is the
+    per-row portable-hash arithmetic of ``hash_split`` — no extra
+    shuffle beyond the cluster join, text never moves. ``sort``
+    defaults False: the output is corpus-sized (one row per document)
+    and downstream writers do not need an order.
+    """
+    if pairs is None:
+        pairs = ngram_jaccard_pairs(documents, sorted_output=False)
+    labels = neardup_clusters(pairs, expect_small=False)
+    rep = documents.select("doc_id").join(labels, "doc_id", "left").select(
+        "doc_id",
+        F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep_id"),
+    )
+    out = hash_split(rep, "rep_id", weights, salt)
+    if not sort:
+        return out
+    return presentation_sorted(out, "doc_id", expect_small=False)
 
 
 def curation_pipeline(documents: DataFrame) -> DataFrame:

@@ -1887,6 +1887,78 @@ def bpe_merges(
     ).orderBy("step")
 
 
+def bpe_encode_stats(
+    documents: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = 8,
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Apply a trained BPE merge table to the corpus and return exact
+    per-document tokenization stats ``(doc_id, n_words, n_alpha_chars,
+    n_bpe_tokens)`` — the encode half of the tokenizer pair whose
+    training half is :func:`bpe_merges`, i.e. "how many tokens is this
+    corpus under the learned vocabulary?", the question every
+    token-budget decision (mixing, packing, pricing) starts from.
+
+    ``merges`` is the ordered merge list ``[(left, right), ...]``;
+    when ``None`` it is trained here via :func:`bpe_merges` (a
+    vocabulary-frame loop, then one driver collect of ``n_merges``
+    tiny rows). Encoding mirrors training exactly: each eligible word
+    (lowercase alphabetic, ``<= max_word_len`` chars — the training
+    filter) becomes the spaced symbol string ``" a b c "`` and each
+    merge is the same two-pass left-to-right ``replace`` of
+    ``" l r "`` with ``" lr "``, so a word encodes to precisely the
+    symbols training would have left it with. Merges never cross word
+    boundaries, so words encode independently and per-doc token counts
+    are order-free sums.
+
+    Scale: encoding is a pure per-row JVM expression — the merge table
+    arrives as ``2 x n_merges`` string literals folded into a chain of
+    ``replace`` calls inside ``transform``/``aggregate`` higher-order
+    functions, so the corpus is scanned ONCE with zero shuffles, zero
+    Python, and nothing but (doc_id, 3 int64s) ever leaving the map
+    side. The alternative (encode the distinct-word vocabulary once,
+    join back per occurrence) trades that scan for a corpus-sized
+    word-level shuffle; per-row re-encoding of duplicate words is
+    cheap string work and keeps the op map-only, the right trade at
+    100 TB.
+    """
+    if merges is None:
+        merges = [
+            (r.left_sym, r.right_sym)
+            for r in bpe_merges(documents, n_merges, max_word_len).collect()
+        ]
+    words = F.filter(
+        F.split(F.lower(F.col("text")), r"\W+"),
+        lambda w: w.rlike("^[a-z]+$") & (F.length(w) <= max_word_len),
+    )
+
+    def _encode_len(w: Column) -> Column:
+        s = F.concat(
+            F.lit(" "), F.trim(F.regexp_replace(w, "(.)", "$1 ")), F.lit(" ")
+        )
+        for left, right in merges:
+            pat = F.lit(f" {left} {right} ")
+            rep = F.lit(f" {left}{right} ")
+            s = F.replace(F.replace(s, pat, rep), pat, rep)
+        t = F.trim(s)
+        return (
+            F.length(t) - F.length(F.replace(t, F.lit(" "), F.lit(""))) + 1
+        ).cast("long")
+
+    zero = F.lit(0).cast("long")
+    return documents.select(
+        "doc_id",
+        F.size(words).cast("long").alias("n_words"),
+        F.aggregate(
+            words, zero, lambda acc, w: acc + F.length(w)
+        ).alias("n_alpha_chars"),
+        F.aggregate(
+            F.transform(words, _encode_len), zero, lambda acc, x: acc + x
+        ).alias("n_bpe_tokens"),
+    )
+
+
 def token_drift_topk(
     documents: DataFrame,
     source_a: str = "src0",

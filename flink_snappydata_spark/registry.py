@@ -2238,6 +2238,34 @@ _register(
 )
 
 _register(
+    "leakage_safe_split",
+    ["documents"],
+    curation.leakage_safe_split,
+    f"""
+    WITH RECURSIVE
+    {_CC_CTES},
+    rep AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
+        FROM documents d LEFT JOIN cc_labels c ON c.doc_id = d.doc_id),
+    b AS (
+        SELECT doc_id, rep_id,
+               (({packing.portable_hash_sql('rep_id')}) + 1818935405)
+                   % 10000 AS bucket
+        FROM rep)
+    SELECT doc_id, rep_id,
+           CASE WHEN bucket < 9800 THEN 'train'
+                WHEN bucket < 9900 THEN 'val'
+                ELSE 'test' END AS split
+    FROM b
+    """,
+    doc="Leakage-free train/val/test split: the hash-split bucket is "
+        "computed on the near-dup cluster representative (smallest "
+        "reachable doc_id), so no near-dup pair ever straddles the "
+        "train/eval boundary; unclustered documents hash their own id "
+        "(identical to train_val_test_split for them).",
+)
+
+_register(
     "dedup_report",
     ["documents"],
     curation.dedup_report,
@@ -4902,12 +4930,15 @@ _register(
 )
 
 
-def _bpe_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
-    """Chained-CTE DuckDB twin of the BPE merge loop: each round counts
-    adjacent symbol pairs (parallel UNNESTs zip positionally), picks the
-    (count DESC, pair ASC) argmax, and applies the same two-pass
-    left-to-right ``replace`` merge — the oracle re-derives the winning
-    pairs itself, so the check is fully independent of the Spark run."""
+def _bpe_training_ctes(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """The shared training half of the BPE oracles: a chained-CTE
+    DuckDB twin of the merge loop — each round counts adjacent symbol
+    pairs (parallel UNNESTs zip positionally), picks the
+    (count DESC, pair ASC) argmax ``b{{i}}``, and applies the same
+    two-pass left-to-right ``replace`` merge. Returns the ``WITH``
+    chain up through ``b{{n-1}}``/``w{{n}}`` so both the merge-table
+    oracle and the encode oracle re-derive the winning pairs
+    independently of the Spark run."""
     parts = [f"""WITH w0 AS (
         SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
                    AS sym,
@@ -4931,12 +4962,56 @@ def _bpe_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
                                 ' '||l||' '||r||' ', ' '||l||r||' ')
                             AS sym, cnt
                  FROM w{i}, b{i})""")
+    return "".join(parts)
+
+
+def _bpe_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """Merge-table oracle: the shared training chain plus a UNION of
+    the per-round argmax rows."""
     sels = " UNION ALL ".join(
         f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, "
         f"r AS right_sym, l || r AS merged, c AS pair_count FROM b{i}"
         for i in range(n_merges)
     )
-    return "".join(parts) + f" SELECT * FROM ({sels}) ORDER BY step"
+    return (_bpe_training_ctes(n_merges, max_word_len)
+            + f" SELECT * FROM ({sels}) ORDER BY step")
+
+
+def _bpe_encode_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """Encode oracle: re-derive the merge table via the shared training
+    chain, then encode every eligible word independently — the same
+    spaced-symbol string and two-pass ``replace`` per merge, with the
+    winning pairs referenced from the cross-joined 1-row ``b{{i}}``
+    CTEs — and sum exact per-document stats. Documents with no
+    eligible words keep their row with zero counts (LEFT JOIN)."""
+    s = "' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '"
+    for i in range(n_merges):
+        pat = f"' '||b{i}.l||' '||b{i}.r||' '"
+        rep = f"' '||b{i}.l||b{i}.r||' '"
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
+    bs = ", ".join(f"b{i}" for i in range(n_merges))
+    return _bpe_training_ctes(n_merges, max_word_len) + f""",
+    dw AS (SELECT doc_id, word
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(lower(text), '\\W+'))
+                            AS word
+                 FROM documents)
+           WHERE regexp_matches(word, '^[a-z]+$')
+             AND len(word) <= {max_word_len}),
+    enc AS (SELECT doc_id, len(word) AS wlen,
+                   len(trim(es)) - len(replace(trim(es), ' ', '')) + 1
+                       AS n_tok
+            FROM (SELECT doc_id, word, {s} AS es FROM dw, {bs})),
+    agg AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(wlen) AS BIGINT) AS n_alpha_chars,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
+            FROM enc GROUP BY 1)
+    SELECT d.doc_id,
+           COALESCE(a.n_words, 0) AS n_words,
+           COALESCE(a.n_alpha_chars, 0) AS n_alpha_chars,
+           COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
+    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
 
 
 _register(
@@ -4949,6 +5024,18 @@ _register(
         "tokenized exactly once; each round is a vocab-frame pair "
         "explode + groupBy + 1-row TakeOrdered argmax, winner folded "
         "back as a literal — the kmeans-style broadcast loop).",
+)
+
+_register(
+    "bpe_encode_stats",
+    ["documents"],
+    textops.bpe_encode_stats,
+    _bpe_encode_oracle(),
+    doc="BPE encode (the tokenizer pair's apply half): the trained "
+        "merge table folds into a per-row chain of replace literals "
+        "inside transform/aggregate higher-order functions, so the "
+        "corpus is scanned once, map-only, emitting exact "
+        "(n_words, n_alpha_chars, n_bpe_tokens) int64s per document.",
 )
 
 _register(
@@ -5733,7 +5820,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# FIFTY-EIGHT further round-8 operators landed after the 50-slot
+# SIXTY further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5750,9 +5837,10 @@ _register(
 # referential_audit, graph_triangles, ks_drift, ab_test_report,
 # activity_heatmap, repeat_purchase_stats, session_conversion,
 # quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
-# activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean.
-# They are QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 58 now exceed the 50-slot window, so r09 takes the
+# activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean,
+# bpe_encode_stats, leakage_safe_split. They are QUEUED FIRST for the
+# r09 window (never-stamped ⇒
+# window-mandatory; 60 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -5882,6 +5970,8 @@ _R9_QUEUE: list[str] = [
     "zipf_fit",
     "drift_streamed",
     "html_clean",
+    "bpe_encode_stats",
+    "leakage_safe_split",
 ]
 
 _TAIL: list[str] = []

@@ -1703,3 +1703,123 @@ def test_html_clean_plan_has_no_exchange(documents):
         if "Reused" not in m and "Broadcast" not in m
     ]
     assert not shuffles, plan
+
+
+# ---------------------------------------------------------------------------
+# leakage_safe_split
+# ---------------------------------------------------------------------------
+
+def test_leakage_safe_split_never_straddles_neardup_pairs(documents):
+    """The op's whole point: no near-dup pair may cross the train/eval
+    boundary, and there must BE boundary-crossing pairs under the plain
+    doc_id hash split (otherwise the test proves nothing)."""
+    from flink_snappydata_spark.pipeline.curation import leakage_safe_split
+    from flink_snappydata_spark.pipeline.dedup import ngram_jaccard_pairs
+    from flink_snappydata_spark.pipeline.sampling import hash_split
+
+    pairs = ngram_jaccard_pairs(documents, sorted_output=False)
+    # Wider eval fraction so the fixture's ~50 pairs have real odds of
+    # straddling under the naive split (98/1/1 would need luck).
+    weights = {"train": 0.5, "val": 0.25, "test": 0.25}
+
+    def straddles(split_df):
+        s = split_df.select("doc_id", "split")
+        return (
+            pairs.join(
+                s.withColumnRenamed("doc_id", "doc_a")
+                .withColumnRenamed("split", "split_a"), "doc_a")
+            .join(
+                s.withColumnRenamed("doc_id", "doc_b")
+                .withColumnRenamed("split", "split_b"), "doc_b")
+            .filter(F.col("split_a") != F.col("split_b"))
+            .count()
+        )
+
+    naive = hash_split(documents.select("doc_id"), "doc_id", weights)
+    assert straddles(naive) > 0, "fixture has no straddling pairs to fix"
+    safe = leakage_safe_split(documents, pairs=pairs, weights=weights)
+    assert straddles(safe) == 0
+    assert safe.count() == documents.count()
+
+
+def test_leakage_safe_split_matches_plain_split_for_unclustered(documents):
+    """Documents outside every near-dup cluster must get exactly the
+    assignment plain hash_split over doc_id would give them — the op
+    only re-routes clustered documents."""
+    from flink_snappydata_spark.pipeline.curation import leakage_safe_split
+    from flink_snappydata_spark.pipeline.sampling import hash_split
+
+    safe = leakage_safe_split(documents)
+    plain = hash_split(documents.select("doc_id"), "doc_id").select(
+        "doc_id", F.col("split").alias("plain_split")
+    )
+    diff = (
+        safe.filter(F.col("rep_id") == F.col("doc_id"))
+        .join(plain, "doc_id")
+        .filter(F.col("split") != F.col("plain_split"))
+        .count()
+    )
+    assert diff == 0
+
+
+# ---------------------------------------------------------------------------
+# bpe_encode_stats
+# ---------------------------------------------------------------------------
+
+def test_bpe_encode_stats_matches_naive_python(documents):
+    """Encoding with the trained table must equal a naive per-word
+    Python replay of the same two-pass replace semantics."""
+    import re
+
+    from flink_snappydata_spark.pipeline.text import (
+        bpe_encode_stats, bpe_merges,
+    )
+
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_merges(documents, n_merges=5).collect()
+    ]
+    got = {
+        r.doc_id: (r.n_words, r.n_alpha_chars, r.n_bpe_tokens)
+        for r in bpe_encode_stats(documents, merges=merges).collect()
+    }
+
+    def encode_len(word: str) -> int:
+        s = " " + " ".join(word) + " "
+        for left, right in merges:
+            pat, rep = f" {left} {right} ", f" {left}{right} "
+            s = s.replace(pat, rep).replace(pat, rep)
+        return len(s.split())
+
+    for row in documents.select("doc_id", "text").collect():
+        n_words = n_chars = n_tok = 0
+        for w in re.split(r"\W+", row.text.lower()):
+            if w and len(w) <= 24 and re.fullmatch(r"[a-z]+", w):
+                n_words += 1
+                n_chars += len(w)
+                n_tok += encode_len(w)
+        assert got[row.doc_id] == (n_words, n_chars, n_tok), row.doc_id
+    assert len(got) == documents.count()
+
+
+def test_bpe_encode_stats_plan_is_map_only(documents):
+    """The map-only claim: with an explicit merge table the encode
+    plan must contain zero shuffle exchanges — one corpus scan, all
+    work in per-row higher-order-function expressions."""
+    import re
+
+    from flink_snappydata_spark.pipeline.text import bpe_encode_stats
+
+    documents.sparkSession.catalog.clearCache()
+    plan = (
+        bpe_encode_stats(documents, merges=[("t", "h"), ("th", "e")])
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = [
+        m
+        for m in re.findall(r"\w*Exchange\w*", plan)
+        if "Reused" not in m and "Broadcast" not in m
+    ]
+    assert not shuffles, plan

@@ -217,6 +217,12 @@ OPS = {
     "embedding_top_pc": lambda d, e: S.embedding_top_pc(e),
     "zipf_fit": lambda d, e: T.zipf_fit(d),
     "html_clean": lambda d, e: T.html_clean(d, sort=False),
+    # encode half probed with a fixed merge table so the measurement
+    # isolates the map-only encode scan (training is bpe_merges' row)
+    "bpe_encode_stats": lambda d, e: T.bpe_encode_stats(
+        d,
+        merges=[("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")],
+    ),
     "graph_triangles": lambda d, e: GR.graph_triangles(
         d.sparkSession.range(d.count()).select(F.col("id").alias("doc_id"))
     ),
