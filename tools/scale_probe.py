@@ -299,6 +299,12 @@ DEDUP_OPS = {
     "canonical_pick": lambda d: _curation.canonical_pick(
         d, D.ngram_jaccard_pairs(d, threshold=0.8)
     ),
+    # leakage_safe_split rides the pair graph + CC labels + a per-row
+    # hash split — probed on the synthdocs corpus like the clustering
+    # it extends (replication would put every doc in an N-copy group).
+    "leakage_safe_split": lambda d: _curation.leakage_safe_split(
+        d, D.ngram_jaccard_pairs(d, threshold=0.8, sorted_output=False)
+    ),
 }
 
 
