@@ -394,6 +394,131 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    documents: DataFrame,
+    threshold: float = 0.9,
+    n: int = SHINGLE_N,
+    max_set_size: int | None = MAX_PACKED_SHINGLES,
+) -> DataFrame:
+    """Asymmetric containment (overlap-coefficient) near-dup pairs:
+    ``(doc_a, doc_b, containment)`` with
+    ``containment = |A∩B| / min(|A|,|B|) >= threshold`` — the metric
+    that catches what Jaccard structurally misses: a short document
+    quoted nearly whole inside a much longer one has Jaccard
+    ``~|A|/|B|`` (arbitrarily small) but containment ~1. The standard
+    third member of the dedup triad (exact, Jaccard, containment) for
+    training corpora full of quote-heavy and boilerplate-superset
+    pages.
+
+    Candidate generation is the asymmetric prefix filter: a qualifying
+    pair shares ``>= ceil(t·min(na,nb))`` shingles, so by pigeonhole
+    the SMALLER document's prefix — its ``na − ceil(t·na) + 1``
+    globally rarest shingles, the same :func:`_prefix_index` frame the
+    Jaccard join uses — must contain a shared shingle. Candidates are
+    therefore ``prefix(smaller) ⋈ full-index(larger)`` (size order
+    enforced in the join condition; equal sizes tie-break on doc_id),
+    plus the positional prune ``na − rnk + 1 >= ceil(t·na)``, which
+    provably keeps the smallest-rank matched row of every qualifying
+    pair. No size-ratio prune exists for containment — any tiny
+    document may be contained in any huge one; that asymmetry is the
+    metric, not a bug.
+
+    Scale: the prefix side is rarest-first (hot stopword shingles
+    enter nobody's prefix), but the full-index side pays df(sh) fanout
+    per matched prefix shingle — the irreducible cost of a containment
+    join, minimized by the rarest-first prefix choice. Verification
+    packs each doc's shingle set into one array row and joins
+    candidates against it twice (|A∩B| = ``array_intersect``, one row
+    per pair), exactly like the Jaccard verify; when the
+    :func:`_shingle_bound_cleared` probe cannot prove every document
+    under ``max_set_size``, ALL pairs take the streamed per-shingle
+    count join instead (identical values, no giant packed record).
+    Output is bounded by qualifying pairs and presented unsorted.
+    """
+    sh = tracked_persist(shingles(documents, n))
+    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    full = sh.join(counts, "doc_id")
+    prefix = _prefix_index(sh, threshold)
+    a, b = prefix.alias("a"), full.alias("b")
+    smaller_first = (F.col("a.n_sh") < F.col("b.n_sh")) | (
+        (F.col("a.n_sh") == F.col("b.n_sh"))
+        & (F.col("a.doc_id") < F.col("b.doc_id"))
+    )
+    cand = (
+        a.join(
+            b,
+            (F.col("a.sh") == F.col("b.sh"))
+            & smaller_first
+            & (
+                F.col("a.n_sh") - F.col("a.rnk") + 1
+                >= F.col("a.n_sh") * threshold - 1e-9
+            ),
+        )
+        .select(
+            F.least(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_a"),
+            F.greatest(F.col("a.doc_id"), F.col("b.doc_id")).alias("doc_b"),
+        )
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    if _shingle_bound_cleared(documents, max_set_size):
+        sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+        pa = sets.select(
+            F.col("doc_id").alias("doc_a"),
+            F.col("shs").alias("shs_a"),
+            F.size("shs").alias("na"),
+        )
+        pb = sets.select(
+            F.col("doc_id").alias("doc_b"),
+            F.col("shs").alias("shs_b"),
+            F.size("shs").alias("nb"),
+        )
+        scored = (
+            cand.join(pa, "doc_a")
+            .join(pb, "doc_b")
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.size(F.array_intersect("shs_a", "shs_b")).cast("double")
+                    / F.least("na", "nb")
+                ).alias("containment"),
+            )
+        )
+    else:
+        sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
+        shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+        inter = (
+            cand.join(sha, "doc_a")
+            .join(shb, ["doc_b", "sh"])
+            .groupBy("doc_a", "doc_b")
+            .agg(F.count(F.lit(1)).alias("n_inter"))
+        )
+        scored = (
+            cand.join(inter, ["doc_a", "doc_b"], "left")
+            .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+            .join(
+                counts.select(
+                    F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
+                ),
+                "doc_a",
+            )
+            .join(
+                counts.select(
+                    F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
+                ),
+                "doc_b",
+            )
+            .select(
+                "doc_a",
+                "doc_b",
+                (
+                    F.col("n_inter").cast("double") / F.least("na", "nb")
+                ).alias("containment"),
+            )
+        )
+    return scored.filter(F.col("containment") >= threshold)
+
+
 def minhash_signatures(
     documents: DataFrame, k: int = MINHASH_K, n: int = SHINGLE_N
 ) -> DataFrame:

@@ -1473,6 +1473,29 @@ _register(
         "shingle inverted index (AllPairs-style, recall-exact).",
 )
 
+_register(
+    "containment_pairs",
+    ["documents"],
+    dedup.containment_pairs,
+    f"""
+    WITH {_SHINGLES_SQL},
+    inter AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
+        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id)
+    SELECT doc_a, doc_b,
+           n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) AS containment
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.9
+    """,
+    doc="Asymmetric containment (overlap-coefficient) pairs at t=0.9 — "
+        "catches a short document quoted nearly whole inside a longer "
+        "one (Jaccard-invisible); smaller-side prefix filter joined "
+        "against the full shingle index, exact packed-set verify.",
+)
+
 
 def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import functions as F
@@ -5820,7 +5843,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SIXTY further round-8 operators landed after the 50-slot
+# SIXTY-ONE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5838,9 +5861,9 @@ _register(
 # activity_heatmap, repeat_purchase_stats, session_conversion,
 # quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
 # activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean,
-# bpe_encode_stats, leakage_safe_split. They are QUEUED FIRST for the
-# r09 window (never-stamped ⇒
-# window-mandatory; 60 now exceed the 50-slot window, so r09 takes the
+# bpe_encode_stats, leakage_safe_split, containment_pairs. They are
+# QUEUED FIRST for the r09 window (never-stamped ⇒
+# window-mandatory; 61 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -5972,6 +5995,7 @@ _R9_QUEUE: list[str] = [
     "html_clean",
     "bpe_encode_stats",
     "leakage_safe_split",
+    "containment_pairs",
 ]
 
 _TAIL: list[str] = []

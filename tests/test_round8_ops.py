@@ -1763,6 +1763,72 @@ def test_leakage_safe_split_matches_plain_split_for_unclustered(documents):
 
 
 # ---------------------------------------------------------------------------
+# containment_pairs
+# ---------------------------------------------------------------------------
+
+def test_containment_pairs_matches_naive_python(documents):
+    """Recall + values: the prefix-filtered candidate join must find
+    exactly the all-pairs overlap-coefficient result a naive Python
+    replay computes over the same shingle sets."""
+    import re
+
+    from flink_snappydata_spark.pipeline.dedup import containment_pairs
+
+    ascii_nonword = re.compile(r"\W+", re.ASCII)
+
+    def doc_shingles(text):
+        ws = [w for w in ascii_nonword.split(text.lower()) if w]
+        if len(ws) >= 3:
+            return set(" ".join(ws[i:i + 3]) for i in range(len(ws) - 2))
+        return {" ".join(ws)}
+
+    sets = {
+        r.doc_id: doc_shingles(r.text)
+        for r in documents.select("doc_id", "text").collect()
+    }
+    ids = sorted(sets)
+    want = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(sets[a] & sets[b])
+            c = inter / min(len(sets[a]), len(sets[b]))
+            if c >= 0.9:
+                want[(a, b)] = c
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(documents, threshold=0.9).collect()
+    }
+    assert got == want
+    assert want, "fixture corpus has no containment pairs to find"
+
+
+def test_containment_catches_jaccard_invisible_subset(spark):
+    """The metric's point: a short doc quoted whole inside a much
+    longer one scores containment 1.0 but Jaccard far below any dedup
+    threshold — containment_pairs must flag it, the Jaccard op not."""
+    from flink_snappydata_spark.pipeline.dedup import (
+        containment_pairs, ngram_jaccard_pairs,
+    )
+
+    quote = " ".join(f"quoted sentence w{i}" for i in range(5))
+    host = quote + " " + " ".join(f"host body word x{i}" for i in range(60))
+    other = " ".join(f"unrelated filler y{i}" for i in range(40))
+    docs = spark.createDataFrame(
+        [(1, quote), (2, host), (3, other)], "doc_id long, text string"
+    )
+    cont = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(docs, threshold=0.9).collect()
+    }
+    assert (1, 2) in cont and cont[(1, 2)] == 1.0
+    jac = {
+        (r.doc_a, r.doc_b)
+        for r in ngram_jaccard_pairs(docs, threshold=0.8).collect()
+    }
+    assert (1, 2) not in jac
+
+
+# ---------------------------------------------------------------------------
 # bpe_encode_stats
 # ---------------------------------------------------------------------------
 

@@ -305,6 +305,7 @@ DEDUP_OPS = {
     "leakage_safe_split": lambda d: _curation.leakage_safe_split(
         d, D.ngram_jaccard_pairs(d, threshold=0.8, sorted_output=False)
     ),
+    "containment_pairs": lambda d: D.containment_pairs(d, threshold=0.9),
 }
 
 
