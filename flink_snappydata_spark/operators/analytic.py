@@ -397,6 +397,76 @@ def event_rate_spikes(events: DataFrame, factor: float = 3.0) -> DataFrame:
     )
 
 
+def seasonal_anomaly(events: DataFrame, z: int = 2) -> DataFrame:
+    """Seasonal-baseline anomaly detection: score every (event_type,
+    day, hour) cell against its own seasonal baseline — all
+    occurrences of the same (event_type, weekday, hour) slot — and
+    flag cells more than ``z`` standard deviations out. This is the
+    monitoring rule that knows "Monday 9am is always busy": a traffic
+    level normal for one slot is an anomaly for another, which the
+    global (`mad_outliers`) and trailing-window (`event_rate_spikes`)
+    detectors cannot express.
+
+    Time cells are pure epoch arithmetic — ``day = epoch DIV 86400``,
+    ``hour = epoch DIV 3600 mod 24``, weekday = ``day mod 7`` (an
+    epoch-relative weekday index; no calendar/timezone formatting
+    crosses engines). The z-test is exact int64 arithmetic: with
+    baseline count n, sum S, and sum-of-squares Q over the slot's
+    cells, the flag is ``(n·x − S)² > z²·(n·Q − S²)`` — both sides
+    integers, so the comparison is engine-identical (exact up to
+    per-cell counts ~1e8; beyond that the products need the DOUBLE
+    z-form). A slot seen once can never flag (0 > 0). The baseline is
+    over OBSERVED cells and includes the cell itself (symmetric, no
+    self-exclusion asymmetry); absent-cell "silence anomalies" are
+    `timeline_gapfill`'s domain.
+
+    Returns EVERY cell with its exact test quantities — ``(event_type,
+    day, hour, cnt, n_base, sum_base, sumsq_base, is_anomaly)``, the
+    `event_rate_spikes` reporting shape — so a healthy corpus yields a
+    scored frame, not an empty one.
+
+    Scale: the event log collapses in ONE map-side-combined groupBy to
+    the (type × days × 24) cell frame; the baseline is a second
+    aggregation over that frame (types × 7 × 24 rows, broadcast back);
+    the output and its presentation sort are that same
+    hours-not-volume-sized frame. Nothing after the first aggregation
+    grows with event volume.
+    """
+    epoch_s = F.unix_seconds(F.col("ts").cast("timestamp"))
+    cells = events.groupBy(
+        "event_type",
+        F.floor(epoch_s / F.lit(86400)).alias("day"),
+        F.pmod(F.floor(epoch_s / F.lit(3600)), F.lit(24)).alias("hour"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    base = (
+        cells.groupBy(
+            "event_type",
+            F.pmod(F.col("day"), F.lit(7)).alias("dow"),
+            "hour",
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_base"),
+            F.sum("cnt").alias("sum_base"),
+            F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_base"),
+        )
+    )
+    dev = F.col("n_base") * F.col("cnt") - F.col("sum_base")
+    var_nsq = (
+        F.col("n_base") * F.col("sumsq_base")
+        - F.col("sum_base") * F.col("sum_base")
+    )
+    return (
+        cells.withColumn("dow", F.pmod(F.col("day"), F.lit(7)))
+        .join(F.broadcast(base), ["event_type", "dow", "hour"])
+        .select(
+            "event_type", "day", "hour", "cnt",
+            "n_base", "sum_base", "sumsq_base",
+            (dev * dev > F.lit(z * z) * var_nsq).alias("is_anomaly"),
+        )
+        .orderBy("event_type", "day", "hour")
+    )
+
+
 def event_transitions(events: DataFrame) -> DataFrame:
     """First-order Markov transition matrix over the event stream: for
     each ``(prev_type, next_type)`` pair of consecutive events within a

@@ -87,6 +87,70 @@ def table_profile(orders: DataFrame) -> DataFrame:
     )
 
 
+def benford_audit(orders: DataFrame) -> DataFrame:
+    """First-significant-digit (Benford's-law) audit of the money
+    column: observed leading-digit counts of ``o_totalprice`` vs the
+    Benford expectation ``total · log10(1 + 1/d)``, with each digit's
+    χ² contribution — the classic fabricated-amounts / broken-ingest
+    screen (a corrupted feed that pads or truncates amounts shifts the
+    leading-digit mass instantly).
+
+    Exactness: amounts become integer cents (the repo's money repr),
+    the leading digit is the first character of the INTEGER's decimal
+    string (int→string is canonical on every engine — no float
+    formatting, no log10 of data values), and the nine
+    ``log10(1+1/d)`` constants are Python-computed literals embedded
+    identically in both engines, so expected counts and χ² terms are
+    the same double expressions on the same int64 inputs. All nine
+    digits always appear (zero-observation digits kept by a LEFT JOIN
+    from the 1..9 frame).
+
+    Returns ``(digit, n_obs, expected, chi2_contrib)`` ordered by
+    digit. Scale: one map-side-combined groupBy collapses the table to
+    ≤9 rows; everything after runs on that frame.
+    """
+    import math
+
+    c = cents("o_totalprice")
+    obs = (
+        orders.filter(c > 0)
+        .groupBy(
+            F.substring(c.cast("string"), 1, 1).cast("long").alias("digit")
+        )
+        .agg(F.count(F.lit(1)).alias("n_obs"))
+    )
+    digits = orders.sparkSession.range(1, 10).select(
+        F.col("id").alias("digit")
+    )
+    frac = None
+    for d in range(1, 10):
+        lit = F.lit(math.log10(1 + 1 / d))
+        frac = (
+            F.when(F.col("digit") == d, lit)
+            if frac is None
+            else frac.when(F.col("digit") == d, lit)
+        )
+    w = Window.partitionBy()
+    joined = (
+        digits.join(obs, "digit", "left")
+        .withColumn("n_obs", F.coalesce("n_obs", F.lit(0).cast("long")))
+        .withColumn(
+            "expected",
+            F.sum("n_obs").over(w).cast("double") * frac,
+        )
+    )
+    o = F.col("n_obs").cast("double")
+    return joined.select(
+        "digit",
+        "n_obs",
+        "expected",
+        (
+            (o - F.col("expected")) * (o - F.col("expected"))
+            / F.col("expected")
+        ).alias("chi2_contrib"),
+    ).orderBy("digit")
+
+
 def key_skew_profile(
     lineitem: DataFrame, key: str = "l_suppkey", n_buckets: int = 32
 ) -> DataFrame:

@@ -3995,6 +3995,40 @@ _register(
         "stats joins.",
 )
 
+_register(
+    "seasonal_anomaly",
+    ["events"],
+    analytic.seasonal_anomaly,
+    """
+    WITH cells AS (
+        SELECT event_type,
+               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
+               CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2, 3),
+    base AS (
+        SELECT event_type, day % 7 AS dow, hour,
+               CAST(COUNT(*) AS BIGINT) AS n_base,
+               CAST(SUM(cnt) AS BIGINT) AS sum_base,
+               CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq_base
+        FROM cells GROUP BY 1, 2, 3)
+    SELECT c.event_type, c.day, c.hour, c.cnt,
+           b.n_base, b.sum_base, b.sumsq_base,
+           (b.n_base * c.cnt - b.sum_base)
+           * (b.n_base * c.cnt - b.sum_base)
+           > 4 * (b.n_base * b.sumsq_base - b.sum_base * b.sum_base)
+               AS is_anomaly
+    FROM cells c
+    JOIN base b ON b.event_type = c.event_type
+               AND b.dow = c.day % 7 AND b.hour = c.hour
+    ORDER BY c.event_type, c.day, c.hour
+    """,
+    doc="Seasonal-baseline anomaly scoring: every (type, day, hour) "
+        "cell vs its own (type, weekday, hour) slot baseline — exact "
+        "int64 z-test (n·x−S)² > z²(n·Q−S²) at z=2, epoch arithmetic "
+        "only, baseline broadcast over the tiny cell frame.",
+)
+
 
 _register(
     "source_centroids",
@@ -4917,6 +4951,40 @@ _register(
         "money in cents, timestamps as epoch micros): one pass via "
         "Catalyst multi-distinct expand with partial aggregation, "
         "k-row output.",
+)
+
+_BENFORD_CASE = "CASE digit " + " ".join(
+    f"WHEN {d} THEN {__import__('math').log10(1 + 1 / d)!r}"
+    for d in range(1, 10)
+) + " END"
+
+_register(
+    "benford_audit",
+    ["orders"],
+    profiling.benford_audit,
+    f"""
+    WITH c AS (
+        SELECT CAST(substr(CAST({_cents('o_totalprice')} AS VARCHAR), 1, 1)
+                    AS BIGINT) AS digit
+        FROM orders WHERE {_cents('o_totalprice')} > 0),
+    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
+            FROM c GROUP BY 1),
+    d AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS digit),
+    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM obs),
+    j AS (SELECT d.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
+          FROM d LEFT JOIN obs o ON o.digit = d.digit),
+    sel AS (SELECT j.digit, j.n_obs,
+                   CAST(t.total AS DOUBLE) * ({_BENFORD_CASE}) AS expected
+            FROM j, t)
+    SELECT digit, n_obs, expected,
+           (CAST(n_obs AS DOUBLE) - expected)
+           * (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_contrib
+    FROM sel ORDER BY digit
+    """,
+    doc="Benford's-law first-digit audit of the money column: integer "
+        "cents' leading decimal digit vs total·log10(1+1/d), chi2 "
+        "contribution per digit — Python-literal log constants and "
+        "int->string digit extraction keep both engines bit-identical.",
 )
 
 _register(
@@ -5843,7 +5911,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SIXTY-ONE further round-8 operators landed after the 50-slot
+# SIXTY-THREE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5861,9 +5929,10 @@ _register(
 # activity_heatmap, repeat_purchase_stats, session_conversion,
 # quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
 # activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean,
-# bpe_encode_stats, leakage_safe_split, containment_pairs. They are
+# bpe_encode_stats, leakage_safe_split, containment_pairs,
+# seasonal_anomaly, benford_audit. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 61 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 63 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -5996,6 +6065,8 @@ _R9_QUEUE: list[str] = [
     "bpe_encode_stats",
     "leakage_safe_split",
     "containment_pairs",
+    "seasonal_anomaly",
+    "benford_audit",
 ]
 
 _TAIL: list[str] = []

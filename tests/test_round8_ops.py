@@ -1763,6 +1763,71 @@ def test_leakage_safe_split_matches_plain_split_for_unclustered(documents):
 
 
 # ---------------------------------------------------------------------------
+# seasonal_anomaly / benford_audit
+# ---------------------------------------------------------------------------
+
+def test_seasonal_anomaly_flags_planted_spike(spark):
+    """A slot with stable counts for weeks and one 10x day must flag
+    exactly the spike cell; the stable cells must not flag."""
+    import datetime
+
+    from flink_snappydata_spark.operators.analytic import seasonal_anomaly
+
+    rows = []
+    eid = 0
+    # Six Mondays-alike (same epoch-weekday), hour 9: 5 events each,
+    # except week 3 which gets 50.
+    for week in range(6):
+        n = 50 if week == 3 else 5
+        day = week * 7  # same day % 7 slot every week
+        for i in range(n):
+            ts = datetime.datetime(1970, 1, 1) + datetime.timedelta(
+                days=day, hours=9, seconds=i
+            )
+            rows.append((eid, ts, 1, "click", 1.0, "{}"))
+            eid += 1
+    ev = spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string, "
+        "value double, props string",
+    )
+    out = {
+        (r.day, r.hour): r.is_anomaly
+        for r in seasonal_anomaly(ev, z=2).collect()
+    }
+    assert out[(21, 9)] is True          # the planted 10x day
+    flagged = [k for k, v in out.items() if v]
+    assert flagged == [(21, 9)]          # and nothing else
+    assert len(out) == 6
+
+
+def test_benford_audit_planted_digits(spark):
+    """Known leading digits in, exact counts and Benford expectations
+    out — all nine digits present even when unobserved."""
+    import math
+
+    from flink_snappydata_spark.operators.profiling import benford_audit
+
+    prices = [1.23, 19.99, 123.00, 2.50, 29.0, 9.99, 0.0, -5.0]
+    orders = spark.createDataFrame(
+        [(i, i, "O", p, None, "x") for i, p in enumerate(prices)],
+        "o_orderkey long, o_custkey long, o_orderstatus string, "
+        "o_totalprice double, o_orderdate timestamp, "
+        "o_orderpriority string",
+    )
+    got = {r.digit: r for r in benford_audit(orders).collect()}
+    # cents: 123, 1999, 12300, 250, 2900, 999 -> digits 1,1,1,2,2,9
+    # (0.0 and -5.0 are excluded: no leading digit for non-positive)
+    assert sorted(got) == list(range(1, 10))
+    assert {d: got[d].n_obs for d in got} == {
+        1: 3, 2: 2, 3: 0, 4: 0, 5: 0, 6: 0, 7: 0, 8: 0, 9: 1,
+    }
+    for d in range(1, 10):
+        assert got[d].expected == 6 * math.log10(1 + 1 / d)
+    assert got[3].chi2_contrib == (0 - got[3].expected) ** 2 / got[3].expected
+
+
+# ---------------------------------------------------------------------------
 # containment_pairs
 # ---------------------------------------------------------------------------
 

@@ -257,6 +257,7 @@ EVENT_OPS = {
     "rfm_segments": lambda v: A.rfm_segments(v),
     "funnel_latency": lambda v: A.funnel_latency(v),
     "activity_gini": lambda v: A.activity_gini(v),
+    "seasonal_anomaly": lambda v: A.seasonal_anomaly(v),
 }
 
 
