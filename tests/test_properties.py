@@ -272,6 +272,41 @@ def test_ngram_jaccard_prefix_filter_matches_naive(spark, texts, threshold):
         assert abs(got[k] - v) < 1e-12
 
 
+@settings(max_examples=10, deadline=None)
+@given(_texts_strategy, st.sampled_from([0.5, 0.8, 0.9, 1.0]))
+def test_containment_prefix_filter_matches_naive(spark, texts, threshold):
+    """The asymmetric smaller-side prefix filter is recall-exact for
+    ANY input and threshold: containment pairs and values equal the
+    all-pairs overlap-coefficient brute force."""
+    import itertools
+    import re
+
+    from flink_snappydata_spark.pipeline.dedup import containment_pairs
+
+    def sh_set(t):
+        ws = [w for w in re.split(r"\W+", t.lower(), flags=re.ASCII) if w]
+        if len(ws) >= 3:
+            return {" ".join(ws[i:i + 3]) for i in range(len(ws) - 2)}
+        return {" ".join(ws)}
+
+    sets = {i: sh_set(t) for i, t in enumerate(texts)}
+    want = {}
+    for a, b in itertools.combinations(sorted(sets), 2):
+        c = len(sets[a] & sets[b]) / min(len(sets[a]), len(sets[b]))
+        if c >= threshold:
+            want[(a, b)] = c
+    df = spark.createDataFrame(
+        list(enumerate(texts)), "doc_id long, text string"
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=threshold).collect()
+    }
+    assert got.keys() == want.keys()
+    for k, v in want.items():
+        assert abs(got[k] - v) < 1e-12
+
+
 @given(
     st.integers(min_value=1, max_value=8),
     st.integers(min_value=1, max_value=8),
