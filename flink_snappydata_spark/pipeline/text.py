@@ -1892,6 +1892,7 @@ def bpe_encode_stats(
     merges: list[tuple[str, str]] | None = None,
     n_merges: int = 8,
     max_word_len: int = 24,
+    keep_cols: tuple[str, ...] = (),
 ) -> DataFrame:
     """Apply a trained BPE merge table to the corpus and return exact
     per-document tokenization stats ``(doc_id, n_words, n_alpha_chars,
@@ -1949,6 +1950,7 @@ def bpe_encode_stats(
     zero = F.lit(0).cast("long")
     return documents.select(
         "doc_id",
+        *keep_cols,
         F.size(words).cast("long").alias("n_words"),
         F.aggregate(
             words, zero, lambda acc, w: acc + F.length(w)
@@ -1957,6 +1959,49 @@ def bpe_encode_stats(
             F.transform(words, _encode_len), zero, lambda acc, x: acc + x
         ).alias("n_bpe_tokens"),
     )
+
+
+def tokenizer_fertility(
+    documents: DataFrame,
+    merges: list[tuple[str, str]] | None = None,
+    n_merges: int = 8,
+    max_word_len: int = 24,
+) -> DataFrame:
+    """Per-language tokenizer fertility under the learned BPE
+    vocabulary: ``fertility = bpe_tokens / words`` grouped by the
+    document's ``lang`` column — the standard "how fairly does this
+    tokenizer treat each language?" diagnostic (a vocabulary trained
+    on one language fragments the others into more tokens per word,
+    inflating their effective cost in every token-budgeted decision).
+    Returns ``(lang, n_docs, n_words, n_bpe_tokens, fertility)``,
+    fertility 0.0 for a language with no eligible words.
+
+    Scale: rides :func:`bpe_encode_stats` with ``lang`` carried
+    through the map-only encode scan, then ONE map-side-combined
+    groupBy to the languages-sized frame — the corpus is scanned once
+    and only (lang, 3 int64s) rows shuffle. The division is a single
+    int64/int64 double op, engine-identical.
+    """
+    enc = bpe_encode_stats(
+        documents, merges, n_merges, max_word_len, keep_cols=("lang",)
+    )
+    per = enc.groupBy("lang").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_words").alias("n_words"),
+        F.sum("n_bpe_tokens").alias("n_bpe_tokens"),
+    )
+    return per.select(
+        "lang",
+        "n_docs",
+        "n_words",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_words") > 0,
+            F.col("n_bpe_tokens").cast("double") / F.col("n_words"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("fertility"),
+    ).orderBy("lang")
 
 
 def token_drift_topk(

@@ -5117,6 +5117,46 @@ _register(
         "back as a literal — the kmeans-style broadcast loop).",
 )
 
+def _bpe_fertility_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
+    """Per-language fertility oracle: the shared training chain, the
+    per-word encode (same nested replaces as the encode oracle), then
+    a lang-grouped fold with the single int64/int64 double division."""
+    s = "' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '"
+    for i in range(n_merges):
+        pat = f"' '||b{i}.l||' '||b{i}.r||' '"
+        rep = f"' '||b{i}.l||b{i}.r||' '"
+        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
+    bs = ", ".join(f"b{i}" for i in range(n_merges))
+    return _bpe_training_ctes(n_merges, max_word_len) + f""",
+    dw AS (SELECT doc_id, word
+           FROM (SELECT doc_id,
+                        unnest(string_split_regex(lower(text), '\\W+'))
+                            AS word
+                 FROM documents)
+           WHERE regexp_matches(word, '^[a-z]+$')
+             AND len(word) <= {max_word_len}),
+    enc AS (SELECT doc_id,
+                   len(trim(es)) - len(replace(trim(es), ' ', '')) + 1
+                       AS n_tok
+            FROM (SELECT doc_id, word, {s} AS es FROM dw, {bs})),
+    agg AS (SELECT doc_id,
+                   CAST(COUNT(*) AS BIGINT) AS n_words,
+                   CAST(SUM(n_tok) AS BIGINT) AS n_tok
+            FROM enc GROUP BY 1),
+    per_lang AS (
+        SELECT d.lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(COALESCE(a.n_words, 0)) AS BIGINT) AS n_words,
+               CAST(SUM(COALESCE(a.n_tok, 0)) AS BIGINT) AS n_bpe_tokens
+        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
+        GROUP BY 1)
+    SELECT lang, n_docs, n_words, n_bpe_tokens,
+           CASE WHEN n_words > 0
+                THEN CAST(n_bpe_tokens AS DOUBLE) / n_words
+                ELSE 0.0 END AS fertility
+    FROM per_lang ORDER BY lang"""
+
+
 _register(
     "bpe_encode_stats",
     ["documents"],
@@ -5127,6 +5167,17 @@ _register(
         "inside transform/aggregate higher-order functions, so the "
         "corpus is scanned once, map-only, emitting exact "
         "(n_words, n_alpha_chars, n_bpe_tokens) int64s per document.",
+)
+
+_register(
+    "tokenizer_fertility",
+    ["documents"],
+    textops.tokenizer_fertility,
+    _bpe_fertility_oracle(),
+    doc="Per-language tokenizer fertility (bpe_tokens/words) under the "
+        "learned vocabulary — the tokenizer-fairness diagnostic; lang "
+        "rides the map-only encode scan, one groupBy to the "
+        "languages-sized frame.",
 )
 
 _register(
@@ -5911,7 +5962,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SIXTY-THREE further round-8 operators landed after the 50-slot
+# SIXTY-FOUR further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5930,9 +5981,9 @@ _register(
 # quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
 # activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean,
 # bpe_encode_stats, leakage_safe_split, containment_pairs,
-# seasonal_anomaly, benford_audit. They are
+# seasonal_anomaly, benford_audit, tokenizer_fertility. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 63 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 64 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6067,6 +6118,7 @@ _R9_QUEUE: list[str] = [
     "containment_pairs",
     "seasonal_anomaly",
     "benford_audit",
+    "tokenizer_fertility",
 ]
 
 _TAIL: list[str] = []

@@ -1933,6 +1933,33 @@ def test_bpe_encode_stats_matches_naive_python(documents):
     assert len(got) == documents.count()
 
 
+def test_tokenizer_fertility_consistent_with_encode_sums(documents):
+    """Per-language fertility must equal the ratio of the encode
+    stats' own per-language sums, and every language with words must
+    land in [1, chars/words] (a word is at least one token, at most
+    its letters)."""
+    from flink_snappydata_spark.pipeline.text import (
+        bpe_encode_stats, bpe_merges, tokenizer_fertility,
+    )
+
+    merges = [
+        (r.left_sym, r.right_sym)
+        for r in bpe_merges(documents, n_merges=5).collect()
+    ]
+    enc = bpe_encode_stats(
+        documents, merges=merges, keep_cols=("lang",)
+    ).toPandas()
+    fert = tokenizer_fertility(documents, merges=merges).collect()
+    by_lang = enc.groupby("lang").sum(numeric_only=True)
+    assert len(fert) == len(by_lang)
+    for r in fert:
+        row = by_lang.loc[r.lang]
+        assert r.n_words == row["n_words"]
+        assert r.n_bpe_tokens == row["n_bpe_tokens"]
+        assert r.fertility == row["n_bpe_tokens"] / row["n_words"]
+        assert 1.0 <= r.fertility <= row["n_alpha_chars"] / row["n_words"]
+
+
 def test_bpe_encode_stats_plan_is_map_only(documents):
     """The map-only claim: with an explicit merge table the encode
     plan must contain zero shuffle exchanges — one corpus scan, all
