@@ -753,6 +753,61 @@ def user_growth(events: DataFrame) -> DataFrame:
     ).orderBy("day_s")
 
 
+def rolling_active_users(
+    events: DataFrame, window_days: int = 7
+) -> DataFrame:
+    """Daily + rolling-window active users: for every day observed in
+    the event log, the EXACT count of distinct users active that day
+    (DAU) and in the trailing ``window_days``-day window ending that
+    day (WAU) — the canonical engagement pair no approximate sketch is
+    allowed to fudge on a dashboard that reports ratios of the two.
+
+    Days ship as epoch seconds of the UTC day boundary. Returns
+    ``(day_s, dau, wau)`` in day order; only days that actually appear
+    in the log are emitted (a silent day contributes to later windows
+    but gets no row, matching the per-day grouping semantics of
+    :func:`user_growth`).
+
+    Scale: the event log collapses FIRST to the distinct (day, user)
+    frame — one map-side-combined distinct bounded by users × calendar
+    days, never the event count. Rolling distinct is NOT a sum of DAUs
+    (users repeat); instead each (day, user) activity row is expanded
+    to the ≤``window_days`` window-end days it covers (a bounded
+    constant-factor explode of the already-deduped frame), re-deduped
+    per (window-end, user), and counted — three shuffles on (day,
+    user), zero self-joins, no per-day rescan of the log. The observed
+    -days filter is a broadcast join against the days-sized frame and
+    the final sort is presentation-only on that same tiny frame.
+    """
+    day_s = F.unix_seconds(
+        F.date_trunc("day", F.col("ts")).cast("timestamp")
+    )
+    du = events.select(day_s.alias("day_s"), "user_id").distinct()
+    days = du.select("day_s").distinct()
+    dau = du.groupBy("day_s").agg(F.count(F.lit(1)).alias("dau"))
+    covered = (
+        du.select(
+            "user_id",
+            F.explode(
+                F.sequence(
+                    F.col("day_s"),
+                    F.col("day_s") + F.lit((window_days - 1) * 86400),
+                    F.lit(86400),
+                )
+            ).alias("day_s"),
+        )
+        .distinct()
+        .join(F.broadcast(days), "day_s")
+    )
+    wau = covered.groupBy("day_s").agg(F.count(F.lit(1)).alias("wau"))
+    return (
+        days.join(dau, "day_s")
+        .join(wau, "day_s")
+        .select("day_s", "dau", "wau")
+        .orderBy("day_s")
+    )
+
+
 def itemset_pairs(events: DataFrame) -> DataFrame:
     """Frequent event-type pairs (2-itemsets): for every unordered pair
     of event types, how many users did BOTH at least once, the support

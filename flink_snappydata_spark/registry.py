@@ -5218,6 +5218,34 @@ _register(
 )
 
 _register(
+    "rolling_active_users",
+    ["events"],
+    analytic.rolling_active_users,
+    """
+    WITH du AS (SELECT DISTINCT
+                       epoch_us(date_trunc('day', ts)) // 1000000
+                           AS day_s,
+                       user_id
+                FROM events),
+    days AS (SELECT DISTINCT day_s FROM du)
+    SELECT d.day_s,
+           CAST(COUNT(DISTINCT CASE WHEN u.day_s = d.day_s
+                                    THEN u.user_id END) AS BIGINT)
+               AS dau,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u
+      ON u.day_s BETWEEN d.day_s - 6 * 86400 AND d.day_s
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Exact DAU + trailing-7-day WAU per observed day: the event "
+        "log collapses once to the distinct (day, user) frame, rolling "
+        "distinct via a bounded 7-way window-end explode of that frame "
+        "(never a per-day rescan or DAU sum); oracle states the naive "
+        "range-join definition.",
+)
+
+_register(
     "user_growth",
     ["events"],
     analytic.user_growth,
@@ -5962,7 +5990,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SIXTY-FOUR further round-8 operators landed after the 50-slot
+# SIXTY-FIVE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -5981,9 +6009,10 @@ _register(
 # quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
 # activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean,
 # bpe_encode_stats, leakage_safe_split, containment_pairs,
-# seasonal_anomaly, benford_audit, tokenizer_fertility. They are
+# seasonal_anomaly, benford_audit, tokenizer_fertility,
+# rolling_active_users. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 64 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 65 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6119,6 +6148,7 @@ _R9_QUEUE: list[str] = [
     "seasonal_anomaly",
     "benford_audit",
     "tokenizer_fertility",
+    "rolling_active_users",
 ]
 
 _TAIL: list[str] = []

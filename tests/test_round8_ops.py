@@ -1981,3 +1981,53 @@ def test_bpe_encode_stats_plan_is_map_only(documents):
         if "Reused" not in m and "Broadcast" not in m
     ]
     assert not shuffles, plan
+
+
+def test_rolling_active_users_matches_naive_window(events):
+    """WAU must equal the brute-force 'distinct users with any event
+    in [d-6, d] days' for every emitted day, DAU the day's own
+    distinct count, and the invariants dau <= wau <= sum of the
+    window's DAUs must hold."""
+    from flink_snappydata_spark.operators.analytic import (
+        rolling_active_users,
+    )
+
+    got = {r.day_s: r for r in rolling_active_users(events).collect()}
+    pdf = events.select(
+        F.unix_seconds(
+            F.date_trunc("day", F.col("ts")).cast("timestamp")
+        ).alias("day_s"),
+        "user_id",
+    ).toPandas()
+    by_day = pdf.groupby("day_s")["user_id"].agg(set).to_dict()
+    assert set(got) == set(by_day)
+    for d, users in by_day.items():
+        win = [
+            u
+            for dd, uu in by_day.items()
+            if d - 6 * 86400 <= dd <= d
+            for u in uu
+        ]
+        assert got[d].dau == len(users)
+        assert got[d].wau == len(set(win))
+        assert got[d].dau <= got[d].wau <= len(win)
+
+
+def test_rolling_active_users_plan_has_no_self_join(events):
+    """The scale claim: rolling distinct comes from the bounded
+    explode of the deduped (day, user) frame — the executed plan must
+    contain no sort-merge join and at most broadcast joins against the
+    days-sized frames (one Generate, no per-day rescans of events)."""
+    from flink_snappydata_spark.operators.analytic import (
+        rolling_active_users,
+    )
+
+    events.sparkSession.catalog.clearCache()
+    plan = (
+        rolling_active_users(events)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "SortMergeJoin" not in plan, plan
+    assert plan.count("Generate") == 1, plan

@@ -258,6 +258,7 @@ EVENT_OPS = {
     "funnel_latency": lambda v: A.funnel_latency(v),
     "activity_gini": lambda v: A.activity_gini(v),
     "seasonal_anomaly": lambda v: A.seasonal_anomaly(v),
+    "rolling_active_users": lambda v: A.rolling_active_users(v),
 }
 
 
