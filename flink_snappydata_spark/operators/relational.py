@@ -1249,3 +1249,86 @@ def equidepth_histogram(orders: DataFrame, n_buckets: int = 10) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def pareto_frontier(part: DataFrame, n_cells: int = 4096) -> DataFrame:
+    """2D skyline (Pareto frontier) over the part catalog: every part
+    not DOMINATED on (minimize ``p_retailprice``, maximize ``p_size``)
+    — q dominates p when q is no worse on both axes and strictly
+    better on at least one. The classic preference/dominance query
+    (Börzsönyi et al., "The Skyline Operator", ICDE 2001) the
+    reference's SQL surface would express as a correlated NOT EXISTS
+    self-join; the oracle states exactly that naive definition.
+
+    Returns ``(p_partkey, p_retailprice, p_size)`` for frontier parts,
+    partkey order. Ties kept: two identical (price, size) points do
+    not dominate each other under the strict-in-one rule.
+
+    Scale: the O(n²) self-join is replaced by the sort-based 2D
+    sweep — a part is on the frontier iff its size exceeds the best
+    size at every strictly lower price — computed WITHOUT a global
+    sort of the catalog: prices collapse to the per-price best-size
+    frame (one map-side-combined max, ≤ |distinct prices| rows), the
+    running "best at lower price" uses the two-phase cell idiom of
+    :func:`~flink_snappydata_spark.util.cell_prefix_sums` (affine
+    monotone bucketing into ``n_cells`` cells, a prefix-max window
+    over the ≤ n_cells cell frame that broadcasts back, within-cell
+    windows holding ~1/n_cells of the prices each — no window task
+    ever holds the whole price histogram), and frontier membership
+    joins back to the catalog as a plain hash join on price. Every
+    shuffle is on price/cell keys; the catalog rows never sort.
+    """
+    from pyspark.sql import Window
+
+    per = part.groupBy("p_retailprice").agg(
+        F.max("p_size").alias("best_size")
+    )
+    bounds = per.agg(
+        F.min("p_retailprice").alias("_vmin"),
+        F.max("p_retailprice").alias("_vmax"),
+    )
+    g = per.crossJoin(F.broadcast(bounds)).withColumn(
+        "_cell",
+        F.least(
+            F.floor(
+                (F.col("p_retailprice") - F.col("_vmin"))
+                * F.lit(float(n_cells))
+                / (F.col("_vmax") - F.col("_vmin") + F.lit(1e-9))
+            ),
+            F.lit(n_cells - 1),
+        ).cast("long"),
+    )
+    cell_w = Window.orderBy("_cell").rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    off = g.groupBy("_cell").agg(
+        F.max("best_size").alias("_cmax")
+    ).select(
+        "_cell", F.max("_cmax").over(cell_w).alias("_lower_cells_max")
+    )
+    in_w = (
+        Window.partitionBy("_cell")
+        .orderBy("p_retailprice")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    neg_inf = F.lit(-(2**31))
+    prev_best = F.greatest(
+        F.coalesce(F.col("_lower_cells_max"), neg_inf),
+        F.coalesce(F.max("best_size").over(in_w), neg_inf),
+    )
+    frontier = (
+        g.join(F.broadcast(off), "_cell")
+        .withColumn("_prev_best", prev_best)
+        .filter(F.col("best_size") > F.col("_prev_best"))
+        .select("p_retailprice", F.col("best_size").alias("_fsize"))
+    )
+    return (
+        part.join(frontier, "p_retailprice")
+        .filter(F.col("p_size") == F.col("_fsize"))
+        .select(
+            "p_partkey",
+            "p_retailprice",
+            F.col("p_size").cast("long").alias("p_size"),
+        )
+        .orderBy("p_partkey")
+    )

@@ -892,6 +892,29 @@ _register(
     """,
 )
 
+_register(
+    "pareto_frontier",
+    ["part"],
+    relational.pareto_frontier,
+    """
+    SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
+    FROM part p
+    WHERE NOT EXISTS (
+        SELECT 1 FROM part q
+        WHERE q.p_retailprice <= p.p_retailprice
+          AND q.p_size >= p.p_size
+          AND (q.p_retailprice < p.p_retailprice
+               OR q.p_size > p.p_size))
+    ORDER BY p_partkey
+    """,
+    doc="2D skyline (Pareto frontier) on (min price, max size): the "
+        "oracle is the textbook quadratic NOT-EXISTS self-join; the "
+        "engine runs the sort-based sweep on the per-price best-size "
+        "frame with the two-phase cell prefix-max, so catalog rows "
+        "never globally sort and no window task holds the price "
+        "histogram.",
+)
+
 # ---------------------------------------------------------------------------
 # Analytic window functions (SURVEY.md §2.5)
 # ---------------------------------------------------------------------------
@@ -5990,7 +6013,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SIXTY-FIVE further round-8 operators landed after the 50-slot
+# SIXTY-SIX further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6010,9 +6033,9 @@ _register(
 # activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean,
 # bpe_encode_stats, leakage_safe_split, containment_pairs,
 # seasonal_anomaly, benford_audit, tokenizer_fertility,
-# rolling_active_users. They are
+# rolling_active_users, pareto_frontier. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 65 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 66 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6149,6 +6172,7 @@ _R9_QUEUE: list[str] = [
     "benford_audit",
     "tokenizer_fertility",
     "rolling_active_users",
+    "pareto_frontier",
 ]
 
 _TAIL: list[str] = []

@@ -2031,3 +2031,66 @@ def test_rolling_active_users_plan_has_no_self_join(events):
     )
     assert "SortMergeJoin" not in plan, plan
     assert plan.count("Generate") == 1, plan
+
+
+def test_pareto_frontier_matches_naive_domination(spark):
+    """Frontier on a seeded synthetic catalog (with deliberate price
+    and size ties, including duplicate points) must equal the O(n²)
+    domination scan, and the frontier sorted by price must have
+    strictly increasing sizes (the defining sweep invariant)."""
+    import random
+
+    from flink_snappydata_spark.operators.relational import (
+        pareto_frontier,
+    )
+
+    rng = random.Random(8)
+    rows = [
+        (i, float(rng.randrange(50) * 25) / 10.0, rng.randrange(20))
+        for i in range(400)
+    ]
+    part = spark.createDataFrame(
+        rows, "p_partkey long, p_retailprice double, p_size int"
+    )
+    got = {
+        (r.p_partkey, r.p_retailprice, r.p_size)
+        for r in pareto_frontier(part, n_cells=16).collect()
+    }
+    naive = {
+        (i, p, s)
+        for i, p, s in rows
+        if not any(
+            (q <= p and t >= s and (q < p or t > s))
+            for _, q, t in rows
+        )
+    }
+    assert got == naive
+    front = sorted({(p, s) for _, p, s in got})
+    assert all(
+        front[i][1] < front[i + 1][1] for i in range(len(front) - 1)
+    )
+
+
+def test_pareto_frontier_plan_has_no_self_join_of_catalog(spark):
+    """The scale claim: no quadratic self-join — the executed plan
+    must contain no CartesianProduct, and the only nested-loop joins
+    are broadcast crosses against the one-row bounds frame (the
+    cell_prefix_sums idiom); the join back to the catalog is a plain
+    equi-join on price."""
+    import re
+
+    from flink_snappydata_spark.operators.relational import (
+        pareto_frontier,
+    )
+
+    part = load_table(spark, SF, "part")
+    spark.catalog.clearCache()
+    plan = (
+        pareto_frontier(part)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "CartesianProduct" not in plan, plan
+    for m in re.findall(r"BroadcastNestedLoopJoin [^\n]*", plan):
+        assert "BuildRight, Cross" in m, plan
