@@ -2004,6 +2004,71 @@ def tokenizer_fertility(
     ).orderBy("lang")
 
 
+def ngram_diversity(documents: DataFrame, n: int = 3) -> DataFrame:
+    """Per-source corpus diversity: total word ``n``-grams, EXACT
+    distinct ``n``-gram count, and the distinct/total ratio — the
+    corpus-level self-repetition diagnostic (the self-BLEU family's
+    cheap exact cousin). A source whose ratio collapses is template
+    spam or a crawler trap even when every individual document looks
+    fine to the per-doc :func:`repetition_scores`.
+
+    Returns ``(source, n_ngrams, n_distinct, diversity)`` in source
+    order; a source with no ≥``n``-word document is absent (it has no
+    n-grams to measure).
+
+    Scale: n-grams are digested IN the per-row expression (the
+    portable md5-prefix 60-bit hash every dedup op shuffles) so only
+    (source, int64) rows ever shuffle — text never does. Exact
+    distinct runs as the canonical two-stage: map-side-combined
+    (source, digest) counts, then one source-keyed fold of that
+    already-deduped frame; no count-distinct expand, no second corpus
+    scan for the total (it is the sum of the same per-digest counts).
+    """
+    # Materialize the words array in its own projection so the gram
+    # expressions reference a named column — n element_at's over one
+    # array, not n inlined split/filter trees (smaller plan, one
+    # tokenization per row even without codegen CSE).
+    wsdf = documents.select(
+        "source", _words(F.col("text")).alias("_ws")
+    )
+    ws = F.col("_ws")
+    k = F.size(ws)
+    gram = lambda i: F.concat_ws(  # noqa: E731 — join n words from i
+        " ", *[F.element_at(ws, i + F.lit(j + 1)) for j in range(n)]
+    )
+    digests = F.when(
+        k >= n,
+        F.transform(
+            F.sequence(F.lit(0), k - n),
+            lambda i: F.conv(
+                F.substring(F.md5(gram(i).cast("binary")), 1, 15), 16, 10
+            ).cast("long"),
+        ),
+    ).otherwise(F.array().cast("array<long>"))
+    per_digest = (
+        wsdf.select("source", F.explode(digests).alias("h"))
+        .groupBy("source", "h")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per_digest.groupBy("source")
+        .agg(
+            F.sum("c").alias("n_ngrams"),
+            F.count(F.lit(1)).alias("n_distinct"),
+        )
+        .select(
+            "source",
+            "n_ngrams",
+            "n_distinct",
+            (
+                F.col("n_distinct").cast("double")
+                / F.col("n_ngrams").cast("double")
+            ).alias("diversity"),
+        )
+        .orderBy("source")
+    )
+
+
 def token_drift_topk(
     documents: DataFrame,
     source_a: str = "src0",

@@ -4283,6 +4283,38 @@ _register(
 )
 
 _register(
+    "ngram_diversity",
+    ["documents"],
+    textops.ngram_diversity,
+    r"""
+    WITH ws AS (SELECT source,
+                       list_filter(string_split_regex(lower(text),
+                                                      '\W+'),
+                                   x -> x <> '') AS w
+                FROM documents),
+    g AS (SELECT source,
+                 unnest(list_transform(
+                     range(1, len(w) - 1),
+                     i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1]
+                                              || ' ' || w[i+2]),
+                           1, 15))::BIGINT)) AS h
+          FROM ws WHERE len(w) >= 3),
+    pg AS (SELECT source, h, COUNT(*) AS c FROM g GROUP BY 1, 2)
+    SELECT source,
+           CAST(SUM(c) AS BIGINT) AS n_ngrams,
+           CAST(COUNT(*) AS BIGINT) AS n_distinct,
+           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
+               AS diversity
+    FROM pg GROUP BY source ORDER BY source
+    """,
+    doc="Per-source exact trigram diversity (distinct/total) — the "
+        "corpus-level self-repetition gate; n-grams digest to the "
+        "portable md5-prefix int64 in the row expression so text "
+        "never shuffles, distinct via the two-stage map-side-combined "
+        "fold (no count-distinct expand).",
+)
+
+_register(
     "knn_accuracy",
     ["embeddings"],
     similarity.knn_accuracy,
@@ -6013,7 +6045,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SIXTY-SIX further round-8 operators landed after the 50-slot
+# SIXTY-SEVEN further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6033,9 +6065,9 @@ _register(
 # activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean,
 # bpe_encode_stats, leakage_safe_split, containment_pairs,
 # seasonal_anomaly, benford_audit, tokenizer_fertility,
-# rolling_active_users, pareto_frontier. They are
+# rolling_active_users, pareto_frontier, ngram_diversity. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 66 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 67 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6173,6 +6205,7 @@ _R9_QUEUE: list[str] = [
     "tokenizer_fertility",
     "rolling_active_users",
     "pareto_frontier",
+    "ngram_diversity",
 ]
 
 _TAIL: list[str] = []

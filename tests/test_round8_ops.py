@@ -2094,3 +2094,61 @@ def test_pareto_frontier_plan_has_no_self_join_of_catalog(spark):
     assert "CartesianProduct" not in plan, plan
     for m in re.findall(r"BroadcastNestedLoopJoin [^\n]*", plan):
         assert "BuildRight, Cross" in m, plan
+
+
+def test_ngram_diversity_matches_naive_python(documents):
+    """Per-source totals and distincts must equal the naive python
+    trigram count over the same tokenization (also pins md5-digest
+    collision-freedom at fixture scale), and diversity must be their
+    ratio in (0, 1]."""
+    import re as _re
+    from collections import defaultdict
+
+    from flink_snappydata_spark.pipeline.text import ngram_diversity
+
+    rows = documents.select("source", "text").collect()
+    tot, dis = defaultdict(int), defaultdict(set)
+    for r in rows:
+        w = [x for x in _re.split(r"\W+", r.text.lower()) if x]
+        for i in range(len(w) - 2):
+            tot[r.source] += 1
+            dis[r.source].add(" ".join(w[i : i + 3]))
+    got = ngram_diversity(documents).collect()
+    assert {r.source for r in got} == set(tot)
+    for r in got:
+        assert r.n_ngrams == tot[r.source]
+        assert r.n_distinct == len(dis[r.source])
+        assert r.diversity == r.n_distinct / r.n_ngrams
+        assert 0.0 < r.diversity <= 1.0
+
+
+def test_ngram_diversity_flags_template_spam(spark):
+    """A source of near-identical template documents must score far
+    lower diversity than an organic source of the same size."""
+    from flink_snappydata_spark.pipeline.text import ngram_diversity
+
+    spam = [
+        (
+            i,
+            "you have been specially selected click here "
+            f"to win a great prize number {i} now",
+            "spam",
+        )
+        for i in range(50)
+    ]
+    organic = [
+        (
+            100 + i,
+            " ".join(f"w{i}x{j}" for j in range(8)),
+            "organic",
+        )
+        for i in range(50)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in spam + organic],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    d = {r.source: r.diversity for r in ngram_diversity(df).collect()}
+    assert d["spam"] < 0.25
+    assert d["organic"] > 0.9

@@ -226,6 +226,11 @@ OPS = {
     "graph_triangles": lambda d, e: GR.graph_triangles(
         d.sparkSession.range(d.count()).select(F.col("id").alias("doc_id"))
     ),
+    "ngram_diversity": lambda d, e: T.ngram_diversity(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        )
+    ),
 }
 
 #: Events-input ops (replicated with per-replica day offsets so the
