@@ -1338,3 +1338,73 @@ def activity_gini(events: DataFrame) -> DataFrame:
             / (F.col("n") * F.col("s")).cast("double")
         ).alias("gini"),
     )
+
+
+def scd2_state_intervals(events: DataFrame, sort: bool = True) -> DataFrame:
+    """Type-2 slowly-changing-dimension build over the event stream:
+    collapse each user's consecutive same-type runs into validity
+    intervals ``(user_id, version, state, valid_from_us, valid_to_us,
+    n_events)`` — the classic warehouse SCD2 shape (``valid_to`` =
+    the next interval's ``valid_from``; NULL on the open current
+    interval; ``version`` = 1-based per-user change counter). The
+    dimension a downstream as-of join (:mod:`..operators.asof`) would
+    probe for "what state was this user in at time t".
+
+    Order within a user is (ts, event_id) — fully deterministic.
+    Epochs ship as int64 microseconds (no timestamp formatting
+    crosses engines).
+
+    Scale: the sessionization shape — ONE user-keyed shuffle, then
+    every window (change flag, run counter, the valid_to lead) runs
+    inside the same user partitioning with per-user sorts bounded by
+    a user's own history, never the corpus; the run groupBy shares
+    the user key so AQE keeps it co-partitioned. Output is
+    intervals-sized (≤ events, typically ~transitions); ``sort``
+    gates the presentation order — the default range-partitioned sort
+    keeps the corpus-sized output distributed, and library callers
+    chaining into joins should pass ``sort=False``.
+    """
+    from flink_snappydata_spark.util import presentation_sorted
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ts_us = F.unix_micros(F.col("ts").cast("timestamp"))
+    prev = F.lag("event_type").over(w)
+    marked = events.select(
+        "user_id",
+        "event_id",
+        ts_us.alias("ts_us"),
+        F.col("event_type").alias("state"),
+        F.when(
+            prev.isNull() | (prev != F.col("event_type")), 1
+        )
+        .otherwise(0)
+        .alias("chg"),
+    )
+    runs = marked.withColumn(
+        "version",
+        F.sum("chg").over(
+            Window.partitionBy("user_id")
+            .orderBy("ts_us", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    iv = runs.groupBy("user_id", "version").agg(
+        F.min("state").alias("state"),
+        F.min("ts_us").alias("valid_from_us"),
+        F.count(F.lit(1)).alias("n_events"),
+    )
+    out = iv.select(
+        "user_id",
+        "version",
+        "state",
+        "valid_from_us",
+        F.lead("valid_from_us")
+        .over(Window.partitionBy("user_id").orderBy("version"))
+        .alias("valid_to_us"),
+        "n_events",
+    )
+    if sort:
+        return presentation_sorted(
+            out, "user_id", "version", expect_small=False
+        )
+    return out

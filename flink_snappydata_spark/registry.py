@@ -5273,6 +5273,42 @@ _register(
 )
 
 _register(
+    "scd2_state_intervals",
+    ["events"],
+    analytic.scd2_state_intervals,
+    """
+    WITH m AS (
+        SELECT user_id, event_id, event_type AS state,
+               epoch_us(ts) AS ts_us,
+               CASE WHEN lag(event_type) OVER w IS NULL
+                      OR lag(event_type) OVER w <> event_type
+                    THEN 1 ELSE 0 END AS chg
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+    r AS (SELECT user_id, state, ts_us,
+                 SUM(chg) OVER (PARTITION BY user_id
+                                ORDER BY ts_us, event_id
+                                ROWS UNBOUNDED PRECEDING) AS version
+          FROM m),
+    iv AS (SELECT user_id, CAST(version AS BIGINT) AS version,
+                  MIN(state) AS state,
+                  MIN(ts_us) AS valid_from_us,
+                  CAST(COUNT(*) AS BIGINT) AS n_events
+           FROM r GROUP BY 1, 2)
+    SELECT user_id, version, state, valid_from_us,
+           lead(valid_from_us) OVER (PARTITION BY user_id
+                                     ORDER BY version) AS valid_to_us,
+           n_events
+    FROM iv ORDER BY user_id, version
+    """,
+    doc="Type-2 SCD build: per-user consecutive same-type runs become "
+        "(version, state, valid_from, valid_to) intervals — the "
+        "sessionization shape, one user-keyed shuffle with every "
+        "window and the run groupBy sharing that partitioning; "
+        "valid_to = next interval's start, NULL on the open one.",
+)
+
+_register(
     "rolling_active_users",
     ["events"],
     analytic.rolling_active_users,
@@ -6045,7 +6081,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SIXTY-SEVEN further round-8 operators landed after the 50-slot
+# SIXTY-EIGHT further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6065,9 +6101,10 @@ _register(
 # activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean,
 # bpe_encode_stats, leakage_safe_split, containment_pairs,
 # seasonal_anomaly, benford_audit, tokenizer_fertility,
-# rolling_active_users, pareto_frontier, ngram_diversity. They are
+# rolling_active_users, pareto_frontier, ngram_diversity,
+# scd2_state_intervals. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 67 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 68 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6206,6 +6243,7 @@ _R9_QUEUE: list[str] = [
     "rolling_active_users",
     "pareto_frontier",
     "ngram_diversity",
+    "scd2_state_intervals",
 ]
 
 _TAIL: list[str] = []

@@ -2152,3 +2152,64 @@ def test_ngram_diversity_flags_template_spam(spark):
     d = {r.source: r.diversity for r in ngram_diversity(df).collect()}
     assert d["spam"] < 0.25
     assert d["organic"] > 0.9
+
+
+def test_scd2_intervals_tile_each_user_timeline(events):
+    """SCD2 invariants: versions are 1..k dense per user, intervals
+    tile the timeline (valid_to == next valid_from, exactly one open
+    interval per user), adjacent states differ, n_events sums to the
+    user's event count, and the total change count equals 1 + the
+    user's transition count from the lag scan."""
+    from collections import defaultdict
+
+    from flink_snappydata_spark.operators.analytic import (
+        scd2_state_intervals,
+    )
+
+    ivs = defaultdict(list)
+    for r in scd2_state_intervals(events).collect():
+        ivs[r.user_id].append(r)
+    raw = defaultdict(list)
+    for r in events.select("user_id", "ts", "event_id", "event_type").collect():
+        raw[r.user_id].append(r)
+    assert set(ivs) == set(raw)
+    for uid, rows in ivs.items():
+        rows.sort(key=lambda r: r.version)
+        assert [r.version for r in rows] == list(range(1, len(rows) + 1))
+        assert sum(r.n_events for r in rows) == len(raw[uid])
+        assert rows[-1].valid_to_us is None
+        for a, b in zip(rows, rows[1:]):
+            assert a.valid_to_us == b.valid_from_us
+            assert a.state != b.state
+        seq = [
+            r.event_type
+            for r in sorted(raw[uid], key=lambda r: (r.ts, r.event_id))
+        ]
+        n_runs = 1 + sum(1 for x, y in zip(seq, seq[1:]) if x != y)
+        assert len(rows) == n_runs
+
+
+def test_scd2_plan_has_single_user_shuffle(events):
+    """The sessionization claim: every window and the run groupBy
+    share the user partitioning — the executed plan must contain at
+    most one non-broadcast shuffle exchange (plus the sort gate's
+    range exchange when sort=True, so test unsorted)."""
+    import re
+
+    from flink_snappydata_spark.operators.analytic import (
+        scd2_state_intervals,
+    )
+
+    events.sparkSession.catalog.clearCache()
+    plan = (
+        scd2_state_intervals(events, sort=False)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    shuffles = [
+        m
+        for m in re.findall(r"\w*Exchange\w*", plan)
+        if "Reused" not in m and "Broadcast" not in m
+    ]
+    assert len(shuffles) <= 1, plan

@@ -264,6 +264,9 @@ EVENT_OPS = {
     "activity_gini": lambda v: A.activity_gini(v),
     "seasonal_anomaly": lambda v: A.seasonal_anomaly(v),
     "rolling_active_users": lambda v: A.rolling_active_users(v),
+    "scd2_state_intervals": lambda v: A.scd2_state_intervals(
+        v, sort=False
+    ),
 }
 
 
