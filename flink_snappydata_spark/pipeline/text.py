@@ -498,6 +498,64 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
     ).orderBy("doc_id")
 
 
+WINNOW_WINDOW = 4
+
+
+def winnowing_fingerprints(
+    documents: DataFrame, w: int = WINNOW_WINDOW, sort: bool = True
+) -> DataFrame:
+    """MOSS-style winnowing (Schleimer/Wilkerson/Aiken, SIGMOD 2003):
+    hash every ``FP_WINDOW``-char window of the text, then keep the
+    MINIMUM hash of each run of ``w`` consecutive window hashes — the
+    local-fingerprint selection whose guarantee is that any shared
+    substring of length ≥ ``FP_WINDOW + w - 1`` yields at least one
+    shared selected fingerprint, at expected density ``2/(w+1)``. The
+    local generalization of :func:`doc_fingerprints` (which keeps only
+    the single global min and so can only match whole near-copies).
+
+    Returns per-document ``(doc_id, n_windows, n_fingerprints,
+    density)`` — the selection-set size and its density against the
+    k-gram window count (texts shorter than ``FP_WINDOW + w - 1``
+    degrade to one selection run, matching the oracle). Downstream
+    copy-detection joins explode the same selection per document and
+    bucket-join on the fingerprint — planted-copy sharing is pinned in
+    tests; the declared query ships the per-doc summary so the output
+    stays corpus-row-sized.
+
+    Scale: pure per-row JVM higher-order expressions (transform /
+    slice / array_min / array_distinct) inside whole-stage codegen —
+    zero Python, and zero shuffles with ``sort=False`` (the flag gates
+    the corpus-sized presentation order; library callers chaining into
+    joins pass False). The hash array materializes once per row in its
+    own projection before the window-min pass.
+    """
+    hashes = F.expr(
+        f"transform("
+        f"  sequence(1, greatest(length(text) - {FP_WINDOW - 1}, 1)),"
+        f"  i -> cast(conv(substring(md5(cast(substring(text, i, {FP_WINDOW})"
+        f"       as binary)), 1, 15), 16, 10) as bigint))"
+    )
+    pre = documents.select("doc_id", hashes.alias("_h"))
+    sel = F.array_distinct(
+        F.transform(
+            F.sequence(
+                F.lit(0),
+                F.greatest(F.size("_h") - F.lit(w), F.lit(0)),
+            ),
+            lambda j: F.array_min(F.slice("_h", j + F.lit(1), w)),
+        )
+    )
+    out = pre.select(
+        "doc_id",
+        F.size("_h").cast("long").alias("n_windows"),
+        F.size(sel).cast("long").alias("n_fingerprints"),
+        (F.size(sel).cast("double") / F.size("_h").cast("double")).alias(
+            "density"
+        ),
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
 # --- repetition / PII / corpus composition ------------------------------
 
 #: PII patterns chosen for identical semantics in Java regex (Spark) and

@@ -2144,6 +2144,42 @@ _register(
 )
 
 _register(
+    "winnowing_fingerprints",
+    ["documents"],
+    textops.winnowing_fingerprints,
+    rf"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(text)
+                                     - {textops.FP_WINDOW - 1}, 1) + 1),
+                   i -> ('0x' || substr(md5(substr(text, i,
+                                        {textops.FP_WINDOW})),
+                         1, 15))::BIGINT) AS hs
+        FROM documents),
+    s AS (
+        SELECT doc_id, hs,
+               list_distinct(list_transform(
+                   range(0, greatest(len(hs)
+                                     - {textops.WINNOW_WINDOW}, 0) + 1),
+                   j -> list_min(list_slice(hs, j + 1,
+                                 j + {textops.WINNOW_WINDOW})))) AS sel
+        FROM h)
+    SELECT doc_id,
+           CAST(len(hs) AS BIGINT) AS n_windows,
+           CAST(len(sel) AS BIGINT) AS n_fingerprints,
+           CAST(len(sel) AS DOUBLE) / CAST(len(hs) AS DOUBLE)
+               AS density
+    FROM s ORDER BY doc_id
+    """,
+    doc="True MOSS winnowing (SIGMOD'03): min hash of each run of 4 "
+        "consecutive 8-char-window hashes, distinct selection per doc "
+        "— shared substrings >= 11 chars guarantee a shared "
+        "fingerprint at ~2/(w+1) density; per-row JVM higher-order "
+        "expressions, no shuffle beyond the sort gate.",
+)
+
+_register(
     "agg_percentile",
     ["orders"],
     relational.agg_percentile,
@@ -6081,7 +6117,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SIXTY-EIGHT further round-8 operators landed after the 50-slot
+# SIXTY-NINE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6102,9 +6138,9 @@ _register(
 # bpe_encode_stats, leakage_safe_split, containment_pairs,
 # seasonal_anomaly, benford_audit, tokenizer_fertility,
 # rolling_active_users, pareto_frontier, ngram_diversity,
-# scd2_state_intervals. They are
+# scd2_state_intervals, winnowing_fingerprints. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 68 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 69 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6244,6 +6280,7 @@ _R9_QUEUE: list[str] = [
     "pareto_frontier",
     "ngram_diversity",
     "scd2_state_intervals",
+    "winnowing_fingerprints",
 ]
 
 _TAIL: list[str] = []

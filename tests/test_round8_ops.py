@@ -2213,3 +2213,81 @@ def test_scd2_plan_has_single_user_shuffle(events):
         if "Reused" not in m and "Broadcast" not in m
     ]
     assert len(shuffles) <= 1, plan
+
+
+def _winnow_py(text, k=8, w=4):
+    import hashlib
+
+    n = max(len(text) - (k - 1), 1)
+    hs = [
+        int(hashlib.md5(text[i : i + k].encode()).hexdigest()[:15], 16)
+        for i in range(n)
+    ]
+    return hs, {
+        min(hs[j : j + w]) for j in range(max(len(hs) - w, 0) + 1)
+    }
+
+
+def test_winnowing_matches_naive_python(documents):
+    """Window counts, selection-set sizes, and densities must equal
+    the naive python winnowing over the same md5-prefix hashes."""
+    from flink_snappydata_spark.pipeline.text import (
+        winnowing_fingerprints,
+    )
+
+    texts = {
+        r.doc_id: r.text
+        for r in documents.limit(200).select("doc_id", "text").collect()
+    }
+    got = {
+        r.doc_id: r
+        for r in winnowing_fingerprints(documents).collect()
+        if r.doc_id in texts
+    }
+    assert len(got) == len(texts)
+    for did, text in texts.items():
+        hs, sel = _winnow_py(text)
+        assert got[did].n_windows == len(hs)
+        assert got[did].n_fingerprints == len(sel)
+        assert got[did].density == len(sel) / len(hs)
+
+
+def test_winnowing_guarantee_planted_copy(spark):
+    """The SIGMOD'03 guarantee: two documents sharing a substring of
+    length >= k + w - 1 = 11 chars must share at least one selected
+    fingerprint — checked via the python selection sets on texts that
+    are otherwise disjoint."""
+    shared = "xqzjvwkpfyt"  # 11 chars, appears in both
+    a = "aaaa bbbb cccc " + shared + " dddd eeee"
+    b = "1111 2222 " + shared + " 3333 4444 5555"
+    _, sa = _winnow_py(a)
+    _, sb = _winnow_py(b)
+    assert sa & sb
+    from flink_snappydata_spark.pipeline.text import (
+        winnowing_fingerprints,
+    )
+
+    df = spark.createDataFrame(
+        [(1, a, "en", "s", len(a)), (2, b, "en", "s", len(b))],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    rows = {r.doc_id: r for r in winnowing_fingerprints(df).collect()}
+    assert rows[1].n_fingerprints == len(sa)
+    assert rows[2].n_fingerprints == len(sb)
+
+
+def test_winnowing_density_near_guarantee(documents):
+    """On organic text the expected selection density is ~2/(w+1) =
+    0.4 for w=4; corpus-wide it must land in a sane band around that
+    (repetitive or short texts push it down or up, hence the slack)."""
+    from flink_snappydata_spark.pipeline.text import (
+        winnowing_fingerprints,
+    )
+
+    d = (
+        winnowing_fingerprints(documents, sort=False)
+        .agg(F.avg("density"))
+        .first()[0]
+    )
+    assert 0.15 < d < 0.65

@@ -226,6 +226,9 @@ OPS = {
     "graph_triangles": lambda d, e: GR.graph_triangles(
         d.sparkSession.range(d.count()).select(F.col("id").alias("doc_id"))
     ),
+    "winnowing_fingerprints": lambda d, e: T.winnowing_fingerprints(
+        d, sort=False
+    ),
     "ngram_diversity": lambda d, e: T.ngram_diversity(
         d.withColumn(
             "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
