@@ -2062,6 +2062,85 @@ def tokenizer_fertility(
     ).orderBy("lang")
 
 
+def source_tv_distance(documents: DataFrame) -> DataFrame:
+    """Pairwise total-variation distance between per-source unigram
+    word distributions: ``TV(a,b) = ½ Σ_w |p_a(w) − p_b(w)|`` for
+    every source pair — the exact, bounded-in-[0,1] drift matrix a
+    curator reads to decide which sources are near-duplicates of each
+    other's distribution and which bring genuinely different text (the
+    rational-arithmetic cousin of KL/JS, which need floating logs).
+
+    Returns ``(source_a, source_b, n_common, tv)`` with ``source_a <
+    source_b``, pair order. Exactness: ``|c_a·N_b − c_b·N_a|``
+    numerators accumulate in DECIMAL(38,0) (no float sums, no int64
+    overflow at 10¹³-token sources), with ONE double division at the
+    end; the words missing from one source fold in algebraically via
+    ``Σ_{a∖b} c_a = N_a − Σ_∩ c_a``, so only the intersection join is
+    ever computed.
+
+    Scale: the corpus collapses FIRST to the per-(source, word)
+    histogram (one map-side-combined shuffle — the only corpus-sized
+    one; text shuffles as grouping key exactly once, like
+    ``frequent_tokens``). The word-keyed pair join runs on that
+    histogram where every key holds ≤ |sources| rows — stopwords are
+    NOT hot here, unlike the tf⋈vocab joins that need
+    ``_join_word_stats_skew_safe`` — and collapses immediately to the
+    |sources|²/2-sized pair frame. Totals broadcast.
+    """
+    w = documents.select(
+        "source", F.explode(_words(F.col("text"))).alias("word")
+    )
+    hist = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    totals = hist.groupBy("source").agg(F.sum("c").alias("n"))
+    a = hist.select(
+        F.col("source").alias("source_a"), "word", F.col("c").alias("ca")
+    )
+    b = hist.select(
+        F.col("source").alias("source_b"), "word", F.col("c").alias("cb")
+    )
+    na = totals.select(
+        F.col("source").alias("source_a"), F.col("n").alias("na")
+    )
+    nb = totals.select(
+        F.col("source").alias("source_b"), F.col("n").alias("nb")
+    )
+    dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
+    pair = (
+        a.join(b, "word")
+        .filter(F.col("source_a") < F.col("source_b"))
+        .join(F.broadcast(na), "source_a")
+        .join(F.broadcast(nb), "source_b")
+        .groupBy("source_a", "source_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.sum(
+                F.abs(
+                    dec(F.col("ca")) * dec(F.col("nb"))
+                    - dec(F.col("cb")) * dec(F.col("na"))
+                )
+            ).alias("iabs"),
+            F.sum("ca").alias("sa"),
+            F.sum("cb").alias("sb"),
+            F.min("na").alias("na"),
+            F.min("nb").alias("nb"),
+        )
+    )
+    numer = (
+        F.col("iabs")
+        + dec(F.col("na") - F.col("sa")) * dec(F.col("nb"))
+        + dec(F.col("nb") - F.col("sb")) * dec(F.col("na"))
+    )
+    denom = dec(F.lit(2)) * dec(F.col("na")) * dec(F.col("nb"))
+    return pair.select(
+        "source_a",
+        "source_b",
+        "n_common",
+        (numer.cast("double") / denom.cast("double")).alias("tv"),
+    ).orderBy("source_a", "source_b")
+
+
 def ngram_diversity(documents: DataFrame, n: int = 3) -> DataFrame:
     """Per-source corpus diversity: total word ``n``-grams, EXACT
     distinct ``n``-gram count, and the distinct/total ratio — the

@@ -4319,6 +4319,45 @@ _register(
 )
 
 _register(
+    "source_tv_distance",
+    ["documents"],
+    textops.source_tv_distance,
+    r"""
+    WITH w AS (SELECT source,
+                      unnest(list_filter(
+                          string_split_regex(lower(text), '\W+'),
+                          x -> x <> '')) AS word
+               FROM documents),
+    h AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM w GROUP BY 1, 2),
+    t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
+          FROM h GROUP BY 1),
+    p AS (SELECT a.source AS source_a, b.source AS source_b,
+                 CAST(COUNT(*) AS BIGINT) AS n_common,
+                 SUM(abs(CAST(a.c AS HUGEINT) * tb.n
+                         - CAST(b.c AS HUGEINT) * ta.n)) AS iabs,
+                 CAST(SUM(a.c) AS BIGINT) AS sa,
+                 CAST(SUM(b.c) AS BIGINT) AS sb,
+                 MIN(ta.n) AS na, MIN(tb.n) AS nb
+          FROM h a
+          JOIN h b ON a.word = b.word AND a.source < b.source
+          JOIN t ta ON ta.source = a.source
+          JOIN t tb ON tb.source = b.source
+          GROUP BY 1, 2)
+    SELECT source_a, source_b, n_common,
+           CAST(iabs + CAST(na - sa AS HUGEINT) * nb
+                     + CAST(nb - sb AS HUGEINT) * na AS DOUBLE)
+           / CAST(CAST(2 AS HUGEINT) * na * nb AS DOUBLE) AS tv
+    FROM p ORDER BY source_a, source_b
+    """,
+    doc="Exact pairwise total-variation distance between per-source "
+        "unigram distributions — rational |c_a*N_b - c_b*N_a| "
+        "numerators in DECIMAL(38,0)/HUGEINT, missing-word mass folded "
+        "in algebraically so only the intersection join runs; one "
+        "double division per pair at the end.",
+)
+
+_register(
     "ngram_diversity",
     ["documents"],
     textops.ngram_diversity,
@@ -6117,7 +6156,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SIXTY-NINE further round-8 operators landed after the 50-slot
+# SEVENTY further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6138,9 +6177,10 @@ _register(
 # bpe_encode_stats, leakage_safe_split, containment_pairs,
 # seasonal_anomaly, benford_audit, tokenizer_fertility,
 # rolling_active_users, pareto_frontier, ngram_diversity,
-# scd2_state_intervals, winnowing_fingerprints. They are
+# scd2_state_intervals, winnowing_fingerprints, source_tv_distance.
+# They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 69 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 70 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6281,6 +6321,7 @@ _R9_QUEUE: list[str] = [
     "ngram_diversity",
     "scd2_state_intervals",
     "winnowing_fingerprints",
+    "source_tv_distance",
 ]
 
 _TAIL: list[str] = []

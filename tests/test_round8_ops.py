@@ -2291,3 +2291,62 @@ def test_winnowing_density_near_guarantee(documents):
         .first()[0]
     )
     assert 0.15 < d < 0.65
+
+
+def test_source_tv_distance_matches_naive_python(documents):
+    """Every pair's TV must equal the naive python ½Σ|p_a − p_b| over
+    the same tokenization, and live in [0, 1]."""
+    import re as _re
+    from collections import Counter, defaultdict
+    from itertools import combinations
+
+    from flink_snappydata_spark.pipeline.text import source_tv_distance
+
+    cnt = defaultdict(Counter)
+    for r in documents.select("source", "text").collect():
+        cnt[r.source].update(
+            x for x in _re.split(r"\W+", r.text.lower()) if x
+        )
+    got = {
+        (r.source_a, r.source_b): r
+        for r in source_tv_distance(documents).collect()
+    }
+    for a, b in combinations(sorted(cnt), 2):
+        ca, cb = cnt[a], cnt[b]
+        if not set(ca) & set(cb):
+            assert (a, b) not in got
+            continue
+        na, nb = sum(ca.values()), sum(cb.values())
+        tv = sum(
+            abs(ca[w] * nb - cb[w] * na) for w in set(ca) | set(cb)
+        ) / (2 * na * nb)
+        r = got[(a, b)]
+        assert r.n_common == len(set(ca) & set(cb))
+        assert abs(r.tv - tv) < 1e-12
+        assert 0.0 <= r.tv <= 1.0
+
+
+def test_source_tv_distance_extremes(spark):
+    """Disjoint-vocabulary sources score TV = 1; identically
+    distributed sources score TV = 0."""
+    from flink_snappydata_spark.pipeline.text import source_tv_distance
+
+    rows = [
+        (1, "aa bb cc aa", "en", "s1", 11),
+        (2, "aa bb cc aa", "en", "s2", 11),  # same distribution as s1
+        (3, "xx yy zz", "en", "s3", 8),  # disjoint from s1/s2
+        (4, "aa xx", "en", "s4", 5),  # bridges so all pairs emit
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        (r.source_a, r.source_b): r.tv
+        for r in source_tv_distance(df).collect()
+    }
+    assert got[("s1", "s2")] == 0.0
+    assert ("s1", "s3") not in got  # disjoint: no common word
+    assert got[("s1", "s4")] >= 0.5
+    assert got[("s3", "s4")] >= 0.5
