@@ -529,6 +529,33 @@ def winnowing_fingerprints(
     joins pass False). The hash array materializes once per row in its
     own projection before the window-min pass.
     """
+    pre, sel = _winnow_pre(documents, w)
+    out = pre.select(
+        "doc_id",
+        F.size("_h").cast("long").alias("n_windows"),
+        F.size(sel).cast("long").alias("n_fingerprints"),
+        (F.size(sel).cast("double") / F.size("_h").cast("double")).alias(
+            "density"
+        ),
+    )
+    return out.orderBy("doc_id") if sort else out
+
+
+def _winnow_pre(documents: DataFrame, w: int):
+    """Winnowing internals: the projected hash-array frame ``pre``
+    (``doc_id, _h``) and the selection EXPRESSION over it — callers
+    must consume the expression in a select DIRECTLY over ``pre``.
+
+    CATALYST HAZARD (pinned by
+    ``test_winnowing_postings_plan_keeps_hash_array_named``): naming
+    the selection as its own projected column and exploding it one
+    projection later lets CollapseProject substitute the md5 transform
+    into the per-element ``slice(_h, …)`` lambda — lambda-bound
+    references evade the collapse rule's multi-reference guard — and
+    the per-row cost silently becomes O(len²) md5 calls (measured
+    87 s vs 2.5 s on the sf0.01 fixture). Consuming the expression in
+    the same select keeps ``_h`` an attribute inside the lambda.
+    """
     hashes = F.expr(
         f"transform("
         f"  sequence(1, greatest(length(text) - {FP_WINDOW - 1}, 1)),"
@@ -545,15 +572,88 @@ def winnowing_fingerprints(
             lambda j: F.array_min(F.slice("_h", j + F.lit(1), w)),
         )
     )
-    out = pre.select(
-        "doc_id",
-        F.size("_h").cast("long").alias("n_windows"),
-        F.size(sel).cast("long").alias("n_fingerprints"),
-        (F.size(sel).cast("double") / F.size("_h").cast("double")).alias(
-            "density"
-        ),
+    return pre, sel
+
+
+def winnowing_pairs(
+    documents: DataFrame,
+    w: int = WINNOW_WINDOW,
+    max_df: int = 16,
+    min_shared: int = 2,
+    sort: bool = True,
+) -> DataFrame:
+    """Partial-copy candidate pairs from shared winnowing
+    fingerprints: documents sharing ≥ ``min_shared`` selected
+    fingerprints — the LOCAL plagiarism/quotation detector
+    (:func:`winnowing_fingerprints`' guarantee: any shared passage of
+    ≥ ``FP_WINDOW + w − 1`` chars leaves a shared fingerprint), which
+    catches a copied paragraph inside two otherwise-different
+    documents that whole-document MinHash/Jaccard similarity scores
+    far below any dedup threshold.
+
+    Returns ``(doc_a, doc_b, n_shared)`` with ``doc_a < doc_b``.
+    Fingerprints appearing in more than ``max_df`` documents are
+    dropped as boilerplate (the same hot-bucket suppression LSH
+    banding gets implicitly) — they would otherwise pair every
+    boilerplate carrier with every other.
+
+    Scale: the (fingerprint, doc) postings are linear in the corpus
+    (≈2/(w+1) per char); document frequency is one map-side-combined
+    count whose filter bounds every surviving bucket at ``max_df``
+    BEFORE any ``collect_set`` runs (no giant-record hazard), and
+    pair expansion happens IN-KERNEL inside the ≤``max_df`` per-
+    fingerprint array (the `source_contamination` idiom,
+    ``pipeline/dedup.py``) — no self-join on the postings, worst case
+    ``max_df²/2`` pairs per surviving fingerprint. The df join is
+    fp-co-partitioned with the postings shuffle.
+    """
+    from flink_snappydata_spark.util import (
+        presentation_sorted,
+        tracked_persist,
     )
-    return out.orderBy("doc_id") if sort else out
+
+    pre, sel = _winnow_pre(documents, w)
+    # Fused explode (see _winnow_pre's Catalyst hazard note) + persist:
+    # the postings feed both the df count and the df-filter join, and
+    # re-hashing the corpus for each consumer would double the only
+    # linear-in-corpus work in the op.
+    fp = tracked_persist(
+        pre.select("doc_id", F.explode(sel).alias("fp"))
+    )
+    df_ok = (
+        fp.groupBy("fp")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .filter((F.col("df") >= 2) & (F.col("df") <= max_df))
+        .select("fp")
+    )
+    sets = (
+        fp.join(df_ok, "fp")
+        .groupBy("fp")
+        .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
+    )
+    pair = F.explode(
+        F.flatten(
+            F.transform(
+                F.col("docs"),
+                lambda a: F.transform(
+                    F.filter(F.col("docs"), lambda b: b > a),
+                    lambda b: F.struct(
+                        a.alias("doc_a"), b.alias("doc_b")
+                    ),
+                ),
+            )
+        )
+    )
+    shared = (
+        sets.select(pair.alias("p"))
+        .select("p.doc_a", "p.doc_b")
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= min_shared)
+    )
+    if sort:
+        return presentation_sorted(shared, "doc_a", "doc_b")
+    return shared
 
 
 # --- repetition / PII / corpus composition ------------------------------

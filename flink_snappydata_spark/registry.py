@@ -2180,6 +2180,46 @@ _register(
 )
 
 _register(
+    "winnowing_pairs",
+    ["documents"],
+    textops.winnowing_pairs,
+    rf"""
+    WITH h AS (
+        SELECT doc_id,
+               list_transform(
+                   range(1, greatest(length(text)
+                                     - {textops.FP_WINDOW - 1}, 1) + 1),
+                   i -> ('0x' || substr(md5(substr(text, i,
+                                        {textops.FP_WINDOW})),
+                         1, 15))::BIGINT) AS hs
+        FROM documents),
+    s AS (
+        SELECT doc_id,
+               list_distinct(list_transform(
+                   range(0, greatest(len(hs)
+                                     - {textops.WINNOW_WINDOW}, 0) + 1),
+                   j -> list_min(list_slice(hs, j + 1,
+                                 j + {textops.WINNOW_WINDOW})))) AS sel
+        FROM h),
+    fp AS (SELECT doc_id, unnest(sel) AS fp FROM s),
+    ok AS (SELECT fp FROM fp GROUP BY fp
+           HAVING COUNT(*) BETWEEN 2 AND 16),
+    k AS (SELECT f.doc_id, f.fp FROM fp f JOIN ok USING (fp)),
+    pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+           FROM k a JOIN k b
+             ON a.fp = b.fp AND a.doc_id < b.doc_id)
+    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+    FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
+    ORDER BY doc_a, doc_b
+    """,
+    doc="Partial-copy candidate pairs from shared winnowing "
+        "fingerprints (>= 2 shared, boilerplate fingerprints with "
+        "df > 16 dropped): the local plagiarism detector whole-doc "
+        "MinHash misses; df-filter BEFORE collect_set bounds buckets, "
+        "in-kernel pair expansion, no postings self-join.",
+)
+
+_register(
     "agg_percentile",
     ["orders"],
     relational.agg_percentile,
@@ -6156,7 +6196,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVENTY further round-8 operators landed after the 50-slot
+# SEVENTY-ONE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6177,10 +6217,10 @@ _register(
 # bpe_encode_stats, leakage_safe_split, containment_pairs,
 # seasonal_anomaly, benford_audit, tokenizer_fertility,
 # rolling_active_users, pareto_frontier, ngram_diversity,
-# scd2_state_intervals, winnowing_fingerprints, source_tv_distance.
-# They are
+# scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
+# winnowing_pairs. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 70 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 71 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6322,6 +6362,7 @@ _R9_QUEUE: list[str] = [
     "scd2_state_intervals",
     "winnowing_fingerprints",
     "source_tv_distance",
+    "winnowing_pairs",
 ]
 
 _TAIL: list[str] = []

@@ -2350,3 +2350,73 @@ def test_source_tv_distance_extremes(spark):
     assert ("s1", "s3") not in got  # disjoint: no common word
     assert got[("s1", "s4")] >= 0.5
     assert got[("s3", "s4")] >= 0.5
+
+
+def test_winnowing_postings_plan_keeps_hash_array_named(documents):
+    """The Catalyst hazard pinned: in the postings plan the md5 hash
+    transform must appear ONLY in a Project (computed once per row),
+    never inside the Generate's selection lambda — CollapseProject
+    substituting it into the per-element slice lambda makes the op
+    O(len²) per document (measured 87 s vs 2.5 s at sf0.01)."""
+    from flink_snappydata_spark.pipeline.text import (
+        WINNOW_WINDOW,
+        _winnow_pre,
+    )
+
+    pre, sel = _winnow_pre(documents, WINNOW_WINDOW)
+    plan = (
+        pre.select("doc_id", F.explode(sel).alias("fp"))
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    gen = [ln for ln in plan.splitlines() if "Generate" in ln]
+    assert gen and all("md5" not in ln for ln in gen), plan
+
+
+def test_winnowing_pairs_planted_partial_copy(spark):
+    """A paragraph copied between two otherwise-unrelated long
+    documents must surface as a pair; documents with no shared
+    passage must not pair; a boilerplate passage present in MANY
+    documents must be suppressed by the df cap."""
+    import random
+
+    from flink_snappydata_spark.pipeline.text import winnowing_pairs
+
+    rng = random.Random(42)
+
+    def prose(n):
+        return " ".join(
+            "".join(
+                rng.choice("abcdefghijklmnopqrstuvwxyz")
+                for _ in range(rng.randrange(3, 9))
+            )
+            for _ in range(n)
+        )
+
+    passage = prose(30)
+    boiler = prose(30)
+    rows = [
+        (1, prose(100) + " " + passage + " " + prose(100)),
+        (2, prose(100) + " " + passage + " " + prose(100)),
+        (3, prose(200)),
+    ]
+    rows += [
+        (10 + i, prose(60) + " " + boiler + " " + prose(60))
+        for i in range(25)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.n_shared
+        for r in winnowing_pairs(df, max_df=16).collect()
+    }
+    assert (1, 2) in pairs and pairs[(1, 2)] >= 2
+    assert not any(3 in p for p in pairs)
+    boiler_ids = set(range(10, 35))
+    assert not any(
+        a in boiler_ids and b in boiler_ids for a, b in pairs
+    )

@@ -310,6 +310,7 @@ DEDUP_OPS = {
     ),
     "dedup_simhash": lambda d: D.simhash_dedup_pairs(d),
     "repeated_passages": lambda d: D.repeated_passages(d),
+    "winnowing_pairs": lambda d: T.winnowing_pairs(d, sort=False),
     "dedup_report": lambda d: _curation.dedup_report(d),
     # canonical_pick rides the same pair graph plus a quality-margin
     # scan + cluster argmax — probed here so the keep/drop step has a
