@@ -356,6 +356,109 @@ def audio_stats_table(media: DataFrame) -> DataFrame:
     return media.mapInPandas(_stats, schema=AUDIO_STATS_SCHEMA)
 
 
+def synthesize_wav_gated(documents: DataFrame) -> DataFrame:
+    """:func:`synthesize_wav` variant with PLANTED SILENCE for the
+    silence/trim operator: ``16 + doc_id % 8`` frames, and sample
+    ``i`` is 0 whenever its 4-sample gate is silent
+    (``(i//4 + doc_id) % 2 == 1`` — odd docs START silent, so
+    leading-trim varies), else the same closed-form value as the
+    loud twin. Same real RIFF/WAVE container, same parser."""
+    import struct
+
+    def _synth(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                n = 16 + d % 8
+                vals = [
+                    0
+                    if (i // 4 + d) % 2 == 1
+                    else ((d * 17 + i * 13) % 65536) - 32768
+                    for i in range(n)
+                ]
+                pcm = struct.pack(f"<{n}h", *vals)
+                hdr = (
+                    b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+                    + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+                    + b"data" + struct.pack("<I", len(pcm))
+                )
+                rows.append((d, hdr + pcm))
+            yield pd.DataFrame(rows, columns=["doc_id", "content"])
+
+    return spread(documents.select("doc_id"), "doc_id").mapInPandas(
+        _synth, schema="doc_id long, content binary"
+    )
+
+
+AUDIO_SILENCE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("n_frames", T.LongType()),
+        T.StructField("n_silent", T.LongType()),
+        T.StructField("silence_ratio", T.DoubleType()),
+        T.StructField("lead_trim", T.LongType()),
+        T.StructField("tail_trim", T.LongType()),
+    ]
+)
+
+
+def audio_silence_stats(
+    media: DataFrame, frame: int = 4, threshold: int = 1
+) -> DataFrame:
+    """Silence profile + trim points per audio payload — the standard
+    preprocessing decision for speech corpora ("how much of this clip
+    is dead air, and where does the signal actually start/end")
+    computed WITHOUT re-reading the audio twice: decode and
+    frame-level analysis run fused in one Arrow-batched pass, so each
+    payload crosses exactly one stage boundary (the
+    decode+resize-fusion rule from the image path,
+    ``image_decode_resize_fused``).
+
+    Frames are non-overlapping runs of ``frame`` channel-0 samples
+    (final partial frame included); a frame is silent when every
+    ``|sample| < threshold``. Returns per document the frame count,
+    silent-frame count and ratio, and the first/last non-silent frame
+    indexes (``-1`` when the whole clip is silence).
+
+    Scale: mapInPandas over the binary column — per-row work linear in
+    payload size, no shuffle at all; the synthesized-fixture registry
+    twin is hash-checked against a closed-form arithmetic oracle
+    (every sample value is a formula of (doc_id, i), so DuckDB
+    reproduces the decoded stats without parsing a byte).
+    """
+
+    def _stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for doc_id, content in zip(pdf["doc_id"], pdf["content"]):
+                a = decode_audio(bytes(content))
+                ch0 = a["samples"][0]
+                loud = []
+                n_frames = (len(ch0) + frame - 1) // frame
+                for k in range(n_frames):
+                    fr = ch0[k * frame : (k + 1) * frame]
+                    loud.append(any(abs(v) >= threshold for v in fr))
+                n_silent = sum(1 for x in loud if not x)
+                loud_idx = [k for k, x in enumerate(loud) if x]
+                rows.append(
+                    (
+                        int(doc_id),
+                        n_frames,
+                        n_silent,
+                        n_silent / n_frames,
+                        loud_idx[0] if loud_idx else -1,
+                        loud_idx[-1] if loud_idx else -1,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[f.name for f in AUDIO_SILENCE_SCHEMA.fields],
+            )
+
+    return media.mapInPandas(_stats, schema=AUDIO_SILENCE_SCHEMA)
+
+
 def decode_video(content: bytes) -> dict:
     """Pure-Python AVI decode (uncompressed subset): RIFF/``AVI `` with
     an ``hdrl`` main header (``avih``: dims + declared frame count) and

@@ -2819,6 +2819,41 @@ _register(
 )
 
 _register(
+    "audio_silence_stats",
+    ["documents"],
+    lambda documents: multimodal.audio_silence_stats(
+        multimodal.synthesize_wav_gated(documents)
+    ).orderBy("doc_id"),
+    """
+    WITH s AS (
+        SELECT d.doc_id, u.i, (u.i // 4) AS frame,
+               CASE WHEN ((u.i // 4) + d.doc_id) % 2 = 1 THEN 0
+                    ELSE ((d.doc_id * 17 + u.i * 13) % 65536) - 32768
+               END AS v
+        FROM documents d,
+             LATERAL (SELECT UNNEST(range(0, 16 + d.doc_id % 8)) AS i)
+                 u),
+    f AS (SELECT doc_id, frame,
+                 CASE WHEN MAX(abs(v)) >= 1 THEN 1 ELSE 0 END AS loud
+          FROM s GROUP BY 1, 2)
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_frames,
+           CAST(SUM(1 - loud) AS BIGINT) AS n_silent,
+           CAST(SUM(1 - loud) AS DOUBLE) / COUNT(*) AS silence_ratio,
+           CAST(COALESCE(MIN(CASE WHEN loud = 1 THEN frame END), -1)
+                AS BIGINT) AS lead_trim,
+           CAST(COALESCE(MAX(CASE WHEN loud = 1 THEN frame END), -1)
+                AS BIGINT) AS tail_trim
+    FROM f GROUP BY doc_id ORDER BY doc_id
+    """,
+    doc="Audio silence profile + trim points: gated synthesized WAV "
+        "(odd docs start silent) decoded by the real parser, frame "
+        "RMS-gate analysis fused in the same Arrow pass (one stage "
+        "boundary per payload); closed-form arithmetic oracle — "
+        "DuckDB reproduces every decoded sample from (doc_id, i).",
+)
+
+_register(
     "video_decode_stats",
     ["documents"],
     lambda documents: multimodal.video_stats_table(
@@ -6196,7 +6231,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVENTY-ONE further round-8 operators landed after the 50-slot
+# SEVENTY-TWO further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6218,9 +6253,9 @@ _register(
 # seasonal_anomaly, benford_audit, tokenizer_fertility,
 # rolling_active_users, pareto_frontier, ngram_diversity,
 # scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
-# winnowing_pairs. They are
+# winnowing_pairs, audio_silence_stats. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 71 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 72 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6363,6 +6398,7 @@ _R9_QUEUE: list[str] = [
     "winnowing_fingerprints",
     "source_tv_distance",
     "winnowing_pairs",
+    "audio_silence_stats",
 ]
 
 _TAIL: list[str] = []

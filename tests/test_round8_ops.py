@@ -2420,3 +2420,57 @@ def test_winnowing_pairs_planted_partial_copy(spark):
     assert not any(
         a in boiler_ids and b in boiler_ids for a, b in pairs
     )
+
+
+def test_audio_silence_stats_known_values(spark):
+    """Hand-computed gated-WAV cases: even doc starts loud (lead 0),
+    odd doc starts silent (lead 1); ratios and frame counts follow
+    n = 16 + doc_id % 8 with 4-sample gates."""
+    from flink_snappydata_spark.pipeline.multimodal import (
+        audio_silence_stats,
+        synthesize_wav_gated,
+    )
+
+    df = spark.createDataFrame(
+        [(0,), (1,), (4,)], "doc_id long"
+    )
+    got = {
+        r.doc_id: r
+        for r in audio_silence_stats(
+            synthesize_wav_gated(df)
+        ).collect()
+    }
+    # doc 0: n=16, 4 frames, gates L S L S -> silent 2, lead 0, tail 2
+    assert (got[0].n_frames, got[0].n_silent) == (4, 2)
+    assert (got[0].lead_trim, got[0].tail_trim) == (0, 2)
+    assert got[0].silence_ratio == 0.5
+    # doc 1: n=17, 5 frames (last has 1 sample), gates S L S L S
+    assert (got[1].n_frames, got[1].n_silent) == (5, 3)
+    assert (got[1].lead_trim, got[1].tail_trim) == (1, 3)
+    # doc 4: n=20, 5 frames, gates L S L S L -> silent 2, tail 4
+    assert (got[4].n_frames, got[4].n_silent) == (5, 2)
+    assert (got[4].lead_trim, got[4].tail_trim) == (0, 4)
+
+
+def test_audio_silence_all_silent_clip(spark):
+    """A fully-silent payload must report ratio 1.0 and -1 trims —
+    exercised through the real WAV container, not the synth gate."""
+    import struct
+
+    from flink_snappydata_spark.pipeline.multimodal import (
+        audio_silence_stats,
+    )
+
+    pcm = struct.pack("<8h", *([0] * 8))
+    wav = (
+        b"RIFF" + struct.pack("<I", 36 + len(pcm)) + b"WAVE"
+        + b"fmt " + struct.pack("<IHHIIHH", 16, 1, 1, 8000, 16000, 2, 16)
+        + b"data" + struct.pack("<I", len(pcm)) + pcm
+    )
+    df = spark.createDataFrame(
+        [(7, bytearray(wav))], "doc_id long, content binary"
+    )
+    r = audio_silence_stats(df).collect()[0]
+    assert (r.n_frames, r.n_silent) == (2, 2)
+    assert r.silence_ratio == 1.0
+    assert (r.lead_trim, r.tail_trim) == (-1, -1)
