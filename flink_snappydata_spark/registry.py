@@ -6126,6 +6126,42 @@ def _drift_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``scd2_state_intervals`` under
+    the full correctness gate — the continuously-maintained
+    point-in-time dimension: the events fixture arrives as a 4-file
+    stream (maxFilesPerTrigger=1 → 4 micro-batches, hash-distributed
+    so runs interleave across batches), each batch lands its
+    column-pruned events via foreachBatch, and the returned frame
+    builds the SCD2 intervals from the accumulated state —
+    row-identical to the batch op (the build sorts per user by
+    (ts, event_id), so batching order cannot matter) and the batch
+    oracle applies verbatim. State torn down via
+    :func:`_stream_state_scored`."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "scd2",
+        ["events"],
+        stream_windows.streaming_scd2_ingest,
+        stream_windows.scd2_from_state,
+    )
+
+
+QUERIES["scd2_streamed"] = QuerySpec(
+    fn=_scd2_streamed,
+    oracle=QUERIES["scd2_state_intervals"].oracle,
+    doc="Streaming-ingest SCD2 dimension: column-pruned events land "
+        "per micro-batch into a queryable catalog table (raw log IS "
+        "the minimal sufficient state — intervals are not mergeable "
+        "under cross-batch time interleaving), interval build at "
+        "query time — the stream→table loop on the dimension side.",
+)
+
+
 QUERIES["drift_streamed"] = QuerySpec(
     fn=_drift_streamed,
     oracle=QUERIES["ks_drift"].oracle,
@@ -6231,7 +6267,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVENTY-TWO further round-8 operators landed after the 50-slot
+# SEVENTY-THREE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6253,9 +6289,9 @@ _register(
 # seasonal_anomaly, benford_audit, tokenizer_fertility,
 # rolling_active_users, pareto_frontier, ngram_diversity,
 # scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
-# winnowing_pairs, audio_silence_stats. They are
+# winnowing_pairs, audio_silence_stats, scd2_streamed. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 72 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 73 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6399,6 +6435,7 @@ _R9_QUEUE: list[str] = [
     "source_tv_distance",
     "winnowing_pairs",
     "audio_silence_stats",
+    "scd2_streamed",
 ]
 
 _TAIL: list[str] = []

@@ -415,3 +415,57 @@ def drift_from_state(spark, partials_table: str) -> DataFrame:
         .agg(F.sum("ca").alias("ca"), F.sum("cb").alias("cb"))
     )
     return _ks_from_merged(merged)
+
+
+def streaming_scd2_ingest(
+    stream_events: DataFrame,
+    events_table: str,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest twin of
+    :func:`operators.analytic.scd2_state_intervals` — the
+    stream→queryable-table loop as a continuously-maintained
+    point-in-time DIMENSION: micro-batches land, and any OLAP reader
+    gets the current SCD2 interval set via :func:`scd2_from_state`.
+
+    State choice (why raw events, not per-batch runs): SCD2 intervals
+    are NOT incrementally mergeable under cross-batch event-time
+    interleaving — a later micro-batch can land an event BETWEEN two
+    already-merged same-state events, splitting their run, so
+    run-level partials are not a sufficient statistic. The minimal
+    sufficient state is the COLUMN-PRUNED event log: each batch lands
+    only ``(user_id, event_id, ts, event_type)`` (value/props never
+    ingested), and the interval build runs at read over the user-keyed
+    fold. Rides :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition — idempotent.
+    """
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(events_table, None)],
+        prepare=lambda b: b.select(
+            "user_id", "event_id", "ts", "event_type"
+        ),
+        checkpoint=checkpoint,
+    )
+
+
+def scd2_from_state(spark, events_table: str) -> DataFrame:
+    """Current SCD2 dimension from the event log accumulated by
+    :func:`streaming_scd2_ingest`: exactly the batch interval build
+    over the folded state — batching order is irrelevant because the
+    build sorts per user by (ts, event_id), so after a bounded stream
+    drains the result is row-identical to the batch op and the batch
+    oracle applies verbatim. ``batch_id`` is ingest lineage, not
+    state — dropped here."""
+    from flink_snappydata_spark.operators.analytic import (
+        scd2_state_intervals,
+    )
+
+    return scd2_state_intervals(
+        spark.table(events_table).drop("batch_id")
+    )

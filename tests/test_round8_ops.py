@@ -2474,3 +2474,23 @@ def test_audio_silence_all_silent_clip(spark):
     assert (r.n_frames, r.n_silent) == (2, 2)
     assert r.silence_ratio == 1.0
     assert (r.lead_trim, r.tail_trim) == (-1, -1)
+
+
+def test_scd2_streamed_equals_batch_after_drain(spark, events):
+    """The streamed SCD2 dimension must be row-identical to the batch
+    interval build once the bounded 4-micro-batch stream drains —
+    the fixture replay hash-distributes rows, so user runs interleave
+    across batches and the raw-log-state claim is actually
+    exercised."""
+    from flink_snappydata_spark.operators.analytic import (
+        scd2_state_intervals,
+    )
+    from flink_snappydata_spark.registry import _scd2_streamed
+
+    got = sorted(
+        tuple(r) for r in _scd2_streamed(spark, SF).collect()
+    )
+    want = sorted(
+        tuple(r) for r in scd2_state_intervals(events).collect()
+    )
+    assert got == want
