@@ -1408,3 +1408,90 @@ def scd2_state_intervals(events: DataFrame, sort: bool = True) -> DataFrame:
             out, "user_id", "version", expect_small=False
         )
     return out
+
+
+def type_lag_correlation(
+    events: DataFrame, max_lag: int = 3
+) -> DataFrame:
+    """Exact lagged cross-correlation between event types' DAILY
+    COUNTS: for every ordered type pair (a, b) and lag ``L`` in
+    ``0..max_lag`` days, the Pearson correlation of (count of a on
+    day d, count of b on day d+L) — "does `error` today predict
+    `churn` in three days?", with the diagonal (a == b, L ≥ 1) giving
+    each type's own autocorrelation. The lead/lag direction matters,
+    so ordered pairs are emitted (a's today vs b's future).
+
+    Missing days count as ZERO (a silent day is signal, not a gap):
+    the correlation runs over the dense type × day grid, restricted
+    per lag to days where both d and d+L lie inside the observed
+    range. Days with no events at all for any type still appear as
+    zero rows via the dense grid.
+
+    Exactness: counts are int64; the five sufficient statistics
+    Σx Σy Σxy Σx² Σy² accumulate in DECIMAL(38,0) (the
+    `trend_regression` idiom) and only the final closed-form
+    (num/√·√·) runs in doubles with the same expression shape both
+    engines. Zero variance on either side emits r = 0.0.
+
+    Scale: ONE corpus-sized shuffle (the (type, day) count groupBy,
+    map-side combined); the dense grid, the per-lag day shift join,
+    and the pair algebra all run on the (types × days)-sized frame —
+    calendar-bounded, never event-bounded.
+    """
+    day = (
+        F.unix_seconds(
+            F.date_trunc("day", F.col("ts")).cast("timestamp")
+        )
+        / 86400
+    ).cast("long")
+    counts = events.select(
+        F.col("event_type").alias("t"), day.alias("d")
+    ).groupBy("t", "d").agg(F.count(F.lit(1)).alias("c"))
+    bounds = counts.agg(
+        F.min("d").alias("d0"), F.max("d").alias("d1")
+    )
+    types = counts.select("t").distinct()
+    days = bounds.select(
+        F.explode(F.sequence(F.col("d0"), F.col("d1"))).alias("d")
+    )
+    grid = (
+        types.crossJoin(days)
+        .join(counts, ["t", "d"], "left")
+        .select("t", "d", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    lags = types.sparkSession.range(0, max_lag + 1).select(
+        F.col("id").alias("lag")
+    )
+    a = grid.select(
+        F.col("t").alias("type_a"), "d", F.col("c").alias("x")
+    ).crossJoin(F.broadcast(lags))
+    b = grid.select(
+        F.col("t").alias("type_b"),
+        F.col("d").alias("db"),
+        F.col("c").alias("y"),
+    )
+    dec = "decimal(38,0)"
+    joined = a.join(
+        b, (F.col("d") + F.col("lag")) == F.col("db")
+    )
+    stats = joined.groupBy("type_a", "type_b", "lag").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum(F.col("x").cast(dec)).alias("sx"),
+        F.sum(F.col("y").cast(dec)).alias("sy"),
+        F.sum((F.col("x") * F.col("y")).cast(dec)).alias("sxy"),
+        F.sum((F.col("x") * F.col("x")).cast(dec)).alias("sxx"),
+        F.sum((F.col("y") * F.col("y")).cast(dec)).alias("syy"),
+    )
+    n = F.col("n_days").cast(dec)
+    vx = n * F.col("sxx") - F.col("sx") * F.col("sx")
+    vy = n * F.col("syy") - F.col("sy") * F.col("sy")
+    num = n * F.col("sxy") - F.col("sx") * F.col("sy")
+    r = F.when(
+        (vx > 0) & (vy > 0),
+        num.cast("double")
+        / (F.sqrt(vx.cast("double")) * F.sqrt(vy.cast("double"))),
+    ).otherwise(F.lit(0.0))
+    return (
+        stats.select("type_a", "type_b", "lag", "n_days", r.alias("r"))
+        .orderBy("type_a", "type_b", "lag")
+    )

@@ -5423,6 +5423,53 @@ _register(
 )
 
 _register(
+    "type_lag_correlation",
+    ["events"],
+    analytic.type_lag_correlation,
+    """
+    WITH counts AS (
+        SELECT event_type AS t,
+               CAST(epoch_us(date_trunc('day', ts)) // 86400000000
+                    AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2),
+    b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM counts),
+    days AS (SELECT UNNEST(range((SELECT d0 FROM b),
+                                 (SELECT d1 FROM b) + 1)) AS d),
+    types AS (SELECT DISTINCT t FROM counts),
+    grid AS (SELECT ty.t, dy.d, COALESCE(c.c, 0) AS c
+             FROM types ty CROSS JOIN days dy
+             LEFT JOIN counts c ON c.t = ty.t AND c.d = dy.d),
+    lags AS (SELECT UNNEST(range(0, 4)) AS lag),
+    j AS (SELECT a.t AS type_a, bb.t AS type_b, l.lag,
+                 a.c AS x, bb.c AS y
+          FROM grid a CROSS JOIN lags l
+          JOIN grid bb ON bb.d = a.d + l.lag),
+    s AS (SELECT type_a, type_b, lag,
+                 CAST(COUNT(*) AS BIGINT) AS n_days,
+                 SUM(CAST(x AS HUGEINT)) AS sx,
+                 SUM(CAST(y AS HUGEINT)) AS sy,
+                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
+                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
+                 SUM(CAST(y AS HUGEINT) * y) AS syy
+          FROM j GROUP BY 1, 2, 3)
+    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n_days,
+           CASE WHEN (n_days * sxx - sx * sx) > 0
+                 AND (n_days * syy - sy * sy) > 0
+                THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
+                     / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                        * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
+                ELSE 0.0 END AS r
+    FROM s ORDER BY type_a, type_b, lag
+    """,
+    doc="Exact lagged cross-correlation of per-type daily counts "
+        "(lags 0-3; diagonal = autocorrelation): one map-side-combined "
+        "(type, day) count shuffle, dense-grid zeros, DECIMAL(38,0) "
+        "sufficient statistics, one double closed-form per "
+        "(pair, lag).",
+)
+
+_register(
     "scd2_state_intervals",
     ["events"],
     analytic.scd2_state_intervals,
@@ -6267,7 +6314,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVENTY-THREE further round-8 operators landed after the 50-slot
+# SEVENTY-FOUR further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6289,9 +6336,10 @@ _register(
 # seasonal_anomaly, benford_audit, tokenizer_fertility,
 # rolling_active_users, pareto_frontier, ngram_diversity,
 # scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
-# winnowing_pairs, audio_silence_stats, scd2_streamed. They are
+# winnowing_pairs, audio_silence_stats, scd2_streamed,
+# type_lag_correlation. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 73 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 74 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6436,6 +6484,7 @@ _R9_QUEUE: list[str] = [
     "winnowing_pairs",
     "audio_silence_stats",
     "scd2_streamed",
+    "type_lag_correlation",
 ]
 
 _TAIL: list[str] = []

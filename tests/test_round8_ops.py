@@ -2494,3 +2494,56 @@ def test_scd2_streamed_equals_batch_after_drain(spark, events):
         tuple(r) for r in scd2_state_intervals(events).collect()
     )
     assert got == want
+
+
+def test_type_lag_correlation_matches_numpy(events):
+    """Every (pair, lag) r must match numpy's Pearson over the dense
+    zero-filled daily-count grid, lag-0 self-correlation must be
+    exactly 1, and symmetric pairs must satisfy r(a,b,0) ==
+    r(b,a,0)."""
+    import numpy as np
+
+    from flink_snappydata_spark.operators.analytic import (
+        type_lag_correlation,
+    )
+
+    pdf = events.select(
+        F.col("event_type").alias("t"),
+        (
+            F.unix_seconds(
+                F.date_trunc("day", F.col("ts")).cast("timestamp")
+            )
+            / 86400
+        )
+        .cast("long")
+        .alias("d"),
+    ).toPandas()
+    d0, d1 = pdf.d.min(), pdf.d.max()
+    days = np.arange(d0, d1 + 1)
+    series = {
+        t: np.array(
+            [((pdf.t == t) & (pdf.d == d)).sum() for d in days],
+            dtype=np.int64,
+        )
+        for t in sorted(pdf.t.unique())
+    }
+    got = {
+        (r.type_a, r.type_b, r.lag): r
+        for r in type_lag_correlation(events).collect()
+    }
+    for ta, x in series.items():
+        for tb, y in series.items():
+            for lag in range(4):
+                xx = x[: len(days) - lag] if lag else x
+                yy = y[lag:] if lag else y
+                r = got[(ta, tb, lag)]
+                assert r.n_days == len(xx)
+                if xx.std() == 0 or yy.std() == 0:
+                    assert r.r == 0.0
+                else:
+                    want = np.corrcoef(xx, yy)[0, 1]
+                    assert abs(r.r - want) < 1e-12
+    for ta in series:
+        assert abs(got[(ta, ta, 0)].r - 1.0) < 1e-12
+        for tb in series:
+            assert got[(ta, tb, 0)].r == got[(tb, ta, 0)].r

@@ -275,6 +275,7 @@ EVENT_OPS = {
     "scd2_state_intervals": lambda v: A.scd2_state_intervals(
         v, sort=False
     ),
+    "type_lag_correlation": lambda v: A.type_lag_correlation(v),
 }
 
 
