@@ -2162,6 +2162,60 @@ def tokenizer_fertility(
     ).orderBy("lang")
 
 
+def source_token_entropy(documents: DataFrame) -> DataFrame:
+    """Quantized Shannon entropy of each source's token distribution —
+    the concentration diagnostic that separates "ten templates looping"
+    (low entropy) from genuinely varied text (high), complementing
+    :func:`source_tv_distance` (BETWEEN-source drift) with a
+    WITHIN-source measure.
+
+    Entropy is quantized to exact integer BITS (the
+    :func:`unigram_surprisal` device): token ``w`` with count ``c_w``
+    of ``N`` contributes ``c_w · (floor(log2 N) − floor(log2 c_w))``,
+    an int64 sum that is order-free and engine-exact (``bin()``-length
+    arithmetic, no float logs); ``entropy_bits`` is ONE final int/int
+    double division, within 1 bit of true Shannon entropy.
+
+    Returns ``(source, n_tokens, n_distinct, bits_sum,
+    entropy_bits)`` in source order.
+
+    Scale: one map-side-combined (source, word) histogram — the only
+    corpus-sized shuffle — then per-source totals (a |sources|-row
+    broadcast) joined back; no tf⋈vocab join exists here, so no
+    stopword-skew machinery is needed (the histogram's own keys are
+    (source, word), ≤ one row per pair by construction).
+    """
+    w = documents.select(
+        "source", F.explode(_words(F.col("text"))).alias("word")
+    )
+    hist = w.groupBy("source", "word").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    tot = hist.groupBy("source").agg(
+        F.sum("c").alias("n"), F.count(F.lit(1)).alias("n_distinct")
+    )
+    bits = _floor_log2(F.col("n")) - _floor_log2(F.col("c"))
+    per = (
+        hist.join(F.broadcast(tot), "source")
+        .groupBy("source")
+        .agg(F.sum(F.col("c") * bits).alias("bits_sum"))
+    )
+    return (
+        per.join(F.broadcast(tot), "source")
+        .select(
+            "source",
+            F.col("n").alias("n_tokens"),
+            "n_distinct",
+            "bits_sum",
+            (
+                F.col("bits_sum").cast("double")
+                / F.col("n").cast("double")
+            ).alias("entropy_bits"),
+        )
+        .orderBy("source")
+    )
+
+
 def source_tv_distance(documents: DataFrame) -> DataFrame:
     """Pairwise total-variation distance between per-source unigram
     word distributions: ``TV(a,b) = ½ Σ_w |p_a(w) − p_b(w)|`` for

@@ -4394,6 +4394,36 @@ _register(
 )
 
 _register(
+    "source_token_entropy",
+    ["documents"],
+    textops.source_token_entropy,
+    r"""
+    WITH w AS (SELECT source,
+                      unnest(list_filter(
+                          string_split_regex(lower(text), '\W+'),
+                          x -> x <> '')) AS word
+               FROM documents),
+    h AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
+          FROM w GROUP BY 1, 2),
+    t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
+                 CAST(COUNT(*) AS BIGINT) AS n_distinct
+          FROM h GROUP BY 1),
+    p AS (SELECT h.source,
+                 CAST(SUM(c * (length(bin(n)) - length(bin(c))))
+                      AS BIGINT) AS bits_sum
+          FROM h JOIN t USING (source) GROUP BY 1)
+    SELECT source, n AS n_tokens, n_distinct, bits_sum,
+           CAST(bits_sum AS DOUBLE) / CAST(n AS DOUBLE)
+               AS entropy_bits
+    FROM p JOIN t USING (source) ORDER BY source
+    """,
+    doc="Quantized per-source Shannon entropy in exact integer bits "
+        "(bin()-length arithmetic, no float logs): the within-source "
+        "concentration diagnostic; one corpus-sized histogram shuffle, "
+        "totals broadcast, one double division per source.",
+)
+
+_register(
     "source_tv_distance",
     ["documents"],
     textops.source_tv_distance,
@@ -6314,7 +6344,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVENTY-FOUR further round-8 operators landed after the 50-slot
+# SEVENTY-FIVE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6337,9 +6367,9 @@ _register(
 # rolling_active_users, pareto_frontier, ngram_diversity,
 # scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
 # winnowing_pairs, audio_silence_stats, scd2_streamed,
-# type_lag_correlation. They are
+# type_lag_correlation, source_token_entropy. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 74 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 75 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6485,6 +6515,7 @@ _R9_QUEUE: list[str] = [
     "audio_silence_stats",
     "scd2_streamed",
     "type_lag_correlation",
+    "source_token_entropy",
 ]
 
 _TAIL: list[str] = []

@@ -2547,3 +2547,66 @@ def test_type_lag_correlation_matches_numpy(events):
         assert abs(got[(ta, ta, 0)].r - 1.0) < 1e-12
         for tb in series:
             assert got[(ta, tb, 0)].r == got[(tb, ta, 0)].r
+
+
+def test_source_token_entropy_matches_naive_and_bounds(documents):
+    """bits_sum must equal the naive python fold of
+    c·(⌊log2 N⌋ − ⌊log2 c⌋) over the same tokenization; quantized
+    entropy must sit within 1 bit of true Shannon entropy and inside
+    [0, ⌊log2 N⌋]."""
+    import math
+    import re as _re
+    from collections import Counter, defaultdict
+
+    from flink_snappydata_spark.pipeline.text import (
+        source_token_entropy,
+    )
+
+    cnt = defaultdict(Counter)
+    for r in documents.select("source", "text").collect():
+        cnt[r.source].update(
+            x for x in _re.split(r"\W+", r.text.lower()) if x
+        )
+    got = {r.source: r for r in source_token_entropy(documents).collect()}
+    assert set(got) == set(cnt)
+    for s, c in cnt.items():
+        n = sum(c.values())
+        want_bits = sum(
+            v * (n.bit_length() - 1 - (v.bit_length() - 1))
+            for v in c.values()
+        )
+        r = got[s]
+        assert r.n_tokens == n
+        assert r.n_distinct == len(c)
+        assert r.bits_sum == want_bits
+        assert r.entropy_bits == want_bits / n
+        true_h = -sum(
+            (v / n) * math.log2(v / n) for v in c.values()
+        )
+        assert abs(r.entropy_bits - true_h) <= 1.0
+        assert 0.0 <= r.entropy_bits <= n.bit_length() - 1
+
+
+def test_source_token_entropy_separates_template_from_organic(spark):
+    """A looping-template source must score materially lower entropy
+    than an organic source of the same token volume."""
+    from flink_snappydata_spark.pipeline.text import (
+        source_token_entropy,
+    )
+
+    rows = [
+        (i, "the same ten words repeat here again and again ok fine",
+         "template")
+        for i in range(40)
+    ] + [
+        (100 + i, " ".join(f"tok{i}n{j}" for j in range(10)), "organic")
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", s, len(t)) for i, t, s in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    e = {r.source: r.entropy_bits
+         for r in source_token_entropy(df).collect()}
+    assert e["organic"] - e["template"] >= 3.0

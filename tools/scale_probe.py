@@ -229,6 +229,11 @@ OPS = {
     "winnowing_fingerprints": lambda d, e: T.winnowing_fingerprints(
         d, sort=False
     ),
+    "source_token_entropy": lambda d, e: T.source_token_entropy(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        )
+    ),
     "source_tv_distance": lambda d, e: T.source_tv_distance(
         d.withColumn(
             "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
