@@ -1332,3 +1332,58 @@ def pareto_frontier(part: DataFrame, n_cells: int = 4096) -> DataFrame:
         )
         .orderBy("p_partkey")
     )
+
+
+def weighted_median_price(lineitem: DataFrame) -> DataFrame:
+    """Exact quantity-weighted median line price per return flag: the
+    smallest price whose cumulative quantity weight reaches half the
+    group's total (the lower weighted median) — the robust "typical
+    traded price" a plain median (row-weighted) and mean (outlier-
+    dragged) both misstate. Prices are exact integer cents; the
+    half-total comparison is rational (``2·cum ≥ total``), so no
+    division touches the selection.
+
+    Returns ``(l_returnflag, total_weight, median_cents,
+    median_price)`` in flag order.
+
+    Scale: collapses FIRST to per-(flag, price) weight sums (one
+    map-side-combined shuffle, bounded by flags × distinct prices);
+    the cumulative weight rides
+    :func:`~flink_snappydata_spark.util.cell_prefix_sums` — the
+    two-phase value-cell prefix, so no window task ever holds a whole
+    flag's price histogram (the naive
+    ``Window.partitionBy(flag).orderBy(price)`` would funnel each
+    flag's distinct prices through one task); group totals broadcast
+    (3 flags), and the argmin-over-qualifying is a flags-sized
+    aggregation.
+    """
+    from flink_snappydata_spark.util import cell_prefix_sums
+
+    per_value = (
+        lineitem.select(
+            F.col("l_returnflag").alias("flag"),
+            cents("l_extendedprice").alias("v"),
+            F.col("l_quantity").cast("long").alias("w"),
+        )
+        .groupBy("flag", "v")
+        .agg(F.sum("w").alias("w"))
+    )
+    cum = cell_prefix_sums(per_value, "v", ["w"], partition_cols=("flag",))
+    tot = per_value.groupBy("flag").agg(F.sum("w").alias("tw"))
+    return (
+        cum.join(F.broadcast(tot), "flag")
+        .groupBy("flag")
+        .agg(
+            F.min("tw").alias("total_weight"),
+            F.min(
+                F.when(2 * F.col("cum_w") >= F.col("tw"), F.col("v"))
+            ).alias("median_cents"),
+        )
+        .select(
+            F.col("flag").alias("l_returnflag"),
+            "total_weight",
+            "median_cents",
+            (F.col("median_cents") / 100.0).alias("median_price"),
+        )
+        .orderBy("l_returnflag")
+    )

@@ -893,6 +893,37 @@ _register(
 )
 
 _register(
+    "weighted_median_price",
+    ["lineitem"],
+    relational.weighted_median_price,
+    """
+    WITH b AS (SELECT l_returnflag AS flag,
+                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+                      CAST(l_quantity AS BIGINT) AS w
+               FROM lineitem),
+    pv AS (SELECT flag, v, CAST(SUM(w) AS BIGINT) AS w
+           FROM b GROUP BY 1, 2),
+    c AS (SELECT flag, v,
+                 SUM(w) OVER (PARTITION BY flag ORDER BY v
+                              ROWS UNBOUNDED PRECEDING) AS cw,
+                 SUM(w) OVER (PARTITION BY flag) AS tw
+          FROM pv)
+    SELECT flag AS l_returnflag,
+           CAST(MIN(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+               AS median_cents,
+           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
+               / 100.0 AS median_price
+    FROM c GROUP BY flag ORDER BY l_returnflag
+    """,
+    doc="Exact quantity-weighted median price per return flag (lower "
+        "weighted median, rational 2*cum >= total selection): "
+        "per-(flag, price) weight collapse, cumulative via the "
+        "two-phase cell prefix — no single-task flag-wide window; "
+        "oracle states the naive windowed cumsum.",
+)
+
+_register(
     "pareto_frontier",
     ["part"],
     relational.pareto_frontier,
@@ -6344,7 +6375,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVENTY-FIVE further round-8 operators landed after the 50-slot
+# SEVENTY-SIX further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6367,9 +6398,10 @@ _register(
 # rolling_active_users, pareto_frontier, ngram_diversity,
 # scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
 # winnowing_pairs, audio_silence_stats, scd2_streamed,
-# type_lag_correlation, source_token_entropy. They are
+# type_lag_correlation, source_token_entropy, weighted_median_price.
+# They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 75 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 76 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6516,6 +6548,7 @@ _R9_QUEUE: list[str] = [
     "scd2_streamed",
     "type_lag_correlation",
     "source_token_entropy",
+    "weighted_median_price",
 ]
 
 _TAIL: list[str] = []

@@ -2610,3 +2610,39 @@ def test_source_token_entropy_separates_template_from_organic(spark):
     e = {r.source: r.entropy_bits
          for r in source_token_entropy(df).collect()}
     assert e["organic"] - e["template"] >= 3.0
+
+
+def test_weighted_median_matches_naive_python(spark):
+    """The weighted median must equal the naive expand-and-sort
+    definition (repeat each price w times, take the lower median) on
+    the fixture, per flag."""
+    from flink_snappydata_spark.operators.relational import (
+        weighted_median_price,
+    )
+
+    li = load_table(spark, SF, "lineitem").select(
+        "l_returnflag", "l_extendedprice", "l_quantity"
+    )
+    pdf = li.toPandas()
+    pdf["v"] = (pdf.l_extendedprice * 100).round().astype("int64")
+    pdf["w"] = pdf.l_quantity.astype("int64")
+    got = {
+        r.l_returnflag: r
+        for r in weighted_median_price(li.sparkSession.createDataFrame(pdf))
+        .collect()
+    }
+    for flag, g in pdf.groupby("l_returnflag"):
+        tw = int(g.w.sum())
+        cum = 0
+        med = None
+        for v, w in sorted(
+            g.groupby("v").w.sum().items(), key=lambda kv: kv[0]
+        ):
+            cum += int(w)
+            if 2 * cum >= tw:
+                med = int(v)
+                break
+        r = got[flag]
+        assert r.total_weight == tw
+        assert r.median_cents == med
+        assert r.median_price == med / 100.0
