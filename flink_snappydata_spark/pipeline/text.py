@@ -2162,6 +2162,69 @@ def tokenizer_fertility(
     ).orderBy("lang")
 
 
+def email_domain_stats(
+    documents: DataFrame, synthesize: bool = True
+) -> DataFrame:
+    """Per-domain rollup of email mentions across the corpus — the
+    entity-extraction aggregation behind contact-surface audits and
+    domain-level PII triage ("which domains' addresses leak into this
+    corpus, how often, how widely"): mention count and the EXACT count
+    of distinct documents mentioning each domain.
+
+    Extraction uses :data:`EMAIL_RE` — the backreference-free,
+    lookaround-free pattern chosen for identical Java-regex (Spark) /
+    RE2 (DuckDB) semantics — over lowercased text, so domains
+    normalize; the domain is the suffix after the address's single
+    ``@`` (the pattern admits exactly one).
+
+    Returns ``(domain, n_mentions, n_docs)`` in domain order.
+
+    Scale: extraction is a per-row JVM regexp (no Python); only
+    (doc_id, domain) rows shuffle — never text; the distinct-docs
+    count is the two-stage map-side-combined (domain, doc) fold (no
+    count-distinct expand), and mention counts ride the same
+    pre-deduped frame's sibling aggregation.
+
+    ``synthesize`` plants one deterministic address per document
+    across 7 domains (the `pii_redaction` oracle device) so the
+    fixture exercises the rollup; the oracle applies the identical
+    enrichment in SQL.
+    """
+    if synthesize:
+        documents = documents.withColumn(
+            "text",
+            F.concat(
+                F.col("text"),
+                F.lit(" contact user"),
+                F.col("doc_id").cast("string"),
+                F.lit("@mail"),
+                (F.col("doc_id") % 7).cast("string"),
+                F.lit(".example.com"),
+            ),
+        )
+    mentions = documents.select(
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(
+                F.lower(F.col("text")), F.lit(EMAIL_RE), 0
+            )
+        ).alias("email"),
+    ).select(
+        "doc_id", F.substring_index("email", "@", -1).alias("domain")
+    )
+    per_doc = mentions.groupBy("domain", "doc_id").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    return (
+        per_doc.groupBy("domain")
+        .agg(
+            F.sum("c").alias("n_mentions"),
+            F.count(F.lit(1)).alias("n_docs"),
+        )
+        .orderBy("domain")
+    )
+
+
 def source_token_entropy(documents: DataFrame) -> DataFrame:
     """Quantized Shannon entropy of each source's token distribution —
     the concentration diagnostic that separates "ten templates looping"

@@ -4425,6 +4425,37 @@ _register(
 )
 
 _register(
+    "email_domain_stats",
+    ["documents"],
+    textops.email_domain_stats,
+    rf"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
+                    || '.example.com' AS text
+        FROM documents),
+    m AS (SELECT doc_id,
+                 unnest(regexp_extract_all(lower(text),
+                                           '{textops.EMAIL_RE}'))
+                     AS email
+          FROM enriched),
+    d AS (SELECT doc_id, split_part(email, '@', 2) AS domain FROM m),
+    pd AS (SELECT domain, doc_id, CAST(COUNT(*) AS BIGINT) AS c
+           FROM d GROUP BY 1, 2)
+    SELECT domain,
+           CAST(SUM(c) AS BIGINT) AS n_mentions,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pd GROUP BY domain ORDER BY domain
+    """,
+    doc="Per-domain email-mention rollup (entity-extraction audit): "
+        "RE2/Java-parity pattern over lowercased text, deterministic "
+        "7-domain enrichment (the PII-oracle device), only (doc_id, "
+        "domain) rows shuffle, exact distinct docs via the two-stage "
+        "fold.",
+)
+
+_register(
     "source_token_entropy",
     ["documents"],
     textops.source_token_entropy,
@@ -6375,7 +6406,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVENTY-SIX further round-8 operators landed after the 50-slot
+# SEVENTY-SEVEN further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6398,10 +6429,10 @@ _register(
 # rolling_active_users, pareto_frontier, ngram_diversity,
 # scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
 # winnowing_pairs, audio_silence_stats, scd2_streamed,
-# type_lag_correlation, source_token_entropy, weighted_median_price.
-# They are
+# type_lag_correlation, source_token_entropy, weighted_median_price,
+# email_domain_stats. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 76 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 77 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6549,6 +6580,7 @@ _R9_QUEUE: list[str] = [
     "type_lag_correlation",
     "source_token_entropy",
     "weighted_median_price",
+    "email_domain_stats",
 ]
 
 _TAIL: list[str] = []

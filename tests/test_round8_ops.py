@@ -2646,3 +2646,27 @@ def test_weighted_median_matches_naive_python(spark):
         assert r.total_weight == tw
         assert r.median_cents == med
         assert r.median_price == med / 100.0
+
+
+def test_email_domain_stats_known_corpus(spark):
+    """Hand-built corpus: mention counts, exact distinct-doc counts,
+    domain normalization to lowercase, and non-email text ignored."""
+    from flink_snappydata_spark.pipeline.text import email_domain_stats
+
+    rows = [
+        (1, "write A@Corp.COM and b@corp.com plus x@other.org"),
+        (2, "again a@corp.com; not-an-email @nope bare@x"),
+        (3, "nothing here"),
+    ]
+    df = spark.createDataFrame(
+        [(i, t, "en", "s", len(t)) for i, t in rows],
+        "doc_id long, text string, lang string, source string,"
+        " n_chars long",
+    )
+    got = {
+        r.domain: (r.n_mentions, r.n_docs)
+        for r in email_domain_stats(df, synthesize=False).collect()
+    }
+    assert got["corp.com"] == (3, 2)
+    assert got["other.org"] == (1, 1)
+    assert set(got) == {"corp.com", "other.org"}
