@@ -877,6 +877,33 @@ _register(
 )
 
 _register(
+    "join_full_outer",
+    ["customer", "supplier"],
+    relational.full_outer_nation_balance,
+    """
+    WITH c AS (SELECT c_nationkey AS nationkey,
+                      CAST(COUNT(*) AS BIGINT) AS n_cust,
+                      CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
+                           AS BIGINT) AS cust_bal
+               FROM customer WHERE c_acctbal > 9800 GROUP BY 1),
+    s AS (SELECT s_nationkey AS nationkey,
+                 CAST(COUNT(*) AS BIGINT) AS n_supp,
+                 CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
+                      AS BIGINT) AS supp_bal
+          FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
+    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
+           n_cust, cust_bal, n_supp, supp_bal
+    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
+    ORDER BY nationkey
+    """,
+    doc="FULL OUTER equi-join (the declared surface's missing join "
+        "flavor), thresholds chosen so both unmatched sides are "
+        "non-empty on the fixtures; both inputs collapse map-side to "
+        "nation-cardinality frames BEFORE the join (full outer cannot "
+        "broadcast either side).",
+)
+
+_register(
     "set_ops_nations",
     ["customer", "supplier"],
     relational.set_ops_nations,
@@ -6406,7 +6433,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVENTY-SEVEN further round-8 operators landed after the 50-slot
+# SEVENTY-EIGHT further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6430,9 +6457,9 @@ _register(
 # scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
 # winnowing_pairs, audio_silence_stats, scd2_streamed,
 # type_lag_correlation, source_token_entropy, weighted_median_price,
-# email_domain_stats. They are
+# email_domain_stats, join_full_outer. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 77 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 78 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6581,6 +6608,7 @@ _R9_QUEUE: list[str] = [
     "source_token_entropy",
     "weighted_median_price",
     "email_domain_stats",
+    "join_full_outer",
 ]
 
 _TAIL: list[str] = []

@@ -2670,3 +2670,35 @@ def test_email_domain_stats_known_corpus(spark):
     assert got["corp.com"] == (3, 2)
     assert got["other.org"] == (1, 1)
     assert set(got) == {"corp.com", "other.org"}
+
+
+def test_full_outer_join_exercises_both_null_sides(spark):
+    """The full-outer claim: on the fixtures the result must contain
+    nations with premium customers but NO premium suppliers AND
+    nations with premium suppliers but NO premium customers, and
+    matched rows must agree with the per-side aggregates."""
+    from flink_snappydata_spark.operators.relational import (
+        full_outer_nation_balance,
+    )
+
+    cust = load_table(spark, SF, "customer")
+    supp = load_table(spark, SF, "supplier")
+    rows = full_outer_nation_balance(cust, supp).collect()
+    c_only = [r for r in rows if r.n_supp is None]
+    s_only = [r for r in rows if r.n_cust is None]
+    assert c_only and s_only
+    assert all(r.n_cust is not None for r in c_only)
+    n_c = (
+        cust.filter(F.col("c_acctbal") > 9800)
+        .select("c_nationkey")
+        .distinct()
+        .count()
+    )
+    n_s = (
+        supp.filter(F.col("s_acctbal") > 5000)
+        .select("s_nationkey")
+        .distinct()
+        .count()
+    )
+    both = [r for r in rows if r.n_cust is not None and r.n_supp is not None]
+    assert len(rows) == n_c + n_s - len(both)
