@@ -1431,3 +1431,39 @@ def full_outer_nation_balance(
         .select("nationkey", "n_cust", "cust_bal", "n_supp", "supp_bal")
         .orderBy("nationkey")
     )
+
+
+def mode_per_type(events: DataFrame) -> DataFrame:
+    """Exact MODE of the event value per event type — the most
+    frequent value-cent, with a DETERMINISTIC tie-break (highest
+    count, then smallest value) so the result is engine-exact where a
+    bare ``mode()`` aggregate is tie-unstable. Also reports the
+    winning count and the number of distinct values tied at it.
+
+    Returns ``(event_type, mode_cents, mode_count, n_tied)`` in type
+    order.
+
+    Scale: the classic two-stage exact mode — one map-side-combined
+    (type, value) count shuffle bounded by type × distinct values,
+    then a type-keyed max-count fold on that already-collapsed frame
+    joined back (type-co-partitioned) so the tie group is explicit:
+    the winner is its MIN(value) and the tie census its row count —
+    no sort, no window, no argmax ordering-key tricks.
+    """
+    pv = events.select(
+        "event_type", cents("value").alias("v")
+    ).groupBy("event_type", "v").agg(F.count(F.lit(1)).alias("c"))
+    best = pv.groupBy("event_type").agg(
+        F.max("c").alias("mode_count")
+    )
+    return (
+        pv.join(best, "event_type")
+        .filter(F.col("c") == F.col("mode_count"))
+        .groupBy("event_type")
+        .agg(
+            F.min("v").alias("mode_cents"),
+            F.min("mode_count").alias("mode_count"),
+            F.count(F.lit(1)).alias("n_tied"),
+        )
+        .orderBy("event_type")
+    )

@@ -920,6 +920,32 @@ _register(
 )
 
 _register(
+    "agg_mode",
+    ["events"],
+    relational.mode_per_type,
+    """
+    WITH pv AS (SELECT event_type,
+                       CAST(ROUND(value * 100) AS BIGINT) AS v,
+                       CAST(COUNT(*) AS BIGINT) AS c
+                FROM events GROUP BY 1, 2),
+    best AS (SELECT event_type, MAX(c) AS mode_count
+             FROM pv GROUP BY 1)
+    SELECT pv.event_type,
+           CAST(MIN(v) AS BIGINT) AS mode_cents,
+           CAST(MIN(mode_count) AS BIGINT) AS mode_count,
+           CAST(COUNT(*) AS BIGINT) AS n_tied
+    FROM pv JOIN best ON pv.event_type = best.event_type
+                     AND pv.c = best.mode_count
+    GROUP BY 1 ORDER BY 1
+    """,
+    doc="Exact per-type mode of the value cents with deterministic "
+        "tie-break (highest count, then smallest value) plus the tie "
+        "census: two-stage (type, value) count collapse, max-count "
+        "fold joined back, MIN(v) over the explicit tie group — no "
+        "sort, no window.",
+)
+
+_register(
     "weighted_median_price",
     ["lineitem"],
     relational.weighted_median_price,
@@ -6433,7 +6459,7 @@ _register(
 # old after r08 and rotate in r09; every r07 stamp in an untouched
 # module keeps its receipt. Everything else follows in file order.
 #
-# SEVENTY-EIGHT further round-8 operators landed after the 50-slot
+# SEVENTY-NINE further round-8 operators landed after the 50-slot
 # window was already full of mandatory entries (rotation invariant: no
 # displacing the r05 re-stamps or the behavior-changed re-proofs):
 # rollup_multires, random_projection, hard_negatives, pq_adc_topk,
@@ -6457,9 +6483,9 @@ _register(
 # scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
 # winnowing_pairs, audio_silence_stats, scd2_streamed,
 # type_lag_correlation, source_token_entropy, weighted_median_price,
-# email_domain_stats, join_full_outer. They are
+# email_domain_stats, join_full_outer, agg_mode. They are
 # QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 78 now exceed the 50-slot window, so r09 takes the
+# window-mandatory; 79 now exceed the 50-slot window, so r09 takes the
 # first 50 of this queue in order, and r10's window picks up the
 # remainder plus the stale r06 re-stamps within the every-third-round
 # cadence) and are
@@ -6609,6 +6635,7 @@ _R9_QUEUE: list[str] = [
     "weighted_median_price",
     "email_domain_stats",
     "join_full_outer",
+    "agg_mode",
 ]
 
 _TAIL: list[str] = []

@@ -2702,3 +2702,34 @@ def test_full_outer_join_exercises_both_null_sides(spark):
     )
     both = [r for r in rows if r.n_cust is not None and r.n_supp is not None]
     assert len(rows) == n_c + n_s - len(both)
+
+
+def test_agg_mode_matches_naive_and_breaks_ties_low(spark, events):
+    """Mode must equal the naive Counter most-common value per type
+    with ties broken toward the SMALLEST value; tie census verified
+    on a planted all-tied frame."""
+    from collections import Counter, defaultdict
+
+    from flink_snappydata_spark.operators.relational import (
+        mode_per_type,
+    )
+
+    cnt = defaultdict(Counter)
+    for r in events.select("event_type", "value").collect():
+        cnt[r.event_type][round(r.value * 100)] += 1
+    got = {r.event_type: r for r in mode_per_type(events).collect()}
+    assert set(got) == set(cnt)
+    for t, c in cnt.items():
+        top = max(c.values())
+        tied = [v for v, n in c.items() if n == top]
+        assert got[t].mode_count == top
+        assert got[t].mode_cents == min(tied)
+        assert got[t].n_tied == len(tied)
+    planted = spark.createDataFrame(
+        [(i, "2024-01-01 00:00:00", 1, "x", float(v), "{}")
+         for i, v in enumerate([3.0, 1.0, 2.0])],
+        "event_id long, ts string, user_id long, event_type string,"
+        " value double, props string",
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    r = mode_per_type(planted).collect()[0]
+    assert (r.mode_cents, r.mode_count, r.n_tied) == (100, 1, 3)
