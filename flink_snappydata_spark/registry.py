@@ -4480,7 +4480,9 @@ _register(
 _register(
     "email_domain_stats",
     ["documents"],
-    textops.email_domain_stats,
+    # fixture entry opts into the deterministic 7-domain enrichment;
+    # the library default is synthesize=False (real audits stay clean)
+    lambda documents: textops.email_domain_stats(documents, synthesize=True),
     rf"""
     WITH enriched AS (
         SELECT doc_id,
@@ -6408,162 +6410,116 @@ _register(
 # ---------------------------------------------------------------------------
 # The correctness driver verifies registry entries front-to-back with a
 # bounded budget (50 stamps per round). Order therefore encodes
-# verification priority, not implementation grouping. Round-8 window
-# (_HEAD, 50 names), under the round-6 POLICY AMENDMENT (131 queries vs
+# verification priority, not implementation grouping. Round-9 window
+# (_HEAD, 50 names), under the round-6 POLICY AMENDMENT (210 queries vs
 # a 50-stamp budget => every query re-confirmed at least every THIRD
 # round, stalest first, plus anything the round touched; local
-# tests/test_oracle_parity.py still verifies ALL 131 every pytest run,
+# tests/test_oracle_parity.py still verifies ALL 210 every pytest run,
 # so driver-stamp staleness never means unverified code, only an older
 # driver receipt):
 #
-# * slots 1-8: NEW in round 8, never stamped — centroids_streamed (the
-#   third stream→table loop, embedding-side int64 partial sums),
-#   line_dedup (CCNet-style boilerplate line removal), source_doc_cap
-#   (per-source document cap via the two-phase bucket-histogram rank),
-#   wordcount_streamed + dedup_streamed (fourth/fifth stream→table
-#   loops: the reference's signature dataflow, then dedup-at-ingest),
-#   bigram_surprisal (bigram-conditional LM filter), dsir_weights
-#   (DSIR importance reweighting), image_phash_dedup (dHash near-dup
-#   groups across planted multi-resolution payloads);
-# * slots 9-18: green stamps whose BEHAVIOR round 8 changed and must
-#   re-prove — novelty_streamed / mix_streamed (ingest now rides the
-#   shared idempotent batch_id-partition loop), canonical_pick /
-#   epoch_shuffle / tfidf_keywords (presentation sorts gated off in the
-#   registered forms; canonical_pick also builds its default pair graph
-#   unsorted), dedup_report (unsorted default pair graph),
-#   unigram_surprisal (hot-vocabulary broadcast-split word join AND the
-#   registered form now unsorted), image_resize_stats (numpy-gather
-#   resize kernel), text_langid + langid_confusion (Han-script zh
-#   detector);
-# * slots 19-45: ALL 27 queries whose latest stamp is r05 — exactly the
-#   every-third-round cadence (r05→r08): the 22 TPC-H shapes and
-#   agg_percentile/histogram/approx_* + scalar_similarity. Their modules
-#   (operators/relational.py, functions/scalar.py) are untouched since
-#   r05, so these are age-only re-stamps;
-# * slots 46-50: the final late-round-8 additions — gopher_rules
-#   (Gopher rule filter), quality_auc (exact tie-aware ROC AUC),
-#   ccnet_buckets (per-language perplexity terciles), pq_codebook
-#   (integer-L2 product-quantization training), all never stamped so
-#   window-mandatory, plus quality_model_scores, whose stamped body
-#   was refactored this round (the scorer now lives in the shared
-#   _qm_margin helper — behavior identical, but the carrier function's
-#   text changed after its r07 stamp, so it re-proves). These five
-#   displaced the module-touched-but-function-unchanged re-proofs
-#   (image_decode_stats, multimodal_features, seq_packing, shard_stats,
-#   train_val_test_split — r06 stamps, 2 rounds old after r08, rotating
-#   with the r09 stale set), the same displacement rule that dropped
-#   global_index and curation_pipeline / token_budget_mix /
-#   label_centroids earlier in the round.
+# * slots 1-42: ALL 42 queries whose latest stamp is r06 — exactly the
+#   every-third-round cadence (r06→r09): the agg_* battery, the join
+#   family, all scalar_* families, all 6 window_* analytic shapes,
+#   star_join_revenue / broadcast_dim_join / interval_join, the
+#   streaming-adjacent carriers (events_sliding_window,
+#   stream_join_rowlevel, grouped_zscore, mappartitions_identity), the
+#   multimodal/packing/sampling carriers (image_decode_stats,
+#   multimodal_features, seq_packing, global_index, shard_stats,
+#   train_val_test_split, doc_chunking, frequent_tokens), and the
+#   sort/set-op carriers (topk_orders, distinct_pairs, set_ops_nations,
+#   pivot_revenue, subquery_above_nation_avg). Their modules are
+#   untouched since their stamps — age-only re-stamps;
+# * slots 43-50: the 8 highest-value never-stamped queries (round-8
+#   verdict task 3): join_full_outer / agg_mode / weighted_median_price
+#   (the §2-adjacent relational closers) and the 5 unstamped
+#   stream→table twins (cms/ohlc/drift/rollup/scd2_streamed — the
+#   reference's signature continuous-ingest loop, pom.xml:17-21).
 #
-# The 36 remaining r06-stamped queries (+ global_index) are 2 rounds
-# old after r08 and rotate in r09; every r07 stamp in an untouched
-# module keeps its receipt. Everything else follows in file order.
-#
-# SEVENTY-NINE further round-8 operators landed after the 50-slot
-# window was already full of mandatory entries (rotation invariant: no
-# displacing the r05 re-stamps or the behavior-changed re-proofs):
-# rollup_multires, random_projection, hard_negatives, pq_adc_topk,
-# inverted_index, cms_heavy_hitters, pagerank, retention_cohorts,
-# ordered_funnel, events_mad_outliers, source_centroids,
-# embedding_dim_stats, bloom_membership, rollup_streamed,
-# latest_snapshot, timeline_gapfill, percentile_bands, vocab_growth,
-# knn_accuracy, mmr_select, typo_pairs, zorder_key, cms_streamed,
-# event_rate_spikes, equidepth_histogram, readability_scores,
-# session_paths, snapshot_diff, merge_upsert, event_transitions,
-# zonemap_skip_stats, weighted_sample, ohlc_bars, trend_regression,
-# conversion_attribution, table_profile, key_skew_profile, bpe_merges,
-# ohlc_streamed, temperature_mix, user_growth, itemset_pairs,
-# referential_audit, graph_triangles, ks_drift, ab_test_report,
-# activity_heatmap, repeat_purchase_stats, session_conversion,
-# quantile_transform, token_drift_topk, rfm_segments, funnel_latency,
-# activity_gini, embedding_top_pc, zipf_fit, drift_streamed, html_clean,
-# bpe_encode_stats, leakage_safe_split, containment_pairs,
-# seasonal_anomaly, benford_audit, tokenizer_fertility,
-# rolling_active_users, pareto_frontier, ngram_diversity,
-# scd2_state_intervals, winnowing_fingerprints, source_tv_distance,
-# winnowing_pairs, audio_silence_stats, scd2_streamed,
-# type_lag_correlation, source_token_entropy, weighted_median_price,
-# email_domain_stats, join_full_outer, agg_mode. They are
-# QUEUED FIRST for the r09 window (never-stamped ⇒
-# window-mandatory; 79 now exceed the 50-slot window, so r09 takes the
-# first 50 of this queue in order, and r10's window picks up the
-# remainder plus the stale r06 re-stamps within the every-third-round
-# cadence) and are
+# The remaining 71 never-stamped round-8 operators head _R10_QUEUE
+# (never-stamped ⇒ window-mandatory next round; they exceed the 50-slot
+# budget minus this round's 42 mandatory re-stamps, so r10 takes the
+# first 50 of the queue in order and r11 finishes the backlog plus the
+# r07-stamp rotation within the every-third-round cadence). They are
 # fully verified locally every pytest run via test_oracle_parity plus
 # the semantic tests in tests/test_round8_ops.py — driver-stamp
 # pending, not unverified.
 
+#: The round this _HEAD window was built for. The rotation tripwire
+#: (tests/test_oracle_parity.py::test_stamp_rotation_covers_stale_and_
+#: unstamped) computes staleness relative to THIS round, not to
+#: max(stamp files)+1, so the suite a round ships stays green both
+#: before and after the driver writes its CORRECTNESS_r{N}.json — and
+#: goes red only if a round closes without rotating the window.
+_HEAD_ROUND = 9
+
 _HEAD = [
-    # -- new in round 8, never stamped --
-    "centroids_streamed",
-    "line_dedup",
-    "source_doc_cap",
-    "wordcount_streamed",
-    "bigram_surprisal",
-    "dedup_streamed",
-    "dsir_weights",
-    "image_phash_dedup",
-    # -- behavior changed in round 8 --
-    "novelty_streamed",
-    "mix_streamed",
-    "canonical_pick",
-    "epoch_shuffle",
-    "tfidf_keywords",
-    "dedup_report",
-    "unigram_surprisal",
-    "image_resize_stats",
-    "text_langid",
-    "langid_confusion",
-    # -- stalest (r05-stamped): the full 27-query set --
-    "q1_pricing_summary",
-    "q2_min_cost_supplier",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q5_local_supplier_volume",
-    "q6_forecast_revenue",
-    "q7_volume_shipping",
-    "q8_market_share",
-    "q9_product_profit",
-    "q10_returned_items",
-    "q11_important_stock",
-    "q12_priority_shipping",
-    "q13_customer_distribution",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q17_small_quantity_revenue",
-    "q18_large_volume_customer",
-    "q19_discounted_revenue",
-    "q20_excess_suppliers",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "agg_percentile",
-    "agg_histogram",
-    "agg_approx_percentile",
-    "agg_approx_distinct",
-    "scalar_similarity",
-    # -- late round-8 additions (never stamped) + the refactor re-proof --
-    "gopher_rules",
-    "quality_auc",
-    "ccnet_buckets",
-    "pq_codebook",
-    "quality_model_scores",
+    # -- stalest (r06-stamped): the full 42-query set, cadence-mandatory --
+    "agg_cube",
+    "agg_distinct",
+    "agg_grouping_sets",
+    "agg_having",
+    "agg_rollup",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_band",
+    "join_nonequi",
+    "star_join_revenue",
+    "broadcast_dim_join",
+    "interval_join",
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_json",
+    "scalar_array",
+    "scalar_map",
+    "scalar_conditional",
+    "window_rank",
+    "window_running_sum",
+    "window_lag_lead",
+    "window_range_frame",
+    "window_distribution",
+    "topk_orders",
+    "distinct_pairs",
+    "set_ops_nations",
+    "pivot_revenue",
+    "subquery_above_nation_avg",
+    "events_sliding_window",
+    "stream_join_rowlevel",
+    "grouped_zscore",
+    "mappartitions_identity",
+    "image_decode_stats",
+    "multimodal_features",
+    "seq_packing",
+    "global_index",
+    "shard_stats",
+    "train_val_test_split",
+    "doc_chunking",
+    "frequent_tokens",
+    # -- never stamped: the 8 highest-value backlog entries --
+    "join_full_outer",
+    "agg_mode",
+    "weighted_median_price",
+    "cms_streamed",
+    "ohlc_streamed",
+    "drift_streamed",
+    "rollup_streamed",
+    "scd2_streamed",
 ]
 
-#: The r09 stamp queue: the round-8 session's 26 new operators, placed
-#: IMMEDIATELY after the 50-slot window in declaration order so the
-#: next round's front-to-back stamping reaches them first. The rotation
-#: test pins this position (never-stamped overflow must head the
-#: post-window order — budget-bounded verification, nothing buried).
-_R9_QUEUE: list[str] = [
+#: The r10 stamp queue: the 71 still-never-stamped round-8 operators,
+#: placed IMMEDIATELY after the 50-slot window in declaration order so
+#: the next round's front-to-back stamping reaches them first. The
+#: rotation test pins this position (never-stamped overflow must head
+#: the post-window order — budget-bounded verification, nothing buried).
+_R10_QUEUE: list[str] = [
     "rollup_multires",
-    "rollup_streamed",
     "random_projection",
     "hard_negatives",
     "pq_adc_topk",
     "inverted_index",
     "cms_heavy_hitters",
-    "cms_streamed",
     "pagerank",
     "retention_cohorts",
     "ordered_funnel",
@@ -6594,7 +6550,6 @@ _R9_QUEUE: list[str] = [
     "table_profile",
     "key_skew_profile",
     "bpe_merges",
-    "ohlc_streamed",
     "temperature_mix",
     "user_growth",
     "itemset_pairs",
@@ -6607,13 +6562,11 @@ _R9_QUEUE: list[str] = [
     "session_conversion",
     "quantile_transform",
     "token_drift_topk",
-    # late-session additions (never stamped; same window-mandatory rule)
     "rfm_segments",
     "funnel_latency",
     "activity_gini",
     "embedding_top_pc",
     "zipf_fit",
-    "drift_streamed",
     "html_clean",
     "bpe_encode_stats",
     "leakage_safe_split",
@@ -6629,13 +6582,9 @@ _R9_QUEUE: list[str] = [
     "source_tv_distance",
     "winnowing_pairs",
     "audio_silence_stats",
-    "scd2_streamed",
     "type_lag_correlation",
     "source_token_entropy",
-    "weighted_median_price",
     "email_domain_stats",
-    "join_full_outer",
-    "agg_mode",
 ]
 
 _TAIL: list[str] = []
@@ -6643,15 +6592,15 @@ _TAIL: list[str] = []
 
 def _reorder() -> None:
     global QUERIES
-    order = _HEAD + _R9_QUEUE + _TAIL
+    order = _HEAD + _R10_QUEUE + _TAIL
     missing = [n for n in order if n not in QUERIES]
     if missing:  # pragma: no cover - guards registry edits
         raise KeyError(f"unknown registry entries in order lists: {missing}")
     middle = [
-        n for n in QUERIES if n not in _HEAD and n not in _R9_QUEUE and n not in _TAIL
+        n for n in QUERIES if n not in _HEAD and n not in _R10_QUEUE and n not in _TAIL
     ]
     QUERIES = {
-        n: QUERIES[n] for n in _HEAD + _R9_QUEUE + middle + _TAIL
+        n: QUERIES[n] for n in _HEAD + _R10_QUEUE + middle + _TAIL
     }
 
 

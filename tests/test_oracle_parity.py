@@ -174,14 +174,24 @@ def test_stamp_rotation_covers_stale_and_unstamped():
     import json
     import re
 
-    from flink_snappydata_spark.registry import _HEAD, QUERIES
+    from flink_snappydata_spark.registry import _HEAD, _HEAD_ROUND, QUERIES
 
     stamps: dict[str, int] = {}
     for path in sorted(glob.glob("CORRECTNESS_r*.json")):
         rnd = int(re.search(r"r(\d+)", path).group(1))
         for name in json.load(open(path)):
             stamps[name] = max(stamps.get(name, 0), rnd)
-    this_round = max(stamps.values()) + 1
+    # Staleness is computed relative to the round the window was BUILT
+    # for (_HEAD_ROUND), not max(stamp files)+1 — so the suite a round
+    # ships is green for that round both before and after the driver
+    # writes CORRECTNESS_r{N}.json. The window itself must not be
+    # stale: once the driver has stamped _HEAD_ROUND's window, the next
+    # session must rotate before anything else.
+    this_round = _HEAD_ROUND
+    assert _HEAD_ROUND >= max(stamps.values()), (
+        f"_HEAD window built for r{_HEAD_ROUND} but driver stamps reach "
+        f"r{max(stamps.values())}: rotate _HEAD and bump _HEAD_ROUND"
+    )
     window = set(_HEAD)
     never = {n for n in QUERIES if n not in stamps}
     stale = {n for n, r in stamps.items() if n in QUERIES and this_round - r >= 3}
