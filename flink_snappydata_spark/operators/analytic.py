@@ -413,9 +413,11 @@ def seasonal_anomaly(events: DataFrame, z: int = 2) -> DataFrame:
     crosses engines). The z-test is exact int64 arithmetic: with
     baseline count n, sum S, and sum-of-squares Q over the slot's
     cells, the flag is ``(n·x − S)² > z²·(n·Q − S²)`` — both sides
-    integers, so the comparison is engine-identical (exact up to
-    per-cell counts ~1e8; beyond that the products need the DOUBLE
-    z-form). A slot seen once can never flag (0 > 0). The baseline is
+    integers — the products run in DECIMAL(38,0) (the
+    `type_lag_correlation` sufficient-statistic pattern) so the
+    comparison stays exact at any realistic scale instead of silently
+    wrapping int64 past per-cell counts ~1e8 in non-ANSI Spark. A slot
+    seen once can never flag (0 > 0). The baseline is
     over OBSERVED cells and includes the cell itself (symmetric, no
     self-exclusion asymmetry); absent-cell "silence anomalies" are
     `timeline_gapfill`'s domain.
@@ -447,20 +449,30 @@ def seasonal_anomaly(events: DataFrame, z: int = 2) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_base"),
             F.sum("cnt").alias("sum_base"),
-            F.sum(F.col("cnt") * F.col("cnt")).alias("sumsq_base"),
+            # cnt² accumulates in DECIMAL(38,0): a slot's Σcnt² passes
+            # int64 once busy cells (~1e8 events/hour) stack up.
+            F.sum(F.col("cnt").cast("decimal(38,0)") * F.col("cnt"))
+            .cast("decimal(38,0)")
+            .alias("sumsq_base"),
         )
     )
-    dev = F.col("n_base") * F.col("cnt") - F.col("sum_base")
-    var_nsq = (
-        F.col("n_base") * F.col("sumsq_base")
-        - F.col("sum_base") * F.col("sum_base")
-    )
+    # The test's products can square past int64 (counts beyond ~1e8
+    # would silently wrap in non-ANSI Spark, flipping flags) — run the
+    # whole comparison in DECIMAL(38,0), exact at any realistic scale.
+    dec = "decimal(38,0)"
+    n_base_d = F.col("n_base").cast(dec)
+    sum_d = F.col("sum_base").cast(dec)
+    dev = n_base_d * F.col("cnt").cast(dec) - sum_d
+    var_nsq = n_base_d * F.col("sumsq_base").cast(dec) - sum_d * sum_d
     return (
         cells.withColumn("dow", F.pmod(F.col("day"), F.lit(7)))
         .join(F.broadcast(base), ["event_type", "dow", "hour"])
         .select(
             "event_type", "day", "hour", "cnt",
-            "n_base", "sum_base", "sumsq_base",
+            "n_base", "sum_base",
+            # reporting column stays BIGINT (oracle-portable schema);
+            # the flag above already used the exact decimal value
+            F.col("sumsq_base").cast("long").alias("sumsq_base"),
             (dev * dev > F.lit(z * z) * var_nsq).alias("is_anomaly"),
         )
         .orderBy("event_type", "day", "hour")

@@ -2087,6 +2087,18 @@ def bpe_encode_stats(
             (r.left_sym, r.right_sym)
             for r in bpe_merges(documents, n_merges, max_word_len).collect()
         ]
+        # Fail LOUDLY on a degenerate corpus: training stops early when
+        # fewer than n_merges mergeable pairs exist, but the DuckDB
+        # oracles cross-join all n_merges one-row b{i} CTEs — an empty
+        # b{i} silently empties the oracle's encode frame, turning a
+        # training shortfall into a bogus all-zero parity "result".
+        if len(merges) != n_merges:
+            raise ValueError(
+                f"BPE training produced {len(merges)} merges but "
+                f"n_merges={n_merges}: corpus has too few mergeable "
+                "pairs — pass the trained list explicitly or lower "
+                "n_merges (the SQL oracle assumes a full merge table)"
+            )
     words = F.filter(
         F.split(F.lower(F.col("text")), r"\W+"),
         lambda w: w.rlike("^[a-z]+$") & (F.length(w) <= max_word_len),
@@ -2163,7 +2175,7 @@ def tokenizer_fertility(
 
 
 def email_domain_stats(
-    documents: DataFrame, synthesize: bool = True
+    documents: DataFrame, synthesize: bool = False
 ) -> DataFrame:
     """Per-domain rollup of email mentions across the corpus — the
     entity-extraction aggregation behind contact-surface audits and
@@ -2188,7 +2200,11 @@ def email_domain_stats(
     ``synthesize`` plants one deterministic address per document
     across 7 domains (the `pii_redaction` oracle device) so the
     fixture exercises the rollup; the oracle applies the identical
-    enrichment in SQL.
+    enrichment in SQL. It defaults OFF — this op's output is
+    specifically an audit artifact, so a library caller running a real
+    PII-surface audit must never get planted domains mixed into the
+    rollup; only the registry's fixture entry opts in (the
+    `audio_silence_stats` / `synthesize_wav_gated` wrapping pattern).
     """
     if synthesize:
         documents = documents.withColumn(
