@@ -11,6399 +11,25 @@ Every operator from SURVEY.md §2 (plus the LLM-pipeline extensions) gets:
 Column names are aliased identically on both sides; numeric outputs use
 the exact integer-cents discipline of :mod:`flink_snappydata_spark.functions.exact`
 so value hashes match bit-for-bit at any parallelism.
+
+The specs themselves live in per-domain modules under
+:mod:`flink_snappydata_spark.specs` (import order there = registration
+order); THIS module owns only the driver-facing declaration order —
+``_HEAD`` (the 50-slot driver-stamp window), ``_HEAD_ROUND``, and the
+never-stamped queue — so the ordering contract stays auditable in one
+place.
 """
 
 from __future__ import annotations
 
-from collections.abc import Callable
-from dataclasses import dataclass
+# Importing the specs package registers every query, in spec-module
+# import order, into the shared dict re-exported here.
+from flink_snappydata_spark.specs import QUERIES, QueryFn, QuerySpec  # noqa: F401
 
-from pyspark.sql import DataFrame, SparkSession
-from pyspark.sql import functions as F
-
-from flink_snappydata_spark.catalog import load_table
-from flink_snappydata_spark.functions import scalar
-from flink_snappydata_spark.operators import (
-    analytic,
-    asof,
-    grouped,
-    profiling,
-    relational,
-    wordcount,
-)
-from flink_snappydata_spark.pipeline import (
-    curation,
-    dedup,
-    multimodal,
-    packing,
-    sampling,
-    similarity,
-)
-from flink_snappydata_spark.pipeline import graph as graphops
-from flink_snappydata_spark.pipeline import text as textops
-from flink_snappydata_spark.streaming import count_window as cw
-from flink_snappydata_spark.streaming import joins as stream_joins
-from flink_snappydata_spark.streaming import windows as stream_windows
-
-QueryFn = Callable[[SparkSession, str], DataFrame]
-
-
-@dataclass(frozen=True)
-class QuerySpec:
-    fn: QueryFn
-    oracle: str | None
-    doc: str = ""
-    #: True when the query embeds its own exact judge (bound-verdict
-    #: pattern: sketch + exact side-by-side). Timings of these measure
-    #: sketch AND judge — the bench surfaces the flag, and raw sketch
-    #: variants are timed separately, so sweep numbers for "the scale
-    #: path" stay honest.
-    judge_bearing: bool = False
-
-
-# SQL fragment: exact integer cents of a 2-decimal double column.
-def _cents(expr: str) -> str:
-    return f"CAST(ROUND(({expr}) * 100) AS BIGINT)"
-
-
-_REVENUE_CENTS = f"{_cents('l_extendedprice')} * (100 - {_cents('l_discount')})"
-
-
-def _q(table_args: list[str], builder: Callable[..., DataFrame]) -> QueryFn:
-    def fn(spark: SparkSession, sf_dir: str) -> DataFrame:
-        return builder(*[load_table(spark, sf_dir, t) for t in table_args])
-
-    return fn
-
-
-QUERIES: dict[str, QuerySpec] = {}
-
-
-def _register(name: str, tables: list[str], builder: Callable[..., DataFrame],
-              oracle: str | None, doc: str = "",
-              judge_bearing: bool = False) -> None:
-    QUERIES[name] = QuerySpec(fn=_q(tables, builder), oracle=oracle, doc=doc,
-                              judge_bearing=judge_bearing)
-
-
-# ---------------------------------------------------------------------------
-# Aggregation (SURVEY.md §2.4)
-# ---------------------------------------------------------------------------
-
-_register(
-    "q1_pricing_summary",
-    ["lineitem"],
-    relational.pricing_summary,
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           SUM({_cents('l_quantity')}) / 100.0 AS sum_qty,
-           SUM({_cents('l_extendedprice')}) / 100.0 AS sum_base_price,
-           SUM({_REVENUE_CENTS}) / 10000.0 AS sum_disc_price,
-           SUM({_cents('l_extendedprice')} * (100 - {_cents('l_discount')})
-               * (100 + {_cents('l_tax')})) / 1000000.0 AS sum_charge,
-           SUM({_cents('l_quantity')}) / 100.0 / COUNT(*) AS avg_qty,
-           SUM({_cents('l_extendedprice')}) / 100.0 / COUNT(*) AS avg_price,
-           SUM({_cents('l_discount')}) / 100.0 / COUNT(*) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-12-01 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
-    ORDER BY l_returnflag, l_linestatus
-    """,
-    doc="Flagship TPC-H-Q1-style pricing summary (groupBy+sum parity).",
-)
-
-_register(
-    "q6_forecast_revenue",
-    ["lineitem"],
-    relational.q6_forecast_revenue,
-    f"""
-    SELECT SUM({_cents('l_extendedprice')} * {_cents('l_discount')}) / 10000.0
-               AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem
-    WHERE l_shipdate >= TIMESTAMP '1994-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1995-01-01 00:00:00'
-      AND {_cents('l_discount')} BETWEEN 5 AND 7
-      AND l_quantity < 24
-    """,
-    doc="TPC-H-Q6-style filter+agg (full predicate pushdown; exact "
-        "integer discount band).",
-)
-
-_register(
-    "q3_shipping_priority",
-    ["lineitem", "orders", "customer"],
-    relational.q3_shipping_priority,
-    f"""
-    SELECT l_orderkey, o_orderdate,
-           SUM({_REVENUE_CENTS}) / 10000.0 AS revenue
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    WHERE c_mktsegment = 'BUILDING'
-      AND o_orderdate < TIMESTAMP '1995-03-15 00:00:00'
-      AND l_shipdate  > TIMESTAMP '1995-03-15 00:00:00'
-    GROUP BY l_orderkey, o_orderdate
-    ORDER BY revenue DESC, l_orderkey ASC
-    LIMIT 10
-    """,
-    doc="TPC-H-Q3-style shipping priority: selective joins -> grouped "
-        "revenue -> top-k.",
-)
-
-_register(
-    "q4_order_priority",
-    ["orders", "lineitem"],
-    relational.q4_order_priority,
-    """
-    SELECT o_orderpriority, COUNT(*) AS order_count
-    FROM orders o
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-      AND EXISTS (SELECT 1 FROM lineitem l
-                  WHERE l.l_orderkey = o.o_orderkey
-                    AND l.l_returnflag = 'R')
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-    doc="TPC-H-Q4-style EXISTS correlated subquery -> semi join -> "
-        "grouped count (fixture predicate: has a returned line item).",
-)
-
-_register(
-    "q18_large_volume_customer",
-    ["customer", "orders", "lineitem"],
-    relational.q18_large_volume_customer,
-    f"""
-    SELECT c_custkey, o_orderkey, o_orderdate, o_totalprice,
-           SUM({_cents('l_quantity')}) / 100.0 AS sum_qty
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON o_orderkey = l_orderkey
-    WHERE o_orderkey IN (
-        SELECT l_orderkey FROM lineitem
-        GROUP BY l_orderkey
-        HAVING SUM({_cents('l_quantity')}) > 15000)
-    GROUP BY c_custkey, o_orderkey, o_orderdate, o_totalprice
-    ORDER BY o_totalprice DESC, o_orderkey ASC
-    LIMIT 100
-    """,
-    doc="TPC-H-Q18-style double aggregation: IN subquery over grouped "
-        "HAVING, re-aggregated across the 3-way join, top-k.",
-)
-
-_register(
-    "q5_local_supplier_volume",
-    ["customer", "orders", "lineitem", "supplier", "nation", "region"],
-    relational.q5_local_supplier_volume,
-    f"""
-    SELECT n_name, SUM({_REVENUE_CENTS}) / 10000.0 AS revenue
-    FROM customer
-    JOIN orders   ON c_custkey = o_custkey
-    JOIN lineitem ON l_orderkey = o_orderkey
-    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    WHERE r_name = 'ASIA'
-      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY n_name
-    ORDER BY revenue DESC, n_name ASC
-    """,
-    doc="TPC-H-Q5-style local supplier volume: 6-way join with the "
-        "customer-nation = supplier-nation colocation clause.",
-)
-
-_register(
-    "q7_volume_shipping",
-    ["lineitem", "supplier", "orders", "customer", "nation"],
-    relational.q7_volume_shipping,
-    f"""
-    SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
-           EXTRACT(year FROM l_shipdate) AS l_year,
-           SUM({_REVENUE_CENTS}) / 10000.0 AS revenue
-    FROM lineitem
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation n1 ON s_nationkey = n1.n_nationkey
-    JOIN nation n2 ON c_nationkey = n2.n_nationkey
-    WHERE ((n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
-        OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1'))
-      AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY supp_nation, cust_nation, l_year
-    ORDER BY supp_nation, cust_nation, l_year
-    """,
-    doc="TPC-H-Q7-style volume shipping between two nations "
-        "(disjunctive nation-pair filter, per-year grouping).",
-)
-
-_register(
-    "q10_returned_items",
-    ["customer", "orders", "lineitem", "nation"],
-    relational.q10_returned_items,
-    f"""
-    SELECT c_custkey, c_name, c_acctbal, n_name,
-           SUM({_REVENUE_CENTS}) / 10000.0 AS revenue
-    FROM orders
-    JOIN lineitem ON o_orderkey = l_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    WHERE o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1996-04-01 00:00:00'
-      AND l_returnflag = 'R'
-    GROUP BY c_custkey, c_name, c_acctbal, n_name
-    ORDER BY revenue DESC, c_custkey ASC
-    LIMIT 20
-    """,
-    doc="TPC-H-Q10-style returned-item reporting: quarterly return "
-        "revenue per customer, deterministic top-20.",
-)
-
-_register(
-    "q12_priority_shipping",
-    ["orders", "lineitem"],
-    relational.q12_priority_shipping,
-    """
-    SELECT l_linestatus,
-           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
-           CAST(SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
-                         THEN 0 ELSE 1 END) AS BIGINT) AS low_line_count
-    FROM lineitem
-    JOIN orders ON l_orderkey = o_orderkey
-    WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1997-01-01 00:00:00'
-    GROUP BY l_linestatus
-    ORDER BY l_linestatus
-    """,
-    doc="TPC-H-Q12-style two-bucket CASE aggregation over a fact-fact "
-        "join (l_linestatus stands in for the absent l_shipmode).",
-)
-
-_register(
-    "q14_promo_revenue",
-    ["lineitem", "part"],
-    relational.q14_promo_revenue,
-    f"""
-    SELECT 100.0 * SUM(CASE WHEN p_type LIKE 'PROMO%'
-                            THEN {_REVENUE_CENTS} ELSE 0 END)
-               / SUM({_REVENUE_CENTS}) AS promo_revenue
-    FROM lineitem
-    JOIN part ON l_partkey = p_partkey
-    WHERE l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
-      AND l_shipdate <  TIMESTAMP '1996-10-01 00:00:00'
-    """,
-    doc="TPC-H-Q14-style promotion revenue share (exact integer-cent "
-        "sums; single-row ratio).",
-)
-
-_register(
-    "q15_top_supplier",
-    ["lineitem", "supplier"],
-    relational.q15_top_supplier,
-    f"""
-    WITH rev AS (
-        SELECT l_suppkey, SUM({_REVENUE_CENTS}) AS total_c
-        FROM lineitem
-        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
-          AND l_shipdate <  TIMESTAMP '1996-04-01 00:00:00'
-        GROUP BY l_suppkey
-    )
-    SELECT s_suppkey, s_name, total_c / 10000.0 AS total_revenue
-    FROM rev JOIN supplier ON l_suppkey = s_suppkey
-    WHERE total_c = (SELECT MAX(total_c) FROM rev)
-    ORDER BY s_suppkey
-    """,
-    doc="TPC-H-Q15-style top supplier: revenue view + scalar MAX "
-        "subquery, exact-cents equality.",
-)
-
-_register(
-    "q16_supplier_part_count",
-    ["part", "lineitem", "supplier"],
-    relational.q16_supplier_part_count,
-    """
-    SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
-    FROM lineitem
-    JOIN part ON l_partkey = p_partkey
-    WHERE p_size IN (1, 5, 9, 13, 17, 21, 25, 29)
-      AND l_suppkey NOT IN
-          (SELECT s_suppkey FROM supplier WHERE s_acctbal < 0)
-    GROUP BY p_brand, p_size
-    ORDER BY supplier_cnt DESC, p_brand, p_size
-    """,
-    doc="TPC-H-Q16-style supplier count by part attributes with NOT IN "
-        "exclusion (lineitem routes stand in for partsupp).",
-)
-
-_register(
-    "q19_discounted_revenue",
-    ["lineitem", "part"],
-    relational.q19_discounted_revenue,
-    f"""
-    SELECT SUM({_REVENUE_CENTS}) / 10000.0 AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem
-    JOIN part ON l_partkey = p_partkey
-    WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
-           AND l_quantity BETWEEN 1 AND 11)
-       OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
-           AND l_quantity BETWEEN 10 AND 20)
-       OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
-           AND l_quantity BETWEEN 20 AND 30)
-    """,
-    doc="TPC-H-Q19-style disjunctive-predicate revenue (OR of three "
-        "brand/size/quantity conjunctions over the part join).",
-)
-
-_register(
-    "q21_waiting_supplier",
-    ["supplier", "lineitem", "orders"],
-    relational.q21_waiting_supplier,
-    """
-    SELECT s_name, COUNT(*) AS numwait
-    FROM supplier
-    JOIN lineitem l1 ON s_suppkey = l1.l_suppkey
-    JOIN orders ON o_orderkey = l1.l_orderkey
-    WHERE o_orderstatus = 'F'
-      AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
-      AND EXISTS (SELECT 1 FROM lineitem l2
-                  WHERE l2.l_orderkey = l1.l_orderkey
-                    AND l2.l_suppkey <> l1.l_suppkey)
-      AND NOT EXISTS (SELECT 1 FROM lineitem l3
-                      WHERE l3.l_orderkey = l1.l_orderkey
-                        AND l3.l_suppkey <> l1.l_suppkey
-                        AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
-    GROUP BY s_name
-    ORDER BY numwait DESC, s_name ASC
-    LIMIT 100
-    """,
-    doc="TPC-H-Q21-style waiting supplier: EXISTS + NOT EXISTS pair, "
-        "decorrelated Spark-side into one per-order aggregation.",
-)
-
-_register(
-    "q22_global_sales_opportunity",
-    ["customer", "orders"],
-    relational.q22_global_sales_opportunity,
-    f"""
-    SELECT c_nationkey, COUNT(*) AS numcust,
-           SUM({_cents('c_acctbal')}) / 100.0 AS totacctbal
-    FROM customer
-    WHERE {_cents('c_acctbal')}
-              * (SELECT COUNT(*) FROM customer WHERE c_acctbal > 0)
-          > (SELECT SUM({_cents('c_acctbal')}) FROM customer
-             WHERE c_acctbal > 0)
-      AND NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey
-                        AND o_orderdate >= TIMESTAMP '1999-01-01 00:00:00')
-    GROUP BY c_nationkey
-    ORDER BY c_nationkey
-    """,
-    doc="TPC-H-Q22-style global sales opportunity: above-average "
-        "balance via exact cross-multiplied cents, anti join on recent "
-        "orders, per-nation rollup.",
-)
-
-_register(
-    "q8_market_share",
-    ["part", "supplier", "lineitem", "orders", "customer", "nation", "region"],
-    relational.q8_market_share,
-    f"""
-    SELECT EXTRACT(year FROM o_orderdate) AS o_year,
-           CAST(SUM(CASE WHEN n2.n_name = 'NATION_5'
-                         THEN {_REVENUE_CENTS} ELSE 0 END) AS DOUBLE)
-               / SUM({_REVENUE_CENTS}) AS mkt_share
-    FROM lineitem
-    JOIN part     ON l_partkey = p_partkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation n1 ON c_nationkey = n1.n_nationkey
-    JOIN region   ON n1.n_regionkey = r_regionkey
-    JOIN nation n2 ON s_nationkey = n2.n_nationkey
-    WHERE r_name = 'ASIA' AND p_type = 'STANDARD'
-      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
-      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
-    GROUP BY o_year ORDER BY o_year
-    """,
-    doc="TPC-H-Q8-style national market share: conditional-sum ratio of "
-        "exact cents per year across a 7-table join.",
-)
-
-_register(
-    "q9_product_profit",
-    ["lineitem", "part", "supplier", "orders", "nation"],
-    relational.q9_product_profit,
-    f"""
-    SELECT n_name AS nation, EXTRACT(year FROM o_orderdate) AS o_year,
-           SUM({_cents('l_extendedprice')} * (100 - {_cents('l_discount')})
-               - {_cents('p_retailprice')} * {_cents('l_quantity')})
-               / 10000.0 AS sum_profit
-    FROM lineitem
-    JOIN part     ON l_partkey = p_partkey
-    JOIN supplier ON l_suppkey = s_suppkey
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN nation   ON s_nationkey = n_nationkey
-    WHERE p_name LIKE '%red%'
-    GROUP BY n_name, EXTRACT(year FROM o_orderdate)
-    ORDER BY nation ASC, o_year DESC
-    """,
-    doc="TPC-H-Q9-style product profit by supplier nation and year "
-        "(retailprice*quantity stands in for absent ps_supplycost).",
-)
-
-_register(
-    "q20_excess_suppliers",
-    ["supplier", "lineitem"],
-    relational.q20_excess_suppliers,
-    f"""
-    SELECT s_suppkey, s_name, s_acctbal
-    FROM supplier
-    WHERE s_suppkey IN (
-        SELECT l_suppkey FROM (
-            SELECT l_partkey, l_suppkey,
-                   CAST(SUM({_cents('l_quantity')}) AS BIGINT) AS ps_qty_c
-            FROM lineitem GROUP BY l_partkey, l_suppkey
-        ) ps
-        JOIN (
-            SELECT l_partkey AS pk,
-                   CAST(SUM({_cents('l_quantity')}) AS BIGINT) AS total_qty_c
-            FROM lineitem GROUP BY l_partkey
-        ) t ON l_partkey = pk
-        WHERE ps_qty_c * 2 > total_qty_c
-    )
-    ORDER BY s_suppkey
-    """,
-    doc="TPC-H-Q20-style nested-IN supplier selection: suppliers "
-        "shipping more than half of some part's volume (exact integer "
-        "half-threshold).",
-)
-
-_register(
-    "q11_important_stock",
-    ["lineitem"],
-    relational.q11_important_stock,
-    f"""
-    WITH per_part AS (
-        SELECT l_partkey,
-               CAST(SUM({_cents('l_extendedprice')}) AS BIGINT) AS value_c
-        FROM lineitem GROUP BY l_partkey
-    )
-    SELECT l_partkey, value_c / 100.0 AS part_value
-    FROM per_part
-    WHERE value_c * 10000 >
-          (SELECT CAST(SUM({_cents('l_extendedprice')}) AS BIGINT)
-           FROM lineitem)
-    ORDER BY part_value DESC, l_partkey ASC
-    """,
-    doc="TPC-H-Q11-style important stock: grouped HAVING against a "
-        "global scalar fraction, exact integer cross-multiplied "
-        "threshold (lineitem value stands in for partsupp stock).",
-)
-
-_register(
-    "q2_min_cost_supplier",
-    ["part", "supplier", "lineitem", "nation", "region"],
-    relational.q2_min_cost_supplier,
-    """
-    WITH routes AS (
-        SELECT DISTINCT l_partkey, l_suppkey FROM lineitem
-    ), euro AS (
-        SELECT s_suppkey, s_name, s_acctbal, n_name
-        FROM supplier
-        JOIN nation ON s_nationkey = n_nationkey
-        JOIN region ON n_regionkey = r_regionkey
-        WHERE r_name = 'EUROPE'
-    ), offers AS (
-        SELECT p_partkey, p_type, s_suppkey, s_name, s_acctbal, n_name
-        FROM routes
-        JOIN euro ON l_suppkey = s_suppkey
-        JOIN part ON l_partkey = p_partkey
-        WHERE p_size = 15
-    )
-    SELECT s_acctbal, s_name, n_name, p_partkey, p_type
-    FROM offers o
-    WHERE s_acctbal = (SELECT MIN(s_acctbal) FROM offers i
-                       WHERE i.p_partkey = o.p_partkey)
-    ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
-    LIMIT 100
-    """,
-    doc="TPC-H-Q2-style minimum-cost supplier: correlated MIN per part "
-        "decorrelated to one aggregation (DISTINCT lineitem routes + "
-        "s_acctbal stand in for partsupp).",
-)
-
-_register(
-    "q13_customer_distribution",
-    ["customer", "orders"],
-    relational.q13_customer_distribution,
-    """
-    SELECT c_count, COUNT(*) AS custdist
-    FROM (
-        SELECT c_custkey, COUNT(o_orderkey) AS c_count
-        FROM customer
-        LEFT JOIN orders ON c_custkey = o_custkey
-                        AND o_orderpriority <> '1-URGENT'
-        GROUP BY c_custkey
-    ) t
-    GROUP BY c_count
-    ORDER BY custdist DESC, c_count DESC
-    """,
-    doc="TPC-H-Q13-style order-count distribution: LEFT join preserving "
-        "zero-order customers, count-of-counts histogram.",
-)
-
-_register(
-    "q17_small_quantity_revenue",
-    ["lineitem", "part"],
-    relational.q17_small_quantity_revenue,
-    f"""
-    WITH branded AS (
-        SELECT l_partkey, {_cents('l_quantity')} AS qty_c,
-               {_cents('l_extendedprice')} AS price_c
-        FROM lineitem JOIN part ON l_partkey = p_partkey
-        WHERE p_brand = 'Brand#12'
-    ), per_part AS (
-        SELECT l_partkey AS agg_partkey,
-               CAST(SUM(qty_c) AS BIGINT) AS sum_qty_c,
-               COUNT(*) AS n_lines
-        FROM branded GROUP BY l_partkey
-    )
-    SELECT SUM(price_c) / 700.0 AS avg_yearly, COUNT(*) AS n_lines
-    FROM branded JOIN per_part ON l_partkey = agg_partkey
-    WHERE qty_c * 5 * n_lines < sum_qty_c
-    """,
-    doc="TPC-H-Q17-style small-quantity revenue: correlated per-part "
-        "AVG decorrelated to one aggregation; threshold via exact "
-        "integer cross-multiplication (no float AVG).",
-)
-
-_register(
-    "agg_distinct",
-    ["orders"],
-    relational.agg_distinct,
-    """
-    SELECT o_orderpriority,
-           COUNT(DISTINCT o_custkey) AS n_customers,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-)
-
-_register(
-    "agg_rollup",
-    ["lineitem"],
-    relational.agg_rollup,
-    f"""
-    SELECT l_returnflag, l_linestatus,
-           SUM({_cents('l_quantity')}) / 100.0 AS sum_qty,
-           COUNT(*) AS n_rows
-    FROM lineitem GROUP BY ROLLUP (l_returnflag, l_linestatus)
-    ORDER BY l_returnflag NULLS FIRST, l_linestatus NULLS FIRST
-    """,
-)
-
-_register(
-    "agg_cube",
-    ["orders"],
-    relational.agg_cube,
-    f"""
-    SELECT o_orderstatus, o_orderpriority,
-           SUM({_cents('o_totalprice')}) / 100.0 AS sum_total,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-)
-
-_register(
-    "agg_having",
-    ["orders"],
-    relational.agg_having,
-    f"""
-    SELECT o_custkey, COUNT(*) AS n_orders,
-           SUM({_cents('o_totalprice')}) / 100.0 AS sum_total
-    FROM orders GROUP BY o_custkey
-    HAVING COUNT(*) >= 15
-    ORDER BY o_custkey
-    """,
-    doc="Grouped agg + HAVING post-aggregation filter.",
-)
-
-_register(
-    "agg_grouping_sets",
-    ["orders"],
-    relational.agg_grouping_sets,
-    f"""
-    SELECT o_orderstatus, o_orderpriority,
-           SUM({_cents('o_totalprice')}) / 100.0 AS sum_total,
-           COUNT(*) AS n_orders
-    FROM orders
-    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
-    ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST
-    """,
-)
-
-
-#: Correlated scalar subqueries, decorrelated by Catalyst into joins.
-#: Threshold test in exact integer cents (cents*n > sum_cents) so both
-#: engines pick identical boundary rows.
-_SUBQUERY_SQL = f"""
-    SELECT c_custkey, c_nationkey, c_acctbal
-    FROM customer c
-    WHERE {_cents('c_acctbal')}
-          * (SELECT COUNT(*) FROM customer c2
-             WHERE c2.c_nationkey = c.c_nationkey)
-          > (SELECT SUM({_cents('c2.c_acctbal')}) FROM customer c2
-             WHERE c2.c_nationkey = c.c_nationkey)
-    ORDER BY c_custkey
-"""
-
-
-def _subquery_above_nation_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Customers above their nation's average balance — correlated
-    scalar subqueries through Catalyst's decorrelation (the reference
-    delegated all such SQL to its store, SnappyDataInputFormat.java:49)."""
-    load_table(spark, sf_dir, "customer").createOrReplaceTempView("customer")
-    return spark.sql(_SUBQUERY_SQL)
-
-
-QUERIES["subquery_above_nation_avg"] = QuerySpec(
-    fn=_subquery_above_nation_avg,
-    oracle=_SUBQUERY_SQL,
-    doc="Correlated scalar subqueries (exact integer-cents threshold).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Word count family (reference WordCount.scala parity)
-# ---------------------------------------------------------------------------
-
-_register(
-    "wordcount_batch",
-    ["documents"],
-    wordcount.word_count,
-    r"""
-    SELECT word, COUNT(*) AS cnt
-    FROM (SELECT unnest(string_split_regex(lower(text), '\W+')) AS word
-          FROM documents) t
-    WHERE word <> ''
-    GROUP BY word ORDER BY word
-    """,
-    doc="flatMap-tokenize → filter → map → grouped sum (WordCount parity).",
-)
-
-_register(
-    "grouped_zscore",
-    ["events"],
-    grouped.zscore_by_user,
-    f"""
-    WITH c AS (
-        SELECT event_id, user_id, value,
-               {_cents('value')} AS cv
-        FROM events
-    ), agg AS (
-        SELECT event_id, user_id, value,
-               SUM(cv) OVER w AS s,
-               SUM(cv * cv) OVER w AS ss,
-               COUNT(*) OVER w AS n,
-               cv
-        FROM c WINDOW w AS (PARTITION BY user_id)
-    )
-    SELECT event_id, user_id, value,
-           CAST(cv * n - s AS DOUBLE) / sqrt(CAST(n * ss - s * s AS DOUBLE))
-               AS zscore
-    FROM agg ORDER BY user_id, event_id
-    """,
-    doc="Grouped-map applyInPandas (full-window apply parity): per-user "
-        "z-score from exact integer aggregates, bit-identical formula "
-        "on both engines.",
-)
-
-_register(
-    "mappartitions_identity",
-    ["region"],
-    wordcount.map_partitions_identity,
-    "SELECT r_regionkey, r_name FROM region",
-    doc="mapInPandas per-partition pass-through (mapPartition parity).",
-)
-
-# ---------------------------------------------------------------------------
-# Joins (SURVEY.md §2.3)
-# ---------------------------------------------------------------------------
-
-_register(
-    "star_join_revenue",
-    ["lineitem", "orders", "customer", "nation", "region"],
-    relational.star_join_revenue,
-    f"""
-    SELECT r_name AS region_name, n_name AS nation_name,
-           SUM({_REVENUE_CENTS}) / 10000.0 AS revenue,
-           COUNT(*) AS n_items
-    FROM lineitem
-    JOIN orders   ON l_orderkey = o_orderkey
-    JOIN customer ON o_custkey = c_custkey
-    JOIN nation   ON c_nationkey = n_nationkey
-    JOIN region   ON n_regionkey = r_regionkey
-    GROUP BY r_name, n_name ORDER BY region_name, nation_name
-    """,
-)
-
-_register(
-    "broadcast_dim_join",
-    ["lineitem", "part"],
-    relational.broadcast_dim_join,
-    f"""
-    SELECT p_brand,
-           SUM({_cents('l_extendedprice')}) / 100.0 AS sum_price,
-           COUNT(*) AS n_items
-    FROM lineitem JOIN part ON l_partkey = p_partkey
-    GROUP BY p_brand ORDER BY p_brand
-    """,
-)
-
-_register(
-    "join_left_outer",
-    ["customer", "orders"],
-    relational.left_outer_join_counts,
-    """
-    SELECT c_custkey, c_mktsegment, COUNT(o_orderkey) AS n_orders
-    FROM customer LEFT JOIN orders ON c_custkey = o_custkey
-    GROUP BY c_custkey, c_mktsegment
-    """,
-)
-
-_register(
-    "join_semi",
-    ["customer", "orders"],
-    relational.semi_join_customers,
-    """
-    SELECT c_custkey, c_name, c_mktsegment FROM customer
-    WHERE EXISTS (SELECT 1 FROM orders
-                  WHERE o_custkey = c_custkey AND o_totalprice > 100000.0)
-    """,
-)
-
-_register(
-    "join_anti",
-    ["customer", "orders"],
-    relational.anti_join_customers,
-    """
-    SELECT c_custkey, c_name, c_nationkey FROM customer
-    WHERE NOT EXISTS (SELECT 1 FROM orders
-                      WHERE o_custkey = c_custkey AND o_totalprice > 400000.0)
-    """,
-)
-
-_register(
-    "join_band",
-    ["customer", "supplier"],
-    relational.band_join,
-    """
-    SELECT c_nationkey AS nationkey, COUNT(*) AS n_pairs
-    FROM customer JOIN supplier
-      ON c_nationkey = s_nationkey AND c_acctbal > s_acctbal
-    GROUP BY c_nationkey ORDER BY nationkey
-    """,
-)
-
-_register(
-    "join_nonequi",
-    ["nation", "region"],
-    relational.pure_nonequi_join,
-    """
-    SELECT n_name, r_name FROM nation JOIN region ON n_regionkey < r_regionkey
-    ORDER BY n_name, r_name
-    """,
-)
-
-# ---------------------------------------------------------------------------
-# Sorts / limits / distinct / set ops (SURVEY.md §2.7)
-# ---------------------------------------------------------------------------
-
-_register(
-    "asof_join",
-    ["events"],
-    asof.asof_join_events,
-    """
-    WITH tagged AS (
-        SELECT user_id, event_id, ts, value,
-               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_left
-        FROM events WHERE event_type IN ('click', 'purchase')
-    ), carried AS (
-        SELECT user_id, event_id, ts, value, is_left,
-               LAST_VALUE(CASE WHEN is_left = 1 THEN event_id END IGNORE NULLS)
-                   OVER w AS left_event_id,
-               LAST_VALUE(CASE WHEN is_left = 1 THEN ts END IGNORE NULLS)
-                   OVER w AS left_ts,
-               LAST_VALUE(CASE WHEN is_left = 1 THEN value END IGNORE NULLS)
-                   OVER w AS left_value
-        FROM tagged
-        WINDOW w AS (PARTITION BY user_id
-                     ORDER BY ts ASC, is_left DESC, event_id ASC
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-    )
-    SELECT user_id, event_id AS right_event_id, ts AS right_ts,
-           value AS right_value, left_event_id, left_ts, left_value
-    FROM carried WHERE is_left = 0
-    ORDER BY user_id, right_ts, right_event_id
-    """,
-    doc="As-of (point-in-time) join: latest click at-or-before each "
-        "purchase per user; union + keyed window scan, one shuffle.",
-)
-
-_register(
-    "topk_orders",
-    ["orders"],
-    relational.top_k_orders,
-    """
-    SELECT o_orderkey, o_custkey, o_totalprice FROM orders
-    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
-    """,
-)
-
-_register(
-    "distinct_pairs",
-    ["lineitem"],
-    relational.distinct_pairs,
-    """
-    SELECT DISTINCT l_returnflag, l_linestatus FROM lineitem
-    ORDER BY l_returnflag, l_linestatus
-    """,
-)
-
-_register(
-    "join_full_outer",
-    ["customer", "supplier"],
-    relational.full_outer_nation_balance,
-    """
-    WITH c AS (SELECT c_nationkey AS nationkey,
-                      CAST(COUNT(*) AS BIGINT) AS n_cust,
-                      CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT))
-                           AS BIGINT) AS cust_bal
-               FROM customer WHERE c_acctbal > 9800 GROUP BY 1),
-    s AS (SELECT s_nationkey AS nationkey,
-                 CAST(COUNT(*) AS BIGINT) AS n_supp,
-                 CAST(SUM(CAST(ROUND(s_acctbal * 100) AS BIGINT))
-                      AS BIGINT) AS supp_bal
-          FROM supplier WHERE s_acctbal > 5000 GROUP BY 1)
-    SELECT COALESCE(c.nationkey, s.nationkey) AS nationkey,
-           n_cust, cust_bal, n_supp, supp_bal
-    FROM c FULL OUTER JOIN s ON c.nationkey = s.nationkey
-    ORDER BY nationkey
-    """,
-    doc="FULL OUTER equi-join (the declared surface's missing join "
-        "flavor), thresholds chosen so both unmatched sides are "
-        "non-empty on the fixtures; both inputs collapse map-side to "
-        "nation-cardinality frames BEFORE the join (full outer cannot "
-        "broadcast either side).",
-)
-
-_register(
-    "set_ops_nations",
-    ["customer", "supplier"],
-    relational.set_ops_nations,
-    """
-    WITH c AS (SELECT DISTINCT c_nationkey AS nationkey FROM customer),
-         s AS (SELECT DISTINCT s_nationkey AS nationkey FROM supplier)
-    SELECT nationkey, 'union' AS set_op FROM (SELECT nationkey FROM c UNION SELECT nationkey FROM s)
-    UNION ALL
-    SELECT nationkey, 'intersect' AS set_op FROM (SELECT nationkey FROM c INTERSECT SELECT nationkey FROM s)
-    UNION ALL
-    SELECT nationkey, 'except' AS set_op FROM (SELECT nationkey FROM c EXCEPT SELECT nationkey FROM s)
-    ORDER BY set_op, nationkey
-    """,
-)
-
-_register(
-    "agg_mode",
-    ["events"],
-    relational.mode_per_type,
-    """
-    WITH pv AS (SELECT event_type,
-                       CAST(ROUND(value * 100) AS BIGINT) AS v,
-                       CAST(COUNT(*) AS BIGINT) AS c
-                FROM events GROUP BY 1, 2),
-    best AS (SELECT event_type, MAX(c) AS mode_count
-             FROM pv GROUP BY 1)
-    SELECT pv.event_type,
-           CAST(MIN(v) AS BIGINT) AS mode_cents,
-           CAST(MIN(mode_count) AS BIGINT) AS mode_count,
-           CAST(COUNT(*) AS BIGINT) AS n_tied
-    FROM pv JOIN best ON pv.event_type = best.event_type
-                     AND pv.c = best.mode_count
-    GROUP BY 1 ORDER BY 1
-    """,
-    doc="Exact per-type mode of the value cents with deterministic "
-        "tie-break (highest count, then smallest value) plus the tie "
-        "census: two-stage (type, value) count collapse, max-count "
-        "fold joined back, MIN(v) over the explicit tie group — no "
-        "sort, no window.",
-)
-
-_register(
-    "weighted_median_price",
-    ["lineitem"],
-    relational.weighted_median_price,
-    """
-    WITH b AS (SELECT l_returnflag AS flag,
-                      CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
-                      CAST(l_quantity AS BIGINT) AS w
-               FROM lineitem),
-    pv AS (SELECT flag, v, CAST(SUM(w) AS BIGINT) AS w
-           FROM b GROUP BY 1, 2),
-    c AS (SELECT flag, v,
-                 SUM(w) OVER (PARTITION BY flag ORDER BY v
-                              ROWS UNBOUNDED PRECEDING) AS cw,
-                 SUM(w) OVER (PARTITION BY flag) AS tw
-          FROM pv)
-    SELECT flag AS l_returnflag,
-           CAST(MIN(tw) AS BIGINT) AS total_weight,
-           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
-               AS median_cents,
-           CAST(MIN(CASE WHEN 2 * cw >= tw THEN v END) AS BIGINT)
-               / 100.0 AS median_price
-    FROM c GROUP BY flag ORDER BY l_returnflag
-    """,
-    doc="Exact quantity-weighted median price per return flag (lower "
-        "weighted median, rational 2*cum >= total selection): "
-        "per-(flag, price) weight collapse, cumulative via the "
-        "two-phase cell prefix — no single-task flag-wide window; "
-        "oracle states the naive windowed cumsum.",
-)
-
-_register(
-    "pareto_frontier",
-    ["part"],
-    relational.pareto_frontier,
-    """
-    SELECT p_partkey, p_retailprice, CAST(p_size AS BIGINT) AS p_size
-    FROM part p
-    WHERE NOT EXISTS (
-        SELECT 1 FROM part q
-        WHERE q.p_retailprice <= p.p_retailprice
-          AND q.p_size >= p.p_size
-          AND (q.p_retailprice < p.p_retailprice
-               OR q.p_size > p.p_size))
-    ORDER BY p_partkey
-    """,
-    doc="2D skyline (Pareto frontier) on (min price, max size): the "
-        "oracle is the textbook quadratic NOT-EXISTS self-join; the "
-        "engine runs the sort-based sweep on the per-price best-size "
-        "frame with the two-phase cell prefix-max, so catalog rows "
-        "never globally sort and no window task holds the price "
-        "histogram.",
-)
-
-# ---------------------------------------------------------------------------
-# Analytic window functions (SURVEY.md §2.5)
-# ---------------------------------------------------------------------------
-
-_register(
-    "window_rank",
-    ["customer"],
-    analytic.rank_customers_in_nation,
-    """
-    SELECT c_nationkey, c_custkey, c_acctbal, rn, rnk FROM (
-        SELECT c_nationkey, c_custkey, c_acctbal,
-               ROW_NUMBER() OVER (PARTITION BY c_nationkey
-                                  ORDER BY c_acctbal DESC, c_custkey ASC) AS rn,
-               RANK() OVER (PARTITION BY c_nationkey
-                            ORDER BY c_acctbal DESC, c_custkey ASC) AS rnk
-        FROM customer) t
-    WHERE rn <= 3 ORDER BY c_nationkey, rn
-    """,
-)
-
-_register(
-    "window_running_sum",
-    ["orders"],
-    analytic.running_order_totals,
-    f"""
-    SELECT o_custkey, o_orderkey,
-           SUM({_cents('o_totalprice')}) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) / 100.0
-               AS running_total,
-           ROW_NUMBER() OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-               AS order_seq
-    FROM orders
-    """,
-)
-
-_register(
-    "window_distribution",
-    ["customer"],
-    analytic.distribution_functions,
-    """
-    SELECT c_nationkey, c_custkey, c_acctbal,
-           CAST(NTILE(4) OVER w AS BIGINT) AS quartile,
-           PERCENT_RANK() OVER w AS pct_rank,
-           CUME_DIST() OVER w AS cume
-    FROM customer
-    WINDOW w AS (PARTITION BY c_nationkey
-                 ORDER BY c_acctbal ASC, c_custkey ASC)
-    """,
-    doc="Distribution windows: ntile / percent_rank / cume_dist.",
-)
-
-_register(
-    "window_lag_lead",
-    ["orders"],
-    analytic.lag_lead_order_prices,
-    """
-    SELECT o_custkey, o_orderkey, o_totalprice,
-           LAG(o_totalprice, 1) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-               AS prev_price,
-           LEAD(o_totalprice, 1) OVER (
-               PARTITION BY o_custkey ORDER BY o_orderdate ASC, o_orderkey ASC)
-               AS next_price
-    FROM orders
-    """,
-)
-
-_register(
-    "window_range_frame",
-    ["orders"],
-    analytic.trailing_revenue_30d,
-    f"""
-    SELECT o_custkey, o_orderkey, o_orderdate,
-           SUM({_cents('o_totalprice')}) OVER (
-               PARTITION BY o_custkey
-               ORDER BY datediff('day', DATE '1970-01-01',
-                                 CAST(o_orderdate AS DATE))
-               RANGE BETWEEN 30 PRECEDING AND CURRENT ROW
-           ) / 100.0 AS trailing_30d
-    FROM orders
-    """,
-    doc="RANGE frame over event time: trailing-30-day spend per order.",
-)
-
-_register(
-    "pivot_revenue",
-    ["lineitem"],
-    relational.pivot_revenue,
-    f"""
-    SELECT l_returnflag,
-           SUM(CASE WHEN l_linestatus = 'F'
-                    THEN {_cents('l_extendedprice')} END) / 100.0 AS sum_price_f,
-           SUM(CASE WHEN l_linestatus = 'O'
-                    THEN {_cents('l_extendedprice')} END) / 100.0 AS sum_price_o
-    FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag
-    """,
-    doc="groupBy().pivot() with explicit values (single-pass, stable schema).",
-)
-
-
-# ---------------------------------------------------------------------------
-# Scalar function families (SURVEY.md §2.8)
-# ---------------------------------------------------------------------------
-
-_register(
-    "scalar_string",
-    ["part"],
-    scalar.string_functions,
-    r"""
-    SELECT p_partkey,
-           lower(p_name) AS name_lower,
-           upper(p_brand) AS brand_upper,
-           substring(p_type, 1, 5) AS type_prefix,
-           CAST(length(p_name) AS BIGINT) AS name_len,
-           concat_ws('|', p_brand, p_type) AS brand_type,
-           regexp_extract(p_name, '(\w+)$', 1) AS last_token,
-           trim(p_name) AS name_trim
-    FROM part
-    """,
-)
-
-_register(
-    "scalar_date",
-    ["orders"],
-    scalar.date_functions,
-    """
-    SELECT o_orderkey,
-           CAST(year(o_orderdate) AS BIGINT) AS order_year,
-           CAST(month(o_orderdate) AS BIGINT) AS order_month,
-           CAST(quarter(o_orderdate) AS BIGINT) AS order_quarter,
-           date_trunc('month', o_orderdate) AS month_start,
-           CAST(datediff('day', CAST(o_orderdate AS DATE), DATE '2000-01-01') AS BIGINT)
-               AS days_before_y2k,
-           last_day(CAST(o_orderdate AS DATE)) AS month_end
-    FROM orders
-    """,
-)
-
-_register(
-    "scalar_math",
-    ["lineitem"],
-    scalar.math_functions,
-    """
-    SELECT l_orderkey, l_linenumber,
-           abs(l_extendedprice - l_quantity) AS abs_diff,
-           CAST(ceil(l_extendedprice / 100.0) AS BIGINT) AS price_ceil_hundreds,
-           CAST(floor(l_quantity / 10.0) AS BIGINT) AS qty_floor_tens,
-           sqrt(l_quantity) AS qty_sqrt,
-           greatest(l_extendedprice * (1.0 - l_discount), l_quantity) AS greatest_val,
-           least(l_discount, l_tax) AS least_rate,
-           CAST(l_orderkey % 7 AS BIGINT) AS orderkey_mod7
-    FROM lineitem
-    """,
-)
-
-_register(
-    "scalar_json",
-    ["events"],
-    scalar.json_functions,
-    r"""
-    SELECT event_id,
-           CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k_path,
-           CAST(regexp_extract(props, '"k":\s*(-?\d+)', 1) AS BIGINT) AS k_struct
-    FROM events
-    """,
-    doc="get_json_object/from_json over events.props; oracle via regex "
-        "to stay independent of DuckDB's JSON extension.",
-)
-
-_register(
-    "scalar_map",
-    ["events"],
-    scalar.map_functions,
-    """
-    SELECT event_id,
-           CAST(2 AS BIGINT) AS n_entries,
-           event_type AS m_type,
-           CAST(user_id AS VARCHAR) AS m_uid,
-           'type,uid' AS keys_csv
-    FROM events
-    """,
-    doc="Map construct/inspect/extract; oracle is the directly-computed "
-        "ground truth, proving the map round-trip loses nothing.",
-)
-
-_register(
-    "scalar_conditional",
-    ["customer"],
-    scalar.conditional_functions,
-    """
-    SELECT c_custkey,
-           CASE WHEN c_acctbal < 0 THEN 'debt'
-                WHEN c_acctbal < 5000 THEN 'standard'
-                ELSE 'premium' END AS tier,
-           COALESCE(NULLIF(c_mktsegment, 'AUTOMOBILE'), 'DEFAULT')
-               AS segment_or_default,
-           CASE WHEN c_acctbal >= 0 THEN c_acctbal ELSE 0.0 END AS bal_floor,
-           NULLIF(CAST(c_nationkey AS BIGINT), 0) AS nation_or_null
-    FROM customer
-    """,
-    doc="Conditional family: CASE tiers, coalesce/nullif, IF.",
-)
-
-_register(
-    "scalar_array",
-    ["embeddings"],
-    scalar.array_functions,
-    """
-    SELECT vec_id,
-           CAST(len(embedding) AS BIGINT) AS dim,
-           CAST(embedding[1] AS DOUBLE) AS first_val,
-           list_aggregate(list_transform(embedding, x -> CAST(x AS DOUBLE)), 'sum')
-               AS vec_sum,
-           list_aggregate(list_transform(embedding,
-               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 'sum') AS vec_norm_sq
-    FROM embeddings
-    """,
-)
-
-
-# ---------------------------------------------------------------------------
-# Streaming operators, checked batch-equivalently on the bounded events
-# table (SURVEY.md §2.6, §5: streaming and batch share Catalyst plans)
-# ---------------------------------------------------------------------------
-
-_register(
-    "events_tumbling_window",
-    ["events"],
-    stream_windows.tumbling_window_counts,
-    f"""
-    SELECT date_trunc('hour', ts) AS window_start, event_type,
-           COUNT(*) AS n_events,
-           SUM({_cents('value')}) / 100.0 AS sum_value
-    FROM events GROUP BY date_trunc('hour', ts), event_type
-    ORDER BY window_start, event_type
-    """,
-    doc="Tumbling event-time window agg (KafkaWindowWordCount parity).",
-)
-
-_register(
-    "events_sliding_window",
-    ["events"],
-    stream_windows.sliding_window_counts,
-    """
-    SELECT window_start, event_type, COUNT(*) AS n_events
-    FROM (
-        SELECT TIMESTAMP '1970-01-01 00:00:00'
-                   + to_seconds(CAST(floor(epoch(ts)/21600) AS BIGINT)*21600
-                                - 21600*g.g) AS window_start,
-               event_type, ts
-        FROM events, (SELECT unnest([0,1,2,3]) AS g) g
-    ) t
-    WHERE ts < window_start + INTERVAL 1 DAY AND ts >= window_start
-    GROUP BY window_start, event_type
-    ORDER BY window_start, event_type
-    """,
-    doc="Sliding event-time window (1 day / 6 h), epoch-aligned starts.",
-)
-
-_register(
-    "events_session_window",
-    ["events"],
-    stream_windows.session_window_counts,
-    f"""
-    WITH seq AS (
-        SELECT user_id, ts, event_id, value,
-               CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-        SELECT user_id, ts, value,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS sid
-        FROM seq
-    )
-    SELECT MIN(ts) AS session_start,
-           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
-           user_id,
-           COUNT(*) AS n_events,
-           SUM({_cents('value')}) / 100.0 AS sum_value
-    FROM sess GROUP BY user_id, sid
-    ORDER BY user_id, session_start
-    """,
-    doc="Session windows (30 min gap) — gaps-and-islands oracle.",
-)
-
-_register(
-    "session_funnel",
-    ["events"],
-    stream_windows.session_funnel,
-    f"""
-    WITH seq AS (
-        SELECT user_id, ts, event_id, event_type,
-               CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events WHERE event_type IN ('click', 'purchase')
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-        SELECT user_id, ts, event_type,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                   AS sid
-        FROM seq
-    )
-    SELECT MIN(ts) AS session_start, user_id,
-           CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_clicks,
-           CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_purchases,
-           (MIN(CASE WHEN event_type = 'click' THEN ts END) IS NOT NULL
-            AND MAX(CASE WHEN event_type = 'purchase' THEN ts END) IS NOT NULL
-            AND MAX(CASE WHEN event_type = 'purchase' THEN ts END)
-                >= MIN(CASE WHEN event_type = 'click' THEN ts END))
-               AS converted
-    FROM sess GROUP BY user_id, sid
-    ORDER BY user_id, session_start
-    """,
-    doc="Sessionized click->purchase funnel: session windows composed "
-        "with conversion logic (gaps-and-islands oracle).",
-)
-
-# rollup_multires oracle: each grain aggregated straight from raw
-# events — the engine folds day/week FROM the hourly rollup instead,
-# and the exact cent sums make the two spellings provably identical.
-_register(
-    "rollup_multires",
-    ["events"],
-    stream_windows.rollup_multires,
-    f"""
-    WITH g AS (
-        SELECT grain FROM (VALUES ('hour'), ('day'), ('week')) t(grain)
-    )
-    SELECT grain, date_trunc(grain, ts) AS bucket_start, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM({_cents('value')}) AS DOUBLE) / 100.0 AS sum_value
-    FROM events, g
-    GROUP BY grain, date_trunc(grain, ts), event_type
-    ORDER BY grain, bucket_start, event_type
-    """,
-    doc="Hypertable-style multi-resolution continuous aggregate: "
-        "hour/day/week (bucket, type) rollups in one frame — raw "
-        "events scanned once, coarser grains fold the persisted "
-        "hourly aggregate (lossless under exact cent sums).",
-)
-
-_register(
-    "stream_stream_join",
-    ["events"],
-    stream_joins.windowed_type_join,
-    """
-    WITH c AS (SELECT date_trunc('hour', ts) AS w, user_id, COUNT(*) AS n_click
-               FROM events WHERE event_type = 'click' GROUP BY 1, 2),
-         p AS (SELECT date_trunc('hour', ts) AS w, user_id, COUNT(*) AS n_purchase
-               FROM events WHERE event_type = 'purchase' GROUP BY 1, 2)
-    SELECT c.user_id AS user_id, c.w AS window_start, n_click, n_purchase
-    FROM c JOIN p ON c.user_id = p.user_id AND c.w = p.w
-    ORDER BY user_id, window_start
-    """,
-    doc="Windowed stream-stream join, aggregation-shaped (ParquetTableJoin parity).",
-)
-
-
-def _rowlevel_join(events: DataFrame) -> DataFrame:
-    clicks = events.filter(events.event_type == "click")
-    purchases = events.filter(events.event_type == "purchase")
-    return stream_joins.windowed_stream_join(clicks, purchases)
-
-
-_register(
-    "stream_join_rowlevel",
-    ["events"],
-    _rowlevel_join,
-    """
-    SELECT l.user_id AS user_id, date_trunc('hour', l.ts) AS window_start,
-           l.event_id AS l_event_id, r.event_id AS r_event_id,
-           l.value AS l_value, r.value AS r_value
-    FROM events l JOIN events r
-      ON l.user_id = r.user_id
-     AND date_trunc('hour', l.ts) = date_trunc('hour', r.ts)
-    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
-    """,
-    doc="Row-level windowed stream-stream inner join (same key + same "
-        "tumbling window), reference JoinFunction projection.",
-)
-
-_register(
-    "interval_join",
-    ["events"],
-    stream_joins.interval_join_events,
-    """
-    SELECT l.user_id AS user_id,
-           r.event_id AS r_event_id, r.ts AS r_ts,
-           l.event_id AS l_event_id, l.ts AS l_ts,
-           l.value AS l_value, r.value AS r_value
-    FROM events l JOIN events r
-      ON l.user_id = r.user_id
-     AND l.ts <= r.ts AND l.ts >= r.ts - INTERVAL 30 MINUTE
-    WHERE l.event_type = 'click' AND r.event_type = 'purchase'
-    ORDER BY user_id, r_event_id, l_event_id
-    """,
-    doc="Time-bounded interval join (clicks in the 30 min before each "
-        "purchase) — the streaming time-interval join form, batch-checked.",
-)
-
-_register(
-    "count_window",
-    ["events"],
-    cw.count_window_sums,
-    f"""
-    SELECT user_id, fire_seq, n_in_window, sum_value FROM (
-        SELECT user_id,
-               CAST(ROW_NUMBER() OVER (PARTITION BY user_id
-                                       ORDER BY ts, event_id) AS BIGINT)
-                   AS fire_seq,
-               CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                   ROWS BETWEEN 99 PRECEDING AND CURRENT ROW)
-                    AS BIGINT) AS n_in_window,
-               SUM({_cents('value')}) OVER (
-                   PARTITION BY user_id ORDER BY ts, event_id
-                   ROWS BETWEEN 99 PRECEDING AND CURRENT ROW) / 100.0
-                   AS sum_value
-        FROM events) t
-    WHERE fire_seq % 10 = 0
-    ORDER BY user_id, fire_seq
-    """,
-    doc="Sliding count window (size 100, slide 10) — WindowWordCount.scala:45 "
-        "parity; streaming twin in streaming/count_window.py.",
-)
-
-
-# ---------------------------------------------------------------------------
-# LLM-pipeline operators (north star): dedup, similarity, text analysis,
-# multimodal columns
-# ---------------------------------------------------------------------------
-
-_SHINGLES_SQL = r"""
-    w AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS words
-        FROM documents
-    ), sh AS (
-        SELECT doc_id, unnest(list_distinct(
-            CASE WHEN len(words) >= 3
-                 THEN list_transform(generate_series(1, len(words)-2),
-                      i -> words[i] || ' ' || words[i+1] || ' ' || words[i+2])
-                 ELSE [array_to_string(words, ' ')] END)) AS sh
-        FROM w
-    ), sizes AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id)
-"""
-
-_register(
-    "dedup_exact",
-    ["documents"],
-    dedup.exact_dedup,
-    """
-    SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies, text
-    FROM documents GROUP BY text ORDER BY doc_id
-    """,
-    doc="Exact dedup via hash groupBy (digest-keyed at scale).",
-)
-
-_register(
-    "novelty_scores",
-    ["documents"],
-    textops.novelty_scores,
-    f"""
-    WITH {_SHINGLES_SQL},
-    dfreq AS (SELECT sh AS g, COUNT(*) AS df FROM sh GROUP BY sh)
-    SELECT s.doc_id,
-           COUNT(*) AS n_shingles,
-           CAST(SUM(CASE WHEN d.df = 1 THEN 1 ELSE 0 END) AS DOUBLE)
-               / COUNT(*) AS novelty,
-           CAST(SUM(CASE WHEN d.df >= 10 THEN 1 ELSE 0 END) AS DOUBLE)
-               / COUNT(*) AS boilerplate_frac
-    FROM sh s JOIN dfreq d ON d.g = s.sh
-    GROUP BY s.doc_id ORDER BY s.doc_id
-    """,
-    doc="Per-doc corpus novelty vs boilerplate fractions over shingle "
-        "document frequencies (template/licence-blob pruning signal).",
-)
-
-_NOVELTY_ORACLE = QUERIES["novelty_scores"].oracle
-
-
-def _stream_state_scored(spark, docs, prefix, table_kinds, ingest, score):
-    """Shared harness for the stream→queryable-table correctness
-    queries: land the fixture as a 4-file parquet copy, replay it as a
-    maxFilesPerTrigger=1 stream (4 micro-batches) through ``ingest``,
-    score the accumulated state with ``score``, then clean up EVERY
-    piece of state — the temp parquet copy, the checkpoint dir, and the
-    managed state tables — in a ``finally``, so repeated correctness
-    runs cannot accumulate warehouse garbage. The scored frame is
-    ``localCheckpoint``-ed (eagerly materialized, lineage truncated)
-    first, so dropping the state tables cannot invalidate it.
-
-    Fresh per-invocation table names are kept as defense: managed-table
-    LOCATIONS in the shared warehouse outlive a crashed previous
-    process's catalog, where a fixed name would collide with a leftover
-    directory this session's DROP TABLE cannot see."""
-    import shutil
-    import tempfile
-    import uuid
-
-    tmp = tempfile.mkdtemp(prefix=f"fss-{prefix}stream-")
-    ckpt = tempfile.mkdtemp(prefix=f"fss-{prefix}ckpt-")
-    tag = uuid.uuid4().hex[:8]
-    names = [f"fss_{prefix}_{kind}_{tag}" for kind in table_kinds]
-    try:
-        docs.repartition(4).write.mode("overwrite").parquet(tmp)
-        stream = (
-            spark.readStream.schema(docs.schema)
-            .option("maxFilesPerTrigger", 1)
-            .parquet(tmp)
-        )
-        ingest(stream, *names, checkpoint=ckpt)
-        return score(spark, *names).localCheckpoint(eager=True)
-    finally:
-        for n in names:
-            spark.sql(f"DROP TABLE IF EXISTS {n}")
-        shutil.rmtree(tmp, ignore_errors=True)
-        shutil.rmtree(ckpt, ignore_errors=True)
-
-
-def _novelty_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``novelty_scores`` under the full
-    correctness gate: the documents fixture arrives as a 4-file stream
-    (maxFilesPerTrigger=1 → 4 micro-batches), each batch appends its
-    shingle index + log-structured DF-count partials via foreachBatch
-    (the reference's continuous stream→SnappyData-table loop,
-    ``ParquetTableJoin.scala:32-43``), and the returned frame scores the
-    accumulated state — row-identical to the one-shot batch op, so the
-    batch oracle applies verbatim. State (tables, checkpoint, fixture
-    copy) is torn down after scoring via :func:`_stream_state_scored`."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return _stream_state_scored(
-        spark,
-        docs,
-        "nov",
-        ["idx", "cnt"],
-        textops.streaming_novelty_ingest,
-        textops.novelty_from_state,
-    )
-
-
-QUERIES["novelty_streamed"] = QuerySpec(
-    fn=_novelty_streamed,
-    oracle=_NOVELTY_ORACLE,
-    doc="Streaming-ingest novelty: micro-batched shingle index + "
-        "log-structured DF partials into queryable catalog tables, "
-        "scored from state (stream→table loop on the LLM-pipeline set).",
-)
-
-_register(
-    "dedup_ngram_jaccard",
-    ["documents"],
-    dedup.ngram_jaccard_pairs,
-    f"""
-    WITH {_SHINGLES_SQL},
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
-    SELECT doc_a, doc_b,
-           n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-    ORDER BY doc_a, doc_b
-    """,
-    doc="Exact word-3-gram Jaccard near-dup pairs via prefix-filtered "
-        "shingle inverted index (AllPairs-style, recall-exact).",
-)
-
-_register(
-    "containment_pairs",
-    ["documents"],
-    dedup.containment_pairs,
-    f"""
-    WITH {_SHINGLES_SQL},
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
-    SELECT doc_a, doc_b,
-           n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) AS containment
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_inter * 1.0 / LEAST(sa.n_sh, sb.n_sh) >= 0.9
-    """,
-    doc="Asymmetric containment (overlap-coefficient) pairs at t=0.9 — "
-        "catches a short document quoted nearly whole inside a longer "
-        "one (Jaccard-invisible); smaller-side prefix filter joined "
-        "against the full shingle index, exact packed-set verify.",
-)
-
-
-def _decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    docs = load_table(spark, sf_dir, "documents")
-    # Deterministic benchmark stand-in: every 20th document is "the eval
-    # set"; the rest is the training corpus being screened.
-    bench = docs.filter(F.col("doc_id") % 20 == 0)
-    train = docs.filter(F.col("doc_id") % 20 != 0)
-    return dedup.decontaminate(train, bench)
-
-
-QUERIES["decontamination"] = QuerySpec(
-    fn=_decontaminate,
-    oracle=f"""
-    WITH {_SHINGLES_SQL},
-    bench AS (SELECT DISTINCT sh FROM sh WHERE doc_id % 20 = 0)
-    SELECT s.doc_id, COUNT(*) AS n_hits
-    FROM sh s JOIN bench b ON s.sh = b.sh
-    WHERE s.doc_id % 20 <> 0
-    GROUP BY s.doc_id
-    ORDER BY doc_id
-    """,
-    doc="Benchmark decontamination: training docs sharing >=1 word-3-gram "
-        "with the eval corpus, with distinct-overlap counts (shingle "
-        "inverted-index join; eval side broadcast).",
-)
-
-_register(
-    "source_contamination",
-    ["documents"],
-    dedup.source_contamination,
-    f"""
-    WITH {_SHINGLES_SQL},
-    ss AS (
-        SELECT DISTINCT d.source, s.sh
-        FROM sh s JOIN documents d ON d.doc_id = s.doc_id),
-    vocab AS (SELECT source, COUNT(*) AS v FROM ss GROUP BY source),
-    shared AS (
-        SELECT a.source AS src_a, b.source AS src_b, COUNT(*) AS n_shared
-        FROM ss a JOIN ss b ON a.sh = b.sh AND a.source < b.source
-        GROUP BY a.source, b.source)
-    SELECT src_a, src_b, n_shared,
-           CAST(n_shared AS DOUBLE)
-               / CAST(va.v + vb.v - n_shared AS DOUBLE) AS jaccard
-    FROM shared
-    JOIN vocab va ON va.source = src_a
-    JOIN vocab vb ON vb.source = src_b
-    ORDER BY src_a, src_b
-    """,
-    doc="Cross-source contamination matrix: shared distinct word-3-gram "
-        "counts + vocabulary Jaccard per source pair (pair expansion "
-        "inside each shingle's bounded source set — no index self-join).",
-)
-
-_register(
-    "repeated_passages",
-    ["documents"],
-    dedup.repeated_passages,
-    rf"""
-    WITH d AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS ws
-        FROM documents),
-    anch AS (
-        SELECT doc_id, ws,
-               unnest(list_filter(
-                   generate_series(1, len(ws) - {dedup.PASSAGE_WINDOW - 1}),
-                   i -> ('0x' || substr(md5(ws[i]), 1, 15))::BIGINT
-                        % {dedup.PASSAGE_ANCHOR_MOD} = 0)) AS p
-        FROM d WHERE len(ws) >= {dedup.PASSAGE_WINDOW}),
-    win AS (
-        SELECT doc_id,
-               sha256(array_to_string(
-                   list_slice(ws, p, p + {dedup.PASSAGE_WINDOW - 1}),
-                   ' ')) AS digest
-        FROM anch)
-    SELECT digest,
-           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
-           CAST(COUNT(*) AS BIGINT) AS n_occ,
-           MIN(doc_id) AS first_doc
-    FROM win GROUP BY digest
-    HAVING COUNT(DISTINCT doc_id) >= 2
-    ORDER BY digest
-    """,
-    doc="Exact repeated-passage mining: 20-word verbatim passages "
-        "shared by >=2 documents, found via content-defined anchor "
-        "words (md5-prefix mod) so unaligned copies sample identical "
-        "windows; only digests shuffle.",
-)
-
-
-def _neardup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = load_table(spark, sf_dir, "documents")
-    # Keep the pairs' presentation sort: its 1-partition barrier also
-    # collapses every tiny CC-loop shuffle to single-partition inputs,
-    # measured faster than feeding the loop 32-partition pairs.
-    return dedup.neardup_clusters(dedup.ngram_jaccard_pairs(docs, threshold=0.8))
-
-
-#: Recursive connected-components CTE chain over the exact-Jaccard pair
-#: graph, ending at ``cc_labels`` (doc_id, cluster_id) — shared by the
-#: dedup_clusters oracle and the canonical-pick oracle built on top.
-_CC_CTES = f"""
-    {_SHINGLES_SQL},
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id),
-    pairs AS (
-        SELECT doc_a, doc_b
-        FROM inter
-        JOIN sizes sa ON sa.doc_id = doc_a
-        JOIN sizes sb ON sb.doc_id = doc_b
-        WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.8),
-    edges AS (
-        SELECT doc_a AS s, doc_b AS d FROM pairs
-        UNION ALL
-        SELECT doc_b, doc_a FROM pairs),
-    reach(s, d) AS (
-        SELECT s, d FROM edges
-        UNION
-        SELECT r.s, e.d FROM reach r JOIN edges e ON r.d = e.s),
-    cc_labels AS (
-        SELECT s AS doc_id, LEAST(s, MIN(d)) AS cluster_id
-        FROM reach GROUP BY s)
-"""
-
-QUERIES["dedup_clusters"] = QuerySpec(
-    fn=_neardup_clusters,
-    oracle=f"""
-    WITH RECURSIVE
-    {_CC_CTES}
-    SELECT doc_id, cluster_id FROM cc_labels ORDER BY doc_id
-    """,
-    doc="Near-dup cluster assignment: connected components over the "
-        "exact-Jaccard pair graph via min-label propagation to fixpoint "
-        "(cluster_id = smallest reachable doc_id; oracle = recursive "
-        "reachability).",
-)
-
-
-
-# MinHash LSH candidates are exact-Jaccard VERIFIED, so the final output
-# contract is identical to the exact shingle join whenever banding recall
-# is 1 at the threshold (it is on the fixtures — pinned by
-# test_minhash_matches_exact_jaccard). The oracle is therefore the same
-# SQL as dedup_ngram_jaccard: a recall miss would surface as a row-count
-# mismatch.
-_register(
-    "dedup_minhash",
-    ["documents"],
-    dedup.minhash_dedup_pairs,
-    f"""
-    WITH {_SHINGLES_SQL},
-    inter AS (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_inter
-        FROM sh a JOIN sh b ON a.sh = b.sh AND a.doc_id < b.doc_id
-        GROUP BY a.doc_id, b.doc_id)
-    SELECT doc_a, doc_b,
-           n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) AS jaccard
-    FROM inter
-    JOIN sizes sa ON sa.doc_id = doc_a
-    JOIN sizes sb ON sb.doc_id = doc_b
-    WHERE n_inter * 1.0 / (sa.n_sh + sb.n_sh - n_inter) >= 0.8
-    ORDER BY doc_a, doc_b
-    """,
-    doc="MinHash(64)+LSH(16x4) banded candidates, exact-Jaccard verified; "
-        "oracle = the exact shingle join (LSH recall 1 at the threshold on "
-        "the fixtures, pinned by tests).",
-)
-
-def _simhash_oracle() -> str:
-    """DuckDB twin of the portable 60-bit SimHash: identical md5-hex→
-    BIGINT token hash, per-bit ±1 sums, sign fingerprint, 4×15-bit band
-    blocking, Hamming<=3 verify."""
-    bit_sums = ",\n               ".join(
-        f"SUM(CASE WHEN (h >> {i}) & 1 = 1 THEN 1 ELSE -1 END) AS b{i}"
-        for i in range(dedup.SIMHASH_BITS)
-    )
-    fp = " + ".join(
-        f"(CASE WHEN b{i} > 0 THEN CAST(1 AS BIGINT) ELSE 0 END << {i})"
-        for i in range(dedup.SIMHASH_BITS)
-    )
-    return rf"""
-    WITH tok AS (
-        SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\W+'),
-                                  x -> x <> '')) AS word
-        FROM documents
-    ), th AS (
-        SELECT doc_id, ('0x' || substr(md5(word), 1, 15))::BIGINT AS h
-        FROM tok
-    ), sums AS (
-        SELECT doc_id,
-               {bit_sums}
-        FROM th GROUP BY doc_id
-    ), fp AS (
-        SELECT doc_id, {fp} AS simhash FROM sums
-    ), bands AS (
-        SELECT doc_id, simhash, j, (simhash >> (j * 15)) & 32767 AS bv
-        FROM fp, generate_series(0, 3) s(j)
-    )
-    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
-           CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-    FROM bands a
-    JOIN bands b ON a.j = b.j AND a.bv = b.bv AND a.doc_id < b.doc_id
-    WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
-    ORDER BY doc_a, doc_b
-    """
-
-
-_register(
-    "dedup_simhash",
-    ["documents"],
-    dedup.simhash_dedup_pairs,
-    _simhash_oracle(),
-    doc="60-bit portable SimHash fingerprints (md5-derived token hash — "
-        "DuckDB-reproducible), 15-bit band blocking, Hamming<=3 verify.",
-)
-
-_QCOMP_SQL = """
-    comp AS (
-        SELECT vec_id, i,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
-        FROM embeddings, generate_series(1, 64) s(i)
-    ), norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM comp GROUP BY vec_id)
-"""
-
-
-def _ann_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return similarity.brute_force_cosine_topk(load_table(spark, sf_dir, "embeddings"))
-
-
-QUERIES["ann_cosine_topk"] = QuerySpec(
-    fn=_ann_topk,
-    oracle=f"""
-    WITH {_QCOMP_SQL},
-    dots AS (
-        SELECT q.vec_id AS query_id, t.vec_id AS vec_id, SUM(q.q * t.q) AS dot
-        FROM comp q JOIN comp t ON q.i = t.i AND q.vec_id <> t.vec_id
-        WHERE q.vec_id < 5
-        GROUP BY q.vec_id, t.vec_id),
-    scored AS (
-        SELECT query_id, d.vec_id,
-               (CAST(dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(nq.n2 AS DOUBLE)/1e12)
-                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS cosine
-        FROM dots d
-        JOIN norms nq ON nq.vec_id = d.query_id
-        JOIN norms nt ON nt.vec_id = d.vec_id)
-    SELECT query_id, vec_id, cosine, rank FROM (
-        SELECT query_id, vec_id, cosine,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
-        FROM scored) t
-    WHERE rank <= 10 ORDER BY query_id, rank
-    """,
-    doc="Brute-force cosine top-k baseline (quantized-exact scores).",
-)
-
-_register(
-    "embedding_neardup",
-    ["embeddings"],
-    similarity.cosine_neardup_pairs,
-    f"""
-    WITH {_QCOMP_SQL},
-    dots AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q * b.q) AS dot
-        FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY a.vec_id, b.vec_id)
-    SELECT vec_a, vec_b, cosine FROM (
-        SELECT vec_a, vec_b,
-               (CAST(dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(na.n2 AS DOUBLE)/1e12)
-                          * (CAST(nb.n2 AS DOUBLE)/1e12)) AS cosine
-        FROM dots
-        JOIN norms na ON na.vec_id = vec_a
-        JOIN norms nb ON nb.vec_id = vec_b) t
-    WHERE cosine >= 0.45 ORDER BY vec_a, vec_b
-    """,
-    doc="Exact embedding-cosine near-dup pairs (brute-force baseline; "
-        "LSH variant is ann_lsh_neardup).",
-)
-
-
-def _semantic_decontamination(spark: SparkSession, sf_dir: str) -> DataFrame:
-    emb = load_table(spark, sf_dir, "embeddings")
-    is_eval = F.pmod(F.col("vec_id"), F.lit(50)) == 0
-    # 0.35 keeps the fixture query non-degenerate at both check scales
-    # (24 flagged at sf0.01, 13 at sf0.001); real pipelines tune this to
-    # their embedding model's paraphrase band.
-    return similarity.semantic_decontamination(
-        emb.filter(~is_eval), emb.filter(is_eval), threshold=0.35
-    )
-
-
-QUERIES["semantic_decontamination"] = QuerySpec(
-    fn=_semantic_decontamination,
-    oracle=f"""
-    WITH {_QCOMP_SQL},
-    dots AS (
-        SELECT a.vec_id AS vec_id, b.vec_id AS eval_id,
-               SUM(a.q * b.q) AS dot
-        FROM comp a JOIN comp b ON a.i = b.i
-        WHERE a.vec_id % 50 <> 0 AND b.vec_id % 50 = 0
-        GROUP BY a.vec_id, b.vec_id),
-    cosines AS (
-        SELECT d.vec_id, d.eval_id,
-               (CAST(d.dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(na.n2 AS DOUBLE)/1e12)
-                          * (CAST(ne.n2 AS DOUBLE)/1e12)) AS cosine
-        FROM dots d
-        JOIN norms na ON na.vec_id = d.vec_id
-        JOIN norms ne ON ne.vec_id = d.eval_id),
-    hits AS (SELECT * FROM cosines WHERE cosine >= 0.35)
-    SELECT agg.vec_id, agg.n_matches, pick.best_eval, agg.best_cosine
-    FROM (
-        SELECT vec_id, CAST(COUNT(*) AS BIGINT) AS n_matches,
-               MAX(cosine) AS best_cosine
-        FROM hits GROUP BY vec_id) agg
-    JOIN (
-        SELECT vec_id, eval_id AS best_eval FROM (
-            SELECT vec_id, eval_id,
-                   ROW_NUMBER() OVER (PARTITION BY vec_id
-                       ORDER BY cosine DESC, eval_id ASC) AS r
-            FROM hits) t
-        WHERE r = 1) pick ON pick.vec_id = agg.vec_id
-    ORDER BY agg.vec_id
-    """,
-    doc="Embedding-space benchmark decontamination: train vectors whose "
-        "cosine to any (broadcast, capped) eval vector reaches 0.35 — "
-        "the semantic twin of the n-gram decontaminate; fixture eval "
-        "split = vec_id % 50 == 0.",
-)
-
-#: ann_lsh_neardup verification corpus: the fixture embeddings plus
-#: exact copies of vec_id < 50 under shifted ids. The fixture has no
-#: organic >=0.9-cosine pairs, so the planted duplicates give the LSH
-#: path a non-empty, structurally recall-1 ground truth (identical
-#: vectors collide in every hash table), which makes the query
-#: hash-checkable against the brute-force SQL oracle. Recall under
-#: noise is pinned separately in tests (planted noisy dups).
-_LSH_PLANT_N = 50
-_LSH_PLANT_SHIFT = 1_000_000
-
-
-def _ann_lsh_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import functions as F
-
-    emb = load_table(spark, sf_dir, "embeddings")
-    planted = emb.filter(F.col("vec_id") < _LSH_PLANT_N).withColumn(
-        "vec_id", F.col("vec_id") + F.lit(_LSH_PLANT_SHIFT)
-    )
-    return similarity.lsh_neardup_pairs(emb.unionByName(planted), threshold=0.9)
-
-
-QUERIES["ann_lsh_neardup"] = QuerySpec(
-    fn=_ann_lsh_neardup,
-    oracle=f"""
-    WITH allv AS (
-        SELECT vec_id, embedding FROM embeddings
-        UNION ALL
-        SELECT vec_id + {_LSH_PLANT_SHIFT}, embedding FROM embeddings
-        WHERE vec_id < {_LSH_PLANT_N}
-    ),
-    comp AS (
-        SELECT vec_id, i,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0) AS BIGINT) AS q
-        FROM allv, generate_series(1, 64) s(i)
-    ), norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM comp GROUP BY vec_id),
-    dots AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q * b.q) AS dot
-        FROM comp a JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
-        GROUP BY a.vec_id, b.vec_id)
-    SELECT vec_a, vec_b, cosine FROM (
-        SELECT vec_a, vec_b,
-               (CAST(dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(na.n2 AS DOUBLE)/1e12)
-                          * (CAST(nb.n2 AS DOUBLE)/1e12)) AS cosine
-        FROM dots
-        JOIN norms na ON na.vec_id = vec_a
-        JOIN norms nb ON nb.vec_id = vec_b) t
-    WHERE cosine >= 0.9 ORDER BY vec_a, vec_b
-    """,
-    doc="Hyperplane-LSH bucketed near-dup candidates + exact verify "
-        "(scale path, Hamming-1 multiprobe on); hash-checked against "
-        "the brute-force oracle on a planted-duplicate corpus.",
-)
-
-_register(
-    "ann_ivf_topk",
-    ["embeddings"],
-    similarity.ivf_recall_check,
-    """
-    SELECT vec_id AS query_id, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
-    """,
-    doc="IVF-style ANN top-k with deterministic codebook + n_probe lists "
-        "(scale path); emits per-query recall>=0.4 verdict vs in-query "
-        "brute force (bound-verdict pattern — full hash-match).",
-    judge_bearing=True,
-)
-
-_register(
-    "ann_ivf_trained",
-    ["embeddings"],
-    similarity.ivf_trained_recall_check,
-    """
-    SELECT vec_id AS query_id, TRUE AS recall_ok
-    FROM embeddings WHERE vec_id < 5 ORDER BY query_id
-    """,
-    doc="IVF ANN with a TRAINED Lloyd's-k-means coarse quantizer "
-        "(train->index->probe as one op); per-query recall>=0.4 "
-        "verdict vs in-query brute force (observed minimum 0.7 "
-        "across sf0.001-sf0.1).",
-    judge_bearing=True,
-)
-
-_register(
-    "text_token_count",
-    ["documents"],
-    textops.token_counts,
-    rf"""
-    SELECT doc_id,
-           CAST(len(list_filter(string_split_regex(text, '\s+'),
-                                x -> x <> '')) AS BIGINT) AS n_ws_tokens,
-           CAST(len(regexp_extract_all(lower(text),
-                    '{textops.TOKEN_REGEX}')) AS BIGINT) AS n_bpe_tokens,
-           CAST(length(text) AS BIGINT) AS n_chars
-    FROM documents
-    """,
-    doc="Whitespace + BPE-ish regex token counting.",
-)
-
-_register(
-    "text_quality",
-    ["documents"],
-    textops.quality_scores,
-    r"""
-    WITH base AS (
-        SELECT doc_id, text,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS words,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(length(regexp_replace(lower(text), '\W+', '', 'g'))
-                    AS BIGINT) AS word_chars,
-               CAST(length(text)
-                    - length(regexp_replace(text, '[^\w\s]', '', 'g'))
-                    AS BIGINT) AS n_punct
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(words) AS BIGINT) AS n_words,
-           word_chars * 1.0 / len(words) AS mean_word_len,
-           n_punct * 1.0 / n_chars AS punct_ratio,
-           CAST(len(list_filter(words, x -> list_contains(
-                ['the','a','an','and','or','is','are','to','of','in'], x)))
-                AS BIGINT) * 1.0 / len(words) AS stopword_ratio,
-           (len(words) >= 5 AND word_chars * 1.0 / len(words) >= 2.0
-            AND word_chars * 1.0 / len(words) <= 12.0
-            AND n_punct * 1.0 / n_chars <= 0.2) AS keep
-    FROM base
-    """,
-    doc="Pre-training quality filters: word stats, punct/stopword ratios.",
-)
-
-#: Hashed-linear-quality-model scoring CTE chain, ending at
-#: ``scored(doc_id, n_words, score_sum)`` — shared by the
-#: quality_model_scores oracle and the canonical-pick oracle (which
-#: picks each near-dup cluster's max-margin member).
-_QM_CTES = rf"""
-    qm_words AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS ws
-        FROM documents),
-    scored AS (
-        SELECT doc_id,
-               CAST(len(ws) AS BIGINT) AS n_words,
-               CAST(COALESCE(list_aggregate(list_transform(ws,
-                    x -> ((('0x' || substr(md5(x), 1, 15))::BIGINT
-                           % {textops.QM_BUCKETS})
-                          * {textops.QM_MULT} + {textops.QM_INC})
-                         % {textops._QM_MOD} - {textops._QM_CENTER}),
-                    'sum'), 0) AS BIGINT) AS score_sum
-        FROM qm_words)
-"""
-
-#: The quality-model margin as a SQL expression over a ``scored`` row.
-_QM_MARGIN = (
-    f"CASE WHEN n_words > 0 THEN CAST(score_sum AS DOUBLE)"
-    f" / (n_words * CAST({textops._QM_CENTER} AS BIGINT))"
-    f" ELSE 0.0 END"
-)
-
-_register(
-    "quality_model_scores",
-    ["documents"],
-    textops.quality_model_scores,
-    rf"""
-    WITH {_QM_CTES}
-    SELECT doc_id, n_words, score_sum,
-           CASE WHEN n_words > 0
-                THEN CAST(score_sum AS DOUBLE)
-                     / (n_words * CAST({textops._QM_CENTER} AS BIGINT))
-                ELSE 0.0 END AS margin,
-           CASE WHEN n_words > 0
-                THEN CAST(score_sum AS DOUBLE)
-                     / (n_words * CAST({textops._QM_CENTER} AS BIGINT)) > 0.0
-                ELSE FALSE END AS keep
-    FROM scored ORDER BY doc_id
-    """,
-    doc="Model-based quality filter (fastText-filter shape): linear "
-        "scorer over hashing-trick token features — portable md5 bucket "
-        "hash, LCG-derived integer weights, exact int64 sum, one "
-        "int->double division; pure per-row JVM expressions, no shuffle.",
-)
-
-
-def _langid_hits_sql(kw: str) -> str:
-    pad = f" {kw} "
-    return (
-        f"CAST((length(padded) - length(replace(padded, '{pad}', '')))"
-        f" / {len(pad)} AS BIGINT)"
-    )
-
-
-def _langid_oracle() -> str:
-    langs = list(textops.LANG_KEYWORDS)
-    score_exprs = {
-        lang: " + ".join(_langid_hits_sql(k) for k in kws)
-        for lang, kws in textops.LANG_KEYWORDS.items()
-    }
-    cases = []
-    for idx, lang in enumerate(langs):
-        conds = [f"s_{lang} > 0"]
-        for j, other in enumerate(langs):
-            if j < idx:
-                conds.append(f"s_{lang} > s_{other}")
-            elif j > idx:
-                conds.append(f"s_{lang} >= s_{other}")
-        cases.append(f"WHEN {' AND '.join(conds)} THEN '{lang}'")
-    scores_select = ",\n           ".join(
-        f"({score_exprs[lang]}) AS s_{lang}" for lang in langs
-    )
-    out_cols = ", ".join(f"s_{lang} AS score_{lang}" for lang in langs)
-    # Han-script zh detector, same literal char class + ratio as the
-    # engine (text.CJK_CLASS / text.CJK_RATIO); the script CASE runs
-    # before the keyword vote, mirroring language_id's precedence.
-    zh_score = (
-        "CAST(length(text) - length(regexp_replace(text, "
-        f"'{textops.CJK_CLASS}', '', 'g')) AS BIGINT)"
-    )
-    zh_case = (
-        f"WHEN s_zh > 0 AND s_zh * {textops.CJK_RATIO} >= n_chars "
-        "THEN 'zh'"
-    )
-    return f"""
-    WITH padded_docs AS (
-        SELECT doc_id, lang, ' ' || lower(text) || ' ' AS padded,
-               {zh_score} AS s_zh,
-               CAST(length(text) AS BIGINT) AS n_chars
-        FROM documents
-    ), scored AS (
-        SELECT doc_id, lang, s_zh, n_chars,
-           {scores_select}
-        FROM padded_docs
-    )
-    SELECT doc_id, lang, {out_cols}, s_zh AS score_zh,
-           CASE {zh_case} {' '.join(cases)} ELSE 'und' END AS pred_lang
-    FROM scored
-    """
-
-
-_register(
-    "text_langid",
-    ["documents"],
-    textops.language_id,
-    _langid_oracle(),
-    doc="Keyword-hit language ID (en/fr/de/es) with deterministic argmax.",
-)
-
-_register(
-    "langid_confusion",
-    ["documents"],
-    textops.langid_confusion,
-    f"""
-    WITH pred AS ({_langid_oracle()}),
-    cm AS (
-        SELECT lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
-        FROM pred GROUP BY lang, pred_lang),
-    tot AS (
-        SELECT lang, CAST(COUNT(*) AS BIGINT) AS lang_total
-        FROM pred GROUP BY lang)
-    SELECT cm.lang, cm.pred_lang, cm.n, tot.lang_total,
-           CAST(cm.n AS DOUBLE) / CAST(tot.lang_total AS DOUBLE) AS share
-    FROM cm JOIN tot ON tot.lang = cm.lang
-    ORDER BY cm.lang, cm.pred_lang
-    """,
-    doc="Language-ID confusion matrix vs the labeled lang column: "
-        "per (truth, prediction) counts + row-normalized shares "
-        "(diagonal = per-language recall) — classifier QA before "
-        "gating a corpus on it.",
-)
-
-_register(
-    "doc_fingerprint",
-    ["documents"],
-    textops.doc_fingerprints,
-    rf"""
-    SELECT doc_id,
-           list_min(list_transform(
-               range(1, greatest(length(text) - {textops.FP_WINDOW - 1}, 1) + 1),
-               i -> ('0x' || substr(md5(substr(text, i, {textops.FP_WINDOW})),
-                                    1, 15))::BIGINT)) AS fingerprint
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Winnowing-style min-hash fingerprint over 8-char windows; "
-        "portable md5-derived window hash (DuckDB-reproducible, "
-        "full hash-match), all-JVM higher-order functions.",
-)
-
-_register(
-    "winnowing_fingerprints",
-    ["documents"],
-    textops.winnowing_fingerprints,
-    rf"""
-    WITH h AS (
-        SELECT doc_id,
-               list_transform(
-                   range(1, greatest(length(text)
-                                     - {textops.FP_WINDOW - 1}, 1) + 1),
-                   i -> ('0x' || substr(md5(substr(text, i,
-                                        {textops.FP_WINDOW})),
-                         1, 15))::BIGINT) AS hs
-        FROM documents),
-    s AS (
-        SELECT doc_id, hs,
-               list_distinct(list_transform(
-                   range(0, greatest(len(hs)
-                                     - {textops.WINNOW_WINDOW}, 0) + 1),
-                   j -> list_min(list_slice(hs, j + 1,
-                                 j + {textops.WINNOW_WINDOW})))) AS sel
-        FROM h)
-    SELECT doc_id,
-           CAST(len(hs) AS BIGINT) AS n_windows,
-           CAST(len(sel) AS BIGINT) AS n_fingerprints,
-           CAST(len(sel) AS DOUBLE) / CAST(len(hs) AS DOUBLE)
-               AS density
-    FROM s ORDER BY doc_id
-    """,
-    doc="True MOSS winnowing (SIGMOD'03): min hash of each run of 4 "
-        "consecutive 8-char-window hashes, distinct selection per doc "
-        "— shared substrings >= 11 chars guarantee a shared "
-        "fingerprint at ~2/(w+1) density; per-row JVM higher-order "
-        "expressions, no shuffle beyond the sort gate.",
-)
-
-_register(
-    "winnowing_pairs",
-    ["documents"],
-    textops.winnowing_pairs,
-    rf"""
-    WITH h AS (
-        SELECT doc_id,
-               list_transform(
-                   range(1, greatest(length(text)
-                                     - {textops.FP_WINDOW - 1}, 1) + 1),
-                   i -> ('0x' || substr(md5(substr(text, i,
-                                        {textops.FP_WINDOW})),
-                         1, 15))::BIGINT) AS hs
-        FROM documents),
-    s AS (
-        SELECT doc_id,
-               list_distinct(list_transform(
-                   range(0, greatest(len(hs)
-                                     - {textops.WINNOW_WINDOW}, 0) + 1),
-                   j -> list_min(list_slice(hs, j + 1,
-                                 j + {textops.WINNOW_WINDOW})))) AS sel
-        FROM h),
-    fp AS (SELECT doc_id, unnest(sel) AS fp FROM s),
-    ok AS (SELECT fp FROM fp GROUP BY fp
-           HAVING COUNT(*) BETWEEN 2 AND 16),
-    k AS (SELECT f.doc_id, f.fp FROM fp f JOIN ok USING (fp)),
-    pr AS (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-           FROM k a JOIN k b
-             ON a.fp = b.fp AND a.doc_id < b.doc_id)
-    SELECT doc_a, doc_b, CAST(COUNT(*) AS BIGINT) AS n_shared
-    FROM pr GROUP BY 1, 2 HAVING COUNT(*) >= 2
-    ORDER BY doc_a, doc_b
-    """,
-    doc="Partial-copy candidate pairs from shared winnowing "
-        "fingerprints (>= 2 shared, boilerplate fingerprints with "
-        "df > 16 dropped): the local plagiarism detector whole-doc "
-        "MinHash misses; df-filter BEFORE collect_set bounds buckets, "
-        "in-kernel pair expansion, no postings self-join.",
-)
-
-_register(
-    "agg_percentile",
-    ["orders"],
-    relational.agg_percentile,
-    """
-    SELECT o_orderpriority,
-           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.5)
-               AS p50_cents,
-           quantile_cont(CAST(ROUND(o_totalprice * 100) AS BIGINT), 0.9)
-               AS p90_cents,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    doc="Exact interpolated percentiles over integer cents (bit-identical "
-        "interpolation on both engines).",
-)
-
-_register(
-    "agg_histogram",
-    ["orders"],
-    relational.agg_histogram,
-    """
-    SELECT CAST((CAST(ROUND(o_totalprice * 100) AS BIGINT) * 10) // 60000000
-                AS BIGINT) AS bucket,
-           COUNT(*) AS n_orders
-    FROM orders GROUP BY bucket ORDER BY bucket
-    """,
-    doc="Equi-width histogram over exact cents (pure integer binning).",
-)
-
-_register(
-    "agg_approx_percentile",
-    ["orders"],
-    relational.agg_approx_percentile,
-    """
-    SELECT DISTINCT o_orderpriority,
-           TRUE AS p50_within_bound, TRUE AS p90_within_bound
-    FROM orders ORDER BY o_orderpriority
-    """,
-    doc="Sketch-based percentiles (no per-group sort; mergeable state — "
-        "the scale path); emits the deterministic sketch-vs-exact bound "
-        "verdict per group (full hash-match).",
-    judge_bearing=True,
-)
-
-_register(
-    "scalar_similarity",
-    ["nation"],
-    scalar.similarity_functions,
-    """
-    SELECT a.n_name AS name_a, b.n_name AS name_b,
-           CAST(levenshtein(a.n_name, b.n_name) AS BIGINT) AS edit_dist,
-           levenshtein(a.n_name, b.n_name) * 1.0
-               / greatest(length(a.n_name), length(b.n_name)) AS edit_ratio
-    FROM nation a CROSS JOIN nation b
-    WHERE a.n_name < b.n_name
-    ORDER BY name_a, name_b
-    """,
-    doc="Edit-distance fuzzy matching over all dimension-name pairs.",
-)
-
-
-def _curation_oracle() -> str:
-    langid = _langid_oracle()
-    return rf"""
-    WITH reps AS (
-        SELECT MIN(doc_id) AS doc_id, COUNT(*) AS n_copies
-        FROM documents GROUP BY text
-    ), qbase AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS words,
-               CAST(length(text) AS BIGINT) AS n_chars,
-               CAST(length(regexp_replace(lower(text), '\W+', '', 'g'))
-                    AS BIGINT) AS word_chars,
-               CAST(length(text)
-                    - length(regexp_replace(text, '[^\w\s]', '', 'g'))
-                    AS BIGINT) AS n_punct
-        FROM documents
-    ), quality AS (
-        SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
-               (len(words) >= 5 AND word_chars * 1.0 / len(words) >= 2.0
-                AND word_chars * 1.0 / len(words) <= 12.0
-                AND n_punct * 1.0 / n_chars <= 0.2) AS keep
-        FROM qbase
-    ), lang AS (
-        SELECT doc_id, pred_lang FROM ({langid}) t
-    )
-    SELECT r.doc_id AS doc_id, n_copies, pred_lang, n_words
-    FROM reps r
-    JOIN quality q ON q.doc_id = r.doc_id
-    JOIN lang l ON l.doc_id = r.doc_id
-    WHERE q.keep
-    ORDER BY doc_id
-    """
-
-
-_register(
-    "curation_pipeline",
-    ["documents"],
-    curation.curation_pipeline,
-    _curation_oracle(),
-    doc="Flagship curation flow: exact dedup -> quality gates -> langid, "
-        "one row per surviving document (composition of the individual "
-        "declared operators).",
-)
-
-_register(
-    "canonical_pick",
-    ["documents"],
-    # sort=False: the driver's value hash is order-insensitive, so the
-    # registered form skips the presentation sort (the cluster list is
-    # O(n/2) on a duplicate-heavy corpus — no reason to range-sort it).
-    lambda documents: curation.canonical_pick(documents, sort=False),
-    f"""
-    WITH RECURSIVE
-    {_CC_CTES},
-    {_QM_CTES}
-    SELECT agg.cluster_id, pick.keep_doc_id, agg.n_members,
-           agg.best_margin
-    FROM (
-        SELECT l.cluster_id,
-               COUNT(*) AS n_members,
-               MAX({_QM_MARGIN}) AS best_margin
-        FROM cc_labels l JOIN scored s ON s.doc_id = l.doc_id
-        GROUP BY l.cluster_id) agg
-    JOIN (
-        SELECT cluster_id, doc_id AS keep_doc_id FROM (
-            SELECT l.cluster_id, l.doc_id,
-                   ROW_NUMBER() OVER (PARTITION BY l.cluster_id
-                       ORDER BY {_QM_MARGIN} DESC, l.doc_id ASC) AS r
-            FROM cc_labels l JOIN scored s ON s.doc_id = l.doc_id) t
-        WHERE r = 1) pick ON pick.cluster_id = agg.cluster_id
-    ORDER BY agg.cluster_id
-    """,
-    doc="Canonical-document selection: per near-dup cluster keep the "
-        "max-quality-margin member (tie -> smallest doc_id) — the "
-        "keep/drop decision step after pairwise dedup.",
-)
-
-_register(
-    "leakage_safe_split",
-    ["documents"],
-    curation.leakage_safe_split,
-    f"""
-    WITH RECURSIVE
-    {_CC_CTES},
-    rep AS (
-        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS rep_id
-        FROM documents d LEFT JOIN cc_labels c ON c.doc_id = d.doc_id),
-    b AS (
-        SELECT doc_id, rep_id,
-               (({packing.portable_hash_sql('rep_id')}) + 1818935405)
-                   % 10000 AS bucket
-        FROM rep)
-    SELECT doc_id, rep_id,
-           CASE WHEN bucket < 9800 THEN 'train'
-                WHEN bucket < 9900 THEN 'val'
-                ELSE 'test' END AS split
-    FROM b
-    """,
-    doc="Leakage-free train/val/test split: the hash-split bucket is "
-        "computed on the near-dup cluster representative (smallest "
-        "reachable doc_id), so no near-dup pair ever straddles the "
-        "train/eval boundary; unclustered documents hash their own id "
-        "(identical to train_val_test_split for them).",
-)
-
-_register(
-    "dedup_report",
-    ["documents"],
-    curation.dedup_report,
-    f"""
-    WITH RECURSIVE
-    {_CC_CTES},
-    sizes2 AS (
-        SELECT cluster_id, COUNT(*) AS sz FROM cc_labels
-        GROUP BY cluster_id),
-    base AS (
-        SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_texts
-        FROM documents),
-    cl AS (
-        SELECT CAST(COALESCE(SUM(sz), 0) AS BIGINT) AS n_neardup_docs,
-               CAST(COUNT(*) AS BIGINT) AS n_neardup_clusters,
-               CAST(COALESCE(MAX(sz), 0) AS BIGINT) AS max_cluster_size
-        FROM sizes2)
-    SELECT n_docs, n_distinct_texts,
-           n_docs - n_distinct_texts AS exact_dup_docs,
-           n_neardup_docs, n_neardup_clusters, max_cluster_size
-    FROM base, cl
-    """,
-    doc="One-row corpus duplication report: exact-dup mass, near-dup "
-        "cluster count/size stats — the pre-dedup policy summary "
-        "(digest-keyed distinct, broadcast one-row joins).",
-)
-
-_register(
-    "line_dedup",
-    ["documents"],
-    # sort=False: one row per document (corpus-sized output); the
-    # driver's value hash is order-insensitive.
-    lambda documents: dedup.line_dedup(documents, sort=False),
-    f"""
-    WITH lines AS (
-        SELECT doc_id, unnest(arr) AS line,
-               generate_subscripts(arr, 1) - 1 AS pos
-        FROM (SELECT doc_id, string_split(text, chr(10)) AS arr
-              FROM documents)
-    ), keyed AS (
-        SELECT doc_id, pos, line,
-               ('0x' || substr(md5(line), 1, 15))::BIGINT AS h
-        FROM lines
-    ), occ AS (
-        SELECT h, CAST(COUNT(*) AS BIGINT) AS occ FROM keyed GROUP BY h
-    ), hot AS (SELECT h FROM occ WHERE occ > {dedup.LINE_MAX_OCC}),
-    dp AS (
-        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_dropped
-        FROM keyed JOIN hot USING (h) GROUP BY doc_id
-    ), kept AS (
-        SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS kept_text
-        FROM keyed WHERE h NOT IN (SELECT h FROM hot) GROUP BY doc_id
-    )
-    SELECT d.doc_id AS doc_id,
-           CAST(len(string_split(d.text, chr(10))) AS BIGINT) AS n_lines,
-           COALESCE(dp.n_dropped, 0) AS n_dropped,
-           COALESCE(k.kept_text, '') AS kept_text
-    FROM documents d LEFT JOIN dp ON dp.doc_id = d.doc_id
-    LEFT JOIN kept k ON k.doc_id = d.doc_id
-    """,
-    doc="Boilerplate line removal (CCNet-style line-level dedup): drop "
-        "every line occurring more than 5 times corpus-wide; line text "
-        "never shuffles (60-bit md5-prefix digests; ultra-hot digests "
-        "broadcast), reassembly is an in-row array filter.",
-)
-
-_register(
-    "source_doc_cap",
-    ["documents"],
-    # sort=False: one row per document; hash compare is order-insensitive.
-    lambda documents: sampling.per_source_cap(documents, sort=False),
-    f"""
-    WITH keyed AS (
-        SELECT doc_id, source,
-               {packing.portable_hash_sql('doc_id')} AS hk
-        FROM documents)
-    SELECT doc_id, source,
-           CAST(ROW_NUMBER() OVER (
-                    PARTITION BY source ORDER BY hk, doc_id) - 1
-                AS BIGINT) AS cap_rank,
-           (ROW_NUMBER() OVER (
-                    PARTITION BY source ORDER BY hk, doc_id) - 1)
-               < {sampling.CAP_DEFAULT_K} AS kept
-    FROM keyed
-    """,
-    doc="Per-source document cap (domain-cap curation rule): keep the "
-        "k hash-smallest documents per source via the two-phase "
-        "bucket-histogram rank — no hot-source window partition, no "
-        "driver histogram; identical to the naive per-source "
-        "row_number.",
-)
-
-_register(
-    "train_val_test_split",
-    ["documents"],
-    sampling.split_counts,
-    f"""
-    WITH b AS (
-        SELECT (({packing.portable_hash_sql('doc_id')}) + 1818935405) % 10000
-               AS bucket
-        FROM documents
-    )
-    SELECT CASE WHEN bucket < 9800 THEN 'train'
-                WHEN bucket < 9900 THEN 'val'
-                ELSE 'test' END AS split,
-           COUNT(*) AS n_docs
-    FROM b GROUP BY split ORDER BY split
-    """,
-    doc="Deterministic hash-bucket train/val/test split (98/1/1) over "
-        "doc_id — stable under corpus growth; portable multiplicative "
-        "hash + crc32 salt, DuckDB-reproducible bit-for-bit "
-        "(1818935405 = crc32('fss-split-v1')).",
-)
-
-_MIX_SALT_INT = __import__("zlib").crc32(sampling.MIX_SALT.encode())
-
-_register(
-    "token_budget_mix",
-    ["documents"],
-    sampling.token_budget_mix,
-    f"""
-    WITH d AS (
-        SELECT doc_id, source,
-               CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
-                                    x -> x <> '')) AS BIGINT) AS n_tokens,
-               (({packing.portable_hash_sql('doc_id')}) + {_MIX_SALT_INT})
-                   % 10000 AS bucket
-        FROM documents),
-    thr AS (
-        SELECT source,
-               CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
-               LEAST(CAST(10000 AS BIGINT),
-                     CAST({sampling.MIX_BUDGET_TOKENS * 10000} AS BIGINT)
-                     // GREATEST(CAST(SUM(n_tokens) AS BIGINT),
-                                 CAST(1 AS BIGINT))) AS threshold
-        FROM d GROUP BY source)
-    SELECT d.source,
-           CAST(t.total_tokens AS BIGINT) AS total_tokens,
-           CAST(t.threshold AS BIGINT) AS threshold,
-           CAST(SUM(CASE WHEN d.bucket < t.threshold THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_docs_kept,
-           CAST(SUM(CASE WHEN d.bucket < t.threshold THEN d.n_tokens
-                         ELSE 0 END) AS BIGINT) AS tokens_kept
-    FROM d JOIN thr t ON t.source = d.source
-    GROUP BY d.source, t.total_tokens, t.threshold
-    ORDER BY d.source
-    """,
-    doc="Per-source token-budget mixing (pretraining data-mixing step): "
-        "deterministic hash-rate downsample so each source lands at "
-        "~500 kept tokens; per-source summary with exact thresholds and "
-        "kept-token sums (portable hash + BIGINT DIV, full oracle; "
-        f"{_MIX_SALT_INT} = crc32('{sampling.MIX_SALT}')).",
-)
-
-def _mix_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``token_budget_mix`` under the
-    full correctness gate: the documents fixture arrives as a 4-file
-    stream (maxFilesPerTrigger=1 → 4 micro-batches); each batch appends
-    its per-doc mixing features + per-source token-total partials via
-    foreachBatch (``ParquetTableJoin.scala:32-43`` loop), and the
-    returned frame rates the accumulated state — row-identical to the
-    batch op, so the batch oracle applies verbatim. State is torn down
-    after scoring via :func:`_stream_state_scored`."""
-    docs = load_table(spark, sf_dir, "documents").select(
-        "doc_id", "text", "source"
-    )
-    return _stream_state_scored(
-        spark,
-        docs,
-        "mix",
-        ["docs", "tot"],
-        sampling.streaming_mix_ingest,
-        sampling.mix_from_state,
-    )
-
-
-QUERIES["mix_streamed"] = QuerySpec(
-    fn=_mix_streamed,
-    oracle=QUERIES["token_budget_mix"].oracle,
-    doc="Streaming-ingest token-budget mixing: per-doc features + "
-        "log-structured per-source total partials into queryable "
-        "catalog tables, rated from state (second stream→table loop "
-        "on the LLM-pipeline set).",
-)
-
-
-def _centroids_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``label_centroids`` under the
-    full correctness gate — the third stream→table loop, on the
-    EMBEDDING side: the embeddings fixture arrives as a 4-file stream
-    (maxFilesPerTrigger=1 → 4 micro-batches); each batch lands its
-    per-(label, pos) int64 partial sums via foreachBatch
-    (``ParquetTableJoin.scala:32-43`` loop), and the returned frame
-    folds the accumulated partials — exactly row-identical to the
-    batch op (int64 sums are batching-insensitive), so the batch
-    oracle applies verbatim. State is torn down after scoring via
-    :func:`_stream_state_scored`."""
-    vecs = load_table(spark, sf_dir, "embeddings").select(
-        "vec_id", "embedding", "label"
-    )
-    return _stream_state_scored(
-        spark,
-        vecs,
-        "cent",
-        ["part"],
-        similarity.streaming_centroid_ingest,
-        similarity.centroids_from_state,
-    )
-
-
-QUERIES["centroids_streamed"] = QuerySpec(
-    fn=_centroids_streamed,
-    oracle=None,  # set below once label_centroids is registered
-    doc="Streaming-ingest per-label centroids: micro-batched int64 "
-        "component partial sums into a queryable catalog table, folded "
-        "from state (third stream→table loop, embedding side).",
-)
-
-
-def _wordcount_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``wordcount_batch`` under the
-    full correctness gate — the reference's SIGNATURE dataflow
-    (``KafkaWindowWordCount.scala:25-29``) through its title loop
-    (``ParquetTableJoin.scala:32-43``): the documents fixture arrives
-    as a 4-file stream; each micro-batch appends its per-word count
-    partials, and the returned frame folds the accumulated state —
-    exactly row-identical to the batch op, so the batch oracle applies
-    verbatim. State is torn down after scoring via
-    :func:`_stream_state_scored`."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return _stream_state_scored(
-        spark,
-        docs,
-        "wc",
-        ["cnt"],
-        wordcount.streaming_wordcount_ingest,
-        wordcount.wordcount_from_state,
-    )
-
-
-QUERIES["wordcount_streamed"] = QuerySpec(
-    fn=_wordcount_streamed,
-    oracle=QUERIES["wordcount_batch"].oracle,
-    doc="Streaming-ingest word count: micro-batched per-word partials "
-        "into a queryable catalog table, folded from state (the "
-        "reference's signature dataflow through its stream→table loop).",
-)
-
-
-def _dedup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``dedup_exact`` under the full
-    correctness gate — dedup-at-ingest as a CONTINUOUS loop rather
-    than a one-shot batch: the documents fixture arrives as a 4-file
-    stream; each micro-batch appends per-digest (min doc_id, copy
-    count, representative text) partials, and the returned frame folds
-    the accumulated state — row-identical to the batch op, so the
-    batch oracle applies verbatim. State is torn down after scoring
-    via :func:`_stream_state_scored`."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return _stream_state_scored(
-        spark,
-        docs,
-        "dd",
-        ["parts"],
-        dedup.streaming_dedup_ingest,
-        dedup.dedup_from_state,
-    )
-
-
-QUERIES["dedup_streamed"] = QuerySpec(
-    fn=_dedup_streamed,
-    oracle=QUERIES["dedup_exact"].oracle,
-    doc="Streaming-ingest exact dedup: micro-batched per-digest "
-        "min/count/representative partials into a queryable catalog "
-        "table, folded from state (dedup-at-ingest through the "
-        "stream→table loop; digests shuffle, text never a key).",
-)
-
-_register(
-    "agg_approx_distinct",
-    ["orders"],
-    lambda orders: sampling.approx_distinct_verified(
-        orders, "o_orderpriority", "o_custkey"
-    ),
-    """
-    SELECT o_orderpriority,
-           COUNT(DISTINCT o_custkey) AS exact_distinct,
-           TRUE AS within_bound
-    FROM orders GROUP BY o_orderpriority ORDER BY o_orderpriority
-    """,
-    doc="HyperLogLog++ distinct-customer sketch per priority; emits the "
-        "exact count + deterministic |approx-exact|<=3*rsd verdict "
-        "(full hash-match).",
-    judge_bearing=True,
-)
-
-_register(
-    "image_decode_stats",
-    ["documents"],
-    lambda documents: multimodal.image_stats_table(
-        multimodal.synthesize_ppm(documents)
-    ).orderBy("doc_id"),
-    """
-    WITH px AS (
-        SELECT d.doc_id, u.i, (d.doc_id * 31 + u.i) % 256 AS v
-        FROM documents d,
-             LATERAL (SELECT UNNEST(range(0, (1 + d.doc_id % 4) * 6)) AS i) u
-    )
-    SELECT doc_id,
-           'ppm' AS format,
-           CAST(1 + doc_id % 4 AS INTEGER) AS width,
-           CAST(2 AS INTEGER) AS height,
-           CAST(3 AS INTEGER) AS channels,
-           AVG(CASE WHEN i % 3 = 0 THEN v END) AS mean_r,
-           AVG(CASE WHEN i % 3 = 1 THEN v END) AS mean_g,
-           AVG(CASE WHEN i % 3 = 2 THEN v END) AS mean_b
-    FROM px GROUP BY doc_id ORDER BY doc_id
-    """,
-    doc="End-to-end image decode: deterministic synthesized PPM payload "
-        "per document, decoded by the real pure-Python parser inside "
-        "mapInPandas; channel means hash-checked against the closed-form "
-        "arithmetic oracle.",
-)
-
-_register(
-    "image_resize_stats",
-    ["documents"],
-    lambda documents: multimodal.image_resize_table(
-        multimodal.synthesize_ppm(documents)
-    ).orderBy("doc_id"),
-    """
-    WITH px AS (
-        SELECT d.doc_id, u.t, ch.ch,
-               (d.doc_id * 31
-                + (((u.t * (1 + d.doc_id % 4)) // 2) * 3 + ch.ch)) % 256
-                   AS v
-        FROM documents d,
-             LATERAL (SELECT UNNEST(range(0, 2)) AS t) u,
-             LATERAL (SELECT UNNEST(range(0, 3)) AS ch) ch
-    )
-    SELECT doc_id,
-           CAST(2 AS INTEGER) AS out_w,
-           CAST(1 AS INTEGER) AS out_h,
-           CAST(SUM(v) AS BIGINT) AS sum_px,
-           AVG(CASE WHEN ch = 0 THEN v END) AS mean_r,
-           AVG(CASE WHEN ch = 1 THEN v END) AS mean_g,
-           AVG(CASE WHEN ch = 2 THEN v END) AS mean_b
-    FROM px GROUP BY doc_id ORDER BY doc_id
-    """,
-    doc="Decode -> nearest-neighbor resize -> stats of the RESIZED "
-        "pixels in one fused mapInPandas pass; the exact byte sum pins "
-        "the resize kernel's output against the closed-form floor-index "
-        "oracle bit-for-bit.",
-)
-
-_register(
-    "image_phash_dedup",
-    ["documents"],
-    multimodal.image_phash_dedup,
-    """
-    WITH img AS (
-        SELECT doc_id,
-               doc_id % 32 AS s,
-               CAST(2 + (doc_id % 32) % 3 AS BIGINT) AS w0
-        FROM documents),
-    cell AS (
-        SELECT i.doc_id, i.s, r.r, c.c,
-               ((r.r // 4) * i.w0 + (c.c * i.w0) // 8) AS i0,
-               ((r.r // 4) * i.w0 + ((c.c + 1) * i.w0) // 8) AS i1
-        FROM img i,
-             LATERAL (SELECT UNNEST(range(0, 8)) AS r) r,
-             LATERAL (SELECT UNNEST(range(0, 7)) AS c) c),
-    ph AS (
-        SELECT doc_id,
-               CAST(SUM(CASE WHEN
-                      (s*31 + i1*3) % 256 + (s*31 + i1*3 + 1) % 256
-                          + (s*31 + i1*3 + 2) % 256
-                    > (s*31 + i0*3) % 256 + (s*31 + i0*3 + 1) % 256
-                          + (s*31 + i0*3 + 2) % 256
-                    THEN CAST(1 AS BIGINT) << (r * 7 + c)
-                    ELSE 0 END) AS BIGINT) AS phash
-        FROM cell GROUP BY doc_id),
-    wd AS (
-        SELECT d.doc_id, p.phash,
-               (1 + (d.doc_id // 32) % 2) * (2 + (d.doc_id % 32) % 3)
-                   AS width
-        FROM documents d JOIN ph p USING (doc_id))
-    SELECT phash,
-           CAST(COUNT(*) AS BIGINT) AS n_images,
-           CAST(COUNT(DISTINCT width) AS BIGINT) AS n_res,
-           MIN(doc_id) AS rep_doc_id
-    FROM wd GROUP BY phash ORDER BY phash
-    """,
-    doc="Perceptual-hash (dHash) image near-dup groups over planted "
-        "multi-resolution payloads: fused decode+resize+hash in one "
-        "mapInPandas pass, 56-bit gradient hash, groups collide across "
-        "resolutions (n_res > 1) where byte digests cannot; "
-        "closed-form arithmetic oracle pins every hash bit.",
-)
-
-_register(
-    "audio_decode_stats",
-    ["documents"],
-    lambda documents: multimodal.audio_stats_table(
-        multimodal.synthesize_wav(documents)
-    ).orderBy("doc_id"),
-    """
-    WITH s AS (
-        SELECT d.doc_id, u.i,
-               ((d.doc_id * 17 + u.i * 13) % 65536) - 32768 AS v
-        FROM documents d,
-             LATERAL (SELECT UNNEST(range(0, 8 + d.doc_id % 8)) AS i) u
-    )
-    SELECT doc_id,
-           'wav' AS format,
-           CAST(8000 AS INTEGER) AS sample_rate,
-           CAST(1 AS INTEGER) AS channels,
-           COUNT(*) AS n_samples,
-           AVG(v) AS mean_amp,
-           CAST(SUM(v * v) AS BIGINT) AS sum_sq
-    FROM s GROUP BY doc_id ORDER BY doc_id
-    """,
-    doc="End-to-end audio decode: deterministic synthesized RIFF/WAVE "
-        "PCM payload per document, decoded by the real pure-Python "
-        "parser inside mapInPandas; frame count, mean amplitude, and "
-        "exact int64 energy hash-checked against the closed-form "
-        "arithmetic oracle.",
-)
-
-_register(
-    "audio_silence_stats",
-    ["documents"],
-    lambda documents: multimodal.audio_silence_stats(
-        multimodal.synthesize_wav_gated(documents)
-    ).orderBy("doc_id"),
-    """
-    WITH s AS (
-        SELECT d.doc_id, u.i, (u.i // 4) AS frame,
-               CASE WHEN ((u.i // 4) + d.doc_id) % 2 = 1 THEN 0
-                    ELSE ((d.doc_id * 17 + u.i * 13) % 65536) - 32768
-               END AS v
-        FROM documents d,
-             LATERAL (SELECT UNNEST(range(0, 16 + d.doc_id % 8)) AS i)
-                 u),
-    f AS (SELECT doc_id, frame,
-                 CASE WHEN MAX(abs(v)) >= 1 THEN 1 ELSE 0 END AS loud
-          FROM s GROUP BY 1, 2)
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_frames,
-           CAST(SUM(1 - loud) AS BIGINT) AS n_silent,
-           CAST(SUM(1 - loud) AS DOUBLE) / COUNT(*) AS silence_ratio,
-           CAST(COALESCE(MIN(CASE WHEN loud = 1 THEN frame END), -1)
-                AS BIGINT) AS lead_trim,
-           CAST(COALESCE(MAX(CASE WHEN loud = 1 THEN frame END), -1)
-                AS BIGINT) AS tail_trim
-    FROM f GROUP BY doc_id ORDER BY doc_id
-    """,
-    doc="Audio silence profile + trim points: gated synthesized WAV "
-        "(odd docs start silent) decoded by the real parser, frame "
-        "RMS-gate analysis fused in the same Arrow pass (one stage "
-        "boundary per payload); closed-form arithmetic oracle — "
-        "DuckDB reproduces every decoded sample from (doc_id, i).",
-)
-
-_register(
-    "video_decode_stats",
-    ["documents"],
-    lambda documents: multimodal.video_stats_table(
-        multimodal.synthesize_avi(documents)
-    ).orderBy("doc_id"),
-    """
-    WITH b AS (
-        SELECT d.doc_id,
-               (d.doc_id * 7 + (u.i // 24) * 11 + (u.i % 24)) % 256 AS v
-        FROM documents d,
-             LATERAL (SELECT UNNEST(range(0, (2 + d.doc_id % 3) * 24)) AS i) u
-    )
-    SELECT doc_id,
-           'avi' AS format,
-           CAST(4 AS INTEGER) AS width,
-           CAST(2 AS INTEGER) AS height,
-           CAST(2 + doc_id % 3 AS BIGINT) AS n_frames,
-           CAST(SUM(v) AS BIGINT) AS sum_bytes,
-           AVG(v) AS mean_byte
-    FROM b GROUP BY doc_id ORDER BY doc_id
-    """,
-    doc="End-to-end video decode: deterministic synthesized RIFF/AVI "
-        "payload (uncompressed 4x2 24-bit DIB frames) per document, "
-        "decoded by the real pure-Python container parser inside "
-        "mapInPandas; frame count and exact byte-sum/mean hash-checked "
-        "against the closed-form arithmetic oracle.",
-)
-
-_register(
-    "multimodal_features",
-    ["documents"],
-    multimodal.media_feature_table,
-    """
-    SELECT doc_id, CAST(strlen(text) AS BIGINT) AS byte_len,
-           sha256(text) AS sha_hex
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Binary multimodal column plumbing: attach payload -> Arrow-batched "
-        "feature extraction (digest stand-in for stubbed codecs).",
-)
-
-# ---------------------------------------------------------------------------
-# Training-shard assembly + text hygiene (pipeline/packing.py, text.py)
-# ---------------------------------------------------------------------------
-
-_register(
-    "seq_packing",
-    ["documents"],
-    packing.pack_stats,
-    r"""
-    WITH toks AS (
-        SELECT doc_id, source,
-               CAST(len(list_filter(string_split_regex(text, '\s+'),
-                                    x -> x <> '')) AS BIGINT) AS n_tokens
-        FROM documents
-    ), packed AS (
-        SELECT source, n_tokens,
-               SUM(n_tokens) OVER (PARTITION BY source ORDER BY doc_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                        AND CURRENT ROW) - n_tokens AS off
-        FROM toks
-    )
-    SELECT source, CAST(off // 256 AS BIGINT) AS pack_id,
-           COUNT(*) AS n_docs, CAST(SUM(n_tokens) AS BIGINT) AS n_tokens
-    FROM packed GROUP BY source, pack_id ORDER BY source, pack_id
-    """,
-    doc="Sequence packing: greedy contiguous fill of 256-token training "
-        "sequences per source shard (window cumsum, integer-DIV pack id).",
-)
-
-_register(
-    "global_index",
-    ["documents"],
-    lambda documents: packing.global_index(documents).orderBy("doc_id"),
-    """
-    SELECT doc_id,
-           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) - 1 AS BIGINT) AS idx
-    FROM documents ORDER BY doc_id
-    """,
-    doc="Distributed zipWithIndex: bucketed two-phase global rank (no "
-        "global sort, driver sees only the bucket histogram).",
-)
-
-#: epoch_shuffle oracle: the double portable hash with the epoch mixed
-#: in, ranked with a doc_id tiebreak — epoch 1 is the registered query.
-_EPOCH_KEY_SQL = packing.portable_hash_sql(
-    f"(({packing.portable_hash_sql('doc_id')}) + {packing.EPOCH_MIX})"
-)
-
-_register(
-    "epoch_shuffle",
-    ["documents"],
-    # sort=False: the rank is the payload; a corpus-sized presentation
-    # orderBy would re-add the very global sort the op exists to avoid.
-    lambda documents: packing.epoch_shuffle(documents, sort=False),
-    f"""
-    WITH k AS (
-        SELECT doc_id, {_EPOCH_KEY_SQL} AS k FROM documents)
-    SELECT doc_id, CAST(1 AS BIGINT) AS epoch,
-           CAST(ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS BIGINT)
-               AS shuffle_rank
-    FROM k ORDER BY doc_id
-    """,
-    doc="Deterministic per-epoch corpus reshuffle: portable-hash "
-        "permutation rank of every document (pure function of "
-        "(doc_id, epoch), no RNG), via the bucketed two-phase rank — "
-        "no global sort.",
-)
-
-_register(
-    "shard_stats",
-    ["documents"],
-    packing.shard_stats,
-    f"""
-    SELECT CAST(({packing.portable_hash_sql('doc_id')}) % 16 AS BIGINT)
-               AS shard,
-           COUNT(*) AS n_docs,
-           CAST(SUM(length(text)) AS BIGINT) AS n_chars
-    FROM documents GROUP BY shard ORDER BY shard
-    """,
-    doc="Deterministic output sharding: portable multiplicative-hash "
-        "shard id — two-word reduce-before-multiply BIGINT arithmetic "
-        "that can never overflow int64 (engine-independent up to 2^63 "
-        "ids), balance report.",
-)
-
-_register(
-    "text_repetition",
-    ["documents"],
-    textops.repetition_scores,
-    r"""
-    WITH w AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS words
-        FROM documents
-    ), base AS (
-        SELECT doc_id, CAST(len(words) AS BIGINT) AS n_words,
-               CAST(len(list_distinct(words)) AS BIGINT) AS n_distinct_words,
-               unnest(words) AS word
-        FROM w
-    ), per_word AS (
-        SELECT doc_id, n_words, n_distinct_words, word, COUNT(*) AS cnt
-        FROM base GROUP BY doc_id, n_words, n_distinct_words, word
-    )
-    SELECT doc_id, n_words, n_distinct_words,
-           CAST(n_distinct_words AS DOUBLE) / n_words AS distinct_ratio,
-           CAST(MAX(cnt) AS DOUBLE) / n_words AS top_word_share
-    FROM per_word GROUP BY doc_id, n_words, n_distinct_words
-    ORDER BY doc_id
-    """,
-    doc="Intra-document repetition: distinct-word ratio + top-word share "
-        "(boilerplate/degenerate-text filters).",
-)
-
-_register(
-    "pii_redaction",
-    ["documents"],
-    textops.pii_redaction,
-    rf"""
-    WITH enriched AS (
-        SELECT doc_id,
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@example.com ip 10.0.'
-                    || CAST(doc_id % 256 AS VARCHAR)
-                    || '.7 tel +1 555 01'
-                    || CAST(doc_id % 90 AS VARCHAR) || ' 4242' AS text
-        FROM documents
-    )
-    SELECT doc_id,
-           CAST(len(regexp_extract_all(text, '{textops.EMAIL_RE}'))
-                AS BIGINT) AS n_emails,
-           CAST(len(regexp_extract_all(text, '{textops.IPV4_RE}'))
-                AS BIGINT) AS n_ips,
-           CAST(len(regexp_extract_all(text, '{textops.PHONE_RE}'))
-                AS BIGINT) AS n_phones,
-           regexp_replace(regexp_replace(regexp_replace(
-               text, '{textops.EMAIL_RE}', '<EMAIL>', 'g'),
-               '{textops.IPV4_RE}', '<IP>', 'g'),
-               '{textops.PHONE_RE}', '<PHONE>', 'g') AS clean_text
-    FROM enriched ORDER BY doc_id
-    """,
-    doc="PII scrubbing (emails/IPv4/phones) with match counts; both "
-        "engines enrich with deterministic doc_id-derived PII so the "
-        "regex parity check is non-vacuous on the clean fixture.",
-)
-
-_register(
-    "source_stats",
-    ["documents"],
-    textops.source_stats,
-    """
-    SELECT source, lang, COUNT(*) AS n_docs,
-           CAST(SUM(length(text)) AS BIGINT) AS n_chars,
-           CAST(SUM(length(text)) AS DOUBLE) / COUNT(*) AS mean_chars,
-           quantile_cont(length(text), 0.5) AS median_chars
-    FROM documents GROUP BY source, lang ORDER BY source, lang
-    """,
-    doc="Corpus composition by (source, lang): counts, exact char "
-        "volume, mean and exact median document length.",
-)
-
-_register(
-    "doc_chunking",
-    ["documents"],
-    textops.chunk_documents,
-    """
-    WITH n AS (
-        SELECT doc_id, text,
-               GREATEST(1, CAST(CEIL((length(text) - 64) / 448.0) AS BIGINT))
-                   AS n_chunks
-        FROM documents
-    ), ex AS (
-        SELECT doc_id, text,
-               unnest(generate_series(0, n_chunks - 1)) AS chunk_id
-        FROM n
-    )
-    SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
-           substr(text, CAST(chunk_id * 448 + 1 AS BIGINT), 512) AS chunk_text,
-           CAST(length(substr(text, CAST(chunk_id * 448 + 1 AS BIGINT), 512))
-                AS BIGINT) AS chunk_len
-    FROM ex ORDER BY doc_id, chunk_id
-    """,
-    doc="Document chunking for embedding/retrieval: 512-char chunks "
-        "with 64-char overlap, pure projection + explode.",
-)
-
-_register(
-    "frequent_tokens",
-    ["documents"],
-    textops.frequent_tokens,
-    r"""
-    WITH w AS (
-        SELECT unnest(list_filter(string_split_regex(lower(text), '\W+'),
-                                  x -> x <> '')) AS word
-        FROM documents
-    ), counts AS (
-        SELECT word, COUNT(*) AS cnt FROM w GROUP BY word
-    )
-    SELECT word, CAST(cnt AS BIGINT) AS cnt,
-           CAST(cnt AS DOUBLE) / (SELECT SUM(cnt) FROM counts) AS share
-    FROM counts ORDER BY cnt DESC, word ASC LIMIT 50
-    """,
-    doc="Corpus heavy hitters: top-50 tokens by frequency with corpus "
-        "share (vocabulary pruning / stopword discovery).",
-)
-
-_register(
-    "frequent_bigrams",
-    ["documents"],
-    textops.frequent_bigrams,
-    r"""
-    WITH w AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS ws
-        FROM documents),
-    pairs AS (
-        SELECT p.w1 AS w1, p.w2 AS w2 FROM (
-            SELECT unnest(list_transform(
-                       generate_series(1, len(ws) - 1),
-                       i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
-            FROM w WHERE len(ws) >= 2) t),
-    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
-            FROM pairs GROUP BY w1, w2),
-    uni AS (
-        SELECT word, CAST(COUNT(*) AS BIGINT) AS u FROM (
-            SELECT unnest(ws) AS word FROM w) GROUP BY word),
-    tot AS (SELECT CAST((SELECT SUM(u) FROM uni) AS BIGINT) AS nu,
-                   CAST((SELECT SUM(cnt) FROM bgc) AS BIGINT) AS nb)
-    SELECT b.w1, b.w2, b.cnt,
-           CAST(((length(bin(b.cnt)) - 1) + 2 * (length(bin(t.nu)) - 1))
-                - ((length(bin(t.nb)) - 1) + (length(bin(ua.u)) - 1)
-                   + (length(bin(ub.u)) - 1)) AS BIGINT) AS pmi_bits
-    FROM bgc b
-    JOIN uni ua ON ua.word = b.w1
-    JOIN uni ub ON ub.word = b.w2
-    CROSS JOIN tot t
-    ORDER BY b.cnt DESC, b.w1 ASC, b.w2 ASC
-    LIMIT 50
-    """,
-    doc="Corpus collocations: top-50 adjacent word pairs with "
-        "integer-bits PMI (phrase mining / the BPE merge-candidate "
-        "step; in-kernel tail-zip, pair+count shuffles only).",
-)
-
-#: Per-document term-frequency CTE chain (DuckDB), ending at
-#: ``tf(doc_id, word, tf)`` — shared by the surprisal and tf-idf
-#: keyword oracles. Tokenization matches ``textops._words``.
-_TF_CTES = r"""
-    w AS (
-        SELECT doc_id,
-               unnest(list_filter(string_split_regex(lower(text), '\W+'),
-                                  x -> x <> '')) AS word
-        FROM documents),
-    tf AS (
-        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
-        FROM w GROUP BY doc_id, word)
-"""
-
-_register(
-    "unigram_surprisal",
-    ["documents"],
-    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
-    lambda documents: textops.unigram_surprisal(documents, sort=False),
-    f"""
-    WITH {_TF_CTES},
-    c AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY word),
-    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
-    scored AS (
-        SELECT tf.doc_id,
-               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-               CAST(SUM(tf.tf * ((length(bin(tot.n)) - 1)
-                                 - (length(bin(c.c)) - 1))) AS BIGINT)
-                   AS bits_sum
-        FROM tf JOIN c USING (word) CROSS JOIN tot
-        GROUP BY tf.doc_id)
-    SELECT d.doc_id,
-           COALESCE(s.n_tokens, 0) AS n_tokens,
-           COALESCE(s.bits_sum, 0) AS bits_sum,
-           CASE WHEN COALESCE(s.n_tokens, 0) > 0
-                THEN CAST(s.bits_sum AS DOUBLE)
-                     / CAST(s.n_tokens AS DOUBLE)
-                ELSE 0.0 END AS avg_bits
-    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
-    ORDER BY d.doc_id
-    """,
-    doc="Perplexity-proxy LM filter: mean per-token surprisal under the "
-        "corpus unigram distribution, quantized to exact integer bits "
-        "(floor-log2 via bin() length — no float log, order-free sums).",
-)
-
-_register(
-    "bigram_surprisal",
-    ["documents"],
-    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
-    lambda documents: textops.bigram_surprisal(documents, sort=False),
-    r"""
-    WITH w AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS ws
-        FROM documents),
-    pairs AS (
-        SELECT doc_id, p.w1 AS w1, p.w2 AS w2 FROM (
-            SELECT doc_id, unnest(list_transform(
-                       generate_series(1, len(ws) - 1),
-                       i -> struct_pack(w1 := ws[i], w2 := ws[i+1]))) AS p
-            FROM w WHERE len(ws) >= 2) t),
-    tf AS (SELECT doc_id, w1, w2, CAST(COUNT(*) AS BIGINT) AS tf
-           FROM pairs GROUP BY doc_id, w1, w2),
-    c2 AS (SELECT w1, w2, CAST(SUM(tf) AS BIGINT) AS c2
-           FROM tf GROUP BY w1, w2),
-    c1 AS (SELECT w1, CAST(SUM(c2) AS BIGINT) AS c1 FROM c2 GROUP BY w1),
-    scored AS (
-        SELECT tf.doc_id,
-               CAST(SUM(tf.tf) AS BIGINT) AS n_bigrams,
-               CAST(SUM(tf.tf * ((length(bin(c1.c1)) - 1)
-                                 - (length(bin(c2.c2)) - 1))) AS BIGINT)
-                   AS bits_sum
-        FROM tf JOIN c2 USING (w1, w2) JOIN c1 USING (w1)
-        GROUP BY tf.doc_id)
-    SELECT d.doc_id,
-           COALESCE(s.n_bigrams, 0) AS n_bigrams,
-           COALESCE(s.bits_sum, 0) AS bits_sum,
-           CASE WHEN COALESCE(s.n_bigrams, 0) > 0
-                THEN CAST(s.bits_sum AS DOUBLE)
-                     / CAST(s.n_bigrams AS DOUBLE)
-                ELSE 0.0 END AS avg_bits
-    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
-    """,
-    doc="Bigram-conditional LM filter: mean transition surprisal "
-        "-log2 P(w2|w1) under the corpus's own bigram model, quantized "
-        "to exact integer bits (context counts from the bigram row "
-        "sums; in-row tail-zip pair build, skew-safe statistics joins).",
-)
-
-_register(
-    "dsir_weights",
-    ["documents"],
-    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
-    lambda documents: textops.dsir_weights(documents, sort=False),
-    rf"""
-    WITH w AS (
-        SELECT doc_id, source,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS ws
-        FROM documents),
-    f AS (
-        SELECT doc_id, source,
-               ('0x' || substr(md5(feat), 1, 15))::BIGINT
-                   % {textops.DSIR_BUCKETS} AS b
-        FROM (
-            SELECT doc_id, source, unnest(ws) AS feat FROM w
-            UNION ALL
-            SELECT doc_id, source,
-                   unnest(list_transform(generate_series(1, len(ws) - 1),
-                                         i -> ws[i] || ' ' || ws[i+1]))
-                       AS feat
-            FROM w WHERE len(ws) >= 2) t),
-    dn AS (SELECT doc_id, source, b, CAST(COUNT(*) AS BIGINT) AS n
-           FROM f GROUP BY doc_id, source, b),
-    stats AS (
-        SELECT b,
-               CAST(COALESCE(SUM(n) FILTER (WHERE source = 'src0'), 0)
-                    AS BIGINT) AS ct,
-               CAST(SUM(n) AS BIGINT) AS cr
-        FROM dn GROUP BY b),
-    tot AS (SELECT CAST(SUM(ct) AS BIGINT) AS nt,
-                   CAST(SUM(cr) AS BIGINT) AS nr FROM stats),
-    scored AS (
-        SELECT dn.doc_id,
-               CAST(SUM(dn.n) AS BIGINT) AS n_feats,
-               CAST(SUM(dn.n *
-                    (((length(bin(s.ct + 1)) - 1)
-                      - (length(bin(t.nt + {textops.DSIR_BUCKETS})) - 1))
-                     - ((length(bin(s.cr + 1)) - 1)
-                        - (length(bin(t.nr + {textops.DSIR_BUCKETS})) - 1))))
-                    AS BIGINT) AS logw_bits
-        FROM dn JOIN stats s USING (b) CROSS JOIN tot t
-        GROUP BY dn.doc_id)
-    SELECT d.doc_id, d.source,
-           COALESCE(s.n_feats, 0) AS n_feats,
-           COALESCE(s.logw_bits, 0) AS logw_bits,
-           CASE WHEN COALESCE(s.n_feats, 0) > 0
-                THEN CAST(s.logw_bits AS DOUBLE)
-                     / CAST(s.n_feats AS DOUBLE)
-                ELSE 0.0 END AS avg_bits,
-           COALESCE(s.logw_bits, 0) > 0 AS kept
-    FROM documents d LEFT JOIN scored s ON s.doc_id = d.doc_id
-    """,
-    doc="DSIR data selection (Xie et al. 2023): per-doc importance "
-        "log-weight of hashed unigram+bigram features under the "
-        "target-source distribution vs the raw corpus, in exact "
-        "integer bits — 1024-row bucket stats broadcast, no skew axis, "
-        "text never shuffles.",
-)
-
-_register(
-    "tfidf_keywords",
-    ["documents"],
-    # sort=False: O(5n) keyword rows; hash compare is order-insensitive.
-    lambda documents: textops.tfidf_keywords(documents, sort=False),
-    f"""
-    WITH {_TF_CTES},
-    dft AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS df
-            FROM tf GROUP BY word),
-    nd AS (SELECT CAST(COUNT(*) AS BIGINT) AS d FROM documents),
-    scored AS (
-        SELECT tf.doc_id, tf.word, tf.tf,
-               CAST((length(bin(nd.d)) - 1)
-                    - (length(bin(dft.df)) - 1) AS BIGINT) AS idf_bits,
-               CAST(tf.tf * ((length(bin(nd.d)) - 1)
-                             - (length(bin(dft.df)) - 1)) AS BIGINT)
-                   AS score
-        FROM tf JOIN dft USING (word) CROSS JOIN nd)
-    SELECT doc_id, rank, word, tf, idf_bits, score FROM (
-        SELECT *, CAST(ROW_NUMBER() OVER (
-                    PARTITION BY doc_id
-                    ORDER BY score DESC, word ASC) AS BIGINT) AS rank
-        FROM scored) t
-    WHERE rank <= 5
-    ORDER BY doc_id, rank
-    """,
-    doc="Per-document top-5 keywords by quantized tf-idf (integer-bits "
-        "idf, deterministic word tiebreak) — topic tagging / per-domain "
-        "vocabulary reports.",
-)
-
-# bm25_topk oracle: the score is pure IEEE +,-,*,/ over integer tf/df/dl
-# (rational idf — no ln(), which is libm-dependent), with per-term
-# contributions summed in fixed left-to-right term order, so both
-# engines produce bit-identical doubles. Constants are interpolated via
-# repr() so the SQL literals parse to the same doubles Spark uses.
-def _bm25_oracle(terms: list[str], k: int, k1: float, b: float) -> str:
-    tf_cols = ",\n               ".join(
-        f"CAST(len(list_filter(words, x -> x = '{t}')) AS BIGINT) AS tf_{i}"
-        for i, t in enumerate(terms)
-    )
-    df_cols = ",\n               ".join(
-        f"SUM(CASE WHEN tf_{i} > 0 THEN 1 ELSE 0 END) AS df_{i}"
-        for i in range(len(terms))
-    )
-    norm = (
-        f"(({1.0 - b!r} + {b!r} * (CAST(dl AS DOUBLE) "
-        f"/ (CAST(sum_dl AS DOUBLE) / n_docs))))"
-    )
-    score = " + ".join(
-        f"(((CAST(n_docs - df_{i} AS DOUBLE) + 0.5)"
-        f" / (CAST(df_{i} AS DOUBLE) + 0.5))"
-        f" * ((CAST(tf_{i} AS DOUBLE) * {k1 + 1.0!r})"
-        f" / (CAST(tf_{i} AS DOUBLE) + {k1!r} * {norm})))"
-        for i in range(len(terms))
-    )
-    return f"""
-    WITH base AS (
-        SELECT doc_id,
-               CAST(len(words) AS BIGINT) AS dl,
-               {tf_cols}
-        FROM (SELECT doc_id,
-                     list_filter(string_split_regex(lower(text), '\\W+'),
-                                 x -> x <> '') AS words
-              FROM documents)
-    ), stats AS (
-        SELECT COUNT(*) AS n_docs, SUM(dl) AS sum_dl,
-               {df_cols}
-        FROM base
-    ), scored AS (
-        SELECT doc_id, dl, ({score}) AS score
-        FROM base, stats
-    )
-    SELECT doc_id, dl, score, rank FROM (
-        SELECT doc_id, dl, score,
-               CAST(ROW_NUMBER() OVER (ORDER BY score DESC, doc_id ASC)
-                    AS BIGINT) AS rank
-        FROM scored) t
-    WHERE rank <= {k} ORDER BY rank
-    """
-
-
-_register(
-    "bm25_topk",
-    ["documents"],
-    textops.bm25_topk,
-    _bm25_oracle(textops.BM25_TERMS, 15, 1.2, 0.75),
-    doc="BM25 keyword retrieval (rational-idf variant, log-free for "
-        "cross-engine bit-exactness): per-row tf/dl on the scan, one "
-        "broadcast stats row, TakeOrdered top-k — two corpus scans, no "
-        "text shuffle.",
-)
-
-_register(
-    "label_centroids",
-    ["embeddings"],
-    similarity.label_centroids,
-    """
-    WITH comp AS (
-        SELECT label, CAST(i - 1 AS BIGINT) AS pos,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS q
-        FROM embeddings, generate_series(1, 64) s(i)
-    )
-    SELECT label, pos,
-           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid,
-           COUNT(*) AS n_vectors
-    FROM comp GROUP BY label, pos ORDER BY label, pos
-    """,
-    doc="Per-label mean embedding (class centroids / coarse-quantizer "
-        "codebook), exact int64 component sums.",
-)
-
-# centroids_streamed is declared earlier (next to the other streamed
-# twins) but its oracle IS the batch label_centroids oracle, only
-# registered here — patch it in now (QuerySpec is frozen: rebuild).
-QUERIES["centroids_streamed"] = QuerySpec(
-    fn=QUERIES["centroids_streamed"].fn,
-    oracle=QUERIES["label_centroids"].oracle,
-    doc=QUERIES["centroids_streamed"].doc,
-)
-
-_register(
-    "embedding_gram",
-    ["embeddings"],
-    similarity.embedding_gram,
-    """
-    WITH comp AS (
-        SELECT vec_id, i - 1 AS i,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS q
-        FROM embeddings, generate_series(1, 64) s(i)
-    ),
-    g AS (
-        SELECT a.i AS i, b.i AS j, CAST(SUM(a.q * b.q) AS BIGINT) AS gram
-        FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
-        GROUP BY a.i, b.i),
-    s AS (
-        SELECT i, CAST(SUM(q) AS BIGINT) AS s, COUNT(*) AS n
-        FROM comp GROUP BY i)
-    SELECT g.i, g.j, g.gram,
-           (CAST(g.gram AS DOUBLE)
-            - CAST(sa.s AS DOUBLE) * CAST(sb.s AS DOUBLE)
-              / CAST(sa.n AS DOUBLE)) / CAST(sa.n AS DOUBLE) AS cov
-    FROM g
-    JOIN s sa ON sa.i = g.i
-    JOIN s sb ON sb.i = g.j
-    ORDER BY g.i, g.j
-    """,
-    doc="Exact Gram + covariance matrix over quantized embeddings: "
-        "per-partition int64 numpy partial Gram (D(D+1)/2 rows per "
-        "partition regardless of row count), one (i,j)-keyed sum — the "
-        "PCA/whitening/drift second-moment primitive; no vector ever "
-        "shuffles.",
-)
-
-# kmeans_train oracle: Lloyd's iterations unrolled (n_iters=2 → c0,
-# assign, integer-mean update, assign). Every step is either exact
-# int64 arithmetic (dots, sums, truncated means) or the same fixed
-# IEEE double expression both engines evaluate identically (the cosine
-# used only for argmax ordering), so the replay is bit-faithful.
-_KM_ASSIGN = """
-    SELECT vec_id, cent_id FROM (
-        SELECT d.vec_id, d.cent_id,
-               ROW_NUMBER() OVER (PARTITION BY d.vec_id ORDER BY
-                   (CAST(dot AS DOUBLE)/1e12)
-                       / sqrt((CAST(nv.n2 AS DOUBLE)/1e12)
-                              * (CAST(cn.n2 AS DOUBLE)/1e12)) DESC,
-                   d.cent_id ASC) AS r
-        FROM {dots} d
-        JOIN norms nv ON nv.vec_id = d.vec_id
-        JOIN {cnorms} cn ON cn.cent_id = d.cent_id) t
-    WHERE r = 1
-"""
-
-#: Shared Lloyd's-replay CTE chain (ends at a2 = the final assignment)
-#: — used by both the kmeans_train oracle and the SemDeDup-style
-#: semantic_neardup oracle (which dedups within a2's clusters).
-_KMEANS_CTES = f"""
-    comp AS (
-        SELECT vec_id, i,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS q
-        FROM embeddings, generate_series(1, 64) s(i)
-    ), norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM comp GROUP BY vec_id),
-    c0 AS (SELECT vec_id AS cent_id, i, q AS c FROM comp WHERE vec_id < 8),
-    cn0 AS (SELECT cent_id, SUM(c*c) AS n2 FROM c0 GROUP BY cent_id),
-    d1 AS (
-        SELECT t.vec_id, c.cent_id, SUM(t.q * c.c) AS dot
-        FROM comp t JOIN c0 c ON t.i = c.i GROUP BY t.vec_id, c.cent_id),
-    a1 AS ({_KM_ASSIGN.format(dots="d1", cnorms="cn0")}),
-    s1 AS (
-        SELECT a.cent_id, c.i, SUM(c.q) AS s, COUNT(*) AS cnt
-        FROM a1 a JOIN comp c ON c.vec_id = a.vec_id
-        GROUP BY a.cent_id, c.i),
-    m1 AS (
-        SELECT cent_id, i,
-               CAST(CAST(s - s % cnt AS DOUBLE) / cnt AS BIGINT) AS c
-        FROM s1),
-    c1 AS (
-        SELECT cent_id, i, c FROM m1
-        UNION ALL
-        SELECT cent_id, i, c FROM c0
-        WHERE cent_id NOT IN (SELECT DISTINCT cent_id FROM m1)),
-    cn1 AS (SELECT cent_id, SUM(c*c) AS n2 FROM c1 GROUP BY cent_id),
-    d2 AS (
-        SELECT t.vec_id, c.cent_id, SUM(t.q * c.c) AS dot
-        FROM comp t JOIN c1 c ON t.i = c.i GROUP BY t.vec_id, c.cent_id),
-    a2 AS ({_KM_ASSIGN.format(dots="d2", cnorms="cn1")})
-"""
-
-_register(
-    "kmeans_train",
-    ["embeddings"],
-    similarity.kmeans_train,
-    f"""
-    WITH {_KMEANS_CTES}
-    SELECT cent_id AS cluster_id,
-           COUNT(*) AS n_members,
-           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
-           MIN(vec_id) AS min_vec_id,
-           MAX(vec_id) AS max_vec_id
-    FROM a2 GROUP BY cent_id ORDER BY cluster_id
-    """,
-    doc="Distributed Lloyd's k-means (2 rounds, 8 clusters): integer "
-        "centroid vectors via truncated means (cosine is "
-        "scale-invariant), broadcast assignment, map-side-combined "
-        "component sums — the trained-codebook upgrade to ivf_topk.",
-)
-
-_register(
-    "semantic_neardup",
-    ["embeddings"],
-    similarity.semantic_neardup_pairs,
-    f"""
-    WITH {_KMEANS_CTES},
-    dots AS (
-        SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, SUM(a.q * b.q) AS dot
-        FROM comp a
-        JOIN comp b ON a.i = b.i AND a.vec_id < b.vec_id
-        JOIN a2 xa ON xa.vec_id = a.vec_id
-        JOIN a2 xb ON xb.vec_id = b.vec_id AND xa.cent_id = xb.cent_id
-        GROUP BY a.vec_id, b.vec_id)
-    SELECT vec_a, vec_b, cosine FROM (
-        SELECT vec_a, vec_b,
-               (CAST(dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(na.n2 AS DOUBLE)/1e12)
-                          * (CAST(nb.n2 AS DOUBLE)/1e12)) AS cosine
-        FROM dots
-        JOIN norms na ON na.vec_id = vec_a
-        JOIN norms nb ON nb.vec_id = vec_b) t
-    WHERE cosine >= 0.45 ORDER BY vec_a, vec_b
-    """,
-    doc="SemDeDup-style semantic near-dup: k-means clusters bound the "
-        "candidate pairs (O(n²/k) instead of all pairs); exact "
-        "quantized cosines within each cluster.",
-)
-
-_register(
-    "embedding_outliers",
-    ["embeddings"],
-    similarity.embedding_outliers,
-    """
-    WITH comp AS (
-        SELECT vec_id, label, i,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS q
-        FROM embeddings, generate_series(1, 64) s(i)
-    ), norms AS (SELECT vec_id, SUM(q*q) AS n2 FROM comp GROUP BY vec_id),
-    sums AS (
-        SELECT label, i, SUM(q) AS s, COUNT(*) AS cnt
-        FROM comp GROUP BY label, i),
-    cents AS (
-        SELECT label, i,
-               CAST(CAST(s - s % cnt AS DOUBLE) / cnt AS BIGINT) AS c,
-               cnt
-        FROM sums),
-    cnorms AS (
-        SELECT label, SUM(c*c) AS n2, MIN(cnt) AS n_label
-        FROM cents GROUP BY label),
-    dots AS (
-        SELECT v.vec_id, v.label, SUM(v.q * c.c) AS dot
-        FROM comp v JOIN cents c ON c.label = v.label AND c.i = v.i
-        GROUP BY v.vec_id, v.label),
-    scored AS (
-        SELECT d.vec_id, d.label, cn.n_label,
-               (CAST(dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(nv.n2 AS DOUBLE)/1e12)
-                          * (CAST(cn.n2 AS DOUBLE)/1e12)) AS cent_cosine
-        FROM dots d
-        JOIN norms nv ON nv.vec_id = d.vec_id
-        JOIN cnorms cn ON cn.label = d.label)
-    SELECT vec_id, label, cent_cosine,
-           (ROW_NUMBER() OVER (PARTITION BY label
-                ORDER BY cent_cosine ASC, vec_id ASC)
-            <= CAST(CEIL(n_label * 0.05) AS INTEGER)) AS is_outlier
-    FROM scored ORDER BY vec_id
-    """,
-    doc="Per-label centroid-distance outlier flags (CLIP-filter-style "
-        "curation): truncated-integer-mean centroids, exact quantized "
-        "cosines, rank-based bottom-5%% flags (no float quantiles).",
-)
-
-_register(
-    "gopher_rules",
-    ["documents"],
-    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
-    lambda documents: textops.gopher_rules(documents, sort=False),
-    rf"""
-    WITH base AS (
-        SELECT doc_id, text,
-               list_filter(string_split_regex(text, '\s+'),
-                           x -> x <> '') AS ws,
-               list_filter(list_transform(string_split(text, chr(10)),
-                                          x -> trim(x)),
-                           x -> x <> '') AS lines
-        FROM documents
-    ), counted AS (
-        SELECT doc_id,
-               CAST(len(ws) AS BIGINT) AS n_words,
-               CAST(len(lines) AS BIGINT) AS n_lines,
-               CAST(COALESCE(list_aggregate(
-                    list_transform(ws, x -> length(x)), 'sum'), 0)
-                    AS BIGINT) AS word_chars,
-               CAST(length(text) - length(replace(text, '#', ''))
-                    AS BIGINT)
-               + CAST((length(text)
-                       - length(regexp_replace(text, '\.\.\.', '', 'g')))
-                      // 3 AS BIGINT) AS n_symbols,
-               CAST(len(list_filter(lines,
-                    x -> substr(x, 1, 1) IN ('-', '*', '•')))
-                    AS BIGINT) AS n_bullet,
-               CAST(len(list_filter(lines, x -> x LIKE '%...'))
-                    AS BIGINT) AS n_ell_lines,
-               CAST(len(list_filter(ws,
-                    x -> regexp_matches(x, '[A-Za-z]')))
-                    AS BIGINT) AS n_alpha,
-               CAST(len(list_filter(
-                    ['the','be','to','of','and','that','have','with'],
-                    s -> list_contains(list_transform(ws, x -> lower(x)),
-                                       s))) AS BIGINT) AS stop_hits
-        FROM base
-    )
-    SELECT doc_id, n_words,
-           CASE WHEN n_words > 0
-                THEN CAST(word_chars AS DOUBLE) / n_words
-                ELSE 0.0 END AS mean_word_len,
-           CASE WHEN n_words > 0
-                THEN CAST(n_symbols AS DOUBLE) / n_words
-                ELSE 0.0 END AS symbol_ratio,
-           CASE WHEN n_lines > 0
-                THEN CAST(n_bullet AS DOUBLE) / n_lines
-                ELSE 0.0 END AS bullet_line_frac,
-           CASE WHEN n_lines > 0
-                THEN CAST(n_ell_lines AS DOUBLE) / n_lines
-                ELSE 0.0 END AS ellipsis_line_frac,
-           CASE WHEN n_words > 0
-                THEN CAST(n_alpha AS DOUBLE) / n_words
-                ELSE 0.0 END AS alpha_word_frac,
-           stop_hits,
-           (n_words >= 50 AND n_words <= 100000
-            AND CASE WHEN n_words > 0
-                     THEN CAST(word_chars AS DOUBLE) / n_words
-                     ELSE 0.0 END >= 3.0
-            AND CASE WHEN n_words > 0
-                     THEN CAST(word_chars AS DOUBLE) / n_words
-                     ELSE 0.0 END <= 10.0
-            AND CASE WHEN n_words > 0
-                     THEN CAST(n_symbols AS DOUBLE) / n_words
-                     ELSE 0.0 END <= 0.1
-            AND CASE WHEN n_lines > 0
-                     THEN CAST(n_bullet AS DOUBLE) / n_lines
-                     ELSE 0.0 END < 0.9
-            AND CASE WHEN n_lines > 0
-                     THEN CAST(n_ell_lines AS DOUBLE) / n_lines
-                     ELSE 0.0 END < 0.3
-            AND CASE WHEN n_words > 0
-                     THEN CAST(n_alpha AS DOUBLE) / n_words
-                     ELSE 0.0 END >= 0.8
-            AND stop_hits >= 2) AS keep
-    FROM counted ORDER BY doc_id
-    """,
-    doc="Gopher rule-based document filter (Rae et al. 2021 A1.1): "
-        "word-count/word-length bounds, symbol and bullet/ellipsis "
-        "line ratios, alphabetic-word fraction, required-stopword "
-        "hits — exact int64 counts, one division per ratio, pure "
-        "per-row JVM expressions (no shuffle).",
-)
-
-
-_register(
-    "quality_auc",
-    ["documents"],
-    textops.quality_auc,
-    rf"""
-    WITH {_QM_CTES},
-    m AS (
-        SELECT s.doc_id, d.lang = 'en' AS is_pos,
-               {_QM_MARGIN} AS margin
-        FROM scored s JOIN documents d USING (doc_id)),
-    g AS (
-        SELECT margin,
-               CAST(COUNT(*) FILTER (is_pos) AS BIGINT) AS p,
-               CAST(COUNT(*) FILTER (NOT is_pos) AS BIGINT) AS q
-        FROM m GROUP BY margin),
-    c AS (
-        SELECT margin, p, q, p + q AS t,
-               CAST(COALESCE(SUM(p + q) OVER (ORDER BY margin
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-                    0) AS BIGINT) AS cum
-        FROM g),
-    a AS (
-        SELECT CAST(SUM(p) AS BIGINT) AS n_pos,
-               CAST(SUM(q) AS BIGINT) AS n_neg,
-               CAST(SUM(p * (2 * cum + t + 1)) AS BIGINT) AS r2
-        FROM c)
-    SELECT n_pos, n_neg,
-           CAST(r2 - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
-           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
-           CASE WHEN n_pos > 0 AND n_neg > 0
-                THEN CAST(r2 - n_pos * (n_pos + 1) AS DOUBLE)
-                     / CAST(2 * n_pos * n_neg AS DOUBLE)
-                ELSE 0.0 END AS auc
-    FROM a
-    """,
-    doc="Exact tie-aware ROC AUC of the quality-model margin vs the "
-        "language label (classifier-evaluation step): Wilcoxon midrank "
-        "formula in int64 via a two-phase value-cell prefix — global "
-        "rank with no global sort; only (margin, count) pairs shuffle.",
-)
-
-
-_register(
-    "ccnet_buckets",
-    ["documents"],
-    # sort=False: O(corpus) per-doc rows; hash compare is order-insensitive.
-    lambda documents: textops.ccnet_buckets(documents, sort=False),
-    f"""
-    WITH {_TF_CTES},
-    c AS (SELECT word, CAST(SUM(tf) AS BIGINT) AS c FROM tf GROUP BY word),
-    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM c),
-    sc AS (
-        SELECT tf.doc_id,
-               CAST(SUM(tf.tf) AS BIGINT) AS n_tokens,
-               CAST(SUM(tf.tf * ((length(bin(tot.n)) - 1)
-                                 - (length(bin(c.c)) - 1))) AS BIGINT)
-                   AS bits_sum
-        FROM tf JOIN c USING (word) CROSS JOIN tot
-        GROUP BY tf.doc_id),
-    ab AS (
-        SELECT d.doc_id, d.lang,
-               CASE WHEN COALESCE(sc.n_tokens, 0) > 0
-                    THEN CAST(sc.bits_sum AS DOUBLE)
-                         / CAST(sc.n_tokens AS DOUBLE)
-                    ELSE 0.0 END AS avg_bits
-        FROM documents d LEFT JOIN sc ON sc.doc_id = d.doc_id),
-    r AS (
-        SELECT doc_id, lang, avg_bits,
-               CAST(ROW_NUMBER() OVER (PARTITION BY lang
-                        ORDER BY avg_bits, doc_id) AS BIGINT) AS lang_rank,
-               CAST(COUNT(*) OVER (PARTITION BY lang) AS BIGINT) AS c
-        FROM ab),
-    t AS (
-        SELECT doc_id, lang, avg_bits, lang_rank,
-               CASE WHEN (lang_rank - 1) < (c % 3) * ((c // 3) + 1)
-                    THEN (lang_rank - 1) // ((c // 3) + 1)
-                    ELSE (c % 3) + ((lang_rank - 1) - (c % 3) * ((c // 3) + 1))
-                         // GREATEST(c // 3, 1) END AS tile0
-        FROM r)
-    SELECT doc_id, lang, avg_bits, lang_rank,
-           CASE tile0 WHEN 0 THEN 'head' WHEN 1 THEN 'middle'
-                ELSE 'tail' END AS bucket
-    FROM t ORDER BY doc_id
-    """,
-    doc="CCNet-style head/middle/tail perplexity terciles per language "
-        "(Wenzek et al. 2020): unigram-surprisal ranking with doc_id "
-        "tiebreak, NTILE-exact tercile arithmetic — per-language rank "
-        "via the two-phase value-cell prefix, no per-language global "
-        "sort window.",
-)
-
-
-# PQ training replay: Lloyd's under exact integer squared-L2, unrolled
-# for n_iters=2 per subspace (init c0 = first-4 vectors' blocks, assign,
-# truncated-integer-mean update with carry-forward, final assign). The
-# whole replay is pure int64 arithmetic — no doubles even in the argmin.
-# Shared by the pq_codebook (training stats) and pq_adc_topk (encode +
-# asymmetric-distance search) oracles: c1 = trained codebook,
-# a2 = final assignment (the PQ codes).
-_PQ_TRAIN_SQL = """
-    comp AS (
-        SELECT vec_id, CAST((i - 1) // 16 AS BIGINT) AS m,
-               (i - 1) % 16 AS j,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS q
-        FROM embeddings, generate_series(1, 64) s(i)),
-    c0 AS (SELECT m, vec_id AS cent_id, j, q AS c
-           FROM comp WHERE vec_id < 4),
-    d1 AS (SELECT t.vec_id, t.m, c.cent_id,
-                  CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) AS dist
-           FROM comp t JOIN c0 c ON t.m = c.m AND t.j = c.j
-           GROUP BY t.vec_id, t.m, c.cent_id),
-    a1 AS (SELECT vec_id, m, cent_id FROM (
-             SELECT vec_id, m, cent_id,
-                    ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                        ORDER BY dist ASC, cent_id ASC) AS r
-             FROM d1) t WHERE r = 1),
-    s1 AS (SELECT a.m, a.cent_id, c.j, SUM(c.q) AS s, COUNT(*) AS cnt
-           FROM a1 a JOIN comp c ON c.vec_id = a.vec_id AND c.m = a.m
-           GROUP BY a.m, a.cent_id, c.j),
-    m1 AS (SELECT m, cent_id, j,
-                  CAST(CAST(s - s % cnt AS DOUBLE) / cnt AS BIGINT) AS c
-           FROM s1),
-    c1 AS (SELECT m, cent_id, j, c FROM m1
-           UNION ALL
-           SELECT x.m, x.cent_id, x.j, x.c FROM c0 x
-           WHERE NOT EXISTS (SELECT 1 FROM m1
-                             WHERE m1.m = x.m AND m1.cent_id = x.cent_id)),
-    d2 AS (SELECT t.vec_id, t.m, c.cent_id,
-                  CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) AS dist
-           FROM comp t JOIN c1 c ON t.m = c.m AND t.j = c.j
-           GROUP BY t.vec_id, t.m, c.cent_id),
-    a2 AS (SELECT vec_id, m, cent_id, dist FROM (
-             SELECT vec_id, m, cent_id, dist,
-                    ROW_NUMBER() OVER (PARTITION BY vec_id, m
-                        ORDER BY dist ASC, cent_id ASC) AS r
-             FROM d2) t WHERE r = 1)
-"""
-
-_register(
-    "pq_codebook",
-    ["embeddings"],
-    similarity.pq_codebook,
-    f"""
-    WITH {_PQ_TRAIN_SQL}
-    SELECT m AS subspace, cent_id,
-           CAST(COUNT(*) AS BIGINT) AS n_members,
-           CAST(SUM(vec_id) AS BIGINT) AS sum_vec_id,
-           MIN(vec_id) AS min_vec_id,
-           MAX(vec_id) AS max_vec_id,
-           CAST(SUM(dist) AS BIGINT) AS sq_err_sum
-    FROM a2 GROUP BY m, cent_id ORDER BY subspace, cent_id
-    """,
-    doc="Product-quantization codebook training (IVF-PQ compression "
-        "half): per-subspace Lloyd's under EXACT int64 squared-L2 — "
-        "broadcast codebook assignment, map-side-combined integer "
-        "update sums, exact residual distortion per centroid.",
-)
-
-_register(
-    "pq_adc_topk",
-    ["embeddings"],
-    similarity.pq_adc_topk,
-    f"""
-    WITH {_PQ_TRAIN_SQL},
-    lut AS (SELECT q.vec_id AS query_id, c.m, c.cent_id,
-                   CAST(SUM((q.q - c.c) * (q.q - c.c)) AS BIGINT) AS lq
-            FROM comp q JOIN c1 c ON q.m = c.m AND q.j = c.j
-            WHERE q.vec_id < 3
-            GROUP BY q.vec_id, c.m, c.cent_id),
-    adc AS (SELECT l.query_id, a.vec_id, CAST(SUM(l.lq) AS BIGINT) AS adc_dist
-            FROM a2 a JOIN lut l ON l.m = a.m AND l.cent_id = a.cent_id
-            WHERE a.vec_id <> l.query_id
-            GROUP BY l.query_id, a.vec_id)
-    SELECT query_id, rank, vec_id, adc_dist FROM (
-        SELECT query_id, vec_id, adc_dist,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY adc_dist ASC, vec_id ASC) AS BIGINT) AS rank
-        FROM adc) t
-    WHERE rank <= 5 ORDER BY query_id, rank
-    """,
-    doc="PQ asymmetric-distance top-k (the query half of IVF-PQ): "
-        "vectors encoded once into 4 codes by the trained codebook, "
-        "queries search via broadcast per-subspace LUTs summed over "
-        "codes — exact int64 ADC distances, no vectors touched at "
-        "query time, two-phase bucketed top-k.",
-)
-
-
-# random_projection oracle: regenerate the ±1 Achlioptas sign matrix
-# from md5 of the decimal key j*DIM+d — no literal matrix to keep in
-# sync with the engine; both sides derive it from the same md5 word
-# (the multiplicative portable hash is affine mod 2^31 and would give
-# correlated sign rows — see similarity._rp_sign).
-_register(
-    "random_projection",
-    ["embeddings"],
-    lambda embeddings: similarity.random_projection(embeddings, sort=False),
-    """
-    WITH comp AS (
-        SELECT vec_id, CAST(i - 1 AS BIGINT) AS d,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS q
-        FROM embeddings, generate_series(1, 64) s(i)),
-    signs AS (
-        SELECT CAST(j AS BIGINT) AS j, CAST(d AS BIGINT) AS d,
-               1 - 2 * (('0x' || substr(md5(CAST(j * 64 + d AS VARCHAR)),
-                                        1, 8))::BIGINT % 2) AS s
-        FROM generate_series(0, 7) a(j), generate_series(0, 63) b(d))
-    SELECT c.vec_id, s.j, CAST(SUM(c.q * s.s) AS BIGINT) AS proj_q
-    FROM comp c JOIN signs s ON s.d = c.d
-    GROUP BY c.vec_id, s.j
-    ORDER BY vec_id, j
-    """,
-    doc="Johnson-Lindenstrauss reduction (Achlioptas ±1 matrix from "
-        "the portable hash): 64→8 dims as exact int64 sums — map-only, "
-        "whole-stage-codegen literal sign arrays, zero shuffle.",
-)
-
-
-_register(
-    "hard_negatives",
-    ["embeddings"],
-    similarity.hard_negatives,
-    f"""
-    WITH {_QCOMP_SQL},
-    labels AS (
-        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-    dots AS (
-        SELECT q.vec_id AS query_id, t.vec_id AS vec_id, SUM(q.q * t.q) AS dot
-        FROM comp q JOIN comp t ON q.i = t.i AND q.vec_id <> t.vec_id
-        WHERE q.vec_id < 8
-        GROUP BY q.vec_id, t.vec_id),
-    scored AS (
-        SELECT d.query_id, d.vec_id, lt.label,
-               CAST(dot AS BIGINT) AS dot_q,
-               (CAST(dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(nq.n2 AS DOUBLE)/1e12)
-                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS cosine
-        FROM dots d
-        JOIN labels lq ON lq.vec_id = d.query_id
-        JOIN labels lt ON lt.vec_id = d.vec_id
-        JOIN norms nq ON nq.vec_id = d.query_id
-        JOIN norms nt ON nt.vec_id = d.vec_id
-        WHERE lt.label <> lq.label)
-    SELECT query_id, rank, vec_id, label, dot_q, cosine FROM (
-        SELECT query_id, vec_id, label, dot_q, cosine,
-               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
-                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
-        FROM scored) t
-    WHERE rank <= 4 ORDER BY query_id, rank
-    """,
-    doc="Hard-negative mining (DPR/Contriever recipe): per-probe top-k "
-        "most-similar DIFFERENT-label vectors — broadcast probes, one "
-        "corpus scan, two-phase bucketed top-k (no per-probe hot "
-        "partition), exact int64 dot products.",
-)
-
-
-_register(
-    "inverted_index",
-    ["documents"],
-    lambda documents: textops.inverted_index(documents, sort=False),
-    r"""
-    WITH w AS (
-        SELECT doc_id, unnest(list_filter(
-                   string_split_regex(lower(text), '\W+'), x -> x <> ''))
-               AS word
-        FROM documents),
-    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM w GROUP BY doc_id, word)
-    SELECT word, CAST(doc_id % 32 AS BIGINT) AS shard,
-           CAST(COUNT(*) AS BIGINT) AS df,
-           CAST(SUM(tf) AS BIGINT) AS tf_sum,
-           string_agg(doc_id || ':' || tf, ',' ORDER BY doc_id) AS postings
-    FROM tf GROUP BY word, doc_id % 32
-    ORDER BY word, shard
-    """,
-    doc="Sharded inverted index: per-(word, doc-shard) df/tf stats + "
-        "doc:tf posting lists — record size and reducer skew bounded "
-        "by the shard occupancy (hot head words split across 32 "
-        "tasks); text never shuffles.",
-)
-
-_register(
-    "cms_heavy_hitters",
-    ["documents"],
-    textops.cms_heavy_hitters,
-    r"""
-    WITH w AS (
-        SELECT unnest(list_filter(
-                   string_split_regex(lower(text), '\W+'), x -> x <> ''))
-               AS word
-        FROM documents),
-    counts AS (SELECT word, COUNT(*) AS cnt FROM w GROUP BY word),
-    rc AS (SELECT word, cnt, r,
-                  ('0x' || substr(md5(r || '#' || word), 1, 8))::BIGINT % 256
-                      AS cell
-           FROM counts, generate_series(0, 3) s(r)),
-    cells AS (SELECT r, cell, SUM(cnt) AS csum FROM rc GROUP BY r, cell),
-    est AS (SELECT rc.word, MIN(c.csum) AS est_cnt, MIN(rc.cnt) AS exact_cnt
-            FROM rc JOIN cells c ON c.r = rc.r AND c.cell = rc.cell
-            GROUP BY rc.word),
-    tot AS (SELECT SUM(cnt) AS t FROM counts)
-    SELECT word, CAST(est_cnt AS BIGINT) AS est_cnt,
-           CAST(exact_cnt AS BIGINT) AS exact_cnt,
-           CAST(est_cnt - exact_cnt AS BIGINT) AS overcount
-    FROM est, tot WHERE est_cnt * 200 >= t ORDER BY word
-    """,
-    doc="Count-min-sketch heavy hitters with in-query exact judge: "
-        "4×256 md5-derived sketch, min-over-rows estimate, support "
-        "total/200 — bounded-memory frequent items; only the initial "
-        "count aggregation touches the corpus.",
-    judge_bearing=True,
-)
-
-
-# pagerank oracle: the synthesized edge ring + 3 unrolled damped power
-# iterations, all integer (DIV truncation) — node count closes the hash
-# ring, so the CTE reads it once.
-_register(
-    "pagerank",
-    ["documents"],
-    lambda documents: graphops.pagerank(documents, sort=False),
-    f"""
-    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-    nodes AS (SELECT doc_id FROM documents),
-    edges AS (
-        SELECT doc_id AS src,
-               ({packing.portable_hash_sql('(doc_id * 3 + i + 1)')})
-                   % (SELECT n FROM nn) AS dst
-        FROM nodes, generate_series(0, 2) s(i)),
-    r0 AS (SELECT doc_id, CAST(1000000 AS BIGINT) AS rank FROM nodes),
-    c1 AS (SELECT e.dst AS doc_id, SUM(r.rank // 3) AS s
-           FROM edges e JOIN r0 r ON r.doc_id = e.src GROUP BY e.dst),
-    r1 AS (SELECT nd.doc_id,
-                  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
-                      AS rank
-           FROM nodes nd LEFT JOIN c1 c USING (doc_id)),
-    c2 AS (SELECT e.dst AS doc_id, SUM(r.rank // 3) AS s
-           FROM edges e JOIN r1 r ON r.doc_id = e.src GROUP BY e.dst),
-    r2 AS (SELECT nd.doc_id,
-                  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
-                      AS rank
-           FROM nodes nd LEFT JOIN c2 c USING (doc_id)),
-    c3 AS (SELECT e.dst AS doc_id, SUM(r.rank // 3) AS s
-           FROM edges e JOIN r2 r ON r.doc_id = e.src GROUP BY e.dst),
-    r3 AS (SELECT nd.doc_id,
-                  CAST(150000 + (85 * COALESCE(c.s, 0)) // 100 AS BIGINT)
-                      AS rank
-           FROM nodes nd LEFT JOIN c3 c USING (doc_id))
-    SELECT doc_id, rank FROM r3 ORDER BY doc_id
-    """,
-    doc="Integer-exact PageRank (3 damped power iterations, scaled "
-        "int64, DIV truncation) over the synthesized per-doc link "
-        "graph — one src join + one dst aggregation per iteration, "
-        "id/int64-only shuffles.",
-)
-
-
-_register(
-    "retention_cohorts",
-    ["events"],
-    analytic.retention_cohorts,
-    """
-    WITH f AS (
-        SELECT user_id, MIN(date_trunc('day', ts)) AS cohort_day
-        FROM events GROUP BY user_id),
-    a AS (SELECT DISTINCT user_id, date_trunc('day', ts) AS day FROM events)
-    SELECT f.cohort_day,
-           CAST(date_diff('day', f.cohort_day, a.day) AS BIGINT)
-               AS day_offset,
-           CAST(COUNT(*) AS BIGINT) AS n_users
-    FROM a JOIN f USING (user_id)
-    GROUP BY f.cohort_day, date_diff('day', f.cohort_day, a.day)
-    ORDER BY cohort_day, day_offset
-    """,
-    doc="Cohort retention matrix: users bucketed by first-activity day, "
-        "counted per later active day — user-keyed aggs + one join, all "
-        "sharing the user_id partitioning; O(days²) output.",
-)
-
-_register(
-    "ordered_funnel",
-    ["events"],
-    analytic.ordered_funnel,
-    """
-    WITH typed AS (
-        SELECT user_id, event_type, ts FROM events
-        WHERE event_type IN ('view', 'click', 'purchase')),
-    t1 AS (SELECT user_id, MIN(ts) AS t_view FROM typed
-           WHERE event_type = 'view' GROUP BY user_id),
-    t2 AS (SELECT t.user_id, MIN(t.ts) AS t_click
-           FROM typed t JOIN t1 ON t1.user_id = t.user_id
-           WHERE t.event_type = 'click' AND t.ts > t1.t_view
-           GROUP BY t.user_id),
-    t3 AS (SELECT t.user_id, MIN(t.ts) AS t_purchase
-           FROM typed t JOIN t2 ON t2.user_id = t.user_id
-           WHERE t.event_type = 'purchase' AND t.ts > t2.t_click
-           GROUP BY t.user_id)
-    SELECT t1.user_id, t1.t_view, t2.t_click, t3.t_purchase,
-           CAST(CASE WHEN t3.t_purchase IS NOT NULL THEN 3
-                     WHEN t2.t_click IS NOT NULL THEN 2
-                     ELSE 1 END AS BIGINT) AS reached_stage
-    FROM t1
-    LEFT JOIN t2 ON t2.user_id = t1.user_id
-    LEFT JOIN t3 ON t3.user_id = t1.user_id
-    ORDER BY t1.user_id
-    """,
-    doc="Strict ordered funnel view→click→purchase: each stage's "
-        "timestamp is the earliest event strictly after the previous "
-        "stage — three conditional min-aggs on one reused user_id "
-        "partitioning.",
-)
-
-_register(
-    "events_mad_outliers",
-    ["events"],
-    analytic.mad_outliers,
-    f"""
-    WITH med AS (
-        SELECT event_type,
-               quantile_cont({_cents('value')}, 0.5) AS med_c
-        FROM events GROUP BY event_type),
-    dev AS (
-        SELECT e.event_type, m.med_c,
-               ABS({_cents('value')} - m.med_c) AS dev
-        FROM events e JOIN med m USING (event_type)),
-    mad AS (
-        SELECT event_type, quantile_cont(dev, 0.5) AS mad_c,
-               MIN(med_c) AS med_c
-        FROM dev GROUP BY event_type)
-    SELECT d.event_type,
-           MIN(m.med_c) / 100.0 AS median_value,
-           MIN(m.mad_c) / 100.0 AS mad_value,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CASE WHEN d.dev > 3.0 * m.mad_c THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_outliers,
-           MAX(d.dev) / 100.0 AS max_abs_dev
-    FROM dev d JOIN mad m USING (event_type)
-    GROUP BY d.event_type ORDER BY d.event_type
-    """,
-    doc="Robust per-type outlier summary: median/MAD over exact cents "
-        "(interpolated percentiles, deterministic doubles), |dev| > "
-        "3·MAD counts — two grouped percentile passes + broadcast "
-        "stats joins.",
-)
-
-_register(
-    "seasonal_anomaly",
-    ["events"],
-    analytic.seasonal_anomaly,
-    """
-    WITH cells AS (
-        SELECT event_type,
-               CAST(floor(epoch(ts) / 86400) AS BIGINT) AS day,
-               CAST(floor(epoch(ts) / 3600) AS BIGINT) % 24 AS hour,
-               CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM events GROUP BY 1, 2, 3),
-    base AS (
-        SELECT event_type, day % 7 AS dow, hour,
-               CAST(COUNT(*) AS BIGINT) AS n_base,
-               CAST(SUM(cnt) AS BIGINT) AS sum_base,
-               CAST(SUM(cnt * cnt) AS BIGINT) AS sumsq_base
-        FROM cells GROUP BY 1, 2, 3)
-    SELECT c.event_type, c.day, c.hour, c.cnt,
-           b.n_base, b.sum_base, b.sumsq_base,
-           (b.n_base * c.cnt - b.sum_base)
-           * (b.n_base * c.cnt - b.sum_base)
-           > 4 * (b.n_base * b.sumsq_base - b.sum_base * b.sum_base)
-               AS is_anomaly
-    FROM cells c
-    JOIN base b ON b.event_type = c.event_type
-               AND b.dow = c.day % 7 AND b.hour = c.hour
-    ORDER BY c.event_type, c.day, c.hour
-    """,
-    doc="Seasonal-baseline anomaly scoring: every (type, day, hour) "
-        "cell vs its own (type, weekday, hour) slot baseline — exact "
-        "int64 z-test (n·x−S)² > z²(n·Q−S²) at z=2, epoch arithmetic "
-        "only, baseline broadcast over the tiny cell frame.",
-)
-
-
-_register(
-    "source_centroids",
-    ["documents", "embeddings"],
-    similarity.source_centroids,
-    """
-    WITH comp AS (
-        SELECT e.vec_id, d.source, CAST(i - 1 AS BIGINT) AS pos,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS q
-        FROM embeddings e
-        JOIN documents d ON d.doc_id = e.vec_id,
-        generate_series(1, 64) s(i))
-    SELECT source, pos,
-           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS centroid,
-           CAST(COUNT(*) AS BIGINT) AS n_vectors
-    FROM comp GROUP BY source, pos ORDER BY source, pos
-    """,
-    doc="Per-source embedding centroids (source-drift monitor): "
-        "id-keyed metadata join + (source, pos)-keyed int64 partial "
-        "sums — vectors never shuffle; O(sources × DIM) output.",
-)
-
-_register(
-    "embedding_dim_stats",
-    ["embeddings"],
-    similarity.embedding_dim_stats,
-    """
-    WITH comp AS (
-        SELECT CAST(i - 1 AS BIGINT) AS pos,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS q
-        FROM embeddings, generate_series(1, 64) s(i))
-    SELECT pos, CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(q) AS BIGINT) AS sum_q,
-           MIN(q) AS min_q, MAX(q) AS max_q,
-           CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0 AS mean,
-           CAST(SUM(q * q) AS DOUBLE) / COUNT(*) / 1000000000000.0
-               - (CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0)
-                 * (CAST(SUM(q) AS DOUBLE) / COUNT(*) / 1000000.0)
-               AS variance
-    FROM comp GROUP BY pos ORDER BY pos
-    """,
-    doc="Per-dimension embedding stats (whitening/scaling prep): exact "
-        "int64 sums/extrema + deterministic double mean/variance — one "
-        "explode + one pos-keyed map-side-combined aggregation.",
-)
-
-
-_register(
-    "bloom_membership",
-    ["customer", "orders"],
-    sampling.bloom_membership,
-    """
-    WITH keys AS (
-        SELECT DISTINCT o_custkey AS key FROM orders
-        WHERE o_totalprice > 450000.0),
-    bitset AS (
-        SELECT DISTINCT r,
-               ('0x' || substr(md5(r || '#' || key), 1, 8))::BIGINT % 16384
-                   AS bit
-        FROM keys, generate_series(0, 3) s(r)),
-    probes AS (SELECT c_custkey AS key FROM customer),
-    pb AS (SELECT key, r,
-                  ('0x' || substr(md5(r || '#' || key), 1, 8))::BIGINT % 16384
-                      AS bit
-           FROM probes, generate_series(0, 3) s(r)),
-    pos AS (SELECT pb.key FROM pb
-            JOIN bitset b ON b.r = pb.r AND b.bit = pb.bit
-            GROUP BY pb.key HAVING COUNT(*) = 4),
-    judged AS (
-        SELECT p.key,
-               (pos.key IS NOT NULL) AS pos,
-               (k.key IS NOT NULL) AS truth
-        FROM probes p
-        LEFT JOIN pos ON pos.key = p.key
-        LEFT JOIN keys k ON k.key = p.key)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_probed,
-           CAST(SUM(CASE WHEN pos THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_bloom_positive,
-           CAST(SUM(CASE WHEN truth THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_true_members,
-           CAST(SUM(CASE WHEN pos AND NOT truth THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_false_positives,
-           CAST(SUM(CASE WHEN NOT pos AND truth THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_missed,
-           CAST(SUM(CASE WHEN pos AND NOT truth THEN 1 ELSE 0 END)
-                AS DOUBLE)
-               / SUM(CASE WHEN NOT truth THEN 1 ELSE 0 END) AS fp_rate
-    FROM judged
-    """,
-    doc="Bloom-filter membership with in-query exact judge: 16384-bit/"
-        "4-hash md5-derived filter over high-value order customers, "
-        "every customer probed via a broadcast bitset join — false "
-        "positives counted against semi-join truth, n_missed "
-        "structurally 0 (completes the sketch family: HLL, CMS, Bloom).",
-    judge_bearing=True,
-)
-
-
-def _rollup_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``rollup_multires`` — the fourth
-    domain for the loop (documents, mixing, embeddings, now EVENTS,
-    the reference's original subject): the events fixture arrives as a
-    4-file stream (maxFilesPerTrigger=1 → 4 micro-batches); each batch
-    lands its hourly rollup partials via foreachBatch
-    (``ParquetTableJoin.scala:32-43`` loop), and the returned frame
-    folds the accumulated state into the hour/day/week frame —
-    row-identical to the batch op (exact cent sums are
-    batching-insensitive), so the batch oracle applies verbatim.
-    State is torn down after scoring via :func:`_stream_state_scored`."""
-    events = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
-    )
-    return _stream_state_scored(
-        spark,
-        events,
-        "roll",
-        ["hourly"],
-        stream_windows.streaming_rollup_ingest,
-        stream_windows.rollup_from_state,
-    )
-
-
-QUERIES["rollup_streamed"] = QuerySpec(
-    fn=_rollup_streamed,
-    oracle=QUERIES["rollup_multires"].oracle,
-    doc="Streaming-ingest multi-resolution rollup: micro-batched "
-        "hourly partials into a queryable catalog table, folded to "
-        "hour/day/week from state (stream→table loop on the events "
-        "side — the reference's own domain).",
-)
-
-
-_register(
-    "latest_snapshot",
-    ["events"],
-    analytic.latest_snapshot,
-    """
-    SELECT user_id, event_id, ts, event_type, value FROM (
-        SELECT user_id, event_id, ts, event_type, value,
-               ROW_NUMBER() OVER (PARTITION BY user_id
-                   ORDER BY ts DESC, event_id DESC) AS rn
-        FROM events) t
-    WHERE rn = 1 ORDER BY user_id
-    """,
-    doc="Upsert/CDC compaction: latest event per user via map-side "
-        "max_by argmax (no per-user sort window — hot entities stay "
-        "bounded).",
-)
-
-_register(
-    "timeline_gapfill",
-    ["events"],
-    analytic.timeline_gapfill,
-    f"""
-    WITH bounds AS (
-        SELECT date_trunc('hour', MIN(ts)) AS lo,
-               date_trunc('hour', MAX(ts)) AS hi FROM events),
-    grid AS (
-        SELECT unnest(generate_series(lo, hi, INTERVAL 1 HOUR))
-            AS bucket_start
-        FROM bounds),
-    types AS (SELECT DISTINCT event_type FROM events),
-    hourly AS (
-        SELECT date_trunc('hour', ts) AS bucket_start, event_type,
-               COUNT(*) AS n, SUM({_cents('value')}) AS sc
-        FROM events GROUP BY date_trunc('hour', ts), event_type)
-    SELECT g.bucket_start, t.event_type,
-           CAST(COALESCE(h.n, 0) AS BIGINT) AS n_events,
-           CAST(COALESCE(h.sc, 0) AS DOUBLE) / 100.0 AS sum_value,
-           (h.n IS NULL) AS is_gap
-    FROM grid g
-    CROSS JOIN types t
-    LEFT JOIN hourly h ON h.bucket_start = g.bucket_start
-                      AND h.event_type = t.event_type
-    ORDER BY g.bucket_start, t.event_type
-    """,
-    doc="Dense hourly timeline with zero-filled gaps: one rollup scan "
-        "+ a broadcast (hours × types) grid outer-joined against it — "
-        "gaps synthesized, never scanned.",
-)
-
-_register(
-    "percentile_bands",
-    ["events"],
-    analytic.percentile_bands,
-    f"""
-    SELECT date_trunc('day', ts) AS day, event_type,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           quantile_cont({_cents('value')}, 0.5) / 100.0 AS p50,
-           quantile_cont({_cents('value')}, 0.95) / 100.0 AS p95,
-           quantile_cont({_cents('value')}, 0.99) / 100.0 AS p99
-    FROM events GROUP BY date_trunc('day', ts), event_type
-    ORDER BY day, event_type
-    """,
-    doc="Latency-dashboard percentile bands per (day, type): exact "
-        "interpolated percentiles over integer cents, one grouped "
-        "aggregation (approx_percentile is the sketch-bounded twin).",
-)
-
-_register(
-    "vocab_growth",
-    ["documents"],
-    textops.vocab_growth,
-    r"""
-    WITH nn AS (SELECT CAST((COUNT(*) + 7) // 8 AS BIGINT) AS width
-                FROM documents),
-    w AS (
-        SELECT doc_id // (SELECT width FROM nn) AS bucket,
-               unnest(list_filter(
-                   string_split_regex(lower(text), '\W+'), x -> x <> ''))
-               AS word
-        FROM documents),
-    first AS (SELECT word, MIN(bucket) AS first_bucket FROM w
-              GROUP BY word),
-    hist AS (SELECT first_bucket, COUNT(*) AS new_words FROM first
-             GROUP BY first_bucket)
-    SELECT first_bucket AS bucket, CAST(new_words AS BIGINT) AS new_words,
-           CAST(SUM(new_words) OVER (ORDER BY first_bucket
-                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                AS BIGINT) AS vocab_size
-    FROM hist ORDER BY bucket
-    """,
-    doc="Heaps-law vocabulary growth curve in ONE pass: a word's "
-        "first-occurrence prefix bucket via min-aggregation (no "
-        "n_buckets prefix scans), cumulative curve over the bounded "
-        "histogram; text never shuffles.",
-)
-
-_register(
-    "email_domain_stats",
-    ["documents"],
-    # fixture entry opts into the deterministic 7-domain enrichment;
-    # the library default is synthesize=False (real audits stay clean)
-    lambda documents: textops.email_domain_stats(documents, synthesize=True),
-    rf"""
-    WITH enriched AS (
-        SELECT doc_id,
-               text || ' contact user' || CAST(doc_id AS VARCHAR)
-                    || '@mail' || CAST(doc_id % 7 AS VARCHAR)
-                    || '.example.com' AS text
-        FROM documents),
-    m AS (SELECT doc_id,
-                 unnest(regexp_extract_all(lower(text),
-                                           '{textops.EMAIL_RE}'))
-                     AS email
-          FROM enriched),
-    d AS (SELECT doc_id, split_part(email, '@', 2) AS domain FROM m),
-    pd AS (SELECT domain, doc_id, CAST(COUNT(*) AS BIGINT) AS c
-           FROM d GROUP BY 1, 2)
-    SELECT domain,
-           CAST(SUM(c) AS BIGINT) AS n_mentions,
-           CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM pd GROUP BY domain ORDER BY domain
-    """,
-    doc="Per-domain email-mention rollup (entity-extraction audit): "
-        "RE2/Java-parity pattern over lowercased text, deterministic "
-        "7-domain enrichment (the PII-oracle device), only (doc_id, "
-        "domain) rows shuffle, exact distinct docs via the two-stage "
-        "fold.",
+# Back-compat re-exports for tests that reach into spec internals.
+from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
+    _scd2_streamed,
 )
-
-_register(
-    "source_token_entropy",
-    ["documents"],
-    textops.source_token_entropy,
-    r"""
-    WITH w AS (SELECT source,
-                      unnest(list_filter(
-                          string_split_regex(lower(text), '\W+'),
-                          x -> x <> '')) AS word
-               FROM documents),
-    h AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
-          FROM w GROUP BY 1, 2),
-    t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n,
-                 CAST(COUNT(*) AS BIGINT) AS n_distinct
-          FROM h GROUP BY 1),
-    p AS (SELECT h.source,
-                 CAST(SUM(c * (length(bin(n)) - length(bin(c))))
-                      AS BIGINT) AS bits_sum
-          FROM h JOIN t USING (source) GROUP BY 1)
-    SELECT source, n AS n_tokens, n_distinct, bits_sum,
-           CAST(bits_sum AS DOUBLE) / CAST(n AS DOUBLE)
-               AS entropy_bits
-    FROM p JOIN t USING (source) ORDER BY source
-    """,
-    doc="Quantized per-source Shannon entropy in exact integer bits "
-        "(bin()-length arithmetic, no float logs): the within-source "
-        "concentration diagnostic; one corpus-sized histogram shuffle, "
-        "totals broadcast, one double division per source.",
-)
-
-_register(
-    "source_tv_distance",
-    ["documents"],
-    textops.source_tv_distance,
-    r"""
-    WITH w AS (SELECT source,
-                      unnest(list_filter(
-                          string_split_regex(lower(text), '\W+'),
-                          x -> x <> '')) AS word
-               FROM documents),
-    h AS (SELECT source, word, CAST(COUNT(*) AS BIGINT) AS c
-          FROM w GROUP BY 1, 2),
-    t AS (SELECT source, CAST(SUM(c) AS BIGINT) AS n
-          FROM h GROUP BY 1),
-    p AS (SELECT a.source AS source_a, b.source AS source_b,
-                 CAST(COUNT(*) AS BIGINT) AS n_common,
-                 SUM(abs(CAST(a.c AS HUGEINT) * tb.n
-                         - CAST(b.c AS HUGEINT) * ta.n)) AS iabs,
-                 CAST(SUM(a.c) AS BIGINT) AS sa,
-                 CAST(SUM(b.c) AS BIGINT) AS sb,
-                 MIN(ta.n) AS na, MIN(tb.n) AS nb
-          FROM h a
-          JOIN h b ON a.word = b.word AND a.source < b.source
-          JOIN t ta ON ta.source = a.source
-          JOIN t tb ON tb.source = b.source
-          GROUP BY 1, 2)
-    SELECT source_a, source_b, n_common,
-           CAST(iabs + CAST(na - sa AS HUGEINT) * nb
-                     + CAST(nb - sb AS HUGEINT) * na AS DOUBLE)
-           / CAST(CAST(2 AS HUGEINT) * na * nb AS DOUBLE) AS tv
-    FROM p ORDER BY source_a, source_b
-    """,
-    doc="Exact pairwise total-variation distance between per-source "
-        "unigram distributions — rational |c_a*N_b - c_b*N_a| "
-        "numerators in DECIMAL(38,0)/HUGEINT, missing-word mass folded "
-        "in algebraically so only the intersection join runs; one "
-        "double division per pair at the end.",
-)
-
-_register(
-    "ngram_diversity",
-    ["documents"],
-    textops.ngram_diversity,
-    r"""
-    WITH ws AS (SELECT source,
-                       list_filter(string_split_regex(lower(text),
-                                                      '\W+'),
-                                   x -> x <> '') AS w
-                FROM documents),
-    g AS (SELECT source,
-                 unnest(list_transform(
-                     range(1, len(w) - 1),
-                     i -> ('0x' || substr(md5(w[i] || ' ' || w[i+1]
-                                              || ' ' || w[i+2]),
-                           1, 15))::BIGINT)) AS h
-          FROM ws WHERE len(w) >= 3),
-    pg AS (SELECT source, h, COUNT(*) AS c FROM g GROUP BY 1, 2)
-    SELECT source,
-           CAST(SUM(c) AS BIGINT) AS n_ngrams,
-           CAST(COUNT(*) AS BIGINT) AS n_distinct,
-           CAST(COUNT(*) AS DOUBLE) / CAST(SUM(c) AS DOUBLE)
-               AS diversity
-    FROM pg GROUP BY source ORDER BY source
-    """,
-    doc="Per-source exact trigram diversity (distinct/total) — the "
-        "corpus-level self-repetition gate; n-grams digest to the "
-        "portable md5-prefix int64 in the row expression so text "
-        "never shuffles, distinct via the two-stage map-side-combined "
-        "fold (no count-distinct expand).",
-)
-
-_register(
-    "knn_accuracy",
-    ["embeddings"],
-    similarity.knn_accuracy,
-    f"""
-    WITH {_QCOMP_SQL},
-    labels AS (
-        SELECT vec_id, CAST(label AS BIGINT) AS label FROM embeddings),
-    dots AS (
-        SELECT q.vec_id AS eval_id, t.vec_id AS vec_id, SUM(q.q * t.q) AS dot
-        FROM comp q JOIN comp t ON q.i = t.i AND q.vec_id <> t.vec_id
-        WHERE q.vec_id < 64
-        GROUP BY q.vec_id, t.vec_id),
-    scored AS (
-        SELECT d.eval_id, lq.label AS true_label, d.vec_id, lt.label,
-               (CAST(dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(nq.n2 AS DOUBLE)/1e12)
-                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS cosine
-        FROM dots d
-        JOIN labels lq ON lq.vec_id = d.eval_id
-        JOIN labels lt ON lt.vec_id = d.vec_id
-        JOIN norms nq ON nq.vec_id = d.eval_id
-        JOIN norms nt ON nt.vec_id = d.vec_id),
-    nb AS (
-        SELECT eval_id, true_label, label FROM (
-            SELECT eval_id, true_label, label,
-                   ROW_NUMBER() OVER (PARTITION BY eval_id
-                       ORDER BY cosine DESC, vec_id ASC) AS rn
-            FROM scored) t
-        WHERE rn <= 5),
-    votes AS (
-        SELECT eval_id, true_label, label, COUNT(*) AS nv
-        FROM nb GROUP BY eval_id, true_label, label),
-    pred AS (
-        SELECT eval_id, true_label, label AS pred_label FROM (
-            SELECT eval_id, true_label, label,
-                   ROW_NUMBER() OVER (PARTITION BY eval_id
-                       ORDER BY nv DESC, label ASC) AS rn
-            FROM votes) t
-        WHERE rn = 1)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_eval,
-           CAST(5 AS BIGINT) AS k,
-           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
-                AS BIGINT) AS n_correct,
-           CAST(SUM(CASE WHEN pred_label = true_label THEN 1 ELSE 0 END)
-                AS DOUBLE) / COUNT(*) AS accuracy
-    FROM pred
-    """,
-    doc="k-NN label-prediction accuracy (embedding-quality probe): "
-        "bounded broadcast eval set, one corpus scan, two-phase "
-        "bucketed top-k, deterministic majority vote — linear in the "
-        "corpus, judged against true labels in-query.",
-    judge_bearing=True,
-)
-
-_register(
-    "mmr_select",
-    ["embeddings"],
-    similarity.mmr_select,
-    f"""
-    WITH {_QCOMP_SQL},
-    d0 AS (
-        SELECT t.vec_id, SUM(q.q * t.q) AS dot
-        FROM comp q JOIN comp t ON q.i = t.i AND t.vec_id <> 0
-        WHERE q.vec_id = 0 GROUP BY t.vec_id),
-    rel AS (
-        SELECT d.vec_id,
-               (CAST(dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(n0.n2 AS DOUBLE)/1e12)
-                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS rel
-        FROM d0 d
-        JOIN norms n0 ON n0.vec_id = 0
-        JOIN norms nt ON nt.vec_id = d.vec_id),
-    cand AS (
-        SELECT vec_id, rel FROM (
-            SELECT vec_id, rel,
-                   ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
-            FROM rel) t
-        WHERE rn <= 8),
-    pd AS (
-        SELECT a.vec_id AS va, b.vec_id AS vb, SUM(ca.q * cb.q) AS dot
-        FROM cand a JOIN cand b ON a.vec_id <> b.vec_id
-        JOIN comp ca ON ca.vec_id = a.vec_id
-        JOIN comp cb ON cb.vec_id = b.vec_id AND cb.i = ca.i
-        GROUP BY a.vec_id, b.vec_id),
-    sims AS (
-        SELECT va, vb,
-               (CAST(dot AS DOUBLE)/1e12)
-                   / sqrt((CAST(na.n2 AS DOUBLE)/1e12)
-                          * (CAST(nb.n2 AS DOUBLE)/1e12)) AS sim
-        FROM pd
-        JOIN norms na ON na.vec_id = va
-        JOIN norms nb ON nb.vec_id = vb),
-    p1 AS (
-        SELECT vec_id, rel, rel AS mmr_score FROM (
-            SELECT vec_id, rel,
-                   ROW_NUMBER() OVER (ORDER BY rel DESC, vec_id ASC) AS rn
-            FROM cand) t
-        WHERE rn = 1),
-    sc2 AS (
-        SELECT c.vec_id, c.rel, 0.5 * c.rel - 0.5 * s.sim AS mmr_score
-        FROM cand c
-        JOIN sims s ON s.va = c.vec_id
-        JOIN p1 ON p1.vec_id = s.vb
-        WHERE c.vec_id <> (SELECT vec_id FROM p1)),
-    p2 AS (
-        SELECT vec_id, rel, mmr_score FROM (
-            SELECT vec_id, rel, mmr_score,
-                   ROW_NUMBER() OVER (ORDER BY mmr_score DESC, vec_id ASC)
-                       AS rn
-            FROM sc2) t
-        WHERE rn = 1),
-    sel2 AS (SELECT vec_id FROM p1 UNION ALL SELECT vec_id FROM p2),
-    sc3 AS (
-        SELECT c.vec_id, c.rel,
-               0.5 * c.rel - 0.5 * MAX(s.sim) AS mmr_score
-        FROM cand c
-        JOIN sims s ON s.va = c.vec_id AND s.vb IN (SELECT vec_id FROM sel2)
-        WHERE c.vec_id NOT IN (SELECT vec_id FROM sel2)
-        GROUP BY c.vec_id, c.rel),
-    p3 AS (
-        SELECT vec_id, mmr_score FROM (
-            SELECT vec_id, mmr_score,
-                   ROW_NUMBER() OVER (ORDER BY mmr_score DESC, vec_id ASC)
-                       AS rn
-            FROM sc3) t
-        WHERE rn = 1)
-    SELECT CAST(1 AS BIGINT) AS pick_rank, vec_id, mmr_score FROM p1
-    UNION ALL
-    SELECT CAST(2 AS BIGINT), vec_id, mmr_score FROM p2
-    UNION ALL
-    SELECT CAST(3 AS BIGINT), vec_id, mmr_score FROM p3
-    ORDER BY pick_rank
-    """,
-    doc="Maximal-marginal-relevance diversity reranking: broadcast-"
-        "query candidate scan (linear, top-k pruned), then fixed-size "
-        "greedy argmax+union rounds over the bounded candidate frame — "
-        "nothing collected, no O(corpus) step after the scan.",
-)
-
-
-def _cms_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``cms_heavy_hitters`` — the
-    bounded-memory frequent-items service a streaming ingest actually
-    runs: the documents fixture arrives as a 4-file stream; each
-    micro-batch appends its per-word count partials (the wordcount
-    ingest — identical tokenizer), and the returned frame applies the
-    CMS sketch arithmetic to the folded state — row-identical to the
-    batch op (exact counts fold batching-insensitively), so the batch
-    oracle applies verbatim. State torn down via
-    :func:`_stream_state_scored`."""
-    docs = load_table(spark, sf_dir, "documents").select("doc_id", "text")
-    return _stream_state_scored(
-        spark,
-        docs,
-        "cms",
-        ["cnt"],
-        wordcount.streaming_wordcount_ingest,
-        textops.cms_from_state,
-    )
-
-
-QUERIES["cms_streamed"] = QuerySpec(
-    fn=_cms_streamed,
-    oracle=QUERIES["cms_heavy_hitters"].oracle,
-    doc="Streaming-ingest CMS heavy hitters: micro-batched word-count "
-        "partials into a queryable catalog table, sketch applied to "
-        "folded state (seventh stream→table loop — the frequent-items "
-        "service shape).",
-    judge_bearing=True,
-)
-
-
-_register(
-    "typo_pairs",
-    ["documents"],
-    dedup.typo_pairs,
-    r"""
-    WITH dirty AS (
-        SELECT substr(w, 1, 1) || substr(w, 3) AS typo,
-               CAST(COUNT(*) AS BIGINT) AS n_docs
-        FROM (
-            SELECT list_filter(string_split_regex(lower(text), '\W+'),
-                               x -> x <> '')[1] AS w
-            FROM documents WHERE doc_id % 7 = 0) t
-        WHERE length(w) >= 4
-        GROUP BY substr(w, 1, 1) || substr(w, 3)),
-    vocab AS (
-        SELECT DISTINCT unnest(list_filter(
-                   string_split_regex(lower(text), '\W+'), x -> x <> ''))
-               AS word
-        FROM documents),
-    v3 AS (SELECT word FROM vocab WHERE length(word) >= 3),
-    dk AS (
-        SELECT typo, n_docs, unnest(list_append(
-                   list_transform(generate_series(1, length(typo)),
-                       i -> substr(typo, 1, i - 1) || substr(typo, i + 1)),
-                   typo)) AS k
-        FROM dirty),
-    vk AS (
-        SELECT word, unnest(list_append(
-                   list_transform(generate_series(1, length(word)),
-                       i -> substr(word, 1, i - 1) || substr(word, i + 1)),
-                   word)) AS k
-        FROM v3)
-    SELECT DISTINCT d.typo, v.word, d.n_docs
-    FROM dk d JOIN vk v ON v.k = d.k
-    WHERE levenshtein(d.typo, v.word) = 1
-    ORDER BY typo, word
-    """,
-    doc="SymSpell edit-distance-1 fuzzy matching: both sides expand to "
-        "1-deletion neighborhoods and EQUI-join on the deletion key "
-        "(never a quadratic Levenshtein cross-product); exact "
-        "levenshtein verifies candidates only; typos synthesized "
-        "deterministically on both engines (PII-oracle device).",
-)
-
-_register(
-    "zorder_key",
-    ["events"],
-    lambda events: packing.zorder_key(events, sort=False),
-    f"""
-    SELECT event_id, user_id,
-           CAST(ROUND(value * 100, 0) AS BIGINT) AS value_cents,
-           CAST({packing.zorder_sql(
-               'user_id % 65536',
-               'CAST(ROUND(value * 100, 0) AS BIGINT) % 65536',
-               div='//',
-           )} AS BIGINT) AS zkey
-    FROM events ORDER BY event_id
-    """,
-    doc="Z-order (Morton) layout key over (user_id, value-cents): "
-        "pure-integer bit interleave from one shared expression "
-        "generator — map-only, zero shuffle; feeds range-partitioned "
-        "writes so both dimensions prune files.",
-)
-
-
-_register(
-    "event_rate_spikes",
-    ["events"],
-    analytic.event_rate_spikes,
-    """
-    WITH hourly AS (
-        SELECT date_trunc('hour', ts) AS bucket_start, event_type,
-               CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM events GROUP BY date_trunc('hour', ts), event_type),
-    keyed AS (
-        SELECT bucket_start, event_type, n_events,
-               CAST(epoch(bucket_start) AS BIGINT) AS ep
-        FROM hourly)
-    SELECT bucket_start, event_type, n_events,
-           AVG(n_events) OVER (PARTITION BY event_type ORDER BY ep
-               RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
-               AS trailing_mean,
-           (AVG(n_events) OVER (PARTITION BY event_type ORDER BY ep
-                RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING)
-                IS NOT NULL
-            AND n_events > 3.0 * AVG(n_events) OVER (
-                PARTITION BY event_type ORDER BY ep
-                RANGE BETWEEN 86400 PRECEDING AND 3600 PRECEDING))
-               AS is_spike
-    FROM keyed ORDER BY bucket_start, event_type
-    """,
-    doc="Rate-spike alerting: hourly counts vs a trailing-24h RANGE-"
-        "frame mean (calendar-gap correct) — the window runs over the "
-        "rollup, O(hours × types), never raw events.",
-)
-
-_register(
-    "equidepth_histogram",
-    ["orders"],
-    relational.equidepth_histogram,
-    f"""
-    WITH c AS (SELECT {_cents('o_totalprice')} AS cents FROM orders),
-    b AS (SELECT quantile_cont(cents,
-               [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9, 1.0]) AS bs
-          FROM c)
-    SELECT bucket, CAST(COUNT(*) AS BIGINT) AS n_orders,
-           MIN(cents) / 100.0 AS lo_value,
-           MAX(cents) / 100.0 AS hi_value
-    FROM (
-        SELECT CAST(len(list_filter(b.bs,
-                   x -> x < CAST(c.cents AS DOUBLE))) + 1 AS BIGINT)
-                   AS bucket,
-               c.cents AS cents
-        FROM c, b) t
-    GROUP BY bucket ORDER BY bucket
-    """,
-    doc="Equi-depth histogram (optimizer-statistics profile): exact "
-        "decile boundaries from ONE percentile aggregation broadcast "
-        "back — no ntile window, no global range sort; rows bucket by "
-        "comparison, counts aggregate map-side.",
-)
-
-_register(
-    "readability_scores",
-    ["documents"],
-    lambda documents: textops.readability_scores(documents, sort=False),
-    r"""
-    WITH t AS (
-        SELECT doc_id,
-               list_filter(string_split_regex(lower(text), '\W+'),
-                           x -> x <> '') AS ws,
-               list_filter(list_transform(
-                   string_split_regex(text, '[.!?]+'), s -> trim(s)),
-                   s -> s <> '') AS sents
-        FROM documents),
-    s AS (
-        SELECT doc_id,
-               CAST(len(ws) AS BIGINT) AS n_words,
-               CAST(GREATEST(len(sents), 1) AS BIGINT) AS n_sentences,
-               CAST(list_sum(list_transform(ws, w -> GREATEST(
-                   len(list_filter(string_split_regex(w, '[^aeiouy]+'),
-                                   x -> x <> '')), 1))) AS BIGINT)
-                   AS n_syllables
-        FROM t)
-    SELECT doc_id, n_words, n_sentences,
-           COALESCE(n_syllables, 0) AS n_syllables,
-           CASE WHEN n_words > 0
-                THEN 206.835
-                     - 1.015 * (CAST(n_words AS DOUBLE)
-                                / CAST(n_sentences AS DOUBLE))
-                     - 84.6 * (CAST(COALESCE(n_syllables, 0) AS DOUBLE)
-                               / CAST(n_words AS DOUBLE))
-                ELSE 0.0 END AS flesch
-    FROM s ORDER BY doc_id
-    """,
-    doc="Flesch-style readability: vowel-group syllable proxy, "
-        "sentence runs, deterministic double score — pure per-row JVM "
-        "expressions, no explode, no shuffle (gopher_rules shape).",
-)
-
-
-_register(
-    "session_paths",
-    ["events"],
-    stream_windows.session_paths,
-    """
-    WITH seq AS (
-        SELECT user_id, ts, event_id, event_type,
-               CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
-    ), sess AS (
-        SELECT user_id, ts, event_id, event_type,
-               SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS sid
-        FROM seq
-    ), paths AS (
-        SELECT user_id, sid,
-               string_agg(event_type, '>' ORDER BY ts, event_id) AS path
-        FROM sess GROUP BY user_id, sid
-    )
-    SELECT path, CAST(COUNT(*) AS BIGINT) AS n_sessions
-    FROM paths GROUP BY path
-    ORDER BY n_sessions DESC, path ASC LIMIT 20
-    """,
-    doc="Top-k session paths (path mining): per-session ordered "
-        "event-type sequence — session-bounded collect, one "
-        "sessionization shuffle, TakeOrdered top-k over the "
-        "vocabulary-sized path histogram.",
-)
-
-_register(
-    "snapshot_diff",
-    ["documents"],
-    curation.snapshot_diff,
-    """
-    WITH old AS (SELECT doc_id, sha256(text) AS od FROM documents),
-    base AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 13 = 0 THEN text || ' [rev2]'
-                    ELSE text END AS text
-        FROM documents WHERE doc_id % 17 <> 0),
-    added AS (
-        SELECT doc_id + 1000000 AS doc_id, 'addendum: ' || text AS text
-        FROM documents WHERE doc_id % 19 = 0),
-    newsnap AS (
-        SELECT doc_id, sha256(text) AS nd FROM (
-            SELECT doc_id, text FROM base
-            UNION ALL SELECT doc_id, text FROM added) t),
-    j AS (
-        SELECT COALESCE(o.doc_id, n.doc_id) AS doc_id, o.od, n.nd
-        FROM old o FULL OUTER JOIN newsnap n ON n.doc_id = o.doc_id)
-    SELECT doc_id,
-           CASE WHEN od IS NULL THEN 'added'
-                WHEN nd IS NULL THEN 'removed'
-                ELSE 'changed' END AS status
-    FROM j WHERE od IS NULL OR nd IS NULL OR od <> nd
-    ORDER BY doc_id
-    """,
-    doc="Table-version diff by content digest (incremental-recrawl "
-        "audit): both sides reduce to (id, sha256) BEFORE the id-keyed "
-        "full-outer join — text never shuffles; snapshot mutations "
-        "synthesized deterministically on both engines.",
-)
-
-
-_register(
-    "merge_upsert",
-    ["documents"],
-    curation.merge_upsert,
-    """
-    WITH dels AS (SELECT doc_id FROM documents WHERE doc_id % 23 = 0),
-    ups AS (
-        SELECT doc_id, text || ' [v2]' AS new_text FROM documents
-        WHERE doc_id % 11 = 0 AND doc_id % 23 <> 0
-        UNION ALL
-        SELECT doc_id + 2000000 AS doc_id, 'insert: ' || text AS new_text
-        FROM documents WHERE doc_id % 29 = 0),
-    surv AS (SELECT doc_id, text FROM documents WHERE doc_id % 23 <> 0),
-    merged AS (
-        SELECT COALESCE(u.doc_id, s.doc_id) AS doc_id,
-               COALESCE(u.new_text, s.text) AS text,
-               (u.new_text IS NOT NULL AND s.text IS NOT NULL) AS was_update,
-               (u.new_text IS NOT NULL AND s.text IS NULL) AS was_insert
-        FROM surv s FULL OUTER JOIN ups u ON u.doc_id = s.doc_id)
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM documents) AS n_base,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM dels) AS n_deleted,
-           CAST(SUM(CASE WHEN was_update THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_updated,
-           CAST(SUM(CASE WHEN was_insert THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_inserted,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(('0x' || substr(md5(doc_id || '#' || text), 1, 8))::BIGINT)
-                AS BIGINT) AS content_checksum
-    FROM merged
-    """,
-    doc="MERGE INTO apply (upsert + delete changeset) with a merge "
-        "summary and an order-free 32-bit-md5-word content checksum of "
-        "the merged table: two id-keyed co-partitioned joins, "
-        "matched/unmatched classified in the same pass that emits the "
-        "merged rows, single-row map-side-combined summary.",
-)
-
-_register(
-    "event_transitions",
-    ["events"],
-    analytic.event_transitions,
-    """
-    WITH pairs AS (
-        SELECT LAG(event_type) OVER (PARTITION BY user_id
-                                     ORDER BY ts, event_id) AS prev_type,
-               event_type AS next_type
-        FROM events),
-    cnt AS (
-        SELECT prev_type, next_type, CAST(COUNT(*) AS BIGINT)
-                   AS n_transitions
-        FROM pairs WHERE prev_type IS NOT NULL
-        GROUP BY prev_type, next_type)
-    SELECT prev_type, next_type, n_transitions,
-           CAST(n_transitions AS DOUBLE)
-               / CAST(SUM(n_transitions) OVER (PARTITION BY prev_type)
-                      AS DOUBLE) AS p
-    FROM cnt
-    ORDER BY prev_type, next_type
-    """,
-    doc="First-order Markov transition matrix P(next event | prev "
-        "event) per user timeline: one user-keyed lag shuffle "
-        "collapsing to the k-squared type-pair histogram; the "
-        "normalization window runs over that tiny frame.",
-)
-
-_register(
-    "zonemap_skip_stats",
-    ["events"],
-    packing.zonemap_skip_stats,
-    f"""
-    WITH blocks AS (
-        SELECT event_id // 1024 AS block_id,
-               MIN(epoch_us(ts)) AS min_ts, MAX(epoch_us(ts)) AS max_ts,
-               MIN({_cents('value')}) AS min_val,
-               MAX({_cents('value')}) AS max_val,
-               CAST(COUNT(*) AS BIGINT) AS n_rows
-        FROM events GROUP BY 1),
-    bounds AS (SELECT MIN(min_ts) AS tmin, MAX(max_ts) AS tmax,
-                      MIN(min_val) AS vmin, MAX(max_val) AS vmax
-               FROM blocks),
-    j AS (SELECT n_rows,
-                 max_ts < tmin + (tmax - tmin) * 9 // 10 AS ts_skip,
-                 max_val < vmin + (vmax - vmin) // 2 AS val_skip
-          FROM blocks, bounds)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
-           CAST(SUM(n_rows) AS BIGINT) AS n_rows,
-           CAST(SUM(CASE WHEN ts_skip THEN 1 ELSE 0 END) AS BIGINT)
-               AS ts_blocks_skipped,
-           CAST(SUM(CASE WHEN ts_skip THEN n_rows ELSE 0 END) AS BIGINT)
-               AS ts_rows_skipped,
-           CAST(SUM(CASE WHEN val_skip THEN 1 ELSE 0 END) AS BIGINT)
-               AS val_blocks_skipped,
-           CAST(SUM(CASE WHEN val_skip THEN n_rows ELSE 0 END) AS BIGINT)
-               AS val_rows_skipped
-    FROM j
-    """,
-    doc="Zone-map data-skipping audit: per-block min/max index in "
-        "write order, then block-prune fractions for a clustered (ts) "
-        "vs unclustered (value) predicate — the measured gap is the "
-        "re-cluster argument; raw events scanned exactly once.",
-)
-
-_register(
-    "weighted_sample",
-    ["documents"],
-    sampling.weighted_sample,
-    f"""
-    WITH cand AS (
-        SELECT source, doc_id, n_chars,
-               CAST(n_chars AS DOUBLE)
-                   / CAST(({packing.portable_hash_sql('doc_id')}) + 1
-                          AS DOUBLE) AS pri
-        FROM documents),
-    ranked AS (
-        SELECT source, doc_id, n_chars,
-               CAST(ROW_NUMBER() OVER (PARTITION BY source
-                                       ORDER BY pri DESC, doc_id)
-                    AS BIGINT) AS rank
-        FROM cand)
-    SELECT source, rank, doc_id, n_chars
-    FROM ranked WHERE rank <= 25
-    ORDER BY source, rank
-    """,
-    doc="Deterministic weighted per-source sample (A-RES with the RNG "
-        "replaced by the portable hash): exact two-phase per-source "
-        "top-k — bucket-bounded sorts then a candidate re-rank — so no "
-        "reducer ever sorts a whole source; text never shuffles.",
-)
-
-_register(
-    "ohlc_bars",
-    ["events"],
-    analytic.ohlc_bars,
-    f"""
-    WITH t AS (
-        SELECT event_type,
-               epoch_us(date_trunc('hour', ts)) // 1000000 AS bucket_s,
-               {_cents('value')} AS v, ts, event_id
-        FROM events),
-    w AS (
-        SELECT event_type, bucket_s, v,
-               FIRST_VALUE(v) OVER (PARTITION BY event_type, bucket_s
-                                    ORDER BY ts, event_id) AS open_v,
-               LAST_VALUE(v) OVER (PARTITION BY event_type, bucket_s
-                                   ORDER BY ts, event_id
-                                   ROWS BETWEEN UNBOUNDED PRECEDING
-                                   AND UNBOUNDED FOLLOWING) AS close_v
-        FROM t)
-    SELECT event_type, bucket_s, MIN(open_v) AS open_cents,
-           MAX(v) AS high_cents, MIN(v) AS low_cents,
-           MIN(close_v) AS close_cents,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(v) AS BIGINT) AS volume_cents
-    FROM w GROUP BY event_type, bucket_s ORDER BY event_type, bucket_s
-    """,
-    doc="Hourly OHLC candles per event type (open/close = first/last "
-        "in deterministic (ts, event_id) order, exact cents): one "
-        "(type, hour)-grain window shuffle collapsing to the "
-        "bucket-count candle frame with map-side min/max/sum.",
-)
-
-def _ohlc_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``ohlc_bars`` under the full
-    correctness gate: the events fixture arrives as a 4-file stream
-    (maxFilesPerTrigger=1 → 4 micro-batches); each batch lands its
-    (type, hour) OHLC partials — open/close values with their
-    (ts, event_id) argmin/argmax keys — via foreachBatch, and the
-    returned frame folds the accumulated state. Hour buckets split
-    across micro-batches refold exactly, so the result is
-    row-identical to the batch op and the batch oracle applies
-    verbatim. State is torn down after scoring via
-    :func:`_stream_state_scored`."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
-    )
-    return _stream_state_scored(
-        spark,
-        ev,
-        "ohlc",
-        ["partials"],
-        stream_windows.streaming_ohlc_ingest,
-        stream_windows.ohlc_from_state,
-    )
-
-
-QUERIES["ohlc_streamed"] = QuerySpec(
-    fn=_ohlc_streamed,
-    oracle=QUERIES["ohlc_bars"].oracle,
-    doc="Streaming-ingest OHLC candles: per-micro-batch mergeable "
-        "candle partials (argmin/argmax order keys carried) into a "
-        "queryable catalog table, folded at query time — the "
-        "stream→table loop on the time-series side.",
-)
-
-
-_register(
-    "trend_regression",
-    ["events"],
-    analytic.trend_regression,
-    f"""
-    WITH t0 AS (SELECT MIN(epoch_us(ts) // 1000000) AS t0 FROM events),
-    xy AS (SELECT event_type,
-                  epoch_us(ts) // 1000000 - t0 AS x,
-                  {_cents('value')} AS y
-           FROM events, t0),
-    s AS (SELECT event_type,
-                 CAST(COUNT(*) AS DECIMAL(38,0)) AS n,
-                 SUM(CAST(x AS DECIMAL(38,0))) AS sx,
-                 SUM(CAST(y AS DECIMAL(38,0))) AS sy,
-                 SUM(CAST(x * y AS DECIMAL(38,0))) AS sxy,
-                 SUM(CAST(x * x AS DECIMAL(38,0))) AS sxx,
-                 SUM(CAST(y * y AS DECIMAL(38,0))) AS syy
-          FROM xy GROUP BY event_type),
-    d AS (SELECT event_type, CAST(n AS BIGINT) AS n_events,
-                 CAST(n AS DOUBLE) AS nd, CAST(sx AS DOUBLE) AS sxd,
-                 CAST(sy AS DOUBLE) AS syd, CAST(sxy AS DOUBLE) AS sxyd,
-                 CAST(sxx AS DOUBLE) AS sxxd, CAST(syy AS DOUBLE) AS syyd
-          FROM s)
-    SELECT event_type, n_events,
-           (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * 86400.0
-               AS slope_cents_per_day,
-           (syd - (nd * sxyd - sxd * syd) / (nd * sxxd - sxd * sxd) * sxd)
-               / nd AS intercept_cents,
-           (nd * sxyd - sxd * syd) * (nd * sxyd - sxd * syd)
-               / ((nd * sxxd - sxd * sxd) * (nd * syyd - syd * syd)) AS r2
-    FROM d ORDER BY event_type
-    """,
-    doc="Exact distributed OLS trend per event type from five "
-        "DECIMAL(38,0) sufficient statistics (order-free integer "
-        "sums; doubles only in the final closed form, same expression "
-        "shape both engines): one map-side-combined groupBy, no "
-        "window, nothing corpus-sized shuffles.",
-)
-
-_register(
-    "conversion_attribution",
-    ["events"],
-    analytic.conversion_attribution,
-    f"""
-    WITH t AS (
-        SELECT event_type, {_cents('value')} AS v,
-               LAST_VALUE(CASE WHEN event_type <> 'purchase'
-                               THEN event_type END IGNORE NULLS)
-                   OVER (PARTITION BY user_id ORDER BY ts, event_id
-                         ROWS BETWEEN UNBOUNDED PRECEDING
-                         AND 1 PRECEDING) AS touch
-        FROM events),
-    per AS (SELECT COALESCE(touch, 'direct') AS channel,
-                   CAST(COUNT(*) AS BIGINT) AS n_purchases,
-                   CAST(SUM(v) AS BIGINT) AS revenue_cents
-            FROM t WHERE event_type = 'purchase' GROUP BY 1)
-    SELECT channel, n_purchases, revenue_cents,
-           CAST(n_purchases AS DOUBLE)
-               / CAST(SUM(n_purchases) OVER () AS DOUBLE) AS purchase_share
-    FROM per ORDER BY channel
-    """,
-    doc="Last-touch conversion attribution: most recent non-purchase "
-        "event before each purchase in the user's deterministic "
-        "timeline ('direct' when none), rolled up to channel counts, "
-        "revenue cents, and exact-int shares — one user-keyed window "
-        "shuffle then a channel-vocabulary aggregate.",
-)
-
-_TBLPROF_COLS = [
-    "o_orderkey", "o_custkey", "o_orderstatus", "o_orderpriority",
-    "o_totalprice_cents", "o_orderdate_us",
-]
-
-_register(
-    "table_profile",
-    ["orders"],
-    profiling.table_profile,
-    "WITH base AS (SELECT o_orderkey, o_custkey, o_orderstatus, "
-    "o_orderpriority, " + _cents("o_totalprice") + " AS o_totalprice_cents, "
-    "epoch_us(o_orderdate) AS o_orderdate_us FROM orders) "
-    "SELECT * FROM ("
-    + " UNION ALL ".join(
-        f"SELECT '{c}' AS \"column\", CAST(COUNT(*) AS BIGINT) AS n_rows, "
-        f"CAST(SUM(CASE WHEN {c} IS NULL THEN 1 ELSE 0 END) AS BIGINT) "
-        f"AS n_nulls, CAST(COUNT(DISTINCT {c}) AS BIGINT) AS n_distinct, "
-        f"CAST(MIN({c}) AS VARCHAR) AS min_repr, "
-        f"CAST(MAX({c}) AS VARCHAR) AS max_repr FROM base"
-        for c in _TBLPROF_COLS
-    )
-    + ') ORDER BY "column"',
-    doc="Per-column table profile (nulls, exact distincts, "
-        "engine-portable min/max representations — ints canonical, "
-        "money in cents, timestamps as epoch micros): one pass via "
-        "Catalyst multi-distinct expand with partial aggregation, "
-        "k-row output.",
-)
-
-_BENFORD_CASE = "CASE digit " + " ".join(
-    f"WHEN {d} THEN {__import__('math').log10(1 + 1 / d)!r}"
-    for d in range(1, 10)
-) + " END"
-
-_register(
-    "benford_audit",
-    ["orders"],
-    profiling.benford_audit,
-    f"""
-    WITH c AS (
-        SELECT CAST(substr(CAST({_cents('o_totalprice')} AS VARCHAR), 1, 1)
-                    AS BIGINT) AS digit
-        FROM orders WHERE {_cents('o_totalprice')} > 0),
-    obs AS (SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs
-            FROM c GROUP BY 1),
-    d AS (SELECT CAST(unnest(generate_series(1, 9)) AS BIGINT) AS digit),
-    t AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS total FROM obs),
-    j AS (SELECT d.digit, CAST(COALESCE(o.n_obs, 0) AS BIGINT) AS n_obs
-          FROM d LEFT JOIN obs o ON o.digit = d.digit),
-    sel AS (SELECT j.digit, j.n_obs,
-                   CAST(t.total AS DOUBLE) * ({_BENFORD_CASE}) AS expected
-            FROM j, t)
-    SELECT digit, n_obs, expected,
-           (CAST(n_obs AS DOUBLE) - expected)
-           * (CAST(n_obs AS DOUBLE) - expected) / expected AS chi2_contrib
-    FROM sel ORDER BY digit
-    """,
-    doc="Benford's-law first-digit audit of the money column: integer "
-        "cents' leading decimal digit vs total·log10(1+1/d), chi2 "
-        "contribution per digit — Python-literal log constants and "
-        "int->string digit extraction keep both engines bit-identical.",
-)
-
-_register(
-    "key_skew_profile",
-    ["lineitem"],
-    profiling.key_skew_profile,
-    """
-    WITH cnt AS (SELECT l_suppkey AS k, CAST(COUNT(*) AS BIGINT) AS c
-                 FROM lineitem GROUP BY 1),
-    base AS (SELECT CAST(SUM(c) AS BIGINT) AS n_rows,
-                    CAST(COUNT(*) AS BIGINT) AS n_keys,
-                    MAX(c) AS max_key_rows,
-                    SUM(CAST(c * c AS DECIMAL(38,0))) AS sc2
-             FROM cnt),
-    ranked AS (SELECT c, ROW_NUMBER() OVER (ORDER BY c DESC, k) AS r
-               FROM cnt),
-    top AS (SELECT MAX(CASE WHEN r = 1 THEN c END) AS top1_rows,
-                   CAST(SUM(c) AS BIGINT) AS top10_rows
-            FROM ranked WHERE r <= 10)
-    SELECT n_rows, n_keys, max_key_rows,
-           CAST(top1_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
-               AS top1_share,
-           CAST(top10_rows AS DOUBLE) / CAST(n_rows AS DOUBLE)
-               AS top10_share,
-           CAST(sc2 AS DOUBLE)
-               / (CAST(n_rows AS DOUBLE) * CAST(n_rows AS DOUBLE)) AS hhi
-    FROM base, top
-    """,
-    doc="Join-key skew report (max key, top-1/top-10 shares, "
-        "Herfindahl index with a DECIMAL(38,0) sum-of-squares): the "
-        "salting/AQE decision measurement; histogram via map-side "
-        "groupBy, exact two-phase top-10 so no reducer sorts the "
-        "whole key histogram.",
-)
-
-
-def _bpe_training_ctes(n_merges: int = 8, max_word_len: int = 24) -> str:
-    """The shared training half of the BPE oracles: a chained-CTE
-    DuckDB twin of the merge loop — each round counts adjacent symbol
-    pairs (parallel UNNESTs zip positionally), picks the
-    (count DESC, pair ASC) argmax ``b{{i}}``, and applies the same
-    two-pass left-to-right ``replace`` merge. Returns the ``WITH``
-    chain up through ``b{{n-1}}``/``w{{n}}`` so both the merge-table
-    oracle and the encode oracle re-derive the winning pairs
-    independently of the Spark run."""
-    parts = [f"""WITH w0 AS (
-        SELECT ' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '
-                   AS sym,
-               CAST(COUNT(*) AS BIGINT) AS cnt
-        FROM (SELECT unnest(string_split_regex(lower(text), '\\W+')) AS word
-              FROM documents)
-        WHERE regexp_matches(word, '^[a-z]+$')
-          AND len(word) <= {max_word_len}
-        GROUP BY 1)"""]
-    for i in range(n_merges):
-        parts.append(f""",
-    p{i} AS (SELECT l, r, CAST(SUM(cnt) AS BIGINT) AS c
-             FROM (SELECT unnest(syms[1:len(syms)-1]) AS l,
-                          unnest(syms[2:len(syms)]) AS r, cnt
-                   FROM (SELECT string_split(trim(sym), ' ') AS syms, cnt
-                         FROM w{i}))
-             GROUP BY l, r),
-    b{i} AS (SELECT l, r, c FROM p{i} ORDER BY c DESC, l, r LIMIT 1),
-    w{i + 1} AS (SELECT replace(replace(sym, ' '||l||' '||r||' ',
-                                        ' '||l||r||' '),
-                                ' '||l||' '||r||' ', ' '||l||r||' ')
-                            AS sym, cnt
-                 FROM w{i}, b{i})""")
-    return "".join(parts)
-
-
-def _bpe_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
-    """Merge-table oracle: the shared training chain plus a UNION of
-    the per-round argmax rows."""
-    sels = " UNION ALL ".join(
-        f"SELECT CAST({i} AS BIGINT) AS step, l AS left_sym, "
-        f"r AS right_sym, l || r AS merged, c AS pair_count FROM b{i}"
-        for i in range(n_merges)
-    )
-    return (_bpe_training_ctes(n_merges, max_word_len)
-            + f" SELECT * FROM ({sels}) ORDER BY step")
-
-
-def _bpe_encode_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
-    """Encode oracle: re-derive the merge table via the shared training
-    chain, then encode every eligible word independently — the same
-    spaced-symbol string and two-pass ``replace`` per merge, with the
-    winning pairs referenced from the cross-joined 1-row ``b{{i}}``
-    CTEs — and sum exact per-document stats. Documents with no
-    eligible words keep their row with zero counts (LEFT JOIN)."""
-    s = "' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '"
-    for i in range(n_merges):
-        pat = f"' '||b{i}.l||' '||b{i}.r||' '"
-        rep = f"' '||b{i}.l||b{i}.r||' '"
-        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
-    bs = ", ".join(f"b{i}" for i in range(n_merges))
-    return _bpe_training_ctes(n_merges, max_word_len) + f""",
-    dw AS (SELECT doc_id, word
-           FROM (SELECT doc_id,
-                        unnest(string_split_regex(lower(text), '\\W+'))
-                            AS word
-                 FROM documents)
-           WHERE regexp_matches(word, '^[a-z]+$')
-             AND len(word) <= {max_word_len}),
-    enc AS (SELECT doc_id, len(word) AS wlen,
-                   len(trim(es)) - len(replace(trim(es), ' ', '')) + 1
-                       AS n_tok
-            FROM (SELECT doc_id, word, {s} AS es FROM dw, {bs})),
-    agg AS (SELECT doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_words,
-                   CAST(SUM(wlen) AS BIGINT) AS n_alpha_chars,
-                   CAST(SUM(n_tok) AS BIGINT) AS n_bpe_tokens
-            FROM enc GROUP BY 1)
-    SELECT d.doc_id,
-           COALESCE(a.n_words, 0) AS n_words,
-           COALESCE(a.n_alpha_chars, 0) AS n_alpha_chars,
-           COALESCE(a.n_bpe_tokens, 0) AS n_bpe_tokens
-    FROM documents d LEFT JOIN agg a ON d.doc_id = a.doc_id"""
-
-
-_register(
-    "bpe_merges",
-    ["documents"],
-    textops.bpe_merges,
-    _bpe_oracle(),
-    doc="Distributed BPE tokenizer-vocabulary induction: 8 merge "
-        "rounds over the DISTINCT-WORD frequency table (corpus "
-        "tokenized exactly once; each round is a vocab-frame pair "
-        "explode + groupBy + 1-row TakeOrdered argmax, winner folded "
-        "back as a literal — the kmeans-style broadcast loop).",
-)
-
-def _bpe_fertility_oracle(n_merges: int = 8, max_word_len: int = 24) -> str:
-    """Per-language fertility oracle: the shared training chain, the
-    per-word encode (same nested replaces as the encode oracle), then
-    a lang-grouped fold with the single int64/int64 double division."""
-    s = "' ' || trim(regexp_replace(word, '(.)', '\\1 ', 'g')) || ' '"
-    for i in range(n_merges):
-        pat = f"' '||b{i}.l||' '||b{i}.r||' '"
-        rep = f"' '||b{i}.l||b{i}.r||' '"
-        s = f"replace(replace({s}, {pat}, {rep}), {pat}, {rep})"
-    bs = ", ".join(f"b{i}" for i in range(n_merges))
-    return _bpe_training_ctes(n_merges, max_word_len) + f""",
-    dw AS (SELECT doc_id, word
-           FROM (SELECT doc_id,
-                        unnest(string_split_regex(lower(text), '\\W+'))
-                            AS word
-                 FROM documents)
-           WHERE regexp_matches(word, '^[a-z]+$')
-             AND len(word) <= {max_word_len}),
-    enc AS (SELECT doc_id,
-                   len(trim(es)) - len(replace(trim(es), ' ', '')) + 1
-                       AS n_tok
-            FROM (SELECT doc_id, word, {s} AS es FROM dw, {bs})),
-    agg AS (SELECT doc_id,
-                   CAST(COUNT(*) AS BIGINT) AS n_words,
-                   CAST(SUM(n_tok) AS BIGINT) AS n_tok
-            FROM enc GROUP BY 1),
-    per_lang AS (
-        SELECT d.lang,
-               CAST(COUNT(*) AS BIGINT) AS n_docs,
-               CAST(SUM(COALESCE(a.n_words, 0)) AS BIGINT) AS n_words,
-               CAST(SUM(COALESCE(a.n_tok, 0)) AS BIGINT) AS n_bpe_tokens
-        FROM documents d LEFT JOIN agg a ON a.doc_id = d.doc_id
-        GROUP BY 1)
-    SELECT lang, n_docs, n_words, n_bpe_tokens,
-           CASE WHEN n_words > 0
-                THEN CAST(n_bpe_tokens AS DOUBLE) / n_words
-                ELSE 0.0 END AS fertility
-    FROM per_lang ORDER BY lang"""
-
-
-_register(
-    "bpe_encode_stats",
-    ["documents"],
-    textops.bpe_encode_stats,
-    _bpe_encode_oracle(),
-    doc="BPE encode (the tokenizer pair's apply half): the trained "
-        "merge table folds into a per-row chain of replace literals "
-        "inside transform/aggregate higher-order functions, so the "
-        "corpus is scanned once, map-only, emitting exact "
-        "(n_words, n_alpha_chars, n_bpe_tokens) int64s per document.",
-)
-
-_register(
-    "tokenizer_fertility",
-    ["documents"],
-    textops.tokenizer_fertility,
-    _bpe_fertility_oracle(),
-    doc="Per-language tokenizer fertility (bpe_tokens/words) under the "
-        "learned vocabulary — the tokenizer-fairness diagnostic; lang "
-        "rides the map-only encode scan, one groupBy to the "
-        "languages-sized frame.",
-)
-
-_register(
-    "temperature_mix",
-    ["documents"],
-    sampling.temperature_mix,
-    f"""
-    WITH feats AS (
-        SELECT doc_id, source,
-               CAST(len(list_filter(string_split_regex(lower(text), '\\W+'),
-                                    w -> w <> '')) AS BIGINT) AS n_tokens
-        FROM documents),
-    tot AS (SELECT source, CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
-            FROM feats GROUP BY 1),
-    th AS (SELECT source, total_tokens,
-                  LEAST(1.0, 100.0 / sqrt(CAST(total_tokens AS DOUBLE)))
-                      AS keep_prob,
-                  CAST(floor(LEAST(1.0, 100.0
-                                   / sqrt(CAST(total_tokens AS DOUBLE)))
-                             * 2147483648.0) AS BIGINT) AS threshold
-           FROM tot),
-    fl AS (SELECT f.source, total_tokens, keep_prob, n_tokens,
-                  CASE WHEN ({packing.portable_hash_sql('doc_id')})
-                           < threshold THEN 1 ELSE 0 END AS keep
-           FROM feats f JOIN th ON f.source = th.source)
-    SELECT source, MIN(total_tokens) AS total_tokens,
-           MIN(keep_prob) AS keep_prob,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(keep) AS BIGINT) AS n_kept,
-           CAST(SUM(n_tokens * keep) AS BIGINT) AS tokens_kept
-    FROM fl GROUP BY source ORDER BY source
-    """,
-    doc="Sqrt-temperature (T=0.5) source rebalancing with the "
-        "deterministic portable-hash coin: per-source keep probability "
-        "scale/√tokens — sqrt because it is IEEE-correctly-rounded on "
-        "every engine where general pow is not; no cross-source float "
-        "sums anywhere; text never shuffles.",
-)
-
-_register(
-    "type_lag_correlation",
-    ["events"],
-    analytic.type_lag_correlation,
-    """
-    WITH counts AS (
-        SELECT event_type AS t,
-               CAST(epoch_us(date_trunc('day', ts)) // 86400000000
-                    AS BIGINT) AS d,
-               CAST(COUNT(*) AS BIGINT) AS c
-        FROM events GROUP BY 1, 2),
-    b AS (SELECT MIN(d) AS d0, MAX(d) AS d1 FROM counts),
-    days AS (SELECT UNNEST(range((SELECT d0 FROM b),
-                                 (SELECT d1 FROM b) + 1)) AS d),
-    types AS (SELECT DISTINCT t FROM counts),
-    grid AS (SELECT ty.t, dy.d, COALESCE(c.c, 0) AS c
-             FROM types ty CROSS JOIN days dy
-             LEFT JOIN counts c ON c.t = ty.t AND c.d = dy.d),
-    lags AS (SELECT UNNEST(range(0, 4)) AS lag),
-    j AS (SELECT a.t AS type_a, bb.t AS type_b, l.lag,
-                 a.c AS x, bb.c AS y
-          FROM grid a CROSS JOIN lags l
-          JOIN grid bb ON bb.d = a.d + l.lag),
-    s AS (SELECT type_a, type_b, lag,
-                 CAST(COUNT(*) AS BIGINT) AS n_days,
-                 SUM(CAST(x AS HUGEINT)) AS sx,
-                 SUM(CAST(y AS HUGEINT)) AS sy,
-                 SUM(CAST(x AS HUGEINT) * y) AS sxy,
-                 SUM(CAST(x AS HUGEINT) * x) AS sxx,
-                 SUM(CAST(y AS HUGEINT) * y) AS syy
-          FROM j GROUP BY 1, 2, 3)
-    SELECT type_a, type_b, CAST(lag AS BIGINT) AS lag, n_days,
-           CASE WHEN (n_days * sxx - sx * sx) > 0
-                 AND (n_days * syy - sy * sy) > 0
-                THEN CAST(n_days * sxy - sx * sy AS DOUBLE)
-                     / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
-                        * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE)))
-                ELSE 0.0 END AS r
-    FROM s ORDER BY type_a, type_b, lag
-    """,
-    doc="Exact lagged cross-correlation of per-type daily counts "
-        "(lags 0-3; diagonal = autocorrelation): one map-side-combined "
-        "(type, day) count shuffle, dense-grid zeros, DECIMAL(38,0) "
-        "sufficient statistics, one double closed-form per "
-        "(pair, lag).",
-)
-
-_register(
-    "scd2_state_intervals",
-    ["events"],
-    analytic.scd2_state_intervals,
-    """
-    WITH m AS (
-        SELECT user_id, event_id, event_type AS state,
-               epoch_us(ts) AS ts_us,
-               CASE WHEN lag(event_type) OVER w IS NULL
-                      OR lag(event_type) OVER w <> event_type
-                    THEN 1 ELSE 0 END AS chg
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    r AS (SELECT user_id, state, ts_us,
-                 SUM(chg) OVER (PARTITION BY user_id
-                                ORDER BY ts_us, event_id
-                                ROWS UNBOUNDED PRECEDING) AS version
-          FROM m),
-    iv AS (SELECT user_id, CAST(version AS BIGINT) AS version,
-                  MIN(state) AS state,
-                  MIN(ts_us) AS valid_from_us,
-                  CAST(COUNT(*) AS BIGINT) AS n_events
-           FROM r GROUP BY 1, 2)
-    SELECT user_id, version, state, valid_from_us,
-           lead(valid_from_us) OVER (PARTITION BY user_id
-                                     ORDER BY version) AS valid_to_us,
-           n_events
-    FROM iv ORDER BY user_id, version
-    """,
-    doc="Type-2 SCD build: per-user consecutive same-type runs become "
-        "(version, state, valid_from, valid_to) intervals — the "
-        "sessionization shape, one user-keyed shuffle with every "
-        "window and the run groupBy sharing that partitioning; "
-        "valid_to = next interval's start, NULL on the open one.",
-)
-
-_register(
-    "rolling_active_users",
-    ["events"],
-    analytic.rolling_active_users,
-    """
-    WITH du AS (SELECT DISTINCT
-                       epoch_us(date_trunc('day', ts)) // 1000000
-                           AS day_s,
-                       user_id
-                FROM events),
-    days AS (SELECT DISTINCT day_s FROM du)
-    SELECT d.day_s,
-           CAST(COUNT(DISTINCT CASE WHEN u.day_s = d.day_s
-                                    THEN u.user_id END) AS BIGINT)
-               AS dau,
-           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
-    FROM days d
-    JOIN du u
-      ON u.day_s BETWEEN d.day_s - 6 * 86400 AND d.day_s
-    GROUP BY 1 ORDER BY 1
-    """,
-    doc="Exact DAU + trailing-7-day WAU per observed day: the event "
-        "log collapses once to the distinct (day, user) frame, rolling "
-        "distinct via a bounded 7-way window-end explode of that frame "
-        "(never a per-day rescan or DAU sum); oracle states the naive "
-        "range-join definition.",
-)
-
-_register(
-    "user_growth",
-    ["events"],
-    analytic.user_growth,
-    """
-    WITH fs AS (SELECT user_id,
-                       MIN(epoch_us(date_trunc('day', ts)) // 1000000)
-                           AS day_s
-                FROM events GROUP BY 1),
-    d AS (SELECT day_s, CAST(COUNT(*) AS BIGINT) AS new_users
-          FROM fs GROUP BY 1)
-    SELECT day_s, new_users,
-           CAST(SUM(new_users) OVER (ORDER BY day_s) AS BIGINT)
-               AS cum_users
-    FROM d ORDER BY day_s
-    """,
-    doc="User-growth curve (first-seen day per user, daily new users, "
-        "cumulative to date): user-keyed min + day histogram, with the "
-        "one global cumulative window running over the days-count "
-        "frame, never the event log.",
-)
-
-_register(
-    "itemset_pairs",
-    ["events"],
-    analytic.itemset_pairs,
-    """
-    WITH u AS (SELECT DISTINCT user_id, event_type FROM events),
-    tot AS (SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_total
-            FROM u),
-    pi AS (SELECT event_type AS item, CAST(COUNT(*) AS BIGINT) AS n_item
-           FROM u GROUP BY 1),
-    p AS (SELECT a.event_type AS item_a, b.event_type AS item_b,
-                 CAST(COUNT(*) AS BIGINT) AS n_users
-          FROM u a JOIN u b
-            ON a.user_id = b.user_id AND a.event_type < b.event_type
-          GROUP BY 1, 2)
-    SELECT item_a, item_b, n_users,
-           CAST(n_users AS DOUBLE) / CAST(n_total AS DOUBLE) AS support,
-           CAST(n_users AS DOUBLE) * CAST(n_total AS DOUBLE)
-               / (CAST(na.n_item AS DOUBLE) * CAST(nb.n_item AS DOUBLE))
-               AS lift
-    FROM p, tot
-    JOIN pi na ON na.item = p.item_a
-    JOIN pi nb ON nb.item = p.item_b
-    ORDER BY item_a, item_b
-    """,
-    doc="Frequent event-type 2-itemsets with support and lift: corpus "
-        "collapses first to the distinct (user, type) frame; the pair "
-        "self-join is user-co-partitioned and bounded per user by the "
-        "type vocabulary — never corpus-squared.",
-)
-
-_register(
-    "referential_audit",
-    ["orders", "customer", "lineitem"],
-    profiling.referential_audit,
-    """
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_orders,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM orders o
-            WHERE NOT EXISTS (SELECT 1 FROM customer c
-                              WHERE c.c_custkey = o.o_custkey))
-               AS n_order_orphans,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem) AS n_lineitems,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
-            WHERE NOT EXISTS (SELECT 1 FROM orders o
-                              WHERE o.o_orderkey = l.l_orderkey))
-               AS n_lineitem_orphans
-    """,
-    doc="Referential-integrity audit of the star schema's two big "
-        "foreign keys via key-only LEFT ANTI joins (Catalyst prunes "
-        "to one int64 per row; dimension side broadcasts) — the "
-        "post-ingest data-quality gate.",
-)
-
-_register(
-    "graph_triangles",
-    ["documents"],
-    graphops.graph_triangles,
-    f"""
-    WITH nn AS (SELECT COUNT(*) AS n FROM documents),
-    edges AS (
-        SELECT doc_id AS src,
-               ({packing.portable_hash_sql('(doc_id * 3 + i + 1)')})
-                   % (SELECT n FROM nn) AS dst
-        FROM documents, generate_series(0, 2) s(i)),
-    und AS (SELECT DISTINCT LEAST(src, dst) AS u, GREATEST(src, dst) AS v
-            FROM edges WHERE src <> dst),
-    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d
-            FROM (SELECT u AS node FROM und
-                  UNION ALL SELECT v AS node FROM und)
-            GROUP BY 1),
-    wg AS (SELECT SUM(CAST((d * (d - 1)) // 2 AS DECIMAL(38,0)))
-                      AS n_wedges
-           FROM deg),
-    tri AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_triangles
-            FROM und ab
-            JOIN und bc ON bc.u = ab.v
-            WHERE EXISTS (SELECT 1 FROM und ac
-                          WHERE ac.u = ab.u AND ac.v = bc.v))
-    SELECT (SELECT CAST(n AS BIGINT) FROM nn) AS n_nodes,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM und) AS n_edges,
-           CAST(n_wedges AS BIGINT) AS n_wedges, n_triangles,
-           3.0 * CAST(n_triangles AS DOUBLE) / CAST(n_wedges AS DOUBLE)
-               AS clustering
-    FROM wg, tri
-    """,
-    doc="Triangle census + global clustering coefficient of the "
-        "synthesized link graph via the ordered-wedge two-join "
-        "(id-pair-only shuffles, degree-bounded fan-out, "
-        "DECIMAL(38,0) wedge sum).",
-)
-
-_register(
-    "ks_drift",
-    ["events"],
-    analytic.ks_drift,
-    f"""
-    WITH ha AS (SELECT {_cents('value')} AS v,
-                       CAST(COUNT(*) AS BIGINT) AS ca
-                FROM events WHERE event_type = 'click' GROUP BY 1),
-    hb AS (SELECT {_cents('value')} AS v,
-                  CAST(COUNT(*) AS BIGINT) AS cb
-           FROM events WHERE event_type = 'error' GROUP BY 1),
-    m AS (SELECT COALESCE(ha.v, hb.v) AS v,
-                 COALESCE(ca, 0) AS ca, COALESCE(cb, 0) AS cb
-          FROM ha FULL OUTER JOIN hb ON ha.v = hb.v),
-    c AS (SELECT v,
-                 CAST(SUM(ca) OVER (ORDER BY v) AS BIGINT) AS cum_a,
-                 CAST(SUM(cb) OVER (ORDER BY v) AS BIGINT) AS cum_b,
-                 CAST(SUM(ca) OVER () AS BIGINT) AS n_a,
-                 CAST(SUM(cb) OVER () AS BIGINT) AS n_b
-          FROM m),
-    d AS (SELECT v, n_a, n_b,
-                 ABS(CAST(cum_a AS DOUBLE) / CAST(n_a AS DOUBLE)
-                     - CAST(cum_b AS DOUBLE) / CAST(n_b AS DOUBLE))
-                     AS diff
-          FROM c),
-    k AS (SELECT MAX(diff) AS ks_stat FROM d)
-    SELECT MIN(n_a) AS n_a, MIN(n_b) AS n_b,
-           MIN(ks_stat) AS ks_stat, MIN(v) AS at_value
-    FROM d, k WHERE diff = ks_stat
-    """,
-    doc="Exact two-sample Kolmogorov-Smirnov distance between two "
-        "event types' value distributions: per-side value histograms "
-        "(map-side, value-domain-bounded), full-outer CDF merge, "
-        "cumulative window over the bounded frame — rational CDFs, "
-        "bit-exact statistic.",
-)
-
-_register(
-    "ab_test_report",
-    ["events"],
-    analytic.ab_test_report,
-    """
-    WITH pu AS (SELECT user_id,
-                       CASE WHEN SUM(CASE WHEN event_type = 'purchase'
-                                          THEN 1 ELSE 0 END)
-                               > SUM(CASE WHEN event_type = 'error'
-                                          THEN 1 ELSE 0 END)
-                            THEN 1 ELSE 0 END AS converted
-                FROM events GROUP BY user_id),
-    arms AS (SELECT user_id % 2 AS arm,
-                    CAST(COUNT(*) AS BIGINT) AS n,
-                    CAST(SUM(converted) AS BIGINT) AS conv
-             FROM pu GROUP BY 1),
-    a AS (SELECT n AS n_a, conv AS conv_a FROM arms WHERE arm = 0),
-    b AS (SELECT n AS n_b, conv AS conv_b FROM arms WHERE arm = 1)
-    SELECT n_a, conv_a,
-           CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS rate_a,
-           n_b, conv_b,
-           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE) AS rate_b,
-           CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-               - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE) AS uplift,
-           CASE WHEN sqrt((CAST(conv_a AS DOUBLE) + CAST(conv_b AS DOUBLE))
-                          / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                          * (1.0 - (CAST(conv_a AS DOUBLE)
-                                    + CAST(conv_b AS DOUBLE))
-                                   / (CAST(n_a AS DOUBLE)
-                                      + CAST(n_b AS DOUBLE)))
-                          * (1.0 / CAST(n_a AS DOUBLE)
-                             + 1.0 / CAST(n_b AS DOUBLE))) = 0.0
-                THEN 0.0
-                ELSE (CAST(conv_b AS DOUBLE) / CAST(n_b AS DOUBLE)
-                      - CAST(conv_a AS DOUBLE) / CAST(n_a AS DOUBLE))
-                     / sqrt((CAST(conv_a AS DOUBLE)
-                             + CAST(conv_b AS DOUBLE))
-                            / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE))
-                            * (1.0 - (CAST(conv_a AS DOUBLE)
-                                      + CAST(conv_b AS DOUBLE))
-                                     / (CAST(n_a AS DOUBLE)
-                                        + CAST(n_b AS DOUBLE)))
-                            * (1.0 / CAST(n_a AS DOUBLE)
-                               + 1.0 / CAST(n_b AS DOUBLE)))
-           END AS z_score
-    FROM a, b
-    """,
-    doc="Two-proportion A/B conversion report (arms by user parity, "
-        "conversion = any purchase): one user-keyed flag aggregation, "
-        "2-row arm rollup, closed-form pooled z-score in identical "
-        "double expressions.",
-)
-
-_register(
-    "activity_heatmap",
-    ["events"],
-    analytic.activity_heatmap,
-    """
-    WITH cells AS (
-        SELECT event_type,
-               (epoch_us(ts) // 1000000 // 3600) % 24 AS hour,
-               CAST(COUNT(*) AS BIGINT) AS n_events
-        FROM events GROUP BY 1, 2)
-    SELECT event_type, hour, n_events,
-           CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
-               * CAST(SUM(n_events) OVER (PARTITION BY hour) AS DOUBLE)
-               / CAST(SUM(n_events) OVER () AS DOUBLE) AS expected,
-           (CAST(n_events AS DOUBLE)
-            - CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
-              * CAST(SUM(n_events) OVER (PARTITION BY hour) AS DOUBLE)
-              / CAST(SUM(n_events) OVER () AS DOUBLE))
-           * (CAST(n_events AS DOUBLE)
-              - CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
-                * CAST(SUM(n_events) OVER (PARTITION BY hour) AS DOUBLE)
-                / CAST(SUM(n_events) OVER () AS DOUBLE))
-           / (CAST(SUM(n_events) OVER (PARTITION BY event_type) AS DOUBLE)
-              * CAST(SUM(n_events) OVER (PARTITION BY hour) AS DOUBLE)
-              / CAST(SUM(n_events) OVER () AS DOUBLE)) AS chi2_contrib
-    FROM cells ORDER BY event_type, hour
-    """,
-    doc="Hour-of-day x type heatmap with chi-squared independence "
-        "contributions per cell (epoch-arithmetic hours, totals via "
-        "windows over the kx24 cell frame; the order-sensitive global "
-        "chi-squared fold is deliberately left to the reader).",
-)
-
-_register(
-    "repeat_purchase_stats",
-    ["events"],
-    analytic.repeat_purchase_stats,
-    """
-    WITH g AS (
-        SELECT user_id,
-               epoch_us(ts) // 1000000
-                   - LAG(epoch_us(ts) // 1000000)
-                         OVER (PARTITION BY user_id
-                               ORDER BY epoch_us(ts), event_id) AS gap_s
-        FROM events WHERE event_type = 'purchase'),
-    pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_purch,
-                  SUM(gap_s) AS gap_sum,
-                  CAST(COUNT(gap_s) AS BIGINT) AS n_gaps,
-                  MIN(gap_s) AS gmin, MAX(gap_s) AS gmax
-           FROM g GROUP BY 1)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchasers,
-           CAST(SUM(CASE WHEN n_purch >= 2 THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_repeat_purchasers,
-           CAST(SUM(n_gaps) AS BIGINT) AS n_gaps,
-           CASE WHEN SUM(n_gaps) > 0
-                THEN CAST(SUM(gap_sum) AS DOUBLE)
-                     / CAST(SUM(n_gaps) AS DOUBLE) END AS mean_gap_s,
-           MIN(gmin) AS min_gap_s, MAX(gmax) AS max_gap_s
-    FROM pu
-    """,
-    doc="Repeat-purchase timing (gaps between consecutive purchases "
-        "per user in deterministic order): purchases filtered before "
-        "any shuffle, one user-bounded lag window, single-row "
-        "map-side rollup.",
-)
-
-_register(
-    "session_conversion",
-    ["events"],
-    analytic.session_conversion,
-    """
-    WITH seq AS (
-        SELECT user_id, ts, event_id, event_type,
-               CASE WHEN LAG(ts) OVER w IS NULL
-                         OR ts - LAG(ts) OVER w >= INTERVAL 30 MINUTE
-                    THEN 1 ELSE 0 END AS new_s
-        FROM events
-        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
-    sess AS (
-        SELECT user_id, ts, event_id, event_type,
-               SUM(new_s) OVER (PARTITION BY user_id
-                                ORDER BY ts, event_id
-                                ROWS BETWEEN UNBOUNDED PRECEDING
-                                AND CURRENT ROW) AS sid
-        FROM seq),
-    tagged AS (
-        SELECT user_id, sid, event_type,
-               FIRST_VALUE(event_type)
-                   OVER (PARTITION BY user_id, sid
-                         ORDER BY ts, event_id) AS entry
-        FROM sess),
-    per AS (SELECT user_id, sid, MIN(entry) AS entry,
-                   MAX(CASE WHEN event_type = 'purchase'
-                            THEN 1 ELSE 0 END) AS conv
-            FROM tagged GROUP BY 1, 2)
-    SELECT entry AS channel, CAST(COUNT(*) AS BIGINT) AS n_sessions,
-           CAST(SUM(conv) AS BIGINT) AS n_converted,
-           CAST(SUM(conv) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-               AS conv_rate
-    FROM per GROUP BY 1 ORDER BY 1
-    """,
-    doc="Session conversion by entry channel: the engine's standard "
-        "30-minute session windows, entry = (ts, event_id)-argmin via "
-        "min_by, purchase flag per session, channel-vocabulary "
-        "rollup — one user-keyed session shuffle.",
-)
-
-_register(
-    "quantile_transform",
-    ["events"],
-    profiling.quantile_transform,
-    f"""
-    WITH h AS (SELECT event_type, {_cents('value')} AS v,
-                      CAST(COUNT(*) AS BIGINT) AS n
-               FROM events GROUP BY 1, 2)
-    SELECT event_type, v, n,
-           CAST(SUM(n) OVER (PARTITION BY event_type ORDER BY v)
-                AS DOUBLE)
-               / CAST(SUM(n) OVER (PARTITION BY event_type) AS DOUBLE)
-               AS q
-    FROM h ORDER BY event_type, v
-    """,
-    doc="Exact per-type quantile (CDF) transform table: corpus "
-        "collapses to the per-type value histogram first; the "
-        "cumulative window is partitioned by type over that "
-        "value-domain-bounded frame — rational CDF positions, "
-        "bit-exact.",
-)
-
-_register(
-    "token_drift_topk",
-    ["documents"],
-    textops.token_drift_topk,
-    """
-    WITH ha AS (SELECT word AS token, CAST(COUNT(*) AS BIGINT) AS c_a
-                FROM (SELECT unnest(list_filter(
-                                 string_split_regex(lower(text), '\\W+'),
-                                 w -> w <> '')) AS word
-                      FROM documents WHERE source = 'src0')
-                GROUP BY 1),
-    hb AS (SELECT word AS token, CAST(COUNT(*) AS BIGINT) AS c_b
-           FROM (SELECT unnest(list_filter(
-                            string_split_regex(lower(text), '\\W+'),
-                            w -> w <> '')) AS word
-                 FROM documents WHERE source = 'src1')
-           GROUP BY 1),
-    m AS (SELECT COALESCE(ha.token, hb.token) AS token,
-                 COALESCE(c_a, 0) AS c_a, COALESCE(c_b, 0) AS c_b
-          FROM ha FULL OUTER JOIN hb ON ha.token = hb.token),
-    tot AS (SELECT CAST(SUM(c_a) AS BIGINT) AS n_a,
-                   CAST(SUM(c_b) AS BIGINT) AS n_b
-            FROM m),
-    s AS (SELECT token, c_a, c_b,
-                 (CAST(c_a AS DOUBLE)
-                  - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
-                    * CAST(n_a AS DOUBLE)
-                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                 * (CAST(c_a AS DOUBLE)
-                    - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
-                      * CAST(n_a AS DOUBLE)
-                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                 / ((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
-                    * CAST(n_a AS DOUBLE)
-                    / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                 + (CAST(c_b AS DOUBLE)
-                    - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
-                      * CAST(n_b AS DOUBLE)
-                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                   * (CAST(c_b AS DOUBLE)
-                      - (CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
-                        * CAST(n_b AS DOUBLE)
-                        / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                   / ((CAST(c_a AS DOUBLE) + CAST(c_b AS DOUBLE))
-                      * CAST(n_b AS DOUBLE)
-                      / (CAST(n_a AS DOUBLE) + CAST(n_b AS DOUBLE)))
-                     AS chi2
-          FROM m, tot)
-    SELECT token, c_a, c_b, chi2
-    FROM s ORDER BY chi2 DESC, token LIMIT 20
-    """,
-    doc="Top-20 drifting tokens between two sources by chi-squared "
-        "contribution (vocabulary-sized histograms, full-outer merge, "
-        "identical fixed-order double arithmetic; exact two-phase "
-        "top-k so no reducer sorts the whole vocabulary).",
-)
-
-_register(
-    "rfm_segments",
-    ["events"],
-    analytic.rfm_segments,
-    f"""
-    WITH p AS (SELECT user_id, epoch_us(ts) // 1000000 AS t,
-                      {_cents('value')} AS v
-               FROM events WHERE event_type = 'purchase'),
-    tm AS (SELECT MAX(t) AS t1 FROM p),
-    u AS (SELECT user_id,
-                 MIN((SELECT t1 FROM tm) - t) AS recency_s,
-                 CAST(COUNT(*) AS BIGINT) AS frequency,
-                 CAST(SUM(v) AS BIGINT) AS monetary_cents
-          FROM p GROUP BY user_id),
-    b AS (SELECT quantile_cont(recency_s, 0.25) AS r25,
-                 quantile_cont(recency_s, 0.50) AS r50,
-                 quantile_cont(recency_s, 0.75) AS r75,
-                 quantile_cont(frequency, 0.25) AS f25,
-                 quantile_cont(frequency, 0.50) AS f50,
-                 quantile_cont(frequency, 0.75) AS f75,
-                 quantile_cont(monetary_cents, 0.25) AS m25,
-                 quantile_cont(monetary_cents, 0.50) AS m50,
-                 quantile_cont(monetary_cents, 0.75) AS m75
-          FROM u),
-    sc AS (SELECT CAST(1 + CAST(recency_s > r25 AS INT)
-                         + CAST(recency_s > r50 AS INT)
-                         + CAST(recency_s > r75 AS INT) AS BIGINT) AS r_q,
-                  CAST(1 + CAST(frequency > f25 AS INT)
-                         + CAST(frequency > f50 AS INT)
-                         + CAST(frequency > f75 AS INT) AS BIGINT) AS f_q,
-                  CAST(1 + CAST(monetary_cents > m25 AS INT)
-                         + CAST(monetary_cents > m50 AS INT)
-                         + CAST(monetary_cents > m75 AS INT) AS BIGINT)
-                      AS m_q,
-                  frequency, monetary_cents
-           FROM u, b)
-    SELECT r_q, f_q, m_q, CAST(COUNT(*) AS BIGINT) AS n_users,
-           CAST(SUM(frequency) AS BIGINT) AS n_purchases,
-           CAST(SUM(monetary_cents) AS BIGINT) AS monetary_cents
-    FROM sc GROUP BY r_q, f_q, m_q ORDER BY r_q, f_q, m_q
-    """,
-    doc="RFM customer segmentation: purchases filtered before any "
-        "shuffle, one user-keyed aggregation, exact quartile "
-        "boundaries broadcast back, <=64-row segment rollup.",
-)
-
-_register(
-    "funnel_latency",
-    ["events"],
-    analytic.funnel_latency,
-    """
-    WITH v0 AS (SELECT user_id, MIN(epoch_us(ts) // 1000000) AS v0
-                FROM events WHERE event_type = 'view' GROUP BY user_id),
-    lat AS (SELECT e.user_id,
-                   MIN(epoch_us(e.ts) // 1000000) - MIN(v0.v0)
-                       AS latency_s
-            FROM events e JOIN v0 ON e.user_id = v0.user_id
-            WHERE e.event_type = 'purchase'
-              AND epoch_us(e.ts) // 1000000 > v0.v0
-            GROUP BY e.user_id)
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
-           quantile_cont(latency_s, 0.5) AS p50_s,
-           quantile_cont(latency_s, 0.9) AS p90_s,
-           quantile_cont(latency_s, 0.99) AS p99_s,
-           CAST(MAX(latency_s) AS BIGINT) AS max_s,
-           CAST(SUM(latency_s) AS DOUBLE) / CAST(COUNT(*) AS DOUBLE)
-               AS mean_s
-    FROM lat
-    """,
-    doc="View->purchase conversion-latency distribution: strictly-"
-        "after first-view matching (the ordered_funnel contract), "
-        "int64 second latencies, exact interpolated percentiles, "
-        "single-row output.",
-)
-
-_register(
-    "activity_gini",
-    ["events"],
-    analytic.activity_gini,
-    """
-    WITH pu AS (SELECT user_id, CAST(COUNT(*) AS BIGINT) AS c
-                FROM events GROUP BY user_id),
-    h AS (SELECT c, CAST(COUNT(*) AS BIGINT) AS f FROM pu GROUP BY c),
-    pr AS (SELECT c, f,
-                  CAST(COALESCE(SUM(f) OVER (ORDER BY c
-                           ROWS BETWEEN UNBOUNDED PRECEDING
-                           AND 1 PRECEDING), 0) AS BIGINT) AS r0,
-                  (f * (f + 1)) // 2 AS half
-           FROM h),
-    a AS (SELECT CAST(SUM(f) AS HUGEINT) AS n,
-                 CAST(SUM(c * f) AS HUGEINT) AS s,
-                 SUM(CAST(c AS HUGEINT)
-                     * (CAST(f AS HUGEINT) * CAST(r0 AS HUGEINT)
-                        + CAST(half AS HUGEINT))) AS w
-          FROM pr)
-    SELECT CAST(n AS BIGINT) AS n_users, CAST(s AS BIGINT) AS n_events,
-           CAST(2 * w - (n + 1) * s AS DOUBLE) / CAST(n * s AS DOUBLE)
-               AS gini
-    FROM a
-    """,
-    doc="Gini coefficient of per-user event counts: corpus -> user "
-        "counts -> count histogram; the rank-weighted sum rides the "
-        "two-phase cell prefix (util.cell_prefix_sums) in exact "
-        "DECIMAL(38,0) arithmetic; one double division at the end.",
-)
-
-_register(
-    "embedding_top_pc",
-    ["embeddings"],
-    similarity.embedding_top_pc,
-    """
-    WITH comp AS (
-        SELECT vec_id, i - 1 AS i,
-               CAST(ROUND(CAST(embedding[i] AS DOUBLE) * 1000000.0)
-                    AS BIGINT) AS q
-        FROM embeddings, generate_series(1, 64) s(i)),
-    g AS (SELECT a.i AS i, b.i AS j,
-                 CAST(SUM(a.q * b.q) AS BIGINT) AS gram
-          FROM comp a JOIN comp b ON a.vec_id = b.vec_id AND a.i <= b.i
-          GROUP BY a.i, b.i),
-    mat AS (SELECT i, j, gram FROM g
-            UNION ALL
-            SELECT j, i, gram FROM g WHERE i < j),
-    v0 AS (SELECT i - 1 AS j, CAST(1 AS HUGEINT) AS val
-           FROM generate_series(1, 64) s(i)),
-    u1 AS (SELECT m.i, SUM(CAST(m.gram AS HUGEINT) * v0.val) AS u
-           FROM mat m JOIN v0 ON m.j = v0.j GROUP BY m.i),
-    m1 AS (SELECT GREATEST(MAX(ABS(u)), 1) AS mx FROM u1),
-    v1 AS (SELECT i AS j,
-                  CASE WHEN u < 0 THEN -(((-u) * 1048576) // mx)
-                       ELSE (u * 1048576) // mx END AS val
-           FROM u1, m1),
-    u2 AS (SELECT m.i, SUM(CAST(m.gram AS HUGEINT) * v1.val) AS u
-           FROM mat m JOIN v1 ON m.j = v1.j GROUP BY m.i),
-    m2 AS (SELECT GREATEST(MAX(ABS(u)), 1) AS mx FROM u2),
-    v2 AS (SELECT i AS j,
-                  CASE WHEN u < 0 THEN -(((-u) * 1048576) // mx)
-                       ELSE (u * 1048576) // mx END AS val
-           FROM u2, m2),
-    u3 AS (SELECT m.i, SUM(CAST(m.gram AS HUGEINT) * v2.val) AS u
-           FROM mat m JOIN v2 ON m.j = v2.j GROUP BY m.i),
-    m3 AS (SELECT GREATEST(MAX(ABS(u)), 1) AS mx FROM u3),
-    v3 AS (SELECT i AS j,
-                  CASE WHEN u < 0 THEN -(((-u) * 1048576) // mx)
-                       ELSE (u * 1048576) // mx END AS val
-           FROM u3, m3),
-    sgn AS (SELECT CASE WHEN (SELECT val FROM v3 WHERE val <> 0
-                              ORDER BY j LIMIT 1) < 0
-                        THEN -1 ELSE 1 END AS sg),
-    vc AS (SELECT j, CAST(sg AS HUGEINT) * val AS val FROM v3, sgn),
-    gv AS (SELECT m.i, SUM(CAST(m.gram AS HUGEINT) * vc.val) AS gv
-           FROM mat m JOIN vc ON m.j = vc.j GROUP BY m.i),
-    ray AS (SELECT SUM(vc.val * gv.gv) AS num,
-                   (SELECT SUM(val * val) FROM vc) AS den
-            FROM vc JOIN gv ON vc.j = gv.i)
-    SELECT vc.j AS pos, CAST(vc.val AS BIGINT) AS pc_q,
-           CAST(ray.num AS DOUBLE) / CAST(ray.den AS DOUBLE)
-               AS eigenvalue
-    FROM vc, ray ORDER BY pos
-    """,
-    doc="Top principal direction of the uncentered second-moment "
-        "matrix: distributed work is embedding_gram's fixed 2080-row "
-        "reduction; 3 integer power-iteration rounds (truncating "
-        "2^20 renormalization, sign-canonicalized) replayed as "
-        "unrolled CTEs; Rayleigh-quotient eigenvalue from exact "
-        "integers.",
-)
-
-
-_register(
-    "zipf_fit",
-    ["documents"],
-    textops.zipf_fit,
-    """
-    WITH v AS (SELECT word, CAST(COUNT(*) AS BIGINT) AS f
-               FROM (SELECT unnest(list_filter(
-                         string_split_regex(lower(text), '\\W+'),
-                         w -> w <> '')) AS word
-                     FROM documents)
-               GROUP BY word),
-    h AS (SELECT f, CAST(COUNT(*) AS BIGINT) AS t FROM v GROUP BY f),
-    p AS (SELECT f, t,
-                 CAST(COALESCE(SUM(t) OVER (ORDER BY f DESC
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND 1 PRECEDING), 0) AS BIGINT) AS m0,
-                 CAST(SUM(t) OVER (ORDER BY f DESC
-                          ROWS BETWEEN UNBOUNDED PRECEDING
-                          AND CURRENT ROW) AS BIGINT) AS m1,
-                 CAST(LENGTH(bin(f)) - 1 AS BIGINT) AS y
-          FROM h),
-    g AS (SELECT t, y,
-                 (GREATEST(LEAST(m1, 3) - 2 + 1, 0) * 1 + GREATEST(LEAST(m1, 7) - 4 + 1, 0) * 2 + GREATEST(LEAST(m1, 15) - 8 + 1, 0) * 3 + GREATEST(LEAST(m1, 31) - 16 + 1, 0) * 4 + GREATEST(LEAST(m1, 63) - 32 + 1, 0) * 5 + GREATEST(LEAST(m1, 127) - 64 + 1, 0) * 6 + GREATEST(LEAST(m1, 255) - 128 + 1, 0) * 7 + GREATEST(LEAST(m1, 511) - 256 + 1, 0) * 8 + GREATEST(LEAST(m1, 1023) - 512 + 1, 0) * 9 + GREATEST(LEAST(m1, 2047) - 1024 + 1, 0) * 10 + GREATEST(LEAST(m1, 4095) - 2048 + 1, 0) * 11 + GREATEST(LEAST(m1, 8191) - 4096 + 1, 0) * 12 + GREATEST(LEAST(m1, 16383) - 8192 + 1, 0) * 13 + GREATEST(LEAST(m1, 32767) - 16384 + 1, 0) * 14 + GREATEST(LEAST(m1, 65535) - 32768 + 1, 0) * 15 + GREATEST(LEAST(m1, 131071) - 65536 + 1, 0) * 16 + GREATEST(LEAST(m1, 262143) - 131072 + 1, 0) * 17 + GREATEST(LEAST(m1, 524287) - 262144 + 1, 0) * 18 + GREATEST(LEAST(m1, 1048575) - 524288 + 1, 0) * 19 + GREATEST(LEAST(m1, 2097151) - 1048576 + 1, 0) * 20 + GREATEST(LEAST(m1, 4194303) - 2097152 + 1, 0) * 21 + GREATEST(LEAST(m1, 8388607) - 4194304 + 1, 0) * 22 + GREATEST(LEAST(m1, 16777215) - 8388608 + 1, 0) * 23 + GREATEST(LEAST(m1, 33554431) - 16777216 + 1, 0) * 24 + GREATEST(LEAST(m1, 67108863) - 33554432 + 1, 0) * 25 + GREATEST(LEAST(m1, 134217727) - 67108864 + 1, 0) * 26 + GREATEST(LEAST(m1, 268435455) - 134217728 + 1, 0) * 27 + GREATEST(LEAST(m1, 536870911) - 268435456 + 1, 0) * 28 + GREATEST(LEAST(m1, 1073741823) - 536870912 + 1, 0) * 29 + GREATEST(LEAST(m1, 2147483647) - 1073741824 + 1, 0) * 30 + GREATEST(LEAST(m1, 4294967295) - 2147483648 + 1, 0) * 31 + GREATEST(LEAST(m1, 8589934591) - 4294967296 + 1, 0) * 32 + GREATEST(LEAST(m1, 17179869183) - 8589934592 + 1, 0) * 33 + GREATEST(LEAST(m1, 34359738367) - 17179869184 + 1, 0) * 34 + GREATEST(LEAST(m1, 68719476735) - 34359738368 + 1, 0) * 35 + GREATEST(LEAST(m1, 137438953471) - 68719476736 + 1, 0) * 36 + GREATEST(LEAST(m1, 274877906943) - 137438953472 + 1, 0) * 37 + GREATEST(LEAST(m1, 549755813887) - 274877906944 + 1, 0) * 38 + GREATEST(LEAST(m1, 1099511627775) - 549755813888 + 1, 0) * 39 + GREATEST(LEAST(m1, 2199023255551) - 1099511627776 + 1, 0) * 40 + GREATEST(LEAST(m1, 4398046511103) - 2199023255552 + 1, 0) * 41 + GREATEST(LEAST(m1, 8796093022207) - 4398046511104 + 1, 0) * 42 + GREATEST(LEAST(m1, 17592186044415) - 8796093022208 + 1, 0) * 43 + GREATEST(LEAST(m1, 35184372088831) - 17592186044416 + 1, 0) * 44 + GREATEST(LEAST(m1, 70368744177663) - 35184372088832 + 1, 0) * 45 + GREATEST(LEAST(m1, 140737488355327) - 70368744177664 + 1, 0) * 46 + GREATEST(LEAST(m1, 281474976710655) - 140737488355328 + 1, 0) * 47 + GREATEST(LEAST(m1, 562949953421311) - 281474976710656 + 1, 0) * 48 + GREATEST(LEAST(m1, 1125899906842623) - 562949953421312 + 1, 0) * 49 + GREATEST(LEAST(m1, 2251799813685247) - 1125899906842624 + 1, 0) * 50 + GREATEST(LEAST(m1, 4503599627370495) - 2251799813685248 + 1, 0) * 51 + GREATEST(LEAST(m1, 9007199254740991) - 4503599627370496 + 1, 0) * 52 + GREATEST(LEAST(m1, 18014398509481983) - 9007199254740992 + 1, 0) * 53 + GREATEST(LEAST(m1, 36028797018963967) - 18014398509481984 + 1, 0) * 54 + GREATEST(LEAST(m1, 72057594037927935) - 36028797018963968 + 1, 0) * 55 + GREATEST(LEAST(m1, 144115188075855871) - 72057594037927936 + 1, 0) * 56 + GREATEST(LEAST(m1, 288230376151711743) - 144115188075855872 + 1, 0) * 57 + GREATEST(LEAST(m1, 576460752303423487) - 288230376151711744 + 1, 0) * 58 + GREATEST(LEAST(m1, 1152921504606846975) - 576460752303423488 + 1, 0) * 59 + GREATEST(LEAST(m1, 2305843009213693951) - 1152921504606846976 + 1, 0) * 60 + GREATEST(LEAST(m1, 4611686018427387903) - 2305843009213693952 + 1, 0) * 61) - (GREATEST(LEAST(m0, 3) - 2 + 1, 0) * 1 + GREATEST(LEAST(m0, 7) - 4 + 1, 0) * 2 + GREATEST(LEAST(m0, 15) - 8 + 1, 0) * 3 + GREATEST(LEAST(m0, 31) - 16 + 1, 0) * 4 + GREATEST(LEAST(m0, 63) - 32 + 1, 0) * 5 + GREATEST(LEAST(m0, 127) - 64 + 1, 0) * 6 + GREATEST(LEAST(m0, 255) - 128 + 1, 0) * 7 + GREATEST(LEAST(m0, 511) - 256 + 1, 0) * 8 + GREATEST(LEAST(m0, 1023) - 512 + 1, 0) * 9 + GREATEST(LEAST(m0, 2047) - 1024 + 1, 0) * 10 + GREATEST(LEAST(m0, 4095) - 2048 + 1, 0) * 11 + GREATEST(LEAST(m0, 8191) - 4096 + 1, 0) * 12 + GREATEST(LEAST(m0, 16383) - 8192 + 1, 0) * 13 + GREATEST(LEAST(m0, 32767) - 16384 + 1, 0) * 14 + GREATEST(LEAST(m0, 65535) - 32768 + 1, 0) * 15 + GREATEST(LEAST(m0, 131071) - 65536 + 1, 0) * 16 + GREATEST(LEAST(m0, 262143) - 131072 + 1, 0) * 17 + GREATEST(LEAST(m0, 524287) - 262144 + 1, 0) * 18 + GREATEST(LEAST(m0, 1048575) - 524288 + 1, 0) * 19 + GREATEST(LEAST(m0, 2097151) - 1048576 + 1, 0) * 20 + GREATEST(LEAST(m0, 4194303) - 2097152 + 1, 0) * 21 + GREATEST(LEAST(m0, 8388607) - 4194304 + 1, 0) * 22 + GREATEST(LEAST(m0, 16777215) - 8388608 + 1, 0) * 23 + GREATEST(LEAST(m0, 33554431) - 16777216 + 1, 0) * 24 + GREATEST(LEAST(m0, 67108863) - 33554432 + 1, 0) * 25 + GREATEST(LEAST(m0, 134217727) - 67108864 + 1, 0) * 26 + GREATEST(LEAST(m0, 268435455) - 134217728 + 1, 0) * 27 + GREATEST(LEAST(m0, 536870911) - 268435456 + 1, 0) * 28 + GREATEST(LEAST(m0, 1073741823) - 536870912 + 1, 0) * 29 + GREATEST(LEAST(m0, 2147483647) - 1073741824 + 1, 0) * 30 + GREATEST(LEAST(m0, 4294967295) - 2147483648 + 1, 0) * 31 + GREATEST(LEAST(m0, 8589934591) - 4294967296 + 1, 0) * 32 + GREATEST(LEAST(m0, 17179869183) - 8589934592 + 1, 0) * 33 + GREATEST(LEAST(m0, 34359738367) - 17179869184 + 1, 0) * 34 + GREATEST(LEAST(m0, 68719476735) - 34359738368 + 1, 0) * 35 + GREATEST(LEAST(m0, 137438953471) - 68719476736 + 1, 0) * 36 + GREATEST(LEAST(m0, 274877906943) - 137438953472 + 1, 0) * 37 + GREATEST(LEAST(m0, 549755813887) - 274877906944 + 1, 0) * 38 + GREATEST(LEAST(m0, 1099511627775) - 549755813888 + 1, 0) * 39 + GREATEST(LEAST(m0, 2199023255551) - 1099511627776 + 1, 0) * 40 + GREATEST(LEAST(m0, 4398046511103) - 2199023255552 + 1, 0) * 41 + GREATEST(LEAST(m0, 8796093022207) - 4398046511104 + 1, 0) * 42 + GREATEST(LEAST(m0, 17592186044415) - 8796093022208 + 1, 0) * 43 + GREATEST(LEAST(m0, 35184372088831) - 17592186044416 + 1, 0) * 44 + GREATEST(LEAST(m0, 70368744177663) - 35184372088832 + 1, 0) * 45 + GREATEST(LEAST(m0, 140737488355327) - 70368744177664 + 1, 0) * 46 + GREATEST(LEAST(m0, 281474976710655) - 140737488355328 + 1, 0) * 47 + GREATEST(LEAST(m0, 562949953421311) - 281474976710656 + 1, 0) * 48 + GREATEST(LEAST(m0, 1125899906842623) - 562949953421312 + 1, 0) * 49 + GREATEST(LEAST(m0, 2251799813685247) - 1125899906842624 + 1, 0) * 50 + GREATEST(LEAST(m0, 4503599627370495) - 2251799813685248 + 1, 0) * 51 + GREATEST(LEAST(m0, 9007199254740991) - 4503599627370496 + 1, 0) * 52 + GREATEST(LEAST(m0, 18014398509481983) - 9007199254740992 + 1, 0) * 53 + GREATEST(LEAST(m0, 36028797018963967) - 18014398509481984 + 1, 0) * 54 + GREATEST(LEAST(m0, 72057594037927935) - 36028797018963968 + 1, 0) * 55 + GREATEST(LEAST(m0, 144115188075855871) - 72057594037927936 + 1, 0) * 56 + GREATEST(LEAST(m0, 288230376151711743) - 144115188075855872 + 1, 0) * 57 + GREATEST(LEAST(m0, 576460752303423487) - 288230376151711744 + 1, 0) * 58 + GREATEST(LEAST(m0, 1152921504606846975) - 576460752303423488 + 1, 0) * 59 + GREATEST(LEAST(m0, 2305843009213693951) - 1152921504606846976 + 1, 0) * 60 + GREATEST(LEAST(m0, 4611686018427387903) - 2305843009213693952 + 1, 0) * 61) AS sx_g,
-                 (GREATEST(LEAST(m1, 3) - 2 + 1, 0) * 1 + GREATEST(LEAST(m1, 7) - 4 + 1, 0) * 4 + GREATEST(LEAST(m1, 15) - 8 + 1, 0) * 9 + GREATEST(LEAST(m1, 31) - 16 + 1, 0) * 16 + GREATEST(LEAST(m1, 63) - 32 + 1, 0) * 25 + GREATEST(LEAST(m1, 127) - 64 + 1, 0) * 36 + GREATEST(LEAST(m1, 255) - 128 + 1, 0) * 49 + GREATEST(LEAST(m1, 511) - 256 + 1, 0) * 64 + GREATEST(LEAST(m1, 1023) - 512 + 1, 0) * 81 + GREATEST(LEAST(m1, 2047) - 1024 + 1, 0) * 100 + GREATEST(LEAST(m1, 4095) - 2048 + 1, 0) * 121 + GREATEST(LEAST(m1, 8191) - 4096 + 1, 0) * 144 + GREATEST(LEAST(m1, 16383) - 8192 + 1, 0) * 169 + GREATEST(LEAST(m1, 32767) - 16384 + 1, 0) * 196 + GREATEST(LEAST(m1, 65535) - 32768 + 1, 0) * 225 + GREATEST(LEAST(m1, 131071) - 65536 + 1, 0) * 256 + GREATEST(LEAST(m1, 262143) - 131072 + 1, 0) * 289 + GREATEST(LEAST(m1, 524287) - 262144 + 1, 0) * 324 + GREATEST(LEAST(m1, 1048575) - 524288 + 1, 0) * 361 + GREATEST(LEAST(m1, 2097151) - 1048576 + 1, 0) * 400 + GREATEST(LEAST(m1, 4194303) - 2097152 + 1, 0) * 441 + GREATEST(LEAST(m1, 8388607) - 4194304 + 1, 0) * 484 + GREATEST(LEAST(m1, 16777215) - 8388608 + 1, 0) * 529 + GREATEST(LEAST(m1, 33554431) - 16777216 + 1, 0) * 576 + GREATEST(LEAST(m1, 67108863) - 33554432 + 1, 0) * 625 + GREATEST(LEAST(m1, 134217727) - 67108864 + 1, 0) * 676 + GREATEST(LEAST(m1, 268435455) - 134217728 + 1, 0) * 729 + GREATEST(LEAST(m1, 536870911) - 268435456 + 1, 0) * 784 + GREATEST(LEAST(m1, 1073741823) - 536870912 + 1, 0) * 841 + GREATEST(LEAST(m1, 2147483647) - 1073741824 + 1, 0) * 900 + GREATEST(LEAST(m1, 4294967295) - 2147483648 + 1, 0) * 961 + GREATEST(LEAST(m1, 8589934591) - 4294967296 + 1, 0) * 1024 + GREATEST(LEAST(m1, 17179869183) - 8589934592 + 1, 0) * 1089 + GREATEST(LEAST(m1, 34359738367) - 17179869184 + 1, 0) * 1156 + GREATEST(LEAST(m1, 68719476735) - 34359738368 + 1, 0) * 1225 + GREATEST(LEAST(m1, 137438953471) - 68719476736 + 1, 0) * 1296 + GREATEST(LEAST(m1, 274877906943) - 137438953472 + 1, 0) * 1369 + GREATEST(LEAST(m1, 549755813887) - 274877906944 + 1, 0) * 1444 + GREATEST(LEAST(m1, 1099511627775) - 549755813888 + 1, 0) * 1521 + GREATEST(LEAST(m1, 2199023255551) - 1099511627776 + 1, 0) * 1600 + GREATEST(LEAST(m1, 4398046511103) - 2199023255552 + 1, 0) * 1681 + GREATEST(LEAST(m1, 8796093022207) - 4398046511104 + 1, 0) * 1764 + GREATEST(LEAST(m1, 17592186044415) - 8796093022208 + 1, 0) * 1849 + GREATEST(LEAST(m1, 35184372088831) - 17592186044416 + 1, 0) * 1936 + GREATEST(LEAST(m1, 70368744177663) - 35184372088832 + 1, 0) * 2025 + GREATEST(LEAST(m1, 140737488355327) - 70368744177664 + 1, 0) * 2116 + GREATEST(LEAST(m1, 281474976710655) - 140737488355328 + 1, 0) * 2209 + GREATEST(LEAST(m1, 562949953421311) - 281474976710656 + 1, 0) * 2304 + GREATEST(LEAST(m1, 1125899906842623) - 562949953421312 + 1, 0) * 2401 + GREATEST(LEAST(m1, 2251799813685247) - 1125899906842624 + 1, 0) * 2500 + GREATEST(LEAST(m1, 4503599627370495) - 2251799813685248 + 1, 0) * 2601 + GREATEST(LEAST(m1, 9007199254740991) - 4503599627370496 + 1, 0) * 2704 + GREATEST(LEAST(m1, 18014398509481983) - 9007199254740992 + 1, 0) * 2809 + GREATEST(LEAST(m1, 36028797018963967) - 18014398509481984 + 1, 0) * 2916 + GREATEST(LEAST(m1, 72057594037927935) - 36028797018963968 + 1, 0) * 3025 + GREATEST(LEAST(m1, 144115188075855871) - 72057594037927936 + 1, 0) * 3136 + GREATEST(LEAST(m1, 288230376151711743) - 144115188075855872 + 1, 0) * 3249 + GREATEST(LEAST(m1, 576460752303423487) - 288230376151711744 + 1, 0) * 3364 + GREATEST(LEAST(m1, 1152921504606846975) - 576460752303423488 + 1, 0) * 3481 + GREATEST(LEAST(m1, 2305843009213693951) - 1152921504606846976 + 1, 0) * 3600 + GREATEST(LEAST(m1, 4611686018427387903) - 2305843009213693952 + 1, 0) * 3721) - (GREATEST(LEAST(m0, 3) - 2 + 1, 0) * 1 + GREATEST(LEAST(m0, 7) - 4 + 1, 0) * 4 + GREATEST(LEAST(m0, 15) - 8 + 1, 0) * 9 + GREATEST(LEAST(m0, 31) - 16 + 1, 0) * 16 + GREATEST(LEAST(m0, 63) - 32 + 1, 0) * 25 + GREATEST(LEAST(m0, 127) - 64 + 1, 0) * 36 + GREATEST(LEAST(m0, 255) - 128 + 1, 0) * 49 + GREATEST(LEAST(m0, 511) - 256 + 1, 0) * 64 + GREATEST(LEAST(m0, 1023) - 512 + 1, 0) * 81 + GREATEST(LEAST(m0, 2047) - 1024 + 1, 0) * 100 + GREATEST(LEAST(m0, 4095) - 2048 + 1, 0) * 121 + GREATEST(LEAST(m0, 8191) - 4096 + 1, 0) * 144 + GREATEST(LEAST(m0, 16383) - 8192 + 1, 0) * 169 + GREATEST(LEAST(m0, 32767) - 16384 + 1, 0) * 196 + GREATEST(LEAST(m0, 65535) - 32768 + 1, 0) * 225 + GREATEST(LEAST(m0, 131071) - 65536 + 1, 0) * 256 + GREATEST(LEAST(m0, 262143) - 131072 + 1, 0) * 289 + GREATEST(LEAST(m0, 524287) - 262144 + 1, 0) * 324 + GREATEST(LEAST(m0, 1048575) - 524288 + 1, 0) * 361 + GREATEST(LEAST(m0, 2097151) - 1048576 + 1, 0) * 400 + GREATEST(LEAST(m0, 4194303) - 2097152 + 1, 0) * 441 + GREATEST(LEAST(m0, 8388607) - 4194304 + 1, 0) * 484 + GREATEST(LEAST(m0, 16777215) - 8388608 + 1, 0) * 529 + GREATEST(LEAST(m0, 33554431) - 16777216 + 1, 0) * 576 + GREATEST(LEAST(m0, 67108863) - 33554432 + 1, 0) * 625 + GREATEST(LEAST(m0, 134217727) - 67108864 + 1, 0) * 676 + GREATEST(LEAST(m0, 268435455) - 134217728 + 1, 0) * 729 + GREATEST(LEAST(m0, 536870911) - 268435456 + 1, 0) * 784 + GREATEST(LEAST(m0, 1073741823) - 536870912 + 1, 0) * 841 + GREATEST(LEAST(m0, 2147483647) - 1073741824 + 1, 0) * 900 + GREATEST(LEAST(m0, 4294967295) - 2147483648 + 1, 0) * 961 + GREATEST(LEAST(m0, 8589934591) - 4294967296 + 1, 0) * 1024 + GREATEST(LEAST(m0, 17179869183) - 8589934592 + 1, 0) * 1089 + GREATEST(LEAST(m0, 34359738367) - 17179869184 + 1, 0) * 1156 + GREATEST(LEAST(m0, 68719476735) - 34359738368 + 1, 0) * 1225 + GREATEST(LEAST(m0, 137438953471) - 68719476736 + 1, 0) * 1296 + GREATEST(LEAST(m0, 274877906943) - 137438953472 + 1, 0) * 1369 + GREATEST(LEAST(m0, 549755813887) - 274877906944 + 1, 0) * 1444 + GREATEST(LEAST(m0, 1099511627775) - 549755813888 + 1, 0) * 1521 + GREATEST(LEAST(m0, 2199023255551) - 1099511627776 + 1, 0) * 1600 + GREATEST(LEAST(m0, 4398046511103) - 2199023255552 + 1, 0) * 1681 + GREATEST(LEAST(m0, 8796093022207) - 4398046511104 + 1, 0) * 1764 + GREATEST(LEAST(m0, 17592186044415) - 8796093022208 + 1, 0) * 1849 + GREATEST(LEAST(m0, 35184372088831) - 17592186044416 + 1, 0) * 1936 + GREATEST(LEAST(m0, 70368744177663) - 35184372088832 + 1, 0) * 2025 + GREATEST(LEAST(m0, 140737488355327) - 70368744177664 + 1, 0) * 2116 + GREATEST(LEAST(m0, 281474976710655) - 140737488355328 + 1, 0) * 2209 + GREATEST(LEAST(m0, 562949953421311) - 281474976710656 + 1, 0) * 2304 + GREATEST(LEAST(m0, 1125899906842623) - 562949953421312 + 1, 0) * 2401 + GREATEST(LEAST(m0, 2251799813685247) - 1125899906842624 + 1, 0) * 2500 + GREATEST(LEAST(m0, 4503599627370495) - 2251799813685248 + 1, 0) * 2601 + GREATEST(LEAST(m0, 9007199254740991) - 4503599627370496 + 1, 0) * 2704 + GREATEST(LEAST(m0, 18014398509481983) - 9007199254740992 + 1, 0) * 2809 + GREATEST(LEAST(m0, 36028797018963967) - 18014398509481984 + 1, 0) * 2916 + GREATEST(LEAST(m0, 72057594037927935) - 36028797018963968 + 1, 0) * 3025 + GREATEST(LEAST(m0, 144115188075855871) - 72057594037927936 + 1, 0) * 3136 + GREATEST(LEAST(m0, 288230376151711743) - 144115188075855872 + 1, 0) * 3249 + GREATEST(LEAST(m0, 576460752303423487) - 288230376151711744 + 1, 0) * 3364 + GREATEST(LEAST(m0, 1152921504606846975) - 576460752303423488 + 1, 0) * 3481 + GREATEST(LEAST(m0, 2305843009213693951) - 1152921504606846976 + 1, 0) * 3600 + GREATEST(LEAST(m0, 4611686018427387903) - 2305843009213693952 + 1, 0) * 3721) AS sxx_g
-          FROM p),
-    a AS (SELECT CAST(SUM(t) AS HUGEINT) AS n,
-                 CAST(SUM(sx_g) AS HUGEINT) AS sx,
-                 CAST(SUM(sxx_g) AS HUGEINT) AS sxx,
-                 CAST(SUM(t * y) AS HUGEINT) AS sy,
-                 CAST(SUM(t * y * y) AS HUGEINT) AS syy,
-                 CAST(SUM(y * sx_g) AS HUGEINT) AS sxy
-          FROM g)
-    SELECT CAST(n AS BIGINT) AS vocab_size,
-           CASE WHEN n * sxx - sx * sx > 0
-                THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)
-                ELSE 0.0 END AS slope,
-           CASE WHEN n * sxx - sx * sx > 0
-                THEN CAST(sy * sxx - sx * sxy AS DOUBLE)
-                     / CAST(n * sxx - sx * sx AS DOUBLE)
-                ELSE 0.0 END AS intercept,
-           CASE WHEN n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
-                THEN CAST(n * sxy - sx * sy AS DOUBLE)
-                     * CAST(n * sxy - sx * sy AS DOUBLE)
-                     / (CAST(n * sxx - sx * sx AS DOUBLE)
-                        * CAST(n * syy - sy * sy AS DOUBLE))
-                ELSE 0.0 END AS r2
-    FROM a
-""",
-    doc="Zipf rank-frequency OLS fit on (floor-log2 rank, floor-log2 "
-        "freq) over the whole vocabulary: corpus -> vocab -> frequency "
-        "histogram; descending-rank offsets via the two-phase cell "
-        "prefix; per-band closed-form rank sums (no per-token rank); "
-        "exact integer sufficient statistics, single-division "
-        "slope/intercept.",
-)
-
-
-def _drift_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``ks_drift`` under the full
-    correctness gate — the continuous drift-monitor service: the
-    events fixture arrives as a 4-file stream (maxFilesPerTrigger=1 →
-    4 micro-batches); each batch lands its two-type value-histogram
-    partials via foreachBatch, and the returned frame folds the
-    accumulated state through the same two-phase-prefix CDF compare as
-    the batch op. Count sums are batching-insensitive, so the result
-    is row-identical to ``ks_drift`` and the batch oracle applies
-    verbatim. State is torn down after scoring via
-    :func:`_stream_state_scored`."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "event_id", "ts", "event_type", "value"
-    )
-    return _stream_state_scored(
-        spark,
-        ev,
-        "drift",
-        ["partials"],
-        stream_windows.streaming_drift_ingest,
-        stream_windows.drift_from_state,
-    )
-
-
-def _scd2_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Stream→queryable-table twin of ``scd2_state_intervals`` under
-    the full correctness gate — the continuously-maintained
-    point-in-time dimension: the events fixture arrives as a 4-file
-    stream (maxFilesPerTrigger=1 → 4 micro-batches, hash-distributed
-    so runs interleave across batches), each batch lands its
-    column-pruned events via foreachBatch, and the returned frame
-    builds the SCD2 intervals from the accumulated state —
-    row-identical to the batch op (the build sorts per user by
-    (ts, event_id), so batching order cannot matter) and the batch
-    oracle applies verbatim. State torn down via
-    :func:`_stream_state_scored`."""
-    ev = load_table(spark, sf_dir, "events").select(
-        "user_id", "event_id", "ts", "event_type"
-    )
-    return _stream_state_scored(
-        spark,
-        ev,
-        "scd2",
-        ["events"],
-        stream_windows.streaming_scd2_ingest,
-        stream_windows.scd2_from_state,
-    )
-
-
-QUERIES["scd2_streamed"] = QuerySpec(
-    fn=_scd2_streamed,
-    oracle=QUERIES["scd2_state_intervals"].oracle,
-    doc="Streaming-ingest SCD2 dimension: column-pruned events land "
-        "per micro-batch into a queryable catalog table (raw log IS "
-        "the minimal sufficient state — intervals are not mergeable "
-        "under cross-batch time interleaving), interval build at "
-        "query time — the stream→table loop on the dimension side.",
-)
-
-
-QUERIES["drift_streamed"] = QuerySpec(
-    fn=_drift_streamed,
-    oracle=QUERIES["ks_drift"].oracle,
-    doc="Streaming-ingest KS drift monitor: per-micro-batch mergeable "
-        "two-type value-histogram partials into a queryable catalog "
-        "table, CDF-compared at query time — the stream→table loop "
-        "on the drift-monitoring side.",
-)
-
-_register(
-    "html_clean",
-    ["documents"],
-    textops.html_clean,
-    """
-    WITH enriched AS (
-        SELECT doc_id,
-               CASE WHEN doc_id % 3 = 0
-                    THEN '<html><body class="doc"><p id="main">' || text
-                         || '</p><br/><div id="footer">&lt;footer&gt; '
-                         || '&amp;copy example&nbsp;inc</div></body></html>'
-                    ELSE text END AS text
-        FROM documents),
-    cleaned AS (
-        SELECT doc_id,
-               CAST(len(regexp_extract_all(text, '<[^>]*>'))
-                    AS BIGINT) AS n_tags,
-               trim(regexp_replace(
-                   replace(replace(replace(replace(
-                       regexp_replace(text, '<[^>]*>', ' ', 'g'),
-                       '&lt;', '<'), '&gt;', '>'), '&amp;', '&'),
-                       '&nbsp;', ' '),
-                   '[ \t\n\r]+', ' ', 'g')) AS clean
-        FROM enriched)
-    SELECT doc_id,
-           CAST(n_tags > 0 AS BIGINT) AS was_html,
-           n_tags,
-           CAST(length(clean) AS BIGINT) AS clean_chars,
-           CAST(('0x' || substr(md5(clean), 1, 15)) AS BIGINT)
-               AS clean_sig
-    FROM cleaned ORDER BY doc_id
-    """,
-    doc="HTML boilerplate cleaning (tag strip, entity unescape, "
-        "whitespace collapse) with per-doc stats and a 60-bit cleaned-"
-        "content signature: pure per-row JVM expressions, no shuffle — "
-        "the gopher_rules plan shape; deterministic markup enrichment "
-        "on both engines (the PII-oracle device).",
-)
-
 
 # ---------------------------------------------------------------------------
 # Declaration order

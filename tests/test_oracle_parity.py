@@ -32,6 +32,37 @@ def test_registry_contract():
     assert len(qs) >= 20 or len(qs) == len(registry.QUERIES)
 
 
+def test_declaration_order_matches_golden():
+    """Declaration order IS the driver-sampling contract: the driver
+    stamps the first 50 registry entries front-to-back, so a silent
+    reorder (a spec-module import shuffled, a _HEAD edit, a dict
+    rebuild) changes WHICH queries get driver receipts. The full order
+    is pinned as a checked-in golden file — an order change must show
+    up as an explicit, reviewable diff to tests/golden_query_order.txt
+    (regenerate deliberately:
+    `python -c "from flink_snappydata_spark import registry;
+    open('tests/golden_query_order.txt','w').write(
+    chr(10).join(registry.QUERIES)+chr(10))"`)."""
+    import pathlib
+
+    golden = (
+        pathlib.Path(__file__).parent / "golden_query_order.txt"
+    ).read_text().splitlines()
+    actual = list(registry.QUERIES)
+    assert actual == golden, (
+        "declaration order drifted from tests/golden_query_order.txt; "
+        "first diff: "
+        + next(
+            (
+                f"slot {i}: golden={g!r} actual={a!r}"
+                for i, (g, a) in enumerate(zip(golden, actual))
+                if g != a
+            ),
+            f"length {len(golden)} -> {len(actual)}",
+        )
+    )
+
+
 def test_verification_window_hygiene():
     """The declaration-order window must stay well-formed: unique
     names, all registered, and the first 50 slots covering every query
