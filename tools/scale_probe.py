@@ -50,6 +50,7 @@ from flink_snappydata_spark.pipeline import multimodal as M
 from flink_snappydata_spark.pipeline import packing as _packing
 from flink_snappydata_spark.operators import analytic as A
 from flink_snappydata_spark.operators import profiling as _profiling
+from flink_snappydata_spark.operators import relational as R
 from flink_snappydata_spark.pipeline import graph as GR
 from flink_snappydata_spark.pipeline import similarity as S
 from flink_snappydata_spark.pipeline import text as T
@@ -244,6 +245,18 @@ OPS = {
             "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
         )
     ),
+    # round-8 closers: synthesize=True plants one address per doc across
+    # 7 domains — replication grows per-domain mass under a fixed domain
+    # cardinality, the hot-domain shape of a real contact-surface audit.
+    "email_domain_stats": lambda d, e: T.email_domain_stats(
+        d, synthesize=True
+    ),
+    # real RIFF/WAVE payload synthesis + fused decode/silence analysis
+    # in ONE mapInPandas pass — per-row linear, no shuffle; the probe
+    # measures the Arrow-batched binary path end-to-end.
+    "audio_silence_stats": lambda d, e: M.audio_silence_stats(
+        M.synthesize_wav_gated(d)
+    ),
 }
 
 #: Events-input ops (replicated with per-replica day offsets so the
@@ -281,7 +294,33 @@ EVENT_OPS = {
         v, sort=False
     ),
     "type_lag_correlation": lambda v: A.type_lag_correlation(v),
+    # round-8 closer: per-(type, value-cents) histogram + per-type max
+    # join — replication grows per-cell mass under fixed type/value
+    # cardinality, the exact shape the two-stage mode fold exists for.
+    "agg_mode": lambda v: R.mode_per_type(v),
 }
+
+#: TPC-H-table ops (round-8 closers). Replication is a plain k-fold
+#: union of unchanged rows: group cardinality stays fixed (25 nations,
+#: 3 return flags, the distinct-price/size grid) while per-group mass
+#: grows — the realistic 100-TB shape for these aggregations, and the
+#: duplicate frontier points pareto_frontier keeps by its tie rule.
+TPCH_OPS = {
+    "join_full_outer": lambda t: R.full_outer_nation_balance(
+        t["customer"], t["supplier"]
+    ),
+    "weighted_median_price": lambda t: R.weighted_median_price(
+        t["lineitem"]
+    ),
+    "pareto_frontier": lambda t: R.pareto_frontier(t["part"]),
+}
+
+
+def replicated_plain(df, k):
+    out = df
+    for _ in range(k - 1):
+        out = out.unionByName(df)
+    return out
 
 
 def replicated_events(events, k):
@@ -404,9 +443,14 @@ def main() -> None:
             )
         return
 
-    names = wanted.split(",") if wanted else list(OPS) + list(EVENT_OPS)
+    names = (
+        wanted.split(",")
+        if wanted
+        else list(OPS) + list(EVENT_OPS) + list(TPCH_OPS)
+    )
     ops = {n: OPS[n] for n in names if n in OPS}
     event_ops = {n: EVENT_OPS[n] for n in names if n in EVENT_OPS}
+    tpch_ops = {n: TPCH_OPS[n] for n in names if n in TPCH_OPS}
     docs1 = load_table(spark, SF_DIR, "documents").select("doc_id", "text")
     emb1 = load_table(spark, SF_DIR, "embeddings")
     docs_n = replicated_documents(docs1, factor)
@@ -427,6 +471,20 @@ def main() -> None:
         for name, fn in event_ops.items():
             base = median_time(lambda: fn(ev1))
             scaled = median_time(lambda: fn(ev_n))
+            print(
+                f"PROBE | {name} | {base:.3f} | {scaled:.3f} | {scaled / base:.2f} |"
+            )
+
+    if tpch_ops:
+        t1 = {
+            t: load_table(spark, SF_DIR, t)
+            for t in ("customer", "supplier", "lineitem", "part")
+        }
+        tn = {t: replicated_plain(df, factor) for t, df in t1.items()}
+        print(f"ROWS base lineitem={t1['lineitem'].count()} factor={factor}")
+        for name, fn in tpch_ops.items():
+            base = median_time(lambda: fn(t1))
+            scaled = median_time(lambda: fn(tn))
             print(
                 f"PROBE | {name} | {base:.3f} | {scaled:.3f} | {scaled / base:.2f} |"
             )
