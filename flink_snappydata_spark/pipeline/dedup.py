@@ -147,9 +147,11 @@ def _streamed_jaccard(
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
     sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
     shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
+    # index/counts sides are corpus-sized — pinned SMJ, never an
+    # estimate-driven broadcast (see _prefix_index's note)
     inter = (
-        cand.join(sha, "doc_a")
-        .join(shb, ["doc_b", "sh"])
+        cand.join(sha.hint("merge"), "doc_a")
+        .join(shb.hint("merge"), ["doc_b", "sh"])
         .groupBy("doc_a", "doc_b")
         .agg(F.count(F.lit(1)).alias("n_inter"))
     )
@@ -159,8 +161,8 @@ def _streamed_jaccard(
         # packed path exactly for ANY threshold including 0.
         cand.join(inter, ["doc_a", "doc_b"], "left")
         .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
-        .join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")), "doc_a")
-        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")), "doc_b")
+        .join(counts.select(F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")).hint("merge"), "doc_a")
+        .join(counts.select(F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")).hint("merge"), "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_inter").cast("double")
@@ -261,9 +263,15 @@ def _verified_jaccard(
         F.col("shs").alias("shs_b"),
         F.size("shs").alias("nb"),
     )
+    # Packed sets are corpus-sized (one wide array row per document):
+    # the verify joins are pinned sort-merge so they hash-partition on
+    # doc id at ANY scale and can never ride an estimate-driven
+    # broadcast of the sets frame (see _prefix_index's note; SMJ over
+    # shuffle_hash because the build rows here are wide arrays and SMJ
+    # spills gracefully).
     packed = (
-        pairs.join(pa, "doc_a")
-        .join(pb, "doc_b")
+        pairs.join(pa.hint("merge"), "doc_a")
+        .join(pb.hint("merge"), "doc_b")
         .withColumn("n_inter", F.size(F.array_intersect("shs_a", "shs_b")))
         .withColumn(
             "jaccard",
@@ -294,10 +302,19 @@ def _prefix_index(sh: DataFrame, threshold: float) -> DataFrame:
     non-prefix rows before the explode. Exposed separately so tests can
     assert the scale property directly: hot (high-DF) shingles never
     enter the candidate join.
+
+    The DF join is pinned ``shuffle_hash``: both sides are
+    corpus-sized, so it must NEVER ride an estimate-driven broadcast —
+    on a memory-sourced input (a range-derived frame, a foreachBatch
+    backfill) Catalyst's size estimate can be 100× under the true
+    size, and the statically-planned broadcast then dies building a
+    GB-scale hash relation ("Not enough memory to build and broadcast"
+    — observed at the 100× synthdocs decade). An explicit shuffle hint
+    keeps the decision estimate-independent at every scale.
     """
     dfreq = sh.groupBy("sh").agg(F.count(F.lit(1)).alias("df_sh"))
     return (
-        sh.join(dfreq, "sh")
+        sh.join(dfreq.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
         .agg(F.collect_list(F.struct("df_sh", "sh")).alias("items"))
         .select(
@@ -360,7 +377,10 @@ def ngram_jaccard_pairs(
     # clears between queries).
     sh = tracked_persist(shingles(documents, n))
     prefix = _prefix_index(sh, threshold)
-    a, b = prefix.alias("a"), prefix.alias("b")
+    # The prefix self-join is corpus × corpus: pin shuffle_hash so a
+    # bad size estimate on a memory-sourced input can never statically
+    # broadcast one side (see _prefix_index's note).
+    a, b = prefix.alias("a"), prefix.alias("b").hint("shuffle_hash")
     # Positional filter (PPJoin): all shared shingles sort at-or-after
     # the matched one, so overlap ≤ min(remaining_a, remaining_b) + 1;
     # a qualifying pair needs overlap ≥ ⌈t·max(na,nb)⌉, and its
@@ -437,9 +457,14 @@ def containment_pairs(
     """
     sh = tracked_persist(shingles(documents, n))
     counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
-    full = sh.join(counts, "doc_id")
+    full = sh.join(counts.hint("shuffle_hash"), "doc_id")
     prefix = _prefix_index(sh, threshold)
-    a, b = prefix.alias("a"), full.alias("b")
+    # prefix × full-index is corpus × corpus: estimate-independent
+    # shuffle join, never a statically-planned broadcast (see
+    # _prefix_index's note). The hint rides the PREFIX side — the
+    # hinted side is the hash build side, and the prefix is ~20% of
+    # index rows by construction.
+    a, b = prefix.alias("a").hint("shuffle_hash"), full.alias("b")
     smaller_first = (F.col("a.n_sh") < F.col("b.n_sh")) | (
         (F.col("a.n_sh") == F.col("b.n_sh"))
         & (F.col("a.doc_id") < F.col("b.doc_id"))
@@ -472,9 +497,10 @@ def containment_pairs(
             F.col("shs").alias("shs_b"),
             F.size("shs").alias("nb"),
         )
+        # same pinned-SMJ rationale as _verified_jaccard's packed joins
         scored = (
-            cand.join(pa, "doc_a")
-            .join(pb, "doc_b")
+            cand.join(pa.hint("merge"), "doc_a")
+            .join(pb.hint("merge"), "doc_b")
             .select(
                 "doc_a",
                 "doc_b",
@@ -488,24 +514,25 @@ def containment_pairs(
         sha = sh.select(F.col("doc_id").alias("doc_a"), "sh")
         shb = sh.select(F.col("doc_id").alias("doc_b"), "sh")
         inter = (
-            cand.join(sha, "doc_a")
-            .join(shb, ["doc_b", "sh"])
+            cand.join(sha.hint("merge"), "doc_a")
+            .join(shb.hint("merge"), ["doc_b", "sh"])
             .groupBy("doc_a", "doc_b")
             .agg(F.count(F.lit(1)).alias("n_inter"))
         )
         scored = (
             cand.join(inter, ["doc_a", "doc_b"], "left")
             .withColumn("n_inter", F.coalesce("n_inter", F.lit(0)))
+            # counts is corpus-sized — pinned SMJ (see _prefix_index)
             .join(
                 counts.select(
                     F.col("doc_id").alias("doc_a"), F.col("n_sh").alias("na")
-                ),
+                ).hint("merge"),
                 "doc_a",
             )
             .join(
                 counts.select(
                     F.col("doc_id").alias("doc_b"), F.col("n_sh").alias("nb")
-                ),
+                ).hint("merge"),
                 "doc_b",
             )
             .select(
@@ -644,7 +671,9 @@ def minhash_lsh_candidates(
     # Persist: both self-join sides read the banded signatures — without
     # it the whole shingle→signature pipeline runs twice.
     banded = tracked_persist(minhash_band_hashes(documents, bands, rows))
-    l, r = banded.alias("l"), banded.alias("r")
+    # corpus × corpus band self-join: estimate-independent shuffle
+    # join, never a statically-planned broadcast (see _prefix_index)
+    l, r = banded.alias("l"), banded.alias("r").hint("shuffle_hash")
     return (
         l.join(
             r,
@@ -737,7 +766,9 @@ def source_contamination(
     """
     sh = shingles(documents, n)
     src_sh = (
-        sh.join(documents.select("doc_id", "source"), "doc_id")
+        # the (doc_id, source) side is corpus-sized — pinned SMJ so a
+        # garbage estimate can never broadcast it (see _prefix_index)
+        sh.join(documents.select("doc_id", "source").hint("merge"), "doc_id")
         .select("source", "sh")
         .distinct()
     )
@@ -932,8 +963,11 @@ def neardup_clusters(
     )
     changed = -1
     for _ in range(max_iter):
+        # edges × labels are both pair-graph-sized — pinned SMJ (see
+        # _prefix_index's estimate-safety note), as are the label-map
+        # joins below
         nbr_min = sym.join(
-            labels, sym["dst"] == labels["doc_id"]
+            labels.hint("merge"), sym["dst"] == labels["doc_id"]
         ).groupBy("src").agg(F.min("cluster_id").alias("nbr_min"))
         # Pointer jump: a label is always some vertex's doc_id, so the
         # label of my label is defined — chase it one level through the
@@ -946,8 +980,10 @@ def neardup_clusters(
             F.col("cluster_id").alias("ref_label"),
         )
         upd = (
-            labels.join(nbr_min, labels["doc_id"] == nbr_min["src"], "left")
-            .join(ref, labels["cluster_id"] == ref["ref_id"], "left")
+            labels.join(
+                nbr_min.hint("merge"), labels["doc_id"] == nbr_min["src"], "left"
+            )
+            .join(ref.hint("merge"), labels["cluster_id"] == ref["ref_id"], "left")
             .select(
                 "doc_id",
                 F.col("cluster_id").alias("old_cluster_id"),
@@ -1147,7 +1183,9 @@ def simhash_dedup_pairs(
             )
         ).alias("b"),
     ).select("doc_id", "simhash", "b.band_id", "b.band_val").transform(tracked_persist)
-    l, r = bands.alias("l"), bands.alias("r")
+    # corpus × corpus band self-join: estimate-independent shuffle
+    # join, never a statically-planned broadcast (see _prefix_index)
+    l, r = bands.alias("l"), bands.alias("r").hint("shuffle_hash")
     return (
         l.join(
             r,
@@ -1241,15 +1279,18 @@ def line_dedup(
     tail = hot.filter(
         F.col("occ") * F.lit(LINE_HOT_MAX) < F.col("n_total")
     ).select("h")
+    # ultra is ≤4096 digests by construction (broadcast); tail is
+    # digest-frame-sized — pinned shuffle join (see _prefix_index)
     dropped = keyed.join(F.broadcast(ultra), "h", "left_semi").unionByName(
-        keyed.join(tail, "h", "left_semi")
+        keyed.join(tail.hint("shuffle_hash"), "h", "left_semi")
     )
     drop_pos = dropped.groupBy("doc_id").agg(
         F.sort_array(F.collect_list("pos")).alias("dp"),
         F.count(F.lit(1)).alias("n_dropped"),
     )
     dp = F.coalesce(F.col("dp"), F.array().cast("array<int>"))
-    out = documents.join(drop_pos, "doc_id", "left").select(
+    # drop_pos is corpus-sized (one row per affected doc) — pinned SMJ
+    out = documents.join(drop_pos.hint("merge"), "doc_id", "left").select(
         "doc_id",
         F.size(arr).cast("long").alias("n_lines"),
         F.coalesce(F.col("n_dropped"), F.lit(0)).cast("long").alias(
@@ -1333,7 +1374,9 @@ def typo_pairs(documents: DataFrame) -> DataFrame:
         "word", F.explode(F.expr(del_keys.format(w="word"))).alias("k")
     )
     return (
-        dirty_keys.join(vocab_keys, "k")
+        # both deletion-key sides are vocabulary-sized: pinned shuffle
+        # join, never an estimate-driven broadcast (see _prefix_index)
+        dirty_keys.join(vocab_keys.hint("shuffle_hash"), "k")
         .filter(F.levenshtein(F.col("typo"), F.col("word")) == 1)
         .select("typo", "word", "n_docs")
         .distinct()

@@ -627,7 +627,10 @@ def winnowing_pairs(
         .select("fp")
     )
     sets = (
-        fp.join(df_ok, "fp")
+        # df_ok is fingerprint-vocabulary-sized: pinned shuffle join so
+        # a garbage size estimate on a memory-sourced corpus can never
+        # statically broadcast it (see dedup._prefix_index's note)
+        fp.join(df_ok.hint("shuffle_hash"), "fp")
         .groupBy("fp")
         .agg(F.array_sort(F.collect_set("doc_id")).alias("docs"))
     )

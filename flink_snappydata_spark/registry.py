@@ -62,6 +62,18 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 #   stream→table twins (cms/ohlc/drift/rollup/scd2_streamed — the
 #   reference's signature continuous-ingest loop, pom.xml:17-21).
 #
+# Round-9 touched set (estimate-safety join hints in pipeline/dedup.py
+# + winnowing_pairs; DECIMAL hardening in seasonal_anomaly;
+# email_domain_stats default flip — values identical in every case,
+# plan/arithmetic/signature changes only): the touched queries with
+# existing stamps (dedup_minhash/ngram_jaccard/simhash/clusters,
+# source_contamination — r07; line_dedup, canonical_pick, dedup_report
+# — r08) are NOT re-windowed — the 42 cadence re-stamps are
+# non-displaceable and the 8 never-stamped slots are the round-8
+# verdict's explicit task-3 directive; all touched queries are
+# oracle-verified locally every pytest run and their r07/r08 stamps
+# hit the every-third-round cadence in r10/r11 regardless.
+#
 # The remaining 71 never-stamped round-8 operators head _R10_QUEUE
 # (never-stamped ⇒ window-mandatory next round; they exceed the 50-slot
 # budget minus this round's 42 mandatory re-stamps, so r10 takes the
