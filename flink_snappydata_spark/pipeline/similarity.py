@@ -275,7 +275,11 @@ def lsh_neardup_pairs(
     sigs = lsh_signatures(embeddings)
     qv = quantized(embeddings)
     # Persist: both self-join sides read it (else signatures run twice).
-    side = tracked_persist(sigs.join(qv, "vec_id"))
+    # corpus × corpus joins below are pinned shuffle_hash so a
+    # garbage size estimate on a memory-sourced embedding frame can
+    # never statically broadcast a corpus-sized side (see
+    # dedup._prefix_index's estimate-safety note).
+    side = tracked_persist(sigs.join(qv.hint("shuffle_hash"), "vec_id"))
     probe_side = side
     if multiprobe_bits:
         if multiprobe_bits != 1:
@@ -297,7 +301,7 @@ def lsh_neardup_pairs(
         F.col("vec_id").alias("vec_b"), F.col("table_id").alias("tb"),
         F.col("bucket").alias("bb"), F.col("qe").alias("qb"),
         F.col("norm_sq").alias("nb"),
-    )
+    ).hint("shuffle_hash")
     return (
         a.join(
             b,
@@ -359,7 +363,8 @@ def ivf_topk(
         return scored.withColumn("r", F.row_number().over(w)).filter(F.col("r") <= keep)
 
     assigned = nearest(qv, "vec_id", 1).select("vec_id", F.col("cent_id").alias("list_id"))
-    corpus = qv.join(assigned, "vec_id")
+    # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
+    corpus = qv.join(assigned.hint("shuffle_hash"), "vec_id")
 
     queries = qv.filter(F.col("vec_id") < n_queries)
     probes = nearest(queries, "vec_id", n_probe).select(
@@ -727,7 +732,8 @@ def _kmeans_fit(
     assigned = _assign_nearest(qv, cents)
     for _ in range(n_iters - 1):
         sums = (
-            qv.join(assigned, "vec_id")
+            # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
+            qv.join(assigned.hint("shuffle_hash"), "vec_id")
             .select("cent_id", F.posexplode("qe").alias("pos", "q"))
             .groupBy("cent_id", "pos")
             .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
@@ -876,7 +882,8 @@ def semantic_neardup_pairs(
     # Persist the clustered corpus: the a/b self-join below references
     # it twice, and without the persist each side replays the full
     # k-means lineage (2 assignment rounds + the update aggregation).
-    side = tracked_persist(qv.join(assigned, "vec_id"))
+    # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
+    side = tracked_persist(qv.join(assigned.hint("shuffle_hash"), "vec_id"))
     a = side.select(
         F.col("cent_id"),
         F.col("vec_id").alias("vec_a"),
@@ -890,7 +897,9 @@ def semantic_neardup_pairs(
         F.col("norm_sq").alias("nb"),
     )
     return (
-        a.join(b, "cent_id")
+        # cluster-keyed corpus self-join: pinned shuffle-hash (no sort
+        # of the wide vector rows; SHJ spills since Spark 3.1)
+        a.join(b.hint("shuffle_hash"), "cent_id")
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "vec_a",
@@ -1037,7 +1046,11 @@ def _pq_train(
     assigned = _pq_assign(subv, cents)
     for _ in range(n_iters - 1):
         sums = (
-            subv.join(assigned.select("vec_id", "m", "cent_id"), ["vec_id", "m"])
+            # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
+            subv.join(
+                assigned.select("vec_id", "m", "cent_id").hint("shuffle_hash"),
+                ["vec_id", "m"],
+            )
             .select("m", "cent_id", F.posexplode("sq").alias("pos", "q"))
             .groupBy("m", "cent_id", "pos")
             .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("cnt"))
@@ -1302,7 +1315,9 @@ def pq_adc_topk(
         )
     )
     adc = (
-        codes.join(lut, ["m", "cent_id"])
+        # LUT is bounded (queries × m × k): explicit broadcast pins the
+        # build side regardless of estimates
+        codes.join(F.broadcast(lut), ["m", "cent_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
         .groupBy("query_id", "vec_id")
         .agg(F.sum("lq").alias("adc_dist"))
@@ -1345,7 +1360,8 @@ def source_centroids(
     O(sources × DIM).
     """
     meta = documents.select(F.col("doc_id").alias("vec_id"), "source")
-    joined = spread(embeddings, "vec_id").join(meta, "vec_id")
+    # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
+    joined = spread(embeddings, "vec_id").join(meta.hint("shuffle_hash"), "vec_id")
     comp = joined.select(
         "source", F.posexplode(_qvec(F.col("embedding"))).alias("pos", "q")
     )
@@ -1520,7 +1536,9 @@ def mmr_select(
         embeddings, n_queries=query_id + 1, k=n_candidates, qv=qv
     ).filter(F.col("query_id") == query_id)
     cand = tracked_persist(
-        topk.select("vec_id", F.col("cosine").alias("rel"))
+        # the top-k side is bounded (n_candidates rows): explicit
+        # broadcast pins the build side regardless of estimates
+        F.broadcast(topk.select("vec_id", F.col("cosine").alias("rel")))
         .join(qv, "vec_id")
         .select("vec_id", "rel", "qe", "norm_sq")
     )

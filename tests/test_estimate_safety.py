@@ -1,0 +1,116 @@
+"""Estimate-safety plan pins: corpus-sized joins must never ride a
+statically-planned broadcast.
+
+On a memory-sourced input (range-derived frames, foreachBatch
+backfills) Catalyst's size estimates run far under the true sizes; the
+static planner then broadcasts corpus-sized join sides and dies
+building GB-scale hash relations once the real data arrives ("Not
+enough memory to build and broadcast the table" — observed at the
+round-9 100× synthdocs probe, BASELINE.md). The pair machinery
+therefore pins every corpus × corpus join with an explicit
+shuffle_hash/merge hint. These tests construct the physical plans on
+EXACTLY the hazardous input shape — a range-derived corpus whose
+estimate is tiny — and assert no BroadcastExchange appears where none
+is intended, so a future refactor that drops a hint fails here
+instead of at scale.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from flink_snappydata_spark.pipeline import dedup as D
+from flink_snappydata_spark.pipeline import similarity as S
+from flink_snappydata_spark.pipeline import text as T
+
+
+def _physical_plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+@pytest.fixture(scope="module")
+def mem_docs(spark):
+    """Range-derived corpus: Catalyst estimates ~8 bytes/row, far under
+    the true text size — the exact shape that used to trigger static
+    corpus-side broadcasts."""
+    word = F.concat(
+        F.lit("w"),
+        F.pmod(F.xxhash64(F.col("id") * F.lit(1_000_003)), F.lit(30_000)),
+    )
+    return spark.range(50_000).select(
+        F.col("id").alias("doc_id"),
+        F.concat_ws(
+            " ", *[word.alias(f"w{j}") for j in range(12)]
+        ).alias("text"),
+        F.concat(F.lit("src"), F.pmod("id", F.lit(20))).alias("source"),
+    )
+
+
+@pytest.fixture(scope="module")
+def mem_emb(spark):
+    return spark.range(50_000).select(
+        F.col("id").alias("vec_id"),
+        F.concat(F.lit("lbl"), F.pmod("id", F.lit(10))).alias("label"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(64)),
+            lambda i: (
+                F.pmod(F.xxhash64(F.col("id") * F.lit(97) + i), F.lit(1000))
+                / F.lit(500.0)
+                - 1.0
+            ).cast("float"),
+        ).alias("embedding"),
+    )
+
+
+def test_jaccard_pair_path_never_broadcasts(mem_docs):
+    """The whole prefix-filter path (DF join, prefix self-join, packed
+    verify joins) has no intentionally-broadcast side, so ZERO
+    BroadcastExchange nodes may appear — each one would be a
+    corpus-sized build. max_set_size=None skips the giant-doc probe so
+    this is pure planning, no execution."""
+    plan = _physical_plan(
+        D.ngram_jaccard_pairs(mem_docs, threshold=0.8, max_set_size=None)
+    )
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_containment_pair_path_never_broadcasts(mem_docs):
+    plan = _physical_plan(
+        D.containment_pairs(mem_docs, threshold=0.9, max_set_size=None)
+    )
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_simhash_band_join_never_broadcasts(mem_docs):
+    plan = _physical_plan(D.simhash_dedup_pairs(mem_docs))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_typo_pairs_key_join_never_broadcasts(mem_docs):
+    plan = _physical_plan(D.typo_pairs(mem_docs))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_winnowing_pairs_df_join_never_broadcasts(mem_docs):
+    plan = _physical_plan(T.winnowing_pairs(mem_docs, sort=False))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_lsh_neardup_corpus_joins_are_shuffled(mem_emb):
+    """lsh_neardup has no bounded side at all: signature build join and
+    the bucket self-join are both corpus-sized, so no broadcast may
+    appear anywhere in its plan."""
+    plan = _physical_plan(S.lsh_neardup_pairs(mem_emb))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_kmeans_corpus_assignment_join_is_shuffled(mem_emb):
+    """kmeans broadcasts its bounded centroid frame by design; the
+    corpus × assignment join must still be a shuffle join — assert the
+    vec_id join is ShuffledHashJoin, never BroadcastHashJoin."""
+    plan = _physical_plan(S.kmeans_train(mem_emb))
+    for line in plan.splitlines():
+        if "Join [vec_id" in line and "BroadcastHashJoin" in line:
+            raise AssertionError(f"corpus join broadcast: {line.strip()[:200]}")
+    assert "ShuffledHashJoin [vec_id" in plan or "SortMergeJoin [vec_id" in plan
