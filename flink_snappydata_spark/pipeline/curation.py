@@ -75,7 +75,11 @@ def canonical_pick(
     margins = quality_model_scores(documents, sort=False).select(
         "doc_id", "margin"
     )
-    member = labels.join(margins, "doc_id")
+    # corpus × corpus — pinned shuffle join, never an estimate-driven
+    # broadcast (see dedup._prefix_index's note); same for the joins
+    # in canonical_pick/leakage_safe_split/curation_pipeline/
+    # snapshot_diff/merge_upsert below
+    member = labels.join(margins.hint("shuffle_hash"), "doc_id")
     out = member.groupBy("cluster_id").agg(
         F.max_by(
             "doc_id",
@@ -123,7 +127,9 @@ def leakage_safe_split(
     if pairs is None:
         pairs = ngram_jaccard_pairs(documents, sorted_output=False)
     labels = neardup_clusters(pairs, expect_small=False)
-    rep = documents.select("doc_id").join(labels, "doc_id", "left").select(
+    rep = documents.select("doc_id").join(
+        labels.hint("shuffle_hash"), "doc_id", "left"
+    ).select(
         "doc_id",
         F.coalesce(F.col("cluster_id"), F.col("doc_id")).alias("rep_id"),
     )
@@ -140,8 +146,8 @@ def curation_pipeline(documents: DataFrame) -> DataFrame:
     quality = quality_scores(documents).select("doc_id", "n_words", "keep")
     lang = language_id(documents).select("doc_id", "pred_lang")
     return (
-        reps.join(quality, "doc_id")
-        .join(lang, "doc_id")
+        reps.join(quality.hint("shuffle_hash"), "doc_id")
+        .join(lang.hint("shuffle_hash"), "doc_id")
         .filter(F.col("keep"))
         .select("doc_id", "n_copies", "pred_lang", "n_words")
         .orderBy("doc_id")
@@ -240,7 +246,7 @@ def snapshot_diff(documents: DataFrame) -> DataFrame:
         "doc_id", digest.alias("new_digest")
     )
     out = (
-        old.join(new, "doc_id", "full_outer")
+        old.join(new.hint("shuffle_hash"), "doc_id", "full_outer")
         .filter(
             F.col("old_digest").isNull()
             | F.col("new_digest").isNull()
@@ -304,9 +310,11 @@ def merge_upsert(documents: DataFrame) -> DataFrame:
         )
     )
     survivors = documents.select("doc_id", "text").join(
-        deletes, "doc_id", "left_anti"
+        deletes.hint("shuffle_hash"), "doc_id", "left_anti"
     )
-    merged = survivors.join(upserts, "doc_id", "full_outer").select(
+    merged = survivors.join(
+        upserts.hint("shuffle_hash"), "doc_id", "full_outer"
+    ).select(
         "doc_id",
         F.coalesce(F.col("new_text"), F.col("text")).alias("text"),
         (F.col("new_text").isNotNull() & F.col("text").isNotNull()).alias(

@@ -392,7 +392,10 @@ def per_source_cap(
     )
     rank_w = Window.partitionBy("source", "b").orderBy("hk", "doc_id")
     out = (
-        keyed.join(offsets, ["source", "b"])
+        # the offsets histogram is |sources|·n_buckets — corpus-scale
+        # with millions of sources: pinned shuffle join (see
+        # dedup._prefix_index's estimate-safety note)
+        keyed.join(offsets.hint("shuffle_hash"), ["source", "b"])
         .select(
             "doc_id",
             "source",
@@ -501,8 +504,8 @@ def bloom_membership(
     )
     truth = keys.select("key", F.lit(True).alias("is_member"))
     judged = (
-        probes.join(positives, "key", "left")
-        .join(truth, "key", "left")
+        probes.join(positives.hint("shuffle_hash"), "key", "left")
+        .join(truth.hint("shuffle_hash"), "key", "left")
         .select(
             F.coalesce(F.col("bloom_pos"), F.lit(False)).alias("pos"),
             F.coalesce(F.col("is_member"), F.lit(False)).alias("truth"),

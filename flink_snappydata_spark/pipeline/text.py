@@ -272,7 +272,9 @@ def _novelty_from_index(
     and the streaming-ingest twin (which accumulates both frames
     incrementally across micro-batches)."""
     return (
-        sh.join(dfreq, "sh")
+        # corpus × corpus — pinned shuffle join (see
+        # dedup._prefix_index's estimate-safety note)
+        sh.join(dfreq.hint("shuffle_hash"), "sh")
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_shingles"),
@@ -919,7 +921,11 @@ def _join_word_stats_skew_safe(
     aug = tf.join(F.broadcast(hot), "word", "left")
     hot_part = aug.filter(F.col(stat_col).isNotNull())
     cold_part = (
-        aug.filter(F.col(stat_col).isNull()).drop(stat_col).join(stats, "word")
+        # vocabulary × corpus-words — pinned shuffle join (the hot
+        # slice is already broadcast above; see dedup._prefix_index)
+        aug.filter(F.col(stat_col).isNull())
+        .drop(stat_col)
+        .join(stats.hint("shuffle_hash"), "word")
     )
     return hot_part.unionByName(cold_part)
 
@@ -983,7 +989,7 @@ def unigram_surprisal(documents: DataFrame, sort: bool = True) -> DataFrame:
     )
     out = (
         documents.select("doc_id")
-        .join(scored, "doc_id", "left")
+        .join(scored.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_tokens", F.lit(0)).cast("long").alias("n_tokens"),
@@ -1080,7 +1086,7 @@ def bigram_surprisal(documents: DataFrame, sort: bool = True) -> DataFrame:
     )
     out = (
         documents.select("doc_id")
-        .join(scored, "doc_id", "left")
+        .join(scored.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
@@ -1196,7 +1202,7 @@ def dsir_weights(
     )
     out = (
         documents.select("doc_id", "source")
-        .join(scored, "doc_id", "left")
+        .join(scored.hint("shuffle_hash"), "doc_id", "left")
         .select(
             "doc_id",
             "source",
@@ -1332,8 +1338,8 @@ def frequent_bigrams(documents: DataFrame, k: int = 50) -> DataFrame:
         + _floor_log2(F.col("ub"))
     )
     return (
-        bgc.join(ua, "w1")
-        .join(ub, "w2")
+        bgc.join(ua.hint("shuffle_hash"), "w1")
+        .join(ub.hint("shuffle_hash"), "w2")
         .join(F.broadcast(tot))
         .select("w1", "w2", "cnt", pmi_bits.cast("long").alias("pmi_bits"))
         .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
@@ -1608,7 +1614,7 @@ def ccnet_buckets(documents: DataFrame, sort: bool = True) -> DataFrame:
     )
     keyed = (
         documents.select("doc_id", "lang")
-        .join(scored, "doc_id")
+        .join(scored.hint("shuffle_hash"), "doc_id")
         .withColumn(
             "cell",
             F.floor(
@@ -2344,7 +2350,8 @@ def source_tv_distance(documents: DataFrame) -> DataFrame:
     )
     dec = lambda c: c.cast("decimal(38,0)")  # noqa: E731
     pair = (
-        a.join(b, "word")
+        # vocabulary × vocabulary — pinned shuffle join
+        a.join(b.hint("shuffle_hash"), "word")
         .filter(F.col("source_a") < F.col("source_b"))
         .join(F.broadcast(na), "source_a")
         .join(F.broadcast(nb), "source_b")
@@ -2479,7 +2486,7 @@ def token_drift_topk(
 
     m = (
         hist(source_a, "c_a")
-        .join(hist(source_b, "c_b"), "token", "full_outer")
+        .join(hist(source_b, "c_b").hint("shuffle_hash"), "token", "full_outer")
         .select(
             "token",
             F.coalesce("c_a", F.lit(0)).alias("c_a"),

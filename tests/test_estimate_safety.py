@@ -105,6 +105,40 @@ def test_lsh_neardup_corpus_joins_are_shuffled(mem_emb):
     assert "BroadcastExchange" not in plan, plan[:4000]
 
 
+def test_merge_upsert_corpus_joins_are_shuffled(mem_docs):
+    """MERGE's anti-join + full-outer join are snapshot × changeset —
+    both corpus-sized, so no BroadcastHashJoin may appear. (The 1-row
+    summary aggregates still crossJoin via BroadcastNestedLoop — those
+    are bounded by construction and stay.)"""
+    from flink_snappydata_spark.pipeline import curation as C
+
+    plan = _physical_plan(C.merge_upsert(mem_docs))
+    assert "BroadcastHashJoin" not in plan, plan[:4000]
+    assert "FullOuter, BuildRight" in plan or "SortMergeJoin" in plan
+
+
+def test_snapshot_diff_corpus_join_is_shuffled(mem_docs):
+    from flink_snappydata_spark.pipeline import curation as C
+
+    plan = _physical_plan(C.snapshot_diff(mem_docs))
+    assert "BroadcastHashJoin" not in plan, plan[:4000]
+
+
+def test_novelty_df_join_never_broadcasts(mem_docs):
+    """novelty's shingle ⋈ document-frequency join is corpus × corpus
+    and is also the streaming twin's state-fold shape — memory-sourced
+    by construction there."""
+    plan = _physical_plan(T.novelty_scores(mem_docs))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_per_source_cap_offsets_join_is_shuffled(mem_docs):
+    from flink_snappydata_spark.pipeline import sampling as SA
+
+    plan = _physical_plan(SA.per_source_cap(mem_docs, sort=False))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
 def test_kmeans_corpus_assignment_join_is_shuffled(mem_emb):
     """kmeans broadcasts its bounded centroid frame by design; the
     corpus × assignment join must still be a shuffle join — assert the
