@@ -88,8 +88,13 @@ def pagerank(
     base = PR_SCALE * (PR_DAMP_DEN - PR_DAMP_NUM) // PR_DAMP_DEN
     for _ in range(n_iters):
         contribs = (
+            # graph × graph — pinned shuffle join, never an
+            # estimate-driven broadcast (see dedup._prefix_index)
             edges.join(
-                ranks.select(F.col("doc_id").alias("src"), "rank"), "src"
+                ranks.select(F.col("doc_id").alias("src"), "rank").hint(
+                    "shuffle_hash"
+                ),
+                "src",
             )
             .select(
                 F.col("dst").alias("doc_id"),
@@ -98,7 +103,9 @@ def pagerank(
             .groupBy("doc_id")
             .agg(F.sum("c").alias("s"))
         )
-        ranks = nodes.join(contribs, "doc_id", "left").select(
+        ranks = nodes.join(
+            contribs.hint("shuffle_hash"), "doc_id", "left"
+        ).select(
             "doc_id",
             (
                 F.lit(base).cast("long")
@@ -166,14 +173,15 @@ def graph_triangles(documents: DataFrame) -> DataFrame:
     bc = und.select(F.col("u").alias("b"), F.col("v").alias("c"))
     ac = und.select(F.col("u").alias("a"), F.col("v").alias("c"))
     tri = (
-        ab.join(bc, "b")
-        .join(ac, ["a", "c"], "left_semi")
+        # graph × graph wedge join — pinned shuffle join
+        ab.join(bc.hint("shuffle_hash"), "b")
+        .join(ac.hint("shuffle_hash"), ["a", "c"], "left_semi")
         .agg(F.count(F.lit(1)).alias("n_triangles"))
     )
     edges_n = und.agg(F.count(F.lit(1)).alias("n_edges"))
     return (
-        edges_n.crossJoin(wedges)
-        .crossJoin(tri)
+        edges_n.crossJoin(F.broadcast(wedges))
+        .crossJoin(F.broadcast(tri))
         .select(
             F.lit(n_nodes).cast("long").alias("n_nodes"),
             "n_edges",

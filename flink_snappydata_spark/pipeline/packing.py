@@ -502,7 +502,7 @@ def zonemap_skip_stats(events: DataFrame, block_rows: int = 1024) -> DataFrame:
         F.min("min_val").alias("vmin"),
         F.max("max_val").alias("vmax"),
     )
-    j = blocks.crossJoin(bounds).select(
+    j = blocks.crossJoin(F.broadcast(bounds)).select(
         "n_rows",
         (
             F.col("max_ts")
