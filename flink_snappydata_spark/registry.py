@@ -36,52 +36,44 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 # ---------------------------------------------------------------------------
 # The correctness driver verifies registry entries front-to-back with a
 # bounded budget (50 stamps per round). Order therefore encodes
-# verification priority, not implementation grouping. Round-9 window
-# (_HEAD, 50 names), under the round-6 POLICY AMENDMENT (210 queries vs
-# a 50-stamp budget => every query re-confirmed at least every THIRD
-# round, stalest first, plus anything the round touched; local
-# tests/test_oracle_parity.py still verifies ALL 210 every pytest run,
-# so driver-stamp staleness never means unverified code, only an older
-# driver receipt):
+# verification priority, not implementation grouping.
 #
-# * slots 1-42: ALL 42 queries whose latest stamp is r06 — exactly the
-#   every-third-round cadence (r06→r09): the agg_* battery, the join
-#   family, all scalar_* families, all 6 window_* analytic shapes,
-#   star_join_revenue / broadcast_dim_join / interval_join, the
-#   streaming-adjacent carriers (events_sliding_window,
-#   stream_join_rowlevel, grouped_zscore, mappartitions_identity), the
-#   multimodal/packing/sampling carriers (image_decode_stats,
-#   multimodal_features, seq_packing, global_index, shard_stats,
-#   train_val_test_split, doc_chunking, frequent_tokens), and the
-#   sort/set-op carriers (topk_orders, distinct_pairs, set_ops_nations,
-#   pivot_revenue, subquery_above_nation_avg). Their modules are
-#   untouched since their stamps — age-only re-stamps;
-# * slots 43-50: the 8 highest-value never-stamped queries (round-8
-#   verdict task 3): join_full_outer / agg_mode / weighted_median_price
-#   (the §2-adjacent relational closers) and the 5 unstamped
-#   stream→table twins (cms/ohlc/drift/rollup/scd2_streamed — the
-#   reference's signature continuous-ingest loop, pom.xml:17-21).
+# ROUND-10 POLICY AMENDMENT (budget math, superseding the round-6
+# "every third round" cadence): with 210 registered queries and a
+# 50-stamp budget, the tightest cadence any rotation can sustain is
+# every ceil(210/50) = FIFTH round — 50 stamps/round * 4 rounds = 200
+# < 210, so a 3- or even 4-round cadence is structurally
+# unsatisfiable once every query has been stamped at least once (the
+# same arithmetic that forced the round-8 amendment when never-stamped
+# backlog first exceeded the window). Effective policy, pinned by
+# tests/test_oracle_parity.py::test_stamp_rotation_covers_stale_and_
+# unstamped:
 #
-# Round-9 touched set (estimate-safety join hints in pipeline/dedup.py
-# + winnowing_pairs; DECIMAL hardening in seasonal_anomaly;
-# email_domain_stats default flip — values identical in every case,
-# plan/arithmetic/signature changes only): the touched queries with
-# existing stamps (dedup_minhash/ngram_jaccard/simhash/clusters,
-# source_contamination — r07; line_dedup, canonical_pick, dedup_report
-# — r08) are NOT re-windowed — the 42 cadence re-stamps are
-# non-displaceable and the 8 never-stamped slots are the round-8
-# verdict's explicit task-3 directive; all touched queries are
-# oracle-verified locally every pytest run and their r07/r08 stamps
-# hit the every-third-round cadence in r10/r11 regardless.
+# (a) every query whose latest stamp is ceil(len(QUERIES)/50)+ rounds
+#     old is inside the window (cadence floor, threshold derived from
+#     the live registry size so it tightens/relaxes with the budget
+#     math instead of silently rotting);
+# (b) never-stamped queries are inside the window or head the
+#     post-window order (new work first in line, never buried);
+# (c) remaining slots go stalest-first.
 #
-# The remaining 71 never-stamped round-8 operators head _R10_QUEUE
-# (never-stamped ⇒ window-mandatory next round; they exceed the 50-slot
-# budget minus this round's 42 mandatory re-stamps, so r10 takes the
-# first 50 of the queue in order and r11 finishes the backlog plus the
-# r07-stamp rotation within the every-third-round cadence). They are
-# fully verified locally every pytest run via test_oracle_parity plus
-# the semantic tests in tests/test_round8_ops.py — driver-stamp
-# pending, not unverified.
+# Local tests/test_oracle_parity.py still verifies ALL 210 queries
+# against their DuckDB oracles every pytest run, so driver-stamp
+# staleness never means unverified code, only an older driver receipt.
+#
+# Round-10 window (_HEAD, 50 names) — exactly the round-9 verdict's
+# task-1 directive: the first 50 names of the r09 _R10_QUEUE, ALL
+# never-stamped (rollup_multires … funnel_latency, the round-8
+# OLAP/profiling/graph/text battery, in queue order). No stamped query
+# is cadence-due at r10 under (a): the stalest stamps are r07
+# (staleness 3 < 5). The 21 remaining never-stamped names head
+# _R11_QUEUE per (b); the r07-stamped battery (39 queries, staleness 4
+# at r11) fills r11's remaining 29 slots stalest-first per (c) and the
+# final 10 follow at r12 alongside the r08 rotation.
+#
+# All 71 queue entries are fully verified locally every pytest run via
+# test_oracle_parity plus the semantic tests in tests/test_round8_ops.py
+# — driver-stamp pending, not unverified.
 
 #: The round this _HEAD window was built for. The rotation tripwire
 #: (tests/test_oracle_parity.py::test_stamp_rotation_covers_stale_and_
@@ -89,69 +81,10 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 #: max(stamp files)+1, so the suite a round ships stays green both
 #: before and after the driver writes its CORRECTNESS_r{N}.json — and
 #: goes red only if a round closes without rotating the window.
-_HEAD_ROUND = 9
+_HEAD_ROUND = 10
 
 _HEAD = [
-    # -- stalest (r06-stamped): the full 42-query set, cadence-mandatory --
-    "agg_cube",
-    "agg_distinct",
-    "agg_grouping_sets",
-    "agg_having",
-    "agg_rollup",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_band",
-    "join_nonequi",
-    "star_join_revenue",
-    "broadcast_dim_join",
-    "interval_join",
-    "scalar_string",
-    "scalar_date",
-    "scalar_math",
-    "scalar_json",
-    "scalar_array",
-    "scalar_map",
-    "scalar_conditional",
-    "window_rank",
-    "window_running_sum",
-    "window_lag_lead",
-    "window_range_frame",
-    "window_distribution",
-    "topk_orders",
-    "distinct_pairs",
-    "set_ops_nations",
-    "pivot_revenue",
-    "subquery_above_nation_avg",
-    "events_sliding_window",
-    "stream_join_rowlevel",
-    "grouped_zscore",
-    "mappartitions_identity",
-    "image_decode_stats",
-    "multimodal_features",
-    "seq_packing",
-    "global_index",
-    "shard_stats",
-    "train_val_test_split",
-    "doc_chunking",
-    "frequent_tokens",
-    # -- never stamped: the 8 highest-value backlog entries --
-    "join_full_outer",
-    "agg_mode",
-    "weighted_median_price",
-    "cms_streamed",
-    "ohlc_streamed",
-    "drift_streamed",
-    "rollup_streamed",
-    "scd2_streamed",
-]
-
-#: The r10 stamp queue: the 71 still-never-stamped round-8 operators,
-#: placed IMMEDIATELY after the 50-slot window in declaration order so
-#: the next round's front-to-back stamping reaches them first. The
-#: rotation test pins this position (never-stamped overflow must head
-#: the post-window order — budget-bounded verification, nothing buried).
-_R10_QUEUE: list[str] = [
+    # -- never stamped: first 50 of the r09 queue, in queue order --
     "rollup_multires",
     "random_projection",
     "hard_negatives",
@@ -202,6 +135,16 @@ _R10_QUEUE: list[str] = [
     "token_drift_topk",
     "rfm_segments",
     "funnel_latency",
+]
+
+#: The r11 stamp queue: the 21 still-never-stamped round-8 operators,
+#: placed IMMEDIATELY after the 50-slot window in declaration order so
+#: the next round's front-to-back stamping reaches them first. The
+#: rotation test pins this position (never-stamped overflow must head
+#: the post-window order — budget-bounded verification, nothing
+#: buried). r11's remaining 29 slots go to the r07-stamped battery,
+#: stalest-first.
+_R11_QUEUE: list[str] = [
     "activity_gini",
     "embedding_top_pc",
     "zipf_fit",
@@ -229,17 +172,20 @@ _TAIL: list[str] = []
 
 
 def _reorder() -> None:
-    global QUERIES
-    order = _HEAD + _R10_QUEUE + _TAIL
+    order = _HEAD + _R11_QUEUE + _TAIL
     missing = [n for n in order if n not in QUERIES]
     if missing:  # pragma: no cover - guards registry edits
         raise KeyError(f"unknown registry entries in order lists: {missing}")
     middle = [
-        n for n in QUERIES if n not in _HEAD and n not in _R10_QUEUE and n not in _TAIL
+        n for n in QUERIES if n not in _HEAD and n not in _R11_QUEUE and n not in _TAIL
     ]
-    QUERIES = {
-        n: QUERIES[n] for n in _HEAD + _R10_QUEUE + middle + _TAIL
-    }
+    ordered = {n: QUERIES[n] for n in _HEAD + _R11_QUEUE + middle + _TAIL}
+    # Reorder IN PLACE: QUERIES is the same dict object the specs
+    # package exports, so mutating (rather than rebinding) keeps
+    # specs.QUERIES and registry.QUERIES identical — any importer sees
+    # the driver-stamp order, not raw registration order.
+    QUERIES.clear()
+    QUERIES.update(ordered)
 
 
 _reorder()

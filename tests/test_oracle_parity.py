@@ -181,17 +181,26 @@ def test_round8_queries_match_oracle_at_smoke_scale(spark, name):
 
 
 def test_stamp_rotation_covers_stale_and_unstamped():
-    """Budget-bounded rotation hygiene, pinned as data (round-8 policy
-    amendment: the original "every never-stamped query is inside the
-    window" pin became structurally unsatisfiable once a round added
-    more new operators than the 50-slot budget minus its mandatory
-    re-stamps — 38 never-stamped + 27 three-round-stale > 50). The
-    satisfiable invariants, each still checked strictly:
+    """Budget-bounded rotation hygiene, pinned as data.
 
-    (a) every query whose latest stamp is 3+ rounds old is inside the
-        window (the every-third-round cadence never slips);
+    ROUND-10 POLICY AMENDMENT (budget math): the round-6 "every third
+    round" cadence became structurally unsatisfiable once all 210
+    queries existed — 50 stamps/round x 4 rounds = 200 < 210, so no
+    rotation can re-stamp every query within 4 rounds, let alone 3.
+    (Same arithmetic as the round-8 amendment, which relaxed the
+    original "every never-stamped query is inside the window" pin when
+    the new-operator backlog first exceeded the window.) The staleness
+    threshold is therefore DERIVED from the live registry size:
+    ceil(len(QUERIES) / 50) rounds — the tightest cadence the budget
+    can sustain — so it tightens or relaxes with the actual math
+    instead of hard-coding a number that silently rots.
+
+    The satisfiable invariants, each still checked strictly:
+
+    (a) every query whose latest stamp is >= threshold rounds old is
+        inside the window (the cadence floor never slips);
     (b) every never-stamped query is inside the window OR heads the
-        post-window declaration order (the r09 queue) — new work is
+        post-window declaration order (the r11 queue) — new work is
         first in line next round, never buried behind stamped queries;
     (c) the window itself carries no filler: every slot is either
         never-stamped or already stamped (i.e. a re-proof/rotation
@@ -203,6 +212,7 @@ def test_stamp_rotation_covers_stale_and_unstamped():
     """
     import glob
     import json
+    import math
     import re
 
     from flink_snappydata_spark.registry import _HEAD, _HEAD_ROUND, QUERIES
@@ -223,11 +233,14 @@ def test_stamp_rotation_covers_stale_and_unstamped():
         f"_HEAD window built for r{_HEAD_ROUND} but driver stamps reach "
         f"r{max(stamps.values())}: rotate _HEAD and bump _HEAD_ROUND"
     )
+    threshold = math.ceil(len(QUERIES) / len(_HEAD))
     window = set(_HEAD)
     never = {n for n in QUERIES if n not in stamps}
-    stale = {n for n, r in stamps.items() if n in QUERIES and this_round - r >= 3}
+    stale = {
+        n for n, r in stamps.items() if n in QUERIES and this_round - r >= threshold
+    }
     assert stale <= window, (
-        f"3+-round-stale outside window: {sorted(stale - window)}"
+        f"{threshold}+-round-stale outside window: {sorted(stale - window)}"
     )
     overflow = never - window
     queue_slots = list(QUERIES)[len(_HEAD) : len(_HEAD) + len(overflow)]
@@ -235,3 +248,17 @@ def test_stamp_rotation_covers_stale_and_unstamped():
         "never-stamped overflow must occupy the first post-window "
         f"slots; misplaced: {sorted(overflow - set(queue_slots))}"
     )
+
+
+def test_registry_and_specs_share_one_ordered_dict():
+    """registry._reorder() must reorder the shared QUERIES dict IN
+    PLACE (clear + update), never rebind — otherwise
+    flink_snappydata_spark.specs.QUERIES (and specs.base.QUERIES) keep
+    raw registration order and any importer of the specs package
+    silently sees the wrong driver-stamp order."""
+    from flink_snappydata_spark import registry, specs
+    from flink_snappydata_spark.specs import base
+
+    assert registry.QUERIES is specs.QUERIES
+    assert registry.QUERIES is base.QUERIES
+    assert list(registry.QUERIES)[: len(registry._HEAD)] == registry._HEAD
