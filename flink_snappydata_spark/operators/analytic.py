@@ -126,7 +126,10 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
     map-side-collapsed distinct over (user, day), and one user-keyed
     join — all three shuffles share the ``user_id`` partitioning, so
     Catalyst reuses one exchange; the final matrix is O(days²/2) rows,
-    aggregated map-side. No windows, no per-user state.
+    aggregated map-side. No windows, no per-user state. The user join
+    is corpus × corpus (both sides per-user frames), so it carries the
+    estimate-independence pin: an explicit shuffle_hash hint, never a
+    static size-estimate broadcast (tests/test_estimate_safety.py).
     """
     first = events.groupBy("user_id").agg(
         F.min(F.date_trunc("day", F.col("ts"))).alias("cohort_day")
@@ -136,7 +139,7 @@ def retention_cohorts(events: DataFrame) -> DataFrame:
         .distinct()
     )
     return (
-        active.join(first, "user_id")
+        active.join(first.hint("shuffle_hash"), "user_id")
         .groupBy(
             "cohort_day",
             F.datediff(F.col("day"), F.col("cohort_day"))
@@ -162,6 +165,11 @@ def ordered_funnel(events: DataFrame) -> DataFrame:
     back on ``user_id`` — every shuffle is on the same key (one
     exchange reused), state per user is three timestamps, and event
     rows are filtered to the three funnel types before any shuffle.
+    Every join is corpus × corpus (typed events vs per-user stage
+    frames), so each carries the estimate-independence shuffle_hash
+    pin — on garbage estimates (memory-sourced events) Catalyst would
+    otherwise statically broadcast a corpus-sized stage frame
+    (tests/test_estimate_safety.py).
     """
     typed = events.filter(
         F.col("event_type").isin("view", "click", "purchase")
@@ -171,21 +179,21 @@ def ordered_funnel(events: DataFrame) -> DataFrame:
     )
     t2 = (
         typed.filter(F.col("event_type") == "click")
-        .join(t1, "user_id")
+        .join(t1.hint("shuffle_hash"), "user_id")
         .filter(F.col("ts") > F.col("t_view"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_click"))
     )
     t3 = (
         typed.filter(F.col("event_type") == "purchase")
-        .join(t2, "user_id")
+        .join(t2.hint("shuffle_hash"), "user_id")
         .filter(F.col("ts") > F.col("t_click"))
         .groupBy("user_id")
         .agg(F.min("ts").alias("t_purchase"))
     )
     return (
-        t1.join(t2, "user_id", "left")
-        .join(t3, "user_id", "left")
+        t1.join(t2.hint("shuffle_hash"), "user_id", "left")
+        .join(t3.hint("shuffle_hash"), "user_id", "left")
         .select(
             "user_id",
             "t_view",
@@ -838,7 +846,11 @@ def itemset_pairs(events: DataFrame) -> DataFrame:
     user by the type vocabulary (k(k-1)/2 pairs from k ≤ |vocab|
     types), so its output is at most vocab²/2 per user — never
     corpus². Per-item user counts reuse the same distinct frame, and
-    the lift join runs on the vocab²-sized pair histogram.
+    the lift join runs on the vocab²-sized pair histogram. The
+    user-co-partitioned self-join is corpus × corpus, so it carries
+    the estimate-independence shuffle_hash pin; the per-item lift
+    sides stay explicit vocabulary-bounded broadcasts
+    (tests/test_estimate_safety.py).
     """
     u = events.select("user_id", "event_type").distinct()
     n_total = u.select("user_id").distinct().count()
@@ -848,7 +860,7 @@ def itemset_pairs(events: DataFrame) -> DataFrame:
     a = u.select("user_id", F.col("event_type").alias("item_a"))
     b = u.select("user_id", F.col("event_type").alias("item_b"))
     pairs = (
-        a.join(b, "user_id")
+        a.join(b.hint("shuffle_hash"), "user_id")
         .filter(F.col("item_a") < F.col("item_b"))
         .groupBy("item_a", "item_b")
         .agg(F.count(F.lit(1)).alias("n_users"))
@@ -1264,7 +1276,9 @@ def funnel_latency(events: DataFrame) -> DataFrame:
     shuffle; first-view is one map-side-combined min per user; the
     qualifying-purchase min is ONE user-co-partitioned join + agg (the
     chained-conditional-min `ordered_funnel` shape). Everything after
-    the user frame is a single-row aggregate.
+    the user frame is a single-row aggregate. The purchase ⋈ v0 join
+    is corpus × corpus, so it carries the estimate-independence
+    shuffle_hash pin (tests/test_estimate_safety.py).
     """
     ts_s = F.unix_seconds(F.col("ts").cast("timestamp"))
     v0 = (
@@ -1275,7 +1289,7 @@ def funnel_latency(events: DataFrame) -> DataFrame:
     lat = (
         events.filter(F.col("event_type") == "purchase")
         .select("user_id", ts_s.alias("pt"))
-        .join(v0, "user_id")
+        .join(v0.hint("shuffle_hash"), "user_id")
         .filter(F.col("pt") > F.col("v0"))
         .groupBy("user_id")
         .agg((F.min("pt") - F.min("v0")).alias("latency_s"))

@@ -73,10 +73,20 @@ def streaming_wordcount_ingest(
     return ingest_stream_to_tables(
         stream_docs,
         [(counts_table, None)],
-        prepare=lambda batch_df: tokenize(batch_df)
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("cnt")),
+        prepare=wordcount_partials,
         checkpoint=checkpoint,
+    )
+
+
+def wordcount_partials(batch_df: DataFrame) -> DataFrame:
+    """One batch's per-word count partials ``(word, cnt)`` — the
+    :func:`streaming_wordcount_ingest` prepare step, module-level so
+    the fold scale probe (``tools/scale_probe.py`` mode ``folds``)
+    lands the identical state batch-side."""
+    return (
+        tokenize(batch_df)
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("cnt"))
     )
 
 

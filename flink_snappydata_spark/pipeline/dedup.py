@@ -1068,14 +1068,22 @@ def streaming_dedup_ingest(
     return ingest_stream_to_tables(
         stream_docs,
         [(parts_table, None)],
-        prepare=lambda batch_df: batch_df.groupBy(
-            F.sha2(F.col("text").cast("binary"), 256).alias("digest")
-        ).agg(
-            F.min("doc_id").alias("doc_id"),
-            F.count(F.lit(1)).alias("n_copies"),
-            F.min_by("text", "doc_id").alias("text"),
-        ),
+        prepare=dedup_partials,
         checkpoint=checkpoint,
+    )
+
+
+def dedup_partials(batch_df: DataFrame) -> DataFrame:
+    """One batch's per-digest dedup partials — the
+    :func:`streaming_dedup_ingest` prepare step, module-level so the
+    fold scale probe (``tools/scale_probe.py`` mode ``folds``) lands
+    the identical state batch-side."""
+    return batch_df.groupBy(
+        F.sha2(F.col("text").cast("binary"), 256).alias("digest")
+    ).agg(
+        F.min("doc_id").alias("doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+        F.min_by("text", "doc_id").alias("text"),
     )
 
 

@@ -250,16 +250,19 @@ def streaming_mix_ingest(
         stream_docs,
         [
             (docs_table, None),
-            (
-                totals_table,
-                lambda feats: feats.groupBy("source").agg(
-                    F.sum("n_tokens").alias("tok")
-                ),
-            ),
+            (totals_table, mix_total_partials),
         ],
         prepare=lambda batch_df: _doc_mix_features(batch_df, salt),
         checkpoint=checkpoint,
     )
+
+
+def mix_total_partials(feats: DataFrame) -> DataFrame:
+    """One batch's per-source token-total partials ``(source, tok)`` —
+    the :func:`streaming_mix_ingest` totals-table build, module-level
+    so the fold scale probe (``tools/scale_probe.py`` mode ``folds``)
+    lands the identical state batch-side."""
+    return feats.groupBy("source").agg(F.sum("n_tokens").alias("tok"))
 
 
 def mix_from_state(

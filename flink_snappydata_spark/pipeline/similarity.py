@@ -520,23 +520,28 @@ def streaming_centroid_ingest(
         ingest_stream_to_tables,
     )
 
-    def _partials(batch_df: DataFrame) -> DataFrame:
-        comp = batch_df.select(
-            "label",
-            F.posexplode(_qvec(F.col("embedding"))).alias("pos", "q"),
-        )
-        return comp.groupBy(
-            "label", F.col("pos").cast("long").alias("pos")
-        ).agg(
-            F.sum("q").alias("s"),
-            F.count(F.lit(1)).alias("c"),
-        )
-
     return ingest_stream_to_tables(
         stream_embeddings,
         [(partials_table, None)],
-        prepare=_partials,
+        prepare=centroid_partials,
         checkpoint=checkpoint,
+    )
+
+
+def centroid_partials(batch_df: DataFrame) -> DataFrame:
+    """One batch's per-(label, pos) running-mean partials ``(label,
+    pos, s, c)`` — the :func:`streaming_centroid_ingest` prepare step,
+    module-level so the fold scale probe (``tools/scale_probe.py``
+    mode ``folds``) lands the identical state batch-side."""
+    comp = batch_df.select(
+        "label",
+        F.posexplode(_qvec(F.col("embedding"))).alias("pos", "q"),
+    )
+    return comp.groupBy(
+        "label", F.col("pos").cast("long").alias("pos")
+    ).agg(
+        F.sum("q").alias("s"),
+        F.count(F.lit(1)).alias("c"),
     )
 
 

@@ -331,16 +331,19 @@ def streaming_novelty_ingest(
         stream_docs,
         [
             (index_table, None),
-            (
-                counts_table,
-                lambda sh: sh.groupBy("sh").agg(
-                    F.count(F.lit(1)).alias("cnt")
-                ),
-            ),
+            (counts_table, novelty_count_partials),
         ],
         prepare=lambda batch_df: shingles(batch_df, n),
         checkpoint=checkpoint,
     )
+
+
+def novelty_count_partials(sh: DataFrame) -> DataFrame:
+    """One batch's per-shingle DF-count partials ``(sh, cnt)`` — the
+    :func:`streaming_novelty_ingest` counts-table build, module-level
+    so the fold scale probe (``tools/scale_probe.py`` mode ``folds``)
+    lands the identical state batch-side."""
+    return sh.groupBy("sh").agg(F.count(F.lit(1)).alias("cnt"))
 
 
 def novelty_from_state(

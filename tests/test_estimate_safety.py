@@ -139,6 +139,119 @@ def test_per_source_cap_offsets_join_is_shuffled(mem_docs):
     assert "BroadcastExchange" not in plan, plan[:4000]
 
 
+@pytest.fixture(scope="module")
+def mem_events(spark):
+    """Range-derived events: the memory-sourced shape a foreachBatch
+    backfill feeds the OLAP operators — Catalyst estimates ~8
+    bytes/row, so any unpinned corpus-sized join side gets statically
+    broadcast (the round-9 OOM class, now swept across operators/)."""
+    return spark.range(100_000).select(
+        F.col("id").alias("event_id"),
+        (
+            F.to_timestamp(F.lit("2024-01-01"))
+            + F.make_interval(secs=F.col("id") % 864000)
+        ).alias("ts"),
+        F.pmod(F.col("id"), F.lit(5000)).alias("user_id"),
+        F.element_at(
+            F.array(
+                F.lit("view"), F.lit("click"), F.lit("purchase"),
+                F.lit("error"), F.lit("signup"),
+            ),
+            (F.pmod(F.col("id"), F.lit(5)) + 1).cast("int"),
+        ).alias("event_type"),
+        (F.pmod(F.col("id"), F.lit(9999)) / 100.0).alias("value"),
+    )
+
+
+def _no_user_keyed_broadcast(plan: str) -> None:
+    """Corpus frames in the events ops are always user_id-keyed; a
+    BroadcastHashJoin on user_id is therefore a corpus-sized build."""
+    for line in plan.splitlines():
+        if "BroadcastHashJoin [user_id" in line:
+            raise AssertionError(f"corpus join broadcast: {line.strip()[:200]}")
+
+
+def test_retention_cohorts_user_join_never_broadcasts(mem_events):
+    """active ⋈ first is per-user × per-user — corpus both sides; the
+    only join in the op, so the whole plan must be broadcast-free."""
+    from flink_snappydata_spark.operators import analytic as A
+
+    plan = _physical_plan(A.retention_cohorts(mem_events))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_ordered_funnel_stage_joins_never_broadcast(mem_events):
+    """All four stage joins are corpus × corpus per-user frames —
+    Catalyst statically broadcast FIVE of them on range-derived input
+    before the pin."""
+    from flink_snappydata_spark.operators import analytic as A
+
+    plan = _physical_plan(A.ordered_funnel(mem_events))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_funnel_latency_user_join_never_broadcasts(mem_events):
+    from flink_snappydata_spark.operators import analytic as A
+
+    plan = _physical_plan(A.funnel_latency(mem_events))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_itemset_pairs_self_join_never_broadcasts(mem_events):
+    """The user-co-partitioned self-join is corpus × corpus and must
+    shuffle; the per-item lift sides stay vocabulary-bounded explicit
+    broadcasts — so assert no user_id-keyed broadcast specifically."""
+    from flink_snappydata_spark.operators import analytic as A
+
+    plan = _physical_plan(A.itemset_pairs(mem_events))
+    _no_user_keyed_broadcast(plan)
+    assert "ShuffledHashJoin [user_id" in plan or "SortMergeJoin [user_id" in plan
+
+
+def test_rolling_active_users_broadcasts_only_day_grid(mem_events):
+    """The corpus-sized frames here are (day, user)-keyed; every
+    broadcast join must be keyed on the calendar-bounded day_s grid."""
+    from flink_snappydata_spark.operators import analytic as A
+
+    plan = _physical_plan(A.rolling_active_users(mem_events))
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and "[day_s" not in line:
+            raise AssertionError(f"non-grid broadcast: {line.strip()[:200]}")
+
+
+def test_timeline_gapfill_broadcasts_only_hour_grid(mem_events):
+    """grid ⋈ hourly is grid-bounded both sides (hours × types), so a
+    broadcast is safe at any corpus size — but it must be keyed on the
+    grid, never on a corpus key."""
+    from flink_snappydata_spark.operators import analytic as A
+
+    plan = _physical_plan(A.timeline_gapfill(mem_events))
+    for line in plan.splitlines():
+        if "BroadcastHashJoin" in line and "[bucket_start" not in line:
+            raise AssertionError(f"non-grid broadcast: {line.strip()[:200]}")
+
+
+def test_type_lag_correlation_broadcasts_only_type_day_grid(mem_events):
+    """Every join runs on the (types × days) calendar-bounded grid;
+    broadcast keys must be grid keys (t/d/db), never corpus keys."""
+    from flink_snappydata_spark.operators import analytic as A
+
+    plan = _physical_plan(A.type_lag_correlation(mem_events))
+    _no_user_keyed_broadcast(plan)
+    assert "BroadcastHashJoin [event_id" not in plan
+
+
+def test_scd2_interval_build_has_no_joins(mem_events):
+    """scd2_state_intervals is a pure user-keyed window build — the
+    streaming twin's fold shape. Pin: no join machinery at all may
+    appear, so estimate garbage has nothing to misplan."""
+    from flink_snappydata_spark.operators import analytic as A
+
+    plan = _physical_plan(A.scd2_state_intervals(mem_events))
+    for marker in ("BroadcastExchange", "CartesianProduct", "HashJoin"):
+        assert marker not in plan, plan[:4000]
+
+
 def test_kmeans_corpus_assignment_join_is_shuffled(mem_emb):
     """kmeans broadcasts its bounded centroid frame by design; the
     corpus × assignment join must still be a shuffle join — assert the

@@ -49,6 +49,7 @@ from flink_snappydata_spark.pipeline import dedup as D
 from flink_snappydata_spark.pipeline import multimodal as M
 from flink_snappydata_spark.pipeline import packing as _packing
 from flink_snappydata_spark.operators import analytic as A
+from flink_snappydata_spark.operators import wordcount as _wordcount
 from flink_snappydata_spark.operators import profiling as _profiling
 from flink_snappydata_spark.operators import relational as R
 from flink_snappydata_spark.pipeline import graph as GR
@@ -408,6 +409,157 @@ def synthetic_documents(spark, n_docs):
     )
 
 
+# ---------------------------------------------------------------------------
+# Streaming-twin fold probes (SPARK_GRAFT_PROBE_MODE=folds)
+# ---------------------------------------------------------------------------
+# The 10 *_from_state folds read state a foreachBatch loop accumulated
+# into batch_id-partitioned catalog tables. The probe lands Nx state
+# BATCH-SIDE (no triggers): the replicated input is split into
+# SPARK_GRAFT_PROBE_BATCHES pseudo-micro-batches by id hash, each run
+# through the twin's REAL prepare/build functions and landed via the
+# REAL land_batch_partition() path — so the fold reads exactly the
+# parquet state shape production accumulates, just N times more of it.
+# Only the fold is timed.
+
+#: name -> (input kind, prepare, [(table-kind suffix, build|None)], fold)
+#: prepare/build are the module-level functions the streaming ingest
+#: itself uses (extracted in round 10 so probe and ingest cannot drift).
+FOLD_OPS = {
+    "wordcount_from_state": (
+        "documents",
+        lambda b: _wordcount.wordcount_partials(b),
+        [("cnt", None)],
+        lambda spark, t: _wordcount.wordcount_from_state(spark, t[0]),
+    ),
+    "cms_from_state": (
+        "documents",
+        lambda b: _wordcount.wordcount_partials(b),
+        [("cnt", None)],
+        lambda spark, t: T.cms_from_state(spark, t[0]),
+    ),
+    "dedup_from_state": (
+        "documents",
+        lambda b: D.dedup_partials(b),
+        [("parts", None)],
+        lambda spark, t: D.dedup_from_state(spark, t[0]),
+    ),
+    "novelty_from_state": (
+        "documents",
+        lambda b: D.shingles(b, 3),
+        [("idx", None), ("cnt", T.novelty_count_partials)],
+        lambda spark, t: T.novelty_from_state(spark, t[0], t[1]),
+    ),
+    "mix_from_state": (
+        "documents_src",
+        lambda b: _sampling._doc_mix_features(b, _sampling.MIX_SALT),
+        [("docs", None), ("tot", _sampling.mix_total_partials)],
+        lambda spark, t: _sampling.mix_from_state(spark, t[0], t[1]),
+    ),
+    "centroids_from_state": (
+        "embeddings",
+        lambda b: S.centroid_partials(b),
+        [("part", None)],
+        lambda spark, t: S.centroids_from_state(spark, t[0]),
+    ),
+    "rollup_from_state": (
+        "events",
+        lambda b: W._hourly_rollup(b),
+        [("hourly", None)],
+        lambda spark, t: W.rollup_from_state(spark, t[0]),
+    ),
+    "ohlc_from_state": (
+        "events",
+        lambda b: A._ohlc_partials(b),
+        [("part", None)],
+        lambda spark, t: W.ohlc_from_state(spark, t[0]),
+    ),
+    "drift_from_state": (
+        "events",
+        lambda b: A._drift_partials(b),
+        [("part", None)],
+        lambda spark, t: W.drift_from_state(spark, t[0]),
+    ),
+    "scd2_from_state": (
+        "events",
+        lambda b: b.select("user_id", "event_id", "ts", "event_type"),
+        [("ev", None)],
+        lambda spark, t: W.scd2_from_state(spark, t[0]),
+    ),
+}
+
+#: Pseudo-micro-batch count for landed fold state (production twins
+#: run 2-file streams in tests; real ingest accumulates many batches).
+FOLD_BATCHES = int(os.environ.get("SPARK_GRAFT_PROBE_BATCHES", "8"))
+
+_FOLD_KEY = {"documents": "doc_id", "documents_src": "doc_id",
+             "embeddings": "vec_id", "events": "event_id"}
+
+
+def _land_fold_state(spark, df, name, kind, prepare, outputs):
+    """Land one twin's state tables batch-side and return their names."""
+    import uuid
+
+    from flink_snappydata_spark.streaming.runtime import land_batch_partition
+
+    tag = uuid.uuid4().hex[:8]
+    tables = [f"probe_fold_{suffix}_{tag}" for suffix, _ in outputs]
+    key = _FOLD_KEY[kind]
+    for b in range(FOLD_BATCHES):
+        part = df.filter(F.pmod(F.hash(F.col(key)), F.lit(FOLD_BATCHES)) == b)
+        base = prepare(part)
+        if len(outputs) > 1:
+            base = base.localCheckpoint()  # fan-out: materialize once
+        for table, (_, build) in zip(tables, outputs):
+            land_batch_partition(build(base) if build else base, table, b)
+    for table in tables:
+        spark.catalog.refreshTable(table)
+    return tables
+
+
+def _probe_folds(spark, factor, median_time, wanted):
+    ops = (
+        {n: FOLD_OPS[n] for n in wanted.split(",")}
+        if wanted
+        else dict(FOLD_OPS)
+    )
+    docs1 = load_table(spark, SF_DIR, "documents").select(
+        "doc_id", "text", "source"
+    )
+    emb1 = load_table(spark, SF_DIR, "embeddings")
+    ev1 = load_table(spark, SF_DIR, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value"
+    )
+    inputs = {
+        "documents": (docs1.drop("source"),
+                      replicated_documents(docs1, factor)),
+        # replicated docs lose the source column; re-derive a 20-way
+        # deterministic split on both sides so mix state is comparable
+        "documents_src": tuple(
+            d.withColumn(
+                "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+            )
+            for d in (docs1.drop("source"), replicated_documents(docs1, factor))
+        ),
+        "embeddings": (emb1, replicated_embeddings(emb1, factor)),
+        "events": (ev1, replicated_events(ev1, factor)),
+    }
+    print(
+        f"ROWS base docs={docs1.count()} emb={emb1.count()} "
+        f"events={ev1.count()} factor={factor} batches={FOLD_BATCHES}"
+    )
+    for name, (kind, prepare, outputs, fold) in ops.items():
+        times = []
+        for df in inputs[kind]:
+            tables = _land_fold_state(spark, df, name, kind, prepare, outputs)
+            try:
+                times.append(median_time(lambda: fold(spark, tables)))
+            finally:
+                for t in tables:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+        base, scaled = times
+        print(f"PROBE | {name} | {base:.3f} | {scaled:.3f} | {scaled / base:.2f} |")
+
+
 def main() -> None:
     factor = int(os.environ.get("SPARK_GRAFT_PROBE_FACTOR", "10"))
     reps = int(os.environ.get("SPARK_GRAFT_PROBE_REPS", "3"))
@@ -424,6 +576,10 @@ def main() -> None:
             thunk().write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         return sorted(runs)[len(runs) // 2]
+
+    if mode == "folds":
+        _probe_folds(spark, factor, median_time, wanted)
+        return
 
     if mode == "synthdocs":
         ops = (
