@@ -478,9 +478,15 @@ def seasonal_anomaly(events: DataFrame, z: int = 2) -> DataFrame:
         .select(
             "event_type", "day", "hour", "cnt",
             "n_base", "sum_base",
-            # reporting column stays BIGINT (oracle-portable schema);
-            # the flag above already used the exact decimal value
-            F.col("sumsq_base").cast("long").alias("sumsq_base"),
+            # Reporting column stays BIGINT (oracle-portable schema);
+            # the flag above already used the exact decimal value.
+            # try_cast: past ~1e18 (slot Σcnt² beyond int64) the
+            # REPORTED statistic comes back NULL — "out of int64
+            # reporting range", never "no baseline" (n_base is always
+            # ≥1 on a joined row) — instead of non-ANSI cast's silent
+            # wrap-to-garbage. The anomaly flag stays exact at any
+            # scale either way.
+            F.col("sumsq_base").try_cast("long").alias("sumsq_base"),
             (dev * dev > F.lit(z * z) * var_nsq).alias("is_anomaly"),
         )
         .orderBy("event_type", "day", "hour")

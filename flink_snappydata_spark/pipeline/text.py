@@ -2063,6 +2063,7 @@ def bpe_encode_stats(
     n_merges: int = 8,
     max_word_len: int = 24,
     keep_cols: tuple[str, ...] = (),
+    allow_short_merge_table: bool = False,
 ) -> DataFrame:
     """Apply a trained BPE merge table to the corpus and return exact
     per-document tokenization stats ``(doc_id, n_words, n_alpha_chars,
@@ -2104,12 +2105,18 @@ def bpe_encode_stats(
         # oracles cross-join all n_merges one-row b{i} CTEs — an empty
         # b{i} silently empties the oracle's encode frame, turning a
         # training shortfall into a bogus all-zero parity "result".
-        if len(merges) != n_merges:
+        # The guard protects the oracle-parity contract; a genuinely
+        # small corpus is a VALID library input (the Spark-side encode
+        # with fewer merges is correct), so such callers opt out with
+        # allow_short_merge_table=True and keep the shorter table.
+        if len(merges) != n_merges and not allow_short_merge_table:
             raise ValueError(
                 f"BPE training produced {len(merges)} merges but "
                 f"n_merges={n_merges}: corpus has too few mergeable "
-                "pairs — pass the trained list explicitly or lower "
-                "n_merges (the SQL oracle assumes a full merge table)"
+                "pairs — pass the trained list explicitly, lower "
+                "n_merges, or (library callers outside the SQL-oracle "
+                "context) pass allow_short_merge_table=True to encode "
+                "with the shorter table"
             )
     words = F.filter(
         F.split(F.lower(F.col("text")), r"\W+"),

@@ -1897,6 +1897,28 @@ def test_containment_catches_jaccard_invisible_subset(spark):
 # bpe_encode_stats
 # ---------------------------------------------------------------------------
 
+def test_bpe_encode_stats_short_merge_guard_is_opt_out(spark):
+    """The merge-shortfall ValueError protects the SQL-oracle parity
+    contract (an under-filled merge table empties the oracle's
+    cross-joined encode frame); a genuinely small corpus is a VALID
+    library input, so allow_short_merge_table=True must encode with
+    the shorter trained table instead of raising (ADVICE r9)."""
+    import pytest as _pytest
+
+    from flink_snappydata_spark.pipeline.text import bpe_encode_stats
+
+    tiny = spark.createDataFrame(
+        [(1, "aa ab aa ab"), (2, "aa aa")], ["doc_id", "text"]
+    )
+    with _pytest.raises(ValueError, match="too few mergeable"):
+        bpe_encode_stats(tiny, n_merges=50)
+    rows = bpe_encode_stats(
+        tiny, n_merges=50, allow_short_merge_table=True
+    ).collect()
+    assert {r.doc_id for r in rows} == {1, 2}
+    assert all(r.n_bpe_tokens >= 1 for r in rows)
+
+
 def test_bpe_encode_stats_matches_naive_python(documents):
     """Encoding with the trained table must equal a naive per-word
     Python replay of the same two-pass replace semantics."""
