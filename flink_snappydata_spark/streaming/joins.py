@@ -25,6 +25,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+from flink_snappydata_spark.util import estimate_blind
+
 
 def windowed_stream_join(
     left: DataFrame,
@@ -51,6 +53,17 @@ def windowed_stream_join(
         F.col("event_id").alias("r_event_id"),
         F.col("value").alias("r_value"),
     )
+    if not r.isStreaming and (estimate_blind(left) or estimate_blind(right)):
+        # Hazard-scoped estimate-independence pin: on estimate-blind
+        # inputs (memory-sourced twins, foreachBatch backfills)
+        # Catalyst statically broadcasts a corpus-sized side
+        # (tests/test_estimate_safety.py). File-backed inputs keep
+        # honest size-proportional stats — there the planner's
+        # broadcast-vs-shuffle choice is correct at every scale and a
+        # genuinely-small bounded side SHOULD broadcast, so no hint.
+        # The streaming path is always unhinted: stream-stream joins
+        # plan as the symmetric state-store hash join.
+        r = r.hint("shuffle_hash")
     return l.join(
         r, (F.col("l_key") == F.col("r_key")) & (F.col("l_w") == F.col("r_w")), "inner"
     ).select(
@@ -104,6 +117,12 @@ def interval_join(
         & (F.col("l_ts") <= F.col("r_ts"))
         & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {lookback}"))
     )
+    if not r.isStreaming and (estimate_blind(left) or estimate_blind(right)):
+        # Same hazard-scoped pin as windowed_stream_join: the equi-key
+        # part plans as a hash join with the range predicate evaluated
+        # inside key partitions — never a static broadcast of a
+        # corpus-sized estimate-blind side.
+        r = r.hint("shuffle_hash")
     return l.join(r, cond, "inner").select(
         F.col("l_key").alias("user_id"),
         "r_event_id",

@@ -27,6 +27,33 @@ def tracked_persist(df: DataFrame) -> DataFrame:
     return df
 
 
+#: Leaf operators whose Catalyst size estimates do NOT scale with the
+#: true data size: spark.range / createDataFrame / localCheckpoint /
+#: foreachBatch frames report bytes that stay tiny no matter how much
+#: data actually flows — the garbage-estimate shape that statically
+#: broadcasts corpus-sized join sides (the round-9 OOM class).
+_ESTIMATE_BLIND_LEAVES = ("LogicalRDD", "LocalRelation", "Range (")
+
+
+def estimate_blind(df: DataFrame) -> bool:
+    """True when ``df``'s plan contains an estimate-blind leaf — i.e.
+    Catalyst's size statistics cannot be trusted to scale with the real
+    input, so any join touching this frame must carry an explicit
+    strategy hint rather than rely on the auto-broadcast threshold.
+
+    File-backed scans (parquet/catalog tables) and cached relations
+    keep honest, size-proportional stats and return False: there the
+    planner's broadcast decision is correct AT EVERY SCALE (a 50 TB
+    side estimates as 50 TB and is never statically broadcast), so a
+    generic binary operator can safely leave the strategy to Catalyst.
+    Same-corpus self-joins don't need this test — both sides are
+    corpus-sized by construction at any scale, so they pin
+    unconditionally.
+    """
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    return any(leaf in plan for leaf in _ESTIMATE_BLIND_LEAVES)
+
+
 def release_caches() -> int:
     """Unpersist every library-internal intermediate persisted via
     :func:`tracked_persist`; returns how many were released. Call after

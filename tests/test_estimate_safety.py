@@ -241,6 +241,53 @@ def test_type_lag_correlation_broadcasts_only_type_day_grid(mem_events):
     assert "BroadcastHashJoin [event_id" not in plan
 
 
+def test_stream_join_batch_twins_pin_only_on_blind_estimates(mem_events, spark):
+    """windowed_stream_join / interval_join are generic binary joins:
+    on ESTIMATE-BLIND inputs (range-derived — the foreachBatch/backfill
+    shape) Catalyst statically broadcast the corpus-sized right side
+    before the pin, so there the plan must be broadcast-free; on
+    file-backed inputs the stats are honest and size-proportional —
+    the planner's broadcast of a genuinely-small side is correct at
+    every scale and MUST be left alone (pinning it cost 2× the bench
+    anchor for zero safety)."""
+    from flink_snappydata_spark.streaming import joins as J
+
+    other = mem_events.select(
+        (F.col("event_id") + 1_000_000).alias("event_id"),
+        "ts", "user_id", "event_type", "value",
+    )
+    for df in (
+        J.windowed_stream_join(mem_events, other),
+        J.interval_join(mem_events, other),
+    ):
+        plan = _physical_plan(df)
+        assert "BroadcastExchange" not in plan, plan[:4000]
+
+    from flink_snappydata_spark.catalog import load_table
+
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    a = ev.filter(F.col("event_type") == "view")
+    b = ev.filter(F.col("event_type") == "purchase")
+    plan = _physical_plan(J.windowed_stream_join(a, b))
+    assert "BroadcastHashJoin" in plan, plan[:4000]
+
+
+def test_estimate_blind_classifies_leaf_sources(mem_events, spark):
+    """The hazard detector behind the scoped pins: range/local/RDD
+    leaves are blind (stats never scale with true size), file-backed
+    scans are honest."""
+    from flink_snappydata_spark.catalog import load_table
+    from flink_snappydata_spark.util import estimate_blind
+
+    assert estimate_blind(mem_events)
+    assert estimate_blind(spark.createDataFrame([(1, "x")], ["id", "t"]))
+    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert not estimate_blind(ev.filter(F.col("value") > 1))
+    # a join mixing file and memory sides is blind (the memory side
+    # can be arbitrarily larger than its estimate)
+    assert estimate_blind(ev.join(mem_events.select("event_id"), "event_id"))
+
+
 def test_scd2_interval_build_has_no_joins(mem_events):
     """scd2_state_intervals is a pure user-keyed window build — the
     streaming twin's fold shape. Pin: no join machinery at all may
