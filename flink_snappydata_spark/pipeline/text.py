@@ -413,26 +413,46 @@ def language_id(documents: DataFrame) -> DataFrame:
         for sum_hits in [sum((hits(k) for k in kws[1:]), hits(kws[0]))]
     }
     langs = list(LANG_KEYWORDS)
-    pred = F.lit("und")
-    # reversed fold so earlier languages win ties
-    for lang in reversed(langs):
-        cond = scores[lang] > 0
-        for other in langs:
-            if langs.index(other) < langs.index(lang):
-                cond = cond & (scores[lang] > scores[other])
-            elif other != lang:
-                cond = cond & (scores[lang] >= scores[other])
-        pred = F.when(cond, F.lit(lang)).otherwise(pred)
-    # script test first: Han-dominant text is zh regardless of any
-    # Latin keywords embedded in it
-    pred = F.when(
-        (cjk > 0) & (cjk * F.lit(CJK_RATIO) >= n_chars), F.lit("zh")
-    ).otherwise(pred)
-    return documents.select(
+    # Two-projection split (codegen size, not semantics): the argmax
+    # fold below references every language's score O(|langs|) times —
+    # inlining the multi-keyword replace-chains at each reference used
+    # to produce one monolithic expression tree whose fused
+    # Project+HashAgg codegen (langid_confusion, curation_pipeline)
+    # blew janino's method limits and dropped the whole stage to
+    # interpreted execution. Materializing the scores as NAMED COLUMNS
+    # first keeps them: CollapseProject never re-inlines a non-cheap
+    # alias referenced more than once, so the downstream argmax
+    # codegens over plain column reads.
+    scored = documents.select(
         "doc_id",
         "lang",
         *[scores[lang].alias(f"score_{lang}") for lang in langs],
         cjk.alias("score_zh"),
+        n_chars.alias("_n_chars"),
+    )
+    col_scores = {lang: F.col(f"score_{lang}") for lang in langs}
+    pred = F.lit("und")
+    # reversed fold so earlier languages win ties
+    for lang in reversed(langs):
+        cond = col_scores[lang] > 0
+        for other in langs:
+            if langs.index(other) < langs.index(lang):
+                cond = cond & (col_scores[lang] > col_scores[other])
+            elif other != lang:
+                cond = cond & (col_scores[lang] >= col_scores[other])
+        pred = F.when(cond, F.lit(lang)).otherwise(pred)
+    # script test first: Han-dominant text is zh regardless of any
+    # Latin keywords embedded in it
+    pred = F.when(
+        (F.col("score_zh") > 0)
+        & (F.col("score_zh") * F.lit(CJK_RATIO) >= F.col("_n_chars")),
+        F.lit("zh"),
+    ).otherwise(pred)
+    return scored.select(
+        "doc_id",
+        "lang",
+        *[f"score_{lang}" for lang in langs],
+        "score_zh",
         pred.alias("pred_lang"),
     )
 
