@@ -294,9 +294,12 @@ def timeline_gapfill(events: DataFrame) -> DataFrame:
 
     Scale: raw events aggregate once into the hourly rollup; the dense
     grid is (hours × types) rows built from the 1-row min/max bounds
-    crossed with the distinct type dimension — both tiny and broadcast,
-    so the outer join against the rollup never shuffles the grid. Gaps
-    are synthesized, never scanned.
+    crossed with the distinct type dimension. The explicit broadcast
+    sits on the HOURLY side — the build side of the left-outer join
+    (a broadcast hint on the preserved/grid side is unsupported and
+    was silently ignored); hourly is grid-bounded too (≤ hours × types
+    rows after its aggregation), so the join never shuffles at any
+    corpus size. Gaps are synthesized, never scanned.
     """
     hourly = events.groupBy(
         F.date_trunc("hour", F.col("ts")).alias("bucket_start"),
@@ -315,8 +318,8 @@ def timeline_gapfill(events: DataFrame) -> DataFrame:
         ).alias("bucket_start")
     ).crossJoin(events.select("event_type").distinct())
     return (
-        F.broadcast(grid)
-        .join(hourly, ["bucket_start", "event_type"], "left")
+        grid
+        .join(F.broadcast(hourly), ["bucket_start", "event_type"], "left")
         .select(
             "bucket_start",
             "event_type",
