@@ -212,6 +212,10 @@ def main() -> None:
         {
             "metric": "headline_suite_total",
             "value": total,
+            # In sweep mode (SPARK_GRAFT_BENCH_ALL) `value` totals every
+            # timed registry query while `queries` still lists only the
+            # headline medians — n_timed disambiguates the two scopes.
+            "n_timed": len(timings),
             "unit": "sec",
             "queries": compact,
             "reps": reps,
