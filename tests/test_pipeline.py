@@ -1696,6 +1696,35 @@ def test_frequent_bigrams_golden(spark):
     assert by_pair[("spark", "sql")].pmi_bits > by_pair[("of", "the")].pmi_bits
 
 
+def test_langid_plan_keeps_scores_as_columns(spark):
+    """Codegen-size regression pin (round 10): the langid argmax fold
+    references every language's score O(|langs|) times; if a refactor
+    lets Catalyst re-inline the multi-keyword replace-chains at each
+    reference (the pre-round-10 shape), the fused Project+HashAgg
+    codegen exceeds janino's method limits and the aggregation stage
+    silently runs INTERPRETED. With the two-projection split each
+    keyword's replace() appears once — pin a ceiling of 2x the keyword
+    count on the optimized plan (measured post-fix count: 21 for 20
+    keywords; pre-fix it was in the hundreds)."""
+    from flink_snappydata_spark.pipeline import text as textops
+
+    docs = spark.createDataFrame(
+        [(1, "the of and hello", "en")], ["doc_id", "text", "lang"]
+    )
+    opt = (
+        textops.langid_confusion(docs)
+        ._jdf.queryExecution()
+        .optimizedPlan()
+        .toString()
+    )
+    n_keywords = sum(len(v) for v in textops.LANG_KEYWORDS.values())
+    assert opt.count("replace(") <= 2 * n_keywords, (
+        f"langid scores re-inlined: {opt.count('replace(')} replace() "
+        f"calls in the optimized plan (ceiling {2 * n_keywords}) — the "
+        "two-projection split in language_id regressed"
+    )
+
+
 def test_langid_confusion_planted(spark):
     """Planted truth labels: diagonal and off-diagonal cells, row
     totals, and shares all checked by hand; 'zh' truth (outside the
