@@ -61,17 +61,22 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 # against their DuckDB oracles every pytest run, so driver-stamp
 # staleness never means unverified code, only an older driver receipt.
 #
-# Round-10 window (_HEAD, 50 names) — exactly the round-9 verdict's
-# task-1 directive: the first 50 names of the r09 _R10_QUEUE, ALL
-# never-stamped (rollup_multires … funnel_latency, the round-8
-# OLAP/profiling/graph/text battery, in queue order). No stamped query
-# is cadence-due at r10 under (a): the stalest stamps are r07
-# (staleness 3 < 5). The 21 remaining never-stamped names head
-# _R11_QUEUE per (b); the r07-stamped battery (39 queries, staleness 4
-# at r11) fills r11's remaining 29 slots stalest-first per (c) and the
-# final 10 follow at r12 alongside the r08 rotation.
+# Round-11 window (_HEAD, 50 names) — exactly the round-10 verdict's
+# task-1 directive: the 21 still-never-stamped round-8 operators (the
+# full r10 _R11_QUEUE, in queue order) per (b), plus the 29 stalest
+# r07-stamped battery queries in declaration order per (c) (all 39
+# r07 stamps share staleness 4 at r11, so declaration order is the
+# tiebreak; wordcount_batch … video_decode_stats make the cut). After
+# the driver stamps this window, driver-stamp coverage is 210/210. No
+# stamped query is cadence-DUE at r11 under (a): the stalest stamps
+# are r07 (staleness 4 < 5), but they rotate now because r12 cannot
+# fit all 39 of them once they hit staleness 5.
 #
-# All 71 queue entries are fully verified locally every pytest run via
+# The 10 r07-stamped remainder (text_repetition … embedding_outliers)
+# head _R12_QUEUE; r12 takes them (staleness 5 — cadence-due) plus 40
+# of the 50 r08-stamped queries, per the threshold-5 cadence.
+#
+# All queue entries are fully verified locally every pytest run via
 # test_oracle_parity plus the semantic tests in tests/test_round8_ops.py
 # — driver-stamp pending, not unverified.
 
@@ -81,70 +86,10 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 #: max(stamp files)+1, so the suite a round ships stays green both
 #: before and after the driver writes its CORRECTNESS_r{N}.json — and
 #: goes red only if a round closes without rotating the window.
-_HEAD_ROUND = 10
+_HEAD_ROUND = 11
 
 _HEAD = [
-    # -- never stamped: first 50 of the r09 queue, in queue order --
-    "rollup_multires",
-    "random_projection",
-    "hard_negatives",
-    "pq_adc_topk",
-    "inverted_index",
-    "cms_heavy_hitters",
-    "pagerank",
-    "retention_cohorts",
-    "ordered_funnel",
-    "events_mad_outliers",
-    "source_centroids",
-    "embedding_dim_stats",
-    "bloom_membership",
-    "latest_snapshot",
-    "timeline_gapfill",
-    "percentile_bands",
-    "vocab_growth",
-    "knn_accuracy",
-    "mmr_select",
-    "typo_pairs",
-    "zorder_key",
-    "event_rate_spikes",
-    "equidepth_histogram",
-    "readability_scores",
-    "session_paths",
-    "snapshot_diff",
-    "merge_upsert",
-    "event_transitions",
-    "zonemap_skip_stats",
-    "weighted_sample",
-    "ohlc_bars",
-    "trend_regression",
-    "conversion_attribution",
-    "table_profile",
-    "key_skew_profile",
-    "bpe_merges",
-    "temperature_mix",
-    "user_growth",
-    "itemset_pairs",
-    "referential_audit",
-    "graph_triangles",
-    "ks_drift",
-    "ab_test_report",
-    "activity_heatmap",
-    "repeat_purchase_stats",
-    "session_conversion",
-    "quantile_transform",
-    "token_drift_topk",
-    "rfm_segments",
-    "funnel_latency",
-]
-
-#: The r11 stamp queue: the 21 still-never-stamped round-8 operators,
-#: placed IMMEDIATELY after the 50-slot window in declaration order so
-#: the next round's front-to-back stamping reaches them first. The
-#: rotation test pins this position (never-stamped overflow must head
-#: the post-window order — budget-bounded verification, nothing
-#: buried). r11's remaining 29 slots go to the r07-stamped battery,
-#: stalest-first.
-_R11_QUEUE: list[str] = [
+    # -- never stamped: the full r10 _R11_QUEUE, in queue order --
     "activity_gini",
     "embedding_top_pc",
     "zipf_fit",
@@ -166,20 +111,69 @@ _R11_QUEUE: list[str] = [
     "type_lag_correlation",
     "source_token_entropy",
     "email_domain_stats",
+    # -- rotation: 29 stalest r07-stamped, declaration order --
+    "wordcount_batch",
+    "asof_join",
+    "events_tumbling_window",
+    "events_session_window",
+    "session_funnel",
+    "stream_stream_join",
+    "count_window",
+    "dedup_exact",
+    "novelty_scores",
+    "dedup_ngram_jaccard",
+    "decontamination",
+    "source_contamination",
+    "repeated_passages",
+    "dedup_clusters",
+    "dedup_minhash",
+    "dedup_simhash",
+    "ann_cosine_topk",
+    "embedding_neardup",
+    "semantic_decontamination",
+    "ann_lsh_neardup",
+    "ann_ivf_topk",
+    "ann_ivf_trained",
+    "text_token_count",
+    "text_quality",
+    "doc_fingerprint",
+    "curation_pipeline",
+    "token_budget_mix",
+    "audio_decode_stats",
+    "video_decode_stats",
+]
+
+#: The r12 stamp queue: the 10 r07-stamped queries that did not fit in
+#: the r11 window (staleness 5 at r12 — cadence-due under invariant
+#: (a)), placed immediately after the window so r12's front-to-back
+#: stamping reaches them first. r12's remaining 40 slots go to the
+#: r08-stamped battery, stalest-first. There are no never-stamped
+#: queries left — the r11 window closes 210/210 coverage.
+_R12_QUEUE: list[str] = [
+    "text_repetition",
+    "pii_redaction",
+    "source_stats",
+    "frequent_bigrams",
+    "bm25_topk",
+    "label_centroids",
+    "embedding_gram",
+    "kmeans_train",
+    "semantic_neardup",
+    "embedding_outliers",
 ]
 
 _TAIL: list[str] = []
 
 
 def _reorder() -> None:
-    order = _HEAD + _R11_QUEUE + _TAIL
+    order = _HEAD + _R12_QUEUE + _TAIL
     missing = [n for n in order if n not in QUERIES]
     if missing:  # pragma: no cover - guards registry edits
         raise KeyError(f"unknown registry entries in order lists: {missing}")
     middle = [
-        n for n in QUERIES if n not in _HEAD and n not in _R11_QUEUE and n not in _TAIL
+        n for n in QUERIES if n not in _HEAD and n not in _R12_QUEUE and n not in _TAIL
     ]
-    ordered = {n: QUERIES[n] for n in _HEAD + _R11_QUEUE + middle + _TAIL}
+    ordered = {n: QUERIES[n] for n in _HEAD + _R12_QUEUE + middle + _TAIL}
     # Reorder IN PLACE: QUERIES is the same dict object the specs
     # package exports, so mutating (rather than rebinding) keeps
     # specs.QUERIES and registry.QUERIES identical — any importer sees
