@@ -223,7 +223,11 @@ def main() -> None:
         },
         separators=(",", ":"),
     )
-    assert len(line) < 1900, f"compact bench line too long ({len(line)} chars)"
+    if len(line) >= 1900:
+        # Not an assert: `python -O` would strip it, silently re-allowing
+        # a final line the driver's 2000-char stdout tail truncates —
+        # the exact parsed:null failure this compact line exists to fix.
+        raise RuntimeError(f"compact bench line too long ({len(line)} chars)")
     print(line)
 
 

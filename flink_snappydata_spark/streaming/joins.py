@@ -53,7 +53,9 @@ def windowed_stream_join(
         F.col("event_id").alias("r_event_id"),
         F.col("value").alias("r_value"),
     )
-    if not r.isStreaming and (estimate_blind(left) or estimate_blind(right)):
+    if not (l.isStreaming or r.isStreaming) and (
+        estimate_blind(left) or estimate_blind(right)
+    ):
         # Hazard-scoped estimate-independence pin: on estimate-blind
         # inputs (memory-sourced twins, foreachBatch backfills)
         # Catalyst statically broadcasts a corpus-sized side
@@ -61,8 +63,11 @@ def windowed_stream_join(
         # honest size-proportional stats — there the planner's
         # broadcast-vs-shuffle choice is correct at every scale and a
         # genuinely-small bounded side SHOULD broadcast, so no hint.
-        # The streaming path is always unhinted: stream-stream joins
-        # plan as the symmetric state-store hash join.
+        # Any streaming input (either side — stream-stream AND
+        # stream-static shapes) is always unhinted: those plan via the
+        # state-store / stream-static machinery, never the static
+        # auto-broadcast estimate, and batch-optimizing a streaming
+        # frame to classify it would itself raise AnalysisException.
         r = r.hint("shuffle_hash")
     return l.join(
         r, (F.col("l_key") == F.col("r_key")) & (F.col("l_w") == F.col("r_w")), "inner"
@@ -117,11 +122,14 @@ def interval_join(
         & (F.col("l_ts") <= F.col("r_ts"))
         & (F.col("l_ts") >= F.col("r_ts") - F.expr(f"INTERVAL {lookback}"))
     )
-    if not r.isStreaming and (estimate_blind(left) or estimate_blind(right)):
-        # Same hazard-scoped pin as windowed_stream_join: the equi-key
-        # part plans as a hash join with the range predicate evaluated
-        # inside key partitions — never a static broadcast of a
-        # corpus-sized estimate-blind side.
+    if not (l.isStreaming or r.isStreaming) and (
+        estimate_blind(left) or estimate_blind(right)
+    ):
+        # Same hazard-scoped pin as windowed_stream_join (and the same
+        # either-side streaming exclusion): the equi-key part plans as
+        # a hash join with the range predicate evaluated inside key
+        # partitions — never a static broadcast of a corpus-sized
+        # estimate-blind side.
         r = r.hint("shuffle_hash")
     return l.join(r, cond, "inner").select(
         F.col("l_key").alias("user_id"),

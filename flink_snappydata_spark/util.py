@@ -32,7 +32,10 @@ def tracked_persist(df: DataFrame) -> DataFrame:
 #: foreachBatch frames report bytes that stay tiny no matter how much
 #: data actually flows — the garbage-estimate shape that statically
 #: broadcasts corpus-sized join sides (the round-9 OOM class).
-_ESTIMATE_BLIND_LEAVES = ("LogicalRDD", "LocalRelation", "Range (")
+#: Matched against leaf nodeName()s (plan-tree walk, not a substring
+#: scan of the rendered plan — a string literal "Range (" in a filter
+#: must not force a shuffle).
+_ESTIMATE_BLIND_LEAVES = ("LogicalRDD", "LocalRelation", "Range")
 
 
 def estimate_blind(df: DataFrame) -> bool:
@@ -49,9 +52,25 @@ def estimate_blind(df: DataFrame) -> bool:
     Same-corpus self-joins don't need this test — both sides are
     corpus-sized by construction at any scale, so they pin
     unconditionally.
+
+    Streaming frames return False immediately: forcing batch
+    optimization (``optimizedPlan()``) on a streaming plan raises
+    AnalysisException, and the streaming execution path never uses the
+    auto-broadcast estimate this guard exists to distrust — stream
+    joins plan as state-store hash joins regardless.
+
+    Classification walks the optimized plan's LEAF NODES by
+    ``nodeName()`` rather than substring-matching the rendered plan, so
+    a string literal like ``"LocalRelation"`` inside a filter predicate
+    cannot false-positive into a forced shuffle.
     """
-    plan = df._jdf.queryExecution().optimizedPlan().toString()
-    return any(leaf in plan for leaf in _ESTIMATE_BLIND_LEAVES)
+    if df.isStreaming:
+        return False
+    leaves = df._jdf.queryExecution().optimizedPlan().collectLeaves()
+    return any(
+        leaves.apply(i).nodeName() in _ESTIMATE_BLIND_LEAVES
+        for i in range(leaves.size())
+    )
 
 
 def release_caches() -> int:

@@ -18,6 +18,8 @@ instead of at scale.
 from __future__ import annotations
 
 import pytest
+
+from tests.conftest import SF_SMOKE
 from pyspark.sql import functions as F
 
 from flink_snappydata_spark.pipeline import dedup as D
@@ -265,7 +267,7 @@ def test_stream_join_batch_twins_pin_only_on_blind_estimates(mem_events, spark):
 
     from flink_snappydata_spark.catalog import load_table
 
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = load_table(spark, SF_SMOKE, "events")
     a = ev.filter(F.col("event_type") == "view")
     b = ev.filter(F.col("event_type") == "purchase")
     plan = _physical_plan(J.windowed_stream_join(a, b))
@@ -281,7 +283,7 @@ def test_estimate_blind_classifies_leaf_sources(mem_events, spark):
 
     assert estimate_blind(mem_events)
     assert estimate_blind(spark.createDataFrame([(1, "x")], ["id", "t"]))
-    ev = load_table(spark, "/root/testdata/sf0.001", "events")
+    ev = load_table(spark, SF_SMOKE, "events")
     assert not estimate_blind(ev.filter(F.col("value") > 1))
     # a join mixing file and memory sides is blind (the memory side
     # can be arbitrarily larger than its estimate)
@@ -308,3 +310,49 @@ def test_kmeans_corpus_assignment_join_is_shuffled(mem_emb):
         if "Join [vec_id" in line and "BroadcastHashJoin" in line:
             raise AssertionError(f"corpus join broadcast: {line.strip()[:200]}")
     assert "ShuffledHashJoin [vec_id" in plan or "SortMergeJoin [vec_id" in plan
+
+
+def test_stream_static_join_builds_without_batch_optimizing_stream(spark):
+    """Round-11 regression (ADVICE r10 high): the hazard guard used to
+    check only the RIGHT side's isStreaming, then call
+    estimate_blind(left) — which forces batch optimization
+    (optimizedPlan()) and raises AnalysisException when LEFT is a
+    streaming frame joined to a static one. Both builders must accept
+    every Structured-Streaming-supported shape: stream-stream,
+    stream-static, static-stream."""
+    from flink_snappydata_spark.catalog import load_table
+    from flink_snappydata_spark.streaming import joins as J
+    from flink_snappydata_spark.streaming import runtime
+
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    batch = load_table(spark, SF_SMOKE, "events")
+    for left, right in ((stream, batch), (batch, stream)):
+        for build in (J.windowed_stream_join, J.interval_join):
+            df = build(left, right, watermark="1 hour")
+            assert df.isStreaming
+    # stream-stream still builds too (the original shape)
+    assert J.windowed_stream_join(stream, stream, watermark="1 hour").isStreaming
+
+
+def test_estimate_blind_short_circuits_on_streaming_frames(spark):
+    """estimate_blind must never force batch planning on a streaming
+    frame: it returns False immediately (stream joins never consult the
+    static auto-broadcast estimate anyway)."""
+    from flink_snappydata_spark.streaming import runtime
+    from flink_snappydata_spark.util import estimate_blind
+
+    assert estimate_blind(runtime.events_file_stream(spark, SF_SMOKE)) is False
+
+
+def test_estimate_blind_ignores_plan_rendered_string_literals(spark):
+    """The classifier walks leaf nodeName()s, not the rendered plan
+    text — a filter literal spelling a blind leaf's name must not
+    reclassify an honest file-backed scan."""
+    from flink_snappydata_spark.catalog import load_table
+    from flink_snappydata_spark.util import estimate_blind
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    trapped = docs.filter(
+        F.col("text").contains("LocalRelation LogicalRDD Range (")
+    )
+    assert estimate_blind(trapped) is False
