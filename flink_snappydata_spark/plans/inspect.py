@@ -108,3 +108,20 @@ def codegen_span_count(df: DataFrame) -> int:
         sess.conf.set("spark.sql.adaptive.enabled", old)
     m = re.search(r"Found (\d+) WholeStageCodegen subtrees", plan)
     return int(m.group(1)) if m else 0
+
+
+def gauge_row(name: str, df: DataFrame) -> str:
+    """The pinned gauge line for one query —
+    ``name|pushed_filters|broadcast_joins|exchanges`` — shared by the
+    PLANS.md generator (tools/dump_plans.py, which writes
+    tests/golden_plan_gauges.txt) and the golden-gauge pin test, so the
+    two can never drift on format or gauge choice. A dropped pushdown,
+    a gained/lost broadcast, or a new shuffle changes this line."""
+    return "|".join(
+        [
+            name,
+            str(len(pushed_filters(df))),
+            str(broadcast_join_count(df)),
+            str(exchange_count(df)),
+        ]
+    )
