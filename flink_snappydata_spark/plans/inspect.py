@@ -125,3 +125,26 @@ def gauge_row(name: str, df: DataFrame) -> str:
             str(exchange_count(df)),
         ]
     )
+
+
+def clean_gauge_row(spark, name: str, builder, sf_dir: str) -> str:
+    """:func:`gauge_row` measured on a cache-clean session.
+
+    Plan gauges are cache-state-sensitive: Spark's CacheManager
+    substitutes InMemoryRelation for ANY matching plan subtree, so a
+    ``tracked_persist`` left behind by an earlier query/test changes a
+    later query's exchange count (dedup_minhash gauges 12 exchanges
+    mid-suite vs 10 on a fresh session). Clearing the cache before the
+    build makes the gauge a property of the QUERY, not of session
+    history; clearing after drops the build's own persists so the
+    measurement leaves no residue either.
+    """
+    from flink_snappydata_spark.util import release_caches
+
+    release_caches()
+    spark.catalog.clearCache()
+    try:
+        return gauge_row(name, builder(spark, sf_dir))
+    finally:
+        release_caches()
+        spark.catalog.clearCache()

@@ -16,7 +16,13 @@ acceptance:
 
 The gauge line format lives in one place —
 :func:`flink_snappydata_spark.plans.inspect.gauge_row` — shared by the
-generator and this test, so they cannot drift.
+generator and this test, so they cannot drift. Both measure CACHE-CLEAN
+(:func:`~flink_snappydata_spark.plans.inspect.clean_gauge_row`):
+Spark's CacheManager substitutes InMemoryRelation for any matching plan
+subtree, so persists left by earlier tests would otherwise change a
+later query's exchange count (dedup_minhash gauges 12 exchanges on a
+polluted session vs 10 clean — seen as two mid-suite failures the first
+time this file ran inside the full suite).
 """
 
 from __future__ import annotations
@@ -51,10 +57,9 @@ def test_golden_covers_exactly_the_headline_set():
 @pytest.mark.parametrize("name", sorted(_golden_rows()))
 def test_headline_plan_gauges_match_golden(spark, name):
     from flink_snappydata_spark import registry
-    from flink_snappydata_spark.plans.inspect import gauge_row
+    from flink_snappydata_spark.plans.inspect import clean_gauge_row
 
-    df = registry.queries()[name](spark, SF_CORRECT)
-    got = gauge_row(name, df)
+    got = clean_gauge_row(spark, name, registry.queries()[name], SF_CORRECT)
     want = _golden_rows()[name]
     assert got == want, (
         f"plan gauge drift for {name} (format name|pushed_filters|"
@@ -69,15 +74,35 @@ def test_gauges_detect_a_deliberate_plan_break(spark):
     broadcasts to shuffle joins — the gauge line MUST drift from
     golden (broadcasts drop, exchanges rise)."""
     from flink_snappydata_spark import registry
-    from flink_snappydata_spark.plans.inspect import gauge_row
+    from flink_snappydata_spark.plans.inspect import clean_gauge_row
 
     q = registry.queries()["q5_local_supplier_volume"]
     old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
     spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
     try:
-        broken = gauge_row("q5_local_supplier_volume", q(spark, SF_CORRECT))
+        broken = clean_gauge_row(spark, "q5_local_supplier_volume", q, SF_CORRECT)
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
     assert broken != _golden_rows()["q5_local_supplier_volume"], (
         "gauge pin failed to detect a disabled auto-broadcast"
     )
+
+
+def test_clean_gauge_row_neutralizes_cache_pollution(spark):
+    """Regression for the first full-suite run of this file: persists
+    left by earlier tests made dedup_minhash gauge 12 exchanges instead
+    of its clean 10 (CacheManager substitutes InMemoryRelation for any
+    matching plan subtree). clean_gauge_row must reproduce the golden
+    line even on a deliberately polluted session."""
+    from flink_snappydata_spark import registry
+    from flink_snappydata_spark.plans.inspect import clean_gauge_row, gauge_row
+
+    q = registry.queries()["dedup_minhash"]
+    q(spark, SF_CORRECT).count()  # materialize → tracked persists linger
+    polluted = gauge_row("dedup_minhash", q(spark, SF_CORRECT))
+    clean = clean_gauge_row(spark, "dedup_minhash", q, SF_CORRECT)
+    assert clean == _golden_rows()["dedup_minhash"], clean
+    # the pollution itself must be visible to the raw gauge, otherwise
+    # this test guards nothing (exchange count drops when cached
+    # subtrees replace shuffle stages)
+    assert polluted != clean, "expected cache pollution to alter raw gauges"

@@ -225,6 +225,12 @@ OPS = {
         d,
         merges=[("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")],
     ),
+    # same fixed merge table: the probe isolates the map-only encode
+    # scan + the languages-sized fertility rollup
+    "tokenizer_fertility": lambda d, e: T.tokenizer_fertility(
+        d,
+        merges=[("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")],
+    ),
     "graph_triangles": lambda d, e: GR.graph_triangles(
         d.sparkSession.range(d.count()).select(F.col("id").alias("doc_id"))
     ),
