@@ -226,9 +226,10 @@ OPS = {
         merges=[("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")],
     ),
     # same fixed merge table: the probe isolates the map-only encode
-    # scan + the languages-sized fertility rollup
+    # scan + the languages-sized fertility rollup (lang synthesized —
+    # the probe frame carries only doc_id/text)
     "tokenizer_fertility": lambda d, e: T.tokenizer_fertility(
-        d,
+        d.withColumn("lang", F.concat(F.lit("l"), F.pmod("doc_id", F.lit(4)))),
         merges=[("t", "h"), ("th", "e"), ("a", "n"), ("i", "n")],
     ),
     "graph_triangles": lambda d, e: GR.graph_triangles(
