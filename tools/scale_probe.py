@@ -265,6 +265,39 @@ OPS = {
     "audio_silence_stats": lambda d, e: M.audio_silence_stats(
         M.synthesize_wav_gated(d)
     ),
+    # round-11 window-gap fill: probe rows for the r07-rotation queries
+    # that had none. text_token_count/doc_fingerprint are map-only
+    # per-row scans; audio/video decode ride the same fused
+    # synthesize+parse mapInPandas path as audio_silence_stats.
+    "text_token_count": lambda d, e: T.token_counts(d),
+    "doc_fingerprint": lambda d, e: T.doc_fingerprints(d),
+    "audio_decode_stats": lambda d, e: M.audio_stats_table(
+        M.synthesize_wav(d)
+    ),
+    "video_decode_stats": lambda d, e: M.video_stats_table(
+        M.synthesize_avi(d)
+    ),
+    # FIXED 250-doc benchmark (replica ids are offset by 1e6, so the
+    # filter keeps selecting only base-replica docs): replication grows
+    # the screened corpus organically while the broadcast side stays
+    # benchmark-sized — the realistic decontamination shape.
+    "decontamination": lambda d, e: D.decontaminate(
+        d.filter(F.col("doc_id") >= 250), d.filter(F.col("doc_id") < 250)
+    ),
+    # 20-way synthesized source split: replication grows per-source
+    # shingle mass under fixed source cardinality, so the (shingle,
+    # source) index and the 190-pair matrix scale the way a real
+    # multi-source corpus does.
+    "source_contamination": lambda d, e: D.source_contamination(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        )
+    ),
+    "token_budget_mix": lambda d, e: _sampling.token_budget_mix(
+        d.withColumn(
+            "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
+        )
+    ),
 }
 
 #: Events-input ops (replicated with per-replica day offsets so the
@@ -302,6 +335,11 @@ EVENT_OPS = {
         v, sort=False
     ),
     "type_lag_correlation": lambda v: A.type_lag_correlation(v),
+    # round-11 window-gap fill: the session-window family (gap-based
+    # sessionization is one user-keyed shuffle; the 40-day replica
+    # offsets grow the session count, not the per-session mass).
+    "events_session_window": lambda v: W.session_window_counts(v),
+    "session_funnel": lambda v: W.session_funnel(v),
     # round-8 closer: per-(type, value-cents) histogram + per-type max
     # join — replication grows per-cell mass under fixed type/value
     # cardinality, the exact shape the two-stage mode fold exists for.
