@@ -574,3 +574,153 @@ _register(
         "corpus scan, two-phase bucketed top-k (no per-probe hot "
         "partition), exact int64 dot products.",
 )
+
+# -- round 11: the remaining two members of the embedding-compression
+# family (PQ already above). Registered AFTER the r12 stamp queue per
+# the rotation invariant: never-stamped work heads the post-window
+# declaration order (registry._R12_QUEUE lists them first).
+
+_register(
+    "embedding_sq8_topk",
+    ["embeddings"],
+    similarity.sq8_mips_recall,
+    f"""
+    WITH {_QCOMP_SQL},
+    rng AS (SELECT i, MIN(q) AS lo, MAX(q) AS hi FROM comp GROUP BY i),
+    enc AS (
+        SELECT c.vec_id, c.i,
+               r.lo * 255 +
+               (CASE WHEN r.hi > r.lo
+                     THEN ((c.q - r.lo) * 510 + (r.hi - r.lo))
+                          // (2 * (r.hi - r.lo))
+                     ELSE 0 END) * (r.hi - r.lo) AS rnum
+        FROM comp c JOIN rng r USING (i)),
+    qq AS (SELECT vec_id AS query_id, i, q FROM comp WHERE vec_id < 5),
+    adot AS (
+        SELECT qq.query_id, e.vec_id, SUM(qq.q * e.rnum) AS adot
+        FROM qq JOIN enc e USING (i)
+        WHERE e.vec_id <> qq.query_id
+        GROUP BY qq.query_id, e.vec_id),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY adot DESC, vec_id ASC) AS rk FROM adot) t
+        WHERE rk <= 10),
+    ed AS (
+        SELECT qq.query_id, c.vec_id, SUM(qq.q * c.q) AS dot
+        FROM qq JOIN comp c USING (i)
+        WHERE c.vec_id <> qq.query_id
+        GROUP BY qq.query_id, c.vec_id),
+    truth AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY dot DESC, vec_id ASC) AS rk FROM ed) t
+        WHERE rk <= 10),
+    hits AS (
+        SELECT t.query_id, COUNT(*) AS n_hit
+        FROM truth t JOIN approx a
+            ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY t.query_id),
+    per_q AS (SELECT query_id, COUNT(*) AS n_truth FROM truth
+              GROUP BY query_id)
+    SELECT p.query_id,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           COALESCE(h.n_hit, 0) >= p.n_truth * 0.5 AS recall_ok
+    FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
+    ORDER BY p.query_id
+    """,
+    doc="SQ8 scalar-quantized MIPS with in-query recall verdict vs "
+        "exact top-k: per-dimension [min,max] affine 8-bit codes, "
+        "integer round-half-up encode, reconstruction-dot scoring — "
+        "the third member of the compression family (PQ, SQ8, binary).",
+    judge_bearing=True,
+)
+
+_register(
+    "embedding_bitsign_topk",
+    ["embeddings"],
+    similarity.bitsign_hamming_recall,
+    f"""
+    WITH {_QCOMP_SQL},
+    stats AS (SELECT i, COUNT(*) AS n, SUM(q) AS s FROM comp GROUP BY i),
+    signs AS (
+        SELECT c.vec_id, c.i,
+               CASE WHEN c.q * st.n > st.s THEN 1 ELSE 0 END AS b
+        FROM comp c JOIN stats st USING (i)),
+    qs AS (SELECT vec_id AS query_id, i, b FROM signs WHERE vec_id < 5),
+    ham AS (
+        SELECT qs.query_id, s.vec_id,
+               SUM(CASE WHEN s.b <> qs.b THEN 1 ELSE 0 END) AS ham
+        FROM qs JOIN signs s USING (i)
+        WHERE s.vec_id <> qs.query_id
+        GROUP BY qs.query_id, s.vec_id),
+    cand AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY ham ASC, vec_id ASC) AS rk FROM ham) t
+        WHERE rk <= 256),
+    qq AS (SELECT vec_id AS query_id, i, q FROM comp WHERE vec_id < 5),
+    cdots AS (
+        SELECT qq.query_id, c.vec_id, SUM(qq.q * c.q) AS dot
+        FROM qq
+        JOIN comp c USING (i)
+        JOIN cand ON cand.query_id = qq.query_id AND cand.vec_id = c.vec_id
+        GROUP BY qq.query_id, c.vec_id),
+    rerank AS (
+        SELECT d.query_id, d.vec_id,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(nq.n2 AS DOUBLE)/1e12)
+                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS cosine
+        FROM cdots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nt ON nt.vec_id = d.vec_id),
+    approx AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rk
+            FROM rerank) t
+        WHERE rk <= 10),
+    dots AS (
+        SELECT qq.query_id, t.vec_id, SUM(qq.q * t.q) AS dot
+        FROM qq JOIN comp t USING (i)
+        WHERE t.vec_id <> qq.query_id
+        GROUP BY qq.query_id, t.vec_id),
+    scored AS (
+        SELECT d.query_id, d.vec_id,
+               (CAST(dot AS DOUBLE)/1e12)
+                   / sqrt((CAST(nq.n2 AS DOUBLE)/1e12)
+                          * (CAST(nt.n2 AS DOUBLE)/1e12)) AS cosine
+        FROM dots d
+        JOIN norms nq ON nq.vec_id = d.query_id
+        JOIN norms nt ON nt.vec_id = d.vec_id),
+    truth AS (
+        SELECT query_id, vec_id FROM (
+            SELECT query_id, vec_id,
+                   ROW_NUMBER() OVER (PARTITION BY query_id
+                        ORDER BY cosine DESC, vec_id ASC) AS rk
+            FROM scored) t
+        WHERE rk <= 10),
+    hits AS (
+        SELECT t.query_id, COUNT(*) AS n_hit
+        FROM truth t JOIN approx a
+            ON a.query_id = t.query_id AND a.vec_id = t.vec_id
+        GROUP BY t.query_id),
+    per_q AS (SELECT query_id, COUNT(*) AS n_truth FROM truth
+              GROUP BY query_id)
+    SELECT p.query_id,
+           CAST(COALESCE(h.n_hit, 0) AS BIGINT) AS n_hit,
+           COALESCE(h.n_hit, 0) >= p.n_truth * 0.4 AS recall_ok
+    FROM per_q p LEFT JOIN hits h ON h.query_id = p.query_id
+    ORDER BY p.query_id
+    """,
+    doc="Binary sign-sketch search (1 bit/dim, XOR+popcount Hamming "
+        "prefilter to 256 candidates, exact cosine re-rank) with "
+        "in-query recall verdict vs exact top-k — the 64x-compression "
+        "member of the family; mean-threshold signs are exact integer "
+        "comparisons, portable bit-for-bit.",
+    judge_bearing=True,
+)

@@ -1155,3 +1155,41 @@ _register(
         "the gopher_rules plan shape; deterministic markup enrichment "
         "on both engines (the PII-oracle device).",
 )
+
+
+def _sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``events_session_window`` under
+    the full correctness gate — the continuously-maintained session
+    table: the events fixture arrives as a 2-file stream
+    (maxFilesPerTrigger=1 → 2 micro-batches, hash-distributed so user
+    timelines interleave across batches), each batch lands its
+    per-user session FRAGMENTS via foreachBatch (mergeable state —
+    O(sessions/batch), not O(events); see
+    :func:`streaming.windows.streaming_sessions_ingest` for the
+    sufficiency proof), and the returned frame sweep-merges the
+    accumulated fragments into the global session set — row-identical
+    to the batch op, so the batch oracle applies verbatim. State torn
+    down via :func:`_stream_state_scored`."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "sess",
+        ["fragments"],
+        stream_windows.streaming_sessions_ingest,
+        stream_windows.sessions_from_state,
+    )
+
+
+QUERIES["sessions_streamed"] = QuerySpec(
+    fn=_sessions_streamed,
+    oracle=QUERIES["events_session_window"].oracle,
+    doc="Streaming-ingest session windows: per-micro-batch gap-merged "
+        "session fragments land into a queryable catalog table "
+        "(fragments are a mergeable sufficient statistic — boundary "
+        "sweep reconstructs the exact event-level sessions), global "
+        "merge at query time — the stream→table loop on the "
+        "sessionization side.",
+)

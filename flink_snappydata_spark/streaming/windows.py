@@ -19,7 +19,7 @@ the expansion happens map-side and partial aggs collapse it again.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from flink_snappydata_spark.functions.exact import cents
@@ -468,4 +468,119 @@ def scd2_from_state(spark, events_table: str) -> DataFrame:
 
     return scd2_state_intervals(
         spark.table(events_table).drop("batch_id")
+    )
+
+
+def streaming_sessions_ingest(
+    stream_events: DataFrame,
+    fragments_table: str,
+    checkpoint: str | None = None,
+    gap: str = "30 minutes",
+):
+    """Streaming-ingest twin of :func:`session_window_counts` — the
+    stream→queryable-table loop as a continuously-maintained SESSION
+    table: each micro-batch lands its per-user session FRAGMENTS
+    ``(user_id, frag_start, max_ts, n_events, sum_cents)`` (the batch's
+    own gap-merged runs), and :func:`sessions_from_state` folds the
+    accumulated fragments into the exact global session set at read.
+
+    State choice (why fragments ARE a mergeable sufficient statistic,
+    unlike SCD2's intervals): sessions are connected components of the
+    "within gap" relation on the time line. Each fragment is a chain
+    (its internal consecutive gaps are < gap by construction), so the
+    true components over the union of batches are determined entirely
+    by fragment BOUNDARIES: two fragments belong to one session iff
+    ``later.start − earlier.max_end < gap`` (overlapping fragments
+    always qualify — an overlapped start falls between two chain
+    points that are themselves < gap apart), and transitive bridges
+    are exactly what the sorted sweep with a running max-end computes.
+    Counts and value-cent sums are additive, session_start is a min,
+    session_end is ``max(max_ts) + gap`` — all mergeable. State is
+    therefore O(sessions per batch), NOT O(events) — the raw-log
+    fallback SCD2 needs is unnecessary here.
+
+    Rides :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition — idempotent.
+    """
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(fragments_table, None)],
+        prepare=lambda b: session_fragments(b, gap),
+        checkpoint=checkpoint,
+    )
+
+
+def session_fragments(batch_df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """One micro-batch's session fragments — the mergeable state unit
+    of :func:`streaming_sessions_ingest` (module-level so the
+    cross-batch merge semantics are directly unit-testable)."""
+    return (
+        batch_df.groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(cents("value")).alias("sum_cents"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("frag_start"),
+            "max_ts",
+            "n_events",
+            "sum_cents",
+        )
+    )
+
+
+def sessions_from_state(
+    spark, fragments_table: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Global session windows from the fragments accumulated by
+    :func:`streaming_sessions_ingest`: per user, sort fragments by
+    start and sweep-merge runs whose start is within ``gap`` of the
+    running max end (gaps-and-islands over intervals — one user-keyed
+    shuffle, same shape as the batch op's session_window aggregation).
+    After a bounded stream drains the result is row-identical to
+    :func:`session_window_counts` (the fragment-boundary merge rule
+    reconstructs exactly the event-level components — see the ingest
+    docstring), so the batch oracle applies verbatim. ``batch_id`` is
+    ingest lineage, not state — dropped here."""
+    frags = spark.table(fragments_table).drop("batch_id")
+    w_ord = Window.partitionBy("user_id").orderBy(
+        "frag_start", "max_ts", "n_events", "sum_cents"
+    )
+    prev_max = F.max("max_ts").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    # STRICT >: Spark's session_window merges events spaced EXACTLY gap
+    # apart (a new session needs silence strictly longer than gap), so
+    # the fragment sweep must too — pinned by the exact-boundary case in
+    # tests/test_round11_ops.py. (The DuckDB oracle spells the rule
+    # ">= gap starts a session"; equivalent on second-granularity event
+    # data that never lands exactly on the gap, which the shared-oracle
+    # parity check verifies on every fixture.)
+    new_s = F.when(
+        prev_max.isNull()
+        | (F.col("frag_start") > prev_max + F.expr(f"INTERVAL {gap}")),
+        1,
+    ).otherwise(0)
+    sid = F.sum("new_s").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    return (
+        frags.withColumn("new_s", new_s)
+        .withColumn("sid", sid)
+        .groupBy("user_id", "sid")
+        .agg(
+            F.min("frag_start").alias("session_start"),
+            (F.max("max_ts") + F.expr(f"INTERVAL {gap}")).alias("session_end"),
+            F.sum("n_events").alias("n_events"),
+            (F.sum("sum_cents") / F.lit(100.0)).alias("sum_value"),
+        )
+        .select(
+            "session_start", "session_end", "user_id", "n_events", "sum_value"
+        )
+        .orderBy("user_id", "session_start")
     )
