@@ -298,6 +298,12 @@ OPS = {
             "source", F.concat(F.lit("src"), F.pmod("doc_id", F.lit(20)))
         )
     ),
+    # round-11 compression-family additions: queries stay the fixed
+    # vec_id<5 set (replica ids are offset), the corpus grows N-fold —
+    # the judge passes are the deliberate O(queries x n) floor both
+    # ops' docstrings declare, so linear scaling is the honest target.
+    "embedding_sq8_topk": lambda d, e: S.sq8_mips_recall(e),
+    "embedding_bitsign_topk": lambda d, e: S.bitsign_hamming_recall(e),
 }
 
 #: Events-input ops (replicated with per-replica day offsets so the
@@ -529,6 +535,12 @@ FOLD_OPS = {
         lambda b: b.select("user_id", "event_id", "ts", "event_type"),
         [("ev", None)],
         lambda spark, t: W.scd2_from_state(spark, t[0]),
+    ),
+    "sessions_from_state": (
+        "events",
+        lambda b: W.session_fragments(b),
+        [("frag", None)],
+        lambda spark, t: W.sessions_from_state(spark, t[0]),
     ),
 }
 
