@@ -1360,14 +1360,17 @@ def frequent_bigrams(documents: DataFrame, k: int = 50) -> DataFrame:
         + _floor_log2(F.col("ua"))
         + _floor_log2(F.col("ub"))
     )
-    return (
+    out = (
         bgc.join(ua.hint("shuffle_hash"), "w1")
         .join(ub.hint("shuffle_hash"), "w2")
         .join(F.broadcast(tot))
         .select("w1", "w2", "cnt", pmi_bits.cast("long").alias("pmi_bits"))
-        .orderBy(F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc())
-        .limit(k)
     )
+    if k is None:
+        return out
+    return out.orderBy(
+        F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
 
 
 #: Gopher "required words" set (Rae et al. 2021, A1.1): a document must
@@ -2763,3 +2766,88 @@ def html_clean(
     if sort:
         return presentation_sorted(out, "doc_id", expect_small=False)
     return out
+
+
+def skipgram_pmi(
+    documents: DataFrame, window: int = 3, k: int | None = 50
+) -> DataFrame:
+    """Skip-gram (context-window) co-occurrence PMI — the word2vec /
+    GloVe co-occurrence statistic, generalizing
+    :func:`frequent_bigrams` from adjacent pairs to every UNORDERED
+    word pair within ``window`` positions of each other: the top-``k``
+    pairs by co-occurrence count with the same exact integer-bits PMI
+    (``(L(c_ab) + 2·L(Nu)) − (L(Np) + L(u_a) + L(u_b))`` over exact
+    int64 counts via :func:`_floor_log2`; ``Np`` = total pair count so
+    the pair distribution normalizes correctly). Pairs are
+    canonicalized (w1 <= w2, binary string order — identical in Spark
+    and DuckDB) so "deep learning" and "learning deep" accumulate into
+    one cell, the unordered form co-occurrence factorizations use.
+
+    Scale: all ``window`` offset streams are built IN-KERNEL — the
+    word array zipped with its own offset-``o`` tail for o = 1..window,
+    concatenated per row and exploded ONCE (no per-position explode,
+    no self-join on positions — the naive spelling joins the exploded
+    token table to itself on doc_id + a position band, shuffling
+    O(tokens) rows twice); the pair count is one map-side-combined
+    aggregation keyed by the pair, unigram counts and the two totals
+    are the same shapes as :func:`frequent_tokens`, the count joins
+    carry (word, count) rows only and pin ``shuffle_hash`` on the
+    corpus-sized sides, and the global top-k is TakeOrdered. Output
+    row count is min(k, distinct pairs); the per-row expansion factor
+    is exactly ``window`` (bounded, unlike a sentence-length-squared
+    all-pairs window).
+
+    ``k=None`` returns the FULL unordered co-occurrence matrix,
+    unsorted — the input a factorization (GloVe-style) consumes; never
+    TakeOrdered a corpus-sized k (a huge top-k heap per partition is
+    an OOM, not a sort).
+    """
+    ws = _words(F.col("text"))
+
+    def tail_zip(off: int):
+        n = F.greatest(F.size(ws) - F.lit(off), F.lit(0))
+        return F.zip_with(
+            F.slice(ws, 1, n),
+            F.slice(ws, 1 + off, n),
+            lambda a, b: F.struct(
+                F.least(a, b).alias("w1"), F.greatest(a, b).alias("w2")
+            ),
+        )
+
+    pair = F.explode(
+        F.concat(*[tail_zip(off) for off in range(1, window + 1)])
+    )
+    pairs = (
+        documents.filter(F.size(ws) >= 2)
+        .select(pair.alias("p"))
+        .select("p.w1", "p.w2")
+    )
+    bgc = pairs.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    uni = (
+        documents.select(F.explode(ws).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("u"))
+    )
+    tot = uni.agg(F.sum("u").alias("nu")).crossJoin(
+        bgc.agg(F.sum("cnt").alias("np"))
+    )
+    ua = uni.select(F.col("word").alias("w1"), F.col("u").alias("ua"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("u").alias("ub"))
+    pmi_bits = (
+        _floor_log2(F.col("cnt")) + F.lit(2) * _floor_log2(F.col("nu"))
+    ) - (
+        _floor_log2(F.col("np"))
+        + _floor_log2(F.col("ua"))
+        + _floor_log2(F.col("ub"))
+    )
+    out = (
+        bgc.join(ua.hint("shuffle_hash"), "w1")
+        .join(ub.hint("shuffle_hash"), "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "cnt", pmi_bits.cast("long").alias("pmi_bits"))
+    )
+    if k is None:
+        return out
+    return out.orderBy(
+        F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)

@@ -143,18 +143,19 @@ _HEAD = [
     "video_decode_stats",
 ]
 
-#: The r12 stamp queue. Head: the three round-11 operators (new work,
+#: The r12 stamp queue. Head: the four round-11 operators (new work,
 #: never stamped — rotation invariant (b) requires never-stamped
 #: queries to occupy the FIRST post-window slots). Then the 10
 #: r07-stamped queries that did not fit in the r11 window (staleness 5
-#: at r12 — cadence-due under invariant (a)). r12's remaining 37 slots
-#: go to the r08-stamped battery, stalest-first. All 13 queue entries
+#: at r12 — cadence-due under invariant (a)). r12's remaining 36 slots
+#: go to the r08-stamped battery, stalest-first. All 14 queue entries
 #: are oracle-verified locally every pytest run.
 _R12_QUEUE: list[str] = [
     # -- round-11 additions (never stamped; new work drains first) --
     "embedding_sq8_topk",
     "embedding_bitsign_topk",
     "sessions_streamed",
+    "skipgram_pmi",
     # -- r07-stamped remainder (cadence-due at r12) --
     "text_repetition",
     "pii_redaction",

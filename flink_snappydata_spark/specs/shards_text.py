@@ -502,3 +502,48 @@ _register(
         "broadcast stats row, TakeOrdered top-k — two corpus scans, no "
         "text shuffle.",
 )
+
+# -- round 11: context-window co-occurrence (registered after the r12
+# stamp queue; listed in registry._R12_QUEUE with the other round-11
+# additions so never-stamped work heads the post-window order).
+
+_register(
+    "skipgram_pmi",
+    ["documents"],
+    textops.skipgram_pmi,
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               list_filter(string_split_regex(lower(text), '\W+'),
+                           x -> x <> '') AS ws
+        FROM documents),
+    pairs AS (
+        SELECT LEAST(p.a, p.b) AS w1, GREATEST(p.a, p.b) AS w2 FROM (
+            SELECT unnest(list_transform(
+                       generate_series(1, len(ws) - o.o),
+                       i -> struct_pack(a := ws[i], b := ws[i + o.o]))) AS p
+            FROM w, (SELECT unnest([1, 2, 3]) AS o) o
+            WHERE len(ws) > o.o) t),
+    bgc AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cnt
+            FROM pairs GROUP BY w1, w2),
+    uni AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS u FROM (
+            SELECT unnest(ws) AS word FROM w) GROUP BY word),
+    tot AS (SELECT CAST((SELECT SUM(u) FROM uni) AS BIGINT) AS nu,
+                   CAST((SELECT SUM(cnt) FROM bgc) AS BIGINT) AS np)
+    SELECT b.w1, b.w2, b.cnt,
+           CAST(((length(bin(b.cnt)) - 1) + 2 * (length(bin(t.nu)) - 1))
+                - ((length(bin(t.np)) - 1) + (length(bin(ua.u)) - 1)
+                   + (length(bin(ub.u)) - 1)) AS BIGINT) AS pmi_bits
+    FROM bgc b
+    JOIN uni ua ON ua.word = b.w1
+    JOIN uni ub ON ub.word = b.w2
+    CROSS JOIN tot t
+    ORDER BY b.cnt DESC, b.w1 ASC, b.w2 ASC
+    LIMIT 50
+    """,
+    doc="Skip-gram (window<=3) co-occurrence PMI: top-50 unordered "
+        "word pairs by windowed co-occurrence with integer-bits PMI — "
+        "the word2vec/GloVe statistic; all offset streams built "
+        "in-kernel (tail-zips, one explode), no position self-join.",
+)

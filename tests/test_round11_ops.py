@@ -233,3 +233,64 @@ def test_session_fragment_merge_random_interleavings(spark):
         ]
         got = _fold_fragments(spark, frag_batches)
         assert got == want, f"seed {seed} diverged"
+
+
+# ---------------------------------------------------------- skipgram
+
+
+def test_skipgram_pmi_window1_folds_ordered_bigrams(spark):
+    """At window=1 the unordered skip-gram count of a pair must equal
+    the SUM of the two ordered adjacent-bigram counts (a,b)+(b,a) —
+    the canonicalization identity tying the new op to the established
+    frequent_bigrams, on real fixture text."""
+    from flink_snappydata_spark.pipeline.text import (
+        frequent_bigrams,
+        skipgram_pmi,
+    )
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    sk = {
+        (r.w1, r.w2): r.cnt
+        for r in skipgram_pmi(docs, window=1, k=10).collect()
+    }
+    fb = {
+        (r.w1, r.w2): r.cnt
+        for r in frequent_bigrams(docs, k=100_000).collect()
+    }
+    assert sk, "no pairs on fixture text"
+    for (a, b), cnt in sk.items():
+        assert a <= b, "pairs must be canonicalized"
+        assert cnt == fb.get((a, b), 0) + (
+            fb.get((b, a), 0) if a != b else 0
+        ), f"({a},{b})"
+
+
+def test_skipgram_pair_volume_is_exactly_bounded(spark):
+    """The per-document expansion factor is exactly
+    sum_{o=1..window} max(len-o, 0) — verify the TOTAL pair count
+    against a Python recount of the fixture token lengths (pins the
+    in-kernel tail-zip construction against off-by-ones at both array
+    ends)."""
+    from flink_snappydata_spark.pipeline.text import skipgram_pmi
+
+    docs = load_table(spark, SF_SMOKE, "documents")
+    lens = [
+        r.n
+        for r in docs.select(
+            F.size(
+                F.filter(
+                    F.split(F.lower("text"), r"\W+"), lambda w: w != ""
+                )
+            ).alias("n")
+        ).collect()
+    ]
+    want = sum(
+        sum(max(n - o, 0) for o in (1, 2, 3)) for n in lens if n >= 2
+    )
+    got = (
+        skipgram_pmi(docs, k=None)
+        .agg(F.sum("cnt").alias("s"))
+        .collect()[0]
+        .s
+    )
+    assert got == want

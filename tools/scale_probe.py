@@ -304,6 +304,7 @@ OPS = {
     # ops' docstrings declare, so linear scaling is the honest target.
     "embedding_sq8_topk": lambda d, e: S.sq8_mips_recall(e),
     "embedding_bitsign_topk": lambda d, e: S.bitsign_hamming_recall(e),
+    "skipgram_pmi": lambda d, e: T.skipgram_pmi(d),
 }
 
 #: Events-input ops (replicated with per-replica day offsets so the
