@@ -1035,16 +1035,20 @@ def _pq_train(
     embeddings: DataFrame,
     n_centroids: int = PQ_CENTROIDS,
     n_iters: int = 1,
+    subv: DataFrame | None = None,
 ):
     """Shared PQ trainer: Lloyd's under exact integer squared-L2 per
     subspace. Returns ``(subv, cents, assigned)`` — the persisted
     (vector, subspace) frame, the final codebook
     ``(m, cent_id, ce array<long>)``, and the final assignment
     ``(vec_id, m, cent_id, dist)`` (the PQ codes). Consumed by
-    :func:`pq_codebook` (training stats) and :func:`pq_adc_topk`
-    (encode + asymmetric-distance search)."""
-    qv = tracked_persist(quantized(embeddings))
-    subv = tracked_persist(_pq_subvectors(qv))
+    :func:`pq_codebook` (training stats), :func:`pq_adc_topk`
+    (encode + asymmetric-distance search), and — via ``subv``, a
+    pre-built (vec_id, m, sq) frame such as coarse-quantizer RESIDUAL
+    blocks — by :func:`ivf_pq_topk` (the IVFADC composition)."""
+    if subv is None:
+        qv = tracked_persist(quantized(embeddings))
+        subv = tracked_persist(_pq_subvectors(qv))
     cents = subv.filter(F.col("vec_id") < n_centroids).select(
         "m", F.col("vec_id").alias("cent_id"), F.col("sq").alias("ce")
     )
@@ -1947,3 +1951,174 @@ def bitsign_hamming_recall(
         "query_id", "vec_id"
     )
     return _recall_verdict(truth, approx, floor)
+
+
+def ivf_pq_topk(
+    embeddings: DataFrame, n_queries: int = 3, k: int = 5,
+    n_coarse: int = 8, n_probe: int = 2, n_pq_centroids: int = 8,
+    n_shortlist: int = 64, n_iters: int = 2,
+) -> DataFrame:
+    """IVFADC with exact refinement — the full Jégou et al. 2011
+    composition and the layout every billion-scale ANN index
+    (faiss IVF-PQ + refine) ships: a TRAINED coarse quantizer
+    (:func:`_kmeans_fit`, cosine Lloyd's) partitions the corpus into
+    inverted lists; each vector stores only its list id + PQ codes of
+    its RESIDUAL (vector − coarse centroid — the step that makes PQ
+    cells small where data is dense); a query probes its ``n_probe``
+    nearest lists, scores candidates by asymmetric distance (per-list
+    lookup tables of exact int64 squared-L2 between the query's
+    residual blocks and the residual codebook, summed over each
+    candidate's codes), keeps the ``n_shortlist`` best, and re-ranks
+    ONLY those by the exact quantized cosine. Returns
+    ``(query_id, rank, vec_id, cosine)`` — bit-exact in any engine
+    (coarse assignment = the replayed integer kmeans, residuals and PQ
+    training are pure int64, ADC is a lookup sum, the re-rank cosine
+    is the shared deterministic double expression), so the oracle
+    checks VALUES; the recall-vs-exact overlap (observed 11-13 of 15
+    across sf0.001-0.1) is pinned separately in tests.
+
+    Scale (why this is THE 100 TB ANN layout): the stored index is one
+    int (list id) + PQ_SUBSPACES small codes per vector — float
+    vectors are read only for the n_queries x n_shortlist re-rank; the
+    LUT is n_queries x n_probe x PQ_SUBSPACES x n_pq_centroids tiny
+    rows, broadcast; and the join of the code frame against the LUT
+    keys on ``(list_id, m, cent_id)`` IS the inverted-list pruning —
+    vectors outside probed lists match no LUT row and drop at the
+    broadcast join, so scored candidates ~ n·n_probe/n_coarse, not n.
+    The two corpus-sized builds (residual join, codes+lists join) pin
+    ``shuffle_hash``; every bounded frame (coarse centroids, PQ
+    codebook, probe set, LUT, shortlist) is an explicit broadcast; the
+    per-query top-k passes are the same two-phase bucket merge as
+    :func:`pq_adc_topk`, so no query is a hot partition. The shuffle
+    carries int64 (query, vec) partials, never vectors or codes.
+    """
+    qv = tracked_persist(quantized(embeddings))
+    cents, assigned = _kmeans_fit(qv, n_coarse, n_iters)
+    cents = F.broadcast(cents)
+    # corpus residuals vs the assigned coarse centroid, in PQ layout
+    resid = (
+        # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
+        qv.join(assigned.hint("shuffle_hash"), "vec_id")
+        .join(cents.select("cent_id", "ce"), "cent_id")
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("list_id"),
+            F.zip_with("qe", "ce", lambda a, b: a - b).alias("qe"),
+        )
+    )
+    resid = tracked_persist(resid)
+    subv = tracked_persist(_pq_subvectors(resid.select("vec_id", "qe")))
+    _, pq_cents, pq_assigned = _pq_train(
+        embeddings, n_centroids=n_pq_centroids, n_iters=n_iters, subv=subv
+    )
+    pq_cents = F.broadcast(pq_cents)
+    # query probes: top-n_probe coarse lists by the same cosine rule
+    q = qv.filter(F.col("vec_id") < n_queries)
+    qscore = q.crossJoin(cents).select(
+        F.col("vec_id").alias("query_id"),
+        "cent_id",
+        _cosine(
+            _dot(F.col("qe"), F.col("ce")), F.col("norm_sq"), F.col("cn")
+        ).alias("csim"),
+    )
+    w_p = Window.partitionBy("query_id").orderBy(
+        F.col("csim").desc(), F.col("cent_id").asc()
+    )
+    probes = F.broadcast(
+        qscore.withColumn("r", F.row_number().over(w_p))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", F.col("cent_id").alias("list_id"))
+    )
+    # query residuals per probed list, cut into PQ blocks
+    qres = (
+        probes.join(
+            q.select(F.col("vec_id").alias("query_id"), "qe"), "query_id"
+        )
+        .join(
+            cents.select(F.col("cent_id").alias("list_id"), "ce"), "list_id"
+        )
+        .select(
+            "query_id",
+            "list_id",
+            F.zip_with("qe", "ce", lambda a, b: a - b).alias("qre"),
+        )
+    )
+    blocks = F.array(
+        *[
+            F.struct(
+                F.lit(m).cast("long").alias("m"),
+                F.slice(F.col("qre"), m * PQ_SUB_DIM + 1, PQ_SUB_DIM).alias(
+                    "sq"
+                ),
+            )
+            for m in range(PQ_SUBSPACES)
+        ]
+    )
+    qsubv = qres.select("query_id", "list_id", F.inline(blocks))
+    lut = F.broadcast(
+        qsubv.join(pq_cents, "m").select(
+            "query_id",
+            "list_id",
+            "m",
+            "cent_id",
+            _pq_l2(F.col("sq"), F.col("ce")).alias("lq"),
+        )
+    )
+    codes = (
+        pq_assigned.select("vec_id", "m", "cent_id")
+        # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
+        .join(resid.select("vec_id", "list_id").hint("shuffle_hash"), "vec_id")
+    )
+    adc = (
+        codes.join(lut, ["list_id", "m", "cent_id"])
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .groupBy("query_id", "vec_id")
+        .agg(F.sum("lq").alias("adc_dist"))
+        .withColumn("b", F.pmod(F.col("vec_id"), F.lit(64)))
+    )
+    w_bucket = Window.partitionBy("query_id", "b").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    bucket_best = (
+        adc.withColumn("r", F.row_number().over(w_bucket))
+        .filter(F.col("r") <= n_shortlist)
+        .drop("r", "b")
+    )
+    w_short = Window.partitionBy("query_id").orderBy(
+        F.col("adc_dist").asc(), F.col("vec_id").asc()
+    )
+    shortlist = (
+        bucket_best.withColumn("r", F.row_number().over(w_short))
+        .filter(F.col("r") <= n_shortlist)
+        .select("query_id", "vec_id")
+    )
+    # exact refinement of the bounded shortlist
+    q_vec = F.broadcast(
+        q.select(
+            F.col("vec_id").alias("query_id"),
+            F.col("qe").alias("q_qe"),
+            F.col("norm_sq").alias("q_norm"),
+        )
+    )
+    reranked = (
+        qv.join(F.broadcast(shortlist), "vec_id")
+        .join(q_vec, "query_id")
+        .select(
+            "query_id",
+            "vec_id",
+            _cosine(
+                _dot(F.col("q_qe"), F.col("qe")),
+                F.col("q_norm"),
+                F.col("norm_sq"),
+            ).alias("cosine"),
+        )
+    )
+    w_final = Window.partitionBy("query_id").orderBy(
+        F.col("cosine").desc(), F.col("vec_id").asc()
+    )
+    out = (
+        reranked.withColumn("rank", F.row_number().over(w_final).cast("long"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "rank", "vec_id", "cosine")
+    )
+    return presentation_sorted(out, "query_id", "rank")

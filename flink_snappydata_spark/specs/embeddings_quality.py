@@ -724,3 +724,119 @@ _register(
         "comparisons, portable bit-for-bit.",
     judge_bearing=True,
 )
+
+# IVFADC replay: coarse kmeans (the shared _KMEANS_CTES, 8 centroids,
+# 2 cosine Lloyd's iterations -> c1/cn1/a2), residual PQ training
+# (the _PQ_TRAIN_SQL pattern rebased onto residual components, 8
+# centroids), probe/LUT/ADC, 64-candidate shortlist, exact-cosine
+# refinement. Pure int64 arithmetic except the two shared cosine
+# expressions, so the oracle checks exact VALUES, not a recall bound.
+_register(
+    "ivf_pq_topk",
+    ["embeddings"],
+    similarity.ivf_pq_topk,
+    f"""
+    WITH {_KMEANS_CTES},
+    rcomp AS (
+        SELECT c.vec_id, a.cent_id AS list_id,
+               CAST((c.i - 1) // 16 AS BIGINT) AS m, (c.i - 1) % 16 AS j,
+               c.q - cc.c AS q
+        FROM comp c
+        JOIN a2 a ON a.vec_id = c.vec_id
+        JOIN c1 cc ON cc.cent_id = a.cent_id AND cc.i = c.i),
+    pc0 AS (SELECT m, vec_id AS cent_id, j, q AS c FROM rcomp
+            WHERE vec_id < 8),
+    pd1 AS (SELECT t.vec_id, t.m, c.cent_id,
+                   CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) AS dist
+            FROM rcomp t JOIN pc0 c ON t.m = c.m AND t.j = c.j
+            GROUP BY t.vec_id, t.m, c.cent_id),
+    pa1 AS (SELECT vec_id, m, cent_id FROM (
+              SELECT vec_id, m, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                         ORDER BY dist ASC, cent_id ASC) AS r
+              FROM pd1) t WHERE r = 1),
+    ps1 AS (SELECT a.m, a.cent_id, c.j, SUM(c.q) AS s, COUNT(*) AS cnt
+            FROM pa1 a JOIN rcomp c ON c.vec_id = a.vec_id AND c.m = a.m
+            GROUP BY a.m, a.cent_id, c.j),
+    pm1 AS (SELECT m, cent_id, j,
+                   CAST(CAST(s - s % cnt AS DOUBLE) / cnt AS BIGINT) AS c
+            FROM ps1),
+    pc1 AS (SELECT m, cent_id, j, c FROM pm1
+            UNION ALL
+            SELECT x.m, x.cent_id, x.j, x.c FROM pc0 x
+            WHERE NOT EXISTS (SELECT 1 FROM pm1
+                              WHERE pm1.m = x.m
+                                AND pm1.cent_id = x.cent_id)),
+    pd2 AS (SELECT t.vec_id, t.m, c.cent_id,
+                   CAST(SUM((t.q - c.c) * (t.q - c.c)) AS BIGINT) AS dist
+            FROM rcomp t JOIN pc1 c ON t.m = c.m AND t.j = c.j
+            GROUP BY t.vec_id, t.m, c.cent_id),
+    pa2 AS (SELECT vec_id, m, cent_id FROM (
+              SELECT vec_id, m, cent_id,
+                     ROW_NUMBER() OVER (PARTITION BY vec_id, m
+                         ORDER BY dist ASC, cent_id ASC) AS r
+              FROM pd2) t WHERE r = 1),
+    qd AS (SELECT t.vec_id AS query_id, c.cent_id, SUM(t.q * c.c) AS dot
+           FROM comp t JOIN c1 c ON t.i = c.i
+           WHERE t.vec_id < 3 GROUP BY t.vec_id, c.cent_id),
+    probes AS (SELECT query_id, cent_id AS list_id FROM (
+                 SELECT d.query_id, d.cent_id,
+                        ROW_NUMBER() OVER (PARTITION BY d.query_id ORDER BY
+                            (CAST(dot AS DOUBLE)/1e12)
+                                / sqrt((CAST(nv.n2 AS DOUBLE)/1e12)
+                                       * (CAST(cn.n2 AS DOUBLE)/1e12)) DESC,
+                            d.cent_id ASC) AS r
+                 FROM qd d
+                 JOIN norms nv ON nv.vec_id = d.query_id
+                 JOIN cn1 cn ON cn.cent_id = d.cent_id) t
+               WHERE r <= 2),
+    qres AS (SELECT p.query_id, p.list_id,
+                    CAST((c.i - 1) // 16 AS BIGINT) AS m,
+                    (c.i - 1) % 16 AS j,
+                    c.q - cc.c AS q
+             FROM probes p
+             JOIN comp c ON c.vec_id = p.query_id
+             JOIN c1 cc ON cc.cent_id = p.list_id AND cc.i = c.i),
+    lut AS (SELECT r.query_id, r.list_id, c.m, c.cent_id,
+                   CAST(SUM((r.q - c.c) * (r.q - c.c)) AS BIGINT) AS lq
+            FROM qres r JOIN pc1 c ON c.m = r.m AND c.j = r.j
+            GROUP BY r.query_id, r.list_id, c.m, c.cent_id),
+    vlists AS (SELECT DISTINCT vec_id, list_id FROM rcomp),
+    adc AS (SELECT l.query_id, cd.vec_id,
+                   CAST(SUM(l.lq) AS BIGINT) AS adc_dist
+            FROM pa2 cd
+            JOIN vlists v ON v.vec_id = cd.vec_id
+            JOIN lut l ON l.list_id = v.list_id AND l.m = cd.m
+                       AND l.cent_id = cd.cent_id
+            WHERE cd.vec_id <> l.query_id
+            GROUP BY l.query_id, cd.vec_id),
+    shortlist AS (SELECT query_id, vec_id FROM (
+                    SELECT query_id, vec_id,
+                           ROW_NUMBER() OVER (PARTITION BY query_id
+                               ORDER BY adc_dist ASC, vec_id ASC) AS r
+                    FROM adc) t WHERE r <= 64),
+    rdots AS (SELECT s.query_id, s.vec_id, SUM(qc.q * tc.q) AS dot
+              FROM shortlist s
+              JOIN comp qc ON qc.vec_id = s.query_id
+              JOIN comp tc ON tc.vec_id = s.vec_id AND tc.i = qc.i
+              GROUP BY s.query_id, s.vec_id),
+    rer AS (SELECT d.query_id, d.vec_id,
+                   (CAST(dot AS DOUBLE)/1e12)
+                       / sqrt((CAST(nq.n2 AS DOUBLE)/1e12)
+                              * (CAST(nt.n2 AS DOUBLE)/1e12)) AS cosine
+            FROM rdots d
+            JOIN norms nq ON nq.vec_id = d.query_id
+            JOIN norms nt ON nt.vec_id = d.vec_id)
+    SELECT query_id, rank, vec_id, cosine FROM (
+        SELECT query_id, vec_id, cosine,
+               CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+                    ORDER BY cosine DESC, vec_id ASC) AS BIGINT) AS rank
+        FROM rer) t
+    WHERE rank <= 5 ORDER BY query_id, rank
+    """,
+    doc="IVFADC with exact refinement (faiss IVF-PQ + refine layout): "
+        "trained coarse quantizer -> inverted lists, residual PQ "
+        "codes, per-list broadcast ADC LUTs with list pruning AT the "
+        "LUT join, 64-candidate shortlist, exact-cosine re-rank — "
+        "bit-exact replayed end to end, values oracle-checked.",
+)

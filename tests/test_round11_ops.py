@@ -294,3 +294,44 @@ def test_skipgram_pair_volume_is_exactly_bounded(spark):
         .s
     )
     assert got == want
+
+
+# ------------------------------------------------------------- IVFADC
+
+
+def test_ivf_pq_recall_overlap(embeddings):
+    """The IVFADC + refine pipeline must recover a solid majority of
+    the exact cosine top-5 per probe set (observed 11-13 of 15 across
+    sf0.001-0.1 with the default 8-list/2-probe/8-centroid-PQ/64-
+    shortlist config; pin >= 9 of 15 at sf0.01 for margin)."""
+    truth = {
+        (r.query_id, r.vec_id)
+        for r in similarity.brute_force_cosine_topk(
+            embeddings, 3, 5
+        ).collect()
+    }
+    approx = {
+        (r.query_id, r.vec_id)
+        for r in similarity.ivf_pq_topk(embeddings).collect()
+    }
+    assert len(truth) == 15
+    assert len(truth & approx) >= 9
+
+
+def test_ivf_pq_exact_when_probing_everything(spark):
+    """With every list probed and a corpus-covering shortlist the ADC
+    stage is a pure candidate pass-through and the exact re-rank must
+    reproduce the exact cosine top-k bit-for-bit — the exactness-by-
+    construction limit (same device as the bitsign test)."""
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    want = [
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in similarity.brute_force_cosine_topk(emb, 3, 5).collect()
+    ]
+    got = [
+        (r.query_id, r.rank, r.vec_id, r.cosine)
+        for r in similarity.ivf_pq_topk(
+            emb, n_probe=8, n_shortlist=1_000_000
+        ).collect()
+    ]
+    assert got == want

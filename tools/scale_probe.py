@@ -305,6 +305,12 @@ OPS = {
     "embedding_sq8_topk": lambda d, e: S.sq8_mips_recall(e),
     "embedding_bitsign_topk": lambda d, e: S.bitsign_hamming_recall(e),
     "skipgram_pmi": lambda d, e: T.skipgram_pmi(d),
+    # IVFADC: trained coarse lists + residual PQ + per-list ADC +
+    # 64-candidate exact refine; replication grows list occupancy
+    # under the fixed 8-list/2-probe config — the honest shape (a
+    # real 100x corpus retrains with more lists, but per-query cost
+    # is list-fraction-bounded either way).
+    "ivf_pq_topk": lambda d, e: S.ivf_pq_topk(e),
 }
 
 #: Events-input ops (replicated with per-replica day offsets so the
