@@ -57,7 +57,8 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 #     post-window order (new work first in line, never buried);
 # (c) remaining slots go stalest-first.
 #
-# Local tests/test_oracle_parity.py still verifies ALL 210 queries
+# Local tests/test_oracle_parity.py still verifies ALL registered
+# queries (216 after the round-11 additions)
 # against their DuckDB oracles every pytest run, so driver-stamp
 # staleness never means unverified code, only an older driver receipt.
 #
@@ -143,12 +144,12 @@ _HEAD = [
     "video_decode_stats",
 ]
 
-#: The r12 stamp queue. Head: the five round-11 operators (new work,
+#: The r12 stamp queue. Head: the six round-11 operators (new work,
 #: never stamped — rotation invariant (b) requires never-stamped
 #: queries to occupy the FIRST post-window slots). Then the 10
 #: r07-stamped queries that did not fit in the r11 window (staleness 5
-#: at r12 — cadence-due under invariant (a)). r12's remaining 35 slots
-#: go to the r08-stamped battery, stalest-first. All 15 queue entries
+#: at r12 — cadence-due under invariant (a)). r12's remaining 34 slots
+#: go to the r08-stamped battery, stalest-first. All 16 queue entries
 #: are oracle-verified locally every pytest run.
 _R12_QUEUE: list[str] = [
     # -- round-11 additions (never stamped; new work drains first) --
@@ -157,6 +158,7 @@ _R12_QUEUE: list[str] = [
     "sessions_streamed",
     "skipgram_pmi",
     "ivf_pq_topk",
+    "hll_streamed",
     # -- r07-stamped remainder (cadence-due at r12) --
     "text_repetition",
     "pii_redaction",

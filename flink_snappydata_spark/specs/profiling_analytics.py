@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import SparkSession
+from pyspark.sql import functions as F
 
 from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.operators import analytic
@@ -1192,4 +1193,66 @@ QUERIES["sessions_streamed"] = QuerySpec(
         "sweep reconstructs the exact event-level sessions), global "
         "merge at query time — the stream→table loop on the "
         "sessionization side.",
+)
+
+
+def _hll_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table distinct-user monitor under the full
+    correctness gate: the events fixture arrives as a 2-file stream
+    (maxFilesPerTrigger=1 → 2 micro-batches), each batch lands ONE
+    DataSketches HLL sketch per event_type via foreachBatch (binary
+    mergeable state, a few KB per batch — the smallest state of any
+    twin), and the returned frame union-folds the sketches and judges
+    the estimate against the exact distinct count per type
+    (bound-verdict pattern: |approx − exact| ≤ 6%·exact, ≫3σ for the
+    default lgK=12 sketch at ~1.6% rsd). The union of per-batch
+    sketches equals the single-pass sketch by the register-max merge
+    property, so batching cannot move the estimate. State torn down
+    via :func:`_stream_state_scored`."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "event_type", "user_id"
+    )
+
+    def score(spark_, sketch_table: str) -> DataFrame:
+        est = stream_windows.hll_distinct_from_state(spark_, sketch_table)
+        exact = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("exact_distinct")
+        )
+        return (
+            exact.join(est, "event_type")
+            .select(
+                "event_type",
+                "exact_distinct",
+                (
+                    F.abs(F.col("approx") - F.col("exact_distinct"))
+                    <= F.col("exact_distinct") * F.lit(0.06)
+                ).alias("within_bound"),
+            )
+            .orderBy("event_type")
+        )
+
+    return _stream_state_scored(
+        spark,
+        ev,
+        "hll",
+        ["sk"],
+        stream_windows.streaming_hll_ingest,
+        score,
+    )
+
+
+QUERIES["hll_streamed"] = QuerySpec(
+    fn=_hll_streamed,
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_distinct,
+           TRUE AS within_bound
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+    doc="Streaming-ingest HLL distinct-count monitor: one DataSketches "
+        "sketch per (event_type, micro-batch) lands into a queryable "
+        "catalog table (binary mergeable state, register-max union = "
+        "single-pass sketch), union-fold + exact-judge at query time — "
+        "the stream→table loop on the sketch side.",
+    judge_bearing=True,
 )

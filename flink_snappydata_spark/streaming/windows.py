@@ -584,3 +584,55 @@ def sessions_from_state(
         )
         .orderBy("user_id", "session_start")
     )
+
+
+def streaming_hll_ingest(
+    stream_events: DataFrame,
+    sketch_table: str,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest distinct-count monitor — the stream→table loop
+    with BINARY-SKETCH state: each micro-batch lands one Apache
+    DataSketches HLL sketch per event_type (``hll_sketch_agg`` over
+    user_id — a few KB regardless of batch size), and
+    :func:`hll_distinct_from_state` union-folds them at read
+    (``hll_union_agg``: register-wise max, so the union of per-batch
+    sketches is EXACTLY the sketch of the union — the textbook
+    mergeable sketch, the smallest state of any twin in this repo:
+    O(types) rows per batch vs the drift twin's O(distinct values)).
+
+    Rides :func:`~flink_snappydata_spark.streaming.runtime.
+    ingest_stream_to_tables`, so retried micro-batches overwrite their
+    own ``batch_id`` partition — idempotent (re-landing the same
+    batch's sketch cannot inflate the union).
+    """
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(sketch_table, None)],
+        prepare=lambda b: b.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        ),
+        checkpoint=checkpoint,
+    )
+
+
+def hll_distinct_from_state(spark, sketch_table: str) -> DataFrame:
+    """(event_type, approx) from the sketch state accumulated by
+    :func:`streaming_hll_ingest`: one ``hll_union_agg`` per type over
+    the per-batch sketches, estimated to a count. Batching-insensitive
+    by the register-max merge property. The estimate is
+    engine-specific (DataSketches internals), so registered queries
+    wrap it in the bound-verdict pattern against the exact distinct —
+    at scale you serve this estimate alone."""
+    return (
+        spark.table(sketch_table)
+        .drop("batch_id")
+        .groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+        )
+    )

@@ -335,3 +335,63 @@ def test_ivf_pq_exact_when_probing_everything(spark):
         ).collect()
     ]
     assert got == want
+
+
+# ---------------------------------------------------------------- HLL
+
+
+def test_hll_union_of_batches_equals_single_pass(spark, events):
+    """The register-max merge property, pinned directly: the estimate
+    from union-folding per-batch sketches over ANY split of the events
+    must equal the single-pass sketch estimate bit-for-bit — this is
+    what makes a few-KB sketch a sufficient statistic for the
+    streaming twin."""
+    single = {
+        r.event_type: r.approx
+        for r in events.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(
+                F.hll_sketch_agg("user_id")
+            ).alias("approx")
+        )
+        .collect()
+    }
+    part = F.pmod(F.hash("event_id"), F.lit(4))
+    batches = [
+        events.filter(part == b)
+        .groupBy("event_type")
+        .agg(F.hll_sketch_agg("user_id").alias("sk"))
+        for b in range(4)
+    ]
+    union = batches[0]
+    for b in batches[1:]:
+        union = union.unionByName(b)
+    folded = {
+        r.event_type: r.approx
+        for r in union.groupBy("event_type")
+        .agg(
+            F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
+        )
+        .collect()
+    }
+    assert folded == single
+
+
+def test_hll_streamed_verdicts_hold(spark):
+    """End-to-end twin at sf0.01: every event type's folded estimate
+    within 6% of exact (the sketch's >>3-sigma bound), and the exact
+    side matches a direct countDistinct."""
+    from flink_snappydata_spark.specs.profiling_analytics import (
+        _hll_streamed,
+    )
+
+    rows = _hll_streamed(spark, SF).collect()
+    assert rows and all(r.within_bound for r in rows)
+    ev = load_table(spark, SF, "events")
+    exact = {
+        r.event_type: r.d
+        for r in ev.groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("d"))
+        .collect()
+    }
+    assert {r.event_type: r.exact_distinct for r in rows} == exact

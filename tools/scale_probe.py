@@ -549,6 +549,14 @@ FOLD_OPS = {
         [("frag", None)],
         lambda spark, t: W.sessions_from_state(spark, t[0]),
     ),
+    "hll_from_state": (
+        "events",
+        lambda b: b.groupBy("event_type").agg(
+            F.hll_sketch_agg("user_id").alias("sk")
+        ),
+        [("sk", None)],
+        lambda spark, t: W.hll_distinct_from_state(spark, t[0]),
+    ),
 }
 
 #: Pseudo-micro-batch count for landed fold state (production twins
