@@ -1256,3 +1256,36 @@ QUERIES["hll_streamed"] = QuerySpec(
         "the stream→table loop on the sketch side.",
     judge_bearing=True,
 )
+
+
+def _funnel_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``session_funnel`` under the
+    full correctness gate — the continuously-maintained conversion
+    funnel: 2-micro-batch hash-distributed replay, per-batch funnel
+    FRAGMENTS land via foreachBatch (mergeable sums/min/max over the
+    click/purchase point set — same sufficiency proof as the session
+    twin), sweep-merge + conversion flag at read — row-identical to
+    the batch op, so its oracle applies verbatim. State torn down via
+    :func:`_stream_state_scored`."""
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "fnl",
+        ["fragments"],
+        stream_windows.streaming_funnel_ingest,
+        stream_windows.funnel_from_state,
+    )
+
+
+QUERIES["funnel_streamed"] = QuerySpec(
+    fn=_funnel_streamed,
+    oracle=QUERIES["session_funnel"].oracle,
+    doc="Streaming-ingest sessionized conversion funnel: per-batch "
+        "gap-merged funnel fragments (click/purchase counts, "
+        "first-click min, last-purchase max) land into a queryable "
+        "catalog table, boundary-sweep merge at query time — the "
+        "stream→table loop on the conversion-analytics side.",
+)

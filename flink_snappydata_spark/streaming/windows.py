@@ -536,6 +536,28 @@ def session_fragments(batch_df: DataFrame, gap: str = "30 minutes") -> DataFrame
     )
 
 
+def _sweep_fragments(frags: DataFrame, gap: str, order_cols) -> DataFrame:
+    """Attach a per-user session id (``sid``) to a fragment frame by
+    the sorted boundary sweep: a fragment starts a new session iff its
+    start is more than ``gap`` past the running max end of its user's
+    earlier fragments (STRICT >, matching Spark's session_window —
+    see the note in :func:`sessions_from_state`). ``order_cols`` must
+    totally order each user's fragments by (frag_start, ...) so the
+    running max is deterministic. Shared by the session-window and
+    funnel stream→table folds."""
+    w_ord = Window.partitionBy("user_id").orderBy(*order_cols)
+    prev_max = F.max("max_ts").over(
+        w_ord.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    new_s = F.when(
+        prev_max.isNull()
+        | (F.col("frag_start") > prev_max + F.expr(f"INTERVAL {gap}")),
+        1,
+    ).otherwise(0)
+    sid = F.sum("new_s").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    return frags.withColumn("new_s", new_s).withColumn("sid", sid)
+
+
 def sessions_from_state(
     spark, fragments_table: str, gap: str = "30 minutes"
 ) -> DataFrame:
@@ -549,13 +571,6 @@ def sessions_from_state(
     reconstructs exactly the event-level components — see the ingest
     docstring), so the batch oracle applies verbatim. ``batch_id`` is
     ingest lineage, not state — dropped here."""
-    frags = spark.table(fragments_table).drop("batch_id")
-    w_ord = Window.partitionBy("user_id").orderBy(
-        "frag_start", "max_ts", "n_events", "sum_cents"
-    )
-    prev_max = F.max("max_ts").over(
-        w_ord.rowsBetween(Window.unboundedPreceding, -1)
-    )
     # STRICT >: Spark's session_window merges events spaced EXACTLY gap
     # apart (a new session needs silence strictly longer than gap), so
     # the fragment sweep must too — pinned by the exact-boundary case in
@@ -563,16 +578,12 @@ def sessions_from_state(
     # ">= gap starts a session"; equivalent on second-granularity event
     # data that never lands exactly on the gap, which the shared-oracle
     # parity check verifies on every fixture.)
-    new_s = F.when(
-        prev_max.isNull()
-        | (F.col("frag_start") > prev_max + F.expr(f"INTERVAL {gap}")),
-        1,
-    ).otherwise(0)
-    sid = F.sum("new_s").over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+    frags = spark.table(fragments_table).drop("batch_id")
+    swept = _sweep_fragments(
+        frags, gap, ["frag_start", "max_ts", "n_events", "sum_cents"]
+    )
     return (
-        frags.withColumn("new_s", new_s)
-        .withColumn("sid", sid)
-        .groupBy("user_id", "sid")
+        swept.groupBy("user_id", "sid")
         .agg(
             F.min("frag_start").alias("session_start"),
             (F.max("max_ts") + F.expr(f"INTERVAL {gap}")).alias("session_end"),
@@ -635,4 +646,112 @@ def hll_distinct_from_state(spark, sketch_table: str) -> DataFrame:
         .agg(
             F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("approx")
         )
+    )
+
+
+def streaming_funnel_ingest(
+    stream_events: DataFrame,
+    fragments_table: str,
+    checkpoint: str | None = None,
+    gap: str = "30 minutes",
+):
+    """Streaming-ingest twin of :func:`session_funnel` — the
+    stream→table loop as a continuously-maintained CONVERSION-FUNNEL
+    table: each micro-batch lands per-user funnel FRAGMENTS over its
+    click/purchase events (gap-merged runs carrying click/purchase
+    counts, first-click min, last-purchase max, and the merge
+    boundaries), and :func:`funnel_from_state` sweep-merges them into
+    the exact sessionized funnel at read. Same mergeable-sufficiency
+    argument as :func:`streaming_sessions_ingest` (the sweep operates
+    on the click/purchase point set — filtering commutes with
+    batching); every funnel metric is a sum/min/max, so the merged
+    ``converted`` flag is exact. State is O(funnel sessions per
+    batch). Rides the shared idempotent foreachBatch loop.
+    """
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(fragments_table, None)],
+        prepare=lambda b: funnel_fragments(b, gap),
+        checkpoint=checkpoint,
+    )
+
+
+def funnel_fragments(batch_df: DataFrame, gap: str = "30 minutes") -> DataFrame:
+    """One micro-batch's funnel fragments — the mergeable state unit
+    of :func:`streaming_funnel_ingest` (module-level so the merge
+    semantics are directly unit-testable, like
+    :func:`session_fragments`)."""
+    is_click = F.col("event_type") == "click"
+    is_purchase = F.col("event_type") == "purchase"
+    return (
+        batch_df.filter(is_click | is_purchase)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.sum(is_click.cast("long")).alias("n_clicks"),
+            F.sum(is_purchase.cast("long")).alias("n_purchases"),
+            F.min(F.when(is_click, F.col("ts"))).alias("first_click_ts"),
+            F.max(F.when(is_purchase, F.col("ts"))).alias("last_purchase_ts"),
+            F.max("ts").alias("max_ts"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("frag_start"),
+            "max_ts",
+            "n_clicks",
+            "n_purchases",
+            "first_click_ts",
+            "last_purchase_ts",
+        )
+    )
+
+
+def funnel_from_state(
+    spark, fragments_table: str, gap: str = "30 minutes"
+) -> DataFrame:
+    """Sessionized click→purchase funnel from the fragments
+    accumulated by :func:`streaming_funnel_ingest`: the shared
+    boundary sweep assigns session ids, then counts sum, the first
+    click takes the min, the last purchase the max — after a bounded
+    stream drains the result is row-identical to
+    :func:`session_funnel`, so the batch oracle applies verbatim."""
+    frags = spark.table(fragments_table).drop("batch_id")
+    swept = _sweep_fragments(
+        frags,
+        gap,
+        [
+            "frag_start",
+            "max_ts",
+            "n_clicks",
+            "n_purchases",
+            "first_click_ts",
+            "last_purchase_ts",
+        ],
+    )
+    first_click = F.min("first_click_ts")
+    last_purchase = F.max("last_purchase_ts")
+    return (
+        swept.groupBy("user_id", "sid")
+        .agg(
+            F.min("frag_start").alias("session_start"),
+            F.sum("n_clicks").alias("n_clicks"),
+            F.sum("n_purchases").alias("n_purchases"),
+            first_click.alias("first_click_ts"),
+            last_purchase.alias("last_purchase_ts"),
+        )
+        .select(
+            "session_start",
+            "user_id",
+            "n_clicks",
+            "n_purchases",
+            (
+                F.col("first_click_ts").isNotNull()
+                & F.col("last_purchase_ts").isNotNull()
+                & (F.col("last_purchase_ts") >= F.col("first_click_ts"))
+            ).alias("converted"),
+        )
+        .orderBy("user_id", "session_start")
     )

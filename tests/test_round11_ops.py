@@ -395,3 +395,56 @@ def test_hll_streamed_verdicts_hold(spark):
         .collect()
     }
     assert {r.event_type: r.exact_distinct for r in rows} == exact
+
+
+def test_funnel_streamed_equals_batch_after_drain(spark, events):
+    """The streamed funnel must be row-identical to the batch
+    sessionized funnel once the bounded stream drains."""
+    from flink_snappydata_spark.specs.profiling_analytics import (
+        _funnel_streamed,
+    )
+
+    got = sorted(tuple(r) for r in _funnel_streamed(spark, SF).collect())
+    want = sorted(
+        tuple(r) for r in stream_windows.session_funnel(events).collect()
+    )
+    assert got == want
+
+
+def test_funnel_fragment_merge_random_interleavings(spark):
+    """Same property as the session twin, for the funnel metrics: any
+    seeded random 3-way split of the fixture's events must fold to the
+    batch funnel — exercises cross-batch min/max folding of the
+    conversion timestamps, not just the counts."""
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    want = sorted(
+        tuple(r) for r in stream_windows.session_funnel(ev).collect()
+    )
+    for seed in (3, 17):
+        part = F.pmod(F.hash("event_id", F.lit(seed)), F.lit(3))
+        frag_batches = [
+            stream_windows.funnel_fragments(
+                ev.filter(part == b).drop("event_id")
+            )
+            for b in range(3)
+        ]
+        got = _fold_fragments_with(
+            spark, frag_batches, stream_windows.funnel_from_state
+        )
+        assert got == want, f"seed {seed} diverged"
+
+
+def _fold_fragments_with(spark, frag_batches, fold):
+    """Generalization of :func:`_fold_fragments` to any fold fn."""
+    union = None
+    for bid, frags in enumerate(frag_batches):
+        stamped = frags.withColumn("batch_id", F.lit(bid))
+        union = stamped if union is None else union.unionByName(stamped)
+    name = f"fss_test_frags_{uuid.uuid4().hex[:8]}"
+    union.createOrReplaceTempView(name)
+    try:
+        return sorted(tuple(r) for r in fold(spark, name).collect())
+    finally:
+        spark.catalog.dropTempView(name)

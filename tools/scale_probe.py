@@ -549,6 +549,12 @@ FOLD_OPS = {
         [("frag", None)],
         lambda spark, t: W.sessions_from_state(spark, t[0]),
     ),
+    "funnel_from_state": (
+        "events",
+        lambda b: W.funnel_fragments(b),
+        [("frag", None)],
+        lambda spark, t: W.funnel_from_state(spark, t[0]),
+    ),
     "hll_from_state": (
         "events",
         lambda b: b.groupBy("event_type").agg(
