@@ -144,12 +144,12 @@ _HEAD = [
     "video_decode_stats",
 ]
 
-#: The r12 stamp queue. Head: the seven round-11 operators (new work,
+#: The r12 stamp queue. Head: the eight round-11 operators (new work,
 #: never stamped — rotation invariant (b) requires never-stamped
 #: queries to occupy the FIRST post-window slots). Then the 10
 #: r07-stamped queries that did not fit in the r11 window (staleness 5
-#: at r12 — cadence-due under invariant (a)). r12's remaining 33 slots
-#: go to the r08-stamped battery, stalest-first. All 17 queue entries
+#: at r12 — cadence-due under invariant (a)). r12's remaining 32 slots
+#: go to the r08-stamped battery, stalest-first. All 18 queue entries
 #: are oracle-verified locally every pytest run.
 _R12_QUEUE: list[str] = [
     # -- round-11 additions (never stamped; new work drains first) --
@@ -160,6 +160,7 @@ _R12_QUEUE: list[str] = [
     "ivf_pq_topk",
     "hll_streamed",
     "funnel_streamed",
+    "stream_join_left_outer",
     # -- r07-stamped remainder (cadence-due at r12) --
     "text_repetition",
     "pii_redaction",

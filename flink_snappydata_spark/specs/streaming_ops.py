@@ -229,3 +229,35 @@ _register(
     doc="Sliding count window (size 100, slide 10) — WindowWordCount.scala:45 "
         "parity; streaming twin in streaming/count_window.py.",
 )
+
+# -- round 11: the outer windowed stream-stream join (registered after
+# the r12 stamp queue; listed in registry._R12_QUEUE with the other
+# round-11 additions).
+
+
+def _rowlevel_left_join(events: DataFrame) -> DataFrame:
+    clicks = events.filter(events.event_type == "click")
+    purchases = events.filter(events.event_type == "purchase")
+    return stream_joins.windowed_stream_join(
+        clicks, purchases, how="left_outer"
+    )
+
+
+_register(
+    "stream_join_left_outer",
+    ["events"],
+    _rowlevel_left_join,
+    """
+    SELECT l.user_id AS user_id, date_trunc('hour', l.ts) AS window_start,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.value AS l_value, r.value AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND date_trunc('hour', l.ts) = date_trunc('hour', r.ts)
+    """,
+    doc="Row-level windowed LEFT OUTER stream-stream join — the "
+        "watermark-gated null-extension shape Structured Streaming "
+        "supports beyond the reference's inner join; clicks with no "
+        "same-window purchase survive null-extended.",
+)

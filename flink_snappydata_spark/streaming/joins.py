@@ -34,10 +34,24 @@ def windowed_stream_join(
     key: str = "user_id",
     width: str = "1 hour",
     watermark: str | None = None,
+    how: str = "inner",
 ) -> DataFrame:
-    """Row-level windowed inner equi-join of two event streams
-    (same key + same tumbling window), reference JoinFunction projection
-    (``ParquetTableJoin.scala:86-92``) as a plain select."""
+    """Row-level windowed equi-join of two event streams (same key +
+    same tumbling window), reference JoinFunction projection
+    (``ParquetTableJoin.scala:86-92``) as a plain select.
+
+    ``how`` extends the reference's inner join to the outer shapes
+    Structured Streaming supports for window equi-joins ("left_outer"
+    / "full_outer"): with watermarks on both sides the state store
+    emits null-extended rows once the watermark passes a window's end
+    — the streaming-correctness-hard case, since emitting early would
+    be wrong (a match may still arrive) and never emitting leaks
+    state. On bounded input the same plan is a plain Catalyst outer
+    join, which is what the oracle checks; mid-stream windows emit
+    their unmatched rows as later micro-batches advance the watermark
+    (pinned by the streaming subset test — a bounded replay's FINAL
+    batch legitimately withholds its unmatched rows, as no later batch
+    moves the watermark past them)."""
     if watermark is not None:
         left = left.withWatermark("ts", watermark)
         right = right.withWatermark("ts", watermark)
@@ -70,10 +84,12 @@ def windowed_stream_join(
         # frame to classify it would itself raise AnalysisException.
         r = r.hint("shuffle_hash")
     return l.join(
-        r, (F.col("l_key") == F.col("r_key")) & (F.col("l_w") == F.col("r_w")), "inner"
+        r, (F.col("l_key") == F.col("r_key")) & (F.col("l_w") == F.col("r_w")), how
     ).select(
-        F.col("l_key").alias("user_id"),
-        F.col("l_w.start").alias("window_start"),
+        # coalesce so the outer shapes keep key/window non-null on
+        # null-extended rows; on inner/left rows both sides agree.
+        F.coalesce(F.col("l_key"), F.col("r_key")).alias("user_id"),
+        F.coalesce(F.col("l_w"), F.col("r_w"))["start"].alias("window_start"),
         "l_event_id",
         "r_event_id",
         "l_value",

@@ -448,3 +448,53 @@ def _fold_fragments_with(spark, frag_batches, fold):
         return sorted(tuple(r) for r in fold(spark, name).collect())
     finally:
         spark.catalog.dropTempView(name)
+
+
+# ------------------------------------------- outer stream-stream join
+
+
+def test_left_outer_stream_join_streaming_behavior(spark):
+    """The left-outer windowed stream-stream join must RUN as a
+    streaming query (Structured Streaming accepts the shape only with
+    watermarks on both sides) and emit a watermark-gated PREFIX of the
+    batch result: every emitted row appears in the batch left-outer
+    result, all inner (matched) rows are emitted, and at least one
+    null-extended row is emitted for windows the advancing watermark
+    closed mid-stream. The bounded replay's final batch legitimately
+    withholds its unmatched rows (no later batch advances the
+    watermark past them), so exact equality is NOT the contract —
+    subset + inner-completeness + nonempty null-extension is."""
+    from flink_snappydata_spark.streaming import runtime
+    from flink_snappydata_spark.streaming.joins import windowed_stream_join
+
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    joined = windowed_stream_join(
+        stream.filter(stream.event_type == "click"),
+        stream.filter(stream.event_type == "purchase"),
+        watermark="0 seconds",
+        how="left_outer",
+    )
+    runtime.run_to_memory_sink(joined, "lo_smoke", output_mode="append")
+    got = {tuple(r) for r in spark.table("lo_smoke").collect()}
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    want_outer = {
+        tuple(r)
+        for r in windowed_stream_join(
+            batch.filter(batch.event_type == "click"),
+            batch.filter(batch.event_type == "purchase"),
+            how="left_outer",
+        ).collect()
+    }
+    want_inner = {
+        tuple(r)
+        for r in windowed_stream_join(
+            batch.filter(batch.event_type == "click"),
+            batch.filter(batch.event_type == "purchase"),
+        ).collect()
+    }
+    assert got <= want_outer, "streamed rows must all be batch-valid"
+    assert want_inner <= got, "every matched row must be emitted"
+    assert any(r[3] is None for r in got), (
+        "watermark-closed windows must emit null-extended rows"
+    )

@@ -55,6 +55,7 @@ from flink_snappydata_spark.operators import relational as R
 from flink_snappydata_spark.pipeline import graph as GR
 from flink_snappydata_spark.pipeline import similarity as S
 from flink_snappydata_spark.pipeline import text as T
+from flink_snappydata_spark.streaming import joins as SJ
 from flink_snappydata_spark.streaming import windows as W
 from flink_snappydata_spark.session import get_spark
 from flink_snappydata_spark.util import release_caches
@@ -357,6 +358,13 @@ EVENT_OPS = {
     # join — replication grows per-cell mass under fixed type/value
     # cardinality, the exact shape the two-stage mode fold exists for.
     "agg_mode": lambda v: R.mode_per_type(v),
+    # round-11: outer windowed join — the (key, window) shuffle grows
+    # with rows; replica day offsets grow the window count too.
+    "stream_join_left_outer": lambda v: SJ.windowed_stream_join(
+        v.filter(F.col("event_type") == "click"),
+        v.filter(F.col("event_type") == "purchase"),
+        how="left_outer",
+    ),
 }
 
 #: TPC-H-table ops (round-8 closers). Replication is a plain k-fold
