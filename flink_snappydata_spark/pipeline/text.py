@@ -1307,7 +1307,42 @@ def tfidf_keywords(
     return out.orderBy("doc_id", "rank") if sort else out
 
 
-def frequent_bigrams(documents: DataFrame, k: int = 50) -> DataFrame:
+def _pmi_topk(bgc, uni, k: int | None):
+    """Shared collocation tail of :func:`frequent_bigrams` and
+    :func:`skipgram_pmi`: join exact unigram counts onto the pair
+    counts, attach the integer-bits PMI, and TakeOrder the top-``k``
+    by count ((cnt, w1, w2) is a unique total order, so the cut is
+    engine-portable). ``k=None`` returns the full matrix unsorted —
+    never TakeOrdered a corpus-sized k (a huge per-partition top-k
+    heap is an OOM, not a sort)."""
+    tot = uni.agg(F.sum("u").alias("nu")).crossJoin(
+        bgc.agg(F.sum("cnt").alias("npairs"))
+    )
+    ua = uni.select(F.col("word").alias("w1"), F.col("u").alias("ua"))
+    ub = uni.select(F.col("word").alias("w2"), F.col("u").alias("ub"))
+    pmi_bits = (
+        _floor_log2(F.col("cnt")) + F.lit(2) * _floor_log2(F.col("nu"))
+    ) - (
+        _floor_log2(F.col("npairs"))
+        + _floor_log2(F.col("ua"))
+        + _floor_log2(F.col("ub"))
+    )
+    out = (
+        bgc.join(ua.hint("shuffle_hash"), "w1")
+        .join(ub.hint("shuffle_hash"), "w2")
+        .join(F.broadcast(tot))
+        .select("w1", "w2", "cnt", pmi_bits.cast("long").alias("pmi_bits"))
+    )
+    if k is None:
+        return out
+    return out.orderBy(
+        F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()
+    ).limit(k)
+
+
+def frequent_bigrams(
+    documents: DataFrame, k: int | None = 50
+) -> DataFrame:
     """Corpus collocations: the ``k`` most frequent adjacent word
     pairs with a quantized pointwise-mutual-information score — the
     phrase-mining / tokenizer-merge-candidate primitive (the highest-
@@ -1348,29 +1383,7 @@ def frequent_bigrams(documents: DataFrame, k: int = 50) -> DataFrame:
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("u"))
     )
-    tot = uni.agg(
-        F.sum("u").alias("nu")
-    ).crossJoin(bgc.agg(F.sum("cnt").alias("nb")))
-    ua = uni.select(F.col("word").alias("w1"), F.col("u").alias("ua"))
-    ub = uni.select(F.col("word").alias("w2"), F.col("u").alias("ub"))
-    pmi_bits = (
-        _floor_log2(F.col("cnt")) + F.lit(2) * _floor_log2(F.col("nu"))
-    ) - (
-        _floor_log2(F.col("nb"))
-        + _floor_log2(F.col("ua"))
-        + _floor_log2(F.col("ub"))
-    )
-    out = (
-        bgc.join(ua.hint("shuffle_hash"), "w1")
-        .join(ub.hint("shuffle_hash"), "w2")
-        .join(F.broadcast(tot))
-        .select("w1", "w2", "cnt", pmi_bits.cast("long").alias("pmi_bits"))
-    )
-    if k is None:
-        return out
-    return out.orderBy(
-        F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()
-    ).limit(k)
+    return _pmi_topk(bgc, uni, k)
 
 
 #: Gopher "required words" set (Rae et al. 2021, A1.1): a document must
@@ -2828,26 +2841,4 @@ def skipgram_pmi(
         .groupBy("word")
         .agg(F.count(F.lit(1)).alias("u"))
     )
-    tot = uni.agg(F.sum("u").alias("nu")).crossJoin(
-        bgc.agg(F.sum("cnt").alias("np"))
-    )
-    ua = uni.select(F.col("word").alias("w1"), F.col("u").alias("ua"))
-    ub = uni.select(F.col("word").alias("w2"), F.col("u").alias("ub"))
-    pmi_bits = (
-        _floor_log2(F.col("cnt")) + F.lit(2) * _floor_log2(F.col("nu"))
-    ) - (
-        _floor_log2(F.col("np"))
-        + _floor_log2(F.col("ua"))
-        + _floor_log2(F.col("ub"))
-    )
-    out = (
-        bgc.join(ua.hint("shuffle_hash"), "w1")
-        .join(ub.hint("shuffle_hash"), "w2")
-        .join(F.broadcast(tot))
-        .select("w1", "w2", "cnt", pmi_bits.cast("long").alias("pmi_bits"))
-    )
-    if k is None:
-        return out
-    return out.orderBy(
-        F.col("cnt").desc(), F.col("w1").asc(), F.col("w2").asc()
-    ).limit(k)
+    return _pmi_topk(bgc, uni, k)

@@ -80,8 +80,14 @@ def attach_log_capture(
     config = ctx.getConfiguration()
     root = config.getRootLogger()
     # log4j2's LoggerConfig stacks a second AppenderControl for the same
-    # name rather than replacing it — remove first for true idempotence.
+    # name rather than replacing it — remove first for true idempotence,
+    # and STOP the displaced appender: removeAppender only detaches the
+    # control, leaving the old FileAppender started with its stream open
+    # (one leaked descriptor per re-attach in a long-lived JVM).
+    old_appender = root.getAppenders().get(name)
     root.removeAppender(name)
+    if old_appender is not None:
+        old_appender.stop()
     root.addAppender(appender, jvm.org.apache.logging.log4j.Level.WARN, None)
     ctx.updateLoggers()
 
@@ -92,7 +98,11 @@ def detach_log_capture(spark: SparkSession, name: str = _APPENDER_NAME) -> None:
     unless explicitly named)."""
     jvm = spark._jvm
     ctx = jvm.org.apache.logging.log4j.core.LoggerContext.getContext(False)
-    ctx.getConfiguration().getRootLogger().removeAppender(name)
+    root = ctx.getConfiguration().getRootLogger()
+    appender = root.getAppenders().get(name)
+    root.removeAppender(name)
+    if appender is not None:
+        appender.stop()  # close the file stream, not just the control
     ctx.updateLoggers()
 
 

@@ -39,10 +39,11 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 # verification priority, not implementation grouping.
 #
 # ROUND-10 POLICY AMENDMENT (budget math, superseding the round-6
-# "every third round" cadence): with 210 registered queries and a
-# 50-stamp budget, the tightest cadence any rotation can sustain is
-# every ceil(210/50) = FIFTH round — 50 stamps/round * 4 rounds = 200
-# < 210, so a 3- or even 4-round cadence is structurally
+# "every third round" cadence): with 200+ registered queries (218
+# after round 11) and a 50-stamp budget, the tightest cadence any
+# rotation can sustain is every ceil(len(QUERIES)/50) = FIFTH round —
+# 50 stamps/round * 4 rounds = 200 < registry size, so a 3- or even
+# 4-round cadence is structurally
 # unsatisfiable once every query has been stamped at least once (the
 # same arithmetic that forced the round-8 amendment when never-stamped
 # backlog first exceeded the window). Effective policy, pinned by
@@ -58,7 +59,7 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 # (c) remaining slots go stalest-first.
 #
 # Local tests/test_oracle_parity.py still verifies ALL registered
-# queries (216 after the round-11 additions)
+# queries (218 after the round-11 additions)
 # against their DuckDB oracles every pytest run, so driver-stamp
 # staleness never means unverified code, only an older driver receipt.
 #
@@ -68,7 +69,9 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 # r07-stamped battery queries in declaration order per (c) (all 39
 # r07 stamps share staleness 4 at r11, so declaration order is the
 # tiebreak; wordcount_batch … video_decode_stats make the cut). After
-# the driver stamps this window, driver-stamp coverage is 210/210. No
+# the driver stamps this window, every query that existed at rotation
+# time has a stamp (210 of 218 — the 8 round-11 additions registered
+# after the rotation and head _R12_QUEUE, first in line for r12). No
 # stamped query is cadence-DUE at r11 under (a): the stalest stamps
 # are r07 (staleness 4 < 5), but they rotate now because r12 cannot
 # fit all 39 of them once they hit staleness 5.

@@ -88,8 +88,10 @@ def test_bitsign_exact_when_candidates_cover_corpus(spark):
 def test_bitsign_plans_broadcast_every_bounded_side(embeddings):
     """The binary index build and scan never shuffle-join the corpus:
     the sketch/query/candidate frames are all bounded and explicitly
-    broadcast, so the physical plan must contain no SortMergeJoin with
-    a corpus-sized input and no unbroadcast CartesianProduct."""
+    broadcast — every corpus-touching join must be a broadcast join
+    (no unbroadcast CartesianProduct), and the only SortMergeJoins
+    allowed are the two verdict-fold joins over the bounded
+    (n_queries x k) truth/approx frames in _recall_verdict."""
     plan = (
         similarity.bitsign_hamming_recall(embeddings)
         ._jdf.queryExecution()
@@ -97,6 +99,12 @@ def test_bitsign_plans_broadcast_every_bounded_side(embeddings):
         .toString()
     )
     assert "CartesianProduct" not in plan
+    assert plan.count("SortMergeJoin") <= 2, (
+        "a corpus-side join lost its broadcast"
+    )
+    assert plan.count("BroadcastNestedLoopJoin") + plan.count(
+        "BroadcastHashJoin"
+    ) >= 4, "the pinned broadcasts disappeared from the plan"
 
 
 # ----------------------------------------------------- sessions twin
@@ -255,7 +263,7 @@ def test_skipgram_pmi_window1_folds_ordered_bigrams(spark):
     }
     fb = {
         (r.w1, r.w2): r.cnt
-        for r in frequent_bigrams(docs, k=100_000).collect()
+        for r in frequent_bigrams(docs, k=None).collect()
     }
     assert sk, "no pairs on fixture text"
     for (a, b), cnt in sk.items():
