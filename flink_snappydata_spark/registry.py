@@ -63,22 +63,18 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 # against their DuckDB oracles every pytest run, so driver-stamp
 # staleness never means unverified code, only an older driver receipt.
 #
-# Round-11 window (_HEAD, 50 names) — exactly the round-10 verdict's
-# task-1 directive: the 21 still-never-stamped round-8 operators (the
-# full r10 _R11_QUEUE, in queue order) per (b), plus the 29 stalest
-# r07-stamped battery queries in declaration order per (c) (all 39
-# r07 stamps share staleness 4 at r11, so declaration order is the
-# tiebreak; wordcount_batch … video_decode_stats make the cut). After
-# the driver stamps this window, every query that existed at rotation
-# time has a stamp (210 of 218 — the 8 round-11 additions registered
-# after the rotation and head _R12_QUEUE, first in line for r12). No
-# stamped query is cadence-DUE at r11 under (a): the stalest stamps
-# are r07 (staleness 4 < 5), but they rotate now because r12 cannot
-# fit all 39 of them once they hit staleness 5.
-#
-# The 10 r07-stamped remainder (text_repetition … embedding_outliers)
-# head _R12_QUEUE; r12 takes them (staleness 5 — cadence-due) plus 40
-# of the 50 r08-stamped queries, per the threshold-5 cadence.
+# Round-12 window (_HEAD, 50 names) — exactly the round-11 verdict's
+# task-1 directive: the 8 round-11 additions (never stamped; invariant
+# (b) puts new work first), the 10 r07-stamped remainder
+# (text_repetition … embedding_outliers — staleness 5 at r12,
+# cadence-due under invariant (a)), and the 32 stalest r08-stamped
+# battery queries in declaration order per (c) (all 50 r08 stamps
+# share staleness 4, so declaration order is the tiebreak;
+# q1_pricing_summary … dedup_report make the cut). After the driver
+# stamps this window every registered query is inside the threshold-5
+# cadence: stalest surviving stamps are the 18 r08 remainder
+# (staleness 4 at r12), which head _R13_QUEUE and rotate next round
+# at staleness 5.
 #
 # All queue entries are fully verified locally every pytest run via
 # test_oracle_parity plus the semantic tests in tests/test_round8_ops.py
@@ -90,72 +86,10 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 #: max(stamp files)+1, so the suite a round ships stays green both
 #: before and after the driver writes its CORRECTNESS_r{N}.json — and
 #: goes red only if a round closes without rotating the window.
-_HEAD_ROUND = 11
+_HEAD_ROUND = 12
 
 _HEAD = [
-    # -- never stamped: the full r10 _R11_QUEUE, in queue order --
-    "activity_gini",
-    "embedding_top_pc",
-    "zipf_fit",
-    "html_clean",
-    "bpe_encode_stats",
-    "leakage_safe_split",
-    "containment_pairs",
-    "seasonal_anomaly",
-    "benford_audit",
-    "tokenizer_fertility",
-    "rolling_active_users",
-    "pareto_frontier",
-    "ngram_diversity",
-    "scd2_state_intervals",
-    "winnowing_fingerprints",
-    "source_tv_distance",
-    "winnowing_pairs",
-    "audio_silence_stats",
-    "type_lag_correlation",
-    "source_token_entropy",
-    "email_domain_stats",
-    # -- rotation: 29 stalest r07-stamped, declaration order --
-    "wordcount_batch",
-    "asof_join",
-    "events_tumbling_window",
-    "events_session_window",
-    "session_funnel",
-    "stream_stream_join",
-    "count_window",
-    "dedup_exact",
-    "novelty_scores",
-    "dedup_ngram_jaccard",
-    "decontamination",
-    "source_contamination",
-    "repeated_passages",
-    "dedup_clusters",
-    "dedup_minhash",
-    "dedup_simhash",
-    "ann_cosine_topk",
-    "embedding_neardup",
-    "semantic_decontamination",
-    "ann_lsh_neardup",
-    "ann_ivf_topk",
-    "ann_ivf_trained",
-    "text_token_count",
-    "text_quality",
-    "doc_fingerprint",
-    "curation_pipeline",
-    "token_budget_mix",
-    "audio_decode_stats",
-    "video_decode_stats",
-]
-
-#: The r12 stamp queue. Head: the eight round-11 operators (new work,
-#: never stamped — rotation invariant (b) requires never-stamped
-#: queries to occupy the FIRST post-window slots). Then the 10
-#: r07-stamped queries that did not fit in the r11 window (staleness 5
-#: at r12 — cadence-due under invariant (a)). r12's remaining 32 slots
-#: go to the r08-stamped battery, stalest-first. All 18 queue entries
-#: are oracle-verified locally every pytest run.
-_R12_QUEUE: list[str] = [
-    # -- round-11 additions (never stamped; new work drains first) --
+    # -- never stamped: the round-11 additions, r12-queue order --
     "embedding_sq8_topk",
     "embedding_bitsign_topk",
     "sessions_streamed",
@@ -164,7 +98,7 @@ _R12_QUEUE: list[str] = [
     "hll_streamed",
     "funnel_streamed",
     "stream_join_left_outer",
-    # -- r07-stamped remainder (cadence-due at r12) --
+    # -- cadence-due: the 10 r07-stamped remainder (staleness 5) --
     "text_repetition",
     "pii_redaction",
     "source_stats",
@@ -175,20 +109,83 @@ _R12_QUEUE: list[str] = [
     "kmeans_train",
     "semantic_neardup",
     "embedding_outliers",
+    # -- rotation: 32 stalest r08-stamped, declaration order --
+    "q1_pricing_summary",
+    "q6_forecast_revenue",
+    "q3_shipping_priority",
+    "q4_order_priority",
+    "q18_large_volume_customer",
+    "q5_local_supplier_volume",
+    "q7_volume_shipping",
+    "q10_returned_items",
+    "q12_priority_shipping",
+    "q14_promo_revenue",
+    "q15_top_supplier",
+    "q16_supplier_part_count",
+    "q19_discounted_revenue",
+    "q21_waiting_supplier",
+    "q22_global_sales_opportunity",
+    "q8_market_share",
+    "q9_product_profit",
+    "q20_excess_suppliers",
+    "q11_important_stock",
+    "q2_min_cost_supplier",
+    "q13_customer_distribution",
+    "q17_small_quantity_revenue",
+    "novelty_streamed",
+    "quality_model_scores",
+    "text_langid",
+    "langid_confusion",
+    "agg_percentile",
+    "agg_histogram",
+    "agg_approx_percentile",
+    "scalar_similarity",
+    "canonical_pick",
+    "dedup_report",
+]
+
+#: The r13 stamp queue. Head: the round-12 additions (never stamped —
+#: rotation invariant (b) requires never-stamped queries to occupy the
+#: FIRST post-window slots). Then the 18 r08-stamped queries that did
+#: not fit in the r12 window (staleness 5 at r13 — cadence-due under
+#: invariant (a)), in declaration order. All queue entries are
+#: oracle-verified locally every pytest run.
+_R13_QUEUE: list[str] = [
+    # -- round-12 additions (never stamped; new work drains first) --
+    "stream_join_full_outer",
+    # -- r08-stamped remainder (cadence-due at r13) --
+    "line_dedup",
+    "source_doc_cap",
+    "mix_streamed",
+    "centroids_streamed",
+    "wordcount_streamed",
+    "dedup_streamed",
+    "agg_approx_distinct",
+    "image_resize_stats",
+    "image_phash_dedup",
+    "epoch_shuffle",
+    "unigram_surprisal",
+    "bigram_surprisal",
+    "dsir_weights",
+    "tfidf_keywords",
+    "gopher_rules",
+    "quality_auc",
+    "ccnet_buckets",
+    "pq_codebook",
 ]
 
 _TAIL: list[str] = []
 
 
 def _reorder() -> None:
-    order = _HEAD + _R12_QUEUE + _TAIL
+    order = _HEAD + _R13_QUEUE + _TAIL
     missing = [n for n in order if n not in QUERIES]
     if missing:  # pragma: no cover - guards registry edits
         raise KeyError(f"unknown registry entries in order lists: {missing}")
     middle = [
-        n for n in QUERIES if n not in _HEAD and n not in _R12_QUEUE and n not in _TAIL
+        n for n in QUERIES if n not in _HEAD and n not in _R13_QUEUE and n not in _TAIL
     ]
-    ordered = {n: QUERIES[n] for n in _HEAD + _R12_QUEUE + middle + _TAIL}
+    ordered = {n: QUERIES[n] for n in _HEAD + _R13_QUEUE + middle + _TAIL}
     # Reorder IN PLACE: QUERIES is the same dict object the specs
     # package exports, so mutating (rather than rebinding) keeps
     # specs.QUERIES and registry.QUERIES identical — any importer sees

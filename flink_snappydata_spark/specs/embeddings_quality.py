@@ -576,9 +576,8 @@ _register(
 )
 
 # -- round 11: the remaining two members of the embedding-compression
-# family (PQ already above). Registered AFTER the r12 stamp queue per
-# the rotation invariant: never-stamped work heads the post-window
-# declaration order (registry._R12_QUEUE lists them first).
+# family (PQ already above). Rotated into the r12 stamp window
+# (registry._HEAD) as never-stamped work per rotation invariant (b).
 
 _register(
     "embedding_sq8_topk",

@@ -503,9 +503,9 @@ _register(
         "text shuffle.",
 )
 
-# -- round 11: context-window co-occurrence (registered after the r12
-# stamp queue; listed in registry._R12_QUEUE with the other round-11
-# additions so never-stamped work heads the post-window order).
+# -- round 11: context-window co-occurrence (rotated into the r12
+# stamp window, registry._HEAD, with the other round-11 additions
+# as never-stamped work per rotation invariant (b)).
 
 _register(
     "skipgram_pmi",

@@ -230,9 +230,9 @@ _register(
         "parity; streaming twin in streaming/count_window.py.",
 )
 
-# -- round 11: the outer windowed stream-stream join (registered after
-# the r12 stamp queue; listed in registry._R12_QUEUE with the other
-# round-11 additions).
+# -- round 11: the outer windowed stream-stream join (rotated into
+# the r12 stamp window, registry._HEAD, with the other round-11
+# additions).
 
 
 def _rowlevel_left_join(events: DataFrame) -> DataFrame:
@@ -260,4 +260,41 @@ _register(
         "watermark-gated null-extension shape Structured Streaming "
         "supports beyond the reference's inner join; clicks with no "
         "same-window purchase survive null-extended.",
+)
+
+# -- round 12: the FULL OUTER shape completes the outer family the
+# builder already accepts (streaming/joins.py windowed_stream_join,
+# how="full_outer"): null extension on BOTH sides once the watermark
+# closes a window — clicks with no same-window purchase AND purchases
+# with no same-window click each survive exactly once.
+
+
+def _rowlevel_full_join(events: DataFrame) -> DataFrame:
+    clicks = events.filter(events.event_type == "click")
+    purchases = events.filter(events.event_type == "purchase")
+    return stream_joins.windowed_stream_join(
+        clicks, purchases, how="full_outer"
+    )
+
+
+_register(
+    "stream_join_full_outer",
+    ["events"],
+    _rowlevel_full_join,
+    """
+    SELECT COALESCE(l.user_id, r.user_id) AS user_id,
+           date_trunc('hour', COALESCE(l.ts, r.ts)) AS window_start,
+           l.event_id AS l_event_id, r.event_id AS r_event_id,
+           l.value AS l_value, r.value AS r_value
+    FROM (SELECT * FROM events WHERE event_type = 'click') l
+    FULL JOIN (SELECT * FROM events WHERE event_type = 'purchase') r
+      ON l.user_id = r.user_id
+     AND date_trunc('hour', l.ts) = date_trunc('hour', r.ts)
+    """,
+    doc="Row-level windowed FULL OUTER stream-stream join — both-side "
+        "null extension (ParquetTableJoin.scala:51-59 generalized): "
+        "matched pairs once, unmatched clicks right-null-extended, "
+        "unmatched purchases left-null-extended. COALESCE keeps "
+        "key/window non-null on extended rows, matching the Spark "
+        "builder's coalesce projection.",
 )
