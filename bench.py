@@ -22,6 +22,7 @@ from __future__ import annotations
 import json
 import os
 import sys
+import tempfile
 import time
 
 from flink_snappydata_spark import registry
@@ -57,6 +58,16 @@ HEADLINE = [
     "pii_redaction",
 ]
 
+#: Bench-only rows timed EVERY run (not just sweeps) and reported in
+#: the compact line's "extras" — never summed into the anchor-compared
+#: headline total. Currently: the IVFADC build-vs-query split (the
+#: registered ivf_pq_topk re-trains inline for oracle-checkability;
+#: these receipts show the amortized production split).
+EXTRAS = [
+    "raw_ivfpq_build",
+    "raw_ivfpq_query",
+]
+
 #: Raw sketch variants of the judge-bearing registry queries (which
 #: embed an exact judge for oracle-checkability — their sweep timings
 #: measure sketch + judge). These time the judge-free scale path; swept
@@ -81,6 +92,45 @@ RAW_SKETCHES = {
         ),
     ),
 }
+
+
+# The registered ivf_pq_topk query re-trains the whole IVFADC index
+# inline (so the oracle can check bit-exact values end-to-end); at
+# 100 TB the index is built ONCE, persisted, and amortized over
+# queries. These two entries split that receipt: build = training +
+# encoding forced to a noop sink; query = search against a SAVED index
+# reopened from parquet — file-backed scans, so the query plan carries
+# zero training lineage (the A/B-rejected persist-the-lineage variant
+# kept the 60-exchange DAG in every plan) and survives the per-rep
+# release_caches(). The warm-up rep pays build+save; timed reps
+# measure only probe→ADC→shortlist→re-rank.
+_IVFPQ_PREBUILT: dict[str, object] = {}
+
+
+def _ivfpq_prebuilt(spark, sf_dir):
+    idx = _IVFPQ_PREBUILT.get(sf_dir)
+    if idx is None:
+        base = tempfile.mkdtemp(prefix="fss-ivfpq-")
+        built = similarity.ivf_pq_index(load_table(spark, sf_dir, "embeddings"))
+        # harness-scale file layout: sf0.1's corpus frames are a few MB
+        # — 4 files, not one per shuffle partition (at real scale the
+        # natural partitioning stands and this coalesce is wrong)
+        built._replace(
+            qv=built.qv.coalesce(4), codes=built.codes.coalesce(4)
+        ).save(base)
+        release_caches()  # build-time persists aren't part of the index
+        idx = similarity.ivf_pq_index_load(spark, base)
+        _IVFPQ_PREBUILT[sf_dir] = idx
+    return idx
+
+
+RAW_SKETCHES["raw_ivfpq_build"] = lambda spark, sf_dir: similarity.ivf_pq_index(
+    load_table(spark, sf_dir, "embeddings")
+).codes
+RAW_SKETCHES["raw_ivfpq_query"] = lambda spark, sf_dir: similarity.ivf_pq_topk(
+    load_table(spark, sf_dir, "embeddings"),
+    index=_ivfpq_prebuilt(spark, sf_dir),
+)
 
 
 def _force(df) -> None:
@@ -117,7 +167,7 @@ def main() -> None:
     bench_all = bool(os.environ.get("SPARK_GRAFT_BENCH_ALL"))
     judge_bearing = registry.judge_bearing_queries()
     runnable = {**queries, **RAW_SKETCHES}
-    names = list(runnable) if bench_all else HEADLINE
+    names = list(runnable) if bench_all else HEADLINE + EXTRAS
     reps = max(1, int(os.environ.get("SPARK_GRAFT_BENCH_REPS", "3")))
     max_reps = max(reps, int(os.environ.get("SPARK_GRAFT_BENCH_MAX_REPS", "9")))
     timings: dict[str, float] = {}
@@ -218,6 +268,8 @@ def main() -> None:
             "n_timed": len(timings),
             "unit": "sec",
             "queries": compact,
+            # bench-only receipts (EXTRAS): reported, never anchor-summed
+            "extras": {k: v for k, v in timings.items() if k in EXTRAS},
             "reps": reps,
             "sf": sf,
         },

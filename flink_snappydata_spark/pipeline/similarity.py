@@ -23,6 +23,7 @@ Scale strategy:
 from __future__ import annotations
 
 import random
+from typing import Callable, NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -1953,10 +1954,108 @@ def bitsign_hamming_recall(
     return _recall_verdict(truth, approx, floor)
 
 
+class IvfPqIndex(NamedTuple):
+    """The stored IVFADC index artifacts (see :func:`ivf_pq_index`).
+
+    ``qv``: quantized corpus (vec_id, qe, norm_sq) — the vector store,
+    touched at query time only for the bounded shortlist re-rank.
+    ``cents``: coarse centroids (cent_id, ce, cn); bounded — consumers
+    broadcast at each join site.
+    ``pq_cents``: residual-PQ codebook (m, cent_id, ce); bounded, ditto.
+    ``codes``: the inverted-file frame (vec_id, m, cent_id, list_id) —
+    one int list id + PQ_SUBSPACES small codes per vector, the ONLY
+    corpus-sized thing a 100 TB deployment persists besides ``qv``.
+
+    Frames are stored UNhinted: a standalone action on a
+    ``F.broadcast``-wrapped frame (materializing, writing the index
+    out) logs an ignored-hint warning the log-health gate rightly
+    rejects, so the hint is applied where the join happens instead.
+    """
+
+    qv: DataFrame
+    cents: DataFrame
+    pq_cents: DataFrame
+    codes: DataFrame
+
+    def save(self, base: str) -> None:
+        """Persist every index artifact under ``base`` (one parquet
+        dir per field) — the production layout: build once, store,
+        amortize over queries. Cheap at any scale: all four writes are
+        map-only (no shuffle beyond what building them already did).
+        The two bounded frames (centroids, codebook — O(n_coarse) /
+        O(m·k) rows by construction) coalesce to one file so reopening
+        them is a single-split scan; the corpus-sized frames keep the
+        caller's partitioning (at 100 TB that IS the layout — callers
+        on tiny harness data can pre-``coalesce`` qv/codes)."""
+        for name, df in self._asdict().items():
+            if name in ("cents", "pq_cents"):
+                df = df.coalesce(1)
+            df.write.mode("overwrite").parquet(f"{base}/{name}")
+
+
+def ivf_pq_index_load(spark, base: str) -> IvfPqIndex:
+    """Reopen a :meth:`IvfPqIndex.save` directory. The loaded frames
+    are plain file-backed scans: zero training lineage in downstream
+    query plans (Catalyst optimizes ~15 nodes, not the 60-exchange
+    build DAG) and honest size-proportional stats, so the query half's
+    explicit broadcasts are the only hints needed."""
+    return IvfPqIndex(
+        **{
+            name: spark.read.parquet(f"{base}/{name}")
+            for name in IvfPqIndex._fields
+        }
+    )
+
+
+def ivf_pq_index(
+    embeddings: DataFrame, n_coarse: int = 8, n_pq_centroids: int = 8,
+    n_iters: int = 2, persist: Callable[[DataFrame], DataFrame] = tracked_persist,
+) -> IvfPqIndex:
+    """Train/build the IVFADC index (the amortized-once half of
+    :func:`ivf_pq_topk`): coarse cosine Lloyd's over the quantized
+    corpus, residuals vs the assigned coarse centroid, residual-PQ
+    training, and the per-vector (list id + PQ codes) frame.
+
+    ``persist`` lets callers opt out of :func:`tracked_persist` (the
+    bench's prebuilt-index path keeps the index alive across
+    ``release_caches`` with a plain ``DataFrame.persist``).
+
+    Scale: the two corpus-sized joins pin ``shuffle_hash`` (both sides
+    corpus-sized by construction); centroid/codebook frames are
+    bounded and broadcast. See :func:`ivf_pq_topk` for the full
+    100 TB-layout argument.
+    """
+    qv = persist(quantized(embeddings))
+    cents, assigned = _kmeans_fit(qv, n_coarse, n_iters)
+    # corpus residuals vs the assigned coarse centroid, in PQ layout
+    resid = (
+        # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
+        qv.join(assigned.hint("shuffle_hash"), "vec_id")
+        .join(F.broadcast(cents.select("cent_id", "ce")), "cent_id")
+        .select(
+            "vec_id",
+            F.col("cent_id").alias("list_id"),
+            F.zip_with("qe", "ce", lambda a, b: a - b).alias("qe"),
+        )
+    )
+    resid = persist(resid)
+    subv = persist(_pq_subvectors(resid.select("vec_id", "qe")))
+    _, pq_cents, pq_assigned = _pq_train(
+        embeddings, n_centroids=n_pq_centroids, n_iters=n_iters, subv=subv
+    )
+    codes = (
+        pq_assigned.select("vec_id", "m", "cent_id")
+        # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
+        .join(resid.select("vec_id", "list_id").hint("shuffle_hash"), "vec_id")
+    )
+    return IvfPqIndex(qv=qv, cents=cents, pq_cents=pq_cents, codes=codes)
+
+
 def ivf_pq_topk(
     embeddings: DataFrame, n_queries: int = 3, k: int = 5,
     n_coarse: int = 8, n_probe: int = 2, n_pq_centroids: int = 8,
     n_shortlist: int = 64, n_iters: int = 2,
+    index: IvfPqIndex | None = None,
 ) -> DataFrame:
     """IVFADC with exact refinement — the full Jégou et al. 2011
     composition and the layout every billion-scale ANN index
@@ -1991,26 +2090,20 @@ def ivf_pq_topk(
     per-query top-k passes are the same two-phase bucket merge as
     :func:`pq_adc_topk`, so no query is a hot partition. The shuffle
     carries int64 (query, vec) partials, never vectors or codes.
+
+    ``index``: a prebuilt :class:`IvfPqIndex` (from
+    :func:`ivf_pq_index`) skips training/encoding — the amortized
+    production shape, where the index is built once and queried many
+    times; with ``index=None`` the build runs inline (what the
+    registered oracle query measures).
     """
-    qv = tracked_persist(quantized(embeddings))
-    cents, assigned = _kmeans_fit(qv, n_coarse, n_iters)
-    cents = F.broadcast(cents)
-    # corpus residuals vs the assigned coarse centroid, in PQ layout
-    resid = (
-        # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
-        qv.join(assigned.hint("shuffle_hash"), "vec_id")
-        .join(cents.select("cent_id", "ce"), "cent_id")
-        .select(
-            "vec_id",
-            F.col("cent_id").alias("list_id"),
-            F.zip_with("qe", "ce", lambda a, b: a - b).alias("qe"),
+    if index is None:
+        index = ivf_pq_index(
+            embeddings, n_coarse=n_coarse,
+            n_pq_centroids=n_pq_centroids, n_iters=n_iters,
         )
-    )
-    resid = tracked_persist(resid)
-    subv = tracked_persist(_pq_subvectors(resid.select("vec_id", "qe")))
-    _, pq_cents, pq_assigned = _pq_train(
-        embeddings, n_centroids=n_pq_centroids, n_iters=n_iters, subv=subv
-    )
+    qv, cents, pq_cents, codes = index
+    cents = F.broadcast(cents)
     pq_cents = F.broadcast(pq_cents)
     # query probes: top-n_probe coarse lists by the same cosine rule
     q = qv.filter(F.col("vec_id") < n_queries)
@@ -2024,7 +2117,10 @@ def ivf_pq_topk(
     w_p = Window.partitionBy("query_id").orderBy(
         F.col("csim").desc(), F.col("cent_id").asc()
     )
-    probes = F.broadcast(
+    # probes feed ONLY the LUT below, which is itself broadcast — no
+    # separate broadcast round here (one fewer sequential job; all
+    # frames in the LUT build are query-bounded).
+    probes = (
         qscore.withColumn("r", F.row_number().over(w_p))
         .filter(F.col("r") <= n_probe)
         .select("query_id", F.col("cent_id").alias("list_id"))
@@ -2064,11 +2160,6 @@ def ivf_pq_topk(
             _pq_l2(F.col("sq"), F.col("ce")).alias("lq"),
         )
     )
-    codes = (
-        pq_assigned.select("vec_id", "m", "cent_id")
-        # corpus × corpus: pinned shuffle join (see dedup._prefix_index)
-        .join(resid.select("vec_id", "list_id").hint("shuffle_hash"), "vec_id")
-    )
     adc = (
         codes.join(lut, ["list_id", "m", "cent_id"])
         .filter(F.col("vec_id") != F.col("query_id"))
@@ -2092,26 +2183,24 @@ def ivf_pq_topk(
         .filter(F.col("r") <= n_shortlist)
         .select("query_id", "vec_id")
     )
-    # exact refinement of the bounded shortlist
-    q_vec = F.broadcast(
-        q.select(
-            F.col("vec_id").alias("query_id"),
-            F.col("qe").alias("q_qe"),
-            F.col("norm_sq").alias("q_norm"),
-        )
+    # exact refinement of the bounded shortlist: attach each query's
+    # vector to its candidate rows BEFORE the single broadcast, so the
+    # corpus scan joins once against one (n_queries x n_shortlist)-row
+    # frame instead of two broadcast rounds (shortlist, then q_vec).
+    q_vec = q.select(
+        F.col("vec_id").alias("query_id"),
+        F.col("qe").alias("q_qe"),
+        F.col("norm_sq").alias("q_norm"),
     )
-    reranked = (
-        qv.join(F.broadcast(shortlist), "vec_id")
-        .join(q_vec, "query_id")
-        .select(
-            "query_id",
-            "vec_id",
-            _cosine(
-                _dot(F.col("q_qe"), F.col("qe")),
-                F.col("q_norm"),
-                F.col("norm_sq"),
-            ).alias("cosine"),
-        )
+    cand = shortlist.join(q_vec, "query_id")
+    reranked = qv.join(F.broadcast(cand), "vec_id").select(
+        "query_id",
+        "vec_id",
+        _cosine(
+            _dot(F.col("q_qe"), F.col("qe")),
+            F.col("q_norm"),
+            F.col("norm_sq"),
+        ).alias("cosine"),
     )
     w_final = Window.partitionBy("query_id").orderBy(
         F.col("cosine").desc(), F.col("vec_id").asc()

