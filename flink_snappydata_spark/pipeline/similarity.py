@@ -23,6 +23,7 @@ Scale strategy:
 from __future__ import annotations
 
 import random
+from functools import reduce
 from typing import Callable, NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
@@ -1882,32 +1883,40 @@ def bitsign_hamming_recall(
     pack = lambda arr: F.aggregate(  # noqa: E731 — big-endian bit fold
         arr, F.lit(0).cast("long"), lambda acc, b: acc * F.lit(2) + b
     )
+    # Word layout derives from DIM (32 sign bits per int64 word, last
+    # word possibly short) — a DIM change repacks correctly instead of
+    # silently truncating the sketch to 64 bits.
+    n_words = (DIM + 31) // 32
     words = (
         qv.crossJoin(packed_stats)
         .withColumn("bits", bits)
         .select(
             "vec_id",
-            pack(F.slice("bits", 1, 32)).alias("w0"),
-            pack(F.slice("bits", 33, 32)).alias("w1"),
+            *[
+                pack(
+                    F.slice("bits", w * 32 + 1, min(32, DIM - w * 32))
+                ).alias(f"w{w}")
+                for w in range(n_words)
+            ],
         )
     )
     q_words = F.broadcast(
         words.filter(F.col("vec_id") < n_queries).select(
             F.col("vec_id").alias("query_id"),
-            F.col("w0").alias("qw0"),
-            F.col("w1").alias("qw1"),
+            *[F.col(f"w{w}").alias(f"qw{w}") for w in range(n_words)],
         )
     )
+    ham_bits = [
+        F.bit_count(F.col(f"w{w}").bitwiseXOR(F.col(f"qw{w}")))
+        for w in range(n_words)
+    ]
     ham = (
         words.crossJoin(q_words)
         .filter(F.col("vec_id") != F.col("query_id"))
         .select(
             "query_id",
             "vec_id",
-            (
-                F.bit_count(F.col("w0").bitwiseXOR(F.col("qw0")))
-                + F.bit_count(F.col("w1").bitwiseXOR(F.col("qw1")))
-            ).cast("long").alias("ham"),
+            reduce(lambda a, b: a + b, ham_bits).cast("long").alias("ham"),
         )
     )
     w_h = Window.partitionBy("query_id").orderBy(

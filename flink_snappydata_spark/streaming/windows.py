@@ -574,10 +574,11 @@ def sessions_from_state(
     # STRICT >: Spark's session_window merges events spaced EXACTLY gap
     # apart (a new session needs silence strictly longer than gap), so
     # the fragment sweep must too — pinned by the exact-boundary case in
-    # tests/test_round11_ops.py. (The DuckDB oracle spells the rule
-    # ">= gap starts a session"; equivalent on second-granularity event
-    # data that never lands exactly on the gap, which the shared-oracle
-    # parity check verifies on every fixture.)
+    # tests/test_round11_ops.py. The DuckDB oracle spells the same rule
+    # ("> gap starts a session" — aligned in round 12 per ADVICE, so a
+    # future fixture with events landing exactly on the gap boundary
+    # cannot split the two; tests/test_round12_ops.py pins the boundary
+    # case against DuckDB directly).
     frags = spark.table(fragments_table).drop("batch_id")
     swept = _sweep_fragments(
         frags, gap, ["frag_start", "max_ts", "n_events", "sum_cents"]

@@ -46,7 +46,51 @@ def test_ivfpq_saved_index_query_matches_inline(spark, tmp_path):
     assert n_joins <= 8, f"reloaded plan still carries training ({n_joins} joins)"
 
 
-# ------------------------------------- full-outer stream-stream join
+# ----------------------------- session-window boundary / oracle rule
+
+
+def test_session_oracle_merges_exact_gap_events(spark):
+    """Spark's session_window MERGES events spaced exactly ``gap``
+    apart (verified empirically: two events 30 min apart under a
+    30-min gap form ONE session). The shared DuckDB gaps-and-islands
+    oracle must spell the same rule ('> gap starts a session', not
+    '>='), so a fixture with events landing exactly on the boundary
+    cannot split the engine from its oracle (round-12 ADVICE item)."""
+    import duckdb
+    import pandas as pd
+
+    from flink_snappydata_spark import registry
+    from flink_snappydata_spark.streaming import windows as stream_windows
+
+    rows = [
+        ("u1", "2024-01-01 00:00:00", 1, 1.0),   # session A start
+        ("u1", "2024-01-01 00:30:00", 2, 2.0),   # exactly gap later: merges
+        ("u1", "2024-01-01 01:00:01", 3, 3.0),   # gap+1s later: new session
+    ]
+    sdf = spark.createDataFrame(
+        rows, "user_id string, ts string, event_id long, value double"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    got = [
+        (r.user_id, r.session_start, r.session_end, r.n_events)
+        for r in stream_windows.session_window_counts(sdf)
+        .orderBy("session_start")
+        .collect()
+    ]
+    assert [(u, n) for u, _s, _e, n in got] == [("u1", 2), ("u1", 1)]
+
+    con = duckdb.connect()
+    con.register(
+        "events",
+        pd.DataFrame(
+            rows, columns=["user_id", "ts", "event_id", "value"]
+        ).astype({"ts": "datetime64[us]"}),
+    )
+    oracle = con.execute(
+        registry.QUERIES["events_session_window"].oracle
+    ).fetchall()
+    assert [
+        (u, s, e, n) for s, e, u, n, _v in oracle
+    ] == got, "oracle and session_window diverge on the exact-gap boundary"
 
 
 def test_full_outer_stream_join_streaming_behavior(spark):
