@@ -1169,8 +1169,11 @@ def _sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     :func:`streaming.windows.streaming_sessions_ingest` for the
     sufficiency proof), and the returned frame sweep-merges the
     accumulated fragments into the global session set — row-identical
-    to the batch op, so the batch oracle applies verbatim. State torn
-    down via :func:`_stream_state_scored`."""
+    to the batch op, so the batch oracle applies verbatim.
+    ``compact_every=1`` routes the second batch through the periodic
+    fragment COMPACTION (sweep-merge re-land + floor supersession), so
+    the driver stamp covers the compacted read path end-to-end. State
+    torn down via :func:`_stream_state_scored`."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "value"
     )
@@ -1179,7 +1182,9 @@ def _sessions_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "sess",
         ["fragments"],
-        stream_windows.streaming_sessions_ingest,
+        lambda s, t, checkpoint: stream_windows.streaming_sessions_ingest(
+            s, t, checkpoint=checkpoint, compact_every=1
+        ),
         stream_windows.sessions_from_state,
     )
 
@@ -1265,8 +1270,10 @@ def _funnel_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
     FRAGMENTS land via foreachBatch (mergeable sums/min/max over the
     click/purchase point set — same sufficiency proof as the session
     twin), sweep-merge + conversion flag at read — row-identical to
-    the batch op, so its oracle applies verbatim. State torn down via
-    :func:`_stream_state_scored`."""
+    the batch op, so its oracle applies verbatim. ``compact_every=1``
+    routes the second batch through fragment compaction (like the
+    session twin), so the stamp covers the compacted read path. State
+    torn down via :func:`_stream_state_scored`."""
     ev = load_table(spark, sf_dir, "events").select(
         "user_id", "event_id", "ts", "event_type"
     )
@@ -1275,7 +1282,9 @@ def _funnel_streamed(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev,
         "fnl",
         ["fragments"],
-        stream_windows.streaming_funnel_ingest,
+        lambda s, t, checkpoint: stream_windows.streaming_funnel_ingest(
+            s, t, checkpoint=checkpoint, compact_every=1
+        ),
         stream_windows.funnel_from_state,
     )
 

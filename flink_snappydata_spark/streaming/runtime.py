@@ -214,6 +214,8 @@ def ingest_stream_to_tables(
     outputs,
     prepare=None,
     checkpoint: str | None = None,
+    compact=None,
+    compact_every: int = 8,
 ) -> StreamingQuery:
     """The ONE stream→queryable-catalog-table ingest loop every
     stream-to-table op in the engine rides (:func:`stream_to_table`,
@@ -235,15 +237,39 @@ def ingest_stream_to_tables(
     Scale: per batch, one persisted materialization of the shared
     transform and one partition-overwrite write per table; state tables
     are append-only logs folded by the reader's aggregation (partials
-    merge map-side), never read-modify-written here.
+    merge map-side), never read-modify-written here — EXCEPT when the
+    caller opts into periodic compaction (below), which bounds a
+    long-running stream's state by its LIVE aggregate size instead of
+    its age.
+
+    COMPACTION (``compact``, single-output loops only): every
+    ``compact_every``-th micro-batch folds the accumulated live rows
+    plus the current batch through the caller's ``compact`` callable
+    (state-frame -> state-frame, same schema — e.g. the session
+    fragment sweep-merge) and lands the result in the CURRENT batch's
+    partition with a ``floor`` column stamped to this batch_id; normal
+    batches stamp ``floor=0``. Readers (:func:`read_state_table`)
+    keep only partitions ``batch_id >= max(floor)``, so a compaction
+    supersedes everything before it ATOMICALLY with its own landing —
+    one dynamic-partition write is the only state mutation, making a
+    retried compaction batch recompute byte-identical output from the
+    untouched pre-floor partitions (the exactly-once argument above,
+    unchanged). Superseded partitions are dropped lazily AFTER the
+    landing commits — pure space reclamation; a crash mid-drop leaves
+    rows every reader and every future compaction already ignores.
 
     outputs: list of ``(table_name, build)`` where ``build`` maps the
     prepared frame to that table's rows. ``prepare=None`` means the
     micro-batch lands as-is.
     """
+    if compact is not None and len(outputs) != 1:
+        raise ValueError("compaction supports single-output loops only")
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         base = prepare(batch_df) if prepare is not None else batch_df
+        if compact is not None:
+            _ingest_compacting(base, batch_id)
+            return
         fan_out = len(outputs) > 1
         if fan_out:
             base.persist()
@@ -257,6 +283,45 @@ def ingest_stream_to_tables(
         finally:
             if fan_out:
                 base.unpersist()
+
+    def _ingest_compacting(base: DataFrame, batch_id: int) -> None:
+        table = outputs[0][0]
+        spark = base.sparkSession
+        out = base.withColumn("floor", F.lit(0).cast("long"))
+        is_compaction = (
+            batch_id > 0
+            and batch_id % compact_every == 0
+            and spark.catalog.tableExists(table)
+        )
+        prev_floor = 0
+        if is_compaction:
+            # Pre-floor state only, and NEVER this batch's own partition
+            # (a retry may have left a partial/complete one — the
+            # recompute must not read its own prior output).
+            state = spark.table(table).filter(F.col("batch_id") < batch_id)
+            # bounded driver fetch: one scalar (the current floor)
+            prev_floor = (
+                state.agg(F.max("floor")).collect()[0][0] or 0
+            )
+            live = (
+                state.filter(F.col("batch_id") >= prev_floor)
+                .drop("batch_id", "floor")
+            )
+            out = compact(live.unionByName(base)).withColumn(
+                "floor", F.lit(batch_id).cast("long")
+            )
+        land_batch_partition(out, table, batch_id)
+        if is_compaction:
+            # lazy space reclamation of partitions no reader can see
+            # (floor is now batch_id; anything below prev_floor was
+            # already invisible before this compaction committed)
+            for row in spark.sql(f"SHOW PARTITIONS {table}").collect():
+                pid = int(row[0].split("=", 1)[1])
+                if pid < prev_floor:
+                    spark.sql(
+                        f"ALTER TABLE {table} DROP IF EXISTS "
+                        f"PARTITION (batch_id={pid})"
+                    )
 
     tag = "-".join(t for t, _ in outputs)
     q = (
@@ -275,6 +340,26 @@ def ingest_stream_to_tables(
     for table, _ in outputs:
         stream_df.sparkSession.catalog.refreshTable(table)
     return q
+
+
+def read_state_table(spark, table: str) -> DataFrame:
+    """Open an ingest-loop state table for folding: strips the
+    ``batch_id`` lineage column and, when the loop compacts (``floor``
+    column present), keeps only the live rows ``batch_id >=
+    max(floor)`` — the partitions at or after the latest compaction.
+    The floor scalar is a broadcast one-row aggregate joined into the
+    scan, not a driver collect, so the read stays one distributed
+    plan. Tables from non-compacting loops (no ``floor``) pass
+    through unfiltered — same behavior as the plain ``drop``."""
+    df = spark.table(table)
+    if "floor" not in df.columns:
+        return df.drop("batch_id")
+    fl = df.groupBy().agg(F.max("floor").alias("_fl"))
+    return (
+        df.join(F.broadcast(fl))
+        .filter(F.col("batch_id") >= F.coalesce(F.col("_fl"), F.lit(0)))
+        .drop("batch_id", "floor", "_fl")
+    )
 
 
 def stream_to_table(

@@ -476,6 +476,7 @@ def streaming_sessions_ingest(
     fragments_table: str,
     checkpoint: str | None = None,
     gap: str = "30 minutes",
+    compact_every: int = 8,
 ):
     """Streaming-ingest twin of :func:`session_window_counts` — the
     stream→queryable-table loop as a continuously-maintained SESSION
@@ -512,6 +513,8 @@ def streaming_sessions_ingest(
         [(fragments_table, None)],
         prepare=lambda b: session_fragments(b, gap),
         checkpoint=checkpoint,
+        compact=lambda frags: compact_session_fragments(frags, gap),
+        compact_every=compact_every,
     )
 
 
@@ -533,6 +536,66 @@ def session_fragments(batch_df: DataFrame, gap: str = "30 minutes") -> DataFrame
             "n_events",
             "sum_cents",
         )
+    )
+
+
+def compact_session_fragments(
+    frags: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Fold a session-fragment frame onto itself: sweep-merge (the
+    same boundary rule the reader uses) and collapse each session's
+    fragments to ONE fragment. The output is a valid fragment frame —
+    the merge rule only reads boundaries (frag_start, max_ts), and a
+    merged run's boundaries are exactly min(start)/max(max_ts) of its
+    members, so ``sweep(compact(A) ∪ B) == sweep(A ∪ B)`` for any
+    later batch B (pinned by the compaction-equivalence tests). Used
+    as the ingest loop's periodic compaction, bounding a long-running
+    stream's fold cost by LIVE sessions instead of stream age."""
+    swept = _sweep_fragments(
+        frags, gap, ["frag_start", "max_ts", "n_events", "sum_cents"]
+    )
+    return swept.groupBy("user_id", "sid").agg(
+        F.min("frag_start").alias("frag_start"),
+        F.max("max_ts").alias("max_ts"),
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
+    ).select("user_id", "frag_start", "max_ts", "n_events", "sum_cents")
+
+
+def compact_funnel_fragments(
+    frags: DataFrame, gap: str = "30 minutes"
+) -> DataFrame:
+    """Funnel analog of :func:`compact_session_fragments`: every
+    funnel metric is a sum/min/max, so the collapsed fragment carries
+    the exact merged statistics (column order matches
+    :func:`funnel_fragments` — the landing write is positional)."""
+    swept = _sweep_fragments(
+        frags,
+        gap,
+        [
+            "frag_start",
+            "max_ts",
+            "n_clicks",
+            "n_purchases",
+            "first_click_ts",
+            "last_purchase_ts",
+        ],
+    )
+    return swept.groupBy("user_id", "sid").agg(
+        F.min("frag_start").alias("frag_start"),
+        F.max("max_ts").alias("max_ts"),
+        F.sum("n_clicks").alias("n_clicks"),
+        F.sum("n_purchases").alias("n_purchases"),
+        F.min("first_click_ts").alias("first_click_ts"),
+        F.max("last_purchase_ts").alias("last_purchase_ts"),
+    ).select(
+        "user_id",
+        "frag_start",
+        "max_ts",
+        "n_clicks",
+        "n_purchases",
+        "first_click_ts",
+        "last_purchase_ts",
     )
 
 
@@ -570,7 +633,8 @@ def sessions_from_state(
     :func:`session_window_counts` (the fragment-boundary merge rule
     reconstructs exactly the event-level components — see the ingest
     docstring), so the batch oracle applies verbatim. ``batch_id`` is
-    ingest lineage, not state — dropped here."""
+    ingest lineage, not state; the floor-aware state reader drops it
+    and skips partitions a compaction already folded."""
     # STRICT >: Spark's session_window merges events spaced EXACTLY gap
     # apart (a new session needs silence strictly longer than gap), so
     # the fragment sweep must too — pinned by the exact-boundary case in
@@ -579,7 +643,9 @@ def sessions_from_state(
     # future fixture with events landing exactly on the gap boundary
     # cannot split the two; tests/test_round12_ops.py pins the boundary
     # case against DuckDB directly).
-    frags = spark.table(fragments_table).drop("batch_id")
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
+    frags = read_state_table(spark, fragments_table)
     swept = _sweep_fragments(
         frags, gap, ["frag_start", "max_ts", "n_events", "sum_cents"]
     )
@@ -655,6 +721,7 @@ def streaming_funnel_ingest(
     fragments_table: str,
     checkpoint: str | None = None,
     gap: str = "30 minutes",
+    compact_every: int = 8,
 ):
     """Streaming-ingest twin of :func:`session_funnel` — the
     stream→table loop as a continuously-maintained CONVERSION-FUNNEL
@@ -678,6 +745,8 @@ def streaming_funnel_ingest(
         [(fragments_table, None)],
         prepare=lambda b: funnel_fragments(b, gap),
         checkpoint=checkpoint,
+        compact=lambda frags: compact_funnel_fragments(frags, gap),
+        compact_every=compact_every,
     )
 
 
@@ -718,8 +787,11 @@ def funnel_from_state(
     boundary sweep assigns session ids, then counts sum, the first
     click takes the min, the last purchase the max — after a bounded
     stream drains the result is row-identical to
-    :func:`session_funnel`, so the batch oracle applies verbatim."""
-    frags = spark.table(fragments_table).drop("batch_id")
+    :func:`session_funnel`, so the batch oracle applies verbatim (the
+    floor-aware state reader skips compaction-superseded partitions)."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
+    frags = read_state_table(spark, fragments_table)
     swept = _sweep_fragments(
         frags,
         gap,

@@ -46,6 +46,137 @@ def test_ivfpq_saved_index_query_matches_inline(spark, tmp_path):
     assert n_joins <= 8, f"reloaded plan still carries training ({n_joins} joins)"
 
 
+# ------------------------------------------- fragment compaction
+
+
+def _replay_ingest(spark, df, n_batches, ingest, score, tag):
+    """Replay ``df`` as an n_batches file stream through ``ingest``,
+    return (scored rows, raw state-table rows) and tear down."""
+    import shutil
+    import tempfile
+    import uuid
+
+    tmp = tempfile.mkdtemp(prefix=f"fss-{tag}-replay-")
+    table = f"fss_{tag}_{uuid.uuid4().hex[:8]}"
+    try:
+        df.repartition(n_batches).write.mode("overwrite").parquet(tmp)
+        stream = (
+            spark.readStream.schema(df.schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(tmp)
+        )
+        ingest(stream, table)
+        scored = sorted(tuple(r) for r in score(spark, table).collect())
+        state = spark.table(table).collect()
+        return scored, state
+    finally:
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        shutil.rmtree(tmp, ignore_errors=True)
+
+
+def test_session_compaction_drain_equals_batch(spark):
+    """4-batch replay with compact_every=2: after the bounded stream
+    drains, the folded sessions are row-identical to the batch op
+    (compaction is exact, not approximate), the state table carries a
+    non-zero compaction floor, and the LIVE fragment set the reader
+    folds is no larger than one compaction window — fold cost bounded
+    by live sessions, not stream age."""
+    from flink_snappydata_spark.streaming import windows as stream_windows
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "value"
+    )
+    want = sorted(
+        tuple(r) for r in stream_windows.session_window_counts(ev).collect()
+    )
+    got, state = _replay_ingest(
+        spark,
+        ev,
+        4,
+        lambda s, t: stream_windows.streaming_sessions_ingest(
+            s, t, compact_every=2
+        ),
+        stream_windows.sessions_from_state,
+        "sesscomp",
+    )
+    assert got == want
+    floor = max(r["floor"] for r in state)
+    assert floor > 0, "4-batch replay with compact_every=2 must compact"
+    live = [r for r in state if r["batch_id"] >= floor]
+    n_sessions = len(want)
+    # live state after the floor batch: the compacted fragment set
+    # (<= one fragment per session) plus at most (batches since
+    # compaction) extra fragment sets
+    assert len(live) <= n_sessions + 2 * len(
+        {r["user_id"] for r in state}
+    ), "live fragment set should be session-bounded after compaction"
+
+
+def test_funnel_compaction_drain_equals_batch(spark):
+    from flink_snappydata_spark.streaming import windows as stream_windows
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    want = sorted(
+        tuple(r) for r in stream_windows.session_funnel(ev).collect()
+    )
+    got, state = _replay_ingest(
+        spark,
+        ev,
+        4,
+        lambda s, t: stream_windows.streaming_funnel_ingest(
+            s, t, compact_every=2
+        ),
+        stream_windows.funnel_from_state,
+        "fnlcomp",
+    )
+    assert got == want
+    assert max(r["floor"] for r in state) > 0
+
+
+def test_compact_fragments_is_sweep_invariant(spark):
+    """The algebraic heart of compaction: for seeded random event
+    splits, sweeping ``compact(frags(A) ∪ frags(B)) ∪ frags(C)``
+    equals sweeping the three raw fragment frames — a compacted run
+    is a valid fragment whose boundaries subsume its members'."""
+    import uuid
+
+    from flink_snappydata_spark.streaming import windows as stream_windows
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "ts", "event_id", "value"
+    )
+    want = sorted(
+        tuple(r) for r in stream_windows.session_window_counts(ev).collect()
+    )
+    for seed in (5, 23):
+        part = F.pmod(F.hash("event_id", F.lit(seed)), F.lit(3))
+        frags = [
+            stream_windows.session_fragments(
+                ev.filter(part == b).drop("event_id")
+            )
+            for b in range(3)
+        ]
+        compacted = stream_windows.compact_session_fragments(
+            frags[0].unionByName(frags[1])
+        )
+        name = f"fss_ci_{uuid.uuid4().hex[:8]}"
+        compacted.unionByName(frags[2]).withColumn(
+            "batch_id", F.lit(0)
+        ).createOrReplaceTempView(name)
+        try:
+            got = sorted(
+                tuple(r)
+                for r in stream_windows.sessions_from_state(
+                    spark, name
+                ).collect()
+            )
+        finally:
+            spark.catalog.dropTempView(name)
+        assert got == want, f"seed {seed} diverged after compaction"
+
+
 # ----------------------------- session-window boundary / oracle rule
 
 

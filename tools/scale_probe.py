@@ -573,6 +573,29 @@ FOLD_OPS = {
     ),
 }
 
+#: Compacted-state variants (round 12): the session/funnel ingest
+#: loops periodically sweep-merge their fragment log (see
+#: streaming.runtime.ingest_stream_to_tables compaction), so a
+#: long-running stream's fold reads O(live sessions) fragments — the
+#: steady state these entries land: one compacted partition (all but
+#: the last pseudo-batch, folded through the REAL compact callable)
+#: plus the last batch's raw fragments. Compare against the raw
+#: sessions/funnel_from_state rows above to see what compaction buys.
+COMPACTED_FOLD_OPS = {
+    "sessions_from_state_compacted": (
+        "events",
+        lambda b: W.session_fragments(b),
+        lambda f: W.compact_session_fragments(f),
+        lambda spark, t: W.sessions_from_state(spark, t[0]),
+    ),
+    "funnel_from_state_compacted": (
+        "events",
+        lambda b: W.funnel_fragments(b),
+        lambda f: W.compact_funnel_fragments(f),
+        lambda spark, t: W.funnel_from_state(spark, t[0]),
+    ),
+}
+
 #: Pseudo-micro-batch count for landed fold state (production twins
 #: run 2-file streams in tests; real ingest accumulates many batches).
 FOLD_BATCHES = int(os.environ.get("SPARK_GRAFT_PROBE_BATCHES", "8"))
@@ -602,11 +625,42 @@ def _land_fold_state(spark, df, name, kind, prepare, outputs):
     return tables
 
 
+def _land_compacted_state(spark, df, kind, prepare, compact):
+    """Land the steady state of a COMPACTING twin: everything before
+    the last pseudo-batch folded through the real compact callable
+    (partition 0), the last batch raw (partition 1)."""
+    import uuid
+    from functools import reduce
+
+    from flink_snappydata_spark.streaming.runtime import land_batch_partition
+
+    table = f"probe_cfold_{uuid.uuid4().hex[:8]}"
+    key = _FOLD_KEY[kind]
+    part = F.pmod(F.hash(F.col(key)), F.lit(FOLD_BATCHES))
+    older = [
+        prepare(df.filter(part == b)) for b in range(FOLD_BATCHES - 1)
+    ]
+    land_batch_partition(
+        compact(reduce(lambda a, b: a.unionByName(b), older)), table, 0
+    )
+    land_batch_partition(
+        prepare(df.filter(part == FOLD_BATCHES - 1)), table, 1
+    )
+    spark.catalog.refreshTable(table)
+    return [table]
+
+
 def _probe_folds(spark, factor, median_time, wanted):
+    names = wanted.split(",") if wanted else None
     ops = (
-        {n: FOLD_OPS[n] for n in wanted.split(",")}
-        if wanted
+        {n: FOLD_OPS[n] for n in names if n in FOLD_OPS}
+        if names
         else dict(FOLD_OPS)
+    )
+    compacted_ops = (
+        {n: COMPACTED_FOLD_OPS[n] for n in names if n in COMPACTED_FOLD_OPS}
+        if names
+        else dict(COMPACTED_FOLD_OPS)
     )
     docs1 = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "text", "source"
@@ -637,6 +691,17 @@ def _probe_folds(spark, factor, median_time, wanted):
         times = []
         for df in inputs[kind]:
             tables = _land_fold_state(spark, df, name, kind, prepare, outputs)
+            try:
+                times.append(median_time(lambda: fold(spark, tables)))
+            finally:
+                for t in tables:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+        base, scaled = times
+        print(f"PROBE | {name} | {base:.3f} | {scaled:.3f} | {scaled / base:.2f} |")
+    for name, (kind, prepare, compact, fold) in compacted_ops.items():
+        times = []
+        for df in inputs[kind]:
+            tables = _land_compacted_state(spark, df, kind, prepare, compact)
             try:
                 times.append(median_time(lambda: fold(spark, tables)))
             finally:
