@@ -1,4 +1,6 @@
-"""Golden plan-gauge pins for the 23 headline bench queries.
+"""Golden plan-gauge pins for the 23 headline bench queries plus the
+sweep's expensive tail (tools.dump_plans.GAUGE_TAIL — the biggest
+plans, where a silent regression costs the most).
 
 PLANS.md's per-query gauges were regenerated every round but never
 asserted, so a plan regression in an untouched query — a dropped
@@ -45,11 +47,12 @@ def _golden_rows() -> dict[str, str]:
     return rows
 
 
-def test_golden_covers_exactly_the_headline_set():
-    from bench import HEADLINE
+def test_golden_covers_exactly_the_pinned_set():
+    from tools.dump_plans import PINNED_QUERIES
 
-    assert list(_golden_rows()) == HEADLINE, (
-        "golden gauge file out of sync with bench.HEADLINE; regenerate: "
+    assert list(_golden_rows()) == PINNED_QUERIES, (
+        "golden gauge file out of sync with tools.dump_plans."
+        "PINNED_QUERIES (HEADLINE + GAUGE_TAIL); regenerate: "
         "python tools/dump_plans.py --golden-only"
     )
 

@@ -25,6 +25,28 @@ SF_DIR = "/root/testdata/sf0.01"
 FULL_PLAN = ["q1_pricing_summary", "star_join_revenue", "asof_join"]
 GOLDEN_PATH = "tests/golden_plan_gauges.txt"
 
+#: The sweep's expensive tail — slowest non-headline queries from the
+#: round-12 full-registry sweep — gauge-pinned alongside HEADLINE
+#: because the biggest plans (ivf_pq_topk: 60 exchanges) are exactly
+#: where a silent regression costs the most. ``*_streamed`` twins are
+#: excluded by policy: their scored frame is localCheckpoint-ed
+#: (LogicalRDD leaf), so a gauge row would pin nothing but zeros.
+GAUGE_TAIL = [
+    "ivf_pq_topk",
+    "winnowing_fingerprints",
+    "canonical_pick",
+    "pq_adc_topk",
+    "containment_pairs",
+    "source_tv_distance",
+    "embedding_bitsign_topk",
+    "repeated_passages",
+    "skipgram_pmi",
+    "dedup_report",
+]
+
+#: Every gauge-pinned query, golden-file order.
+PINNED_QUERIES = HEADLINE + [n for n in GAUGE_TAIL if n not in HEADLINE]
+
 #: The gauges pinned by the golden file: a drop in pushed filters, a
 #: new/lost broadcast, or a new shuffle in a headline query must fail
 #: tests rather than surface as bench noise. (Scanned-column and
@@ -34,31 +56,34 @@ GOLDEN_PATH = "tests/golden_plan_gauges.txt"
 PINNED_GAUGES = ("pushed_filters", "broadcast_joins", "exchanges")
 
 
-def headline_gauge_rows(spark) -> list[str]:
-    """`name|pushed|broadcast|exchanges` line per headline query, the
-    golden-file format (also used verbatim by the pin test). Measured
-    cache-clean per query — see plans.inspect.clean_gauge_row."""
+def pinned_gauge_rows(spark) -> list[str]:
+    """`name|pushed|broadcast|exchanges` line per pinned query
+    (headline set + the sweep's expensive tail), the golden-file
+    format (also used verbatim by the pin test). Measured cache-clean
+    per query — see plans.inspect.clean_gauge_row."""
     queries = registry.queries()
     return [
-        P.clean_gauge_row(spark, name, queries[name], SF_DIR) for name in HEADLINE
+        P.clean_gauge_row(spark, name, queries[name], SF_DIR)
+        for name in PINNED_QUERIES
     ]
 
 
 def write_golden(spark, gauge_lines: list[str] | None = None) -> None:
     """``gauge_lines`` lets the full sweep reuse its already-measured
-    cache-clean gauges instead of re-building all 23 headline plans a
+    cache-clean gauges instead of re-building every pinned plan a
     second time (each build is the expensive part); --golden-only
     measures fresh."""
     lines = [
-        "# Golden plan gauges for the headline bench queries (sf0.01).",
+        "# Golden plan gauges: headline bench queries + the sweep's",
+        "# expensive tail (GAUGE_TAIL), at sf0.01.",
         "# Format: name|pushed_filters|broadcast_joins|exchanges",
         "# Regenerate (the explicit act accepting a plan change):",
         "#   python tools/dump_plans.py --golden-only",
-        *(gauge_lines if gauge_lines is not None else headline_gauge_rows(spark)),
+        *(gauge_lines if gauge_lines is not None else pinned_gauge_rows(spark)),
     ]
     with open(GOLDEN_PATH, "w") as f:
         f.write("\n".join(lines) + "\n")
-    print(f"{GOLDEN_PATH} written ({len(HEADLINE)} rows)")
+    print(f"{GOLDEN_PATH} written ({len(PINNED_QUERIES)} rows)")
 
 
 def main() -> None:
@@ -78,7 +103,7 @@ def main() -> None:
         raise KeyError(f"headline queries missing from registry: {missing}")
     headline = list(HEADLINE)
     rest = [n for n in queries if n not in HEADLINE]
-    gauge_lines = []
+    gauge_by_name = {}
     for name in headline + rest:
         # Cache-clean per query, like the golden writer: CacheManager
         # substitutes InMemoryRelation for matching subtrees, so a prior
@@ -87,12 +112,12 @@ def main() -> None:
         release_caches()
         spark.catalog.clearCache()
         df = queries[name](spark, SF_DIR)
-        if name in HEADLINE:
+        if name in PINNED_QUERIES:
             # The golden line comes from the SAME central formatter the
             # pin test uses (plans.inspect.gauge_row), measured on this
             # sweep's cache-clean df — never reassembled from the
             # report tuple below, so the two cannot drift on format.
-            gauge_lines.append(P.gauge_row(name, df))
+            gauge_by_name[name] = P.gauge_row(name, df)
         rows.append(
             (
                 name,
@@ -134,10 +159,10 @@ def main() -> None:
         f.write("\n".join(out) + "\n")
     print(f"PLANS.md written ({len(rows)} gauge rows, {len(FULL_PLAN)} full plans)")
 
-    # Reuse the sweep's cache-clean headline gauge_row lines for the
-    # golden file (identical measurement AND identical formatter; saves
-    # a second 23-query build pass).
-    write_golden(spark, gauge_lines)
+    # Reuse the sweep's cache-clean gauge_row lines for the golden
+    # file (identical measurement AND identical formatter; saves a
+    # second build pass over every pinned query).
+    write_golden(spark, [gauge_by_name[n] for n in PINNED_QUERIES])
 
 
 if __name__ == "__main__":
