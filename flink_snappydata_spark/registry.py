@@ -153,6 +153,9 @@ _HEAD = [
 _R13_QUEUE: list[str] = [
     # -- round-12 additions (never stamped; new work drains first) --
     "stream_join_full_outer",
+    "cep_pattern_match",
+    "window_funnel",
+    "temporal_dim_join",
     # -- r08-stamped remainder (cadence-due at r13) --
     "line_dedup",
     "source_doc_cap",

@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from flink_snappydata_spark.operators import cep
 from flink_snappydata_spark.streaming import count_window as cw
 from flink_snappydata_spark.streaming import joins as stream_joins
 from flink_snappydata_spark.streaming import windows as stream_windows
@@ -297,4 +298,109 @@ _register(
         "unmatched purchases left-null-extended. COALESCE keeps "
         "key/window non-null on extended rows, matching the Spark "
         "builder's coalesce projection.",
+)
+
+# -- round 12: Flink CEP / MATCH_RECOGNIZE / temporal-join parity. The
+# reference runs on Flink, whose signature beyond-SQL features are the
+# CEP pattern library (SQL MATCH_RECOGNIZE), staged funnels, and the
+# temporal table join (FOR SYSTEM_TIME AS OF) — re-expressed here as
+# windows + interval joins (operators/cep.py). Listed at the head of
+# registry._R13_QUEUE with the other never-stamped round-12 work.
+
+_register(
+    "cep_pattern_match",
+    ["events"],
+    cep.cep_pattern_match,
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER w AS rn,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), clicks AS (
+        SELECT *,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS grp
+        FROM seq WHERE event_type = 'click'
+    ), runs AS (
+        SELECT user_id, MIN(ts) AS run_start, MAX(ts) AS run_end,
+               CAST(COUNT(*) AS BIGINT) AS n_run,
+               arg_max(next_type, rn) AS last_next_type,
+               arg_max(next_ts, rn) AS last_next_ts
+        FROM clicks GROUP BY user_id, grp
+    )
+    SELECT user_id, run_start, run_end, n_run,
+           last_next_ts AS trigger_ts
+    FROM runs
+    WHERE n_run >= 2 AND last_next_type = 'purchase'
+      AND last_next_ts <= run_end + INTERVAL 1 DAY
+    ORDER BY user_id, run_start
+    """,
+    doc="MATCH_RECOGNIZE PATTERN (C{2,} P) with AFTER MATCH SKIP PAST "
+        "LAST ROW: maximal consecutive click runs whose next event is "
+        "a purchase within 1 day — Flink CEP's core pattern shape "
+        "as gaps-and-islands + lead(), one user-keyed shuffle.",
+)
+
+_register(
+    "window_funnel",
+    ["events"],
+    cep.window_funnel,
+    """
+    WITH a AS (
+        SELECT user_id, event_id, ts AS ts0 FROM events
+        WHERE event_type = 'view'
+    ), c1 AS (
+        SELECT a.user_id, a.event_id, a.ts0, MIN(e.ts) AS ts1
+        FROM a LEFT JOIN events e
+          ON e.user_id = a.user_id AND e.event_type = 'click'
+         AND e.ts > a.ts0 AND e.ts <= a.ts0 + INTERVAL 1 DAY
+        GROUP BY a.user_id, a.event_id, a.ts0
+    ), c2 AS (
+        SELECT c1.user_id, c1.event_id, c1.ts0, c1.ts1, MIN(e.ts) AS ts2
+        FROM c1 LEFT JOIN events e
+          ON e.user_id = c1.user_id AND e.event_type = 'purchase'
+         AND e.ts > c1.ts1 AND e.ts <= c1.ts0 + INTERVAL 1 DAY
+        GROUP BY c1.user_id, c1.event_id, c1.ts0, c1.ts1
+    )
+    SELECT user_id,
+           CAST(MAX(CASE WHEN ts2 IS NOT NULL THEN 3
+                         WHEN ts1 IS NOT NULL THEN 2
+                         ELSE 1 END) AS BIGINT) AS max_stage
+    FROM c2 GROUP BY user_id ORDER BY user_id
+    """,
+    doc="ClickHouse-style windowFunnel(view->click->purchase, 1 day): "
+        "deepest strictly-ordered stage chain inside one day of the "
+        "anchor event, greedy-earliest per stage, max over anchors per "
+        "user — staged interval joins on the user key.",
+)
+
+_register(
+    "temporal_dim_join",
+    ["events"],
+    cep.temporal_table_join,
+    """
+    WITH v AS (
+        SELECT user_id AS vu, ts AS valid_from,
+               LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                   AS valid_to,
+               props AS version_props
+        FROM events WHERE event_type = 'signup'
+    ), f AS (
+        SELECT user_id, event_id, ts FROM events
+        WHERE event_type = 'purchase'
+    )
+    SELECT f.user_id AS user_id, f.event_id AS event_id, f.ts AS ts,
+           v.valid_from AS version_ts, v.version_props AS version_props
+    FROM f LEFT JOIN v
+      ON f.user_id = v.vu AND f.ts >= v.valid_from
+     AND (v.valid_to IS NULL OR f.ts < v.valid_to)
+    ORDER BY event_id
+    """,
+    doc="Flink temporal table join (FOR SYSTEM_TIME AS OF fact time): "
+        "signup events form a versioned per-user dimension (half-open "
+        "validity from lead()), purchases join the version valid at "
+        "their own event time, pre-first-version facts null-extended.",
 )
