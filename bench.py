@@ -186,14 +186,23 @@ def main() -> None:
 
     for name in names:
         _timed_rep(name)  # rep 0 is the codegen/JIT warm-up
-        runs = sorted(_timed_rep(name) for _ in range(reps))
+        # EXTRAS are receipts, not anchor rows: one timed rep, no
+        # adaptive re-rep spiral (raw_ivfpq_build re-trains the whole
+        # index per rep — nine reps would add minutes for a number the
+        # anchor comparison never reads).
+        n_reps = 1 if name in EXTRAS else reps
+        runs = sorted(_timed_rep(name) for _ in range(n_reps))
         # Single GC/compilation pauses held r4 medians hostage (q5
         # spread 4.19 s on a 1.23 s median): when the raw range exceeds
         # half the median, keep adding reps (bounded) until the median
         # is pinned down, then report the median's own uncertainty —
         # the range of the 3 rank-central runs — alongside the raw
         # range, so one outlier rep can't masquerade as plan noise.
-        while runs[-1] - runs[0] > 0.5 * runs[len(runs) // 2] and len(runs) < max_reps:
+        while (
+            name not in EXTRAS
+            and runs[-1] - runs[0] > 0.5 * runs[len(runs) // 2]
+            and len(runs) < max_reps
+        ):
             runs.append(_timed_rep(name))
             runs.sort()
         n = len(runs)

