@@ -32,16 +32,21 @@ GOLDEN_PATH = "tests/golden_plan_gauges.txt"
 #: excluded by policy: their scored frame is localCheckpoint-ed
 #: (LogicalRDD leaf), so a gauge row would pin nothing but zeros.
 GAUGE_TAIL = [
+    # 10 slowest non-headline from the r12 closing sweep, in sweep
+    # order...
+    "ann_lsh_neardup",
     "ivf_pq_topk",
     "winnowing_fingerprints",
+    "source_contamination",
     "canonical_pick",
-    "pq_adc_topk",
+    "dedup_ngram_jaccard",
+    "dedup_report",
+    "dedup_clusters",
+    "bigram_surprisal",
+    "winnowing_pairs",
+    # ...plus the two big plans the round-11 verdict named explicitly
     "containment_pairs",
     "source_tv_distance",
-    "embedding_bitsign_topk",
-    "repeated_passages",
-    "skipgram_pmi",
-    "dedup_report",
 ]
 
 #: Every gauge-pinned query, golden-file order.
