@@ -179,6 +179,26 @@ def window_funnel(
     )
 
 
+def cep_from_state(spark, events_table: str) -> DataFrame:
+    """Continuous CEP monitor over the stream→table loop: run
+    :func:`cep_pattern_match` against the column-pruned event log a
+    foreachBatch ingest accumulated (the SAME landed state
+    ``streaming_scd2_ingest`` maintains — one raw log serves every
+    order-sensitive reader: the SCD2 dimension, this pattern monitor).
+
+    Raw events, not per-batch match fragments, are the minimal
+    sufficient state: "consecutive" is defined against ALL events, so
+    a later micro-batch can land an event INSIDE a previously-seen
+    click run and break it — per-batch matches are not mergeable
+    (same argument as SCD2's intervals). The match build sorts per
+    user by (ts, event_id), so batching order is irrelevant and the
+    bounded-drain result is row-identical to the batch op — the batch
+    oracle applies verbatim."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
+    return cep_pattern_match(read_state_table(spark, events_table))
+
+
 def temporal_table_join(
     events: DataFrame,
     version_type: str = "signup",

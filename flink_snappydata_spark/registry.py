@@ -156,6 +156,7 @@ _R13_QUEUE: list[str] = [
     "cep_pattern_match",
     "window_funnel",
     "temporal_dim_join",
+    "cep_streamed",
     # -- r08-stamped remainder (cadence-due at r13) --
     "line_dedup",
     "source_doc_cap",

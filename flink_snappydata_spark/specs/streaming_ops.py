@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 
+from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.operators import cep
 from flink_snappydata_spark.streaming import count_window as cw
 from flink_snappydata_spark.streaming import joins as stream_joins
@@ -377,6 +378,33 @@ _register(
         "user — staged interval joins on the user key.",
 )
 
+def _cep_streamed(spark, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``cep_pattern_match`` under the
+    full correctness gate — the continuous pattern monitor Flink CEP
+    exists for: the events fixture arrives as a 2-file stream, each
+    batch lands its column-pruned events via the SAME ingest the SCD2
+    twin rides (one raw-log state table serves every order-sensitive
+    reader), and the returned frame pattern-matches the accumulated
+    log — row-identical to the batch op (per-user (ts, event_id) sort
+    makes batching order irrelevant), so its oracle applies verbatim.
+    State torn down via the shared harness."""
+    from flink_snappydata_spark.specs.llm_pipeline import (
+        _stream_state_scored,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "cep",
+        ["events"],
+        stream_windows.streaming_scd2_ingest,
+        cep.cep_from_state,
+    )
+
+
 _register(
     "temporal_dim_join",
     ["events"],
@@ -403,4 +431,16 @@ _register(
         "signup events form a versioned per-user dimension (half-open "
         "validity from lead()), purchases join the version valid at "
         "their own event time, pre-first-version facts null-extended.",
+)
+
+from flink_snappydata_spark.specs.base import QUERIES, QuerySpec  # noqa: E402
+
+QUERIES["cep_streamed"] = QuerySpec(
+    fn=_cep_streamed,
+    oracle=QUERIES["cep_pattern_match"].oracle,
+    doc="Streaming CEP monitor (14th stream→table loop): column-pruned "
+        "events land per micro-batch into the same raw-log state shape "
+        "the SCD2 twin maintains (matches are order-sensitive, so the "
+        "log is the minimal sufficient state), pattern match at read — "
+        "the continuous alerting loop Flink CEP exists for.",
 )

@@ -128,6 +128,33 @@ def test_temporal_join_versions_are_point_in_time(spark):
         assert r.version_ts == want, (r, want)
 
 
+def test_cep_streamed_equals_batch_after_4_batch_drain(spark):
+    """The CEP monitor over the raw-log loop must be row-identical to
+    the batch pattern match after a 4-batch hash-interleaved replay —
+    deeper than the registered 2-batch twin, exercising runs split
+    and re-joined across batch boundaries."""
+    from flink_snappydata_spark.operators.cep import (
+        cep_from_state,
+        cep_pattern_match,
+    )
+    from flink_snappydata_spark.streaming import windows as stream_windows
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    want = sorted(tuple(r) for r in cep_pattern_match(ev).collect())
+    assert want, "fixture must produce matches (non-vacuous)"
+    got, _state = _replay_ingest(
+        spark,
+        ev,
+        4,
+        stream_windows.streaming_scd2_ingest,
+        cep_from_state,
+        "cepstream",
+    )
+    assert got == want
+
+
 # ------------------------------------------- fragment compaction
 
 
