@@ -157,6 +157,8 @@ _R13_QUEUE: list[str] = [
     "window_funnel",
     "temporal_dim_join",
     "cep_streamed",
+    "topn_streamed",
+    "quantiles_streamed",
     # -- r08-stamped remainder (cadence-due at r13) --
     "line_dedup",
     "source_doc_cap",

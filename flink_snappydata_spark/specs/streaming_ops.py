@@ -444,3 +444,85 @@ QUERIES["cep_streamed"] = QuerySpec(
         "log is the minimal sufficient state), pattern match at read — "
         "the continuous alerting loop Flink CEP exists for.",
 )
+
+
+def _topn_streamed(spark, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of the continuous Top-N query
+    (Flink SQL's streaming Top-N): per-batch per-group top-N partials
+    land (mergeable — any global top-N row ranks <= N in its own
+    batch), re-rank at read. State torn down via the shared harness."""
+    from flink_snappydata_spark.specs.llm_pipeline import (
+        _stream_state_scored,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_type", "event_id", "value"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "topn",
+        ["partials"],
+        stream_windows.streaming_topn_ingest,
+        stream_windows.topn_from_state,
+    )
+
+
+QUERIES["topn_streamed"] = QuerySpec(
+    fn=_topn_streamed,
+    oracle="""
+    SELECT event_type, rank, event_id, value FROM (
+        SELECT event_type, event_id, value,
+               CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+                                       ORDER BY value DESC, event_id)
+                    AS BIGINT) AS rank
+        FROM events) t
+    WHERE rank <= 10 ORDER BY event_type, rank
+    """,
+    doc="Continuous exact Top-N per group (15th stream→table loop): "
+        "per-batch top-N partials are a mergeable summary (containment "
+        "proof in topn_partials), so the read-side re-rank equals "
+        "ranking the raw stream — Flink's streaming Top-N shape.",
+)
+
+
+def _quantiles_streamed(spark, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of the percentile family: per-batch
+    cent-value histograms land (counts add), inverse-CDF quantiles off
+    the merged cumulative distribution at read — EXACT over the
+    2-decimal value domain, no sketch bound to argue. State torn down
+    via the shared harness."""
+    from flink_snappydata_spark.specs.llm_pipeline import (
+        _stream_state_scored,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select("value")
+    return _stream_state_scored(
+        spark,
+        ev,
+        "qtl",
+        ["hist"],
+        stream_windows.streaming_quantiles_ingest,
+        stream_windows.quantiles_from_state,
+    )
+
+
+QUERIES["quantiles_streamed"] = QuerySpec(
+    fn=_quantiles_streamed,
+    oracle=f"""
+    WITH c AS (
+        SELECT {_cents('value')} AS v, COUNT(*) AS n FROM events GROUP BY 1
+    ), t AS (
+        SELECT v, SUM(n) OVER (ORDER BY v) AS cum, SUM(n) OVER () AS tot
+        FROM c
+    ), qs AS (
+        SELECT CAST(unnest([0.25, 0.5, 0.75, 0.9, 0.99]) AS DOUBLE) AS q
+    )
+    SELECT q, MIN(v) / 100.0 AS value
+    FROM t, qs WHERE cum >= q * tot GROUP BY q ORDER BY q
+    """,
+    doc="Continuous exact quantile monitor (16th stream→table loop): "
+        "mergeable cent-histogram state (domain-bounded, not "
+        "event-bounded), standard inverse-CDF lower quantile at read — "
+        "exact, so the oracle hash-checks values.",
+)

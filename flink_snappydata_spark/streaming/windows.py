@@ -716,6 +716,145 @@ def hll_distinct_from_state(spark, sketch_table: str) -> DataFrame:
     )
 
 
+def topn_partials(batch_df: DataFrame, n: int = 10) -> DataFrame:
+    """One micro-batch's per-group top-N partial — the mergeable state
+    unit of :func:`streaming_topn_ingest`: any row in the GLOBAL
+    top-N under the total order (value desc, event_id asc) ranks at
+    most N inside its own batch, so the union of per-batch top-Ns
+    provably contains the global top-N — re-ranking the union at read
+    is exact. State is N rows per (group, batch), corpus-independent."""
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        batch_df.select("event_type", "event_id", "value")
+        .withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= n)
+        .drop("r")
+    )
+
+
+def streaming_topn_ingest(
+    stream_events: DataFrame,
+    partials_table: str,
+    checkpoint: str | None = None,
+    n: int = 10,
+):
+    """Streaming-ingest exact TOP-N monitor — the stream→table loop
+    with the textbook mergeable summary: per-batch per-group top-N
+    partials land (see :func:`topn_partials` for the containment
+    proof), :func:`topn_from_state` re-ranks the union at read.
+    Flink's continuous Top-N query shape, exact at any batch count.
+    Rides the shared idempotent foreachBatch loop."""
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(partials_table, None)],
+        prepare=lambda b: topn_partials(b, n),
+        checkpoint=checkpoint,
+    )
+
+
+def topn_from_state(spark, partials_table: str, n: int = 10) -> DataFrame:
+    """(event_type, rank, event_id, value) — the exact global top-N
+    per group from the accumulated partials, identical to ranking the
+    raw stream (containment argument in :func:`topn_partials`)."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    return (
+        read_state_table(spark, partials_table)
+        .withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= n)
+        .select("event_type", "rank", "event_id", "value")
+        .orderBy("event_type", "rank")
+    )
+
+
+def quantile_partials(batch_df: DataFrame) -> DataFrame:
+    """One micro-batch's value histogram in exact integer cents — the
+    mergeable state unit of :func:`streaming_quantiles_ingest`.
+    Counts are additive, so the merged histogram is exactly the
+    histogram of the union; per-batch state is bounded by the DISTINCT
+    cent values seen (the value domain, not the event count)."""
+    return (
+        batch_df.select(cents("value").alias("v"))
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+
+
+def streaming_quantiles_ingest(
+    stream_events: DataFrame,
+    hist_table: str,
+    checkpoint: str | None = None,
+):
+    """Streaming-ingest EXACT quantile monitor: per-batch cent-value
+    histograms land (mergeable by addition), and
+    :func:`quantiles_from_state` reads quantiles off the merged
+    cumulative distribution — exact inverse-CDF quantiles of the
+    2-decimal value domain, no sketch error to argue about. The
+    continuous analog of the batch percentile ops. Rides the shared
+    idempotent foreachBatch loop."""
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(hist_table, None)],
+        prepare=quantile_partials,
+        checkpoint=checkpoint,
+    )
+
+
+#: Inverse-CDF probe points for the quantile monitor.
+QUANTILE_QS = (0.25, 0.5, 0.75, 0.9, 0.99)
+
+
+def quantiles_from_state(spark, hist_table: str) -> DataFrame:
+    """(q, value): the smallest value whose cumulative count reaches
+    ``q * total`` — the standard inverse-CDF (lower) quantile, exact
+    over the merged integer histogram. ``q * total`` is one double
+    product of a literal and an exact integer, bit-identical in any
+    engine, so the oracle hash-matches.
+
+    Scale: the fold is one histogram-sized aggregation plus a running
+    sum over the value DOMAIN (distinct cents), not the event count —
+    a window over thousands of rows at any corpus size."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
+    hist = (
+        read_state_table(spark, hist_table)
+        .groupBy("v")
+        .agg(F.sum("n").alias("n"))
+    )
+    w_cum = Window.orderBy("v").rowsBetween(Window.unboundedPreceding, 0)
+    cum = hist.select(
+        "v",
+        F.sum("n").over(w_cum).alias("cum"),
+        F.sum("n").over(
+            Window.orderBy(F.lit(1)).rowsBetween(
+                Window.unboundedPreceding, Window.unboundedFollowing
+            )
+        ).alias("tot"),
+    )
+    qs = F.array(*[F.lit(q) for q in QUANTILE_QS])
+    probes = cum.select(
+        "v", "cum", "tot", F.explode(qs).alias("q")
+    ).filter(F.col("cum") >= F.col("q") * F.col("tot"))
+    return (
+        probes.groupBy("q")
+        .agg((F.min("v") / F.lit(100.0)).alias("value"))
+        .orderBy("q")
+    )
+
+
 def streaming_funnel_ingest(
     stream_events: DataFrame,
     fragments_table: str,

@@ -155,6 +155,63 @@ def test_cep_streamed_equals_batch_after_4_batch_drain(spark):
     assert got == want
 
 
+def test_topn_streamed_equals_batch_after_4_batch_drain(spark):
+    """Per-batch top-N partials must merge to the exact global top-N
+    (containment: a global top-N row ranks <= N in its own batch)."""
+    from pyspark.sql import Window
+
+    from flink_snappydata_spark.streaming import windows as stream_windows
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_type", "event_id", "value"
+    )
+    w = Window.partitionBy("event_type").orderBy(
+        F.col("value").desc(), F.col("event_id").asc()
+    )
+    want = sorted(
+        tuple(r)
+        for r in ev.withColumn("rank", F.row_number().over(w).cast("long"))
+        .filter(F.col("rank") <= 10)
+        .select("event_type", "rank", "event_id", "value")
+        .collect()
+    )
+    got, state = _replay_ingest(
+        spark,
+        ev,
+        4,
+        stream_windows.streaming_topn_ingest,
+        stream_windows.topn_from_state,
+        "topn",
+    )
+    assert got == want
+    # state is N x groups x batches, corpus-independent
+    assert len(state) <= 10 * 5 * 4
+
+
+def test_quantiles_streamed_equals_batch_after_4_batch_drain(spark):
+    """Merged cent histograms must yield the exact inverse-CDF
+    quantiles of the full value column."""
+    from flink_snappydata_spark.functions.exact import cents
+    from flink_snappydata_spark.streaming import windows as stream_windows
+
+    ev = load_table(spark, SF_SMOKE, "events").select("value")
+    vals = sorted(r[0] for r in ev.select(cents("value")).collect())
+    n = len(vals)
+    want = []
+    for q in stream_windows.QUANTILE_QS:
+        idx = next(i for i in range(n) if i + 1 >= q * n)
+        want.append((q, vals[idx] / 100.0))
+    got, _state = _replay_ingest(
+        spark,
+        ev,
+        4,
+        stream_windows.streaming_quantiles_ingest,
+        stream_windows.quantiles_from_state,
+        "qtl",
+    )
+    assert got == sorted(want)
+
+
 # ------------------------------------------- fragment compaction
 
 
