@@ -24,7 +24,7 @@ from __future__ import annotations
 
 import random
 from functools import reduce
-from typing import Callable, NamedTuple
+from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
@@ -2018,23 +2018,24 @@ def ivf_pq_index_load(spark, base: str) -> IvfPqIndex:
 
 def ivf_pq_index(
     embeddings: DataFrame, n_coarse: int = 8, n_pq_centroids: int = 8,
-    n_iters: int = 2, persist: Callable[[DataFrame], DataFrame] = tracked_persist,
+    n_iters: int = 2,
 ) -> IvfPqIndex:
     """Train/build the IVFADC index (the amortized-once half of
     :func:`ivf_pq_topk`): coarse cosine Lloyd's over the quantized
     corpus, residuals vs the assigned coarse centroid, residual-PQ
     training, and the per-vector (list id + PQ codes) frame.
 
-    ``persist`` lets callers opt out of :func:`tracked_persist` (the
-    bench's prebuilt-index path keeps the index alive across
-    ``release_caches`` with a plain ``DataFrame.persist``).
+    Build-time intermediates ride :func:`tracked_persist`; a consumer
+    that needs the index to OUTLIVE ``release_caches`` stores it with
+    :meth:`IvfPqIndex.save` and reopens via :func:`ivf_pq_index_load`
+    (what the bench's prebuilt-query receipt does).
 
     Scale: the two corpus-sized joins pin ``shuffle_hash`` (both sides
     corpus-sized by construction); centroid/codebook frames are
     bounded and broadcast. See :func:`ivf_pq_topk` for the full
     100 TB-layout argument.
     """
-    qv = persist(quantized(embeddings))
+    qv = tracked_persist(quantized(embeddings))
     cents, assigned = _kmeans_fit(qv, n_coarse, n_iters)
     # corpus residuals vs the assigned coarse centroid, in PQ layout
     resid = (
@@ -2047,8 +2048,8 @@ def ivf_pq_index(
             F.zip_with("qe", "ce", lambda a, b: a - b).alias("qe"),
         )
     )
-    resid = persist(resid)
-    subv = persist(_pq_subvectors(resid.select("vec_id", "qe")))
+    resid = tracked_persist(resid)
+    subv = tracked_persist(_pq_subvectors(resid.select("vec_id", "qe")))
     _, pq_cents, pq_assigned = _pq_train(
         embeddings, n_centroids=n_pq_centroids, n_iters=n_iters, subv=subv
     )

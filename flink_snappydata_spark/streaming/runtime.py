@@ -262,8 +262,15 @@ def ingest_stream_to_tables(
     prepared frame to that table's rows. ``prepare=None`` means the
     micro-batch lands as-is.
     """
-    if compact is not None and len(outputs) != 1:
-        raise ValueError("compaction supports single-output loops only")
+    if compact is not None and (
+        len(outputs) != 1 or outputs[0][1] is not None
+    ):
+        # the compacting path lands the prepared frame directly and
+        # would silently skip a per-output build callable
+        raise ValueError(
+            "compaction supports single-output loops with build=None "
+            "(fold the transform into prepare)"
+        )
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         base = prepare(batch_df) if prepare is not None else batch_df

@@ -75,7 +75,10 @@ def test_cep_matches_are_disjoint_maximal_runs(spark):
     for user_rows in by_user.values():
         user_rows.sort(key=lambda r: r.run_start)
         for a, b in zip(user_rows, user_rows[1:]):
-            assert a.run_end < b.run_start, "matches must be disjoint"
+            # <= (not <): two disjoint runs may legally share a
+            # boundary TIMESTAMP (ties ordered by event_id); genuine
+            # overlap means a.run_end strictly after b.run_start
+            assert a.run_end <= b.run_start, "matches must be disjoint"
 
 
 def test_window_funnel_stage_semantics(spark):

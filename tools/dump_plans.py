@@ -103,9 +103,9 @@ def main() -> None:
 
     queries = registry.queries()
     rows = []
-    missing = [n for n in HEADLINE if n not in queries]
-    if missing:  # fail loudly, like headline_gauge_rows would
-        raise KeyError(f"headline queries missing from registry: {missing}")
+    missing = [n for n in PINNED_QUERIES if n not in queries]
+    if missing:  # fail loudly BEFORE the expensive sweep, not after
+        raise KeyError(f"pinned queries missing from registry: {missing}")
     headline = list(HEADLINE)
     rest = [n for n in queries if n not in HEADLINE]
     gauge_by_name = {}

@@ -668,6 +668,12 @@ def _land_compacted_state(spark, df, kind, prepare, compact):
 
 def _probe_folds(spark, factor, median_time, wanted):
     names = wanted.split(",") if wanted else None
+    if names:
+        unknown = [
+            n for n in names if n not in FOLD_OPS and n not in COMPACTED_FOLD_OPS
+        ]
+        if unknown:  # a typo must fail loudly, not print zero PROBE rows
+            raise KeyError(f"unknown fold ops: {unknown}")
     ops = (
         {n: FOLD_OPS[n] for n in names if n in FOLD_OPS}
         if names
