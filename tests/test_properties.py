@@ -769,3 +769,154 @@ def test_cell_prefix_sums_match_naive(spark, raw, n_cells):
             run_b += b
             want[(g, v)] = (run_a, run_b)
     assert got == want
+
+
+# ------------------------------------------------ round-12 CEP family
+
+
+def _naive_cep(rows, min_run=2, within=dt.timedelta(minutes=1)):
+    """Quadratic reference for cep_pattern_match: per user, maximal
+    consecutive click runs in (ts, event_id) order whose immediately
+    next event is a purchase within `within` of the run's end."""
+    out = set()
+    users = {r.user_id for r in rows}
+    for u in users:
+        seq = sorted(
+            (r for r in rows if r.user_id == u),
+            key=lambda r: (r.ts, r.event_id),
+        )
+        i = 0
+        while i < len(seq):
+            if seq[i].event_type != "click":
+                i += 1
+                continue
+            j = i
+            while j + 1 < len(seq) and seq[j + 1].event_type == "click":
+                j += 1
+            run = seq[i : j + 1]
+            nxt = seq[j + 1] if j + 1 < len(seq) else None
+            if (
+                len(run) >= min_run
+                and nxt is not None
+                and nxt.event_type == "purchase"
+                and nxt.ts <= run[-1].ts + within
+            ):
+                out.add((u, run[0].ts, run[-1].ts, len(run), nxt.ts))
+            i = j + 1
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_events_strategy)
+def test_cep_pattern_match_matches_naive(spark, raw):
+    from flink_snappydata_spark.operators.cep import cep_pattern_match
+
+    df = _frame(spark, raw)
+    rows = df.collect()
+    got = {
+        (r.user_id, r.run_start, r.run_end, r.n_run, r.trigger_ts)
+        for r in cep_pattern_match(df, within="1 minute").collect()
+    }
+    assert got == _naive_cep(rows)
+
+
+def _naive_window_funnel(rows, window=dt.timedelta(minutes=2)):
+    """Quadratic reference for window_funnel: greedy-earliest staged
+    chain view->click->purchase inside `window` of the anchor."""
+    out = {}
+    for a in rows:
+        if a.event_type != "view":
+            continue
+        end = a.ts + window
+        ts1 = min(
+            (c.ts for c in rows
+             if c.user_id == a.user_id and c.event_type == "click"
+             and a.ts < c.ts <= end),
+            default=None,
+        )
+        ts2 = None
+        if ts1 is not None:
+            ts2 = min(
+                (p.ts for p in rows
+                 if p.user_id == a.user_id and p.event_type == "purchase"
+                 and ts1 < p.ts <= end),
+                default=None,
+            )
+        stage = 3 if ts2 is not None else (2 if ts1 is not None else 1)
+        out[a.user_id] = max(out.get(a.user_id, 0), stage)
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_events_strategy)
+def test_window_funnel_matches_naive(spark, raw):
+    from flink_snappydata_spark.operators.cep import window_funnel
+
+    df = _frame(spark, raw)
+    rows = df.collect()
+    got = {
+        r.user_id: r.max_stage
+        for r in window_funnel(df, window="2 minutes").collect()
+    }
+    assert got == _naive_window_funnel(rows)
+
+
+def _naive_temporal(rows):
+    """Quadratic reference for temporal_table_join: each purchase
+    takes the latest (ts, event_id)-ordered signup with ts <= its own;
+    the payload is that signup's props."""
+    out = {}
+    for f in rows:
+        if f.event_type != "purchase":
+            continue
+        best = None
+        for v in rows:
+            if (
+                v.event_type == "signup"
+                and v.user_id == f.user_id
+                and v.ts <= f.ts
+                and (
+                    best is None
+                    or (v.ts, v.event_id) > (best.ts, best.event_id)
+                )
+            ):
+                best = v
+        out[f.event_id] = (
+            (best.ts, best.props) if best is not None else (None, None)
+        )
+    return out
+
+
+# signup-bearing variant of the shared strategy
+_versioned_events_strategy = st.lists(
+    st.tuples(
+        st.integers(0, 2),
+        st.integers(0, 120),
+        st.sampled_from(["signup", "purchase", "view"]),
+        st.integers(0, 1000),
+    ),
+    min_size=0,
+    max_size=25,
+)
+
+
+@settings(max_examples=15, deadline=None)
+@given(_versioned_events_strategy)
+def test_temporal_table_join_matches_naive(spark, raw):
+    from flink_snappydata_spark.operators.cep import temporal_table_join
+
+    rows_in = [
+        (i, user, _T0 + dt.timedelta(seconds=sec), etype, f"p{val}")
+        for i, (user, sec, etype, val) in enumerate(raw)
+    ]
+    df = spark.createDataFrame(
+        rows_in,
+        "event_id long, user_id long, ts timestamp, event_type string,"
+        " props string",
+    )
+    rows = df.collect()
+    got = {
+        r.event_id: (r.version_ts, r.version_props)
+        for r in temporal_table_join(df).collect()
+    }
+    assert got == _naive_temporal(rows)
