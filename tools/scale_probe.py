@@ -587,6 +587,24 @@ FOLD_OPS = {
         [("sk", None)],
         lambda spark, t: W.hll_distinct_from_state(spark, t[0]),
     ),
+    "topn_from_state": (
+        "events",
+        lambda b: W.topn_partials(b),
+        [("part", None)],
+        lambda spark, t: W.topn_from_state(spark, t[0]),
+    ),
+    "quantiles_from_state": (
+        "events",
+        lambda b: W.quantile_partials(b),
+        [("hist", None)],
+        lambda spark, t: W.quantiles_from_state(spark, t[0]),
+    ),
+    "cep_from_state": (
+        "events",
+        lambda b: b.select("user_id", "event_id", "ts", "event_type"),
+        [("ev", None)],
+        lambda spark, t: CEP.cep_from_state(spark, t[0]),
+    ),
 }
 
 #: Compacted-state variants (round 12): the session/funnel ingest
