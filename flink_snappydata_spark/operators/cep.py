@@ -56,26 +56,13 @@ def cep_pattern_match(
         F.lead("event_type").over(w).alias("next_type"),
         F.lead("ts").over(w).alias("next_ts"),
     ).filter(is_run)
-    # classic islands: rn - row_number() among run-type rows is
-    # constant exactly on maximal consecutive runs
-    w_runs = Window.partitionBy("user_id").orderBy("rn")
-    runs = seq.withColumn(
-        "grp", F.col("rn") - F.row_number().over(w_runs)
-    )
     matched = (
-        runs.groupBy("user_id", "grp")
-        .agg(
-            F.min("ts").alias("run_start"),
-            F.max("ts").alias("run_end"),
-            F.count(F.lit(1)).alias("n_run"),
-            F.max_by("next_type", "rn").alias("last_next_type"),
-            F.max_by("next_ts", "rn").alias("last_next_ts"),
-        )
+        _maximal_runs(seq)
         .filter(
             (F.col("n_run") >= min_run)
-            & (F.col("last_next_type") == trigger_type)
+            & (F.col("next_type") == trigger_type)
             & (
-                F.col("last_next_ts")
+                F.col("next_ts")
                 <= F.col("run_end") + F.expr(f"INTERVAL {within}")
             )
         )
@@ -84,10 +71,43 @@ def cep_pattern_match(
             "run_start",
             "run_end",
             "n_run",
-            F.col("last_next_ts").alias("trigger_ts"),
+            F.col("next_ts").alias("trigger_ts"),
         )
     )
     return matched.orderBy("user_id", "run_start")
+
+
+def _maximal_runs(seq: DataFrame) -> DataFrame:
+    """Collapse a filtered (user_id, ts, event_id, rn, next_type,
+    next_ts) sequence into its maximal consecutive runs, carrying the
+    LAST row's lookahead. classic islands: rn - row_number() among
+    run-type rows is constant exactly on maximal runs. The last-row
+    lookahead uses an is-last flag + max(when(...)) — NOT
+    max_by/arg_max, whose null handling diverges between engines when
+    the last row's lookahead is null (end of a user's stream): Spark's
+    max_by keeps the max-key row's null value, DuckDB's arg_max skips
+    it and falls back to an earlier row. max over a single
+    possibly-null value is null-faithful in both."""
+    w_runs = Window.partitionBy("user_id").orderBy("rn")
+    runs = seq.withColumn("grp", F.col("rn") - F.row_number().over(w_runs))
+    is_last = F.col("rn") == F.max("rn").over(
+        Window.partitionBy("user_id", "grp")
+    )
+    return (
+        runs.withColumn("is_last", is_last)
+        .groupBy("user_id", "grp")
+        .agg(
+            F.min("ts").alias("run_start"),
+            F.max("ts").alias("run_end"),
+            F.count(F.lit(1)).alias("n_run"),
+            F.max(F.when(F.col("is_last"), F.col("next_type"))).alias(
+                "next_type"
+            ),
+            F.max(F.when(F.col("is_last"), F.col("next_ts"))).alias(
+                "next_ts"
+            ),
+        )
+    )
 
 
 _WINDOW_SECONDS = {
@@ -177,6 +197,55 @@ def window_funnel(
         .agg(F.max("stage").alias("max_stage"))
         .orderBy("user_id")
     )
+
+
+def cep_absence_alerts(
+    events: DataFrame,
+    run_type: str = "click",
+    trigger_type: str = "purchase",
+    min_run: int = 2,
+    within: str = "1 day",
+) -> DataFrame:
+    """Flink CEP ``notFollowedBy`` — ABSENCE detection, the pattern
+    class SQL is famously bad at: maximal runs of >= ``min_run``
+    consecutive ``run_type`` events that are NOT followed by a
+    ``trigger_type`` within ``within`` of the run's end (the trigger
+    either never comes, comes too late, or a different event type
+    intervenes — the "abandoned cart" alert). Exactly the complement
+    of :func:`cep_pattern_match` over the same maximal-run set, which
+    the absence-partition test pins: matches ∪ alerts = all runs of
+    >= min_run, disjointly.
+
+    Returns ``(user_id, run_start, run_end, n_run, next_type,
+    next_ts)`` — the next event (if any) is carried so the consumer
+    can distinguish "wrong event" from "silence". Same single
+    user-keyed shuffle as the match op.
+    """
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("event_type") == run_type)
+    followed = (
+        (F.col("next_type") == trigger_type)
+        & (F.col("next_ts") <= F.col("run_end") + F.expr(f"INTERVAL {within}"))
+    )
+    alerts = (
+        _maximal_runs(seq)
+        .filter(
+            (F.col("n_run") >= min_run)
+            & ~F.coalesce(followed, F.lit(False))
+        )
+        .select(
+            "user_id", "run_start", "run_end", "n_run", "next_type", "next_ts"
+        )
+    )
+    return alerts.orderBy("user_id", "run_start")
 
 
 def cep_from_state(spark, events_table: str) -> DataFrame:

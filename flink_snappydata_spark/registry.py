@@ -154,6 +154,7 @@ _R13_QUEUE: list[str] = [
     # -- round-12 additions (never stamped; new work drains first) --
     "stream_join_full_outer",
     "cep_pattern_match",
+    "cep_absence_alerts",
     "window_funnel",
     "temporal_dim_join",
     "cep_streamed",

@@ -325,12 +325,15 @@ _register(
                rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
                    AS grp
         FROM seq WHERE event_type = 'click'
+    ), marked AS (
+        SELECT *, rn = MAX(rn) OVER (PARTITION BY user_id, grp) AS is_last
+        FROM clicks
     ), runs AS (
         SELECT user_id, MIN(ts) AS run_start, MAX(ts) AS run_end,
                CAST(COUNT(*) AS BIGINT) AS n_run,
-               arg_max(next_type, rn) AS last_next_type,
-               arg_max(next_ts, rn) AS last_next_ts
-        FROM clicks GROUP BY user_id, grp
+               MAX(CASE WHEN is_last THEN next_type END) AS last_next_type,
+               MAX(CASE WHEN is_last THEN next_ts END) AS last_next_ts
+        FROM marked GROUP BY user_id, grp
     )
     SELECT user_id, run_start, run_end, n_run,
            last_next_ts AS trigger_ts
@@ -342,7 +345,50 @@ _register(
     doc="MATCH_RECOGNIZE PATTERN (C{2,} P) with AFTER MATCH SKIP PAST "
         "LAST ROW: maximal consecutive click runs whose next event is "
         "a purchase within 1 day — Flink CEP's core pattern shape "
-        "as gaps-and-islands + lead(), one user-keyed shuffle.",
+        "as gaps-and-islands + lead(), one user-keyed shuffle. The "
+        "last-row lookahead uses the null-faithful is_last spelling on "
+        "both sides (max_by/arg_max diverge on null lookaheads).",
+)
+
+_register(
+    "cep_absence_alerts",
+    ["events"],
+    cep.cep_absence_alerts,
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type,
+               ROW_NUMBER() OVER w AS rn,
+               LEAD(event_type) OVER w AS next_type,
+               LEAD(ts) OVER w AS next_ts
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), clicks AS (
+        SELECT *,
+               rn - ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY rn)
+                   AS grp
+        FROM seq WHERE event_type = 'click'
+    ), marked AS (
+        SELECT *, rn = MAX(rn) OVER (PARTITION BY user_id, grp) AS is_last
+        FROM clicks
+    ), runs AS (
+        SELECT user_id, MIN(ts) AS run_start, MAX(ts) AS run_end,
+               CAST(COUNT(*) AS BIGINT) AS n_run,
+               MAX(CASE WHEN is_last THEN next_type END) AS next_type,
+               MAX(CASE WHEN is_last THEN next_ts END) AS next_ts
+        FROM marked GROUP BY user_id, grp
+    )
+    SELECT user_id, run_start, run_end, n_run, next_type, next_ts
+    FROM runs
+    WHERE n_run >= 2 AND NOT COALESCE(
+        next_type = 'purchase' AND next_ts <= run_end + INTERVAL 1 DAY,
+        FALSE)
+    ORDER BY user_id, run_start
+    """,
+    doc="Flink CEP notFollowedBy — ABSENCE detection: maximal click "
+        "runs NOT followed by a purchase within 1 day (wrong event, "
+        "too late, or silence — next_type/next_ts carried so the "
+        "consumer can tell which). Exact complement of "
+        "cep_pattern_match over the same run set.",
 )
 
 _register(

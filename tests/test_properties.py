@@ -920,3 +920,56 @@ def test_temporal_table_join_matches_naive(spark, raw):
         for r in temporal_table_join(df).collect()
     }
     assert got == _naive_temporal(rows)
+
+
+def _naive_cep_absence(rows, min_run=2, within=dt.timedelta(minutes=1)):
+    """Complement reference: maximal click runs NOT purchase-followed
+    within `within` (wrong next event, too late, or silence)."""
+    out = set()
+    for u in {r.user_id for r in rows}:
+        seq = sorted(
+            (r for r in rows if r.user_id == u),
+            key=lambda r: (r.ts, r.event_id),
+        )
+        i = 0
+        while i < len(seq):
+            if seq[i].event_type != "click":
+                i += 1
+                continue
+            j = i
+            while j + 1 < len(seq) and seq[j + 1].event_type == "click":
+                j += 1
+            run = seq[i : j + 1]
+            nxt = seq[j + 1] if j + 1 < len(seq) else None
+            followed = (
+                nxt is not None
+                and nxt.event_type == "purchase"
+                and nxt.ts <= run[-1].ts + within
+            )
+            if len(run) >= min_run and not followed:
+                out.add(
+                    (
+                        u,
+                        run[0].ts,
+                        run[-1].ts,
+                        len(run),
+                        nxt.event_type if nxt else None,
+                        nxt.ts if nxt else None,
+                    )
+                )
+            i = j + 1
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_events_strategy)
+def test_cep_absence_matches_naive(spark, raw):
+    from flink_snappydata_spark.operators.cep import cep_absence_alerts
+
+    df = _frame(spark, raw)
+    rows = df.collect()
+    got = {
+        (r.user_id, r.run_start, r.run_end, r.n_run, r.next_type, r.next_ts)
+        for r in cep_absence_alerts(df, within="1 minute").collect()
+    }
+    assert got == _naive_cep_absence(rows)

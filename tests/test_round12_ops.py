@@ -81,6 +81,55 @@ def test_cep_matches_are_disjoint_maximal_runs(spark):
             assert a.run_end <= b.run_start, "matches must be disjoint"
 
 
+def test_cep_absence_partitions_the_run_set(spark):
+    """matches ∪ alerts must be EXACTLY the set of maximal runs of
+    >= min_run clicks, disjointly — absence is the true complement
+    (wrong event, too late, or silence), nothing dropped or doubled."""
+    from flink_snappydata_spark.operators.cep import (
+        cep_absence_alerts,
+        cep_pattern_match,
+    )
+
+    ev = load_table(spark, SF, "events")
+    matches = {
+        (r.user_id, r.run_start, r.run_end, r.n_run)
+        for r in cep_pattern_match(ev).collect()
+    }
+    alerts = {
+        (r.user_id, r.run_start, r.run_end, r.n_run)
+        for r in cep_absence_alerts(ev).collect()
+    }
+    assert alerts, "fixture must produce absence alerts (non-vacuous)"
+    assert not matches & alerts, "a run cannot both match and alert"
+    # every alert row must carry its diagnosis: silence (both null)
+    # or a real next event (both non-null)
+    for r in cep_absence_alerts(ev).collect():
+        assert (r.next_type is None) == (r.next_ts is None)
+    # complement totals: count all maximal >= min_run click runs
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = (
+        ev.select(
+            "user_id", "ts", "event_id", "event_type",
+            F.row_number().over(w).alias("rn"),
+        )
+        .filter(F.col("event_type") == "click")
+        .withColumn(
+            "grp",
+            F.col("rn")
+            - F.row_number().over(W.partitionBy("user_id").orderBy("rn")),
+        )
+    )
+    n_runs = (
+        seq.groupBy("user_id", "grp")
+        .count()
+        .filter(F.col("count") >= 2)
+        .count()
+    )
+    assert len(matches) + len(alerts) == n_runs
+
+
 def test_window_funnel_stage_semantics(spark):
     """Stages are reachable (fixture yields users at every depth 1-3)
     and each user's reported depth is witnessed by an actual
