@@ -45,19 +45,8 @@ def cep_pattern_match(
     Scale: one user-keyed window shuffle; the run groupBy reuses the
     hash partitioning; lookahead is lead(1), not a self-join.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    is_run = F.col("event_type") == run_type
-    seq = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.row_number().over(w).alias("rn"),
-        F.lead("event_type").over(w).alias("next_type"),
-        F.lead("ts").over(w).alias("next_ts"),
-    ).filter(is_run)
     matched = (
-        _maximal_runs(seq)
+        _maximal_runs(_lookahead_seq(events, run_type))
         .filter(
             (F.col("n_run") >= min_run)
             & (F.col("next_type") == trigger_type)
@@ -75,6 +64,24 @@ def cep_pattern_match(
         )
     )
     return matched.orderBy("user_id", "run_start")
+
+
+def _lookahead_seq(events: DataFrame, run_type: str) -> DataFrame:
+    """The shared upstream of both CEP ops: per-user (ts, event_id)
+    sequence numbers plus a one-row lookahead, filtered to the
+    run-type rows. One place to own the ordering key and lookahead
+    columns — editing it in a single op would silently break the
+    matches ∪ alerts partition invariant the tests pin."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.row_number().over(w).alias("rn"),
+        F.lead("event_type").over(w).alias("next_type"),
+        F.lead("ts").over(w).alias("next_ts"),
+    ).filter(F.col("event_type") == run_type)
 
 
 def _maximal_runs(seq: DataFrame) -> DataFrame:
@@ -221,22 +228,12 @@ def cep_absence_alerts(
     can distinguish "wrong event" from "silence". Same single
     user-keyed shuffle as the match op.
     """
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        "event_type",
-        F.row_number().over(w).alias("rn"),
-        F.lead("event_type").over(w).alias("next_type"),
-        F.lead("ts").over(w).alias("next_ts"),
-    ).filter(F.col("event_type") == run_type)
     followed = (
         (F.col("next_type") == trigger_type)
         & (F.col("next_ts") <= F.col("run_end") + F.expr(f"INTERVAL {within}"))
     )
     alerts = (
-        _maximal_runs(seq)
+        _maximal_runs(_lookahead_seq(events, run_type))
         .filter(
             (F.col("n_run") >= min_run)
             & ~F.coalesce(followed, F.lit(False))

@@ -118,18 +118,27 @@ def streaming_cep_match(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         st = state.get if state.exists else (0, 0, 0)
-        all_fires: list[tuple[int, int, int, int]] = []
-        for pdf in pdfs:
-            pdf = pdf.sort_values(["ts", "event_id"])
-            rows = [
-                (int(ts.value // 1000), etype)
-                for ts, etype in zip(pdf["ts"], pdf["event_type"])
-            ]
-            fires, st = advance_cep_state(
-                st, rows, run_type, trigger_type, min_run, within_us
-            )
-            all_fires.extend(fires)
-        state.update(tuple(int(x) for x in st))
+        # ONE global sort over the whole group: a key's batch rows can
+        # arrive as several Arrow chunks in arbitrary order (groups
+        # larger than arrow.maxRecordsPerBatch) — sorting chunks
+        # independently would interleave wrongly and corrupt both the
+        # emitted matches and the carried state.
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])
+        rows = [
+            (int(ts.value // 1000), etype)
+            for ts, etype in zip(pdf["ts"], pdf["event_type"])
+        ]
+        all_fires, st = advance_cep_state(
+            st, rows, run_type, trigger_type, min_run, within_us
+        )
+        if st[2] == 0:
+            # no open run: drop the state-store entry so the store is
+            # bounded by keys with OPEN runs, not keys ever seen (the
+            # next batch re-initializes to (0,0,0) identically)
+            state.remove()
+        else:
+            state.update(tuple(int(x) for x in st))
         if all_fires:
             yield pd.DataFrame(
                 {

@@ -774,36 +774,44 @@ def test_cell_prefix_sums_match_naive(spark, raw, n_cells):
 # ------------------------------------------------ round-12 CEP family
 
 
-def _naive_cep(rows, min_run=2, within=dt.timedelta(minutes=1)):
-    """Quadratic reference for cep_pattern_match: per user, maximal
-    consecutive click runs in (ts, event_id) order whose immediately
-    next event is a purchase within `within` of the run's end."""
-    out = set()
-    users = {r.user_id for r in rows}
-    for u in users:
+def _naive_runs(rows, run_type="click"):
+    """Shared reference scanner: yields (user, run_rows, next_row) for
+    every maximal consecutive run of run_type in per-user (ts,
+    event_id) order — consumed by BOTH the match and absence
+    references so the two can never pin contradictory run semantics."""
+    for u in {r.user_id for r in rows}:
         seq = sorted(
             (r for r in rows if r.user_id == u),
             key=lambda r: (r.ts, r.event_id),
         )
         i = 0
         while i < len(seq):
-            if seq[i].event_type != "click":
+            if seq[i].event_type != run_type:
                 i += 1
                 continue
             j = i
-            while j + 1 < len(seq) and seq[j + 1].event_type == "click":
+            while j + 1 < len(seq) and seq[j + 1].event_type == run_type:
                 j += 1
-            run = seq[i : j + 1]
-            nxt = seq[j + 1] if j + 1 < len(seq) else None
-            if (
-                len(run) >= min_run
-                and nxt is not None
-                and nxt.event_type == "purchase"
-                and nxt.ts <= run[-1].ts + within
-            ):
-                out.add((u, run[0].ts, run[-1].ts, len(run), nxt.ts))
+            yield u, seq[i : j + 1], (seq[j + 1] if j + 1 < len(seq) else None)
             i = j + 1
-    return out
+
+
+def _followed(run, nxt, within):
+    return (
+        nxt is not None
+        and nxt.event_type == "purchase"
+        and nxt.ts <= run[-1].ts + within
+    )
+
+
+def _naive_cep(rows, min_run=2, within=dt.timedelta(minutes=1)):
+    """Reference for cep_pattern_match: maximal runs whose next event
+    is a purchase within `within` of the run's end."""
+    return {
+        (u, run[0].ts, run[-1].ts, len(run), nxt.ts)
+        for u, run, nxt in _naive_runs(rows)
+        if len(run) >= min_run and _followed(run, nxt, within)
+    }
 
 
 @settings(max_examples=15, deadline=None)
@@ -924,41 +932,20 @@ def test_temporal_table_join_matches_naive(spark, raw):
 
 def _naive_cep_absence(rows, min_run=2, within=dt.timedelta(minutes=1)):
     """Complement reference: maximal click runs NOT purchase-followed
-    within `within` (wrong next event, too late, or silence)."""
-    out = set()
-    for u in {r.user_id for r in rows}:
-        seq = sorted(
-            (r for r in rows if r.user_id == u),
-            key=lambda r: (r.ts, r.event_id),
+    within `within` (wrong next event, too late, or silence) — same
+    shared run scanner as the match reference."""
+    return {
+        (
+            u,
+            run[0].ts,
+            run[-1].ts,
+            len(run),
+            nxt.event_type if nxt else None,
+            nxt.ts if nxt else None,
         )
-        i = 0
-        while i < len(seq):
-            if seq[i].event_type != "click":
-                i += 1
-                continue
-            j = i
-            while j + 1 < len(seq) and seq[j + 1].event_type == "click":
-                j += 1
-            run = seq[i : j + 1]
-            nxt = seq[j + 1] if j + 1 < len(seq) else None
-            followed = (
-                nxt is not None
-                and nxt.event_type == "purchase"
-                and nxt.ts <= run[-1].ts + within
-            )
-            if len(run) >= min_run and not followed:
-                out.add(
-                    (
-                        u,
-                        run[0].ts,
-                        run[-1].ts,
-                        len(run),
-                        nxt.event_type if nxt else None,
-                        nxt.ts if nxt else None,
-                    )
-                )
-            i = j + 1
-    return out
+        for u, run, nxt in _naive_runs(rows)
+        if len(run) >= min_run and not _followed(run, nxt, within)
+    }
 
 
 @settings(max_examples=15, deadline=None)

@@ -154,15 +154,15 @@ def test_cep_absence_partitions_the_run_set(spark):
         (r.user_id, r.run_start, r.run_end, r.n_run)
         for r in cep_pattern_match(ev).collect()
     }
+    alert_rows = cep_absence_alerts(ev).collect()
     alerts = {
-        (r.user_id, r.run_start, r.run_end, r.n_run)
-        for r in cep_absence_alerts(ev).collect()
+        (r.user_id, r.run_start, r.run_end, r.n_run) for r in alert_rows
     }
     assert alerts, "fixture must produce absence alerts (non-vacuous)"
     assert not matches & alerts, "a run cannot both match and alert"
     # every alert row must carry its diagnosis: silence (both null)
     # or a real next event (both non-null)
-    for r in cep_absence_alerts(ev).collect():
+    for r in alert_rows:
         assert (r.next_type is None) == (r.next_ts is None)
     # complement totals: count all maximal >= min_run click runs
     from pyspark.sql import Window as W
