@@ -175,7 +175,12 @@ def window_funnel(
         )
         chain = (
             exploded.join(
-                nxt,
+                # corpus × corpus per-user frames: the estimate-
+                # independence shuffle_hash pin (ordered_funnel
+                # precedent, tests/test_estimate_safety.py) — a
+                # stage side is corpus-proportional at every scale,
+                # never a static broadcast candidate
+                nxt.hint("shuffle_hash"),
                 (F.col("user_id") == F.col("u"))
                 & (F.col("b") == F.col("tb"))
                 & (F.col("t") > F.col(prev))

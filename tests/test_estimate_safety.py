@@ -356,3 +356,24 @@ def test_estimate_blind_ignores_plan_rendered_string_literals(spark):
         F.col("text").contains("LocalRelation LogicalRDD Range (")
     )
     assert estimate_blind(trapped) is False
+
+
+def test_window_funnel_stage_joins_never_broadcast(mem_events):
+    """Both sides of each banded stage join are corpus-proportional
+    per-user frames (anchors x stage events) — the same class as
+    ordered_funnel's pinned joins; the whole plan must be
+    broadcast-free on estimate-blind input."""
+    from flink_snappydata_spark.operators import cep
+
+    plan = _physical_plan(cep.window_funnel(mem_events))
+    assert "BroadcastExchange" not in plan, plan[:4000]
+
+
+def test_temporal_table_join_has_no_joins(mem_events):
+    """The sort-based temporal join must stay join-free (union + one
+    per-user window) — a regression to the quadratic interval-
+    containment join would show up as a Join node here."""
+    from flink_snappydata_spark.operators import cep
+
+    plan = _physical_plan(cep.temporal_table_join(mem_events))
+    assert "Join" not in plan, plan[:4000]
