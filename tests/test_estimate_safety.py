@@ -372,8 +372,13 @@ def test_window_funnel_stage_joins_never_broadcast(mem_events):
 def test_temporal_table_join_has_no_joins(mem_events):
     """The sort-based temporal join must stay join-free (union + one
     per-user window) — a regression to the quadratic interval-
-    containment join would show up as a Join node here."""
+    containment join would show up as a Join node here. (The synthetic
+    fixture carries no props payload; derive one, as the scale probe
+    does.)"""
     from flink_snappydata_spark.operators import cep
 
-    plan = _physical_plan(cep.temporal_table_join(mem_events))
+    ev = mem_events.withColumn(
+        "props", F.concat(F.lit("p"), F.col("event_id").cast("string"))
+    )
+    plan = _physical_plan(cep.temporal_table_join(ev))
     assert "Join" not in plan, plan[:4000]
