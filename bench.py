@@ -103,33 +103,19 @@ RAW_SKETCHES = {
 # zero training lineage (the A/B-rejected persist-the-lineage variant
 # kept the 60-exchange DAG in every plan) and survives the per-rep
 # release_caches(). The warm-up rep pays build+save; timed reps
-# measure only probe→ADC→shortlist→re-rank.
-_IVFPQ_PREBUILT: dict[str, object] = {}
-
-
-def _ivfpq_prebuilt(spark, sf_dir):
-    idx = _IVFPQ_PREBUILT.get(sf_dir)
-    if idx is None:
-        base = tempfile.mkdtemp(prefix="fss-ivfpq-")
-        built = similarity.ivf_pq_index(load_table(spark, sf_dir, "embeddings"))
-        # harness-scale file layout: sf0.1's corpus frames are a few MB
-        # — 4 files, not one per shuffle partition (at real scale the
-        # natural partitioning stands and this coalesce is wrong)
-        built._replace(
-            qv=built.qv.coalesce(4), codes=built.codes.coalesce(4)
-        ).save(base)
-        release_caches()  # build-time persists aren't part of the index
-        idx = similarity.ivf_pq_index_load(spark, base)
-        _IVFPQ_PREBUILT[sf_dir] = idx
-    return idx
-
+# measure only probe→ADC→shortlist→re-rank. The build/load helper is
+# shared with the registered ivf_pq_prebuilt_topk query (the
+# driver-stamped production path) — one memoized index per sf_dir.
+from flink_snappydata_spark.specs.embeddings_quality import (  # noqa: E402
+    ivfpq_prebuilt_index,
+)
 
 RAW_SKETCHES["raw_ivfpq_build"] = lambda spark, sf_dir: similarity.ivf_pq_index(
     load_table(spark, sf_dir, "embeddings")
 ).codes
 RAW_SKETCHES["raw_ivfpq_query"] = lambda spark, sf_dir: similarity.ivf_pq_topk(
     load_table(spark, sf_dir, "embeddings"),
-    index=_ivfpq_prebuilt(spark, sf_dir),
+    index=ivfpq_prebuilt_index(spark, sf_dir),
 )
 
 

@@ -118,14 +118,26 @@ def _maximal_runs(seq: DataFrame) -> DataFrame:
 
 
 _WINDOW_SECONDS = {
-    "minute": 60, "minutes": 60, "hour": 3600, "hours": 3600,
-    "day": 86400, "days": 86400,
+    "second": 1, "seconds": 1, "minute": 60, "minutes": 60,
+    "hour": 3600, "hours": 3600, "day": 86400, "days": 86400,
+    "week": 604800, "weeks": 604800,
 }
 
 
 def _window_seconds(window: str) -> int:
-    n, unit = window.split()
-    return int(n) * _WINDOW_SECONDS[unit]
+    """Width in seconds of a fixed-width Spark interval string like
+    ``'90 seconds'`` / ``'1 day'``. Only fixed-width units are legal:
+    the banded-join time buckets this feeds must be constant-width, so
+    calendar units (month/year) — whose width varies by anchor — are
+    rejected rather than approximated."""
+    try:
+        n, unit = window.split()
+        return int(n) * _WINDOW_SECONDS[unit.lower()]
+    except (ValueError, KeyError):
+        raise ValueError(
+            f"unsupported interval {window!r}: expected '<int> <unit>' with "
+            f"a fixed-width unit in {sorted(set(_WINDOW_SECONDS))}"
+        ) from None
 
 
 def window_funnel(
@@ -274,6 +286,7 @@ def temporal_table_join(
     events: DataFrame,
     version_type: str = "signup",
     fact_type: str = "purchase",
+    sort: bool = True,
 ) -> DataFrame:
     """Flink temporal table join (``FOR SYSTEM_TIME AS OF fact.ts``):
     the ``version_type`` events form a VERSIONED per-user dimension —
@@ -284,7 +297,11 @@ def temporal_table_join(
     null-extended (LEFT join), matching Flink's outer temporal join.
 
     Returns ``(user_id, event_id, ts, version_ts, version_props)``
-    sorted by event_id.
+    sorted by event_id when ``sort=True`` (the spec/oracle path; the
+    output is corpus-sized — every fact row — so library callers that
+    feed the result into further joins/aggregations should pass
+    ``sort=False`` and skip the global range-exchange presentation
+    sort, the engine's standard gate).
 
     Implementation is SORT-BASED, not a range join: successive
     versions partition ``[first_version, ∞)`` per user, so "the
@@ -332,8 +349,7 @@ def temporal_table_join(
         F.last("v_ts", ignorenulls=True).over(w).alias("version_ts"),
         F.last("v_props", ignorenulls=True).over(w).alias("version_props"),
     )
-    return (
-        merged.filter(F.col("is_fact") == 1)
-        .select("user_id", "event_id", "ts", "version_ts", "version_props")
-        .orderBy("event_id")
+    joined = merged.filter(F.col("is_fact") == 1).select(
+        "user_id", "event_id", "ts", "version_ts", "version_props"
     )
+    return joined.orderBy("event_id") if sort else joined

@@ -63,22 +63,23 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 # against their DuckDB oracles every pytest run, so driver-stamp
 # staleness never means unverified code, only an older driver receipt.
 #
-# Round-12 window (_HEAD, 50 names) — exactly the round-11 verdict's
-# task-1 directive: the 8 round-11 additions (never stamped; invariant
-# (b) puts new work first), the 10 r07-stamped remainder
-# (text_repetition … embedding_outliers — staleness 5 at r12,
-# cadence-due under invariant (a)), and the 32 stalest r08-stamped
-# battery queries in declaration order per (c) (all 50 r08 stamps
-# share staleness 4, so declaration order is the tiebreak;
-# q1_pricing_summary … dedup_report make the cut). After the driver
-# stamps this window every registered query is inside the threshold-5
-# cadence: stalest surviving stamps are the 18 r08 remainder
-# (staleness 4 at r12), which head _R13_QUEUE and rotate next round
-# at staleness 5.
+# Round-13 window (_HEAD, 50 names) — exactly the round-12 verdict's
+# task-1 directive: the 8 round-12 additions (never stamped; invariant
+# (b) puts new work first: full-outer stream join, the CEP family,
+# topn/quantiles twins), the 18 r08-stamped remainder (line_dedup …
+# pq_codebook — staleness 5 at r13, cadence-due under invariant (a)),
+# and the 24 stalest r09-stamped queries in declaration order per (c)
+# (all 50 r09 stamps share staleness 4, so declaration order is the
+# tiebreak; agg_distinct … window_distribution make the cut). After
+# the driver stamps this window every registered query has a green
+# driver row inside the threshold-5 cadence: stalest surviving stamps
+# are the 26 r09 remainder (staleness 4 at r13), which follow the
+# never-stamped r13 additions in _R14_QUEUE and rotate next round at
+# staleness 5.
 #
 # All queue entries are fully verified locally every pytest run via
-# test_oracle_parity plus the semantic tests in tests/test_round8_ops.py
-# — driver-stamp pending, not unverified.
+# test_oracle_parity plus the per-op semantic suites — driver-stamp
+# pending, not unverified.
 
 #: The round this _HEAD window was built for. The rotation tripwire
 #: (tests/test_oracle_parity.py::test_stamp_rotation_covers_stale_and_
@@ -86,72 +87,10 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 #: max(stamp files)+1, so the suite a round ships stays green both
 #: before and after the driver writes its CORRECTNESS_r{N}.json — and
 #: goes red only if a round closes without rotating the window.
-_HEAD_ROUND = 12
+_HEAD_ROUND = 13
 
 _HEAD = [
-    # -- never stamped: the round-11 additions, r12-queue order --
-    "embedding_sq8_topk",
-    "embedding_bitsign_topk",
-    "sessions_streamed",
-    "skipgram_pmi",
-    "ivf_pq_topk",
-    "hll_streamed",
-    "funnel_streamed",
-    "stream_join_left_outer",
-    # -- cadence-due: the 10 r07-stamped remainder (staleness 5) --
-    "text_repetition",
-    "pii_redaction",
-    "source_stats",
-    "frequent_bigrams",
-    "bm25_topk",
-    "label_centroids",
-    "embedding_gram",
-    "kmeans_train",
-    "semantic_neardup",
-    "embedding_outliers",
-    # -- rotation: 32 stalest r08-stamped, declaration order --
-    "q1_pricing_summary",
-    "q6_forecast_revenue",
-    "q3_shipping_priority",
-    "q4_order_priority",
-    "q18_large_volume_customer",
-    "q5_local_supplier_volume",
-    "q7_volume_shipping",
-    "q10_returned_items",
-    "q12_priority_shipping",
-    "q14_promo_revenue",
-    "q15_top_supplier",
-    "q16_supplier_part_count",
-    "q19_discounted_revenue",
-    "q21_waiting_supplier",
-    "q22_global_sales_opportunity",
-    "q8_market_share",
-    "q9_product_profit",
-    "q20_excess_suppliers",
-    "q11_important_stock",
-    "q2_min_cost_supplier",
-    "q13_customer_distribution",
-    "q17_small_quantity_revenue",
-    "novelty_streamed",
-    "quality_model_scores",
-    "text_langid",
-    "langid_confusion",
-    "agg_percentile",
-    "agg_histogram",
-    "agg_approx_percentile",
-    "scalar_similarity",
-    "canonical_pick",
-    "dedup_report",
-]
-
-#: The r13 stamp queue. Head: the round-12 additions (never stamped —
-#: rotation invariant (b) requires never-stamped queries to occupy the
-#: FIRST post-window slots). Then the 18 r08-stamped queries that did
-#: not fit in the r12 window (staleness 5 at r13 — cadence-due under
-#: invariant (a)), in declaration order. All queue entries are
-#: oracle-verified locally every pytest run.
-_R13_QUEUE: list[str] = [
-    # -- round-12 additions (never stamped; new work drains first) --
+    # -- never stamped: the round-12 additions, r13-queue order --
     "stream_join_full_outer",
     "cep_pattern_match",
     "cep_absence_alerts",
@@ -160,7 +99,7 @@ _R13_QUEUE: list[str] = [
     "cep_streamed",
     "topn_streamed",
     "quantiles_streamed",
-    # -- r08-stamped remainder (cadence-due at r13) --
+    # -- cadence-due: the 18 r08-stamped remainder (staleness 5) --
     "line_dedup",
     "source_doc_cap",
     "mix_streamed",
@@ -179,20 +118,84 @@ _R13_QUEUE: list[str] = [
     "quality_auc",
     "ccnet_buckets",
     "pq_codebook",
+    # -- rotation: 24 stalest r09-stamped, declaration order --
+    "agg_distinct",
+    "agg_rollup",
+    "agg_cube",
+    "agg_having",
+    "agg_grouping_sets",
+    "subquery_above_nation_avg",
+    "grouped_zscore",
+    "mappartitions_identity",
+    "star_join_revenue",
+    "broadcast_dim_join",
+    "join_left_outer",
+    "join_semi",
+    "join_anti",
+    "join_band",
+    "join_nonequi",
+    "topk_orders",
+    "distinct_pairs",
+    "join_full_outer",
+    "set_ops_nations",
+    "agg_mode",
+    "weighted_median_price",
+    "window_rank",
+    "window_running_sum",
+    "window_distribution",
+]
+
+#: The r14 stamp queue. Head: any round-13 additions (never stamped —
+#: rotation invariant (b) requires never-stamped queries to occupy the
+#: FIRST post-window slots; new queries register here, not at the
+#: tail). Then the 26 r09-stamped queries that did not fit in the r13
+#: window (staleness 5 at r14 — cadence-due under invariant (a)), in
+#: declaration order. All queue entries are oracle-verified locally
+#: every pytest run.
+_R14_QUEUE: list[str] = [
+    # -- round-13 additions (never stamped; new work drains first) --
+    "ivf_pq_prebuilt_topk",
+    # -- r09-stamped remainder (cadence-due at r14) --
+    "window_lag_lead",
+    "window_range_frame",
+    "pivot_revenue",
+    "scalar_string",
+    "scalar_date",
+    "scalar_math",
+    "scalar_json",
+    "scalar_map",
+    "scalar_conditional",
+    "scalar_array",
+    "events_sliding_window",
+    "stream_join_rowlevel",
+    "interval_join",
+    "train_val_test_split",
+    "image_decode_stats",
+    "multimodal_features",
+    "seq_packing",
+    "global_index",
+    "shard_stats",
+    "doc_chunking",
+    "frequent_tokens",
+    "rollup_streamed",
+    "cms_streamed",
+    "ohlc_streamed",
+    "scd2_streamed",
+    "drift_streamed",
 ]
 
 _TAIL: list[str] = []
 
 
 def _reorder() -> None:
-    order = _HEAD + _R13_QUEUE + _TAIL
+    order = _HEAD + _R14_QUEUE + _TAIL
     missing = [n for n in order if n not in QUERIES]
     if missing:  # pragma: no cover - guards registry edits
         raise KeyError(f"unknown registry entries in order lists: {missing}")
     middle = [
-        n for n in QUERIES if n not in _HEAD and n not in _R13_QUEUE and n not in _TAIL
+        n for n in QUERIES if n not in _HEAD and n not in _R14_QUEUE and n not in _TAIL
     ]
-    ordered = {n: QUERIES[n] for n in _HEAD + _R13_QUEUE + middle + _TAIL}
+    ordered = {n: QUERIES[n] for n in _HEAD + _R14_QUEUE + middle + _TAIL}
     # Reorder IN PLACE: QUERIES is the same dict object the specs
     # package exports, so mutating (rather than rebinding) keeps
     # specs.QUERIES and registry.QUERIES identical — any importer sees

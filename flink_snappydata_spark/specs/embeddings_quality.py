@@ -6,6 +6,7 @@ order is preserved by the import order in :mod:`flink_snappydata_spark.specs`.
 
 from __future__ import annotations
 
+from flink_snappydata_spark.catalog import load_table
 from flink_snappydata_spark.pipeline import curation
 from flink_snappydata_spark.pipeline import similarity
 from flink_snappydata_spark.pipeline import text as textops
@@ -838,4 +839,58 @@ _register(
         "codes, per-list broadcast ADC LUTs with list pruning AT the "
         "LUT join, 64-candidate shortlist, exact-cosine re-rank — "
         "bit-exact replayed end to end, values oracle-checked.",
+)
+
+
+# IVFADC, production split. The registered ivf_pq_topk above retrains
+# the whole index inline so the oracle can replay training end to end
+# — but at 100 TB the index is built ONCE, persisted, and amortized
+# over queries, and the query-side plan should carry zero training
+# lineage (the inline plan optimizes to ~60 exchanges; the prebuilt
+# one to ~8 joins over file-backed scans). This twin stamps that path:
+# build + IvfPqIndex.save + ivf_pq_index_load per (session, sf_dir),
+# memoized, then the SAME search against the reopened index — values
+# are bit-identical, so ivf_pq_topk's oracle applies verbatim.
+
+_IVFPQ_PREBUILT: dict[str, similarity.IvfPqIndex] = {}
+
+
+def ivfpq_prebuilt_index(spark, sf_dir: str) -> similarity.IvfPqIndex:
+    """Build-once-per-(session, sf_dir) IVFADC index, saved to parquet
+    and reopened — shared by the registered ``ivf_pq_prebuilt_topk``
+    query and bench's ``raw_ivfpq_query`` receipt. Harness-scale file
+    layout: at sf<=0.1 the corpus frames are a few MB, so qv/codes
+    coalesce to 4 files (at real scale the build's natural
+    partitioning stands and this coalesce is wrong)."""
+    import tempfile
+
+    from flink_snappydata_spark.util import release_caches
+
+    idx = _IVFPQ_PREBUILT.get(sf_dir)
+    if idx is None:
+        base = tempfile.mkdtemp(prefix="fss-ivfpq-")
+        built = similarity.ivf_pq_index(load_table(spark, sf_dir, "embeddings"))
+        built._replace(
+            qv=built.qv.coalesce(4), codes=built.codes.coalesce(4)
+        ).save(base)
+        release_caches()  # build-time persists aren't part of the index
+        idx = similarity.ivf_pq_index_load(spark, base)
+        _IVFPQ_PREBUILT[sf_dir] = idx
+    return idx
+
+
+def _ivf_pq_prebuilt_topk(spark, sf_dir: str):
+    return similarity.ivf_pq_topk(
+        load_table(spark, sf_dir, "embeddings"),
+        index=ivfpq_prebuilt_index(spark, sf_dir),
+    )
+
+
+QUERIES["ivf_pq_prebuilt_topk"] = QuerySpec(
+    fn=_ivf_pq_prebuilt_topk,
+    oracle=QUERIES["ivf_pq_topk"].oracle,
+    doc="IVFADC search against a SAVED index reopened from parquet "
+        "(build once, amortize over queries — the production shape): "
+        "values bit-identical to ivf_pq_topk, same oracle; the query "
+        "plan carries zero training lineage (gauge-pinned).",
 )

@@ -306,7 +306,7 @@ _register(
 # CEP pattern library (SQL MATCH_RECOGNIZE), staged funnels, and the
 # temporal table join (FOR SYSTEM_TIME AS OF) — re-expressed here as
 # windows + interval joins (operators/cep.py). Listed at the head of
-# registry._R13_QUEUE with the other never-stamped round-12 work.
+# registry r13 _HEAD window with the other never-stamped round-12 work.
 
 _register(
     "cep_pattern_match",

@@ -60,18 +60,22 @@ def test_cep_matches_are_disjoint_maximal_runs(spark):
     rows = cep_pattern_match(ev).collect()
     assert rows, "fixture must produce matches (non-vacuous)"
     by_user = {}
+    audited = False
     for r in rows:
         by_user.setdefault(r.user_id, []).append(r)
         assert r.n_run >= 2
         assert r.run_start <= r.run_end < r.trigger_ts
-        inside = ev.filter(
-            (ev.user_id == r.user_id)
-            & (ev.ts >= r.run_start)
-            & (ev.ts <= r.run_end)
-        )
-        types = {x.event_type for x in inside.collect()}
-        assert types == {"click"}, (r, types)
-        break  # one full membership audit is enough; the rest is O(n)
+        if not audited:
+            # one full collect-based membership audit is enough; the
+            # cheap per-row asserts above still run for EVERY row
+            inside = ev.filter(
+                (ev.user_id == r.user_id)
+                & (ev.ts >= r.run_start)
+                & (ev.ts <= r.run_end)
+            )
+            types = {x.event_type for x in inside.collect()}
+            assert types == {"click"}, (r, types)
+            audited = True
     for user_rows in by_user.values():
         user_rows.sort(key=lambda r: r.run_start)
         for a, b in zip(user_rows, user_rows[1:]):

@@ -47,6 +47,15 @@ GAUGE_TAIL = [
     # ...plus the two big plans the round-11 verdict named explicitly
     "containment_pairs",
     "source_tv_distance",
+    # round-13 additions: the production IVFADC path (training-free
+    # plan — a silent re-appearance of build lineage is exactly what
+    # the exchange gauge catches) and the CEP family, whose banded
+    # shapes + shuffle_hash pins are the estimate-sensitive plans a
+    # Spark upgrade silently breaks (r12 verdict task 6).
+    "ivf_pq_prebuilt_topk",
+    "window_funnel",
+    "temporal_dim_join",
+    "cep_pattern_match",
 ]
 
 #: Every gauge-pinned query, golden-file order.

@@ -320,7 +320,10 @@ OPS = {
 EVENT_OPS = {
     # round-12 CEP family (temporal_dim_join re-derives the props
     # payload the probe's slim event projection drops — pass-through
-    # bytes, structure-neutral for timing)
+    # bytes, structure-neutral for timing). Library path (sort=False,
+    # zorder_key precedent): the probe measures the join, not the
+    # corpus-sized presentation range-exchange the spec path keeps
+    # for oracle parity.
     "cep_pattern_match": lambda v: CEP.cep_pattern_match(v),
     "window_funnel": lambda v: CEP.window_funnel(v),
     "temporal_dim_join": lambda v: CEP.temporal_table_join(
@@ -331,7 +334,8 @@ EVENT_OPS = {
                 F.pmod("event_id", F.lit(100)).cast("string"),
                 F.lit("}"),
             ),
-        )
+        ),
+        sort=False,
     ),
     "rollup_multires": lambda v: W.rollup_multires(v),
     "latest_snapshot": lambda v: A.latest_snapshot(v),
