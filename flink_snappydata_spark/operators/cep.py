@@ -18,7 +18,9 @@ human-activity-bounded, so no window partition is corpus-sized.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from typing import NamedTuple
+
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 
@@ -282,6 +284,31 @@ def cep_from_state(spark, events_table: str) -> DataFrame:
     return cep_pattern_match(read_state_table(spark, events_table))
 
 
+def cep_absence_from_state(spark, events_table: str) -> DataFrame:
+    """Continuous absence monitor over the stream→table loop: run
+    :func:`cep_absence_alerts` against the accumulated raw event log
+    (same minimal-sufficient-state argument as :func:`cep_from_state`
+    — a later batch can land inside a seen run, so per-batch alert
+    fragments are not mergeable). Row-identical to the batch op after
+    a bounded drain; its oracle applies verbatim. The LIVE timer form
+    (alerts push as the watermark passes, instead of at read) is
+    :func:`flink_snappydata_spark.streaming.cep.streaming_cep_absence`."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
+    return cep_absence_alerts(read_state_table(spark, events_table))
+
+
+def cep_multistage_from_state(spark, events_table: str) -> DataFrame:
+    """Continuous multi-stage pattern monitor: the registered
+    :func:`cep_funnel_pattern` over the accumulated raw log (landed
+    WITH the ``value`` column — the middle stage's non-type predicate
+    reads it). Same raw-log rationale and read-time row-identity as
+    the other order-sensitive CEP loops."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
+    return cep_funnel_pattern(read_state_table(spark, events_table))
+
+
 def temporal_table_join(
     events: DataFrame,
     version_type: str = "signup",
@@ -353,3 +380,170 @@ def temporal_table_join(
         "user_id", "event_id", "ts", "version_ts", "version_props"
     )
     return joined.orderBy("event_id") if sort else joined
+
+
+class PatternStage(NamedTuple):
+    """One stage of a :func:`cep_match_pattern` spec.
+
+    ``predicate``: a boolean Column over the event row, or a plain
+    string shorthand for ``event_type == <s>``. ``min_count`` /
+    ``max_count`` quantify the stage's maximal run (``max_count=None``
+    = unbounded, Flink's ``oneOrMore``/``times(n,)``)."""
+
+    name: str
+    predicate: Column | str
+    min_count: int = 1
+    max_count: int | None = None
+
+
+def stage_label_expr(stages: list[PatternStage]) -> Column:
+    """The FIRST-MATCH-WINS stage label (1..k, sentinel -1) shared by
+    the batch compiler and the live state machine — one place owns the
+    determinism rule for overlapping predicates. Validates the spec."""
+    if not stages:
+        raise ValueError("pattern needs at least one stage")
+    names = [s.name for s in stages]
+    if len(set(names)) != len(names):
+        raise ValueError(f"stage names must be unique: {names}")
+    label = None
+    for i, st in enumerate(stages, start=1):
+        cond = (
+            F.col("event_type") == st.predicate
+            if isinstance(st.predicate, str)
+            else st.predicate
+        )
+        label = F.when(cond, i) if label is None else label.when(cond, i)
+    return label.otherwise(-1)
+
+
+def cep_match_pattern(
+    events: DataFrame,
+    stages: list[PatternStage],
+    sort: bool = True,
+) -> DataFrame:
+    """General multi-stage pattern matcher — the Flink CEP
+    ``Pattern.begin(A).next(B).times(m,n).next(C)...`` builder class,
+    compiled to the engine's islands machinery (no NFA, no UDFs, one
+    user-keyed shuffle).
+
+    Semantics — RUN-QUANTIFIED strict contiguity:
+
+    * every event is labeled with the FIRST stage whose predicate it
+      satisfies (first-match-wins priority, the determinism rule when
+      predicates overlap), or a sentinel when none does;
+    * the per-user (ts, event_id)-ordered sequence is cut into maximal
+      runs of constant label (any label change, including to the
+      sentinel, ends a run — Flink's STRICT contiguity ``next``, no
+      skipping);
+    * a match is ``len(stages)`` CONSECUTIVE runs whose labels are
+      stage 1..k in order and whose run lengths lie within each
+      stage's ``[min_count, max_count]``.
+
+    Equal to Flink's greedy NFA whenever each stage's ``max_count`` is
+    unbounded (the dominant production shape — funnels, retries,
+    escalations); with a bounded ``max_count``, a maximal run LONGER
+    than the bound fails the stage here (the quantifier bounds the
+    whole run) whereas the NFA could match a sub-run — the documented
+    delta, chosen because it keeps the operator one declarative pass,
+    oracle-expressible, and deterministic under AFTER MATCH SKIP PAST
+    LAST ROW. Matches are provably disjoint when stage predicates are
+    pairwise disjoint (a match's interior runs can't start another
+    match), which the registered query's pattern satisfies.
+
+    Returns ``(user_id, match_start, match_end, n_<stage.name>...)``
+    sorted by (user_id, match_start) when ``sort=True``.
+
+    Scale: ONE shuffle on user_id, reused end-to-end — the sequence
+    window, the change-flag lag, the run groupBy (user_id, run_id),
+    and the lead() window all share the same hash partitioning; runs
+    are human-activity-bounded per user, so no window partition is
+    corpus-sized. Label evaluation is per-row JVM expressions
+    (whole-stage codegen).
+    """
+    label = stage_label_expr(stages)
+
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        label.alias("stage_id"),
+        F.row_number().over(w_seq).alias("rn"),
+    )
+    # change-detection islands on the SAME user partitioning (no
+    # second shuffle on (user_id, stage_id) — the lag/sum windows and
+    # the run groupBy below all reuse the user_id hash partitioning)
+    w_rn = Window.partitionBy("user_id").orderBy("rn")
+    flagged = staged.withColumn(
+        "new_run",
+        F.when(
+            F.col("stage_id")
+            == F.lag("stage_id").over(w_rn),
+            0,
+        ).otherwise(1),
+    )
+    runs = (
+        flagged.withColumn(
+            "run_id",
+            F.sum("new_run").over(
+                w_rn.rowsBetween(Window.unboundedPreceding, 0)
+            ),
+        )
+        .groupBy("user_id", "run_id")
+        .agg(
+            F.min("stage_id").alias("stage_id"),  # constant per run
+            F.count(F.lit(1)).alias("cnt"),
+            F.min("ts").alias("start_ts"),
+            F.max("ts").alias("end_ts"),
+            F.min("rn").alias("start_rn"),
+        )
+    )
+    w_runs = Window.partitionBy("user_id").orderBy("start_rn")
+    k = len(stages)
+    seq = runs.select(
+        "user_id",
+        "start_ts",
+        *[F.lead("stage_id", i).over(w_runs).alias(f"_s{i}") for i in range(k)],
+        *[F.lead("cnt", i).over(w_runs).alias(f"_c{i}") for i in range(k)],
+        F.lead("end_ts", k - 1).over(w_runs).alias("_end"),
+    )
+    cond = F.lit(True)
+    for i, st in enumerate(stages):
+        cond = (
+            cond
+            & (F.col(f"_s{i}") == i + 1)
+            & (F.col(f"_c{i}") >= st.min_count)
+        )
+        if st.max_count is not None:
+            cond = cond & (F.col(f"_c{i}") <= st.max_count)
+    out = seq.filter(cond).select(
+        "user_id",
+        F.col("start_ts").alias("match_start"),
+        F.col("_end").alias("match_end"),
+        *[
+            F.col(f"_c{i}").alias(f"n_{st.name}")
+            for i, st in enumerate(stages)
+        ],
+    )
+    return out.orderBy("user_id", "match_start") if sort else out
+
+
+def cep_funnel_pattern(events: DataFrame) -> DataFrame:
+    """The registered :func:`cep_match_pattern` instance — a
+    three-stage ``view{1,} (click & value>=0.5){2,} purchase{1,}``
+    pattern with a NON-TYPE predicate on the middle stage (Flink:
+    ``begin("view").oneOrMore().next("click").where(value>=0.5)
+    .timesOrMore(2).next("purchase")``). Stage predicates are pairwise
+    disjoint, so matches are disjoint (see the builder docstring)."""
+    return cep_match_pattern(
+        events,
+        [
+            PatternStage("view", "view"),
+            PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+                min_count=2,
+            ),
+            PatternStage("purchase", "purchase"),
+        ],
+    )

@@ -155,6 +155,9 @@ _HEAD = [
 _R14_QUEUE: list[str] = [
     # -- round-13 additions (never stamped; new work drains first) --
     "ivf_pq_prebuilt_topk",
+    "cep_multi_stage",
+    "absence_streamed",
+    "multistage_streamed",
     # -- r09-stamped remainder (cadence-due at r14) --
     "window_lag_lead",
     "window_range_frame",

@@ -479,6 +479,58 @@ _register(
         "their own event time, pre-first-version facts null-extended.",
 )
 
+# round 13: the general pattern BUILDER (Flink's Pattern.begin/next/
+# times class) — arbitrary staged patterns with per-stage predicates
+# and quantifiers, compiled to change-detection islands + lead() on
+# one user-keyed shuffle. Registered instance: a three-stage pattern
+# with a NON-TYPE predicate on the middle stage (click & value>=0.5).
+_register(
+    "cep_multi_stage",
+    ["events"],
+    cep.cep_funnel_pattern,
+    """
+    WITH staged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 1
+                    WHEN event_type = 'click' AND value >= 0.5 THEN 2
+                    WHEN event_type = 'purchase' THEN 3
+                    ELSE -1 END AS stage_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN stage_id IS NOT DISTINCT FROM
+                  LAG(stage_id) OVER (PARTITION BY user_id ORDER BY rn)
+                  THEN 0 ELSE 1 END AS new_run
+        FROM staged
+    ), runs AS (
+        SELECT user_id, run_id, MIN(stage_id) AS stage_id,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts, MIN(rn) AS start_rn
+        FROM (SELECT *, SUM(new_run) OVER (PARTITION BY user_id
+                                           ORDER BY rn) AS run_id
+              FROM flagged) t
+        GROUP BY user_id, run_id
+    ), seq AS (
+        SELECT user_id, start_ts, stage_id AS s0, cnt AS c0,
+               LEAD(stage_id, 1) OVER w AS s1, LEAD(cnt, 1) OVER w AS c1,
+               LEAD(stage_id, 2) OVER w AS s2, LEAD(cnt, 2) OVER w AS c2,
+               LEAD(end_ts, 2) OVER w AS e2
+        FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id, start_ts AS match_start, e2 AS match_end,
+           c0 AS n_view, c1 AS n_click, c2 AS n_purchase
+    FROM seq
+    WHERE s0 = 1 AND c0 >= 1 AND s1 = 2 AND c1 >= 2 AND s2 = 3 AND c2 >= 1
+    ORDER BY user_id, match_start
+    """,
+    doc="General CEP pattern builder instance: view{1,} "
+        "(click & value>=0.5){2,} purchase{1,} under strict contiguity "
+        "(Flink Pattern.begin/next with a non-type where() predicate) "
+        "— first-match-wins stage labels, change-detection islands, "
+        "k-run lead() conjunction; one user-keyed shuffle end-to-end.",
+)
+
 from flink_snappydata_spark.specs.base import QUERIES, QuerySpec  # noqa: E402
 
 QUERIES["cep_streamed"] = QuerySpec(
@@ -489,6 +541,77 @@ QUERIES["cep_streamed"] = QuerySpec(
         "the SCD2 twin maintains (matches are order-sensitive, so the "
         "log is the minimal sufficient state), pattern match at read — "
         "the continuous alerting loop Flink CEP exists for.",
+)
+
+
+def _absence_streamed(spark, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``cep_absence_alerts``: the
+    notFollowedBy ALERT set (wrong event, late trigger, or trailing
+    silence of the bounded stream) over the accumulated raw log —
+    row-identical to the batch op after the drain, so its oracle
+    applies verbatim. The push-based live form (event-time timers) is
+    streaming_cep_absence, pinned by its own golden tests."""
+    from flink_snappydata_spark.specs.llm_pipeline import (
+        _stream_state_scored,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "absence",
+        ["events"],
+        stream_windows.streaming_event_log_ingest,
+        cep.cep_absence_from_state,
+    )
+
+
+QUERIES["absence_streamed"] = QuerySpec(
+    fn=_absence_streamed,
+    oracle=QUERIES["cep_absence_alerts"].oracle,
+    doc="Streaming absence monitor (17th stream→table loop): the "
+        "notFollowedBy complement read off the same raw-log state "
+        "shape as the CEP match twin.",
+)
+
+
+def _multistage_streamed(spark, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``cep_multi_stage``: the general
+    pattern builder's registered instance over an accumulated raw log
+    landed WITH the value column (the middle stage's non-type
+    predicate needs it) — the one loop whose state projection differs
+    from the SCD2 shape, exercising streaming_event_log_ingest's
+    column parameter."""
+    from flink_snappydata_spark.specs.llm_pipeline import (
+        _stream_state_scored,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "mstage",
+        ["events"],
+        lambda stream, name, checkpoint: stream_windows.streaming_event_log_ingest(
+            stream,
+            name,
+            checkpoint=checkpoint,
+            columns=("user_id", "event_id", "ts", "event_type", "value"),
+        ),
+        cep.cep_multistage_from_state,
+    )
+
+
+QUERIES["multistage_streamed"] = QuerySpec(
+    fn=_multistage_streamed,
+    oracle=QUERIES["cep_multi_stage"].oracle,
+    doc="Streaming multi-stage pattern monitor (18th stream→table "
+        "loop): the general pattern builder's registered instance "
+        "folded at read over a value-carrying raw log.",
 )
 
 

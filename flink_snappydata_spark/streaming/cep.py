@@ -2,12 +2,16 @@
 (a per-key state machine carrying the open partial match) on
 Structured Streaming's ``applyInPandasWithState``.
 
-The batch twin is :func:`flink_snappydata_spark.operators.cep.
-cep_pattern_match` (the oracle-checked declared query); this module is
-the LIVE form: matches emit in the micro-batch whose trigger event
-closes them, and a click run still open at a batch boundary rides the
-state store into the next batch — exactly how Flink CEP keeps partial
-matches in keyed state. Emits the same rows as the batch op when input
+The batch twins are :func:`flink_snappydata_spark.operators.cep.
+cep_pattern_match` (the oracle-checked declared query) and the general
+:func:`~flink_snappydata_spark.operators.cep.cep_match_pattern`
+builder; this module is the LIVE form: matches emit in the micro-batch
+whose closing event completes them, and a run still open at a batch
+boundary rides the state store into the next batch — exactly how
+Flink CEP keeps partial matches in keyed state.
+:func:`streaming_cep_pattern` is the live GENERAL machine (same
+``PatternStage`` spec as the batch builder, stage labels evaluated
+JVM-side, O(k)-long keyed state). Emits the same rows as the batch op when input
 arrives in event-time order (the streaming-equivalence test), and the
 pure state-transition core (:func:`advance_cep_state`) is
 unit-tested for cross-batch continuation at every split point.
@@ -17,12 +21,17 @@ length), independent of stream length or pattern frequency; matches
 stream out append-only. Same footprint class as the count-window op's
 ring buffer, smaller.
 
-Absence (notFollowedBy) note: the wrong-event case emits here too (a
-non-trigger event closes the run and the match is simply not emitted);
-the SILENCE case needs event-time timers to fire without a closing
-event — at read time the batch :func:`cep_absence_alerts` over the
-raw-log twin covers it exactly, so this operator deliberately carries
-no timeout machinery.
+Absence (notFollowedBy): :func:`streaming_cep_absence` covers BOTH
+absence cases live — the wrong-event / too-late-trigger close emits in
+the micro-batch of the closing event, and the SILENCE case fires on an
+``EventTimeTimeout`` timer when the watermark passes
+``run_end + within`` with no closing event (Flink CEP's
+``notFollowedBy(...).within(...)`` timer semantics: the pattern window
+expires, the partial match fires as an alert and is discarded, so a
+later run-type event starts a NEW run — whereas the batch
+:func:`cep_absence_alerts` over the raw-log twin computes maximal runs
+over ALL history regardless of gaps; the two agree whenever runs are
+closed in-stream, which the containment test pins).
 """
 
 from __future__ import annotations
@@ -35,6 +44,7 @@ from pyspark.sql import DataFrame
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
+    StringType,
     StructField,
     StructType,
     TimestampType,
@@ -162,4 +172,314 @@ def streaming_cep_match(
         stateStructType=STATE_SCHEMA,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def advance_pattern_state(
+    state: tuple[tuple[tuple[int, int, int, int], ...], tuple[int, int, int, int] | None],
+    rows: list[tuple[int, int]],
+    quants: list[tuple[int, int | None]],
+) -> tuple[
+    list[tuple[int, int, tuple[int, ...]]],
+    tuple[tuple[tuple[int, int, int, int], ...], tuple[int, int, int, int] | None],
+]:
+    """Pure state transition for the GENERAL pattern machine: fold
+    (ts_us, stage_label) rows — already in event-time order, labels
+    pre-computed JVM-side by :func:`~flink_snappydata_spark.operators.
+    cep.stage_label_expr` — through the run-quantified matcher.
+
+    State is ``(closed_runs, open_run)``: the last <= k CLOSED maximal
+    runs as ``(label, cnt, start_us, end_us)`` plus the open trailing
+    run — everything a future match can still reference, independent
+    of stream length. A run closes when the label changes; the match
+    check fires on close (run-quantified semantics need the run's
+    MAXIMAL length, so a match emits in the micro-batch containing the
+    event that closes its final stage run). On a match the closed
+    history clears — AFTER MATCH SKIP PAST LAST ROW. Returns
+    ``(matches, new_state)`` with each match
+    ``(match_start_us, match_end_us, per-stage counts)``. Associative
+    over splits of an ordered sequence — pinned at every split point.
+    """
+    closed, open_run = state
+    matches: list[tuple[int, int, tuple[int, ...]]] = []
+    k = len(quants)
+
+    def close_and_eval(run: tuple[int, int, int, int]) -> None:
+        nonlocal closed
+        closed = (closed + (run,))[-k:]
+        if len(closed) == k and all(
+            r[0] == i + 1
+            and r[1] >= quants[i][0]
+            and (quants[i][1] is None or r[1] <= quants[i][1])
+            for i, r in enumerate(closed)
+        ):
+            matches.append(
+                (closed[0][2], closed[-1][3], tuple(r[1] for r in closed))
+            )
+            closed = ()  # skip past last row
+
+    for ts_us, lab in rows:
+        if open_run is not None and lab == open_run[0]:
+            open_run = (lab, open_run[1] + 1, open_run[2], ts_us)
+        else:
+            if open_run is not None:
+                close_and_eval(open_run)
+            open_run = (lab, 1, ts_us, ts_us)
+    return matches, (closed, open_run)
+
+
+def _pack_pattern_state(
+    state: tuple[tuple[tuple[int, int, int, int], ...], tuple[int, int, int, int] | None],
+) -> tuple[list[int]]:
+    closed, open_run = state
+    flat = [len(closed)]
+    for r in closed:
+        flat.extend(r)
+    if open_run is not None:
+        flat.extend(open_run)
+    return (flat,)
+
+
+def _unpack_pattern_state(
+    packed: list[int],
+) -> tuple[tuple[tuple[int, int, int, int], ...], tuple[int, int, int, int] | None]:
+    n = packed[0]
+    closed = tuple(
+        tuple(packed[1 + 4 * i : 5 + 4 * i]) for i in range(n)
+    )
+    rest = packed[1 + 4 * n :]
+    return closed, (tuple(rest) if rest else None)
+
+
+def streaming_cep_pattern(
+    events: DataFrame,
+    stages,
+) -> DataFrame:
+    """LIVE general pattern matching — the streaming twin of
+    :func:`~flink_snappydata_spark.operators.cep.cep_match_pattern`
+    (same ``PatternStage`` spec, same run-quantified strict-contiguity
+    semantics): stage labels are evaluated JVM-side (whole-stage
+    codegen — Python sees only (ts, label) pairs), and a per-key state
+    machine on ``applyInPandasWithState`` carries the last <= k closed
+    runs plus the open run. A match emits in the micro-batch whose
+    event CLOSES the final stage's maximal run (run quantifiers need
+    the maximal length, so a trailing still-open run withholds its
+    match until a later event — or a downstream flush record — closes
+    it; on a bounded replay closed by per-key flush events the output
+    is row-identical to the batch compiler, which the equivalence test
+    pins).
+
+    Output: ``(user_id, match_start, match_end, n_<stage.name>...)``.
+    State per key is O(k) longs, independent of stream length."""
+    from pyspark.sql.types import ArrayType
+
+    from flink_snappydata_spark.operators.cep import stage_label_expr
+
+    # capture only plain-Python spec data in the worker closure: a
+    # PatternStage predicate is a JVM Column, which cannot pickle
+    quants = [(st.min_count, st.max_count) for st in stages]
+    names = [st.name for st in stages]
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("match_start", TimestampType()),
+            StructField("match_end", TimestampType()),
+            *[StructField(f"n_{n}", LongType()) for n in names],
+        ]
+    )
+    state_schema = StructType([StructField("packed", ArrayType(LongType()))])
+    labeled = events.select(
+        "user_id",
+        "ts",
+        "event_id",
+        stage_label_expr(list(stages)).alias("stage_id"),
+    )
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        st = (
+            _unpack_pattern_state(list(state.get[0]))
+            if state.exists
+            else ((), None)
+        )
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])  # one global group sort
+        rows = [
+            (int(ts.value // 1000), int(lab))
+            for ts, lab in zip(pdf["ts"], pdf["stage_id"])
+        ]
+        matches, st = advance_pattern_state(st, rows, quants)
+        if st[0] == () and (st[1] is None or st[1][0] == -1):
+            # no closed prefix and the open run is the sentinel: the
+            # state is behaviorally empty (a sentinel run can never
+            # join a match window) — drop the store entry so the store
+            # is bounded by keys with LIVE partial matches
+            state.remove()
+        else:
+            state.update(_pack_pattern_state(st))
+        if matches:
+            out = {
+                "user_id": [key[0]] * len(matches),
+                "match_start": pd.to_datetime(
+                    [m[0] for m in matches], unit="us"
+                ),
+                "match_end": pd.to_datetime(
+                    [m[1] for m in matches], unit="us"
+                ),
+            }
+            for i, n in enumerate(names):
+                out[f"n_{n}"] = [m[2][i] for m in matches]
+            yield pd.DataFrame(out)
+
+    return labeled.groupBy("user_id").applyInPandasWithState(
+        process,
+        outputStructType=out_schema,
+        stateStructType=state_schema,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+ALERT_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("run_start", TimestampType()),
+        StructField("run_end", TimestampType()),
+        StructField("n_run", LongType()),
+        StructField("next_type", StringType()),
+        StructField("next_ts", TimestampType()),
+    ]
+)
+
+
+def advance_absence_state(
+    state: tuple[int, int, int],
+    rows: list[tuple[int, str]],
+    run_type: str = "click",
+    trigger_type: str = "purchase",
+    min_run: int = 2,
+    within_us: int = 86_400_000_000,
+) -> tuple[list[tuple[int, int, int, str, int]], tuple[int, int, int]]:
+    """Pure state transition for the absence pattern: fold
+    (ts_us, event_type) rows — already in event-time order — and emit
+    an alert for every run of >= ``min_run`` that a WRONG event (or a
+    too-late trigger) closes. Each alert is
+    ``(run_start_us, run_end_us, n_run, next_type, next_ts_us)``.
+    SILENCE alerts (no closing event at all) are the timer path's job
+    (:func:`streaming_cep_absence`), not this fold's — the fold can't
+    know the stream went quiet. Associative over splits of an ordered
+    sequence (the only carried context is the open trailing run)."""
+    run_start, run_end, n = state
+    alerts: list[tuple[int, int, int, str, int]] = []
+    for ts_us, etype in rows:
+        if etype == run_type:
+            if n == 0:
+                run_start = ts_us
+            run_end = ts_us
+            n += 1
+            continue
+        if n >= min_run and not (
+            etype == trigger_type and ts_us <= run_end + within_us
+        ):
+            alerts.append((run_start, run_end, n, etype, ts_us))
+        n = 0
+    return alerts, (run_start, run_end, n)
+
+
+def streaming_cep_absence(
+    events: DataFrame,
+    run_type: str = "click",
+    trigger_type: str = "purchase",
+    min_run: int = 2,
+    within: str = "1 day",
+    watermark: str = "0 seconds",
+) -> DataFrame:
+    """Live ``notFollowedBy`` — both absence cases, Flink CEP timer
+    semantics:
+
+    * a run closed IN-STREAM by a non-trigger event or a too-late
+      trigger alerts in that event's micro-batch (``next_type`` /
+      ``next_ts`` carry the closer, like the batch op);
+    * a run followed by SILENCE alerts when the event-time watermark
+      passes ``run_end + within`` — ``EventTimeTimeout`` fires the
+      per-key timer, the alert emits with null ``next_type``/
+      ``next_ts``, and the expired partial match is discarded (a later
+      run-type event starts a fresh run — ``within`` is the pattern
+      window, exactly Flink's ``notFollowedBy(...).within(...)``).
+
+    State per key is the same three longs as the match op; every open
+    run carries a timer, so the state store is garbage-collected by
+    watermark progress even for runs too short to ever alert.
+    """
+    within_us = _window_seconds(within) * 1_000_000
+    events = events.withWatermark("ts", watermark)
+
+    def _frame(
+        key: tuple[Any, ...],
+        alerts: list[tuple[int, int, int, str | None, int | None]],
+    ) -> pd.DataFrame:
+        return pd.DataFrame(
+            {
+                "user_id": [key[0]] * len(alerts),
+                "run_start": pd.to_datetime(
+                    [a[0] for a in alerts], unit="us"
+                ),
+                "run_end": pd.to_datetime([a[1] for a in alerts], unit="us"),
+                "n_run": [a[2] for a in alerts],
+                "next_type": pd.array(
+                    [a[3] for a in alerts], dtype="object"
+                ),
+                "next_ts": pd.to_datetime([a[4] for a in alerts], unit="us"),
+            }
+        )
+
+    def process(
+        key: tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        if state.hasTimedOut:
+            run_start, run_end, n = state.get
+            state.remove()
+            if n >= min_run:
+                yield _frame(key, [(run_start, run_end, n, None, None)])
+            return
+        st = state.get if state.exists else (0, 0, 0)
+        pdf = pd.concat(list(pdfs), ignore_index=True)
+        pdf = pdf.sort_values(["ts", "event_id"])  # one global group sort
+        rows = [
+            (int(ts.value // 1000), etype)
+            for ts, etype in zip(pdf["ts"], pdf["event_type"])
+        ]
+        alerts, st = advance_absence_state(
+            st, rows, run_type, trigger_type, min_run, within_us
+        )
+        silence: list[tuple[int, int, int, str | None, int | None]] = []
+        if st[2] > 0:
+            deadline_ms = (st[1] + within_us) // 1000
+            if deadline_ms > state.getCurrentWatermarkMs():
+                state.update(tuple(int(x) for x in st))
+                state.setTimeoutTimestamp(deadline_ms)
+            else:
+                # watermark already past the pattern window (possible
+                # when the group's events trail the global watermark):
+                # no closing event can still arrive — fire now
+                state.remove()
+                if st[2] >= min_run:
+                    silence.append((st[0], st[1], st[2], None, None))
+        else:
+            state.remove()
+        out = alerts + silence
+        if out:
+            yield _frame(key, out)
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        process,
+        outputStructType=ALERT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
     )

@@ -454,6 +454,31 @@ def streaming_scd2_ingest(
     )
 
 
+def streaming_event_log_ingest(
+    stream_events: DataFrame,
+    events_table: str,
+    checkpoint: str | None = None,
+    columns: tuple[str, ...] = ("user_id", "event_id", "ts", "event_type"),
+):
+    """Column-pruned raw event-log ingest — the same minimal
+    sufficient state :func:`streaming_scd2_ingest` lands, for
+    order-sensitive readers whose fold needs a different projection
+    (e.g. the multi-stage pattern matcher's ``value`` predicate).
+    Raw events, not per-batch partials, for the same reason as SCD2:
+    pattern runs are not mergeable under cross-batch event-time
+    interleaving. Idempotent per-batch_id partition landing."""
+    from flink_snappydata_spark.streaming.runtime import (
+        ingest_stream_to_tables,
+    )
+
+    return ingest_stream_to_tables(
+        stream_events,
+        [(events_table, None)],
+        prepare=lambda b: b.select(*columns),
+        checkpoint=checkpoint,
+    )
+
+
 def scd2_from_state(spark, events_table: str) -> DataFrame:
     """Current SCD2 dimension from the event log accumulated by
     :func:`streaming_scd2_ingest`: exactly the batch interval build

@@ -56,6 +56,7 @@ GAUGE_TAIL = [
     "window_funnel",
     "temporal_dim_join",
     "cep_pattern_match",
+    "cep_multi_stage",
 ]
 
 #: Every gauge-pinned query, golden-file order.
