@@ -420,24 +420,33 @@ def cep_match_pattern(
     events: DataFrame,
     stages: list[PatternStage],
     sort: bool = True,
+    contiguity: str = "strict",
+    within: str | None = None,
 ) -> DataFrame:
     """General multi-stage pattern matcher — the Flink CEP
     ``Pattern.begin(A).next(B).times(m,n).next(C)...`` builder class,
     compiled to the engine's islands machinery (no NFA, no UDFs, one
     user-keyed shuffle).
 
-    Semantics — RUN-QUANTIFIED strict contiguity:
+    Semantics — RUN-QUANTIFIED contiguity:
 
     * every event is labeled with the FIRST stage whose predicate it
       satisfies (first-match-wins priority, the determinism rule when
       predicates overlap), or a sentinel when none does;
-    * the per-user (ts, event_id)-ordered sequence is cut into maximal
-      runs of constant label (any label change, including to the
-      sentinel, ends a run — Flink's STRICT contiguity ``next``, no
-      skipping);
+    * ``contiguity="strict"`` (Flink ``next``): the per-user
+      (ts, event_id)-ordered sequence is cut into maximal runs of
+      constant label — any label change, including to the sentinel,
+      ends a run (no skipping). ``contiguity="relaxed"`` (Flink
+      ``followedBy``): sentinel events are dropped BEFORE the run cut,
+      so non-stage events neither break a run nor separate stages —
+      two same-stage bursts separated only by irrelevant events merge
+      into one run (greedy quantifier absorption, exactly Flink's
+      relaxed-contiguity greedy ``oneOrMore``);
     * a match is ``len(stages)`` CONSECUTIVE runs whose labels are
       stage 1..k in order and whose run lengths lie within each
-      stage's ``[min_count, max_count]``.
+      stage's ``[min_count, max_count]``;
+    * ``within`` (Flink ``Pattern.within``): when given, a match must
+      fit inside the window — ``match_end <= match_start + within``.
 
     Equal to Flink's greedy NFA whenever each stage's ``max_count`` is
     unbounded (the dominant production shape — funnels, retries,
@@ -460,16 +469,19 @@ def cep_match_pattern(
     corpus-sized. Label evaluation is per-row JVM expressions
     (whole-stage codegen).
     """
+    if contiguity not in ("strict", "relaxed"):
+        raise ValueError(f"contiguity must be strict|relaxed: {contiguity!r}")
     label = stage_label_expr(stages)
 
-    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    staged = events.select(
-        "user_id",
-        "ts",
-        "event_id",
-        label.alias("stage_id"),
-        F.row_number().over(w_seq).alias("rn"),
+    labeled = events.select(
+        "user_id", "ts", "event_id", label.alias("stage_id")
     )
+    if contiguity == "relaxed":
+        # followedBy: irrelevant events vanish before the run cut —
+        # filter BEFORE row_number so runs chain across the gaps
+        labeled = labeled.filter(F.col("stage_id") != -1)
+    w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    staged = labeled.withColumn("rn", F.row_number().over(w_seq))
     # change-detection islands on the SAME user partitioning (no
     # second shuffle on (user_id, stage_id) — the lag/sum windows and
     # the run groupBy below all reuse the user_id hash partitioning)
@@ -516,6 +528,10 @@ def cep_match_pattern(
         )
         if st.max_count is not None:
             cond = cond & (F.col(f"_c{i}") <= st.max_count)
+    if within is not None:
+        cond = cond & (
+            F.col("_end") <= F.col("start_ts") + F.expr(f"INTERVAL {within}")
+        )
     out = seq.filter(cond).select(
         "user_id",
         F.col("start_ts").alias("match_start"),
@@ -528,6 +544,20 @@ def cep_match_pattern(
     return out.orderBy("user_id", "match_start") if sort else out
 
 
+#: The shared registered pattern (strict and relaxed instances both
+#: use it): a NON-TYPE predicate on the middle stage.
+def _funnel_stages() -> list[PatternStage]:
+    return [
+        PatternStage("view", "view"),
+        PatternStage(
+            "click",
+            (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            min_count=2,
+        ),
+        PatternStage("purchase", "purchase"),
+    ]
+
+
 def cep_funnel_pattern(events: DataFrame) -> DataFrame:
     """The registered :func:`cep_match_pattern` instance — a
     three-stage ``view{1,} (click & value>=0.5){2,} purchase{1,}``
@@ -535,15 +565,15 @@ def cep_funnel_pattern(events: DataFrame) -> DataFrame:
     ``begin("view").oneOrMore().next("click").where(value>=0.5)
     .timesOrMore(2).next("purchase")``). Stage predicates are pairwise
     disjoint, so matches are disjoint (see the builder docstring)."""
+    return cep_match_pattern(events, _funnel_stages())
+
+
+def cep_funnel_pattern_relaxed(events: DataFrame) -> DataFrame:
+    """The RELAXED-contiguity + windowed registered instance: the same
+    three stages under Flink ``followedBy`` semantics (irrelevant
+    events don't break the chain) with ``Pattern.within(2 days)`` —
+    the alerting shape real funnels use (noise-tolerant, time-bounded).
+    """
     return cep_match_pattern(
-        events,
-        [
-            PatternStage("view", "view"),
-            PatternStage(
-                "click",
-                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
-                min_count=2,
-            ),
-            PatternStage("purchase", "purchase"),
-        ],
+        events, _funnel_stages(), contiguity="relaxed", within="2 days"
     )

@@ -156,6 +156,7 @@ _R14_QUEUE: list[str] = [
     # -- round-13 additions (never stamped; new work drains first) --
     "ivf_pq_prebuilt_topk",
     "cep_multi_stage",
+    "cep_multi_stage_relaxed",
     "absence_streamed",
     "multistage_streamed",
     # -- r09-stamped remainder (cadence-due at r14) --

@@ -531,6 +531,56 @@ _register(
         "k-run lead() conjunction; one user-keyed shuffle end-to-end.",
 )
 
+_register(
+    "cep_multi_stage_relaxed",
+    ["events"],
+    cep.cep_funnel_pattern_relaxed,
+    """
+    WITH staged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 1
+                    WHEN event_type = 'click' AND value >= 0.5 THEN 2
+                    WHEN event_type = 'purchase' THEN 3
+                    ELSE -1 END AS stage_id
+        FROM events
+    ), kept AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS rn
+        FROM staged WHERE stage_id <> -1
+    ), flagged AS (
+        SELECT *, CASE WHEN stage_id IS NOT DISTINCT FROM
+                  LAG(stage_id) OVER (PARTITION BY user_id ORDER BY rn)
+                  THEN 0 ELSE 1 END AS new_run
+        FROM kept
+    ), runs AS (
+        SELECT user_id, run_id, MIN(stage_id) AS stage_id,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts, MIN(rn) AS start_rn
+        FROM (SELECT *, SUM(new_run) OVER (PARTITION BY user_id
+                                           ORDER BY rn) AS run_id
+              FROM flagged) t
+        GROUP BY user_id, run_id
+    ), seq AS (
+        SELECT user_id, start_ts, stage_id AS s0, cnt AS c0,
+               LEAD(stage_id, 1) OVER w AS s1, LEAD(cnt, 1) OVER w AS c1,
+               LEAD(stage_id, 2) OVER w AS s2, LEAD(cnt, 2) OVER w AS c2,
+               LEAD(end_ts, 2) OVER w AS e2
+        FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id, start_ts AS match_start, e2 AS match_end,
+           c0 AS n_view, c1 AS n_click, c2 AS n_purchase
+    FROM seq
+    WHERE s0 = 1 AND c0 >= 1 AND s1 = 2 AND c1 >= 2 AND s2 = 3 AND c2 >= 1
+      AND e2 <= start_ts + INTERVAL 2 DAY
+    ORDER BY user_id, match_start
+    """,
+    doc="The same pattern under RELAXED contiguity (Flink followedBy: "
+        "irrelevant events dropped before the run cut, so they "
+        "neither break runs nor separate stages) with "
+        "Pattern.within(2 days) — the noise-tolerant, time-bounded "
+        "alerting shape.",
+)
+
 from flink_snappydata_spark.specs.base import QUERIES, QuerySpec  # noqa: E402
 
 QUERIES["cep_streamed"] = QuerySpec(

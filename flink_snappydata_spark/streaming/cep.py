@@ -41,6 +41,7 @@ from typing import Any
 
 import pandas as pd
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
 from pyspark.sql.types import (
     LongType,
@@ -254,6 +255,8 @@ def _unpack_pattern_state(
 def streaming_cep_pattern(
     events: DataFrame,
     stages,
+    contiguity: str = "strict",
+    within: str | None = None,
 ) -> DataFrame:
     """LIVE general pattern matching — the streaming twin of
     :func:`~flink_snappydata_spark.operators.cep.cep_match_pattern`
@@ -269,11 +272,20 @@ def streaming_cep_pattern(
     is row-identical to the batch compiler, which the equivalence test
     pins).
 
+    ``contiguity``/``within`` mirror the batch builder exactly:
+    relaxed drops sentinel-labeled events BEFORE the state machine (a
+    JVM-side filter — irrelevant events never reach Python or the
+    state store), and ``within`` is a JVM-side post-filter on emitted
+    matches (match_start/end are both known at emission).
+
     Output: ``(user_id, match_start, match_end, n_<stage.name>...)``.
     State per key is O(k) longs, independent of stream length."""
     from pyspark.sql.types import ArrayType
 
     from flink_snappydata_spark.operators.cep import stage_label_expr
+
+    if contiguity not in ("strict", "relaxed"):
+        raise ValueError(f"contiguity must be strict|relaxed: {contiguity!r}")
 
     # capture only plain-Python spec data in the worker closure: a
     # PatternStage predicate is a JVM Column, which cannot pickle
@@ -294,6 +306,8 @@ def streaming_cep_pattern(
         "event_id",
         stage_label_expr(list(stages)).alias("stage_id"),
     )
+    if contiguity == "relaxed":
+        labeled = labeled.filter(F.col("stage_id") != -1)
 
     def process(
         key: tuple[Any, ...],
@@ -334,13 +348,19 @@ def streaming_cep_pattern(
                 out[f"n_{n}"] = [m[2][i] for m in matches]
             yield pd.DataFrame(out)
 
-    return labeled.groupBy("user_id").applyInPandasWithState(
+    out = labeled.groupBy("user_id").applyInPandasWithState(
         process,
         outputStructType=out_schema,
         stateStructType=state_schema,
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+    if within is not None:
+        out = out.filter(
+            F.col("match_end")
+            <= F.col("match_start") + F.expr(f"INTERVAL {within}")
+        )
+    return out
 
 
 ALERT_SCHEMA = StructType(

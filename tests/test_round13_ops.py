@@ -238,6 +238,57 @@ def test_pattern_builder_matches_are_disjoint(spark):
             assert a.match_end < b.match_start, "matches must be disjoint"
 
 
+def test_pattern_builder_relaxed_contiguity_and_within(spark):
+    """followedBy semantics: irrelevant events neither break a run nor
+    separate stages, and same-stage bursts separated only by noise
+    merge (greedy absorption); within bounds match_end - match_start."""
+    from flink_snappydata_spark.operators.cep import (
+        PatternStage,
+        cep_match_pattern,
+    )
+
+    ev = _mk_events(
+        spark,
+        [
+            # user 1: noise inside the click run and between stages —
+            # relaxed matches (2 clicks absorb across the error), strict
+            # does not
+            (1, 0, 1, "view", 1.0),
+            (1, 1, 2, "click", 0.9),
+            (1, 2, 3, "error", 0.0),
+            (1, 3, 4, "click", 0.8),
+            (1, 4, 5, "error", 0.0),
+            (1, 5, 6, "purchase", 5.0),
+            # user 2: same shape but the purchase lands 3 days after
+            # the view — the within='2 days' gate drops it
+            (2, 0, 7, "view", 1.0),
+            (2, 1, 8, "click", 0.9),
+            (2, 2, 9, "click", 0.8),
+            (2, 259200, 10, "purchase", 5.0),
+        ],
+    )
+    stages = [
+        PatternStage("view", "view"),
+        PatternStage("click", "click", min_count=2),
+        PatternStage("buy", "purchase"),
+    ]
+    strict = cep_match_pattern(ev, stages).collect()
+    assert [r.user_id for r in strict] == [2], (
+        "strict: noise breaks user 1; user 2 matches (no within)"
+    )
+    relaxed = cep_match_pattern(ev, stages, contiguity="relaxed").collect()
+    assert [r.user_id for r in relaxed] == [1, 2]
+    assert relaxed[0].n_click == 2, "bursts absorb across noise"
+    bounded = cep_match_pattern(
+        ev, stages, contiguity="relaxed", within="2 days"
+    ).collect()
+    assert [r.user_id for r in bounded] == [1], "within gates user 2"
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="strict|relaxed"):
+        cep_match_pattern(ev, stages, contiguity="skip_till_next")
+
+
 # ----------------------------- live general pattern state machine
 
 
@@ -359,6 +410,41 @@ def test_streaming_pattern_equals_batch_with_flush(spark, tmp_path):
     want = want[cols].sort_values(cols).reset_index(drop=True)
     assert len(got), "non-vacuous"
     pd.testing.assert_frame_equal(got, want)
+
+
+def test_streaming_pattern_relaxed_within_matches_batch(spark):
+    """The live machine under contiguity='relaxed' + within must agree
+    with the batch builder on a single-batch replay (relaxed drops the
+    sentinel rows JVM-side, so every run is closed by the next stage
+    event or the flushless end counts only via closed runs — compare
+    on the batch matches whose final run is closed in-stream)."""
+    import pandas as pd
+
+    from flink_snappydata_spark.operators.cep import (
+        cep_funnel_pattern_relaxed,
+        _funnel_stages,
+    )
+    from flink_snappydata_spark.streaming import runtime
+    from flink_snappydata_spark.streaming.cep import streaming_cep_pattern
+
+    stream = runtime.events_file_stream(spark, SF_SMOKE)
+    live = streaming_cep_pattern(
+        stream, _funnel_stages(), contiguity="relaxed", within="2 days"
+    )
+    runtime.run_to_memory_sink(live, "pattern_relaxed_live", "append")
+    got = spark.table("pattern_relaxed_live").toPandas()
+    want = cep_funnel_pattern_relaxed(
+        load_table(spark, SF_SMOKE, "events")
+    ).toPandas()
+    cols = ["user_id", "match_start", "match_end", "n_view", "n_click",
+            "n_purchase"]
+    got = got[cols].sort_values(cols).reset_index(drop=True)
+    # live withholds matches whose final purchase run is still open at
+    # end-of-stream (no flush here); every emitted match must be a
+    # batch match, and matches closed in-stream must all emit
+    merged = got.merge(want[cols], how="left", indicator=True)
+    assert (merged["_merge"] == "both").all(), "live ⊄ batch"
+    assert len(got) >= 1, "non-vacuous"
 
 
 # --------------------- live absence (notFollowedBy, event-time timer)
