@@ -74,6 +74,32 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _advance_run_state(state, rows, run_type, on_close):
+    """THE shared run-tracking fold for the single-run CEP family:
+    extend the open run on ``run_type`` rows, and on any other row
+    hand ``(run_start, run_end, n, closer_type, closer_ts)`` to
+    ``on_close`` — whatever it returns non-None is emitted — then
+    reset. One owner for the run semantics (extend/close/carry), so
+    the match fold and its absence complement cannot drift apart (the
+    matches ∪ alerts partition invariant the tests pin). Associative
+    over splits of an ordered sequence (the only carried context is
+    the open trailing run)."""
+    run_start, run_end, n = state
+    out: list = []
+    for ts_us, etype in rows:
+        if etype == run_type:
+            if n == 0:
+                run_start = ts_us
+            run_end = ts_us
+            n += 1
+            continue
+        fire = on_close(run_start, run_end, n, etype, ts_us)
+        if fire is not None:
+            out.append(fire)
+        n = 0
+    return out, (run_start, run_end, n)
+
+
 def advance_cep_state(
     state: tuple[int, int, int],
     rows: list[tuple[int, str]],
@@ -87,26 +113,21 @@ def advance_cep_state(
 
     Returns ``(fires, new_state)`` where each fire is
     ``(run_start_us, run_end_us, n_run, trigger_ts_us)``. Associative
-    over splits of an ordered sequence by construction (the only
-    carried context is the open trailing run) — pinned by the
-    every-split-point test."""
-    run_start, run_end, n = state
-    fires: list[tuple[int, int, int, int]] = []
-    for ts_us, etype in rows:
-        if etype == run_type:
-            if n == 0:
-                run_start = ts_us
-            run_end = ts_us
-            n += 1
-            continue
+    over splits of an ordered sequence by construction — pinned by the
+    every-split-point test. The run fold itself is the shared
+    :func:`_advance_run_state`; this wires in the MATCH close
+    predicate (trigger in time, run long enough)."""
+
+    def on_close(run_start, run_end, n, etype, ts_us):
         if (
             n >= min_run
             and etype == trigger_type
             and ts_us <= run_end + within_us
         ):
-            fires.append((run_start, run_end, n, ts_us))
-        n = 0
-    return fires, (run_start, run_end, n)
+            return (run_start, run_end, n, ts_us)
+        return None
+
+    return _advance_run_state(state, rows, run_type, on_close)
 
 
 def streaming_cep_match(
@@ -390,23 +411,19 @@ def advance_absence_state(
     ``(run_start_us, run_end_us, n_run, next_type, next_ts_us)``.
     SILENCE alerts (no closing event at all) are the timer path's job
     (:func:`streaming_cep_absence`), not this fold's — the fold can't
-    know the stream went quiet. Associative over splits of an ordered
-    sequence (the only carried context is the open trailing run)."""
-    run_start, run_end, n = state
-    alerts: list[tuple[int, int, int, str, int]] = []
-    for ts_us, etype in rows:
-        if etype == run_type:
-            if n == 0:
-                run_start = ts_us
-            run_end = ts_us
-            n += 1
-            continue
+    know the stream went quiet. The run fold itself is the shared
+    :func:`_advance_run_state`; this wires in the exact COMPLEMENT of
+    the match close predicate, so matches ∪ alerts partitions the
+    closed-run set by construction."""
+
+    def on_close(run_start, run_end, n, etype, ts_us):
         if n >= min_run and not (
             etype == trigger_type and ts_us <= run_end + within_us
         ):
-            alerts.append((run_start, run_end, n, etype, ts_us))
-        n = 0
-    return alerts, (run_start, run_end, n)
+            return (run_start, run_end, n, etype, ts_us)
+        return None
+
+    return _advance_run_state(state, rows, run_type, on_close)
 
 
 def streaming_cep_absence(
@@ -468,6 +485,21 @@ def streaming_cep_absence(
                 yield _frame(key, [(run_start, run_end, n, None, None)])
             return
         st = state.get if state.exists else (0, 0, 0)
+        silence: list[tuple[int, int, int, str | None, int | None]] = []
+        # Expiry check BEFORE folding new data: when a key receives
+        # rows in the same micro-batch its timer would have fired
+        # (hasTimedOut only fires for keys WITHOUT data), the stored
+        # run's pattern window may already be watermark-expired — it
+        # must alert and reset NOW, not silently extend across the
+        # gap, or the output would depend on micro-batch boundaries
+        # (the documented contract: an expired partial match fires and
+        # a later run-type event starts a NEW run).
+        if st[2] > 0:
+            stored_deadline_ms = (st[1] + within_us) // 1000
+            if stored_deadline_ms <= state.getCurrentWatermarkMs():
+                if st[2] >= min_run:
+                    silence.append((st[0], st[1], st[2], None, None))
+                st = (0, 0, 0)
         pdf = pd.concat(list(pdfs), ignore_index=True)
         pdf = pdf.sort_values(["ts", "event_id"])  # one global group sort
         rows = [
@@ -477,7 +509,6 @@ def streaming_cep_absence(
         alerts, st = advance_absence_state(
             st, rows, run_type, trigger_type, min_run, within_us
         )
-        silence: list[tuple[int, int, int, str | None, int | None]] = []
         if st[2] > 0:
             deadline_ms = (st[1] + within_us) // 1000
             if deadline_ms > state.getCurrentWatermarkMs():
@@ -492,7 +523,7 @@ def streaming_cep_absence(
                     silence.append((st[0], st[1], st[2], None, None))
         else:
             state.remove()
-        out = alerts + silence
+        out = silence + alerts  # expiry alert precedes this batch's closes
         if out:
             yield _frame(key, out)
 

@@ -563,6 +563,57 @@ def test_streaming_absence_silence_fires_on_event_time_timer(spark, tmp_path):
     assert a.next_type is None and a.next_ts is None
 
 
+def test_streaming_absence_expired_run_fires_despite_new_data(spark, tmp_path):
+    """Batching-invariance of the silence alert (review finding r13):
+    when a key receives NEW data in the batch where its pattern window
+    is already watermark-expired (hasTimedOut only fires for keys
+    without data), the stored run must alert and reset BEFORE the fold
+    — not silently extend across the expired gap. Batch 1: a 2-click
+    run + an unrelated event 5 days out (watermark passes the 1-day
+    deadline). Batch 2: the SAME user clicks again at day 10 — the
+    day-0 run must emit a silence alert with n_run=2, and the new
+    click must start a fresh run (no n_run=3 merge, no lost alert)."""
+    import datetime as dt
+
+    from flink_snappydata_spark.streaming import runtime
+    from flink_snappydata_spark.streaming.cep import streaming_cep_absence
+
+    t0 = dt.datetime(2024, 1, 1, 12, 0, 0)
+    day = dt.timedelta(days=1)
+    base = str(tmp_path / "stream")
+    _write_event_file(
+        spark,
+        f"{base}/f1.parquet",
+        [
+            (1, t0, 10, "click"),
+            (1, t0 + dt.timedelta(minutes=1), 11, "click"),
+            (999, t0 + 5 * day, 20, "view"),
+        ],
+        mtime=1_700_000_000,
+    )
+    _write_event_file(
+        spark,
+        f"{base}/f2.parquet",
+        [(1, t0 + 10 * day, 30, "click")],
+        mtime=1_700_000_100,
+    )
+    stream = (
+        spark.readStream.schema(
+            "user_id long, ts timestamp, event_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .parquet(f"{base}/*.parquet")
+    )
+    alerts = streaming_cep_absence(stream, within="1 day")
+    runtime.run_to_memory_sink(alerts, "absence_expiry", output_mode="append")
+    got = spark.table("absence_expiry").collect()
+    assert len(got) == 1, f"exactly the day-0 silence alert expected: {got}"
+    a = got[0]
+    assert a.user_id == 1 and a.n_run == 2
+    assert a.run_end == t0 + dt.timedelta(minutes=1)
+    assert a.next_type is None and a.next_ts is None
+
+
 def test_streaming_absence_in_stream_close_matches_batch(spark):
     """Single-batch replay of the fixture: every live alert closed by
     an in-stream event must be exactly the batch op's non-silence

@@ -325,19 +325,11 @@ EVENT_OPS = {
     # corpus-sized presentation range-exchange the spec path keeps
     # for oracle parity.
     "cep_pattern_match": lambda v: CEP.cep_pattern_match(v),
-    # round-13 general pattern builder (library path: sort=False)
+    # round-13 general pattern builder (library path: sort=False; the
+    # SAME stage spec the registered query uses, so the probe cannot
+    # silently measure a different pattern than the gauges pin)
     "cep_multi_stage": lambda v: CEP.cep_match_pattern(
-        v,
-        [
-            CEP.PatternStage("view", "view"),
-            CEP.PatternStage(
-                "click",
-                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
-                min_count=2,
-            ),
-            CEP.PatternStage("purchase", "purchase"),
-        ],
-        sort=False,
+        v, CEP._funnel_stages(), sort=False
     ),
     "window_funnel": lambda v: CEP.window_funnel(v),
     "temporal_dim_join": lambda v: CEP.temporal_table_join(
