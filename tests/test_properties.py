@@ -960,3 +960,93 @@ def test_cep_absence_matches_naive(spark, raw):
         for r in cep_absence_alerts(df, within="1 minute").collect()
     }
     assert got == _naive_cep_absence(rows)
+
+
+def _naive_pattern(rows, quants, relaxed, within=None):
+    """Pure reference for cep_match_pattern: label per first-match-wins
+    (view=1, click&value>=50=2, purchase=3), per-user order, optional
+    sentinel drop (relaxed), then the LIVE machine's pure fold
+    (advance_pattern_state) with one artificial closing row — the
+    batch compiler treats end-of-data as a run close; folding a label
+    no event can carry reproduces that exactly."""
+    from flink_snappydata_spark.streaming.cep import advance_pattern_state
+
+    def label(r):
+        if r.event_type == "view":
+            return 1
+        if r.event_type == "click" and r.value >= 50.0:
+            return 2
+        if r.event_type == "purchase":
+            return 3
+        return -1
+
+    by_user = {}
+    for r in rows:
+        by_user.setdefault(r.user_id, []).append(r)
+    out = set()
+    for uid, urows in by_user.items():
+        urows.sort(key=lambda r: (r.ts, r.event_id))
+        labeled = [
+            (int(r.ts.timestamp() * 1_000_000), label(r)) for r in urows
+        ]
+        if relaxed:
+            labeled = [x for x in labeled if x[1] != -1]
+        if not labeled:
+            continue
+        labeled.append((labeled[-1][0] + 1, -99))  # end-of-data close
+        matches, _ = advance_pattern_state(((), None), labeled, quants)
+        for m in matches:
+            if within is None or m[1] - m[0] <= within:
+                out.add((uid, m[0], m[1], m[2]))
+    return out
+
+
+@settings(max_examples=15, deadline=None)
+@given(_events_strategy)
+def test_cep_match_pattern_matches_machine(spark, raw):
+    """The declarative batch compiler (islands + lead conjunction) and
+    the live machine's pure fold must agree on EVERY random sequence,
+    under strict AND relaxed contiguity, bounded and unbounded
+    quantifiers, with and without a within window — the two
+    implementations share only the stage spec."""
+    from flink_snappydata_spark.operators.cep import (
+        PatternStage,
+        cep_match_pattern,
+    )
+    from pyspark.sql import functions as F
+
+    stages = [
+        PatternStage("view", "view"),
+        PatternStage(
+            "click",
+            (F.col("event_type") == "click") & (F.col("value") >= 50.0),
+            min_count=2,
+        ),
+        PatternStage("buy", "purchase", min_count=1, max_count=2),
+    ]
+    quants = [(s.min_count, s.max_count) for s in stages]
+    df = _frame(spark, raw)
+    rows = df.collect()
+    for relaxed, within_s in ((False, None), (True, None), (True, 60)):
+        got = {
+            (
+                r.user_id,
+                int(r.match_start.timestamp() * 1_000_000),
+                int(r.match_end.timestamp() * 1_000_000),
+                (r.n_view, r.n_click, r.n_buy),
+            )
+            for r in cep_match_pattern(
+                df,
+                stages,
+                sort=False,
+                contiguity="relaxed" if relaxed else "strict",
+                within=f"{within_s} seconds" if within_s else None,
+            ).collect()
+        }
+        want = _naive_pattern(
+            rows,
+            quants,
+            relaxed,
+            within=within_s * 1_000_000 if within_s else None,
+        )
+        assert got == want, (relaxed, within_s)
