@@ -74,6 +74,21 @@ STATE_SCHEMA = StructType(
 )
 
 
+def _ordered_rows(pdfs: Iterator[pd.DataFrame], col: str) -> list[tuple]:
+    """Concatenate a group's Arrow chunks, sort ONCE globally by
+    (ts, event_id), and project to (ts_us, <col>) pairs — the shared
+    entry step of every per-key state machine here. One global sort,
+    not per-chunk: a key's batch rows can arrive as several chunks in
+    arbitrary order (groups larger than arrow.maxRecordsPerBatch), and
+    sorting chunks independently would interleave wrongly, corrupting
+    both the emitted rows and the carried state."""
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"])
+    return [
+        (int(ts.value // 1000), v) for ts, v in zip(pdf["ts"], pdf[col])
+    ]
+
+
 def _advance_run_state(state, rows, run_type, on_close):
     """THE shared run-tracking fold for the single-run CEP family:
     extend the open run on ``run_type`` rows, and on any other row
@@ -150,17 +165,7 @@ def streaming_cep_match(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         st = state.get if state.exists else (0, 0, 0)
-        # ONE global sort over the whole group: a key's batch rows can
-        # arrive as several Arrow chunks in arbitrary order (groups
-        # larger than arrow.maxRecordsPerBatch) — sorting chunks
-        # independently would interleave wrongly and corrupt both the
-        # emitted matches and the carried state.
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(["ts", "event_id"])
-        rows = [
-            (int(ts.value // 1000), etype)
-            for ts, etype in zip(pdf["ts"], pdf["event_type"])
-        ]
+        rows = _ordered_rows(pdfs, "event_type")
         all_fires, st = advance_cep_state(
             st, rows, run_type, trigger_type, min_run, within_us
         )
@@ -340,12 +345,7 @@ def streaming_cep_pattern(
             if state.exists
             else ((), None)
         )
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(["ts", "event_id"])  # one global group sort
-        rows = [
-            (int(ts.value // 1000), int(lab))
-            for ts, lab in zip(pdf["ts"], pdf["stage_id"])
-        ]
+        rows = [(ts, int(lab)) for ts, lab in _ordered_rows(pdfs, "stage_id")]
         matches, st = advance_pattern_state(st, rows, quants)
         if st[0] == () and (st[1] is None or st[1][0] == -1):
             # no closed prefix and the open run is the sentinel: the
@@ -500,12 +500,7 @@ def streaming_cep_absence(
                 if st[2] >= min_run:
                     silence.append((st[0], st[1], st[2], None, None))
                 st = (0, 0, 0)
-        pdf = pd.concat(list(pdfs), ignore_index=True)
-        pdf = pdf.sort_values(["ts", "event_id"])  # one global group sort
-        rows = [
-            (int(ts.value // 1000), etype)
-            for ts, etype in zip(pdf["ts"], pdf["event_type"])
-        ]
+        rows = _ordered_rows(pdfs, "event_type")
         alerts, st = advance_absence_state(
             st, rows, run_type, trigger_type, min_run, within_us
         )
@@ -523,7 +518,10 @@ def streaming_cep_absence(
                     silence.append((st[0], st[1], st[2], None, None))
         else:
             state.remove()
-        out = silence + alerts  # expiry alert precedes this batch's closes
+        # pre-fold expiry alert (if any) precedes this batch's closes;
+        # a post-fold immediate-fire also lands in `silence` — readers
+        # sort, so within-batch order is presentational only
+        out = silence + alerts
         if out:
             yield _frame(key, out)
 
