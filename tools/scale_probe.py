@@ -325,11 +325,16 @@ EVENT_OPS = {
     # corpus-sized presentation range-exchange the spec path keeps
     # for oracle parity.
     "cep_pattern_match": lambda v: CEP.cep_pattern_match(v),
+    "cep_absence_alerts": lambda v: CEP.cep_absence_alerts(v),
     # round-13 general pattern builder (library path: sort=False; the
     # SAME stage spec the registered query uses, so the probe cannot
     # silently measure a different pattern than the gauges pin)
     "cep_multi_stage": lambda v: CEP.cep_match_pattern(
         v, CEP._funnel_stages(), sort=False
+    ),
+    "cep_multi_stage_relaxed": lambda v: CEP.cep_match_pattern(
+        v, CEP._funnel_stages(), sort=False,
+        contiguity="relaxed", within="2 days",
     ),
     "window_funnel": lambda v: CEP.window_funnel(v),
     "temporal_dim_join": lambda v: CEP.temporal_table_join(
