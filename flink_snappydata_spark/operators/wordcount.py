@@ -45,8 +45,21 @@ def word_count(df: DataFrame, col: str = "text") -> DataFrame:
     )
 
 
+def compact_wordcount_partials(parts: DataFrame) -> DataFrame:
+    """Exact compaction for count partials: re-aggregate the live
+    partial rows to ONE row per word. Sum-of-sums == sum, so the
+    compacted state is bit-identical input to any downstream fold at
+    any boundary — mergeable partials make this the trivially-exact
+    compaction case (unlike the session/funnel fragment sweeps, which
+    need boundary-merge logic)."""
+    return parts.groupBy("word").agg(F.sum("cnt").cast("long").alias("cnt"))
+
+
 def streaming_wordcount_ingest(
-    stream_docs: DataFrame, counts_table: str, checkpoint: str | None = None
+    stream_docs: DataFrame,
+    counts_table: str,
+    checkpoint: str | None = None,
+    compact_every: int = 8,
 ):
     """Streaming-ingest twin of :func:`word_count` — the reference's
     OWN signature dataflow run through the stream→queryable-table loop
@@ -61,7 +74,13 @@ def streaming_wordcount_ingest(
 
     Scale: per batch one map-side-combined vocabulary aggregation —
     the state table grows by at most |vocabulary| rows per micro-batch
-    regardless of batch size, and document text never shuffles. Rides
+    regardless of batch size, and document text never shuffles; every
+    ``compact_every``-th batch additionally folds the accumulated
+    partials back to one row per word
+    (:func:`compact_wordcount_partials`, exact), so a long-running
+    stream's state — and every reader's fold — is bounded by LIVE
+    vocabulary size, not stream age (the round-12 session/funnel floor
+    discipline extended to the mergeable-partial loops). Rides
     :func:`~flink_snappydata_spark.streaming.runtime.
     ingest_stream_to_tables`, so retried micro-batches overwrite their
     own ``batch_id`` partition instead of double-counting.
@@ -75,6 +94,8 @@ def streaming_wordcount_ingest(
         [(counts_table, None)],
         prepare=wordcount_partials,
         checkpoint=checkpoint,
+        compact=compact_wordcount_partials,
+        compact_every=compact_every,
     )
 
 
@@ -92,11 +113,14 @@ def wordcount_partials(batch_df: DataFrame) -> DataFrame:
 
 def wordcount_from_state(spark, counts_table: str) -> DataFrame:
     """Fold the :func:`streaming_wordcount_ingest` partials into the
-    global vocabulary counts (one map-side-combined SUM); ``batch_id``
-    is ingest lineage, not state — dropped here."""
+    global vocabulary counts (one map-side-combined SUM) — through the
+    floor-aware :func:`~flink_snappydata_spark.streaming.runtime.
+    read_state_table`, so a compacting loop's readers see only the
+    live partials (ingest lineage columns are stripped there)."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
     return (
-        spark.table(counts_table)
-        .drop("batch_id")
+        read_state_table(spark, counts_table)
         .groupBy("word")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
         .transform(lambda d: small_sorted(d, "word"))

@@ -1835,11 +1835,14 @@ def cms_from_state(spark, counts_table: str) -> DataFrame:
     spark.operators.wordcount.streaming_wordcount_ingest` (identical
     tokenizer) — exact counts fold batching-insensitively, so the
     sketch built from folded state equals the batch sketch and the
-    batch oracle applies verbatim. ``batch_id`` is ingest lineage,
-    dropped here."""
+    batch oracle applies verbatim. Reads through the floor-aware
+    :func:`~flink_snappydata_spark.streaming.runtime.read_state_table`
+    (the shared counts loop compacts; lineage columns stripped
+    there)."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
     counts = (
-        spark.table(counts_table)
-        .drop("batch_id")
+        read_state_table(spark, counts_table)
         .groupBy("word")
         .agg(F.sum("cnt").cast("long").alias("cnt"))
     )

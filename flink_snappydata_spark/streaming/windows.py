@@ -223,6 +223,7 @@ def streaming_rollup_ingest(
     stream_events: DataFrame,
     hourly_table: str,
     checkpoint: str | None = None,
+    compact_every: int = 8,
 ):
     """Streaming-ingest twin of :func:`rollup_multires` — the
     stream→queryable-table loop (``ParquetTableJoin.scala:32-43``
@@ -236,8 +237,12 @@ def streaming_rollup_ingest(
 
     Scale: the per-batch shuffle carries only (hour, type)-keyed int64
     partials (map-side combined); state grows by ≤ hours-in-batch ×
-    types rows per micro-batch regardless of event volume. Rides
-    :func:`~flink_snappydata_spark.streaming.runtime.
+    types rows per micro-batch regardless of event volume, and every
+    ``compact_every``-th batch folds the live partials back to one row
+    per (hour, type) (:func:`compact_rollup_partials`, exact sum of
+    sums — the round-12 floor discipline on the mergeable-partial
+    loops), bounding reader folds by LIVE bucket count, not stream
+    age. Rides :func:`~flink_snappydata_spark.streaming.runtime.
     ingest_stream_to_tables`, so retried micro-batches overwrite their
     own ``batch_id`` partition instead of double-counting.
     """
@@ -250,6 +255,18 @@ def streaming_rollup_ingest(
         [(hourly_table, None)],
         prepare=_hourly_rollup,
         checkpoint=checkpoint,
+        compact=compact_rollup_partials,
+        compact_every=compact_every,
+    )
+
+
+def compact_rollup_partials(parts: DataFrame) -> DataFrame:
+    """Exact compaction for the hourly rollup partials: one row per
+    (hour, type) — sum of int64 sums equals the sum, so compaction is
+    invisible to every downstream fold."""
+    return parts.groupBy("bucket_start", "event_type").agg(
+        F.sum("n_events").alias("n_events"),
+        F.sum("sum_cents").alias("sum_cents"),
     )
 
 
@@ -257,11 +274,13 @@ def rollup_from_state(spark, hourly_table: str) -> DataFrame:
     """Multi-resolution rollup from the hourly partials accumulated by
     :func:`streaming_rollup_ingest`: fold partials per (hour, type)
     (exact int64 cent sums — batching order irrelevant), then the same
-    coarsening as the batch op. ``batch_id`` is ingest lineage, not
-    state — dropped here."""
+    coarsening as the batch op. Reads through the floor-aware
+    :func:`~flink_snappydata_spark.streaming.runtime.read_state_table`
+    (the loop compacts; lineage columns stripped there)."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
     hourly = (
-        spark.table(hourly_table)
-        .drop("batch_id")
+        read_state_table(spark, hourly_table)
         .groupBy("bucket_start", "event_type")
         .agg(
             F.sum("n_events").alias("n_events"),

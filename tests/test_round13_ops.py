@@ -111,6 +111,97 @@ def test_ivf_pq_prebuilt_topk_registered(spark):
     assert n_ex <= 15, f"prebuilt plan still carries training ({n_ex} exchanges)"
 
 
+# ------------------- mergeable-partial compaction (wordcount loop)
+
+
+def test_wordcount_compaction_drain_equals_batch(spark):
+    """The round-12 session/funnel compaction floor extended to the
+    mergeable-partial loops: 4-batch replay with compact_every=2 must
+    (a) fold to exactly the batch word count (compaction is exact —
+    sum of sums), (b) stamp a non-zero floor, and (c) leave the LIVE
+    partial set bounded by ~vocabulary size, not stream age; the CMS
+    twin reads the SAME table floor-aware and must also equal its
+    single-pass sketch."""
+    from flink_snappydata_spark.operators import wordcount
+    from flink_snappydata_spark.pipeline import text as textops
+
+    from tests.test_round12_ops import _replay_ingest
+
+    docs = load_table(spark, SF_SMOKE, "documents").select("doc_id", "text")
+    want = sorted(
+        tuple(r) for r in wordcount.word_count(docs, col="text").collect()
+    )
+    got, state = _replay_ingest(
+        spark,
+        docs,
+        4,
+        lambda s, t: wordcount.streaming_wordcount_ingest(
+            s, t, compact_every=2
+        ),
+        wordcount.wordcount_from_state,
+        "wccomp",
+    )
+    assert got == want
+    floor = max(r["floor"] for r in state)
+    assert floor > 0, "4-batch replay with compact_every=2 must compact"
+    vocab = len(want)
+    live = [r for r in state if r["batch_id"] >= floor]
+    # live partials: one compacted row per word + at most the batches
+    # since compaction re-adding per-batch vocabulary partials
+    assert len(live) <= 2 * vocab, "live partials must be vocab-bounded"
+    # the CMS twin reads the same compacting table and must match its
+    # own batch op (exact counts fold batching- and compaction-blind)
+    cms_got, _ = _replay_ingest(
+        spark,
+        docs,
+        4,
+        lambda s, t: wordcount.streaming_wordcount_ingest(
+            s, t, compact_every=2
+        ),
+        textops.cms_from_state,
+        "cmscomp",
+    )
+    cms_want = sorted(
+        tuple(r) for r in textops.cms_heavy_hitters(docs).collect()
+    )
+    assert cms_got == cms_want
+
+
+def test_rollup_compaction_drain_equals_batch(spark):
+    """Same floor discipline on the events-side hourly partials:
+    4-batch replay with compact_every=2 must fold to exactly the batch
+    multi-resolution rollup, stamp a non-zero floor, and leave the
+    live partial set bucket-bounded."""
+    from flink_snappydata_spark.streaming import windows as stream_windows
+
+    from tests.test_round12_ops import _replay_ingest
+
+    ev = load_table(spark, SF_SMOKE, "events").select(
+        "event_id", "ts", "event_type", "value"
+    )
+    want = sorted(
+        tuple(r) for r in stream_windows.rollup_multires(ev).collect()
+    )
+    got, state = _replay_ingest(
+        spark,
+        ev,
+        4,
+        lambda s, t: stream_windows.streaming_rollup_ingest(
+            s, t, compact_every=2
+        ),
+        stream_windows.rollup_from_state,
+        "rollcomp",
+    )
+    assert got == want
+    floor = max(r["floor"] for r in state)
+    assert floor > 0, "4-batch replay with compact_every=2 must compact"
+    n_buckets = len(
+        {(r["bucket_start"], r["event_type"]) for r in state}
+    )
+    live = [r for r in state if r["batch_id"] >= floor]
+    assert len(live) <= 2 * n_buckets, "live partials must be bucket-bounded"
+
+
 # ------------------------------------ general CEP pattern builder
 
 

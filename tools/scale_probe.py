@@ -631,6 +631,14 @@ FOLD_OPS = {
 #: plus the last batch's raw fragments. Compare against the raw
 #: sessions/funnel_from_state rows above to see what compaction buys.
 COMPACTED_FOLD_OPS = {
+    # round-13: the mergeable-partial representative (exact sum-of-sums
+    # compaction, extended from the session/funnel floor discipline)
+    "wordcount_from_state_compacted": (
+        "documents",
+        lambda b: _wordcount.wordcount_partials(b),
+        lambda f: _wordcount.compact_wordcount_partials(f),
+        lambda spark, t: _wordcount.wordcount_from_state(spark, t[0]),
+    ),
     "sessions_from_state_compacted": (
         "events",
         lambda b: W.session_fragments(b),
