@@ -111,6 +111,34 @@ def test_ivf_pq_prebuilt_topk_registered(spark):
     assert n_ex <= 15, f"prebuilt plan still carries training ({n_ex} exchanges)"
 
 
+def test_ivfpq_prebuilt_memo_is_session_keyed(spark, tmp_path):
+    """Review-fix pin: the prebuilt-index memo must MISS when the
+    cached entry belongs to a different session (frames bound to a
+    stopped SparkContext must never be returned) and must reclaim the
+    stale entry's on-disk directory on rebuild."""
+    import os
+
+    from flink_snappydata_spark.specs import embeddings_quality as eq
+
+    idx = eq.ivfpq_prebuilt_index(spark, SF_SMOKE)
+    assert eq.ivfpq_prebuilt_index(spark, SF_SMOKE) is idx, "same-session hit"
+    # simulate a stale entry from a dead session: different owner
+    # object, a real directory that must be reclaimed
+    stale_dir = str(tmp_path / "stale-ivfpq")
+    os.makedirs(stale_dir, exist_ok=True)
+    _, live_idx, live_dir = eq._IVFPQ_PREBUILT[SF_SMOKE]
+    eq._IVFPQ_PREBUILT[SF_SMOKE] = (object(), live_idx, stale_dir)
+    try:
+        rebuilt = eq.ivfpq_prebuilt_index(spark, SF_SMOKE)
+        assert rebuilt is not live_idx, "stale-owner hit must rebuild"
+        assert eq._IVFPQ_PREBUILT[SF_SMOKE][0] is spark, "re-keyed to session"
+        assert not os.path.exists(stale_dir), "stale index dir reclaimed"
+        assert len(rebuilt.qv.take(1)) == 1, "rebuilt index is live"
+    finally:
+        # leave the memo in a sane live state for later tests
+        assert eq._IVFPQ_PREBUILT[SF_SMOKE][0] is spark
+
+
 # ------------------- mergeable-partial compaction (wordcount loop)
 
 
