@@ -620,6 +620,19 @@ FOLD_OPS = {
         [("ev", None)],
         lambda spark, t: CEP.cep_from_state(spark, t[0]),
     ),
+    # round-13 raw-log twins (same non-compactable state shape)
+    "absence_from_state": (
+        "events",
+        lambda b: b.select("user_id", "event_id", "ts", "event_type"),
+        [("ev", None)],
+        lambda spark, t: CEP.cep_absence_from_state(spark, t[0]),
+    ),
+    "multistage_from_state": (
+        "events",
+        lambda b: b.select("user_id", "event_id", "ts", "event_type", "value"),
+        [("ev", None)],
+        lambda spark, t: CEP.cep_multistage_from_state(spark, t[0]),
+    ),
 }
 
 #: Compacted-state variants (round 12): the session/funnel ingest
