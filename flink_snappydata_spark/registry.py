@@ -63,19 +63,19 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 # against their DuckDB oracles every pytest run, so driver-stamp
 # staleness never means unverified code, only an older driver receipt.
 #
-# Round-13 window (_HEAD, 50 names) — exactly the round-12 verdict's
-# task-1 directive: the 8 round-12 additions (never stamped; invariant
-# (b) puts new work first: full-outer stream join, the CEP family,
-# topn/quantiles twins), the 18 r08-stamped remainder (line_dedup …
-# pq_codebook — staleness 5 at r13, cadence-due under invariant (a)),
-# and the 24 stalest r09-stamped queries in declaration order per (c)
-# (all 50 r09 stamps share staleness 4, so declaration order is the
-# tiebreak; agg_distinct … window_distribution make the cut). After
-# the driver stamps this window every registered query has a green
-# driver row inside the threshold-5 cadence: stalest surviving stamps
-# are the 26 r09 remainder (staleness 4 at r13), which follow the
-# never-stamped r13 additions in _R14_QUEUE and rotate next round at
-# staleness 5.
+# Round-14 window (_HEAD, 50 names) — exactly the round-13 verdict's
+# task-1 directive: the 5 round-13 additions (never stamped; invariant
+# (b) puts new work first: the multi-stage CEP pair, the absence and
+# multistage stream→table loops, and the prebuilt-index IVFADC), the
+# 26 r09-stamped remainder (staleness 5 at r14 — cadence-due under
+# invariant (a): window_lag_lead … drift_streamed), and the 19
+# stalest r10-stamped queries in declaration order per (c) (all 50
+# r10 stamps share staleness 4, so declaration order is the tiebreak;
+# rollup_multires … mmr_select make the cut). After the driver stamps
+# this window every registered query has a green driver row inside
+# the threshold-5 cadence: stalest surviving stamps are the 31 r10
+# remainder (staleness 4 at r14), which follow any never-stamped r14
+# additions in _R15_QUEUE and rotate next round at staleness 5.
 #
 # All queue entries are fully verified locally every pytest run via
 # test_oracle_parity plus the per-op semantic suites — driver-stamp
@@ -87,79 +87,16 @@ from flink_snappydata_spark.specs.profiling_analytics import (  # noqa: F401
 #: max(stamp files)+1, so the suite a round ships stays green both
 #: before and after the driver writes its CORRECTNESS_r{N}.json — and
 #: goes red only if a round closes without rotating the window.
-_HEAD_ROUND = 13
+_HEAD_ROUND = 14
 
 _HEAD = [
-    # -- never stamped: the round-12 additions, r13-queue order --
-    "stream_join_full_outer",
-    "cep_pattern_match",
-    "cep_absence_alerts",
-    "window_funnel",
-    "temporal_dim_join",
-    "cep_streamed",
-    "topn_streamed",
-    "quantiles_streamed",
-    # -- cadence-due: the 18 r08-stamped remainder (staleness 5) --
-    "line_dedup",
-    "source_doc_cap",
-    "mix_streamed",
-    "centroids_streamed",
-    "wordcount_streamed",
-    "dedup_streamed",
-    "agg_approx_distinct",
-    "image_resize_stats",
-    "image_phash_dedup",
-    "epoch_shuffle",
-    "unigram_surprisal",
-    "bigram_surprisal",
-    "dsir_weights",
-    "tfidf_keywords",
-    "gopher_rules",
-    "quality_auc",
-    "ccnet_buckets",
-    "pq_codebook",
-    # -- rotation: 24 stalest r09-stamped, declaration order --
-    "agg_distinct",
-    "agg_rollup",
-    "agg_cube",
-    "agg_having",
-    "agg_grouping_sets",
-    "subquery_above_nation_avg",
-    "grouped_zscore",
-    "mappartitions_identity",
-    "star_join_revenue",
-    "broadcast_dim_join",
-    "join_left_outer",
-    "join_semi",
-    "join_anti",
-    "join_band",
-    "join_nonequi",
-    "topk_orders",
-    "distinct_pairs",
-    "join_full_outer",
-    "set_ops_nations",
-    "agg_mode",
-    "weighted_median_price",
-    "window_rank",
-    "window_running_sum",
-    "window_distribution",
-]
-
-#: The r14 stamp queue. Head: any round-13 additions (never stamped —
-#: rotation invariant (b) requires never-stamped queries to occupy the
-#: FIRST post-window slots; new queries register here, not at the
-#: tail). Then the 26 r09-stamped queries that did not fit in the r13
-#: window (staleness 5 at r14 — cadence-due under invariant (a)), in
-#: declaration order. All queue entries are oracle-verified locally
-#: every pytest run.
-_R14_QUEUE: list[str] = [
-    # -- round-13 additions (never stamped; new work drains first) --
+    # -- never stamped: the round-13 additions, r14-queue order --
     "ivf_pq_prebuilt_topk",
     "cep_multi_stage",
     "cep_multi_stage_relaxed",
     "absence_streamed",
     "multistage_streamed",
-    # -- r09-stamped remainder (cadence-due at r14) --
+    # -- cadence-due: the 26 r09-stamped remainder (staleness 5) --
     "window_lag_lead",
     "window_range_frame",
     "pivot_revenue",
@@ -186,20 +123,84 @@ _R14_QUEUE: list[str] = [
     "ohlc_streamed",
     "scd2_streamed",
     "drift_streamed",
+    # -- rotation: 19 stalest r10-stamped, declaration order --
+    "rollup_multires",
+    "pq_adc_topk",
+    "random_projection",
+    "hard_negatives",
+    "inverted_index",
+    "cms_heavy_hitters",
+    "pagerank",
+    "retention_cohorts",
+    "ordered_funnel",
+    "events_mad_outliers",
+    "source_centroids",
+    "embedding_dim_stats",
+    "bloom_membership",
+    "latest_snapshot",
+    "timeline_gapfill",
+    "percentile_bands",
+    "vocab_growth",
+    "knn_accuracy",
+    "mmr_select",
+]
+
+#: The r15 stamp queue. Head: any round-14 additions (never stamped —
+#: rotation invariant (b) requires never-stamped queries to occupy the
+#: FIRST post-window slots; new queries register here, not at the
+#: tail). Then the 31 r10-stamped queries that did not fit in the r14
+#: window (staleness 5 at r15 — cadence-due under invariant (a)), in
+#: declaration order. All queue entries are oracle-verified locally
+#: every pytest run.
+_R15_QUEUE: list[str] = [
+    # -- round-14 additions (never stamped; new work drains first) --
+    # (populated as round 14 registers new queries)
+    # -- r10-stamped remainder (cadence-due at r15) --
+    "typo_pairs",
+    "zorder_key",
+    "event_rate_spikes",
+    "equidepth_histogram",
+    "readability_scores",
+    "session_paths",
+    "snapshot_diff",
+    "merge_upsert",
+    "event_transitions",
+    "zonemap_skip_stats",
+    "weighted_sample",
+    "ohlc_bars",
+    "trend_regression",
+    "conversion_attribution",
+    "table_profile",
+    "key_skew_profile",
+    "bpe_merges",
+    "temperature_mix",
+    "user_growth",
+    "itemset_pairs",
+    "referential_audit",
+    "graph_triangles",
+    "ks_drift",
+    "ab_test_report",
+    "activity_heatmap",
+    "repeat_purchase_stats",
+    "session_conversion",
+    "quantile_transform",
+    "token_drift_topk",
+    "rfm_segments",
+    "funnel_latency",
 ]
 
 _TAIL: list[str] = []
 
 
 def _reorder() -> None:
-    order = _HEAD + _R14_QUEUE + _TAIL
+    order = _HEAD + _R15_QUEUE + _TAIL
     missing = [n for n in order if n not in QUERIES]
     if missing:  # pragma: no cover - guards registry edits
         raise KeyError(f"unknown registry entries in order lists: {missing}")
     middle = [
-        n for n in QUERIES if n not in _HEAD and n not in _R14_QUEUE and n not in _TAIL
+        n for n in QUERIES if n not in _HEAD and n not in _R15_QUEUE and n not in _TAIL
     ]
-    ordered = {n: QUERIES[n] for n in _HEAD + _R14_QUEUE + middle + _TAIL}
+    ordered = {n: QUERIES[n] for n in _HEAD + _R15_QUEUE + middle + _TAIL}
     # Reorder IN PLACE: QUERIES is the same dict object the specs
     # package exports, so mutating (rather than rebinding) keeps
     # specs.QUERIES and registry.QUERIES identical — any importer sees
