@@ -448,16 +448,41 @@ def cep_match_pattern(
     * ``within`` (Flink ``Pattern.within``): when given, a match must
       fit inside the window — ``match_end <= match_start + within``.
 
-    Equal to Flink's greedy NFA whenever each stage's ``max_count`` is
-    unbounded (the dominant production shape — funnels, retries,
-    escalations); with a bounded ``max_count``, a maximal run LONGER
-    than the bound fails the stage here (the quantifier bounds the
-    whole run) whereas the NFA could match a sub-run — the documented
-    delta, chosen because it keeps the operator one declarative pass,
-    oracle-expressible, and deterministic under AFTER MATCH SKIP PAST
-    LAST ROW. Matches are provably disjoint when stage predicates are
-    pairwise disjoint (a match's interior runs can't start another
-    match), which the registered query's pattern satisfies.
+    BOUNDED QUANTIFIERS — NFA-equivalent sub-run matching (closes the
+    r13 delta): with first-match-wins labels and strict contiguity, a
+    greedy NFA's stage segmentation at any start position is FORCED —
+    a middle stage must consume its maximal run exactly (cutting early
+    leaves a same-label next event that fails the next stage), so a
+    middle run longer than its bound genuinely has no match, in the
+    engine AND in Flink. Only the pattern's EDGES have sub-run
+    freedom: the FIRST stage may start mid-run (the NFA's earliest
+    surviving start consumes exactly the run's SUFFIX of length
+    ``min(L, max)``) and the LAST stage may stop early (greedy
+    consumes the run's PREFIX of length ``min(L, max)``, and AFTER
+    MATCH SKIP PAST LAST ROW discards the overrun). The compiler
+    implements exactly that: a bounded first/last stage passes with
+    any run ``>= min_count``, its emitted count is ``min(L, max)``,
+    and ``match_start``/``match_end`` are the suffix/prefix boundary
+    timestamps (computed per run on the same user partitioning — no
+    extra shuffle; patterns with no bounded edge compile to the
+    identical plan as before). A single-stage pattern with a bounded
+    quantifier is rejected: Flink's skip-past-last chunking of one
+    over-long run into ``floor(L/max)`` matches is a different
+    operator (tests/test_round14_ops.py pins the NFA equivalence
+    differentially).
+
+    Matches are provably disjoint FOR ANY stage spec (not just
+    pairwise-disjoint predicates): a candidate match occupies k
+    consecutive runs labeled exactly 1..k, so two candidates starting
+    at run positions i < j < i+k would need run j to carry label
+    j-i+1 > 1 and label 1 simultaneously — impossible; for k = 1,
+    maximal runs of label 1 are separated by other labels. Clearing
+    the closed-run history on a quantifier-passing match (skip past
+    last row) therefore can never drop a later batch-visible match,
+    even when a downstream ``within`` post-filter rejects the emitted
+    one — the invariant the live twin's state machine relies on
+    (``streaming/cep.py``), pinned by
+    tests/test_round14_ops.py::test_candidate_matches_always_disjoint.
 
     Returns ``(user_id, match_start, match_end, n_<stage.name>...)``
     sorted by (user_id, match_start) when ``sort=True``.
@@ -471,6 +496,21 @@ def cep_match_pattern(
     """
     if contiguity not in ("strict", "relaxed"):
         raise ValueError(f"contiguity must be strict|relaxed: {contiguity!r}")
+    if len(stages) == 1 and stages[0].max_count is not None:
+        raise ValueError(
+            "single-stage patterns with a bounded quantifier are not "
+            "supported: Flink's skip-past-last chunking of one over-long "
+            "run into floor(L/max) matches is a different operator — use "
+            "an unbounded quantifier or add a stage"
+        )
+    if within is not None:
+        # API parity with the streaming twin: validate through the same
+        # fixed-width-unit contract (_window_seconds) BEFORE handing the
+        # string to F.expr — calendar units ('1 month') are rejected
+        # here with a clear error instead of silently varying by anchor,
+        # and malformed strings fail fast instead of as opaque Spark
+        # parse errors at analysis time.
+        _window_seconds(within)
     label = stage_label_expr(stages)
 
     labeled = events.select(
@@ -494,30 +534,72 @@ def cep_match_pattern(
             0,
         ).otherwise(1),
     )
-    runs = (
-        flagged.withColumn(
-            "run_id",
-            F.sum("new_run").over(
-                w_rn.rowsBetween(Window.unboundedPreceding, 0)
-            ),
+    with_runs = flagged.withColumn(
+        "run_id",
+        F.sum("new_run").over(
+            w_rn.rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    k = len(stages)
+    # sub-run boundaries for bounded EDGE stages (see docstring): the
+    # suffix start of a label-1 run capped at max_count events from the
+    # end, and the prefix end of a label-k run capped at max_count from
+    # the start. Computed per event over the (user_id, run_id) window —
+    # hashpartitioning(user_id) already satisfies it, so this adds a
+    # sort within the existing exchange, never a new shuffle. Skipped
+    # entirely when no edge stage is bounded (identical plan to r13).
+    first_max = stages[0].max_count
+    last_max = stages[-1].max_count if k > 1 else None
+    extra_aggs = []
+    if first_max is not None or last_max is not None:
+        w_run = Window.partitionBy("user_id", "run_id").orderBy("rn")
+        w_run_all = w_run.rowsBetween(
+            Window.unboundedPreceding, Window.unboundedFollowing
         )
-        .groupBy("user_id", "run_id")
-        .agg(
-            F.min("stage_id").alias("stage_id"),  # constant per run
-            F.count(F.lit(1)).alias("cnt"),
-            F.min("ts").alias("start_ts"),
-            F.max("ts").alias("end_ts"),
-            F.min("rn").alias("start_rn"),
-        )
+        with_runs = with_runs.withColumn(
+            "pos", F.row_number().over(w_run)
+        ).withColumn("run_cnt", F.count(F.lit(1)).over(w_run_all))
+        if first_max is not None:
+            extra_aggs.append(
+                F.min(
+                    F.when(
+                        F.col("pos")
+                        == F.greatest(
+                            F.lit(1), F.col("run_cnt") - F.lit(first_max - 1)
+                        ),
+                        F.col("ts"),
+                    )
+                ).alias("sub_start_ts")
+            )
+        if last_max is not None:
+            extra_aggs.append(
+                F.max(
+                    F.when(
+                        F.col("pos")
+                        == F.least(F.col("run_cnt"), F.lit(last_max)),
+                        F.col("ts"),
+                    )
+                ).alias("sub_end_ts")
+            )
+    runs = with_runs.groupBy("user_id", "run_id").agg(
+        F.min("stage_id").alias("stage_id"),  # constant per run
+        F.count(F.lit(1)).alias("cnt"),
+        F.min("ts").alias("start_ts"),
+        F.max("ts").alias("end_ts"),
+        F.min("rn").alias("start_rn"),
+        *extra_aggs,
     )
     w_runs = Window.partitionBy("user_id").orderBy("start_rn")
-    k = len(stages)
     seq = runs.select(
         "user_id",
-        "start_ts",
+        F.col("sub_start_ts" if first_max is not None else "start_ts").alias(
+            "_start"
+        ),
         *[F.lead("stage_id", i).over(w_runs).alias(f"_s{i}") for i in range(k)],
         *[F.lead("cnt", i).over(w_runs).alias(f"_c{i}") for i in range(k)],
-        F.lead("end_ts", k - 1).over(w_runs).alias("_end"),
+        F.lead(
+            "sub_end_ts" if last_max is not None else "end_ts", k - 1
+        ).over(w_runs).alias("_end"),
     )
     cond = F.lit(True)
     for i, st in enumerate(stages):
@@ -526,20 +608,28 @@ def cep_match_pattern(
             & (F.col(f"_s{i}") == i + 1)
             & (F.col(f"_c{i}") >= st.min_count)
         )
-        if st.max_count is not None:
+        # bounded EDGE stages match a sub-run (suffix/prefix of length
+        # min(L, max)) instead of failing on overrun — the NFA
+        # semantics; bounded MIDDLE stages keep the exact upper bound
+        # (forced consumption: an overrun middle run has no match)
+        if st.max_count is not None and 0 < i < k - 1:
             cond = cond & (F.col(f"_c{i}") <= st.max_count)
+
+    def _n(i: int, st: PatternStage) -> Column:
+        cap = st.max_count
+        if cap is None or 0 < i < k - 1:
+            return F.col(f"_c{i}")
+        return F.least(F.col(f"_c{i}"), F.lit(cap))
+
     if within is not None:
         cond = cond & (
-            F.col("_end") <= F.col("start_ts") + F.expr(f"INTERVAL {within}")
+            F.col("_end") <= F.col("_start") + F.expr(f"INTERVAL {within}")
         )
     out = seq.filter(cond).select(
         "user_id",
-        F.col("start_ts").alias("match_start"),
+        F.col("_start").alias("match_start"),
         F.col("_end").alias("match_end"),
-        *[
-            F.col(f"_c{i}").alias(f"n_{st.name}")
-            for i, st in enumerate(stages)
-        ],
+        *[_n(i, st).alias(f"n_{st.name}") for i, st in enumerate(stages)],
     )
     return out.orderBy("user_id", "match_start") if sort else out
 
@@ -566,6 +656,29 @@ def cep_funnel_pattern(events: DataFrame) -> DataFrame:
     .timesOrMore(2).next("purchase")``). Stage predicates are pairwise
     disjoint, so matches are disjoint (see the builder docstring)."""
     return cep_match_pattern(events, _funnel_stages())
+
+
+def cep_funnel_bounded(events: DataFrame) -> DataFrame:
+    """The BOUNDED-QUANTIFIER registered instance — exercises the
+    NFA-equivalent sub-run semantics at both pattern edges (Flink:
+    ``begin("view").times(1, 2).next("click").where(value>=0.5)
+    .oneOrMore().next("purchase").times(1)``): an over-long view run
+    matches its 2-event SUFFIX (match_start moves inside the run), an
+    over-long purchase run matches its first event (match_end stops at
+    the PREFIX), and emitted counts are capped at the bounds —
+    bit-identical to the reference NFA per
+    tests/test_round14_ops.py::test_engine_equals_reference_nfa."""
+    return cep_match_pattern(
+        events,
+        [
+            PatternStage("view", "view", min_count=1, max_count=2),
+            PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            ),
+            PatternStage("purchase", "purchase", min_count=1, max_count=1),
+        ],
+    )
 
 
 def cep_funnel_pattern_relaxed(events: DataFrame) -> DataFrame:

@@ -1,0 +1,229 @@
+"""MATCH_RECOGNIZE front-end for the CEP pattern builder.
+
+Flink exposes its CEP library to SQL users through the SQL-standard
+``MATCH_RECOGNIZE`` clause (reference:
+``flinksamples``' platform docs; FlinkSQL ``table.sql.MatchRecognize``)
+— row-pattern matching with ``PARTITION BY`` / ``ORDER BY`` /
+``PATTERN`` / ``DEFINE``. Spark SQL has no MATCH_RECOGNIZE; the engine
+already has the compile target (:func:`~flink_snappydata_spark.
+operators.cep.cep_match_pattern` — NFA-equivalent run matching with
+AFTER MATCH SKIP PAST LAST ROW), so this module is surface, not
+engine: a small, strict parser from the clause's text to
+``[PatternStage]`` + ``within``.
+
+Supported subset (everything the compile target expresses):
+
+* ``PARTITION BY user_id`` and ``ORDER BY ts`` — optional, but when
+  present must name the engine's hard-wired keys (the builder
+  partitions by ``user_id`` and orders by ``(ts, event_id)``);
+* ``PATTERN ( VAR[quant] ... )`` with quantifiers: bare (exactly
+  once), ``+`` (one or more), ``{m}``, ``{m,}``, ``{m,n}`` — strict
+  sequential contiguity, the MATCH_RECOGNIZE default;
+* ``WITHIN INTERVAL '<n>' <UNIT>`` — fixed-width units only;
+* ``AFTER MATCH SKIP PAST LAST ROW`` — optional (it is the only
+  strategy the engine implements; any other skip clause is rejected);
+* ``DEFINE var AS <boolean sql>, ...`` — conditions are Spark SQL
+  expressions over the event row; a pattern variable with no DEFINE
+  defaults to TRUE (the SQL-standard rule), subject to the engine's
+  first-match-wins label priority for overlapping conditions.
+
+Rejected loudly (not silently narrowed): ``MEASURES`` (output is the
+builder's fixed (match_start, match_end, n_<var>...) shape), ``*`` /
+``?`` quantifiers (min-0 stages need a different machine), alternation
+/ grouping inside PATTERN, and reluctant (``+?``) quantifiers.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from flink_snappydata_spark.operators.cep import (
+    PatternStage,
+    cep_match_pattern,
+)
+
+_IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
+
+#: var + optional quantifier: bare, +, {m}, {m,}, {m,n}
+_TOKEN_RE = re.compile(
+    rf"({_IDENT})(\+\??|\*|\?|\{{\s*\d+\s*(?:,\s*\d*\s*)?\}})?\s*"
+)
+
+_INTERVAL_RE = re.compile(
+    r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE
+)
+
+
+class MatchRecognizeError(ValueError):
+    """Parse/validation failure with the offending clause fragment."""
+
+
+def _clause(sql: str, name: str) -> str | None:
+    """Extract the parenthesized body of ``name ( ... )`` (balanced)."""
+    m = re.search(rf"{name}\s*\(", sql, re.IGNORECASE)
+    if not m:
+        return None
+    depth, i = 1, m.end()
+    while i < len(sql) and depth:
+        if sql[i] == "(":
+            depth += 1
+        elif sql[i] == ")":
+            depth -= 1
+        i += 1
+    if depth:
+        raise MatchRecognizeError(f"unbalanced parentheses in {name} clause")
+    return sql[m.end() : i - 1]
+
+
+def _parse_quant(var: str, q: str | None) -> tuple[int, int | None]:
+    if q is None:
+        return (1, 1)  # bare variable: exactly one row (SQL standard)
+    if q in ("*", "?"):
+        raise MatchRecognizeError(
+            f"{var}{q}: min-0 quantifiers are not supported — a stage "
+            "must match at least one row"
+        )
+    if q.endswith("?"):
+        raise MatchRecognizeError(
+            f"{var}{q}: reluctant quantifiers are not supported "
+            "(matching is greedy, the MATCH_RECOGNIZE default)"
+        )
+    if q == "+":
+        return (1, None)
+    body = q.strip("{}").strip()
+    if "," in body:
+        lo_s, hi_s = (s.strip() for s in body.split(",", 1))
+        lo = int(lo_s)
+        hi = int(hi_s) if hi_s else None
+    else:
+        lo = hi = int(body)
+    if lo < 1:
+        raise MatchRecognizeError(
+            f"{var}{q}: min occurrences must be >= 1"
+        )
+    if hi is not None and hi < lo:
+        raise MatchRecognizeError(f"{var}{q}: max < min")
+    return (lo, hi)
+
+
+def compile_match_recognize(
+    sql: str,
+) -> tuple[list[PatternStage], str | None]:
+    """Parse a MATCH_RECOGNIZE clause body to ``(stages, within)`` —
+    the :func:`cep_match_pattern` inputs. Accepts the full clause with
+    or without the ``MATCH_RECOGNIZE ( ... )`` wrapper."""
+    body = _clause(sql, "MATCH_RECOGNIZE") or sql
+
+    if re.search(r"\bMEASURES\b", body, re.IGNORECASE):
+        raise MatchRecognizeError(
+            "MEASURES is not supported: the output shape is fixed — "
+            "(user_id, match_start, match_end, n_<var>...)"
+        )
+    part = re.search(rf"PARTITION\s+BY\s+({_IDENT})", body, re.IGNORECASE)
+    if part and part.group(1).lower() != "user_id":
+        raise MatchRecognizeError(
+            f"PARTITION BY {part.group(1)}: the engine partitions "
+            "patterns by user_id"
+        )
+    order = re.search(rf"ORDER\s+BY\s+({_IDENT})", body, re.IGNORECASE)
+    if order and order.group(1).lower() != "ts":
+        raise MatchRecognizeError(
+            f"ORDER BY {order.group(1)}: the engine orders by "
+            "(ts, event_id)"
+        )
+    skip = re.search(
+        r"AFTER\s+MATCH\s+SKIP\s+(.*?)(?=\bPATTERN\b|\bWITHIN\b|$)",
+        body,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if skip and not re.fullmatch(
+        r"PAST\s+LAST\s+ROW\s*", skip.group(1), re.IGNORECASE
+    ):
+        raise MatchRecognizeError(
+            f"AFTER MATCH SKIP {skip.group(1).strip()}: only "
+            "SKIP PAST LAST ROW is supported"
+        )
+
+    pattern = _clause(body, "PATTERN")
+    if pattern is None:
+        raise MatchRecognizeError("missing PATTERN ( ... ) clause")
+    if re.search(r"[|()]", pattern):
+        raise MatchRecognizeError(
+            "alternation/grouping inside PATTERN is not supported: "
+            "patterns are a flat variable sequence"
+        )
+    pos, tokens = 0, []
+    pattern = pattern.strip()
+    while pos < len(pattern):
+        m = _TOKEN_RE.match(pattern, pos)
+        if not m:
+            raise MatchRecognizeError(
+                f"cannot parse PATTERN at: {pattern[pos:]!r}"
+            )
+        tokens.append((m.group(1), m.group(2)))
+        pos = m.end()
+    if not tokens:
+        raise MatchRecognizeError("empty PATTERN")
+    names = [v for v, _ in tokens]
+    if len(set(n.lower() for n in names)) != len(names):
+        raise MatchRecognizeError(f"duplicate pattern variables: {names}")
+
+    within = None
+    wm = _INTERVAL_RE.search(body)
+    if wm:
+        within = f"{wm.group(1)} {wm.group(2).lower()}"
+
+    defines: dict[str, str] = {}
+    dm = re.search(
+        r"\bDEFINE\b(.*?)(?=\bWITHIN\b|$)", body, re.IGNORECASE | re.DOTALL
+    )
+    if dm:
+        # split on ", var AS" boundaries so commas inside conditions
+        # (function calls, IN lists) survive
+        parts = re.split(
+            rf",\s*(?=({_IDENT})\s+AS\s)", dm.group(1), flags=re.IGNORECASE
+        )
+        chunks = [parts[0]] + [
+            p for p in parts[1:] if p and not re.fullmatch(_IDENT, p)
+        ]
+        for chunk in chunks:
+            em = re.match(
+                rf"\s*({_IDENT})\s+AS\s+(.+?)\s*$",
+                chunk,
+                re.IGNORECASE | re.DOTALL,
+            )
+            if not em:
+                raise MatchRecognizeError(
+                    f"cannot parse DEFINE entry: {chunk.strip()!r}"
+                )
+            var = em.group(1).lower()
+            if var not in (n.lower() for n in names):
+                raise MatchRecognizeError(
+                    f"DEFINE {em.group(1)}: not a PATTERN variable "
+                    f"(pattern has {names})"
+                )
+            if var in defines:
+                raise MatchRecognizeError(f"duplicate DEFINE for {var}")
+            defines[var] = em.group(2)
+
+    stages = []
+    for var, quant in tokens:
+        cond_sql = defines.get(var.lower())
+        predicate = F.expr(cond_sql) if cond_sql is not None else F.lit(True)
+        lo, hi = _parse_quant(var, quant)
+        stages.append(
+            PatternStage(var.lower(), predicate, min_count=lo, max_count=hi)
+        )
+    return stages, within
+
+
+def match_recognize(events: DataFrame, sql: str) -> DataFrame:
+    """Run a MATCH_RECOGNIZE clause against an events frame: parse via
+    :func:`compile_match_recognize`, execute via the NFA-equivalent
+    pattern builder. Strict contiguity, AFTER MATCH SKIP PAST LAST
+    ROW — the clause's defaults."""
+    stages, within = compile_match_recognize(sql)
+    return cep_match_pattern(events, stages, within=within)

@@ -154,7 +154,8 @@ _HEAD = [
 #: every pytest run.
 _R15_QUEUE: list[str] = [
     # -- round-14 additions (never stamped; new work drains first) --
-    # (populated as round 14 registers new queries)
+    "cep_bounded_subrun",
+    "match_recognize_funnel",
     # -- r10-stamped remainder (cadence-due at r15) --
     "typo_pairs",
     "zorder_key",

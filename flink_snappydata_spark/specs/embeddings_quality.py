@@ -852,11 +852,29 @@ _register(
 # memoized, then the SAME search against the reopened index — values
 # are bit-identical, so ivf_pq_topk's oracle applies verbatim.
 
-#: sf_dir -> (owning SparkSession, loaded index, on-disk base dir).
-#: Keyed by SESSION IDENTITY too: the loaded frames are bound to the
-#: session that read them, so a cache hit from a stopped/recreated
-#: session would hand out dead DataFrames.
-_IVFPQ_PREBUILT: dict[str, tuple[object, similarity.IvfPqIndex, str]] = {}
+#: (session identity, sf_dir) -> (owning SparkSession, loaded index,
+#: on-disk base dir). Keyed by SESSION IDENTITY: the loaded frames are
+#: bound to the session that read them, so a cache hit from a
+#: stopped/recreated session would hand out dead DataFrames — and two
+#: CONCURRENTLY live sessions for the same sf_dir each get their own
+#: entry + directory (the value's strong session ref keeps ``id()``
+#: stable for the key's lifetime). Superseded dirs are reclaimed
+#: eagerly ONLY when their owning session is confirmed stopped;
+#: everything else waits for atexit, so a live session's qv/codes
+#: frames never point at deleted parquet.
+_IVFPQ_PREBUILT: dict[
+    tuple[int, str], tuple[object, similarity.IvfPqIndex, str]
+] = {}
+
+
+def _session_stopped(spark) -> bool:
+    """True only when ``spark``'s SparkContext is confirmed down (the
+    only state in which its scans can't be re-run and the backing
+    files are safe to delete)."""
+    try:
+        return spark.sparkContext._jsc is None
+    except Exception:
+        return True
 
 
 def _drop_ivfpq_dirs() -> None:  # atexit: reclaim the saved indexes
@@ -869,12 +887,14 @@ def _drop_ivfpq_dirs() -> None:  # atexit: reclaim the saved indexes
 def ivfpq_prebuilt_index(spark, sf_dir: str) -> similarity.IvfPqIndex:
     """Build-once-per-(session, sf_dir) IVFADC index, saved to parquet
     and reopened — shared by the registered ``ivf_pq_prebuilt_topk``
-    query and bench's ``raw_ivfpq_query`` receipt. The memo key
-    includes the session (by identity): a new session rebuilds rather
-    than returning frames bound to a stopped SparkContext; superseded
-    and process-end index dirs are rmtree'd. Harness-scale file
-    layout: at sf<=0.1 the corpus frames are a few MB, so qv/codes
-    coalesce to 4 files (at real scale the build's natural
+    query and bench's ``raw_ivfpq_query`` receipt. The memo is keyed
+    by (session identity, sf_dir) with a per-entry directory: a new
+    session rebuilds rather than returning frames bound to a stopped
+    SparkContext, concurrent live sessions coexist without clobbering
+    each other's files, and directories are reclaimed eagerly only for
+    confirmed-stopped sessions (atexit sweeps the rest). Harness-scale
+    file layout: at sf<=0.1 the corpus frames are a few MB, so
+    qv/codes coalesce to 4 files (at real scale the build's natural
     partitioning stands and this coalesce is wrong)."""
     import atexit
     import shutil
@@ -882,7 +902,8 @@ def ivfpq_prebuilt_index(spark, sf_dir: str) -> similarity.IvfPqIndex:
 
     from flink_snappydata_spark.util import release_caches
 
-    cached = _IVFPQ_PREBUILT.get(sf_dir)
+    key = (id(spark), sf_dir)
+    cached = _IVFPQ_PREBUILT.get(key)
     if cached is not None and cached[0] is spark:
         return cached[1]
     base = tempfile.mkdtemp(prefix="fss-ivfpq-")
@@ -892,11 +913,17 @@ def ivfpq_prebuilt_index(spark, sf_dir: str) -> similarity.IvfPqIndex:
     ).save(base)
     release_caches()  # build-time persists aren't part of the index
     idx = similarity.ivf_pq_index_load(spark, base)
-    if cached is not None:  # stale session's index: reclaim its files
-        shutil.rmtree(cached[2], ignore_errors=True)
+    # Reclaim entries whose owning session is provably dead (covers the
+    # common stop/recreate cycle without waiting for process end);
+    # live sessions — including other sessions sharing this sf_dir —
+    # keep their entries and files untouched.
+    for k in [
+        k for k, v in _IVFPQ_PREBUILT.items() if _session_stopped(v[0])
+    ]:
+        shutil.rmtree(_IVFPQ_PREBUILT.pop(k)[2], ignore_errors=True)
     if not _IVFPQ_PREBUILT:
         atexit.register(_drop_ivfpq_dirs)
-    _IVFPQ_PREBUILT[sf_dir] = (spark, idx, base)
+    _IVFPQ_PREBUILT[key] = (spark, idx, base)
     return idx
 
 

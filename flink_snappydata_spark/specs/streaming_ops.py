@@ -15,6 +15,7 @@ from flink_snappydata_spark.streaming import joins as stream_joins
 from flink_snappydata_spark.streaming import windows as stream_windows
 
 from flink_snappydata_spark.specs.base import (
+    QUERIES,
     _cents,
     _register,
 )
@@ -579,6 +580,112 @@ _register(
         "neither break runs nor separate stages) with "
         "Pattern.within(2 days) — the noise-tolerant, time-bounded "
         "alerting shape.",
+)
+
+# round 14: MATCH_RECOGNIZE front-end (verdict task 5) — Flink's SQL
+# surface for CEP. The clause text compiles to the SAME stages as
+# cep_multi_stage, so its oracle applies verbatim; parser rejection
+# cases are pinned in tests/test_round14_ops.py.
+def _match_recognize_funnel(events):
+    from flink_snappydata_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    return match_recognize(
+        events,
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (view+ click{2,} purchase+)
+          DEFINE
+            view AS event_type = 'view',
+            click AS event_type = 'click' AND value >= 0.5,
+            purchase AS event_type = 'purchase'
+        )
+        """,
+    )
+
+
+# round 14: BOUNDED quantifiers with NFA-equivalent sub-run matching
+# (closes the r13 verdict's documented delta vs Flink CEP): view{1,2}
+# (click & value>=0.5){1,} purchase{1,1}. An over-long view run
+# matches its 2-event SUFFIX (sub_start = ts at position
+# max(1, L-1)), an over-long purchase run its 1-event PREFIX, and
+# emitted counts cap at the bounds; a bounded MIDDLE stage would keep
+# the exact upper bound (forced consumption — no sub-run exists, in
+# the engine and in Flink's NFA). Differential pin:
+# tests/test_round14_ops.py (300-example hypothesis + exhaustive
+# length-7 enumeration vs a reference NFA).
+_register(
+    "cep_bounded_subrun",
+    ["events"],
+    cep.cep_funnel_bounded,
+    """
+    WITH staged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 1
+                    WHEN event_type = 'click' AND value >= 0.5 THEN 2
+                    WHEN event_type = 'purchase' THEN 3
+                    ELSE -1 END AS stage_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN stage_id IS NOT DISTINCT FROM
+                  LAG(stage_id) OVER (PARTITION BY user_id ORDER BY rn)
+                  THEN 0 ELSE 1 END AS new_run
+        FROM staged
+    ), posd AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, run_id
+                                     ORDER BY rn) AS pos,
+               COUNT(*) OVER (PARTITION BY user_id, run_id) AS run_cnt
+        FROM (SELECT *, SUM(new_run) OVER (PARTITION BY user_id
+                                           ORDER BY rn) AS run_id
+              FROM flagged) t
+    ), runs AS (
+        SELECT user_id, run_id, MIN(stage_id) AS stage_id,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               MIN(rn) AS start_rn,
+               MIN(CASE WHEN pos = GREATEST(1, run_cnt - 1) THEN ts END)
+                   AS sub_start_ts,
+               MAX(CASE WHEN pos = LEAST(run_cnt, 1) THEN ts END)
+                   AS sub_end_ts
+        FROM posd
+        GROUP BY user_id, run_id
+    ), seq AS (
+        SELECT user_id, sub_start_ts, stage_id AS s0, cnt AS c0,
+               LEAD(stage_id, 1) OVER w AS s1, LEAD(cnt, 1) OVER w AS c1,
+               LEAD(stage_id, 2) OVER w AS s2, LEAD(cnt, 2) OVER w AS c2,
+               LEAD(sub_end_ts, 2) OVER w AS e2
+        FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id, sub_start_ts AS match_start, e2 AS match_end,
+           CAST(LEAST(c0, 2) AS BIGINT) AS n_view, c1 AS n_click,
+           CAST(LEAST(c2, 1) AS BIGINT) AS n_purchase
+    FROM seq
+    WHERE s0 = 1 AND c0 >= 1 AND s1 = 2 AND c1 >= 1 AND s2 = 3 AND c2 >= 1
+    ORDER BY user_id, match_start
+    """,
+    doc="Bounded-quantifier pattern with NFA-equivalent sub-run "
+        "matching at the edges: view{1,2} (click & value>=0.5){1,} "
+        "purchase{1,1} — over-long edge runs match their suffix/prefix "
+        "(match boundaries move inside the run, counts cap at the "
+        "bound), over-long middle runs fail exactly; one user-keyed "
+        "shuffle, the sub-run boundaries ride the same partitioning.",
+)
+
+_register(
+    "match_recognize_funnel",
+    ["events"],
+    _match_recognize_funnel,
+    QUERIES["cep_multi_stage"].oracle,
+    doc="SQL MATCH_RECOGNIZE surface (Flink's CEP-to-SQL bridge): "
+        "PATTERN (view+ click{2,} purchase+) with DEFINE conditions, "
+        "parsed to the same PatternStage spec as cep_multi_stage and "
+        "compiled by the same builder — clause text in, islands plan "
+        "out; shares cep_multi_stage's oracle verbatim.",
 )
 
 from flink_snappydata_spark.specs.base import QUERIES, QuerySpec  # noqa: E402

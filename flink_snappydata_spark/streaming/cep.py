@@ -202,80 +202,138 @@ def streaming_cep_match(
     )
 
 
+#: a CLOSED maximal run: (label, cnt, start_us, end_us, sub_start_us,
+#: sub_end_us) — sub_start is the suffix boundary a bounded FIRST
+#: stage would match from (= start when the run fits the bound or the
+#: bound doesn't apply), sub_end the prefix boundary a bounded LAST
+#: stage would stop at (= end likewise).
+ClosedRun = tuple[int, int, int, int, int, int]
+#: the OPEN trailing run: (label, cnt, start_us, last_us, mark_us,
+#: ring) — mark_us is the ts of the last-stage-bound'th event (0 until
+#: reached); ring holds the last <= first_max event timestamps so the
+#: suffix boundary is known at close (empty when not tracked).
+OpenRun = tuple[int, int, int, int, int, tuple[int, ...]]
+PatternState = tuple[tuple[ClosedRun, ...], OpenRun | None]
+
+
 def advance_pattern_state(
-    state: tuple[tuple[tuple[int, int, int, int], ...], tuple[int, int, int, int] | None],
+    state: PatternState,
     rows: list[tuple[int, int]],
     quants: list[tuple[int, int | None]],
-) -> tuple[
-    list[tuple[int, int, tuple[int, ...]]],
-    tuple[tuple[tuple[int, int, int, int], ...], tuple[int, int, int, int] | None],
-]:
+) -> tuple[list[tuple[int, int, tuple[int, ...]]], PatternState]:
     """Pure state transition for the GENERAL pattern machine: fold
     (ts_us, stage_label) rows — already in event-time order, labels
     pre-computed JVM-side by :func:`~flink_snappydata_spark.operators.
-    cep.stage_label_expr` — through the run-quantified matcher.
+    cep.stage_label_expr` — through the run-quantified matcher with
+    NFA-equivalent sub-run semantics for bounded EDGE stages (the
+    batch compiler's contract — see ``cep_match_pattern``'s docstring
+    for why only the first and last stages have sub-run freedom under
+    strict contiguity).
 
     State is ``(closed_runs, open_run)``: the last <= k CLOSED maximal
-    runs as ``(label, cnt, start_us, end_us)`` plus the open trailing
-    run — everything a future match can still reference, independent
-    of stream length. A run closes when the label changes; the match
-    check fires on close (run-quantified semantics need the run's
-    MAXIMAL length, so a match emits in the micro-batch containing the
-    event that closes its final stage run). On a match the closed
-    history clears — AFTER MATCH SKIP PAST LAST ROW. Returns
+    runs plus the open trailing run — everything a future match can
+    still reference. Size is O(k + first_max) longs (the suffix ring
+    is only kept on label-1 runs when the first stage is bounded),
+    independent of stream length. A run closes when the label changes;
+    the match check fires on close. On a match the closed history
+    clears — AFTER MATCH SKIP PAST LAST ROW, which is lossless even
+    when a downstream ``within`` filter rejects the match because
+    candidate matches are provably disjoint for any stage spec (run
+    positions pin stage labels; see the batch docstring). Returns
     ``(matches, new_state)`` with each match
-    ``(match_start_us, match_end_us, per-stage counts)``. Associative
-    over splits of an ordered sequence — pinned at every split point.
-    """
+    ``(match_start_us, match_end_us, per-stage effective counts)``
+    where a bounded edge stage's count is capped at its bound.
+    Associative over splits of an ordered sequence — pinned at every
+    split point."""
     closed, open_run = state
     matches: list[tuple[int, int, tuple[int, ...]]] = []
     k = len(quants)
+    first_max = quants[0][1]
+    last_max = quants[-1][1] if k > 1 else None
+    if k == 1 and first_max is not None:
+        raise ValueError(
+            "single-stage bounded patterns are rejected by the compiler"
+        )
 
-    def close_and_eval(run: tuple[int, int, int, int]) -> None:
+    def _ok(i: int, run: ClosedRun) -> bool:
+        lo, hi = quants[i]
+        if run[0] != i + 1 or run[1] < lo:
+            return False
+        # bounded EDGE stages absorb overrun via sub-run boundaries;
+        # bounded MIDDLE stages keep the exact upper bound
+        return hi is None or i == 0 or i == k - 1 or run[1] <= hi
+
+    def _eff(i: int, run: ClosedRun) -> int:
+        hi = quants[i][1]
+        if hi is None or 0 < i < k - 1:
+            return run[1]
+        return min(run[1], hi)
+
+    def close_and_eval(orun: OpenRun) -> None:
         nonlocal closed
-        closed = (closed + (run,))[-k:]
+        lab, cnt, start, last, mark, ring = orun
+        sub_start = ring[0] if ring else start
+        sub_end = mark if mark else last
+        closed = (closed + ((lab, cnt, start, last, sub_start, sub_end),))[-k:]
         if len(closed) == k and all(
-            r[0] == i + 1
-            and r[1] >= quants[i][0]
-            and (quants[i][1] is None or r[1] <= quants[i][1])
-            for i, r in enumerate(closed)
+            _ok(i, r) for i, r in enumerate(closed)
         ):
             matches.append(
-                (closed[0][2], closed[-1][3], tuple(r[1] for r in closed))
+                (
+                    closed[0][4],
+                    closed[-1][5],
+                    tuple(_eff(i, r) for i, r in enumerate(closed)),
+                )
             )
             closed = ()  # skip past last row
 
     for ts_us, lab in rows:
         if open_run is not None and lab == open_run[0]:
-            open_run = (lab, open_run[1] + 1, open_run[2], ts_us)
+            _, cnt, start, _, mark, ring = open_run
+            cnt += 1
+            if ring:
+                ring = (ring + (ts_us,))[-first_max:]
+            if lab == k and last_max is not None and cnt == last_max:
+                mark = ts_us
+            open_run = (lab, cnt, start, ts_us, mark, ring)
         else:
             if open_run is not None:
                 close_and_eval(open_run)
-            open_run = (lab, 1, ts_us, ts_us)
+            ring = (
+                (ts_us,)
+                if lab == 1 and first_max is not None
+                else ()
+            )
+            mark = (
+                ts_us if lab == k and last_max is not None and last_max == 1
+                else 0
+            )
+            open_run = (lab, 1, ts_us, ts_us, mark, ring)
     return matches, (closed, open_run)
 
 
-def _pack_pattern_state(
-    state: tuple[tuple[tuple[int, int, int, int], ...], tuple[int, int, int, int] | None],
-) -> tuple[list[int]]:
+def _pack_pattern_state(state: PatternState) -> tuple[list[int]]:
     closed, open_run = state
     flat = [len(closed)]
     for r in closed:
         flat.extend(r)
     if open_run is not None:
-        flat.extend(open_run)
+        lab, cnt, start, last, mark, ring = open_run
+        flat.extend((lab, cnt, start, last, mark, len(ring)))
+        flat.extend(ring)
     return (flat,)
 
 
-def _unpack_pattern_state(
-    packed: list[int],
-) -> tuple[tuple[tuple[int, int, int, int], ...], tuple[int, int, int, int] | None]:
+def _unpack_pattern_state(packed: list[int]) -> PatternState:
     n = packed[0]
     closed = tuple(
-        tuple(packed[1 + 4 * i : 5 + 4 * i]) for i in range(n)
+        tuple(packed[1 + 6 * i : 7 + 6 * i]) for i in range(n)
     )
-    rest = packed[1 + 4 * n :]
-    return closed, (tuple(rest) if rest else None)
+    rest = packed[1 + 6 * n :]
+    if not rest:
+        return closed, None
+    lab, cnt, start, last, mark, rlen = rest[:6]
+    return closed, (lab, cnt, start, last, mark, tuple(rest[6 : 6 + rlen]))
 
 
 def streaming_cep_pattern(
@@ -495,8 +553,17 @@ def streaming_cep_absence(
         # (the documented contract: an expired partial match fires and
         # a later run-type event starts a NEW run).
         if st[2] > 0:
-            stored_deadline_ms = (st[1] + within_us) // 1000
-            if stored_deadline_ms <= state.getCurrentWatermarkMs():
+            # CEIL the us→ms conversion and expire on STRICT `<` only:
+            # the in-time predicate is `ts_us <= run_end_us + within_us`,
+            # so a trigger landing exactly at (or within the truncated
+            # sub-millisecond of) the deadline must still be able to
+            # close the run. Floor + `<=` would let a spurious silence
+            # alert preempt it the moment the watermark touches the
+            # boundary — ceil + `<` matches Spark's strictly-greater
+            # event-time-timer semantics (timer fires only once the
+            # watermark is PAST setTimeoutTimestamp).
+            stored_deadline_ms = (st[1] + within_us + 999) // 1000
+            if stored_deadline_ms < state.getCurrentWatermarkMs():
                 if st[2] >= min_run:
                     silence.append((st[0], st[1], st[2], None, None))
                 st = (0, 0, 0)
@@ -505,10 +572,20 @@ def streaming_cep_absence(
             st, rows, run_type, trigger_type, min_run, within_us
         )
         if st[2] > 0:
-            deadline_ms = (st[1] + within_us) // 1000
-            if deadline_ms > state.getCurrentWatermarkMs():
+            # Same ceil + strict-inequality discipline as the pre-fold
+            # check: keep the timer armed while deadline_ms >= watermark
+            # so an exactly-at-deadline trigger in a later batch still
+            # wins over the silence alert.
+            deadline_ms = (st[1] + within_us + 999) // 1000
+            wm_ms = state.getCurrentWatermarkMs()
+            if deadline_ms >= wm_ms:
                 state.update(tuple(int(x) for x in st))
-                state.setTimeoutTimestamp(deadline_ms)
+                # Spark rejects timers at-or-before the watermark; when
+                # the deadline ms equals the watermark the timer arms
+                # one ms later and fires on the next watermark advance
+                # (any in-time trigger at that boundary is already
+                # watermark-late and filtered upstream).
+                state.setTimeoutTimestamp(max(deadline_ms, wm_ms + 1))
             else:
                 # watermark already past the pattern window (possible
                 # when the group's events trail the global watermark):

@@ -112,31 +112,47 @@ def test_ivf_pq_prebuilt_topk_registered(spark):
 
 
 def test_ivfpq_prebuilt_memo_is_session_keyed(spark, tmp_path):
-    """Review-fix pin: the prebuilt-index memo must MISS when the
-    cached entry belongs to a different session (frames bound to a
-    stopped SparkContext must never be returned) and must reclaim the
-    stale entry's on-disk directory on rebuild."""
+    """Review-fix pin (r13 + the r14 concurrent-session hardening):
+    the prebuilt-index memo is keyed by (session identity, sf_dir) —
+    a dead session's entry must not be returned and its on-disk
+    directory IS reclaimed on the next build, while a CONCURRENTLY
+    LIVE session's entry and directory must survive another session's
+    rebuild (its loaded qv/codes frames still point at those files)."""
     import os
 
     from flink_snappydata_spark.specs import embeddings_quality as eq
 
     idx = eq.ivfpq_prebuilt_index(spark, SF_SMOKE)
     assert eq.ivfpq_prebuilt_index(spark, SF_SMOKE) is idx, "same-session hit"
-    # simulate a stale entry from a dead session: different owner
-    # object, a real directory that must be reclaimed
+    live_key = (id(spark), SF_SMOKE)
+    _, live_idx, live_dir = eq._IVFPQ_PREBUILT[live_key]
+
+    # (a) dead-session entry (no SparkContext => confirmed stopped):
+    #     reclaimed on the next build
     stale_dir = str(tmp_path / "stale-ivfpq")
     os.makedirs(stale_dir, exist_ok=True)
-    _, live_idx, live_dir = eq._IVFPQ_PREBUILT[SF_SMOKE]
-    eq._IVFPQ_PREBUILT[SF_SMOKE] = (object(), live_idx, stale_dir)
+    dead_owner = object()
+    eq._IVFPQ_PREBUILT[(id(dead_owner), SF_SMOKE)] = (
+        dead_owner, live_idx, stale_dir,
+    )
+    # (b) concurrently-live entry (this session, different sf_dir key):
+    #     must NOT be reclaimed by another key's rebuild
+    peer_dir = str(tmp_path / "peer-ivfpq")
+    os.makedirs(peer_dir, exist_ok=True)
+    peer_key = (id(spark), str(tmp_path / "peer-sf"))
+    eq._IVFPQ_PREBUILT[peer_key] = (spark, live_idx, peer_dir)
+    # force a rebuild of the live key by dropping it
+    del eq._IVFPQ_PREBUILT[live_key]
     try:
         rebuilt = eq.ivfpq_prebuilt_index(spark, SF_SMOKE)
-        assert rebuilt is not live_idx, "stale-owner hit must rebuild"
-        assert eq._IVFPQ_PREBUILT[SF_SMOKE][0] is spark, "re-keyed to session"
-        assert not os.path.exists(stale_dir), "stale index dir reclaimed"
+        assert eq._IVFPQ_PREBUILT[live_key][0] is spark, "re-keyed to session"
+        assert not os.path.exists(stale_dir), "dead session dir reclaimed"
+        assert os.path.exists(peer_dir), "live session dir must survive"
+        assert peer_key in eq._IVFPQ_PREBUILT, "live entry must survive"
         assert len(rebuilt.qv.take(1)) == 1, "rebuilt index is live"
     finally:
-        # leave the memo in a sane live state for later tests
-        assert eq._IVFPQ_PREBUILT[SF_SMOKE][0] is spark
+        eq._IVFPQ_PREBUILT.pop(peer_key, None)
+        assert eq._IVFPQ_PREBUILT[live_key][0] is spark
 
 
 # ------------------- mergeable-partial compaction (wordcount loop)
@@ -281,8 +297,13 @@ def test_pattern_builder_strict_contiguity_and_quantifiers(spark):
 
 
 def test_pattern_builder_bounded_max_count(spark):
-    """A bounded max_count fails a LONGER maximal run (run-quantified
-    semantics, the documented delta vs the greedy NFA)."""
+    """Bounded max_count on an EDGE stage sub-run-matches an over-long
+    maximal run (NFA semantics — the r13 run-quantified delta is
+    closed in r14): user 2's click run of 3 matches its 2-event
+    SUFFIX, so match_start moves to the run's second event and the
+    emitted count caps at the bound. A bounded MIDDLE stage still
+    fails on overrun (forced consumption — see
+    tests/test_round14_ops.py for the NFA differential)."""
     from flink_snappydata_spark.operators.cep import (
         PatternStage,
         cep_match_pattern,
@@ -296,7 +317,7 @@ def test_pattern_builder_bounded_max_count(spark):
             (1, 2, 3, "purchase", 1.0),
             (2, 0, 4, "click", 1.0),
             (2, 1, 5, "click", 1.0),
-            (2, 2, 6, "click", 1.0),  # run of 3 > max_count=2
+            (2, 2, 6, "click", 1.0),  # run of 3 > max_count=2: suffix
             (2, 3, 7, "purchase", 1.0),
         ],
     )
@@ -305,8 +326,32 @@ def test_pattern_builder_bounded_max_count(spark):
         PatternStage("buy", "purchase"),
     ]
     got = cep_match_pattern(ev, stages).collect()
-    assert [r.user_id for r in got] == [1]
+    assert [r.user_id for r in got] == [1, 2]
     assert got[0].n_click == 2 and got[0].n_buy == 1
+    # user 2: suffix of the 3-run — starts at the run's SECOND event
+    u2 = got[1]
+    assert u2.n_click == 2 and u2.n_buy == 1
+    by_id = {r.event_id: r.ts for r in ev.collect()}
+    assert u2.match_start == by_id[5], "match_start = suffix boundary"
+    assert u2.match_end == by_id[7]
+
+    # middle-stage overrun still has no match, engine and NFA alike
+    mid = [
+        PatternStage("view", "view"),
+        PatternStage("click", "click", min_count=1, max_count=2),
+        PatternStage("buy", "purchase"),
+    ]
+    ev2 = _mk_events(
+        spark,
+        [
+            (3, 0, 1, "view", 1.0),
+            (3, 1, 2, "click", 1.0),
+            (3, 2, 3, "click", 1.0),
+            (3, 3, 4, "click", 1.0),  # middle run of 3 > max 2
+            (3, 4, 5, "purchase", 1.0),
+        ],
+    )
+    assert cep_match_pattern(ev2, mid).collect() == []
 
 
 def test_pattern_builder_validation_and_one_shuffle(spark):

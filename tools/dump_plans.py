@@ -57,6 +57,18 @@ GAUGE_TAIL = [
     "temporal_dim_join",
     "cep_pattern_match",
     "cep_multi_stage",
+    # round-14 additions (r13 verdict task 8): the relaxed/windowed
+    # pattern, the bounded-quantifier sub-run pattern, and the absence
+    # batch op. The latter pins the absence_streamed FOLD-READ shape:
+    # the streamed twins themselves are localCheckpoint-ed (LogicalRDD
+    # leaf — zeros, per the policy above), but their fold reads run
+    # the SAME operator tree as these batch ops above a state-table
+    # scan instead of the parquet scan, so the batch rows pin every
+    # gauge the fold read has (multistage_streamed's fold read is
+    # cep_multi_stage's tree, already pinned).
+    "cep_multi_stage_relaxed",
+    "cep_bounded_subrun",
+    "cep_absence_alerts",
 ]
 
 #: Every gauge-pinned query, golden-file order.
