@@ -1040,6 +1040,7 @@ def streaming_dedup_ingest(
     stream_docs: DataFrame,
     parts_table: str,
     checkpoint: str | None = None,
+    tiered_every: int | None = 8,
 ):
     """Streaming-ingest twin of :func:`exact_dedup` through the
     stream→queryable-table loop (the reference's continuous
@@ -1060,6 +1061,19 @@ def streaming_dedup_ingest(
     :func:`~flink_snappydata_spark.streaming.runtime.
     ingest_stream_to_tables`, so retried micro-batches overwrite their
     own ``batch_id`` partition instead of double-counting copies.
+
+    ``tiered_every`` (default 8; ``None`` disables): TIERED compaction
+    for long-running streams. The live state here is CORPUS-sized (one row per distinct
+    text, carrying the text itself), so the floor mechanism's
+    full-state rewrite every N batches is O(corpus) write
+    amplification — the wrong trade (the r13 analysis). Tiered mode
+    merges only the raw batch partitions landed since the previous
+    merge (:func:`compact_dedup_partials` — same exact sum-of-sums
+    fold as the reader), so every row is rewritten exactly once EVER
+    (2x total write amplification, independent of stream age) while
+    the read fold opens O(age / tiered_every) merged partitions plus a
+    bounded raw tail instead of O(age) raw fragments. Values are
+    unchanged either way — the fold's digest re-group is associative.
     """
     from flink_snappydata_spark.streaming.runtime import (
         ingest_stream_to_tables,
@@ -1070,6 +1084,20 @@ def streaming_dedup_ingest(
         [(parts_table, None)],
         prepare=dedup_partials,
         checkpoint=checkpoint,
+        # coalesce the segment to a few files: the merge's digest
+        # shuffle would otherwise leave shuffle_partitions small files
+        # per segment — more files than the raws it replaced (the same
+        # re-shard trap the raw-log identity merge hit; see
+        # streaming_event_log_ingest). 4 matches the harness-scale
+        # file layout used by the prebuilt IVFADC index; a real
+        # deployment sizes this to its segment bytes.
+        compact=(
+            (lambda f: compact_dedup_partials(f).coalesce(4))
+            if tiered_every
+            else None
+        ),
+        compact_every=tiered_every or 8,
+        compact_mode="tiered",
     )
 
 
@@ -1087,6 +1115,19 @@ def dedup_partials(batch_df: DataFrame) -> DataFrame:
     )
 
 
+def compact_dedup_partials(parts: DataFrame) -> DataFrame:
+    """Schema-preserving merge of dedup partials (min of mins, sum of
+    sums, min_by representative — exactly the reader's fold), used by
+    the tiered-compaction path to collapse one window of raw batch
+    partitions into a single merged partition. Digest-keyed shuffle of
+    window-sized input only — never the whole corpus."""
+    return parts.groupBy("digest").agg(
+        F.min("doc_id").alias("doc_id"),
+        F.sum("n_copies").cast("long").alias("n_copies"),
+        F.min_by("text", "doc_id").alias("text"),
+    )
+
+
 def dedup_from_state(spark, parts_table: str) -> DataFrame:
     """Fold the :func:`streaming_dedup_ingest` partials into the global
     exact-dedup result: re-group by digest (min of mins, sum of counts,
@@ -1095,10 +1136,14 @@ def dedup_from_state(spark, parts_table: str) -> DataFrame:
     not state — dropped here. The output is O(distinct texts) rows, so
     no presentation sort is bolted on (the driver's hash compare is
     order-insensitive; batch ``exact_dedup`` sorts only for human
-    eyes)."""
+    eyes). Reads through
+    :func:`~flink_snappydata_spark.streaming.runtime.read_state_table`
+    so tiered-compacted state (merged partitions + live raw tail) and
+    plain append-only state fold identically."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
     return (
-        spark.table(parts_table)
-        .drop("batch_id")
+        read_state_table(spark, parts_table)
         .groupBy("digest")
         .agg(
             F.min("doc_id").alias("doc_id"),

@@ -216,6 +216,7 @@ def ingest_stream_to_tables(
     checkpoint: str | None = None,
     compact=None,
     compact_every: int = 8,
+    compact_mode: str = "floor",
 ) -> StreamingQuery:
     """The ONE stream→queryable-catalog-table ingest loop every
     stream-to-table op in the engine rides (:func:`stream_to_table`,
@@ -258,6 +259,31 @@ def ingest_stream_to_tables(
     landing commits — pure space reclamation; a crash mid-drop leaves
     rows every reader and every future compaction already ignores.
 
+    TIERED COMPACTION (``compact_mode="tiered"``): the floor mode
+    above rewrites the ENTIRE live state every ``compact_every``
+    batches — O(corpus) write amplification per compaction, the wrong
+    trade for loops whose live state is corpus-sized (the dedup
+    partials log: one row per distinct text, carrying the text).
+    Tiered mode instead merges only the RAW batch partitions landed
+    since the previous merge: every ``compact_every``-th micro-batch
+    folds those raws plus the current batch through ``compact`` and
+    lands the result in the CURRENT batch's partition stamped
+    ``covered_to = batch_id``; normal batches stamp ``covered_to=0``.
+    Each row is therefore rewritten exactly ONCE ever (raw → its
+    window's merged partition) — total write amplification 2x,
+    independent of stream age — while the read fold opens
+    O(age / compact_every) merged partitions plus <= compact_every
+    trailing raws instead of O(age) raw partitions. Readers
+    (:func:`read_state_table`) keep merged rows (``covered_to > 0``)
+    plus raw rows with ``batch_id > max(covered_to)`` — the one-write
+    atomic-supersede argument of the floor mode, unchanged, because
+    merges always cover a CONTIGUOUS prefix extension
+    ``(prev_covered, batch_id]``. Reclamation is delayed one merge
+    (drop raw partitions below the PREVIOUS covered boundary), so a
+    retried merge batch recomputes byte-identical output from raws a
+    crash cannot have dropped yet — the same one-compaction-lag
+    discipline as floor mode's ``< prev_floor`` drop.
+
     outputs: list of ``(table_name, build)`` where ``build`` maps the
     prepared frame to that table's rows. ``prepare=None`` means the
     micro-batch lands as-is.
@@ -271,11 +297,16 @@ def ingest_stream_to_tables(
             "compaction supports single-output loops with build=None "
             "(fold the transform into prepare)"
         )
+    if compact_mode not in ("floor", "tiered"):
+        raise ValueError(f"compact_mode must be floor|tiered: {compact_mode!r}")
 
     def _ingest(batch_df: DataFrame, batch_id: int) -> None:
         base = prepare(batch_df) if prepare is not None else batch_df
         if compact is not None:
-            _ingest_compacting(base, batch_id)
+            if compact_mode == "tiered":
+                _ingest_tiered(base, batch_id)
+            else:
+                _ingest_compacting(base, batch_id)
             return
         fan_out = len(outputs) > 1
         if fan_out:
@@ -330,6 +361,11 @@ def ingest_stream_to_tables(
                         f"PARTITION (batch_id={pid})"
                     )
 
+    def _ingest_tiered(base: DataFrame, batch_id: int) -> None:
+        land_tiered_partition(
+            base, outputs[0][0], batch_id, compact, compact_every
+        )
+
     tag = "-".join(t for t, _ in outputs)
     q = (
         stream_df.writeStream.foreachBatch(_ingest)
@@ -349,16 +385,118 @@ def ingest_stream_to_tables(
     return q
 
 
+def land_tiered_partition(
+    base: DataFrame,
+    table: str,
+    batch_id: int,
+    compact,
+    compact_every: int,
+) -> None:
+    """One micro-batch of the TIERED ingest (module-level so the fold
+    scale probe and the retry tests drive the identical code path the
+    stream does): normal batches land raw (``covered_to=0``); every
+    ``compact_every``-th batch folds the raw partitions landed since
+    the previous merge plus the current batch through ``compact`` and
+    lands the merged result stamped ``covered_to = batch_id``. See
+    :func:`ingest_stream_to_tables`'s TIERED COMPACTION section for
+    the visibility/exactly-once argument."""
+    spark = base.sparkSession
+    out = base.withColumn("covered_to", F.lit(0).cast("long"))
+    is_merge = (
+        batch_id > 0
+        and batch_id % compact_every == 0
+        and spark.catalog.tableExists(table)
+    )
+    prev_cov = 0
+    if is_merge:
+        # Pre-batch state only, NEVER this batch's own partition (a
+        # retry may have left a partial/complete one — the recompute
+        # must not read its own prior output).
+        state = spark.table(table).filter(F.col("batch_id") < batch_id)
+        # bounded driver fetch: one scalar (previous merge boundary).
+        # Merges only ever land at multiples of compact_every, so the
+        # boundary scan partition-prunes to those candidate ids instead
+        # of reading the whole log (an O(age) scan per merge would make
+        # total landing cost quadratic in stream age).
+        # covered_to=0 marks RAW rows, so "no merge yet" also reads 0 —
+        # normalize to -1 so the first merge's (prev_cov, batch_id]
+        # window includes batch 0.
+        candidates = list(range(compact_every, batch_id, compact_every))
+        prev_cov = (
+            state.filter(F.col("batch_id").isin(candidates))
+            .agg(F.max("covered_to"))
+            .collect()[0][0]
+            if candidates
+            else None
+        ) or -1
+        prev_cov = prev_cov if prev_cov > 0 else -1
+        raws = state.filter(
+            (F.col("covered_to") == 0) & (F.col("batch_id") > prev_cov)
+        ).drop("batch_id", "covered_to")
+        out = compact(raws.unionByName(base)).withColumn(
+            "covered_to", F.lit(batch_id).cast("long")
+        )
+    land_batch_partition(out, table, batch_id)
+    if is_merge and prev_cov > 0:
+        # Delayed space reclamation (one merge of lag): raw partitions
+        # below the PREVIOUS boundary were superseded by the merge
+        # that committed prev_cov — no reader and no future recompute
+        # (which only reads > prev_cov) can need them. Merged
+        # partitions live at their covered_to id and stay visible
+        # forever; everything else below prev_cov is raw and dead. A
+        # crash mid-drop leaves invisible rows only.
+        merged_ids = {
+            int(r[0])
+            for r in spark.table(table)
+            # merges only land at multiples of compact_every: prune the
+            # id scan to those partitions (bounded: one per merge ever)
+            .filter(
+                F.col("batch_id").isin(candidates)
+                & (F.col("covered_to") > 0)
+            )
+            .select("batch_id")
+            .distinct()
+            .collect()
+        }
+        for row in spark.sql(f"SHOW PARTITIONS {table}").collect():
+            pid = int(row[0].split("=", 1)[1])
+            if pid < prev_cov and pid not in merged_ids:
+                spark.sql(
+                    f"ALTER TABLE {table} DROP IF EXISTS "
+                    f"PARTITION (batch_id={pid})"
+                )
+
+
 def read_state_table(spark, table: str) -> DataFrame:
     """Open an ingest-loop state table for folding: strips the
     ``batch_id`` lineage column and, when the loop compacts (``floor``
     column present), keeps only the live rows ``batch_id >=
     max(floor)`` — the partitions at or after the latest compaction.
-    The floor scalar is a broadcast one-row aggregate joined into the
-    scan, not a driver collect, so the read stays one distributed
-    plan. Tables from non-compacting loops (no ``floor``) pass
-    through unfiltered — same behavior as the plain ``drop``."""
+    For TIERED loops (``covered_to`` column present) the live rows are
+    every merged row (``covered_to > 0``) plus the raw rows newer than
+    the latest merge boundary (``batch_id > max(covered_to)``). Either
+    scalar is a broadcast one-row aggregate joined into the scan, not
+    a driver collect, so the read stays one distributed plan. Tables
+    from non-compacting loops pass through unfiltered — same behavior
+    as the plain ``drop``."""
     df = spark.table(table)
+    if "covered_to" in df.columns:
+        # plain max() so the subquery stays parquet-aggregate-pushdown
+        # eligible (footer stats answer it without reading rows);
+        # covered_to=0 marks raws, so max()==0 means "no merge yet" —
+        # normalized to -1 POST-join so every raw partition stays live
+        mc = df.groupBy().agg(F.max("covered_to").alias("_mc"))
+        boundary = F.when(F.col("_mc") > 0, F.col("_mc")).otherwise(
+            F.lit(-1)
+        )
+        return (
+            df.join(F.broadcast(mc))
+            .filter(
+                (F.col("covered_to") > 0)
+                | (F.col("batch_id") > F.coalesce(boundary, F.lit(-1)))
+            )
+            .drop("batch_id", "covered_to", "_mc")
+        )
     if "floor" not in df.columns:
         return df.drop("batch_id")
     fl = df.groupBy().agg(F.max("floor").alias("_fl"))

@@ -440,6 +440,7 @@ def streaming_scd2_ingest(
     stream_events: DataFrame,
     events_table: str,
     checkpoint: str | None = None,
+    tiered_every: int | None = 8,
 ):
     """Streaming-ingest twin of
     :func:`operators.analytic.scd2_state_intervals` — the
@@ -458,18 +459,22 @@ def streaming_scd2_ingest(
     fold. Rides :func:`~flink_snappydata_spark.streaming.runtime.
     ingest_stream_to_tables`, so retried micro-batches overwrite their
     own ``batch_id`` partition — idempotent.
+    RETENTION (``tiered_every``, default 8 — the r14 512-batch probe's
+    answer): raw logs are not aggregable (the whole point of landing
+    them), but their fold cost grows with PARTITION COUNT, not just
+    rows — the 512-pseudo-batch probe read ~1.9x slower than at 64 on
+    identical data. Every ``tiered_every``-th batch therefore
+    consolidates the raw partitions landed since the previous merge
+    into ONE log segment (``compact`` = identity: pure file/partition
+    consolidation, rows byte-identical, LSM log-segment style), so the
+    fold opens O(age/tiered_every) segments + a bounded raw tail.
+    ``None`` disables (pure append-only).
     """
-    from flink_snappydata_spark.streaming.runtime import (
-        ingest_stream_to_tables,
-    )
-
-    return ingest_stream_to_tables(
+    return streaming_event_log_ingest(
         stream_events,
-        [(events_table, None)],
-        prepare=lambda b: b.select(
-            "user_id", "event_id", "ts", "event_type"
-        ),
+        events_table,
         checkpoint=checkpoint,
+        tiered_every=tiered_every,
     )
 
 
@@ -478,6 +483,7 @@ def streaming_event_log_ingest(
     events_table: str,
     checkpoint: str | None = None,
     columns: tuple[str, ...] = ("user_id", "event_id", "ts", "event_type"),
+    tiered_every: int | None = 8,
 ):
     """Column-pruned raw event-log ingest — the same minimal
     sufficient state :func:`streaming_scd2_ingest` lands, for
@@ -485,16 +491,29 @@ def streaming_event_log_ingest(
     (e.g. the multi-stage pattern matcher's ``value`` predicate).
     Raw events, not per-batch partials, for the same reason as SCD2:
     pattern runs are not mergeable under cross-batch event-time
-    interleaving. Idempotent per-batch_id partition landing."""
+    interleaving. Idempotent per-batch_id partition landing, with
+    identity-merge tiered segment consolidation every ``tiered_every``
+    batches (see :func:`streaming_scd2_ingest` — rows byte-identical,
+    fold cost bounded by segment count instead of stream age)."""
     from flink_snappydata_spark.streaming.runtime import (
         ingest_stream_to_tables,
     )
 
+    # identity merge + coalesce(1): without the coalesce the segment
+    # write inherits one task per input file and re-shards K one-file
+    # raw partitions into K+1 files — no consolidation at all (measured
+    # r14: 64-batch tiered fold 0.85 s vs raw 0.62 s). One file per
+    # segment is the point; segment SIZE is bounded by tiered_every,
+    # the deployment knob (a 100 TB stream shards the log by key-range
+    # upstream of this loop, so a segment is one shard's window).
     return ingest_stream_to_tables(
         stream_events,
         [(events_table, None)],
         prepare=lambda b: b.select(*columns),
         checkpoint=checkpoint,
+        compact=(lambda f: f.coalesce(1)) if tiered_every else None,
+        compact_every=tiered_every or 8,
+        compact_mode="tiered",
     )
 
 
@@ -505,14 +524,14 @@ def scd2_from_state(spark, events_table: str) -> DataFrame:
     build sorts per user by (ts, event_id), so after a bounded stream
     drains the result is row-identical to the batch op and the batch
     oracle applies verbatim. ``batch_id`` is ingest lineage, not
-    state — dropped here."""
+    state — dropped by the shared state reader (which also applies
+    tiered-segment visibility when the log consolidates)."""
     from flink_snappydata_spark.operators.analytic import (
         scd2_state_intervals,
     )
+    from flink_snappydata_spark.streaming.runtime import read_state_table
 
-    return scd2_state_intervals(
-        spark.table(events_table).drop("batch_id")
-    )
+    return scd2_state_intervals(read_state_table(spark, events_table))
 
 
 def streaming_sessions_ingest(

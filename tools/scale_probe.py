@@ -666,6 +666,42 @@ COMPACTED_FOLD_OPS = {
     ),
 }
 
+#: TIERED-compaction variants (round 14): corpus-sized state (the
+#: dedup partials log) where the floor mode's full-state rewrite is
+#: O(corpus) amplification. The lander replays every pseudo-batch
+#: through the REAL land_tiered_partition path (merges included), so
+#: the fold reads exactly the tiered steady state production
+#: accumulates: one merged partition per compact_every window plus the
+#: raw tail. Compare against the raw dedup_from_state row.
+#: name -> (input kind, prepare, compact, fold, compact_every)
+TIERED_FOLD_OPS = {
+    "dedup_from_state_tiered": (
+        "documents",
+        lambda b: D.dedup_partials(b),
+        lambda f: D.compact_dedup_partials(f).coalesce(4),  # production layout
+        lambda spark, t: D.dedup_from_state(spark, t[0]),
+        8,
+    ),
+    # raw-log twins with IDENTITY merge (round-14 retention answer to
+    # the 512-batch curve): pure segment consolidation, rows unchanged
+    "cep_from_state_tiered": (
+        "events",
+        lambda b: b.select("user_id", "event_id", "ts", "event_type"),
+        lambda f: f.coalesce(1),  # the production segment consolidation
+        lambda spark, t: CEP.cep_from_state(spark, t[0]),
+        8,
+    ),
+    "multistage_from_state_tiered": (
+        "events",
+        lambda b: b.select(
+            "user_id", "event_id", "ts", "event_type", "value"
+        ),
+        lambda f: f.coalesce(1),
+        lambda spark, t: CEP.cep_multistage_from_state(spark, t[0]),
+        8,
+    ),
+}
+
 #: Pseudo-micro-batch count for landed fold state (production twins
 #: run 2-file streams in tests; real ingest accumulates many batches).
 FOLD_BATCHES = int(os.environ.get("SPARK_GRAFT_PROBE_BATCHES", "8"))
@@ -693,6 +729,27 @@ def _land_fold_state(spark, df, name, kind, prepare, outputs):
     for table in tables:
         spark.catalog.refreshTable(table)
     return tables
+
+
+def _land_tiered_state(spark, df, kind, prepare, compact, every):
+    """Replay every pseudo-batch through the REAL tiered lander
+    (merges fire at their production cadence), leaving the exact
+    steady state a long-running tiered loop accumulates."""
+    import uuid
+
+    from flink_snappydata_spark.streaming.runtime import (
+        land_tiered_partition,
+    )
+
+    table = f"probe_tfold_{uuid.uuid4().hex[:8]}"
+    key = _FOLD_KEY[kind]
+    part = F.pmod(F.hash(F.col(key)), F.lit(FOLD_BATCHES))
+    for b in range(FOLD_BATCHES):
+        land_tiered_partition(
+            prepare(df.filter(part == b)), table, b, compact, every
+        )
+    spark.catalog.refreshTable(table)
+    return [table]
 
 
 def _land_compacted_state(spark, df, kind, prepare, compact):
@@ -724,7 +781,11 @@ def _probe_folds(spark, factor, median_time, wanted):
     names = wanted.split(",") if wanted else None
     if names:
         unknown = [
-            n for n in names if n not in FOLD_OPS and n not in COMPACTED_FOLD_OPS
+            n
+            for n in names
+            if n not in FOLD_OPS
+            and n not in COMPACTED_FOLD_OPS
+            and n not in TIERED_FOLD_OPS
         ]
         if unknown:  # a typo must fail loudly, not print zero PROBE rows
             raise KeyError(f"unknown fold ops: {unknown}")
@@ -737,6 +798,11 @@ def _probe_folds(spark, factor, median_time, wanted):
         {n: COMPACTED_FOLD_OPS[n] for n in names if n in COMPACTED_FOLD_OPS}
         if names
         else dict(COMPACTED_FOLD_OPS)
+    )
+    tiered_ops = (
+        {n: TIERED_FOLD_OPS[n] for n in names if n in TIERED_FOLD_OPS}
+        if names
+        else dict(TIERED_FOLD_OPS)
     )
     docs1 = load_table(spark, SF_DIR, "documents").select(
         "doc_id", "text", "source"
@@ -767,6 +833,19 @@ def _probe_folds(spark, factor, median_time, wanted):
         times = []
         for df in inputs[kind]:
             tables = _land_fold_state(spark, df, name, kind, prepare, outputs)
+            try:
+                times.append(median_time(lambda: fold(spark, tables)))
+            finally:
+                for t in tables:
+                    spark.sql(f"DROP TABLE IF EXISTS {t}")
+        base, scaled = times
+        print(f"PROBE | {name} | {base:.3f} | {scaled:.3f} | {scaled / base:.2f} |")
+    for name, (kind, prepare, compact, fold, every) in tiered_ops.items():
+        times = []
+        for df in inputs[kind]:
+            tables = _land_tiered_state(
+                spark, df, kind, prepare, compact, every
+            )
             try:
                 times.append(median_time(lambda: fold(spark, tables)))
             finally:
