@@ -171,12 +171,15 @@ def main() -> None:
 
     for name in names:
         _timed_rep(name)  # rep 0 is the codegen/JIT warm-up
-        # EXTRAS are receipts, not anchor rows: one timed rep, no
-        # adaptive re-rep spiral (raw_ivfpq_build re-trains the whole
-        # index per rep — nine reps would add minutes for a number the
-        # anchor comparison never reads).
-        n_reps = 1 if name in EXTRAS else reps
-        runs = sorted(_timed_rep(name) for _ in range(n_reps))
+        # EXTRAS are receipts, not anchor rows, but they still get the
+        # standard median-of-reps treatment (r13 verdict: single-rep
+        # extras on a drifting shared host read as a 3.7x regression
+        # that the builder's same-session reruns showed was noise —
+        # the receipt must carry its own noise bar). They skip only
+        # the adaptive re-rep spiral below: raw_ivfpq_build re-trains
+        # the whole index per rep, and nine reps would add minutes for
+        # numbers the anchor comparison never reads.
+        runs = sorted(_timed_rep(name) for _ in range(reps))
         # Single GC/compilation pauses held r4 medians hostage (q5
         # spread 4.19 s on a 1.23 s median): when the raw range exceeds
         # half the median, keep adding reps (bounded) until the median
