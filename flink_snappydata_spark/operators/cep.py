@@ -469,7 +469,16 @@ def cep_match_pattern(
     quantifier is rejected: Flink's skip-past-last chunking of one
     over-long run into ``floor(L/max)`` matches is a different
     operator (tests/test_round14_ops.py pins the NFA equivalence
-    differentially).
+    differentially). The NFA-equivalence claim is for STRICT
+    contiguity; under relaxed contiguity bounded edges follow the same
+    sub-run rule (suffix/prefix of the MERGED run), while Flink's
+    relaxed NFA may instead SKIP interior same-label events — e.g.
+    ``A{1} followedBy B`` on ``A A B`` matches from the first A in
+    Flink (skipping the second) but from the second here — so
+    relaxed + bounded is the engine's documented merged-burst
+    semantics, not an NFA-parity claim (unbounded relaxed, the
+    registered shape, is greedy absorption = Flink's greedy
+    ``oneOrMore``).
 
     Matches are provably disjoint FOR ANY stage spec (not just
     pairwise-disjoint predicates): a candidate match occupies k

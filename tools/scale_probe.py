@@ -336,6 +336,23 @@ EVENT_OPS = {
         v, CEP._funnel_stages(), sort=False,
         contiguity="relaxed", within="2 days",
     ),
+    # round-14: the bounded-quantifier sub-run instance — same stages
+    # as the registered query; the suffix/prefix boundary windows ride
+    # the user partitioning, so the probe checks they stay linear
+    "cep_bounded_subrun": lambda v: CEP.cep_match_pattern(
+        v,
+        [
+            CEP.PatternStage("view", "view", min_count=1, max_count=2),
+            CEP.PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            ),
+            CEP.PatternStage(
+                "purchase", "purchase", min_count=1, max_count=1
+            ),
+        ],
+        sort=False,
+    ),
     "window_funnel": lambda v: CEP.window_funnel(v),
     "temporal_dim_join": lambda v: CEP.temporal_table_join(
         v.withColumn(
