@@ -416,6 +416,84 @@ def stage_label_expr(stages: list[PatternStage]) -> Column:
     return label.otherwise(-1)
 
 
+def _cep_match_pattern_nfa(
+    events: DataFrame,
+    stages: list[PatternStage],
+    sort: bool,
+    within: str | None,
+) -> DataFrame:
+    """The ``contiguity="relaxed_nfa"`` execution path: EXACT Flink
+    ``followedBy`` semantics via the deterministic multi-branch machine
+    (:func:`flink_snappydata_spark.streaming.cep.
+    advance_relaxed_nfa_state` — transition rules, emission policy, and
+    the reference differential are documented there). Unlike the other
+    modes this is inherently a sequential per-key scan (a branch may
+    skip arbitrarily between consumed events, so no change-detection
+    islands exist to compile to) — the NFA is therefore run as an
+    Arrow-batched ``applyInPandas`` over the SAME user_id partitioning
+    the declarative modes shuffle on: stage labels are still evaluated
+    JVM-side (whole-stage codegen) and sentinel rows are filtered
+    before Python, so the kernel sees only (ts, label) pairs of
+    stage-relevant events. State per branch set is O(sum of stage
+    bounds); per-user sequences are human-activity-bounded, so no
+    group is corpus-sized. Scale shape: ONE shuffle, identical to the
+    declarative paths.
+    """
+    import pandas as pd
+    from pyspark.sql.types import (
+        LongType,
+        StructField,
+        StructType,
+        TimestampType,
+    )
+
+    from flink_snappydata_spark.streaming.cep import (
+        advance_relaxed_nfa_state,
+        close_relaxed_nfa,
+    )
+
+    label = stage_label_expr(stages)
+    quants = [(s.min_count, s.max_count) for s in stages]
+    names = [s.name for s in stages]
+    k = len(quants)
+    out_schema = StructType(
+        [
+            StructField("user_id", LongType()),
+            StructField("match_start", TimestampType()),
+            StructField("match_end", TimestampType()),
+            *[StructField(f"n_{n}", LongType()) for n in names],
+        ]
+    )
+    labeled = events.select(
+        "user_id", "ts", "event_id", label.alias("stage_id")
+    ).filter(F.col("stage_id") != -1)
+
+    def match_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        pdf = pdf.sort_values(["ts", "event_id"])
+        rows = [
+            (int(t.value // 1000), int(lab))
+            for t, lab in zip(pdf["ts"], pdf["stage_id"])
+        ]
+        matches, state = advance_relaxed_nfa_state((), rows, quants)
+        matches += close_relaxed_nfa(state, quants)
+        out = {
+            "user_id": [int(pdf["user_id"].iloc[0])] * len(matches),
+            "match_start": pd.to_datetime([m[0] for m in matches], unit="us"),
+            "match_end": pd.to_datetime([m[1] for m in matches], unit="us"),
+        }
+        for i, n in enumerate(names):
+            out[f"n_{n}"] = [m[2][i] for m in matches]
+        return pd.DataFrame(out)
+
+    out = labeled.groupBy("user_id").applyInPandas(match_group, out_schema)
+    if within is not None:
+        out = out.filter(
+            F.col("match_end")
+            <= F.col("match_start") + F.expr(f"INTERVAL {within}")
+        )
+    return out.orderBy("user_id", "match_start") if sort else out
+
+
 def cep_match_pattern(
     events: DataFrame,
     stages: list[PatternStage],
@@ -441,7 +519,16 @@ def cep_match_pattern(
       so non-stage events neither break a run nor separate stages —
       two same-stage bursts separated only by irrelevant events merge
       into one run (greedy quantifier absorption, exactly Flink's
-      relaxed-contiguity greedy ``oneOrMore``);
+      relaxed-contiguity greedy ``oneOrMore``).
+      ``contiguity="relaxed_nfa"``: the EXACT Flink ``followedBy``
+      NFA — each partial match additionally skips interior
+      OTHER-STAGE events, so a stage can assemble its count across
+      them and a bounded stage consumes its run's PREFIX (skipping
+      overflow) instead of merged-burst's suffix/fail; executed as a
+      deterministic multi-branch machine on the same user_id
+      partitioning (see ``_cep_match_pattern_nfa`` and the transition
+      rules in ``streaming/cep.py::advance_relaxed_nfa_state``; the
+      reference differential lives in tests/test_relaxed_nfa.py);
     * a match is ``len(stages)`` CONSECUTIVE runs whose labels are
       stage 1..k in order and whose run lengths lie within each
       stage's ``[min_count, max_count]``;
@@ -503,8 +590,10 @@ def cep_match_pattern(
     corpus-sized. Label evaluation is per-row JVM expressions
     (whole-stage codegen).
     """
-    if contiguity not in ("strict", "relaxed"):
-        raise ValueError(f"contiguity must be strict|relaxed: {contiguity!r}")
+    if contiguity not in ("strict", "relaxed", "relaxed_nfa"):
+        raise ValueError(
+            f"contiguity must be strict|relaxed|relaxed_nfa: {contiguity!r}"
+        )
     if len(stages) == 1 and stages[0].max_count is not None:
         raise ValueError(
             "single-stage patterns with a bounded quantifier are not "
@@ -520,6 +609,8 @@ def cep_match_pattern(
         # and malformed strings fail fast instead of as opaque Spark
         # parse errors at analysis time.
         _window_seconds(within)
+    if contiguity == "relaxed_nfa":
+        return _cep_match_pattern_nfa(events, stages, sort, within)
     label = stage_label_expr(stages)
 
     labeled = events.select(
@@ -687,6 +778,32 @@ def cep_funnel_bounded(events: DataFrame) -> DataFrame:
             ),
             PatternStage("purchase", "purchase", min_count=1, max_count=1),
         ],
+    )
+
+
+def cep_funnel_relaxed_nfa(events: DataFrame) -> DataFrame:
+    """The EXACT-NFA registered instance — ``view{1,1} followedBy
+    (click & value>=0.5){1,} followedBy purchase{1,1}`` under
+    ``contiguity="relaxed_nfa"`` (Flink: ``begin("view")
+    .followedBy("click").where(value>=0.5).oneOrMore()
+    .followedBy("purchase")`` with skipPastLastEvent): the classic
+    noise-tolerant funnel where ANY event — including interior views
+    and unqualified clicks — may sit between the matched stages. The
+    DuckDB oracle expresses the same semantics independently as a
+    recursive first-event-after chain; the general machine is pinned
+    against a keep-everything reference NFA in
+    tests/test_relaxed_nfa.py."""
+    return cep_match_pattern(
+        events,
+        [
+            PatternStage("view", "view", min_count=1, max_count=1),
+            PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            ),
+            PatternStage("purchase", "purchase", min_count=1, max_count=1),
+        ],
+        contiguity="relaxed_nfa",
     )
 
 

@@ -156,6 +156,7 @@ _R15_QUEUE: list[str] = [
     # -- round-14 additions (never stamped; new work drains first) --
     "cep_bounded_subrun",
     "match_recognize_funnel",
+    "cep_relaxed_nfa",
     # -- r10-stamped remainder (cadence-due at r15) --
     "typo_pairs",
     "zorder_key",

@@ -676,6 +676,89 @@ _register(
         "shuffle, the sub-run boundaries ride the same partitioning.",
 )
 
+# round 14 (continuation): EXACT relaxed-contiguity NFA (Flink
+# followedBy) — closes the one scoped-out CEP-parity edge. The
+# merged-burst `relaxed` mode cuts maximal runs after dropping
+# sentinels; the NFA additionally skips interior OTHER-STAGE events
+# per partial match, so view{1,1} (click&value>=0.5){1,}
+# purchase{1,1} here means: earliest view, then the FIRST qualifying
+# click after it, then every qualifying click until the FIRST
+# purchase, with ANY events in between — and the next match resumes
+# strictly after the purchase (skip past last event). The oracle
+# expresses exactly that chain as a recursive first-event-after
+# recursion (structurally independent of the engine's multi-branch
+# machine, which tests/test_relaxed_nfa.py pins against a third,
+# keep-everything reference NFA).
+_register(
+    "cep_relaxed_nfa",
+    ["events"],
+    cep.cep_funnel_relaxed_nfa,
+    """
+    WITH RECURSIVE lab AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 1
+                    WHEN event_type = 'click' AND value >= 0.5 THEN 2
+                    WHEN event_type = 'purchase' THEN 3
+                    ELSE -1 END AS stage_id
+        FROM events
+    ), chain AS (
+        SELECT u.user_id, lv.v_ts, lv.v_id, lc.c_ts, lc.c_id,
+               lp.p_ts, lp.p_id
+        FROM (SELECT DISTINCT user_id FROM lab) u
+        CROSS JOIN LATERAL (
+            SELECT ts AS v_ts, event_id AS v_id FROM lab
+            WHERE lab.user_id = u.user_id AND stage_id = 1
+            ORDER BY ts, event_id LIMIT 1) lv
+        CROSS JOIN LATERAL (
+            SELECT ts AS c_ts, event_id AS c_id FROM lab
+            WHERE lab.user_id = u.user_id AND stage_id = 2
+              AND (ts, event_id) > (lv.v_ts, lv.v_id)
+            ORDER BY ts, event_id LIMIT 1) lc
+        CROSS JOIN LATERAL (
+            SELECT ts AS p_ts, event_id AS p_id FROM lab
+            WHERE lab.user_id = u.user_id AND stage_id = 3
+              AND (ts, event_id) > (lc.c_ts, lc.c_id)
+            ORDER BY ts, event_id LIMIT 1) lp
+        UNION ALL
+        SELECT c0.user_id, nv.v_ts, nv.v_id, nc.c_ts, nc.c_id,
+               np.p_ts, np.p_id
+        FROM chain c0
+        CROSS JOIN LATERAL (
+            SELECT ts AS v_ts, event_id AS v_id FROM lab
+            WHERE lab.user_id = c0.user_id AND stage_id = 1
+              AND (ts, event_id) > (c0.p_ts, c0.p_id)
+            ORDER BY ts, event_id LIMIT 1) nv
+        CROSS JOIN LATERAL (
+            SELECT ts AS c_ts, event_id AS c_id FROM lab
+            WHERE lab.user_id = c0.user_id AND stage_id = 2
+              AND (ts, event_id) > (nv.v_ts, nv.v_id)
+            ORDER BY ts, event_id LIMIT 1) nc
+        CROSS JOIN LATERAL (
+            SELECT ts AS p_ts, event_id AS p_id FROM lab
+            WHERE lab.user_id = c0.user_id AND stage_id = 3
+              AND (ts, event_id) > (nc.c_ts, nc.c_id)
+            ORDER BY ts, event_id LIMIT 1) np
+    )
+    SELECT c.user_id, c.v_ts AS match_start, c.p_ts AS match_end,
+           CAST(1 AS BIGINT) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lab
+            WHERE lab.user_id = c.user_id AND stage_id = 2
+              AND (ts, event_id) >= (c.c_ts, c.c_id)
+              AND (ts, event_id) < (c.p_ts, c.p_id)) AS n_click,
+           CAST(1 AS BIGINT) AS n_purchase
+    FROM chain c
+    ORDER BY user_id, match_start
+    """,
+    doc="EXACT Flink followedBy NFA (contiguity='relaxed_nfa'): "
+        "view{1,1} (click & value>=0.5){1,} purchase{1,1} where each "
+        "partial match skips interior other-stage events too — "
+        "deterministic multi-branch machine (take/proceed/ignore "
+        "forced by first-match-wins labels), O(pattern) state per "
+        "branch set, Arrow-batched applyInPandas on the same one "
+        "user-keyed shuffle as the declarative modes; oracle is an "
+        "independent recursive first-event-after chain.",
+)
+
 _register(
     "match_recognize_funnel",
     ["events"],

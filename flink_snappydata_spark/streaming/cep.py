@@ -368,8 +368,10 @@ def streaming_cep_pattern(
 
     from flink_snappydata_spark.operators.cep import stage_label_expr
 
-    if contiguity not in ("strict", "relaxed"):
-        raise ValueError(f"contiguity must be strict|relaxed: {contiguity!r}")
+    if contiguity not in ("strict", "relaxed", "relaxed_nfa"):
+        raise ValueError(
+            f"contiguity must be strict|relaxed|relaxed_nfa: {contiguity!r}"
+        )
 
     # capture only plain-Python spec data in the worker closure: a
     # PatternStage predicate is a JVM Column, which cannot pickle
@@ -390,29 +392,48 @@ def streaming_cep_pattern(
         "event_id",
         stage_label_expr(list(stages)).alias("stage_id"),
     )
-    if contiguity == "relaxed":
+    if contiguity in ("relaxed", "relaxed_nfa"):
         labeled = labeled.filter(F.col("stage_id") != -1)
+
+    k = len(quants)
+    advance = advance_pattern_state
+    unpack = _unpack_pattern_state
+    pack = _pack_pattern_state
+    empty: Any = ((), None)
+    if contiguity == "relaxed_nfa":
+        # the EXACT followedBy machine: same emission contract (a
+        # match emits in the micro-batch whose event closes/completes
+        # it; a satisfiable trailing run waits for a closing stage
+        # label or a flush record), state = one branch per transition
+        # class, O(sum of stage bounds) longs per key
+        advance = lambda st0, rows, q: advance_relaxed_nfa_state(  # noqa: E731
+            st0, rows, q
+        )
+        unpack = lambda p: _unpack_nfa_state(p, k)  # noqa: E731
+        pack = lambda st0: _pack_nfa_state(st0, k)  # noqa: E731
+        empty = ()
+
+    def _behaviorally_empty(st: Any) -> bool:
+        if contiguity == "relaxed_nfa":
+            return st == ()  # no live branches
+        # no closed prefix and the open run is the sentinel: a
+        # sentinel run can never join a match window
+        return st[0] == () and (st[1] is None or st[1][0] == -1)
 
     def process(
         key: tuple[Any, ...],
         pdfs: Iterator[pd.DataFrame],
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
-        st = (
-            _unpack_pattern_state(list(state.get[0]))
-            if state.exists
-            else ((), None)
-        )
+        st = unpack(list(state.get[0])) if state.exists else empty
         rows = [(ts, int(lab)) for ts, lab in _ordered_rows(pdfs, "stage_id")]
-        matches, st = advance_pattern_state(st, rows, quants)
-        if st[0] == () and (st[1] is None or st[1][0] == -1):
-            # no closed prefix and the open run is the sentinel: the
-            # state is behaviorally empty (a sentinel run can never
-            # join a match window) — drop the store entry so the store
-            # is bounded by keys with LIVE partial matches
+        matches, st = advance(st, rows, quants)
+        if _behaviorally_empty(st):
+            # drop the store entry so the store is bounded by keys
+            # with LIVE partial matches
             state.remove()
         else:
-            state.update(_pack_pattern_state(st))
+            state.update(pack(st))
         if matches:
             out = {
                 "user_id": [key[0]] * len(matches),
@@ -440,6 +461,190 @@ def streaming_cep_pattern(
             <= F.col("match_start") + F.expr(f"INTERVAL {within}")
         )
     return out
+
+
+# ---------------------------------------------------------------------------
+# Relaxed-contiguity EXACT NFA (Flink followedBy) — the deterministic
+# multi-branch machine behind ``contiguity="relaxed_nfa"``
+# ---------------------------------------------------------------------------
+
+#: A relaxed-NFA BRANCH: (stage, start_us, last_us, counts) — stage in
+#: 1..k, ``counts`` a k-tuple of consumed-event counts per stage
+#: (counts[stage-1] is the live count, later stages 0), start/last the
+#: first/last CONSUMED event timestamps. The machine state is a tuple
+#: of branches, deduplicated to one (earliest-start) branch per
+#: transition class — see :func:`advance_relaxed_nfa_state`.
+NfaBranch = tuple[int, int, int, tuple[int, ...]]
+NfaState = tuple[NfaBranch, ...]
+
+
+def advance_relaxed_nfa_state(
+    state: NfaState,
+    rows: list[tuple[int, int]],
+    quants: list[tuple[int, int | None]],
+) -> tuple[list[tuple[int, int, tuple[int, ...]]], NfaState]:
+    """Pure state transition for the EXACT relaxed-contiguity machine
+    (Flink ``followedBy`` with AFTER MATCH SKIP PAST LAST EVENT): fold
+    (ts_us, stage_label) rows — event-time ordered, labels pre-computed
+    JVM-side by ``stage_label_expr`` — through a deterministic
+    multi-branch NFA. Unlike the merged-burst ``relaxed`` mode (which
+    drops sentinels and cuts maximal runs), this machine skips ANY
+    non-consumable event per branch, so a stage can assemble its count
+    across interior other-stage events (``A B A B`` matches
+    ``A{2,2} followedBy B`` from the FIRST A, skipping the interior B)
+    and a bounded stage consumes its run's PREFIX, skipping overflow
+    (Flink's NFA), where merged-burst takes the suffix at the first
+    stage and fails overrun middles.
+
+    Transition rules per branch at (stage i, count c), on label l
+    (first-match-wins labels make take/proceed/ignore MUTUALLY
+    EXCLUSIVE, so the machine is deterministic — no backtracking):
+
+    * TAKE: ``l == i`` and ``c < max_i`` — consume; completing the
+      final stage's bound emits immediately;
+    * PROCEED+TAKE: ``l == i+1`` and ``c >= min_i`` — finalize stage i,
+      consume into stage i+1 (emits when i+1 == k with max_k == 1);
+    * CLOSE: a branch at the FINAL stage with ``c >= min_k`` emits when
+      any OTHER stage's label arrives — the merged maximal run closes
+      (the run-quantified contract every mode of this builder shares;
+      a NON-greedy Flink trailing loop under skip-past-last would emit
+      at min-count instead — that policy is expressible here as
+      ``max_count == min_count``). The closing event is NOT consumed:
+      it is re-processed fresh (it may seed the next match);
+    * IGNORE: anything else — the branch persists unchanged (relaxed
+      contiguity; sentinel labels are invisible to every branch).
+
+    SEEDING: every label-1 event seeds a new branch (Flink's
+    always-live start state) unless the event completed a match
+    (skip-past-last owns it). EMISSION: at the first event where any
+    branch completes, the EARLIEST-START completing branch wins and
+    every live branch is discarded — skip past last event, lossless
+    because no branch can be seeded between the winner's last consumed
+    event and its completion (any stage label in that gap would have
+    closed the winner earlier), so every discarded branch started at or
+    before the match end.
+
+    STATE BOUND: branches whose (stage, capped count) transition class
+    coincides advance in lockstep forever, and the earliest-start one
+    wins every simultaneous completion (earlier starts weakly dominate
+    later seeds in (stage, count) order — an invariant the reference
+    differential in tests/test_relaxed_nfa.py does NOT assume), so the
+    machine keeps one branch per class: state is O(sum of stage bounds)
+    longs, independent of stream length.
+
+    Returns ``(matches, new_state)`` with each match
+    ``(start_us, end_us, per-stage counts)``. Associative over splits
+    of an ordered sequence. Labels outside 1..k other than the -1
+    sentinel act as a CLOSE-only flush (end-of-replay records)."""
+    k = len(quants)
+    if k == 1 and quants[0][1] is not None:
+        raise ValueError(
+            "single-stage bounded patterns are rejected by the compiler"
+        )
+    branches = list(state)
+    matches: list[tuple[int, int, tuple[int, ...]]] = []
+    last_lo = quants[-1][0]
+
+    def _cls(b: NfaBranch) -> tuple[int, int]:
+        stage = b[0]
+        lo, hi = quants[stage - 1]
+        cap = lo if hi is None else hi
+        return (stage, min(b[3][stage - 1], cap))
+
+    def _dedup(bs: list[NfaBranch]) -> list[NfaBranch]:
+        best: dict[tuple[int, int], NfaBranch] = {}
+        for b in bs:
+            c = _cls(b)
+            cur = best.get(c)
+            if cur is None or b[1] < cur[1]:
+                best[c] = b
+        return sorted(best.values(), key=lambda b: (b[1], b[0]))
+
+    for ts_us, lab in rows:
+        if lab == -1:
+            continue  # relaxed contiguity: sentinels are invisible
+        if lab != k:
+            closers = [
+                b for b in branches if b[0] == k and b[3][k - 1] >= last_lo
+            ]
+            if closers:
+                w = min(closers, key=lambda b: b[1])
+                matches.append((w[1], w[2], w[3]))
+                branches = []  # skip past last event
+        if not 1 <= lab <= k:
+            continue  # flush record: close-only trigger
+        nxt: list[NfaBranch] = []
+        done: NfaBranch | None = None
+        for b in branches:
+            stage, start, _, counts = b
+            lo, hi = quants[stage - 1]
+            c = counts[stage - 1]
+            if lab == stage and (hi is None or c < hi):
+                nc = counts[: stage - 1] + (c + 1,) + counts[stage:]
+                nb = (stage, start, ts_us, nc)
+                if stage == k and hi is not None and c + 1 == hi:
+                    if done is None or nb[1] < done[1]:
+                        done = nb
+                else:
+                    nxt.append(nb)
+            elif lab == stage + 1 and c >= lo:
+                nc = counts[:stage] + (1,) + counts[stage + 1 :]
+                nb = (stage + 1, start, ts_us, nc)
+                if stage + 1 == k and quants[stage][1] == 1:
+                    if done is None or nb[1] < done[1]:
+                        done = nb
+                else:
+                    nxt.append(nb)
+            else:
+                nxt.append(b)  # relaxed IGNORE: skip without consuming
+        if done is not None:
+            # completion by consumption: the match owns this event, so
+            # skip-past-last suppresses the seed too
+            matches.append((done[1], done[2], done[3]))
+            branches = []
+            continue
+        if lab == 1:
+            nxt.append((1, ts_us, ts_us, (1,) + (0,) * (k - 1)))
+        branches = _dedup(nxt)
+    return matches, tuple(branches)
+
+
+def close_relaxed_nfa(
+    state: NfaState, quants: list[tuple[int, int | None]]
+) -> list[tuple[int, int, tuple[int, ...]]]:
+    """End-of-data close for the relaxed-NFA machine: a satisfiable
+    final-stage branch emits exactly as an other-stage label would have
+    closed it (earliest start wins; at most ONE match — every event
+    after the winner's last consumed one was a final-stage take, so no
+    later-starting candidate can exist past its end)."""
+    k = len(quants)
+    closers = [b for b in state if b[0] == k and b[3][k - 1] >= quants[-1][0]]
+    if not closers:
+        return []
+    w = min(closers, key=lambda b: b[1])
+    return [(w[1], w[2], w[3])]
+
+
+def _pack_nfa_state(state: NfaState, k: int) -> tuple[list[int]]:
+    flat = [len(state)]
+    for stage, start, last, counts in state:
+        flat.extend((stage, start, last))
+        flat.extend(counts)
+    return (flat,)
+
+
+def _unpack_nfa_state(packed: list[int], k: int) -> NfaState:
+    n = packed[0]
+    w = 3 + k
+    return tuple(
+        (
+            packed[1 + w * i],
+            packed[2 + w * i],
+            packed[3 + w * i],
+            tuple(packed[4 + w * i : 4 + w * i + k]),
+        )
+        for i in range(n)
+    )
 
 
 ALERT_SCHEMA = StructType(

@@ -1,0 +1,380 @@
+"""Round-14 continuation: EXACT relaxed-contiguity NFA semantics
+(``contiguity="relaxed_nfa"``) — closes the one remaining CEP-parity
+edge the round-14 receipts scoped out: the merged-burst ``relaxed``
+mode diverges from Flink's ``followedBy`` NFA when a stage assembles
+its count across interior other-stage events, when a bounded stage
+overruns (prefix-with-skip vs suffix/fail), or when an interior
+other-stage event sits inside a match's span.
+
+The reference here is deliberately structurally DIFFERENT from the
+engine fold: per-start single-branch simulation plus a global
+(earliest-completion, earliest-start) emission scan, keeping EVERY
+candidate start alive — it does not assume the engine's dominance
+invariant (earlier starts weakly dominate later seeds) or its
+per-class branch dedup, so the differential proves both.
+
+Reference semantics (modeled on FlinkCEP ``followedBy`` with greedy
+quantifiers and AfterMatchSkipStrategy.skipPastLastEvent(), over
+first-match-wins single labels): per branch, TAKE / PROCEED+TAKE /
+IGNORE are mutually exclusive; a satisfiable final-stage run closes on
+the next other-stage label or end-of-data (greedy-maximal within the
+merged run — Flink's non-greedy trailing loop under skip-past-last
+would emit at min-count, a policy expressible as max_count=min_count);
+the first completion wins, earliest start breaking ties; the scan
+resumes after the match's last consumed event."""
+
+from __future__ import annotations
+
+import itertools
+
+import pytest
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+from flink_snappydata_spark.streaming.cep import (
+    _pack_nfa_state,
+    _unpack_nfa_state,
+    advance_relaxed_nfa_state,
+    close_relaxed_nfa,
+)
+
+
+# ---------------------------------------------------------------------------
+# Reference: per-start simulation + earliest-completion emission scan
+# ---------------------------------------------------------------------------
+
+
+def _simulate_from(
+    rows: list[tuple[int, int]],
+    s: int,
+    quants: list[tuple[int, int | None]],
+) -> tuple[int, int, int, tuple[int, ...]] | None:
+    """Run ONE branch from start index ``s`` (rows[s] must be label 1)
+    to completion. Returns (completion_index, last_consumed_index,
+    end_ts, counts) or None. completion_index is where the match
+    becomes emittable: the consuming event for bound completions, the
+    closing event for run closes, len(rows) for end-of-data."""
+    k = len(quants)
+    n = len(rows)
+    stage = 1
+    counts = [0] * k
+    counts[0] = 1
+    last = s
+    for j in range(s + 1, n):
+        lab = rows[j][1]
+        if lab == -1:
+            continue
+        if stage == k and counts[k - 1] >= quants[k - 1][0] and lab != k:
+            return j, last, rows[last][0], tuple(counts)
+        if not 1 <= lab <= k:
+            continue
+        lo, hi = quants[stage - 1]
+        if lab == stage and (hi is None or counts[stage - 1] < hi):
+            counts[stage - 1] += 1
+            last = j
+            if stage == k and hi is not None and counts[k - 1] == hi:
+                return j, j, rows[j][0], tuple(counts)
+        elif lab == stage + 1 and counts[stage - 1] >= lo:
+            stage += 1
+            counts[stage - 1] = 1
+            last = j
+            if stage == k and quants[k - 1][1] == 1:
+                return j, j, rows[j][0], tuple(counts)
+        # else: relaxed IGNORE
+    if stage == k and counts[k - 1] >= quants[k - 1][0]:
+        return n, last, rows[last][0], tuple(counts)
+    return None
+
+
+def reference_relaxed_nfa(
+    rows: list[tuple[int, int]],
+    quants: list[tuple[int, int | None]],
+) -> list[tuple[int, int, tuple[int, ...]]]:
+    out: list[tuple[int, int, tuple[int, ...]]] = []
+    i = 0
+    n = len(rows)
+    while i < n:
+        best = None
+        for s in range(i, n):
+            if rows[s][1] != 1:
+                continue
+            m = _simulate_from(rows, s, quants)
+            if m is None:
+                continue
+            key = (m[0], s)  # earliest completion, then earliest start
+            if best is None or key < best[0]:
+                best = (key, s, m)
+        if best is None:
+            return out
+        _, s, (_, last_idx, end_ts, counts) = best
+        out.append((rows[s][0], end_ts, counts))
+        i = last_idx + 1  # skip past last (consumed) event
+    return out
+
+
+def engine_relaxed_nfa(
+    rows: list[tuple[int, int]],
+    quants: list[tuple[int, int | None]],
+) -> list[tuple[int, int, tuple[int, ...]]]:
+    matches, state = advance_relaxed_nfa_state((), rows, quants)
+    return matches + close_relaxed_nfa(state, quants)
+
+
+_QUANTS = st.lists(
+    st.tuples(
+        st.integers(min_value=1, max_value=3),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    ).map(lambda t: (t[0], None if t[1] is None else t[0] + t[1])),
+    min_size=1,
+    max_size=4,
+).map(
+    # single-stage bounded patterns are rejected by the compiler and
+    # the fold alike (Flink's skip-past-last chunking of one over-long
+    # run is a different operator) — force k=1 specs unbounded
+    lambda qs: [(qs[0][0], None)] if len(qs) == 1 else qs
+)
+
+
+@settings(max_examples=400, deadline=None)
+@given(
+    quants=_QUANTS,
+    labels=st.lists(st.integers(min_value=-1, max_value=5), max_size=40),
+)
+def test_engine_equals_reference(quants, labels):
+    """THE relaxed-NFA pin: over random stage specs (k in 1..4, min
+    1..3, bounded and unbounded maxes) and random label sequences
+    (sentinels included), the engine's deduped multi-branch machine is
+    row-identical to the keep-everything reference — matches,
+    boundaries, per-stage counts."""
+    k = len(quants)
+    rows = [
+        (10 * (i + 1), lab if -1 <= lab <= k and lab != 0 else -1)
+        for i, lab in enumerate(labels)
+    ]
+    assert engine_relaxed_nfa(rows, quants) == reference_relaxed_nfa(
+        rows, quants
+    )
+
+
+@settings(max_examples=200, deadline=None)
+@given(
+    quants=_QUANTS,
+    labels=st.lists(st.integers(min_value=-1, max_value=5), max_size=30),
+    split=st.integers(min_value=0, max_value=30),
+)
+def test_fold_is_associative_over_splits(quants, labels, split):
+    """Cross-batch continuation: folding rows in two chunks through the
+    packed state equals one fold — the property the live machine's
+    state-store handoff relies on (pack/unpack round-trips too)."""
+    k = len(quants)
+    rows = [
+        (10 * (i + 1), lab if -1 <= lab <= k and lab != 0 else -1)
+        for i, lab in enumerate(labels)
+    ]
+    cut = min(split, len(rows))
+    m1, s1 = advance_relaxed_nfa_state((), rows[:cut], quants)
+    s1 = _unpack_nfa_state(_pack_nfa_state(s1, k)[0], k)
+    m2, s2 = advance_relaxed_nfa_state(s1, rows[cut:], quants)
+    whole_m, whole_s = advance_relaxed_nfa_state((), rows, quants)
+    assert m1 + m2 == whole_m
+    assert tuple(s2) == tuple(whole_s)
+
+
+def test_exhaustive_small_cross_gap_spec():
+    """Exhaustive differential on every label sequence of length <= 7
+    over {1, 2, -1} for A{2,2} followedBy B{1,1} — the spec whose
+    cross-gap assembly (A B A B matching from the FIRST A) is exactly
+    where merged-burst relaxed diverges from the NFA."""
+    quants = [(2, 2), (1, 1)]
+    for n in range(8):
+        for seq in itertools.product((1, 2, -1), repeat=n):
+            rows = [(10 * (i + 1), lab) for i, lab in enumerate(seq)]
+            assert engine_relaxed_nfa(rows, quants) == reference_relaxed_nfa(
+                rows, quants
+            ), seq
+
+
+def test_exhaustive_small_three_stage_funnel():
+    """Exhaustive differential for the registered funnel's spec shape
+    V{1,1} C{1,} P{1,1} on every sequence of length <= 6 over
+    {1, 2, 3, -1}."""
+    quants = [(1, 1), (1, None), (1, 1)]
+    for n in range(7):
+        for seq in itertools.product((1, 2, 3, -1), repeat=n):
+            rows = [(10 * (i + 1), lab) for i, lab in enumerate(seq)]
+            assert engine_relaxed_nfa(rows, quants) == reference_relaxed_nfa(
+                rows, quants
+            ), seq
+
+
+class TestDivergenceReceipts:
+    """Readable receipts for exactly where relaxed_nfa differs from the
+    merged-burst relaxed mode (and agrees with Flink's NFA)."""
+
+    def test_cross_gap_assembly(self):
+        # A{2,2} followedBy B{1,1} on A B A B: the NFA assembles the
+        # A-count across the interior B (match from the FIRST A,
+        # spanning it); merged-burst sees runs A|B|A|B and fails.
+        rows = [(10, 1), (20, 2), (30, 1), (40, 2)]
+        quants = [(2, 2), (1, 1)]
+        assert engine_relaxed_nfa(rows, quants) == [(10, 40, (2, 1))]
+        from flink_snappydata_spark.streaming.cep import (
+            advance_pattern_state,
+        )
+
+        closed = rows + [(50, -99)]
+        burst, _ = advance_pattern_state(((), None), closed, quants)
+        assert burst == []
+
+    def test_bounded_first_stage_prefix_not_suffix(self):
+        # A{1,2} followedBy B on A A A B: the NFA consumes the PREFIX
+        # (A1, A2) and skips the overflow A3 (match_start = first A);
+        # merged-burst's sub-run rule takes the SUFFIX (A2, A3).
+        rows = [(10, 1), (20, 1), (30, 1), (40, 2)]
+        quants = [(1, 2), (1, None)]
+        assert engine_relaxed_nfa(rows, quants) == [(10, 40, (2, 1))]
+        from flink_snappydata_spark.streaming.cep import (
+            advance_pattern_state,
+        )
+
+        closed = rows + [(50, -99)]
+        burst, _ = advance_pattern_state(((), None), closed, quants)
+        assert burst == [(20, 40, (2, 1))]
+
+    def test_interior_other_stage_label_skipped(self):
+        # V{1,1} C{1,} P{1,1} on V C V P: the NFA ignores the interior
+        # second V (match spans it); merged-burst needs three
+        # consecutive runs V|C|P and fails on V|C|V|P.
+        rows = [(10, 1), (20, 2), (30, 1), (40, 3)]
+        quants = [(1, 1), (1, None), (1, 1)]
+        assert engine_relaxed_nfa(rows, quants) == [(10, 40, (1, 1, 1))]
+
+    def test_trailing_run_closes_at_next_stage_label(self):
+        # A fBy B+ on A B A B: the first match's B-run closes at the
+        # second A (greedy-maximal within the MERGED run, not held open
+        # across other-stage events), and the second A seeds the next
+        # match — alternation gives two matches, same as merged-burst.
+        rows = [(10, 1), (20, 2), (30, 1), (40, 2)]
+        quants = [(1, 1), (1, None)]
+        assert engine_relaxed_nfa(rows, quants) == [
+            (10, 20, (1, 1)),
+            (30, 40, (1, 1)),
+        ]
+
+    def test_min_count_emission_policy_via_bounds(self):
+        # max_count == min_count expresses Flink's non-greedy trailing
+        # loop under skip-past-last: A fBy B{1,1} on A B B B emits at
+        # the first B; the unbounded greedy form absorbs all three.
+        rows = [(10, 1), (20, 2), (30, 2), (40, 2)]
+        assert engine_relaxed_nfa(rows, [(1, 1), (1, 1)]) == [
+            (10, 20, (1, 1))
+        ]
+        assert engine_relaxed_nfa(rows, [(1, 1), (1, None)]) == [
+            (10, 40, (1, 3))
+        ]
+
+    def test_spark_batch_op_matches_nfa_not_merged_burst(self, spark):
+        """Spark-level receipt for the cross-gap divergence: the same
+        A{2,2} followedBy B event fixture through cep_match_pattern —
+        relaxed_nfa finds the match the NFA finds (from the FIRST A,
+        spanning the interior B), merged-burst relaxed finds none."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from flink_snappydata_spark.operators.cep import (
+            PatternStage,
+            cep_match_pattern,
+        )
+
+        t0 = dt.datetime(2024, 1, 1)
+        rows = [
+            (1, t0 + dt.timedelta(minutes=m), i, et, 1.0)
+            for i, (m, et) in enumerate(
+                [(0, "view"), (1, "click"), (2, "view"), (3, "click")]
+            )
+        ]
+        ev = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long,"
+            " event_type string, value double",
+        )
+        stages = [
+            PatternStage("a", "view", min_count=2, max_count=2),
+            PatternStage("b", "click", min_count=1, max_count=1),
+        ]
+        nfa = cep_match_pattern(ev, stages, contiguity="relaxed_nfa")
+        got = [
+            (r.user_id, r.match_start, r.match_end, r.n_a, r.n_b)
+            for r in nfa.collect()
+        ]
+        assert got == [
+            (1, t0, t0 + dt.timedelta(minutes=3), 2, 1)
+        ]
+        burst = cep_match_pattern(ev, stages, contiguity="relaxed")
+        assert burst.count() == 0
+        # and the within post-filter applies to the NFA path too
+        assert (
+            cep_match_pattern(
+                ev, stages, contiguity="relaxed_nfa", within="2 minutes"
+            ).count()
+            == 0
+        )
+
+    def test_live_nfa_machine_contained_in_batch(self, spark):
+        """The live relaxed_nfa machine on a file replay: every emitted
+        match is a batch-op match, and it is non-vacuous (matches whose
+        completion is in-stream — bound completions and stage-label
+        closes — all emit; only a trailing satisfiable run withheld at
+        end-of-stream may be missing, same contract as the other
+        modes)."""
+        import pandas as pd
+
+        from flink_snappydata_spark.catalog import load_table
+        from flink_snappydata_spark.operators.cep import (
+            cep_funnel_relaxed_nfa,
+        )
+        from flink_snappydata_spark.operators.cep import PatternStage as PS
+        from pyspark.sql import functions as F
+        from flink_snappydata_spark.streaming import runtime
+        from flink_snappydata_spark.streaming.cep import (
+            streaming_cep_pattern,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        stream = runtime.events_file_stream(spark, sf)
+        stages = [
+            PS("view", "view", min_count=1, max_count=1),
+            PS(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            ),
+            PS("purchase", "purchase", min_count=1, max_count=1),
+        ]
+        live = streaming_cep_pattern(stream, stages, contiguity="relaxed_nfa")
+        runtime.run_to_memory_sink(live, "nfa_live", "append")
+        got = spark.table("nfa_live").toPandas()
+        want = cep_funnel_relaxed_nfa(load_table(spark, sf, "events")).toPandas()
+        cols = [
+            "user_id",
+            "match_start",
+            "match_end",
+            "n_view",
+            "n_click",
+            "n_purchase",
+        ]
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        merged = got.merge(want[cols], how="left", indicator=True)
+        assert (merged["_merge"] == "both").all(), "live ⊄ batch"
+        assert len(got) >= 1, "non-vacuous"
+
+    def test_sentinels_invisible_and_flush_closes(self):
+        rows = [(10, 1), (20, -1), (30, 2), (40, -1)]
+        quants = [(1, 1), (1, None)]
+        # sentinel after the B does not close; end-of-data does
+        m, s = advance_relaxed_nfa_state((), rows, quants)
+        assert m == []
+        assert close_relaxed_nfa(s, quants) == [(10, 30, (1, 1))]
+        # a flush label (out of range, not -1) closes in-fold
+        m2, _ = advance_relaxed_nfa_state((), rows + [(50, -99)], quants)
+        assert m2 == [(10, 30, (1, 1))]

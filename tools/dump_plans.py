@@ -69,6 +69,11 @@ GAUGE_TAIL = [
     "cep_multi_stage_relaxed",
     "cep_bounded_subrun",
     "cep_absence_alerts",
+    # round-14 continuation: the EXACT followedBy NFA — pins that the
+    # applyInPandas path keeps the single user-keyed exchange and the
+    # JVM-side label/sentinel filter (a lost pushdown here would ship
+    # the whole events table into Python)
+    "cep_relaxed_nfa",
 ]
 
 #: Every gauge-pinned query, golden-file order.
