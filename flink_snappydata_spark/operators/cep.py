@@ -416,6 +416,19 @@ def stage_label_expr(stages: list[PatternStage]) -> Column:
     return label.otherwise(-1)
 
 
+def _matches_frame(pd, names, uids, matches):
+    """Assemble one output chunk of the relaxed-NFA kernel (vectorized
+    us→timestamp conversion once per chunk, not per group)."""
+    out = {
+        "user_id": uids,
+        "match_start": pd.to_datetime([m[0] for m in matches], unit="us"),
+        "match_end": pd.to_datetime([m[1] for m in matches], unit="us"),
+    }
+    for i, n in enumerate(names):
+        out[f"n_{n}"] = [m[2][i] for m in matches]
+    return pd.DataFrame(out)
+
+
 def _cep_match_pattern_nfa(
     events: DataFrame,
     stages: list[PatternStage],
@@ -429,16 +442,29 @@ def _cep_match_pattern_nfa(
     the reference differential are documented there). Unlike the other
     modes this is inherently a sequential per-key scan (a branch may
     skip arbitrarily between consumed events, so no change-detection
-    islands exist to compile to) — the NFA is therefore run as an
-    Arrow-batched ``applyInPandas`` over the SAME user_id partitioning
-    the declarative modes shuffle on: stage labels are still evaluated
-    JVM-side (whole-stage codegen) and sentinel rows are filtered
-    before Python, so the kernel sees only (ts, label) pairs of
-    stage-relevant events. State per branch set is O(sum of stage
-    bounds); per-user sequences are human-activity-bounded, so no
-    group is corpus-sized. Scale shape: ONE shuffle, identical to the
-    declarative paths.
+    islands exist to compile to) — the NFA therefore runs in an
+    Arrow-batched ``mapInPandas`` over the SAME user_id partitioning
+    the declarative modes shuffle on (``repartition(user_id)`` +
+    ``sortWithinPartitions``), NOT per-group ``applyInPandas``: Spark's
+    per-group apply overhead (~2-3 ms/group: one pandas frame build +
+    output coercion per key) dominates a funnel kernel whose per-user
+    fold is microseconds — measured 3.8 s for a NO-OP apply over
+    sf0.1's 1500 users vs ~0.3 s of chunk overhead this way. The
+    kernel walks each Arrow chunk's numpy arrays group-by-group and
+    carries (user, fold state) across chunk boundaries — exact, because
+    the fold is split-associative (pinned by
+    tests/test_relaxed_nfa.py::test_fold_is_associative_over_splits).
+
+    Stage labels are still evaluated JVM-side (whole-stage codegen)
+    and sentinel rows are filtered before Python, so Python sees only
+    (ts, label) pairs of stage-relevant events. State per branch set is
+    O(sum of stage bounds); per-user sequences are human-activity-
+    bounded, so no group is corpus-sized. Scale shape: ONE shuffle,
+    identical to the declarative paths.
     """
+    from collections.abc import Iterator
+
+    import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
         LongType,
@@ -455,7 +481,6 @@ def _cep_match_pattern_nfa(
     label = stage_label_expr(stages)
     quants = [(s.min_count, s.max_count) for s in stages]
     names = [s.name for s in stages]
-    k = len(quants)
     out_schema = StructType(
         [
             StructField("user_id", LongType()),
@@ -464,28 +489,53 @@ def _cep_match_pattern_nfa(
             *[StructField(f"n_{n}", LongType()) for n in names],
         ]
     )
-    labeled = events.select(
-        "user_id", "ts", "event_id", label.alias("stage_id")
-    ).filter(F.col("stage_id") != -1)
+    labeled = (
+        events.select("user_id", "ts", "event_id", label.alias("stage_id"))
+        .filter(F.col("stage_id") != -1)
+        .repartition("user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+    )
 
-    def match_group(pdf: "pd.DataFrame") -> "pd.DataFrame":
-        pdf = pdf.sort_values(["ts", "event_id"])
-        rows = [
-            (int(t.value // 1000), int(lab))
-            for t, lab in zip(pdf["ts"], pdf["stage_id"])
-        ]
-        matches, state = advance_relaxed_nfa_state((), rows, quants)
-        matches += close_relaxed_nfa(state, quants)
-        out = {
-            "user_id": [int(pdf["user_id"].iloc[0])] * len(matches),
-            "match_start": pd.to_datetime([m[0] for m in matches], unit="us"),
-            "match_end": pd.to_datetime([m[1] for m in matches], unit="us"),
-        }
-        for i, n in enumerate(names):
-            out[f"n_{n}"] = [m[2][i] for m in matches]
-        return pd.DataFrame(out)
+    def match_partition(
+        pdfs: Iterator["pd.DataFrame"],
+    ) -> Iterator["pd.DataFrame"]:
+        cur_uid: int | None = None
+        state: tuple = ()
+        for pdf in pdfs:
+            if not len(pdf):
+                continue
+            uids = pdf["user_id"].to_numpy()
+            ts_us = pdf["ts"].to_numpy().astype("datetime64[us]").astype(
+                "int64"
+            )
+            labs = pdf["stage_id"].to_numpy()
+            # group boundaries in the (user-sorted) chunk
+            cuts = np.flatnonzero(np.diff(uids)) + 1
+            starts = np.concatenate(([0], cuts))
+            ends = np.concatenate((cuts, [len(uids)]))
+            out_uid: list[int] = []
+            out_m: list[tuple[int, int, tuple[int, ...]]] = []
+            for a, b in zip(starts, ends):
+                uid = int(uids[a])
+                if uid != cur_uid:
+                    if cur_uid is not None:
+                        for m in close_relaxed_nfa(state, quants):
+                            out_uid.append(cur_uid)
+                            out_m.append(m)
+                    cur_uid, state = uid, ()
+                rows = list(zip(ts_us[a:b].tolist(), labs[a:b].tolist()))
+                matches, state = advance_relaxed_nfa_state(
+                    state, rows, quants
+                )
+                out_uid.extend([uid] * len(matches))
+                out_m.extend(matches)
+            yield _matches_frame(pd, names, out_uid, out_m)
+        if cur_uid is not None:
+            tail = close_relaxed_nfa(state, quants)
+            if tail:
+                yield _matches_frame(pd, names, [cur_uid] * len(tail), tail)
 
-    out = labeled.groupBy("user_id").applyInPandas(match_group, out_schema)
+    out = labeled.mapInPandas(match_partition, out_schema)
     if within is not None:
         out = out.filter(
             F.col("match_end")

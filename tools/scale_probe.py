@@ -353,6 +353,26 @@ EVENT_OPS = {
         ],
         sort=False,
     ),
+    # round-14 continuation: the EXACT followedBy NFA — same stages as
+    # the registered cep_relaxed_nfa query. The Arrow-batched
+    # applyInPandas kernel rides the same user partitioning as the
+    # declarative modes; the probe checks the Python fold stays linear
+    # in per-user events (branch count is O(pattern), not O(history)).
+    "cep_relaxed_nfa": lambda v: CEP.cep_match_pattern(
+        v,
+        [
+            CEP.PatternStage("view", "view", min_count=1, max_count=1),
+            CEP.PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            ),
+            CEP.PatternStage(
+                "purchase", "purchase", min_count=1, max_count=1
+            ),
+        ],
+        sort=False,
+        contiguity="relaxed_nfa",
+    ),
     "window_funnel": lambda v: CEP.window_funnel(v),
     "temporal_dim_join": lambda v: CEP.temporal_table_join(
         v.withColumn(
