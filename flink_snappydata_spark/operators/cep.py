@@ -481,6 +481,13 @@ def _cep_match_pattern_nfa(
     label = stage_label_expr(stages)
     quants = [(s.min_count, s.max_count) for s in stages]
     names = [s.name for s in stages]
+    # Flink Pattern.within: PRUNE partial matches in-fold (a later
+    # start can win a match a post-filter would drop) — the exact
+    # semantics, stronger than the post-filter contract of the other
+    # modes (documented in the builder docstring)
+    within_us = (
+        None if within is None else _window_seconds(within) * 1_000_000
+    )
     out_schema = StructType(
         [
             StructField("user_id", LongType()),
@@ -525,7 +532,7 @@ def _cep_match_pattern_nfa(
                     cur_uid, state = uid, ()
                 rows = list(zip(ts_us[a:b].tolist(), labs[a:b].tolist()))
                 matches, state = advance_relaxed_nfa_state(
-                    state, rows, quants
+                    state, rows, quants, within_us
                 )
                 out_uid.extend([uid] * len(matches))
                 out_m.extend(matches)
@@ -536,11 +543,8 @@ def _cep_match_pattern_nfa(
                 yield _matches_frame(pd, names, [cur_uid] * len(tail), tail)
 
     out = labeled.mapInPandas(match_partition, out_schema)
-    if within is not None:
-        out = out.filter(
-            F.col("match_end")
-            <= F.col("match_start") + F.expr(f"INTERVAL {within}")
-        )
+    # no post-filter: within is enforced in-fold (every emitted match
+    # already satisfies match_end <= match_start + within)
     return out.orderBy("user_id", "match_start") if sort else out
 
 
@@ -854,6 +858,32 @@ def cep_funnel_relaxed_nfa(events: DataFrame) -> DataFrame:
             PatternStage("purchase", "purchase", min_count=1, max_count=1),
         ],
         contiguity="relaxed_nfa",
+    )
+
+
+def cep_funnel_relaxed_nfa_within(events: DataFrame) -> DataFrame:
+    """The EXACT-NFA + ``Pattern.within(5 days)`` registered instance —
+    same stages as :func:`cep_funnel_relaxed_nfa`, with Flink's
+    partial-match PRUNING semantics: a branch whose 5-day window
+    expires mid-pattern is discarded, so a LATER view can win a match
+    that a post-filter contract would silently drop (the receipt test
+    in tests/test_relaxed_nfa.py: 16 of this instance's 60 sf0.001
+    matches exist ONLY under pruning). The DuckDB oracle extends the
+    recursive
+    first-event-after chain with the window constraint and an
+    earliest-completion-then-earliest-start winner per step."""
+    return cep_match_pattern(
+        events,
+        [
+            PatternStage("view", "view", min_count=1, max_count=1),
+            PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            ),
+            PatternStage("purchase", "purchase", min_count=1, max_count=1),
+        ],
+        contiguity="relaxed_nfa",
+        within="5 days",
     )
 
 

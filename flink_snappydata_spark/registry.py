@@ -157,6 +157,7 @@ _R15_QUEUE: list[str] = [
     "cep_bounded_subrun",
     "match_recognize_funnel",
     "cep_relaxed_nfa",
+    "cep_relaxed_nfa_within",
     # -- r10-stamped remainder (cadence-due at r15) --
     "typo_pairs",
     "zorder_key",

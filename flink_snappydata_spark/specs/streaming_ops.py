@@ -759,6 +759,77 @@ _register(
         "independent recursive first-event-after chain.",
 )
 
+# The within variant: Flink Pattern.within as PARTIAL-MATCH PRUNING
+# (exact semantics — a branch whose window expires mid-pattern is
+# discarded, so a later view can win a match the other modes'
+# post-filter contract would drop). The oracle's recursive step picks
+# the earliest-completing candidate (min by purchase ts, then view ts)
+# among views after the previous match whose click AND purchase both
+# land inside the view's 5-day window — exactly the machine's
+# earliest-completion-earliest-start winner, valid here because stage
+# predicates chain monotonically (first-click/first-purchase are
+# non-decreasing in the view).
+_register(
+    "cep_relaxed_nfa_within",
+    ["events"],
+    cep.cep_funnel_relaxed_nfa_within,
+    """
+    WITH RECURSIVE lab AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 1
+                    WHEN event_type = 'click' AND value >= 0.5 THEN 2
+                    WHEN event_type = 'purchase' THEN 3
+                    ELSE -1 END AS stage_id
+        FROM events
+    ), chain AS (
+        SELECT user_id,
+               CAST(NULL AS TIMESTAMP) AS v_ts, CAST(NULL AS BIGINT) AS v_id,
+               CAST(NULL AS TIMESTAMP) AS c_ts, CAST(NULL AS BIGINT) AS c_id,
+               TIMESTAMP '1900-01-01' AS p_ts, CAST(-1 AS BIGINT) AS p_id
+        FROM (SELECT DISTINCT user_id FROM lab)
+        UNION ALL
+        SELECT c0.user_id, m.v_ts, m.v_id, m.c_ts, m.c_id, m.p_ts, m.p_id
+        FROM chain c0
+        CROSS JOIN LATERAL (
+            SELECT v.ts AS v_ts, v.event_id AS v_id,
+                   lc.c_ts, lc.c_id, lp.p_ts, lp.p_id
+            FROM lab v
+            CROSS JOIN LATERAL (
+                SELECT ts AS c_ts, event_id AS c_id FROM lab
+                WHERE lab.user_id = v.user_id AND stage_id = 2
+                  AND (ts, event_id) > (v.ts, v.event_id)
+                  AND ts <= v.ts + INTERVAL 5 DAY
+                ORDER BY ts, event_id LIMIT 1) lc
+            CROSS JOIN LATERAL (
+                SELECT ts AS p_ts, event_id AS p_id FROM lab
+                WHERE lab.user_id = v.user_id AND stage_id = 3
+                  AND (ts, event_id) > (lc.c_ts, lc.c_id)
+                  AND ts <= v.ts + INTERVAL 5 DAY
+                ORDER BY ts, event_id LIMIT 1) lp
+            WHERE v.user_id = c0.user_id AND v.stage_id = 1
+              AND (v.ts, v.event_id) > (c0.p_ts, c0.p_id)
+            ORDER BY lp.p_ts, lp.p_id, v.ts, v.event_id LIMIT 1
+        ) m
+    )
+    SELECT c.user_id, c.v_ts AS match_start, c.p_ts AS match_end,
+           CAST(1 AS BIGINT) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lab
+            WHERE lab.user_id = c.user_id AND stage_id = 2
+              AND (ts, event_id) >= (c.c_ts, c.c_id)
+              AND (ts, event_id) < (c.p_ts, c.p_id)) AS n_click,
+           CAST(1 AS BIGINT) AS n_purchase
+    FROM chain c WHERE c.v_ts IS NOT NULL
+    ORDER BY user_id, match_start
+    """,
+    doc="cep_relaxed_nfa + Pattern.within(5 days) with Flink's "
+        "partial-match pruning (not a post-filter): a timed-out "
+        "partial is discarded in-fold and a later start can win the "
+        "match; the pruning doubles as live-state reclamation "
+        "(per-key state bounded by one window's events). Oracle: the "
+        "recursive chain with window constraints and an "
+        "earliest-completion winner per step.",
+)
+
 _register(
     "match_recognize_funnel",
     ["events"],

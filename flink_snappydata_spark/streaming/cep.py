@@ -404,10 +404,18 @@ def streaming_cep_pattern(
         # the EXACT followedBy machine: same emission contract (a
         # match emits in the micro-batch whose event closes/completes
         # it; a satisfiable trailing run waits for a closing stage
-        # label or a flush record), state = one branch per transition
-        # class, O(sum of stage bounds) longs per key
+        # label or a flush record). within is enforced IN-FOLD as
+        # partial-match pruning (Flink semantics: a later start can
+        # win after an earlier partial times out), not as the JVM
+        # post-filter the other modes use — and the pruning doubles as
+        # state reclamation: per-key state is bounded by the events
+        # inside one window, Flink's own partial-match bound (without
+        # within: one branch per transition class, O(pattern) longs).
+        within_us = (
+            None if within is None else _window_seconds(within) * 1_000_000
+        )
         advance = lambda st0, rows, q: advance_relaxed_nfa_state(  # noqa: E731
-            st0, rows, q
+            st0, rows, q, within_us
         )
         unpack = lambda p: _unpack_nfa_state(p, k)  # noqa: E731
         pack = lambda st0: _pack_nfa_state(st0, k)  # noqa: E731
@@ -455,7 +463,7 @@ def streaming_cep_pattern(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    if within is not None:
+    if within is not None and contiguity != "relaxed_nfa":
         out = out.filter(
             F.col("match_end")
             <= F.col("match_start") + F.expr(f"INTERVAL {within}")
@@ -482,6 +490,7 @@ def advance_relaxed_nfa_state(
     state: NfaState,
     rows: list[tuple[int, int]],
     quants: list[tuple[int, int | None]],
+    within_us: int | None = None,
 ) -> tuple[list[tuple[int, int, tuple[int, ...]]], NfaState]:
     """Pure state transition for the EXACT relaxed-contiguity machine
     (Flink ``followedBy`` with AFTER MATCH SKIP PAST LAST EVENT): fold
@@ -532,6 +541,24 @@ def advance_relaxed_nfa_state(
     machine keeps one branch per class: state is O(sum of stage bounds)
     longs, independent of stream length.
 
+    WITHIN (``within_us``): Flink's ``Pattern.within`` prunes PARTIAL
+    matches — a branch whose window ``(start, start + within]`` cannot
+    admit the current event is discarded, which lets a LATER start win
+    a match a post-filter would silently drop (the post-filter contract
+    the other modes keep is strictly weaker: it rejects the found match
+    without re-searching). A satisfiable FINAL-stage branch whose
+    window expires CLOSES (emits) instead — its consumed events all lie
+    within the window, so the match is valid; only its greedy tail
+    growth is cut. Expired branches necessarily started earlier than
+    every in-window branch, so checking closers before consumption-
+    completions preserves the earliest-start winner rule. Under within,
+    branches of one transition class with different starts expire at
+    different times, so the per-class dedup would be lossy — the
+    machine keeps every live branch instead; state is then bounded by
+    the key's event count inside one window (exactly Flink's
+    partial-match state bound), and expiry reclaims it as the stream
+    advances.
+
     Returns ``(matches, new_state)`` with each match
     ``(start_us, end_us, per-stage counts)``. Associative over splits
     of an ordered sequence. Labels outside 1..k other than the -1
@@ -563,14 +590,27 @@ def advance_relaxed_nfa_state(
     for ts_us, lab in rows:
         if lab == -1:
             continue  # relaxed contiguity: sentinels are invisible
-        if lab != k:
-            closers = [
-                b for b in branches if b[0] == k and b[3][k - 1] >= last_lo
-            ]
+        if lab != k or within_us is not None:
+            closers: list[NfaBranch] = []
+            keep: list[NfaBranch] = []
+            for b in branches:
+                expired = (
+                    within_us is not None and ts_us - b[1] > within_us
+                )
+                if b[0] == k and b[3][k - 1] >= last_lo and (
+                    lab != k or expired
+                ):
+                    closers.append(b)
+                elif expired:
+                    pass  # timed-out partial match: discard (within)
+                else:
+                    keep.append(b)
             if closers:
                 w = min(closers, key=lambda b: b[1])
                 matches.append((w[1], w[2], w[3]))
                 branches = []  # skip past last event
+            else:
+                branches = keep
         if not 1 <= lab <= k:
             continue  # flush record: close-only trigger
         nxt: list[NfaBranch] = []
@@ -605,7 +645,7 @@ def advance_relaxed_nfa_state(
             continue
         if lab == 1:
             nxt.append((1, ts_us, ts_us, (1,) + (0,) * (k - 1)))
-        branches = _dedup(nxt)
+        branches = _dedup(nxt) if within_us is None else nxt
     return matches, tuple(branches)
 
 

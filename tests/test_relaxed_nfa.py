@@ -48,12 +48,16 @@ def _simulate_from(
     rows: list[tuple[int, int]],
     s: int,
     quants: list[tuple[int, int | None]],
+    within_us: int | None = None,
 ) -> tuple[int, int, int, tuple[int, ...]] | None:
     """Run ONE branch from start index ``s`` (rows[s] must be label 1)
     to completion. Returns (completion_index, last_consumed_index,
     end_ts, counts) or None. completion_index is where the match
     becomes emittable: the consuming event for bound completions, the
-    closing event for run closes, len(rows) for end-of-data."""
+    closing event for run closes (label close OR window expiry of a
+    satisfiable final stage), len(rows) for end-of-data. With
+    ``within_us``, the branch dies at the first stage event its window
+    cannot admit unless it is already a satisfiable final stage."""
     k = len(quants)
     n = len(rows)
     stage = 1
@@ -64,7 +68,12 @@ def _simulate_from(
         lab = rows[j][1]
         if lab == -1:
             continue
-        if stage == k and counts[k - 1] >= quants[k - 1][0] and lab != k:
+        satisf = stage == k and counts[k - 1] >= quants[k - 1][0]
+        if within_us is not None and rows[j][0] - rows[s][0] > within_us:
+            if satisf:
+                return j, last, rows[last][0], tuple(counts)
+            return None  # timed-out partial match
+        if satisf and lab != k:
             return j, last, rows[last][0], tuple(counts)
         if not 1 <= lab <= k:
             continue
@@ -89,6 +98,7 @@ def _simulate_from(
 def reference_relaxed_nfa(
     rows: list[tuple[int, int]],
     quants: list[tuple[int, int | None]],
+    within_us: int | None = None,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
     out: list[tuple[int, int, tuple[int, ...]]] = []
     i = 0
@@ -98,7 +108,7 @@ def reference_relaxed_nfa(
         for s in range(i, n):
             if rows[s][1] != 1:
                 continue
-            m = _simulate_from(rows, s, quants)
+            m = _simulate_from(rows, s, quants, within_us)
             if m is None:
                 continue
             key = (m[0], s)  # earliest completion, then earliest start
@@ -115,8 +125,9 @@ def reference_relaxed_nfa(
 def engine_relaxed_nfa(
     rows: list[tuple[int, int]],
     quants: list[tuple[int, int | None]],
+    within_us: int | None = None,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
-    matches, state = advance_relaxed_nfa_state((), rows, quants)
+    matches, state = advance_relaxed_nfa_state((), rows, quants, within_us)
     return matches + close_relaxed_nfa(state, quants)
 
 
@@ -135,24 +146,31 @@ _QUANTS = st.lists(
 )
 
 
+_WITHIN = st.one_of(
+    st.none(), st.sampled_from([15, 45, 95, 200, 400])
+)
+
+
 @settings(max_examples=400, deadline=None)
 @given(
     quants=_QUANTS,
     labels=st.lists(st.integers(min_value=-1, max_value=5), max_size=40),
+    within_us=_WITHIN,
 )
-def test_engine_equals_reference(quants, labels):
+def test_engine_equals_reference(quants, labels, within_us):
     """THE relaxed-NFA pin: over random stage specs (k in 1..4, min
-    1..3, bounded and unbounded maxes) and random label sequences
-    (sentinels included), the engine's deduped multi-branch machine is
-    row-identical to the keep-everything reference — matches,
-    boundaries, per-stage counts."""
+    1..3, bounded and unbounded maxes), random label sequences
+    (sentinels included), and random within windows (None and several
+    widths against the 10-unit event spacing), the engine's
+    multi-branch machine is row-identical to the keep-everything
+    reference — matches, boundaries, per-stage counts."""
     k = len(quants)
     rows = [
         (10 * (i + 1), lab if -1 <= lab <= k and lab != 0 else -1)
         for i, lab in enumerate(labels)
     ]
-    assert engine_relaxed_nfa(rows, quants) == reference_relaxed_nfa(
-        rows, quants
+    assert engine_relaxed_nfa(rows, quants, within_us) == (
+        reference_relaxed_nfa(rows, quants, within_us)
     )
 
 
@@ -161,21 +179,23 @@ def test_engine_equals_reference(quants, labels):
     quants=_QUANTS,
     labels=st.lists(st.integers(min_value=-1, max_value=5), max_size=30),
     split=st.integers(min_value=0, max_value=30),
+    within_us=_WITHIN,
 )
-def test_fold_is_associative_over_splits(quants, labels, split):
+def test_fold_is_associative_over_splits(quants, labels, split, within_us):
     """Cross-batch continuation: folding rows in two chunks through the
     packed state equals one fold — the property the live machine's
-    state-store handoff relies on (pack/unpack round-trips too)."""
+    state-store handoff relies on (pack/unpack round-trips too), with
+    and without a within window."""
     k = len(quants)
     rows = [
         (10 * (i + 1), lab if -1 <= lab <= k and lab != 0 else -1)
         for i, lab in enumerate(labels)
     ]
     cut = min(split, len(rows))
-    m1, s1 = advance_relaxed_nfa_state((), rows[:cut], quants)
+    m1, s1 = advance_relaxed_nfa_state((), rows[:cut], quants, within_us)
     s1 = _unpack_nfa_state(_pack_nfa_state(s1, k)[0], k)
-    m2, s2 = advance_relaxed_nfa_state(s1, rows[cut:], quants)
-    whole_m, whole_s = advance_relaxed_nfa_state((), rows, quants)
+    m2, s2 = advance_relaxed_nfa_state(s1, rows[cut:], quants, within_us)
+    whole_m, whole_s = advance_relaxed_nfa_state((), rows, quants, within_us)
     assert m1 + m2 == whole_m
     assert tuple(s2) == tuple(whole_s)
 
@@ -204,6 +224,21 @@ def test_exhaustive_small_three_stage_funnel():
             rows = [(10 * (i + 1), lab) for i, lab in enumerate(seq)]
             assert engine_relaxed_nfa(rows, quants) == reference_relaxed_nfa(
                 rows, quants
+            ), seq
+
+
+def test_exhaustive_small_with_within():
+    """Exhaustive differential WITH a within window (25 units over
+    10-unit spacing — partial matches expire after two hops) for
+    A{1,} B{1,1} on every sequence of length <= 7 over {1, 2, -1} —
+    the sizes where within-pruning (a later start winning after an
+    earlier partial times out) actually bites."""
+    quants = [(1, None), (1, 1)]
+    for n in range(8):
+        for seq in itertools.product((1, 2, -1), repeat=n):
+            rows = [(10 * (i + 1), lab) for i, lab in enumerate(seq)]
+            assert engine_relaxed_nfa(rows, quants, 25) == (
+                reference_relaxed_nfa(rows, quants, 25)
             ), seq
 
 
@@ -313,7 +348,8 @@ class TestDivergenceReceipts:
         ]
         burst = cep_match_pattern(ev, stages, contiguity="relaxed")
         assert burst.count() == 0
-        # and the within post-filter applies to the NFA path too
+        # within prunes in-fold on the NFA path: the only candidate
+        # start expires mid-pattern (minute 3 > start + 2), so no match
         assert (
             cep_match_pattern(
                 ev, stages, contiguity="relaxed_nfa", within="2 minutes"
@@ -367,6 +403,58 @@ class TestDivergenceReceipts:
         merged = got.merge(want[cols], how="left", indicator=True)
         assert (merged["_merge"] == "both").all(), "live ⊄ batch"
         assert len(got) >= 1, "non-vacuous"
+
+    def test_within_prunes_partials_so_later_starts_win(self):
+        # A fBy B within 25: A1 at t=10 never reaches a B inside its
+        # window; pruning the timed-out partial lets A2 (t=40) match
+        # B (t=50). A post-filter would find (A1, B) first, reject it,
+        # and emit NOTHING — the strictly-weaker contract the other
+        # modes keep.
+        rows = [(10, 1), (40, 1), (50, 2)]
+        quants = [(1, 1), (1, None)]
+        assert engine_relaxed_nfa(rows, quants, 25) == [(40, 50, (1, 1))]
+        # without within, the earlier start wins the same B
+        assert engine_relaxed_nfa(rows, quants, None) == [(10, 50, (1, 1))]
+
+    def test_within_closes_satisfiable_final_run_at_expiry(self):
+        # A fBy B+ within 25 on A B ... B(late): the late B falls
+        # outside the first match's window, so the trailing run closes
+        # at expiry with what it has — the match is valid, only its
+        # greedy tail growth is cut.
+        rows = [(10, 1), (20, 2), (100, 2)]
+        quants = [(1, 1), (1, None)]
+        assert engine_relaxed_nfa(rows, quants, 25) == [(10, 20, (1, 1))]
+
+    def test_within_pruning_vs_postfilter_contract_on_real_data(
+        self, spark
+    ):
+        """The two within contracts measurably disagree on the fixture:
+        pruning (Flink) finds matches the post-filter (the other
+        modes' contract) silently drops — at sf0.001, 60 pruned-mode
+        matches vs 44 post-filtered ones, the 44 a strict subset."""
+        import pandas as pd
+
+        from flink_snappydata_spark.catalog import load_table
+        from flink_snappydata_spark.operators.cep import (
+            cep_funnel_relaxed_nfa,
+            cep_funnel_relaxed_nfa_within,
+        )
+
+        ev = load_table(spark, "/root/testdata/sf0.001", "events")
+        prune = cep_funnel_relaxed_nfa_within(ev).toPandas()
+        post = cep_funnel_relaxed_nfa(ev).toPandas()
+        post = post[
+            post.match_end <= post.match_start + pd.Timedelta(days=5)
+        ]
+        key = ["user_id", "match_start", "match_end"]
+        ps = set(map(tuple, prune[key].itertuples(index=False)))
+        qs = set(map(tuple, post[key].itertuples(index=False)))
+        assert len(ps) == 60 and len(qs) == 44
+        assert qs < ps, "post-filter matches must be a strict subset here"
+        # every pruned-mode match respects the window by construction
+        assert (
+            prune.match_end <= prune.match_start + pd.Timedelta(days=5)
+        ).all()
 
     def test_sentinels_invisible_and_flush_closes(self):
         rows = [(10, 1), (20, -1), (30, 2), (40, -1)]

@@ -70,10 +70,12 @@ GAUGE_TAIL = [
     "cep_bounded_subrun",
     "cep_absence_alerts",
     # round-14 continuation: the EXACT followedBy NFA — pins that the
-    # applyInPandas path keeps the single user-keyed exchange and the
+    # mapInPandas path keeps the single user-keyed exchange and the
     # JVM-side label/sentinel filter (a lost pushdown here would ship
-    # the whole events table into Python)
+    # the whole events table into Python); the within variant pins the
+    # same shape for the partial-match-pruning fold
     "cep_relaxed_nfa",
+    "cep_relaxed_nfa_within",
 ]
 
 #: Every gauge-pinned query, golden-file order.
