@@ -18,6 +18,7 @@ human-activity-bounded, so no window partition is corpus-sized.
 
 from __future__ import annotations
 
+from itertools import combinations as _combinations
 from typing import NamedTuple
 
 from pyspark.sql import Column, DataFrame, Window
@@ -655,6 +656,44 @@ def cep_match_pattern(
             "run into floor(L/max) matches is a different operator — use "
             "an unbounded quantifier or add a stage"
         )
+    if any(
+        s.max_count is not None and s.max_count < max(1, s.min_count)
+        for s in stages
+    ):
+        raise ValueError("stage max_count must be >= max(1, min_count)")
+    optional = [s.name for s in stages if s.min_count == 0]
+    if optional:
+        # OPTIONAL stages (Flink optional()/times(0, n)): realization
+        # union in strict mode (interior only — realized edges must
+        # stay the original edges for the sub-run machinery and the
+        # disjointness proof), chained proceeds in relaxed_nfa (any
+        # position); merged-burst relaxed has no meaningful skipped-run
+        # semantics, so it rejects.
+        if len(optional) == len(stages):
+            raise ValueError(
+                "pattern needs at least one mandatory stage "
+                "(min_count >= 1)"
+            )
+        if contiguity == "relaxed":
+            raise ValueError(
+                "optional stages (min_count=0) are not supported in "
+                "merged-burst relaxed mode — use contiguity='relaxed_nfa' "
+                "(exact followedBy) or 'strict'"
+            )
+        if contiguity == "strict" and (
+            stages[0].min_count == 0 or stages[-1].min_count == 0
+        ):
+            raise ValueError(
+                "strict mode supports optional stages only in the "
+                "pattern interior (first and last stage must be "
+                "mandatory) — use contiguity='relaxed_nfa' for optional "
+                "edge stages"
+            )
+        if len(optional) > 4:
+            raise ValueError(
+                "at most 4 optional stages in strict mode (the "
+                "realization union grows as 2^optional)"
+            )
     if within is not None:
         # API parity with the streaming twin: validate through the same
         # fixed-width-unit contract (_window_seconds) BEFORE handing the
@@ -744,47 +783,85 @@ def cep_match_pattern(
         *extra_aggs,
     )
     w_runs = Window.partitionBy("user_id").orderBy("start_rn")
-    seq = runs.select(
-        "user_id",
-        F.col("sub_start_ts" if first_max is not None else "start_ts").alias(
-            "_start"
-        ),
-        *[F.lead("stage_id", i).over(w_runs).alias(f"_s{i}") for i in range(k)],
-        *[F.lead("cnt", i).over(w_runs).alias(f"_c{i}") for i in range(k)],
-        F.lead(
-            "sub_end_ts" if last_max is not None else "end_ts", k - 1
-        ).over(w_runs).alias("_end"),
-    )
-    cond = F.lit(True)
-    for i, st in enumerate(stages):
-        cond = (
-            cond
-            & (F.col(f"_s{i}") == i + 1)
-            & (F.col(f"_c{i}") >= st.min_count)
-        )
-        # bounded EDGE stages match a sub-run (suffix/prefix of length
-        # min(L, max)) instead of failing on overrun — the NFA
-        # semantics; bounded MIDDLE stages keep the exact upper bound
-        # (forced consumption: an overrun middle run has no match)
-        if st.max_count is not None and 0 < i < k - 1:
-            cond = cond & (F.col(f"_c{i}") <= st.max_count)
 
-    def _n(i: int, st: PatternStage) -> Column:
-        cap = st.max_count
-        if cap is None or 0 < i < k - 1:
-            return F.col(f"_c{i}")
-        return F.least(F.col(f"_c{i}"), F.lit(cap))
-
-    if within is not None:
-        cond = cond & (
-            F.col("_end") <= F.col("_start") + F.expr(f"INTERVAL {within}")
+    def _realized(ids: list[int]) -> DataFrame:
+        """The k-run window conjunction for ONE realization (the
+        original stage indices actually present — interior optional
+        stages may be skipped). Realized edges are always the original
+        edges (optional stages are interior-only in this mode), so the
+        sub-run boundary columns apply unchanged; a skipped interior
+        stage is enforced automatically by strict run adjacency (the
+        run after stage i must carry the NEXT realized stage's label),
+        and at most one realization can hold at a given start run, so
+        the realizations' union is disjoint by construction."""
+        kr = len(ids)
+        seq = runs.select(
+            "user_id",
+            F.col(
+                "sub_start_ts" if first_max is not None else "start_ts"
+            ).alias("_start"),
+            *[
+                F.lead("stage_id", i).over(w_runs).alias(f"_s{i}")
+                for i in range(kr)
+            ],
+            *[
+                F.lead("cnt", i).over(w_runs).alias(f"_c{i}")
+                for i in range(kr)
+            ],
+            F.lead(
+                "sub_end_ts" if last_max is not None else "end_ts", kr - 1
+            ).over(w_runs).alias("_end"),
         )
-    out = seq.filter(cond).select(
-        "user_id",
-        F.col("_start").alias("match_start"),
-        F.col("_end").alias("match_end"),
-        *[_n(i, st).alias(f"n_{st.name}") for i, st in enumerate(stages)],
-    )
+        cond = F.lit(True)
+        for pos, oi in enumerate(ids):
+            st = stages[oi]
+            cond = (
+                cond
+                & (F.col(f"_s{pos}") == oi + 1)
+                & (F.col(f"_c{pos}") >= max(1, st.min_count))
+            )
+            # bounded EDGE stages match a sub-run (suffix/prefix of
+            # length min(L, max)) instead of failing on overrun — the
+            # NFA semantics; bounded MIDDLE stages keep the exact upper
+            # bound (forced consumption: an overrun middle run has no
+            # match)
+            if st.max_count is not None and 0 < pos < kr - 1:
+                cond = cond & (F.col(f"_c{pos}") <= st.max_count)
+
+        def _n(pos: int, oi: int) -> Column:
+            cap = stages[oi].max_count
+            if cap is None or 0 < pos < kr - 1:
+                return F.col(f"_c{pos}")
+            return F.least(F.col(f"_c{pos}"), F.lit(cap))
+
+        nonlocal_cond = cond
+        if within is not None:
+            nonlocal_cond = cond & (
+                F.col("_end")
+                <= F.col("_start") + F.expr(f"INTERVAL {within}")
+            )
+        pos_of = {oi: pos for pos, oi in enumerate(ids)}
+        return seq.filter(nonlocal_cond).select(
+            "user_id",
+            F.col("_start").alias("match_start"),
+            F.col("_end").alias("match_end"),
+            *[
+                (
+                    _n(pos_of[i], i)
+                    if i in pos_of
+                    else F.lit(0).cast("long")
+                ).alias(f"n_{st.name}")
+                for i, st in enumerate(stages)
+            ],
+        )
+
+    optional_idx = [i for i, s in enumerate(stages) if s.min_count == 0]
+    out = _realized(list(range(k)))
+    for r in range(1, len(optional_idx) + 1):
+        for drop in _combinations(optional_idx, r):
+            out = out.unionByName(
+                _realized([i for i in range(k) if i not in drop])
+            )
     return out.orderBy("user_id", "match_start") if sort else out
 
 

@@ -18,7 +18,10 @@ Supported subset (everything the compile target expresses):
   partitions by ``user_id`` and orders by ``(ts, event_id)``);
 * ``PATTERN ( VAR[quant] ... )`` with quantifiers: bare (exactly
   once), ``+`` (one or more), ``{m}``, ``{m,}``, ``{m,n}`` — strict
-  sequential contiguity, the MATCH_RECOGNIZE default;
+  sequential contiguity, the MATCH_RECOGNIZE default — plus the
+  optional forms ``?``, ``*``, ``{0,n}``, ``{0,}`` at INTERIOR
+  pattern positions (compiled as the strict realization union; the
+  first and last variable must match at least one row);
 * ``WITHIN INTERVAL '<n>' <UNIT>`` — fixed-width units only;
 * ``AFTER MATCH SKIP PAST LAST ROW`` — optional (it is the only
   strategy the engine implements; any other skip clause is rejected);
@@ -28,9 +31,11 @@ Supported subset (everything the compile target expresses):
   first-match-wins label priority for overlapping conditions.
 
 Rejected loudly (not silently narrowed): ``MEASURES`` (output is the
-builder's fixed (match_start, match_end, n_<var>...) shape), ``*`` /
-``?`` quantifiers (min-0 stages need a different machine), alternation
-/ grouping inside PATTERN, and reluctant (``+?``) quantifiers.
+builder's fixed (match_start, match_end, n_<var>...) shape), optional
+quantifiers on the first/last variable (use the builder's
+``relaxed_nfa`` mode for optional edges), alternation / grouping
+inside PATTERN, and reluctant (``+?``, ``??``, ``*?``, ``{m,n}?``)
+quantifiers.
 """
 
 from __future__ import annotations
@@ -47,9 +52,11 @@ from flink_snappydata_spark.operators.cep import (
 
 _IDENT = r"[A-Za-z_][A-Za-z_0-9]*"
 
-#: var + optional quantifier: bare, +, {m}, {m,}, {m,n}
+#: var + optional quantifier: bare, +, *, ?, {m}, {m,}, {m,n} — each
+#: optionally followed by a reluctant ? (captured so it can be
+#: rejected loudly instead of left as unparsed trailing text)
 _TOKEN_RE = re.compile(
-    rf"({_IDENT})(\+\??|\*|\?|\{{\s*\d+\s*(?:,\s*\d*\s*)?\}})?\s*"
+    rf"({_IDENT})(\+\??|\*\??|\?\??|\{{\s*\d+\s*(?:,\s*\d*\s*)?\}}\??)?\s*"
 )
 
 _INTERVAL_RE = re.compile(
@@ -81,12 +88,11 @@ def _clause(sql: str, name: str) -> str | None:
 def _parse_quant(var: str, q: str | None) -> tuple[int, int | None]:
     if q is None:
         return (1, 1)  # bare variable: exactly one row (SQL standard)
-    if q in ("*", "?"):
-        raise MatchRecognizeError(
-            f"{var}{q}: min-0 quantifiers are not supported — a stage "
-            "must match at least one row"
-        )
-    if q.endswith("?"):
+    if q == "?":
+        return (0, 1)  # optional row (interior positions only)
+    if q == "*":
+        return (0, None)  # zero or more (interior positions only)
+    if q.endswith("?") and q != "?":
         raise MatchRecognizeError(
             f"{var}{q}: reluctant quantifiers are not supported "
             "(matching is greedy, the MATCH_RECOGNIZE default)"
@@ -100,10 +106,8 @@ def _parse_quant(var: str, q: str | None) -> tuple[int, int | None]:
         hi = int(hi_s) if hi_s else None
     else:
         lo = hi = int(body)
-    if lo < 1:
-        raise MatchRecognizeError(
-            f"{var}{q}: min occurrences must be >= 1"
-        )
+    if lo == hi == 0:
+        raise MatchRecognizeError(f"{var}{q}: {{0}} matches nothing")
     if hi is not None and hi < lo:
         raise MatchRecognizeError(f"{var}{q}: max < min")
     return (lo, hi)
@@ -217,6 +221,15 @@ def compile_match_recognize(
         stages.append(
             PatternStage(var.lower(), predicate, min_count=lo, max_count=hi)
         )
+    for edge in (stages[0], stages[-1]):
+        if edge.min_count == 0:
+            raise MatchRecognizeError(
+                f"{edge.name}: optional quantifiers (?, *, {{0,n}}) are "
+                "supported only at interior PATTERN positions — the "
+                "first and last variable must match at least one row "
+                "(strict-contiguity realization union; the "
+                "relaxed_nfa builder mode accepts optional edges)"
+            )
     return stages, within
 
 

@@ -158,6 +158,7 @@ _R15_QUEUE: list[str] = [
     "match_recognize_funnel",
     "cep_relaxed_nfa",
     "cep_relaxed_nfa_within",
+    "match_recognize_optional",
     # -- r10-stamped remainder (cadence-due at r15) --
     "typo_pairs",
     "zorder_key",

@@ -759,6 +759,91 @@ _register(
         "independent recursive first-event-after chain.",
 )
 
+# round 14 (continuation): OPTIONAL quantifier through the
+# MATCH_RECOGNIZE surface — PATTERN (view+ click{0,2} purchase+),
+# strict contiguity. The compiler expands interior min-0 stages into a
+# disjoint realization union (click present with 1..2 events, or the
+# view run IMMEDIATELY followed by the purchase run); the oracle is
+# the islands SQL with the same two realizations UNION ALL'd — at most
+# one can hold at a given start run (the run after the view run is
+# either click-labeled or purchase-labeled), so the union is exact.
+def _match_recognize_optional(events):
+    from flink_snappydata_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    return match_recognize(
+        events,
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (view+ click{0,2} purchase+)
+          DEFINE
+            view AS event_type = 'view',
+            click AS event_type = 'click' AND value >= 0.5,
+            purchase AS event_type = 'purchase'
+        )
+        """,
+    )
+
+
+_register(
+    "match_recognize_optional",
+    ["events"],
+    _match_recognize_optional,
+    """
+    WITH staged AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 1
+                    WHEN event_type = 'click' AND value >= 0.5 THEN 2
+                    WHEN event_type = 'purchase' THEN 3
+                    ELSE -1 END AS stage_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id) AS rn
+        FROM events
+    ), flagged AS (
+        SELECT *, CASE WHEN stage_id IS NOT DISTINCT FROM
+                  LAG(stage_id) OVER (PARTITION BY user_id ORDER BY rn)
+                  THEN 0 ELSE 1 END AS new_run
+        FROM staged
+    ), runs AS (
+        SELECT user_id, run_id, MIN(stage_id) AS stage_id,
+               CAST(COUNT(*) AS BIGINT) AS cnt,
+               MIN(ts) AS start_ts, MAX(ts) AS end_ts, MIN(rn) AS start_rn
+        FROM (SELECT *, SUM(new_run) OVER (PARTITION BY user_id
+                                           ORDER BY rn) AS run_id
+              FROM flagged) t
+        GROUP BY user_id, run_id
+    ), seq AS (
+        SELECT user_id, start_ts, stage_id AS s0, cnt AS c0,
+               LEAD(stage_id, 1) OVER w AS s1, LEAD(cnt, 1) OVER w AS c1,
+               LEAD(stage_id, 2) OVER w AS s2, LEAD(cnt, 2) OVER w AS c2,
+               LEAD(end_ts, 1) OVER w AS e1, LEAD(end_ts, 2) OVER w AS e2
+        FROM runs WINDOW w AS (PARTITION BY user_id ORDER BY start_rn)
+    )
+    SELECT user_id, start_ts AS match_start, e2 AS match_end,
+           c0 AS n_view, c1 AS n_click, c2 AS n_purchase
+    FROM seq
+    WHERE s0 = 1 AND c0 >= 1 AND s1 = 2 AND c1 BETWEEN 1 AND 2
+      AND s2 = 3 AND c2 >= 1
+    UNION ALL
+    SELECT user_id, start_ts AS match_start, e1 AS match_end,
+           c0 AS n_view, CAST(0 AS BIGINT) AS n_click, c1 AS n_purchase
+    FROM seq
+    WHERE s0 = 1 AND c0 >= 1 AND s1 = 3 AND c1 >= 1
+    ORDER BY user_id, match_start
+    """,
+    doc="MATCH_RECOGNIZE optional quantifier: PATTERN (view+ "
+        "click{0,2} purchase+) under strict contiguity — the compiler "
+        "expands the interior min-0 stage into a disjoint realization "
+        "union (skipped stages emit count 0), sharing the runs frame "
+        "and the single user-keyed shuffle; pinned exhaustively vs the "
+        "reference NFA (tests/test_relaxed_nfa.py, 1365 label "
+        "sequences in one differential frame).",
+)
+
 # The within variant: Flink Pattern.within as PARTIAL-MATCH PRUNING
 # (exact semantics — a branch whose window expires mid-pattern is
 # discarded, so a later view can win a match the other modes'

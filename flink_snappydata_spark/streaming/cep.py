@@ -372,6 +372,14 @@ def streaming_cep_pattern(
         raise ValueError(
             f"contiguity must be strict|relaxed|relaxed_nfa: {contiguity!r}"
         )
+    if contiguity != "relaxed_nfa" and any(
+        st.min_count == 0 for st in stages
+    ):
+        raise ValueError(
+            "the live machine supports optional stages (min_count=0) "
+            "only under contiguity='relaxed_nfa' (the batch compiler's "
+            "strict realization union has no streaming twin)"
+        )
 
     # capture only plain-Python spec data in the worker closure: a
     # PatternStage predicate is a JVM Column, which cannot pickle
@@ -568,9 +576,14 @@ def advance_relaxed_nfa_state(
         raise ValueError(
             "single-stage bounded patterns are rejected by the compiler"
         )
+    if all(lo == 0 for lo, _ in quants):
+        raise ValueError(
+            "pattern needs at least one mandatory stage (min_count >= 1)"
+        )
+    if any(hi is not None and hi < max(lo, 1) for lo, hi in quants):
+        raise ValueError(f"invalid stage bounds: {quants}")
     branches = list(state)
     matches: list[tuple[int, int, tuple[int, ...]]] = []
-    last_lo = quants[-1][0]
 
     def _cls(b: NfaBranch) -> tuple[int, int]:
         stage = b[0]
@@ -587,31 +600,61 @@ def advance_relaxed_nfa_state(
                 best[c] = b
         return sorted(best.values(), key=lambda b: (b[1], b[0]))
 
+    # OPTIONAL stages (min_count == 0, Flink optional()/times(0,n)):
+    # a proceed may CHAIN through consecutive optional stages —
+    # from stage s the valid targets are s+1 .. max_target[s] (the
+    # first mandatory stage after s, inclusive); seeds use s = 0, so
+    # a pattern with optional leading stages can start mid-pattern.
+    # A branch is pattern-SATISFIABLE at stage j once c >= min_j and
+    # every later stage is optional; a satisfiable branch closes on
+    # the first event it can neither take nor proceed with (or at
+    # window expiry / end of data) — skipped stages emit count 0.
+    max_target = [0] * k
+    for s in range(k):
+        t = s + 1
+        while t < k and quants[t - 1][0] == 0:
+            t += 1
+        max_target[s] = t
+    tail_opt = [False] * (k + 1)
+    tail_opt[k] = True
+    for j in range(k - 1, 0, -1):
+        tail_opt[j] = tail_opt[j + 1] and quants[j][0] == 0
+
+    def _satisf(b: NfaBranch) -> bool:
+        j = b[0]
+        return b[3][j - 1] >= quants[j - 1][0] and tail_opt[j]
+
+    def _consumable(b: NfaBranch, lab: int) -> bool:
+        stage = b[0]
+        lo, hi = quants[stage - 1]
+        c = b[3][stage - 1]
+        if lab == stage:
+            return hi is None or c < hi
+        return stage < lab <= max_target[stage] and c >= lo
+
     for ts_us, lab in rows:
         if lab == -1:
             continue  # relaxed contiguity: sentinels are invisible
-        if lab != k or within_us is not None:
-            closers: list[NfaBranch] = []
-            keep: list[NfaBranch] = []
-            for b in branches:
-                expired = (
-                    within_us is not None and ts_us - b[1] > within_us
-                )
-                if b[0] == k and b[3][k - 1] >= last_lo and (
-                    lab != k or expired
-                ):
-                    closers.append(b)
-                elif expired:
-                    pass  # timed-out partial match: discard (within)
-                else:
-                    keep.append(b)
-            if closers:
-                w = min(closers, key=lambda b: b[1])
-                matches.append((w[1], w[2], w[3]))
-                branches = []  # skip past last event
+        closers: list[NfaBranch] = []
+        keep: list[NfaBranch] = []
+        in_range = 1 <= lab <= k
+        for b in branches:
+            expired = within_us is not None and ts_us - b[1] > within_us
+            if _satisf(b) and (
+                expired or not (in_range and _consumable(b, lab))
+            ):
+                closers.append(b)
+            elif expired:
+                pass  # timed-out partial match: discard (within)
             else:
-                branches = keep
-        if not 1 <= lab <= k:
+                keep.append(b)
+        if closers:
+            w = min(closers, key=lambda b: b[1])
+            matches.append((w[1], w[2], w[3]))
+            branches = []  # skip past last event
+        else:
+            branches = keep
+        if not in_range:
             continue  # flush record: close-only trigger
         nxt: list[NfaBranch] = []
         done: NfaBranch | None = None
@@ -627,24 +670,33 @@ def advance_relaxed_nfa_state(
                         done = nb
                 else:
                     nxt.append(nb)
-            elif lab == stage + 1 and c >= lo:
-                nc = counts[:stage] + (1,) + counts[stage + 1 :]
-                nb = (stage + 1, start, ts_us, nc)
-                if stage + 1 == k and quants[stage][1] == 1:
+            elif stage < lab <= max_target[stage] and c >= lo:
+                nc = counts[:stage] + (0,) * (lab - stage - 1) + (1,)
+                nc = nc + counts[lab:]
+                nb = (lab, start, ts_us, nc)
+                if lab == k and quants[lab - 1][1] == 1:
                     if done is None or nb[1] < done[1]:
                         done = nb
                 else:
                     nxt.append(nb)
             else:
                 nxt.append(b)  # relaxed IGNORE: skip without consuming
+        if lab <= max_target[0] and done is None:
+            # seed (Flink's always-live start state; mid-pattern when
+            # leading stages are optional); an immediately-complete
+            # single-event seed competes like any consumption-completion
+            # (it always has the latest start, so it never beats one)
+            nb = (lab, ts_us, ts_us, (0,) * (lab - 1) + (1,) + (0,) * (k - lab))
+            if lab == k and quants[lab - 1][1] == 1:
+                done = nb
+            else:
+                nxt.append(nb)
         if done is not None:
             # completion by consumption: the match owns this event, so
-            # skip-past-last suppresses the seed too
+            # skip-past-last discards every branch and the seed
             matches.append((done[1], done[2], done[3]))
             branches = []
             continue
-        if lab == 1:
-            nxt.append((1, ts_us, ts_us, (1,) + (0,) * (k - 1)))
         branches = _dedup(nxt) if within_us is None else nxt
     return matches, tuple(branches)
 
@@ -652,13 +704,21 @@ def advance_relaxed_nfa_state(
 def close_relaxed_nfa(
     state: NfaState, quants: list[tuple[int, int | None]]
 ) -> list[tuple[int, int, tuple[int, ...]]]:
-    """End-of-data close for the relaxed-NFA machine: a satisfiable
-    final-stage branch emits exactly as an other-stage label would have
-    closed it (earliest start wins; at most ONE match — every event
-    after the winner's last consumed one was a final-stage take, so no
-    later-starting candidate can exist past its end)."""
+    """End-of-data close for the relaxed-NFA machine: a pattern-
+    satisfiable branch (its stage's min met, every later stage
+    optional) emits exactly as a non-consumable label would have
+    closed it (earliest start wins; at most ONE match — every stage
+    event after the winner's last consumed one was consumable by it,
+    else it would have closed in-stream, so no later-starting
+    candidate can exist past its end)."""
     k = len(quants)
-    closers = [b for b in state if b[0] == k and b[3][k - 1] >= quants[-1][0]]
+    tail_opt = True
+    closers: list[NfaBranch] = []
+    for j in range(k, 0, -1):
+        for b in state:
+            if b[0] == j and tail_opt and b[3][j - 1] >= quants[j - 1][0]:
+                closers.append(b)
+        tail_opt = tail_opt and quants[j - 1][0] == 0
     if not closers:
         return []
     w = min(closers, key=lambda b: b[1])

@@ -44,53 +44,80 @@ from flink_snappydata_spark.streaming.cep import (
 # ---------------------------------------------------------------------------
 
 
+def _max_target(quants, s: int) -> int:
+    """Furthest proceed target from stage ``s`` (0 = seeding): the
+    first mandatory stage after s, inclusive (chained skips through
+    min-0 stages)."""
+    k = len(quants)
+    t = s + 1
+    while t < k and quants[t - 1][0] == 0:
+        t += 1
+    return t
+
+
 def _simulate_from(
     rows: list[tuple[int, int]],
     s: int,
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
 ) -> tuple[int, int, int, tuple[int, ...]] | None:
-    """Run ONE branch from start index ``s`` (rows[s] must be label 1)
-    to completion. Returns (completion_index, last_consumed_index,
+    """Run ONE branch seeded at index ``s`` (rows[s]'s label must be a
+    seed target: a stage reachable through leading optional stages) to
+    completion. Returns (completion_index, last_consumed_index,
     end_ts, counts) or None. completion_index is where the match
     becomes emittable: the consuming event for bound completions, the
-    closing event for run closes (label close OR window expiry of a
-    satisfiable final stage), len(rows) for end-of-data. With
-    ``within_us``, the branch dies at the first stage event its window
-    cannot admit unless it is already a satisfiable final stage."""
+    closing event for run closes (a non-consumable label on a
+    pattern-satisfiable branch, OR window expiry of one), len(rows)
+    for end-of-data. With ``within_us``, the branch dies at the first
+    stage event its window cannot admit unless already satisfiable."""
     k = len(quants)
     n = len(rows)
-    stage = 1
+    stage = rows[s][1]
     counts = [0] * k
-    counts[0] = 1
+    counts[stage - 1] = 1
     last = s
+    if stage == k and quants[k - 1][1] == 1:
+        return s, s, rows[s][0], tuple(counts)
+
+    def satisf() -> bool:
+        return counts[stage - 1] >= quants[stage - 1][0] and all(
+            lo == 0 for lo, _ in quants[stage:]
+        )
+
+    def consumable(lab: int) -> bool:
+        lo, hi = quants[stage - 1]
+        if lab == stage:
+            return hi is None or counts[stage - 1] < hi
+        return stage < lab <= _max_target(quants, stage) and (
+            counts[stage - 1] >= lo
+        )
+
     for j in range(s + 1, n):
         lab = rows[j][1]
         if lab == -1:
             continue
-        satisf = stage == k and counts[k - 1] >= quants[k - 1][0]
+        ok = satisf()
+        in_range = 1 <= lab <= k
         if within_us is not None and rows[j][0] - rows[s][0] > within_us:
-            if satisf:
+            if ok:
                 return j, last, rows[last][0], tuple(counts)
             return None  # timed-out partial match
-        if satisf and lab != k:
+        if ok and not (in_range and consumable(lab)):
             return j, last, rows[last][0], tuple(counts)
-        if not 1 <= lab <= k:
+        if not in_range:
             continue
-        lo, hi = quants[stage - 1]
-        if lab == stage and (hi is None or counts[stage - 1] < hi):
+        if not consumable(lab):
+            continue  # relaxed IGNORE
+        if lab == stage:
             counts[stage - 1] += 1
-            last = j
-            if stage == k and hi is not None and counts[k - 1] == hi:
-                return j, j, rows[j][0], tuple(counts)
-        elif lab == stage + 1 and counts[stage - 1] >= lo:
-            stage += 1
+        else:  # proceed (possibly chaining through optional stages)
+            stage = lab
             counts[stage - 1] = 1
-            last = j
-            if stage == k and quants[k - 1][1] == 1:
-                return j, j, rows[j][0], tuple(counts)
-        # else: relaxed IGNORE
-    if stage == k and counts[k - 1] >= quants[k - 1][0]:
+        last = j
+        lo, hi = quants[stage - 1]
+        if stage == k and hi is not None and counts[k - 1] == hi:
+            return j, j, rows[j][0], tuple(counts)
+    if satisf():
         return n, last, rows[last][0], tuple(counts)
     return None
 
@@ -103,10 +130,11 @@ def reference_relaxed_nfa(
     out: list[tuple[int, int, tuple[int, ...]]] = []
     i = 0
     n = len(rows)
+    seed_max = _max_target(quants, 0)
     while i < n:
         best = None
         for s in range(i, n):
-            if rows[s][1] != 1:
+            if not 1 <= rows[s][1] <= seed_max:
                 continue
             m = _simulate_from(rows, s, quants, within_us)
             if m is None:
@@ -131,19 +159,29 @@ def engine_relaxed_nfa(
     return matches + close_relaxed_nfa(state, quants)
 
 
-_QUANTS = st.lists(
-    st.tuples(
-        st.integers(min_value=1, max_value=3),
-        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
-    ).map(lambda t: (t[0], None if t[1] is None else t[0] + t[1])),
-    min_size=1,
-    max_size=4,
-).map(
+def _fix_quants(qs):
     # single-stage bounded patterns are rejected by the compiler and
     # the fold alike (Flink's skip-past-last chunking of one over-long
-    # run is a different operator) — force k=1 specs unbounded
-    lambda qs: [(qs[0][0], None)] if len(qs) == 1 else qs
-)
+    # run is a different operator) — force k=1 specs unbounded and
+    # mandatory; multi-stage specs need >= 1 mandatory stage
+    if len(qs) == 1:
+        return [(max(qs[0][0], 1), None)]
+    if all(lo == 0 for lo, _ in qs):
+        lo, hi = qs[0]
+        qs = [(1, hi)] + qs[1:]
+    return qs
+
+
+_QUANTS = st.lists(
+    st.tuples(
+        st.integers(min_value=0, max_value=3),
+        st.one_of(st.none(), st.integers(min_value=0, max_value=3)),
+    ).map(
+        lambda t: (t[0], None if t[1] is None else max(1, t[0] + t[1]))
+    ),
+    min_size=1,
+    max_size=4,
+).map(_fix_quants)
 
 
 _WITHIN = st.one_of(
@@ -227,6 +265,24 @@ def test_exhaustive_small_three_stage_funnel():
             ), seq
 
 
+def test_exhaustive_small_optional_stages():
+    """Exhaustive differential for optional stages: A B{0,1} C (interior
+    optional, skippable by a chained proceed) and A{0,1} B (leading
+    optional — mid-pattern seeding) on every sequence of length <= 6
+    over their label alphabets."""
+    for quants, alpha in [
+        ([(1, 1), (0, 1), (1, 1)], (1, 2, 3, -1)),
+        ([(0, 1), (1, None)], (1, 2, -1)),
+        ([(1, None), (0, None), (1, 1)], (1, 2, 3, -1)),
+    ]:
+        for n in range(7):
+            for seq in itertools.product(alpha, repeat=n):
+                rows = [(10 * (i + 1), lab) for i, lab in enumerate(seq)]
+                assert engine_relaxed_nfa(rows, quants) == (
+                    reference_relaxed_nfa(rows, quants)
+                ), (quants, seq)
+
+
 def test_exhaustive_small_with_within():
     """Exhaustive differential WITH a within window (25 units over
     10-unit spacing — partial matches expire after two hops) for
@@ -240,6 +296,127 @@ def test_exhaustive_small_with_within():
             assert engine_relaxed_nfa(rows, quants, 25) == (
                 reference_relaxed_nfa(rows, quants, 25)
             ), seq
+
+
+class TestOptionalStages:
+    """Optional stages (min_count=0 — Flink optional()/times(0,n)):
+    chained proceeds in relaxed_nfa (any position, covered by the
+    differentials above), realization union in the strict batch
+    compiler (interior only). The strict ground truth is the
+    round-14 reference NFA, whose greedy backtracking handles min-0
+    natively."""
+
+    def test_strict_realization_union_equals_reference_nfa(self, spark):
+        """Exhaustive Spark differential: every label sequence of
+        length <= 5 over {1, 2, 3, -1} for A{1,} B{0,1} C{1,1} becomes
+        one user each in a SINGLE DataFrame; the strict compiler's
+        realization union must match the reference NFA per user."""
+        import datetime as dt
+
+        from pyspark.sql import functions as F
+
+        from flink_snappydata_spark.operators.cep import (
+            PatternStage,
+            cep_match_pattern,
+        )
+        from tests.test_round14_ops import nfa_matches
+
+        quants = [(1, None), (0, 1), (1, 1)]
+        t0 = dt.datetime(2024, 1, 1)
+        rows, want = [], {}
+        uid = 0
+        for n in range(6):
+            for seq in itertools.product((1, 2, 3, -1), repeat=n):
+                labeled = [(10 * (i + 1), lab) for i, lab in enumerate(seq)]
+                ref = nfa_matches(labeled, quants)
+                if ref:
+                    want[uid] = ref
+                for i, lab in enumerate(seq):
+                    et = {1: "a", 2: "b", 3: "c"}.get(lab, "zz")
+                    rows.append(
+                        (
+                            uid,
+                            t0 + dt.timedelta(seconds=10 * (i + 1)),
+                            i,
+                            et,
+                            1.0,
+                        )
+                    )
+                uid += 1
+        ev = spark.createDataFrame(
+            rows,
+            "user_id long, ts timestamp, event_id long,"
+            " event_type string, value double",
+        )
+        stages = [
+            PatternStage("a", "a", min_count=1),
+            PatternStage("b", "b", min_count=0, max_count=1),
+            PatternStage("c", "c", min_count=1, max_count=1),
+        ]
+        got: dict[int, list] = {}
+        for r in cep_match_pattern(ev, stages).collect():
+            sec = lambda d: int((d - t0).total_seconds())  # noqa: E731
+            got.setdefault(r.user_id, []).append(
+                (
+                    10 * (sec(r.match_start) // 10),
+                    10 * (sec(r.match_end) // 10),
+                    (r.n_a, r.n_b, r.n_c),
+                )
+            )
+        for u in got:
+            got[u].sort()
+        want_cmp = {
+            u: sorted((s, e, c) for s, e, c in ms) for u, ms in want.items()
+        }
+        assert got == want_cmp
+
+    def test_live_machine_rejects_strict_optionals(self, spark):
+        from flink_snappydata_spark.operators.cep import PatternStage
+        from flink_snappydata_spark.streaming import runtime
+        from flink_snappydata_spark.streaming.cep import (
+            streaming_cep_pattern,
+        )
+
+        stream = runtime.events_file_stream(spark, "/root/testdata/sf0.001")
+        stages = [
+            PatternStage("view", "view"),
+            PatternStage("click", "click", min_count=0),
+            PatternStage("purchase", "purchase"),
+        ]
+        with pytest.raises(ValueError, match="relaxed_nfa"):
+            streaming_cep_pattern(stream, stages)
+
+    def test_compiler_rejections(self, spark):
+        from flink_snappydata_spark.operators.cep import (
+            PatternStage,
+            cep_match_pattern,
+        )
+
+        ev = spark.range(0).selectExpr(
+            "id AS user_id",
+            "current_timestamp() AS ts",
+            "id AS event_id",
+            "'x' AS event_type",
+            "0.0 AS value",
+        )
+        opt = PatternStage("o", "o", min_count=0)
+        man = PatternStage("m", "m")
+        with pytest.raises(ValueError, match="mandatory"):
+            cep_match_pattern(ev, [opt, opt])
+        with pytest.raises(ValueError, match="relaxed_nfa"):
+            cep_match_pattern(ev, [man, opt, man], contiguity="relaxed")
+        with pytest.raises(ValueError, match="interior"):
+            cep_match_pattern(ev, [opt, man])
+        with pytest.raises(ValueError, match="interior"):
+            cep_match_pattern(ev, [man, opt])
+        with pytest.raises(ValueError, match="max_count"):
+            cep_match_pattern(
+                ev, [man, PatternStage("z", "z", min_count=2, max_count=1)]
+            )
+        # optional EDGE stages are fine in relaxed_nfa (mid-pattern
+        # seeding / satisfiable optional tails)
+        cep_match_pattern(ev, [opt, man], contiguity="relaxed_nfa").collect()
+        cep_match_pattern(ev, [man, opt], contiguity="relaxed_nfa").collect()
 
 
 class TestDivergenceReceipts:

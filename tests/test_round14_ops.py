@@ -260,10 +260,16 @@ class TestMatchRecognizeParser:
     @pytest.mark.parametrize(
         "sql, msg",
         [
-            ("PATTERN (A*) DEFINE A AS x > 0", "min-0"),
-            ("PATTERN (A?) DEFINE A AS x > 0", "min-0"),
+            # optional quantifiers parse now, but only at INTERIOR
+            # positions (strict-contiguity realization union)
+            ("PATTERN (A*) DEFINE A AS x > 0", "interior"),
+            ("PATTERN (A? B) DEFINE A AS x > 0", "interior"),
+            ("PATTERN (A B{0,2}) DEFINE A AS x > 0", "interior"),
             ("PATTERN (A+?) DEFINE A AS x > 0", "reluctant"),
-            ("PATTERN (A{0,2}) DEFINE A AS x > 0", ">= 1"),
+            ("PATTERN (A B?? C) DEFINE A AS x > 0", "reluctant"),
+            ("PATTERN (A B*? C) DEFINE A AS x > 0", "reluctant"),
+            ("PATTERN (A B{1,2}? C) DEFINE A AS x > 0", "reluctant"),
+            ("PATTERN (A B{0} C) DEFINE A AS x > 0", "matches nothing"),
             ("PATTERN (A{3,2} B) DEFINE A AS x > 0", "max < min"),
             ("PATTERN (A (B C)) DEFINE A AS x > 0", "grouping"),
             ("PATTERN (A | B) DEFINE A AS x > 0", "alternation|grouping"),

@@ -76,6 +76,9 @@ GAUGE_TAIL = [
     # same shape for the partial-match-pruning fold
     "cep_relaxed_nfa",
     "cep_relaxed_nfa_within",
+    # the strict realization union (interior optional stage): pins
+    # that both realizations share one user-keyed shuffle subtree
+    "match_recognize_optional",
 ]
 
 #: Every gauge-pinned query, golden-file order.
