@@ -310,6 +310,26 @@ def cep_multistage_from_state(spark, events_table: str) -> DataFrame:
     return cep_funnel_pattern(read_state_table(spark, events_table))
 
 
+def cep_nfa_from_state(spark, events_table: str) -> DataFrame:
+    """Continuous EXACT-NFA pattern monitor: the registered
+    :func:`cep_funnel_relaxed_nfa` over the accumulated raw log
+    (landed WITH the ``value`` column, the same state shape the
+    multi-stage loop rides — one value-carrying raw log serves both).
+    Raw events are again the minimal sufficient state: a later batch
+    can land an event BETWEEN a match's consumed events (relaxed
+    skipping makes interior gaps first-class), which can change which
+    branch completes first — per-batch match fragments are not
+    mergeable. The mapInPandas kernel sorts per user by
+    (ts, event_id), so batching order is irrelevant and the bounded-
+    drain result is row-identical to the batch op; its recursive
+    oracle applies verbatim. The LIVE form (matches push in the
+    closing micro-batch instead of at read) is
+    ``streaming_cep_pattern(contiguity="relaxed_nfa")``."""
+    from flink_snappydata_spark.streaming.runtime import read_state_table
+
+    return cep_funnel_relaxed_nfa(read_state_table(spark, events_table))
+
+
 def temporal_table_join(
     events: DataFrame,
     version_type: str = "signup",
@@ -435,6 +455,7 @@ def _cep_match_pattern_nfa(
     stages: list[PatternStage],
     sort: bool,
     within: str | None,
+    after_match: str = "skip_past_last",
 ) -> DataFrame:
     """The ``contiguity="relaxed_nfa"`` execution path: EXACT Flink
     ``followedBy`` semantics via the deterministic multi-branch machine
@@ -527,19 +548,19 @@ def _cep_match_pattern_nfa(
                 uid = int(uids[a])
                 if uid != cur_uid:
                     if cur_uid is not None:
-                        for m in close_relaxed_nfa(state, quants):
+                        for m in close_relaxed_nfa(state, quants, after_match):
                             out_uid.append(cur_uid)
                             out_m.append(m)
                     cur_uid, state = uid, ()
                 rows = list(zip(ts_us[a:b].tolist(), labs[a:b].tolist()))
                 matches, state = advance_relaxed_nfa_state(
-                    state, rows, quants, within_us
+                    state, rows, quants, within_us, after_match
                 )
                 out_uid.extend([uid] * len(matches))
                 out_m.extend(matches)
             yield _matches_frame(pd, names, out_uid, out_m)
         if cur_uid is not None:
-            tail = close_relaxed_nfa(state, quants)
+            tail = close_relaxed_nfa(state, quants, after_match)
             if tail:
                 yield _matches_frame(pd, names, [cur_uid] * len(tail), tail)
 
@@ -555,6 +576,7 @@ def cep_match_pattern(
     sort: bool = True,
     contiguity: str = "strict",
     within: str | None = None,
+    after_match: str = "skip_past_last",
 ) -> DataFrame:
     """General multi-stage pattern matcher — the Flink CEP
     ``Pattern.begin(A).next(B).times(m,n).next(C)...`` builder class,
@@ -702,8 +724,20 @@ def cep_match_pattern(
         # and malformed strings fail fast instead of as opaque Spark
         # parse errors at analysis time.
         _window_seconds(within)
+    if after_match not in ("skip_past_last", "skip_to_next"):
+        raise ValueError(
+            f"after_match must be skip_past_last|skip_to_next: "
+            f"{after_match!r}"
+        )
+    if after_match == "skip_to_next" and contiguity != "relaxed_nfa":
+        raise ValueError(
+            "after_match='skip_to_next' (one overlapping match per "
+            "start) is supported only under contiguity='relaxed_nfa' — "
+            "the islands compilers are inherently skip-past-last "
+            "(disjoint maximal runs)"
+        )
     if contiguity == "relaxed_nfa":
-        return _cep_match_pattern_nfa(events, stages, sort, within)
+        return _cep_match_pattern_nfa(events, stages, sort, within, after_match)
     label = stage_label_expr(stages)
 
     labeled = events.select(
@@ -935,6 +969,29 @@ def cep_funnel_relaxed_nfa(events: DataFrame) -> DataFrame:
             PatternStage("purchase", "purchase", min_count=1, max_count=1),
         ],
         contiguity="relaxed_nfa",
+    )
+
+
+def cep_funnel_relaxed_nfa_all(events: DataFrame) -> DataFrame:
+    """The SKIP TO NEXT registered instance — same stages as
+    :func:`cep_funnel_relaxed_nfa` under Flink's
+    ``AfterMatchSkipStrategy.skipToNext()``: EVERY view emits its own
+    earliest completion (first qualifying click after it, every
+    qualifying click until the first purchase after that), overlapping
+    matches allowed. Because each deterministic branch is independent,
+    the oracle needs NO recursion: one lateral chain per view."""
+    return cep_match_pattern(
+        events,
+        [
+            PatternStage("view", "view", min_count=1, max_count=1),
+            PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            ),
+            PatternStage("purchase", "purchase", min_count=1, max_count=1),
+        ],
+        contiguity="relaxed_nfa",
+        after_match="skip_to_next",
     )
 
 

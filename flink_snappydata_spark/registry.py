@@ -159,6 +159,8 @@ _R15_QUEUE: list[str] = [
     "cep_relaxed_nfa",
     "cep_relaxed_nfa_within",
     "match_recognize_optional",
+    "cep_relaxed_nfa_skiptonext",
+    "nfa_streamed",
     # -- r10-stamped remainder (cadence-due at r15) --
     "typo_pairs",
     "zorder_key",

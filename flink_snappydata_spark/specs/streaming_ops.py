@@ -844,6 +844,50 @@ _register(
         "sequences in one differential frame).",
 )
 
+# AFTER MATCH SKIP TO NEXT (Flink AfterMatchSkipStrategy.skipToNext):
+# every start position emits its own earliest completion, overlapping
+# matches allowed. Deterministic branches are independent, so the
+# oracle needs no recursion — one lateral chain per view.
+_register(
+    "cep_relaxed_nfa_skiptonext",
+    ["events"],
+    cep.cep_funnel_relaxed_nfa_all,
+    """
+    WITH lab AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN event_type = 'view' THEN 1
+                    WHEN event_type = 'click' AND value >= 0.5 THEN 2
+                    WHEN event_type = 'purchase' THEN 3
+                    ELSE -1 END AS stage_id
+        FROM events
+    )
+    SELECT v.user_id, v.ts AS match_start, lp.p_ts AS match_end,
+           CAST(1 AS BIGINT) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lab x
+            WHERE x.user_id = v.user_id AND x.stage_id = 2
+              AND (x.ts, x.event_id) >= (lc.c_ts, lc.c_id)
+              AND (x.ts, x.event_id) < (lp.p_ts, lp.p_id)) AS n_click,
+           CAST(1 AS BIGINT) AS n_purchase
+    FROM lab v
+    CROSS JOIN LATERAL (
+        SELECT ts AS c_ts, event_id AS c_id FROM lab
+        WHERE lab.user_id = v.user_id AND stage_id = 2
+          AND (ts, event_id) > (v.ts, v.event_id)
+        ORDER BY ts, event_id LIMIT 1) lc
+    CROSS JOIN LATERAL (
+        SELECT ts AS p_ts, event_id AS p_id FROM lab
+        WHERE lab.user_id = v.user_id AND stage_id = 3
+          AND (ts, event_id) > (lc.c_ts, lc.c_id)
+        ORDER BY ts, event_id LIMIT 1) lp
+    WHERE v.stage_id = 1
+    ORDER BY user_id, match_start
+    """,
+    doc="AFTER MATCH SKIP TO NEXT on the exact followedBy NFA: every "
+        "view emits its own earliest completion (overlapping matches "
+        "allowed — Flink skipToNext); branches are independent, so "
+        "the oracle is one non-recursive lateral chain per view.",
+)
+
 # The within variant: Flink Pattern.within as PARTIAL-MATCH PRUNING
 # (exact semantics — a branch whose window expires mid-pattern is
 # discarded, so a later view can win a match the other modes'
@@ -1008,6 +1052,45 @@ QUERIES["multistage_streamed"] = QuerySpec(
     doc="Streaming multi-stage pattern monitor (18th stream→table "
         "loop): the general pattern builder's registered instance "
         "folded at read over a value-carrying raw log.",
+)
+
+
+def _nfa_streamed(spark, sf_dir: str) -> DataFrame:
+    """Stream→queryable-table twin of ``cep_relaxed_nfa`` (19th loop):
+    the exact followedBy NFA folded at read over the same
+    value-carrying raw log shape the multi-stage twin lands —
+    relaxed skipping makes interior gaps first-class, so a later
+    batch landing between consumed events can change the winning
+    branch; raw events are the minimal sufficient state and the
+    batch query's recursive oracle applies verbatim."""
+    from flink_snappydata_spark.specs.llm_pipeline import (
+        _stream_state_scored,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", "event_type", "value"
+    )
+    return _stream_state_scored(
+        spark,
+        ev,
+        "nfa",
+        ["events"],
+        lambda stream, name, checkpoint: stream_windows.streaming_event_log_ingest(
+            stream,
+            name,
+            checkpoint=checkpoint,
+            columns=("user_id", "event_id", "ts", "event_type", "value"),
+        ),
+        cep.cep_nfa_from_state,
+    )
+
+
+QUERIES["nfa_streamed"] = QuerySpec(
+    fn=_nfa_streamed,
+    oracle=QUERIES["cep_relaxed_nfa"].oracle,
+    doc="Streaming exact-NFA pattern monitor (19th stream→table "
+        "loop): cep_relaxed_nfa folded at read over the "
+        "value-carrying raw log.",
 )
 
 

@@ -341,6 +341,7 @@ def streaming_cep_pattern(
     stages,
     contiguity: str = "strict",
     within: str | None = None,
+    after_match: str = "skip_past_last",
 ) -> DataFrame:
     """LIVE general pattern matching — the streaming twin of
     :func:`~flink_snappydata_spark.operators.cep.cep_match_pattern`
@@ -379,6 +380,11 @@ def streaming_cep_pattern(
             "the live machine supports optional stages (min_count=0) "
             "only under contiguity='relaxed_nfa' (the batch compiler's "
             "strict realization union has no streaming twin)"
+        )
+    if after_match != "skip_past_last" and contiguity != "relaxed_nfa":
+        raise ValueError(
+            "after_match='skip_to_next' is supported only under "
+            "contiguity='relaxed_nfa'"
         )
 
     # capture only plain-Python spec data in the worker closure: a
@@ -423,7 +429,7 @@ def streaming_cep_pattern(
             None if within is None else _window_seconds(within) * 1_000_000
         )
         advance = lambda st0, rows, q: advance_relaxed_nfa_state(  # noqa: E731
-            st0, rows, q, within_us
+            st0, rows, q, within_us, after_match
         )
         unpack = lambda p: _unpack_nfa_state(p, k)  # noqa: E731
         pack = lambda st0: _pack_nfa_state(st0, k)  # noqa: E731
@@ -499,6 +505,7 @@ def advance_relaxed_nfa_state(
     rows: list[tuple[int, int]],
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
+    after_match: str = "skip_past_last",
 ) -> tuple[list[tuple[int, int, tuple[int, ...]]], NfaState]:
     """Pure state transition for the EXACT relaxed-contiguity machine
     (Flink ``followedBy`` with AFTER MATCH SKIP PAST LAST EVENT): fold
@@ -567,6 +574,17 @@ def advance_relaxed_nfa_state(
     partial-match state bound), and expiry reclaims it as the stream
     advances.
 
+    AFTER MATCH (``after_match``): ``"skip_past_last"`` (the default,
+    Flink skipPastLastEvent) emits the earliest-start completion and
+    discards every live branch — matches are disjoint.
+    ``"skip_to_next"`` (Flink skipToNext) emits EVERY completing
+    branch — one match per start position (each deterministic branch's
+    own earliest completion), overlapping matches allowed; only the
+    completing branches are removed, and the per-class dedup is off
+    (every start must emit separately), so live state is bounded by
+    active starts (use ``within`` to bound it by one window's events,
+    exactly as in Flink).
+
     Returns ``(matches, new_state)`` with each match
     ``(start_us, end_us, per-stage counts)``. Associative over splits
     of an ordered sequence. Labels outside 1..k other than the -1
@@ -582,6 +600,12 @@ def advance_relaxed_nfa_state(
         )
     if any(hi is not None and hi < max(lo, 1) for lo, hi in quants):
         raise ValueError(f"invalid stage bounds: {quants}")
+    if after_match not in ("skip_past_last", "skip_to_next"):
+        raise ValueError(
+            f"after_match must be skip_past_last|skip_to_next: "
+            f"{after_match!r}"
+        )
+    past_last = after_match == "skip_past_last"
     branches = list(state)
     matches: list[tuple[int, int, tuple[int, ...]]] = []
 
@@ -648,16 +672,27 @@ def advance_relaxed_nfa_state(
                 pass  # timed-out partial match: discard (within)
             else:
                 keep.append(b)
+        pending: list[NfaBranch] = []
         if closers:
-            w = min(closers, key=lambda b: b[1])
-            matches.append((w[1], w[2], w[3]))
-            branches = []  # skip past last event
+            if past_last:
+                w = min(closers, key=lambda b: b[1])
+                matches.append((w[1], w[2], w[3]))
+                branches = []  # skip past last event
+            else:
+                # skip to next: every completing run emits; only the
+                # completing branches are removed (emission deferred so
+                # same-event consumption-completions merge in start
+                # order)
+                pending.extend(closers)
+                branches = keep
         else:
             branches = keep
         if not in_range:
+            for b in sorted(pending, key=lambda b: b[1]):
+                matches.append((b[1], b[2], b[3]))
             continue  # flush record: close-only trigger
         nxt: list[NfaBranch] = []
-        done: NfaBranch | None = None
+        done: list[NfaBranch] = []
         for b in branches:
             stage, start, _, counts = b
             lo, hi = quants[stage - 1]
@@ -666,8 +701,7 @@ def advance_relaxed_nfa_state(
                 nc = counts[: stage - 1] + (c + 1,) + counts[stage:]
                 nb = (stage, start, ts_us, nc)
                 if stage == k and hi is not None and c + 1 == hi:
-                    if done is None or nb[1] < done[1]:
-                        done = nb
+                    done.append(nb)
                 else:
                     nxt.append(nb)
             elif stage < lab <= max_target[stage] and c >= lo:
@@ -675,42 +709,48 @@ def advance_relaxed_nfa_state(
                 nc = nc + counts[lab:]
                 nb = (lab, start, ts_us, nc)
                 if lab == k and quants[lab - 1][1] == 1:
-                    if done is None or nb[1] < done[1]:
-                        done = nb
+                    done.append(nb)
                 else:
                     nxt.append(nb)
             else:
                 nxt.append(b)  # relaxed IGNORE: skip without consuming
-        if lab <= max_target[0] and done is None:
+        if lab <= max_target[0] and (not done or not past_last):
             # seed (Flink's always-live start state; mid-pattern when
             # leading stages are optional); an immediately-complete
             # single-event seed competes like any consumption-completion
-            # (it always has the latest start, so it never beats one)
+            # (it always has the latest start, so it never beats one
+            # under skip-past-last)
             nb = (lab, ts_us, ts_us, (0,) * (lab - 1) + (1,) + (0,) * (k - lab))
             if lab == k and quants[lab - 1][1] == 1:
-                done = nb
+                done.append(nb)
             else:
                 nxt.append(nb)
-        if done is not None:
-            # completion by consumption: the match owns this event, so
-            # skip-past-last discards every branch and the seed
-            matches.append((done[1], done[2], done[3]))
+        if done and past_last:
+            # completion by consumption: the match owns this event,
+            # so skip-past-last discards every branch and the seed
+            w = min(done, key=lambda b: b[1])
+            matches.append((w[1], w[2], w[3]))
             branches = []
             continue
-        branches = _dedup(nxt) if within_us is None else nxt
+        for b in sorted(pending + done, key=lambda b: b[1]):
+            matches.append((b[1], b[2], b[3]))
+        branches = _dedup(nxt) if past_last and within_us is None else nxt
     return matches, tuple(branches)
 
 
 def close_relaxed_nfa(
-    state: NfaState, quants: list[tuple[int, int | None]]
+    state: NfaState,
+    quants: list[tuple[int, int | None]],
+    after_match: str = "skip_past_last",
 ) -> list[tuple[int, int, tuple[int, ...]]]:
     """End-of-data close for the relaxed-NFA machine: a pattern-
     satisfiable branch (its stage's min met, every later stage
     optional) emits exactly as a non-consumable label would have
-    closed it (earliest start wins; at most ONE match — every stage
-    event after the winner's last consumed one was consumable by it,
-    else it would have closed in-stream, so no later-starting
-    candidate can exist past its end)."""
+    closed it. Under skip_past_last the earliest start wins (at most
+    ONE match — every stage event after the winner's last consumed one
+    was consumable by it, else it would have closed in-stream, so no
+    later-starting candidate can exist past its end); under
+    skip_to_next every satisfiable branch emits."""
     k = len(quants)
     tail_opt = True
     closers: list[NfaBranch] = []
@@ -721,6 +761,10 @@ def close_relaxed_nfa(
         tail_opt = tail_opt and quants[j - 1][0] == 0
     if not closers:
         return []
+    if after_match == "skip_to_next":
+        return [
+            (b[1], b[2], b[3]) for b in sorted(closers, key=lambda b: b[1])
+        ]
     w = min(closers, key=lambda b: b[1])
     return [(w[1], w[2], w[3])]
 

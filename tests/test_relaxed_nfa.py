@@ -150,13 +150,36 @@ def reference_relaxed_nfa(
     return out
 
 
-def engine_relaxed_nfa(
+def reference_skip_to_next(
     rows: list[tuple[int, int]],
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
-    matches, state = advance_relaxed_nfa_state((), rows, quants, within_us)
-    return matches + close_relaxed_nfa(state, quants)
+    """Flink AfterMatchSkipStrategy.skipToNext: every start position
+    emits its own earliest completion; overlapping matches allowed.
+    Each branch is independent, so the reference is simply every seed
+    simulated to completion, ordered by (completion event, start)."""
+    seed_max = _max_target(quants, 0)
+    out = []
+    for s in range(len(rows)):
+        if 1 <= rows[s][1] <= seed_max:
+            m = _simulate_from(rows, s, quants, within_us)
+            if m is not None:
+                out.append((m[0], rows[s][0], m[2], m[3]))
+    out.sort(key=lambda t: (t[0], t[1]))
+    return [(st, e, c) for _, st, e, c in out]
+
+
+def engine_relaxed_nfa(
+    rows: list[tuple[int, int]],
+    quants: list[tuple[int, int | None]],
+    within_us: int | None = None,
+    after_match: str = "skip_past_last",
+) -> list[tuple[int, int, tuple[int, ...]]]:
+    matches, state = advance_relaxed_nfa_state(
+        (), rows, quants, within_us, after_match
+    )
+    return matches + close_relaxed_nfa(state, quants, after_match)
 
 
 def _fix_quants(qs):
@@ -209,6 +232,27 @@ def test_engine_equals_reference(quants, labels, within_us):
     ]
     assert engine_relaxed_nfa(rows, quants, within_us) == (
         reference_relaxed_nfa(rows, quants, within_us)
+    )
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    quants=_QUANTS,
+    labels=st.lists(st.integers(min_value=-1, max_value=5), max_size=40),
+    within_us=_WITHIN,
+)
+def test_skip_to_next_equals_reference(quants, labels, within_us):
+    """AFTER MATCH SKIP TO NEXT differential: the engine's
+    emit-every-completer mode equals per-start independent simulation
+    (overlaps allowed, one match per start, (completion, start)
+    emission order) over random specs, sequences, and windows."""
+    k = len(quants)
+    rows = [
+        (10 * (i + 1), lab if -1 <= lab <= k and lab != 0 else -1)
+        for i, lab in enumerate(labels)
+    ]
+    assert engine_relaxed_nfa(rows, quants, within_us, "skip_to_next") == (
+        reference_skip_to_next(rows, quants, within_us)
     )
 
 
@@ -632,6 +676,18 @@ class TestDivergenceReceipts:
         assert (
             prune.match_end <= prune.match_start + pd.Timedelta(days=5)
         ).all()
+
+    def test_skip_to_next_emits_overlapping_per_start_matches(self):
+        # V V C P under skipToNext: BOTH views emit, sharing the same
+        # click and purchase (overlap allowed); under skipPastLast only
+        # the earliest view wins.
+        rows = [(10, 1), (20, 1), (30, 2), (40, 3)]
+        quants = [(1, 1), (1, None), (1, 1)]
+        assert engine_relaxed_nfa(rows, quants, None, "skip_to_next") == [
+            (10, 40, (1, 1, 1)),
+            (20, 40, (1, 1, 1)),
+        ]
+        assert engine_relaxed_nfa(rows, quants) == [(10, 40, (1, 1, 1))]
 
     def test_sentinels_invisible_and_flush_closes(self):
         rows = [(10, 1), (20, -1), (30, 2), (40, -1)]

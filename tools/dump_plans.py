@@ -79,6 +79,7 @@ GAUGE_TAIL = [
     # the strict realization union (interior optional stage): pins
     # that both realizations share one user-keyed shuffle subtree
     "match_recognize_optional",
+    "cep_relaxed_nfa_skiptonext",
 ]
 
 #: Every gauge-pinned query, golden-file order.

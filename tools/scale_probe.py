@@ -373,6 +373,56 @@ EVENT_OPS = {
         sort=False,
         contiguity="relaxed_nfa",
     ),
+    # within-pruning variant (Flink partial-match pruning; branch list
+    # un-deduped, bounded by one window's events per user) and the
+    # skip-to-next variant (every start emits — output rows grow with
+    # event count, the probe checks the kernel stays linear)
+    "cep_relaxed_nfa_within": lambda v: CEP.cep_match_pattern(
+        v,
+        [
+            CEP.PatternStage("view", "view", min_count=1, max_count=1),
+            CEP.PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            ),
+            CEP.PatternStage(
+                "purchase", "purchase", min_count=1, max_count=1
+            ),
+        ],
+        sort=False,
+        contiguity="relaxed_nfa",
+        within="5 days",
+    ),
+    "cep_relaxed_nfa_skiptonext": lambda v: CEP.cep_match_pattern(
+        v,
+        [
+            CEP.PatternStage("view", "view", min_count=1, max_count=1),
+            CEP.PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+            ),
+            CEP.PatternStage(
+                "purchase", "purchase", min_count=1, max_count=1
+            ),
+        ],
+        sort=False,
+        contiguity="relaxed_nfa",
+        after_match="skip_to_next",
+    ),
+    "match_recognize_optional": lambda v: CEP.cep_match_pattern(
+        v,
+        [
+            CEP.PatternStage("view", "view"),
+            CEP.PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+                min_count=0,
+                max_count=2,
+            ),
+            CEP.PatternStage("purchase", "purchase"),
+        ],
+        sort=False,
+    ),
     "window_funnel": lambda v: CEP.window_funnel(v),
     "temporal_dim_join": lambda v: CEP.temporal_table_join(
         v.withColumn(
