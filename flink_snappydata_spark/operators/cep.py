@@ -409,12 +409,20 @@ class PatternStage(NamedTuple):
     ``predicate``: a boolean Column over the event row, or a plain
     string shorthand for ``event_type == <s>``. ``min_count`` /
     ``max_count`` quantify the stage's maximal run (``max_count=None``
-    = unbounded, Flink's ``oneOrMore``/``times(n,)``)."""
+    = unbounded, Flink's ``oneOrMore``/``times(n,)``). ``rel``: an
+    optional RELATIVE predicate (Flink IterativeCondition), evaluated
+    per partial match at consumption time against the event's
+    ``value`` — ``("first", j, op)`` compares with the FIRST value the
+    match consumed for stage j, ``("prev", op)`` with its previously
+    consumed event; op in ``> >= < <=``. Only
+    ``contiguity="relaxed_nfa"`` can execute rels (per-branch
+    consumability has no islands compilation)."""
 
     name: str
     predicate: Column | str
     min_count: int = 1
     max_count: int | None = None
+    rel: tuple | None = None
 
 
 def stage_label_expr(stages: list[PatternStage]) -> Column:
@@ -518,8 +526,13 @@ def _cep_match_pattern_nfa(
             *[StructField(f"n_{n}", LongType()) for n in names],
         ]
     )
+    rels = [s.rel for s in stages]
+    use_rels = any(r is not None for r in rels)
+    cols = ["user_id", "ts", "event_id", label.alias("stage_id")] + (
+        ["value"] if use_rels else []
+    )
     labeled = (
-        events.select("user_id", "ts", "event_id", label.alias("stage_id"))
+        events.select(*cols)
         .filter(F.col("stage_id") != -1)
         .repartition("user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")
@@ -538,6 +551,7 @@ def _cep_match_pattern_nfa(
                 "int64"
             )
             labs = pdf["stage_id"].to_numpy()
+            vals = pdf["value"].to_numpy() if use_rels else None
             # group boundaries in the (user-sorted) chunk
             cuts = np.flatnonzero(np.diff(uids)) + 1
             starts = np.concatenate(([0], cuts))
@@ -552,9 +566,21 @@ def _cep_match_pattern_nfa(
                             out_uid.append(cur_uid)
                             out_m.append(m)
                     cur_uid, state = uid, ()
-                rows = list(zip(ts_us[a:b].tolist(), labs[a:b].tolist()))
+                if use_rels:
+                    rows = list(
+                        zip(
+                            ts_us[a:b].tolist(),
+                            labs[a:b].tolist(),
+                            vals[a:b].tolist(),
+                        )
+                    )
+                else:
+                    rows = list(
+                        zip(ts_us[a:b].tolist(), labs[a:b].tolist())
+                    )
                 matches, state = advance_relaxed_nfa_state(
-                    state, rows, quants, within_us, after_match
+                    state, rows, quants, within_us, after_match,
+                    rels if use_rels else None,
                 )
                 out_uid.extend([uid] * len(matches))
                 out_m.extend(matches)
@@ -735,6 +761,13 @@ def cep_match_pattern(
             "start) is supported only under contiguity='relaxed_nfa' — "
             "the islands compilers are inherently skip-past-last "
             "(disjoint maximal runs)"
+        )
+    if any(s.rel is not None for s in stages) and contiguity != "relaxed_nfa":
+        raise ValueError(
+            "relative predicates (PatternStage.rel — Flink "
+            "IterativeCondition) are supported only under "
+            "contiguity='relaxed_nfa': per-branch consumability has no "
+            "islands compilation"
         )
     if contiguity == "relaxed_nfa":
         return _cep_match_pattern_nfa(events, stages, sort, within, after_match)
@@ -992,6 +1025,33 @@ def cep_funnel_relaxed_nfa_all(events: DataFrame) -> DataFrame:
         ],
         contiguity="relaxed_nfa",
         after_match="skip_to_next",
+    )
+
+
+def cep_funnel_iterative(events: DataFrame) -> DataFrame:
+    """The ITERATIVE-CONDITION registered instance (Flink
+    IterativeCondition — a where() reading ctx.getEventsForPattern):
+    ``view{1,1} followedBy (click & value>=0.5 & value >
+    first(view).value){1,} followedBy purchase{1,1}`` under
+    ``relaxed_nfa`` — every consumed click must beat ITS OWN match's
+    view value, a per-branch comparison no precomputed label can
+    express. Rel-failing clicks are invisible (relaxed skip). Because
+    a low-valued view's branch may never complete while a later
+    higher-potential view's does, the oracle picks the
+    earliest-COMPLETING candidate per step (min by purchase then view
+    position), exactly the machine's emission rule."""
+    return cep_match_pattern(
+        events,
+        [
+            PatternStage("view", "view", min_count=1, max_count=1),
+            PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+                rel=("first", 1, ">"),
+            ),
+            PatternStage("purchase", "purchase", min_count=1, max_count=1),
+        ],
+        contiguity="relaxed_nfa",
     )
 
 

@@ -161,6 +161,7 @@ _R15_QUEUE: list[str] = [
     "match_recognize_optional",
     "cep_relaxed_nfa_skiptonext",
     "nfa_streamed",
+    "cep_iterative_condition",
     # -- r10-stamped remainder (cadence-due at r15) --
     "typo_pairs",
     "zorder_key",

@@ -844,6 +844,76 @@ _register(
         "sequences in one differential frame).",
 )
 
+# ITERATIVE CONDITION (Flink IterativeCondition — where() clauses that
+# read ctx.getEventsForPattern): each consumed click must beat ITS OWN
+# match's view value, a per-branch comparison no precomputed label can
+# express. Rel-failing events are invisible (relaxed skip, not a run
+# close). A low-valued view's branch may never complete while a later
+# view's does, so the oracle picks the earliest-COMPLETING candidate
+# per recursive step (min by purchase, then view position) — the
+# machine's emission rule, NOT first-view-wins.
+_register(
+    "cep_iterative_condition",
+    ["events"],
+    cep.cep_funnel_iterative,
+    """
+    WITH RECURSIVE lab AS (
+        SELECT user_id, ts, event_id, value,
+               CASE WHEN event_type = 'view' THEN 1
+                    WHEN event_type = 'click' AND value >= 0.5 THEN 2
+                    WHEN event_type = 'purchase' THEN 3
+                    ELSE -1 END AS stage_id
+        FROM events
+    ), chain AS (
+        SELECT user_id,
+               CAST(NULL AS TIMESTAMP) AS v_ts, CAST(NULL AS BIGINT) AS v_id,
+               CAST(NULL AS DOUBLE) AS v_val,
+               CAST(NULL AS TIMESTAMP) AS c_ts, CAST(NULL AS BIGINT) AS c_id,
+               TIMESTAMP '1900-01-01' AS p_ts, CAST(-1 AS BIGINT) AS p_id
+        FROM (SELECT DISTINCT user_id FROM lab)
+        UNION ALL
+        SELECT c0.user_id, m.v_ts, m.v_id, m.v_val, m.c_ts, m.c_id,
+               m.p_ts, m.p_id
+        FROM chain c0
+        CROSS JOIN LATERAL (
+            SELECT v.ts AS v_ts, v.event_id AS v_id, v.value AS v_val,
+                   lc.c_ts, lc.c_id, lp.p_ts, lp.p_id
+            FROM lab v
+            CROSS JOIN LATERAL (
+                SELECT ts AS c_ts, event_id AS c_id FROM lab
+                WHERE lab.user_id = v.user_id AND stage_id = 2
+                  AND lab.value > v.value
+                  AND (ts, event_id) > (v.ts, v.event_id)
+                ORDER BY ts, event_id LIMIT 1) lc
+            CROSS JOIN LATERAL (
+                SELECT ts AS p_ts, event_id AS p_id FROM lab
+                WHERE lab.user_id = v.user_id AND stage_id = 3
+                  AND (ts, event_id) > (lc.c_ts, lc.c_id)
+                ORDER BY ts, event_id LIMIT 1) lp
+            WHERE v.user_id = c0.user_id AND v.stage_id = 1
+              AND (v.ts, v.event_id) > (c0.p_ts, c0.p_id)
+            ORDER BY lp.p_ts, lp.p_id, v.ts, v.event_id LIMIT 1
+        ) m
+    )
+    SELECT c.user_id, c.v_ts AS match_start, c.p_ts AS match_end,
+           CAST(1 AS BIGINT) AS n_view,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM lab
+            WHERE lab.user_id = c.user_id AND stage_id = 2
+              AND lab.value > c.v_val
+              AND (ts, event_id) >= (c.c_ts, c.c_id)
+              AND (ts, event_id) < (c.p_ts, c.p_id)) AS n_click,
+           CAST(1 AS BIGINT) AS n_purchase
+    FROM chain c WHERE c.v_ts IS NOT NULL
+    ORDER BY user_id, match_start
+    """,
+    doc="Flink IterativeCondition on the exact followedBy NFA: "
+        "view{1,1} (click & value>=0.5 & value > first(view).value){1,} "
+        "purchase{1,1} — the rel comparison runs per BRANCH at "
+        "consumption (rel-failing events invisible); oracle = the "
+        "recursive chain with an earliest-completing-candidate winner "
+        "per step.",
+)
+
 # AFTER MATCH SKIP TO NEXT (Flink AfterMatchSkipStrategy.skipToNext):
 # every start position emits its own earliest completion, overlapping
 # matches allowed. Deterministic branches are independent, so the

@@ -36,6 +36,7 @@ closed in-stream, which the containment test pins).
 
 from __future__ import annotations
 
+import struct as _struct
 from collections.abc import Iterator
 from typing import Any
 
@@ -86,6 +87,20 @@ def _ordered_rows(pdfs: Iterator[pd.DataFrame], col: str) -> list[tuple]:
     pdf = pdf.sort_values(["ts", "event_id"])
     return [
         (int(ts.value // 1000), v) for ts, v in zip(pdf["ts"], pdf[col])
+    ]
+
+
+def _ordered_rows_vals(
+    pdfs: Iterator[pd.DataFrame], col: str
+) -> list[tuple]:
+    """:func:`_ordered_rows` carrying the ``value`` column too —
+    (ts_us, <col>, value) triples for machines with iterative
+    conditions."""
+    pdf = pd.concat(list(pdfs), ignore_index=True)
+    pdf = pdf.sort_values(["ts", "event_id"])
+    return [
+        (int(ts.value // 1000), lab, v)
+        for ts, lab, v in zip(pdf["ts"], pdf[col], pdf["value"])
     ]
 
 
@@ -400,11 +415,19 @@ def streaming_cep_pattern(
         ]
     )
     state_schema = StructType([StructField("packed", ArrayType(LongType()))])
+    rels = [getattr(st, "rel", None) for st in stages]
+    use_rels = any(r is not None for r in rels)
+    if use_rels and contiguity != "relaxed_nfa":
+        raise ValueError(
+            "relative predicates (PatternStage.rel) are supported only "
+            "under contiguity='relaxed_nfa'"
+        )
     labeled = events.select(
         "user_id",
         "ts",
         "event_id",
         stage_label_expr(list(stages)).alias("stage_id"),
+        *(["value"] if use_rels else []),
     )
     if contiguity in ("relaxed", "relaxed_nfa"):
         labeled = labeled.filter(F.col("stage_id") != -1)
@@ -429,10 +452,11 @@ def streaming_cep_pattern(
             None if within is None else _window_seconds(within) * 1_000_000
         )
         advance = lambda st0, rows, q: advance_relaxed_nfa_state(  # noqa: E731
-            st0, rows, q, within_us, after_match
+            st0, rows, q, within_us, after_match,
+            rels if use_rels else None,
         )
-        unpack = lambda p: _unpack_nfa_state(p, k)  # noqa: E731
-        pack = lambda st0: _pack_nfa_state(st0, k)  # noqa: E731
+        unpack = lambda p: _unpack_nfa_state(p, k, use_rels)  # noqa: E731
+        pack = lambda st0: _pack_nfa_state(st0, k, use_rels)  # noqa: E731
         empty = ()
 
     def _behaviorally_empty(st: Any) -> bool:
@@ -448,7 +472,16 @@ def streaming_cep_pattern(
         state: GroupState,
     ) -> Iterator[pd.DataFrame]:
         st = unpack(list(state.get[0])) if state.exists else empty
-        rows = [(ts, int(lab)) for ts, lab in _ordered_rows(pdfs, "stage_id")]
+        if use_rels:
+            rows = [
+                (ts, int(lab), float(v))
+                for ts, lab, v in _ordered_rows_vals(pdfs, "stage_id")
+            ]
+        else:
+            rows = [
+                (ts, int(lab))
+                for ts, lab in _ordered_rows(pdfs, "stage_id")
+            ]
         matches, st = advance(st, rows, quants)
         if _behaviorally_empty(st):
             # drop the store entry so the store is bounded by keys
@@ -495,9 +528,42 @@ def streaming_cep_pattern(
 #: (counts[stage-1] is the live count, later stages 0), start/last the
 #: first/last CONSUMED event timestamps. The machine state is a tuple
 #: of branches, deduplicated to one (earliest-start) branch per
-#: transition class — see :func:`advance_relaxed_nfa_state`.
+#: transition class — see :func:`advance_relaxed_nfa_state`. With
+#: iterative conditions (``rels``) a branch carries two extra slots:
+#: (..., firsts, prev_val) — the FIRST consumed value per stage
+#: (None = not captured) and the last consumed value.
 NfaBranch = tuple[int, int, int, tuple[int, ...]]
 NfaState = tuple[NfaBranch, ...]
+
+#: A relative (iterative) condition on one stage, evaluated per BRANCH
+#: at consumption time (Flink IterativeCondition): ("first", j, op)
+#: compares the candidate event's value against the FIRST consumed
+#: value of stage j in this partial match; ("prev", op) against the
+#: previously consumed event's value (any stage). op in > >= < <=.
+#: Unset references (stage j not consumed yet / no prior event) pass.
+RelSpec = tuple
+
+_REL_OPS = {
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+}
+
+
+def _rel_ok(rel: RelSpec | None, firsts, prev_val, v) -> bool:
+    if rel is None:
+        return True
+    if rel[0] == "prev":
+        ref = prev_val
+        op = rel[1]
+    else:
+        ref = firsts[rel[1] - 1]
+        op = rel[2]
+    if ref is None:
+        return True  # unset reference: vacuously true (Flink: no
+        # events accepted for that pattern yet)
+    return _REL_OPS[op](v, ref)
 
 
 def advance_relaxed_nfa_state(
@@ -506,6 +572,7 @@ def advance_relaxed_nfa_state(
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
     after_match: str = "skip_past_last",
+    rels: list[RelSpec | None] | None = None,
 ) -> tuple[list[tuple[int, int, tuple[int, ...]]], NfaState]:
     """Pure state transition for the EXACT relaxed-contiguity machine
     (Flink ``followedBy`` with AFTER MATCH SKIP PAST LAST EVENT): fold
@@ -585,6 +652,20 @@ def advance_relaxed_nfa_state(
     active starts (use ``within`` to bound it by one window's events,
     exactly as in Flink).
 
+    ITERATIVE CONDITIONS (``rels``, Flink IterativeCondition): an
+    optional per-stage RELATIVE predicate evaluated per BRANCH at
+    consumption time — ("first", j, op) compares the candidate event's
+    ``value`` against the FIRST value this partial match consumed for
+    stage j, ("prev", op) against its previously consumed event. Rows
+    must then be (ts_us, label, value) triples, branches carry
+    (firsts, prev) capture slots, and per-class dedup is off (captured
+    values differentiate same-class branches). A rel-FAILING event is
+    INVISIBLE to the branch (relaxed skip — it neither consumes nor
+    closes; closes still fire on base-non-consumable stage labels),
+    and unset references pass vacuously, so seeds always capture their
+    first value. Only the base predicates are JVM-evaluated; the rel
+    comparison is the one per-event Python operation the kernel adds.
+
     Returns ``(matches, new_state)`` with each match
     ``(start_us, end_us, per-stage counts)``. Associative over splits
     of an ordered sequence. Labels outside 1..k other than the -1
@@ -606,6 +687,24 @@ def advance_relaxed_nfa_state(
             f"{after_match!r}"
         )
     past_last = after_match == "skip_past_last"
+    use_rels = rels is not None and any(r is not None for r in rels)
+    if use_rels:
+        if len(rels) != k:
+            raise ValueError("rels must have one entry per stage")
+        for r in rels:
+            if r is None:
+                continue
+            if r[0] == "prev":
+                ok = len(r) == 2 and r[1] in _REL_OPS
+            else:
+                ok = (
+                    len(r) == 3
+                    and r[0] == "first"
+                    and 1 <= r[1] <= k
+                    and r[2] in _REL_OPS
+                )
+            if not ok:
+                raise ValueError(f"invalid rel spec: {r!r}")
     branches = list(state)
     matches: list[tuple[int, int, tuple[int, ...]]] = []
 
@@ -656,7 +755,9 @@ def advance_relaxed_nfa_state(
             return hi is None or c < hi
         return stage < lab <= max_target[stage] and c >= lo
 
-    for ts_us, lab in rows:
+    for row in rows:
+        ts_us, lab = row[0], row[1]
+        v = row[2] if use_rels else 0.0
         if lab == -1:
             continue  # relaxed contiguity: sentinels are invisible
         closers: list[NfaBranch] = []
@@ -675,9 +776,21 @@ def advance_relaxed_nfa_state(
         pending: list[NfaBranch] = []
         if closers:
             if past_last:
-                w = min(closers, key=lambda b: b[1])
-                matches.append((w[1], w[2], w[3]))
-                branches = []  # skip past last event
+                # greedy disjoint selection by start, each emission
+                # discarding branches started at or before its end —
+                # skip past last EVENT. Without rels at most ONE
+                # satisfiable closer can exist (any seed event after a
+                # satisfiable branch's last consumed event would have
+                # closed it first), so this reduces to the old single-
+                # winner clear-all; with rel-INVISIBLE events (or
+                # several expiring windows), later-started DISJOINT
+                # candidates are real and every one of them emits.
+                cut: int | None = None
+                for b in sorted(closers, key=lambda b: b[1]):
+                    if cut is None or b[1] > cut:
+                        matches.append((b[1], b[2], b[3]))
+                        cut = b[2]
+                branches = [b for b in keep if b[1] > cut]
             else:
                 # skip to next: every completing run emits; only the
                 # completing branches are removed (emission deferred so
@@ -694,20 +807,40 @@ def advance_relaxed_nfa_state(
         nxt: list[NfaBranch] = []
         done: list[NfaBranch] = []
         for b in branches:
-            stage, start, _, counts = b
+            stage, start, counts = b[0], b[1], b[3]
             lo, hi = quants[stage - 1]
             c = counts[stage - 1]
             if lab == stage and (hi is None or c < hi):
+                if use_rels and not _rel_ok(
+                    rels[stage - 1], b[4], b[5], v
+                ):
+                    nxt.append(b)  # rel-failing event: invisible
+                    continue
                 nc = counts[: stage - 1] + (c + 1,) + counts[stage:]
-                nb = (stage, start, ts_us, nc)
+                if use_rels:
+                    firsts = b[4]
+                    if firsts[stage - 1] is None:
+                        firsts = (
+                            firsts[: stage - 1] + (v,) + firsts[stage:]
+                        )
+                    nb = (stage, start, ts_us, nc, firsts, v)
+                else:
+                    nb = (stage, start, ts_us, nc)
                 if stage == k and hi is not None and c + 1 == hi:
                     done.append(nb)
                 else:
                     nxt.append(nb)
             elif stage < lab <= max_target[stage] and c >= lo:
+                if use_rels and not _rel_ok(rels[lab - 1], b[4], b[5], v):
+                    nxt.append(b)  # rel-failing event: invisible
+                    continue
                 nc = counts[:stage] + (0,) * (lab - stage - 1) + (1,)
                 nc = nc + counts[lab:]
-                nb = (lab, start, ts_us, nc)
+                if use_rels:
+                    firsts = b[4][: lab - 1] + (v,) + b[4][lab:]
+                    nb = (lab, start, ts_us, nc, firsts, v)
+                else:
+                    nb = (lab, start, ts_us, nc)
                 if lab == k and quants[lab - 1][1] == 1:
                     done.append(nb)
                 else:
@@ -719,8 +852,14 @@ def advance_relaxed_nfa_state(
             # leading stages are optional); an immediately-complete
             # single-event seed competes like any consumption-completion
             # (it always has the latest start, so it never beats one
-            # under skip-past-last)
-            nb = (lab, ts_us, ts_us, (0,) * (lab - 1) + (1,) + (0,) * (k - lab))
+            # under skip-past-last). A rel on the seed stage passes
+            # vacuously (no captured values yet).
+            nc = (0,) * (lab - 1) + (1,) + (0,) * (k - lab)
+            if use_rels:
+                firsts = (None,) * (lab - 1) + (v,) + (None,) * (k - lab)
+                nb = (lab, ts_us, ts_us, nc, firsts, v)
+            else:
+                nb = (lab, ts_us, ts_us, nc)
             if lab == k and quants[lab - 1][1] == 1:
                 done.append(nb)
             else:
@@ -734,7 +873,11 @@ def advance_relaxed_nfa_state(
             continue
         for b in sorted(pending + done, key=lambda b: b[1]):
             matches.append((b[1], b[2], b[3]))
-        branches = _dedup(nxt) if past_last and within_us is None else nxt
+        branches = (
+            _dedup(nxt)
+            if past_last and within_us is None and not use_rels
+            else nxt
+        )
     return matches, tuple(branches)
 
 
@@ -765,30 +908,71 @@ def close_relaxed_nfa(
         return [
             (b[1], b[2], b[3]) for b in sorted(closers, key=lambda b: b[1])
         ]
-    w = min(closers, key=lambda b: b[1])
-    return [(w[1], w[2], w[3])]
+    # skip_past_last: greedy disjoint selection by start — without
+    # iterative conditions at most one satisfiable branch can exist
+    # past the winner's end (see above); with rel-invisible events,
+    # later-started disjoint candidates are real and all emit.
+    out: list[tuple[int, int, tuple[int, ...]]] = []
+    cut: int | None = None
+    for b in sorted(closers, key=lambda b: b[1]):
+        if cut is None or b[1] > cut:
+            out.append((b[1], b[2], b[3]))
+            cut = b[2]
+    return out
 
 
-def _pack_nfa_state(state: NfaState, k: int) -> tuple[list[int]]:
+def _f2i(x: float) -> int:
+    return _struct.unpack("<q", _struct.pack("<d", x))[0]
+
+
+def _i2f(n: int) -> float:
+    return _struct.unpack("<d", _struct.pack("<q", n))[0]
+
+
+def _pack_nfa_state(
+    state: NfaState, k: int, with_rels: bool = False
+) -> tuple[list[int]]:
     flat = [len(state)]
-    for stage, start, last, counts in state:
-        flat.extend((stage, start, last))
-        flat.extend(counts)
+    for b in state:
+        flat.extend((b[0], b[1], b[2]))
+        flat.extend(b[3])
+        if with_rels:
+            # captured values ride the long-array state exactly via a
+            # double<->long bit-cast; a bitmask long marks None slots
+            firsts, prev = b[4], b[5]
+            mask = 0
+            for i, x in enumerate(firsts):
+                if x is None:
+                    mask |= 1 << i
+            flat.append(mask)
+            flat.extend(0 if x is None else _f2i(x) for x in firsts)
+            flat.append(_f2i(prev))
     return (flat,)
 
 
-def _unpack_nfa_state(packed: list[int], k: int) -> NfaState:
+def _unpack_nfa_state(
+    packed: list[int], k: int, with_rels: bool = False
+) -> NfaState:
     n = packed[0]
-    w = 3 + k
-    return tuple(
-        (
-            packed[1 + w * i],
-            packed[2 + w * i],
-            packed[3 + w * i],
-            tuple(packed[4 + w * i : 4 + w * i + k]),
+    w = 3 + k + ((k + 2) if with_rels else 0)
+    out = []
+    for i in range(n):
+        o = 1 + w * i
+        b = (
+            packed[o],
+            packed[o + 1],
+            packed[o + 2],
+            tuple(packed[o + 3 : o + 3 + k]),
         )
-        for i in range(n)
-    )
+        if with_rels:
+            mask = packed[o + 3 + k]
+            firsts = tuple(
+                None if mask & (1 << j) else _i2f(packed[o + 4 + k + j])
+                for j in range(k)
+            )
+            b = b + (firsts, _i2f(packed[o + 4 + 2 * k]))
+        out.append(b)
+    return tuple(out)
 
 
 ALERT_SCHEMA = StructType(

@@ -55,11 +55,20 @@ def _max_target(quants, s: int) -> int:
     return t
 
 
+_REL_OPS = {
+    ">": lambda a, b: a > b,
+    ">=": lambda a, b: a >= b,
+    "<": lambda a, b: a < b,
+    "<=": lambda a, b: a <= b,
+}
+
+
 def _simulate_from(
     rows: list[tuple[int, int]],
     s: int,
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
+    rels=None,
 ) -> tuple[int, int, int, tuple[int, ...]] | None:
     """Run ONE branch seeded at index ``s`` (rows[s]'s label must be a
     seed target: a stage reachable through leading optional stages) to
@@ -76,6 +85,10 @@ def _simulate_from(
     counts = [0] * k
     counts[stage - 1] = 1
     last = s
+    val = (lambda j: rows[j][2]) if rels else (lambda j: 0.0)
+    firsts: list = [None] * k
+    firsts[stage - 1] = val(s)
+    prev = val(s)
     if stage == k and quants[k - 1][1] == 1:
         return s, s, rows[s][0], tuple(counts)
 
@@ -85,12 +98,22 @@ def _simulate_from(
         )
 
     def consumable(lab: int) -> bool:
+        # BASE consumability (label/bound/min) — the close trigger
         lo, hi = quants[stage - 1]
         if lab == stage:
             return hi is None or counts[stage - 1] < hi
         return stage < lab <= _max_target(quants, stage) and (
             counts[stage - 1] >= lo
         )
+
+    def rel_ok(lab: int, v) -> bool:
+        r = rels[lab - 1] if rels else None
+        if r is None:
+            return True
+        ref = prev if r[0] == "prev" else firsts[r[1] - 1]
+        if ref is None:
+            return True
+        return _REL_OPS[r[-1]](v, ref)
 
     for j in range(s + 1, n):
         lab = rows[j][1]
@@ -106,13 +129,17 @@ def _simulate_from(
             return j, last, rows[last][0], tuple(counts)
         if not in_range:
             continue
-        if not consumable(lab):
-            continue  # relaxed IGNORE
+        if not consumable(lab) or not rel_ok(lab, val(j)):
+            continue  # relaxed IGNORE (rel-failing events invisible)
         if lab == stage:
             counts[stage - 1] += 1
+            if firsts[stage - 1] is None:
+                firsts[stage - 1] = val(j)
         else:  # proceed (possibly chaining through optional stages)
             stage = lab
             counts[stage - 1] = 1
+            firsts[stage - 1] = val(j)
+        prev = val(j)
         last = j
         lo, hi = quants[stage - 1]
         if stage == k and hi is not None and counts[k - 1] == hi:
@@ -126,6 +153,7 @@ def reference_relaxed_nfa(
     rows: list[tuple[int, int]],
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
+    rels=None,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
     out: list[tuple[int, int, tuple[int, ...]]] = []
     i = 0
@@ -136,7 +164,7 @@ def reference_relaxed_nfa(
         for s in range(i, n):
             if not 1 <= rows[s][1] <= seed_max:
                 continue
-            m = _simulate_from(rows, s, quants, within_us)
+            m = _simulate_from(rows, s, quants, within_us, rels)
             if m is None:
                 continue
             key = (m[0], s)  # earliest completion, then earliest start
@@ -154,6 +182,7 @@ def reference_skip_to_next(
     rows: list[tuple[int, int]],
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
+    rels=None,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
     """Flink AfterMatchSkipStrategy.skipToNext: every start position
     emits its own earliest completion; overlapping matches allowed.
@@ -163,7 +192,7 @@ def reference_skip_to_next(
     out = []
     for s in range(len(rows)):
         if 1 <= rows[s][1] <= seed_max:
-            m = _simulate_from(rows, s, quants, within_us)
+            m = _simulate_from(rows, s, quants, within_us, rels)
             if m is not None:
                 out.append((m[0], rows[s][0], m[2], m[3]))
     out.sort(key=lambda t: (t[0], t[1]))
@@ -175,9 +204,10 @@ def engine_relaxed_nfa(
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
     after_match: str = "skip_past_last",
+    rels=None,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
     matches, state = advance_relaxed_nfa_state(
-        (), rows, quants, within_us, after_match
+        (), rows, quants, within_us, after_match, rels
     )
     return matches + close_relaxed_nfa(state, quants, after_match)
 
@@ -235,6 +265,60 @@ def test_engine_equals_reference(quants, labels, within_us):
     )
 
 
+def _rels_strategy(k: int):
+    one = st.one_of(
+        st.none(),
+        st.tuples(
+            st.just("prev"), st.sampled_from([">", ">=", "<", "<="])
+        ),
+        st.tuples(
+            st.just("first"),
+            st.integers(min_value=1, max_value=k),
+            st.sampled_from([">", ">=", "<", "<="]),
+        ),
+    )
+    return st.lists(one, min_size=k, max_size=k)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    quants=_QUANTS,
+    data=st.data(),
+    within_us=_WITHIN,
+    after=st.sampled_from(["skip_past_last", "skip_to_next"]),
+)
+def test_iterative_conditions_equal_reference(
+    quants, data, within_us, after
+):
+    """Flink IterativeCondition differential: per-stage relative
+    predicates ((first, j, op) / (prev, op)) over random specs, label
+    sequences with SMALL integer values (ties exercised), both skip
+    strategies, with and without within — the engine's per-branch
+    capture slots must match the keep-everything reference."""
+    k = len(quants)
+    rels = data.draw(_rels_strategy(k))
+    rows = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-1, max_value=k + 1),
+                st.integers(min_value=0, max_value=3),
+            ),
+            max_size=35,
+        )
+    )
+    rows = [
+        (10 * (i + 1), lab if lab != 0 else -1, float(v))
+        for i, (lab, v) in enumerate(rows)
+    ]
+    if after == "skip_past_last":
+        got = engine_relaxed_nfa(rows, quants, within_us, after, rels)
+        want = reference_relaxed_nfa(rows, quants, within_us, rels)
+    else:
+        got = engine_relaxed_nfa(rows, quants, within_us, after, rels)
+        want = reference_skip_to_next(rows, quants, within_us, rels)
+    assert got == want
+
+
 @settings(max_examples=300, deadline=None)
 @given(
     quants=_QUANTS,
@@ -254,6 +338,53 @@ def test_skip_to_next_equals_reference(quants, labels, within_us):
     assert engine_relaxed_nfa(rows, quants, within_us, "skip_to_next") == (
         reference_skip_to_next(rows, quants, within_us)
     )
+
+
+@settings(max_examples=150, deadline=None)
+@given(
+    quants=_QUANTS,
+    data=st.data(),
+    split=st.integers(min_value=0, max_value=30),
+    within_us=_WITHIN,
+)
+def test_rel_fold_is_associative_over_splits(
+    quants, data, split, within_us
+):
+    """Cross-batch continuation WITH iterative conditions: the packed
+    state now carries captured float values (double<->long bit-cast +
+    a None bitmask); folding in two chunks through pack/unpack must
+    equal one fold."""
+    k = len(quants)
+    rels = data.draw(_rels_strategy(k))
+    raw = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-1, max_value=k),
+                st.floats(
+                    min_value=-4, max_value=4, allow_nan=False, width=32
+                ),
+            ),
+            max_size=30,
+        )
+    )
+    rows = [
+        (10 * (i + 1), lab if lab != 0 else -1, float(v))
+        for i, (lab, v) in enumerate(raw)
+    ]
+    cut = min(split, len(rows))
+    wr = any(r is not None for r in rels)  # the twins' use_rels rule
+    m1, s1 = advance_relaxed_nfa_state(
+        (), rows[:cut], quants, within_us, "skip_past_last", rels
+    )
+    s1 = _unpack_nfa_state(_pack_nfa_state(s1, k, wr)[0], k, wr)
+    m2, s2 = advance_relaxed_nfa_state(
+        s1, rows[cut:], quants, within_us, "skip_past_last", rels
+    )
+    whole_m, whole_s = advance_relaxed_nfa_state(
+        (), rows, quants, within_us, "skip_past_last", rels
+    )
+    assert m1 + m2 == whole_m
+    assert tuple(s2) == tuple(whole_s)
 
 
 @settings(max_examples=200, deadline=None)
@@ -688,6 +819,80 @@ class TestDivergenceReceipts:
             (20, 40, (1, 1, 1)),
         ]
         assert engine_relaxed_nfa(rows, quants) == [(10, 40, (1, 1, 1))]
+
+    def test_iterative_condition_rel_failing_events_invisible(self):
+        # A (B rel first(A) >) with A@v2: B@v1 fails the rel and is
+        # INVISIBLE (neither consumed nor a run close); B@v3 passes.
+        rows = [(10, 1, 2.0), (20, 2, 1.0), (30, 2, 3.0)]
+        quants = [(1, 1), (1, None)]
+        rels = [None, ("first", 1, ">")]
+        assert engine_relaxed_nfa(rows, quants, None, "skip_past_last", rels) == [
+            (10, 30, (1, 1))
+        ]
+        # ascending-run form: each B must beat the PREVIOUS consumed
+        # event — B@v1(after B@v3) breaks the ascent and is skipped
+        rows = [(10, 1, 0.0), (20, 2, 1.0), (30, 2, 0.5), (40, 2, 2.0)]
+        rels = [None, ("prev", ">")]
+        m, s = advance_relaxed_nfa_state((), rows, quants, None,
+                                         "skip_past_last", rels)
+        m += close_relaxed_nfa(s, quants)
+        assert m == [(10, 40, (1, 2))]  # consumed B@1.0 and B@2.0 only
+
+    def test_rel_invisible_seeds_survive_skip_past_last(self):
+        # THE bug the 250k brute found: a rel-failing event seeds a
+        # later branch the winner's emission must NOT discard (its
+        # start is past the match end) — true skip-past-last filters
+        # by start instead of clearing, and disjoint simultaneous
+        # closers all emit.
+        rows = [(10, 1, 0.0), (20, 1, 2.0), (30, 1, 3.0)]
+        quants = [(1, None)]
+        rels = [("prev", ">=")]
+        # within 15: branch@10 takes 20 (2>=0), expires at 30; the
+        # branch seeded at 20 was killed by the emission (start <=
+        # match end 20), but the close event 30 seeds anew
+        assert engine_relaxed_nfa(rows, quants, 15, "skip_past_last", rels) == [
+            (10, 20, (2,)),
+            (30, 30, (1,)),
+        ]
+
+    def test_live_rel_machine_contained_in_batch(self, spark):
+        """The live machine with an iterative condition (captured
+        floats riding the long-array state via bit-cast): replay
+        containment against the registered batch query."""
+        from flink_snappydata_spark.catalog import load_table
+        from flink_snappydata_spark.operators.cep import (
+            PatternStage as PS,
+            cep_funnel_iterative,
+        )
+        from pyspark.sql import functions as F
+        from flink_snappydata_spark.streaming import runtime
+        from flink_snappydata_spark.streaming.cep import (
+            streaming_cep_pattern,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        stream = runtime.events_file_stream(spark, sf)
+        stages = [
+            PS("view", "view", min_count=1, max_count=1),
+            PS(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+                rel=("first", 1, ">"),
+            ),
+            PS("purchase", "purchase", min_count=1, max_count=1),
+        ]
+        live = streaming_cep_pattern(stream, stages, contiguity="relaxed_nfa")
+        runtime.run_to_memory_sink(live, "rel_live", "append")
+        got = spark.table("rel_live").toPandas()
+        want = cep_funnel_iterative(load_table(spark, sf, "events")).toPandas()
+        cols = [
+            "user_id", "match_start", "match_end",
+            "n_view", "n_click", "n_purchase",
+        ]
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        merged = got.merge(want[cols], how="left", indicator=True)
+        assert (merged["_merge"] == "both").all(), "live ⊄ batch"
+        assert len(got) >= 1, "non-vacuous"
 
     def test_sentinels_invisible_and_flush_closes(self):
         rows = [(10, 1), (20, -1), (30, 2), (40, -1)]

@@ -80,6 +80,9 @@ GAUGE_TAIL = [
     # that both realizations share one user-keyed shuffle subtree
     "match_recognize_optional",
     "cep_relaxed_nfa_skiptonext",
+    # iterative condition: pins that the value column rides the same
+    # single exchange into the kernel (no extra shuffle for rels)
+    "cep_iterative_condition",
 ]
 
 #: Every gauge-pinned query, golden-file order.

@@ -409,6 +409,24 @@ EVENT_OPS = {
         contiguity="relaxed_nfa",
         after_match="skip_to_next",
     ),
+    # iterative condition: the rel comparison is the one extra Python
+    # op per consumed event — the probe checks it stays linear
+    "cep_iterative_condition": lambda v: CEP.cep_match_pattern(
+        v,
+        [
+            CEP.PatternStage("view", "view", min_count=1, max_count=1),
+            CEP.PatternStage(
+                "click",
+                (F.col("event_type") == "click") & (F.col("value") >= 0.5),
+                rel=("first", 1, ">"),
+            ),
+            CEP.PatternStage(
+                "purchase", "purchase", min_count=1, max_count=1
+            ),
+        ],
+        sort=False,
+        contiguity="relaxed_nfa",
+    ),
     "match_recognize_optional": lambda v: CEP.cep_match_pattern(
         v,
         [
