@@ -464,6 +464,7 @@ def _cep_match_pattern_nfa(
     sort: bool,
     within: str | None,
     after_match: str = "skip_past_last",
+    strict: bool = False,
 ) -> DataFrame:
     """The ``contiguity="relaxed_nfa"`` execution path: EXACT Flink
     ``followedBy`` semantics via the deterministic multi-branch machine
@@ -531,12 +532,32 @@ def _cep_match_pattern_nfa(
     cols = ["user_id", "ts", "event_id", label.alias("stage_id")] + (
         ["value"] if use_rels else []
     )
-    labeled = (
-        events.select(*cols)
-        .filter(F.col("stage_id") != -1)
-        .repartition("user_id")
-        .sortWithinPartitions("user_id", "ts", "event_id")
-    )
+    if strict:
+        # strict contiguity: sentinels BREAK runs, so they must reach
+        # the fold — but consecutive sentinels are one break, so ship
+        # only the FIRST sentinel of each sentinel run (the lag rides
+        # the same user partitioning the kernel needs; the trailing
+        # explicit sort is order-restating and planner-eliminated)
+        w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        labeled = (
+            events.repartition("user_id")
+            .select(*cols)
+            .withColumn("_prev_sid", F.lag("stage_id").over(w_seq))
+            .filter(
+                (F.col("stage_id") != -1)
+                | F.col("_prev_sid").isNull()
+                | (F.col("_prev_sid") != -1)
+            )
+            .drop("_prev_sid")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+        )
+    else:
+        labeled = (
+            events.select(*cols)
+            .filter(F.col("stage_id") != -1)
+            .repartition("user_id")
+            .sortWithinPartitions("user_id", "ts", "event_id")
+        )
 
     def match_partition(
         pdfs: Iterator["pd.DataFrame"],
@@ -580,7 +601,7 @@ def _cep_match_pattern_nfa(
                     )
                 matches, state = advance_relaxed_nfa_state(
                     state, rows, quants, within_us, after_match,
-                    rels if use_rels else None,
+                    rels if use_rels else None, strict,
                 )
                 out_uid.extend([uid] * len(matches))
                 out_m.extend(matches)
@@ -693,9 +714,10 @@ def cep_match_pattern(
     corpus-sized. Label evaluation is per-row JVM expressions
     (whole-stage codegen).
     """
-    if contiguity not in ("strict", "relaxed", "relaxed_nfa"):
+    if contiguity not in ("strict", "relaxed", "relaxed_nfa", "strict_nfa"):
         raise ValueError(
-            f"contiguity must be strict|relaxed|relaxed_nfa: {contiguity!r}"
+            "contiguity must be strict|relaxed|relaxed_nfa|strict_nfa: "
+            f"{contiguity!r}"
         )
     if len(stages) == 1 and stages[0].max_count is not None:
         raise ValueError(
@@ -755,22 +777,32 @@ def cep_match_pattern(
             f"after_match must be skip_past_last|skip_to_next: "
             f"{after_match!r}"
         )
-    if after_match == "skip_to_next" and contiguity != "relaxed_nfa":
+    if after_match == "skip_to_next" and contiguity not in (
+        "relaxed_nfa",
+        "strict_nfa",
+    ):
         raise ValueError(
             "after_match='skip_to_next' (one overlapping match per "
-            "start) is supported only under contiguity='relaxed_nfa' — "
-            "the islands compilers are inherently skip-past-last "
-            "(disjoint maximal runs)"
+            "start) is supported only under the machine modes "
+            "(relaxed_nfa/strict_nfa) — the islands compilers are "
+            "inherently skip-past-last (disjoint maximal runs)"
         )
-    if any(s.rel is not None for s in stages) and contiguity != "relaxed_nfa":
+    if any(s.rel is not None for s in stages) and contiguity not in (
+        "relaxed_nfa",
+        "strict_nfa",
+    ):
         raise ValueError(
             "relative predicates (PatternStage.rel — Flink "
-            "IterativeCondition) are supported only under "
-            "contiguity='relaxed_nfa': per-branch consumability has no "
-            "islands compilation"
+            "IterativeCondition / MATCH_RECOGNIZE PREV()/FIRST()) are "
+            "supported only under contiguity='relaxed_nfa' or "
+            "'strict_nfa': per-branch consumability has no islands "
+            "compilation"
         )
-    if contiguity == "relaxed_nfa":
-        return _cep_match_pattern_nfa(events, stages, sort, within, after_match)
+    if contiguity in ("relaxed_nfa", "strict_nfa"):
+        return _cep_match_pattern_nfa(
+            events, stages, sort, within, after_match,
+            strict=contiguity == "strict_nfa",
+        )
     label = stage_label_expr(stages)
 
     labeled = events.select(

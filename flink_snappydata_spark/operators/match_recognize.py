@@ -63,6 +63,80 @@ _INTERVAL_RE = re.compile(
     r"WITHIN\s+INTERVAL\s+'(\d+)'\s+(\w+)", re.IGNORECASE
 )
 
+#: DEFINE conjuncts of the SQL-standard navigation forms — the only
+#: PREV()/FIRST() shapes supported: `value OP PREV(value)` (previous
+#: ROW of the match; under strict contiguity == the previously
+#: consumed event) and `value OP FIRST(var.value)` (first row mapped
+#: to `var`), with optional `self.`-style variable prefixes.
+_PREV_RE = re.compile(
+    rf"^\(?\s*(?:{_IDENT}\.)?value\s*(>=|<=|>|<)\s*"
+    rf"PREV\s*\(\s*(?:{_IDENT}\.)?value\s*\)\s*\)?$",
+    re.IGNORECASE,
+)
+_FIRST_RE = re.compile(
+    rf"^\(?\s*(?:{_IDENT}\.)?value\s*(>=|<=|>|<)\s*"
+    rf"FIRST\s*\(\s*({_IDENT})\.value\s*\)\s*\)?$",
+    re.IGNORECASE,
+)
+
+
+def _split_conjuncts(cond: str) -> list[str]:
+    """Split a DEFINE condition on top-level ANDs (parens respected)."""
+    parts, depth, cur = [], 0, []
+    tokens = re.split(r"(\(|\)|\bAND\b)", cond, flags=re.IGNORECASE)
+    for tok in tokens:
+        if tok == "(":
+            depth += 1
+        elif tok == ")":
+            depth -= 1
+        elif depth == 0 and tok.upper() == "AND":
+            parts.append("".join(cur).strip())
+            cur = []
+            continue
+        cur.append(tok)
+    parts.append("".join(cur).strip())
+    return [p for p in parts if p]
+
+
+def _extract_rel(
+    var: str, cond: str, names_lower: list[str]
+) -> tuple[str | None, tuple | None]:
+    """Pull at most one PREV()/FIRST() navigation conjunct out of a
+    DEFINE condition → (remaining base condition or None, rel spec or
+    None). Any other PREV/FIRST usage is rejected loudly."""
+    base_parts: list[str] = []
+    rel: tuple | None = None
+    for part in _split_conjuncts(cond):
+        pm = _PREV_RE.match(part)
+        fm = _FIRST_RE.match(part)
+        if pm or fm:
+            if rel is not None:
+                raise MatchRecognizeError(
+                    f"DEFINE {var}: at most one PREV()/FIRST() "
+                    "navigation conjunct per variable"
+                )
+            if pm:
+                rel = ("prev", pm.group(1))
+            else:
+                ref = fm.group(2).lower()
+                if ref not in names_lower:
+                    raise MatchRecognizeError(
+                        f"DEFINE {var}: FIRST({fm.group(2)}.value) does "
+                        f"not name a PATTERN variable (pattern has "
+                        f"{names_lower})"
+                    )
+                rel = ("first", names_lower.index(ref) + 1, fm.group(1))
+        else:
+            base_parts.append(part)
+    base = " AND ".join(base_parts) if base_parts else None
+    if base and re.search(r"\b(PREV|FIRST|LAST|NEXT)\s*\(", base, re.I):
+        raise MatchRecognizeError(
+            f"DEFINE {var}: row-pattern navigation is supported only as "
+            "a top-level conjunct of the form `value OP PREV(value)` or "
+            "`value OP FIRST(var.value)`"
+        )
+    return base, rel
+
 
 class MatchRecognizeError(ValueError):
     """Parse/validation failure with the offending clause fragment."""
@@ -213,13 +287,23 @@ def compile_match_recognize(
                 raise MatchRecognizeError(f"duplicate DEFINE for {var}")
             defines[var] = em.group(2)
 
-    stages = []
+    names_lower = [n.lower() for n in names]
+    # validate everything BEFORE building Column predicates (F.expr
+    # needs an active session; rejections must not)
+    parsed = []
     for var, quant in tokens:
         cond_sql = defines.get(var.lower())
+        rel = None
+        if cond_sql is not None:
+            cond_sql, rel = _extract_rel(var, cond_sql, names_lower)
+        parsed.append((var, cond_sql, rel, _parse_quant(var, quant)))
+    stages = []
+    for var, cond_sql, rel, (lo, hi) in parsed:
         predicate = F.expr(cond_sql) if cond_sql is not None else F.lit(True)
-        lo, hi = _parse_quant(var, quant)
         stages.append(
-            PatternStage(var.lower(), predicate, min_count=lo, max_count=hi)
+            PatternStage(
+                var.lower(), predicate, min_count=lo, max_count=hi, rel=rel
+            )
         )
     for edge in (stages[0], stages[-1]):
         if edge.min_count == 0:
@@ -237,6 +321,16 @@ def match_recognize(events: DataFrame, sql: str) -> DataFrame:
     """Run a MATCH_RECOGNIZE clause against an events frame: parse via
     :func:`compile_match_recognize`, execute via the NFA-equivalent
     pattern builder. Strict contiguity, AFTER MATCH SKIP PAST LAST
-    ROW — the clause's defaults."""
+    ROW — the clause's defaults. Navigation-free clauses compile to
+    the declarative islands plan; PREV()/FIRST() DEFINE clauses need
+    per-branch state and compile to the strict machine mode
+    (``contiguity="strict_nfa"``) — row-identical semantics, pinned
+    differentially in tests/test_relaxed_nfa.py."""
     stages, within = compile_match_recognize(sql)
-    return cep_match_pattern(events, stages, within=within)
+    contiguity = (
+        "strict_nfa"
+        if any(s.rel is not None for s in stages)
+        else "strict"
+    )
+    return cep_match_pattern(events, stages, within=within,
+                             contiguity=contiguity)

@@ -162,6 +162,7 @@ _R15_QUEUE: list[str] = [
     "cep_relaxed_nfa_skiptonext",
     "nfa_streamed",
     "cep_iterative_condition",
+    "match_recognize_prev",
     # -- r10-stamped remainder (cadence-due at r15) --
     "typo_pairs",
     "zorder_key",

@@ -844,6 +844,71 @@ _register(
         "sequences in one differential frame).",
 )
 
+# MATCH_RECOGNIZE row-pattern NAVIGATION (SQL standard PREV()): the
+# canonical ascending-run pattern every MATCH_RECOGNIZE tutorial
+# opens with. Under strict contiguity PREV(row) == the match's
+# previously consumed event, so the clause compiles to the strict
+# MACHINE mode (contiguity="strict_nfa" — per-branch rel state; the
+# islands compiler cannot express per-branch consumability). The
+# oracle is pure islands SQL: run breaks wherever the event is not a
+# click strictly above its predecessor, and a match is a run whose
+# break row is a view with at least one continuation.
+def _match_recognize_prev(events):
+    from flink_snappydata_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    return match_recognize(
+        events,
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v ascend+)
+          DEFINE
+            v AS event_type = 'view',
+            ascend AS event_type = 'click'
+                      AND ascend.value > PREV(ascend.value)
+        )
+        """,
+    )
+
+
+_register(
+    "match_recognize_prev",
+    ["events"],
+    _match_recognize_prev,
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN event_type = 'click'
+                         AND value > LAG(value) OVER w
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM seq
+    )
+    SELECT user_id, MIN(ts) AS match_start, MAX(ts) AS match_end,
+           CAST(1 AS BIGINT) AS n_v,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_ascend
+    FROM runs
+    GROUP BY user_id, run_id
+    HAVING MIN(CASE WHEN brk = 1 THEN event_type END) = 'view'
+       AND COUNT(*) >= 2
+    ORDER BY user_id, match_start
+    """,
+    doc="SQL-standard MATCH_RECOGNIZE navigation: PATTERN (v ascend+) "
+        "DEFINE ascend AS click AND value > PREV(value) — strictly "
+        "ascending click runs right after a view. PREV() compiles to a "
+        "per-branch ('prev', op) rel on the strict machine mode; the "
+        "oracle is break-flag islands SQL (LAG over the full per-user "
+        "sequence).",
+)
+
 # ITERATIVE CONDITION (Flink IterativeCondition — where() clauses that
 # read ctx.getEventsForPattern): each consumed click must beat ITS OWN
 # match's view value, a per-branch comparison no precomputed label can

@@ -573,6 +573,7 @@ def advance_relaxed_nfa_state(
     within_us: int | None = None,
     after_match: str = "skip_past_last",
     rels: list[RelSpec | None] | None = None,
+    strict: bool = False,
 ) -> tuple[list[tuple[int, int, tuple[int, ...]]], NfaState]:
     """Pure state transition for the EXACT relaxed-contiguity machine
     (Flink ``followedBy`` with AFTER MATCH SKIP PAST LAST EVENT): fold
@@ -651,6 +652,20 @@ def advance_relaxed_nfa_state(
     (every start must emit separately), so live state is bounded by
     active starts (use ``within`` to bound it by one window's events,
     exactly as in Flink).
+
+    STRICT mode (``strict=True``, the machine form of ``next``
+    contiguity — MATCH_RECOGNIZE's row-pattern semantics): no event is
+    ever skipped — an event a branch cannot consume (other label,
+    bound full, rel failure, or the -1 sentinel, which must then REACH
+    the fold) closes the branch if it is pattern-satisfiable and
+    discards it otherwise. Seeding at every seed-target event still
+    provides the bounded-first-stage SUFFIX freedom, and bound
+    completion the LAST-stage prefix, so the rel-free strict machine
+    is row-identical to the islands compiler (differentially pinned);
+    rels make per-branch consumability real, which is exactly what
+    SQL MATCH_RECOGNIZE's PREV()/FIRST() DEFINE clauses need — under
+    strict contiguity PREV(row) == the match's previously consumed
+    event, so the ("prev", op) spec IS the SQL-standard semantics.
 
     ITERATIVE CONDITIONS (``rels``, Flink IterativeCondition): an
     optional per-stage RELATIVE predicate evaluated per BRANCH at
@@ -758,52 +773,44 @@ def advance_relaxed_nfa_state(
     for row in rows:
         ts_us, lab = row[0], row[1]
         v = row[2] if use_rels else 0.0
-        if lab == -1:
+        if lab == -1 and not strict:
             continue  # relaxed contiguity: sentinels are invisible
         closers: list[NfaBranch] = []
         keep: list[NfaBranch] = []
         in_range = 1 <= lab <= k
         for b in branches:
             expired = within_us is not None and ts_us - b[1] > within_us
-            if _satisf(b) and (
-                expired or not (in_range and _consumable(b, lab))
-            ):
+            can = in_range and _consumable(b, lab)
+            if strict and can and use_rels:
+                # strict contiguity: a rel failure IS a break, so full
+                # consumability (base + rel) drives the close/discard
+                target = b[0] if lab == b[0] else lab
+                can = _rel_ok(rels[target - 1], b[4], b[5], v)
+            if _satisf(b) and (expired or not can):
                 closers.append(b)
-            elif expired:
-                pass  # timed-out partial match: discard (within)
+            elif expired or (strict and not can):
+                # discarded: timed-out partial (within), or a strict-
+                # contiguity break (other label, bound full, rel fail,
+                # sentinel)
+                pass
             else:
                 keep.append(b)
-        pending: list[NfaBranch] = []
-        if closers:
+        branches = keep
+        if not in_range:
+            # flush record or (strict-mode) sentinel: close-only
+            # trigger, no transitions or seeding
             if past_last:
-                # greedy disjoint selection by start, each emission
-                # discarding branches started at or before its end —
-                # skip past last EVENT. Without rels at most ONE
-                # satisfiable closer can exist (any seed event after a
-                # satisfiable branch's last consumed event would have
-                # closed it first), so this reduces to the old single-
-                # winner clear-all; with rel-INVISIBLE events (or
-                # several expiring windows), later-started DISJOINT
-                # candidates are real and every one of them emits.
                 cut: int | None = None
                 for b in sorted(closers, key=lambda b: b[1]):
                     if cut is None or b[1] > cut:
                         matches.append((b[1], b[2], b[3]))
                         cut = b[2]
-                branches = [b for b in keep if b[1] > cut]
+                if cut is not None:
+                    branches = [b for b in keep if b[1] > cut]
             else:
-                # skip to next: every completing run emits; only the
-                # completing branches are removed (emission deferred so
-                # same-event consumption-completions merge in start
-                # order)
-                pending.extend(closers)
-                branches = keep
-        else:
-            branches = keep
-        if not in_range:
-            for b in sorted(pending, key=lambda b: b[1]):
-                matches.append((b[1], b[2], b[3]))
-            continue  # flush record: close-only trigger
+                for b in sorted(closers, key=lambda b: b[1]):
+                    matches.append((b[1], b[2], b[3]))
+            continue
         nxt: list[NfaBranch] = []
         done: list[NfaBranch] = []
         for b in branches:
@@ -847,13 +854,13 @@ def advance_relaxed_nfa_state(
                     nxt.append(nb)
             else:
                 nxt.append(b)  # relaxed IGNORE: skip without consuming
-        if lab <= max_target[0] and (not done or not past_last):
+        if lab <= max_target[0]:
             # seed (Flink's always-live start state; mid-pattern when
             # leading stages are optional); an immediately-complete
             # single-event seed competes like any consumption-completion
-            # (it always has the latest start, so it never beats one
-            # under skip-past-last). A rel on the seed stage passes
-            # vacuously (no captured values yet).
+            # (it always has the latest start, so under skip-past-last
+            # it only emits when disjoint from every earlier winner).
+            # A rel on the seed stage passes vacuously (no captures).
             nc = (0,) * (lab - 1) + (1,) + (0,) * (k - lab)
             if use_rels:
                 firsts = (None,) * (lab - 1) + (v,) + (None,) * (k - lab)
@@ -864,20 +871,36 @@ def advance_relaxed_nfa_state(
                 done.append(nb)
             else:
                 nxt.append(nb)
-        if done and past_last:
-            # completion by consumption: the match owns this event,
-            # so skip-past-last discards every branch and the seed
-            w = min(done, key=lambda b: b[1])
-            matches.append((w[1], w[2], w[3]))
-            branches = []
-            continue
-        for b in sorted(pending + done, key=lambda b: b[1]):
-            matches.append((b[1], b[2], b[3]))
-        branches = (
-            _dedup(nxt)
-            if past_last and within_us is None and not use_rels
-            else nxt
-        )
+        if past_last:
+            # UNIFIED completion competition: close-completions (which
+            # do not consume this event) and consumption-completions
+            # compete in ONE greedy disjoint selection by start — each
+            # emission discards everything started at or before its
+            # match end (skip past last EVENT; the start filter also
+            # suppresses this event's seed exactly when an emitted
+            # match consumed the event). Without rels or optional
+            # tails the candidate sets are label-disjoint and at most
+            # one winner exists, reducing to the old two-phase rule;
+            # with them, a later-started branch can close on the very
+            # event an earlier branch completes by consuming, and only
+            # a joint selection picks the true earliest start.
+            if closers or done:
+                cut2: int | None = None
+                for b in sorted(closers + done, key=lambda b: b[1]):
+                    if cut2 is None or b[1] > cut2:
+                        matches.append((b[1], b[2], b[3]))
+                        cut2 = b[2]
+                branches = [b for b in nxt if b[1] > cut2]
+            else:
+                branches = (
+                    _dedup(nxt)
+                    if within_us is None and not use_rels
+                    else nxt
+                )
+        else:
+            for b in sorted(closers + done, key=lambda b: b[1]):
+                matches.append((b[1], b[2], b[3]))
+            branches = nxt
     return matches, tuple(branches)
 
 

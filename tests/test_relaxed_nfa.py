@@ -69,6 +69,7 @@ def _simulate_from(
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
     rels=None,
+    strict: bool = False,
 ) -> tuple[int, int, int, tuple[int, ...]] | None:
     """Run ONE branch seeded at index ``s`` (rows[s]'s label must be a
     seed target: a stage reachable through leading optional stages) to
@@ -117,19 +118,24 @@ def _simulate_from(
 
     for j in range(s + 1, n):
         lab = rows[j][1]
-        if lab == -1:
+        if lab == -1 and not strict:
             continue
         ok = satisf()
         in_range = 1 <= lab <= k
+        can = in_range and consumable(lab)
+        if strict and can:
+            can = rel_ok(lab, val(j))  # strict: rel failure breaks
         if within_us is not None and rows[j][0] - rows[s][0] > within_us:
             if ok:
                 return j, last, rows[last][0], tuple(counts)
             return None  # timed-out partial match
-        if ok and not (in_range and consumable(lab)):
+        if ok and not can:
             return j, last, rows[last][0], tuple(counts)
+        if strict and not can:
+            return None  # strict-contiguity break
         if not in_range:
             continue
-        if not consumable(lab) or not rel_ok(lab, val(j)):
+        if not can or not rel_ok(lab, val(j)):
             continue  # relaxed IGNORE (rel-failing events invisible)
         if lab == stage:
             counts[stage - 1] += 1
@@ -154,6 +160,7 @@ def reference_relaxed_nfa(
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
     rels=None,
+    strict: bool = False,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
     out: list[tuple[int, int, tuple[int, ...]]] = []
     i = 0
@@ -164,7 +171,7 @@ def reference_relaxed_nfa(
         for s in range(i, n):
             if not 1 <= rows[s][1] <= seed_max:
                 continue
-            m = _simulate_from(rows, s, quants, within_us, rels)
+            m = _simulate_from(rows, s, quants, within_us, rels, strict)
             if m is None:
                 continue
             key = (m[0], s)  # earliest completion, then earliest start
@@ -183,6 +190,7 @@ def reference_skip_to_next(
     quants: list[tuple[int, int | None]],
     within_us: int | None = None,
     rels=None,
+    strict: bool = False,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
     """Flink AfterMatchSkipStrategy.skipToNext: every start position
     emits its own earliest completion; overlapping matches allowed.
@@ -192,7 +200,7 @@ def reference_skip_to_next(
     out = []
     for s in range(len(rows)):
         if 1 <= rows[s][1] <= seed_max:
-            m = _simulate_from(rows, s, quants, within_us, rels)
+            m = _simulate_from(rows, s, quants, within_us, rels, strict)
             if m is not None:
                 out.append((m[0], rows[s][0], m[2], m[3]))
     out.sort(key=lambda t: (t[0], t[1]))
@@ -205,9 +213,10 @@ def engine_relaxed_nfa(
     within_us: int | None = None,
     after_match: str = "skip_past_last",
     rels=None,
+    strict: bool = False,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
     matches, state = advance_relaxed_nfa_state(
-        (), rows, quants, within_us, after_match, rels
+        (), rows, quants, within_us, after_match, rels, strict
     )
     return matches + close_relaxed_nfa(state, quants, after_match)
 
@@ -316,6 +325,69 @@ def test_iterative_conditions_equal_reference(
     else:
         got = engine_relaxed_nfa(rows, quants, within_us, after, rels)
         want = reference_skip_to_next(rows, quants, within_us, rels)
+    assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    quants=_QUANTS,
+    labels=st.lists(st.integers(min_value=-1, max_value=5), max_size=40),
+)
+def test_strict_nfa_equals_islands_fold_and_backtracking_nfa(
+    quants, labels
+):
+    """The strict machine mode (rel-free) is row-identical to BOTH the
+    islands fold (advance_pattern_state + end-of-data close — the
+    strict compiler's semantics, sub-run suffix/prefix included) and
+    the round-14 backtracking reference NFA: seeding at every start
+    position provides the suffix freedom, bound completion the prefix,
+    and forced consumption makes backtracking structurally useless —
+    so the deterministic machine is exact."""
+    k = len(quants)
+    rows = [
+        (10 * (i + 1), lab if -1 <= lab <= k and lab != 0 else -1)
+        for i, lab in enumerate(labels)
+    ]
+    got = engine_relaxed_nfa(
+        rows, quants, None, "skip_past_last", None, True
+    )
+    from tests.test_round14_ops import engine_matches, nfa_matches
+
+    assert got == nfa_matches(rows, quants)
+    if not any(lo == 0 for lo, _ in quants):
+        # the islands fold twin predates optional stages
+        assert got == engine_matches(rows, quants)
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    quants=_QUANTS,
+    data=st.data(),
+    within_us=_WITHIN,
+)
+def test_strict_nfa_with_rels_equals_reference(quants, data, within_us):
+    """Strict mode WITH iterative conditions (the MATCH_RECOGNIZE
+    PREV()/FIRST() semantics): rel failures BREAK the match (no
+    skipping), pinned against the per-start deterministic reference."""
+    k = len(quants)
+    rels = data.draw(_rels_strategy(k))
+    raw = data.draw(
+        st.lists(
+            st.tuples(
+                st.integers(min_value=-1, max_value=k + 1),
+                st.integers(min_value=0, max_value=3),
+            ),
+            max_size=35,
+        )
+    )
+    rows = [
+        (10 * (i + 1), lab if lab != 0 else -1, float(v))
+        for i, (lab, v) in enumerate(raw)
+    ]
+    got = engine_relaxed_nfa(
+        rows, quants, within_us, "skip_past_last", rels, True
+    )
+    want = reference_relaxed_nfa(rows, quants, within_us, rels, True)
     assert got == want
 
 
@@ -893,6 +965,32 @@ class TestDivergenceReceipts:
         merged = got.merge(want[cols], how="left", indicator=True)
         assert (merged["_merge"] == "both").all(), "live ⊄ batch"
         assert len(got) >= 1, "non-vacuous"
+
+    def test_close_and_consume_completions_compete_jointly(self):
+        # THE bug the strict brute found: under strict contiguity with
+        # a trailing optional stage and a rel, a LATER-started branch
+        # can close on the very event an EARLIER branch completes by
+        # consuming — A{1,}B{0,1} with B.value < first(A).value on
+        # A/2 A/0 B/1: branch@A1 proceeds (1 < 2, bound-complete) while
+        # branch@A2 closes (1 < 0 fails, satisfiable via the optional
+        # tail). The earliest start must win the JOINT competition.
+        rows = [(10, 1, 2.0), (20, 1, 0.0), (30, 2, 1.0)]
+        quants = [(1, None), (0, 1)]
+        rels = [None, ("first", 1, "<")]
+        assert engine_relaxed_nfa(
+            rows, quants, None, "skip_past_last", rels, True
+        ) == [(10, 30, (2, 1))]
+
+    def test_strict_mode_sentinels_break(self):
+        # strict contiguity: a sentinel (or its collapsed
+        # representative) kills partial matches and closes satisfiable
+        # ones — the relaxed machine would skip it.
+        rows = [(10, 1), (20, -1), (30, 2)]
+        quants = [(1, 1), (1, None)]
+        assert engine_relaxed_nfa(
+            rows, quants, None, "skip_past_last", None, True
+        ) == []
+        assert engine_relaxed_nfa(rows, quants) == [(10, 30, (1, 1))]
 
     def test_sentinels_invisible_and_flush_closes(self):
         rows = [(10, 1), (20, -1), (30, 2), (40, -1)]

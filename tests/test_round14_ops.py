@@ -270,6 +270,24 @@ class TestMatchRecognizeParser:
             ("PATTERN (A B*? C) DEFINE A AS x > 0", "reluctant"),
             ("PATTERN (A B{1,2}? C) DEFINE A AS x > 0", "reluctant"),
             ("PATTERN (A B{0} C) DEFINE A AS x > 0", "matches nothing"),
+            # row-pattern navigation: only the top-level-conjunct forms
+            (
+                "PATTERN (A B+) DEFINE B AS value > PREV(value) + 1",
+                "navigation is supported only",
+            ),
+            (
+                "PATTERN (A B+) DEFINE B AS value > FIRST(Z.value)",
+                "does not name a PATTERN variable",
+            ),
+            (
+                "PATTERN (A B+) DEFINE B AS value > PREV(value) "
+                "AND value < FIRST(A.value)",
+                "at most one PREV",
+            ),
+            (
+                "PATTERN (A B+) DEFINE B AS value > LAST(A.value)",
+                "navigation is supported only",
+            ),
             ("PATTERN (A{3,2} B) DEFINE A AS x > 0", "max < min"),
             ("PATTERN (A (B C)) DEFINE A AS x > 0", "grouping"),
             ("PATTERN (A | B) DEFINE A AS x > 0", "alternation|grouping"),
@@ -306,6 +324,26 @@ class TestMatchRecognizeParser:
 
         with pytest.raises(MatchRecognizeError, match=msg):
             self._compile(sql)
+
+    def test_navigation_parses_to_rel_specs(self, spark):
+        """PREV()/FIRST() DEFINE conjuncts become per-branch rel specs
+        and flip the compile target to the strict machine mode."""
+        stages, within = self._compile(
+            """
+            PATTERN (A B+ C)
+            DEFINE A AS event_type = 'view',
+                   B AS event_type = 'click'
+                        AND B.value > PREV(B.value),
+                   C AS event_type = 'purchase'
+                        AND value >= FIRST(A.value)
+            """
+        )
+        assert [s.rel for s in stages] == [
+            None,
+            ("prev", ">"),
+            ("first", 1, ">="),
+        ]
+        assert stages[1].name == "b"
 
     def test_executes_same_as_builder(self, spark):
         """The registered clause and the hand-built stages produce the

@@ -83,6 +83,9 @@ GAUGE_TAIL = [
     # iterative condition: pins that the value column rides the same
     # single exchange into the kernel (no extra shuffle for rels)
     "cep_iterative_condition",
+    # MATCH_RECOGNIZE PREV(): pins that the strict machine mode's
+    # sentinel-collapsing lag rides the one user exchange too
+    "match_recognize_prev",
 ]
 
 #: Every gauge-pinned query, golden-file order.

@@ -427,6 +427,22 @@ EVENT_OPS = {
         sort=False,
         contiguity="relaxed_nfa",
     ),
+    # MATCH_RECOGNIZE PREV(): the strict machine mode — the probe
+    # checks the sentinel-collapsed shipping + per-branch rel stays
+    # linear (every event reaches the lag, 1-in-K reach Python)
+    "match_recognize_prev": lambda v: CEP.cep_match_pattern(
+        v,
+        [
+            CEP.PatternStage("v", "view", min_count=1, max_count=1),
+            CEP.PatternStage(
+                "ascend",
+                F.col("event_type") == "click",
+                rel=("prev", ">"),
+            ),
+        ],
+        sort=False,
+        contiguity="strict_nfa",
+    ),
     "match_recognize_optional": lambda v: CEP.cep_match_pattern(
         v,
         [
