@@ -445,9 +445,12 @@ def stage_label_expr(stages: list[PatternStage]) -> Column:
     return label.otherwise(-1)
 
 
-def _matches_frame(pd, names, uids, matches):
+def _matches_frame(pd, names, uids, matches, measure_specs=None):
     """Assemble one output chunk of the relaxed-NFA kernel (vectorized
-    us→timestamp conversion once per chunk, not per group)."""
+    us→timestamp conversion once per chunk, not per group). With
+    ``measure_specs`` ((alias, kind, stage_index) triples), matches
+    carry (firsts, lasts) capture tuples and each measure projects out
+    of them (None for stages a match skipped)."""
     out = {
         "user_id": uids,
         "match_start": pd.to_datetime([m[0] for m in matches], unit="us"),
@@ -455,6 +458,13 @@ def _matches_frame(pd, names, uids, matches):
     }
     for i, n in enumerate(names):
         out[f"n_{n}"] = [m[2][i] for m in matches]
+    for alias, kind, idx in measure_specs or ():
+        if kind == "count":
+            out[alias] = [m[2][idx] for m in matches]
+        elif kind == "first":
+            out[alias] = [m[3][idx] for m in matches]
+        else:  # last
+            out[alias] = [m[4][idx] for m in matches]
     return pd.DataFrame(out)
 
 
@@ -465,6 +475,7 @@ def _cep_match_pattern_nfa(
     within: str | None,
     after_match: str = "skip_past_last",
     strict: bool = False,
+    measures: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """The ``contiguity="relaxed_nfa"`` execution path: EXACT Flink
     ``followedBy`` semantics via the deterministic multi-branch machine
@@ -498,6 +509,7 @@ def _cep_match_pattern_nfa(
     import numpy as np
     import pandas as pd
     from pyspark.sql.types import (
+        DoubleType,
         LongType,
         StructField,
         StructType,
@@ -519,18 +531,30 @@ def _cep_match_pattern_nfa(
     within_us = (
         None if within is None else _window_seconds(within) * 1_000_000
     )
+    rels = [s.rel for s in stages]
+    use_rels = any(r is not None for r in rels)
+    capture = measures is not None
+    use_caps = use_rels or capture
+    stage_idx = {s.name: i for i, s in enumerate(stages)}
+    measure_specs = [
+        (alias, kind, stage_idx[sn]) for alias, kind, sn in measures or ()
+    ]
     out_schema = StructType(
         [
             StructField("user_id", LongType()),
             StructField("match_start", TimestampType()),
             StructField("match_end", TimestampType()),
             *[StructField(f"n_{n}", LongType()) for n in names],
+            *[
+                StructField(
+                    alias, LongType() if kind == "count" else DoubleType()
+                )
+                for alias, kind, _ in measure_specs
+            ],
         ]
     )
-    rels = [s.rel for s in stages]
-    use_rels = any(r is not None for r in rels)
     cols = ["user_id", "ts", "event_id", label.alias("stage_id")] + (
-        ["value"] if use_rels else []
+        ["value"] if use_caps else []
     )
     if strict:
         # strict contiguity: sentinels BREAK runs, so they must reach
@@ -572,7 +596,7 @@ def _cep_match_pattern_nfa(
                 "int64"
             )
             labs = pdf["stage_id"].to_numpy()
-            vals = pdf["value"].to_numpy() if use_rels else None
+            vals = pdf["value"].to_numpy() if use_caps else None
             # group boundaries in the (user-sorted) chunk
             cuts = np.flatnonzero(np.diff(uids)) + 1
             starts = np.concatenate(([0], cuts))
@@ -583,11 +607,13 @@ def _cep_match_pattern_nfa(
                 uid = int(uids[a])
                 if uid != cur_uid:
                     if cur_uid is not None:
-                        for m in close_relaxed_nfa(state, quants, after_match):
+                        for m in close_relaxed_nfa(
+                            state, quants, after_match, capture
+                        ):
                             out_uid.append(cur_uid)
                             out_m.append(m)
                     cur_uid, state = uid, ()
-                if use_rels:
+                if use_caps:
                     rows = list(
                         zip(
                             ts_us[a:b].tolist(),
@@ -601,15 +627,17 @@ def _cep_match_pattern_nfa(
                     )
                 matches, state = advance_relaxed_nfa_state(
                     state, rows, quants, within_us, after_match,
-                    rels if use_rels else None, strict,
+                    rels if use_rels else None, strict, capture,
                 )
                 out_uid.extend([uid] * len(matches))
                 out_m.extend(matches)
-            yield _matches_frame(pd, names, out_uid, out_m)
+            yield _matches_frame(pd, names, out_uid, out_m, measure_specs)
         if cur_uid is not None:
-            tail = close_relaxed_nfa(state, quants, after_match)
+            tail = close_relaxed_nfa(state, quants, after_match, capture)
             if tail:
-                yield _matches_frame(pd, names, [cur_uid] * len(tail), tail)
+                yield _matches_frame(
+                    pd, names, [cur_uid] * len(tail), tail, measure_specs
+                )
 
     out = labeled.mapInPandas(match_partition, out_schema)
     # no post-filter: within is enforced in-fold (every emitted match
@@ -624,6 +652,7 @@ def cep_match_pattern(
     contiguity: str = "strict",
     within: str | None = None,
     after_match: str = "skip_past_last",
+    measures: list[tuple[str, str, str]] | None = None,
 ) -> DataFrame:
     """General multi-stage pattern matcher — the Flink CEP
     ``Pattern.begin(A).next(B).times(m,n).next(C)...`` builder class,
@@ -798,10 +827,26 @@ def cep_match_pattern(
             "'strict_nfa': per-branch consumability has no islands "
             "compilation"
         )
+    if measures is not None:
+        if contiguity not in ("relaxed_nfa", "strict_nfa"):
+            raise ValueError(
+                "measures (MATCH_RECOGNIZE MEASURES — per-match "
+                "FIRST/LAST value captures) are supported only under "
+                "the machine modes (relaxed_nfa/strict_nfa)"
+            )
+        names = {s.name for s in stages}
+        for alias, kind, stage_name in measures:
+            if kind not in ("first", "last", "count"):
+                raise ValueError(f"unknown measure kind: {kind!r}")
+            if stage_name not in names:
+                raise ValueError(
+                    f"measure {alias}: {stage_name!r} is not a stage"
+                )
     if contiguity in ("relaxed_nfa", "strict_nfa"):
         return _cep_match_pattern_nfa(
             events, stages, sort, within, after_match,
             strict=contiguity == "strict_nfa",
+            measures=measures,
         )
     label = stage_label_expr(stages)
 

@@ -30,8 +30,15 @@ Supported subset (everything the compile target expresses):
   defaults to TRUE (the SQL-standard rule), subject to the engine's
   first-match-wins label priority for overlapping conditions.
 
-Rejected loudly (not silently narrowed): ``MEASURES`` (output is the
-builder's fixed (match_start, match_end, n_<var>...) shape), optional
+Also supported: ``MEASURES`` entries of the forms
+``FIRST(var.value) AS a`` / ``LAST(var.value) AS a`` /
+``COUNT(var.*) AS a`` — appended as output columns after the fixed
+``(user_id, match_start, match_end, n_<var>...)`` shape (value
+captures need per-branch state, so a MEASURES clause compiles to the
+strict machine mode like navigation does).
+
+Rejected loudly (not silently narrowed): other MEASURES expressions
+(aggregates, arithmetic, MATCH_NUMBER/CLASSIFIER), optional
 quantifiers on the first/last variable (use the builder's
 ``relaxed_nfa`` mode for optional edges), alternation / grouping
 inside PATTERN, and reluctant (``+?``, ``??``, ``*?``, ``{m,n}?``)
@@ -189,17 +196,50 @@ def _parse_quant(var: str, q: str | None) -> tuple[int, int | None]:
 
 def compile_match_recognize(
     sql: str,
-) -> tuple[list[PatternStage], str | None]:
-    """Parse a MATCH_RECOGNIZE clause body to ``(stages, within)`` —
-    the :func:`cep_match_pattern` inputs. Accepts the full clause with
-    or without the ``MATCH_RECOGNIZE ( ... )`` wrapper."""
+) -> tuple[list[PatternStage], str | None, list[tuple] | None]:
+    """Parse a MATCH_RECOGNIZE clause body to
+    ``(stages, within, measures)`` — the :func:`cep_match_pattern`
+    inputs (measures = (alias, kind, var) triples or None). Accepts
+    the full clause with or without the ``MATCH_RECOGNIZE ( ... )``
+    wrapper."""
     body = _clause(sql, "MATCH_RECOGNIZE") or sql
 
-    if re.search(r"\bMEASURES\b", body, re.IGNORECASE):
-        raise MatchRecognizeError(
-            "MEASURES is not supported: the output shape is fixed — "
-            "(user_id, match_start, match_end, n_<var>...)"
-        )
+    measures: list[tuple[str, str, str]] | None = None
+    mm = re.search(
+        r"\bMEASURES\b(.*?)(?=\bPARTITION\b|\bORDER\s+BY\b|\bAFTER\b"
+        r"|\bPATTERN\b|\bDEFINE\b|\bWITHIN\b|$)",
+        body,
+        re.IGNORECASE | re.DOTALL,
+    )
+    if mm:
+        measures = []
+        for entry in mm.group(1).split(","):
+            entry = entry.strip()
+            if not entry:
+                continue
+            em = re.fullmatch(
+                rf"(FIRST|LAST)\s*\(\s*({_IDENT})\.value\s*\)"
+                rf"\s+AS\s+({_IDENT})",
+                entry,
+                re.IGNORECASE,
+            )
+            cm = re.fullmatch(
+                rf"COUNT\s*\(\s*({_IDENT})\.\*\s*\)\s+AS\s+({_IDENT})",
+                entry,
+                re.IGNORECASE,
+            )
+            if em:
+                measures.append(
+                    (em.group(3), em.group(1).lower(), em.group(2).lower())
+                )
+            elif cm:
+                measures.append((cm.group(2), "count", cm.group(1).lower()))
+            else:
+                raise MatchRecognizeError(
+                    f"MEASURES entry {entry!r}: only "
+                    "FIRST(var.value) AS a / LAST(var.value) AS a / "
+                    "COUNT(var.*) AS a are supported"
+                )
     part = re.search(rf"PARTITION\s+BY\s+({_IDENT})", body, re.IGNORECASE)
     if part and part.group(1).lower() != "user_id":
         raise MatchRecognizeError(
@@ -297,6 +337,30 @@ def compile_match_recognize(
         if cond_sql is not None:
             cond_sql, rel = _extract_rel(var, cond_sql, names_lower)
         parsed.append((var, cond_sql, rel, _parse_quant(var, quant)))
+    for var, _, _, (lo, _) in (parsed[0], parsed[-1]):
+        if lo == 0:
+            raise MatchRecognizeError(
+                f"{var}: optional quantifiers (?, *, {{0,n}}) are "
+                "supported only at interior PATTERN positions — the "
+                "first and last variable must match at least one row "
+                "(strict-contiguity realization union; the "
+                "relaxed_nfa builder mode accepts optional edges)"
+            )
+    if measures:
+        fixed = {"user_id", "match_start", "match_end"} | {
+            f"n_{n}" for n in names_lower
+        }
+        for alias, _, var in measures:
+            if var not in names_lower:
+                raise MatchRecognizeError(
+                    f"MEASURES {alias}: {var!r} is not a PATTERN "
+                    f"variable (pattern has {names_lower})"
+                )
+            if alias.lower() in fixed:
+                raise MatchRecognizeError(
+                    f"MEASURES alias {alias!r} collides with a fixed "
+                    "output column"
+                )
     stages = []
     for var, cond_sql, rel, (lo, hi) in parsed:
         predicate = F.expr(cond_sql) if cond_sql is not None else F.lit(True)
@@ -305,16 +369,7 @@ def compile_match_recognize(
                 var.lower(), predicate, min_count=lo, max_count=hi, rel=rel
             )
         )
-    for edge in (stages[0], stages[-1]):
-        if edge.min_count == 0:
-            raise MatchRecognizeError(
-                f"{edge.name}: optional quantifiers (?, *, {{0,n}}) are "
-                "supported only at interior PATTERN positions — the "
-                "first and last variable must match at least one row "
-                "(strict-contiguity realization union; the "
-                "relaxed_nfa builder mode accepts optional edges)"
-            )
-    return stages, within
+    return stages, within, measures
 
 
 def match_recognize(events: DataFrame, sql: str) -> DataFrame:
@@ -326,11 +381,14 @@ def match_recognize(events: DataFrame, sql: str) -> DataFrame:
     per-branch state and compile to the strict machine mode
     (``contiguity="strict_nfa"``) — row-identical semantics, pinned
     differentially in tests/test_relaxed_nfa.py."""
-    stages, within = compile_match_recognize(sql)
+    stages, within, measures = compile_match_recognize(sql)
     contiguity = (
         "strict_nfa"
-        if any(s.rel is not None for s in stages)
+        if measures is not None or any(s.rel is not None for s in stages)
         else "strict"
     )
+    mspec = None
+    if measures is not None:
+        mspec = [(alias, kind, var) for alias, kind, var in measures]
     return cep_match_pattern(events, stages, within=within,
-                             contiguity=contiguity)
+                             contiguity=contiguity, measures=mspec)

@@ -163,6 +163,7 @@ _R15_QUEUE: list[str] = [
     "nfa_streamed",
     "cep_iterative_condition",
     "match_recognize_prev",
+    "match_recognize_measures",
     # -- r10-stamped remainder (cadence-due at r15) --
     "typo_pairs",
     "zorder_key",

@@ -909,6 +909,76 @@ _register(
         "sequence).",
 )
 
+# MATCH_RECOGNIZE MEASURES: per-match value captures (FIRST/LAST of a
+# variable, COUNT(var.*)) appended as output columns — the same
+# ascending pattern as match_recognize_prev, now also reporting the
+# run's first/peak click values. Captures ride the machine's
+# (firsts, lasts) per-branch state; the oracle reads them off the
+# islands runs with positional CASE/arg_max.
+def _match_recognize_measures(events):
+    from flink_snappydata_spark.operators.match_recognize import (
+        match_recognize,
+    )
+
+    return match_recognize(
+        events,
+        """
+        MATCH_RECOGNIZE (
+          PARTITION BY user_id
+          ORDER BY ts
+          MEASURES FIRST(ascend.value) AS first_up,
+                   LAST(ascend.value) AS peak,
+                   COUNT(ascend.*) AS n_up
+          AFTER MATCH SKIP PAST LAST ROW
+          PATTERN (v ascend+)
+          DEFINE
+            v AS event_type = 'view',
+            ascend AS event_type = 'click'
+                      AND ascend.value > PREV(ascend.value)
+        )
+        """,
+    )
+
+
+_register(
+    "match_recognize_measures",
+    ["events"],
+    _match_recognize_measures,
+    """
+    WITH seq AS (
+        SELECT user_id, ts, event_id, event_type, value,
+               CASE WHEN event_type = 'click'
+                         AND value > LAG(value) OVER w
+                    THEN 0 ELSE 1 END AS brk
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), runs AS (
+        SELECT *, SUM(brk) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                 ROWS UNBOUNDED PRECEDING) AS run_id
+        FROM seq
+    ), pos AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, run_id
+                                     ORDER BY ts, event_id) AS rn_in_run
+        FROM runs
+    )
+    SELECT user_id, MIN(ts) AS match_start, MAX(ts) AS match_end,
+           CAST(1 AS BIGINT) AS n_v,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_ascend,
+           MAX(CASE WHEN rn_in_run = 2 THEN value END) AS first_up,
+           ARG_MAX(value, rn_in_run) AS peak,
+           CAST(COUNT(*) - 1 AS BIGINT) AS n_up
+    FROM pos
+    GROUP BY user_id, run_id
+    HAVING MIN(CASE WHEN brk = 1 THEN event_type END) = 'view'
+       AND COUNT(*) >= 2
+    ORDER BY user_id, match_start
+    """,
+    doc="MATCH_RECOGNIZE MEASURES (FIRST/LAST/COUNT captures as output "
+        "columns) on the ascending-run navigation pattern — per-match "
+        "value state the islands compiler cannot emit; oracle reads "
+        "the captures off the break-flag runs positionally.",
+)
+
 # ITERATIVE CONDITION (Flink IterativeCondition — where() clauses that
 # read ctx.getEventsForPattern): each consumed click must beat ITS OWN
 # match's view value, a per-branch comparison no precomputed label can

@@ -536,10 +536,13 @@ NfaBranch = tuple[int, int, int, tuple[int, ...]]
 NfaState = tuple[NfaBranch, ...]
 
 #: A relative (iterative) condition on one stage, evaluated per BRANCH
-#: at consumption time (Flink IterativeCondition): ("first", j, op)
-#: compares the candidate event's value against the FIRST consumed
-#: value of stage j in this partial match; ("prev", op) against the
-#: previously consumed event's value (any stage). op in > >= < <=.
+#: at consumption time (Flink IterativeCondition / MATCH_RECOGNIZE
+#: navigation): ("first", j, op) compares the candidate event's value
+#: against the FIRST consumed value of stage j in this partial match,
+#: ("last", j, op) against stage j's LAST consumed value, and
+#: ("prev", op) against the previously consumed event's value — which
+#: is always the CURRENT stage's last consumed value, so the capture
+#: state is just two k-vectors (firsts, lasts). op in > >= < <=.
 #: Unset references (stage j not consumed yet / no prior event) pass.
 RelSpec = tuple
 
@@ -551,12 +554,17 @@ _REL_OPS = {
 }
 
 
-def _rel_ok(rel: RelSpec | None, firsts, prev_val, v) -> bool:
+def _rel_ok(rel: RelSpec | None, firsts, lasts, cur_stage: int, v) -> bool:
     if rel is None:
         return True
     if rel[0] == "prev":
-        ref = prev_val
+        # the previously consumed event always belongs to the branch's
+        # current stage (stages only advance by consuming)
+        ref = lasts[cur_stage - 1]
         op = rel[1]
+    elif rel[0] == "last":
+        ref = lasts[rel[1] - 1]
+        op = rel[2]
     else:
         ref = firsts[rel[1] - 1]
         op = rel[2]
@@ -574,6 +582,7 @@ def advance_relaxed_nfa_state(
     after_match: str = "skip_past_last",
     rels: list[RelSpec | None] | None = None,
     strict: bool = False,
+    capture: bool = False,
 ) -> tuple[list[tuple[int, int, tuple[int, ...]]], NfaState]:
     """Pure state transition for the EXACT relaxed-contiguity machine
     (Flink ``followedBy`` with AFTER MATCH SKIP PAST LAST EVENT): fold
@@ -703,6 +712,7 @@ def advance_relaxed_nfa_state(
         )
     past_last = after_match == "skip_past_last"
     use_rels = rels is not None and any(r is not None for r in rels)
+    use_caps = use_rels or capture
     if use_rels:
         if len(rels) != k:
             raise ValueError("rels must have one entry per stage")
@@ -714,7 +724,7 @@ def advance_relaxed_nfa_state(
             else:
                 ok = (
                     len(r) == 3
-                    and r[0] == "first"
+                    and r[0] in ("first", "last")
                     and 1 <= r[1] <= k
                     and r[2] in _REL_OPS
                 )
@@ -770,9 +780,14 @@ def advance_relaxed_nfa_state(
             return hi is None or c < hi
         return stage < lab <= max_target[stage] and c >= lo
 
+    def _emit(b: NfaBranch):
+        if capture:
+            return (b[1], b[2], b[3], b[4], b[5])
+        return (b[1], b[2], b[3])
+
     for row in rows:
         ts_us, lab = row[0], row[1]
-        v = row[2] if use_rels else 0.0
+        v = row[2] if use_caps else 0.0
         if lab == -1 and not strict:
             continue  # relaxed contiguity: sentinels are invisible
         closers: list[NfaBranch] = []
@@ -785,7 +800,7 @@ def advance_relaxed_nfa_state(
                 # strict contiguity: a rel failure IS a break, so full
                 # consumability (base + rel) drives the close/discard
                 target = b[0] if lab == b[0] else lab
-                can = _rel_ok(rels[target - 1], b[4], b[5], v)
+                can = _rel_ok(rels[target - 1], b[4], b[5], b[0], v)
             if _satisf(b) and (expired or not can):
                 closers.append(b)
             elif expired or (strict and not can):
@@ -803,13 +818,13 @@ def advance_relaxed_nfa_state(
                 cut: int | None = None
                 for b in sorted(closers, key=lambda b: b[1]):
                     if cut is None or b[1] > cut:
-                        matches.append((b[1], b[2], b[3]))
+                        matches.append(_emit(b))
                         cut = b[2]
                 if cut is not None:
                     branches = [b for b in keep if b[1] > cut]
             else:
                 for b in sorted(closers, key=lambda b: b[1]):
-                    matches.append((b[1], b[2], b[3]))
+                    matches.append(_emit(b))
             continue
         nxt: list[NfaBranch] = []
         done: list[NfaBranch] = []
@@ -819,18 +834,19 @@ def advance_relaxed_nfa_state(
             c = counts[stage - 1]
             if lab == stage and (hi is None or c < hi):
                 if use_rels and not _rel_ok(
-                    rels[stage - 1], b[4], b[5], v
+                    rels[stage - 1], b[4], b[5], stage, v
                 ):
                     nxt.append(b)  # rel-failing event: invisible
                     continue
                 nc = counts[: stage - 1] + (c + 1,) + counts[stage:]
-                if use_rels:
+                if use_caps:
                     firsts = b[4]
                     if firsts[stage - 1] is None:
                         firsts = (
                             firsts[: stage - 1] + (v,) + firsts[stage:]
                         )
-                    nb = (stage, start, ts_us, nc, firsts, v)
+                    lasts = b[5][: stage - 1] + (v,) + b[5][stage:]
+                    nb = (stage, start, ts_us, nc, firsts, lasts)
                 else:
                     nb = (stage, start, ts_us, nc)
                 if stage == k and hi is not None and c + 1 == hi:
@@ -838,14 +854,17 @@ def advance_relaxed_nfa_state(
                 else:
                     nxt.append(nb)
             elif stage < lab <= max_target[stage] and c >= lo:
-                if use_rels and not _rel_ok(rels[lab - 1], b[4], b[5], v):
+                if use_rels and not _rel_ok(
+                    rels[lab - 1], b[4], b[5], stage, v
+                ):
                     nxt.append(b)  # rel-failing event: invisible
                     continue
                 nc = counts[:stage] + (0,) * (lab - stage - 1) + (1,)
                 nc = nc + counts[lab:]
-                if use_rels:
+                if use_caps:
                     firsts = b[4][: lab - 1] + (v,) + b[4][lab:]
-                    nb = (lab, start, ts_us, nc, firsts, v)
+                    lasts = b[5][: lab - 1] + (v,) + b[5][lab:]
+                    nb = (lab, start, ts_us, nc, firsts, lasts)
                 else:
                     nb = (lab, start, ts_us, nc)
                 if lab == k and quants[lab - 1][1] == 1:
@@ -862,9 +881,9 @@ def advance_relaxed_nfa_state(
             # it only emits when disjoint from every earlier winner).
             # A rel on the seed stage passes vacuously (no captures).
             nc = (0,) * (lab - 1) + (1,) + (0,) * (k - lab)
-            if use_rels:
+            if use_caps:
                 firsts = (None,) * (lab - 1) + (v,) + (None,) * (k - lab)
-                nb = (lab, ts_us, ts_us, nc, firsts, v)
+                nb = (lab, ts_us, ts_us, nc, firsts, firsts)
             else:
                 nb = (lab, ts_us, ts_us, nc)
             if lab == k and quants[lab - 1][1] == 1:
@@ -888,18 +907,18 @@ def advance_relaxed_nfa_state(
                 cut2: int | None = None
                 for b in sorted(closers + done, key=lambda b: b[1]):
                     if cut2 is None or b[1] > cut2:
-                        matches.append((b[1], b[2], b[3]))
+                        matches.append(_emit(b))
                         cut2 = b[2]
                 branches = [b for b in nxt if b[1] > cut2]
             else:
                 branches = (
                     _dedup(nxt)
-                    if within_us is None and not use_rels
+                    if within_us is None and not use_caps
                     else nxt
                 )
         else:
             for b in sorted(closers + done, key=lambda b: b[1]):
-                matches.append((b[1], b[2], b[3]))
+                matches.append(_emit(b))
             branches = nxt
     return matches, tuple(branches)
 
@@ -908,6 +927,7 @@ def close_relaxed_nfa(
     state: NfaState,
     quants: list[tuple[int, int | None]],
     after_match: str = "skip_past_last",
+    capture: bool = False,
 ) -> list[tuple[int, int, tuple[int, ...]]]:
     """End-of-data close for the relaxed-NFA machine: a pattern-
     satisfiable branch (its stage's min met, every later stage
@@ -927,19 +947,23 @@ def close_relaxed_nfa(
         tail_opt = tail_opt and quants[j - 1][0] == 0
     if not closers:
         return []
+
+    def _emit(b):
+        if capture:
+            return (b[1], b[2], b[3], b[4], b[5])
+        return (b[1], b[2], b[3])
+
     if after_match == "skip_to_next":
-        return [
-            (b[1], b[2], b[3]) for b in sorted(closers, key=lambda b: b[1])
-        ]
+        return [_emit(b) for b in sorted(closers, key=lambda b: b[1])]
     # skip_past_last: greedy disjoint selection by start — without
     # iterative conditions at most one satisfiable branch can exist
     # past the winner's end (see above); with rel-invisible events,
     # later-started disjoint candidates are real and all emit.
-    out: list[tuple[int, int, tuple[int, ...]]] = []
+    out: list = []
     cut: int | None = None
     for b in sorted(closers, key=lambda b: b[1]):
         if cut is None or b[1] > cut:
-            out.append((b[1], b[2], b[3]))
+            out.append(_emit(b))
             cut = b[2]
     return out
 
@@ -962,14 +986,16 @@ def _pack_nfa_state(
         if with_rels:
             # captured values ride the long-array state exactly via a
             # double<->long bit-cast; a bitmask long marks None slots
-            firsts, prev = b[4], b[5]
+            # (firsts[j] and lasts[j] are None together — a stage's
+            # first and last are captured by the same consumption)
+            firsts, lasts = b[4], b[5]
             mask = 0
             for i, x in enumerate(firsts):
                 if x is None:
                     mask |= 1 << i
             flat.append(mask)
             flat.extend(0 if x is None else _f2i(x) for x in firsts)
-            flat.append(_f2i(prev))
+            flat.extend(0 if x is None else _f2i(x) for x in lasts)
     return (flat,)
 
 
@@ -977,7 +1003,7 @@ def _unpack_nfa_state(
     packed: list[int], k: int, with_rels: bool = False
 ) -> NfaState:
     n = packed[0]
-    w = 3 + k + ((k + 2) if with_rels else 0)
+    w = 3 + k + ((2 * k + 1) if with_rels else 0)
     out = []
     for i in range(n):
         o = 1 + w * i
@@ -993,7 +1019,11 @@ def _unpack_nfa_state(
                 None if mask & (1 << j) else _i2f(packed[o + 4 + k + j])
                 for j in range(k)
             )
-            b = b + (firsts, _i2f(packed[o + 4 + 2 * k]))
+            lasts = tuple(
+                None if mask & (1 << j) else _i2f(packed[o + 4 + 2 * k + j])
+                for j in range(k)
+            )
+            b = b + (firsts, lasts)
         out.append(b)
     return tuple(out)
 

@@ -89,6 +89,8 @@ def _simulate_from(
     val = (lambda j: rows[j][2]) if rels else (lambda j: 0.0)
     firsts: list = [None] * k
     firsts[stage - 1] = val(s)
+    lasts: list = [None] * k
+    lasts[stage - 1] = val(s)
     prev = val(s)
     if stage == k and quants[k - 1][1] == 1:
         return s, s, rows[s][0], tuple(counts)
@@ -111,7 +113,12 @@ def _simulate_from(
         r = rels[lab - 1] if rels else None
         if r is None:
             return True
-        ref = prev if r[0] == "prev" else firsts[r[1] - 1]
+        if r[0] == "prev":
+            ref = prev
+        elif r[0] == "last":
+            ref = lasts[r[1] - 1]
+        else:
+            ref = firsts[r[1] - 1]
         if ref is None:
             return True
         return _REL_OPS[r[-1]](v, ref)
@@ -145,6 +152,7 @@ def _simulate_from(
             stage = lab
             counts[stage - 1] = 1
             firsts[stage - 1] = val(j)
+        lasts[stage - 1] = val(j)
         prev = val(j)
         last = j
         lo, hi = quants[stage - 1]
@@ -281,7 +289,7 @@ def _rels_strategy(k: int):
             st.just("prev"), st.sampled_from([">", ">=", "<", "<="])
         ),
         st.tuples(
-            st.just("first"),
+            st.sampled_from(["first", "last"]),
             st.integers(min_value=1, max_value=k),
             st.sampled_from([">", ">=", "<", "<="]),
         ),

@@ -217,7 +217,7 @@ class TestMatchRecognizeParser:
         return compile_match_recognize(sql)
 
     def test_full_clause_parses(self):
-        stages, within = self._compile(
+        stages, within, _ = self._compile(
             """
             MATCH_RECOGNIZE (
               PARTITION BY user_id
@@ -241,7 +241,7 @@ class TestMatchRecognizeParser:
         assert within == "2 day"
 
     def test_quantifier_forms(self):
-        stages, within = self._compile(
+        stages, within, _ = self._compile(
             "PATTERN (A+ B{3} C{1,2}) DEFINE A AS x > 0, B AS y > 0, "
             "C AS z > 0"
         )
@@ -251,7 +251,7 @@ class TestMatchRecognizeParser:
         assert within is None
 
     def test_define_with_commas_inside_condition(self):
-        stages, _ = self._compile(
+        stages, _, _ = self._compile(
             "PATTERN (A B) DEFINE A AS event_type IN ('view', 'click'), "
             "B AS coalesce(value, 0.0) >= 0.5"
         )
@@ -325,10 +325,52 @@ class TestMatchRecognizeParser:
         with pytest.raises(MatchRecognizeError, match=msg):
             self._compile(sql)
 
+    def test_measures_parse(self):
+        _, _, measures = self._compile(
+            """
+            MEASURES FIRST(b.value) AS lo, LAST(b.value) AS hi,
+                     COUNT(b.*) AS n
+            PATTERN (A B+) DEFINE B AS event_type = 'x'
+            """
+        )
+        assert measures == [
+            ("lo", "first", "b"),
+            ("hi", "last", "b"),
+            ("n", "count", "b"),
+        ]
+
+    @pytest.mark.parametrize(
+        "sql, msg",
+        [
+            (
+                "MEASURES SUM(B.value) AS s PATTERN (A B+) "
+                "DEFINE B AS x > 0",
+                "only",
+            ),
+            (
+                "MEASURES FIRST(Z.value) AS z PATTERN (A B+) "
+                "DEFINE B AS x > 0",
+                "is not a PATTERN variable",
+            ),
+            (
+                "MEASURES FIRST(B.value) AS n_b PATTERN (A B+) "
+                "DEFINE B AS x > 0",
+                "collides",
+            ),
+        ],
+    )
+    def test_measures_rejections(self, sql, msg):
+        from flink_snappydata_spark.operators.match_recognize import (
+            MatchRecognizeError,
+        )
+
+        with pytest.raises(MatchRecognizeError, match=msg):
+            self._compile(sql)
+
     def test_navigation_parses_to_rel_specs(self, spark):
         """PREV()/FIRST() DEFINE conjuncts become per-branch rel specs
         and flip the compile target to the strict machine mode."""
-        stages, within = self._compile(
+        stages, within, _ = self._compile(
             """
             PATTERN (A B+ C)
             DEFINE A AS event_type = 'view',

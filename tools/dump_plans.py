@@ -86,6 +86,7 @@ GAUGE_TAIL = [
     # MATCH_RECOGNIZE PREV(): pins that the strict machine mode's
     # sentinel-collapsing lag rides the one user exchange too
     "match_recognize_prev",
+    "match_recognize_measures",
 ]
 
 #: Every gauge-pinned query, golden-file order.
