@@ -384,22 +384,23 @@ def streaming_cep_pattern(
 
     from flink_snappydata_spark.operators.cep import stage_label_expr
 
-    if contiguity not in ("strict", "relaxed", "relaxed_nfa"):
+    machine = contiguity in ("relaxed_nfa", "strict_nfa")
+    if contiguity not in ("strict", "relaxed", "relaxed_nfa", "strict_nfa"):
         raise ValueError(
-            f"contiguity must be strict|relaxed|relaxed_nfa: {contiguity!r}"
+            "contiguity must be strict|relaxed|relaxed_nfa|strict_nfa: "
+            f"{contiguity!r}"
         )
-    if contiguity != "relaxed_nfa" and any(
-        st.min_count == 0 for st in stages
-    ):
+    if not machine and any(st.min_count == 0 for st in stages):
         raise ValueError(
             "the live machine supports optional stages (min_count=0) "
-            "only under contiguity='relaxed_nfa' (the batch compiler's "
-            "strict realization union has no streaming twin)"
+            "only under the machine modes (relaxed_nfa/strict_nfa — "
+            "the batch compiler's strict realization union has no "
+            "streaming twin)"
         )
-    if after_match != "skip_past_last" and contiguity != "relaxed_nfa":
+    if after_match != "skip_past_last" and not machine:
         raise ValueError(
-            "after_match='skip_to_next' is supported only under "
-            "contiguity='relaxed_nfa'"
+            "after_match='skip_to_next' is supported only under the "
+            "machine modes (relaxed_nfa/strict_nfa)"
         )
 
     # capture only plain-Python spec data in the worker closure: a
@@ -417,10 +418,10 @@ def streaming_cep_pattern(
     state_schema = StructType([StructField("packed", ArrayType(LongType()))])
     rels = [getattr(st, "rel", None) for st in stages]
     use_rels = any(r is not None for r in rels)
-    if use_rels and contiguity != "relaxed_nfa":
+    if use_rels and not machine:
         raise ValueError(
             "relative predicates (PatternStage.rel) are supported only "
-            "under contiguity='relaxed_nfa'"
+            "under the machine modes (relaxed_nfa/strict_nfa)"
         )
     labeled = events.select(
         "user_id",
@@ -431,14 +432,15 @@ def streaming_cep_pattern(
     )
     if contiguity in ("relaxed", "relaxed_nfa"):
         labeled = labeled.filter(F.col("stage_id") != -1)
+    # strict_nfa ships sentinels: they BREAK matches in the fold
 
     k = len(quants)
     advance = advance_pattern_state
     unpack = _unpack_pattern_state
     pack = _pack_pattern_state
     empty: Any = ((), None)
-    if contiguity == "relaxed_nfa":
-        # the EXACT followedBy machine: same emission contract (a
+    if machine:
+        # the EXACT followedBy / strict machine: same emission contract (a
         # match emits in the micro-batch whose event closes/completes
         # it; a satisfiable trailing run waits for a closing stage
         # label or a flush record). within is enforced IN-FOLD as
@@ -451,16 +453,17 @@ def streaming_cep_pattern(
         within_us = (
             None if within is None else _window_seconds(within) * 1_000_000
         )
+        nfa_strict = contiguity == "strict_nfa"
         advance = lambda st0, rows, q: advance_relaxed_nfa_state(  # noqa: E731
             st0, rows, q, within_us, after_match,
-            rels if use_rels else None,
+            rels if use_rels else None, nfa_strict,
         )
         unpack = lambda p: _unpack_nfa_state(p, k, use_rels)  # noqa: E731
         pack = lambda st0: _pack_nfa_state(st0, k, use_rels)  # noqa: E731
         empty = ()
 
     def _behaviorally_empty(st: Any) -> bool:
-        if contiguity == "relaxed_nfa":
+        if machine:
             return st == ()  # no live branches
         # no closed prefix and the open run is the sentinel: a
         # sentinel run can never join a match window
@@ -510,7 +513,7 @@ def streaming_cep_pattern(
         outputMode="append",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    if within is not None and contiguity != "relaxed_nfa":
+    if within is not None and not machine:
         out = out.filter(
             F.col("match_end")
             <= F.col("match_start") + F.expr(f"INTERVAL {within}")

@@ -1000,6 +1000,50 @@ class TestDivergenceReceipts:
         ) == []
         assert engine_relaxed_nfa(rows, quants) == [(10, 30, (1, 1))]
 
+    def test_live_strict_navigation_contained_in_batch(self, spark):
+        """LIVE MATCH_RECOGNIZE navigation: the strict machine mode on
+        a stream (sentinels shipped — they break matches in the fold)
+        with a PREV rel, replay-contained in the registered batch
+        ascending-run query."""
+        from flink_snappydata_spark.catalog import load_table
+        from flink_snappydata_spark.operators.cep import PatternStage as PS
+        from flink_snappydata_spark.operators.match_recognize import (
+            match_recognize,
+        )
+        from pyspark.sql import functions as F
+        from flink_snappydata_spark.streaming import runtime
+        from flink_snappydata_spark.streaming.cep import (
+            streaming_cep_pattern,
+        )
+
+        sf = "/root/testdata/sf0.001"
+        stream = runtime.events_file_stream(spark, sf)
+        stages = [
+            PS("v", "view", min_count=1, max_count=1),
+            PS(
+                "ascend",
+                F.col("event_type") == "click",
+                rel=("prev", ">"),
+            ),
+        ]
+        live = streaming_cep_pattern(stream, stages, contiguity="strict_nfa")
+        runtime.run_to_memory_sink(live, "strict_nav_live", "append")
+        got = spark.table("strict_nav_live").toPandas()
+        want = match_recognize(
+            load_table(spark, sf, "events"),
+            """
+            PATTERN (v ascend+)
+            DEFINE v AS event_type = 'view',
+                   ascend AS event_type = 'click'
+                             AND ascend.value > PREV(ascend.value)
+            """,
+        ).toPandas()
+        cols = ["user_id", "match_start", "match_end", "n_v", "n_ascend"]
+        got = got[cols].sort_values(cols).reset_index(drop=True)
+        merged = got.merge(want[cols], how="left", indicator=True)
+        assert (merged["_merge"] == "both").all(), "live ⊄ batch"
+        assert len(got) >= 1, "non-vacuous"
+
     def test_sentinels_invisible_and_flush_closes(self):
         rows = [(10, 1), (20, -1), (30, 2), (40, -1)]
         quants = [(1, 1), (1, None)]
