@@ -563,8 +563,16 @@ def _cep_match_pattern_nfa(
         # the same user partitioning the kernel needs; the trailing
         # explicit sort is order-restating and planner-eliminated)
         w_seq = Window.partitionBy("user_id").orderBy("ts", "event_id")
+        # RANGE partition on user_id (not hash): equal keys still land
+        # in one partition (all the kernel needs), the lag window reuses
+        # the layout (RangePartitioning satisfies its clustered
+        # distribution), and the final presentation order costs only a
+        # sortWithinPartitions — the old global orderBy above the
+        # kernel re-executed the whole NFA pass in the range exchange's
+        # bound-sampling job. Sampling here reads the cheap labeled
+        # input, not the kernel output.
         labeled = (
-            events.repartition("user_id")
+            events.repartitionByRange("user_id")
             .select(*cols)
             .withColumn("_prev_sid", F.lag("stage_id").over(w_seq))
             .filter(
@@ -579,7 +587,8 @@ def _cep_match_pattern_nfa(
         labeled = (
             events.select(*cols)
             .filter(F.col("stage_id") != -1)
-            .repartition("user_id")
+            # range, not hash — see the strict_nfa branch note above
+            .repartitionByRange("user_id")
             .sortWithinPartitions("user_id", "ts", "event_id")
         )
 
@@ -642,7 +651,14 @@ def _cep_match_pattern_nfa(
     out = labeled.mapInPandas(match_partition, out_schema)
     # no post-filter: within is enforced in-fold (every emitted match
     # already satisfies match_end <= match_start + within)
-    return out.orderBy("user_id", "match_start") if sort else out
+    # In-partition sort = the same total (user_id, match_start) order
+    # the old global orderBy produced — the input is already RANGE
+    # partitioned on user_id, so partitions are key-ordered and no
+    # second exchange (with its kernel-re-running bound sampling) is
+    # needed.
+    return (
+        out.sortWithinPartitions("user_id", "match_start") if sort else out
+    )
 
 
 def cep_match_pattern(

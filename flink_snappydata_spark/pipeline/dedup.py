@@ -178,6 +178,7 @@ def _verified_jaccard(
     sorted_output: bool = True,
     expect_small: bool = True,
     max_set_size: int | None = MAX_PACKED_SHINGLES,
+    packed: DataFrame | None = None,
 ) -> DataFrame:
     """Exact Jaccard over (doc_a, doc_b) candidate pairs against the
     full shingle index ``sh``: each doc's distinct shingles are packed
@@ -252,7 +253,21 @@ def _verified_jaccard(
         )
         streamed = _streamed_jaccard(sh, touching_big, threshold)
 
-    sets = pack_src.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+    # ``packed`` (doc_id, shs) short-circuits the explode→regroup when
+    # the caller already holds per-doc shingle arrays (the fused
+    # MinHash kernel): same sets, one less corpus-sized aggregation.
+    # Intersection/size are set operations, so element order within
+    # each array is irrelevant.
+    if packed is not None:
+        sets = (
+            packed
+            if big_ids is None
+            else packed.join(big_ids, "doc_id", "left_anti")
+        )
+    else:
+        sets = pack_src.groupBy("doc_id").agg(
+            F.collect_list("sh").alias("shs")
+        )
     pa = sets.select(
         F.col("doc_id").alias("doc_a"),
         F.col("shs").alias("shs_a"),
@@ -659,18 +674,96 @@ def minhash_band_hashes(
     )
 
 
-def minhash_lsh_candidates(
+def _minhash_fused(
     documents: DataFrame, bands: int = LSH_BANDS, rows: int = LSH_ROWS
+) -> DataFrame:
+    """(doc_id, bands: array<long>, shs: array<string>) — ONE kernel
+    pass producing both the LSH band hashes and the distinct shingle
+    list per document.
+
+    :func:`minhash_dedup_pairs` needs both: band hashes for candidate
+    generation and the shingle sets for the exact-Jaccard verify.
+    Computing them in separate kernels (:func:`minhash_band_hashes` +
+    :func:`shingles`) tokenizes and shingles the ENTIRE corpus text
+    twice — two full passes over the heaviest Python-boundary work in
+    the dedup suite. This kernel tokenizes once, reuses the shingle
+    dict for the crc32→minhash→band fold, and emits both columns; the
+    band table and the shingle index are cheap JVM-side explodes of
+    the persisted result. Per-text semantics are bit-identical to the
+    two single-purpose kernels (same ``re.ASCII`` tokenization, same
+    insertion-ordered distinct shingles, same hash family).
+    """
+    import re
+    import zlib
+
+    import numpy as np
+    import pandas as pd
+
+    k = bands * rows
+    ascii_nonword = re.compile(r"\W+", re.ASCII)
+    a_mat = np.array(_HASH_A[:k], dtype=np.uint64)[:, None]
+    b_mat = np.array(_HASH_B[:k], dtype=np.uint64)[:, None]
+    p = np.uint64(_P32)
+    fnv = np.uint64(1099511628211)
+    n = SHINGLE_N
+
+    @F.pandas_udf("struct<bands:array<long>, shs:array<string>>")
+    def _both(texts):
+        out_bands = []
+        out_shs = []
+        for t in texts:
+            ws = [w for w in ascii_nonword.split(t.lower()) if w]
+            if len(ws) >= n:
+                sh = dict.fromkeys(
+                    " ".join(ws[i : i + n]) for i in range(len(ws) - n + 1)
+                )
+            else:
+                sh = {" ".join(ws): None}
+            x = np.fromiter(
+                (zlib.crc32(s.encode()) for s in sh),
+                dtype=np.uint64,
+                count=len(sh),
+            )
+            sig = ((a_mat * x[None, :] + b_mat) % p).min(axis=1)
+            with np.errstate(over="ignore"):
+                bh = np.zeros(bands, dtype=np.uint64)
+                for r in range(rows):
+                    bh = bh * fnv + sig.reshape(bands, rows)[:, r]
+            out_bands.append(bh.astype(np.int64))
+            out_shs.append(list(sh))
+        return pd.DataFrame({"bands": out_bands, "shs": out_shs})
+
+    return (
+        spread(documents, "doc_id")
+        .select("doc_id", _both(F.col("text")).alias("_bs"))
+        .select(
+            "doc_id",
+            F.col("_bs.bands").alias("bands"),
+            F.col("_bs.shs").alias("shs"),
+        )
+    )
+
+
+def minhash_lsh_candidates(
+    documents: DataFrame,
+    bands: int = LSH_BANDS,
+    rows: int = LSH_ROWS,
+    banded: DataFrame | None = None,
 ) -> DataFrame:
     """(doc_a, doc_b) candidate pairs from banded MinHash signatures.
 
     Signature split into ``bands`` bands of ``rows`` hashes; docs
     colliding in any band pair up. Self-join key is (band_id,
     band_hash) — candidate volume is data-dependent but never O(n²).
+
+    ``banded`` lets a caller that already has the (doc_id, band_id,
+    band_hash) frame (:func:`minhash_dedup_pairs`'s fused kernel) skip
+    the standalone band pass.
     """
     # Persist: both self-join sides read the banded signatures — without
     # it the whole shingle→signature pipeline runs twice.
-    banded = tracked_persist(minhash_band_hashes(documents, bands, rows))
+    if banded is None:
+        banded = tracked_persist(minhash_band_hashes(documents, bands, rows))
     # corpus × corpus band self-join: estimate-independent shuffle
     # join, never a statically-planned broadcast (see _prefix_index)
     l, r = banded.alias("l"), banded.alias("r").hint("shuffle_hash")
@@ -699,15 +792,23 @@ def minhash_dedup_pairs(
     banding. Output matches :func:`ngram_jaccard_pairs` whenever LSH
     recall is 1 at the threshold (tested on the fixtures).
     """
-    # Signatures are map-side (no shingle index needed); the persisted
-    # index serves the verify join (both sides) and the size agg.
-    sh = tracked_persist(shingles(documents))
-    cand = minhash_lsh_candidates(documents)
+    # ONE fused kernel pass (see _minhash_fused) yields both the band
+    # hashes (candidate generation) and the shingle lists (exact
+    # verify); the persisted per-doc frame is the only Python-boundary
+    # crossing — the band table and the shingle index are JVM explodes
+    # over it, so the corpus text is tokenized exactly once.
+    fused = tracked_persist(_minhash_fused(documents))
+    sh = fused.select("doc_id", F.explode("shs").alias("sh"))
+    banded = fused.select(
+        "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+    )
+    cand = minhash_lsh_candidates(documents, banded=banded)
     if _shingle_bound_cleared(documents, max_set_size):
         max_set_size = None  # provably all under bound — skip the probe
     return _verified_jaccard(
         sh, cand, threshold,
         expect_small=expect_small, max_set_size=max_set_size,
+        packed=fused.select("doc_id", "shs"),
     )
 
 

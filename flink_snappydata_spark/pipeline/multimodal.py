@@ -839,9 +839,18 @@ def image_phash_dedup(documents: DataFrame, sort: bool = True) -> DataFrame:
 def media_feature_table(documents: DataFrame) -> DataFrame:
     """Declared-query surface: attach binary → extract features → stable
     scalar columns (oracle-checkable: byte_len vs strlen, sha_hex vs
-    sha256)."""
+    sha256).
+
+    Presentation order comes from RANGE-partitioning the input ids and
+    sorting within partitions after the kernel (order-preserving 1:1),
+    not from an ``orderBy`` above the kernel — whose range exchange
+    would re-run the whole Arrow digest pass in its bound-sampling job
+    and add a second exchange.
+    """
+    from flink_snappydata_spark.util import range_spread
+
     return (
-        extract_features(attach_binary(documents))
+        extract_features(attach_binary(range_spread(documents, "doc_id")))
         .select("doc_id", "byte_len", "sha_hex")
-        .orderBy("doc_id")
+        .sortWithinPartitions("doc_id")
     )

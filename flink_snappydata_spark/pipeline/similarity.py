@@ -599,7 +599,16 @@ def semantic_decontamination(
         eval_set, "semantic_decontamination's eval side",
         "semantic_neardup_pairs", eval_cap,
     )
-    qt = quantized(train)
+    # RANGE-partition the train side on vec_id up front: the broadcast
+    # join, per-vector aggregation, and the final global sort ALL
+    # reuse this one layout (RangePartitioning satisfies both the
+    # agg's clustered and the sort's ordered distribution), so the
+    # presentation sort costs no second exchange — whose bound
+    # sampling re-ran the entire |train|x|eval| cosine pass (the whole
+    # query, twice). Bound sampling now reads the filtered scan only.
+    from flink_snappydata_spark.util import range_spread
+
+    qt = quantized(range_spread(train, "vec_id"))
     qe = quantized(eval_set).select(
         F.col("vec_id").alias("eval_id"),
         F.col("qe").alias("eq"),

@@ -145,16 +145,21 @@ def quality_model_scores(
     a broadcast join against a (bucket, weight) table instead of the
     inline LCG.
     """
+    # sort=False: streaming-at-ingest form (append sinks reject sorts);
+    # identical rows, presentation order dropped. With sort=True the
+    # global sort runs BELOW the md5 token-hash projection (sorting the
+    # raw rows, projecting above): an orderBy above it would re-run
+    # the scoring pass in the range exchange's bound-sampling job —
+    # the per-token md5 work paid twice per query.
+    if sort:
+        documents = documents.orderBy("doc_id")
     score_sum, n_words, margin = _qm_margin(F.col("text"))
-    out = documents.select(
+    return documents.select(
         "doc_id",
         n_words.alias("n_words"),
         score_sum.alias("score_sum"),
         margin.alias("margin"),
     ).withColumn("keep", F.col("margin") > F.lit(threshold))
-    # sort=False: streaming-at-ingest form (append sinks reject sorts);
-    # identical rows, presentation order dropped.
-    return out.orderBy("doc_id") if sort else out
 
 
 #: Default keyword query for the registered BM25 retrieval op (terms
@@ -518,9 +523,15 @@ def doc_fingerprints(documents: DataFrame) -> DataFrame:
         f"  i -> cast(conv(substring(md5(cast(substring(text, i, {FP_WINDOW})"
         f"       as binary)), 1, 15), 16, 10) as bigint)))"
     )
-    return spread(documents, "doc_id").select(
-        "doc_id", fp.alias("fingerprint")
-    ).orderBy("doc_id")
+    # Global sort BELOW the per-window md5 projection: the sort's range
+    # exchange both spreads the work (supplanting spread()'s hash
+    # repartition) and samples only the raw rows — an orderBy above the
+    # projection would re-run the whole hash pass for bound sampling.
+    return (
+        documents.select("doc_id", "text")
+        .orderBy("doc_id")
+        .select("doc_id", fp.alias("fingerprint"))
+    )
 
 
 WINNOW_WINDOW = 4
@@ -553,9 +564,17 @@ def winnowing_fingerprints(
     the corpus-sized presentation order; library callers chaining into
     joins pass False). The hash array materializes once per row in its
     own projection before the window-min pass.
+
+    With ``sort=True`` the global sort runs on the raw (doc_id, text)
+    rows BELOW the md5/selection projection: an ``orderBy`` above it
+    would re-execute the whole per-window hash pass in the range
+    exchange's bound-sampling job — the most expensive projection in
+    the text suite, paid twice. The projection above the sort
+    preserves the order, so the output is identical row-for-row.
     """
-    pre, sel = _winnow_pre(documents, w)
-    out = pre.select(
+    src = documents.orderBy("doc_id") if sort else documents
+    pre, sel = _winnow_pre(src, w)
+    return pre.select(
         "doc_id",
         F.size("_h").cast("long").alias("n_windows"),
         F.size(sel).cast("long").alias("n_fingerprints"),
@@ -563,7 +582,6 @@ def winnowing_fingerprints(
             "density"
         ),
     )
-    return out.orderBy("doc_id") if sort else out
 
 
 def _winnow_pre(documents: DataFrame, w: int):
@@ -771,9 +789,19 @@ def pii_redaction(
     pipelined in whole-stage codegen. Patterns avoid constructs whose
     semantics differ between Java regex and RE2 so the same result is
     reproducible in any engine.
+
+    The presentation sort runs BELOW the regex projection: a global
+    ``orderBy`` above it would range-partition the scrubbed output,
+    and the range-bound sampling pass re-executes the exchange's
+    same-stage child — every regex would run TWICE per query (measured
+    ~2x on the sf0.1 bench). Sorting the raw (doc_id, text) rows first
+    samples only the scan; the projection above the sort preserves the
+    order, so the output is identical row-for-row.
     """
     if synthesize:
         documents = _with_synthetic_pii(documents)
+    if sort:
+        documents = documents.orderBy("doc_id")
     text = F.col("text")
     n_emails = F.size(F.regexp_extract_all(text, F.lit(EMAIL_RE), 0)).cast("long")
     n_ips = F.size(F.regexp_extract_all(text, F.lit(IPV4_RE), 0)).cast("long")
@@ -785,15 +813,13 @@ def pii_redaction(
         PHONE_RE,
         "<PHONE>",
     )
-    out = documents.select(
+    return documents.select(
         "doc_id",
         n_emails.alias("n_emails"),
         n_ips.alias("n_ips"),
         n_phones.alias("n_phones"),
         clean.alias("clean_text"),
     )
-    # presentation sort is batch-only (streaming frames cannot sort)
-    return out.orderBy("doc_id") if sort else out
 
 
 def source_stats(documents: DataFrame) -> DataFrame:
@@ -2745,10 +2771,13 @@ def html_clean(
     corpus (the `gopher_rules` plan shape); the text column never
     leaves the scan stage, only ids and int stats come out.
     """
-    from flink_snappydata_spark.util import presentation_sorted
-
     if synthesize:
         documents = _with_synthetic_html(documents)
+    if sort:
+        # sort the raw rows, clean above the exchange — an orderBy
+        # above the regexp/md5 projection would re-run the cleaning
+        # pass in the range exchange's bound-sampling job (2x cost).
+        documents = documents.orderBy("doc_id")
     text = F.col("text")
     n_tags = F.size(
         F.regexp_extract_all(text, F.lit(HTML_TAG_RE), F.lit(0))
@@ -2768,7 +2797,7 @@ def html_clean(
         F.lit(" "),
     )
     cleaned = F.trim(F.regexp_replace(unescaped, HTML_WS_RE, " "))
-    out = documents.select(
+    return documents.select(
         "doc_id",
         (n_tags > 0).cast("long").alias("was_html"),
         n_tags.alias("n_tags"),
@@ -2779,9 +2808,6 @@ def html_clean(
         .cast("long")
         .alias("clean_sig"),
     )
-    if sort:
-        return presentation_sorted(out, "doc_id", expect_small=False)
-    return out
 
 
 def skipgram_pmi(

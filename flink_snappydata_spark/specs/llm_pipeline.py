@@ -21,6 +21,7 @@ from flink_snappydata_spark.pipeline import packing
 from flink_snappydata_spark.pipeline import sampling
 from flink_snappydata_spark.pipeline import similarity
 from flink_snappydata_spark.pipeline import text as textops
+from flink_snappydata_spark.util import range_spread
 
 from flink_snappydata_spark.specs.base import (
     QUERIES,
@@ -1369,9 +1370,15 @@ _register(
 _register(
     "image_decode_stats",
     ["documents"],
+    # range-partition the ids BEFORE the synth+decode kernels and
+    # sort within partitions after: same total order as the old
+    # orderBy, one exchange instead of two, and the range-bound
+    # sampling job reads the id scan instead of re-running the kernels
     lambda documents: multimodal.image_stats_table(
-        multimodal.synthesize_ppm(documents)
-    ).orderBy("doc_id"),
+        multimodal.synthesize_ppm(
+            range_spread(documents.select("doc_id"), "doc_id")
+        )
+    ).sortWithinPartitions("doc_id"),
     """
     WITH px AS (
         SELECT d.doc_id, u.i, (d.doc_id * 31 + u.i) % 256 AS v
@@ -1397,9 +1404,15 @@ _register(
 _register(
     "image_resize_stats",
     ["documents"],
+    # range-partition the ids BEFORE the synth+decode kernels and
+    # sort within partitions after: same total order as the old
+    # orderBy, one exchange instead of two, and the range-bound
+    # sampling job reads the id scan instead of re-running the kernels
     lambda documents: multimodal.image_resize_table(
-        multimodal.synthesize_ppm(documents)
-    ).orderBy("doc_id"),
+        multimodal.synthesize_ppm(
+            range_spread(documents.select("doc_id"), "doc_id")
+        )
+    ).sortWithinPartitions("doc_id"),
     """
     WITH px AS (
         SELECT d.doc_id, u.t, ch.ch,
@@ -1473,9 +1486,15 @@ _register(
 _register(
     "audio_decode_stats",
     ["documents"],
+    # range-partition the ids BEFORE the synth+decode kernels and
+    # sort within partitions after: same total order as the old
+    # orderBy, one exchange instead of two, and the range-bound
+    # sampling job reads the id scan instead of re-running the kernels
     lambda documents: multimodal.audio_stats_table(
-        multimodal.synthesize_wav(documents)
-    ).orderBy("doc_id"),
+        multimodal.synthesize_wav(
+            range_spread(documents.select("doc_id"), "doc_id")
+        )
+    ).sortWithinPartitions("doc_id"),
     """
     WITH s AS (
         SELECT d.doc_id, u.i,
@@ -1502,9 +1521,15 @@ _register(
 _register(
     "audio_silence_stats",
     ["documents"],
+    # range-partition the ids BEFORE the synth+decode kernels and
+    # sort within partitions after: same total order as the old
+    # orderBy, one exchange instead of two, and the range-bound
+    # sampling job reads the id scan instead of re-running the kernels
     lambda documents: multimodal.audio_silence_stats(
-        multimodal.synthesize_wav_gated(documents)
-    ).orderBy("doc_id"),
+        multimodal.synthesize_wav_gated(
+            range_spread(documents.select("doc_id"), "doc_id")
+        )
+    ).sortWithinPartitions("doc_id"),
     """
     WITH s AS (
         SELECT d.doc_id, u.i, (u.i // 4) AS frame,
@@ -1537,9 +1562,15 @@ _register(
 _register(
     "video_decode_stats",
     ["documents"],
+    # range-partition the ids BEFORE the synth+decode kernels and
+    # sort within partitions after: same total order as the old
+    # orderBy, one exchange instead of two, and the range-bound
+    # sampling job reads the id scan instead of re-running the kernels
     lambda documents: multimodal.video_stats_table(
-        multimodal.synthesize_avi(documents)
-    ).orderBy("doc_id"),
+        multimodal.synthesize_avi(
+            range_spread(documents.select("doc_id"), "doc_id")
+        )
+    ).sortWithinPartitions("doc_id"),
     """
     WITH b AS (
         SELECT d.doc_id,

@@ -108,6 +108,28 @@ def spread(df: DataFrame, *cols: str) -> DataFrame:
     return df
 
 
+def range_spread(df: DataFrame, *cols: str) -> DataFrame:
+    """:func:`spread`, but RANGE-partitioned on ``cols`` — for per-row
+    kernel pipelines whose declared output is presentation-sorted on
+    the same key.
+
+    Establishing the range layout on the CHEAP input (ids before blob
+    synthesis/decode) instead of ``orderBy`` on the kernel output
+    means (a) the range-bound sampling job runs over the narrow input
+    scan, not a second execution of the Python kernels, and (b) the
+    final global order needs only ``sortWithinPartitions`` — no second
+    exchange. Order-preserving 1:1 kernels keep rows inside their
+    range partition, so in-partition sorting yields the same total
+    order ``orderBy`` would. Unlike :func:`spread` this is NOT a
+    no-op on already-parallel inputs — a total order needs the range
+    layout at every scale — but it replaces the output sort's
+    exchange rather than adding one.
+    """
+    sc = df.sparkSession.sparkContext
+    target = max(sc.defaultParallelism, df.rdd.getNumPartitions())
+    return df.repartitionByRange(target, *cols)
+
+
 def small_sorted(df: DataFrame, *cols: str) -> DataFrame:
     """Globally-ordered presentation sort for SMALL (aggregate- or
     pair-sized) results.

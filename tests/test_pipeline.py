@@ -35,6 +35,31 @@ def test_minhash_matches_exact_jaccard(spark):
         assert abs(v - exact[k]) < 1e-12
 
 
+def test_minhash_fused_kernel_matches_single_purpose_kernels(spark):
+    """The fused band+shingle kernel (one tokenize pass, r14 opt) is
+    bit-identical to the two single-purpose kernels it replaced: same
+    band hashes per (doc, band) and the same distinct shingle list in
+    the same insertion order."""
+    docs = load_table(spark, SF_CORRECT, "documents")
+    fused = dedup._minhash_fused(docs)
+    got_bands = {
+        (r.doc_id, r.band_id): r.band_hash
+        for r in fused.select(
+            "doc_id", F.posexplode("bands").alias("band_id", "band_hash")
+        ).collect()
+    }
+    want_bands = {
+        (r.doc_id, r.band_id): r.band_hash
+        for r in dedup.minhash_band_hashes(docs).collect()
+    }
+    assert got_bands == want_bands
+    got_shs = {r.doc_id: r.shs for r in fused.select("doc_id", "shs").collect()}
+    want_shs = {}
+    for r in dedup.shingles(docs).collect():
+        want_shs.setdefault(r.doc_id, []).append(r.sh)
+    assert got_shs == want_shs
+
+
 def test_simhash_near_dups(spark):
     texts = [
         (1, "the quick brown fox jumps over the lazy dog again and again"),
