@@ -47,8 +47,10 @@ _HASH_A = [_rng.randrange(1, _P32) % (1 << 31) + 1 for _ in range(MINHASH_K)]
 _HASH_B = [_rng.randrange(0, _P32) % (1 << 31) for _ in range(MINHASH_K)]
 
 
-def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
-    """(doc_id, sh) — distinct word n-gram shingles per document.
+def doc_shingle_arrays(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, shs: array<string>) — each document's distinct word
+    n-gram shingles as ONE array row (insertion order), the packed form
+    :func:`shingles` explodes.
 
     Arrow-batched kernel: the column-expression formulation
     (``transform(sequence(...))`` with per-gram ``concat_ws``) runs as
@@ -57,6 +59,10 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
     JVM/DuckDB oracles exactly: ``re.ASCII`` reproduces Java's and RE2's
     ASCII ``\\W`` class; short documents fall back to one whole-text
     shingle.
+
+    Callers that need BOTH the exploded index and per-doc sets
+    (:func:`ngram_jaccard_pairs`) persist THIS frame and derive each:
+    one kernel pass, and the verify skips its collect_list regroup.
     """
     import re
 
@@ -80,7 +86,15 @@ def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
         return pd.Series(out)
 
     return spread(documents, "doc_id").select(
-        "doc_id", F.explode(_doc_shingles(F.col("text"))).alias("sh")
+        "doc_id", _doc_shingles(F.col("text")).alias("shs")
+    )
+
+
+def shingles(documents: DataFrame, n: int = SHINGLE_N) -> DataFrame:
+    """(doc_id, sh) — distinct word n-gram shingles per document, one
+    row per shingle (the exploded :func:`doc_shingle_arrays`)."""
+    return doc_shingle_arrays(documents, n).select(
+        "doc_id", F.explode("shs").alias("sh")
     )
 
 
@@ -386,11 +400,14 @@ def ngram_jaccard_pairs(
     1e-9 toward MORE candidates, so binary-double threshold arithmetic
     can only add a candidate (verified away later), never drop one.
     """
-    # The shingle index feeds the DF agg, the prefix ranking, and the
-    # verify joins; materialize it once (spills to disk if it outgrows
-    # memory). Callers own cache cleanup for repeated runs (bench
+    # ONE kernel pass, persisted in packed (per-doc array) form: the
+    # exploded index (DF agg, prefix ranking, any streamed-verify
+    # fallback) is a cheap JVM explode over it, and the exact verify
+    # consumes the arrays directly — no collect_list regroup of the
+    # corpus. Callers own cache cleanup for repeated runs (bench
     # clears between queries).
-    sh = tracked_persist(shingles(documents, n))
+    packed = tracked_persist(doc_shingle_arrays(documents, n))
+    sh = packed.select("doc_id", F.explode("shs").alias("sh"))
     prefix = _prefix_index(sh, threshold)
     # The prefix self-join is corpus × corpus: pin shuffle_hash so a
     # bad size estimate on a memory-sourced input can never statically
@@ -426,6 +443,7 @@ def ngram_jaccard_pairs(
     return _verified_jaccard(
         sh, cand, threshold, sorted_output,
         expect_small=expect_small, max_set_size=max_set_size,
+        packed=packed,
     )
 
 
@@ -470,8 +488,12 @@ def containment_pairs(
     count join instead (identical values, no giant packed record).
     Output is bounded by qualifying pairs and presented unsorted.
     """
-    sh = tracked_persist(shingles(documents, n))
-    counts = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    # one kernel pass in packed form (see ngram_jaccard_pairs): the
+    # index/counts are explodes/sizes over it, the verify reads the
+    # arrays directly
+    packed = tracked_persist(doc_shingle_arrays(documents, n))
+    sh = packed.select("doc_id", F.explode("shs").alias("sh"))
+    counts = packed.select("doc_id", F.size("shs").cast("long").alias("n_sh"))
     full = sh.join(counts.hint("shuffle_hash"), "doc_id")
     prefix = _prefix_index(sh, threshold)
     # prefix × full-index is corpus × corpus: estimate-independent
@@ -501,7 +523,7 @@ def containment_pairs(
         .dropDuplicates(["doc_a", "doc_b"])
     )
     if _shingle_bound_cleared(documents, max_set_size):
-        sets = sh.groupBy("doc_id").agg(F.collect_list("sh").alias("shs"))
+        sets = packed  # per-doc arrays straight from the kernel pass
         pa = sets.select(
             F.col("doc_id").alias("doc_a"),
             F.col("shs").alias("shs_a"),
