@@ -217,6 +217,29 @@ def cell_prefix_sums(
     # (without it, an expensive upstream — a full-outer histogram merge,
     # say — would re-execute for every consumer of `g`).
     df = tracked_persist(df)
+    # Small-input fast path: the cell machinery exists to keep any ONE
+    # window partition bounded when the distinct-value frame is large
+    # (10⁸ distinct cents through one task). When the whole input fits
+    # a single window partition anyway — the common case for bounded
+    # histograms like zipf_fit's distinct-frequency frame — the naive
+    # window computes the IDENTICAL integer prefix sums in one job
+    # where the cell path pays a bounds agg, a second persist, an
+    # offsets window, and a broadcast join (~5 sequential tiny jobs,
+    # measured 2-3 s of pure latency per query at fixture scale). The
+    # probe is a LocalLimit short-circuit over the persist (the
+    # _shingle_bound_cleared idiom), so it costs one bounded job and
+    # doubles as the persist's materialization.
+    if df.limit(n_cells + 1).count() <= n_cells:
+        base_w = Window.partitionBy(*pc) if pc else Window.partitionBy()
+        in_w = base_w.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = df
+        for c in sum_cols:
+            out = out.withColumn(
+                f"cum_{c}", F.sum(c).over(in_w).cast("long")
+            )
+        return out
     bounds = df.agg(
         F.min(order_col).alias("_vmin"), F.max(order_col).alias("_vmax")
     )
