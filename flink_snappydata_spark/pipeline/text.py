@@ -9,6 +9,8 @@ so the DuckDB oracle reproduces them bit-for-bit.
 
 from __future__ import annotations
 
+import os
+
 from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
@@ -1519,6 +1521,12 @@ def gopher_rules(documents: DataFrame, sort: bool = True) -> DataFrame:
 #: single-partition prefix window is provably bounded over.
 AUC_CELLS_SHIFT = 12
 
+#: Distinct-margin ceiling for quality_auc's naive-window fast path —
+#: the cell-histogram size the slow path would build anyway, so the
+#: naive single-partition window is never bigger than the bounded
+#: window the cell path already pays.
+AUC_NAIVE_MAX = (1 << (AUC_CELLS_SHIFT + 1)) + 1
+
 
 def quality_auc(documents: DataFrame, pos_lang: str = "en") -> DataFrame:
     """Exact tie-aware ROC AUC of the hashed linear quality model's
@@ -1569,43 +1577,70 @@ def quality_auc(documents: DataFrame, pos_lang: str = "en") -> DataFrame:
             .alias("q"),
         )
         .withColumn("t", F.col("p") + F.col("q"))
-        .withColumn(
-            "cell",
-            F.floor(F.col("margin") * F.lit(1 << AUC_CELLS_SHIFT)).cast("long"),
-        )
     )
     g = tracked_persist(g)
-    # Cell histogram: <= 2^13 + 1 rows by construction — the bounded
-    # single-partition prefix window the docstring pins.
-    cell_w = Window.orderBy("cell").rowsBetween(Window.unboundedPreceding, -1)
-    cell_off = (
-        g.groupBy("cell")
-        .agg(F.sum("t").alias("ct"))
-        .select(
-            "cell",
-            F.coalesce(F.sum("ct").over(cell_w), F.lit(0))
-            .cast("long")
-            .alias("cell_off"),
+    # Bounded-input fast path (the cell_prefix_sums idiom): the cell
+    # machinery exists so no ONE window partition ever holds a large
+    # distinct-margin frame. When the whole distinct-margin frame is
+    # no bigger than the cell histogram the slow path would build
+    # anyway (≤ 2^13 + 1 rows), the naive single-partition prefix
+    # window computes the IDENTICAL integer `cum` in one job where the
+    # cell path pays a histogram aggregation, a prefix window and a
+    # broadcast join. The LocalLimit probe doubles as the persist's
+    # materialization; `documents` is always a batch frame here (the
+    # margin scan is batch-only), so the eager probe is safe.
+    n_cells = AUC_NAIVE_MAX
+    if g.limit(n_cells + 1).count() <= n_cells:
+        naive_w = Window.orderBy("margin").rowsBetween(
+            Window.unboundedPreceding, -1
         )
-    )
-    in_w = (
-        Window.partitionBy("cell")
-        .orderBy("margin")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    cum = (
-        g.join(F.broadcast(cell_off), "cell")
-        .select(
+        cum = g.select(
             "margin",
             "p",
             "q",
             "t",
-            (
-                F.col("cell_off")
-                + F.coalesce(F.sum("t").over(in_w), F.lit(0))
-            ).alias("cum"),
+            F.coalesce(F.sum("t").over(naive_w), F.lit(0)).alias("cum"),
         )
-    )
+    else:
+        g = g.withColumn(
+            "cell",
+            F.floor(F.col("margin") * F.lit(1 << AUC_CELLS_SHIFT)).cast(
+                "long"
+            ),
+        )
+        # Cell histogram: <= 2^13 + 1 rows by construction — the bounded
+        # single-partition prefix window the docstring pins.
+        cell_w = Window.orderBy("cell").rowsBetween(
+            Window.unboundedPreceding, -1
+        )
+        cell_off = (
+            g.groupBy("cell")
+            .agg(F.sum("t").alias("ct"))
+            .select(
+                "cell",
+                F.coalesce(F.sum("ct").over(cell_w), F.lit(0))
+                .cast("long")
+                .alias("cell_off"),
+            )
+        )
+        in_w = (
+            Window.partitionBy("cell")
+            .orderBy("margin")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        cum = (
+            g.join(F.broadcast(cell_off), "cell")
+            .select(
+                "margin",
+                "p",
+                "q",
+                "t",
+                (
+                    F.col("cell_off")
+                    + F.coalesce(F.sum("t").over(in_w), F.lit(0))
+                ).alias("cum"),
+            )
+        )
     agg = cum.agg(
         F.sum("p").cast("long").alias("n_pos"),
         F.sum("q").cast("long").alias("n_neg"),
@@ -1641,6 +1676,12 @@ CCNET_CELLS_SHIFT = 8
 
 #: Tercile labels in rank order (low surprisal = most in-distribution).
 CCNET_BUCKET_NAMES = ["head", "middle", "tail"]
+
+#: Corpus-frame ceiling for ccnet_buckets' naive-rank fast path — the
+#: per-language cell-histogram bound (< 2^14) the slow path's prefix
+#: window is sized to, so the naive window never holds more rows than
+#: the machinery it replaces was built to bound.
+CCNET_NAIVE_MAX = 1 << (CCNET_CELLS_SHIFT + 6)
 
 
 def ccnet_buckets(documents: DataFrame, sort: bool = True) -> DataFrame:
@@ -1688,33 +1729,60 @@ def ccnet_buckets(documents: DataFrame, sort: bool = True) -> DataFrame:
         )
     )
     keyed = tracked_persist(keyed)
-    hist = keyed.groupBy("lang", "cell").agg(F.count(F.lit(1)).alias("cnt"))
-    hist = tracked_persist(hist)
-    off_w = (
-        Window.partitionBy("lang")
-        .orderBy("cell")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    offsets = hist.select(
-        "lang",
-        "cell",
-        F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
-    )
-    totals = hist.groupBy("lang").agg(F.sum("cnt").cast("long").alias("c"))
-    rank_w = Window.partitionBy("lang", "cell").orderBy("avg_bits", "doc_id")
-    ranked = (
-        keyed.join(F.broadcast(offsets), ["lang", "cell"])
-        .join(F.broadcast(totals), "lang")
-        .select(
+    # Bounded-input fast path (the cell_prefix_sums idiom): the
+    # two-phase cell rank exists so no one window partition holds a
+    # whole language's documents. When the ENTIRE corpus frame is no
+    # bigger than the per-language cell histogram the slow path builds
+    # anyway (< 2^14 rows), the naive per-language rank window over the
+    # persisted frame computes the IDENTICAL ranks in one job where
+    # the cell path pays a histogram aggregation + persist, an offsets
+    # window and two broadcast joins. The LocalLimit probe doubles as
+    # the persist's materialization; `documents` is batch-only here.
+    n_cells = CCNET_NAIVE_MAX
+    if keyed.limit(n_cells + 1).count() <= n_cells:
+        rank_w = Window.partitionBy("lang").orderBy("avg_bits", "doc_id")
+        cnt_w = Window.partitionBy("lang")
+        ranked = keyed.select(
             "doc_id",
             "lang",
             "avg_bits",
-            (F.row_number().over(rank_w) + F.col("off"))
-            .cast("long")
-            .alias("lang_rank"),
-            "c",
+            F.row_number().over(rank_w).cast("long").alias("lang_rank"),
+            F.count(F.lit(1)).over(cnt_w).cast("long").alias("c"),
         )
-    )
+    else:
+        hist = keyed.groupBy("lang", "cell").agg(
+            F.count(F.lit(1)).alias("cnt")
+        )
+        hist = tracked_persist(hist)
+        off_w = (
+            Window.partitionBy("lang")
+            .orderBy("cell")
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        offsets = hist.select(
+            "lang",
+            "cell",
+            F.coalesce(F.sum("cnt").over(off_w), F.lit(0)).alias("off"),
+        )
+        totals = hist.groupBy("lang").agg(
+            F.sum("cnt").cast("long").alias("c")
+        )
+        rank_w = Window.partitionBy("lang", "cell").orderBy(
+            "avg_bits", "doc_id"
+        )
+        ranked = (
+            keyed.join(F.broadcast(offsets), ["lang", "cell"])
+            .join(F.broadcast(totals), "lang")
+            .select(
+                "doc_id",
+                "lang",
+                "avg_bits",
+                (F.row_number().over(rank_w) + F.col("off"))
+                .cast("long")
+                .alias("lang_rank"),
+                "c",
+            )
+        )
     # Exact integer division (the (s - s%n)/n idiom used throughout —
     # the subtraction makes the double division exactly divisible, so
     # no float-rounding edge can cross an integer boundary).
@@ -2029,6 +2097,54 @@ def readability_scores(documents: DataFrame, sort: bool = True) -> DataFrame:
     return presentation_sorted(out, "doc_id", expect_small=False)
 
 
+#: Distinct-word ceiling for :func:`bpe_merges`' driver-local merge
+#: fold. Rows are narrow (a ≤ 2·max_word_len+2-char symbol string + an
+#: int64), so the collect is bounded at a few MB — a driver-memory
+#: bound that holds at ANY corpus scale: a vocabulary larger than this
+#: (web-scale corpora) takes the distributed loop instead. Overridable
+#: for deployments via SPARK_GRAFT_BPE_DRIVER_VOCAB_MAX.
+BPE_DRIVER_VOCAB_MAX = int(
+    os.environ.get("SPARK_GRAFT_BPE_DRIVER_VOCAB_MAX", 1 << 16)
+)
+
+
+def _bpe_driver_fold(
+    vocab: list[tuple[str, int]], n_merges: int
+) -> list[tuple[int, str, str, str, int]]:
+    """The BPE merge loop as a driver-local fold over a bounded
+    (spaced-symbol-string, count) vocabulary — semantics bit-identical
+    to the distributed loop in :func:`bpe_merges`:
+
+    * pair counting zips adjacent symbols (``zip(s, s[1:])`` over the
+      space-split string = the arrays_zip-of-slices spelling);
+    * the winner is (max count, then lexicographically smallest
+      (left, right)) — symbols are ``[a-z]+`` only, where Python's
+      code-point ordering and Spark's UTF-8 binary string ordering
+      agree;
+    * the merge is the same TWO passes of left-to-right
+      non-overlapping replace of ``" l r "`` with ``" lr "``
+      (``str.replace`` and Spark's ``replace`` share replace-all
+      left-to-right semantics).
+    """
+    out_rows: list[tuple[int, str, str, str, int]] = []
+    for step in range(n_merges):
+        counts: dict[tuple[str, str], int] = {}
+        for sym, cnt in vocab:
+            s = sym.strip().split(" ")
+            for pair in zip(s, s[1:]):
+                counts[pair] = counts.get(pair, 0) + cnt
+        if not counts:
+            break
+        best_c = max(counts.values())
+        left, right = min(p for p, c in counts.items() if c == best_c)
+        out_rows.append((step, left, right, left + right, int(best_c)))
+        pat, rep = f" {left} {right} ", f" {left}{right} "
+        vocab = [
+            (s.replace(pat, rep).replace(pat, rep), cnt) for s, cnt in vocab
+        ]
+    return out_rows
+
+
 def bpe_merges(
     documents: DataFrame, n_merges: int = 8, max_word_len: int = 24
 ) -> DataFrame:
@@ -2060,6 +2176,21 @@ def bpe_merges(
     next round's expression (a 2-value broadcast, same shape as
     `kmeans_train`'s centroid loop); the vocab frame is persisted per
     round so lineage stays flat.
+
+    Bounded-vocab fast path: when the distinct-word frame fits
+    :data:`BPE_DRIVER_VOCAB_MAX` rows (a few MB of narrow strings —
+    every corpus below web scale), ALL ``n_merges`` rounds run as a
+    driver-local fold over the collected (sym, cnt) list instead of
+    ``n_merges`` sequential cluster jobs: pair counting is
+    ``zip(s, s[1:])`` weighted by cnt, the argmax is (max count, then
+    lexicographically smallest pair), the merge is the same two-pass
+    left-to-right non-overlapping ``str.replace`` — bit-identical to
+    the distributed loop on every input (pinned by
+    ``tests/test_round15_ops.py::test_bpe_driver_fold_matches_distributed_loop``).
+    The one LocalLimit probe collect replaces ~2 jobs per round; past
+    the bound the distributed loop runs unchanged (the 100 TB path).
+    This function is ALREADY eager (the per-round argmax collects), so
+    the probe adds no construction-time laziness regression.
     """
     spark = documents.sparkSession
     words = (
@@ -2083,6 +2214,18 @@ def bpe_merges(
             "cnt",
         )
     )
+    out_schema = (
+        "step long, left_sym string, right_sym string, "
+        "merged string, pair_count long"
+    )
+    probe = wf.limit(BPE_DRIVER_VOCAB_MAX + 1).collect()
+    if len(probe) <= BPE_DRIVER_VOCAB_MAX:
+        return spark.createDataFrame(
+            _bpe_driver_fold(
+                [(r.sym, r.cnt) for r in probe], n_merges
+            ),
+            out_schema,
+        ).orderBy("step")
     out_rows: list[tuple[int, str, str, str, int]] = []
     for step in range(n_merges):
         syms = F.split(F.trim(F.col("sym")), " ")
@@ -2115,11 +2258,7 @@ def bpe_merges(
                 "cnt",
             )
         )
-    return spark.createDataFrame(
-        out_rows,
-        "step long, left_sym string, right_sym string, "
-        "merged string, pair_count long",
-    ).orderBy("step")
+    return spark.createDataFrame(out_rows, out_schema).orderBy("step")
 
 
 def bpe_encode_stats(

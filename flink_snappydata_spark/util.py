@@ -208,10 +208,30 @@ def cell_prefix_sums(
     A high-cardinality group key (per-user, per-document) needs the
     `per_source_cap` bucket-histogram rank idiom instead, where offsets
     stay keyed and co-partitioned rather than broadcast.
+
+    NOTE: for batch inputs, CONSTRUCTION IS EAGER — a bounded
+    LocalLimit probe (one job) picks between the naive window and the
+    cell machinery and materializes the input persist. Streaming
+    inputs skip probe and persist and stay fully lazy (naive window).
     """
     from pyspark.sql import Window
 
     pc = list(partition_cols)
+    # A streaming frame can neither persist nor run the LocalLimit
+    # probe below (both are batch actions): fall through to the
+    # fully-lazy naive window, whose unpartitioned global frame is the
+    # only shape a bounded-state stream could window anyway.
+    if df.isStreaming:
+        base_w = Window.partitionBy(*pc) if pc else Window.partitionBy()
+        in_w = base_w.orderBy(order_col).rowsBetween(
+            Window.unboundedPreceding, 0
+        )
+        out = df
+        for c in sum_cols:
+            out = out.withColumn(
+                f"cum_{c}", F.sum(c).over(in_w).cast("long")
+            )
+        return out
     # The input executes once for the bounds and once into the persisted
     # cell-keyed frame; offsets and the final join both read the persist
     # (without it, an expensive upstream — a full-outer histogram merge,
@@ -228,7 +248,10 @@ def cell_prefix_sums(
     # measured 2-3 s of pure latency per query at fixture scale). The
     # probe is a LocalLimit short-circuit over the persist (the
     # _shingle_bound_cleared idiom), so it costs one bounded job and
-    # doubles as the persist's materialization.
+    # doubles as the persist's materialization. NOTE: the probe is an
+    # ACTION at DataFrame-construction time — building the returned
+    # frame is eager for batch inputs (streaming inputs took the lazy
+    # branch above).
     if df.limit(n_cells + 1).count() <= n_cells:
         base_w = Window.partitionBy(*pc) if pc else Window.partitionBy()
         in_w = base_w.orderBy(order_col).rowsBetween(
