@@ -127,7 +127,13 @@ def exact_dedup(documents: DataFrame) -> DataFrame:
 #: ~60-100 bytes per word-trigram shingle, 1e6 shingles ≈ a 60-100 MB
 #: record — near the practical ceiling for one shuffle record) and its
 #: pairs take the streamed gated join instead. Results are identical;
-#: only the physical verify strategy changes.
+#: only the physical verify strategy changes. Exposure note: callers
+#: that persist the packed kernel output (`doc_shingle_arrays`) cache
+#: each document's full array once — including an oversized one — but
+#: `_verified_jaccard` never SHUFFLES such a record: with oversized
+#: docs present the verify sets are rebuilt from the exploded index
+#: (narrow rows filtered before the regroup), not anti-joined from the
+#: packed frame.
 MAX_PACKED_SHINGLES = 1_000_000
 
 
@@ -271,13 +277,17 @@ def _verified_jaccard(
     # the caller already holds per-doc shingle arrays (the fused
     # MinHash kernel): same sets, one less corpus-sized aggregation.
     # Intersection/size are set operations, so element order within
-    # each array is irrelevant.
-    if packed is not None:
-        sets = (
-            packed
-            if big_ids is None
-            else packed.join(big_ids, "doc_id", "left_anti")
-        )
+    # each array is irrelevant. The shortcut applies ONLY when no
+    # document exceeds the packed bound: with oversized docs present,
+    # anti-joining the packed frame would shuffle the giant array
+    # records before dropping them, so the small-doc sets are rebuilt
+    # from the exploded index instead — oversized docs filtered as
+    # narrow rows BEFORE the collect_list regroup, the giant record
+    # never entering a shuffle (ADVICE r14; the caller's persisted
+    # packed frame still caches the oversized array once, without
+    # moving it).
+    if packed is not None and big_ids is None:
+        sets = packed
     else:
         sets = pack_src.groupBy("doc_id").agg(
             F.collect_list("sh").alias("shs")
